@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.RiskFeatures
+import graft.norm.Normalizer
+import graft.operators.{BurstDetector, ToolScanner}
+import graft.query.{FilterOptions, Filters}
+import graft.rules.{GraftConfig, RuleEngine}
+import graft.session.Sessionizer
+import graft.sources.{LogSources, ParsedLogs}
+
+/** End-to-end pipeline wiring (reference triage.py:227-263 / SURVEY §3).
+  *
+  * parse -> dedup -> utc time -> sessionize -> request_count ->
+  * risk features -> rule engine -> burst detector -> tool scanner ->
+  * filters -> sink. Stages are lazy DataFrame transforms; the normalized
+  * + scored frame should be `.cache()`d by callers that re-filter
+  * interactively (the reference keeps it resident — SURVEY §3 entry 3).
+  */
+object Pipeline {
+
+  /** Options equivalent to the reference pipeline's knobs. */
+  final case class Options(
+      timeOffsetSeconds: Long = 0,
+      sessionGapSeconds: Long = Sessionizer.DefaultThreshold,
+      strictTimestamps: Boolean = true,
+      burstRiskScore: Double = 95.0,
+      burstMinRequests: Long = 100,
+      burstMaxGapSeconds: Double = 1.0)
+
+  /** Normalize + sessionize an already-parsed frame. Adds a stable
+    * `_row_id` used as the pandas-row-order stand-in (SURVEY §7.4.2).
+    */
+  def normalize(parsed: DataFrame, opts: Options = Options()): DataFrame = {
+    val withId = parsed.withColumn("_row_id", monotonically_increasing_id())
+    val deduped = Normalizer.removeDuplicates(withId, col("_row_id"))
+    val timed = Normalizer.withUtcTimestamp(deduped, opts.timeOffsetSeconds, opts.strictTimestamps)
+    val clustered = Sessionizer.withClusters(timed, opts.sessionGapSeconds)
+    Sessionizer.withRequestCount(clustered)
+  }
+
+  /** Risk stage (reference triage.py:241-245 order: balatro ->
+    * burp_intruder -> tool_scanner; W2 unconditionally overwrites).
+    */
+  def score(
+      normalized: DataFrame,
+      config: GraftConfig,
+      rules: Seq[RuleEngine.SigmaRule],
+      webshells: Set[String],
+      opts: Options = Options()): DataFrame = {
+    val featured = normalized
+      .withColumn("uri_risk",
+        RiskFeatures.uriRisk(col("request_uri"),
+          config.sensitivePaths, config.riskyExtensionPatterns, webshells))
+      .withColumn("method_risk", RiskFeatures.methodRisk(col("method")))
+      .withColumn("status_risk", RiskFeatures.statusRisk(col("status")))
+    val ruled = RuleEngine(featured, rules)
+    val burst = BurstDetector(ruled,
+      opts.burstRiskScore, opts.burstMinRequests, opts.burstMaxGapSeconds)
+    ToolScanner(burst, config.toolSignatures)
+  }
+
+  /** Full pipeline from raw log paths. */
+  def run(
+      spark: SparkSession,
+      paths: Seq[String],
+      config: GraftConfig,
+      rules: Seq[RuleEngine.SigmaRule],
+      webshells: Set[String],
+      opts: Options = Options(),
+      filters: FilterOptions = FilterOptions()): DataFrame = {
+    val ParsedLogs(parsed, _) = LogSources.parseLogs(spark, paths)
+    val normalized = normalize(parsed, opts)
+    val scored = score(normalized, config, rules, webshells, opts)
+    Filters(scored, filters, col("_row_id"))
+  }
+}

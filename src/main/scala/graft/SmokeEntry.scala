@@ -1,0 +1,16 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object SmokeEntry {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    println("ENTRY ROWS = " + df.count())
+    df.show(10, truncate = false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public Column API and Catalyst expressions.
+  *
+  * Spark 4.x backs `Column` by a `ColumnNode` (Connect unification), so the
+  * pre-4.0 `new Column(expr)` / `col.expr` surface is gone from user code.
+  * The supported conversion lives in `org.apache.spark.sql.classic` with
+  * `private[sql]` visibility; this object re-exports it for graft's custom
+  * expressions. No Spark internals are modified.
+  */
+object GraftInterop {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
