@@ -1,0 +1,142 @@
+package graft.cli
+
+import scala.annotation.tailrec
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.Pipeline
+import graft.query.FilterOptions
+import graft.rules.{GraftConfig, RuleEngine}
+import graft.sink.{EmailSink, Renderer}
+import graft.sources.LogSources
+
+/** CLI entry point mirroring the reference's argparse surface
+  * (reference triage.py:11-224). The CLI *is* the query language: every
+  * flag is one conjunct of the filter predicate (SURVEY §2.2).
+  *
+  * Usage: Triage --path <file-or-dir> [--path ...] [flags]
+  */
+object Triage {
+
+  final case class Args(
+      paths: Vector[String] = Vector.empty,
+      config: Option[String] = None,
+      rules: Option[String] = None,
+      shells: Option[String] = None,
+      timeOffset: Long = 0,
+      clusterOff: Boolean = false,
+      csv: Boolean = false,
+      noColour: Boolean = false,
+      emailTo: Option[String] = None,
+      limit: Int = Int.MaxValue,
+      filters: FilterOptions = FilterOptions())
+
+  @tailrec
+  private def parse(rest: List[String], a: Args): Args = rest match {
+    case Nil => a
+    case "--path" :: v :: t => parse(t, a.copy(paths = a.paths :+ v))
+    case "--config" :: v :: t => parse(t, a.copy(config = Some(v)))
+    case "--rules" :: v :: t => parse(t, a.copy(rules = Some(v)))
+    case "--shells" :: v :: t => parse(t, a.copy(shells = Some(v)))
+    case "--time-offset" :: v :: t => parse(t, a.copy(timeOffset = v.toLong))
+    case "--cluster-off" :: t => parse(t, a.copy(clusterOff = true))
+    case "--csv" :: t => parse(t, a.copy(csv = true))
+    case "--no-colour" :: t => parse(t, a.copy(noColour = true))
+    case "--email" :: v :: t => parse(t, a.copy(emailTo = Some(v)))
+    case "--limit" :: v :: t => parse(t, a.copy(limit = v.toInt))
+    case "--start-time" :: v :: t => parse(t, a.copy(filters = a.filters.copy(startTime = Some(v))))
+    case "--end-time" :: v :: t => parse(t, a.copy(filters = a.filters.copy(endTime = Some(v))))
+    case "--risk-score" :: v :: t => parse(t, a.copy(filters = a.filters.copy(riskScore = v.toDouble)))
+    case "--request-count" :: v :: t => parse(t, a.copy(filters = a.filters.copy(requestCount = v.toLong)))
+    case "--status" :: v :: t => parse(t, a.copy(filters = a.filters.copy(statusInclude = ints(v))))
+    case "--ignore-status" :: v :: t => parse(t, a.copy(filters = a.filters.copy(statusIgnore = ints(v))))
+    case "--method" :: v :: t => parse(t, a.copy(filters = a.filters.copy(methodInclude = strs(v))))
+    case "--ignore-method" :: v :: t => parse(t, a.copy(filters = a.filters.copy(methodIgnore = strs(v))))
+    case "--uripath-keyword" :: v :: t => parse(t, a.copy(filters = a.filters.copy(uriInclude = strs(v))))
+    case "--all-extension" :: t => parse(t, a.copy(filters = a.filters.copy(allExtension = true)))
+    case "--ip" :: v :: t => parse(t, a.copy(filters = a.filters.copy(ipInclude = strs(v))))
+    case "--ignore-ip" :: v :: t => parse(t, a.copy(filters = a.filters.copy(ipIgnore = strs(v))))
+    case "--user-agent" :: v :: t => parse(t, a.copy(filters = a.filters.copy(uaInclude = strs(v))))
+    case "--ignore-user-agent" :: v :: t => parse(t, a.copy(filters = a.filters.copy(uaIgnore = strs(v))))
+    case "--referrer" :: v :: t => parse(t, a.copy(filters = a.filters.copy(refInclude = strs(v))))
+    case "--ignore-referrer" :: v :: t => parse(t, a.copy(filters = a.filters.copy(refIgnore = strs(v))))
+    case "--min-size" :: v :: t => parse(t, a.copy(filters = a.filters.copy(minSize = Some(v.toLong))))
+    case "--max-size" :: v :: t => parse(t, a.copy(filters = a.filters.copy(maxSize = Some(v.toLong))))
+    case "--tool-focus" :: t => parse(t, a.copy(filters = a.filters.copy(toolsPresent = true)))
+    case "--cluster-id" :: v :: t => parse(t, a.copy(filters = a.filters.copy(clusterIdInclude = longs(v))))
+    case "--ignore-cluster-id" :: v :: t => parse(t, a.copy(filters = a.filters.copy(clusterIdIgnore = longs(v))))
+    case other :: _ => throw new IllegalArgumentException(s"Unknown argument: $other")
+  }
+
+  private def strs(v: String): Seq[String] = v.split(",").toSeq.filter(_.nonEmpty)
+  private def ints(v: String): Seq[Int] = strs(v).map(_.toInt)
+  private def longs(v: String): Seq[Long] = strs(v).map(_.toLong)
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv.toList, Args())
+    require(args.paths.nonEmpty, "--path is required")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-triage")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    try {
+      val config0 = args.config.map(GraftConfig.load).getOrElse(GraftConfig.default)
+      val config = config0.copy(
+        rulesPath = args.rules.getOrElse(config0.rulesPath),
+        webshellPath = args.shells.getOrElse(config0.webshellPath))
+      val ruleSet = RuleEngine.loadRules(config.rulesPath)
+      val webshells = GraftConfig.loadWebshells(config.webshellPath)
+
+      // default extension-ignore + authorized-scanner ip-ignore come from
+      // config, like triage.py:248-263 wiring
+      val filters = args.filters.copy(
+        extensionIgnore =
+          if (args.filters.extensionIgnore.nonEmpty) args.filters.extensionIgnore
+          else config.ignoreExtensions,
+        ipIgnore =
+          if (args.filters.ipIgnore.nonEmpty) args.filters.ipIgnore
+          else config.ignoreIp)
+
+      // S7 error side channel (reference writes errors.log + reports the
+      // parsed count, parser.py:121-124)
+      val parsedLogs = LogSources.parseLogs(spark, args.paths)
+      val errCount = parsedLogs.errors.count()
+      if (errCount > 0) {
+        System.err.println(s"[*] $errCount unparseable lines; writing to errors.log")
+        val errs = parsedLogs.errors.limit(10000).collect()
+        val w = new java.io.FileWriter("errors.log", true)
+        try errs.foreach(r => w.write(s"Failed to parse [${r.getString(0)}]: ${r.getString(1)}\n"))
+        finally w.close()
+      }
+
+      val normalized = Pipeline.normalize(parsedLogs.parsed,
+        Pipeline.Options(timeOffsetSeconds = args.timeOffset))
+      val scored = Pipeline.score(normalized, config, ruleSet, webshells)
+      val out = graft.query.Filters(scored, filters, col("_row_id"))
+
+      val display = Renderer.withMethodPath(out)
+      val rows = display.limit(args.limit).collect().toSeq
+      val text =
+        if (args.csv) Renderer.renderCsv(rows)
+        else Renderer.renderTable(rows, clusterEnabled = !args.clusterOff,
+          colour = !args.noColour)
+
+      args.emailTo match {
+        case Some(to) =>
+          EmailSink.send(new EmailSink.FileTransport("./graft-mail"),
+            config.emailSmtpServer, config.emailSmtpPort, config.emailSender,
+            to, "WebLogHunter results", config.emailBody, Renderer.renderCsv(rows))
+          println(s"[*] Wrote email message for $to to ./graft-mail/")
+        case None => println(text)
+      }
+    } finally spark.stop()
+  }
+}

@@ -50,7 +50,11 @@ object LogSources {
         .select(col("value"), col("_metadata.file_name").as("source"))
     }
     for (p <- csvTop) {
-      branches += spark.read.option("header", "true").csv(p)
+      // RFC4180 double-quote escaping like pandas read_csv (Spark's csv
+      // default escape is backslash, which would mangle quoted log lines)
+      branches += spark.read
+        .option("header", "true").option("escape", "\"")
+        .csv(p)
         .select(col("_raw").cast("string").as("value"),
           lit(new File(p).getName).as("source"))
     }
