@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{Cidr, RiskFeatures}
+import graft.rules.{GraftConfig, RuleEngine}
 import graft.session.Sessionizer
+import graft.sources.ParseLogLine
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +34,42 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame =
     Flagship.run(spark, "/root/testdata/sf0.001")
+
+  /** Webshell basenames used by the oracle queries (mirrors the SQL twin
+    * in PseudoLog.sqlUriRisk — keep in lockstep).
+    */
+  val oracleShells: Set[String] = Set("cmd.php", "shell.php", "c99.php", "alfa3.php", "1.php")
+
+  /** Rule set for the q10 oracle: one rule per sigma operator class
+    * (gte/lt numeric, contains, startswith, endswith, regex, in, notin,
+    * cidr, bare field) with thresholds that actually fire on the
+    * pseudo-log distribution.
+    */
+  val oracleRulesYaml: String =
+    """- title: R1 High URI Risk OK
+      |  detection: { selection: { uri_risk|gte: 70, status: [200, 201, 202] } }
+      |  tags: [ { risk_score: 75.0 } ]
+      |- title: R2 Whoami
+      |  detection: { selection: { request_uri|contains: whoami, resp_size|gte: 10 } }
+      |  tags: [ { risk_score: 71.1 } ]
+      |- title: R3 Fofa Referrer
+      |  detection: { selection: { referrer|startswith: "https://fofa" } }
+      |  tags: [ { risk_score: 67.5 } ]
+      |- title: R4 Scanner In Range
+      |  detection: { selection: { ip|cidr: ["10.17.0.0/16", "10.42.0.0/16"], user_agent|endswith: "1.7" } }
+      |  tags: [ { risk_score: 66.0 } ]
+      |- title: R5 Session Repeats With Errors
+      |  detection: { selection: { request_count|gte: 2, status: [500, 502, 503, 504] } }
+      |  tags: [ { risk_score: 42.0 } ]
+      |- title: R7 Status Risk
+      |  detection: { selection: { status_risk|gte: 70 } }
+      |  tags: [ { risk_score: 40.0 } ]
+      |- title: R6 Risky Method On Static
+      |  detection: { selection: { request_uri|regex: "p[0-9]+\\.css$", method|in: [PUT, DELETE] } }
+      |  tags: [ { risk_score: 30.0 } ]
+      |- title: R8 Unknown Method
+      |  detection: { selection: { method|notin: [GET, POST, HEAD, PUT, DELETE], uri_risk|lt: 5 } }
+      |  tags: [ { risk_score: 20.0 } ]""".stripMargin
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -83,6 +122,78 @@ object SparkEntry {
           col("value") >= 5.0 && col("value") <= 50.0 &&
           col("ts") >= lit("2024-01-01 12:00:00").cast("timestamp"))
         .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+    }),
+
+    // S6 — the real multi-format parser over generated apache lines
+    "q6_parse" -> ((s, dir) => {
+      val lg = PseudoLog.logs(s, dir)
+      val line = concat(
+        col("ip"), lit(" - - ["),
+        date_format(col("utc_timestamp"), "dd/MMM/yyyy:HH:mm:ss Z"),
+        lit("] \""), col("method"), lit(" "), col("request_uri"),
+        lit(" HTTP/1.1\" "), col("status").cast("string"), lit(" "),
+        col("resp_size").cast("string"),
+        lit(" \""), col("referrer"), lit("\" \""), col("user_agent"), lit("\""))
+      lg.select(col("event_id"), ParseLogLine.parse_log_line(line).as("p"))
+        .select(col("event_id"),
+          col("p.ip").as("ip"), col("p.timestamp").as("timestamp"),
+          col("p.method").as("method"), col("p.request_uri").as("request_uri"),
+          col("p.status").as("status"), col("p.resp_size").as("resp_size"),
+          col("p.referrer").as("referrer"), col("p.user_agent").as("user_agent"))
+    }),
+
+    // D1 generalized — exact dedup with cross-source semantics
+    "q7_dedup_exact" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Dedup.exact(
+        docs,
+        keyCols = Seq(col("lang"), expr("n_chars DIV 50")),
+        orderCol = col("doc_id"),
+        sourceCol = Some(col("source")))
+        .select(col("doc_id"))
+    }),
+
+    // C1 — composite uri_risk over the pseudo-log URI inventory
+    "q8_uri_risk" -> ((s, dir) => {
+      PseudoLog.logs(s, dir).select(
+        col("event_id"), col("request_uri"),
+        RiskFeatures.uriRisk(col("request_uri"),
+          GraftConfig.defaultSensitivePaths,
+          GraftConfig.extPatterns(GraftConfig.defaultSensitiveExtensions),
+          oracleShells).as("uri_risk"))
+    }),
+
+    // C7/C8 — scalar method/status risk
+    "q9_scalar_risk" -> ((s, dir) => {
+      PseudoLog.logs(s, dir).select(
+        col("event_id"),
+        RiskFeatures.methodRisk(col("method")).as("method_risk"),
+        RiskFeatures.statusRisk(col("status")).as("status_risk"))
+    }),
+
+    // the full rule-engine pipeline: sessionize -> request_count ->
+    // risk features -> sigma fold (one rule per operator class)
+    "q10_rules" -> ((s, dir) => {
+      val lg = PseudoLog.logs(s, dir)
+      val sess = Sessionizer.withClusters(lg, threshold = 300L)
+      val counted = Sessionizer.withRequestCount(sess)
+      val featured = counted
+        .withColumn("uri_risk", RiskFeatures.uriRisk(col("request_uri"),
+          GraftConfig.defaultSensitivePaths,
+          GraftConfig.extPatterns(GraftConfig.defaultSensitiveExtensions),
+          oracleShells))
+        .withColumn("method_risk", RiskFeatures.methodRisk(col("method")))
+        .withColumn("status_risk", RiskFeatures.statusRisk(col("status")))
+      RuleEngine(featured, RuleEngine.parseRules(oracleRulesYaml))
+        .select(col("event_id"), col("risk_score"), col("rule_applied"))
+    }),
+
+    // F9/C12 — CIDR include filter (pure-Column IPv4 arithmetic path)
+    "q11_cidr" -> ((s, dir) => {
+      PseudoLog.logs(s, dir)
+        .filter(Cidr.inCidrs(col("ip"),
+          Seq("10.5.0.0/16", "10.17.0.0/16", "10.42.0.0/16", "10.99.0.0/24")))
+        .select(col("event_id"), col("ip"))
     })
   )
 
@@ -136,6 +247,83 @@ object SparkEntry {
         |FROM events
         |WHERE event_type IN ('click', 'view')
         |  AND value >= 5.0 AND value <= 50.0
-        |  AND ts >= TIMESTAMP '2024-01-01 12:00:00'""".stripMargin
+        |  AND ts >= TIMESTAMP '2024-01-01 12:00:00'""".stripMargin,
+
+    "q6_parse" -> {
+      val pat = """^(\S+) \S+ \S+ \[(\d{2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2}\s[+-]\d{4})\] "([A-Z]+) ([^ ]+) HTTP/[0-9.]+" (\d{3}) (\d+|-) "(.*?|-)" "(.*?|-)"\s*$"""
+      def g(i: Int) = s"regexp_extract(l, '$pat', $i)"
+      "WITH " + PseudoLog.sqlLogs + """,
+        |lines AS (
+        |  SELECT event_id,
+        |    ip || ' - - [' || strftime(utc_timestamp, '%d/%b/%Y:%H:%M:%S') || ' +0000] "'
+        |       || method || ' ' || request_uri || ' HTTP/1.1" '
+        |       || CAST(status AS VARCHAR) || ' ' || CAST(resp_size AS VARCHAR)
+        |       || ' "' || referrer || '" "' || user_agent || '"' AS l
+        |  FROM logs)
+        |""".stripMargin +
+        s"""SELECT event_id, ${g(1)} AS ip, ${g(2)} AS timestamp, ${g(3)} AS method,
+           |  ${g(4)} AS request_uri, CAST(${g(5)} AS INT) AS status,
+           |  CAST(${g(6)} AS BIGINT) AS resp_size, ${g(7)} AS referrer,
+           |  ${g(8)} AS user_agent
+           |FROM lines""".stripMargin
+    },
+
+    "q7_dedup_exact" ->
+      """WITH k AS (SELECT doc_id, source, lang, n_chars // 50 AS bucket FROM documents),
+        |g AS (SELECT lang, bucket, count(DISTINCT source) AS nsrc FROM k GROUP BY 1, 2),
+        |w AS (SELECT k.doc_id, k.lang, k.bucket,
+        |        row_number() OVER (PARTITION BY k.lang, k.bucket ORDER BY k.doc_id) AS rn
+        |      FROM k)
+        |SELECT w.doc_id FROM w JOIN g USING (lang, bucket)
+        |WHERE rn = 1 OR nsrc <= 1""".stripMargin,
+
+    "q8_uri_risk" ->
+      ("WITH " + PseudoLog.sqlLogs + "\nSELECT event_id, request_uri, " +
+        PseudoLog.sqlUriRisk("request_uri") + " AS uri_risk\nFROM logs"),
+
+    "q9_scalar_risk" ->
+      ("WITH " + PseudoLog.sqlLogs + "\nSELECT event_id, " +
+        PseudoLog.sqlMethodRisk("method") + " AS method_risk, " +
+        PseudoLog.sqlStatusRisk("status") + " AS status_risk\nFROM logs"),
+
+    "q10_rules" -> {
+      val uriRisk = PseudoLog.sqlUriRisk("request_uri")
+      val statusRisk = PseudoLog.sqlStatusRisk("status")
+      val aton = "(CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216 + " +
+        "CAST(split_part(ip, '.', 2) AS BIGINT) * 65536 + " +
+        "CAST(split_part(ip, '.', 3) AS BIGINT) * 256 + " +
+        "CAST(split_part(ip, '.', 4) AS BIGINT))"
+      val conds = Seq(
+        ("(uri_risk >= 70 AND status IN (200, 201, 202))", "75.0", "R1 High URI Risk OK"),
+        ("(regexp_matches(request_uri, '(?i)whoami') AND resp_size >= 10)", "71.1", "R2 Whoami"),
+        ("(referrer LIKE 'https://fofa%')", "67.5", "R3 Fofa Referrer"),
+        (s"(($aton // 65536) IN (2577, 2602) AND user_agent LIKE '%1.7')", "66.0", "R4 Scanner In Range"),
+        ("(request_count >= 2 AND status IN (500, 502, 503, 504))", "42.0", "R5 Session Repeats With Errors"),
+        ("(status_risk >= 70)", "40.0", "R7 Status Risk"),
+        ("(regexp_matches(request_uri, '(?i)p[0-9]+\\.css$') AND method IN ('PUT', 'DELETE'))", "30.0", "R6 Risky Method On Static"),
+        ("(method NOT IN ('GET', 'POST', 'HEAD', 'PUT', 'DELETE') AND uri_risk < 5)", "20.0", "R8 Unknown Method"))
+      val scoreCase = conds.map { case (c, sc, _) => s"WHEN $c THEN $sc" }
+        .mkString("CAST(CASE ", " ", " ELSE 0.0 END AS DOUBLE)")
+      val titleCase = conds.map { case (c, _, t) => s"WHEN $c THEN '$t'" }
+        .mkString("CASE ", " ", " ELSE '' END")
+      "WITH " + PseudoLog.sqlLogs + ",\n" + PseudoLog.sqlSessionized + ",\n" +
+        s"""featured AS (
+           |  SELECT *, $uriRisk AS uri_risk, $statusRisk AS status_risk
+           |  FROM counted)
+           |SELECT event_id, $scoreCase AS risk_score, $titleCase AS rule_applied
+           |FROM featured""".stripMargin
+    },
+
+    "q11_cidr" -> {
+      val aton = "(CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216 + " +
+        "CAST(split_part(ip, '.', 2) AS BIGINT) * 65536 + " +
+        "CAST(split_part(ip, '.', 3) AS BIGINT) * 256 + " +
+        "CAST(split_part(ip, '.', 4) AS BIGINT))"
+      "WITH " + PseudoLog.sqlLogs +
+        s"""
+           |SELECT event_id, ip FROM logs
+           |WHERE ($aton // 65536) IN (2565, 2577, 2602)
+           |   OR ($aton // 256) = 680704""".stripMargin
+    }
   )
 }

@@ -86,12 +86,8 @@ object Normalizer {
     val keyExprs = dedupKeyCols.map(c => normKey(c).as(s"_nk_$c"))
     val withKey = df.select(col("*") +: keyExprs: _*)
     val keyNames = dedupKeyCols.map(c => col(s"_nk_$c"))
-    val w = Window.partitionBy(keyNames: _*)
-    val rn = row_number().over(w.orderBy(orderCol))
-    val nSrc = size(collect_set(col("source")).over(w))
-    withKey
-      .withColumn("_keep", rn === 1 || nSrc <= 1)
-      .filter(col("_keep"))
-      .drop((Seq("_keep") ++ dedupKeyCols.map(c => s"_nk_$c")): _*)
+    graft.operators.Dedup
+      .exact(withKey, keyNames, orderCol, sourceCol = Some(col("source")))
+      .drop(dedupKeyCols.map(c => s"_nk_$c"): _*)
   }
 }
