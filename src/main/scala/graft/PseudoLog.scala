@@ -90,15 +90,14 @@ object PseudoLog {
       |    CAST(floor(epoch(ts)) AS BIGINT) AS ep
       |  FROM events)""".stripMargin
 
-  /** Sessionized CTE chain on top of `logs`: adds `cluster` (dense id,
+  /** Sessionized CTE chain on top of `src`: adds `cluster` (dense id,
     * (source, ip, localId) order — same algorithm as
     * [[graft.session.Sessionizer.withClusters]]) and `request_count`.
-    * Gap threshold 300 s.
     */
-  val sqlSessionized: String =
-    """lagged AS (
-      |  SELECT *, CASE WHEN ep - lag(ep) OVER w >= 300 THEN 1 ELSE 0 END AS new_s
-      |  FROM logs WINDOW w AS (PARTITION BY source, ip ORDER BY ep, event_id)),
+  def sqlSessionized(threshold: Long = 300, src: String = "logs"): String =
+    s"""lagged AS (
+      |  SELECT *, CASE WHEN ep - lag(ep) OVER w >= $threshold THEN 1 ELSE 0 END AS new_s
+      |  FROM $src WINDOW w AS (PARTITION BY source, ip ORDER BY ep, event_id)),
       |sess AS (
       |  SELECT *, sum(new_s) OVER (PARTITION BY source, ip ORDER BY ep, event_id
       |                             ROWS UNBOUNDED PRECEDING) AS local_id
@@ -114,6 +113,7 @@ object PseudoLog {
       |  SELECT *, count(*) OVER (PARTITION BY source, ip, cluster, method, request_uri)
       |            AS request_count
       |  FROM clustered)""".stripMargin
+
 
   /** uri_risk components in SQL, valid for the pseudo-log URI inventory
     * (only single-depth %2e encodings appear, so one replace pass ==

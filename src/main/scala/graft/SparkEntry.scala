@@ -194,6 +194,60 @@ object SparkEntry {
         .filter(Cidr.inCidrs(col("ip"),
           Seq("10.5.0.0/16", "10.17.0.0/16", "10.42.0.0/16", "10.99.0.0/24")))
         .select(col("event_id"), col("ip"))
+    }),
+
+    // W2 — the real burst detector over the sessionized pseudo-log.
+    // URI coarsened to 3 buckets + whole-user sessions so 500-bursts of
+    // >=2 rows actually occur in the natural event spacing; gap splitting
+    // boundaries are pinned by BurstDetectorSpec.
+    "q12_burst" -> ((s, dir) => {
+      val coarse = PseudoLog.logs(s, dir)
+        .withColumn("request_uri", concat(lit("/u"), (col("event_id") % 3).cast("string")))
+      val sess = Sessionizer.withClusters(coarse, threshold = 100000000L)
+        .withColumn("risk_score", lit(0.0))
+        .withColumn("rule_applied", lit(""))
+      graft.operators.BurstDetector(sess, minRequests = 2, maxGapSeconds = 300000.0)
+        .select(col("event_id"), col("risk_score"), col("rule_applied"))
+    }),
+
+    // F13 — tool-focus first/last membership per (source, ip, tool)
+    "q13_tool_focus" -> ((s, dir) => {
+      val lg = PseudoLog.logs(s, dir)
+        .withColumn("tool",
+          when((col("user_id") % 10) < 2,
+            concat(lit("T"), (col("user_id") % 10).cast("string")))
+            .otherwise(lit("")))
+      lg.withColumn("_tf", graft.query.Filters.toolFocusFlag(col("event_id")))
+        .filter(col("_tf"))
+        .select(col("event_id"), col("tool"))
+    }),
+
+    // F1/F2/F5-F8/F10 — the conjunctive filter surface + O1 sort
+    "q14_filters" -> ((s, dir) => {
+      graft.query.Filters(
+        PseudoLog.logs(s, dir),
+        graft.query.FilterOptions(
+          startTime = Some("2024-01-05 00:00:00"),
+          endTime = Some("2024-01-25 00:00:00"),
+          statusIgnore = Seq(302),
+          methodIgnore = Seq("DELETE"),
+          uriInclude = Seq("/page"),
+          extensionIgnore = GraftConfig.defaultIgnoreExtensions,
+          uaIgnore = Seq("curl"),
+          minSize = Some(50L)),
+        orderTieCol = col("event_id"))
+        .select(col("event_id"))
+    }),
+
+    // W3 — the real tool scanner (single-keyword reduction is exactly
+    // SQL-expressible: every candidate row is assigned, later tool wins)
+    "q15_tool_scan" -> ((s, dir) => {
+      val sess = Sessionizer.withClusters(PseudoLog.logs(s, dir), threshold = 300L)
+      val sigs = Seq(
+        graft.rules.ToolSignature("T1", "DumpTool", "d1", Seq("dump"), 3600),
+        graft.rules.ToolSignature("T2", "PhpTool", "d2", Seq("php"), 3600))
+      graft.operators.ToolScanner(sess, sigs, rowIdCol = "event_id")
+        .select(col("event_id"), col("tool"))
     })
   )
 
@@ -306,7 +360,7 @@ object SparkEntry {
         .mkString("CAST(CASE ", " ", " ELSE 0.0 END AS DOUBLE)")
       val titleCase = conds.map { case (c, _, t) => s"WHEN $c THEN '$t'" }
         .mkString("CASE ", " ", " ELSE '' END")
-      "WITH " + PseudoLog.sqlLogs + ",\n" + PseudoLog.sqlSessionized + ",\n" +
+      "WITH " + PseudoLog.sqlLogs + ",\n" + PseudoLog.sqlSessionized() + ",\n" +
         s"""featured AS (
            |  SELECT *, $uriRisk AS uri_risk, $statusRisk AS status_risk
            |  FROM counted)
@@ -324,6 +378,80 @@ object SparkEntry {
            |SELECT event_id, ip FROM logs
            |WHERE ($aton // 65536) IN (2565, 2577, 2602)
            |   OR ($aton // 256) = 680704""".stripMargin
-    }
+    },
+
+    "q12_burst" -> {
+      val hit = "c.status = 200 AND s.mt IS NOT NULL AND c.utc_timestamp >= s.mt"
+      "WITH " + PseudoLog.sqlLogs + ",\n" +
+        "logs2 AS (SELECT * REPLACE('/u' || CAST(event_id % 3 AS VARCHAR) AS request_uri) FROM logs),\n" +
+        PseudoLog.sqlSessionized(threshold = 100000000L, src = "logs2") + ",\n" +
+        s"""s500 AS (SELECT * FROM counted WHERE status = 500),
+           |lag500 AS (
+           |  SELECT *, CASE WHEN (epoch_us(utc_timestamp) - lag(epoch_us(utc_timestamp)) OVER w)
+           |                      / 1000000.0 > 300000.0 THEN 1 ELSE 0 END AS nb
+           |  FROM s500
+           |  WINDOW w AS (PARTITION BY source, ip, cluster, request_uri, method
+           |               ORDER BY utc_timestamp)),
+           |bursts AS (
+           |  SELECT *, sum(nb) OVER (PARTITION BY source, ip, cluster, request_uri, method
+           |                          ORDER BY utc_timestamp ROWS UNBOUNDED PRECEDING) AS burst_id
+           |  FROM lag500),
+           |bstats AS (
+           |  SELECT source, ip, cluster, request_uri, method, burst_id,
+           |         count(*) AS c, min(utc_timestamp) AS mt
+           |  FROM bursts GROUP BY ALL),
+           |sus AS (
+           |  SELECT source, ip, cluster, request_uri, min(mt) AS mt
+           |  FROM bstats WHERE c >= 2 GROUP BY 1, 2, 3, 4)
+           |SELECT c.event_id,
+           |  CAST(CASE WHEN $hit THEN 95.0 ELSE 0.0 END AS DOUBLE) AS risk_score,
+           |  CASE WHEN $hit THEN 'Attack Success After High-Frequency Server Failures'
+           |       ELSE '' END AS rule_applied
+           |FROM counted c LEFT JOIN sus s USING (source, ip, cluster, request_uri)""".stripMargin
+    },
+
+    "q13_tool_focus" ->
+      ("WITH " + PseudoLog.sqlLogs + ",\n" +
+        """tooled AS (
+          |  SELECT *, CASE WHEN user_id % 10 < 2
+          |                 THEN 'T' || CAST(user_id % 10 AS VARCHAR) ELSE '' END AS tool
+          |  FROM logs),
+          |ranked AS (
+          |  SELECT *,
+          |    row_number() OVER (PARTITION BY source, ip, tool
+          |                       ORDER BY utc_timestamp ASC, event_id ASC) AS rn_a,
+          |    row_number() OVER (PARTITION BY source, ip, tool
+          |                       ORDER BY utc_timestamp DESC, event_id ASC) AS rn_d
+          |  FROM tooled)
+          |SELECT event_id, tool FROM ranked
+          |WHERE tool != '' AND (rn_a = 1 OR rn_d = 1)""".stripMargin),
+
+    "q14_filters" -> {
+      val path = "(CASE WHEN position('?' IN request_uri) > 0 " +
+        "THEN substr(request_uri, 1, position('?' IN request_uri) - 1) " +
+        "ELSE request_uri END)"
+      val extCond = GraftConfig.defaultIgnoreExtensions
+        .map(e => s"ends_with(lower($path), '$e')").mkString("(", " OR ", ")")
+      "WITH " + PseudoLog.sqlLogs +
+        s"""
+           |SELECT event_id FROM logs
+           |WHERE utc_timestamp >= TIMESTAMP '2024-01-05 00:00:00'
+           |  AND utc_timestamp <= TIMESTAMP '2024-01-25 00:00:00'
+           |  AND NOT $extCond
+           |  AND resp_size >= 50
+           |  AND status NOT IN (302)
+           |  AND method NOT IN ('DELETE')
+           |  AND contains(request_uri, '/page')
+           |  AND NOT contains(user_agent, 'curl')""".stripMargin
+    },
+
+    "q15_tool_scan" ->
+      ("WITH " + PseudoLog.sqlLogs +
+        """
+          |SELECT event_id,
+          |  CASE WHEN contains(lower(request_uri), 'php') THEN 'T2'
+          |       WHEN contains(lower(request_uri), 'dump') THEN 'T1'
+          |       ELSE '' END AS tool
+          |FROM logs""".stripMargin)
   )
 }
