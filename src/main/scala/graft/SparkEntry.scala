@@ -248,8 +248,105 @@ object SparkEntry {
         graft.rules.ToolSignature("T2", "PhpTool", "d2", Seq("php"), 3600))
       graft.operators.ToolScanner(sess, sigs, rowIdCol = "event_id")
         .select(col("event_id"), col("tool"))
+    }),
+
+    // ---- beyond-reference: text analysis over documents --------------
+
+    "q20_lang_id" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        graft.textops.TextAnalysis.languageId(col("text")).as("lang_pred"))
+    }),
+
+    "q21_quality" -> ((s, dir) => {
+      import graft.textops.TextAnalysis._
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        nTokens(col("text")).as("n_tokens"),
+        round(punctRatio(col("text")), 4).as("punct_ratio"),
+        round(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        qualityScore(col("text")).as("quality"))
+    }),
+
+    "q22_tokens" -> ((s, dir) => {
+      import graft.textops.TextAnalysis._
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        nTokens(col("text")).as("ws_tokens"),
+        lexTokenCount(col("text")).as("lex_tokens"))
+    }),
+
+    "q23_fingerprint" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        graft.textops.TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // exact n-gram Jaccard pairs within (lang, source) buckets
+    "q24_ngram_jaccard" -> ((s, dir) => {
+      graft.textops.NearDup.ngramJaccardPairs(
+        table(s, dir, "documents"), "doc_id", "text",
+        bucketCols = Seq(col("lang"), col("source")),
+        shingleSize = 3, threshold = 0.05)
+    }),
+
+    // MinHash+LSH near-dup over the planted corpus (rows-only check:
+    // the LSH band hashes are engine-internal; recall is pinned in
+    // NearDupSpec against planted duplicates)
+    "q25_minhash_lsh" -> ((s, dir) => {
+      graft.textops.NearDup.minhashPairs(
+        plantedDocs(s, dir), "doc_id", "text", threshold = 0.5)
+    }),
+
+    // SimHash near-dup over the planted corpus (rows-only)
+    "q26_simhash" -> ((s, dir) => {
+      graft.textops.NearDup.simhashPairs(
+        plantedDocs(s, dir), "doc_id", "text", maxHamming = 6)
+    }),
+
+    // brute-force exact cosine top-5 for the first 20 vectors
+    "q27_embed_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.vector.Ann.cosineTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+    }),
+
+    // LSH ANN over the same queries (rows-only; recall pinned in AnnSpec)
+    "q28_ann_lsh" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.vector.Ann.lshTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nPlanes = 4)
+    }),
+
+    // multimodal binary-column stats (no decode needed)
+    "q29_multimodal_stats" -> ((s, dir) => {
+      graft.multimodal.Multimodal.stats(
+        graft.multimodal.Multimodal.fromDocuments(table(s, dir, "documents")))
+    }),
+
+    // multimodal decode plumbing (deterministic stubbed decode)
+    "q30_decode" -> ((s, dir) => {
+      graft.multimodal.Multimodal.decodeStub(
+        graft.multimodal.Multimodal.fromDocuments(table(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), col("sample_rate"))
     })
   )
+
+  /** Documents plus one near-duplicate of each (one appended token) —
+    * deterministic planted ground truth for the near-dup operators.
+    */
+  def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    docs.unionByName(docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" graftdup")).as("text"),
+      col("lang"), col("source"), col("n_chars")))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -452,6 +549,116 @@ object SparkEntry {
           |  CASE WHEN contains(lower(request_uri), 'php') THEN 'T2'
           |       WHEN contains(lower(request_uri), 'dump') THEN 'T1'
           |       ELSE '' END AS tool
-          |FROM logs""".stripMargin)
+          |FROM logs""".stripMargin),
+
+    "q20_lang_id" -> {
+      val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+      val scores = graft.textops.TextAnalysis.stopwords.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        lang -> s"len(list_filter($toks, t -> list_contains($list, t)))"
+      }
+      val maxS = scores.values.mkString("greatest(", ", ", ")")
+      val caseChain = scores.map { case (lang, sc) =>
+        s"WHEN $sc = m THEN '$lang'"
+      }.mkString(" ")
+      s"""SELECT doc_id,
+         |  CASE WHEN m <= 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id, text, $maxS AS m FROM documents)""".stripMargin
+    },
+
+    "q21_quality" -> {
+      val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+      val en = graft.textops.TextAnalysis.stopwords("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text)
+         |         END AS praw,
+         |    CASE WHEN len($toks) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter($toks, t -> list_contains($en, t))) AS DOUBLE)
+         |              / len($toks) END AS sraw
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  round(praw, 4) AS punct_ratio,
+         |  round(sraw, 4) AS stop_ratio,
+         |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + least(sraw * 5.0, 1.0) * 0.3
+         |      + (1.0 - least(praw * 10.0, 1.0)) * 0.3, 4) AS quality
+         |FROM base""".stripMargin
+    },
+
+    "q22_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS lex_tokens
+        |FROM documents""".stripMargin,
+
+    "q23_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q24_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+        |          ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |               / len(list_distinct(a.sh || b.sh)) END, 4) AS jaccard
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+        |                   AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.05""".stripMargin,
+
+    "q27_embed_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+        |  FROM embeddings),
+        |q AS (SELECT * FROM c WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(c.v, q.v) / (c.n * q.n) AS cos_raw
+        |  FROM c CROSS JOIN q WHERE c.vec_id != q.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q29_multimodal_stats" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+
+    "q30_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    octet_length(text::BLOB) AS n
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(64 + (n % 512) AS INT) AS width,
+        |  CAST(64 + ((n * 7) % 512) AS INT) AS height,
+        |  CAST(CASE WHEN kind = 'video' THEN 1 + (n % 240) ELSE 1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN kind = 'audio' THEN 16000 ELSE 0 END AS INT) AS sample_rate
+        |FROM m""".stripMargin
   )
 }

@@ -1,0 +1,151 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection family for training-data pipelines:
+  * word-shingle Jaccard, MinHash + LSH banding, SimHash, and
+  * embedding-cosine pairs. Designed for the 100 TB shape: candidate
+  * generation is always a hash-bucket equi-join (shuffle on small keys),
+  * never an O(n²) cross join; exact verification runs only inside
+  * buckets.
+  */
+object NearDup {
+
+  /** Word n-gram shingles of the lowered text. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    when(size(toks) < n, typedLit(Seq.empty[String]))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  private val P = 2147483647L // 2^31 - 1
+
+  /** MinHash signature: k permutation-minima over the shingle set.
+    * Permutation i is ((2i+1)·h + 17i + 7) mod P over a 31-bit fold of
+    * xxhash64 — coefficients fit 64-bit arithmetic.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i => {
+      val a = i * 2 + 1
+      val b = i * 17 + 7
+      array_min(transform(shingleCol,
+        s => pmod(a * pmod(xxhash64(s), lit(P)) + b, lit(P))))
+    })
+
+  /** LSH band keys: hash of each r-row slice of the signature. A pair
+    * colliding in ANY band becomes a candidate.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => hash(array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
+
+  /** Exact Jaccard over two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(array_distinct(a), array_distinct(b)))
+    val union = size(array_union(a, b))
+    when(union === 0, 0.0).otherwise(inter.cast("double") / union.cast("double"))
+  }
+
+  /** MinHash+LSH near-dup pairs: shingle -> sign -> band -> bucket join
+    * -> exact-Jaccard verify. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b, deduplicated across bands.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val exploded = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("id"), col("sh"), posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band_idx", "band_hash")))
+    val a = exploded.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = exploded.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram-Jaccard pairs within explicit buckets (for bounded
+    * bucket sizes; the honest quadratic-inside-bucket verifier).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bucketCols: Seq[Column],
+      shingleSize: Int = 3,
+      threshold: Double = 0.05): DataFrame = {
+    val base = df.select(
+      (bucketCols :+ col(idCol).as("id") :+
+        array_distinct(shingles(col(textCol), shingleSize)).as("sh")): _*)
+    val names = base.columns.dropRight(2)
+    val a = base.toDF(names.map(n => s"${n}") :+ "id_a" :+ "sh_a": _*)
+    val b = base.toDF(names.map(n => s"${n}") :+ "id_b" :+ "sh_b": _*)
+    a.join(b, names.toSeq)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup: 64-bit fingerprints; pairs whose fingerprints
+    * agree on >= 64 - maxHamming bits. Candidates via 4 16-bit chunk
+    * buckets (a pair within hamming distance 3 must agree on at least
+    * one chunk).
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      SimHash.simhash64(TextAnalysis.tokens(lower(col(textCol)))).as("sh"))
+    val chunks = array((0 to 3).map(i =>
+      shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)
+    val chunked = base.select(col("id"), col("sh"),
+      posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
+  /** Embedding-cosine near-dup pairs above `threshold` (brute within the
+    * full set at test scale; at 100 TB bucket first with
+    * [[graft.vector.Ann.hyperplaneSignature]] and verify within bucket).
+    */
+  def embeddingCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val norm = sqrt(aggregate(col(vecCol),
+      lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm.as("n"))
+    val a = base.toDF("id_a", "v_a", "n_a")
+    val b = base.toDF("id_b", "v_b", "n_b")
+    val dot = aggregate(zip_with(col("v_a"), col("v_b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(dot / (col("n_a") * col("n_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.textops
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §7.4.9 /
+  * builder brief): language-ID, quality scoring, token counting,
+  * fingerprinting. All pure Column expressions (codegen, no UDFs), each
+  * with a DuckDB SQL twin for the oracle gate.
+  */
+object TextAnalysis {
+
+  /** Small per-language stopword lists (public common words). Order is
+    * the deterministic tiebreak priority.
+    */
+  val stopwords: ListMap[String, Seq[String]] = ListMap(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "es", "y", "si", "una", "por", "como", "para"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Whitespace tokens (empty input -> empty array, not [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, typedLit(Seq.empty[String]))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** BPE-ish lexer tokens: alnum runs or single punctuation marks. */
+  val lexerPattern = "[A-Za-z0-9]+|[^\\sA-Za-z0-9]"
+  def lexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(lexerPattern), lit(0)))
+
+  /** Count of tokens present in `words` (with repeats). */
+  def stopwordCount(toks: Column, words: Seq[String]): Column = {
+    val set = typedLit(words)
+    aggregate(toks, lit(0),
+      (acc, t) => acc + when(array_contains(set, t), 1).otherwise(0))
+  }
+
+  /** Language-ID: argmax of per-language stopword hit counts over the
+    * lowered tokens; 'und' when nothing matches; ties break in
+    * [[stopwords]] order. A real deployment swaps in char-n-gram
+    * profiles — the operator shape (per-language score -> argmax) is the
+    * same.
+    */
+  def languageId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = stopwords.map { case (lang, words) =>
+      lang -> stopwordCount(toks, words)
+    }
+    val maxScore = greatest(scores.values.toSeq: _*)
+    scores.foldLeft(when(maxScore <= 0, "und")) { case (acc, (lang, s)) =>
+      acc.when(s === maxScore, lang)
+    }.otherwise("und")
+  }
+
+  /** Quality signals + composite score in [0,1] (length, punctuation
+    * density, stopword density — the classic cheap quality heuristics).
+    */
+  def nTokens(text: Column): Column = size(tokens(text))
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0))).cast("double") / length(text))
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) === 0, 0.0)
+      .otherwise(stopwordCount(toks, stopwords("en")).cast("double") / size(toks))
+  }
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(nTokens(text).cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))
+    round(lenScore * 0.4 + stopScore * 0.3 + punctScore * 0.3, 4)
+  }
+
+  /** Content-normalized fingerprint: md5 over the lowered text with
+    * everything but [a-z0-9] stripped — byte-identical in DuckDB
+    * (`md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))`).
+    */
+  def fingerprint(text: Column): Column =
+    md5(to_binary(regexp_replace(lower(text), "[^a-z0-9]", ""), lit("utf-8")))
+}

@@ -1,0 +1,68 @@
+package graft.textops
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+class NearDupSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight", "a"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals", "b"),
+    (4L, "completely different content about spark catalyst optimizer internals", "b"), // exact dup of 3
+    (5L, "unrelated short text", "c"))
+    .toDF("doc_id", "text", "source")
+
+  test("minhash LSH finds planted near-dups and exact dups") {
+    val pairs = NearDup.minhashPairs(base, "doc_id", "text",
+      shingleSize = 3, k = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    assert(pairs.contains((3L, 4L)), s"exact-dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("exact jaccard values are right (hand-computed)") {
+    // 14 tokens each -> 12 shingles; all but the last shared -> 11/13
+    val j = NearDup.ngramJaccardPairs(base, "doc_id", "text",
+      bucketCols = Seq(lit(1).as("b")), threshold = 0.0)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").head.getDouble(0)
+    assert(math.abs(j - 11.0 / 13.0) < 1e-3, s"got $j")
+  }
+
+  test("simhash: near-dups within small hamming, exact dups at 0") {
+    // simhash margins need enough tokens to be stable: use long docs
+    // differing in one token out of ~140
+    val longBase = Seq(
+      (1L, ("the quick brown fox jumps over the lazy dog near the river bank " * 10) + "today", "a"),
+      (2L, ("the quick brown fox jumps over the lazy dog near the river bank " * 10) + "tonight", "a"),
+      (3L, "completely different content about spark catalyst optimizer internals", "b"),
+      (4L, "completely different content about spark catalyst optimizer internals", "b"))
+      .toDF("doc_id", "text", "source")
+    val pairs = NearDup.simhashPairs(longBase, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((3L, 4L)).contains(0))
+    assert(pairs.contains((1L, 2L)), s"got $pairs")
+  }
+
+  test("simhash value is deterministic and order-insensitive in token multiset") {
+    val h1 = SimHash.eval(org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array("a", "b", "c").map(org.apache.spark.unsafe.types.UTF8String.fromString)))
+    val h2 = SimHash.eval(org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array("c", "a", "b").map(org.apache.spark.unsafe.types.UTF8String.fromString)))
+    assert(h1 == h2)
+  }
+
+  test("embedding cosine pairs: identical vectors at 1.0") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))).toDF("id", "vec")
+    val got = NearDup.embeddingCosinePairs(df, "id", "vec", threshold = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.textops
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+class TextAnalysisSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    Seq(text).toDF("text").select(c).head
+
+  test("language id on multilingual fixtures") {
+    val cases = Seq(
+      "the cat sat on the mat and it was happy" -> "en",
+      "der hund ist nicht mit der katze zu hause" -> "de",
+      "le chat est dans la maison et les enfants" -> "fr",
+      "el perro es una mascota y los gatos para casa" -> "es",
+      "我 的 书 是 在 桌子 上 了" -> "zh",
+      "zzz qqq xxx" -> "und",
+      "" -> "und")
+    for ((t, want) <- cases)
+      assert(one(t, TextAnalysis.languageId(col("text"))).getString(0) == want, s"for '$t'")
+  }
+
+  test("token counts: whitespace vs lexer") {
+    val r = Seq("Hello, world! x2").toDF("text").select(
+      TextAnalysis.nTokens(col("text")).as("ws"),
+      TextAnalysis.lexTokenCount(col("text")).as("lex")).head
+    assert(r.getInt(0) == 3)
+    // Hello , world ! x2 -> 5 lexer tokens
+    assert(r.getInt(1) == 5)
+  }
+
+  test("quality: clean long text beats punctuation soup") {
+    val clean = "the quick brown fox jumps over the lazy dog and runs to the hills " * 10
+    val soup = "@@!! ## $$%% ^^&&"
+    val q1 = one(clean, TextAnalysis.qualityScore(col("text"))).getDouble(0)
+    val q2 = one(soup, TextAnalysis.qualityScore(col("text"))).getDouble(0)
+    assert(q1 > 0.8 && q2 < 0.3, s"clean=$q1 soup=$q2")
+  }
+
+  test("fingerprint invariant to case/punctuation/whitespace") {
+    val df = Seq("Hello,   World!", "hello world", "HELLO-WORLD").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    assert(df.distinct().count() == 1)
+  }
+
+  test("empty text edge cases") {
+    assert(one("", TextAnalysis.nTokens(col("text"))).getInt(0) == 0)
+    assert(one("   ", TextAnalysis.nTokens(col("text"))).getInt(0) == 0)
+    assert(one("", TextAnalysis.qualityScore(col("text"))).getDouble(0) == 0.3)
+  }
+
+  test("multimodal decode stub: deterministic shapes, kind-dependent fields") {
+    val docs = Seq((0L, "abcdef", "en", "s", 6L), (1L, "xy", "en", "s", 2L),
+      (2L, "video content here", "en", "s", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = graft.multimodal.Multimodal.fromDocuments(docs)
+    val decoded = graft.multimodal.Multimodal.decodeStub(media).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(decoded(0L).kind == "image" && decoded(0L).n_frames == 1 && decoded(0L).sample_rate == 0)
+    assert(decoded(1L).kind == "audio" && decoded(1L).sample_rate == 16000)
+    assert(decoded(2L).kind == "video" && decoded(2L).n_frames == 1 + 18 % 240)
+    assert(decoded(0L).feature.length == 8)
+    // deterministic across runs
+    val again = graft.multimodal.Multimodal.decodeStub(media).collect()
+      .map(d => d.media_id -> d.feature.toSeq).toMap
+    assert(decoded.map { case (k, v) => k -> v.feature.toSeq } == again)
+  }
+}

