@@ -286,7 +286,7 @@ object SparkEntry {
     "q24_ngram_jaccard" -> ((s, dir) => {
       graft.textops.NearDup.ngramJaccardPairs(
         table(s, dir, "documents"), "doc_id", "text",
-        bucketCols = Seq(col("lang"), col("source")),
+        bucketCols = Seq(col("lang"), col("source"), expr("n_chars DIV 100")),
         shingleSize = 3, threshold = 0.05)
     }),
 
@@ -604,11 +604,11 @@ object SparkEntry {
 
     "q24_ngram_jaccard" ->
       """WITH t AS (
-        |  SELECT doc_id, lang, source,
+        |  SELECT doc_id, lang, source, n_chars // 100 AS nb,
         |         string_split_regex(trim(lower(text)), '\s+') AS toks
         |  FROM documents),
         |d AS (
-        |  SELECT doc_id, lang, source,
+        |  SELECT doc_id, lang, source, nb,
         |    list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
         |      ELSE list_transform(range(1, len(toks) - 1),
         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
@@ -619,7 +619,7 @@ object SparkEntry {
         |          ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |               / len(list_distinct(a.sh || b.sh)) END, 4) AS jaccard
         |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
-        |                   AND a.doc_id < b.doc_id)
+        |                   AND a.nb = b.nb AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.05""".stripMargin,
 
     "q27_embed_topk" ->

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the batch operators (SURVEY §7.4.8 —
+  * an extension, not reference surface; the reference is batch-only).
+  * The column-expression core (parsing, risk features, rules) is shared
+  * with the batch path — these wrappers only swap the stateful pieces:
+  *
+  *  - W1 sessionization  -> `session_window` + watermark
+  *  - A1 request counts  -> windowed agg with watermark
+  *  - W2-ish burst state -> `flatMapGroupsWithState` with event-time
+  *    timeout (bounded state: one in-flight burst per key)
+  */
+object StreamingOps {
+
+  /** Streaming W1: gap-based sessions per (source, ip). Late data beyond
+    * `watermark` is dropped; session ids are (source, ip, window start)
+    * rather than a global dense id — a global ordinal is not computable
+    * incrementally (the batch path's dense numbering needs the full key
+    * set).
+    */
+  def sessionize(
+      logs: DataFrame,
+      gapSeconds: Long = 60,
+      watermark: String = "10 minutes"): DataFrame =
+    logs
+      .withWatermark("utc_timestamp", watermark)
+      .groupBy(
+        session_window(col("utc_timestamp"), s"$gapSeconds seconds"),
+        col("source"), col("ip"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("utc_timestamp")).as("session_start"),
+        max(col("utc_timestamp")).as("session_end"))
+
+  /** Streaming A1: per-(source, ip, method, request_uri) counts in
+    * tumbling windows.
+    */
+  def requestCounts(
+      logs: DataFrame,
+      window: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    logs
+      .withWatermark("utc_timestamp", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("utc_timestamp"), window),
+        col("source"), col("ip"), col("method"), col("request_uri"))
+      .agg(count(lit(1)).as("request_count"))
+
+  final case class BurstKey(source: String, ip: String, request_uri: String)
+  final case class BurstEvent(source: String, ip: String, request_uri: String,
+      epochMicros: Long, status: Int)
+  final case class BurstState(startMicros: Long, lastMicros: Long, n: Long)
+  final case class BurstAlert(source: String, ip: String, request_uri: String,
+      startMicros: Long, endMicros: Long, n: Long)
+
+  /** Streaming W2 analogue: per (source, ip, uri), consecutive 500s with
+    * inter-arrival gap <= maxGapSeconds accumulate; once the count
+    * reaches `minRequests` the burst is emitted (once, on the row that
+    * crosses the threshold). State is O(1) per key.
+    *
+    * NoTimeout here: a stale key's state is one small struct, and a
+    * ProcessingTimeTimeout would keep scheduling timeout batches, which
+    * makes `processAllAvailable`-style draining (tests, backfills) spin
+    * forever. A long-running production deployment bounds state with
+    * `GroupStateTimeout.EventTimeTimeout` + a watermark on the source
+    * instead.
+    */
+  def burstAlerts(
+      events: Dataset[BurstEvent],
+      minRequests: Long = 100,
+      maxGapSeconds: Double = 1.0): Dataset[BurstAlert] = {
+    import events.sparkSession.implicits._
+    val gapMicros = (maxGapSeconds * 1e6).toLong
+    events
+      .filter(_.status == 500)
+      .groupByKey(e => BurstKey(e.source, e.ip, e.request_uri))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: BurstKey, it: Iterator[BurstEvent], state: GroupState[BurstState]) => {
+          val sorted = it.toSeq.sortBy(_.epochMicros)
+          var st = state.getOption.getOrElse(BurstState(-1L, -1L, 0L))
+          val alerts = Seq.newBuilder[BurstAlert]
+          for (e <- sorted) {
+            st =
+              if (st.n == 0L || e.epochMicros - st.lastMicros > gapMicros)
+                BurstState(e.epochMicros, e.epochMicros, 1L)
+              else st.copy(lastMicros = e.epochMicros, n = st.n + 1)
+            if (st.n == minRequests)
+              alerts += BurstAlert(key.source, key.ip, key.request_uri,
+                st.startMicros, st.lastMicros, st.n)
+          }
+          state.update(st)
+          alerts.result().iterator
+        })
+  }
+}

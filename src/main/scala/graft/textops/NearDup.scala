@@ -23,17 +23,14 @@ object NearDup {
 
   private val P = 2147483647L // 2^31 - 1
 
-  /** MinHash signature: k permutation-minima over the shingle set.
-    * Permutation i is ((2i+1)·h + 17i + 7) mod P over a 31-bit fold of
-    * xxhash64 — coefficients fit 64-bit arithmetic.
+  /** MinHash signature: k permutation-minima over the shingle set —
+    * permutation i is ((2i+1)·h + 17i + 7) mod P over a 31-bit hash
+    * fold. One single-pass custom expression ([[MinHashSig]]); see its
+    * scaladoc for why the nested-transform Column formulation was ~50x
+    * slower.
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i => {
-      val a = i * 2 + 1
-      val b = i * 17 + 7
-      array_min(transform(shingleCol,
-        s => pmod(a * pmod(xxhash64(s), lit(P)) + b, lit(P))))
-    })
+    MinHashSig.minhash_sig(shingleCol, k)
 
   /** LSH band keys: hash of each r-row slice of the signature. A pair
     * colliding in ANY band becomes a candidate.
@@ -60,21 +57,40 @@ object NearDup {
       shingleSize: Int = 3,
       k: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
-    val exploded = df.select(
+      threshold: Double = 0.5,
+      maxBucketSize: Long = 100): DataFrame = {
+    val base = df.select(
       col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+    // Band join carries ONLY (band, id): a pair colliding in many bands
+    // (exact dups collide in all of them) would otherwise drag its
+    // shingle arrays through the shuffle once per band. Dedupe the id
+    // pairs first, then join the arrays back exactly once per side.
+    val exploded = base
       .withColumn("sig", minhashSignature(col("sh"), k))
-      .select(col("id"), col("sh"), posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band_idx", "band_hash")))
-    val a = exploded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = exploded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+      .select(col("id"),
+        posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band_idx", "band_hash")))
+    // Giant-bucket guard: corpora with concentrated shingle minima (tiny
+    // vocabularies, boilerplate) produce band buckets holding thousands
+    // of ids, and the within-bucket pair join goes quadratic. Buckets
+    // over maxBucketSize carry almost no signal (their members collide
+    // with everything) and are dropped — the standard LSH bucket cap.
+    // Without this cap the sf0.1 bench went 24s -> 231s.
+    val capped = exploded
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("_n") <= maxBucketSize)
+      .drop("_n")
+    val candidates = capped.toDF("id_a", "band_idx", "band_hash")
+      .join(capped.toDF("id_b", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
-      .distinct()
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(base.toDF("id_a", "sh_a"), Seq("id_a"))
+      .join(base.toDF("id_b", "sh_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

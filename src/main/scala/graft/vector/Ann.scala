@@ -57,15 +57,14 @@ object Ann {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit signature of a vector against the planes. */
-  def hyperplaneSignature(v: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = typedLit(p.toSeq)
-      when(aggregate(zip_with(v, planeLit, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x) >= 0, lit(1L << i)).otherwise(0L)
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+  /** Sign-bit signature of a vector against the planes — one custom
+    * expression evaluating every plane in a tight loop
+    * ([[HyperplaneSig]]); the Column-combinator equivalent (one
+    * zip_with/aggregate fold per plane) generates planes×dim inline
+    * literals and was ~10x slower end-to-end.
+    */
+  def hyperplaneSignature(v: Column, planes: Array[Array[Double]]): Column =
+    HyperplaneSig.signature(v, planes)
 
   /** Multi-table LSH top-k (OR-amplification): `tables` independent
     * plane sets; a corpus vector is a candidate if it shares the query's

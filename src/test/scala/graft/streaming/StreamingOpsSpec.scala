@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+class StreamingOpsSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  test("streaming sessionization groups by 60s gaps (session_window)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Long)]
+    val logs = input.toDF().toDF("source", "ip", "ep")
+      .withColumn("utc_timestamp", col("ep").cast("timestamp")).drop("ep")
+
+    val q = StreamingOps.sessionize(logs, gapSeconds = 60)
+      .writeStream.outputMode("complete").format("memory").queryName("sess_out").start()
+    try {
+      input.addData(
+        ("a", "1.1.1.1", 1000L), ("a", "1.1.1.1", 1030L), // same session
+        ("a", "1.1.1.1", 2000L),                          // gap > 60 -> new session
+        ("a", "2.2.2.2", 1000L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("ip", "n_events").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(rows == Seq(("1.1.1.1", 1L), ("1.1.1.1", 2L), ("2.2.2.2", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming burst alerts fire once at the threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.BurstEvent]
+    val alerts = StreamingOps.burstAlerts(input.toDS(), minRequests = 3, maxGapSeconds = 1.0)
+    val q = alerts.writeStream.outputMode("append").format("memory")
+      .queryName("burst_out").start()
+    try {
+      def ev(us: Long, status: Int = 500) =
+        StreamingOps.BurstEvent("a", "1.1.1.1", "/u", us, status)
+      // batch 1: two fast 500s — below threshold
+      input.addData(ev(0L), ev(500000L))
+      q.processAllAvailable()
+      assert(spark.table("burst_out").count() == 0)
+      // batch 2: third fast 500 crosses threshold -> exactly one alert
+      input.addData(ev(1000000L))
+      q.processAllAvailable()
+      val a = spark.table("burst_out").as[StreamingOps.BurstAlert].collect()
+      assert(a.length == 1 && a.head.n == 3 && a.head.startMicros == 0L)
+      // batch 3: slow 500 after a big gap resets state, no new alert
+      input.addData(ev(100000000L))
+      q.processAllAvailable()
+      assert(spark.table("burst_out").count() == 1)
+    } finally q.stop()
+  }
+}
