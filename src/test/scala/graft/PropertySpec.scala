@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.UriCodec
+import graft.norm.Normalizer
+import graft.session.Sessionizer
+
+/** Property-based invariants (SURVEY §5.2). ScalaCheck generators with a
+  * fixed-seed sampling loop (scalatestplus bridge is not on the offline
+  * classpath).
+  */
+class PropertySpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  /** n deterministic samples of gen (seeds 42, 43, ...). */
+  private def forAll[A](gen: Gen[A], n: Int = 30)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  // -- unquote ---------------------------------------------------------------
+
+  private val uriGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf("/", "?", "=", "&", ".", "+", " "),
+    2 -> Gen.oneOf("%2e", "%2f", "%25", "%zz", "%", "%4"))).map(_.mkString)
+
+  test("unquote: reaches a fixpoint and never throws; '+' is preserved") {
+    forAll(uriGen, 60) { s =>
+      val (decoded, depth) = UriCodec.unquoteNested(s, 3)
+      assert(depth >= 0 && depth <= 3)
+      if (depth < 3) assert(UriCodec.unquote(decoded) == decoded)
+      assert(s.count(_ == '+') <= decoded.count(_ == '+') + 0) // '+' never consumed
+      if (!s.contains("%")) assert(decoded == s && depth == 0)
+    }
+  }
+
+  // -- sessionization --------------------------------------------------------
+
+  private val epochsGen: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(0L, 5000L)).map(_.take(60))
+
+  test("sessionization invariants: internal gaps < 60, boundary gaps >= 60") {
+    forAll(epochsGen, 10) { eps =>
+      val df = eps.distinct.map(e => ("s", "1.2.3.4", e)).toDF("source", "ip", "ep")
+        .withColumn("utc_timestamp", col("ep").cast("timestamp"))
+      val got = Sessionizer.withClusters(df)
+        .select("ep", "cluster").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      got.sliding(2).foreach {
+        case Array((e1, c1), (e2, c2)) =>
+          val sameCluster = c1 == c2
+          assert(sameCluster == (e2 - e1 < 60),
+            s"gap ${e2 - e1} but sameCluster=$sameCluster")
+        case _ =>
+      }
+      // dense ids start at 0
+      val ids = got.map(_._2).distinct.sorted
+      assert(ids.headOption.forall(_ == 0L) && ids.zipWithIndex.forall { case (c, i) => c == i })
+    }
+  }
+
+  // -- dedup -----------------------------------------------------------------
+
+  private val rowGen = for {
+    src <- Gen.oneOf("a.log", "b.log", "c.log")
+    ts <- Gen.oneOf("2025-04-21 08:00:00", "2025-04-21 08:00:01")
+    ip <- Gen.oneOf("1.1.1.1", "2.2.2.2")
+    status <- Gen.oneOf(200, 404)
+  } yield (src, ts, ip, "GET", "/x", status, 5L, "ua", "-")
+
+  test("dedup is idempotent and never drops single-source keys") {
+    forAll(Gen.nonEmptyListOf(rowGen).map(_.take(40)), 10) { rows =>
+      val df = rows.zipWithIndex.map { case (r, i) =>
+        (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, i.toLong)
+      }.toDF("source", "timestamp", "ip", "method", "request_uri", "status",
+        "resp_size", "user_agent", "referrer", "_row_id")
+      val once = Normalizer.removeDuplicates(df, col("_row_id"))
+      val twice = Normalizer.removeDuplicates(once, col("_row_id"))
+      assert(once.count() == twice.count()) // idempotent
+      // every surviving key that was single-source keeps ALL its copies
+      val srcPerKey = rows.groupBy(r => (r._2, r._3, r._6)).filter(_._2.map(_._1).distinct.size == 1)
+      val keptCount = once.count()
+      val expectedMin = srcPerKey.values.map(_.size).sum
+      assert(keptCount >= expectedMin)
+    }
+  }
+
+  // -- rule engine -----------------------------------------------------------
+
+  test("risk monotonicity: appending a matching rule never lowers any score") {
+    import graft.rules.RuleEngine
+    val base = RuleEngine.parseRules(
+      """- title: A
+        |  detection: { selection: { status: [200] } }
+        |  tags: [ { risk_score: 50.0 } ]""".stripMargin)
+    forAll(Gen.chooseNum(1.0, 100.0), 5) { score =>
+      val extra = base ++ RuleEngine.parseRules(
+        s"""- title: B
+           |  detection: { selection: { method|in: [GET, POST] } }
+           |  tags: [ { risk_score: $score } ]""".stripMargin)
+      val df = Seq(("GET", 200), ("POST", 404), ("PUT", 200)).toDF("method", "status")
+      val s1 = RuleEngine(df, base).select("risk_score").collect().map(_.getDouble(0))
+      val s2 = RuleEngine(df, extra).select("risk_score").collect().map(_.getDouble(0))
+      s1.zip(s2).foreach { case (a, b) => assert(b >= a) }
+    }
+  }
+}
