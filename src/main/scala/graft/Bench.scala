@@ -12,9 +12,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Force FULL evaluation: a bare count() lets Catalyst prune every
+    // projected column (q6_parse would "run" without parsing a line).
+    // Hashing all columns into an aggregated checksum makes each query's
+    // real work non-prunable while still collecting one row.
+    import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+    def force(df: org.apache.spark.sql.DataFrame): Unit = {
+      val h = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+      df.select(sum(h)).collect()
+      ()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

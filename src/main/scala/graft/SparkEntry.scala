@@ -250,6 +250,24 @@ object SparkEntry {
         .select(col("event_id"), col("tool"))
     }),
 
+    // D1 proper — the reference's 8-col NORMALIZED dedup key over planted
+    // cross-source duplicates (copies re-sourced with case/whitespace
+    // noise that the C9 normalization must fold away)
+    "q16_dedup_norm" -> ((s, dir) => {
+      val lg = PseudoLog.logs(s, dir)
+        .withColumn("timestamp",
+          date_format(col("utc_timestamp"), "dd/MMM/yyyy:HH:mm:ss Z"))
+        .withColumn("_row_id", col("event_id"))
+      val noisy = lg
+        .withColumn("source", lit("resrc.log"))
+        .withColumn("user_agent", concat(lit("  "), upper(col("user_agent")), lit(" ")))
+        .withColumn("method", lower(col("method")))
+        .withColumn("_row_id", col("event_id") + 10000000L)
+      val planted = lg.unionByName(noisy)
+      graft.norm.Normalizer.removeDuplicates(planted, col("_row_id"))
+        .select(col("_row_id").as("rid"))
+    }),
+
     // ---- beyond-reference: text analysis over documents --------------
 
     "q20_lang_id" -> ((s, dir) => {
@@ -550,6 +568,40 @@ object SparkEntry {
           |       WHEN contains(lower(request_uri), 'dump') THEN 'T1'
           |       ELSE '' END AS tool
           |FROM logs""".stripMargin),
+
+    "q16_dedup_norm" -> {
+      def nk(x: String) =
+        s"(CASE WHEN regexp_replace(lower(trim($x)), '^\"|\"$$', '', 'g') = 'nan' " +
+          s"THEN '' ELSE regexp_replace(lower(trim($x)), '^\"|\"$$', '', 'g') END)"
+      "WITH " + PseudoLog.sqlLogs + ",\n" +
+        s"""ts_logs AS (
+           |  SELECT *, strftime(utc_timestamp, '%d/%b/%Y:%H:%M:%S') || ' +0000' AS timestamp
+           |  FROM logs),
+           |planted AS (
+           |  SELECT event_id AS rid, source, timestamp, ip, method, request_uri,
+           |         status, resp_size, user_agent, referrer FROM ts_logs
+           |  UNION ALL
+           |  SELECT event_id + 10000000 AS rid, 'resrc.log' AS source, timestamp, ip,
+           |         lower(method) AS method, request_uri, status, resp_size,
+           |         '  ' || upper(user_agent) || ' ' AS user_agent, referrer FROM ts_logs),
+           |keyed AS (
+           |  SELECT rid, source,
+           |    ${nk("timestamp")} AS k1, ${nk("ip")} AS k2, ${nk("method")} AS k3,
+           |    ${nk("request_uri")} AS k4, CAST(status AS BIGINT) AS k5,
+           |    CAST(resp_size AS BIGINT) AS k6, ${nk("user_agent")} AS k7,
+           |    ${nk("referrer")} AS k8
+           |  FROM planted),
+           |grp AS (
+           |  SELECT k1, k2, k3, k4, k5, k6, k7, k8, count(DISTINCT source) AS nsrc
+           |  FROM keyed GROUP BY ALL),
+           |ranked AS (
+           |  SELECT keyed.*, row_number() OVER (PARTITION BY k1, k2, k3, k4, k5, k6, k7, k8
+           |                                     ORDER BY rid) AS rn
+           |  FROM keyed)
+           |SELECT r.rid FROM ranked r
+           |JOIN grp USING (k1, k2, k3, k4, k5, k6, k7, k8)
+           |WHERE r.rn = 1 OR grp.nsrc <= 1""".stripMargin
+    },
 
     "q20_lang_id" -> {
       val toks = "string_split_regex(trim(lower(text)), '\\s+')"

@@ -96,6 +96,13 @@ object NearDup {
 
   /** Exact n-gram-Jaccard pairs within explicit buckets (for bounded
     * bucket sizes; the honest quadratic-inside-bucket verifier).
+    *
+    * Shingles are folded to 64-bit hashes before the pairwise intersect:
+    * set cardinalities (and so the Jaccard value) are unchanged unless
+    * two distinct shingles collide in 64 bits (expected collisions over
+    * a corpus of 10^6 pairwise-unioned shingle sets ≈ 10^-7 — far below
+    * the 4-decimal output precision), and intersecting longs instead of
+    * ~25-byte strings roughly halves the pair-verify cost.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -106,7 +113,7 @@ object NearDup {
       threshold: Double = 0.05): DataFrame = {
     val base = df.select(
       (bucketCols :+ col(idCol).as("id") :+
-        array_distinct(shingles(col(textCol), shingleSize)).as("sh")): _*)
+        array_distinct(transform(shingles(col(textCol), shingleSize), s => xxhash64(s))).as("sh")): _*)
     val names = base.columns.dropRight(2)
     val a = base.toDF(names.map(n => s"${n}") :+ "id_a" :+ "sh_a": _*)
     val b = base.toDF(names.map(n => s"${n}") :+ "id_b" :+ "sh_b": _*)

@@ -78,8 +78,17 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nPlanes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
-    val allPlanes = (0 until tables).map(t => hyperplanes(nPlanes, dim, seed = 42L + t))
-    def sigs(v: Column): Column = array(allPlanes.map(p => hyperplaneSignature(v, p)): _*)
+    // One signature expression over ALL tables' planes; table t's bucket
+    // key is its nPlanes-bit slice. 8 separate signature expressions
+    // would each re-materialize the vector.
+    require(nPlanes * tables <= 64, "sign bits must fit a long")
+    val planes = hyperplanes(nPlanes * tables, dim)
+    val mask = (1L << nPlanes) - 1
+    def sigs(v: Column): Column = {
+      val full = hyperplaneSignature(v, planes)
+      array((0 until tables).map(t =>
+        shiftright(full, t * nPlanes).bitwiseAND(lit(mask))): _*)
+    }
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       l2norm(col(vecCol)).as("_cn"), posexplode(sigs(col(vecCol))).as(Seq("_t", "_sig")))
