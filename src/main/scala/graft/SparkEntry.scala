@@ -250,6 +250,18 @@ object SparkEntry {
         .select(col("event_id"), col("tool"))
     }),
 
+    // W1 at scale — the skew-proof two-phase sessionizer must produce
+    // byte-identical clusters through the same oracle as q4
+    "q17_sessionize_chunked" -> ((s, dir) => {
+      val logs = eventsTable(s, dir).select(
+        col("event_id"),
+        col("event_type").as("source"),
+        col("user_id").cast("string").as("ip"),
+        col("ts").as("utc_timestamp"))
+      Sessionizer.withClustersChunked(logs, threshold = 300L, chunkSeconds = 3600L)
+        .select(col("event_id"), col("cluster"))
+    }),
+
     // D1 proper — the reference's 8-col NORMALIZED dedup key over planted
     // cross-source duplicates (copies re-sourced with case/whitespace
     // noise that the C9 normalization must fold away)
@@ -366,6 +378,28 @@ object SparkEntry {
       col("lang"), col("source"), col("n_chars")))
   }
 
+  /** Shared oracle for q4/q17 — both sessionizer implementations must
+    * hash-match the same SQL. */
+  private val oracleSqlQ4: String =
+    """WITH logs AS (
+        |  SELECT event_id, event_type AS source, CAST(user_id AS VARCHAR) AS ip,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events),
+        |lagged AS (
+        |  SELECT *, CASE WHEN ep - lag(ep) OVER w >= 300 THEN 1 ELSE 0 END AS new_s
+        |  FROM logs WINDOW w AS (PARTITION BY source, ip ORDER BY ep, event_id)),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY source, ip ORDER BY ep, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS local_id
+        |  FROM lagged),
+        |keys AS (SELECT DISTINCT source, ip, local_id FROM sess),
+        |numbered AS (
+        |  SELECT source, ip, local_id,
+        |         row_number() OVER (ORDER BY source, ip, local_id) - 1 AS cluster
+        |  FROM keys)
+        |SELECT s.event_id, n.cluster
+        |FROM sess s JOIN numbered n USING (source, ip, local_id)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -391,25 +425,7 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
-    "q4_sessionize" ->
-      """WITH logs AS (
-        |  SELECT event_id, event_type AS source, CAST(user_id AS VARCHAR) AS ip,
-        |         CAST(floor(epoch(ts)) AS BIGINT) AS ep
-        |  FROM events),
-        |lagged AS (
-        |  SELECT *, CASE WHEN ep - lag(ep) OVER w >= 300 THEN 1 ELSE 0 END AS new_s
-        |  FROM logs WINDOW w AS (PARTITION BY source, ip ORDER BY ep, event_id)),
-        |sess AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY source, ip ORDER BY ep, event_id
-        |                             ROWS UNBOUNDED PRECEDING) AS local_id
-        |  FROM lagged),
-        |keys AS (SELECT DISTINCT source, ip, local_id FROM sess),
-        |numbered AS (
-        |  SELECT source, ip, local_id,
-        |         row_number() OVER (ORDER BY source, ip, local_id) - 1 AS cluster
-        |  FROM keys)
-        |SELECT s.event_id, n.cluster
-        |FROM sess s JOIN numbered n USING (source, ip, local_id)""".stripMargin,
+    "q4_sessionize" -> oracleSqlQ4,
 
     "q5_filter" ->
       """SELECT event_id, event_type, round(value, 2) AS value
@@ -568,6 +584,8 @@ object SparkEntry {
           |       WHEN contains(lower(request_uri), 'dump') THEN 'T1'
           |       ELSE '' END AS tool
           |FROM logs""".stripMargin),
+
+    "q17_sessionize_chunked" -> oracleSqlQ4,
 
     "q16_dedup_norm" -> {
       def nk(x: String) =

@@ -55,6 +55,78 @@ object Sessionizer {
       .drop("_local_id", "_epoch")
   }
 
+  /** Skew-proof two-phase variant of [[withClusters]] — identical output
+    * (SessionizerChunkedSpec proves equality), different physical shape.
+    *
+    * [[withClusters]] sorts each whole `(source, ip)` group in one task;
+    * one hot IP with billions of rows serializes there. Here the
+    * per-task unit is a `(source, ip, epoch DIV chunkSeconds)` time
+    * chunk:
+    *
+    *  1. lag/cumsum sessionize WITHIN each chunk (bounded work:
+    *     chunk duration × peak rate);
+    *  2. per-chunk summaries (first/last epoch, session count) — a tiny
+    *     frame — get a window scan per (source, ip) over CHUNKS to
+    *     decide boundary merges (gap < threshold joins the first session
+    *     of chunk k to the last of chunk k-1) and running id offsets;
+    *  3. offsets broadcast-join back; dense global numbering as in
+    *     [[withClusters]].
+    *
+    * Chunk boundaries can only ever split a session, never join two, and
+    * step 2 restores exactly the splits whose boundary gap is below the
+    * threshold, so the grouping equals the single-scan result.
+    */
+  def withClustersChunked(
+      df: DataFrame,
+      threshold: Long = DefaultThreshold,
+      chunkSeconds: Long = 3600L): DataFrame = {
+    require(chunkSeconds >= threshold,
+      "chunk must be at least the session gap or boundary merges could chain")
+    val epoch = col("utc_timestamp").cast(LongType)
+    val chunk = (epoch / chunkSeconds).cast(LongType)
+    val inChunk = Window.partitionBy(col("source"), col("ip"), col("_chunk")).orderBy(col("_epoch"))
+
+    val delta = col("_epoch") - lag(col("_epoch"), 1).over(inChunk)
+    val newSession = when(delta.isNull || delta < threshold, 0L).otherwise(1L)
+    val local = df
+      .withColumn("_epoch", epoch)
+      .withColumn("_chunk", chunk)
+      .withColumn("_cls",
+        sum(newSession).over(inChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+    // chunk summaries: tiny relative to the data
+    val summaries = local.groupBy(col("source"), col("ip"), col("_chunk"))
+      .agg(min(col("_epoch")).as("_first"), max(col("_epoch")).as("_last"),
+        (max(col("_cls")) + 1).as("_n"))
+    val overChunks = Window.partitionBy(col("source"), col("ip")).orderBy(col("_chunk"))
+    val merged = when(
+      col("_first") - lag(col("_last"), 1).over(overChunks) < threshold, 1L)
+      .otherwise(0L)
+    val offsets = summaries
+      .withColumn("_m", merged)
+      .withColumn("_offset",
+        coalesce(sum(col("_n")).over(
+          overChunks.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          - sum(col("_m")).over(
+            overChunks.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("source"), col("ip"), col("_chunk"), col("_offset"))
+
+    val withLocal = local
+      .join(offsets, Seq("source", "ip", "_chunk"))
+      .withColumn("_local_id", col("_cls") + col("_offset"))
+      .drop("_cls", "_chunk", "_offset")
+
+    val sessionKeys = withLocal
+      .groupBy(col("source"), col("ip"), col("_local_id"))
+      .agg(min(col("_epoch")).as("_session_start"))
+    val keyRows = sessionKeys.orderBy(col("source"), col("ip"), col("_local_id"))
+    val indexed = zipWithIndexDF(keyRows, "cluster")
+
+    withLocal
+      .join(indexed, Seq("source", "ip", "_local_id"))
+      .drop("_local_id", "_epoch")
+  }
+
   /** Orders rows the way the reference leaves them after clustering
     * (O2: by session start time, then event time — dataframe.py:643-646).
     */
