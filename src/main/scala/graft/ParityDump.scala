@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.rules.{GraftConfig, RuleEngine, ToolSignature}
+import graft.sources.LogSources
+
+/** Dump the engine state after the full pipeline over the parity fixture
+  * logs, in the exact row/column/format shape `tools/ref_golden.py`
+  * dumps from the patched REFERENCE implementation — byte-equality of
+  * the two CSVs is the strongest parity evidence we can produce without
+  * network access (tools/parity_check.py orchestrates).
+  */
+object ParityDump {
+  def main(args: Array[String]): Unit = {
+    val Array(logDir, outCsv) = args
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val config = GraftConfig.default.copy(
+      toolSignatures = Seq(ToolSignature(
+        "DS01", "DirSearch", "DirSearch using default dictionary (dicc.txt).",
+        Seq("/.access", ".bak_0.log", ".chef/config.rb"), 7200)))
+    val rules = RuleEngine.loadRules("/tmp/graft_parity/rules.yaml")
+    val shells = GraftConfig.loadWebshells("/tmp/graft_parity/shells.txt")
+
+    val parsed = LogSources.parseLogs(spark, Seq(logDir)).parsed
+    val normalized = Pipeline.normalize(parsed)
+    val scored = Pipeline.score(normalized, config, rules, shells)
+
+    val cols = Seq("source", "timestamp", "ip", "method", "request_uri",
+      "status", "resp_size", "user_agent", "referrer", "cluster",
+      "request_count", "uri_risk", "method_risk", "status_risk",
+      "risk_score", "rule_applied", "tool")
+    val out = scored
+      .withColumn("risk_score", format_string("%.4f", col("risk_score")))
+      .select(cols.map(c => col(c).cast("string")): _*)
+      .collect()
+      .map(r => cols.indices.map(i => if (r.isNullAt(i)) "" else r.getString(i)))
+      .map(_.mkString(","))
+      .sorted
+    Files.write(Paths.get(outCsv),
+      (cols.mkString(",") + "\n" + out.mkString("\n") + "\n").getBytes("UTF-8"))
+    println(s"[parity_dump] wrote ${out.length} rows to $outCsv")
+    spark.stop()
+  }
+}

@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Run the REFERENCE implementation (patched copy: py3.12-only f-string
+fixed, display-only deps stubbed) over fixture logs and dump the golden
+engine-state CSV for parity checking against the Spark pipeline.
+
+Usage: ref_golden.py <logdir> <out_csv>
+"""
+import importlib.util
+import os
+import shutil
+import sys
+import types
+
+REF = "/root/reference"
+
+
+def load_patched_reference(workdir):
+    os.makedirs(workdir, exist_ok=True)
+    pkg = os.path.join(workdir, "WebLogTriage")
+    if os.path.exists(pkg):
+        shutil.rmtree(pkg)
+    shutil.copytree(os.path.join(REF, "WebLogTriage"), pkg)
+    # dataframe.py:599 uses py3.12-only nested f-string quoting
+    df_path = os.path.join(pkg, "dataframe.py")
+    src = open(df_path).read()
+    src = src.replace(
+        """field = f'"{field.replace('"', '""')}"'""",
+        'field = \'"\' + field.replace(\'"\', \'""\') + \'"\'')
+    open(df_path, "w").write(src)
+
+    # display-only deps are not installed; stub them (we never render)
+    pt = types.ModuleType("prettytable")
+
+    class PrettyTable:  # noqa: N801 - mimic the import surface
+        pass
+
+    pt.PrettyTable = PrettyTable
+    sys.modules["prettytable"] = pt
+    tc = types.ModuleType("termcolor")
+    tc.colored = lambda s, *a, **k: s
+    sys.modules["termcolor"] = tc
+
+    sys.path.insert(0, workdir)
+
+    def mod(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        m = importlib.util.module_from_spec(spec)
+        sys.modules[name] = m
+        spec.loader.exec_module(m)
+        return m
+
+    parser = mod("ref_parser", os.path.join(pkg, "parser.py"))
+    dataframe = mod("ref_dataframe", df_path)
+    risk = mod("ref_risk", os.path.join(pkg, "risk.py"))
+    return parser, dataframe, risk
+
+
+def main():
+    logdir, out_csv = sys.argv[1], sys.argv[2]
+    parser_m, df_m, risk_m = load_patched_reference("/tmp/ref_harness")
+
+    os.chdir("/tmp/ref_harness")  # reference writes errors.log to cwd
+
+    entries = parser_m.AccessLogParser().load_logfile([logdir])
+    db = df_m.AccessLogDataFrame(entries)
+
+    tool_signatures = [{
+        "tool": "DS01", "name": "DirSearch",
+        "description": "DirSearch using default dictionary (dicc.txt).",
+        "keyword": ("/.access", ".bak_0.log", ".chef/config.rb"),
+        "time_window": 7200,
+    }]
+    risk = risk_m.AccessLogRisk(
+        tool_signatures=tool_signatures,
+        uri_risk_paths=["/admin", "/login", "/config", "/setup", "/upload"],
+        uri_risk_extensions=[r"\.exe", r"\.sql", r"\.cgi", r"\.pl"],
+        rules_path="/tmp/graft_parity/rules.yaml",
+        webshell_path="/tmp/graft_parity/shells.txt",
+    )
+    risk._webshell_path = "/tmp/graft_parity/shells.txt"
+
+    df = db.df
+    df = risk.balatro(df)
+    df = risk.burp_intruder(df)
+    df = risk.tool_scanner(df)
+
+    cols = ["source", "timestamp", "ip", "method", "request_uri", "status",
+            "resp_size", "user_agent", "referrer", "cluster", "request_count",
+            "uri_risk", "method_risk", "status_risk", "risk_score",
+            "rule_applied", "tool"]
+    out = df[cols].copy()
+    out["risk_score"] = out["risk_score"].map(lambda v: f"{float(v):.4f}")
+    out = out.astype(str).sort_values(cols).reset_index(drop=True)
+    out.to_csv(out_csv, index=False)
+    print(f"[ref_golden] wrote {len(out)} rows to {out_csv}")
+
+
+if __name__ == "__main__":
+    main()
