@@ -40,16 +40,38 @@ object ParityDump {
       "status", "resp_size", "user_agent", "referrer", "cluster",
       "request_count", "uri_risk", "method_risk", "status_risk",
       "risk_score", "rule_applied", "tool")
-    val out = scored
-      .withColumn("risk_score", format_string("%.4f", col("risk_score")))
-      .select(cols.map(c => col(c).cast("string")): _*)
-      .collect()
-      .map(r => cols.indices.map(i => if (r.isNullAt(i)) "" else r.getString(i)))
-      .map(_.mkString(","))
-      .sorted
-    Files.write(Paths.get(outCsv),
-      (cols.mkString(",") + "\n" + out.mkString("\n") + "\n").getBytes("UTF-8"))
-    println(s"[parity_dump] wrote ${out.length} rows to $outCsv")
+
+    def dump(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+      val out = df
+        .withColumn("risk_score", format_string("%.4f", col("risk_score")))
+        .select(cols.map(c => col(c).cast("string")): _*)
+        .collect()
+        .map(r => cols.indices.map(i => if (r.isNullAt(i)) "" else r.getString(i)))
+        .map(_.mkString(","))
+        .sorted
+      Files.write(Paths.get(path),
+        (cols.mkString(",") + "\n" + out.mkString("\n") + "\n").getBytes("UTF-8"))
+      println(s"[parity_dump] wrote ${out.length} rows to $path")
+    }
+
+    dump(scored, outCsv)
+
+    // filter-surface parity (same combo as ref_golden.py)
+    dump(graft.query.Filters(scored, graft.query.FilterOptions(
+      startTime = Some("2025-04-21 10:00:00"),
+      endTime = Some("2025-04-21 12:30:00"),
+      statusIgnore = Seq(302),
+      methodIgnore = Seq("HEAD"),
+      minSize = Some(20L),
+      extensionIgnore = GraftConfig.defaultIgnoreExtensions,
+      uaIgnore = Seq("curl")), col("_row_id")),
+      outCsv.replace(".csv", "_filtered.csv"))
+
+    // F13 tool-focus parity
+    dump(graft.query.Filters(scored,
+      graft.query.FilterOptions(toolsPresent = true), col("_row_id")),
+      outCsv.replace(".csv", "_toolfocus.csv"))
+
     spark.stop()
   }
 }

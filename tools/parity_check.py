@@ -11,23 +11,30 @@ Run from /root/repo:
 """
 import sys
 
-REF = "/tmp/graft_parity/ref.csv"
-SPARK = "/tmp/graft_parity/spark.csv"
+PAIRS = [
+    ("/tmp/graft_parity/ref.csv", "/tmp/graft_parity/spark.csv"),
+    ("/tmp/graft_parity/ref_filtered.csv", "/tmp/graft_parity/spark_filtered.csv"),
+    ("/tmp/graft_parity/ref_toolfocus.csv", "/tmp/graft_parity/spark_toolfocus.csv"),
+]
 
 
 def main():
-    ref = open(REF).read().splitlines()
-    spark = open(SPARK).read().splitlines()
-    if ref == spark:
-        print(f"[parity] OK: {len(ref) - 1} rows byte-identical")
-        return 0
-    print(f"[parity] MISMATCH: ref {len(ref)} lines vs spark {len(spark)} lines")
-    rs, ss = set(ref), set(spark)
-    for l in list(rs - ss)[:5]:
-        print("  only-ref  :", l)
-    for l in list(ss - rs)[:5]:
-        print("  only-spark:", l)
-    return 1
+    rc = 0
+    for ref_path, spark_path in PAIRS:
+        ref = open(ref_path).read().splitlines()
+        spark = open(spark_path).read().splitlines()
+        name = ref_path.rsplit("/", 1)[-1]
+        if ref == spark:
+            print(f"[parity] OK {name}: {len(ref) - 1} rows byte-identical")
+            continue
+        print(f"[parity] MISMATCH {name}: ref {len(ref)} vs spark {len(spark)} lines")
+        rs, ss = set(ref), set(spark)
+        for l in list(rs - ss)[:4]:
+            print("  only-ref  :", l)
+        for l in list(ss - rs)[:4]:
+            print("  only-spark:", l)
+        rc = 1
+    return rc
 
 
 if __name__ == "__main__":

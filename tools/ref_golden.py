@@ -88,11 +88,36 @@ def main():
             "resp_size", "user_agent", "referrer", "cluster", "request_count",
             "uri_risk", "method_risk", "status_risk", "risk_score",
             "rule_applied", "tool"]
-    out = df[cols].copy()
-    out["risk_score"] = out["risk_score"].map(lambda v: f"{float(v):.4f}")
-    out = out.astype(str).sort_values(cols).reset_index(drop=True)
-    out.to_csv(out_csv, index=False)
-    print(f"[ref_golden] wrote {len(out)} rows to {out_csv}")
+
+    def dump(frame, path):
+        out = frame[cols].copy()
+        out["risk_score"] = out["risk_score"].map(lambda v: f"{float(v):.4f}")
+        out = out.astype(str).sort_values(cols).reset_index(drop=True)
+        out.to_csv(path, index=False)
+        print(f"[ref_golden] wrote {len(out)} rows to {path}")
+
+    dump(df, out_csv)
+
+    # filter-surface parity: a broad conjunctive combo (F1/F2/F5/F6/F7/F10)
+    db.from_dataframe(df)
+    db.filter(
+        start_time="2025-04-21 10:00:00",
+        end_time="2025-04-21 12:30:00",
+        status_ignore=[302],
+        method_ignore=["HEAD"],
+        min_size=20,
+        all_extension=False,
+        extension_ignore=[".js", ".gif", ".css", ".woff", ".woff2", ".ttf",
+                          ".svg", ".ico", ".map", ".eot", ".jpg", ".jpeg",
+                          ".png", ".bmp", ".webp"],
+        ua_ignore=["curl"],
+    )
+    dump(db.f_df, out_csv.replace(".csv", "_filtered.csv"))
+
+    # F13 tool-focus parity (first/last per (source, ip, tool))
+    db.from_dataframe(df)
+    db.filter(tools_present=True)
+    dump(db.f_df, out_csv.replace(".csv", "_toolfocus.csv"))
 
 
 if __name__ == "__main__":
