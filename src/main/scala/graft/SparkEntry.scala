@@ -351,6 +351,13 @@ object SparkEntry {
         k = 5, nPlanes = 4)
     }),
 
+    // winnowing rolling-hash fingerprint overlap (rows-only; passage-
+    // copy detection guarantee pinned in WinnowingSpec)
+    "q31_winnow_pairs" -> ((s, dir) => {
+      graft.textops.NearDup.winnowPairs(
+        plantedDocs(s, dir), "doc_id", "text", minSharedRatio = 0.5)
+    }),
+
     // multimodal binary-column stats (no decode needed)
     "q29_multimodal_stats" -> ((s, dir) => {
       graft.multimodal.Multimodal.stats(

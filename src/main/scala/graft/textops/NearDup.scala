@@ -149,6 +149,47 @@ object NearDup {
       .select("id_a", "id_b", "hamming").distinct()
   }
 
+  /** Winnowing-fingerprint near-dup pairs: documents sharing at least
+    * `minShared` selected rolling-hash fingerprints (catches copied
+    * PASSAGES at any offset, which shingle-set Jaccard dilutes away on
+    * long documents). Same bucket-join + giant-bucket-cap shape as
+    * minhash.
+    */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      window: Int = 4,
+      minSharedRatio: Double = 0.5,
+      maxBucketSize: Long = 200): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(Winnowing.winnow_fingerprints(col(textCol), k, window)).as("fp"))
+      .distinct()
+    val capped = exploded
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("_n") <= maxBucketSize)
+      .drop("_n")
+    // per-doc counts AFTER the bucket cap — the denominator must measure
+    // the same universe the join can actually match in
+    val counts = capped.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+    // containment ratio (shared / smaller set) rather than an absolute
+    // count: same-domain corpora share many incidental fingerprints, but
+    // only near-dups share most of the SMALLER document's prints.
+    capped.toDF("id_a", "fp")
+      .join(capped.toDF("id_b", "fp"), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .join(broadcast(counts.toDF("id_a", "nfp_a")), Seq("id_a"))
+      .join(broadcast(counts.toDF("id_b", "nfp_b")), Seq("id_b"))
+      .withColumn("containment",
+        round(col("shared_fingerprints") / least(col("nfp_a"), col("nfp_b")), 4))
+      .filter(col("containment") >= minSharedRatio)
+      .select("id_a", "id_b", "shared_fingerprints", "containment")
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold` (brute within the
     * full set at test scale; at 100 TB bucket first with
     * [[graft.vector.Ann.hyperplaneSignature]] and verify within bucket).

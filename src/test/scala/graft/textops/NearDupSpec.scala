@@ -56,6 +56,13 @@ class NearDupSpec extends GraftSparkSpec {
     assert(h1 == h2)
   }
 
+  test("winnowing pairs: shared passages found, unrelated not") {
+    val pairs = NearDup.winnowPairs(base, "doc_id", "text", minSharedRatio = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((3L, 4L)), s"got $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("embedding cosine pairs: identical vectors at 1.0") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
