@@ -351,6 +351,16 @@ object SparkEntry {
         k = 5, nPlanes = 4)
     }),
 
+    // IVF-flat ANN: kmeans coarse quantizer + nprobe cells (rows-only;
+    // recall vs brute pinned in AnnSpec)
+    "q32_ann_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.vector.Ivf.ivfTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6)
+    }),
+
     // winnowing rolling-hash fingerprint overlap (rows-only; passage-
     // copy detection guarantee pinned in WinnowingSpec)
     "q31_winnow_pairs" -> ((s, dir) => {

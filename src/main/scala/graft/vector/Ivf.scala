@@ -1,0 +1,120 @@
+package graft.vector
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, GraftInterop}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** IVF-flat approximate nearest-neighbor search (the classic inverted-
+  * file index): a seeded k-means coarse quantizer partitions the corpus
+  * into `nlist` cells; a query probes its `nprobe` nearest centroids and
+  * ranks exactly within those cells only. Vectors are L2-normalized
+  * first so euclidean cell assignment orders like cosine.
+  *
+  * Scale shape: training samples the corpus (k-means on a bounded
+  * sample), assignment is a narrow map, and search is an equi-join on
+  * cell id — cost ~ nprobe/nlist of brute force. Centroids travel with
+  * the plan as a reference object ([[NearestCellsExpr]]).
+  */
+object Ivf {
+
+  /** `nearest_cells(vec)` -> int array of the nprobe closest centroid
+    * ids (L2), one custom expression — same pattern as HyperplaneSig.
+    */
+  case class NearestCellsExpr(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "nearest_cells"
+
+    @transient private lazy val isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      Ivf.nearestCells(input.asInstanceOf[ArrayData], centroids, nprobe, isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftCentroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.vector.Ivf.nearestCells($input, $ref, $nprobe, $isFloat);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def nearestCells(v: ArrayData, centroids: Array[Array[Double]],
+      nprobe: Int, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    val vec = new Array[Double](n)
+    var i = 0
+    var norm = 0.0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      vec(i) = x; norm += x * x; i += 1
+    }
+    val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+    i = 0
+    while (i < n) { vec(i) *= inv; i += 1 }
+    val dists = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var acc = 0.0
+      var j = 0
+      val m = math.min(n, cent.length)
+      while (j < m) { val d = vec(j) - cent(j); acc += d * d; j += 1 }
+      dists(c) = acc
+      c += 1
+    }
+    val order = dists.zipWithIndex.sortBy(_._1).take(math.min(nprobe, dists.length))
+    new GenericArrayData(order.map(_._2.asInstanceOf[Any]))
+  }
+
+  def nearest_cells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    GraftInterop.column(NearestCellsExpr(GraftInterop.expression(v), centroids, nprobe))
+
+  private def normalized(v: Column): Column = {
+    val n = Ann.l2norm(v)
+    transform(v, x => x.cast("double") / n)
+  }
+
+  /** Train the coarse quantizer (seeded, deterministic). */
+  def fitCentroids(corpus: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val feats = corpus.select(
+      array_to_vector(normalized(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(feats)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** IVF top-k: exact cosine rank within the query's nprobe cells. */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = fitCentroids(corpus, vecCol, nlist)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      Ann.l2norm(col(vecCol)).as("_cn"),
+      nearest_cells(col(vecCol), centroids, 1).getItem(0).as("_cell"))
+    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("_qv"),
+      Ann.l2norm(col(qvecCol)).as("_qn"),
+      explode(nearest_cells(col(qvecCol), centroids, nprobe)).as("_cell"))
+    val joined = c.join(broadcast(q), Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", Ann.dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+}

@@ -35,6 +35,20 @@ class AnnSpec extends GraftSparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF recall >= 0.6 vs brute force; duplicate probes never duplicate results") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Ann.cosineTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.ivfTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 6)
+    val rows = ivf.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length)
+    val recall = (brute & rows.toSet).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+  }
+
   test("hyperplane signatures are deterministic across invocations") {
     val p1 = Ann.hyperplanes(4, 8)
     val p2 = Ann.hyperplanes(4, 8)
