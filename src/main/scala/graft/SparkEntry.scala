@@ -232,6 +232,7 @@ object SparkEntry {
           statusIgnore = Seq(302),
           methodIgnore = Seq("DELETE"),
           uriInclude = Seq("/page"),
+          uriIgnore = Seq("dump"),
           extensionIgnore = GraftConfig.defaultIgnoreExtensions,
           uaIgnore = Seq("curl"),
           minSize = Some(50L)),
@@ -590,6 +591,7 @@ object SparkEntry {
            |  AND status NOT IN (302)
            |  AND method NOT IN ('DELETE')
            |  AND contains(request_uri, '/page')
+           |  AND NOT contains(request_uri, 'dump')
            |  AND NOT contains(user_agent, 'curl')""".stripMargin
     },
 

@@ -54,6 +54,7 @@ object Triage {
     case "--method" :: v :: t => parse(t, a.copy(filters = a.filters.copy(methodInclude = strs(v))))
     case "--ignore-method" :: v :: t => parse(t, a.copy(filters = a.filters.copy(methodIgnore = strs(v))))
     case "--uripath-keyword" :: v :: t => parse(t, a.copy(filters = a.filters.copy(uriInclude = strs(v))))
+    case "--ignore-uripath-keyword" :: v :: t => parse(t, a.copy(filters = a.filters.copy(uriIgnore = strs(v))))
     case "--all-extension" :: t => parse(t, a.copy(filters = a.filters.copy(allExtension = true)))
     case "--ip" :: v :: t => parse(t, a.copy(filters = a.filters.copy(ipInclude = strs(v))))
     case "--ignore-ip" :: v :: t => parse(t, a.copy(filters = a.filters.copy(ipIgnore = strs(v))))

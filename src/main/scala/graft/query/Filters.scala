@@ -25,6 +25,7 @@ final case class FilterOptions(
     methodInclude: Seq[String] = Nil,
     methodIgnore: Seq[String] = Nil,
     uriInclude: Seq[String] = Nil,
+    uriIgnore: Seq[String] = Nil,
     allExtension: Boolean = false,
     extensionIgnore: Seq[String] = Nil,
     ipInclude: Seq[String] = Nil,
@@ -83,6 +84,10 @@ object Filters {
     if (o.methodInclude.nonEmpty) conjuncts += col("method").isin(o.methodInclude: _*)
     if (o.methodIgnore.nonEmpty) conjuncts += !col("method").isin(o.methodIgnore: _*)
     if (o.uriInclude.nonEmpty) conjuncts += containsAny(col("request_uri"), o.uriInclude)
+    // F8b: --ignore-uripath-keyword exists in the reference CLI
+    // (triage.py:175-180) but is never passed to filter() — SURVEY §2.2
+    // calls it surface to implement anyway; it is the natural negation
+    if (o.uriIgnore.nonEmpty) conjuncts += !containsAny(col("request_uri"), o.uriIgnore)
     if (o.ipInclude.nonEmpty) conjuncts += Cidr.inCidrs(col("ip"), o.ipInclude)
     if (o.ipIgnore.nonEmpty) conjuncts += !Cidr.inCidrs(col("ip"), o.ipIgnore)
     if (o.uaInclude.nonEmpty) conjuncts += containsAny(col("user_agent"), o.uaInclude)
