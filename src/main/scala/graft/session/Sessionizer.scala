@@ -50,8 +50,11 @@ object Sessionizer {
     val keyRows = sessionKeys.orderBy(col("source"), col("ip"), col("_local_id"))
     val indexed = zipWithIndexDF(keyRows, "cluster")
 
+    // broadcast the (small) id map: keeps the big side's hash(source, ip)
+    // partitioning alive so the downstream request_count window and the
+    // burst/tool groupings need no further full-frame exchange
     withLocal
-      .join(indexed, Seq("source", "ip", "_local_id"))
+      .join(broadcast(indexed), Seq("source", "ip", "_local_id"))
       .drop("_local_id", "_epoch")
   }
 
@@ -123,7 +126,7 @@ object Sessionizer {
     val indexed = zipWithIndexDF(keyRows, "cluster")
 
     withLocal
-      .join(indexed, Seq("source", "ip", "_local_id"))
+      .join(broadcast(indexed), Seq("source", "ip", "_local_id"))
       .drop("_local_id", "_epoch")
   }
 
