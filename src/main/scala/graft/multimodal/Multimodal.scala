@@ -82,4 +82,39 @@ object Multimodal {
   def stats(media: DataFrame): DataFrame =
     media.select(
       col("media_id"), col("kind"), col("n_bytes"), col("content_md5"))
+
+  /** STUB resize: recompute target dimensions preserving aspect ratio;
+    * a real implementation re-encodes the payload per batch. The typed
+    * in/out shape and partition-batched iteration are the real contract.
+    */
+  def resizeStub(decoded: Dataset[DecodedMedia], maxSide: Int): Dataset[DecodedMedia] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.mapPartitions { it =>
+      it.map { d =>
+        val side = math.max(d.width, d.height)
+        if (side <= maxSide) d
+        else {
+          val scale = maxSide.toDouble / side
+          d.copy(
+            width = math.max(1, (d.width * scale).toInt),
+            height = math.max(1, (d.height * scale).toInt))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: keep every `stride`-th frame index
+    * up to `maxFrames` — emitted as (media_id, frame_idx) rows a real
+    * decoder would attach frame features to. Non-video rows pass through
+    * with a single frame 0.
+    */
+  def frameSample(decoded: Dataset[DecodedMedia], stride: Int, maxFrames: Int): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.flatMap { d =>
+      if (d.kind != "video") Seq((d.media_id, 0))
+      else (0 until d.n_frames by stride).take(maxFrames).map(f => (d.media_id, f))
+    }.toDF("media_id", "frame_idx")
+  }
 }

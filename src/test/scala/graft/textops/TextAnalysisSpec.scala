@@ -68,4 +68,20 @@ class TextAnalysisSpec extends GraftSparkSpec {
       .map(d => d.media_id -> d.feature.toSeq).toMap
     assert(decoded.map { case (k, v) => k -> v.feature.toSeq } == again)
   }
+
+  test("multimodal resize preserves aspect ratio; frame sampling strides video only") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((2L, "x" * 500, "en", "s", 500L)) // doc_id 2 -> video kind
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val decoded = Multimodal.decodeStub(Multimodal.fromDocuments(docs))
+    val d = decoded.collect().head
+    val resized = Multimodal.resizeStub(decoded, maxSide = 100).collect().head
+    assert(math.max(resized.width, resized.height) <= 100)
+    val ratio = d.width.toDouble / d.height
+    val newRatio = resized.width.toDouble / resized.height
+    assert(math.abs(ratio - newRatio) < 0.1)
+    val frames = Multimodal.frameSample(decoded, stride = 10, maxFrames = 5)
+      .collect().map(r => r.getInt(1)).toSeq
+    assert(frames == (0 until d.n_frames by 10).take(5))
+  }
 }
