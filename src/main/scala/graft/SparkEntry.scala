@@ -294,8 +294,8 @@ object SparkEntry {
       table(s, dir, "documents").select(
         col("doc_id"),
         nTokens(col("text")).as("n_tokens"),
-        round(punctRatio(col("text")), 4).as("punct_ratio"),
-        round(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        round4(punctRatio(col("text"))).as("punct_ratio"),
+        round4(stopwordRatio(col("text"))).as("stop_ratio"),
         qualityScore(col("text")).as("quality"))
     }),
 

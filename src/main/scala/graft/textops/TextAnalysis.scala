@@ -72,8 +72,15 @@ object TextAnalysis {
     val lenScore = least(nTokens(text).cast("double") / 100.0, lit(1.0))
     val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))
-    round(lenScore * 0.4 + stopScore * 0.3 + punctScore * 0.3, 4)
+    round4(lenScore * 0.4 + stopScore * 0.3 + punctScore * 0.3)
   }
+
+  /** 4-decimal rounding as floor(x*1e4 + 0.5)/1e4 — pure IEEE double
+    * arithmetic, so Spark and DuckDB agree bit-for-bit even at exact
+    * .xxxx5 boundaries (Spark's BigDecimal HALF_UP and DuckDB's round
+    * disagree there; sf0.1 doc 1828 hit quality = 0.84025 exactly).
+    */
+  def round4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
 
   /** Content-normalized fingerprint: md5 over the lowered text with
     * everything but [a-z0-9] stripped — byte-identical in DuckDB
