@@ -72,6 +72,23 @@ object ParityDump {
       graft.query.FilterOptions(toolsPresent = true), col("_row_id")),
       outCsv.replace(".csv", "_toolfocus.csv"))
 
+    // C11 time-offset parity: -3600s skew correction
+    val shifted = Pipeline.normalize(parsed,
+      Pipeline.Options(timeOffsetSeconds = -3600))
+    val offCols = Seq("source", "timestamp", "ip", "request_uri", "utc_str",
+      "cluster", "request_count")
+    val offRows = shifted
+      .withColumn("utc_str",
+        concat(date_format(col("utc_timestamp"), "yyyy-MM-dd HH:mm:ss"), lit("+00:00")))
+      .select(offCols.map(c => col(c).cast("string")): _*)
+      .collect()
+      .map(r => offCols.indices.map(i => if (r.isNullAt(i)) "" else r.getString(i)))
+      .map(_.mkString(","))
+      .sorted
+    Files.write(Paths.get(outCsv.replace(".csv", "_offset.csv")),
+      (offCols.mkString(",") + "\n" + offRows.mkString("\n") + "\n").getBytes("UTF-8"))
+    println(s"[parity_dump] wrote ${offRows.length} rows to offset dump")
+
     spark.stop()
   }
 }

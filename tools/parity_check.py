@@ -15,6 +15,7 @@ PAIRS = [
     ("/tmp/graft_parity/ref.csv", "/tmp/graft_parity/spark.csv"),
     ("/tmp/graft_parity/ref_filtered.csv", "/tmp/graft_parity/spark_filtered.csv"),
     ("/tmp/graft_parity/ref_toolfocus.csv", "/tmp/graft_parity/spark_toolfocus.csv"),
+    ("/tmp/graft_parity/ref_offset.csv", "/tmp/graft_parity/spark_offset.csv"),
 ]
 
 

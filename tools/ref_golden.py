@@ -119,6 +119,18 @@ def main():
     db.filter(tools_present=True)
     dump(db.f_df, out_csv.replace(".csv", "_toolfocus.csv"))
 
+    # C11 time-offset parity: rebuild with a -3600s skew correction and
+    # dump shifted utc timestamps + cluster ids
+    db2 = df_m.AccessLogDataFrame(entries, time_offset=-3600)
+    d2 = db2.df.copy()
+    d2["utc_str"] = d2["utc_timestamp"].map(
+        lambda t: t.strftime("%Y-%m-%d %H:%M:%S+00:00"))
+    d2 = d2[["source", "timestamp", "ip", "request_uri", "utc_str",
+             "cluster", "request_count"]].astype(str)
+    d2 = d2.sort_values(list(d2.columns)).reset_index(drop=True)
+    d2.to_csv(out_csv.replace(".csv", "_offset.csv"), index=False)
+    print(f"[ref_golden] wrote {len(d2)} rows to offset dump")
+
 
 if __name__ == "__main__":
     main()
