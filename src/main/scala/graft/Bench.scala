@@ -16,21 +16,34 @@ object Bench {
     // projected column (q6_parse would "run" without parsing a line).
     // Hashing all columns into an aggregated checksum makes each query's
     // real work non-prunable while still collecting one row.
-    import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+    // bit_xor, NOT sum: summing 64-bit hashes random-walks past Long range
+    // and ANSI mode (Spark 4 default) aborts the job with ARITHMETIC_OVERFLOW.
+    import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
     def force(df: org.apache.spark.sql.DataFrame): Unit = {
       val h = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
-      df.select(sum(h)).collect()
+      df.select(h.as("_h")).agg(expr("bit_xor(_h)")).collect()
       ()
     }
+    // A failed query records -1 (never a plausible-looking elapsed time) and
+    // lands in "failed" so benchmark regressions caused by exceptions are loud.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { force(fn(spark, sfDir)); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+      if (!ok) failed += name
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

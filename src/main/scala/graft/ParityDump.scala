@@ -41,17 +41,35 @@ object ParityDump {
       "request_count", "uri_risk", "method_risk", "status_risk",
       "risk_score", "rule_applied", "tool")
 
+    // pandas to_csv QUOTE_MINIMAL: quote when the field contains the
+    // delimiter, the quote char, or a line terminator; double inner quotes.
+    // (Renderer.escapeCsv mirrors the REFERENCE's csv escape, which skips
+    // \r — here we must match pandas byte-for-byte.)
+    def esc(field: String): String =
+      if (field.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + field.replace("\"", "\"\"") + "\""
+      else field
+
+    // ref_golden sorts by the COLUMN TUPLE (pandas sort_values), not by the
+    // serialized line — with quoting those orders can differ, so sort the
+    // field seqs and only then escape+join.
+    import scala.math.Ordering.Implicits.seqOrdering
+    def writeCsv(header: Seq[String], rows: Seq[Seq[String]], path: String): Int = {
+      val body = rows.sorted.map(_.map(esc).mkString(","))
+      Files.write(Paths.get(path),
+        (header.mkString(",") + "\n" + body.mkString("\n") + "\n").getBytes("UTF-8"))
+      body.length
+    }
+
     def dump(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
       val out = df
         .withColumn("risk_score", format_string("%.4f", col("risk_score")))
         .select(cols.map(c => col(c).cast("string")): _*)
         .collect()
-        .map(r => cols.indices.map(i => if (r.isNullAt(i)) "" else r.getString(i)))
-        .map(_.mkString(","))
-        .sorted
-      Files.write(Paths.get(path),
-        (cols.mkString(",") + "\n" + out.mkString("\n") + "\n").getBytes("UTF-8"))
-      println(s"[parity_dump] wrote ${out.length} rows to $path")
+        .map(r => cols.indices.map(i => if (r.isNullAt(i)) "" else r.getString(i)).toSeq)
+        .toSeq
+      val n = writeCsv(cols, out, path)
+      println(s"[parity_dump] wrote $n rows to $path")
     }
 
     dump(scored, outCsv)
@@ -82,12 +100,10 @@ object ParityDump {
         concat(date_format(col("utc_timestamp"), "yyyy-MM-dd HH:mm:ss"), lit("+00:00")))
       .select(offCols.map(c => col(c).cast("string")): _*)
       .collect()
-      .map(r => offCols.indices.map(i => if (r.isNullAt(i)) "" else r.getString(i)))
-      .map(_.mkString(","))
-      .sorted
-    Files.write(Paths.get(outCsv.replace(".csv", "_offset.csv")),
-      (offCols.mkString(",") + "\n" + offRows.mkString("\n") + "\n").getBytes("UTF-8"))
-    println(s"[parity_dump] wrote ${offRows.length} rows to offset dump")
+      .map(r => offCols.indices.map(i => if (r.isNullAt(i)) "" else r.getString(i)).toSeq)
+      .toSeq
+    val nOff = writeCsv(offCols, offRows, outCsv.replace(".csv", "_offset.csv"))
+    println(s"[parity_dump] wrote $nOff rows to offset dump")
 
     spark.stop()
   }

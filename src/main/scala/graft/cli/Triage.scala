@@ -111,9 +111,13 @@ object Triage {
       val parsedLogs = LogSources.parseLogs(spark, args.paths)
       val errCount = parsedLogs.errors.count()
       if (errCount > 0) {
-        System.err.println(s"[*] $errCount unparseable lines; writing to errors.log")
+        // GRAFT_OUT_DIR keeps run artifacts out of the CWD (and the repo);
+        // the reference's append-in-CWD behavior grows a committed file.
+        val outDir = sys.env.getOrElse("GRAFT_OUT_DIR", System.getProperty("java.io.tmpdir"))
+        val errPath = java.nio.file.Paths.get(outDir, "errors.log").toString
+        System.err.println(s"[*] $errCount unparseable lines; writing to $errPath")
         val errs = parsedLogs.errors.limit(10000).collect()
-        val w = new java.io.FileWriter("errors.log", true)
+        val w = new java.io.FileWriter(errPath, true)
         try errs.foreach(r => w.write(s"Failed to parse [${r.getString(0)}]: ${r.getString(1)}\n"))
         finally w.close()
       }
@@ -132,10 +136,13 @@ object Triage {
 
       args.emailTo match {
         case Some(to) =>
-          EmailSink.send(new EmailSink.FileTransport("./graft-mail"),
+          val mailDir = java.nio.file.Paths.get(
+            sys.env.getOrElse("GRAFT_OUT_DIR", System.getProperty("java.io.tmpdir")),
+            "graft-mail").toString
+          EmailSink.send(new EmailSink.FileTransport(mailDir),
             config.emailSmtpServer, config.emailSmtpPort, config.emailSender,
             to, "WebLogHunter results", config.emailBody, Renderer.renderCsv(rows))
-          println(s"[*] Wrote email message for $to to ./graft-mail/")
+          println(s"[*] Wrote email message for $to to $mailDir/")
         case None => println(text)
       }
     } finally spark.stop()

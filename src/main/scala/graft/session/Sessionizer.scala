@@ -50,11 +50,14 @@ object Sessionizer {
     val keyRows = sessionKeys.orderBy(col("source"), col("ip"), col("_local_id"))
     val indexed = zipWithIndexDF(keyRows, "cluster")
 
-    // broadcast the (small) id map: keeps the big side's hash(source, ip)
-    // partitioning alive so the downstream request_count window and the
-    // burst/tool groupings need no further full-frame exchange
+    // No broadcast hint on the id map: session count is usually orders of
+    // magnitude below row count, but for sparse traffic (many IPs with few
+    // requests, or tiny thresholds) it approaches row count, and a forced
+    // broadcast would be unbounded at the 100 TB design point. AQE converts
+    // the join to broadcast at runtime when the map measures small, and
+    // degrades to a shuffled join (never a driver OOM) when it doesn't.
     withLocal
-      .join(broadcast(indexed), Seq("source", "ip", "_local_id"))
+      .join(indexed, Seq("source", "ip", "_local_id"))
       .drop("_local_id", "_epoch")
   }
 
@@ -125,8 +128,9 @@ object Sessionizer {
     val keyRows = sessionKeys.orderBy(col("source"), col("ip"), col("_local_id"))
     val indexed = zipWithIndexDF(keyRows, "cluster")
 
+    // Same AQE-decides rationale as in withClusters: no forced broadcast.
     withLocal
-      .join(broadcast(indexed), Seq("source", "ip", "_local_id"))
+      .join(indexed, Seq("source", "ip", "_local_id"))
       .drop("_local_id", "_epoch")
   }
 

@@ -125,19 +125,32 @@ object NearDup {
   }
 
   /** SimHash near-dup: 64-bit fingerprints; pairs whose fingerprints
-    * agree on >= 64 - maxHamming bits. Candidates via 4 16-bit chunk
-    * buckets (a pair within hamming distance 3 must agree on at least
-    * one chunk).
+    * agree on >= 64 - maxHamming bits. Candidates via chunk buckets:
+    * the 64 bits are split into maxHamming+1 chunks, so by pigeonhole a
+    * pair within the hamming bound must agree exactly on at least one
+    * chunk — recall is guaranteed for ANY maxHamming, not just <= 3.
+    * More chunks means narrower chunks (larger buckets, more candidate
+    * pairs), so maxHamming is capped where chunks would drop below 4
+    * bits and bucketing stops pruning anything.
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (got $maxHamming): 64/(maxHamming+1)-bit " +
+        "chunks below 4 bits make candidate buckets near-useless")
     val base = df.select(col(idCol).as("id"),
       SimHash.simhash64(TextAnalysis.tokens(lower(col(textCol)))).as("sh"))
-    val chunks = array((0 to 3).map(i =>
-      shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)
+    val numChunks = maxHamming + 1
+    // Distribute 64 bits as evenly as possible: the first (64 % n) chunks
+    // get an extra bit. Offsets are cumulative widths.
+    val widths = Array.tabulate(numChunks)(i => 64 / numChunks + (if (i < 64 % numChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunks = array((0 until numChunks).map(i =>
+      shiftright(col("sh"), offsets(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1L))): _*)
     val chunked = base.select(col("id"), col("sh"),
       posexplode(chunks).as(Seq("chunk_idx", "chunk")))
     val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
@@ -182,8 +195,10 @@ object NearDup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fingerprints"))
-      .join(broadcast(counts.toDF("id_a", "nfp_a")), Seq("id_a"))
-      .join(broadcast(counts.toDF("id_b", "nfp_b")), Seq("id_b"))
+      // no broadcast hint: counts is one row per document — unbounded at
+      // the 100 TB design point. AQE broadcasts at runtime when small.
+      .join(counts.toDF("id_a", "nfp_a"), Seq("id_a"))
+      .join(counts.toDF("id_b", "nfp_b"), Seq("id_b"))
       .withColumn("containment",
         round(col("shared_fingerprints") / least(col("nfp_a"), col("nfp_b")), 4))
       .filter(col("containment") >= minSharedRatio)
