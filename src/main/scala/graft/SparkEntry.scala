@@ -369,6 +369,14 @@ object SparkEntry {
         plantedDocs(s, dir), "doc_id", "text", minSharedRatio = 0.5)
     }),
 
+    // embedding-cosine near-dup pairs over planted perturbed copies
+    // (exact, fully oracle-checkable: brute pairwise with the tight-loop
+    // dot product)
+    "q33_embed_pairs" -> ((s, dir) => {
+      graft.textops.NearDup.embeddingCosinePairs(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", threshold = 0.99)
+    }),
+
     // multimodal binary-column stats (no decode needed)
     "q29_multimodal_stats" -> ((s, dir) => {
       graft.multimodal.Multimodal.stats(
@@ -384,6 +392,18 @@ object SparkEntry {
           col("n_frames"), col("sample_rate"))
     })
   )
+
+  /** Embeddings plus one near-duplicate of each (every element +0.01,
+    * double arithmetic — expressible identically in DuckDB's
+    * `list_transform`, so the cosine values oracle-match exactly).
+    */
+  def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(emb.select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double") + 0.01).as("embedding")))
+  }
 
   /** Documents plus one near-duplicate of each (one appended token) —
     * deterministic planted ground truth for the near-dup operators.
@@ -710,6 +730,20 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
         |                   AND a.nb = b.nb AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.05""".stripMargin,
+
+    "q33_embed_pairs" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x + 0.01) AS v
+        |  FROM base),
+        |c AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM planted),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) AS cosine
+        |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99""".stripMargin,
 
     "q27_embed_topk" ->
       """WITH c AS (

@@ -235,13 +235,11 @@ object NearDup {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    val norm = sqrt(aggregate(col(vecCol),
-      lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val norm = graft.vector.Ann.l2norm(col(vecCol))
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm.as("n"))
     val a = base.toDF("id_a", "v_a", "n_a")
     val b = base.toDF("id_b", "v_b", "n_b")
-    val dot = aggregate(zip_with(col("v_a"), col("v_b"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val dot = graft.vector.Ann.dot(col("v_a"), col("v_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", round(dot / (col("n_a") * col("n_b")), 4))

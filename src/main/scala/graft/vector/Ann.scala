@@ -23,9 +23,13 @@ object Ann {
   def l2norm(v: Column): Column =
     sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
+  /** Index-order double accumulation in one tight loop
+    * ([[DotProductExpr]]); bit-identical to the
+    * `aggregate(zip_with(...))` combinator formulation it replaced, at
+    * a fraction of the per-pair cost (no zipped intermediate array).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    DotProductExpr.dot_product(a, b)
 
   /** Exact cosine top-k. Returns (query_id, neighbor_id, cosine, rank),
     * self-matches excluded, rank ties broken by neighbor id.
