@@ -163,7 +163,7 @@ object NearDup {
       s"maxHamming must be in [0, 15] (got $maxHamming): 64/(maxHamming+1)-bit " +
         "chunks below 4 bits make candidate buckets near-useless")
     val base = df.select(col(idCol).as("id"),
-      SimHash.simhash64(TextAnalysis.tokens(lower(col(textCol)))).as("sh"))
+      SimHash.simhash64_text(lower(col(textCol))).as("sh"))
     val numChunks = maxHamming + 1
     // Distribute 64 bits as evenly as possible: the first (64 % n) chunks
     // get an extra bit. Offsets are cumulative widths.

@@ -71,6 +71,68 @@ object SimHash {
     out
   }
 
+  /** SimHash of a (pre-lowered) TEXT in one scan — tokenizes on the
+    * same whitespace class as `split(text, "\\s+")` byte-wise and feeds
+    * each token's FNV hash straight into the 64-lane accumulator, with
+    * no intermediate token array. Identical to
+    * `eval(split-tokens)` for any text without leading non-space
+    * whitespace (see [[TokenShingles]] on the `trim` artifact).
+    */
+  def evalText(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val acc = new Array[Int](64)
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        var h = 0xcbf29ce484222325L
+        while (i < len && !isWs(bytes(i))) {
+          h ^= (bytes(i) & 0xffL)
+          h *= 0x100000001b3L
+          i += 1
+        }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
   def simhash64(tokens: Column): Column =
     GraftInterop.column(SimHash64(GraftInterop.expression(tokens)))
+
+  def simhash64_text(loweredText: Column): Column =
+    GraftInterop.column(SimHash64Text(GraftInterop.expression(loweredText)))
+}
+
+/** [[SimHash.evalText]] as an expression — the no-token-array twin of
+  * [[SimHash64]].
+  */
+case class SimHash64Text(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash64_text"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash.evalText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.textops.SimHash.evalText($input);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

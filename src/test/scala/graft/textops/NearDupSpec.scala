@@ -56,6 +56,32 @@ class NearDupSpec extends GraftSparkSpec {
     assert(h1 == h2)
   }
 
+  test("simhash single-pass text variant equals the token-array variant") {
+    for (t <- Seq("a b c", "  leading and   multiple  spaces ", "one",
+        "the quick brown fox jumps over the lazy dog", "")) {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      val viaTokens = SimHash.eval(org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)))
+      val viaText = SimHash.evalText(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      assert(viaTokens == viaText, s"mismatch for '$t'")
+    }
+  }
+
+  test("hashed shingles equal string-shingle semantics (count + set behavior)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // 5 tokens, n=3 -> 3 shingles, one repeated pair of tokens doesn't dedupe
+    val sh = graft.textops.TokenShingles.hashedShingles(
+      UTF8String.fromString("a b a b a"), 3)
+    // shingles: "a b a", "b a b", "a b a" -> distinct = 2
+    assert(sh.numElements() == 2)
+    // below n tokens -> empty
+    assert(graft.textops.TokenShingles.hashedShingles(
+      UTF8String.fromString("a b"), 3).numElements() == 0)
+    // sorted ascending
+    val vals = (0 until sh.numElements()).map(sh.getLong)
+    assert(vals == vals.sorted)
+  }
+
   test("winnowing pairs: shared passages found, unrelated not") {
     val pairs = NearDup.winnowPairs(base, "doc_id", "text", minSharedRatio = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
