@@ -197,29 +197,31 @@ object NearDup {
       window: Int = 4,
       minSharedRatio: Double = 0.5,
       maxBucketSize: Long = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val exploded = df.select(col(idCol).as("id"),
       explode(Winnowing.winnow_fingerprints(col(textCol), k, window)).as("fp"))
       .distinct()
+    // Bucket cap (window over fp), then per-doc fingerprint count AFTER
+    // the cap (window over id) — the denominator must measure the same
+    // universe the join can actually match in. Carrying nfp on every row
+    // instead of a separate groupBy-counts frame removes two joins and
+    // two full recomputes of this subtree (the explain audit showed the
+    // counts formulation at 11 exchanges; this shape plans 3 shuffles +
+    // the self-join, and the join's two sides are identical subplans
+    // that AQE reuses as one exchange).
     val capped = exploded
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("_n") <= maxBucketSize)
-      .drop("_n")
-    // per-doc counts AFTER the bucket cap — the denominator must measure
-    // the same universe the join can actually match in
-    val counts = capped.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+      .withColumn("nfp", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .select(col("id"), col("fp"), col("nfp"))
     // containment ratio (shared / smaller set) rather than an absolute
     // count: same-domain corpora share many incidental fingerprints, but
     // only near-dups share most of the SMALLER document's prints.
-    capped.toDF("id_a", "fp")
-      .join(capped.toDF("id_b", "fp"), Seq("fp"))
+    capped.toDF("id_a", "fp", "nfp_a")
+      .join(capped.toDF("id_b", "fp", "nfp_b"), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("nfp_a"), col("id_b"), col("nfp_b"))
       .agg(count(lit(1)).as("shared_fingerprints"))
-      // no broadcast hint: counts is one row per document — unbounded at
-      // the 100 TB design point. AQE broadcasts at runtime when small.
-      .join(counts.toDF("id_a", "nfp_a"), Seq("id_a"))
-      .join(counts.toDF("id_b", "nfp_b"), Seq("id_b"))
       .withColumn("containment",
         round(col("shared_fingerprints") / least(col("nfp_a"), col("nfp_b")), 4))
       .filter(col("containment") >= minSharedRatio)
