@@ -362,6 +362,17 @@ object SparkEntry {
         k = 5, nlist = 16, nprobe = 6)
     }),
 
+    // IVF-PQ ANN: coarse cells + product-quantized codes + ADC
+    // shortlist + exact re-rank (rows-only; recall + exact-re-rank
+    // equality pinned in AnnSpec)
+    "q34_ann_pq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.vector.Pq.ivfPqTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6, m = 8, ks = 64, refine = 8)
+    }),
+
     // winnowing rolling-hash fingerprint overlap (rows-only; passage-
     // copy detection guarantee pinned in WinnowingSpec)
     "q31_winnow_pairs" -> ((s, dir) => {

@@ -99,6 +99,17 @@ object Ivf {
   def fitCentroids(
       corpus: DataFrame, vecCol: String, nlist: Int,
       seed: Long = 42L, sampleCap: Int = 65536, iters: Int = 10): Array[Array[Double]] = {
+    val sample = sampleNormalized(corpus, vecCol, seed, sampleCap)
+    kmeans(sample, math.min(nlist, sample.length), seed, iters)
+  }
+
+  /** Bounded deterministic training sample of L2-normalized vectors,
+    * collected to the driver (hash-gated, so reproducible across runs
+    * and partitionings). Shared by the IVF and PQ quantizers.
+    */
+  def sampleNormalized(
+      corpus: DataFrame, vecCol: String,
+      seed: Long = 42L, sampleCap: Int = 65536): Array[Array[Double]] = {
     val total = corpus.count()
     val gated =
       if (total <= sampleCap) corpus.select(normalized(col(vecCol)).as("_v"))
@@ -112,8 +123,8 @@ object Ivf {
       }
     val sample: Array[Array[Double]] = gated.collect()
       .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "fitCentroids: empty corpus")
-    kmeans(sample, math.min(nlist, sample.length), seed, iters)
+    require(sample.nonEmpty, "sampleNormalized: empty corpus")
+    sample
   }
 
   /** Plain seeded k-means++ / Lloyd's. Deterministic for a fixed input

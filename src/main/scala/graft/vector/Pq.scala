@@ -1,0 +1,216 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, GraftInterop}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** IVF-PQ approximate nearest-neighbor search: IVF coarse cells
+  * ([[Ivf]]) + product-quantized codes + asymmetric-distance (ADC)
+  * shortlisting + exact re-rank.
+  *
+  * The 100 TB rationale: a 64-dim float vector is 256 bytes; its PQ code
+  * is `m` bytes (8 here) — the searchable index shrinks ~32x, so the
+  * candidate scan touches codes only and the full vectors are fetched
+  * (joined) for just the top `refine·k` shortlist per query. Training is
+  * driver-side on the same bounded sample as the IVF quantizer.
+  *
+  * Scoring uses the classic per-query lookup table: for each query, the
+  * inner product against sub-centroid `c` of subspace `s` is
+  * precomputed once (`m · ks` entries), and a candidate's approximate
+  * score is `m` table lookups — O(m) per pair instead of O(dim).
+  * Queries are a bounded set by contract (they're broadcast), so the
+  * LUTs travel as one plan-reference object.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: `m` arrays of `ks` sub-centroids, trained
+    * with the shared seeded k-means on a driver-side sample of
+    * L2-NORMALIZED vectors (normalize first so inner product ranks like
+    * cosine).
+    */
+  def fitCodebooks(
+      sample: Array[Array[Double]], m: Int, ks: Int, seed: Long): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "fitCodebooks: empty sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      Ivf.kmeans(pts, math.min(ks, pts.length), seed + s, iters = 10)
+    }
+  }
+
+  /** Nearest sub-centroid per subspace (L2) of the normalized vector. */
+  def encode(v: ArrayData, codebooks: Array[Array[Array[Double]]], isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    val vec = new Array[Double](n)
+    var norm = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      vec(i) = x; norm += x * x; i += 1
+    }
+    val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+    i = 0
+    while (i < n) { vec(i) *= inv; i += 1 }
+    val m = codebooks.length
+    val sub = n / m
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val diff = vec(s * sub + j) - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC: approximate inner product = sum over subspaces of
+    * `lut(query)(s)(code)`.
+    */
+  def adcScore(qid: Long, codes: ArrayData, luts: java.util.HashMap[Long, Array[Array[Double]]]): Double = {
+    val lut = luts.get(qid)
+    if (lut == null) return Double.NegativeInfinity
+    var acc = 0.0
+    var s = 0
+    val m = codes.numElements()
+    while (s < m) {
+      acc += lut(s)(codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
+  case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "pq_encode"
+    @transient private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(input: Any): Any =
+      encode(input.asInstanceOf[ArrayData], codebooks, isFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftPqCodebooks", codebooks, "double[][][]")
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.vector.Pq.encode($input, $ref, $isFloat);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class PqAdcExpr(
+      left: Expression, right: Expression,
+      luts: java.util.HashMap[Long, Array[Array[Double]]]) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def prettyName: String = "pq_adc_score"
+    override def nullSafeEval(qid: Any, codes: Any): Any =
+      adcScore(qid.asInstanceOf[Long], codes.asInstanceOf[ArrayData], luts)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftPqLuts", luts, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, (q, c) =>
+        s"${ev.value} = graft.vector.Pq.adcScore($q, $c, $ref);")
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def pq_encode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftInterop.column(PqEncodeExpr(GraftInterop.expression(v), codebooks))
+
+  def pq_adc_score(qid: Column, codes: Column,
+      luts: java.util.HashMap[Long, Array[Array[Double]]]): Column =
+    GraftInterop.column(PqAdcExpr(
+      GraftInterop.expression(qid), GraftInterop.expression(codes), luts))
+
+  /** IVF-PQ top-k: probe `nprobe` coarse cells, ADC-shortlist
+    * `refine·k` candidates per query from codes alone, exact-cosine
+    * re-rank of the shortlist. Output schema matches
+    * [[Ann.cosineTopK]]: (query_id, neighbor_id, cosine, rank).
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ks: Int = 64, refine: Int = 4, seed: Long = 42L): DataFrame = {
+    val centroids = Ivf.fitCentroids(corpus, vecCol, nlist, seed)
+    val sample = Ivf.sampleNormalized(corpus, vecCol, seed)
+    val codebooks = fitCodebooks(sample, m, ks, seed)
+
+    // Per-query LUTs from the (bounded, broadcast-by-contract) query set
+    val qRows = queries.select(
+      col(qidCol).cast("long").as("query_id"),
+      transform(col(qvecCol), x => x.cast("double")).as("_qv")).collect()
+    val luts = new java.util.HashMap[Long, Array[Array[Double]]]()
+    qRows.foreach { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      val norm = math.sqrt(qv.map(x => x * x).sum)
+      val qn = if (norm > 0) qv.map(_ / norm) else qv
+      val sub = qn.length / m
+      luts.put(qid, Array.tabulate(m) { s =>
+        codebooks(s).map { cent =>
+          var acc = 0.0
+          var j = 0
+          while (j < sub) { acc += qn(s * sub + j) * cent(j); j += 1 }
+          acc
+        }
+      })
+    }
+
+    // Corpus index: cell id + m-byte code per vector (codes-only scan)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      Ivf.nearest_cells(col(vecCol), centroids, 1).getItem(0).as("_cell"),
+      pq_encode(col(vecCol), codebooks).as("_code"))
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      explode(Ivf.nearest_cells(col(qvecCol), centroids, nprobe)).as("_cell"))
+
+    val shortlistW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").desc, col("neighbor_id").asc)
+    val shortlist = c.join(broadcast(q), Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_adc", pq_adc_score(col("query_id"), col("_code"), luts))
+      .withColumn("_r", row_number().over(shortlistW))
+      .filter(col("_r") <= k * refine)
+      .select("query_id", "neighbor_id")
+
+    // Exact re-rank: fetch full vectors for the shortlist only
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      Ann.l2norm(col(vecCol)).as("_cn"))
+    val qv = queries.select(col(qidCol).cast("long").as("query_id"),
+      col(qvecCol).as("_qv"), Ann.l2norm(col(qvecCol)).as("_qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    shortlist
+      .join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", Ann.dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+}

@@ -49,6 +49,45 @@ class AnnSpec extends GraftSparkSpec {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("IVF-PQ recall >= 0.6 vs brute force; rank/cosine come from the exact re-rank") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Ann.cosineTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.ivfPqTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 6, m = 8, ks = 64, refine = 8)
+    val rows = pq.select("query_id", "neighbor_id", "cosine", "rank").collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length)
+    // per query at most k results, ranks 1..n contiguous
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getInt(3)).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"ranks not contiguous: $ranks")
+    }
+    val recall = (brute & pairs.toSet).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF-PQ recall too low: $recall")
+    // exact re-rank: returned cosines must equal the brute cosines for
+    // the overlapping pairs
+    val bruteCos = Ann.cosineTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteCos.get(key).foreach(c => assert(c == r.getDouble(2), s"cosine mismatch at $key"))
+    }
+  }
+
+  test("PQ encode: codes index the nearest sub-centroid") {
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)), // subspace 0
+      Array(Array(0.7, 0.7), Array(-0.7, 0.7))) // subspace 1
+    val v = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(0.9, 0.1, -0.5, 0.5))
+    val codes = Pq.encode(v, cb, isFloat = false)
+    assert(codes.getInt(0) == 0) // (0.9,0.1) nearer (1,0)
+    assert(codes.getInt(1) == 1) // (-0.5,0.5) nearer (-0.7,0.7)
+  }
+
   test("hyperplane signatures are deterministic across invocations") {
     val p1 = Ann.hyperplanes(4, 8)
     val p2 = Ann.hyperplanes(4, 8)
