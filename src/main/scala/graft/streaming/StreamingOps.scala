@@ -50,6 +50,26 @@ object StreamingOps {
         col("source"), col("ip"), col("method"), col("request_uri"))
       .agg(count(lit(1)).as("request_count"))
 
+  /** Streaming D1 analogue: exact-key dedup with state bounded by the
+    * watermark horizon (`dropDuplicatesWithinWatermark`). Semantics
+    * diverge from batch D1 deliberately: the batch rule keeps
+    * non-first occurrences whose key stays within ONE source, but
+    * cross-source membership is not incrementally computable without
+    * unbounded per-key state, so the streaming variant drops every
+    * duplicate key inside the horizon (the conservative superset — the
+    * standard streaming-dedup contract). Keys seen again after the
+    * watermark expires are emitted again; size the watermark to the
+    * replay window of the upstream transport.
+    */
+  def dedupExact(
+      logs: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "utc_timestamp",
+      watermark: String = "10 minutes"): DataFrame =
+    logs
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class BurstKey(source: String, ip: String, request_uri: String)
   final case class BurstEvent(source: String, ip: String, request_uri: String,
       epochMicros: Long, status: Int)

@@ -29,6 +29,28 @@ class StreamingOpsSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Long)]
+    val logs = input.toDF().toDF("ip", "request_uri", "ep")
+      .withColumn("utc_timestamp", col("ep").cast("timestamp")).drop("ep")
+
+    val q = StreamingOps.dedupExact(logs, Seq("ip", "request_uri"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(
+        ("1.1.1.1", "/a", 1000L), ("1.1.1.1", "/a", 1001L), // dup key, second dropped
+        ("1.1.1.1", "/b", 1000L), ("2.2.2.2", "/a", 1000L))
+      q.processAllAvailable()
+      // same batch: duplicate key emitted once
+      assert(spark.table("dedup_out").count() == 3)
+      // later batch, same key, still inside the watermark: dropped
+      input.addData(("1.1.1.1", "/a", 1100L))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 3)
+    } finally q.stop()
+  }
+
   test("streaming burst alerts fire once at the threshold") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.BurstEvent]
