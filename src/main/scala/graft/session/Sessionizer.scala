@@ -1,9 +1,9 @@
 package graft.session
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.LongType
 
 /** W1 — time-gap sessionization + A1 request_count (SURVEY §2.6, §2.4).
   *
@@ -17,11 +17,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * Scale design: the per-group lag/cumsum is one hash-shuffle on
   * `(source, ip)`. The global dense id is NOT computed with a
-  * single-partition window (`dense_rank` over an unpartitioned window
-  * would serialize all rows through one task); instead the distinct
-  * session keys — orders of magnitude fewer than rows — are sorted and
-  * `zipWithIndex`ed, then joined back on the session key. AQE handles
-  * skewed hot IPs.
+  * single-partition window over the rows (that would serialize the
+  * whole frame through one task); see [[withGlobalIds]] for the
+  * base-offset scheme that gets it from a one-row-per-(source, ip)
+  * running total instead. AQE handles skewed hot IPs.
   */
 object Sessionizer {
 
@@ -31,7 +30,6 @@ object Sessionizer {
     * `source`, `ip`, `utc_timestamp`.
     */
   def withClusters(df: DataFrame, threshold: Long = DefaultThreshold): DataFrame = {
-    val spark = df.sparkSession
     val epoch = col("utc_timestamp").cast(LongType)
     val grp = Window.partitionBy(col("source"), col("ip")).orderBy(epoch)
 
@@ -41,24 +39,53 @@ object Sessionizer {
       .withColumn("_local_id",
         sum(newSession).over(grp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
-    // Dense global ids in (source, ip, localId) order via zipWithIndex on
-    // the (small) distinct session-key set — no single-partition window.
-    val sessionKeys = withLocal
-      .groupBy(col("source"), col("ip"), col("_local_id"))
-      .agg(min(col("_epoch")).as("_session_start"))
-    // Global (source, ip, localId) order for factorize-compatible numbering:
-    val keyRows = sessionKeys.orderBy(col("source"), col("ip"), col("_local_id"))
-    val indexed = zipWithIndexDF(keyRows, "cluster")
+    withGlobalIds(withLocal).drop("_local_id", "_epoch")
+  }
 
-    // No broadcast hint on the id map: session count is usually orders of
-    // magnitude below row count, but for sparse traffic (many IPs with few
-    // requests, or tiny thresholds) it approaches row count, and a forced
-    // broadcast would be unbounded at the 100 TB design point. AQE converts
-    // the join to broadcast at runtime when the map measures small, and
-    // degrades to a shuffled join (never a driver OOM) when it doesn't.
+  /** Global dense cluster ids in (source, ip, localId) lexicographic
+    * order (= the reference's factorize numbering after its sort).
+    *
+    * `_local_id` is ALREADY dense 0..n-1 within each (source, ip)
+    * group (it's a cumulative sum of new-session flags starting at 0),
+    * so `cluster = base(source, ip) + _local_id`, where base is the
+    * running total of session counts over groups in (source, ip)
+    * order. That replaces the earlier zipWithIndex-over-distinct-keys
+    * formulation with plan-only operators:
+    *
+    *  - no RDD barrier (stays whole-stage-codegen'd, resumable by AQE),
+    *  - no eager driver job at plan-construction time,
+    *  - the groups aggregate reuses the window's (source, ip) hash
+    *    partitioning (no new exchange), and the join back is on the
+    *    same key — ONE full-frame shuffle for the whole sessionize
+    *    chain, with the big-side subtree shared via exchange reuse
+    *    instead of recomputed per branch (the RDD version computed the
+    *    lag/cumsum window 2-3x across jobs).
+    *
+    * The running-total window is unpartitioned, but it runs over ONE
+    * ROW PER (source, ip) GROUP — orders of magnitude below both row
+    * and session count. If even the group frame outgrows a task at some
+    * design point, the same base-offset scheme nests (offset the
+    * per-source bases by a per-source running total).
+    */
+  private def withGlobalIds(withLocal: DataFrame): DataFrame = {
+    val groups = withLocal
+      .groupBy(col("source"), col("ip"))
+      .agg((max(col("_local_id")) + 1).as("_n_sessions"))
+    val base = coalesce(
+      sum(col("_n_sessions")).over(
+        Window.orderBy(col("source"), col("ip"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val offsets = groups.withColumn("_base", base).drop("_n_sessions")
+
+    // No broadcast hint: distinct (source, ip) count is usually tiny but
+    // unbounded at the 100 TB design point — AQE broadcasts when the
+    // measured size allows, else degrades to a shuffled join (never a
+    // driver OOM).
     withLocal
-      .join(indexed, Seq("source", "ip", "_local_id"))
-      .drop("_local_id", "_epoch")
+      .join(offsets, Seq("source", "ip"))
+      .withColumn("cluster", col("_base") + col("_local_id"))
+      .drop("_base")
   }
 
   /** Skew-proof two-phase variant of [[withClusters]] — identical output
@@ -122,16 +149,7 @@ object Sessionizer {
       .withColumn("_local_id", col("_cls") + col("_offset"))
       .drop("_cls", "_chunk", "_offset")
 
-    val sessionKeys = withLocal
-      .groupBy(col("source"), col("ip"), col("_local_id"))
-      .agg(min(col("_epoch")).as("_session_start"))
-    val keyRows = sessionKeys.orderBy(col("source"), col("ip"), col("_local_id"))
-    val indexed = zipWithIndexDF(keyRows, "cluster")
-
-    // Same AQE-decides rationale as in withClusters: no forced broadcast.
-    withLocal
-      .join(indexed, Seq("source", "ip", "_local_id"))
-      .drop("_local_id", "_epoch")
+    withGlobalIds(withLocal).drop("_local_id", "_epoch")
   }
 
   /** Orders rows the way the reference leaves them after clustering
@@ -155,17 +173,4 @@ object Sessionizer {
     df.withColumn("request_count", count(lit(1)).over(w))
   }
 
-  /** Deterministic dense 0-based index in the row order of `df`
-    * (which must already be globally ordered). Distributed equivalent of
-    * pandas `factorize` numbering.
-    */
-  private def zipWithIndexDF(df: DataFrame, idName: String): DataFrame = {
-    val spark = df.sparkSession
-    val indexed = df.rdd.zipWithIndex.map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ idx)
-    }
-    val schema = StructType(df.schema.fields :+ StructField(idName, LongType, nullable = false))
-    spark.createDataFrame(indexed, schema)
-      .select(col("source"), col("ip"), col("_local_id"), col(idName))
-  }
 }
