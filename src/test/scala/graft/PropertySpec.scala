@@ -108,4 +108,69 @@ class PropertySpec extends GraftSparkSpec {
       s1.zip(s2).foreach { case (a, b) => assert(b >= a) }
     }
   }
+
+  // -- perf-rewrite equivalences (round 2) -----------------------------------
+  // The tight-loop expressions must stay semantically identical to the
+  // combinator formulations they replaced.
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar.map(_.toString),
+    3 -> Gen.const(" "),
+    1 -> Gen.oneOf(".", ",", "!", "-"))).map(_.mkString)
+
+  test("hashedShingles: count/distinctness match string shingling; merge intersect = set intersect") {
+    import org.apache.spark.unsafe.types.UTF8String
+    forAll(Gen.zip(textGen, textGen), 40) { case (t1, t2) =>
+      def stringShingles(t: String, n: Int): Seq[Seq[String]] = {
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.length < n) Seq.empty else toks.sliding(n).toSeq
+      }
+      def hashed(t: String): Seq[Long] = {
+        val arr = graft.textops.TokenShingles.hashedShingles(
+          UTF8String.fromString(t.toLowerCase), 3)
+        (0 until arr.numElements()).map(arr.getLong)
+      }
+      val (h1, h2) = (hashed(t1), hashed(t2))
+      val (s1, s2) = (stringShingles(t1.toLowerCase, 3).distinct,
+        stringShingles(t2.toLowerCase, 3).distinct)
+      // distinct-set cardinality preserved (64-bit collisions on random
+      // short texts are effectively impossible)
+      assert(h1.length == s1.length, s"t1='$t1'")
+      assert(h2.length == s2.length, s"t2='$t2'")
+      assert(h1 == h1.sorted && h1.distinct == h1)
+      // merge-scan intersect == true set-intersect cardinality
+      val inter = graft.textops.TokenShingles.sortedIntersectSize(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(h1.toArray),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(h2.toArray))
+      assert(inter == (s1.toSet & s2.toSet).size, s"t1='$t1' t2='$t2'")
+    }
+  }
+
+  test("DotProductExpr equals the aggregate(zip_with(...)) combinator bit-for-bit") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1000, 1000).map(_ / 97.0f))
+    forAll(Gen.zip(vecGen, vecGen), 30) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val combinator = aggregate(
+        zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      val r = df.select(
+        graft.vector.Ann.dot(col("a"), col("b")).as("fast"),
+        combinator.as("ref")).head
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("simhash text variant equals token-array variant on random text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    forAll(textGen, 40) { t =>
+      val lower = t.toLowerCase
+      val toks = lower.trim.split("\\s+").filter(_.nonEmpty)
+      val viaTokens = graft.textops.SimHash.eval(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          toks.map(UTF8String.fromString)))
+      val viaText = graft.textops.SimHash.evalText(UTF8String.fromString(lower))
+      assert(viaTokens == viaText, s"t='$t'")
+    }
+  }
 }
