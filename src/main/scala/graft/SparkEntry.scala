@@ -289,6 +289,14 @@ object SparkEntry {
         graft.textops.TextAnalysis.languageId(col("text")).as("lang_pred"))
     }),
 
+    // char-trigram-profile language ID (the n-gram heuristic variant;
+    // q20 is the stopword-count variant) — fully oracle-checked
+    "q35_lang_ngram" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        graft.textops.LangNgram.languageIdNgram(col("text")).as("lang_ngram"))
+    }),
+
     "q21_quality" -> ((s, dir) => {
       import graft.textops.TextAnalysis._
       table(s, dir, "documents").select(
@@ -685,6 +693,10 @@ object SparkEntry {
          |  CASE WHEN m <= 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred
          |FROM (SELECT doc_id, text, $maxS AS m FROM documents)""".stripMargin
     },
+
+    "q35_lang_ngram" ->
+      s"""SELECT doc_id, ${graft.textops.LangNgram.oracleSql} AS lang_ngram
+         |FROM documents""".stripMargin,
 
     "q21_quality" -> {
       val toks = "string_split_regex(trim(lower(text)), '\\s+')"

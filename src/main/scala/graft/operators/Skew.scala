@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hot-key mitigation utilities (SURVEY §7.4.7).
+  *
+  * Most skew is already handled without help: hash aggregation does
+  * map-side partial aggregation (a hot key reduces to one row per
+  * input partition before the shuffle), and AQE splits oversized
+  * shuffle partitions for sort-merge joins at runtime. The case that
+  * remains is a hot-key equi-join the planner executes as a broadcast
+  * or whose single key exceeds what AQE's split granularity can
+  * balance: [[saltedJoin]] shards each big-side row into one of
+  * `salts` sub-keys and replicates the matching small-side rows across
+  * all shards, so one pathological key (the one scanner IP with a
+  * billion rows) spreads over `salts` tasks.
+  *
+  * The result is row-for-row equal to the plain inner join
+  * (SkewSpec pins this): each big row joins the small rows carrying
+  * its own salt replica, exactly once.
+  */
+object Skew {
+
+  /** Inner equi-join of `big` (skewed) with `small` on `keys`,
+    * sharded `salts` ways. The big side's salt is a deterministic hash
+    * of the whole row; the small side is exploded `salts`-fold
+    * (multiplying the SMALL side only — keep it the dimension side).
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame,
+      keys: Seq[String], salts: Int = 16): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val bigSalted = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salts.toLong)))
+    val smallSalted = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    bigSalted
+      .join(smallSalted, keys :+ "_salt")
+      .drop("_salt")
+  }
+}

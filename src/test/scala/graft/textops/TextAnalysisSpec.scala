@@ -23,6 +23,23 @@ class TextAnalysisSpec extends GraftSparkSpec {
       assert(one(t, TextAnalysis.languageId(col("text"))).getString(0) == want, s"for '$t'")
   }
 
+  test("n-gram language id classifies the same multilingual fixtures") {
+    val cases = Seq(
+      "the cat sat on the mat and it was happy" -> "en",
+      "der hund ist nicht mit der katze zu hause" -> "de",
+      "le chat est dans la maison et les enfants" -> "fr",
+      "el perro es una mascota y los gatos para casa" -> "es",
+      "zzz qqq xxx" -> "und",
+      "" -> "und")
+    for ((t, want) <- cases)
+      assert(one(t, LangNgram.languageIdNgram(col("text"))).getString(0) == want, s"for '$t'")
+    // profile trigrams include word-boundary pads, so substrings inside
+    // other words don't falsely trigger: "theory" contains "the" but not
+    // " the "
+    assert(LangNgram.score(" theory theory theory ", LangNgram.profiles.head._2) <
+      LangNgram.score(" the the the ", LangNgram.profiles.head._2))
+  }
+
   test("token counts: whitespace vs lexer") {
     val r = Seq("Hello, world! x2").toDF("text").select(
       TextAnalysis.nTokens(col("text")).as("ws"),
