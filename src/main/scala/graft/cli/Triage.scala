@@ -79,6 +79,7 @@ object Triage {
     require(args.paths.nonEmpty, "--path is required")
 
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-triage")
       .config("spark.sql.shuffle.partitions",
