@@ -44,10 +44,13 @@ object Bench {
     // A failed query records -1 (never a plausible-looking elapsed time) and
     // lands in "failed" so benchmark regressions caused by exceptions are loud.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    var results: Map[String, Double] = Map.empty
+    var results: Seq[(String, Double)] = Seq.empty
     for (_ <- 1 to repeat) {
       failed.clear()
-      results = SparkEntry.queries.map { case (name, fn) =>
+      // sorted execution order: Map hash order would shuffle which
+      // queries absorb residual JIT warmup between rounds, making
+      // per-query timings incomparable across BENCH_r{N}.json files
+      results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { force(fn(spark, sfDir)); true }
@@ -63,7 +66,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
