@@ -70,6 +70,68 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  final case class ToolEvent(source: String, ip: String, uri: String,
+      epochMicros: Long, rowId: Long)
+  final case class ToolProgress(startMicros: Long, found: Set[String], collected: Seq[Long])
+  final case class ToolScanState(perTool: Map[String, ToolProgress])
+  final case class ToolAssignment(source: String, ip: String, rowId: Long, tool: String)
+
+  /** Streaming W3 analogue: per (source, ip), track each tool
+    * signature's keyword progress; when ALL keywords have been seen
+    * within `timeWindowSeconds` of the window's first hit, every
+    * collected row is emitted with the tool id, and that tool's window
+    * resets. A hit arriving after the window expires restarts the
+    * window at that hit.
+    *
+    * Deliberate divergences from the batch scanner (its semantics need
+    * the COMPLETE group): single forward pass (no rescan from every
+    * unconsumed candidate), assignments emit once on completion
+    * (append-mode stream, no last-wins overwrite), and grouping is
+    * (source, ip) with the time window standing in for the session
+    * boundary. State per key is bounded by window-duration × hit rate
+    * per tool.
+    */
+  def toolScan(
+      events: Dataset[ToolEvent],
+      signatures: Seq[graft.rules.ToolSignature]): Dataset[ToolAssignment] = {
+    import events.sparkSession.implicits._
+    val sigs = signatures
+      .map(s => (s.tool, s.keywords.map(_.toLowerCase.trim).filter(_.nonEmpty).toSet,
+        s.timeWindowSeconds * 1000000L))
+      .filter(_._2.nonEmpty)
+    events
+      .groupByKey(e => (e.source, e.ip))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (String, String), it: Iterator[ToolEvent], state: GroupState[ToolScanState]) => {
+          val sorted = it.toSeq.sortBy(e => (e.epochMicros, e.rowId))
+          var perTool = state.getOption.map(_.perTool).getOrElse(Map.empty)
+          val out = Seq.newBuilder[ToolAssignment]
+          for (e <- sorted) {
+            val uri = e.uri.toLowerCase
+            for ((tool, req, windowMicros) <- sigs) {
+              val hits = req.filter(uri.contains)
+              if (hits.nonEmpty) {
+                val prev = perTool.get(tool) match {
+                  case Some(p) if windowMicros == 0 || e.epochMicros - p.startMicros <= windowMicros => p
+                  case _ => ToolProgress(e.epochMicros, Set.empty, Seq.empty)
+                }
+                val next = ToolProgress(prev.startMicros,
+                  prev.found ++ hits, prev.collected :+ e.rowId)
+                if (req.subsetOf(next.found)) {
+                  next.collected.foreach(id =>
+                    out += ToolAssignment(key._1, key._2, id, tool))
+                  perTool = perTool - tool
+                } else {
+                  perTool = perTool.updated(tool, next)
+                }
+              }
+            }
+          }
+          state.update(ToolScanState(perTool))
+          out.result().iterator
+        })
+  }
+
   final case class BurstKey(source: String, ip: String, request_uri: String)
   final case class BurstEvent(source: String, ip: String, request_uri: String,
       epochMicros: Long, status: Int)

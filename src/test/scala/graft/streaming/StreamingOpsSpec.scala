@@ -51,6 +51,33 @@ class StreamingOpsSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tool scan emits collected rows when all keywords arrive in-window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.ToolEvent]
+    val sig = graft.rules.ToolSignature("DS01", "DirSearch", "d",
+      Seq("/.access", ".bak_0.log", ".chef"), timeWindowSeconds = 100)
+    val q = StreamingOps.toolScan(input.toDS(), Seq(sig))
+      .writeStream.outputMode("append").format("memory").queryName("tool_out").start()
+    try {
+      def ev(uri: String, sec: Long, id: Long) =
+        StreamingOps.ToolEvent("a", "1.1.1.1", uri, sec * 1000000L, id)
+      // two of three keywords + one noise row: nothing emitted
+      input.addData(ev("/.access", 0, 1), ev("/x.bak_0.log", 10, 2), ev("/index.html", 11, 3))
+      q.processAllAvailable()
+      assert(spark.table("tool_out").count() == 0)
+      // third keyword inside the window (cross-batch state): emit all collected
+      input.addData(ev("/.chef/config.rb", 20, 4))
+      q.processAllAvailable()
+      val got = spark.table("tool_out").as[StreamingOps.ToolAssignment].collect()
+        .map(a => (a.rowId, a.tool)).toSet
+      assert(got == Set((1L, "DS01"), (2L, "DS01"), (4L, "DS01")), s"got $got")
+      // expired window: a fresh hit restarts instead of completing
+      input.addData(ev("/.access", 500, 5))
+      q.processAllAvailable()
+      assert(spark.table("tool_out").count() == 3)
+    } finally q.stop()
+  }
+
   test("streaming burst alerts fire once at the threshold") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.BurstEvent]
