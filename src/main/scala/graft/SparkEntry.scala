@@ -694,9 +694,7 @@ object SparkEntry {
          |FROM (SELECT doc_id, text, $maxS AS m FROM documents)""".stripMargin
     },
 
-    "q35_lang_ngram" ->
-      s"""SELECT doc_id, ${graft.textops.LangNgram.oracleSql} AS lang_ngram
-         |FROM documents""".stripMargin,
+    "q35_lang_ngram" -> graft.textops.LangNgram.oracleSql,
 
     "q21_quality" -> {
       val toks = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -734,10 +732,14 @@ object SparkEntry {
         |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
         |FROM documents""".stripMargin,
 
+    // tokens filter empties rather than trim-then-split: the Spark side's
+    // byte scanner (TokenShingles) never yields an empty token for text
+    // with leading non-space whitespace, where trim(' only') + split
+    // would artifact one — keep the oracle on the scanner's semantics
     "q24_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source, n_chars // 100 AS nb,
-        |         string_split_regex(trim(lower(text)), '\s+') AS toks
+        |         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS toks
         |  FROM documents),
         |d AS (
         |  SELECT doc_id, lang, source, nb,

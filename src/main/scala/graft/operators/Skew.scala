@@ -23,20 +23,31 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner equi-join of `big` (skewed) with `small` on `keys`,
-    * sharded `salts` ways. The big side's salt is a deterministic hash
-    * of the whole row; the small side is exploded `salts`-fold
+    * sharded `salts` ways; the small side is exploded `salts`-fold
     * (multiplying the SMALL side only — keep it the dimension side).
+    *
+    * The big side's salt is row-position-based
+    * (`monotonically_increasing_id`), NOT a hash of the row values: the
+    * motivating workload — one hot key repeating near-identical log
+    * lines — would hash every copy to the SAME salt and not spread at
+    * all. Join correctness doesn't depend on which salt a row gets
+    * (each row matches exactly its own salt's replica of the small
+    * side), so a position-based salt is safe; it just isn't stable
+    * across retries, which only affects which task a row lands in.
     */
   def saltedJoin(
       big: DataFrame, small: DataFrame,
       keys: Seq[String], salts: Int = 16): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
-    val bigSalted = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salts.toLong)))
-    val smallSalted = small.withColumn("_salt",
+    val saltCol = "__graft_salt"
+    require(!big.columns.contains(saltCol) && !small.columns.contains(saltCol),
+      s"inputs must not already have a $saltCol column")
+    val bigSalted = big.withColumn(saltCol,
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val smallSalted = small.withColumn(saltCol,
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     bigSalted
-      .join(smallSalted, keys :+ "_salt")
-      .drop("_salt")
+      .join(smallSalted, keys :+ saltCol)
+      .drop(saltCol)
   }
 }

@@ -64,34 +64,46 @@ object NanoTsPushdown extends Rule[LogicalPlan] {
     }
   }
 
+  /** m·1000 as nanos, None on overflow. */
   private def nanos(m: Long): Option[Long] =
     if (m <= Long.MaxValue / 1000 && m >= Long.MinValue / 1000) Some(m * 1000L) else None
+
+  /** m·1000 + 999 (the last nano that truncates to m), None on
+    * overflow — the upper-bound forms need the extra headroom: for
+    * m = Long.MaxValue/1000 (the max-nanos sentinel timestamp
+    * 2262-04-11T23:47:16.854775Z) m·1000 fits but m·1000+999 wraps,
+    * which would silently flip the predicate.
+    */
+  private def nanosUp(m: Long): Option[Long] =
+    if (m <= (Long.MaxValue - 999L) / 1000 && m >= Long.MinValue / 1000)
+      Some(m * 1000L + 999L)
+    else None
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     // literal on the right
     case GreaterThanOrEqual(NanosConv(a), TsLit(m)) if m >= 1 && nanos(m).isDefined =>
       GreaterThanOrEqual(a, Literal(nanos(m).get, LongType))
-    case GreaterThan(NanosConv(a), TsLit(m)) if m >= 0 && nanos(m).isDefined =>
-      GreaterThan(a, Literal(nanos(m).get + 999L, LongType))
-    case LessThanOrEqual(NanosConv(a), TsLit(m)) if m >= 0 && nanos(m).isDefined =>
-      LessThanOrEqual(a, Literal(nanos(m).get + 999L, LongType))
+    case GreaterThan(NanosConv(a), TsLit(m)) if m >= 0 && nanosUp(m).isDefined =>
+      GreaterThan(a, Literal(nanosUp(m).get, LongType))
+    case LessThanOrEqual(NanosConv(a), TsLit(m)) if m >= 0 && nanosUp(m).isDefined =>
+      LessThanOrEqual(a, Literal(nanosUp(m).get, LongType))
     case LessThan(NanosConv(a), TsLit(m)) if m >= 1 && nanos(m).isDefined =>
       LessThan(a, Literal(nanos(m).get, LongType))
-    case EqualTo(NanosConv(a), TsLit(m)) if m >= 1 && nanos(m).isDefined =>
+    case EqualTo(NanosConv(a), TsLit(m)) if m >= 1 && nanosUp(m).isDefined =>
       And(GreaterThanOrEqual(a, Literal(nanos(m).get, LongType)),
-        LessThanOrEqual(a, Literal(nanos(m).get + 999L, LongType)))
+        LessThanOrEqual(a, Literal(nanosUp(m).get, LongType)))
     // literal on the left (mirrored operators)
-    case GreaterThanOrEqual(TsLit(m), NanosConv(a)) if m >= 0 && nanos(m).isDefined =>
-      GreaterThanOrEqual(Literal(nanos(m).get + 999L, LongType), a)
+    case GreaterThanOrEqual(TsLit(m), NanosConv(a)) if m >= 0 && nanosUp(m).isDefined =>
+      GreaterThanOrEqual(Literal(nanosUp(m).get, LongType), a)
     case GreaterThan(TsLit(m), NanosConv(a)) if m >= 1 && nanos(m).isDefined =>
       GreaterThan(Literal(nanos(m).get, LongType), a)
     case LessThanOrEqual(TsLit(m), NanosConv(a)) if m >= 1 && nanos(m).isDefined =>
       LessThanOrEqual(Literal(nanos(m).get, LongType), a)
-    case LessThan(TsLit(m), NanosConv(a)) if m >= 0 && nanos(m).isDefined =>
-      LessThan(Literal(nanos(m).get + 999L, LongType), a)
-    case EqualTo(TsLit(m), NanosConv(a)) if m >= 1 && nanos(m).isDefined =>
+    case LessThan(TsLit(m), NanosConv(a)) if m >= 0 && nanosUp(m).isDefined =>
+      LessThan(Literal(nanosUp(m).get, LongType), a)
+    case EqualTo(TsLit(m), NanosConv(a)) if m >= 1 && nanosUp(m).isDefined =>
       And(GreaterThanOrEqual(a, Literal(nanos(m).get, LongType)),
-        LessThanOrEqual(a, Literal(nanos(m).get + 999L, LongType)))
+        LessThanOrEqual(a, Literal(nanosUp(m).get, LongType)))
   }
 }
 

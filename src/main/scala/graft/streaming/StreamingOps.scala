@@ -89,12 +89,18 @@ object StreamingOps {
     * (append-mode stream, no last-wins overwrite), and grouping is
     * (source, ip) with the time window standing in for the session
     * boundary. State per key is bounded by window-duration × hit rate
-    * per tool.
+    * per tool — which is why the batch scanner's `time_window == 0`
+    * (unlimited) contract is REJECTED here: an unlimited window over an
+    * unbounded stream would grow `collected` forever (checkpoint bloat,
+    * executor OOM); pick an explicit horizon instead.
     */
   def toolScan(
       events: Dataset[ToolEvent],
       signatures: Seq[graft.rules.ToolSignature]): Dataset[ToolAssignment] = {
     import events.sparkSession.implicits._
+    require(signatures.forall(_.timeWindowSeconds > 0),
+      "streaming toolScan needs a finite time window per signature " +
+        "(time_window=0 means unlimited in batch; unbounded state on a stream)")
     val sigs = signatures
       .map(s => (s.tool, s.keywords.map(_.toLowerCase.trim).filter(_.nonEmpty).toSet,
         s.timeWindowSeconds * 1000000L))
@@ -112,7 +118,7 @@ object StreamingOps {
               val hits = req.filter(uri.contains)
               if (hits.nonEmpty) {
                 val prev = perTool.get(tool) match {
-                  case Some(p) if windowMicros == 0 || e.epochMicros - p.startMicros <= windowMicros => p
+                  case Some(p) if e.epochMicros - p.startMicros <= windowMicros => p
                   case _ => ToolProgress(e.epochMicros, Set.empty, Seq.empty)
                 }
                 val next = ToolProgress(prev.startMicros,
@@ -127,7 +133,10 @@ object StreamingOps {
               }
             }
           }
-          state.update(ToolScanState(perTool))
+          // no live windows -> drop the state entry entirely (NoTimeout
+          // would otherwise keep one per (source, ip) ever seen)
+          if (perTool.isEmpty) state.remove()
+          else state.update(ToolScanState(perTool))
           out.result().iterator
         })
   }

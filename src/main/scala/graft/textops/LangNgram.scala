@@ -85,26 +85,34 @@ object LangNgram {
     GraftInterop.column(LangIdNgramExpr(GraftInterop.expression(
       org.apache.spark.sql.functions.lower(text))))
 
-  /** DuckDB twin of [[classify]] over a column named `text` — kept in
-    * lockstep with [[profiles]] (the SQL literals are generated from the
-    * same data).
+  /** DuckDB twin of [[classify]] as a COMPLETE query over `documents` —
+    * kept in lockstep with [[profiles]] (the SQL literals are generated
+    * from the same data). Scores are computed ONCE each in a subquery
+    * and the argmax CASE runs over the named columns; inlining the
+    * heavy list pipeline into every pairwise CASE condition would
+    * evaluate it O(languages²) times per row (DuckDB does not CSE
+    * across CASE branches).
     */
   def oracleSql: String = {
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
-    val scores = profiles.map { case (lang, prof) =>
+    val scoreExprs = profiles.zipWithIndex.map { case ((lang, prof), i) =>
       val plist = prof.toSeq.sorted.map(lit).mkString("[", ", ", "]")
-      lang -> (s"len(list_distinct(list_filter(" +
-        s"list_transform(range(1, length(lower(text)) - 1), i -> substr(lower(text), CAST(i AS INT), 3)), " +
-        s"t -> list_contains($plist, t))))")
+      (lang, s"s_$i",
+        s"len(list_distinct(list_filter(" +
+          s"list_transform(range(1, length(lower(text)) - 1), i -> substr(lower(text), CAST(i AS INT), 3)), " +
+          s"t -> list_contains($plist, t))))")
     }
     // strict argmax with first-wins tie-break: lang_i wins iff its score
     // beats every earlier language's and is >= every later one's, score > 0
-    val cases = scores.zipWithIndex.map { case ((lang, s), i) =>
-      val beatsEarlier = scores.take(i).map(p => s"$s > ${p._2}")
-      val geLater = scores.drop(i + 1).map(p => s"$s >= ${p._2}")
-      val conds = (Seq(s"$s > 0") ++ beatsEarlier ++ geLater).mkString(" AND ")
+    val cases = scoreExprs.zipWithIndex.map { case ((lang, sc, _), i) =>
+      val beatsEarlier = scoreExprs.take(i).map(p => s"$sc > ${p._2}")
+      val geLater = scoreExprs.drop(i + 1).map(p => s"$sc >= ${p._2}")
+      val conds = (Seq(s"$sc > 0") ++ beatsEarlier ++ geLater).mkString(" AND ")
       s"WHEN $conds THEN '$lang'"
     }
-    s"CASE ${cases.mkString(" ")} ELSE 'und' END"
+    val inner = scoreExprs.map { case (_, name, e) => s"$e AS $name" }
+      .mkString(", ")
+    s"""SELECT doc_id, CASE ${cases.mkString(" ")} ELSE 'und' END AS lang_ngram
+       |FROM (SELECT doc_id, $inner FROM documents)""".stripMargin
   }
 }

@@ -79,6 +79,7 @@ object SimHash {
     * whitespace (see [[TokenShingles]] on the `trim` artifact).
     */
   def evalText(text: UTF8String): Long = {
+    import TokenShingles.isWs // one shared whitespace class for both scanners
     val bytes = text.getBytes
     val acc = new Array[Int](64)
     var i = 0
@@ -108,8 +109,6 @@ object SimHash {
     out
   }
 
-  @inline private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
   def simhash64(tokens: Column): Column =
     GraftInterop.column(SimHash64(GraftInterop.expression(tokens)))

@@ -42,8 +42,11 @@ object TokenShingles {
     * (space, \t, \n, \x0B, \f, \r — all single-byte in UTF-8, so a
     * byte-level scan tokenizes identically to `split(text, "\\s+")`
     * for any UTF-8 input: multi-byte sequences never contain these.)
+    * Shared with [[SimHash.evalText]] — the two scanners' tokenization
+    * must stay byte-for-byte in lockstep (PropertySpec pins both
+    * against the split() reference).
     */
-  @inline private def isWs(b: Byte): Boolean =
+  @inline private[textops] def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
   /** Sorted distinct n-gram shingle hashes of a (pre-lowered) text.

@@ -114,12 +114,18 @@ object Ivf {
     val gated =
       if (total <= sampleCap) corpus.select(normalized(col(vecCol)).as("_v"))
       else {
-        // keep ~sampleCap rows: hash-gate with a margin, cap exactly
+        // keep ~sampleCap rows: hash-gate with a margin, then take the
+        // sampleCap SMALLEST hashes — a bare limit() would drop the
+        // ~5% excess in partition order, making the sample (and so the
+        // centroids and recall numbers) vary with partition count
         val keepPerM = ((sampleCap.toDouble * 1.05 / total) * 1000000L).toLong.max(1L)
+        val h = pmod(xxhash64(col(vecCol)), lit(1000000L))
         corpus
-          .filter(pmod(xxhash64(col(vecCol)), lit(1000000L)) < keepPerM)
-          .select(normalized(col(vecCol)).as("_v"))
+          .filter(h < keepPerM)
+          .select(normalized(col(vecCol)).as("_v"), xxhash64(col(vecCol)).as("_h"))
+          .orderBy(col("_h"))
           .limit(sampleCap)
+          .select(col("_v"))
       }
     val sample: Array[Array[Double]] = gated.collect()
       .map(_.getSeq[Double](0).toArray)

@@ -39,12 +39,17 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
       leftFloat, rightFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh local name: two dot_products in one codegen scope would
+      // otherwise redeclare the same variable (Janino error -> silent
+      // interpreted fallback)
+      val dp = ctx.freshName("dp")
       s"""
-         |Double _dp = graft.vector.DotProductExpr.eval($a, $b, $leftFloat, $rightFloat);
-         |${ev.isNull} = _dp == null;
-         |${ev.value} = ${ev.isNull} ? -1.0 : _dp.doubleValue();
-       """.stripMargin)
+         |Double $dp = graft.vector.DotProductExpr.eval($a, $b, $leftFloat, $rightFloat);
+         |${ev.isNull} = $dp == null;
+         |${ev.value} = ${ev.isNull} ? -1.0 : $dp.doubleValue();
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
