@@ -43,6 +43,20 @@ class NanoTsPushdownSpec extends GraftSparkSpec {
     assert(nanosOf(lit_ts > col("ts")) == Seq(m * 1000 - 1))
   }
 
+  test("max-nanos sentinel upper bound is NOT rewritten (would overflow) and stays correct") {
+    // 2262-04-11T23:47:16.854775Z = Long.MaxValue/1000 micros; its nanos
+    // upper bound m*1000+999 overflows Long — the unguarded rewrite
+    // flipped `<= sentinel` (keep everything) into `<= negative` (keep
+    // nothing)
+    val sentinelMicros = Long.MaxValue / 1000
+    val rows = Seq(0L, m * 1000, Long.MaxValue - 1).toDF("n")
+      .withColumn("ts", timestamp_micros(expr("n DIV 1000")))
+    val lit_sentinel = lit(java.time.Instant.ofEpochSecond(
+      sentinelMicros / 1000000, (sentinelMicros % 1000000) * 1000))
+    assert(rows.filter(col("ts") <= lit_sentinel).count() == 3)
+    assert(rows.filter(col("ts") > lit_sentinel).count() == 0)
+  }
+
   // (no optimizedPlan.toString assertion on the LocalRelation frame —
   // ConvertToLocalRelation folds the filter into data there; the
   // parquet test below proves the rewrite fires where it matters)
