@@ -34,4 +34,62 @@ object Dedup {
     }
     df.withColumn("_keep", keep).filter(col("_keep")).drop("_keep")
   }
+
+  /** Connected components over a near-dup pair graph — the clustering
+    * step that turns pairwise near-dup evidence (minhash/simhash/
+    * winnowing/cosine pairs) into droppable duplicate GROUPS. Returns
+    * one row per vertex: (id, component), component = the smallest id
+    * reachable through the (undirected) edges.
+    *
+    * Iterative min-label propagation: each round every vertex adopts
+    * the minimum label among itself and its neighbors; converges in
+    * O(longest-shortest-path) rounds, with an early stop when a round
+    * changes nothing. Each round is one shuffle-join + one aggregate on
+    * the EDGE list (not the corpus), and `localCheckpoint` truncates
+    * the growing lineage — the standard iterative-Spark shape. For
+    * graphs with very long paths swap the propagation step for
+    * alternating large-star/small-star rounds (same loop skeleton,
+    * O(log n) rounds); near-dup graphs are overwhelmingly short
+    * chains/cliques, where plain propagation wins on per-round cost.
+    */
+  def connectedComponents(
+      vertices: DataFrame,
+      idCol: String,
+      edges: DataFrame, // columns id_a, id_b
+      maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("id_a"), col("id_b"))
+      .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("component"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels, sym("id_a") === labels("id"))
+        .groupBy(sym("id_b").as("id"))
+        .agg(min(col("component")).as("_nbr_min"))
+      val updated = labels.alias("l")
+        .join(nbrMin.alias("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("_nbr_min"), col("component"))).as("component"),
+          (col("_nbr_min").isNotNull && col("_nbr_min") < col("component")).as("_changed"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("_changed")).count()
+      labels = updated.drop("_changed")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup drop: keep, per component of the pair graph, only the
+    * smallest-id row. Rows absent from `pairs` form singleton
+    * components and always survive.
+    */
+  def dropNearDups(
+      df: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val comps = connectedComponents(df.select(col(idCol)), idCol, pairs, maxIter)
+    df.join(comps.filter(col("id") === col("component")).select(col("id").as(idCol)), Seq(idCol))
+  }
 }
