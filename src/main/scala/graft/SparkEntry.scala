@@ -693,7 +693,7 @@ object SparkEntry {
     },
 
     "q20_lang_id" -> {
-      val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+      val toks = "string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')"
       val scores = graft.textops.TextAnalysis.stopwords.map { case (lang, words) =>
         val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
         lang -> s"len(list_filter($toks, t -> list_contains($list, t)))"
@@ -710,15 +710,15 @@ object SparkEntry {
     "q35_lang_ngram" -> graft.textops.LangNgram.oracleSql,
 
     "q21_quality" -> {
-      val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+      val toks = "string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')"
       val en = graft.textops.TextAnalysis.stopwords("en")
         .map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH base AS (
          |  SELECT doc_id,
          |    CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |         ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
          |    CASE WHEN length(text) = 0 THEN 0.0
-         |         ELSE CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text)
+         |         ELSE CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS DOUBLE) / length(text)
          |         END AS praw,
          |    CASE WHEN len($toks) = 0 THEN 0.0
          |         ELSE CAST(len(list_filter($toks, t -> list_contains($en, t))) AS DOUBLE)
@@ -736,8 +736,8 @@ object SparkEntry {
     "q22_tokens" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
-        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS lex_tokens
+        |       ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^ \t\n\x0b\f\r A-Za-z0-9]')) AS lex_tokens
         |FROM documents""".stripMargin,
 
     "q23_fingerprint" ->
@@ -752,7 +752,7 @@ object SparkEntry {
     "q24_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source, n_chars // 100 AS nb,
-        |         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS toks
+        |         list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), t -> t != '') AS toks
         |  FROM documents),
         |d AS (
         |  SELECT doc_id, lang, source, nb,

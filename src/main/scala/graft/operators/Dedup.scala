@@ -41,16 +41,18 @@ object Dedup {
     * one row per vertex: (id, component), component = the smallest id
     * reachable through the (undirected) edges.
     *
-    * Iterative min-label propagation: each round every vertex adopts
-    * the minimum label among itself and its neighbors; converges in
-    * O(longest-shortest-path) rounds, with an early stop when a round
-    * changes nothing. Each round is one shuffle-join + one aggregate on
-    * the EDGE list (not the corpus), and `localCheckpoint` truncates
-    * the growing lineage — the standard iterative-Spark shape. For
-    * graphs with very long paths swap the propagation step for
-    * alternating large-star/small-star rounds (same loop skeleton,
-    * O(log n) rounds); near-dup graphs are overwhelmingly short
-    * chains/cliques, where plain propagation wins on per-round cost.
+    * Iterative min-label propagation WITH pointer jumping: each round a
+    * vertex adopts the minimum label among itself and its neighbors,
+    * then labels compress one level through the label graph
+    * (`label := label(label)`), so convergence is O(log longest-path)
+    * rounds, not O(longest-path) — maxIter=50 covers paths of length
+    * ~2^50. Each round is two shuffle-joins on the EDGE list / label
+    * frame, `localCheckpoint` truncates the growing lineage (previous
+    * rounds unpersisted as soon as superseded), and the loop
+    * early-stops when nothing changes. If the graph somehow fails to
+    * converge inside maxIter the call FAILS (an unconverged labeling
+    * under-merges components, which dropNearDups would silently turn
+    * into under-dropped duplicates).
     */
   def connectedComponents(
       vertices: DataFrame,
@@ -70,16 +72,31 @@ object Dedup {
         .join(labels, sym("id_a") === labels("id"))
         .groupBy(sym("id_b").as("id"))
         .agg(min(col("component")).as("_nbr_min"))
-      val updated = labels.alias("l")
-        .join(nbrMin.alias("n"), Seq("id"), "left")
+      val prop = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("component").as("_old"),
+          least(col("component"), coalesce(col("_nbr_min"), col("component"))).as("component"))
+      // pointer jump: component := label(component) — labels are vertex
+      // ids, so the label frame doubles as the lookup table
+      val compOf = prop.select(col("id").as("component"), col("component").as("_cc"))
+      val updated = prop
+        .join(compOf, Seq("component"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("_nbr_min"), col("component"))).as("component"),
-          (col("_nbr_min").isNotNull && col("_nbr_min") < col("component")).as("_changed"))
+          least(col("component"), coalesce(col("_cc"), col("component"))).as("component"),
+          col("_old"))
+        .withColumn("_changed", col("component") < col("_old"))
+        .drop("_old")
         .localCheckpoint(true)
       changed = updated.filter(col("_changed")).count()
+      val prev = labels
       labels = updated.drop("_changed")
+      prev.unpersist()
       iter += 1
     }
+    sym.unpersist()
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "an unconverged labeling under-merges components; raise maxIter")
     labels
   }
 

@@ -26,14 +26,17 @@ object Skew {
     * sharded `salts` ways; the small side is exploded `salts`-fold
     * (multiplying the SMALL side only — keep it the dimension side).
     *
-    * The big side's salt is row-position-based
-    * (`monotonically_increasing_id`), NOT a hash of the row values: the
-    * motivating workload — one hot key repeating near-identical log
-    * lines — would hash every copy to the SAME salt and not spread at
-    * all. Join correctness doesn't depend on which salt a row gets
-    * (each row matches exactly its own salt's replica of the small
-    * side), so a position-based salt is safe; it just isn't stable
-    * across retries, which only affects which task a row lands in.
+    * The big side's salt is a DETERMINISTIC hash of the whole row. A
+    * row-position salt (`monotonically_increasing_id`, `rand`) would
+    * also spread byte-identical rows, but a nondeterministic value used
+    * as a shuffle key is unsafe under partial stage retry: re-executed
+    * map tasks can re-salt rows into shuffle partitions that other
+    * reducers already fetched — rows silently dropped or duplicated
+    * (the SPARK-23207 failure class). The price of determinism:
+    * byte-identical copies of a row share a salt and do NOT spread. No
+    * deterministic function can separate indistinguishable rows — if
+    * your hot key is literal repeats of one line, aggregate them first
+    * (count per distinct row) and join the distinct rows instead.
     */
   def saltedJoin(
       big: DataFrame, small: DataFrame,
@@ -43,7 +46,7 @@ object Skew {
     require(!big.columns.contains(saltCol) && !small.columns.contains(saltCol),
       s"inputs must not already have a $saltCol column")
     val bigSalted = big.withColumn(saltCol,
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salts.toLong)))
     val smallSalted = small.withColumn(saltCol,
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     bigSalted

@@ -100,8 +100,16 @@ object Ivf {
       corpus: DataFrame, vecCol: String, nlist: Int,
       seed: Long = 42L, sampleCap: Int = 65536, iters: Int = 10): Array[Array[Double]] = {
     val sample = sampleNormalized(corpus, vecCol, seed, sampleCap)
-    kmeans(sample, math.min(nlist, sample.length), seed, iters)
+    fitCentroids(sample, nlist, seed, iters)
   }
+
+  /** Sample-taking overload — the ONE place the training recipe
+    * (k clamping, iteration count) lives; both the IVF-flat and IVF-PQ
+    * quantizers call this so they can't silently diverge.
+    */
+  def fitCentroids(
+      sample: Array[Array[Double]], nlist: Int, seed: Long, iters: Int): Array[Array[Double]] =
+    kmeans(sample, math.min(nlist, sample.length), seed, iters)
 
   /** Bounded deterministic training sample of L2-normalized vectors,
     * collected to the driver (hash-gated, so reproducible across runs

@@ -156,10 +156,11 @@ object Pq {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, ks: Int = 64, refine: Int = 4, seed: Long = 42L): DataFrame = {
-    // one bounded sample feeds BOTH quantizers (fitCentroids would
-    // re-count and re-collect the identical sample)
+    // one bounded sample feeds BOTH quantizers, through the shared
+    // training recipe (the DataFrame fitCentroids would re-count and
+    // re-collect the identical sample)
     val sample = Ivf.sampleNormalized(corpus, vecCol, seed)
-    val centroids = Ivf.kmeans(sample, math.min(nlist, sample.length), seed, iters = 10)
+    val centroids = Ivf.fitCentroids(sample, nlist, seed, iters = 10)
     val codebooks = fitCodebooks(sample, m, ks, seed)
 
     // Per-query LUTs from the (bounded, broadcast-by-contract) query set
