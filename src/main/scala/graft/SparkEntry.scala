@@ -409,6 +409,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
     }),
 
+    // near-dup DROP: keep each component's smallest-id row (the
+    // pipeline action the clustering feeds)
+    "q37_drop_neardups" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val edges = docs.select(col("doc_id").as("id_a"), expr("n_chars DIV 100").as("_ba"))
+        .join(docs.select(col("doc_id").as("id_b"), expr("n_chars DIV 100").as("_bb")),
+          col("id_b") === col("id_a") + 1 && col("_ba") === col("_bb"))
+        .select("id_a", "id_b")
+      graft.operators.Dedup.dropNearDups(docs, "doc_id", edges)
+        .select(col("doc_id"))
+    }),
+
     // multimodal binary-column stats (no decode needed)
     "q29_multimodal_stats" -> ((s, dir) => {
       graft.multimodal.Multimodal.stats(
@@ -799,6 +811,19 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q37_drop_neardups" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 1 AND a.n_chars // 100 = b.n_chars // 100),
+        |sym AS (SELECT id_a, id_b FROM edges UNION SELECT id_b, id_a FROM edges),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.id_b, reach.r FROM reach JOIN sym s ON s.id_a = reach.id)
+        |SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(r)""".stripMargin,
 
     "q36_components" ->
       """WITH RECURSIVE
