@@ -154,11 +154,22 @@ object NearDup {
     * pairs), so maxHamming is capped where chunks would drop below 4
     * bits and bucketing stops pruning anything.
     */
+  /** @param maxBucketSize 0 (default) = uncapped, which is what makes
+    *   the pigeonhole recall guarantee unconditional. A positive cap
+    *   drops chunk buckets larger than the cap before the pair join —
+    *   the escape hatch for adversarial corpora (boilerplate text
+    *   collapsing onto few fingerprints) where one bucket would go
+    *   quadratic — and EXPLICITLY waives the guarantee for pairs whose
+    *   only shared chunk sits in a dropped bucket. No silent capping:
+    *   the default preserves the contract, opting into the cap is the
+    *   caller's documented trade.
+    */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Long = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (got $maxHamming): 64/(maxHamming+1)-bit " +
         "chunks below 4 bits make candidate buckets near-useless")
@@ -172,8 +183,15 @@ object NearDup {
     val chunks = array((0 until numChunks).map(i =>
       shiftright(col("sh"), offsets(i))
         .bitwiseAND(lit((1L << widths(i)) - 1L))): _*)
-    val chunked = base.select(col("id"), col("sh"),
+    val chunkedAll = base.select(col("id"), col("sh"),
       posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+    val chunked =
+      if (maxBucketSize <= 0) chunkedAll
+      else chunkedAll
+        .withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_idx"), col("chunk"))))
+        .filter(col("_n") <= maxBucketSize)
+        .drop("_n")
     val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk_idx", "chunk"))

@@ -48,6 +48,22 @@ class NearDupSpec extends GraftSparkSpec {
     assert(pairs.contains((1L, 2L)), s"got $pairs")
   }
 
+  test("simhash bucket cap: uncapped keeps the guarantee; a tiny cap may drop pairs but never invents them") {
+    val longBase = Seq(
+      (1L, ("the quick brown fox jumps over the lazy dog near the river bank " * 10) + "today", "a"),
+      (2L, ("the quick brown fox jumps over the lazy dog near the river bank " * 10) + "tonight", "a"),
+      (3L, "completely different content about spark catalyst optimizer internals", "b"),
+      (4L, "completely different content about spark catalyst optimizer internals", "b"))
+      .toDF("doc_id", "text", "source")
+    val uncapped = NearDup.simhashPairs(longBase, "doc_id", "text", maxHamming = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = NearDup.simhashPairs(longBase, "doc_id", "text", maxHamming = 10,
+      maxBucketSize = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((3L, 4L)))
+  }
+
   test("simhash value is deterministic and order-insensitive in token multiset") {
     val h1 = SimHash.eval(org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
       Array("a", "b", "c").map(org.apache.spark.unsafe.types.UTF8String.fromString)))
