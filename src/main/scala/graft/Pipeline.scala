@@ -76,4 +76,33 @@ object Pipeline {
     val scored = score(normalized, config, rules, webshells, opts)
     Filters(scored, filters, col("_row_id"))
   }
+
+  /** Stage the normalized frame as the date/source-partitioned parquet
+    * store (SURVEY §4.3 / PLANS.md layout) — parse once, re-query many:
+    * subsequent runs read the staged table with partition pruning
+    * instead of re-parsing text. CLI: `--stage <dir>` writes it,
+    * `--from-stage <dir>` queries it.
+    */
+  def stage(spark: SparkSession, paths: Seq[String], dir: String,
+      opts: Options = Options()): Unit = {
+    val graft.sources.ParsedLogs(parsed, _) = LogSources.parseLogs(spark, paths)
+    graft.sink.ParquetStage.write(normalize(parsed, opts), dir)
+  }
+
+  /** Score + filter over a previously staged store. The staged frame
+    * already carries normalize's outputs (_row_id, utc_timestamp,
+    * cluster, request_count), so this path skips parse AND normalize.
+    */
+  def runFromStage(
+      spark: SparkSession,
+      stageDir: String,
+      config: GraftConfig,
+      rules: Seq[RuleEngine.SigmaRule],
+      webshells: Set[String],
+      opts: Options = Options(),
+      filters: FilterOptions = FilterOptions()): DataFrame = {
+    val staged = graft.sink.ParquetStage.read(spark, stageDir).drop("event_date")
+    val scored = score(staged, config, rules, webshells, opts)
+    Filters(scored, filters, col("_row_id"))
+  }
 }

@@ -21,6 +21,8 @@ object Triage {
 
   final case class Args(
       paths: Vector[String] = Vector.empty,
+      stageDir: Option[String] = None,
+      fromStage: Option[String] = None,
       config: Option[String] = None,
       rules: Option[String] = None,
       shells: Option[String] = None,
@@ -36,6 +38,8 @@ object Triage {
   private def parse(rest: List[String], a: Args): Args = rest match {
     case Nil => a
     case "--path" :: v :: t => parse(t, a.copy(paths = a.paths :+ v))
+    case "--stage" :: v :: t => parse(t, a.copy(stageDir = Some(v)))
+    case "--from-stage" :: v :: t => parse(t, a.copy(fromStage = Some(v)))
     case "--config" :: v :: t => parse(t, a.copy(config = Some(v)))
     case "--rules" :: v :: t => parse(t, a.copy(rules = Some(v)))
     case "--shells" :: v :: t => parse(t, a.copy(shells = Some(v)))
@@ -76,7 +80,8 @@ object Triage {
 
   def main(argv: Array[String]): Unit = {
     val args = parse(argv.toList, Args())
-    require(args.paths.nonEmpty, "--path is required")
+    require(args.paths.nonEmpty || args.fromStage.nonEmpty,
+      "--path or --from-stage is required")
 
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -107,24 +112,38 @@ object Triage {
           if (args.filters.ipIgnore.nonEmpty) args.filters.ipIgnore
           else config.ignoreIp)
 
-      // S7 error side channel (reference writes errors.log + reports the
-      // parsed count, parser.py:121-124)
-      val parsedLogs = LogSources.parseLogs(spark, args.paths)
-      val errCount = parsedLogs.errors.count()
-      if (errCount > 0) {
-        // GRAFT_OUT_DIR keeps run artifacts out of the CWD (and the repo);
-        // the reference's append-in-CWD behavior grows a committed file.
-        val outDir = sys.env.getOrElse("GRAFT_OUT_DIR", System.getProperty("java.io.tmpdir"))
-        val errPath = java.nio.file.Paths.get(outDir, "errors.log").toString
-        System.err.println(s"[*] $errCount unparseable lines; writing to $errPath")
-        val errs = parsedLogs.errors.limit(10000).collect()
-        val w = new java.io.FileWriter(errPath, true)
-        try errs.foreach(r => w.write(s"Failed to parse [${r.getString(0)}]: ${r.getString(1)}\n"))
-        finally w.close()
+      val normalized = args.fromStage match {
+        case Some(stage) =>
+          // parse + normalize already happened when the stage was
+          // written; re-query straight off the partitioned store
+          graft.sink.ParquetStage.read(spark, stage).drop("event_date")
+        case None =>
+          // S7 error side channel (reference writes errors.log + reports
+          // the parsed count, parser.py:121-124)
+          val parsedLogs = LogSources.parseLogs(spark, args.paths)
+          val errCount = parsedLogs.errors.count()
+          if (errCount > 0) {
+            // GRAFT_OUT_DIR keeps run artifacts out of the CWD (and the
+            // repo); the reference's append-in-CWD behavior grows a
+            // committed file.
+            val outDir = sys.env.getOrElse("GRAFT_OUT_DIR", System.getProperty("java.io.tmpdir"))
+            val errPath = java.nio.file.Paths.get(outDir, "errors.log").toString
+            System.err.println(s"[*] $errCount unparseable lines; writing to $errPath")
+            val errs = parsedLogs.errors.limit(10000).collect()
+            val w = new java.io.FileWriter(errPath, true)
+            try errs.foreach(r => w.write(s"Failed to parse [${r.getString(0)}]: ${r.getString(1)}\n"))
+            finally w.close()
+          }
+          val norm = Pipeline.normalize(parsedLogs.parsed,
+            Pipeline.Options(timeOffsetSeconds = args.timeOffset))
+          args.stageDir match {
+            case Some(stage) =>
+              graft.sink.ParquetStage.write(norm, stage)
+              println(s"[*] Staged normalized store to $stage")
+              graft.sink.ParquetStage.read(spark, stage).drop("event_date")
+            case None => norm
+          }
       }
-
-      val normalized = Pipeline.normalize(parsedLogs.parsed,
-        Pipeline.Options(timeOffsetSeconds = args.timeOffset))
       val scored = Pipeline.score(normalized, config, ruleSet, webshells)
       val out = graft.query.Filters(scored, filters, col("_row_id"))
 

@@ -31,4 +31,31 @@ class ParquetStageSpec extends GraftSparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
   }
+
+  test("stage-then-requery equals the direct pipeline (parse once, query many)") {
+    import graft.{Pipeline, PseudoLog}
+    val dir = Files.createTempDirectory("graft_stage2").toString + "/store"
+    val logs = PseudoLog.logs(spark, "/root/testdata/sf0.001")
+      .withColumn("timestamp",
+        date_format(col("utc_timestamp"), "dd/MMM/yyyy:HH:mm:ss Z"))
+      .withColumn("_row_id", col("event_id"))
+      .limit(2000)
+    // normalize-equivalent input: already has _row_id/utc_timestamp, so
+    // sessionize + counts stand in for the full normalize here
+    val normalized = graft.session.Sessionizer.withRequestCount(
+      graft.session.Sessionizer.withClusters(logs, threshold = 300L))
+    ParquetStage.write(normalized, dir)
+
+    val config = graft.rules.GraftConfig.default
+    val rules = graft.rules.RuleEngine.parseRules(graft.SparkEntry.oracleRulesYaml)
+    val direct = Pipeline.score(normalized, config, rules, graft.SparkEntry.oracleShells)
+      .select(col("_row_id"), col("risk_score"), col("rule_applied"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val staged = Pipeline.score(
+      ParquetStage.read(spark, dir).drop("event_date"),
+      config, rules, graft.SparkEntry.oracleShells)
+      .select(col("_row_id"), col("risk_score"), col("rule_applied"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(staged == direct && direct.nonEmpty)
+  }
 }
