@@ -307,6 +307,13 @@ object SparkEntry {
         qualityScore(col("text")).as("quality"))
     }),
 
+    // token-repetition ratio (Gopher-style repetition quality signal)
+    "q38_repetition" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        graft.textops.TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+    }),
+
     "q22_tokens" -> ((s, dir) => {
       import graft.textops.TextAnalysis._
       table(s, dir, "documents").select(
@@ -744,6 +751,18 @@ object SparkEntry {
          |      + (1.0 - least(praw * 10.0, 1.0)) * 0.3, 4) AS quality
          |FROM base""".stripMargin
     },
+
+    "q38_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') END AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  floor((CASE WHEN len(toks) = 0 THEN 0.0
+        |              ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |         END) * 10000.0 + 0.5) / 10000.0 AS rep_ratio
+        |FROM t""".stripMargin,
 
     "q22_tokens" ->
       """SELECT doc_id,

@@ -34,4 +34,23 @@ object ParquetStage {
   /** Read the staged table; date/source predicates prune partitions. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Stage as a BUCKETED catalog table: both sides of a repeated
+    * equi-join/aggregation keyed on `bucketCols` pre-hash into the same
+    * `nBuckets` layout, so joins between tables bucketed alike (and
+    * aggregations on the bucket key) plan with NO exchange — the
+    * co-located-join layout for fact tables that are joined on the same
+    * key query after query (ParquetStageSpec proves the exchange-free
+    * plan). Requires a catalog table (bucket metadata lives in the
+    * catalog, not the files); the in-memory session catalog suffices.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String,
+      bucketCols: Seq[String], nBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

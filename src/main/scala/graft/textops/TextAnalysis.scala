@@ -82,6 +82,17 @@ object TextAnalysis {
     */
   def round4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
 
+  /** Token-repetition ratio in [0,1]: 1 − distinct/total over the
+    * lowered tokens (0 for empty text) — the classic cheap
+    * repetition-quality signal for training-data filtering (boilerplate
+    * and keyword-stuffed documents score high).
+    */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    round4(when(size(toks) === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)))
+  }
+
   /** Content-normalized fingerprint: md5 over the lowered text with
     * everything but [a-z0-9] stripped — byte-identical in DuckDB
     * (`md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))`).

@@ -32,6 +32,26 @@ class ParquetStageSpec extends GraftSparkSpec {
     assert(plan.contains("PartitionFilters"), plan)
   }
 
+  test("alike-bucketed tables join with no exchange (co-located join)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 200).map(i => (s"ip${i % 37}", i)).toDF("ip", "x")
+      val b = (1 to 150).map(i => (s"ip${i % 37}", i * 2)).toDF("ip", "y")
+      ParquetStage.writeBucketed(a, "bkt_a", Seq("ip"), 8)
+      ParquetStage.writeBucketed(b, "bkt_b", Seq("ip"), 8)
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), Seq("ip"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it's the same result as the unbucketed join
+      assert(joined.count() ==
+        a.join(b, Seq("ip")).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("stage-then-requery equals the direct pipeline (parse once, query many)") {
     import graft.{Pipeline, PseudoLog}
     val dir = Files.createTempDirectory("graft_stage2").toString + "/store"

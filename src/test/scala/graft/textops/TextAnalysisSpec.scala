@@ -49,6 +49,15 @@ class TextAnalysisSpec extends GraftSparkSpec {
     assert(r.getInt(1) == 5)
   }
 
+  test("repetition ratio: unique tokens 0, full repeats high, empty 0") {
+    assert(one("a b c d", TextAnalysis.repetitionRatio(col("text"))).getDouble(0) == 0.0)
+    // "spam spam spam spam" -> 1 - 1/4 = 0.75
+    assert(one("spam spam spam spam", TextAnalysis.repetitionRatio(col("text"))).getDouble(0) == 0.75)
+    assert(one("", TextAnalysis.repetitionRatio(col("text"))).getDouble(0) == 0.0)
+    // case-folded: "The the" counts as a repeat
+    assert(one("The the", TextAnalysis.repetitionRatio(col("text"))).getDouble(0) == 0.5)
+  }
+
   test("quality: clean long text beats punctuation soup") {
     val clean = "the quick brown fox jumps over the lazy dog and runs to the hills " * 10
     val soup = "@@!! ## $$%% ^^&&"
