@@ -61,22 +61,53 @@ object Sessionizer {
     *    instead of recomputed per branch (the RDD version computed the
     *    lag/cumsum window 2-3x across jobs).
     *
-    * The running-total window is unpartitioned, but it runs over ONE
-    * ROW PER (source, ip) GROUP — orders of magnitude below both row
-    * and session count. If even the group frame outgrows a task at some
-    * design point, the same base-offset scheme nests (offset the
-    * per-source bases by a per-source running total).
+    * The running total itself nests two levels so no task ever sees the
+    * full (source, ip) key space (10⁸–10⁹ pairs at the 100 TB design
+    * point):
+    *
+    *  1. per-source running total over IPs — a window PARTITIONED on
+    *     `source` (parallel across sources; task size = IPs within one
+    *     source);
+    *  2. per-source totals — ONE ROW PER SOURCE (bounded by the number
+    *     of distinct log inputs, not by IP cardinality) — get the
+    *     cross-source running total. That frame is pinned to an explicit
+    *     single-partition spec (`partitionBy(lit(0))`): physically one
+    *     task over #sources rows, declared explicitly rather than the
+    *     unpartitioned default (which warns and, at level 1's
+    *     cardinality, would be a real single-task sort).
+    *
+    * base(source, ip) = src_base(source) + ip_base(source, ip).
     */
   private def withGlobalIds(withLocal: DataFrame): DataFrame = {
     val groups = withLocal
       .groupBy(col("source"), col("ip"))
       .agg((max(col("_local_id")) + 1).as("_n_sessions"))
-    val base = coalesce(
-      sum(col("_n_sessions")).over(
-        Window.orderBy(col("source"), col("ip"))
-          .rowsBetween(Window.unboundedPreceding, -1)),
-      lit(0L))
-    val offsets = groups.withColumn("_base", base).drop("_n_sessions")
+
+    val inSource = Window.partitionBy(col("source")).orderBy(col("ip"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ipBase = coalesce(sum(col("_n_sessions")).over(inSource), lit(0L))
+
+    // Constant-0 partition key, written non-foldably: a bare lit(0) (or
+    // anything derived from `source`, which is a per-file literal that
+    // FoldablePropagation folds on single-input runs) gets pruned back to
+    // an unpartitioned (warning-emitting) window by Spark 4's
+    // EliminateWindowPartitions. Deriving 0 from the AGGREGATE output
+    // `_src_total` is fold-proof — an aggregate result is never constant
+    // to Catalyst — so the EXPLICIT single hash partition over the
+    // #sources-row frame survives optimization.
+    val onePartition = coalesce(col("_src_total") * lit(0L), lit(0L))
+    val overSources = Window.partitionBy(onePartition).orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sourceBases = groups
+      .groupBy(col("source")).agg(sum(col("_n_sessions")).as("_src_total"))
+      .withColumn("_src_base", coalesce(sum(col("_src_total")).over(overSources), lit(0L)))
+      .select(col("source"), col("_src_base"))
+
+    val offsets = groups
+      .withColumn("_ip_base", ipBase)
+      .join(sourceBases, Seq("source"))
+      .withColumn("_base", col("_src_base") + col("_ip_base"))
+      .select(col("source"), col("ip"), col("_base"))
 
     // No broadcast hint: distinct (source, ip) count is usually tiny but
     // unbounded at the 100 TB design point — AQE broadcasts when the

@@ -180,9 +180,13 @@ object NearDup {
     // get an extra bit. Offsets are cumulative widths.
     val widths = Array.tabulate(numChunks)(i => 64 / numChunks + (if (i < 64 % numChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val chunks = array((0 until numChunks).map(i =>
-      shiftright(col("sh"), offsets(i))
-        .bitwiseAND(lit((1L << widths(i)) - 1L))): _*)
+    val chunks = array((0 until numChunks).map { i =>
+      // (1L << 64) - 1 is 0 under JVM shift-mod-64: a 64-bit-wide chunk
+      // (maxHamming = 0, i.e. exact-fingerprint match) must mask with -1L
+      // or every fingerprint lands in chunk value 0 — one giant bucket.
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      shiftright(col("sh"), offsets(i)).bitwiseAND(lit(mask))
+    }: _*)
     val chunkedAll = base.select(col("id"), col("sh"),
       posexplode(chunks).as(Seq("chunk_idx", "chunk")))
     val chunked =

@@ -48,6 +48,32 @@ class NearDupSpec extends GraftSparkSpec {
     assert(pairs.contains((1L, 2L)), s"got $pairs")
   }
 
+  test("simhash maxHamming=0: exact-fingerprint matching (64-bit chunk mask must be -1, not 0)") {
+    // (1L << 64) - 1 is 0 under JVM shift-mod-64; an unmasked 64-bit chunk
+    // would put EVERY doc in chunk value 0 (quadratic bucket uncapped,
+    // zero pairs under a cap). Exact dups must pair at hamming 0 and the
+    // near-dup pair (hamming > 0) must NOT appear.
+    val longBase = Seq(
+      (1L, ("the quick brown fox jumps over the lazy dog near the river bank " * 10) + "today", "a"),
+      (2L, ("the quick brown fox jumps over the lazy dog near the river bank " * 10) + "tonight", "a"),
+      (3L, "completely different content about spark catalyst optimizer internals", "b"),
+      (4L, "completely different content about spark catalyst optimizer internals", "b"))
+      .toDF("doc_id", "text", "source")
+    val exact = NearDup.simhashPairs(longBase, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(exact.get((3L, 4L)).contains(0), s"exact dup missing at maxHamming=0: $exact")
+    assert(exact.values.forall(_ == 0), s"non-zero hamming leaked: $exact")
+    // (1,2) happens to land on the SAME fingerprint (one token in ~140
+    // doesn't flip a simhash bit) — so no cross-fingerprint pair exists to
+    // leak here; the broken mask instead showed up as all four docs in one
+    // chunk-0 bucket. Under a cap of 2 the per-fingerprint buckets (sizes
+    // 2 and 2) must survive; with the broken mask the single 4-doc bucket
+    // was dropped and this returned empty.
+    val capped = NearDup.simhashPairs(longBase, "doc_id", "text", maxHamming = 0, maxBucketSize = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == exact.keySet, s"cap dropped within-bound buckets: $capped vs ${exact.keySet}")
+  }
+
   test("simhash bucket cap: uncapped keeps the guarantee; a tiny cap may drop pairs but never invents them") {
     val longBase = Seq(
       (1L, ("the quick brown fox jumps over the lazy dog near the river bank " * 10) + "today", "a"),
