@@ -434,13 +434,16 @@ object SparkEntry {
         graft.multimodal.Multimodal.fromDocuments(table(s, dir, "documents")))
     }),
 
-    // multimodal decode plumbing (deterministic stubbed decode)
+    // multimodal decode: REAL ImageIO decode for image rows (payloads
+    // are deterministically-sized synthetic PNGs, so the oracle predicts
+    // the codec's output), deterministic stub for audio/video
     "q30_decode" -> ((s, dir) => {
-      graft.multimodal.Multimodal.decodeStub(
-        graft.multimodal.Multimodal.fromDocuments(table(s, dir, "documents")))
+      graft.multimodal.Multimodal.decode(
+        graft.multimodal.Multimodal.withSyntheticImagePayloads(
+          graft.multimodal.Multimodal.fromDocuments(table(s, dir, "documents"))))
         .toDF()
         .select(col("media_id"), col("width"), col("height"),
-          col("n_frames"), col("sample_rate"))
+          col("n_frames"), col("sample_rate"), col("decoded_real"))
     })
   )
 
@@ -865,6 +868,10 @@ object SparkEntry {
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
 
+    // image rows: the ORACLE predicts what the real PNG codec must
+    // return, because withSyntheticImagePayloads encodes a
+    // (16 + id%32) x (16 + 7id%32) PNG; audio/video rows: the stub
+    // formulas over the text payload length.
     "q30_decode" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
@@ -873,10 +880,13 @@ object SparkEntry {
         |    octet_length(text::BLOB) AS n
         |  FROM documents)
         |SELECT media_id,
-        |  CAST(64 + (n % 512) AS INT) AS width,
-        |  CAST(64 + ((n * 7) % 512) AS INT) AS height,
+        |  CAST(CASE WHEN kind = 'image' THEN 16 + media_id % 32
+        |       ELSE 64 + (n % 512) END AS INT) AS width,
+        |  CAST(CASE WHEN kind = 'image' THEN 16 + (media_id * 7) % 32
+        |       ELSE 64 + ((n * 7) % 512) END AS INT) AS height,
         |  CAST(CASE WHEN kind = 'video' THEN 1 + (n % 240) ELSE 1 END AS INT) AS n_frames,
-        |  CAST(CASE WHEN kind = 'audio' THEN 16000 ELSE 0 END AS INT) AS sample_rate
+        |  CAST(CASE WHEN kind = 'audio' THEN 16000 ELSE 0 END AS INT) AS sample_rate,
+        |  (kind = 'image') AS decoded_real
         |FROM m""".stripMargin
   )
 }

@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,13 +12,16 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, batch-shaped decode / feature-extract /
   * resize / frame-sample operators over `mapPartitions`.
   *
-  * The DECODE STEP IS A STUB — this container ships no image/audio
-  * codecs, so [[decodeStub]] produces deterministic fake media
-  * properties from the raw bytes. Everything around it — the schema, the
-  * binary column handling, partition-batched iteration, the typed output
-  * shape a real decoder would fill — is real and tested. A production
-  * deployment replaces the body of `decodeStub` with e.g. a JNI codec
-  * call per batch.
+  * The IMAGE decode path is REAL: `kind='image'` payloads go through
+  * `javax.imageio` (PNG/JPEG/GIF/BMP ship with the JDK), with
+  * width/height/features read from the actual decoded raster.
+  * Audio/video decode REMAINS A STUB — this container ships no
+  * audio/video codecs — producing deterministic fake properties from
+  * the raw bytes; image payloads that ImageIO cannot decode fall back
+  * to the same stub (documented, not silent: `decoded_real` in the
+  * output says which path ran). Everything around the codec — schema,
+  * binary column handling, partition-batched iteration, typed output
+  * shape — is identical for both paths.
   */
 object Multimodal {
 
@@ -29,7 +37,9 @@ object Multimodal {
       n_bytes: Long,
       content_md5: String)
 
-  /** Typed decode output a real codec would produce. */
+  /** Typed decode output. `decoded_real` = true when an actual codec
+    * (ImageIO) produced the properties, false for the stubbed paths.
+    */
   final case class DecodedMedia(
       media_id: Long,
       kind: String,
@@ -37,7 +47,8 @@ object Multimodal {
       height: Int,
       n_frames: Int,
       sample_rate: Int,
-      feature: Array[Float])
+      feature: Array[Float],
+      decoded_real: Boolean)
 
   /** Synthesize a media table from documents (text bytes stand in for
     * encoded payloads; kind cycles deterministically).
@@ -51,31 +62,111 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col("bytes")).cast("long"))
       .withColumn("content_md5", md5(col("bytes")))
 
-  /** STUB decode: deterministic fake media properties derived from the
-    * payload bytes. Batch shape (one iterator per partition, reusable
-    * scratch state across rows) mirrors what a real codec binding needs.
+  /** Replace image-kind payloads with REAL (deterministically sized and
+    * shaded) PNG bytes, encoded per partition with ImageIO — the input
+    * generator for exercising the real decode path end-to-end. Image
+    * `media_id` m gets a (16 + m%32) × (16 + (7m)%32) solid-gray PNG of
+    * level m%256, so a downstream oracle can predict the decoded
+    * properties without seeing the bytes. Metadata columns are
+    * recomputed over the new payloads.
     */
-  def decodeStub(media: DataFrame): Dataset[DecodedMedia] = {
+  def withSyntheticImagePayloads(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val replaced = media.select(col("media_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false) // in-memory encode, no temp-file churn
+        it.map { case (id, kind, bytes) =>
+          if (kind == "image")
+            (id, kind, encodePng(
+              16 + (id % 32).toInt, 16 + ((id * 7) % 32).toInt, (id % 256).toInt))
+          else (id, kind, bytes)
+        }
+      }.toDF("media_id", "kind", "bytes")
+    replaced
+      .withColumn("n_bytes", octet_length(col("bytes")).cast("long"))
+      .withColumn("content_md5", md5(col("bytes")))
+  }
+
+  private def encodePng(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val row = Array.fill(w)(gray)
+    var y = 0
+    while (y < h) { img.getRaster.setSamples(0, y, w, 1, 0, row); y += 1 }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val FeatureDim = 8
+
+  /** Decode: real ImageIO for images, deterministic stub for the
+    * codec-less kinds. Batch shape (one iterator per partition, codec
+    * state initialized once) mirrors a production binding.
+    */
+  def decode(media: DataFrame): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("bytes")).as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition scratch a real decoder would allocate once
-        val featureDim = 8
+        ImageIO.setUseCache(false)
         it.map { case (id, kind, bytes) =>
-          val n = bytes.length
-          // ??? real codec call goes here; deterministic fake below
-          val width = 64 + (n % 512)
-          val height = 64 + ((n * 7) % 512)
-          val frames = if (kind == "video") 1 + (n % 240) else 1
-          val rate = if (kind == "audio") 16000 else 0
-          val feature = Array.tabulate(featureDim) { i =>
-            if (n == 0) 0f
-            else (bytes(i * Math.max(1, n / featureDim) % n) & 0xff) / 255f
-          }
-          DecodedMedia(id, kind, width, height, frames, rate, feature)
+          (if (kind == "image") decodeImage(id, bytes) else None)
+            .getOrElse(stubDecode(id, kind, bytes))
         }
       }
+  }
+
+  /** Real image decode: dimensions from the codec; feature = per-band
+    * mean luminance (FeatureDim horizontal bands, 0..255 scale).
+    */
+  private def decodeImage(id: Long, bytes: Array[Byte]): Option[DecodedMedia] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        // raw raster samples, NOT getRGB: getRGB converts a grayscale
+        // raster through gray->sRGB gamma, turning stored level 3 into 28.
+        // Bands beyond the first three (alpha) are excluded.
+        val raster = img.getRaster
+        val nb = math.min(raster.getNumBands, 3)
+        val feature = Array.tabulate(FeatureDim) { band =>
+          val y0 = (h.toLong * band / FeatureDim).toInt
+          val y1 = math.max(y0 + 1, (h.toLong * (band + 1) / FeatureDim).toInt)
+          var acc = 0.0
+          var cnt = 0
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              var px = 0.0
+              while (b < nb) { px += raster.getSample(x, y, b); b += 1 }
+              acc += px / nb
+              cnt += 1
+              x += 1
+            }
+            y += 1
+          }
+          if (cnt == 0) 0f else (acc / cnt).toFloat
+        }
+        DecodedMedia(id, "image", w, h, 1, 0, feature, decoded_real = true)
+      }
+    } catch { case _: Exception => None } // not a decodable image -> stub
+
+  /** The deterministic fake (audio/video, and undecodable image bytes). */
+  private def stubDecode(id: Long, kind: String, bytes: Array[Byte]): DecodedMedia = {
+    val n = bytes.length
+    val width = 64 + (n % 512)
+    val height = 64 + ((n * 7) % 512)
+    val frames = if (kind == "video") 1 + (n % 240) else 1
+    val rate = if (kind == "audio") 16000 else 0
+    val feature = Array.tabulate(FeatureDim) { i =>
+      if (n == 0) 0f
+      else (bytes(i * Math.max(1, n / FeatureDim) % n) & 0xff) / 255f
+    }
+    DecodedMedia(id, kind, width, height, frames, rate, feature, decoded_real = false)
   }
 
   /** Binary-level stats — pure Column ops, no decode needed. */

@@ -78,28 +78,60 @@ class TextAnalysisSpec extends GraftSparkSpec {
     assert(one("", TextAnalysis.qualityScore(col("text"))).getDouble(0) == 0.3)
   }
 
-  test("multimodal decode stub: deterministic shapes, kind-dependent fields") {
+  test("multimodal decode: stub path deterministic shapes, kind-dependent fields") {
     val docs = Seq((0L, "abcdef", "en", "s", 6L), (1L, "xy", "en", "s", 2L),
       (2L, "video content here", "en", "s", 18L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val media = graft.multimodal.Multimodal.fromDocuments(docs)
-    val decoded = graft.multimodal.Multimodal.decodeStub(media).collect()
+    val decoded = graft.multimodal.Multimodal.decode(media).collect()
       .map(d => d.media_id -> d).toMap
+    // doc 0 is image-kind but carries TEXT bytes: ImageIO can't decode
+    // them, so it must take the honest stub fallback, flagged as such
     assert(decoded(0L).kind == "image" && decoded(0L).n_frames == 1 && decoded(0L).sample_rate == 0)
-    assert(decoded(1L).kind == "audio" && decoded(1L).sample_rate == 16000)
+    assert(!decoded(0L).decoded_real)
+    assert(decoded(1L).kind == "audio" && decoded(1L).sample_rate == 16000 && !decoded(1L).decoded_real)
     assert(decoded(2L).kind == "video" && decoded(2L).n_frames == 1 + 18 % 240)
     assert(decoded(0L).feature.length == 8)
     // deterministic across runs
-    val again = graft.multimodal.Multimodal.decodeStub(media).collect()
+    val again = graft.multimodal.Multimodal.decode(media).collect()
       .map(d => d.media_id -> d.feature.toSeq).toMap
     assert(decoded.map { case (k, v) => k -> v.feature.toSeq } == again)
+  }
+
+  test("multimodal decode: REAL ImageIO decode of PNG payloads (dims + luminance from the codec)") {
+    import graft.multimodal.Multimodal
+    // doc_ids congruent 0 mod 3 -> image kind; synthetic payloads are
+    // (16 + id%32) x (16 + 7id%32) solid-gray PNGs of level id%256
+    val docs = Seq((0L, "ignored", "en", "s", 7L), (3L, "ignored", "en", "s", 7L),
+      (300L, "ignored", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.withSyntheticImagePayloads(Multimodal.fromDocuments(docs))
+    val decoded = Multimodal.decode(media).collect().map(d => d.media_id -> d).toMap
+    for (id <- Seq(0L, 3L, 300L)) {
+      val d = decoded(id)
+      assert(d.decoded_real, s"image $id did not take the real codec path")
+      assert(d.width == 16 + (id % 32).toInt, s"id=$id width=${d.width}")
+      assert(d.height == 16 + ((id * 7) % 32).toInt, s"id=$id height=${d.height}")
+      assert(d.n_frames == 1 && d.sample_rate == 0)
+      // solid-gray image: every band's mean luminance IS the gray level
+      assert(d.feature.length == 8 && d.feature.forall(_ == (id % 256).toFloat),
+        s"id=$id feature=${d.feature.toSeq}")
+    }
+    // a hand-built RGB PNG with asymmetric dims decodes to exactly those dims
+    val img = new java.awt.image.BufferedImage(37, 11, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val custom = Seq((9L, "image", bos.toByteArray))
+      .toDF("media_id", "kind", "bytes")
+    val cd = Multimodal.decode(custom).collect().head
+    assert(cd.decoded_real && cd.width == 37 && cd.height == 11, s"got $cd")
   }
 
   test("multimodal resize preserves aspect ratio; frame sampling strides video only") {
     import graft.multimodal.Multimodal
     val docs = Seq((2L, "x" * 500, "en", "s", 500L)) // doc_id 2 -> video kind
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val decoded = Multimodal.decodeStub(Multimodal.fromDocuments(docs))
+    val decoded = Multimodal.decode(Multimodal.fromDocuments(docs))
     val d = decoded.collect().head
     val resized = Multimodal.resizeStub(decoded, maxSide = 100).collect().head
     assert(math.max(resized.width, resized.height) <= 100)
