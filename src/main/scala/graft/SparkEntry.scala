@@ -444,8 +444,119 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), col("width"), col("height"),
           col("n_frames"), col("sample_rate"), col("decoded_real"))
+    }),
+
+    // ---- recall gates for the candidate-generation families ----
+    // Each plants EXACT twins (structural ground truth the oracle
+    // recomputes from the base tables) and reports recall over the truth
+    // set as a deterministic scalar. The guarantee making the value
+    // oracle-predictable: exact copies collide in every minhash band /
+    // simhash chunk / winnow fingerprint bucket (uncapped), and an exact
+    // twin vector shares every LSH signature + coarse cell, then wins
+    // the exact re-rank at cosine 1.0.
+    //
+    // The near-dup gates run UNCAPPED (that is the guarantee under
+    // test), so their corpus is bounded to a fixed 500-doc slice —
+    // recall evidence doesn't improve with corpus size, but an uncapped
+    // pair join's cost does (winnow at sf0.1 was 188s unbounded).
+
+    "q39_minhash_recall" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < gateDocs)
+      val corpus = docs.unionByName(twinDocs(docs))
+      val pairs = graft.textops.NearDup.minhashPairs(
+        corpus, "doc_id", "text", threshold = 0.9, maxBucketSize = Long.MaxValue)
+      val truth = docs
+        .filter(size(graft.textops.NearDup.hashedShingles(col("text"), 3)) > 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      recallOf("minhash", truth, pairs)
+    }),
+
+    "q40_simhash_recall" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < gateDocs)
+      val corpus = docs.unionByName(twinDocs(docs))
+      val pairs = graft.textops.NearDup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      val truth = docs
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      recallOf("simhash", truth, pairs)
+    }),
+
+    "q41_winnow_recall" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < gateDocs)
+      val corpus = docs.unionByName(twinDocs(docs))
+      val pairs = graft.textops.NearDup.winnowPairs(
+        corpus, "doc_id", "text", minSharedRatio = 0.5, maxBucketSize = Long.MaxValue)
+      val truth = docs.filter(length(col("text")) >= 5) // k=5: below one k-gram -> no fingerprints
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      recallOf("winnow", truth, pairs)
+    }),
+
+    "q42_lsh_twin_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val res = graft.vector.Ann.lshTopK(
+        twinEmbeddings(emb), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5, nPlanes = 4)
+      twinRecallOf("ann_lsh", res)
+    }),
+
+    "q43_ivf_twin_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val res = graft.vector.Ivf.ivfTopK(
+        twinEmbeddings(emb), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6)
+      twinRecallOf("ann_ivf", res)
+    }),
+
+    "q44_pq_twin_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val res = graft.vector.Pq.ivfPqTopK(
+        twinEmbeddings(emb), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6, m = 8, ks = 64, refine = 8)
+      twinRecallOf("ann_pq", res)
     })
   )
+
+  /** Fixed corpus bound for the uncapped near-dup recall gates. */
+  private val gateDocs = 500
+
+  /** Exact-copy documents shifted by 100000 — the planted truth set for
+    * the near-dup recall gates.
+    */
+  private def twinDocs(docs: DataFrame): DataFrame =
+    docs.select((col("doc_id") + 100000).as("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars"))
+
+  /** Embeddings plus an exact twin of every vector (vec_id + 100000) —
+    * for each query the true nearest non-self neighbor is its twin at
+    * cosine 1.0, which the oracle re-derives by brute force.
+    */
+  private def twinEmbeddings(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.select(
+        (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+
+  /** (family, n_truth, n_found, recall_x10000) for a truth pair set vs a
+    * found pair set.
+    */
+  private def recallOf(family: String, truth: DataFrame, pairs: DataFrame): DataFrame =
+    truth
+      .join(pairs.select(col("id_a"), col("id_b")).withColumn("_hit", lit(1L)),
+        Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("_hit")), lit(0L)).as("n_found"))
+      .select(lit(family).as("family"), col("n_truth"), col("n_found"),
+        floor(lit(10000) * col("n_found") / col("n_truth")).cast("long").as("recall_x10000"))
+
+  /** Twin-recall@1 from an ANN result frame: the rank-1 neighbor of
+    * query q must be its planted twin q + 100000.
+    */
+  private def twinRecallOf(family: String, res: DataFrame): DataFrame =
+    res.filter(col("rank") === 1)
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("neighbor_id") === col("query_id") + 100000, 1L).otherwise(0L)).as("n_found"))
+      .select(lit(family).as("family"), col("n_truth"), col("n_found"),
+        floor(lit(10000) * col("n_found") / col("n_truth")).cast("long").as("recall_x10000"))
 
   /** Embeddings plus one near-duplicate of each (every element +0.01,
     * double arithmetic — expressible identically in DuckDB's
@@ -887,6 +998,65 @@ object SparkEntry {
         |  CAST(CASE WHEN kind = 'video' THEN 1 + (n % 240) ELSE 1 END AS INT) AS n_frames,
         |  CAST(CASE WHEN kind = 'audio' THEN 16000 ELSE 0 END AS INT) AS sample_rate,
         |  (kind = 'image') AS decoded_real
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // ---- recall-gate oracles ----
+    // Near-dup families: the oracle derives the TRUTH-SET SIZE from the
+    // base table (same eligibility rule as the Spark side) and asserts
+    // full recall — which the uncapped exact-twin construction
+    // guarantees (identical text => identical bands/chunks/fingerprints,
+    // exact verify passes at jaccard 1 / hamming 0 / containment 1).
+    // Token-parity with TokenShingles is the q24-proven expression.
+    "q39_minhash_recall" ->
+      """SELECT 'minhash' AS family,
+        |  count(*) AS n_truth, count(*) AS n_found,
+        |  CAST(10000 AS BIGINT) AS recall_x10000
+        |FROM documents
+        |WHERE doc_id < 500 AND len(list_filter(
+        |  string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), t -> t != '')) >= 3""".stripMargin,
+
+    "q40_simhash_recall" ->
+      """SELECT 'simhash' AS family,
+        |  count(*) AS n_truth, count(*) AS n_found,
+        |  CAST(10000 AS BIGINT) AS recall_x10000
+        |FROM documents WHERE doc_id < 500""".stripMargin,
+
+    "q41_winnow_recall" ->
+      """SELECT 'winnow' AS family,
+        |  count(*) AS n_truth, count(*) AS n_found,
+        |  CAST(10000 AS BIGINT) AS recall_x10000
+        |FROM documents WHERE doc_id < 500 AND length(text) >= 5""".stripMargin,
+
+    // ANN families: the oracle RECOMPUTES the ground truth by brute
+    // force over the twin-planted corpus (top-1 per query by exact
+    // cosine, ties by neighbor id — the same ordering the Spark side
+    // ranks with) and counts how many top-1s are the planted twin. The
+    // ANN result must agree exactly.
+    "q42_lsh_twin_recall" -> annTwinOracleSql("ann_lsh"),
+    "q43_ivf_twin_recall" -> annTwinOracleSql("ann_ivf"),
+    "q44_pq_twin_recall" -> annTwinOracleSql("ann_pq")
   )
+
+  private def annTwinOracleSql(family: String): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings),
+       |c AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM base),
+       |q AS (SELECT vec_id AS qid, v AS qv, n AS qn FROM c WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT qid, c.vec_id AS nid,
+       |         list_dot_product(c.v, qv) / (c.n * qn) AS cos
+       |  FROM c CROSS JOIN q WHERE c.vec_id != qid),
+       |top1 AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS r
+       |    FROM scored) WHERE r = 1)
+       |SELECT '$family' AS family,
+       |  count(*) AS n_truth,
+       |  count(*) FILTER (WHERE nid = qid + 100000) AS n_found,
+       |  CAST(floor(10000.0 * (count(*) FILTER (WHERE nid = qid + 100000)) / count(*))
+       |       AS BIGINT) AS recall_x10000
+       |FROM top1""".stripMargin
 }

@@ -35,7 +35,7 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    DotProductExpr.eval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+    DotProductExpr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       leftFloat, rightFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -45,7 +45,7 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
       // interpreted fallback)
       val dp = ctx.freshName("dp")
       s"""
-         |Double $dp = graft.vector.DotProductExpr.eval($a, $b, $leftFloat, $rightFloat);
+         |Double $dp = graft.vector.DotProductExpr.dot($a, $b, $leftFloat, $rightFloat);
          |${ev.isNull} = $dp == null;
          |${ev.value} = ${ev.isNull} ? -1.0 : $dp.doubleValue();
        """.stripMargin
@@ -57,8 +57,15 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
 }
 
 object DotProductExpr {
-  /** Boxed so codegen can express the null (length-mismatch) case. */
-  def eval(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+  /** Boxed so codegen can express the null (length-mismatch) case.
+    *
+    * Named `dot`, NOT `eval`: the companion class inherits
+    * `eval(InternalRow)` from Expression, and a same-name object method
+    * suppresses the Java static forwarder — generated code then fails to
+    * compile ("no applicable method") and the whole stage silently falls
+    * back to interpreted eval.
+    */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
     var acc = 0.0
