@@ -31,11 +31,20 @@ object Triage {
       csv: Boolean = false,
       noColour: Boolean = false,
       emailTo: Option[String] = None,
-      limit: Int = Int.MaxValue,
+      limit: Int = Args.DefaultLimit,
       filters: FilterOptions = FilterOptions())
 
+  object Args {
+    /** Default driver-side row cap for the terminal/CSV sinks. The
+      * reference prints everything (pandas holds the whole frame
+      * anyway); at engine scale an unbounded `collect()` is a driver
+      * OOM, so display is bounded unless the user passes `--limit 0`.
+      */
+    val DefaultLimit = 100000
+  }
+
   @tailrec
-  private def parse(rest: List[String], a: Args): Args = rest match {
+  private[cli] def parse(rest: List[String], a: Args): Args = rest match {
     case Nil => a
     case "--path" :: v :: t => parse(t, a.copy(paths = a.paths :+ v))
     case "--stage" :: v :: t => parse(t, a.copy(stageDir = Some(v)))
@@ -46,6 +55,13 @@ object Triage {
     case "--time-offset" :: v :: t => parse(t, a.copy(timeOffset = v.toLong))
     case "--cluster-off" :: t => parse(t, a.copy(clusterOff = true))
     case "--csv" :: t => parse(t, a.copy(csv = true))
+    // reference triage.py:62-65: -o/--output-format csv|table
+    case ("-o" | "--output-format") :: v :: t => v match {
+      case "csv" => parse(t, a.copy(csv = true))
+      case "table" => parse(t, a.copy(csv = false))
+      case other => throw new IllegalArgumentException(
+        s"--output-format must be csv or table, got: $other")
+    }
     case "--no-colour" :: t => parse(t, a.copy(noColour = true))
     case "--email" :: v :: t => parse(t, a.copy(emailTo = Some(v)))
     case "--limit" :: v :: t => parse(t, a.copy(limit = v.toInt))
@@ -60,6 +76,9 @@ object Triage {
     case "--uripath-keyword" :: v :: t => parse(t, a.copy(filters = a.filters.copy(uriInclude = strs(v))))
     case "--ignore-uripath-keyword" :: v :: t => parse(t, a.copy(filters = a.filters.copy(uriIgnore = strs(v))))
     case "--all-extension" :: t => parse(t, a.copy(filters = a.filters.copy(allExtension = true)))
+    // reference triage.py:160-166: REPLACES the config's static-extension
+    // ignore list (the config default applies only when the flag is absent)
+    case "--ignore-extension" :: v :: t => parse(t, a.copy(filters = a.filters.copy(extensionIgnore = strs(v))))
     case "--ip" :: v :: t => parse(t, a.copy(filters = a.filters.copy(ipInclude = strs(v))))
     case "--ignore-ip" :: v :: t => parse(t, a.copy(filters = a.filters.copy(ipIgnore = strs(v))))
     case "--user-agent" :: v :: t => parse(t, a.copy(filters = a.filters.copy(uaInclude = strs(v))))
@@ -82,6 +101,11 @@ object Triage {
     val args = parse(argv.toList, Args())
     require(args.paths.nonEmpty || args.fromStage.nonEmpty,
       "--path or --from-stage is required")
+    require(args.fromStage.isEmpty || args.timeOffset == 0,
+      "--time-offset cannot be combined with --from-stage: normalization " +
+        "(including the offset) ran when the stage was written. Re-stage " +
+        "with the desired offset instead.")
+    require(args.limit >= 0, "--limit must be >= 0 (0 = unbounded)")
 
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -148,23 +172,52 @@ object Triage {
       val out = graft.query.Filters(scored, filters, col("_row_id"))
 
       val display = Renderer.withMethodPath(out)
-      val rows = display.limit(args.limit).collect().toSeq
-      val text =
-        if (args.csv) Renderer.renderCsv(rows)
-        else Renderer.renderTable(rows, clusterEnabled = !args.clusterOff,
-          colour = !args.noColour)
 
-      args.emailTo match {
-        case Some(to) =>
-          val mailDir = java.nio.file.Paths.get(
-            sys.env.getOrElse("GRAFT_OUT_DIR", System.getProperty("java.io.tmpdir")),
-            "graft-mail").toString
-          EmailSink.send(new EmailSink.FileTransport(mailDir),
-            config.emailSmtpServer, config.emailSmtpPort, config.emailSender,
-            to, "WebLogHunter results", config.emailBody, Renderer.renderCsv(rows))
-          println(s"[*] Wrote email message for $to to $mailDir/")
-        case None => println(text)
+      // Unbounded CSV to stdout streams partition-at-a-time
+      // (toLocalIterator) — constant driver memory. Every other shape
+      // materializes: the table layout needs all rows for column widths,
+      // and the bounded default (--limit, Args.DefaultLimit) caps that
+      // collect so the driver survives engine-scale outputs.
+      if (args.limit == 0 && args.csv && args.emailTo.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        val n = Renderer.renderCsvStream(display.toLocalIterator().asScala, print)
+        if (n == 0) println("<EMPTY>")
+      } else {
+        val rows: Seq[org.apache.spark.sql.Row] =
+          if (args.limit == 0) {
+            import scala.jdk.CollectionConverters._
+            display.toLocalIterator().asScala.toVector
+          } else {
+            val fetch = if (args.limit == Int.MaxValue) args.limit else args.limit + 1
+            val r = display.limit(fetch).collect().toSeq
+            if (r.size > args.limit) {
+              System.err.println(s"[*] Output truncated to ${args.limit} rows " +
+                "(raise --limit, or --limit 0 for unbounded).")
+              r.take(args.limit)
+            } else r
+          }
+        emitRows(rows, args, config)
       }
     } finally spark.stop()
+  }
+
+  private def emitRows(rows: Seq[org.apache.spark.sql.Row], args: Args,
+      config: GraftConfig): Unit = {
+    val text =
+      if (args.csv) Renderer.renderCsv(rows)
+      else Renderer.renderTable(rows, clusterEnabled = !args.clusterOff,
+        colour = !args.noColour)
+
+    args.emailTo match {
+      case Some(to) =>
+        val mailDir = java.nio.file.Paths.get(
+          sys.env.getOrElse("GRAFT_OUT_DIR", System.getProperty("java.io.tmpdir")),
+          "graft-mail").toString
+        EmailSink.send(new EmailSink.FileTransport(mailDir),
+          config.emailSmtpServer, config.emailSmtpPort, config.emailSender,
+          to, "WebLogHunter results", config.emailBody, Renderer.renderCsv(rows))
+        println(s"[*] Wrote email message for $to to $mailDir/")
+      case None => println(text)
+    }
   }
 }

@@ -169,6 +169,27 @@ object Renderer {
     sb.toString
   }
 
+  /** K2 streaming: emit the same CSV text as [[renderCsv]] one line at a
+    * time (header from the first row's schema), so an unbounded
+    * `toLocalIterator` result never materializes on the driver. Returns
+    * the number of data rows written — 0 means nothing was emitted (the
+    * caller decides how to represent empty, matching renderCsv's
+    * `<EMPTY>`).
+    */
+  def renderCsvStream(rows: Iterator[Row], out: String => Unit): Long = {
+    if (!rows.hasNext) return 0L
+    val first = rows.next()
+    val present = first.schema.fieldNames.toSet
+    val cols = displayConfig.filter(c => c.csv && present.contains(c.name))
+    out(cols.map(_.header).mkString(",") + "\n")
+    var n = 0L
+    (Iterator.single(first) ++ rows).foreach { r =>
+      out(cols.map(c => escapeCsv(cell(r, c.name))).mkString(",") + "\n")
+      n += 1
+    }
+    n
+  }
+
   /** K2 distributed: write the csv column set with headers via the Spark
     * csv sink (for outputs too large to collect).
     */

@@ -281,6 +281,12 @@ object NearDup {
       nBlocks: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // VecRow.id is a primitive Long: a non-numeric id column would cast
+    // to null and NPE inside the deserializer — reject it up front
+    val idType = df.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"embeddingCosinePairs: id column '$idCol' must be numeric (castable to " +
+        s"long), got ${idType.simpleString}; hash or dense-rank string ids first")
     val base = df.select(
       col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"),

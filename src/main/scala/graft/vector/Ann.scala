@@ -20,6 +20,30 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** Cap on the query-frame size for the top-k APIs. Every top-k entry
+    * point broadcasts the query set (and [[Pq.ivfPqTopK]] additionally
+    * collects it to build ADC LUTs) — correct for the serving shape
+    * (thousands of probes against a huge corpus), an OOM for a
+    * corpus-sized query frame. The guard turns that OOM into a
+    * contract error; corpus×corpus similarity belongs to the pair APIs
+    * (`NearDup.embeddingCosinePairs` and the LSH bucket families).
+    */
+  val MaxQueries = 100000
+
+  /** Fail fast if `queries` exceeds `maxQueries` rows. The probe job is
+    * bounded: `limit(n+1).count()` stops scanning at n+1 rows.
+    */
+  private[vector] def requireBoundedQueries(
+      queries: DataFrame, maxQueries: Int, api: String): Unit = {
+    require(maxQueries > 0, s"$api: maxQueries must be positive, got $maxQueries")
+    val probed = queries.limit(maxQueries + 1).count()
+    if (probed > maxQueries) throw new IllegalArgumentException(
+      s"$api: query frame exceeds maxQueries=$maxQueries rows; the query set is " +
+        "broadcast (and LUT-collected for PQ) by contract. Batch the query frame, " +
+        "raise maxQueries deliberately, or use the pairwise APIs " +
+        "(NearDup.embeddingCosinePairs / LSH families) for corpus-vs-corpus shapes.")
+  }
+
   def l2norm(v: Column): Column =
     sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
@@ -37,7 +61,8 @@ object Ann {
   def cosineTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxQueries: Int = MaxQueries): DataFrame = {
+    requireBoundedQueries(queries, maxQueries, "cosineTopK")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       l2norm(col(vecCol)).as("_cn"))
     val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("_qv"),
@@ -81,11 +106,13 @@ object Ann {
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nPlanes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
+      k: Int, nPlanes: Int = 4, tables: Int = 8, dim: Int = 64,
+      maxQueries: Int = MaxQueries): DataFrame = {
     // One signature expression over ALL tables' planes; table t's bucket
     // key is its nPlanes-bit slice. 8 separate signature expressions
     // would each re-materialize the vector.
     require(nPlanes * tables <= 64, "sign bits must fit a long")
+    requireBoundedQueries(queries, maxQueries, "lshTopK")
     val planes = hyperplanes(nPlanes * tables, dim)
     val mask = (1L << nPlanes) - 1
     def sigs(v: Column): Column = {

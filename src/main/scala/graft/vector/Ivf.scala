@@ -226,7 +226,9 @@ object Ivf {
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int, nlist: Int = 16, nprobe: Int = 4,
+      maxQueries: Int = Ann.MaxQueries): DataFrame = {
+    Ann.requireBoundedQueries(queries, maxQueries, "ivfTopK")
     val centroids = fitCentroids(corpus, vecCol, nlist)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       Ann.l2norm(col(vecCol)).as("_cn"),

@@ -89,7 +89,11 @@ object Pq {
     */
   def adcScore(qid: Long, codes: ArrayData, luts: java.util.HashMap[Long, Array[Array[Double]]]): Double = {
     val lut = luts.get(qid)
-    if (lut == null) return Double.NegativeInfinity
+    // a qid the driver never collected means the scored frame and the
+    // LUT set diverged — fail loudly rather than rank the pair last
+    if (lut == null) throw new IllegalStateException(
+      s"pq_adc_score: query id $qid has no ADC lookup table; the scored frame " +
+        "contains a query the driver did not collect LUTs for")
     var acc = 0.0
     var s = 0
     val m = codes.numElements()
@@ -155,7 +159,9 @@ object Pq {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 8, ks: Int = 64, refine: Int = 4, seed: Long = 42L): DataFrame = {
+      m: Int = 8, ks: Int = 64, refine: Int = 4, seed: Long = 42L,
+      maxQueries: Int = Ann.MaxQueries): DataFrame = {
+    require(maxQueries > 0, s"ivfPqTopK: maxQueries must be positive, got $maxQueries")
     // one bounded sample feeds BOTH quantizers, through the shared
     // training recipe (the DataFrame fitCentroids would re-count and
     // re-collect the identical sample)
@@ -163,10 +169,19 @@ object Pq {
     val centroids = Ivf.fitCentroids(sample, nlist, seed, iters = 10)
     val codebooks = fitCodebooks(sample, m, ks, seed)
 
-    // Per-query LUTs from the (bounded, broadcast-by-contract) query set
+    // Per-query LUTs from the bounded, broadcast-by-contract query set.
+    // The limit makes the guard and the collect one bounded job: one row
+    // past maxQueries proves the contract violation without fetching a
+    // corpus-sized frame first.
     val qRows = queries.select(
       col(qidCol).cast("long").as("query_id"),
-      transform(col(qvecCol), x => x.cast("double")).as("_qv")).collect()
+      transform(col(qvecCol), x => x.cast("double")).as("_qv"))
+      .limit(maxQueries + 1).collect()
+    if (qRows.length > maxQueries) throw new IllegalArgumentException(
+      s"ivfPqTopK: query frame exceeds maxQueries=$maxQueries rows; the query set " +
+        "is collected for ADC LUTs and broadcast by contract. Batch the query " +
+        "frame, raise maxQueries deliberately, or use the pairwise APIs for " +
+        "corpus-vs-corpus shapes.")
     val luts = new java.util.HashMap[Long, Array[Array[Double]]]()
     qRows.foreach { r =>
       val qid = r.getLong(0)

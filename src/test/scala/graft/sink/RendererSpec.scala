@@ -58,6 +58,24 @@ class RendererSpec extends GraftSparkSpec {
     assert(Renderer.renderCsv(Nil) == "<EMPTY>")
   }
 
+  test("renderCsvStream emits byte-identical text to renderCsv") {
+    val df = Seq(
+      ("a.log", "ts", "1.1.1.1", "GET /x,y", 200, 512L, "say \"hi\"", "-", 2L, 71.5, "R1", 1L, "T1"),
+      ("a.log", "ts2", "1.1.1.2", "GET /z", 404, 0L, "curl", "-", 1L, 0.0, "", 1L, ""))
+      .toDF("source", "timestamp", "ip", "method_path", "status", "resp_size",
+        "user_agent", "referrer", "request_count", "risk_score", "rule_applied",
+        "cluster", "tool")
+    val rows = df.collect().toSeq
+    val sb = new StringBuilder
+    val n = Renderer.renderCsvStream(rows.iterator, s => sb.append(s))
+    assert(n == 2L)
+    assert(sb.toString == Renderer.renderCsv(rows))
+    // empty iterator writes nothing and reports 0
+    val sb2 = new StringBuilder
+    assert(Renderer.renderCsvStream(Iterator.empty, s => sb2.append(s)) == 0L)
+    assert(sb2.isEmpty)
+  }
+
   test("email message is a complete multipart MIME with base64 csv") {
     val msg = EmailSink.buildMessage("a@x", "b@y", "subj", "body", "h1,h2\nv1,v2\n")
     assert(msg.contains("Content-Type: multipart/mixed"))

@@ -140,4 +140,11 @@ class NearDupSpec extends GraftSparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("embedding cosine pairs: non-numeric id column is rejected up front") {
+    val df = Seq(("a", Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException](
+      NearDup.embeddingCosinePairs(df, "id", "vec", threshold = 0.9))
+    assert(e.getMessage.contains("must be numeric"))
+  }
 }

@@ -93,4 +93,28 @@ class AnnSpec extends GraftSparkSpec {
     val p2 = Ann.hyperplanes(4, 8)
     assert(p1.flatten.toSeq == p2.flatten.toSeq)
   }
+
+  test("over-limit query frame is a contract error, not an OOM") {
+    val queries = emb.limit(5)
+    // every top-k entry point guards the broadcast/collect contract
+    val eBrute = intercept[IllegalArgumentException](
+      Ann.cosineTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 2, maxQueries = 3))
+    assert(eBrute.getMessage.contains("maxQueries=3"))
+    val eLsh = intercept[IllegalArgumentException](
+      Ann.lshTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 2, maxQueries = 3))
+    assert(eLsh.getMessage.contains("maxQueries=3"))
+    val eIvf = intercept[IllegalArgumentException](
+      Ivf.ivfTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 2, maxQueries = 3))
+    assert(eIvf.getMessage.contains("maxQueries=3"))
+    val ePq = intercept[IllegalArgumentException](
+      Pq.ivfPqTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 2, maxQueries = 3))
+    assert(ePq.getMessage.contains("maxQueries=3"))
+    // at the limit it still runs
+    assert(Ann.cosineTopK(emb, "vec_id", "embedding", emb.limit(3), "vec_id",
+      "embedding", k = 2, maxQueries = 3).count() > 0)
+  }
 }
