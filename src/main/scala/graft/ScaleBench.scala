@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale evidence runner (round-3 VERDICT #7): one order of magnitude
+  * above the per-round bench, plus a deliberately hot-keyed corpus.
+  *
+  * Phase 0 materializes an sf≈1 dataset under `GRAFT_SCALE_DIR` by
+  * replicating the sf0.1 parquet with key offsets (replica r shifts
+  * event/user/doc/vec ids into its own range, so key cardinality grows
+  * 10x with the data — reading the result back from parquet keeps
+  * generation cost out of the timings and the scans realistic).
+  *
+  * Phase 1 times the headline operator families at that scale.
+  *
+  * Phase 2 rebuilds the events with ONE (source, ip) pair owning half of
+  * all rows and times [[graft.session.Sessionizer.withClusters]] against
+  * [[graft.session.Sessionizer.withClustersChunked]], asserting their
+  * outputs are identical — the measured evidence behind the chunked
+  * variant's skew claim (its per-task unit is a bounded time chunk, so a
+  * hot key no longer serializes into one task-sized sort).
+  *
+  * Emits one JSON line per measurement:
+  *   {"bench":"scale","workload":...,"sec":...,"rows":...}
+  */
+object ScaleBench {
+
+  private def force(df: DataFrame): Long = {
+    val h = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+    df.select(h.as("_h")).agg(expr("bit_xor(_h)"), count(lit(1))).collect()(0).getLong(1)
+  }
+
+  /** Longest single task in the measured window. Wall-clock on one box
+    * under-reports stragglers (idle cores absorb them); on a real
+    * cluster every other executor WAITS on the longest task, so
+    * max-task is the metric a hot key actually moves.
+    */
+  private val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def timed(name: String, df: => DataFrame): Long = {
+    maxTaskMs.set(0)
+    val t0 = System.nanoTime()
+    val rows = force(df)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val mt = maxTaskMs.get() / 1e3
+    println(f"""{"bench":"scale","workload":"$name","sec":$sec%.2f,"max_task_sec":$mt%.2f,"rows":$rows}""")
+    rows
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = t.taskInfo.duration
+        var cur = maxTaskMs.get()
+        while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+      }
+    })
+
+    // ---- phase 0: materialize the scaled dataset ----
+    val rep = explode(sequence(lit(0L), lit(replicas - 1L))).as("_r")
+
+    val events = spark.read.parquet(s"$baseDir/events.parquet")
+      .select(col("*"), rep)
+      .select(
+        (col("event_id") + col("_r") * lit(1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("_r") * lit(1000000L)).as("user_id"),
+        col("event_type"), col("value"))
+    events.write.mode("overwrite").parquet(s"$outDir/events")
+
+    // replica tag appended to the text: replicas are near-dups of their
+    // original (realistic for web corpora), not byte-identical copies
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      .select(col("*"), rep)
+      .select(
+        (col("doc_id") + col("_r") * lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" replica"), col("_r")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    docs.write.mode("overwrite").parquet(s"$outDir/documents")
+
+    val embBase = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val emb = embBase
+      .select(col("*"), rep)
+      .select(
+        (col("vec_id") + col("_r") * lit(1000000L)).as("vec_id"),
+        // small per-replica rotation of the first component keeps the
+        // replicas distinct vectors while preserving the distribution
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + col("_r").cast("float") * lit(0.001f))
+            .otherwise(x)).as("embedding"))
+    emb.write.mode("overwrite").parquet(s"$outDir/embeddings")
+
+    val ev = spark.read.parquet(s"$outDir/events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val logs = ev.select(
+      col("event_id"),
+      col("event_type").as("source"),
+      col("user_id").cast("string").as("ip"),
+      col("ts").as("utc_timestamp"))
+    val sdocs = spark.read.parquet(s"$outDir/documents")
+    val semb = spark.read.parquet(s"$outDir/embeddings")
+    println(s"""{"bench":"scale","workload":"generate","events":${ev.count()},""" +
+      s""""documents":${sdocs.count()},"embeddings":${semb.count()},"replicas":$replicas}""")
+
+    // warmup (same rationale as Bench)
+    timed("warmup_window_count", logs.withColumn("_c",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("ip")))))
+
+    // ---- phase 1: headline operators at sf~1 ----
+    timed("sessionize", graft.session.Sessionizer
+      .withClusters(logs, threshold = 300L).select(col("event_id"), col("cluster")))
+    timed("sessionize_chunked", graft.session.Sessionizer
+      .withClustersChunked(logs, threshold = 300L, chunkSeconds = 3600L)
+      .select(col("event_id"), col("cluster")))
+    timed("dedup_exact", graft.operators.Dedup.exact(
+      ev, Seq(col("user_id"), col("event_type"), col("value")), col("event_id")))
+    timed("minhash_lsh_pairs", graft.textops.NearDup.minhashPairs(
+      sdocs, "doc_id", "text", threshold = 0.9))
+    timed("ann_ivf_topk", graft.vector.Ivf.ivfTopK(
+      semb, "vec_id", "embedding",
+      semb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, nlist = 64, nprobe = 8))
+
+    // ---- phase 2: hot-key skew duel ----
+    // one (source, ip) pair owns every even event_id = 50% of all rows;
+    // separately scaled (default 100x base = 10M rows, 5M in the hot
+    // key) because the chunked variant's win only appears once the hot
+    // group's single-task sort dominates — at 1M total rows a 500k-row
+    // in-memory sort is still cheaper than the chunked path's extra
+    // shuffle+join.
+    val skewReplicas = sys.env.getOrElse("SPARK_GRAFT_SKEW_REPLICAS", "100").toLong
+    val skRep = explode(sequence(lit(0L), lit(skewReplicas - 1L))).as("_r")
+    val skBase = spark.read.parquet(s"$baseDir/events.parquet")
+      .select(col("*"), skRep)
+      .select(
+        (col("event_id") + col("_r") * lit(1000000000L)).as("event_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("utc_timestamp"),
+        (col("user_id") + col("_r") * lit(1000000L)).as("user_id"),
+        col("event_type"))
+    val skewed = skBase.select(
+      col("event_id"),
+      when(col("event_id") % 2 === 0, lit("weblog")).otherwise(col("event_type")).as("source"),
+      when(col("event_id") % 2 === 0, lit("198.51.100.66"))
+        .otherwise(col("user_id").cast("string")).as("ip"),
+      col("utc_timestamp"))
+    skewed.write.mode("overwrite").parquet(s"$outDir/events_skewed")
+    val sk = spark.read.parquet(s"$outDir/events_skewed")
+    println(s"""{"bench":"scale","workload":"skew_generate","rows":${sk.count()},""" +
+      s""""hot_rows":${sk.filter(col("ip") === "198.51.100.66").count()}}""")
+
+    timed("skew_sessionize_monolithic", graft.session.Sessionizer
+      .withClusters(sk, threshold = 300L).select(col("event_id"), col("cluster")))
+    timed("skew_sessionize_chunked", graft.session.Sessionizer
+      .withClustersChunked(sk, threshold = 300L, chunkSeconds = 3600L)
+      .select(col("event_id"), col("cluster")))
+
+    // equality: the two physical shapes must produce identical clusters.
+    // Materialize each side first — a full join over two live 10M-row
+    // sessionize chains runs both hot-key sorts concurrently and
+    // exhausts execution memory; two cheap (event_id, cluster) parquet
+    // dumps serialize the expensive parts.
+    graft.session.Sessionizer.withClusters(sk, threshold = 300L)
+      .select(col("event_id"), col("cluster").as("_ca"))
+      .write.mode("overwrite").parquet(s"$outDir/skew_clusters_mono")
+    graft.session.Sessionizer.withClustersChunked(sk, threshold = 300L, chunkSeconds = 3600L)
+      .select(col("event_id"), col("cluster").as("_cb"))
+      .write.mode("overwrite").parquet(s"$outDir/skew_clusters_chunked")
+    val mismatches = spark.read.parquet(s"$outDir/skew_clusters_mono")
+      .join(spark.read.parquet(s"$outDir/skew_clusters_chunked"), Seq("event_id"), "full")
+      .filter(col("_ca").isNull || col("_cb").isNull || col("_ca") =!= col("_cb"))
+      .count()
+    println(s"""{"bench":"scale","workload":"skew_equality","mismatches":$mismatches}""")
+    if (mismatches != 0)
+      throw new IllegalStateException(s"chunked sessionizer diverged under skew: $mismatches rows")
+
+    spark.stop()
+  }
+}
