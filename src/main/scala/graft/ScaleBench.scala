@@ -136,6 +136,24 @@ object ScaleBench {
       semb.filter(col("vec_id") < 20), "vec_id", "embedding",
       k = 5, nlist = 64, nprobe = 8))
 
+    // ---- phase 1b: adversarial boilerplate corpus for simhash ----
+    // Template text with one low-cardinality varying token: fingerprints
+    // collapse onto few values, so every chunk bucket holds O(n/97) docs
+    // and the uncapped pair join goes quadratic. Uncapped runs at 5k docs
+    // (measurable); the capped default (q26's 1000) must stay flat at
+    // 50k.
+    def boiler(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("terms of service for account tier "), col("id") % 97,
+          lit(" all rights reserved standard clause applies without warranty " +
+            "of any kind either express or implied including merchantability")).as("text"))
+    timed("simhash_adversarial_5k_uncapped", graft.textops.NearDup.simhashPairs(
+      boiler(5000), "doc_id", "text", maxHamming = 6))
+    timed("simhash_adversarial_5k_capped", graft.textops.NearDup.simhashPairs(
+      boiler(5000), "doc_id", "text", maxHamming = 6, maxBucketSize = 1000))
+    timed("simhash_adversarial_50k_capped", graft.textops.NearDup.simhashPairs(
+      boiler(50000), "doc_id", "text", maxHamming = 6, maxBucketSize = 1000))
+
     // ---- phase 2: hot-key skew duel ----
     // one (source, ip) pair owns every even event_id = 50% of all rows;
     // separately scaled (default 100x base = 10M rows, 5M in the hot

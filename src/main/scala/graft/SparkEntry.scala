@@ -344,10 +344,15 @@ object SparkEntry {
         plantedDocs(s, dir), "doc_id", "text", threshold = 0.5)
     }),
 
-    // SimHash near-dup over the planted corpus (rows-only)
+    // SimHash near-dup over the planted corpus (rows-only). Capped:
+    // boilerplate corpora collapse chunk buckets and an uncapped bucket
+    // goes quadratic (ScaleBench's simhash_adversarial_* workloads
+    // measure it); the cap never binds on the planted corpus
+    // (NearDupSpec pins capped == uncapped there), and the uncapped
+    // guarantee is exercised by q40_simhash_recall on its bounded slice.
     "q26_simhash" -> ((s, dir) => {
       graft.textops.NearDup.simhashPairs(
-        plantedDocs(s, dir), "doc_id", "text", maxHamming = 6)
+        plantedDocs(s, dir), "doc_id", "text", maxHamming = 6, maxBucketSize = 1000)
     }),
 
     // brute-force exact cosine top-5 for the first 20 vectors

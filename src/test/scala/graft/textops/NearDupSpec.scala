@@ -141,6 +141,16 @@ class NearDupSpec extends GraftSparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("q26's bucket cap never binds on the planted corpus (capped == uncapped)") {
+    val planted = graft.SparkEntry.plantedDocs(spark, "/root/testdata/sf0.001")
+    def pairs(cap: Long) = NearDup
+      .simhashPairs(planted, "doc_id", "text", maxHamming = 6, maxBucketSize = cap)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(0)
+    assert(pairs(1000) == uncapped)
+    assert(uncapped.nonEmpty)
+  }
+
   test("embedding cosine pairs: non-numeric id column is rejected up front") {
     val df = Seq(("a", Seq(1.0f, 0.0f))).toDF("id", "vec")
     val e = intercept[IllegalArgumentException](
