@@ -444,8 +444,9 @@ object SparkEntry {
     // the codec's output), deterministic stub for audio/video
     "q30_decode" -> ((s, dir) => {
       graft.multimodal.Multimodal.decode(
-        graft.multimodal.Multimodal.withSyntheticImagePayloads(
-          graft.multimodal.Multimodal.fromDocuments(table(s, dir, "documents"))))
+        graft.multimodal.Multimodal.withSyntheticAudioPayloads(
+          graft.multimodal.Multimodal.withSyntheticImagePayloads(
+            graft.multimodal.Multimodal.fromDocuments(table(s, dir, "documents")))))
         .toDF()
         .select(col("media_id"), col("width"), col("height"),
           col("n_frames"), col("sample_rate"), col("decoded_real"))
@@ -519,6 +520,41 @@ object SparkEntry {
         emb.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 5, nlist = 16, nprobe = 6, m = 8, ks = 64, refine = 8)
       twinRecallOf("ann_pq", res)
+    }),
+
+    // PII scrub: deterministic planted emails/IPs/SSNs (by doc_id mod 4;
+    // one class in four docs stays clean), counts + redacted text — the
+    // oracle replants and re-redacts with the SAME pattern strings
+    "q45_pii" -> ((s, dir) => {
+      val planted = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 1,
+            concat(lit(" from 10."), col("doc_id") % 256, lit(".0."), col("doc_id") % 100))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 2,
+            concat(lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+      graft.textops.Pii.withPiiStats(planted, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_ssn"), col("redacted"))
+    }),
+
+    // As-of join: every event aligned to its user's most recent
+    // checkpoint (events with event_id % 10 == 0) at or before it —
+    // DuckDB's native ASOF LEFT JOIN is the oracle. Times are raw
+    // parquet nanos (LongType under nanosAsLong) == epoch_ns.
+    "q46_asof" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts").as("rts"),
+          col("event_id").as("ckpt_id"), col("value").as("ckpt_value"))
+      graft.operators.AsofJoin.asofBackward(
+        left, right, Seq("user_id"), "ts", "rts", Seq("ckpt_id", "ckpt_value"))
+        .select(col("event_id"), col("ckpt_id"), col("ckpt_value"))
     })
   )
 
@@ -997,12 +1033,17 @@ object SparkEntry {
         |  FROM documents)
         |SELECT media_id,
         |  CAST(CASE WHEN kind = 'image' THEN 16 + media_id % 32
+        |       WHEN kind = 'audio' THEN 0
         |       ELSE 64 + (n % 512) END AS INT) AS width,
         |  CAST(CASE WHEN kind = 'image' THEN 16 + (media_id * 7) % 32
+        |       WHEN kind = 'audio' THEN 0
         |       ELSE 64 + ((n * 7) % 512) END AS INT) AS height,
-        |  CAST(CASE WHEN kind = 'video' THEN 1 + (n % 240) ELSE 1 END AS INT) AS n_frames,
-        |  CAST(CASE WHEN kind = 'audio' THEN 16000 ELSE 0 END AS INT) AS sample_rate,
-        |  (kind = 'image') AS decoded_real
+        |  CAST(CASE WHEN kind = 'video' THEN 1 + (n % 240)
+        |       WHEN kind = 'audio' THEN 100 + media_id % 900
+        |       ELSE 1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN kind = 'audio' THEN 8000 + (media_id % 4) * 4000
+        |       ELSE 0 END AS INT) AS sample_rate,
+        |  (kind IN ('image', 'audio')) AS decoded_real
         |FROM m""".stripMargin,
 
     // ---- recall-gate oracles ----
@@ -1039,7 +1080,40 @@ object SparkEntry {
     // ANN result must agree exactly.
     "q42_lsh_twin_recall" -> annTwinOracleSql("ann_lsh"),
     "q43_ivf_twin_recall" -> annTwinOracleSql("ann_ivf"),
-    "q44_pq_twin_recall" -> annTwinOracleSql("ann_pq")
+    "q44_pq_twin_recall" -> annTwinOracleSql("ann_pq"),
+
+    // Same plant, same pattern strings (Java-regex/RE2 common subset),
+    // DuckDB needs the explicit 'g' flag for replace-all.
+    "q45_pii" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    (CASE WHEN doc_id % 4 = 0
+         |          THEN ' contact user' || doc_id || '@example.com' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 4 = 1
+         |          THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END) ||
+         |    (CASE WHEN doc_id % 4 = 2
+         |          THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)
+         |      AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${graft.textops.Pii.EmailRe}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${graft.textops.Pii.Ipv4Re}')) AS INT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text, '${graft.textops.Pii.SsnRe}')) AS INT) AS n_ssn,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${graft.textops.Pii.EmailRe}', '<EMAIL>', 'g'),
+         |    '${graft.textops.Pii.Ipv4Re}', '<IP>', 'g'),
+         |    '${graft.textops.Pii.SsnRe}', '<SSN>', 'g') AS redacted
+         |FROM planted""".stripMargin,
+
+    "q46_asof" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS t FROM events),
+        |r AS (
+        |  SELECT user_id, epoch_ns(ts) AS rt, event_id AS ckpt_id, value AS ckpt_value
+        |  FROM events WHERE event_id % 10 = 0)
+        |SELECT l.event_id, r.ckpt_id, r.ckpt_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.rt""".stripMargin
   )
 
   private def annTwinOracleSql(family: String): String =

@@ -14,14 +14,17 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE decode path is REAL: `kind='image'` payloads go through
   * `javax.imageio` (PNG/JPEG/GIF/BMP ship with the JDK), with
-  * width/height/features read from the actual decoded raster.
-  * Audio/video decode REMAINS A STUB — this container ships no
-  * audio/video codecs — producing deterministic fake properties from
-  * the raw bytes; image payloads that ImageIO cannot decode fall back
-  * to the same stub (documented, not silent: `decoded_real` in the
-  * output says which path ran). Everything around the codec — schema,
-  * binary column handling, partition-batched iteration, typed output
-  * shape — is identical for both paths.
+  * width/height/features read from the actual decoded raster. The
+  * AUDIO decode path is REAL too: `javax.sound.sampled` parses
+  * WAV/AIFF/AU containers (also JDK-shipped), yielding the true sample
+  * rate / frame count / amplitude features. VIDEO decode REMAINS A
+  * STUB — no video codec ships with the JDK and this container has no
+  * external ones — producing deterministic fake properties from the
+  * raw bytes; payloads the real codecs cannot parse fall back to the
+  * same stub (documented, not silent: `decoded_real` in the output
+  * says which path ran). Everything around the codec — schema, binary
+  * column handling, partition-batched iteration, typed output shape —
+  * is identical for all paths.
   */
 object Multimodal {
 
@@ -89,6 +92,50 @@ object Multimodal {
       .withColumn("content_md5", md5(col("bytes")))
   }
 
+  /** Replace audio-kind payloads with REAL PCM WAV bytes (16-bit mono,
+    * hand-rolled RIFF container for byte determinism). Audio `media_id`
+    * m gets sample rate `8000 + (m%4)*4000` and `100 + m%900` frames,
+    * so a downstream oracle predicts the decoded properties without
+    * seeing the bytes. Metadata columns recomputed over new payloads.
+    */
+  def withSyntheticAudioPayloads(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val replaced = media.select(col("media_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, kind, bytes) =>
+        if (kind == "audio")
+          (id, kind, encodeWav(
+            8000 + (id % 4).toInt * 4000, 100 + (id % 900).toInt, (1 + id % 7).toInt))
+        else (id, kind, bytes)
+      }.toDF("media_id", "kind", "bytes")
+    replaced
+      .withColumn("n_bytes", octet_length(col("bytes")).cast("long"))
+      .withColumn("content_md5", md5(col("bytes")))
+  }
+
+  /** Minimal PCM WAV writer: RIFF/fmt/data chunks, 16-bit mono LE; the
+    * sample wave is a deterministic sawtooth seeded by `step`.
+    */
+  private def encodeWav(sampleRate: Int, nSamples: Int, step: Int): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      buf.putShort((((i * step) % 256 - 128) * 64).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
   private def encodePng(w: Int, h: Int, gray: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val row = Array.fill(w)(gray)
@@ -112,11 +159,50 @@ object Multimodal {
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { case (id, kind, bytes) =>
-          (if (kind == "image") decodeImage(id, bytes) else None)
-            .getOrElse(stubDecode(id, kind, bytes))
+          (kind match {
+            case "image" => decodeImage(id, bytes)
+            case "audio" => decodeAudio(id, bytes)
+            case _ => None
+          }).getOrElse(stubDecode(id, kind, bytes))
         }
       }
   }
+
+  /** Real audio decode: container properties via `javax.sound.sampled`
+    * (WAV/AIFF/AU ship with the JDK — no external codecs). width/height
+    * are 0 (not meaningful), n_frames is the PCM frame count, feature =
+    * per-band mean |amplitude| (FeatureDim bands, 0..1 scale, 16-bit
+    * mono assumed for the feature pass — the synthetic payload shape).
+    */
+  private def decodeAudio(id: Long, bytes: Array[Byte]): Option[DecodedMedia] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val nFrames = in.getFrameLength.toInt
+        val pcm = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(pcm).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = pcm.length / 2
+        val feature = Array.tabulate(FeatureDim) { band =>
+          val i0 = (n.toLong * band / FeatureDim).toInt
+          val i1 = math.max(i0 + 1, (n.toLong * (band + 1) / FeatureDim).toInt)
+          var acc = 0.0
+          var cnt = 0
+          var i = i0
+          while (i < math.min(i1, n)) {
+            acc += math.abs(bb.getShort(i * 2).toDouble) / 32768.0
+            cnt += 1
+            i += 1
+          }
+          if (cnt == 0) 0f else (acc / cnt).toFloat
+        }
+        Some(DecodedMedia(id, "audio", 0, 0, nFrames,
+          fmt.getSampleRate.toInt, feature, decoded_real = true))
+      } finally in.close()
+    } catch { case _: Exception => None } // not a decodable container -> stub
 
   /** Real image decode: dimensions from the codec; feature = per-band
     * mean luminance (FeatureDim horizontal bands, 0..255 scale).

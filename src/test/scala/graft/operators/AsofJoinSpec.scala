@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.GraftSparkSpec
+
+class AsofJoinSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    (1L, "k1", 10L), (2L, "k1", 25L), (3L, "k1", 19L),
+    (4L, "k2", 5L), (5L, "k3", 7L)).toDF("id", "k", "t")
+  private def rightDf = Seq(
+    ("k1", 9L, "a"), ("k1", 20L, "b"), ("k2", 6L, "c"), ("k2", 5L, "d"))
+    .toDF("k", "rt", "v")
+
+  private def run(strict: Boolean = false, tol: Option[Long] = None): Map[Long, String] =
+    AsofJoin.asofBackward(leftDf, rightDf, Seq("k"), "t", "rt", Seq("v"),
+      strict = strict, tolerance = tol)
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+
+  test("backward: most recent right at or before each left time") {
+    val got = run()
+    assert(got(1L) == "a") // t=10: a@9
+    assert(got(3L) == "a") // t=19: still a (b is at 20)
+    assert(got(2L) == "b") // t=25: b@20
+    assert(got(4L) == "d") // t=5: tie rt=5 matches with >= semantics
+    assert(got(5L) == null) // k3 has no right rows
+  }
+
+  test("strict excludes equal-time matches") {
+    val got = run(strict = true)
+    assert(got(4L) == null) // rt=5 == t=5 excluded, rt=6 is in the future
+    assert(got(1L) == "a") // unaffected
+  }
+
+  test("tolerance nulls matches that are too far back") {
+    val got = run(tol = Some(1L))
+    assert(got(1L) == "a") // 10 - 9 = 1 <= tol
+    assert(got(3L) == null) // 19 - 9 = 10 > tol
+    assert(got(2L) == null) // 25 - 20 = 5 > tol
+    assert(got(4L) == "d") // exact tie, distance 0
+  }
+
+  test("value-column collision with left is rejected") {
+    val bad = rightDf.withColumnRenamed("v", "id")
+    val e = intercept[IllegalArgumentException](
+      AsofJoin.asofBackward(leftDf, bad, Seq("k"), "t", "rt", Seq("id")))
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("null right times never match; left schema passes through") {
+    val withNull = rightDf.union(Seq(("k3", null.asInstanceOf[Any], "z"))
+      .map { case (k, _, v) => (k, Option.empty[Long], v) }
+      .toDF("k", "rt", "v"))
+    val got = AsofJoin.asofBackward(leftDf, withNull, Seq("k"), "t", "rt", Seq("v"))
+    assert(got.columns.toSeq == leftDf.columns.toSeq :+ "v")
+    assert(got.filter($"id" === 5L).select("v").collect()(0).isNullAt(0))
+  }
+}

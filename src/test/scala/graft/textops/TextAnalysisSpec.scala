@@ -127,6 +127,32 @@ class TextAnalysisSpec extends GraftSparkSpec {
     assert(cd.decoded_real && cd.width == 37 && cd.height == 11, s"got $cd")
   }
 
+  test("multimodal decode: REAL WAV decode of audio payloads (rate + frames from the container)") {
+    import graft.multimodal.Multimodal
+    // doc_ids congruent 1 mod 3 -> audio kind; synthetic payloads are
+    // 16-bit mono WAV at 8000 + (id%4)*4000 Hz with 100 + id%900 frames
+    val docs = Seq((1L, "ignored", "en", "s", 7L), (4L, "ignored", "en", "s", 7L),
+      (901L, "ignored", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.withSyntheticAudioPayloads(Multimodal.fromDocuments(docs))
+    val decoded = Multimodal.decode(media).collect().map(d => d.media_id -> d).toMap
+    for (id <- Seq(1L, 4L, 901L)) {
+      val d = decoded(id)
+      assert(d.decoded_real, s"audio $id did not take the real codec path")
+      assert(d.sample_rate == 8000 + (id % 4).toInt * 4000, s"id=$id rate=${d.sample_rate}")
+      assert(d.n_frames == 100 + (id % 900).toInt, s"id=$id frames=${d.n_frames}")
+      assert(d.width == 0 && d.height == 0)
+      // the sawtooth has nonzero amplitude in every band
+      assert(d.feature.length == 8 && d.feature.forall(f => f > 0f && f <= 1f),
+        s"id=$id feature=${d.feature.toSeq}")
+    }
+    // non-WAV bytes under kind=audio fall back to the stub, flagged as such
+    val junk = Seq((9L, "audio", "definitely not riff".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+    val jd = Multimodal.decode(junk).collect().head
+    assert(!jd.decoded_real && jd.sample_rate == 16000) // stub's fixed fake rate
+  }
+
   test("multimodal resize preserves aspect ratio; frame sampling strides video only") {
     import graft.multimodal.Multimodal
     val docs = Seq((2L, "x" * 500, "en", "s", 500L)) // doc_id 2 -> video kind
