@@ -555,6 +555,36 @@ object SparkEntry {
       graft.operators.AsofJoin.asofBackward(
         left, right, Seq("user_id"), "ts", "rts", Seq("ckpt_id", "ckpt_value"))
         .select(col("event_id"), col("ckpt_id"), col("ckpt_value"))
+    }),
+
+    // exact interpolated quantiles per group: Spark's percentile and
+    // DuckDB's quantile_cont share the (n-1)*p linear-interpolation
+    // definition, so the values agree bit-for-bit after rounding
+    "q47_quantiles" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+    }),
+
+    // deterministic md5-bucket sampling (~12.5%): same kept set in any
+    // engine/run/partitioning — the oracle recomputes the bucket in SQL
+    "q48_sample" -> ((s, dir) => {
+      graft.operators.Sampling.deterministicSample(
+        table(s, dir, "documents"), col("doc_id"), keepBuckets = 32)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // rollup aggregation (subtotals + grand total) — Spark rollup and
+    // SQL ROLLUP share null-marker semantics
+    "q49_rollup" -> ((s, dir) => {
+      table(s, dir, "events")
+        .withColumn("user_band", col("user_id") % 10)
+        .rollup(col("event_type"), col("user_band"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
     })
   )
 
@@ -1113,7 +1143,23 @@ object SparkEntry {
         |  SELECT user_id, epoch_ns(ts) AS rt, event_id AS ckpt_id, value AS ckpt_value
         |  FROM events WHERE event_id % 10 = 0)
         |SELECT l.event_id, r.ckpt_id, r.ckpt_value
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.rt""".stripMargin
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.rt""".stripMargin,
+
+    "q47_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q48_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || md5(CAST(doc_id AS VARCHAR))[1:2])::INT % 256 < 32""".stripMargin,
+
+    "q49_rollup" ->
+      """SELECT event_type, user_id % 10 AS user_band,
+        |  count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY ROLLUP(event_type, (user_id % 10))""".stripMargin
   )
 
   private def annTwinOracleSql(family: String): String =

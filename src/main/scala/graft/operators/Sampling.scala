@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, seed-free corpus sampling — the repeatable-subset
+  * primitive a training-data pipeline needs (ablations, held-out
+  * splits, debugging slices that stay STABLE across runs, partitions
+  * and engines).
+  *
+  * `sample(fraction)` / `TABLESAMPLE` are per-run random and
+  * partition-order-sensitive; this derives a 0-255 bucket from the md5
+  * of the row's id rendered as a string — reproducible anywhere md5
+  * exists (the q48 oracle recomputes it in DuckDB verbatim). A narrow
+  * codegen'd filter: predicate-pushdown-friendly, no shuffle, no state.
+  */
+object Sampling {
+
+  /** 0-255 bucket from the first md5 byte of the id's string form. */
+  def bucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 2), 16, 10).cast("int")
+
+  /** Keep rows whose bucket falls below `keepBuckets` (of 256) — e.g.
+    * 32 keeps a deterministic ~12.5% of ids, and the kept set for a
+    * smaller `keepBuckets` is always a SUBSET of a larger one's (nested
+    * samples for scaling-law-style runs).
+    */
+  def deterministicSample(df: DataFrame, idCol: Column, keepBuckets: Int): DataFrame = {
+    require(keepBuckets >= 1 && keepBuckets <= 256,
+      s"keepBuckets must be in [1, 256], got $keepBuckets")
+    df.filter(bucket(idCol) < keepBuckets)
+  }
+}
