@@ -38,11 +38,18 @@ object ScaleBench {
     */
   private val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
 
+  private var sc: org.apache.spark.SparkContext = _
+
   private def timed(name: String, df: => DataFrame): Long = {
+    // drain the async listener bus around the measurement window: a
+    // late task-end event would be missed here and mis-attributed to
+    // the NEXT workload after the reset
+    org.apache.spark.GraftListenerInterop.waitUntilListenerBusEmpty(sc)
     maxTaskMs.set(0)
     val t0 = System.nanoTime()
     val rows = force(df)
     val sec = (System.nanoTime() - t0) / 1e9
+    org.apache.spark.GraftListenerInterop.waitUntilListenerBusEmpty(sc)
     val mt = maxTaskMs.get() / 1e3
     println(f"""{"bench":"scale","workload":"$name","sec":$sec%.2f,"max_task_sec":$mt%.2f,"rows":$rows}""")
     rows
@@ -62,6 +69,7 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sc = spark.sparkContext
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val d = t.taskInfo.duration

@@ -470,7 +470,7 @@ object SparkEntry {
       val docs = table(s, dir, "documents").filter(col("doc_id") < gateDocs)
       val corpus = docs.unionByName(twinDocs(docs))
       val pairs = graft.textops.NearDup.minhashPairs(
-        corpus, "doc_id", "text", threshold = 0.9, maxBucketSize = Long.MaxValue)
+        corpus, "doc_id", "text", threshold = 0.9, maxBucketSize = 0) // 0 = uncapped
       val truth = docs
         .filter(size(graft.textops.NearDup.hashedShingles(col("text"), 3)) > 0)
         .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
@@ -490,7 +490,7 @@ object SparkEntry {
       val docs = table(s, dir, "documents").filter(col("doc_id") < gateDocs)
       val corpus = docs.unionByName(twinDocs(docs))
       val pairs = graft.textops.NearDup.winnowPairs(
-        corpus, "doc_id", "text", minSharedRatio = 0.5, maxBucketSize = Long.MaxValue)
+        corpus, "doc_id", "text", minSharedRatio = 0.5, maxBucketSize = 0) // 0 = uncapped
       val truth = docs.filter(length(col("text")) >= 5) // k=5: below one k-gram -> no fingerprints
         .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
       recallOf("winnow", truth, pairs)

@@ -183,26 +183,27 @@ object Triage {
         val n = Renderer.renderCsvStream(display.toLocalIterator().asScala, print)
         if (n == 0) println("<EMPTY>")
       } else {
-        val rows: Seq[org.apache.spark.sql.Row] =
+        val (rows, truncated) =
           if (args.limit == 0) {
             import scala.jdk.CollectionConverters._
-            display.toLocalIterator().asScala.toVector
+            (display.toLocalIterator().asScala.toVector: Seq[org.apache.spark.sql.Row],
+              false)
           } else {
             val fetch = if (args.limit == Int.MaxValue) args.limit else args.limit + 1
             val r = display.limit(fetch).collect().toSeq
             if (r.size > args.limit) {
               System.err.println(s"[*] Output truncated to ${args.limit} rows " +
                 "(raise --limit, or --limit 0 for unbounded).")
-              r.take(args.limit)
-            } else r
+              (r.take(args.limit), true)
+            } else (r, false)
           }
-        emitRows(rows, args, config)
+        emitRows(rows, args, config, truncated)
       }
     } finally spark.stop()
   }
 
   private def emitRows(rows: Seq[org.apache.spark.sql.Row], args: Args,
-      config: GraftConfig): Unit = {
+      config: GraftConfig, truncated: Boolean): Unit = {
     val text =
       if (args.csv) Renderer.renderCsv(rows)
       else Renderer.renderTable(rows, clusterEnabled = !args.clusterOff,
@@ -213,11 +214,21 @@ object Triage {
         val mailDir = java.nio.file.Paths.get(
           sys.env.getOrElse("GRAFT_OUT_DIR", System.getProperty("java.io.tmpdir")),
           "graft-mail").toString
+        // a truncated attachment must say so IN the message — the
+        // recipient never sees this process's stderr
+        val body =
+          if (truncated) config.emailBody +
+            s"\n[NOTE] Results truncated to the first ${args.limit} rows; " +
+            "re-run with --limit 0 for the full set."
+          else config.emailBody
         EmailSink.send(new EmailSink.FileTransport(mailDir),
           config.emailSmtpServer, config.emailSmtpPort, config.emailSender,
-          to, "WebLogHunter results", config.emailBody, Renderer.renderCsv(rows))
+          to, "WebLogHunter results", body, Renderer.renderCsv(rows))
         println(s"[*] Wrote email message for $to to $mailDir/")
-      case None => println(text)
+      case None =>
+        // renderCsv text carries its own trailing newline (matching the
+        // streaming path byte-for-byte); the table and <EMPTY> do not
+        if (args.csv && text != "<EMPTY>") print(text) else println(text)
     }
   }
 }

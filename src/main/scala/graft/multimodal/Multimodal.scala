@@ -180,8 +180,14 @@ object Multimodal {
         new ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
-        val nFrames = in.getFrameLength.toInt
         val pcm = in.readAllBytes()
+        // getFrameLength is NOT_SPECIFIED (-1) for containers without a
+        // length header (streamed AU/AIFC); the PCM is fully read
+        // anyway, so fall back to counting it
+        val nFrames =
+          if (in.getFrameLength >= 0) in.getFrameLength.toInt
+          else if (fmt.getFrameSize > 0) pcm.length / fmt.getFrameSize
+          else 0
         val bb = java.nio.ByteBuffer.wrap(pcm).order(
           if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
           else java.nio.ByteOrder.LITTLE_ENDIAN)

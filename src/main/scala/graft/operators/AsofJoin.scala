@@ -75,22 +75,31 @@ object AsofJoin {
           lit(if (strict) 1 else 0).as("_ord"), lit(false).as("_isLeft")) ++
         valueCols.map(col): _*)
 
+    // Right-side (key, time) ties order by the payload tuple so the
+    // pick is deterministic across runs/partitionings (greatest tuple
+    // wins — last in window order).
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t"), col("_ord"))
+      .orderBy(col("_t") +: col("_ord") +: valueCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchTime = last(when(!col("_isLeft"), col("_t")), ignoreNulls = true).over(w)
-    val filled = valueCols.foldLeft(
-      lSide.unionByName(rSide).withColumn("_rt", matchTime)) { (df, v) =>
-      df.withColumn(v, last(when(!col("_isLeft"), col(v)), ignoreNulls = true).over(w))
-    }
+    // ONE struct carries match time + every payload column, so all
+    // output columns come from the SAME matched right row. Filling each
+    // payload with its own last(ignoreNulls) would skip a right row
+    // whose column is null and fall back to an OLDER row's value —
+    // stale data, and different columns could come from different rows.
+    val matched = last(
+      when(!col("_isLeft"), struct(col("_t").as("_rt") +: valueCols.map(col): _*)),
+      ignoreNulls = true).over(w)
+    val filled = lSide.unionByName(rSide).withColumn("_m", matched)
 
     val tooFar = tolerance match {
-      case Some(tol) => col("_rt").isNull || (col("_t") - col("_rt")) > tol
-      case None => col("_rt").isNull
+      case Some(tol) =>
+        col("_m").isNull || (col("_t") - col("_m").getField("_rt")) > tol
+      case None => col("_m").isNull
     }
     val out = valueCols.foldLeft(filled.filter(col("_isLeft"))) { (df, v) =>
-      df.withColumn(v, when(tooFar, lit(null).cast(rightValue(v))).otherwise(col(v)))
+      df.withColumn(v,
+        when(tooFar, lit(null).cast(rightValue(v))).otherwise(col("_m").getField(v)))
     }
-    out.drop("_t", "_ord", "_isLeft", "_rt")
+    out.drop("_t", "_ord", "_isLeft", "_m")
   }
 }

@@ -156,16 +156,14 @@ object Renderer {
       "\"" + field.replace("\"", "\"\"") + "\""
     else field
 
-  /** K2 — render collected rows as CSV with the full csv column set. */
+  /** K2 — render collected rows as CSV with the full csv column set.
+    * Delegates to [[renderCsvStream]] so the bounded and streaming
+    * paths cannot drift.
+    */
   def renderCsv(rows: Seq[Row]): String = {
     if (rows.isEmpty) return "<EMPTY>"
-    val present = rows.head.schema.fieldNames.toSet
-    val cols = displayConfig.filter(c => c.csv && present.contains(c.name))
     val sb = new StringBuilder
-    sb.append(cols.map(_.header).mkString(",")).append('\n')
-    rows.foreach { r =>
-      sb.append(cols.map(c => escapeCsv(cell(r, c.name))).mkString(",")).append('\n')
-    }
+    renderCsvStream(rows.iterator, s => { sb.append(s); () })
     sb.toString
   }
 

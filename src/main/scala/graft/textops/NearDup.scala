@@ -97,11 +97,16 @@ object NearDup {
     // over maxBucketSize carry almost no signal (their members collide
     // with everything) and are dropped — the standard LSH bucket cap.
     // Without this cap the sf0.1 bench went 24s -> 231s.
-    val capped = exploded
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("_n") <= maxBucketSize)
-      .drop("_n")
+    // maxBucketSize <= 0 = uncapped (same contract as simhashPairs):
+    // skips the count window entirely rather than shuffling through a
+    // filter that can drop nothing.
+    val capped =
+      if (maxBucketSize <= 0) exploded
+      else exploded
+        .withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band_idx"), col("band_hash"))))
+        .filter(col("_n") <= maxBucketSize)
+        .drop("_n")
     val candidates = capped.toDF("id_a", "band_idx", "band_hash")
       .join(capped.toDF("id_b", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
@@ -231,9 +236,14 @@ object NearDup {
     // counts formulation at 11 exchanges; this shape plans 3 shuffles +
     // the self-join, and the join's two sides are identical subplans
     // that AQE reuses as one exchange).
-    val capped = exploded
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .filter(col("_n") <= maxBucketSize)
+    // maxBucketSize <= 0 = uncapped (same contract as simhashPairs);
+    // the fp-count window is skipped, the nfp denominator window stays.
+    val preCap =
+      if (maxBucketSize <= 0) exploded
+      else exploded
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("_n") <= maxBucketSize)
+    val capped = preCap
       .withColumn("nfp", count(lit(1)).over(Window.partitionBy(col("id"))))
       .select(col("id"), col("fp"), col("nfp"))
     // containment ratio (shared / smaller set) rather than an absolute

@@ -199,12 +199,23 @@ object Pq {
       })
     }
 
+    // Probe + re-rank query frames are REBUILT from the collected rows,
+    // not re-derived from `queries`: re-evaluating a nondeterministic
+    // query plan (sample, multi-partition limit) could yield qids the
+    // LUT map never saw, failing in an executor after the corpus encode
+    // already ran — and the rebuild saves two full re-evaluations.
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qBase = spark.createDataset(
+      qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1))))
+      .toDF("query_id", "_qv")
+
     // Corpus index: cell id + m-byte code per vector (codes-only scan)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       Ivf.nearest_cells(col(vecCol), centroids, 1).getItem(0).as("_cell"),
       pq_encode(col(vecCol), codebooks).as("_code"))
-    val q = queries.select(col(qidCol).cast("long").as("query_id"),
-      explode(Ivf.nearest_cells(col(qvecCol), centroids, nprobe)).as("_cell"))
+    val q = qBase.select(col("query_id"),
+      explode(Ivf.nearest_cells(col("_qv"), centroids, nprobe)).as("_cell"))
 
     val shortlistW = Window.partitionBy(col("query_id"))
       .orderBy(col("_adc").desc, col("neighbor_id").asc)
@@ -218,8 +229,7 @@ object Pq {
     // Exact re-rank: fetch full vectors for the shortlist only
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       Ann.l2norm(col(vecCol)).as("_cn"))
-    val qv = queries.select(col(qidCol).cast("long").as("query_id"),
-      col(qvecCol).as("_qv"), Ann.l2norm(col(qvecCol)).as("_qn"))
+    val qv = qBase.withColumn("_qn", Ann.l2norm(col("_qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     shortlist

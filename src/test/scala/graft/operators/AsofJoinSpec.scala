@@ -41,6 +41,26 @@ class AsofJoinSpec extends GraftSparkSpec {
     assert(got(4L) == "d") // exact tie, distance 0
   }
 
+  test("a matched right row with a null payload yields null, never an older row's value") {
+    val r = Seq(("k1", 9L, Some("a")), ("k1", 20L, Option.empty[String]))
+      .toDF("k", "rt", "v")
+    val got = AsofJoin.asofBackward(leftDf, r, Seq("k"), "t", "rt", Seq("v"))
+      .select("id", "v").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    assert(got(2L) == null) // t=25 matches the rt=20 row, whose v IS null
+    assert(got(1L) == "a") // t=10 still matches rt=9
+  }
+
+  test("right rows tied on (key, time) resolve deterministically (greatest payload)") {
+    val r = Seq(("k1", 9L, "a"), ("k1", 9L, "z"), ("k1", 9L, "m")).toDF("k", "rt", "v")
+    (1 to 3).foreach { parts =>
+      val got = AsofJoin.asofBackward(
+        leftDf.repartition(parts), r.repartition(4 - parts), Seq("k"), "t", "rt", Seq("v"))
+        .filter($"id" === 1L).select("v").collect()(0).getString(0)
+      assert(got == "z", s"parts=$parts got $got")
+    }
+  }
+
   test("value-column collision with left is rejected") {
     val bad = rightDf.withColumnRenamed("v", "id")
     val e = intercept[IllegalArgumentException](

@@ -141,8 +141,10 @@ class NearDupSpec extends GraftSparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
-  test("q26's bucket cap never binds on the planted corpus (capped == uncapped)") {
-    val planted = graft.SparkEntry.plantedDocs(spark, "/root/testdata/sf0.001")
+  test("q26's bucket cap never binds on the planted corpus (capped == uncapped at the gate scale)") {
+    // sf0.01 IS the driver's correctness-gate scale — pin the invariant
+    // where the harness actually runs, not just at the smallest sf
+    val planted = graft.SparkEntry.plantedDocs(spark, "/root/testdata/sf0.01")
     def pairs(cap: Long) = NearDup
       .simhashPairs(planted, "doc_id", "text", maxHamming = 6, maxBucketSize = cap)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
