@@ -1,0 +1,265 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.textops.{NearDup, SimHash, TokenShingles, Winnowing}
+import graft.vector.{Ann, Ivf, Pq}
+
+/** Generated DuckDB oracles for the six candidate-generation queries
+  * whose bucket keys are engine-internal (LSH band hashes, simhash
+  * chunks, winnow fingerprints, hyperplane signatures, IVF cells, PQ
+  * shortlists) and therefore have no static ANSI-SQL twin.
+  *
+  * The q35 technique (LangNgram's generated CASE), extended: the ONLY
+  * engine-supplied inputs are deterministic per-row KEYS — each one a
+  * pure function of the row's text/vector, emitted by the very same
+  * Catalyst expressions the query uses and embedded as a VALUES CTE.
+  * Everything downstream of the keys — bucket capping, candidate
+  * equi-joins, pair dedup, exact Jaccard/Hamming/cosine arithmetic,
+  * thresholds, ranking — is recomputed INDEPENDENTLY by DuckDB from
+  * plain SQL. A bug anywhere in the engine's join/cap/verify/rank
+  * pipeline therefore hash-mismatches; only a bug inside the key
+  * expressions themselves is invisible here, and those are covered by
+  * the oracle-backed recall gates (q39–q44) plus the unit specs.
+  *
+  * Every constant below (shingle size, k, bands, caps, thresholds,
+  * nlist/nprobe/m/ks/refine) is the SparkEntry query's constant; a
+  * drift on either side breaks the hash match — the check is
+  * self-enforcing.
+  */
+object OracleGen {
+
+  /** All six generated oracles. Each generator runs small Spark jobs on
+    * the same sf dir the queries read; a failure drops that entry (the
+    * driver then records the weaker rows-only check, same as before)
+    * rather than killing the whole dump.
+    */
+  def all(s: SparkSession, dir: String): Map[String, String] =
+    Seq[(String, () => String)](
+      "q25_minhash_lsh" -> (() => minhashOracle(s, dir)),
+      "q26_simhash" -> (() => simhashOracle(s, dir)),
+      "q31_winnow_pairs" -> (() => winnowOracle(s, dir)),
+      "q28_ann_lsh" -> (() => annLshOracle(s, dir)),
+      "q32_ann_ivf" -> (() => annIvfOracle(s, dir)),
+      "q34_ann_pq" -> (() => annPqOracle(s, dir))
+    ).flatMap { case (name, gen) =>
+      try Some(name -> gen())
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[oracle-gen] $name failed: ${e.getMessage}")
+          None
+      }
+    }.toMap
+
+  private def longs(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
+
+  /** q25: engine emits per-doc sorted shingle-hash sets and LSH band
+    * hashes; DuckDB recomputes the bucket cap, the banded candidate
+    * join, and exact Jaccard (|A∩B| / |A∪B|) from the sets.
+    */
+  def minhashOracle(s: SparkSession, dir: String): String = {
+    val rows = SparkEntry.plantedDocs(s, dir)
+      .select(col("doc_id").as("id"),
+        NearDup.hashedShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", TokenShingles.minhash_sig_long(col("sh"), 32))
+      .withColumn("bands", TokenShingles.lsh_band_keys(col("sig"), 8, 32 / 8))
+      .select("id", "sh", "bands")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+      .sortBy(_._1)
+    val shVals = rows.map { case (id, sh, _) => s"($id, ${longs(sh)})" }.mkString(", ")
+    val bandVals = rows.flatMap { case (id, _, bands) =>
+      bands.zipWithIndex.map { case (bh, i) => s"($id, $i, $bh)" }
+    }.mkString(", ")
+    s"""WITH shv(id, sh) AS (VALUES $shVals),
+       |sh AS (SELECT CAST(id AS BIGINT) AS id, CAST(sh AS BIGINT[]) AS sh FROM shv),
+       |bandv(id, band_idx, band_hash) AS (VALUES $bandVals),
+       |capped AS (
+       |  SELECT id, band_idx, band_hash FROM (
+       |    SELECT id, band_idx, band_hash,
+       |           count(*) OVER (PARTITION BY band_idx, band_hash) AS n
+       |    FROM bandv) WHERE n <= 100),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |    round(CASE WHEN len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) = 0
+       |          THEN 0.0
+       |          ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+       |          END, 4) AS jaccard
+       |  FROM cand JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b)
+       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  /** q26: engine emits per-doc 64-bit simhash fingerprints; DuckDB
+    * recomputes the pigeonhole chunk keys (shift+mask from the SHARED
+    * [[NearDup.simhashChunkParams]]), the bucket cap, the chunk
+    * candidate join, and the Hamming filter via bit_count(xor).
+    */
+  def simhashOracle(s: SparkSession, dir: String): String = {
+    val maxHamming = 6
+    val rows = SparkEntry.plantedDocs(s, dir)
+      .select(col("doc_id").as("id"),
+        SimHash.simhash64_text(lower(col("text"))).as("sh"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val fVals = rows.map { case (id, sh) => s"($id, $sh)" }.mkString(", ")
+    val pVals = NearDup.simhashChunkParams(maxHamming)
+      .map { case (i, off, mask) => s"($i, $off, $mask)" }.mkString(", ")
+    s"""WITH fv(id, sh) AS (VALUES $fVals),
+       |f AS (SELECT CAST(id AS BIGINT) AS id, CAST(sh AS BIGINT) AS sh FROM fv),
+       |params(chunk_idx, off, mask) AS (VALUES $pVals),
+       |chunks AS (
+       |  SELECT id, sh, chunk_idx, (sh >> off) & CAST(mask AS BIGINT) AS chunk
+       |  FROM f CROSS JOIN params),
+       |capped AS (
+       |  SELECT id, sh, chunk_idx, chunk FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY chunk_idx, chunk) AS n
+       |    FROM chunks) WHERE n <= 1000)
+       |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM capped a JOIN capped b
+       |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.id < b.id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming""".stripMargin
+  }
+
+  /** q31: engine emits each doc's distinct winnow fingerprints; DuckDB
+    * recomputes the fp bucket cap, the post-cap per-doc denominator,
+    * the shared-fingerprint counts, and the containment threshold.
+    */
+  def winnowOracle(s: SparkSession, dir: String): String = {
+    val rows = SparkEntry.plantedDocs(s, dir)
+      .select(col("doc_id").as("id"),
+        array_distinct(Winnowing.winnow_fingerprints(col("text"), 5, 4)).as("fps"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    val fVals = rows.map { case (id, fps) => s"($id, ${longs(fps)})" }.mkString(", ")
+    s"""WITH fv(id, fps) AS (VALUES $fVals),
+       |f AS (SELECT CAST(id AS BIGINT) AS id,
+       |             CAST(unnest(fps) AS BIGINT) AS fp FROM fv),
+       |capped AS (
+       |  SELECT id, fp FROM (
+       |    SELECT id, fp, count(*) OVER (PARTITION BY fp) AS n FROM f)
+       |  WHERE n <= 200),
+       |wn AS (SELECT id, fp, count(*) OVER (PARTITION BY id) AS nfp FROM capped),
+       |g AS (
+       |  SELECT a.id AS id_a, a.nfp AS nfp_a, b.id AS id_b, b.nfp AS nfp_b,
+       |         count(*) AS shared_fingerprints
+       |  FROM wn a JOIN wn b ON a.fp = b.fp AND a.id < b.id
+       |  GROUP BY a.id, a.nfp, b.id, b.nfp),
+       |h AS (
+       |  SELECT id_a, id_b, shared_fingerprints,
+       |         round(shared_fingerprints / least(nfp_a, nfp_b), 4) AS containment
+       |  FROM g)
+       |SELECT id_a, id_b, shared_fingerprints, containment
+       |FROM h WHERE containment >= 0.5""".stripMargin
+  }
+
+  /** Shared DuckDB scaffolding for the three ANN oracles: normalized
+    * corpus + the vec_id < 20 query set, exact cosine via
+    * list_dot_product (the q27 formulation, already hash-verified to
+    * match [[graft.vector.DotProductExpr]]'s index-order accumulation),
+    * and the (cosine DESC, neighbor ASC) top-k ranking.
+    */
+  private def annRank(candCte: String, k: Int): String =
+    s"""c AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+       |  FROM embeddings),
+       |q AS (SELECT * FROM c WHERE vec_id < 20),
+       |$candCte,
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         list_dot_product(cv.v, qv.v) / (cv.n * qv.n) AS cos_raw
+       |  FROM cand JOIN c cv ON cv.vec_id = cand.neighbor_id
+       |            JOIN q qv ON qv.vec_id = cand.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** q28: engine emits each vector's 8 per-table hyperplane bucket
+    * signatures; DuckDB recomputes the (table, signature) candidate
+    * equi-join, the pair dedup, and the exact-cosine top-k.
+    */
+  def annLshOracle(s: SparkSession, dir: String): String = {
+    val (nPlanes, tables, dim, k) = (4, 8, 64, 5)
+    val planes = Ann.hyperplanes(nPlanes * tables, dim)
+    val rows = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        Ann.tableSignatures(col("embedding"), planes, nPlanes, tables).as("sigs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    val sVals = rows.flatMap { case (id, sigs) =>
+      sigs.zipWithIndex.map { case (sig, t) => s"($id, $t, $sig)" }
+    }.mkString(", ")
+    val cand =
+      s"""sv(vec_id, t, sig) AS (VALUES $sVals),
+         |qs AS (SELECT * FROM sv WHERE vec_id < 20),
+         |cand AS (
+         |  SELECT DISTINCT qs.vec_id AS query_id, sv.vec_id AS neighbor_id
+         |  FROM qs JOIN sv ON sv.t = qs.t AND sv.sig = qs.sig
+         |  WHERE sv.vec_id != qs.vec_id)""".stripMargin
+    "WITH " + annRank(cand, k)
+  }
+
+  /** q32: engine emits each corpus vector's IVF cell and each query's
+    * nprobe probed cells (from the shared seeded quantizer); DuckDB
+    * recomputes the cell equi-join and the exact-cosine top-k.
+    */
+  def annIvfOracle(s: SparkSession, dir: String): String = {
+    val (nlist, nprobe, k) = (16, 6, 5)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val centroids = Ivf.fitCentroids(emb, "embedding", nlist)
+    val cells = emb.select(col("vec_id"),
+      Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"),
+        explode(Ivf.nearest_cells(col("embedding"), centroids, nprobe)).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(identity)
+    val cVals = cells.map { case (id, c) => s"($id, $c)" }.mkString(", ")
+    val pVals = probes.map { case (id, c) => s"($id, $c)" }.mkString(", ")
+    val cand =
+      s"""cellv(vec_id, cell) AS (VALUES $cVals),
+         |probev(query_id, cell) AS (VALUES $pVals),
+         |cand AS (
+         |  SELECT p.query_id, cv.vec_id AS neighbor_id
+         |  FROM probev p JOIN cellv cv ON cv.cell = p.cell
+         |  WHERE cv.vec_id != p.query_id)""".stripMargin
+    "WITH " + annRank(cand, k)
+  }
+
+  /** q34: engine emits the ADC shortlist (query_id, neighbor_id) —
+    * codes, LUTs, and the refine·k cut are PQ-internal by design;
+    * DuckDB recomputes the exact-cosine re-rank over it, verifying the
+    * refine stage end to end.
+    */
+  def annPqOracle(s: SparkSession, dir: String): String = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val (shortlist, _) = Pq.adcShortlistWithQueries(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 6, m = 8, ks = 64, refine = 8,
+      seed = 42L, maxQueries = Ann.MaxQueries)
+    val slVals = shortlist.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+      .map { case (q, n) => s"($q, $n)" }.mkString(", ")
+    val cand =
+      s"""cand AS (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id,
+         |         CAST(neighbor_id AS BIGINT) AS neighbor_id
+         |  FROM (VALUES $slVals) sl(query_id, neighbor_id))""".stripMargin
+    "WITH " + annRank(cand, 5)
+  }
+}

@@ -17,6 +17,16 @@ import graft.sources.ParseLogLine
   */
 object SparkEntry {
 
+  /** Set by Verify (spark session + sf dir) before [[oracleSql]] is
+    * dumped: the six candidate-generation queries get GENERATED oracles
+    * ([[OracleGen]]) whose key CTEs must be computed from the same data
+    * the queries read. When unset (e.g. oracleSql inspected outside a
+    * Verify run), those entries are simply absent — the driver then
+    * records the weaker rows-only check, exactly the pre-generation
+    * behavior.
+    */
+  @volatile var oracleCtx: Option[(SparkSession, String)] = None
+
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -675,9 +685,15 @@ object SparkEntry {
         |FROM sess s JOIN numbered n USING (source, ip, local_id)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Static twins here; the six
+    * candidate-generation queries get generated key-CTE oracles from
+    * [[OracleGen]] when [[oracleCtx]] is set.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++ oracleCtx.map { case (s, dir) => OracleGen.all(s, dir) }
+      .getOrElse(Map.empty)
+
+  private def staticOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

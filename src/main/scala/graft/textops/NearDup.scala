@@ -169,6 +169,25 @@ object NearDup {
     *   the default preserves the contract, opting into the cap is the
     *   caller's documented trade.
     */
+  /** (chunkIdx, bitOffset, mask) for the pigeonhole chunking of a 64-bit
+    * simhash into maxHamming+1 chunks. Shared by [[simhashPairs]] and the
+    * generated DuckDB oracle ([[graft.OracleGen]]) so the two can't
+    * drift. Bits are distributed as evenly as possible: the first
+    * (64 % n) chunks get an extra bit; offsets are cumulative widths.
+    */
+  def simhashChunkParams(maxHamming: Int): Seq[(Int, Int, Long)] = {
+    val numChunks = maxHamming + 1
+    val widths = Array.tabulate(numChunks)(i => 64 / numChunks + (if (i < 64 % numChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until numChunks).map { i =>
+      // (1L << 64) - 1 is 0 under JVM shift-mod-64: a 64-bit-wide chunk
+      // (maxHamming = 0, i.e. exact-fingerprint match) must mask with -1L
+      // or every fingerprint lands in chunk value 0 — one giant bucket.
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      (i, offsets(i), mask)
+    }
+  }
+
   def simhashPairs(
       df: DataFrame,
       idCol: String,
@@ -180,17 +199,8 @@ object NearDup {
         "chunks below 4 bits make candidate buckets near-useless")
     val base = df.select(col(idCol).as("id"),
       SimHash.simhash64_text(lower(col(textCol))).as("sh"))
-    val numChunks = maxHamming + 1
-    // Distribute 64 bits as evenly as possible: the first (64 % n) chunks
-    // get an extra bit. Offsets are cumulative widths.
-    val widths = Array.tabulate(numChunks)(i => 64 / numChunks + (if (i < 64 % numChunks) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    val chunks = array((0 until numChunks).map { i =>
-      // (1L << 64) - 1 is 0 under JVM shift-mod-64: a 64-bit-wide chunk
-      // (maxHamming = 0, i.e. exact-fingerprint match) must mask with -1L
-      // or every fingerprint lands in chunk value 0 — one giant bucket.
-      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
-      shiftright(col("sh"), offsets(i)).bitwiseAND(lit(mask))
+    val chunks = array(simhashChunkParams(maxHamming).map { case (_, off, mask) =>
+      shiftright(col("sh"), off).bitwiseAND(lit(mask))
     }: _*)
     val chunkedAll = base.select(col("id"), col("sh"),
       posexplode(chunks).as(Seq("chunk_idx", "chunk")))

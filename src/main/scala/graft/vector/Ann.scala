@@ -95,6 +95,20 @@ object Ann {
   def hyperplaneSignature(v: Column, planes: Array[Array[Double]]): Column =
     HyperplaneSig.signature(v, planes)
 
+  /** Per-table LSH bucket signatures: ONE [[HyperplaneSig]] evaluation
+    * over all tables' planes (8 separate signature expressions would
+    * each re-materialize the vector); table t's bucket key is its
+    * nPlanes-bit slice. Shared by [[lshTopK]] and the generated DuckDB
+    * oracle ([[graft.OracleGen]]) so the bucket keys can't drift.
+    */
+  def tableSignatures(
+      v: Column, planes: Array[Array[Double]], nPlanes: Int, tables: Int): Column = {
+    val mask = (1L << nPlanes) - 1
+    val full = hyperplaneSignature(v, planes)
+    array((0 until tables).map(t =>
+      shiftright(full, t * nPlanes).bitwiseAND(lit(mask))): _*)
+  }
+
   /** Multi-table LSH top-k (OR-amplification): `tables` independent
     * plane sets; a corpus vector is a candidate if it shares the query's
     * bucket in ANY table; exact cosine rank within the candidate union.
@@ -108,18 +122,10 @@ object Ann {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nPlanes: Int = 4, tables: Int = 8, dim: Int = 64,
       maxQueries: Int = MaxQueries): DataFrame = {
-    // One signature expression over ALL tables' planes; table t's bucket
-    // key is its nPlanes-bit slice. 8 separate signature expressions
-    // would each re-materialize the vector.
     require(nPlanes * tables <= 64, "sign bits must fit a long")
     requireBoundedQueries(queries, maxQueries, "lshTopK")
     val planes = hyperplanes(nPlanes * tables, dim)
-    val mask = (1L << nPlanes) - 1
-    def sigs(v: Column): Column = {
-      val full = hyperplaneSignature(v, planes)
-      array((0 until tables).map(t =>
-        shiftright(full, t * nPlanes).bitwiseAND(lit(mask))): _*)
-    }
+    def sigs(v: Column): Column = tableSignatures(v, planes, nPlanes, tables)
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       l2norm(col(vecCol)).as("_cn"), posexplode(sigs(col(vecCol))).as(Seq("_t", "_sig")))

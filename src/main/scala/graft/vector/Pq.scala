@@ -150,17 +150,19 @@ object Pq {
     GraftInterop.column(PqAdcExpr(
       GraftInterop.expression(qid), GraftInterop.expression(codes), luts))
 
-  /** IVF-PQ top-k: probe `nprobe` coarse cells, ADC-shortlist
-    * `refine·k` candidates per query from codes alone, exact-cosine
-    * re-rank of the shortlist. Output schema matches
-    * [[Ann.cosineTopK]]: (query_id, neighbor_id, cosine, rank).
+  /** The front half of [[ivfPqTopK]] — train quantizers, build ADC
+    * LUTs, probe cells, shortlist `refine·k` candidates per query from
+    * codes alone. Returns (shortlist(query_id, neighbor_id),
+    * qBase(query_id, _qv)). Public so the generated DuckDB oracle
+    * ([[graft.OracleGen]]) can replay the exact shortlist and
+    * independently re-rank it.
     */
-  def ivfPqTopK(
+  def adcShortlistWithQueries(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 8, ks: Int = 64, refine: Int = 4, seed: Long = 42L,
-      maxQueries: Int = Ann.MaxQueries): DataFrame = {
+      k: Int, nlist: Int, nprobe: Int,
+      m: Int, ks: Int, refine: Int, seed: Long,
+      maxQueries: Int): (DataFrame, DataFrame) = {
     require(maxQueries > 0, s"ivfPqTopK: maxQueries must be positive, got $maxQueries")
     // one bounded sample feeds BOTH quantizers, through the shared
     // training recipe (the DataFrame fitCentroids would re-count and
@@ -182,6 +184,17 @@ object Pq {
         "is collected for ADC LUTs and broadcast by contract. Batch the query " +
         "frame, raise maxQueries deliberately, or use the pairwise APIs for " +
         "corpus-vs-corpus shapes.")
+    // Contract check before touching elements: a null embedding (or a
+    // null element the transform cast preserved) would NPE deep inside
+    // the LUT build — reject with the actual offending query id instead.
+    qRows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"ivfPqTopK: query row with null ${if (r.isNullAt(0)) "id" else "embedding"} " +
+          "in the query frame; filter nulls before calling the top-k APIs")
+      require(!r.getSeq[Any](1).contains(null),
+        s"ivfPqTopK: query id ${r.getLong(0)} has null elements in its embedding; " +
+          "filter or impute null vector elements before calling the top-k APIs")
+    }
     val luts = new java.util.HashMap[Long, Array[Array[Double]]]()
     qRows.foreach { r =>
       val qid = r.getLong(0)
@@ -225,6 +238,23 @@ object Pq {
       .withColumn("_r", row_number().over(shortlistW))
       .filter(col("_r") <= k * refine)
       .select("query_id", "neighbor_id")
+    (shortlist, qBase)
+  }
+
+  /** IVF-PQ top-k: probe `nprobe` coarse cells, ADC-shortlist
+    * `refine·k` candidates per query from codes alone, exact-cosine
+    * re-rank of the shortlist. Output schema matches
+    * [[Ann.cosineTopK]]: (query_id, neighbor_id, cosine, rank).
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ks: Int = 64, refine: Int = 4, seed: Long = 42L,
+      maxQueries: Int = Ann.MaxQueries): DataFrame = {
+    val (shortlist, qBase) = adcShortlistWithQueries(
+      corpus, idCol, vecCol, queries, qidCol, qvecCol,
+      k, nlist, nprobe, m, ks, refine, seed, maxQueries)
 
     // Exact re-rank: fetch full vectors for the shortlist only
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
