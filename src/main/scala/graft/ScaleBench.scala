@@ -26,9 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  private def force(df: DataFrame): Long = {
+  /** (order-insensitive content hash, row count) — the hash makes
+    * same-semantics duels (monolithic vs chunked) assertable without a
+    * second materialization of either side.
+    */
+  private def force(df: DataFrame): (Long, Long) = {
     val h = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
-    df.select(h.as("_h")).agg(expr("bit_xor(_h)"), count(lit(1))).collect()(0).getLong(1)
+    val r = df.select(h.as("_h"))
+      .agg(expr("bit_xor(_h)").as("_x"), count(lit(1)).as("_n")).collect()(0)
+    (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
   }
 
   /** Longest single task in the measured window. Wall-clock on one box
@@ -40,19 +46,19 @@ object ScaleBench {
 
   private var sc: org.apache.spark.SparkContext = _
 
-  private def timed(name: String, df: => DataFrame): Long = {
+  private def timed(name: String, df: => DataFrame): (Long, Long) = {
     // drain the async listener bus around the measurement window: a
     // late task-end event would be missed here and mis-attributed to
     // the NEXT workload after the reset
     org.apache.spark.GraftListenerInterop.waitUntilListenerBusEmpty(sc)
     maxTaskMs.set(0)
     val t0 = System.nanoTime()
-    val rows = force(df)
+    val (xor, rows) = force(df)
     val sec = (System.nanoTime() - t0) / 1e9
     org.apache.spark.GraftListenerInterop.waitUntilListenerBusEmpty(sc)
     val mt = maxTaskMs.get() / 1e3
-    println(f"""{"bench":"scale","workload":"$name","sec":$sec%.2f,"max_task_sec":$mt%.2f,"rows":$rows}""")
-    rows
+    println(f"""{"bench":"scale","workload":"$name","sec":$sec%.2f,"max_task_sec":$mt%.2f,"rows":$rows,"xor":$xor}""")
+    (xor, rows)
   }
 
   def main(args: Array[String]): Unit = {
@@ -194,6 +200,25 @@ object ScaleBench {
     timed("skew_sessionize_chunked", graft.session.Sessionizer
       .withClustersChunked(sk, threshold = 300L, chunkSeconds = 3600L)
       .select(col("event_id"), col("cluster")))
+
+    // ---- phase 2b: hot-key as-of join duel ----
+    // same skewed frame: left = all events, right = every 10th event as
+    // a checkpoint on the same (source, ip) keys. The monolithic window
+    // sorts the hot key's |left|+|right| rows in one task; the chunked
+    // twin bounds the sort by hourly chunks. The xor hashes must agree
+    // (same semantics, different physical shape).
+    val skLeft = sk.select(col("event_id"), col("source"), col("ip"), col("utc_timestamp"))
+    val skRight = sk.filter(col("event_id") % 10 === 0)
+      .select(col("source"), col("ip"), col("utc_timestamp").as("_rt"),
+        col("event_id").as("ckpt_id"))
+    val (asofMonoXor, _) = timed("skew_asof_monolithic", graft.operators.AsofJoin.asofBackward(
+      skLeft, skRight, Seq("source", "ip"), "utc_timestamp", "_rt", Seq("ckpt_id")))
+    val (asofChunkXor, _) = timed("skew_asof_chunked", graft.operators.AsofJoin.asofBackwardChunked(
+      skLeft, skRight, Seq("source", "ip"), "utc_timestamp", "_rt", Seq("ckpt_id"),
+      chunkSize = 3600L))
+    println(s"""{"bench":"scale","workload":"skew_asof_equality","match":${asofMonoXor == asofChunkXor}}""")
+    if (asofMonoXor != asofChunkXor)
+      throw new IllegalStateException("chunked as-of join diverged under skew")
 
     // equality: the two physical shapes must produce identical clusters.
     // Materialize each side first — a full join over two live 10M-row

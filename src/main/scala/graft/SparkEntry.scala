@@ -567,6 +567,20 @@ object SparkEntry {
         .select(col("event_id"), col("ckpt_id"), col("ckpt_value"))
     }),
 
+    // same as-of semantics through the skew-proof chunked twin
+    // (hourly chunks over nano timestamps) — same oracle as q46
+    "q50_asof_chunked" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts").as("rts"),
+          col("event_id").as("ckpt_id"), col("value").as("ckpt_value"))
+      graft.operators.AsofJoin.asofBackwardChunked(
+        left, right, Seq("user_id"), "ts", "rts", Seq("ckpt_id", "ckpt_value"),
+        chunkSize = 3600L * 1000000000L)
+        .select(col("event_id"), col("ckpt_id"), col("ckpt_value"))
+    }),
+
     // exact interpolated quantiles per group: Spark's percentile and
     // DuckDB's quantile_cont share the (n-1)*p linear-interpolation
     // definition, so the values agree bit-for-bit after rounding
@@ -683,6 +697,17 @@ object SparkEntry {
         |  FROM keys)
         |SELECT s.event_id, n.cluster
         |FROM sess s JOIN numbered n USING (source, ip, local_id)""".stripMargin
+
+  /** Shared oracle for q46/q50 — both as-of implementations must
+    * hash-match the same native DuckDB ASOF LEFT JOIN. */
+  private val oracleSqlQ46: String =
+    """WITH l AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS t FROM events),
+      |r AS (
+      |  SELECT user_id, epoch_ns(ts) AS rt, event_id AS ckpt_id, value AS ckpt_value
+      |  FROM events WHERE event_id % 10 = 0)
+      |SELECT l.event_id, r.ckpt_id, r.ckpt_value
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.rt""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Static twins here; the six
@@ -1152,14 +1177,8 @@ object SparkEntry {
          |    '${graft.textops.Pii.SsnRe}', '<SSN>', 'g') AS redacted
          |FROM planted""".stripMargin,
 
-    "q46_asof" ->
-      """WITH l AS (
-        |  SELECT event_id, user_id, epoch_ns(ts) AS t FROM events),
-        |r AS (
-        |  SELECT user_id, epoch_ns(ts) AS rt, event_id AS ckpt_id, value AS ckpt_value
-        |  FROM events WHERE event_id % 10 = 0)
-        |SELECT l.event_id, r.ckpt_id, r.ckpt_value
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.rt""".stripMargin,
+    "q46_asof" -> oracleSqlQ46,
+    "q50_asof_chunked" -> oracleSqlQ46,
 
     "q47_quantiles" ->
       """SELECT event_type, count(*) AS n,

@@ -68,6 +68,59 @@ class AsofJoinSpec extends GraftSparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  private def chunkedEq(
+      left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
+      strict: Boolean, tol: Option[Long], chunk: Long): Unit = {
+    val mono = AsofJoin.asofBackward(
+      left, right, Seq("k"), "t", "rt", Seq("v"), strict, tol)
+    val chk = AsofJoin.asofBackwardChunked(
+      left, right, Seq("k"), "t", "rt", Seq("v"), chunk, strict, tol)
+    assert(chk.columns.toSeq == mono.columns.toSeq)
+    val m = mono.orderBy("id").collect().map(_.toSeq).toSeq
+    val c = chk.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(c == m, s"chunk=$chunk strict=$strict tol=$tol")
+  }
+
+  test("chunked twin equals monolithic on the fixtures for every chunk size") {
+    for (chunk <- Seq(1L, 3L, 7L, 1000L); strict <- Seq(false, true); tol <- Seq(None, Some(1L)))
+      chunkedEq(leftDf, rightDf, strict, tol, chunk)
+  }
+
+  test("chunked twin equals monolithic on a random hot-key frame") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 800).map(i =>
+      (i.toLong, if (rnd.nextInt(10) < 8) "hot" else s"k${rnd.nextInt(5)}",
+        rnd.nextInt(500).toLong)).toDF("id", "k", "t")
+    val right = (1 to 300).map(i =>
+      (if (rnd.nextInt(10) < 8) "hot" else s"k${rnd.nextInt(5)}",
+        rnd.nextInt(500).toLong, s"v$i")).toDF("k", "rt", "v")
+    for (chunk <- Seq(10L, 50L, 1000L); strict <- Seq(false, true))
+      chunkedEq(left, right, strict, if (strict) Some(20L) else None, chunk)
+  }
+
+  test("chunked handles null left times and null keys like the monolithic") {
+    val left = Seq(
+      (1L, Some("k1"), Some(10L)), (2L, Option.empty[String], Some(9L)),
+      (3L, Some("k1"), Option.empty[Long]), (4L, Option.empty[String], Some(3L)))
+      .toDF("id", "k", "t")
+    val right = Seq((Some("k1"), 9L, "a"), (Option.empty[String], 5L, "n"))
+      .toDF("k", "rt", "v")
+    // sanity: the monolithic groups null keys in one window partition,
+    // so the null-key left row at t=9 matches the null-key right at 5
+    val mono = AsofJoin.asofBackward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(mono(2L) == "n" && mono(4L) == null && mono(3L) == null)
+    for (chunk <- Seq(2L, 100L)) chunkedEq(left, right, strict = false, None, chunk)
+  }
+
+  test("unorderable payload types are rejected up front") {
+    val r = Seq(("k1", 9L, Map("a" -> 1))).toDF("k", "rt", "v")
+    val e = intercept[IllegalArgumentException](
+      AsofJoin.asofBackward(leftDf, r, Seq("k"), "t", "rt", Seq("v")))
+    assert(e.getMessage.contains("unorderable"))
+  }
+
   test("null right times never match; left schema passes through") {
     val withNull = rightDf.union(Seq(("k3", null.asInstanceOf[Any], "z"))
       .map { case (k, _, v) => (k, Option.empty[Long], v) }
