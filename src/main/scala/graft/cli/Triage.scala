@@ -185,6 +185,12 @@ object Triage {
       } else {
         val (rows, truncated) =
           if (args.limit == 0) {
+            // table/email layouts need every row on the driver (column
+            // widths / one attachment string) — unlike the streaming CSV
+            // path above, --limit 0 here really does materialize
+            System.err.println("[*] --limit 0 with table or email output " +
+              "materializes the full result on the driver; use CSV output " +
+              "for constant-memory streaming.")
             import scala.jdk.CollectionConverters._
             (display.toLocalIterator().asScala.toVector: Seq[org.apache.spark.sql.Row],
               false)
@@ -221,10 +227,19 @@ object Triage {
             s"\n[NOTE] Results truncated to the first ${args.limit} rows; " +
             "re-run with --limit 0 for the full set."
           else config.emailBody
-        EmailSink.send(new EmailSink.FileTransport(mailDir),
+        // transport: the reference always opens a real SMTP socket
+        // (utils/email.py:55); this sandbox has no egress, so the
+        // file transport is the default and GRAFT_SMTP_SEND=1 opts
+        // into the real socket path (EmailSink.SmtpTransport).
+        val transport: EmailSink.Transport =
+          if (sys.env.get("GRAFT_SMTP_SEND").contains("1")) new EmailSink.SmtpTransport()
+          else new EmailSink.FileTransport(mailDir)
+        EmailSink.send(transport,
           config.emailSmtpServer, config.emailSmtpPort, config.emailSender,
           to, "WebLogHunter results", body, Renderer.renderCsv(rows))
-        println(s"[*] Wrote email message for $to to $mailDir/")
+        if (sys.env.get("GRAFT_SMTP_SEND").contains("1"))
+          println(s"[*] Emailed results to $to via ${config.emailSmtpServer}")
+        else println(s"[*] Wrote email message for $to to $mailDir/")
       case None =>
         // renderCsv text carries its own trailing newline (matching the
         // streaming path byte-for-byte); the table and <EMPTY> do not

@@ -35,7 +35,9 @@ object Ann {
     */
   private[vector] def requireBoundedQueries(
       queries: DataFrame, maxQueries: Int, api: String): Unit = {
-    require(maxQueries > 0, s"$api: maxQueries must be positive, got $maxQueries")
+    require(maxQueries > 0 && maxQueries < Int.MaxValue,
+      s"$api: maxQueries must be in [1, ${Int.MaxValue - 1}], got $maxQueries " +
+        "(maxQueries + 1 rows are probed, so Int.MaxValue would overflow)")
     val probed = queries.limit(maxQueries + 1).count()
     if (probed > maxQueries) throw new IllegalArgumentException(
       s"$api: query frame exceeds maxQueries=$maxQueries rows; the query set is " +

@@ -163,7 +163,9 @@ object Pq {
       k: Int, nlist: Int, nprobe: Int,
       m: Int, ks: Int, refine: Int, seed: Long,
       maxQueries: Int): (DataFrame, DataFrame) = {
-    require(maxQueries > 0, s"ivfPqTopK: maxQueries must be positive, got $maxQueries")
+    require(maxQueries > 0 && maxQueries < Int.MaxValue,
+      s"ivfPqTopK: maxQueries must be in [1, ${Int.MaxValue - 1}], got $maxQueries " +
+        "(maxQueries + 1 rows are probed, so Int.MaxValue would overflow)")
     // one bounded sample feeds BOTH quantizers, through the shared
     // training recipe (the DataFrame fitCentroids would re-count and
     // re-collect the identical sample)

@@ -19,6 +19,23 @@ class SessionizerSpec extends GraftSparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("no window in the sessionize plan is ever unpartitioned (fold-proof key holds)") {
+    // withGlobalIds pins the per-source-totals window to an explicit
+    // single hash partition via `_src_total * 0`, which works only while
+    // Catalyst can't constant-fold an aggregate output. If a future
+    // optimizer rule learns that null-safe x*0 rewrite, the window
+    // silently reverts to unpartitioned — same values, lost scaling
+    // guarantee. This asserts it loudly at the optimized-plan level.
+    val df = Sessionizer.withClusters(mk(
+      ("a", "1.1.1.1", 1000L), ("a", "1.1.1.1", 2000L), ("b", "2.2.2.2", 1500L)))
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected Window nodes in the sessionize plan")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window leaked into the sessionize plan:\n$w"))
+  }
+
   test("W1 boundary: delta 59 same / 60 new / 61 new (dataframe.py:630-635)") {
     val c = clusters(
       ("a", "1.1.1.1", 1000L),
