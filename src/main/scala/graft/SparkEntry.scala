@@ -454,9 +454,10 @@ object SparkEntry {
     // the codec's output), deterministic stub for audio/video
     "q30_decode" -> ((s, dir) => {
       graft.multimodal.Multimodal.decode(
-        graft.multimodal.Multimodal.withSyntheticAudioPayloads(
-          graft.multimodal.Multimodal.withSyntheticImagePayloads(
-            graft.multimodal.Multimodal.fromDocuments(table(s, dir, "documents")))))
+        graft.multimodal.Multimodal.withSyntheticVideoPayloads(
+          graft.multimodal.Multimodal.withSyntheticAudioPayloads(
+            graft.multimodal.Multimodal.withSyntheticImagePayloads(
+              graft.multimodal.Multimodal.fromDocuments(table(s, dir, "documents"))))))
         .toDF()
         .select(col("media_id"), col("width"), col("height"),
           col("n_frames"), col("sample_rate"), col("decoded_real"))
@@ -1095,26 +1096,29 @@ object SparkEntry {
     // return, because withSyntheticImagePayloads encodes a
     // (16 + id%32) x (16 + 7id%32) PNG; audio/video rows: the stub
     // formulas over the text payload length.
+    // every kind now has a real decode/probe path, so the ORACLE
+    // predicts all properties from the synthetic-payload formulas:
+    // image = PNG codec dims, audio = WAV container rate/frames,
+    // video = MP4 box-tree geometry/samples
     "q30_decode" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |         ELSE 'video' END AS kind,
-        |    octet_length(text::BLOB) AS n
+        |         ELSE 'video' END AS kind
         |  FROM documents)
         |SELECT media_id,
         |  CAST(CASE WHEN kind = 'image' THEN 16 + media_id % 32
         |       WHEN kind = 'audio' THEN 0
-        |       ELSE 64 + (n % 512) END AS INT) AS width,
+        |       ELSE 128 + media_id % 64 END AS INT) AS width,
         |  CAST(CASE WHEN kind = 'image' THEN 16 + (media_id * 7) % 32
         |       WHEN kind = 'audio' THEN 0
-        |       ELSE 64 + ((n * 7) % 512) END AS INT) AS height,
-        |  CAST(CASE WHEN kind = 'video' THEN 1 + (n % 240)
+        |       ELSE 72 + (media_id * 3) % 64 END AS INT) AS height,
+        |  CAST(CASE WHEN kind = 'video' THEN 24 + media_id % 240
         |       WHEN kind = 'audio' THEN 100 + media_id % 900
         |       ELSE 1 END AS INT) AS n_frames,
         |  CAST(CASE WHEN kind = 'audio' THEN 8000 + (media_id % 4) * 4000
         |       ELSE 0 END AS INT) AS sample_rate,
-        |  (kind IN ('image', 'audio')) AS decoded_real
+        |  TRUE AS decoded_real
         |FROM m""".stripMargin,
 
     // ---- recall-gate oracles ----

@@ -17,14 +17,18 @@ import org.apache.spark.sql.functions._
   * width/height/features read from the actual decoded raster. The
   * AUDIO decode path is REAL too: `javax.sound.sampled` parses
   * WAV/AIFF/AU containers (also JDK-shipped), yielding the true sample
-  * rate / frame count / amplitude features. VIDEO decode REMAINS A
-  * STUB — no video codec ships with the JDK and this container has no
-  * external ones — producing deterministic fake properties from the
-  * raw bytes; payloads the real codecs cannot parse fall back to the
-  * same stub (documented, not silent: `decoded_real` in the output
-  * says which path ran). Everything around the codec — schema, binary
-  * column handling, partition-batched iteration, typed output shape —
-  * is identical for all paths.
+  * rate / frame count / amplitude features. The VIDEO path is a REAL
+  * CONTAINER PROBE: no video *codec* ships with the JDK, but the MP4
+  * box structure (moov/trak/tkhd geometry, stbl/stsz sample counts)
+  * and the WebM EBML tree (TrackEntry/Video PixelWidth/PixelHeight)
+  * are plain binary headers — [[decodeVideo]] parses them directly,
+  * yielding true width/height/frame-count with `decoded_real = true`.
+  * Pixel-level features would need an actual codec, so a probed video
+  * row's feature vector is all-zero (documented, not faked). Payloads
+  * no parser recognizes fall back to the deterministic stub
+  * (`decoded_real = false` says which path ran). Everything around the
+  * codec — schema, binary column handling, partition-batched
+  * iteration, typed output shape — is identical for all paths.
   */
 object Multimodal {
 
@@ -114,6 +118,95 @@ object Multimodal {
       .withColumn("content_md5", md5(col("bytes")))
   }
 
+  /** Replace video-kind payloads with REAL minimal MP4 containers
+    * (ftyp + moov/mvhd/trak/tkhd/mdia/minf/stbl/stsz — a valid box tree
+    * with no media data, which is all a metadata probe reads). Video
+    * `media_id` m gets width `128 + m%64`, height `72 + (3m)%64`, and
+    * `24 + m%240` samples, so a downstream oracle predicts the probed
+    * properties without seeing the bytes.
+    */
+  def withSyntheticVideoPayloads(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val replaced = media.select(col("media_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, kind, bytes) =>
+        if (kind == "video")
+          (id, kind, encodeMp4(
+            128 + (id % 64).toInt, 72 + ((id * 3) % 64).toInt, 24 + (id % 240).toInt))
+        else (id, kind, bytes)
+      }.toDF("media_id", "kind", "bytes")
+    replaced
+      .withColumn("n_bytes", octet_length(col("bytes")).cast("long"))
+      .withColumn("content_md5", md5(col("bytes")))
+  }
+
+  private def mp4Box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val size = 8 + payload.map(_.length).sum
+    val buf = java.nio.ByteBuffer.allocate(size) // MP4 is big-endian
+    buf.putInt(size).put(typ.getBytes("US-ASCII"))
+    payload.foreach(buf.put)
+    buf.array()
+  }
+
+  /** Minimal MP4: the box tree a metadata probe walks, nothing else.
+    * tkhd carries width/height as 16.16 fixed point; stsz uses a fixed
+    * sample size so `sample_count` needs no per-sample table.
+    */
+  private def encodeMp4(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    val timescale = 600
+    val duration = nFrames * 25 // 24 fps at timescale 600
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes("US-ASCII"),
+      java.nio.ByteBuffer.allocate(4).putInt(512).array(),
+      "isomiso2".getBytes("US-ASCII"))
+    val unityMatrix = {
+      val b = java.nio.ByteBuffer.allocate(36)
+      b.putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+      b.array()
+    }
+    val mvhd = mp4Box("mvhd", {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // ctime, mtime
+        .putInt(timescale).putInt(duration)
+        .putInt(0x00010000) // rate 1.0
+        .putShort(0x0100.toShort).putShort(0) // volume, reserved
+        .putLong(0L) // reserved
+        .put(unityMatrix)
+      b.position(b.position() + 24) // pre_defined[6]
+      b.putInt(2) // next track id
+      b.array()
+    })
+    val tkhd = mp4Box("tkhd", {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(7) // version 0, flags: enabled|in_movie|in_preview
+        .putInt(0).putInt(0) // ctime, mtime
+        .putInt(1).putInt(0) // track id, reserved
+        .putInt(duration)
+        .putLong(0L) // reserved
+        .putShort(0).putShort(0).putShort(0).putShort(0) // layer, group, volume, reserved
+        .put(unityMatrix)
+        .putInt(width << 16).putInt(height << 16) // 16.16 fixed
+      b.array()
+    })
+    val stsz = mp4Box("stsz", {
+      val b = java.nio.ByteBuffer.allocate(12)
+      b.putInt(0) // version + flags
+        .putInt(256) // fixed sample size (no table follows)
+        .putInt(nFrames)
+      b.array()
+    })
+    val stbl = mp4Box("stbl", stsz)
+    val minf = mp4Box("minf", stbl)
+    val mdia = mp4Box("mdia", minf)
+    val trak = mp4Box("trak", tkhd, mdia)
+    val moov = mp4Box("moov", mvhd, trak)
+    ftyp ++ moov
+  }
+
   /** Minimal PCM WAV writer: RIFF/fmt/data chunks, 16-bit mono LE; the
     * sample wave is a deterministic sawtooth seeded by `step`.
     */
@@ -162,6 +255,7 @@ object Multimodal {
           (kind match {
             case "image" => decodeImage(id, bytes)
             case "audio" => decodeAudio(id, bytes)
+            case "video" => decodeVideo(id, bytes)
             case _ => None
           }).getOrElse(stubDecode(id, kind, bytes))
         }
@@ -247,6 +341,123 @@ object Multimodal {
       }
     } catch { case _: Exception => None } // not a decodable image -> stub
 
+  /** Real video CONTAINER probe: geometry and sample count from MP4 box
+    * headers or a WebM EBML tree — no codec involved, so the feature
+    * vector is all-zero (pixel features need one) and `sample_rate` is 0.
+    * Unrecognized containers return None (stub fallback).
+    */
+  private def decodeVideo(id: Long, bytes: Array[Byte]): Option[DecodedMedia] =
+    (parseMp4(bytes) orElse parseWebm(bytes)).map { case (w, h, frames) =>
+      DecodedMedia(id, "video", w, h, frames, 0,
+        new Array[Float](FeatureDim), decoded_real = true)
+    }
+
+  private def be32(bytes: Array[Byte], off: Int): Int =
+    ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+      ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+
+  /** MP4/ISO-BMFF box walk: width/height from `tkhd` (16.16 fixed,
+    * version 0 and 1 layouts), sample count from `stsz`. Only accepts
+    * payloads that actually lead with an `ftyp` or `moov` box.
+    */
+  private def parseMp4(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes.length < 16) return None
+    val lead = new String(bytes, 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (lead != "ftyp" && lead != "moov") return None
+    var width = -1
+    var height = -1
+    var frames = 0
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size = be32(bytes, off)
+        if (size < 8 || off + size > end) return // malformed box: stop
+        val typ = new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val p = off + 8 // payload start
+        typ match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" => walk(p, off + size)
+          case "tkhd" if p < end =>
+            val version = bytes(p) & 0xff
+            // v0: width at payload+76; v1 widens ctime/mtime/duration
+            // from 4 to 8 bytes each (+12)
+            val wOff = p + (if (version == 1) 88 else 76)
+            if (wOff + 8 <= off + size) {
+              width = be32(bytes, wOff) >>> 16
+              height = be32(bytes, wOff + 4) >>> 16
+            }
+          case "stsz" if p + 12 <= off + size =>
+            frames = be32(bytes, p + 8)
+          case _ => ()
+        }
+        off += size
+      }
+    }
+    walk(0, bytes.length)
+    if (width > 0 && height > 0) Some((width, height, frames)) else None
+  }
+
+  /** WebM/Matroska EBML walk: PixelWidth/PixelHeight from
+    * Segment > Tracks > TrackEntry > Video. Frame count is not in the
+    * headers (it would need a cluster scan), so it reports 0.
+    */
+  private def parseWebm(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes.length < 4 || be32(bytes, 0) != 0x1a45dfa3) return None
+    // vint: leading zeros of the first byte give the length; ids keep
+    // the marker bit, sizes strip it
+    def vintLen(b: Int): Int = {
+      var mask = 0x80
+      var len = 1
+      while (len <= 8 && (b & mask) == 0) { mask >>= 1; len += 1 }
+      len
+    }
+    def readId(off: Int): (Long, Int) = {
+      val len = vintLen(bytes(off) & 0xff)
+      var v = 0L
+      var i = 0
+      while (i < len) { v = (v << 8) | (bytes(off + i) & 0xff); i += 1 }
+      (v, len)
+    }
+    def readSize(off: Int): (Long, Int) = {
+      val first = bytes(off) & 0xff
+      val len = vintLen(first)
+      var v = (first & (0xff >> len)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (bytes(off + i) & 0xff); i += 1 }
+      (v, len)
+    }
+    var width = -1
+    var height = -1
+    val containers = Set(0x18538067L, 0x1654ae6bL, 0xaeL, 0xe0L) // Segment, Tracks, TrackEntry, Video
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off < end && (width < 0 || height < 0)) {
+        if (off + 2 > end) return
+        val (id, idLen) = readId(off)
+        if (idLen > 8 || off + idLen >= end) return
+        val (size, szLen) = readSize(off + idLen)
+        if (szLen > 8) return
+        val p = off + idLen + szLen
+        if (size < 0 || p + size > end) return
+        if (containers.contains(id)) walk(p, p + size.toInt)
+        else if (id == 0xb0L || id == 0xbaL) {
+          var v = 0L
+          var i = 0
+          while (i < size) { v = (v << 8) | (bytes(p + i) & 0xff); i += 1 }
+          if (id == 0xb0L) width = v.toInt else height = v.toInt
+        }
+        off = p + size.toInt
+      }
+    }
+    try {
+      // skip the EBML header element, then walk the rest (Segment...)
+      val (_, hIdLen) = readId(0)
+      val (hSize, hSzLen) = readSize(hIdLen)
+      val segStart = hIdLen + hSzLen + hSize.toInt
+      if (segStart < bytes.length) walk(segStart, bytes.length)
+    } catch { case _: ArrayIndexOutOfBoundsException => return None }
+    if (width > 0 && height > 0) Some((width, height, 0)) else None
+  }
+
   /** The deterministic fake (audio/video, and undecodable image bytes). */
   private def stubDecode(id: Long, kind: String, bytes: Array[Byte]): DecodedMedia = {
     val n = bytes.length
@@ -266,26 +477,60 @@ object Multimodal {
     media.select(
       col("media_id"), col("kind"), col("n_bytes"), col("content_md5"))
 
-  /** STUB resize: recompute target dimensions preserving aspect ratio;
-    * a real implementation re-encodes the payload per batch. The typed
-    * in/out shape and partition-batched iteration are the real contract.
+  /** REAL image resize: decode (ImageIO) -> aspect-preserving bilinear
+    * Graphics2D redraw -> PNG re-encode, per partition. Image rows whose
+    * longest side exceeds `maxSide` get a re-encoded payload and
+    * `resized = true`; everything else (non-image kinds, already-small
+    * images, undecodable bytes) passes through untouched with
+    * `resized = false`. Metadata columns are recomputed over the new
+    * payloads. Replaces the former dimension-only `resizeStub`.
     */
-  def resizeStub(decoded: Dataset[DecodedMedia], maxSide: Int): Dataset[DecodedMedia] = {
-    val spark = decoded.sparkSession
+  def resizeImages(media: DataFrame, maxSide: Int): DataFrame = {
+    require(maxSide > 0, s"resizeImages: maxSide must be positive, got $maxSide")
+    val spark = media.sparkSession
     import spark.implicits._
-    decoded.mapPartitions { it =>
-      it.map { d =>
-        val side = math.max(d.width, d.height)
-        if (side <= maxSide) d
+    media.select(col("media_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, kind, bytes) =>
+          val out = if (kind == "image") resizeOne(bytes, maxSide) else None
+          out match {
+            case Some(nb) => (id, kind, nb, true)
+            case None => (id, kind, bytes, false)
+          }
+        }
+      }.toDF("media_id", "kind", "bytes", "resized")
+      .withColumn("n_bytes", octet_length(col("bytes")).cast("long"))
+      .withColumn("content_md5", md5(col("bytes")))
+  }
+
+  /** None = no re-encode needed (small enough / not decodable). */
+  private def resizeOne(bytes: Array[Byte], maxSide: Int): Option[Array[Byte]] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).flatMap { img =>
+        val side = math.max(img.getWidth, img.getHeight)
+        if (side <= maxSide) None
         else {
           val scale = maxSide.toDouble / side
-          d.copy(
-            width = math.max(1, (d.width * scale).toInt),
-            height = math.max(1, (d.height * scale).toInt))
+          val nw = math.max(1, (img.getWidth * scale).toInt)
+          val nh = math.max(1, (img.getHeight * scale).toInt)
+          val imgType =
+            if (img.getType == BufferedImage.TYPE_CUSTOM) BufferedImage.TYPE_INT_RGB
+            else img.getType
+          val dst = new BufferedImage(nw, nh, imgType)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+          } finally g.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(dst, "png", bos)
+          Some(bos.toByteArray)
         }
       }
-    }
-  }
+    } catch { case _: Exception => None }
 
   /** Frame sampling for video rows: keep every `stride`-th frame index
     * up to `maxFrames` — emitted as (media_id, frame_idx) rows a real

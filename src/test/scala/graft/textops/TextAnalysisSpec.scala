@@ -153,19 +153,96 @@ class TextAnalysisSpec extends GraftSparkSpec {
     assert(!jd.decoded_real && jd.sample_rate == 16000) // stub's fixed fake rate
   }
 
-  test("multimodal resize preserves aspect ratio; frame sampling strides video only") {
+  test("multimodal decode: REAL MP4 container probe (geometry + frames from the box tree)") {
+    import graft.multimodal.Multimodal
+    // doc_ids congruent 2 mod 3 -> video kind; synthetic MP4 payloads
+    // carry width 128 + id%64, height 72 + (3*id)%64, frames 24 + id%240
+    val docs = Seq((2L, "ignored", "en", "s", 7L), (5L, "ignored", "en", "s", 7L),
+      (302L, "ignored", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.withSyntheticVideoPayloads(Multimodal.fromDocuments(docs))
+    val decoded = Multimodal.decode(media).collect().map(d => d.media_id -> d).toMap
+    for (id <- Seq(2L, 5L, 302L)) {
+      val d = decoded(id)
+      assert(d.decoded_real, s"video $id did not take the container probe path")
+      assert(d.width == 128 + (id % 64).toInt, s"id=$id width=${d.width}")
+      assert(d.height == 72 + ((id * 3) % 64).toInt, s"id=$id height=${d.height}")
+      assert(d.n_frames == 24 + (id % 240).toInt, s"id=$id frames=${d.n_frames}")
+      assert(d.sample_rate == 0)
+      assert(d.feature.forall(_ == 0f)) // no codec -> no pixel features
+    }
+    // junk bytes under kind=video fall back to the stub, flagged as such
+    val junk = Seq((9L, "video", "definitely not an mp4 box tree".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+    val jd = Multimodal.decode(junk).collect().head
+    assert(!jd.decoded_real)
+  }
+
+  test("multimodal decode: WebM EBML probe reads PixelWidth/PixelHeight") {
+    import graft.multimodal.Multimodal
+    // hand-rolled minimal WebM: EBML header + Segment > Tracks >
+    // TrackEntry > Video > PixelWidth(320) PixelHeight(240)
+    def elem(id: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+      assert(payload.length < 0x7f)
+      id ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    val video = elem(Array(0xe0.toByte),
+      elem(Array(0xb0.toByte), Array(0x01.toByte, 0x40.toByte)) ++ // 320
+        elem(Array(0xba.toByte), Array(0xf0.toByte))) // 240
+    val trackEntry = elem(Array(0xae.toByte), video)
+    val tracks = elem(Array(0x16.toByte, 0x54.toByte, 0xae.toByte, 0x6b.toByte), trackEntry)
+    val segment = elem(
+      Array(0x18.toByte, 0x53.toByte, 0x80.toByte, 0x67.toByte), tracks)
+    val ebmlHeader = elem(
+      Array(0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte), Array.empty[Byte])
+    val webm = ebmlHeader ++ segment
+    val d = Multimodal.decode(
+      Seq((1L, "video", webm)).toDF("media_id", "kind", "bytes")).collect().head
+    assert(d.decoded_real && d.width == 320 && d.height == 240 && d.n_frames == 0)
+  }
+
+  test("multimodal resize re-encodes pixels: dimensions AND pixel values survive") {
+    import graft.multimodal.Multimodal
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // 64x32 fixture: left half gray 40, right half gray 200
+    val img = new BufferedImage(64, 32, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 32; x <- 0 until 64)
+      img.getRaster.setSample(x, y, 0, if (x < 32) 40 else 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val media = Seq((1L, "image", bos.toByteArray), (2L, "video", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "bytes")
+    val out = Multimodal.resizeImages(media, maxSide = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]]("bytes"), r.getBoolean(r.fieldIndex("resized")))).toMap
+    assert(out(1L)._2 && !out(2L)._2) // image re-encoded, video untouched
+    assert(out(2L)._1.toSeq == Seq[Byte](1, 2, 3))
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(out(1L)._1))
+    assert(back.getWidth == 16 && back.getHeight == 8) // aspect preserved
+    // pixels: each output half is a bilinear average of a constant
+    // region -> stays (approximately) that constant away from the seam
+    val r = back.getRaster
+    for (y <- 0 until 8; x <- 0 until 6)
+      assert(math.abs(r.getSample(x, y, 0) - 40) <= 2, s"left ($x,$y)=${r.getSample(x, y, 0)}")
+    for (y <- 0 until 8; x <- 10 until 16)
+      assert(math.abs(r.getSample(x, y, 0) - 200) <= 2, s"right ($x,$y)=${r.getSample(x, y, 0)}")
+    // an image already within bounds passes through byte-identically
+    val small = Multimodal.resizeImages(media, maxSide = 1000)
+      .collect().map(r2 => r2.getLong(0) -> r2.getBoolean(r2.fieldIndex("resized"))).toMap
+    assert(!small(1L) && !small(2L))
+  }
+
+  test("multimodal frame sampling strides video only") {
     import graft.multimodal.Multimodal
     val docs = Seq((2L, "x" * 500, "en", "s", 500L)) // doc_id 2 -> video kind
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val decoded = Multimodal.decode(Multimodal.fromDocuments(docs))
+    val decoded = Multimodal.decode(
+      Multimodal.withSyntheticVideoPayloads(Multimodal.fromDocuments(docs)))
     val d = decoded.collect().head
-    val resized = Multimodal.resizeStub(decoded, maxSide = 100).collect().head
-    assert(math.max(resized.width, resized.height) <= 100)
-    val ratio = d.width.toDouble / d.height
-    val newRatio = resized.width.toDouble / resized.height
-    assert(math.abs(ratio - newRatio) < 0.1)
     val frames = Multimodal.frameSample(decoded, stride = 10, maxFrames = 5)
       .collect().map(r => r.getInt(1)).toSeq
+    assert(d.n_frames == 26) // 24 + 2%240
     assert(frames == (0 until d.n_frames by 10).take(5))
   }
 }
