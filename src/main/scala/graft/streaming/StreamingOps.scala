@@ -141,6 +141,69 @@ object StreamingOps {
         })
   }
 
+  final case class AsofEvent(key: String, ts: java.sql.Timestamp,
+      isLeft: Boolean, rowId: Long, value: String)
+  final case class AsofPending(lefts: Seq[(Long, Long)], rights: Seq[(Long, String)])
+  final case class AsofResult(key: String, rowId: Long, tsMs: Long,
+      matchTsMs: Option[Long], value: Option[String])
+
+  /** Streaming analogue of [[graft.operators.AsofJoin.asofBackward]]:
+    * left events and right state-updates arrive as ONE tagged stream; a
+    * left row is answered with the most recent right value at or before
+    * its event time (`>=` tie semantics, ties on (time) resolved to the
+    * greatest value — both matching the batch operator).
+    *
+    * Out-of-order correctness is what the watermark buys: a left row is
+    * NOT answered until the watermark passes its event time, so any
+    * right update that can still legally arrive (i.e. is not yet late)
+    * gets to win first. Rows later than the watermark are dropped by
+    * the engine — that horizon is the correctness contract.
+    *
+    * State per key is bounded: pending lefts ahead of the watermark,
+    * rights ahead of the watermark, plus exactly ONE carry (the latest
+    * right at-or-before the watermark — the only one any future left
+    * can still match, because rights are consumed newest-first).
+    * Pending lefts schedule an event-time timeout at their earliest
+    * time, so a key drains even if it never receives another event.
+    */
+  def asofJoin(
+      events: Dataset[AsofEvent],
+      watermark: String = "10 seconds"): Dataset[AsofResult] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, it: Iterator[AsofEvent], state: GroupState[AsofPending]) => {
+          val st = state.getOption.getOrElse(AsofPending(Nil, Nil))
+          val incoming = it.toSeq
+          val lefts = st.lefts ++ incoming.filter(_.isLeft).map(e => (e.ts.getTime, e.rowId))
+          val rights = (st.rights ++
+            incoming.filterNot(_.isLeft).map(e => (e.ts.getTime, e.value))).sorted
+          val wmMs = state.getCurrentWatermarkMs()
+
+          val (ready, pending) = lefts.partition(_._1 <= wmMs)
+          val out = ready.sorted.map { case (ts, rowId) =>
+            rights.takeWhile(_._1 <= ts).lastOption match {
+              case Some((rt, v)) => AsofResult(key, rowId, ts, Some(rt), Some(v))
+              case None => AsofResult(key, rowId, ts, None, None)
+            }
+          }
+
+          // prune: one carry at-or-before the watermark + everything after
+          val (old, fresh) = rights.partition(_._1 <= wmMs)
+          val kept = old.lastOption.toSeq ++ fresh
+          if (pending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsofPending(pending, kept))
+            // drain pending lefts even if this key never sees another
+            // event; their times are all > wmMs, as the timeout API requires
+            if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_._1).min)
+          }
+          out.iterator
+        })
+  }
+
   final case class BurstKey(source: String, ip: String, request_uri: String)
   final case class BurstEvent(source: String, ip: String, request_uri: String,
       epochMicros: Long, status: Int)

@@ -102,4 +102,54 @@ class StreamingOpsSpec extends GraftSparkSpec {
       assert(spark.table("burst_out").count() == 1)
     } finally q.stop()
   }
+
+  test("streaming as-of join: out-of-order right updates win before the watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(key: String, sec: Long, isLeft: Boolean, rowId: Long, value: String) =
+      StreamingOps.AsofEvent(key, new java.sql.Timestamp(sec * 1000L), isLeft, rowId, value)
+    val input = MemoryStream[StreamingOps.AsofEvent]
+    val q = StreamingOps.asofJoin(input.toDS(), watermark = "5 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("asof_out").start()
+    try {
+      def results() = spark.table("asof_out").as[StreamingOps.AsofResult]
+        .collect().map(r => r.rowId -> r).toMap
+
+      // batch 1: a right at 90s and a left at 100s. Watermark is still
+      // far behind 100s, so NOTHING is answered yet.
+      input.addData(ev("k", 90, isLeft = false, 0, "r90"), ev("k", 100, isLeft = true, 1, null))
+      q.processAllAvailable()
+      assert(results().isEmpty)
+
+      // batch 2: an OUT-OF-ORDER right at 97s arrives after the left it
+      // must win (wm = 100 - 5 = 95s: the left at 100s still waits, and
+      // 97s is legally inside the horizon — anything at or behind the
+      // watermark would be dropped as late, which is the contract).
+      input.addData(ev("k", 97, isLeft = false, 0, "r97"))
+      q.processAllAvailable()
+      assert(results().isEmpty)
+
+      // batch 3: a second left far ahead pushes the watermark later
+      input.addData(ev("k", 200, isLeft = true, 2, null))
+      q.processAllAvailable()
+
+      // batch 4: traffic on ANOTHER key advances the global watermark to
+      // 295s; key "k" gets no events, so its pending lefts drain through
+      // the EVENT-TIME TIMEOUT path. Left@100 must match the
+      // out-of-order r97 (not r90); left@200 must match the r97 CARRY
+      // that survived pruning.
+      input.addData(ev("other", 300, isLeft = false, 0, "x"))
+      q.processAllAvailable()
+      val got = results()
+      assert(got.keySet == Set(1L, 2L))
+      assert(got(1L).value.contains("r97") && got(1L).matchTsMs.contains(97000L))
+      assert(got(2L).value.contains("r97") && got(2L).matchTsMs.contains(97000L))
+
+      // a left with no preceding right yields an explicit no-match row
+      input.addData(ev("fresh", 310, isLeft = true, 3, null))
+      q.processAllAvailable()
+      input.addData(ev("other", 400, isLeft = false, 0, "x"))
+      q.processAllAvailable()
+      assert(results()(3L).value.isEmpty && results()(3L).matchTsMs.isEmpty)
+    } finally q.stop()
+  }
 }
