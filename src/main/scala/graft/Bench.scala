@@ -25,17 +25,21 @@ object Bench {
       df.select(h.as("_h")).agg(expr("bit_xor(_h)")).collect()
       ()
     }
-    // JVM/session warmup before the timed loop: exercises the parquet
-    // reader, codegen, shuffle and window machinery once so the first
-    // timed query doesn't absorb multi-second one-time class-loading/JIT
-    // cost that no steady-state deployment would see.
-    {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions.{count, lit}
-      val warm = spark.read.parquet(s"$sfDir/nation.parquet")
-        .withColumn("_c", count(lit(1)).over(Window.partitionBy(col("n_regionkey"))))
-      try force(warm.join(warm.select(col("n_nationkey")), Seq("n_nationkey")))
-      catch { case _: Throwable => () }
+    // JVM/session warmup before the timed loop: one throwaway pass of
+    // EVERY query at the smallest sf. The parquet schemas are identical
+    // across sf dirs, so each query's generated code (whole-stage
+    // codegen, custom-expression classes) hits the codegen cache and
+    // its JIT compilation happens HERE — the first timed query (q10 in
+    // sort order) previously absorbed multi-second one-time cost no
+    // steady-state deployment would see (8.5s round 3 vs 7.5s round 2,
+    // traced to warm-order variance, not its plan). Disable with
+    // SPARK_GRAFT_WARM_DIR=none for cold-start diagnostics.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir != "none") {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try force(fn(spark, warmDir))
+        catch { case _: Throwable => () }
+      }
     }
     // SPARK_GRAFT_BENCH_REPEAT=n (diagnostic, default 1): run the whole
     // suite n times and report the LAST pass — separates steady-state
