@@ -84,8 +84,14 @@ object ScaleBench {
       }
     })
 
+    // SPARK_GRAFT_SKEW_ONLY=1: jump straight to the hot-key duels
+    // (phase 2) — the sf~1 corpus phases don't change when iterating on
+    // a skew-shape fix
+    val skewOnly = sys.env.get("SPARK_GRAFT_SKEW_ONLY").contains("1")
+
     // ---- phase 0: materialize the scaled dataset ----
     val rep = explode(sequence(lit(0L), lit(replicas - 1L))).as("_r")
+    if (!skewOnly) {
 
     val events = spark.read.parquet(s"$baseDir/events.parquet")
       .select(col("*"), rep)
@@ -167,6 +173,7 @@ object ScaleBench {
       boiler(5000), "doc_id", "text", maxHamming = 6, maxBucketSize = 1000))
     timed("simhash_adversarial_50k_capped", graft.textops.NearDup.simhashPairs(
       boiler(50000), "doc_id", "text", maxHamming = 6, maxBucketSize = 1000))
+    } // end !skewOnly
 
     // ---- phase 2: hot-key skew duel ----
     // one (source, ip) pair owns every even event_id = 50% of all rows;

@@ -186,20 +186,32 @@ object AsofJoin {
     // exceed 2^53 and would lose precision through a double)
     val union = union0.withColumn("_chunk", expr(s"_t DIV ${chunkSize}L"))
 
-    val inChunk = Window.partitionBy(keyCols.map(col) :+ col("_chunk"): _*)
+    val chunkPart = Window.partitionBy(keyCols.map(col) :+ col("_chunk"): _*)
       .orderBy(col("_t") +: col("_ord") +: valueCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withIn = union.withColumn("_in",
-      last(matchStruct(valueCols), ignoreNulls = true).over(inChunk))
+    val inChunk = chunkPart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the chunk's FINAL right match, as a second frame of the SAME
+    // window (same partitioning + order => one WindowExec, no extra
+    // exchange). The groupBy(max(struct)) formulation this replaces
+    // planned a SortAggregate — max over a struct is not
+    // hash-aggregable — costing two additional full sorts of the union
+    // (its max-task under the skew duel exceeded the monolithic twin's
+    // hot-key sort, inverting the point of chunking).
+    val fullChunk = chunkPart.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val withIn = union
+      .withColumn("_in", last(matchStruct(valueCols), ignoreNulls = true).over(inChunk))
+      .withColumn("_cl", last(matchStruct(valueCols), ignoreNulls = true).over(fullChunk))
 
-    // summaries reuse the (keys, _chunk) partitioning the window just
-    // established; the over-chunks window shuffles only this tiny frame
-    val summaries = union.groupBy(keyCols.map(col) :+ col("_chunk"): _*)
-      .agg(max(matchStruct(valueCols)).as("_s"))
+    // one row per (keys, chunk): _cl is constant within the chunk, so
+    // distinct() — a plain HashAggregate with struct grouping keys —
+    // reduces it; the over-chunks window then shuffles only this small
+    // summary frame
+    val summaries = withIn
+      .select(keyCols.map(col) ++ Seq(col("_chunk"), col("_cl")): _*).distinct()
     val overChunks = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carries = summaries
-      .withColumn("_carry", max(col("_s")).over(overChunks))
+      .withColumn("_carry", max(col("_cl")).over(overChunks))
       .select(keyCols.zipWithIndex.map { case (k, i) => col(k).as(s"_ck$i") } ++
         Seq(col("_chunk").as("_ckc"), col("_carry")): _*)
 
@@ -207,7 +219,7 @@ object AsofJoin {
       (col("_chunk") <=> col("_ckc"))).reduce(_ && _)
     val filled = withIn.join(carries, joinCond)
       .withColumn("_m", coalesce(col("_in"), col("_carry")))
-      .drop("_in", "_carry", "_chunk", "_ckc")
+      .drop("_in", "_cl", "_carry", "_chunk", "_ckc")
       .drop(keyCols.indices.map(i => s"_ck$i"): _*)
     fillMatched(filled, valueCols, rightValue, tolerance)
   }
