@@ -1,6 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Force FULL evaluation: a bare count() lets Catalyst prune every
+    * projected column (q6_parse would "run" without parsing a line).
+    * Hashing all columns into an aggregated checksum makes each query's
+    * real work non-prunable while still collecting one row. bit_xor,
+    * NOT sum: summing 64-bit hashes random-walks past Long range and
+    * ANSI mode (Spark 4 default) aborts with ARITHMETIC_OVERFLOW.
+    * Shared by Bench and ScaleSuite so the two surfaces can't diverge
+    * in what "ran the query" means.
+    */
+  def force(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+    val h = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+    df.select(h.as("_h")).agg(expr("bit_xor(_h)")).collect()
+    ()
+  }
+
+  /** One throwaway pass of every query at `warmDir` (the smallest sf:
+    * identical schemas warm the codegen cache, and the generated
+    * classes JIT here instead of inside the first timed query).
+    * `warmDir = "none"` disables. Failures are counted and reported —
+    * a silently absent warm dir would reintroduce exactly the
+    * first-query warm-order variance this exists to remove.
+    */
+  def warmAll(spark: SparkSession, warmDir: String): Unit = {
+    if (warmDir == "none") return
+    var failures = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try force(fn(spark, warmDir))
+      catch { case _: Throwable => failures += 1 }
+    }
+    if (failures > 0)
+      System.err.println(s"[bench] WARNING: $failures warmup queries failed against " +
+        s"$warmDir — first timed queries will absorb JIT/codegen cost " +
+        "(set SPARK_GRAFT_WARM_DIR to a valid small sf dir)")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,34 +50,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Force FULL evaluation: a bare count() lets Catalyst prune every
-    // projected column (q6_parse would "run" without parsing a line).
-    // Hashing all columns into an aggregated checksum makes each query's
-    // real work non-prunable while still collecting one row.
-    // bit_xor, NOT sum: summing 64-bit hashes random-walks past Long range
-    // and ANSI mode (Spark 4 default) aborts the job with ARITHMETIC_OVERFLOW.
-    import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
-    def force(df: org.apache.spark.sql.DataFrame): Unit = {
-      val h = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
-      df.select(h.as("_h")).agg(expr("bit_xor(_h)")).collect()
-      ()
-    }
-    // JVM/session warmup before the timed loop: one throwaway pass of
-    // EVERY query at the smallest sf. The parquet schemas are identical
-    // across sf dirs, so each query's generated code (whole-stage
-    // codegen, custom-expression classes) hits the codegen cache and
-    // its JIT compilation happens HERE — the first timed query (q10 in
-    // sort order) previously absorbed multi-second one-time cost no
-    // steady-state deployment would see (8.5s round 3 vs 7.5s round 2,
-    // traced to warm-order variance, not its plan). Disable with
-    // SPARK_GRAFT_WARM_DIR=none for cold-start diagnostics.
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if (warmDir != "none") {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try force(fn(spark, warmDir))
-        catch { case _: Throwable => () }
-      }
-    }
+    // warmup before the timed loop (see warmAll: the first timed query,
+    // q10 in sort order, previously absorbed multi-second one-time
+    // codegen/JIT cost — 8.5s round 3 vs 7.5s round 2 was warm-order
+    // variance, not its plan)
+    warmAll(spark, sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"))
     // SPARK_GRAFT_BENCH_REPEAT=n (diagnostic, default 1): run the whole
     // suite n times and report the LAST pass — separates steady-state
     // cost from per-query JIT when hunting regressions.

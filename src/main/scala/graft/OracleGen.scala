@@ -30,6 +30,20 @@ import graft.vector.{Ann, Ivf, Pq}
   */
 object OracleGen {
 
+  /** Degenerate key frames (nothing to embed) and oversized ones (the
+    * VALUES literal is O(keys) driver memory AND DuckDB parse cost)
+    * both throw — [[all]] catches and drops the entry, degrading to
+    * the documented rows-only check instead of emitting `VALUES ()`
+    * (a syntax error) or a half-gigabyte SQL string. The cap is sized
+    * for the verify gate's sf0.01/sf0.1 corpora with 10x headroom.
+    */
+  private def checkEmbeddable(name: String, nKeys: Long): Unit = {
+    require(nKeys > 0, s"$name: empty key frame, nothing to embed")
+    require(nKeys <= 5000000L,
+      s"$name: $nKeys keys would embed too large a VALUES literal; " +
+        "run the verify gate at a smaller sf (rows-only fallback applies)")
+  }
+
   /** All six generated oracles. Each generator runs small Spark jobs on
     * the same sf dir the queries read; a failure drops that entry (the
     * driver then records the weaker rows-only check, same as before)
@@ -69,6 +83,7 @@ object OracleGen {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
       .sortBy(_._1)
+    checkEmbeddable("q25_minhash_lsh", rows.iterator.map(_._2.size.toLong + 8).sum)
     val shVals = rows.map { case (id, sh, _) => s"($id, ${longs(sh)})" }.mkString(", ")
     val bandVals = rows.flatMap { case (id, _, bands) =>
       bands.zipWithIndex.map { case (bh, i) => s"($id, $i, $bh)" }
@@ -109,6 +124,7 @@ object OracleGen {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
+    checkEmbeddable("q26_simhash", rows.length.toLong)
     val fVals = rows.map { case (id, sh) => s"($id, $sh)" }.mkString(", ")
     val pVals = NearDup.simhashChunkParams(maxHamming)
       .map { case (i, off, mask) => s"($i, $off, $mask)" }.mkString(", ")
@@ -140,6 +156,7 @@ object OracleGen {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .sortBy(_._1)
+    checkEmbeddable("q31_winnow_pairs", rows.iterator.map(_._2.size.toLong).sum)
     val fVals = rows.map { case (id, fps) => s"($id, ${longs(fps)})" }.mkString(", ")
     s"""WITH fv(id, fps) AS (VALUES $fVals),
        |f AS (SELECT CAST(id AS BIGINT) AS id,
@@ -200,6 +217,7 @@ object OracleGen {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .sortBy(_._1)
+    checkEmbeddable("q28_ann_lsh", rows.length.toLong * 8)
     val sVals = rows.flatMap { case (id, sigs) =>
       sigs.zipWithIndex.map { case (sig, t) => s"($id, $t, $sig)" }
     }.mkString(", ")
@@ -228,6 +246,7 @@ object OracleGen {
       .select(col("vec_id"),
         explode(Ivf.nearest_cells(col("embedding"), centroids, nprobe)).as("cell"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(identity)
+    checkEmbeddable("q32_ann_ivf", cells.length.toLong + probes.length)
     val cVals = cells.map { case (id, c) => s"($id, $c)" }.mkString(", ")
     val pVals = probes.map { case (id, c) => s"($id, $c)" }.mkString(", ")
     val cand =
@@ -252,9 +271,9 @@ object OracleGen {
       emb.filter(col("vec_id") < 20), "vec_id", "embedding",
       k = 5, nlist = 16, nprobe = 6, m = 8, ks = 64, refine = 8,
       seed = 42L, maxQueries = Ann.MaxQueries)
-    val slVals = shortlist.collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
-      .map { case (q, n) => s"($q, $n)" }.mkString(", ")
+    val sl = shortlist.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    checkEmbeddable("q34_ann_pq", sl.length.toLong)
+    val slVals = sl.map { case (q, n) => s"($q, $n)" }.mkString(", ")
     val cand =
       s"""cand AS (
          |  SELECT CAST(query_id AS BIGINT) AS query_id,

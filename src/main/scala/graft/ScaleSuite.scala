@@ -20,12 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSuite {
 
-  private def force(spark: SparkSession, df: DataFrame): Unit = {
-    val h = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
-    df.select(h.as("_h")).agg(expr("bit_xor(_h)")).collect()
-    ()
-  }
-
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = sys.env.getOrElse("GRAFT_SCALE_SUITE_DIR", "/tmp/graft_scale_suite")
@@ -95,19 +89,13 @@ object ScaleSuite {
     val nLine = spark.read.parquet(s"$outDir/lineitem.parquet").count()
     println(s"""{"bench":"scale_suite","workload":"generate","events":$nEvents,"lineitem":$nLine,"replicas":$replicas}""")
 
-    // ---- phase 1: warmup (Bench's recipe) then the timed suite ----
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if (warmDir != "none") {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try force(spark, fn(spark, warmDir))
-        catch { case _: Throwable => () }
-      }
-    }
+    // ---- phase 1: warmup (Bench's shared recipe) then the timed suite ----
+    Bench.warmAll(spark, sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"))
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { force(spark, fn(spark, outDir)); true }
+        try { Bench.force(fn(spark, outDir)); true }
         catch {
           case e: Throwable =>
             System.err.println(s"SCALE-SUITE FAIL $name: ${e.getClass.getName}: ${e.getMessage}")

@@ -17,16 +17,6 @@ import graft.sources.ParseLogLine
   */
 object SparkEntry {
 
-  /** Set by Verify (spark session + sf dir) before [[oracleSql]] is
-    * dumped: the six candidate-generation queries get GENERATED oracles
-    * ([[OracleGen]]) whose key CTEs must be computed from the same data
-    * the queries read. When unset (e.g. oracleSql inspected outside a
-    * Verify run), those entries are simply absent — the driver then
-    * records the weaker rows-only check, exactly the pre-generation
-    * behavior.
-    */
-  @volatile var oracleCtx: Option[(SparkSession, String)] = None
-
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -711,12 +701,18 @@ object SparkEntry {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.rt""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Static twins here; the six
-    * candidate-generation queries get generated key-CTE oracles from
-    * [[OracleGen]] when [[oracleCtx]] is set.
+    * the same parquet tables. The no-arg form returns the static twins
+    * only; Verify calls the explicit overload with its (session, sf
+    * dir) so the six candidate-generation queries additionally get
+    * GENERATED key-CTE oracles ([[OracleGen]]) computed from the same
+    * data the queries read. Without a context those entries are simply
+    * absent — the driver then records the weaker rows-only check,
+    * exactly the pre-generation behavior.
     */
-  def oracleSql: Map[String, String] =
-    staticOracleSql ++ oracleCtx.map { case (s, dir) => OracleGen.all(s, dir) }
+  def oracleSql: Map[String, String] = oracleSql(None)
+
+  def oracleSql(ctx: Option[(SparkSession, String)]): Map[String, String] =
+    staticOracleSql ++ ctx.map { case (s, dir) => OracleGen.all(s, dir) }
       .getOrElse(Map.empty)
 
   private def staticOracleSql: Map[String, String] = Map(

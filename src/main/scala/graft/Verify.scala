@@ -38,12 +38,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Enable the generated key-CTE oracles (OracleGen) for the six
-    // candidate-generation queries: they embed engine-computed keys for
-    // THIS sf dir, so the context must point at the same data the
-    // query dumps above just read.
-    SparkEntry.oracleCtx = Some((spark, sfDir))
-    val json = SparkEntry.oracleSql
+    // Explicit context enables the generated key-CTE oracles
+    // (OracleGen) for the six candidate-generation queries: they embed
+    // engine-computed keys for THIS sf dir, the same data the query
+    // dumps above just read.
+    val json = SparkEntry.oracleSql(Some((spark, sfDir)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -88,7 +88,12 @@ object EmailSink {
         out.write(".\r\n"); out.flush()
         val (dcode, dtext) = reply()
         if (dcode != 250) throw new java.io.IOException(s"SMTP: message rejected: $dtext")
-        cmd("QUIT", 221)
+        // the 250 above IS the success boundary: the server has accepted
+        // responsibility for the message. A QUIT hiccup (non-221, or an
+        // MTA that closes the socket right after accepting) must not
+        // report failure for a delivered email — a retry would duplicate it.
+        try cmd("QUIT", 221)
+        catch { case _: Exception => () }
       } finally socket.close()
     }
   }

@@ -170,7 +170,13 @@ object StreamingOps {
       events: Dataset[AsofEvent],
       watermark: String = "10 seconds"): Dataset[AsofResult] = {
     import events.sparkSession.implicits._
-    events
+    // batch-twin null semantics, handled BEFORE the stateful path (a
+    // null event time has no place on a watermarked timeline): null-time
+    // rights are dropped; null-time lefts emit an immediate no-match row
+    val nullTimeLefts = events.filter(e => e.ts == null && e.isLeft)
+      .map(e => AsofResult(e.key, e.rowId, -1L, None, None))
+    val timed = events.filter(_.ts != null)
+    val matched = timed
       .withWatermark("ts", watermark)
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
@@ -178,8 +184,11 @@ object StreamingOps {
           val st = state.getOption.getOrElse(AsofPending(Nil, Nil))
           val incoming = it.toSeq
           val lefts = st.lefts ++ incoming.filter(_.isLeft).map(e => (e.ts.getTime, e.rowId))
+          // null VALUES are legal (unlike null times): order them first
+          // on (time) ties, matching the batch window's asc_nulls_first
           val rights = (st.rights ++
-            incoming.filterNot(_.isLeft).map(e => (e.ts.getTime, e.value))).sorted
+            incoming.filterNot(_.isLeft).map(e => (e.ts.getTime, e.value)))
+            .sortBy { case (t, v) => (t, Option(v)) }
           val wmMs = state.getCurrentWatermarkMs()
 
           val (ready, pending) = lefts.partition(_._1 <= wmMs)
@@ -202,6 +211,7 @@ object StreamingOps {
           }
           out.iterator
         })
+    matched.union(nullTimeLefts)
   }
 
   final case class BurstKey(source: String, ip: String, request_uri: String)

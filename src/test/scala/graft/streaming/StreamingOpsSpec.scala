@@ -152,4 +152,31 @@ class StreamingOpsSpec extends GraftSparkSpec {
       assert(results()(3L).value.isEmpty && results()(3L).matchTsMs.isEmpty)
     } finally q.stop()
   }
+
+  test("streaming as-of join: null event times follow the batch twin's contract") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.AsofEvent]
+    val q = StreamingOps.asofJoin(input.toDS(), watermark = "5 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("asof_null_out").start()
+    try {
+      input.addData(
+        // null-time right: dropped (would otherwise match everything)
+        StreamingOps.AsofEvent("k", null, isLeft = false, 0, "ghost"),
+        // null-time left: immediate no-match row, no watermark wait
+        StreamingOps.AsofEvent("k", null, isLeft = true, 7, null),
+        // two rights tied on time, one with a NULL value: ordering must
+        // not NPE, and the non-null value sorts last (asc_nulls_first)
+        StreamingOps.AsofEvent("k", new java.sql.Timestamp(10000L), isLeft = false, 0, null),
+        StreamingOps.AsofEvent("k", new java.sql.Timestamp(10000L), isLeft = false, 0, "real"),
+        StreamingOps.AsofEvent("k", new java.sql.Timestamp(20000L), isLeft = true, 8, null))
+      q.processAllAvailable()
+      input.addData( // advance the watermark past the left at 20s
+        StreamingOps.AsofEvent("other", new java.sql.Timestamp(90000L), isLeft = false, 0, "x"))
+      q.processAllAvailable()
+      val got = spark.table("asof_null_out").as[StreamingOps.AsofResult]
+        .collect().map(r => r.rowId -> r).toMap
+      assert(got(7L).value.isEmpty && got(7L).matchTsMs.isEmpty)
+      assert(got(8L).value.contains("real") && got(8L).matchTsMs.contains(10000L))
+    } finally q.stop()
+  }
 }
