@@ -572,6 +572,28 @@ object SparkEntry {
         .select(col("event_id"), col("ckpt_id"), col("ckpt_value"))
     }),
 
+    // near-dup drop keeping the BEST row per component (score =
+    // n_chars, ties to the smallest id) — same deterministic pair
+    // graph as q36/q37, recursive-CTE + window oracle
+    "q51_drop_best" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val edges = docs.select(col("doc_id").as("id_a"), expr("n_chars DIV 100").as("_ba"))
+        .join(docs.select(col("doc_id").as("id_b"), expr("n_chars DIV 100").as("_bb")),
+          col("id_b") === col("id_a") + 1 && col("_ba") === col("_bb"))
+        .select("id_a", "id_b")
+      graft.operators.Dedup.dropNearDupsBy(docs, "doc_id", col("n_chars"), edges)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // composite C4/Gopher-style quality filter: keep verdict + ordered
+    // fail reasons from the oracled round4 signals
+    "q52_quality_filter" -> ((s, dir) => {
+      val v = graft.textops.TextAnalysis.qualityVerdict(col("text"))
+      table(s, dir, "documents").select(col("doc_id"), v.as("_v"))
+        .select(col("doc_id"), col("_v.n_tokens").as("n_tokens"),
+          col("_v.fail_reasons").as("fail_reasons"), col("_v.keep").as("keep"))
+    }),
+
     // exact interpolated quantiles per group: Spark's percentile and
     // DuckDB's quantile_cont share the (n-1)*p linear-interpolation
     // definition, so the values agree bit-for-bit after rounding
@@ -1179,6 +1201,61 @@ object SparkEntry {
 
     "q46_asof" -> oracleSqlQ46,
     "q50_asof_chunked" -> oracleSqlQ46,
+
+    "q51_drop_best" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 1 AND a.n_chars // 100 = b.n_chars // 100),
+        |sym AS (SELECT id_a, id_b FROM edges UNION SELECT id_b, id_a FROM edges),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.id_b, reach.r FROM reach JOIN sym s ON s.id_a = reach.id),
+        |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+        |ranked AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY c.component
+        |                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+        |  FROM documents d JOIN comp c USING (doc_id))
+        |SELECT doc_id, n_chars FROM ranked WHERE rk = 1""".stripMargin,
+
+    "q52_quality_filter" -> {
+      val en = graft.textops.TextAnalysis.stopwords("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |         ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') END AS toks,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS DOUBLE) / length(text)
+         |         END AS praw
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    floor(praw * 10000.0 + 0.5) / 10000.0 AS pr,
+         |    floor((CASE WHEN len(toks) = 0 THEN 0.0
+         |           ELSE CAST(len(list_filter(toks, t -> list_contains($en, t))) AS DOUBLE)
+         |                / len(toks) END) * 10000.0 + 0.5) / 10000.0 AS sr,
+         |    floor((CASE WHEN len(toks) = 0 THEN 0.0
+         |           ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |           END) * 10000.0 + 0.5) / 10000.0 AS rr
+         |  FROM base),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    list_filter([
+         |      CASE WHEN n_tokens < 10 THEN 'too_short' END,
+         |      CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+         |      CASE WHEN pr > 0.3 THEN 'too_much_punct' END,
+         |      CASE WHEN sr < 0.02 THEN 'too_few_stopwords' END,
+         |      CASE WHEN rr > 0.6 THEN 'too_repetitive' END], x -> x IS NOT NULL) AS fails
+         |  FROM sig)
+         |SELECT doc_id, n_tokens,
+         |  coalesce(array_to_string(fails, ','), '') AS fail_reasons,
+         |  len(fails) = 0 AS keep
+         |FROM r""".stripMargin
+    },
 
     "q47_quantiles" ->
       """SELECT event_type, count(*) AS n,

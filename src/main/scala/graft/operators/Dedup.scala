@@ -109,4 +109,27 @@ object Dedup {
     val comps = connectedComponents(df.select(col(idCol)), idCol, pairs, maxIter)
     df.join(comps.filter(col("id") === col("component")).select(col("id").as(idCol)), Seq(idCol))
   }
+
+  /** Near-dup drop keeping the BEST row per component — the shape a
+    * training-data pipeline actually wants: among near-duplicate
+    * documents keep the highest-quality one, not the arbitrary
+    * smallest-id one. Ties on score resolve to the smallest id, so the
+    * kept set is deterministic across runs and partitionings. Rows
+    * absent from `pairs` form singleton components and always survive.
+    *
+    * Scale shape: the component frame is one row per vertex; the join
+    * back and the per-component top-1 window both shuffle on
+    * `component` — same price as [[dropNearDups]] plus one window.
+    */
+  def dropNearDupsBy(
+      df: DataFrame, idCol: String, scoreCol: Column, pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val comps = connectedComponents(df.select(col(idCol)), idCol, pairs, maxIter)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(scoreCol.desc, col(idCol).asc)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk", "component")
+  }
 }

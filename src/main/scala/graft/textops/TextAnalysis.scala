@@ -99,4 +99,41 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(to_binary(regexp_replace(lower(text), "[^a-z0-9]", ""), lit("utf-8")))
+
+  /** Thresholds for [[qualityVerdict]] — the classic C4/Gopher-style
+    * cheap-rule bundle, with conventional defaults.
+    */
+  final case class QualityThresholds(
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      maxPunctRatio: Double = 0.3,
+      minStopRatio: Double = 0.02,
+      maxRepetitionRatio: Double = 0.6)
+
+  /** Composite training-corpus quality FILTER (not just the scores):
+    * per document, every failed rule in fixed order as a
+    * comma-joined `fail_reasons` string plus the `keep` verdict —
+    * the auditable form a curation pipeline wants (how much did each
+    * rule cost me?) rather than a bare boolean. All signals are the
+    * round4'd ratios the oracles pin, so the verdict is engine-exact.
+    * One narrow codegen'd pass, no shuffle.
+    */
+  def qualityVerdict(
+      text: Column, t: QualityThresholds = QualityThresholds()): Column = {
+    val nt = nTokens(text)
+    val pr = round4(punctRatio(text))
+    val sr = round4(stopwordRatio(text))
+    val rr = repetitionRatio(text)
+    val reasons = array(
+      when(nt < t.minTokens, lit("too_short")),
+      when(nt > t.maxTokens, lit("too_long")),
+      when(pr > t.maxPunctRatio, lit("too_much_punct")),
+      when(sr < t.minStopRatio, lit("too_few_stopwords")),
+      when(rr > t.maxRepetitionRatio, lit("too_repetitive")))
+    struct(
+      nt.as("n_tokens"), pr.as("punct_ratio"), sr.as("stop_ratio"),
+      rr.as("rep_ratio"),
+      array_join(filter(reasons, r => r.isNotNull), ",").as("fail_reasons"),
+      (size(filter(reasons, r => r.isNotNull)) === 0).as("keep"))
+  }
 }

@@ -32,6 +32,22 @@ class ConnectedComponentsSpec extends GraftSparkSpec {
     assert(again.count() == kept.count())
   }
 
+  test("dropNearDupsBy keeps the best-scored row per component, ties to smallest id") {
+    import org.apache.spark.sql.functions.col
+    // components {1,2,3}, {5,6}; 4 is a singleton
+    val df = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 30.0), // tie at 30 -> id 2 wins
+      (4L, 1.0), (5L, 5.0), (6L, 9.0))
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDupsBy(df, "id", col("score"), pairs)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L, 6L))
+    // schema passes through unchanged (no helper columns leak)
+    assert(Dedup.dropNearDupsBy(df, "id", col("score"), pairs).columns.toSeq
+      == Seq("id", "score"))
+  }
+
   test("convergence needs path-length rounds, not more (early stop)") {
     // a 30-vertex path converges well inside maxIter=50 and produces
     // a single component rooted at the smallest id

@@ -66,6 +66,27 @@ class TextAnalysisSpec extends GraftSparkSpec {
     assert(q1 > 0.8 && q2 < 0.3, s"clean=$q1 soup=$q2")
   }
 
+  test("qualityVerdict: ordered fail reasons and keep flag") {
+    val clean = "the quick brown fox jumps over the lazy dog and it runs to the green hills"
+    val df = Seq(
+      (1L, clean),
+      (2L, "short text"),                      // 2 tokens -> too_short (has stopwords? no 'the' ... )
+      (3L, "@@!! ## $$%% ^^&& :: ;; || ~~ `` ++ == -- ?? !! .. ,, '' \"\" //"),
+      (4L, ("spam " * 50).trim))               // 50 tokens, all same -> too_repetitive
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.qualityVerdict(col("text")).as("v"))
+      .select(col("doc_id"), col("v.fail_reasons").as("fr"), col("v.keep").as("keep"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(df(1L) == ("", true))
+    assert(df(2L)._1.contains("too_short") && !df(2L)._2)
+    // punctuation soup fails multiple rules IN DECLARATION ORDER
+    assert(df(3L)._1 ==
+      "too_much_punct,too_few_stopwords" || df(3L)._1.startsWith("too_short"),
+      s"got ${df(3L)._1}")
+    assert(!df(3L)._2)
+    assert(df(4L)._1.contains("too_repetitive") && !df(4L)._2)
+  }
+
   test("fingerprint invariant to case/punctuation/whitespace") {
     val df = Seq("Hello,   World!", "hello world", "HELLO-WORLD").toDF("text")
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))
