@@ -222,6 +222,69 @@ object Ivf {
     centers
   }
 
+  /** Persist the trained coarse quantizer + cell assignments as
+    * parquet — the build-once/search-many serving shape a 100 TB
+    * corpus requires (re-training and re-assigning per query batch is
+    * the bench shortcut, not the production path). Layout:
+    * `dir/centroids.parquet` (cell, centroid array<double>) — nlist
+    * rows; `dir/cells.parquet` (id, cell) — one narrow row per corpus
+    * vector, written distributed. PQ codes would persist the same way
+    * (id, cell, code) for the codes-only scan.
+    */
+  def buildIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nlist: Int = 16, seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = fitCentroids(corpus, vecCol, nlist, seed)
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    corpus.select(col(idCol).as("id"),
+      nearest_cells(col(vecCol), centroids, 1).getItem(0).as("cell"))
+      .write.mode("overwrite").parquet(s"$dir/cells.parquet")
+  }
+
+  private def loadCentroids(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids.parquet")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Search a persisted index: probe `nprobe` cells from the SAVED
+    * quantizer, equi-join the SAVED assignments (no re-training, no
+    * corpus re-assignment), exact-cosine re-rank within the probed
+    * cells. Output schema matches [[ivfTopK]]; IvfIndexSpec pins
+    * row-for-row equality with a fresh ivfTopK.
+    */
+  def searchIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      dir: String, k: Int, nprobe: Int = 4,
+      maxQueries: Int = Ann.MaxQueries): DataFrame = {
+    Ann.requireBoundedQueries(queries, maxQueries, "searchIndex")
+    val spark = corpus.sparkSession
+    val centroids = loadCentroids(spark, dir)
+    val cells = spark.read.parquet(s"$dir/cells.parquet")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      Ann.l2norm(col(vecCol)).as("_cn"))
+      .join(cells.withColumnRenamed("id", "neighbor_id"), Seq("neighbor_id"))
+      .withColumnRenamed("cell", "_cell")
+    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("_qv"),
+      Ann.l2norm(col(qvecCol)).as("_qn"),
+      explode(nearest_cells(col(qvecCol), centroids, nprobe)).as("_cell"))
+    val joined = c.join(broadcast(q), Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", Ann.dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** IVF top-k: exact cosine rank within the query's nprobe cells. */
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
