@@ -157,46 +157,46 @@ object Pq {
     * ([[graft.OracleGen]]) can replay the exact shortlist and
     * independently re-rank it.
     */
-  def adcShortlistWithQueries(
-      corpus: DataFrame, idCol: String, vecCol: String,
+  /** Bounded, validated query collect for the LUT build. The limit
+    * makes the guard and the collect one bounded job: one row past
+    * maxQueries proves the contract violation without fetching a
+    * corpus-sized frame first. Null ids/embeddings/elements are
+    * rejected with the offending query id (they would NPE deep inside
+    * the LUT build otherwise).
+    */
+  private def collectQueries(
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nlist: Int, nprobe: Int,
-      m: Int, ks: Int, refine: Int, seed: Long,
-      maxQueries: Int): (DataFrame, DataFrame) = {
+      maxQueries: Int, api: String): Array[org.apache.spark.sql.Row] = {
     require(maxQueries > 0 && maxQueries < Int.MaxValue,
-      s"ivfPqTopK: maxQueries must be in [1, ${Int.MaxValue - 1}], got $maxQueries " +
+      s"$api: maxQueries must be in [1, ${Int.MaxValue - 1}], got $maxQueries " +
         "(maxQueries + 1 rows are probed, so Int.MaxValue would overflow)")
-    // one bounded sample feeds BOTH quantizers, through the shared
-    // training recipe (the DataFrame fitCentroids would re-count and
-    // re-collect the identical sample)
-    val sample = Ivf.sampleNormalized(corpus, vecCol, seed)
-    val centroids = Ivf.fitCentroids(sample, nlist, seed, iters = 10)
-    val codebooks = fitCodebooks(sample, m, ks, seed)
-
-    // Per-query LUTs from the bounded, broadcast-by-contract query set.
-    // The limit makes the guard and the collect one bounded job: one row
-    // past maxQueries proves the contract violation without fetching a
-    // corpus-sized frame first.
     val qRows = queries.select(
       col(qidCol).cast("long").as("query_id"),
       transform(col(qvecCol), x => x.cast("double")).as("_qv"))
       .limit(maxQueries + 1).collect()
     if (qRows.length > maxQueries) throw new IllegalArgumentException(
-      s"ivfPqTopK: query frame exceeds maxQueries=$maxQueries rows; the query set " +
+      s"$api: query frame exceeds maxQueries=$maxQueries rows; the query set " +
         "is collected for ADC LUTs and broadcast by contract. Batch the query " +
         "frame, raise maxQueries deliberately, or use the pairwise APIs for " +
         "corpus-vs-corpus shapes.")
-    // Contract check before touching elements: a null embedding (or a
-    // null element the transform cast preserved) would NPE deep inside
-    // the LUT build — reject with the actual offending query id instead.
     qRows.foreach { r =>
       require(!r.isNullAt(0) && !r.isNullAt(1),
-        s"ivfPqTopK: query row with null ${if (r.isNullAt(0)) "id" else "embedding"} " +
+        s"$api: query row with null ${if (r.isNullAt(0)) "id" else "embedding"} " +
           "in the query frame; filter nulls before calling the top-k APIs")
       require(!r.getSeq[Any](1).contains(null),
-        s"ivfPqTopK: query id ${r.getLong(0)} has null elements in its embedding; " +
+        s"$api: query id ${r.getLong(0)} has null elements in its embedding; " +
           "filter or impute null vector elements before calling the top-k APIs")
     }
+    qRows
+  }
+
+  /** Per-query ADC lookup tables: inner products of the normalized
+    * query against every sub-centroid.
+    */
+  private def buildLuts(
+      qRows: Array[org.apache.spark.sql.Row],
+      codebooks: Array[Array[Array[Double]]]): java.util.HashMap[Long, Array[Array[Double]]] = {
+    val m = codebooks.length
     val luts = new java.util.HashMap[Long, Array[Array[Double]]]()
     qRows.foreach { r =>
       val qid = r.getLong(0)
@@ -213,34 +213,139 @@ object Pq {
         }
       })
     }
+    luts
+  }
 
-    // Probe + re-rank query frames are REBUILT from the collected rows,
-    // not re-derived from `queries`: re-evaluating a nondeterministic
-    // query plan (sample, multi-partition limit) could yield qids the
-    // LUT map never saw, failing in an executor after the corpus encode
-    // already ran — and the rebuild saves two full re-evaluations.
-    val spark = queries.sparkSession
+  /** Probe + re-rank query frames are REBUILT from the collected rows,
+    * not re-derived from the caller's plan: re-evaluating a
+    * nondeterministic query plan (sample, multi-partition limit) could
+    * yield qids the LUT map never saw, failing in an executor after
+    * the corpus encode already ran — and the rebuild saves two full
+    * re-evaluations.
+    */
+  private def qBaseOf(
+      spark: org.apache.spark.sql.SparkSession,
+      qRows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
-    val qBase = spark.createDataset(
-      qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1))))
+    spark.createDataset(qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1))))
       .toDF("query_id", "_qv")
+  }
 
-    // Corpus index: cell id + m-byte code per vector (codes-only scan)
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      Ivf.nearest_cells(col(vecCol), centroids, 1).getItem(0).as("_cell"),
-      pq_encode(col(vecCol), codebooks).as("_code"))
+  /** ADC shortlist from a codes frame (neighbor_id, _cell, _code) —
+    * shared by the in-memory path (codes computed on the fly) and the
+    * persisted-index path (codes read back from parquet).
+    */
+  private def shortlistFrom(
+      codes: DataFrame, qBase: DataFrame,
+      centroids: Array[Array[Double]],
+      luts: java.util.HashMap[Long, Array[Array[Double]]],
+      k: Int, nprobe: Int, refine: Int): DataFrame = {
     val q = qBase.select(col("query_id"),
       explode(Ivf.nearest_cells(col("_qv"), centroids, nprobe)).as("_cell"))
-
     val shortlistW = Window.partitionBy(col("query_id"))
       .orderBy(col("_adc").desc, col("neighbor_id").asc)
-    val shortlist = c.join(broadcast(q), Seq("_cell"))
+    codes.join(broadcast(q), Seq("_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("_adc", pq_adc_score(col("query_id"), col("_code"), luts))
       .withColumn("_r", row_number().over(shortlistW))
       .filter(col("_r") <= k * refine)
       .select("query_id", "neighbor_id")
-    (shortlist, qBase)
+  }
+
+  /** Exact re-rank: fetch full vectors for the shortlist only. */
+  private def rerank(
+      shortlist: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      qBase: DataFrame, k: Int): DataFrame = {
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      Ann.l2norm(col(vecCol)).as("_cn"))
+    val qv = qBase.withColumn("_qn", Ann.l2norm(col("_qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    shortlist
+      .join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", Ann.dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  def adcShortlistWithQueries(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int, nprobe: Int,
+      m: Int, ks: Int, refine: Int, seed: Long,
+      maxQueries: Int): (DataFrame, DataFrame) = {
+    // one bounded sample feeds BOTH quantizers, through the shared
+    // training recipe (the DataFrame fitCentroids would re-count and
+    // re-collect the identical sample)
+    val sample = Ivf.sampleNormalized(corpus, vecCol, seed)
+    val centroids = Ivf.fitCentroids(sample, nlist, seed, iters = 10)
+    val codebooks = fitCodebooks(sample, m, ks, seed)
+    val qRows = collectQueries(queries, qidCol, qvecCol, maxQueries, "ivfPqTopK")
+    val luts = buildLuts(qRows, codebooks)
+    val qBase = qBaseOf(queries.sparkSession, qRows)
+    // Corpus index: cell id + m-byte code per vector (codes-only scan)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      Ivf.nearest_cells(col(vecCol), centroids, 1).getItem(0).as("_cell"),
+      pq_encode(col(vecCol), codebooks).as("_code"))
+    (shortlistFrom(codes, qBase, centroids, luts, k, nprobe, refine), qBase)
+  }
+
+  /** Persist the full PQ index: coarse centroids, per-subspace
+    * codebooks, and the per-vector (id, cell, code) codes frame — the
+    * codes-only scan artifact (~32x smaller than the vectors), written
+    * distributed. Build once, serve every later query batch without
+    * re-training or re-encoding.
+    */
+  def buildIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nlist: Int = 16, m: Int = 8, ks: Int = 64, seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = Ivf.sampleNormalized(corpus, vecCol, seed)
+    val centroids = Ivf.fitCentroids(sample, nlist, seed, iters = 10)
+    val codebooks = fitCodebooks(sample, m, ks, seed)
+    centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    codebooks.zipWithIndex.toSeq
+      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) } }
+      .toDF("subspace", "code", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    corpus.select(col(idCol).as("id"),
+      Ivf.nearest_cells(col(vecCol), centroids, 1).getItem(0).as("cell"),
+      pq_encode(col(vecCol), codebooks).as("code"))
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+  }
+
+  /** Search a persisted PQ index: the ADC shortlist runs entirely off
+    * the SAVED codes frame (no corpus encode), the quantizer and
+    * codebooks load from the saved parquet, and only the final re-rank
+    * touches the corpus vectors (shortlist-sized join). Output schema
+    * matches [[ivfPqTopK]]; PqIndexSpec pins row-for-row equality with
+    * the fresh in-memory path.
+    */
+  def searchIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      dir: String, k: Int, nprobe: Int = 4, refine: Int = 4,
+      maxQueries: Int = Ann.MaxQueries): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+      .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$dir/codebooks.parquet")
+      .orderBy(col("subspace"), col("code")).collect()
+    val codebooks = cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](2).toArray)).toArray
+    val qRows = collectQueries(queries, qidCol, qvecCol, maxQueries, "searchIndex")
+    val luts = buildLuts(qRows, codebooks)
+    val qBase = qBaseOf(spark, qRows)
+    val codes = spark.read.parquet(s"$dir/codes.parquet")
+      .select(col("id").as("neighbor_id"), col("cell").as("_cell"), col("code").as("_code"))
+    val shortlist = shortlistFrom(codes, qBase, centroids, luts, k, nprobe, refine)
+    rerank(shortlist, corpus, idCol, vecCol, qBase, k)
   }
 
   /** IVF-PQ top-k: probe `nprobe` coarse cells, ADC-shortlist
@@ -257,20 +362,6 @@ object Pq {
     val (shortlist, qBase) = adcShortlistWithQueries(
       corpus, idCol, vecCol, queries, qidCol, qvecCol,
       k, nlist, nprobe, m, ks, refine, seed, maxQueries)
-
-    // Exact re-rank: fetch full vectors for the shortlist only
-    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      Ann.l2norm(col(vecCol)).as("_cn"))
-    val qv = qBase.withColumn("_qn", Ann.l2norm(col("_qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    shortlist
-      .join(cv, Seq("neighbor_id"))
-      .join(broadcast(qv), Seq("query_id"))
-      .withColumn("cosine", Ann.dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"), col("rank"))
+    rerank(shortlist, corpus, idCol, vecCol, qBase, k)
   }
 }
