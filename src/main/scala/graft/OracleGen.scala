@@ -246,7 +246,10 @@ object OracleGen {
       .select(col("vec_id"),
         explode(Ivf.nearest_cells(col("embedding"), centroids, nprobe)).as("cell"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(identity)
-    checkEmbeddable("q32_ann_ivf", cells.length.toLong + probes.length)
+    // guard BOTH frames separately: nonempty cells with an empty probe
+    // set would still emit the `VALUES ()` syntax error
+    checkEmbeddable("q32_ann_ivf cells", cells.length.toLong)
+    checkEmbeddable("q32_ann_ivf probes", probes.length.toLong)
     val cVals = cells.map { case (id, c) => s"($id, $c)" }.mkString(", ")
     val pVals = probes.map { case (id, c) => s"($id, $c)" }.mkString(", ")
     val cand =

@@ -581,8 +581,11 @@ object SparkEntry {
         .join(docs.select(col("doc_id").as("id_b"), expr("n_chars DIV 100").as("_bb")),
           col("id_b") === col("id_a") + 1 && col("_ba") === col("_bb"))
         .select("id_a", "id_b")
-      graft.operators.Dedup.dropNearDupsBy(docs, "doc_id", col("n_chars"), edges)
-        .select(col("doc_id"), col("n_chars"))
+      // project BEFORE the drop: the component join and the
+      // per-component window shuffle only the two columns they need,
+      // not the full text payload
+      graft.operators.Dedup.dropNearDupsBy(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", col("n_chars"), edges)
     }),
 
     // composite C4/Gopher-style quality filter: keep verdict + ordered

@@ -124,12 +124,18 @@ object Dedup {
   def dropNearDupsBy(
       df: DataFrame, idCol: String, scoreCol: Column, pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
+    // helper columns are prefixed so a caller's own `component` column
+    // neither collides (AMBIGUOUS_REFERENCE) nor gets dropped
+    val collisions = Seq("_nd_component", "_nd_rk").filter(df.columns.contains)
+    require(collisions.isEmpty,
+      s"dropNearDupsBy: input already has ${collisions.mkString(", ")} — rename first")
     val comps = connectedComponents(df.select(col(idCol)), idCol, pairs, maxIter)
-    val w = Window.partitionBy(col("component"))
+      .select(col("id").as(idCol), col("component").as("_nd_component"))
+    val w = Window.partitionBy(col("_nd_component"))
       .orderBy(scoreCol.desc, col(idCol).asc)
-    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol))
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .drop("_rk", "component")
+    df.join(comps, Seq(idCol))
+      .withColumn("_nd_rk", row_number().over(w))
+      .filter(col("_nd_rk") === 1)
+      .drop("_nd_rk", "_nd_component")
   }
 }

@@ -144,7 +144,11 @@ object StreamingOps {
   final case class AsofEvent(key: String, ts: java.sql.Timestamp,
       isLeft: Boolean, rowId: Long, value: String)
   final case class AsofPending(lefts: Seq[(Long, Long)], rights: Seq[(Long, String)])
-  final case class AsofResult(key: String, rowId: Long, tsMs: Long,
+  /** `tsMs` is None for a null-time left row (the batch twin preserves
+    * the null left time too) — an in-band sentinel like -1 would
+    * collide with legitimate pre-1970 event times.
+    */
+  final case class AsofResult(key: String, rowId: Long, tsMs: Option[Long],
       matchTsMs: Option[Long], value: Option[String])
 
   /** Streaming analogue of [[graft.operators.AsofJoin.asofBackward]]:
@@ -174,7 +178,7 @@ object StreamingOps {
     // null event time has no place on a watermarked timeline): null-time
     // rights are dropped; null-time lefts emit an immediate no-match row
     val nullTimeLefts = events.filter(e => e.ts == null && e.isLeft)
-      .map(e => AsofResult(e.key, e.rowId, -1L, None, None))
+      .map(e => AsofResult(e.key, e.rowId, None, None, None))
     val timed = events.filter(_.ts != null)
     val matched = timed
       .withWatermark("ts", watermark)
@@ -194,8 +198,8 @@ object StreamingOps {
           val (ready, pending) = lefts.partition(_._1 <= wmMs)
           val out = ready.sorted.map { case (ts, rowId) =>
             rights.takeWhile(_._1 <= ts).lastOption match {
-              case Some((rt, v)) => AsofResult(key, rowId, ts, Some(rt), Some(v))
-              case None => AsofResult(key, rowId, ts, None, None)
+              case Some((rt, v)) => AsofResult(key, rowId, Some(ts), Some(rt), Some(v))
+              case None => AsofResult(key, rowId, Some(ts), None, None)
             }
           }
 

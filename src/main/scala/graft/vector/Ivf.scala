@@ -252,6 +252,24 @@ object Ivf {
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
 
+  /** Exact-cosine rank within probed cells — the one scoring tail
+    * shared by [[ivfTopK]] and [[searchIndex]] so the fresh and
+    * persisted paths cannot drift (IvfIndexSpec pins their row
+    * equality). `c` = (neighbor_id, _cv, _cn, _cell); `q` = (query_id,
+    * _qv, _qn, _cell) with one row per probed cell.
+    */
+  private def rankProbed(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val joined = c.join(broadcast(q), Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", Ann.dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** Search a persisted index: probe `nprobe` cells from the SAVED
     * quantizer, equi-join the SAVED assignments (no re-training, no
     * corpus re-assignment), exact-cosine re-rank within the probed
@@ -274,15 +292,7 @@ object Ivf {
     val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("_qv"),
       Ann.l2norm(col(qvecCol)).as("_qn"),
       explode(nearest_cells(col(qvecCol), centroids, nprobe)).as("_cell"))
-    val joined = c.join(broadcast(q), Seq("_cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", Ann.dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"), col("rank"))
+    rankProbed(c, q, k)
   }
 
   /** IVF top-k: exact cosine rank within the query's nprobe cells. */
@@ -299,14 +309,6 @@ object Ivf {
     val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("_qv"),
       Ann.l2norm(col(qvecCol)).as("_qn"),
       explode(nearest_cells(col(qvecCol), centroids, nprobe)).as("_cell"))
-    val joined = c.join(broadcast(q), Seq("_cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", Ann.dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"), col("rank"))
+    rankProbed(c, q, k)
   }
 }

@@ -271,19 +271,28 @@ object Pq {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** The ONE training recipe (bounded sample feeding BOTH quantizers)
+    * shared by the in-memory path and [[buildIndex]] — a drift between
+    * them would silently break the persisted-vs-fresh equality
+    * contract PqIndexSpec pins.
+    */
+  private def train(
+      corpus: DataFrame, vecCol: String, nlist: Int, m: Int, ks: Int,
+      seed: Long): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val sample = Ivf.sampleNormalized(corpus, vecCol, seed)
+    (Ivf.fitCentroids(sample, nlist, seed, iters = 10), fitCodebooks(sample, m, ks, seed))
+  }
+
   def adcShortlistWithQueries(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nlist: Int, nprobe: Int,
       m: Int, ks: Int, refine: Int, seed: Long,
       maxQueries: Int): (DataFrame, DataFrame) = {
-    // one bounded sample feeds BOTH quantizers, through the shared
-    // training recipe (the DataFrame fitCentroids would re-count and
-    // re-collect the identical sample)
-    val sample = Ivf.sampleNormalized(corpus, vecCol, seed)
-    val centroids = Ivf.fitCentroids(sample, nlist, seed, iters = 10)
-    val codebooks = fitCodebooks(sample, m, ks, seed)
+    // validate the query contract BEFORE paying for quantizer training
+    // (sample collect + k-means) — fail-fast on a bad maxQueries/frame
     val qRows = collectQueries(queries, qidCol, qvecCol, maxQueries, "ivfPqTopK")
+    val (centroids, codebooks) = train(corpus, vecCol, nlist, m, ks, seed)
     val luts = buildLuts(qRows, codebooks)
     val qBase = qBaseOf(queries.sparkSession, qRows)
     // Corpus index: cell id + m-byte code per vector (codes-only scan)
@@ -304,9 +313,7 @@ object Pq {
       nlist: Int = 16, m: Int = 8, ks: Int = 64, seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample = Ivf.sampleNormalized(corpus, vecCol, seed)
-    val centroids = Ivf.fitCentroids(sample, nlist, seed, iters = 10)
-    val codebooks = fitCodebooks(sample, m, ks, seed)
+    val (centroids, codebooks) = train(corpus, vecCol, nlist, m, ks, seed)
     centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
