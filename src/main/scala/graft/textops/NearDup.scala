@@ -119,6 +119,85 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Persist a minhash near-dup INDEX for incremental dedup: per-doc
+    * band keys (`dir/bands.parquet`: id, band_idx, band_hash) and
+    * sorted shingle-hash sets (`dir/shingles.parquet`: id, sh). An
+    * ongoing ingestion pipeline builds this once per corpus snapshot;
+    * each new crawl batch then dedups against it via
+    * [[minhashPairsAgainstIndex]] WITHOUT re-shingling or re-hashing
+    * the 100 TB corpus — the shuffle is sized by the new batch.
+    */
+  def buildMinhashIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleSize: Int = 3, k: Int = 32, bands: Int = 8): Unit = {
+    val base = df.select(
+      col(idCol).as("id"),
+      hashedShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    base
+      .withColumn("sig", TokenShingles.minhash_sig_long(col("sh"), k))
+      .select(col("id"),
+        posexplode(TokenShingles.lsh_band_keys(col("sig"), bands, k / bands))
+          .as(Seq("band_idx", "band_hash")))
+      .write.mode("overwrite").parquet(s"$dir/bands.parquet")
+    base.write.mode("overwrite").parquet(s"$dir/shingles.parquet")
+  }
+
+  /** Near-dup pairs of a NEW batch against a persisted index
+    * ([[buildMinhashIndex]] — same shingleSize/k/bands or the band
+    * keys won't align): candidates via band-key equi-join against the
+    * saved bands, exact Jaccard against the saved shingle sets.
+    * Returns (id_new, id_corpus, jaccard) — NewVsIndexSpec pins
+    * equality with the cross-pair slice of a fresh [[minhashPairs]]
+    * over the union.
+    *
+    * @param maxBucketSize cap counted over the JOINED bucket (index +
+    *   new-batch members, the same universe the uncapped run joins
+    *   in); <= 0 = uncapped.
+    */
+  def minhashPairsAgainstIndex(
+      newDf: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Long = 100): DataFrame = {
+    val spark = newDf.sparkSession
+    val idxBands = spark.read.parquet(s"$dir/bands.parquet")
+      .toDF("id_corpus", "band_idx", "band_hash")
+    val idxSh = spark.read.parquet(s"$dir/shingles.parquet").toDF("id_corpus", "sh_c")
+    val base = newDf.select(
+      col(idCol).as("id_new"),
+      hashedShingles(col(textCol), shingleSize).as("sh_n"))
+      .filter(size(col("sh_n")) > 0)
+    val newBands = base
+      .withColumn("sig", TokenShingles.minhash_sig_long(col("sh_n"), k))
+      .select(col("id_new"),
+        posexplode(TokenShingles.lsh_band_keys(col("sig"), bands, k / bands))
+          .as(Seq("band_idx", "band_hash")))
+    // cap over the union bucket: a boilerplate band key that exploded
+    // in the CORPUS must stay dropped when the new batch probes it
+    val capped =
+      if (maxBucketSize <= 0) (newBands, idxBands)
+      else {
+        val counts = newBands.select(col("band_idx"), col("band_hash"))
+          .unionByName(idxBands.select(col("band_idx"), col("band_hash")))
+          .groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucketSize)
+          .drop("_n")
+        (newBands.join(counts, Seq("band_idx", "band_hash")),
+          idxBands.join(counts, Seq("band_idx", "band_hash")))
+      }
+    val candidates = capped._1
+      .join(capped._2, Seq("band_idx", "band_hash"))
+      .filter(col("id_new") =!= col("id_corpus"))
+      .select("id_new", "id_corpus").distinct()
+    candidates
+      .join(base.select(col("id_new"), col("sh_n")), Seq("id_new"))
+      .join(idxSh, Seq("id_corpus"))
+      .select(col("id_new"), col("id_corpus"),
+        round(hashedJaccard(col("sh_n"), col("sh_c")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact n-gram-Jaccard pairs within explicit buckets (for bounded
     * bucket sizes; the honest quadratic-inside-bucket verifier).
     *

@@ -1,0 +1,61 @@
+package graft.textops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+/** Incremental dedup against a persisted minhash index must equal the
+  * cross-pair slice of a fresh minhashPairs over the union — same
+  * band keys, same bucket-cap universe, same exact Jaccard.
+  */
+class NearDupIndexSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private val words = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa")
+
+  private def doc(seed: Int, n: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+  }
+
+  // corpus: 40 docs; new batch: 10 fresh docs + near-dups of corpus docs
+  private def corpusDf = (0 until 40).map(i => (i.toLong, doc(i, 30))).toDF("doc_id", "text")
+  private def newDf = ((100 until 110).map(i => (i.toLong, doc(i, 30))) ++
+    (0 until 8).map(i => ((200 + i).toLong, doc(i, 30) + " kappa")))
+    .toDF("doc_id", "text")
+
+  test("pairs against a persisted index equal the cross-pair slice of the union run") {
+    val dir = Files.createTempDirectory("minhash_index").toString
+    NearDup.buildMinhashIndex(corpusDf, "doc_id", "text", dir)
+    for (cap <- Seq(0L, 100L)) {
+      val indexed = NearDup.minhashPairsAgainstIndex(
+        newDf, "doc_id", "text", dir, threshold = 0.5, maxBucketSize = cap)
+        .collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+      val newIds = (100 until 110).map(_.toLong).toSet ++ (200 until 208).map(_.toLong)
+      val full = NearDup.minhashPairs(
+        corpusDf.unionByName(newDf), "doc_id", "text",
+        threshold = 0.5, maxBucketSize = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (a, b, _) => newIds.contains(a) ^ newIds.contains(b) }
+        .toSet
+      assert(indexed == full, s"cap=$cap")
+      assert(indexed.nonEmpty, s"cap=$cap: planted near-dups must surface")
+    }
+  }
+
+  test("the index layout is the documented narrow shape") {
+    val dir = Files.createTempDirectory("minhash_index2").toString
+    NearDup.buildMinhashIndex(corpusDf, "doc_id", "text", dir)
+    val bands = spark.read.parquet(s"$dir/bands.parquet")
+    val sh = spark.read.parquet(s"$dir/shingles.parquet")
+    assert(bands.columns.toSeq == Seq("id", "band_idx", "band_hash"))
+    assert(bands.count() == 40 * 8) // 8 band keys per doc
+    assert(sh.columns.toSeq == Seq("id", "sh") && sh.count() == 40)
+  }
+}
