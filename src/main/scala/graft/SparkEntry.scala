@@ -597,6 +597,17 @@ object SparkEntry {
           col("_v.fail_reasons").as("fail_reasons"), col("_v.keep").as("keep"))
     }),
 
+    // substring-level exact dedup: duplicated >=8-token spans (planted
+    // licence boilerplate on every 5th doc) trimmed to their globally
+    // first occurrence; oracle recomputes windows/keep-first/coverage
+    // from the parquet text with string windows (hash-free)
+    "q53_dedup_spans" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + spanBoiler)))
+          .otherwise(col("text")).as("text"))
+      graft.textops.SpanDedup.dedupSpans(docs, "doc_id", "text", k = 8)
+    }),
+
     // exact interpolated quantiles per group: Spark's percentile and
     // DuckDB's quantile_cont share the (n-1)*p linear-interpolation
     // definition, so the values agree bit-for-bit after rounding
@@ -630,6 +641,15 @@ object SparkEntry {
 
   /** Fixed corpus bound for the uncapped near-dup recall gates. */
   private val gateDocs = 500
+
+  /** 20-token licence-block boilerplate planted on every 5th document
+    * for the substring-dedup gate (q53) — long enough that its interior
+    * holds many duplicated 8-token windows whose merged coverage is the
+    * whole block.
+    */
+  private val spanBoiler: String =
+    "terms of use this document is provided under the graft sample " +
+      "license with no warranty of any kind whatsoever amen"
 
   /** Exact-copy documents shifted by 100000 — the planted truth set for
     * the near-dup recall gates.
@@ -1259,6 +1279,54 @@ object SparkEntry {
          |  len(fails) = 0 AS keep
          |FROM r""".stripMargin
     },
+
+    // hash-free twin of SpanDedup: windows are the literal 8-token
+    // STRINGS (tokens contain no whitespace, so ' '-join is injective),
+    // keep-first via row_number over (doc_id, pos), coverage = union of
+    // [pos, pos+8) per doc, trimmed text = kept tokens string_agg'd in
+    // position order — a 64-bit window-hash collision on the Spark side
+    // is the only possible divergence
+    "q53_dedup_spans" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' $spanBoiler' ELSE text END AS text
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |                x -> x != '') AS toks
+         |  FROM docs),
+         |wl AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(toks) - 6),
+         |                i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+         |  FROM t),
+         |wins AS (
+         |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w FROM wl),
+         |rn AS (
+         |  SELECT doc_id, pos,
+         |         row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+         |  FROM wins),
+         |dup AS (SELECT doc_id, pos FROM rn WHERE rn > 1),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, cpos FROM (
+         |    SELECT doc_id, unnest(range(pos, pos + 8)) AS cpos FROM dup)),
+         |tp AS (
+         |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok
+         |  FROM t),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+         |                    WHERE c.doc_id = tp.doc_id AND c.cpos = tp.pos)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.toks) AS n_tokens,
+         |  len(t.toks) - coalesce(a.n_kept, 0) AS n_dropped,
+         |  coalesce(a.text_dedup, '') AS text_dedup
+         |FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
 
     "q47_quantiles" ->
       """SELECT event_type, count(*) AS n,

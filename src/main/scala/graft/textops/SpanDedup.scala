@@ -1,0 +1,213 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame, GraftInterop}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Substring-level exact dedup: remove duplicated token SPANS inside
+  * otherwise-distinct documents (boilerplate headers, licence blocks,
+  * templated paragraphs) — the third classic dedup family next to
+  * doc-level exact ([[graft.operators.Dedup]]) and doc-level near-dup
+  * ([[NearDup]]). The formulation is the bucketed equivalent of
+  * suffix-array substring dedup (Lee et al., "Deduplicating Training
+  * Data Makes Language Models Better"): every sliding k-token window is
+  * hashed; a window whose hash occurs anywhere else in the corpus
+  * (earlier doc, or earlier in the same doc) is a duplicated span
+  * occurrence; all such occurrences except the globally FIRST
+  * (min (id, pos)) are trimmed from their documents.
+  *
+  * 100 TB shape — this family is inherently skew-safe because there is
+  * NO pair join anywhere:
+  *   1. one narrow codegen'd scan emits position-ordered window hashes
+  *      ([[WindowHashesExpr]]), then `posexplode` (linear in corpus
+  *      token count);
+  *   2. ONE hash shuffle on the window hash; first-occurrence detection
+  *      is two `min` window aggregates over that partitioning (no
+  *      `min(struct)` — that plans SortAggregate, see PLANS.md), a hot
+  *      boilerplate hash degrades to one linear task, never quadratic;
+  *   3. one shuffle back on the doc id (`collect_list` is bounded by
+  *      tokens-per-doc), and a final narrow scan rebuilds the trimmed
+  *      text ([[DedupSpanStatsExpr]], merge-scan over the sorted
+  *      duplicate positions).
+  *
+  * Canonicalization contract: matching and output are over LOWERED
+  * whitespace tokens (the near-dup family's tokenizer,
+  * [[TokenShingles.isWs]]); `text_dedup` is the kept tokens joined by a
+  * single space. Duplicate detection is 64-bit hash equality — two
+  * DISTINCT k-token windows colliding would merge spans, at the same
+  * vanishing odds as [[NearDup.ngramJaccardPairs]]'s hashed-shingle
+  * argument. Requires an orderable id column (keep-first is min by
+  * (id, pos)).
+  */
+object SpanDedup {
+
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  /** Position-ordered (NOT sorted/deduped — position identity matters
+    * here) k-token window hashes of a pre-lowered text; empty array when
+    * the text has fewer than k tokens. Window i (0-based) covers tokens
+    * [i, i+k). Same token FNV + order-sensitive window fold as
+    * [[TokenShingles.hashedShingles]], so the two families' hashes are
+    * comparable.
+    */
+  def windowHashes(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    var tokenHashes = new Array[Long](16)
+    var nTokens = 0
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && TokenShingles.isWs(bytes(i))) i += 1
+      if (i < len) {
+        var h = FnvOffset
+        while (i < len && !TokenShingles.isWs(bytes(i))) {
+          h ^= (bytes(i) & 0xffL)
+          h *= FnvPrime
+          i += 1
+        }
+        if (nTokens == tokenHashes.length) {
+          tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTokens * 2)
+        }
+        tokenHashes(nTokens) = h
+        nTokens += 1
+      }
+    }
+    if (nTokens < n) return new GenericArrayData(Array.empty[Any])
+    val m = nTokens - n + 1
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var h = FnvOffset
+      var j = 0
+      while (j < n) {
+        h = (h ^ tokenHashes(s + j)) * FnvPrime
+        j += 1
+      }
+      out(s) = h
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One merge-scan over the text and the SORTED 0-based duplicate
+    * window positions: token t is covered iff some duplicate window
+    * starts at p <= t < p+k. Returns (n_tokens, n_dropped, text_dedup)
+    * — the kept tokens joined by single spaces, computed in the same
+    * scan so the three outputs can't disagree.
+    */
+  def dedupSpanStats(text: UTF8String, positions: ArrayData, k: Int): InternalRow = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val npos = positions.numElements()
+    val bos = new java.io.ByteArrayOutputStream(math.max(len, 16))
+    var pi = 0
+    var coveredEnd = -1 // exclusive token-index end of merged coverage so far
+    var t = 0
+    var nKept = 0L
+    var i = 0
+    while (i < len) {
+      while (i < len && TokenShingles.isWs(bytes(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !TokenShingles.isWs(bytes(i))) i += 1
+        while (pi < npos && positions.getInt(pi) <= t) {
+          val e = positions.getInt(pi) + k
+          if (e > coveredEnd) coveredEnd = e
+          pi += 1
+        }
+        if (t >= coveredEnd) {
+          if (nKept > 0) bos.write(' ')
+          bos.write(bytes, start, i - start)
+          nKept += 1
+        }
+        t += 1
+      }
+    }
+    val nTokens = t.toLong
+    new GenericInternalRow(Array[Any](
+      nTokens, nTokens - nKept, UTF8String.fromBytes(bos.toByteArray)))
+  }
+
+  case class WindowHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "window_hashes"
+    override def nullSafeEval(input: Any): Any =
+      windowHashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.textops.SpanDedup.windowHashes($input, $n);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class DedupSpanStatsExpr(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_dropped", LongType, nullable = false),
+      StructField("text_dedup", StringType, nullable = false)))
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def prettyName: String = "dedup_span_stats"
+    override def nullSafeEval(text: Any, positions: Any): Any =
+      dedupSpanStats(text.asInstanceOf[UTF8String], positions.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (text, positions) =>
+        s"${ev.value} = graft.textops.SpanDedup.dedupSpanStats($text, $positions, $k);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def window_hashes(loweredText: Column, n: Int): Column =
+    GraftInterop.column(WindowHashesExpr(GraftInterop.expression(loweredText), n))
+
+  def dedup_span_stats(loweredText: Column, positions: Column, k: Int): Column =
+    GraftInterop.column(DedupSpanStatsExpr(
+      GraftInterop.expression(loweredText), GraftInterop.expression(positions), k))
+
+  /** Corpus-wide duplicated-span removal. Returns one row per input row:
+    * (idCol, n_tokens, n_dropped, text_dedup) where `text_dedup` is the
+    * lowered kept tokens joined by single spaces (empty string when the
+    * whole document is duplicated), `n_tokens` the original token count.
+    * `k` is the minimum duplicate span length in tokens: shorter shared
+    * substrings are never trimmed; any shared run of >= k tokens is
+    * trimmed down to its single globally-first occurrence (overlapping
+    * duplicate windows merge into one span).
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"dedupSpans: k must be >= 2 (got $k); k=1 would trim every repeated token")
+    val base = df.select(col(idCol).as("_sd_id"), lower(col(textCol)).as("_sd_txt"))
+    val occ = base.select(col("_sd_id"),
+      posexplode(window_hashes(col("_sd_txt"), k)).as(Seq("_pos", "_wh")))
+    // first occurrence = min (id, pos) per hash, as two plain `min`
+    // window aggregates over ONE hash partitioning — min(struct) would
+    // plan a SortAggregate (PLANS.md), and a row_number would force a
+    // full sort of hot boilerplate buckets
+    val w = Window.partitionBy("_wh")
+    val dups = occ
+      .withColumn("_first_id", min(col("_sd_id")).over(w))
+      .withColumn("_first_pos",
+        min(when(col("_sd_id") === col("_first_id"), col("_pos"))).over(w))
+      .filter(col("_sd_id") > col("_first_id") ||
+        (col("_sd_id") === col("_first_id") && col("_pos") > col("_first_pos")))
+      .select(col("_sd_id"), col("_pos"))
+    val perDoc = dups.groupBy("_sd_id")
+      .agg(sort_array(collect_list(col("_pos"))).as("_dps"))
+    base.join(perDoc, Seq("_sd_id"), "left")
+      .withColumn("_st", dedup_span_stats(col("_sd_txt"),
+        coalesce(col("_dps"), typedLit(Seq.empty[Int])), k))
+      .select(col("_sd_id").as(idCol),
+        col("_st.n_tokens").as("n_tokens"),
+        col("_st.n_dropped").as("n_dropped"),
+        col("_st.text_dedup").as("text_dedup"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.textops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+/** Substring-level dedup: duplicated >=k-token spans are trimmed to
+  * their globally first occurrence; everything shorter survives.
+  */
+class SpanDedupSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private val block = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+
+  private def run(docs: Seq[(Long, String)], k: Int = 8): Map[Long, (Long, Long, String)] =
+    SpanDedup.dedupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+
+  test("copied span trimmed from the later doc, first occurrence kept") {
+    val res = run(Seq(
+      1L -> (block + " iota kappa"),
+      2L -> ("intro " + block + " ending")))
+    assert(res(1L) === ((10L, 0L, block + " iota kappa")))
+    assert(res(2L) === ((10L, 8L, "intro ending")))
+  }
+
+  test("exact-duplicate doc trims to empty; overlapping windows merge") {
+    val res = run(Seq(
+      1L -> (block + " iota kappa"),
+      3L -> (block + " iota kappa")))
+    assert(res(1L)._2 === 0L)
+    assert(res(3L) === ((10L, 10L, "")))
+  }
+
+  test("internal repetition: second occurrence of a block trimmed") {
+    val res = run(Seq(4L -> (block + " " + block)))
+    assert(res(4L) === ((16L, 8L, block)))
+  }
+
+  test("docs shorter than k tokens are never trimmed, even if identical") {
+    val res = run(Seq(5L -> "short text here", 6L -> "short text here"))
+    assert(res(5L) === ((3L, 0L, "short text here")))
+    assert(res(6L) === ((3L, 0L, "short text here")))
+  }
+
+  test("empty and whitespace-only docs pass through as empty") {
+    val res = run(Seq(7L -> "", 8L -> " \t\n "))
+    assert(res(7L) === ((0L, 0L, "")))
+    assert(res(8L) === ((0L, 0L, "")))
+  }
+
+  test("matching is case-insensitive and output is lowered") {
+    val res = run(Seq(
+      1L -> (block + " iota kappa"),
+      9L -> block.toUpperCase))
+    assert(res(9L) === ((8L, 8L, "")))
+    assert(res(1L)._3 === block + " iota kappa")
+  }
+
+  test("one row out per row in; ids preserved") {
+    val docs = Seq(1L -> block, 2L -> "x y", 3L -> "")
+    val out = SpanDedup.dedupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", 8)
+    assert(out.columns.toSeq === Seq("doc_id", "n_tokens", "n_dropped", "text_dedup"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("windowHashes: position-ordered, repeated windows keep both slots") {
+    val df = Seq(Tuple1("a b a b a")).toDF("t")
+    val hs = df.select(SpanDedup.window_hashes(col("t"), 2)).as[Seq[Long]].head()
+    assert(hs.length === 4)
+    assert(hs(0) === hs(2)) // "a b" at pos 0 and 2
+    assert(hs(1) === hs(3)) // "b a" at pos 1 and 3
+    assert(hs(0) !== hs(1))
+    val short = df.select(SpanDedup.window_hashes(lit("only"), 2)).as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+
+  test("dedupSpanStats: merge-scan coverage over sorted positions") {
+    val df = Seq(Tuple1("t0 t1 t2 t3 t4 t5 t6 t7")).toDF("t")
+    // windows of 3 at positions 1 and 2 cover tokens 1..4
+    val r = df.select(SpanDedup.dedup_span_stats(
+      col("t"), typedLit(Seq(1, 2)), 3).as("s")).select("s.*").head()
+    assert(r === Row(8L, 4L, "t0 t5 t6 t7"))
+    // disjoint spans: positions 0 and 5, k=2 -> tokens 0,1,5,6 dropped
+    val r2 = df.select(SpanDedup.dedup_span_stats(
+      col("t"), typedLit(Seq(0, 5)), 2).as("s")).select("s.*").head()
+    assert(r2 === Row(8L, 4L, "t2 t3 t4 t7"))
+  }
+}
