@@ -218,6 +218,49 @@ object StreamingOps {
     matched.union(nullTimeLefts)
   }
 
+  /** Continuous-crawl near-dup ingestion: each micro-batch is deduped
+    * in-batch and against the persisted minhash index
+    * ([[graft.textops.NearDup.dedupNewBatch]]); the survivors are
+    * appended to the index
+    * ([[graft.textops.NearDup.appendToMinhashIndex]]) — so the NEXT
+    * batch dedups against them — and handed to `sink`.
+    *
+    * Streaming STATE is empty by construction: the corpus lives in the
+    * parquet index, bounded by disk rather than the state store, and
+    * each batch's shuffle is sized by the batch (the incremental-index
+    * contract). Failure/replay: a replayed batch's already-appended ids
+    * are dropped by the index id anti-join, so the index does not
+    * double-append; the sink still sees the batch again (standard
+    * foreachBatch at-least-once — make the sink idempotent on
+    * `batchId`). Returns the configured writer; the caller sets
+    * checkpoint/trigger and calls `start()`.
+    */
+  def dedupIngest(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      sink: (DataFrame, Long) => Unit,
+      shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Long = 100)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // EAGER localCheckpoint: the survivors plan reads the index
+        // (anti-join on already-ingested ids, near-dup probe), and the
+        // append below MUTATES that index — a lazy frame re-evaluated
+        // by the sink after the append would anti-join away the ids it
+        // just appended and hand the sink an empty batch. Materialize
+        // once, before the index changes; both consumers read the
+        // pinned result.
+        val survivors = graft.textops.NearDup.dedupNewBatch(
+          batch.toDF(), idCol, textCol, indexDir,
+          shingleSize, k, bands, threshold, maxBucketSize)
+          .localCheckpoint(true)
+        graft.textops.NearDup.appendToMinhashIndex(
+          survivors, idCol, textCol, indexDir, shingleSize, k, bands)
+        sink(survivors, batchId)
+        survivors.unpersist()
+        ()
+    }
+
   final case class BurstKey(source: String, ip: String, request_uri: String)
   final case class BurstEvent(source: String, ip: String, request_uri: String,
       epochMicros: Long, status: Int)

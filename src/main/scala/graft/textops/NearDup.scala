@@ -129,7 +129,25 @@ object NearDup {
     */
   def buildMinhashIndex(
       df: DataFrame, idCol: String, textCol: String, dir: String,
-      shingleSize: Int = 3, k: Int = 32, bands: Int = 8): Unit = {
+      shingleSize: Int = 3, k: Int = 32, bands: Int = 8): Unit =
+    writeMinhashIndex(df, idCol, textCol, dir, shingleSize, k, bands, "overwrite")
+
+  /** Append a new (already-deduped) batch's band keys and shingle sets
+    * to a persisted index — the ingestion tail of the incremental loop:
+    * dedup the batch against the index ([[minhashPairsAgainstIndex]]),
+    * drop its near-dups, then append the survivors so the NEXT batch
+    * sees them. Same shingleSize/k/bands as the build or the band keys
+    * won't align. NearDupIndexSpec pins index-after-append equal to an
+    * index rebuilt from the union. Caller contract: batch ids are new.
+    */
+  def appendToMinhashIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleSize: Int = 3, k: Int = 32, bands: Int = 8): Unit =
+    writeMinhashIndex(df, idCol, textCol, dir, shingleSize, k, bands, "append")
+
+  private def writeMinhashIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleSize: Int, k: Int, bands: Int, mode: String): Unit = {
     val base = df.select(
       col(idCol).as("id"),
       hashedShingles(col(textCol), shingleSize).as("sh"))
@@ -139,8 +157,8 @@ object NearDup {
       .select(col("id"),
         posexplode(TokenShingles.lsh_band_keys(col("sig"), bands, k / bands))
           .as(Seq("band_idx", "band_hash")))
-      .write.mode("overwrite").parquet(s"$dir/bands.parquet")
-    base.write.mode("overwrite").parquet(s"$dir/shingles.parquet")
+      .write.mode(mode).parquet(s"$dir/bands.parquet")
+    base.write.mode(mode).parquet(s"$dir/shingles.parquet")
   }
 
   /** Near-dup pairs of a NEW batch against a persisted index
@@ -196,6 +214,43 @@ object NearDup {
       .select(col("id_new"), col("id_corpus"),
         round(hashedJaccard(col("sh_n"), col("sh_c")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Dedup a NEW batch end-to-end for the incremental ingestion loop:
+    * (1) drop batch rows whose id is ALREADY in the index (makes a
+    * replayed batch a no-op instead of double-appending); (2) drop
+    * in-batch near-dups (connected components over [[minhashPairs]]
+    * edges, keep smallest id); (3) drop survivors that are near-dups of
+    * the persisted corpus ([[minhashPairsAgainstIndex]]). A missing
+    * index dir means this is the first batch — steps 1 and 3 are
+    * skipped. Returns the surviving rows of `df`, schema unchanged.
+    * Parameters must match the index build. The caller appends the
+    * survivors ([[appendToMinhashIndex]]) so the next batch sees them —
+    * [[graft.streaming.StreamingOps.dedupIngest]] wires both into one
+    * foreachBatch loop.
+    */
+  def dedupNewBatch(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Long = 100): DataFrame = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$dir/bands.parquet")
+    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fresh =
+      if (!exists) df
+      else df.join(
+        spark.read.parquet(s"$dir/shingles.parquet").select(col("id").as(idCol)),
+        Seq(idCol), "left_anti")
+    val inEdges = minhashPairs(fresh, idCol, textCol,
+      shingleSize, k, bands, threshold, maxBucketSize).select("id_a", "id_b")
+    val local = graft.operators.Dedup.dropNearDups(fresh, idCol, inEdges)
+    if (!exists) local
+    else {
+      val dupIds = minhashPairsAgainstIndex(local, idCol, textCol, dir,
+        shingleSize, k, bands, threshold, maxBucketSize)
+        .select(col("id_new").as(idCol)).distinct()
+      local.join(dupIds, Seq(idCol), "left_anti")
+    }
   }
 
   /** Exact n-gram-Jaccard pairs within explicit buckets (for bounded

@@ -233,10 +233,19 @@ object Ivf {
     */
   def buildIndex(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String,
-      nlist: Int = 16, seed: Long = 42L): Unit = {
+      nlist: Int = 16, seed: Long = 42L): Unit =
+    writeIndex(corpus, idCol, vecCol, dir, fitCentroids(corpus, vecCol, nlist, seed))
+
+  /** Bulk-build the index with an EXPLICIT quantizer (offline-trained,
+    * or loaded from an existing index): assignment only, no training.
+    * [[buildIndex]] is train + this; [[appendToIndex]] must produce the
+    * same index state as this over the union (IvfIndexSpec pins it).
+    */
+  def writeIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      centroids: Array[Array[Double]]): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = fitCentroids(corpus, vecCol, nlist, seed)
     centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid").coalesce(1)
@@ -244,6 +253,21 @@ object Ivf {
     corpus.select(col(idCol).as("id"),
       nearest_cells(col(vecCol), centroids, 1).getItem(0).as("cell"))
       .write.mode("overwrite").parquet(s"$dir/cells.parquet")
+  }
+
+  /** Append a new vector batch to a persisted index WITHOUT retraining:
+    * assign against the SAVED quantizer, append the narrow (id, cell)
+    * rows. The serving loop for a growing corpus — centroids.parquet is
+    * untouched, the write is sized by the batch. Caller contract: the
+    * batch's ids are new (dedup/anti-join against the index first);
+    * appending an existing id would double it in every later search.
+    */
+  def appendToIndex(
+      batch: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    val centroids = loadCentroids(batch.sparkSession, dir)
+    batch.select(col(idCol).as("id"),
+      nearest_cells(col(vecCol), centroids, 1).getItem(0).as("cell"))
+      .write.mode("append").parquet(s"$dir/cells.parquet")
   }
 
   private def loadCentroids(

@@ -311,9 +311,22 @@ object Pq {
   def buildIndex(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String,
       nlist: Int = 16, m: Int = 8, ks: Int = 64, seed: Long = 42L): Unit = {
+    val (centroids, codebooks) = train(corpus, vecCol, nlist, m, ks, seed)
+    writeIndex(corpus, idCol, vecCol, dir, centroids, codebooks)
+  }
+
+  /** Bulk-build the index with an EXPLICIT quantizer pair
+    * (offline-trained, or loaded from an existing index): encode +
+    * assign only, no training. [[buildIndex]] is train + this;
+    * [[appendToIndex]] must produce the same index state as this over
+    * the union (PqIndexSpec pins it).
+    */
+  def writeIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (centroids, codebooks) = train(corpus, vecCol, nlist, m, ks, seed)
     centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
@@ -325,6 +338,37 @@ object Pq {
       Ivf.nearest_cells(col(vecCol), centroids, 1).getItem(0).as("cell"),
       pq_encode(col(vecCol), codebooks).as("code"))
       .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+  }
+
+  /** Append a new vector batch to a persisted PQ index WITHOUT
+    * retraining: encode + assign against the SAVED quantizer/codebooks,
+    * append the (id, cell, code) rows — centroids and codebooks are
+    * untouched, the write is sized by the batch. Caller contract: the
+    * batch's ids are new (dedup/anti-join against the index first).
+    */
+  def appendToIndex(
+      batch: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    val (centroids, codebooks) = loadQuantizer(batch.sparkSession, dir)
+    batch.select(col(idCol).as("id"),
+      Ivf.nearest_cells(col(vecCol), centroids, 1).getItem(0).as("cell"),
+      pq_encode(col(vecCol), codebooks).as("code"))
+      .write.mode("append").parquet(s"$dir/codes.parquet")
+  }
+
+  /** The saved quantizer pair of a persisted index — shared by
+    * [[searchIndex]] and [[appendToIndex]] so the search and append
+    * paths read the identical artifact.
+    */
+  private def loadQuantizer(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+      .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$dir/codebooks.parquet")
+      .orderBy(col("subspace"), col("code")).collect()
+    val codebooks = cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](2).toArray)).toArray
+    (centroids, codebooks)
   }
 
   /** Search a persisted PQ index: the ADC shortlist runs entirely off
@@ -340,12 +384,7 @@ object Pq {
       dir: String, k: Int, nprobe: Int = 4, refine: Int = 4,
       maxQueries: Int = Ann.MaxQueries): DataFrame = {
     val spark = corpus.sparkSession
-    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
-      .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
-    val cbRows = spark.read.parquet(s"$dir/codebooks.parquet")
-      .orderBy(col("subspace"), col("code")).collect()
-    val codebooks = cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map(_._2.map(_.getSeq[Double](2).toArray)).toArray
+    val (centroids, codebooks) = loadQuantizer(spark, dir)
     val qRows = collectQueries(queries, qidCol, qvecCol, maxQueries, "searchIndex")
     val luts = buildLuts(qRows, codebooks)
     val qBase = qBaseOf(spark, qRows)

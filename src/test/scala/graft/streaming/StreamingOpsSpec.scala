@@ -179,4 +179,46 @@ class StreamingOpsSpec extends GraftSparkSpec {
       assert(got(8L).value.contains("real") && got(8L).matchTsMs.contains(10000L))
     } finally q.stop()
   }
+
+  test("streaming incremental near-dup ingestion dedups against the growing index") {
+    implicit val sqlCtx = spark.sqlContext
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "mu")
+    def doc(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(30)(words(rnd.nextInt(words.length))).mkString(" ")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("stream_minhash").toString + "/idx"
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = StreamingOps.dedupIngest(docs, "doc_id", "text", dir,
+      (df, bid) => got.synchronized {
+        got ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0)))
+      }).start()
+    try {
+      // batch 0: three distinct docs + one IN-batch near-dup of doc 0
+      input.addData((0L, doc(0)), (1L, doc(1)), (2L, doc(2)), (5L, doc(0) + " mu"))
+      q.processAllAvailable()
+      // batch 1: two fresh docs, one near-dup of the INDEXED doc 1, one
+      // in-batch near-dup of doc 10
+      input.addData((10L, doc(10)), (11L, doc(11)),
+        (12L, doc(1) + " mu"), (13L, doc(10) + " mu"))
+      q.processAllAvailable()
+      // batch 2: an id the index already holds — replay-style no-op
+      input.addData((10L, doc(10)))
+      q.processAllAvailable()
+      val byBatch = got.synchronized {
+        got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap }
+      assert(byBatch(0L) == Set(0L, 1L, 2L))
+      assert(byBatch(1L) == Set(10L, 11L))
+      assert(byBatch.getOrElse(2L, Set.empty[Long]) == Set.empty[Long])
+      // the index holds exactly the survivors; streaming state is empty
+      val idxIds = spark.read.parquet(s"$dir/shingles.parquet")
+        .select("id").as[Long].collect().toSet
+      assert(idxIds == Set(0L, 1L, 2L, 10L, 11L))
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
+    } finally q.stop()
+  }
 }

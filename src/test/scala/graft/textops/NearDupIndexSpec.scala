@@ -49,6 +49,26 @@ class NearDupIndexSpec extends GraftSparkSpec {
     }
   }
 
+  test("index after append equals an index rebuilt from the union") {
+    val dir1 = Files.createTempDirectory("minhash_app1").toString
+    val dir2 = Files.createTempDirectory("minhash_app2").toString
+    NearDup.buildMinhashIndex(corpusDf, "doc_id", "text", dir1)
+    NearDup.appendToMinhashIndex(newDf, "doc_id", "text", dir1)
+    NearDup.buildMinhashIndex(corpusDf.unionByName(newDf), "doc_id", "text", dir2)
+    def bandsOf(d: String) = spark.read.parquet(s"$d/bands.parquet")
+      .collect().map(_.toSeq).toSet
+    def shinglesOf(d: String) = spark.read.parquet(s"$d/shingles.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(bandsOf(dir1) == bandsOf(dir2))
+    assert(shinglesOf(dir1) == shinglesOf(dir2))
+    // and the appended index actually serves: a copy of an appended doc
+    // dedups against it
+    val probe = Seq((900L, doc(101, 30))).toDF("doc_id", "text")
+    val hits = NearDup.minhashPairsAgainstIndex(probe, "doc_id", "text", dir1)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.contains(101L))
+  }
+
   test("the index layout is the documented narrow shape") {
     val dir = Files.createTempDirectory("minhash_index2").toString
     NearDup.buildMinhashIndex(corpusDf, "doc_id", "text", dir)

@@ -35,6 +35,42 @@ class PqIndexSpec extends GraftSparkSpec {
     assert(indexed.nonEmpty)
   }
 
+  test("appendToIndex encodes with the saved quantizer pair, no retrain") {
+    val dir1 = Files.createTempDirectory("pq_app1").toString
+    val dir2 = Files.createTempDirectory("pq_app2").toString
+    val all = corpus
+    val a = all.filter(col("vec_id") < 250)
+    val b = all.filter(col("vec_id") >= 250)
+    val q = all.filter(col("vec_id") < 10)
+    Pq.buildIndex(a, "vec_id", "embedding", dir1, nlist = 8, m = 4, ks = 16)
+    val centsBefore = spark.read.parquet(s"$dir1/centroids.parquet")
+      .collect().map(_.toSeq).toSet
+    val cbsBefore = spark.read.parquet(s"$dir1/codebooks.parquet")
+      .collect().map(_.toSeq).toSet
+    Pq.appendToIndex(b, "vec_id", "embedding", dir1)
+    // quantizer and codebooks untouched; one code row per appended vector
+    assert(spark.read.parquet(s"$dir1/centroids.parquet")
+      .collect().map(_.toSeq).toSet == centsBefore)
+    assert(spark.read.parquet(s"$dir1/codebooks.parquet")
+      .collect().map(_.toSeq).toSet == cbsBefore)
+    assert(spark.read.parquet(s"$dir1/codes.parquet").count() == 400)
+    // search-after-append == search over a bulk index built from the
+    // union with the SAME saved quantizer pair (independent write paths)
+    val savedCents = spark.read.parquet(s"$dir1/centroids.parquet")
+      .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
+    val savedCbs = spark.read.parquet(s"$dir1/codebooks.parquet")
+      .orderBy(col("subspace"), col("code")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](2).toArray)).toArray
+    Pq.writeIndex(all, "vec_id", "embedding", dir2, savedCents, savedCbs)
+    val appended = Pq.searchIndex(all, "vec_id", "embedding", q, "vec_id", "embedding",
+      dir1, k = 5, nprobe = 3, refine = 4).collect().map(_.toSeq).toSet
+    val bulk = Pq.searchIndex(all, "vec_id", "embedding", q, "vec_id", "embedding",
+      dir2, k = 5, nprobe = 3, refine = 4).collect().map(_.toSeq).toSet
+    assert(appended == bulk)
+    assert(appended.nonEmpty)
+  }
+
   test("the persisted layout carries codes for every corpus vector") {
     val dir = Files.createTempDirectory("pq_index2").toString
     Pq.buildIndex(corpus, "vec_id", "embedding", dir, nlist = 8, m = 4, ks = 16)
