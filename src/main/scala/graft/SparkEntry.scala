@@ -608,6 +608,22 @@ object SparkEntry {
       graft.textops.SpanDedup.dedupSpans(docs, "doc_id", "text", k = 8)
     }),
 
+    // REAL video pixel decode: video rows get MJPEG-in-AVI payloads
+    // (00dc chunks are genuine ImageIO JPEGs), frameFeatures decodes
+    // every 2nd frame; the oracle predicts geometry/frame indices from
+    // the synthetic-payload formulas and luma_ok = TRUE pins the decoded
+    // mean luminance within ±3 of the encoded gray (solid-gray JPEG DC
+    // quantization error is <1 level at the default quality)
+    "q54_video_frames" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.withSyntheticAviVideoPayloads(
+        graft.multimodal.Multimodal.fromDocuments(table(s, dir, "documents")))
+      graft.multimodal.Multimodal.frameFeatures(media, stride = 2, maxFrames = 4)
+        .select(col("media_id"), col("frame_idx"), col("frame_w"), col("frame_h"),
+          (abs(col("mean_luma") -
+            (lit(16) + (col("media_id") * 37 + col("frame_idx") * 11) % 224)) <= 3)
+            .as("luma_ok"))
+    }),
+
     // exact interpolated quantiles per group: Spark's percentile and
     // DuckDB's quantile_cont share the (n-1)*p linear-interpolation
     // definition, so the values agree bit-for-bit after rounding
@@ -1327,6 +1343,22 @@ object SparkEntry {
          |  len(t.toks) - coalesce(a.n_kept, 0) AS n_dropped,
          |  coalesce(a.text_dedup, '') AS text_dedup
          |FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
+
+    // the ORACLE predicts frame geometry and sampled indices from the
+    // withSyntheticAviVideoPayloads formulas (frames = 3 + m%6 <= 8, so
+    // stride 2 yields indices {0,2,4,6} below the frame count and the
+    // maxFrames=4 cap never truncates); luma_ok = TRUE asserts the real
+    // JPEG round-trip stayed within the +-3 tolerance for every frame
+    "q54_video_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, CAST(3 + doc_id % 6 AS INT) AS n_frames
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+        |s AS (SELECT unnest([0, 2, 4, 6]) AS fi)
+        |SELECT media_id, CAST(s.fi AS INT) AS frame_idx,
+        |  CAST(32 + media_id % 16 AS INT) AS frame_w,
+        |  CAST(24 + (media_id * 5) % 16 AS INT) AS frame_h,
+        |  TRUE AS luma_ok
+        |FROM v JOIN s ON s.fi < v.n_frames""".stripMargin,
 
     "q47_quantiles" ->
       """SELECT event_type, count(*) AS n,

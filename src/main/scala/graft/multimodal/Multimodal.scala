@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   * and the WebM EBML tree (TrackEntry/Video PixelWidth/PixelHeight)
   * are plain binary headers — [[decodeVideo]] parses them directly,
   * yielding true width/height/frame-count with `decoded_real = true`.
-  * Pixel-level features would need an actual codec, so a probed video
-  * row's feature vector is all-zero (documented, not faked). Payloads
-  * no parser recognizes fall back to the deterministic stub
+  * Pixel-level features for MP4/WebM would need an actual codec, so
+  * those probed rows keep an all-zero feature vector (documented, not
+  * faked) — but MJPEG-in-AVI needs no external codec: each `00dc`
+  * movi chunk is a plain JPEG that `javax.imageio` decodes, so AVI
+  * rows get REAL per-frame pixel features (per-band mean luminance
+  * across sampled frames, same 0..255 scale as the image path).
+  * Payloads no parser recognizes fall back to the deterministic stub
   * (`decoded_real = false` says which path ran). Everything around the
   * codec — schema, binary column handling, partition-batched
   * iteration, typed output shape — is identical for all paths.
@@ -141,6 +145,35 @@ object Multimodal {
       .withColumn("content_md5", md5(col("bytes")))
   }
 
+  /** Replace video-kind payloads with REAL MJPEG-in-AVI containers:
+    * a RIFF `AVI ` tree (hdrl/avih/strl + movi) whose `00dc` chunks are
+    * genuine ImageIO-encoded JPEG frames — the one video format the JDK
+    * can decode pixels for. Video `media_id` m gets width `32 + m%16`,
+    * height `24 + (5m)%16`, `3 + m%6` frames, and frame f is solid gray
+    * `16 + (37m + 11f) % 224`, so a downstream check predicts both the
+    * probed geometry and (within JPEG quantization error, <1 level for
+    * a solid-gray frame) the decoded pixel values without the bytes.
+    */
+  def withSyntheticAviVideoPayloads(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val replaced = media.select(col("media_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, kind, bytes) =>
+          if (kind == "video") {
+            val grays = Array.tabulate(3 + (id % 6).toInt)(f => 16 + ((id * 37 + f * 11) % 224).toInt)
+            (id, kind, encodeAviMjpeg(
+              32 + (id % 16).toInt, 24 + ((id * 5) % 16).toInt, grays))
+          } else (id, kind, bytes)
+        }
+      }.toDF("media_id", "kind", "bytes")
+    replaced
+      .withColumn("n_bytes", octet_length(col("bytes")).cast("long"))
+      .withColumn("content_md5", md5(col("bytes")))
+  }
+
   private def mp4Box(typ: String, payload: Array[Byte]*): Array[Byte] = {
     val size = 8 + payload.map(_.length).sum
     val buf = java.nio.ByteBuffer.allocate(size) // MP4 is big-endian
@@ -237,6 +270,75 @@ object Multimodal {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  private def encodeJpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val row = Array.fill(w)(gray)
+    var y = 0
+    while (y < h) { img.getRaster.setSamples(0, y, w, 1, 0, row); y += 1 }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** RIFF chunk: fourcc + LE size (unpadded) + data padded to even. */
+  private def riffChunk(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+    val pad = payload.length & 1
+    val buf = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(fourcc.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+    buf.array() // trailing pad byte is the allocate() zero
+  }
+
+  private def riffList(listType: String, children: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("US-ASCII") ++ children.flatten)
+
+  /** Minimal MJPEG-in-AVI: RIFF(`AVI ` LIST(hdrl avih LIST(strl strh
+    * strf)) LIST(movi 00dc...)) with each `00dc` chunk a real JPEG of a
+    * solid-gray frame. All fields little-endian (RIFF), geometry in both
+    * avih and the BITMAPINFOHEADER, fourcc/compression `MJPG`.
+    */
+  private def encodeAviMjpeg(width: Int, height: Int, frameGrays: Array[Int]): Array[Byte] = {
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(41667) // usec/frame (24 fps)
+        .putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+        .putInt(frameGrays.length) // dwTotalFrames
+        .putInt(0).putInt(1).putInt(0) // initialFrames, streams, suggestedBufSize
+        .putInt(width).putInt(height)
+      b.array() // reserved[4] = zeros
+    }
+    val strh = {
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+        .putInt(0).putShort(0).putShort(0) // flags, priority, language
+        .putInt(0) // initialFrames
+        .putInt(1).putInt(24) // scale, rate -> 24 fps
+        .putInt(0).putInt(frameGrays.length) // start, length
+        .putInt(0).putInt(-1).putInt(0) // suggestedBufSize, quality, sampleSize
+        .putShort(0).putShort(0)
+        .putShort(width.toShort).putShort(height.toShort) // rcFrame
+      b.array()
+    }
+    val strf = {
+      val b = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(width).putInt(height)
+        .putShort(1).putShort(24) // planes, bit count
+        .put("MJPG".getBytes("US-ASCII"))
+        .putInt(width * height * 3)
+      b.array() // resolution/clr fields = zeros
+    }
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih),
+      riffList("strl", riffChunk("strh", strh), riffChunk("strf", strf)))
+    val movi = riffList("movi",
+      frameGrays.map(g => riffChunk("00dc", encodeJpeg(width, height, g))).toSeq: _*)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val buf = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    buf.array()
   }
 
   private val FeatureDim = 8
@@ -341,16 +443,60 @@ object Multimodal {
       }
     } catch { case _: Exception => None } // not a decodable image -> stub
 
-  /** Real video CONTAINER probe: geometry and sample count from MP4 box
-    * headers or a WebM EBML tree — no codec involved, so the feature
-    * vector is all-zero (pixel features need one) and `sample_rate` is 0.
+  /** Real video decode/probe. MJPEG-in-AVI is a FULL decode: the movi
+    * `00dc` chunks are plain JPEGs, so geometry comes from the avih
+    * header and the feature vector carries REAL pixel data — band b is
+    * the mean luminance of the b-th of up to FeatureDim evenly-spaced
+    * sampled frames (0..255 scale, matching the image path; unused
+    * bands stay 0 when the clip has fewer frames). MP4/WebM remain a
+    * CONTAINER PROBE: true geometry/sample count from the box/EBML
+    * headers, but pixel features would need a codec the JDK lacks, so
+    * their feature vector is all-zero and `sample_rate` is 0.
     * Unrecognized containers return None (stub fallback).
     */
   private def decodeVideo(id: Long, bytes: Array[Byte]): Option[DecodedMedia] =
-    (parseMp4(bytes) orElse parseWebm(bytes)).map { case (w, h, frames) =>
+    parseAvi(bytes).map { case (w, h, declaredFrames, chunks) =>
+      val n = chunks.length
+      val take = math.min(FeatureDim, n)
+      val feature = new Array[Float](FeatureDim)
+      var b = 0
+      while (b < take) {
+        val (off, len) = chunks((n.toLong * b / take).toInt)
+        feature(b) = jpegFrame(bytes, off, len).map(_._3).getOrElse(0f)
+        b += 1
+      }
+      DecodedMedia(id, "video", w, h, math.max(declaredFrames, n), 0,
+        feature, decoded_real = true)
+    } orElse (parseMp4(bytes) orElse parseWebm(bytes)).map { case (w, h, frames) =>
       DecodedMedia(id, "video", w, h, frames, 0,
         new Array[Float](FeatureDim), decoded_real = true)
     }
+
+  /** Decode one embedded JPEG frame -> (width, height, mean luminance
+    * over all bands, 0..255). None when the slice isn't decodable.
+    */
+  private def jpegFrame(bytes: Array[Byte], off: Int, len: Int): Option[(Int, Int, Float)] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes, off, len))).map { img =>
+        val raster = img.getRaster
+        val nb = math.min(raster.getNumBands, 3)
+        var acc = 0.0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            var b = 0
+            var px = 0.0
+            while (b < nb) { px += raster.getSample(x, y, b); b += 1 }
+            acc += px / nb
+            x += 1
+          }
+          y += 1
+        }
+        (img.getWidth, img.getHeight,
+          (acc / (img.getWidth.toLong * img.getHeight)).toFloat)
+      }
+    } catch { case _: Exception => None }
 
   private def be32(bytes: Array[Byte], off: Int): Int =
     ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
@@ -458,6 +604,52 @@ object Multimodal {
     if (width > 0 && height > 0) Some((width, height, 0)) else None
   }
 
+  private def le32(bytes: Array[Byte], off: Int): Int =
+    (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+      ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+
+  /** RIFF/AVI walk: geometry + declared frame count from `avih`, and the
+    * (offset, length) slice of every `00dc`/`00db` movi chunk — the
+    * embedded MJPEG frames, returned as slices so callers decode only
+    * the frames they sample. Chunks are even-aligned (RIFF padding).
+    */
+  private def parseAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Vector[(Int, Int)])] = {
+    if (bytes.length < 12) return None
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var width = -1
+    var height = -1
+    var declared = 0
+    val frames = Vector.newBuilder[(Int, Int)]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val typ = fourcc(off)
+        val size = le32(bytes, off + 4)
+        val p = off + 8
+        if (size < 0 || p + size > end) return // malformed chunk: stop
+        typ match {
+          case "LIST" if size >= 4 =>
+            val listType = fourcc(p)
+            if (listType == "hdrl" || listType == "strl" || listType == "movi" ||
+              listType == "rec ") walk(p + 4, p + size)
+          case "avih" if size >= 40 =>
+            declared = le32(bytes, p + 16)
+            width = le32(bytes, p + 32)
+            height = le32(bytes, p + 36)
+          case "00dc" | "00db" if size > 0 =>
+            frames += ((p, size))
+          case _ => ()
+        }
+        off = p + size + (size & 1)
+      }
+    }
+    walk(12, bytes.length)
+    if (width > 0 && height > 0) Some((width, height, declared, frames.result()))
+    else None
+  }
+
   /** The deterministic fake (audio/video, and undecodable image bytes). */
   private def stubDecode(id: Long, kind: String, bytes: Array[Byte]): DecodedMedia = {
     val n = bytes.length
@@ -544,5 +736,37 @@ object Multimodal {
       if (d.kind != "video") Seq((d.media_id, 0))
       else (0 until d.n_frames by stride).take(maxFrames).map(f => (d.media_id, f))
     }.toDF("media_id", "frame_idx")
+  }
+
+  /** REAL per-frame pixel features for MJPEG-in-AVI video rows: every
+    * `stride`-th movi frame (up to `maxFrames`) is decoded with ImageIO
+    * and emitted as (media_id, frame_idx, frame_w, frame_h, mean_luma)
+    * — the codec-backed companion to [[frameSample]]'s index-only rows.
+    * Non-video rows, non-AVI containers (MP4/WebM need a codec the JDK
+    * lacks), and undecodable frame chunks emit nothing. Narrow
+    * partition-batched map — no shuffle; at 100 TB the cost is the
+    * decode itself, linear in sampled-frame bytes.
+    */
+  def frameFeatures(media: DataFrame, stride: Int, maxFrames: Int): DataFrame = {
+    require(stride > 0, s"frameFeatures: stride must be positive, got $stride")
+    require(maxFrames > 0, s"frameFeatures: maxFrames must be positive, got $maxFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (id, kind, bytes) =>
+          if (kind != "video") Iterator.empty
+          else parseAvi(bytes).iterator.flatMap { case (_, _, _, chunks) =>
+            (0 until chunks.length by stride).take(maxFrames).iterator.flatMap { fi =>
+              val (off, len) = chunks(fi)
+              jpegFrame(bytes, off, len).map { case (w, h, luma) =>
+                (id, fi, w, h, luma)
+              }
+            }
+          }
+        }
+      }.toDF("media_id", "frame_idx", "frame_w", "frame_h", "mean_luma")
   }
 }

@@ -254,6 +254,59 @@ class TextAnalysisSpec extends GraftSparkSpec {
     assert(!small(1L) && !small(2L))
   }
 
+  test("multimodal decode: REAL MJPEG-in-AVI pixel decode (geometry + per-frame luma)") {
+    import graft.multimodal.Multimodal
+    // doc_ids congruent 2 mod 3 -> video kind; synthetic AVI payloads
+    // carry width 32 + id%16, height 24 + (5id)%16, 3 + id%6 JPEG
+    // frames of solid gray 16 + (37id + 11f) % 224
+    val docs = Seq((2L, "ignored", "en", "s", 7L), (5L, "ignored", "en", "s", 7L),
+      (302L, "ignored", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.withSyntheticAviVideoPayloads(Multimodal.fromDocuments(docs))
+    val decoded = Multimodal.decode(media).collect().map(d => d.media_id -> d).toMap
+    for (id <- Seq(2L, 5L, 302L)) {
+      val d = decoded(id)
+      val n = 3 + (id % 6).toInt
+      assert(d.decoded_real, s"video $id did not take the AVI decode path")
+      assert(d.width == 32 + (id % 16).toInt, s"id=$id width=${d.width}")
+      assert(d.height == 24 + ((id * 5) % 16).toInt, s"id=$id height=${d.height}")
+      assert(d.n_frames == n, s"id=$id frames=${d.n_frames}")
+      // n <= 8 = FeatureDim, so band b is exactly frame b's mean luma —
+      // REAL decoded pixels, within JPEG quantization error of the
+      // encoded solid gray; bands past the clip length stay 0
+      for (b <- 0 until n) {
+        val expected = 16 + ((id * 37 + b * 11) % 224).toInt
+        assert(math.abs(d.feature(b) - expected) <= 3,
+          s"id=$id frame=$b luma=${d.feature(b)} expected~$expected")
+      }
+      for (b <- n until 8) assert(d.feature(b) == 0f)
+    }
+  }
+
+  test("multimodal frameFeatures: per-frame decoded luma rows, stride and cap respected") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((2L, "ignored", "en", "s", 7L), (8L, "ignored", "en", "s", 7L),
+      (0L, "ignored", "en", "s", 7L)) // 0 -> image kind: must emit nothing
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.withSyntheticAviVideoPayloads(
+      Multimodal.withSyntheticImagePayloads(Multimodal.fromDocuments(docs)))
+    val rows = Multimodal.frameFeatures(media, stride = 2, maxFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getFloat(4)))
+    // id 2: 5 frames -> stride-2 indices {0,2,4} capped at 2 -> {0,2};
+    // id 8: 5 frames -> same; image row contributes nothing
+    assert(rows.map(t => (t._1, t._2)).sorted.toSeq ==
+      Seq((2L, 0), (2L, 2), (8L, 0), (8L, 2)))
+    for ((id, fi, w, h, luma) <- rows) {
+      assert(w == 32 + (id % 16).toInt && h == 24 + ((id * 5) % 16).toInt)
+      val expected = 16 + ((id * 37 + fi * 11) % 224).toInt
+      assert(math.abs(luma - expected) <= 3, s"id=$id frame=$fi luma=$luma expected~$expected")
+    }
+    // junk video bytes and non-AVI containers emit no frame rows
+    val junk = Seq((9L, "video", "not riff".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+    assert(Multimodal.frameFeatures(junk, 1, 10).count() == 0)
+  }
+
   test("multimodal frame sampling strides video only") {
     import graft.multimodal.Multimodal
     val docs = Seq((2L, "x" * 500, "en", "s", 500L)) // doc_id 2 -> video kind
