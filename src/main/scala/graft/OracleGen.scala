@@ -56,7 +56,8 @@ object OracleGen {
       "q31_winnow_pairs" -> (() => winnowOracle(s, dir)),
       "q28_ann_lsh" -> (() => annLshOracle(s, dir)),
       "q32_ann_ivf" -> (() => annIvfOracle(s, dir)),
-      "q34_ann_pq" -> (() => annPqOracle(s, dir))
+      "q34_ann_pq" -> (() => annPqOracle(s, dir)),
+      "q55_bpe_tokens" -> (() => bpeOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -261,6 +262,55 @@ object OracleGen {
          |  WHERE cv.vec_id != p.query_id)""".stripMargin
     "WITH " + annRank(cand, k)
   }
+
+  /** q55: a driver-side reference BPE implementation — intentionally
+    * naive collections code sharing only the merges CONSTANT with
+    * [[graft.textops.Bpe]], not its algorithmic machinery — recomputes
+    * every document's token count; DuckDB joins the embedded expected
+    * counts against the documents table (verifying doc coverage both
+    * ways via the inner join + the driver's row-count check).
+    */
+  def bpeOracle(s: SparkSession, dir: String): String = {
+    val rank: Map[(String, String), Int] =
+      graft.textops.Bpe.defaultMerges.zipWithIndex.toMap
+    val rows = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), refBpeCount(r.getString(1), rank)))
+      .sortBy(_._1)
+    checkEmbeddable("q55_bpe_tokens", rows.length.toLong)
+    val vals = rows.map { case (id, n) => s"($id, $n)" }.mkString(", ")
+    s"""WITH expv(doc_id, n_bpe) AS (VALUES $vals)
+       |SELECT d.doc_id, CAST(e.n_bpe AS INT) AS n_bpe_tokens
+       |FROM documents d JOIN expv e ON e.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** Reference BPE: per whitespace word, start from code-point symbols,
+    * repeatedly merge ALL occurrences of the best-ranked adjacent pair
+    * (left-to-right, overlap-skipping) until none ranks; sum symbol
+    * counts.
+    */
+  private def refBpeCount(text: String, rank: Map[(String, String), Int]): Int =
+    text.split("[ \t\n\\x0B\f\r]+").iterator.filter(_.nonEmpty).map { w =>
+      var syms: Vector[String] =
+        w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+      var done = false
+      while (!done && syms.length > 1) {
+        val ranked = syms.zip(syms.tail).flatMap(p => rank.get(p).map(r => (r, p)))
+        if (ranked.isEmpty) done = true
+        else {
+          val (_, (a, b)) = ranked.minBy(_._1)
+          val buf = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              buf += (a + b); i += 2
+            } else { buf += syms(i); i += 1 }
+          }
+          syms = buf.result()
+        }
+      }
+      syms.length
+    }.sum
 
   /** q34: engine emits the ADC shortlist (query_id, neighbor_id) —
     * codes, LUTs, and the refine·k cut are PQ-internal by design;

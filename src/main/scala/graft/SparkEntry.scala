@@ -624,6 +624,16 @@ object SparkEntry {
             .as("luma_ok"))
     }),
 
+    // BPE token counting under the built-in merges table — the unit a
+    // training-data budget is set in (q22's nTokens counts whitespace
+    // tokens); oracle = generated from an independent driver-side BPE
+    // reference over the same merges (OracleGen.bpeOracle)
+    "q55_bpe_tokens" -> ((s, dir) => {
+      table(s, dir, "documents").select(col("doc_id"),
+        graft.textops.Bpe.bpe_token_count(s, col("text"),
+          graft.textops.Bpe.defaultMerges).as("n_bpe_tokens"))
+    }),
+
     // exact interpolated quantiles per group: Spark's percentile and
     // DuckDB's quantile_cont share the (n-1)*p linear-interpolation
     // definition, so the values agree bit-for-bit after rounding

@@ -1,0 +1,185 @@
+package graft.textops
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, GraftInterop, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Merges-table-driven byte-pair-encoding token counting.
+  *
+  * Training-data budgets are set in BPE tokens, not whitespace tokens —
+  * [[graft.textops.TextAnalysis]]'s `nTokens` (q22) counts the latter.
+  * [[bpe_token_count]] counts the former: whitespace pre-tokenization,
+  * then per word the classic BPE merge loop (repeatedly merge ALL
+  * occurrences of the lowest-rank adjacent symbol pair present in the
+  * merges table, left-to-right with overlap skipping, until no pair
+  * ranks), summing the final symbol counts. This is the
+  * Sennrich-et-al. greedy apply step over a fixed merges list — the
+  * part a counting pipeline runs; learning the merges is corpus
+  * training, out of scope.
+  *
+  * Scale shape: the merges table ships ONCE PER EXECUTOR as a Spark
+  * `Broadcast` (a production vocab is ~50k merges ≈ 1 MB — riding the
+  * serialized expression would re-ship it with every task), and the
+  * rank map is built lazily once per JVM, not per row. The expression
+  * itself stays inside whole-stage codegen via the static-call pattern
+  * the other textops expressions use.
+  */
+object Bpe {
+
+  /** A compiled merges table. `pairs` is the merge list in priority
+    * order (index = rank, lower merges first). The rank map is
+    * `@transient lazy`: the broadcast ships only the flat pairs array,
+    * each executor hashes it once on first use.
+    */
+  final class Table(val pairs: Array[(String, String)]) extends Serializable {
+    @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](pairs.length * 2)
+      var i = 0
+      while (i < pairs.length) {
+        // symbols never contain whitespace (words are whitespace-split),
+        // so "a b" keys are unambiguous; first occurrence of a duplicate
+        // pair keeps the better rank
+        val k = pairs(i)._1 + " " + pairs(i)._2
+        if (!m.containsKey(k)) m.put(k, i)
+        i += 1
+      }
+      m
+    }
+
+    /** Rank of (a, b), or Int.MaxValue when the pair never merges. */
+    def rankOf(a: String, b: String): Int = {
+      val r = rank.get(a + " " + b)
+      if (r == null) Int.MaxValue else r.intValue()
+    }
+  }
+
+  def table(merges: Seq[(String, String)]): Table = new Table(merges.toArray)
+
+  /** A small deterministic English-leaning merges list (common digraphs,
+    * then compounds built from them) — a stand-in for a trained merges
+    * file, in the exact format a real one loads into: ordered pairs.
+    */
+  val defaultMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("an", "d"), ("in", "g"), ("t", "o"), ("e", "s"), ("o", "u"),
+    ("a", "l"), ("i", "t"), ("a", "r"), ("s", "t"), ("e", "d"),
+    ("i", "s"), ("o", "f"), ("h", "e"), ("c", "o"), ("l", "e"),
+    ("h", "a"), ("s", "e"), ("m", "e"), ("n", "t"), ("w", "h"),
+    ("th", "at"), ("f", "or"), ("co", "n"), ("b", "e"), ("w", "as"),
+    ("a", "s"), ("y", "ou"), ("wh", "i"), ("u", "s"), ("l", "i"),
+    ("the", "re"), ("w", "it"), ("wit", "h"), ("er", "s"), ("p", "ro"),
+    ("re", "s"), ("c", "h"), ("s", "h"), ("d", "e"), ("p", "a"),
+    ("n", "o"), ("m", "a"), ("l", "o"), ("d", "i"), ("r", "a"),
+    ("t", "i"), ("en", "t"), ("ing", "s"), ("at", "i"), ("es", "s"),
+    ("ati", "on"), ("m", "ent"), ("1", "0"), ("2", "0"), ("0", "0"),
+    ("in", "t"), ("p", "er"), ("f", "ro"), ("fro", "m"), ("s", "u"),
+    ("b", "u"), ("n", "e"), ("g", "e"), ("v", "e"), ("t", "er"),
+    ("st", "r"), ("a", "b"), ("p", "l"), ("e", "x"), ("c", "a"),
+    ("o", "w"), ("u", "n"), ("q", "u"), ("qu", "e"), ("e", "l"),
+    ("o", "m"), ("i", "c"), ("u", "r"), ("l", "y"), ("i", "d"),
+    ("ha", "ve"), ("no", "t"), ("ar", "e"), ("on", "e"), ("al", "l"))
+
+  /** BPE token count of `text` under the broadcast merges table.
+    * Whitespace bytes (the `\s` set, single-byte in UTF-8) delimit
+    * words; each word starts as its code-point symbols.
+    */
+  def countTokens(text: UTF8String, bcast: Broadcast[Table]): Int = {
+    val t = bcast.value
+    val s = text.toString
+    var total = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWsChar(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWsChar(s.charAt(i))) i += 1
+      if (i > start) total += bpeWordCount(s.substring(start, i), t)
+    }
+    total
+  }
+
+  @inline private def isWsChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** The merge loop for one word. Symbols start as code points; each
+    * round finds the lowest-rank adjacent pair and merges all its
+    * occurrences left-to-right (a merged symbol can't immediately
+    * re-merge with its own tail: "aaa" under (a,a) -> ["aa","a"]).
+    */
+  private def bpeWordCount(word: String, t: Table): Int = {
+    val nCp = word.codePointCount(0, word.length)
+    if (nCp <= 1) return nCp
+    var syms = new Array[String](nCp)
+    var ci = 0
+    var off = 0
+    while (off < word.length) {
+      val cp = word.codePointAt(off)
+      val n = Character.charCount(cp)
+      syms(ci) = word.substring(off, off + n)
+      ci += 1
+      off += n
+    }
+    var nSyms = nCp
+    var done = false
+    while (!done && nSyms > 1) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < nSyms - 1) {
+        val r = t.rankOf(syms(i), syms(i + 1))
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        val a = syms(bestIdx)
+        val b = syms(bestIdx + 1)
+        val out = new Array[String](nSyms)
+        var w = 0
+        var rIdx = 0
+        while (rIdx < nSyms) {
+          if (rIdx < nSyms - 1 && syms(rIdx) == a && syms(rIdx + 1) == b) {
+            out(w) = a + b
+            w += 1
+            rIdx += 2
+          } else {
+            out(w) = syms(rIdx)
+            w += 1
+            rIdx += 1
+          }
+        }
+        syms = out
+        nSyms = w
+      }
+    }
+    nSyms
+  }
+
+  case class BpeCountExpr(child: Expression, bcast: Broadcast[Table])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "bpe_token_count"
+    override def nullSafeEval(input: Any): Any =
+      countTokens(input.asInstanceOf[UTF8String], bcast)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeMerges", bcast,
+        classOf[Broadcast[Table]].getName)
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.textops.Bpe.countTokens($input, $ref);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: broadcasts the compiled table once per call site. */
+  def bpe_token_count(spark: SparkSession, text: Column,
+      merges: Seq[(String, String)]): Column = {
+    val bcast = spark.sparkContext.broadcast(table(merges))
+    GraftInterop.column(BpeCountExpr(GraftInterop.expression(text), bcast))
+  }
+}
