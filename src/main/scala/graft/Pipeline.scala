@@ -82,11 +82,46 @@ object Pipeline {
     * subsequent runs read the staged table with partition pruning
     * instead of re-parsing text. CLI: `--stage <dir>` writes it,
     * `--from-stage <dir>` queries it.
+    *
+    * With `strictTimestamps` the C10 hard-error check rides the write
+    * itself ([[writeStageChecked]]) instead of running `withUtcTimestamp`'s
+    * separate eager scan — the cold staging path parses the text ONCE.
     */
   def stage(spark: SparkSession, paths: Seq[String], dir: String,
       opts: Options = Options()): Unit = {
     val graft.sources.ParsedLogs(parsed, _) = LogSources.parseLogs(spark, paths)
-    graft.sink.ParquetStage.write(normalize(parsed, opts), dir)
+    if (opts.strictTimestamps)
+      writeStageChecked(normalize(parsed, opts.copy(strictTimestamps = false)), dir)
+    else
+      graft.sink.ParquetStage.write(normalize(parsed, opts), dir)
+  }
+
+  /** The staging-folded C10 strict check: an `observe` metric on the
+    * write counts null `utc_timestamp` rows WHILE the stage is written —
+    * zero extra jobs on the all-valid path (the former eager check was
+    * its own full scan before the write re-parsed everything). Only on
+    * failure does it pay one more job to fetch the reference message's
+    * five examples, then deletes the half-written stage (a later
+    * `--from-stage` must not read a store that failed its contract)
+    * and throws the byte-identical error.
+    */
+  def writeStageChecked(norm: DataFrame, dir: String): Unit = {
+    val obs = org.apache.spark.sql.Observation("strict_timestamps")
+    val observed = norm.observe(obs,
+      sum(when(col("utc_timestamp").isNull, 1L).otherwise(0L)).as("n_bad"))
+    graft.sink.ParquetStage.write(observed, dir)
+    val nBad = obs.get("n_bad") match {
+      case null => 0L
+      case n: java.lang.Number => n.longValue()
+    }
+    if (nBad > 0) {
+      val bad = norm.filter(col("utc_timestamp").isNull).limit(5)
+        .select(col("source"), col("timestamp")).collect()
+      val spark = norm.sparkSession
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      throw Normalizer.invalidTimestampError(bad)
+    }
   }
 
   /** Score + filter over a previously staged store. The staged frame

@@ -158,14 +158,19 @@ object Triage {
             try errs.foreach(r => w.write(s"Failed to parse [${r.getString(0)}]: ${r.getString(1)}\n"))
             finally w.close()
           }
-          val norm = Pipeline.normalize(parsedLogs.parsed,
-            Pipeline.Options(timeOffsetSeconds = args.timeOffset))
           args.stageDir match {
             case Some(stage) =>
-              graft.sink.ParquetStage.write(norm, stage)
+              // strict C10 check rides the stage write (observe metric)
+              // instead of withUtcTimestamp's separate eager scan — the
+              // cold staging path parses the text once, not twice
+              val norm = Pipeline.normalize(parsedLogs.parsed,
+                Pipeline.Options(timeOffsetSeconds = args.timeOffset,
+                  strictTimestamps = false))
+              Pipeline.writeStageChecked(norm, stage)
               println(s"[*] Staged normalized store to $stage")
               graft.sink.ParquetStage.read(spark, stage).drop("event_date")
-            case None => norm
+            case None => Pipeline.normalize(parsedLogs.parsed,
+              Pipeline.Options(timeOffsetSeconds = args.timeOffset))
           }
       }
       val scored = Pipeline.score(normalized, config, ruleSet, webshells)

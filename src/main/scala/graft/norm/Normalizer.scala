@@ -38,14 +38,20 @@ object Normalizer {
     if (strict) {
       val bad = out.filter(col("utc_timestamp").isNull).limit(5)
         .select(col("source"), col("timestamp")).collect()
-      if (bad.nonEmpty) {
-        throw new IllegalArgumentException(
-          "Found timestamps with an unknown or invalid format: " +
-            bad.map(r => s"${r.get(0)}:'${r.get(1)}'").mkString(", "))
-      }
+      if (bad.nonEmpty) throw invalidTimestampError(bad)
     }
     out
   }
+
+  /** The C10 hard-error, shared by the eager check above and the
+    * staging-folded check ([[graft.Pipeline.writeStageChecked]]) so
+    * both paths raise the byte-identical reference message
+    * (dataframe.py:218-220).
+    */
+  def invalidTimestampError(bad: Array[org.apache.spark.sql.Row]): IllegalArgumentException =
+    new IllegalArgumentException(
+      "Found timestamps with an unknown or invalid format: " +
+        bad.map(r => s"${r.get(0)}:'${r.get(1)}'").mkString(", "))
 
   /** C9 — the normalized copies of the 8 dedup-key columns
     * (reference dataframe.py:170-186): trim, lower, strip one wrapping
