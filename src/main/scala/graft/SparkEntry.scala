@@ -550,11 +550,9 @@ object SparkEntry {
     "q46_asof" -> ((s, dir) => {
       val ev = table(s, dir, "events")
       val left = ev.select(col("event_id"), col("user_id"), col("ts"))
-      val right = ev.filter(col("event_id") % 10 === 0)
-        .select(col("user_id"), col("ts").as("rts"),
-          col("event_id").as("ckpt_id"), col("value").as("ckpt_value"))
       graft.operators.AsofJoin.asofBackward(
-        left, right, Seq("user_id"), "ts", "rts", Seq("ckpt_id", "ckpt_value"))
+        left, q46Checkpoints(ev), Seq("user_id"), "ts", "rts",
+        Seq("ckpt_id", "ckpt_value"))
         .select(col("event_id"), col("ckpt_id"), col("ckpt_value"))
     }),
 
@@ -563,11 +561,9 @@ object SparkEntry {
     "q50_asof_chunked" -> ((s, dir) => {
       val ev = table(s, dir, "events")
       val left = ev.select(col("event_id"), col("user_id"), col("ts"))
-      val right = ev.filter(col("event_id") % 10 === 0)
-        .select(col("user_id"), col("ts").as("rts"),
-          col("event_id").as("ckpt_id"), col("value").as("ckpt_value"))
       graft.operators.AsofJoin.asofBackwardChunked(
-        left, right, Seq("user_id"), "ts", "rts", Seq("ckpt_id", "ckpt_value"),
+        left, q46Checkpoints(ev), Seq("user_id"), "ts", "rts",
+        Seq("ckpt_id", "ckpt_value"),
         chunkSize = 3600L * 1000000000L)
         .select(col("event_id"), col("ckpt_id"), col("ckpt_value"))
     }),
@@ -760,14 +756,39 @@ object SparkEntry {
         |SELECT s.event_id, n.cluster
         |FROM sess s JOIN numbered n USING (source, ip, local_id)""".stripMargin
 
+  /** q46/q50's checkpoint frame, deduped to ONE row per (user_id, ts):
+    * DuckDB's ASOF JOIN picks an ARBITRARY row among equal-time
+    * checkpoints while asofBackward breaks the tie deterministically by
+    * payload order, so duplicate (user_id, ts) checkpoints in a future
+    * events table would flake the hash compare. Keeping the max-ckpt_id
+    * row (a window both engines state identically) removes the
+    * ambiguity on both sides.
+    */
+  private def q46Checkpoints(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("rts"))
+      .orderBy(col("ckpt_id").desc)
+    ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts").as("rts"),
+        col("event_id").as("ckpt_id"), col("value").as("ckpt_value"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Shared oracle for q46/q50 — both as-of implementations must
-    * hash-match the same native DuckDB ASOF LEFT JOIN. */
+    * hash-match the same native DuckDB ASOF LEFT JOIN (over the same
+    * tie-deduped checkpoint frame, see [[q46Checkpoints]]). */
   private val oracleSqlQ46: String =
     """WITH l AS (
       |  SELECT event_id, user_id, epoch_ns(ts) AS t FROM events),
       |r AS (
-      |  SELECT user_id, epoch_ns(ts) AS rt, event_id AS ckpt_id, value AS ckpt_value
-      |  FROM events WHERE event_id % 10 = 0)
+      |  SELECT user_id, rt, ckpt_id, ckpt_value FROM (
+      |    SELECT user_id, epoch_ns(ts) AS rt, event_id AS ckpt_id,
+      |           value AS ckpt_value,
+      |           row_number() OVER (PARTITION BY user_id, epoch_ns(ts)
+      |                              ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_id % 10 = 0) WHERE rn = 1)
       |SELECT l.event_id, r.ckpt_id, r.ckpt_value
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.rt""".stripMargin
 

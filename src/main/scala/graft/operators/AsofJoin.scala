@@ -115,6 +115,12 @@ object AsofJoin {
 
   /** @param valueCols right-side payload columns carried to the output
     *   (they must not collide with left column names — rename first).
+    *   They must be ORDERABLE types (enforced above): equal
+    *   (key, time) right rows are tie-broken by payload order so the
+    *   result is run-deterministic — note pandas `merge_asof` (last
+    *   duplicate wins) and DuckDB ASOF (arbitrary) choose differently;
+    *   dedup equal-time right rows first when matching an engine with
+    *   other tie semantics.
     * @param tolerance max allowed `leftTime - rightTime` (same unit as
     *   the time columns); a match further back yields nulls, like
     *   pandas `merge_asof(tolerance=...)`.
