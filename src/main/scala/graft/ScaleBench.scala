@@ -86,12 +86,24 @@ object ScaleBench {
 
     // SPARK_GRAFT_SKEW_ONLY=1: jump straight to the hot-key duels
     // (phase 2) — the sf~1 corpus phases don't change when iterating on
-    // a skew-shape fix
+    // a skew-shape fix. SPARK_GRAFT_ADVERSARIAL_ONLY=1: run only the
+    // generated boilerplate-corpus phases (1b/1c) — they need neither
+    // the sf~1 store nor the skewed events.
     val skewOnly = sys.env.get("SPARK_GRAFT_SKEW_ONLY").contains("1")
+    val advOnly = sys.env.get("SPARK_GRAFT_ADVERSARIAL_ONLY").contains("1")
+
+    // Template text with one low-cardinality varying token (phases
+    // 1b/1c): docs sharing id % 97 are byte-identical boilerplate, the
+    // shape a crawl's licence blocks and templated pages produce.
+    def boiler(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("terms of service for account tier "), col("id") % 97,
+          lit(" all rights reserved standard clause applies without warranty " +
+            "of any kind either express or implied including merchantability")).as("text"))
 
     // ---- phase 0: materialize the scaled dataset ----
     val rep = explode(sequence(lit(0L), lit(replicas - 1L))).as("_r")
-    if (!skewOnly) {
+    if (!skewOnly && !advOnly) {
 
     val events = spark.read.parquet(s"$baseDir/events.parquet")
       .select(col("*"), rep)
@@ -156,23 +168,42 @@ object ScaleBench {
       semb.filter(col("vec_id") < 20), "vec_id", "embedding",
       k = 5, nlist = 64, nprobe = 8))
 
+    } // end phase 0/1 (!skewOnly && !advOnly)
+
+    if (!skewOnly) {
     // ---- phase 1b: adversarial boilerplate corpus for simhash ----
-    // Template text with one low-cardinality varying token: fingerprints
-    // collapse onto few values, so every chunk bucket holds O(n/97) docs
-    // and the uncapped pair join goes quadratic. Uncapped runs at 5k docs
-    // (measurable); the capped default (q26's 1000) must stay flat at
-    // 50k.
-    def boiler(n: Long): DataFrame =
-      spark.range(n).select(col("id").as("doc_id"),
-        concat(lit("terms of service for account tier "), col("id") % 97,
-          lit(" all rights reserved standard clause applies without warranty " +
-            "of any kind either express or implied including merchantability")).as("text"))
+    // fingerprints collapse onto few values, so every chunk bucket
+    // holds O(n/97) docs and the uncapped pair join goes quadratic.
+    // Uncapped runs at 5k docs (measurable); the capped default (q26's
+    // 1000) must stay flat at 50k.
     timed("simhash_adversarial_5k_uncapped", graft.textops.NearDup.simhashPairs(
       boiler(5000), "doc_id", "text", maxHamming = 6))
     timed("simhash_adversarial_5k_capped", graft.textops.NearDup.simhashPairs(
       boiler(5000), "doc_id", "text", maxHamming = 6, maxBucketSize = 1000))
     timed("simhash_adversarial_50k_capped", graft.textops.NearDup.simhashPairs(
       boiler(50000), "doc_id", "text", maxHamming = 6, maxBucketSize = 1000))
+
+    // ---- phase 1c: hot BAND keys for the minhash LSH bucket join ----
+    // the same template corpus collapses the banded join's bucket keys:
+    // docs sharing id % 97 are byte-identical, so all 8 band keys
+    // coincide within each ~n/97-doc group and the uncapped candidate
+    // join goes quadratic INSIDE hot buckets — the shape a boilerplate-
+    // heavy crawl produces. The cap (q25's default 100) is the skew
+    // answer; max_task_sec is the evidence it holds at 10x: a hot band
+    // bucket must no longer serialize into one task.
+    timed("minhash_adversarial_5k_uncapped", graft.textops.NearDup.minhashPairs(
+      boiler(5000), "doc_id", "text", threshold = 0.9, maxBucketSize = 0))
+    timed("minhash_adversarial_50k_uncapped", graft.textops.NearDup.minhashPairs(
+      boiler(50000), "doc_id", "text", threshold = 0.9, maxBucketSize = 0))
+    timed("minhash_adversarial_5k_capped", graft.textops.NearDup.minhashPairs(
+      boiler(5000), "doc_id", "text", threshold = 0.9))
+    // at 10x the hot buckets exceed the cap and are dropped whole — the
+    // cap trades their (pure-boilerplate) recall for a flat cost curve;
+    // 0 surviving pairs here is that trade-off made visible, and the
+    // substring-level SpanDedup family is the operator that still
+    // handles the dropped boilerplate
+    timed("minhash_adversarial_50k_capped", graft.textops.NearDup.minhashPairs(
+      boiler(50000), "doc_id", "text", threshold = 0.9))
     } // end !skewOnly
 
     // ---- phase 2: hot-key skew duel ----
@@ -182,6 +213,7 @@ object ScaleBench {
     // group's single-task sort dominates — at 1M total rows a 500k-row
     // in-memory sort is still cheaper than the chunked path's extra
     // shuffle+join.
+    if (!advOnly) {
     val skewReplicas = sys.env.getOrElse("SPARK_GRAFT_SKEW_REPLICAS", "100").toLong
     val skRep = explode(sequence(lit(0L), lit(skewReplicas - 1L))).as("_r")
     val skBase = spark.read.parquet(s"$baseDir/events.parquet")
@@ -245,6 +277,7 @@ object ScaleBench {
     println(s"""{"bench":"scale","workload":"skew_equality","mismatches":$mismatches}""")
     if (mismatches != 0)
       throw new IllegalStateException(s"chunked sessionizer diverged under skew: $mismatches rows")
+    } // end phase 2 (!advOnly)
 
     spark.stop()
   }

@@ -42,9 +42,14 @@ object Verify {
     // (OracleGen) for the six candidate-generation queries: they embed
     // engine-computed keys for THIS sf dir, the same data the query
     // dumps above just read.
-    val json = SparkEntry.oracleSql(Some((spark, sfDir)))
+    val oracles = SparkEntry.oracleSql(Some((spark, sfDir)))
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // counts ride the artifact so docs quote it instead of drifting
+    // (round-4 verdict: SURVEY said 51 while the artifacts said 50)
+    Files.writeString(Paths.get(s"$outDir/meta.json"),
+      s"""{"n_queries": ${SparkEntry.queries.size}, "n_oracles": ${oracles.size}}""")
     spark.stop()
   }
 }
