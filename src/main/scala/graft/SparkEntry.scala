@@ -630,6 +630,25 @@ object SparkEntry {
           graft.textops.Bpe.defaultMerges).as("n_bpe_tokens"))
     }),
 
+    // token-budget corpus cut: keep documents in doc_id order while
+    // the running whitespace-token total stays within budget — the
+    // "fill the training mix" step, via the two-phase range-partitioned
+    // cumsum (no unpartitioned window anywhere in the plan)
+    "q56_budget_cut" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Budget.takeWhileBudget(
+        docs, col("doc_id"), col("n_tokens"), budget = 20000L, cumCol = "cum_tokens")
+    }),
+
+    // per-(lang, source) quota — the anti-over-representation cap of a
+    // corpus mix; one hash shuffle on the group key
+    "q57_source_quota" -> ((s, dir) => {
+      graft.operators.Budget.quotaPerGroup(
+        table(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        Seq(col("lang"), col("source")), col("doc_id"), quota = 20)
+    }),
+
     // exact interpolated quantiles per group: Spark's percentile and
     // DuckDB's quantile_cont share the (n-1)*p linear-interpolation
     // definition, so the values agree bit-for-bit after rounding
@@ -1390,6 +1409,30 @@ object SparkEntry {
         |  CAST(24 + (media_id * 5) % 16 AS INT) AS frame_h,
         |  TRUE AS luma_ok
         |FROM v JOIN s ON s.fi < v.n_frames""".stripMargin,
+
+    // the oracle's one-window cumsum IS the semantics; the engine's
+    // range-partitioned two-phase formulation must reproduce it exactly
+    "q56_budget_cut" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+        |         END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 20000""".stripMargin,
+
+    "q57_source_quota" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |         row_number() OVER (PARTITION BY lang, source
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20""".stripMargin,
 
     "q47_quantiles" ->
       """SELECT event_type, count(*) AS n,
