@@ -638,7 +638,8 @@ object SparkEntry {
       val docs = table(s, dir, "documents").select(col("doc_id"),
         graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
       graft.operators.Budget.takeWhileBudget(
-        docs, col("doc_id"), col("n_tokens"), budget = 20000L, cumCol = "cum_tokens")
+        docs, col("doc_id"), col("n_tokens"), budget = 20000L,
+        cumCol = "cum_tokens", chunkSize = 1000L)
     }),
 
     // per-(lang, source) quota — the anti-over-representation cap of a

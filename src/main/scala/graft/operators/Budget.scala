@@ -10,30 +10,44 @@ import org.apache.spark.sql.functions._
   *
   * The budget cut needs a GLOBAL running sum in `orderCol` order. The
   * naive `sum().over(Window.orderBy(o))` is an unpartitioned window —
-  * every row through one task, the exact shape Spark warns about and
-  * the one thing that cannot survive 100 TB. [[takeWhileBudget]] is the
-  * scalable two-phase formulation (same base-offset algebra as
-  * `Sessionizer.withGlobalIds`):
+  * every row through one task, the one shape that cannot survive
+  * 100 TB. A first cut of this operator range-partitioned and keyed on
+  * `spark_partition_id()`, but the totals branch then re-ran the range
+  * exchange on every row (plan audit: two full-data shuffles, no
+  * exchange reuse). This formulation uses the repo's chunking idiom
+  * (asofBackwardChunked, withClustersChunked) instead — the bucket is
+  * a PURE FUNCTION of the order column, so no pass needs a second
+  * full-data shuffle:
   *
-  *  1. `repartitionByRange(orderCol)` — ranges are assigned to
-  *     ascending partition ids, so partition id order IS global order;
-  *  2. per-partition running sums via a window PARTITIONED by the
-  *     range-partition id (parallel, bounded by partition size);
-  *  3. per-partition totals -> running offsets over the #partitions-row
-  *     summary frame (a window over partition COUNT rows, not data
-  *     rows);
-  *  4. broadcast-join the offsets back and filter
+  *  1. bucket = `orderCol DIV chunkSize` (numeric order column;
+  *     bucket order == global order by construction);
+  *  2. running sums WITHIN each bucket: one hash shuffle + bounded
+  *     per-bucket sort;
+  *  3. per-bucket totals from the RAW frame: map-side partial
+  *     aggregate on the scan — only #buckets summary rows shuffle;
+  *  4. running offsets over the #buckets-row summary frame (window
+  *     over bucket count, not data rows; fold-proof constant key);
+  *  5. join offsets back on bucket (AQE broadcasts the small side —
+  *     same no-hint policy as the sessionizer) and filter
   *     `offset + local_cum <= budget`.
+  *
+  * The input is read twice (steps 2 and 3) — the unavoidable two
+  * passes of a distributed prefix sum without materializing an
+  * intermediate — but the second pass collapses into its scan's
+  * partial aggregate instead of re-shuffling data rows.
   */
 object Budget {
 
   /** Rows whose INCLUSIVE running `weightCol` total in ascending
     * `orderCol` order stays within `budget`, with the running total
-    * appended as `cumCol`. `orderCol` must be unique per row (ties
-    * would make the cut nondeterministic — use a row id).
+    * appended as `cumCol`. `orderCol` must be numeric-castable, unique
+    * and non-null per row (ties would make the cut nondeterministic —
+    * use a row id).
     *
-    * @param numPartitions range partitions for the cumsum phase; size
-    *   so one partition's rows fit a task comfortably.
+    * @param chunkSize bucket width in `orderCol` units. Trades the
+    *   per-task sort (one bucket's rows) against the summary frame
+    *   (#buckets rows); with dense ids, `chunkSize` rows per bucket
+    *   and `n / chunkSize` summary rows.
     */
   def takeWhileBudget(
       df: DataFrame,
@@ -41,39 +55,45 @@ object Budget {
       weightCol: Column,
       budget: Long,
       cumCol: String = "cum_weight",
-      numPartitions: Int = 0): DataFrame = {
+      chunkSize: Long = 100000L): DataFrame = {
     require(budget >= 0, s"takeWhileBudget: budget must be >= 0, got $budget")
-    val n = if (numPartitions > 0) numPartitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    // spark_partition_id is evaluated AFTER the range exchange, so it
-    // names the range bucket; the partition-id window then re-shuffles
-    // by that id without breaking range order (ids are range-ordered by
-    // construction of RangePartitioner)
-    val ranged = df.repartitionByRange(n, orderCol)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_w", weightCol.cast("long"))
-    val inPart = Window.partitionBy(col("_pid")).orderBy(orderCol)
+    require(chunkSize > 0, s"takeWhileBudget: chunkSize must be positive, got $chunkSize")
+    // floor(double) is weakly monotone in orderCol even past 2^53
+    // (round-to-double, /positive, floor are each monotone), which is
+    // the only property the cut needs from the bucketing; true floor
+    // also keeps negative ids ordered (floor(-3/2) = -2)
+    val bucket = floor(orderCol.cast("double") / chunkSize).cast("long")
+    val inBucket = Window.partitionBy(col("_bkt")).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val localCum = ranged.withColumn("_local_cum", sum(col("_w")).over(inPart))
-    // summary frame: one row per range partition — the running offset
-    // window runs over #partitions rows, never data rows. The explicit
-    // single-partition key reuses the sessionizer's fold-proof trick
-    // (an aggregate output is never constant to Catalyst).
-    val totals = localCum.groupBy(col("_pid"))
-      .agg(sum(col("_w")).as("_part_total"))
-    val overParts = Window
-      .partitionBy(coalesce(col("_part_total") * lit(0L), lit(0L)))
-      .orderBy(col("_pid"))
+    val localCum = df
+      .withColumn("_bkt", bucket)
+      .withColumn("_w", weightCol.cast("long"))
+      .withColumn("_local_cum", sum(col("_w")).over(inBucket))
+    // totals fork from the RAW frame: partial aggregation runs inside
+    // the scan stage, so this pass shuffles #buckets rows, not data
+    val totals = df
+      .select(bucket.as("_bkt"), weightCol.cast("long").as("_w"))
+      .groupBy(col("_bkt"))
+      .agg(sum(col("_w")).as("_bkt_total"))
+    // running offsets over the summary frame — a window over #buckets
+    // rows. The explicit single-partition key reuses the sessionizer's
+    // fold-proof trick (an aggregate output is never constant to
+    // Catalyst), so it can't silently become an unpartitioned window.
+    val overBuckets = Window
+      .partitionBy(coalesce(col("_bkt_total") * lit(0L), lit(0L)))
+      .orderBy(col("_bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
-      .withColumn("_base", coalesce(sum(col("_part_total")).over(overParts), lit(0L)))
-      .select(col("_pid"), col("_base"))
-    // offsets has numPartitions rows — always broadcastable
+      .withColumn("_base", coalesce(sum(col("_bkt_total")).over(overBuckets), lit(0L)))
+      .select(col("_bkt"), col("_base"))
+    // no broadcast hint: #buckets is usually tiny but data-dependent —
+    // AQE broadcasts when the measured size allows, else a shuffled
+    // join (never a driver OOM)
     localCum
-      .join(broadcast(offsets), Seq("_pid"))
+      .join(offsets, Seq("_bkt"))
       .withColumn(cumCol, col("_base") + col("_local_cum"))
       .filter(col(cumCol) <= budget)
-      .drop("_pid", "_w", "_local_cum", "_base")
+      .drop("_bkt", "_w", "_local_cum", "_base")
   }
 
   /** At most `quota` rows per `groupCols` group, keeping the first rows

@@ -22,15 +22,26 @@ class BudgetSpec extends GraftSparkSpec {
     }
   }
 
-  test("two-phase cumsum equals the naive cut across partition counts") {
-    for (parts <- Seq(1, 3, 7, 32)) {
+  test("two-phase cumsum equals the naive cut across chunk sizes") {
+    // 1 = one row per bucket (summary frame == data), 1000 = a single
+    // bucket (degenerate single-task sort) — both ends must agree
+    for (chunk <- Seq(1L, 7L, 50L, 1000L)) {
       val got = Budget.takeWhileBudget(
         corpus(500).repartition(11), // scrambled input partitioning
-        col("id"), col("w"), budget = 2000L, numPartitions = parts)
+        col("id"), col("w"), budget = 2000L, chunkSize = chunk)
         .select(col("id"), col("cum_weight"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
-      assert(got == naiveCut(500, 2000L), s"numPartitions=$parts diverged")
+      assert(got == naiveCut(500, 2000L), s"chunkSize=$chunk diverged")
     }
+  }
+
+  test("negative order values bucket and accumulate in true order") {
+    val df = Seq((-5L, 1L), (-3L, 2L), (-1L, 4L), (0L, 8L), (2L, 16L))
+      .toDF("id", "w")
+    val got = Budget.takeWhileBudget(df, col("id"), col("w"), 15L, chunkSize = 2L)
+      .select(col("id"), col("cum_weight"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((-5L, 1L), (-3L, 3L), (-1L, 7L), (0L, 15L)))
   }
 
   test("budget boundaries: inclusive cut, zero budget, budget beyond total") {
