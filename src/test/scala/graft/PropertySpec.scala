@@ -173,4 +173,28 @@ class PropertySpec extends GraftSparkSpec {
       assert(viaTokens == viaText, s"t='$t'")
     }
   }
+
+  // -- BPE token counting ----------------------------------------------------
+
+  test("BPE count invariants: bounded by [words, code points]; merges only shrink") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val merges = graft.textops.Bpe.defaultMerges
+    val full = spark.sparkContext.broadcast(graft.textops.Bpe.table(merges))
+    val none = spark.sparkContext.broadcast(graft.textops.Bpe.table(Seq.empty))
+    val half = spark.sparkContext.broadcast(
+      graft.textops.Bpe.table(merges.take(merges.size / 2)))
+    forAll(textGen, 60) { t =>
+      val u = UTF8String.fromString(t)
+      val words = t.split("\\s+").filter(_.nonEmpty)
+      val cps = words.map(w => w.codePointCount(0, w.length)).sum
+      val n = graft.textops.Bpe.countTokens(u, full)
+      // every word is at least one token; no word exceeds its code points
+      assert(n >= words.length && n <= cps, s"t='$t' n=$n")
+      // the empty merges table counts exactly the code points
+      assert(graft.textops.Bpe.countTokens(u, none) == cps, s"t='$t'")
+      // a PREFIX of the merges list can only merge less (monotonicity:
+      // extra merges never increase the count)
+      assert(graft.textops.Bpe.countTokens(u, half) >= n, s"t='$t'")
+    }
+  }
 }
