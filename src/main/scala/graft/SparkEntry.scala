@@ -650,6 +650,31 @@ object SparkEntry {
         Seq(col("lang"), col("source")), col("doc_id"), quota = 20)
     }),
 
+    // C4-style cleaning over planted dirt: tags on doc_id%3==0, a BEL
+    // control char + ragged whitespace on %3==1 — the oracle replants
+    // identically and runs the same explicit-class regex chain (both
+    // dialects' \s differ, so no bare \s anywhere)
+    "q58_clean" -> ((s, dir) => {
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit("<p class=\"x\">"), col("text"), lit("</p> <br>")))
+          .when(col("doc_id") % 3 === 1, concat(lit(" "), col("text"), lit("\u0007\t\t end  ")))
+          .otherwise(col("text")).as("text"))
+      planted.select(col("doc_id"),
+        graft.textops.TextAnalysis.cleanText(col("text"), stripTags = true).as("text_clean"))
+        .withColumn("n_chars_clean", length(col("text_clean")))
+    }),
+
+    // stratified deterministic sample: downweight the over-represented
+    // lang (en keeps 32/256), keep the rare ones whole (zh 256), drop
+    // strata with no rate (default 0) — same md5 bucket as q48, so the
+    // oracle recomputes row fates exactly
+    "q59_stratified" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedSample(
+        table(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"),
+        Map("en" -> 32, "de" -> 128, "zh" -> 256), defaultKeepBuckets = 64)
+    }),
+
     // exact interpolated quantiles per group: Spark's percentile and
     // DuckDB's quantile_cont share the (n-1)*p linear-interpolation
     // definition, so the values agree bit-for-bit after rounding
@@ -1434,6 +1459,33 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY lang, source
         |                            ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn <= 20""".stripMargin,
+
+    // same explicit character classes as cleanText — RE2 and Java \s
+    // disagree on \x0B, so neither side uses bare \s; DuckDB needs the
+    // 'g' flag where Spark's regexp_replace is global by default
+    "q58_clean" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN '<p class="x">' || text || '</p> <br>'
+        |         WHEN doc_id % 3 = 1 THEN ' ' || text || chr(7) || chr(9) || chr(9) || ' end  '
+        |         ELSE text END AS text
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '<[^>]*>', ' ', 'g'),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[ \t\n\r]+', ' ', 'g')) AS text_clean
+        |  FROM planted)
+        |SELECT doc_id, text_clean,
+        |  CAST(length(text_clean) AS INT) AS n_chars_clean
+        |FROM cleaned""".stripMargin,
+
+    "q59_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || md5(CAST(doc_id AS VARCHAR))[1:2])::INT % 256 <
+        |  CASE lang WHEN 'en' THEN 32 WHEN 'de' THEN 128
+        |            WHEN 'zh' THEN 256 ELSE 64 END""".stripMargin,
 
     "q47_quantiles" ->
       """SELECT event_type, count(*) AS n,

@@ -30,4 +30,27 @@ object Sampling {
       s"keepBuckets must be in [1, 256], got $keepBuckets")
     df.filter(bucket(idCol) < keepBuckets)
   }
+
+  /** Stratified deterministic sample: per-stratum keep rates (the
+    * corpus-mix rebalancing step — downsample the over-represented
+    * language/source, keep the rare one whole). Same md5 bucket as
+    * [[deterministicSample]], so per-stratum kept sets nest the same
+    * way, and a row's fate never depends on partitioning or run order.
+    * Strata absent from `keepBucketsByStratum` use
+    * `defaultKeepBuckets`; 0 drops them entirely. Narrow codegen'd
+    * filter — no shuffle, no state.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: Column, strataCol: Column,
+      keepBucketsByStratum: Map[String, Int],
+      defaultKeepBuckets: Int = 0): DataFrame = {
+    (defaultKeepBuckets +: keepBucketsByStratum.values.toSeq).foreach(k =>
+      require(k >= 0 && k <= 256, s"keepBuckets must be in [0, 256], got $k"))
+    require(keepBucketsByStratum.nonEmpty, "need at least one stratum rate")
+    val cutoff = keepBucketsByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultKeepBuckets)) { case (acc, (stratum, k)) =>
+        when(strataCol === stratum, lit(k)).otherwise(acc)
+      }
+    df.filter(bucket(idCol) < cutoff)
+  }
 }

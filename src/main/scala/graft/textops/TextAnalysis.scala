@@ -32,6 +32,23 @@ object TextAnalysis {
   def lexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(lexerPattern), lit(0)))
 
+  /** C4-style text cleaning: optionally strip `<...>` tag runs (to a
+    * space, so `a<br>b` stays two tokens), remove ASCII control
+    * characters (keeping \t\n\r as whitespace), collapse whitespace
+    * runs to single spaces, trim. Pure codegen'd regexp chain; every
+    * class is written explicitly so the Java-regex (Spark) and RE2
+    * (DuckDB oracle) semantics coincide — `\s` itself differs between
+    * the two dialects (\x0B). Tag stripping is the regex
+    * approximation every large pipeline ships (not an HTML parser):
+    * `<[^>]*>` — an unclosed `<` is left in place.
+    */
+  def cleanText(text: Column, stripTags: Boolean = false): Column = {
+    val untagged = if (stripTags) regexp_replace(text, "<[^>]*>", " ") else text
+    val noCtl = regexp_replace(untagged,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    trim(regexp_replace(noCtl, "[ \\t\\n\\r]+", " "))
+  }
+
   /** Count of tokens present in `words` (with repeats). */
   def stopwordCount(toks: Column, words: Seq[String]): Column = {
     val set = typedLit(words)

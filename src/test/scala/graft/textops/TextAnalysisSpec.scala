@@ -99,6 +99,38 @@ class TextAnalysisSpec extends GraftSparkSpec {
     assert(one("", TextAnalysis.qualityScore(col("text"))).getDouble(0) == 0.3)
   }
 
+  test("cleanText: tags to spaces, control chars removed, whitespace collapsed") {
+    def clean(s: String, tags: Boolean = true): String =
+      Seq(s).toDF("text")
+        .select(TextAnalysis.cleanText(col("text"), stripTags = tags).as("c"))
+        .collect().head.getString(0)
+    assert(clean("<p class=\"x\">a</p><br>b") == "a b")
+    assert(clean("a\u0007b\u0000c") == "abc") // controls vanish without spacing
+    assert(clean("  a\t\tb\r\nc  ") == "a b c")
+    assert(clean("a < b > c") == "a c") // regex contract: '< b >' IS a tag run
+    assert(clean("a <unclosed", tags = true) == "a <unclosed") // unclosed '<' kept
+    assert(clean("<p>kept</p>", tags = false) == "<p>kept</p>") // stripTags off
+    assert(clean("\t\u000B\f ") == "") // pure-dirt input -> empty
+  }
+
+  test("stratifiedSample: per-stratum rates, default applies, nested in global sample") {
+    import graft.operators.Sampling
+    val docs = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "en" else if (i % 3 == 0) "zh" else "fr"))
+      .toDF("doc_id", "lang")
+    val got = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 32, "zh" -> 256), defaultKeepBuckets = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // zh rows all kept (256 = every bucket), fr rows all dropped (default 0)
+    assert(got.filter(_._2 == "zh").length ==
+      (0L until 400L).count(i => i % 2 != 0 && i % 3 == 0))
+    assert(!got.exists(_._2 == "fr"))
+    // en kept set == the global 32-bucket sample restricted to en rows
+    val globalEn = Sampling.deterministicSample(docs, col("doc_id"), 32)
+      .filter(col("lang") === "en").collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2 == "en").map(_._1).toSet == globalEn)
+  }
+
   test("multimodal decode: stub path deterministic shapes, kind-dependent fields") {
     val docs = Seq((0L, "abcdef", "en", "s", 6L), (1L, "xy", "en", "s", 2L),
       (2L, "video content here", "en", "s", 18L))
