@@ -675,6 +675,16 @@ object SparkEntry {
         Map("en" -> 32, "de" -> 128, "zh" -> 256), defaultKeepBuckets = 64)
     }),
 
+    // per-language token budget (the mix-spec form): one hash shuffle,
+    // per-group windowed cumsum, same alias discipline as q56
+    "q60_budget_per_lang" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"),
+        graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Budget.takeWhileBudgetPerGroup(
+        docs, Seq(col("lang")), col("doc_id"), col("n_tokens"),
+        budget = 5000L, cumCol = "cum_tokens")
+    }),
+
     // exact interpolated quantiles per group: Spark's percentile and
     // DuckDB's quantile_cont share the (n-1)*p linear-interpolation
     // definition, so the values agree bit-for-bit after rounding
@@ -1486,6 +1496,21 @@ object SparkEntry {
         |WHERE ('0x' || md5(CAST(doc_id AS VARCHAR))[1:2])::INT % 256 <
         |  CASE lang WHEN 'en' THEN 32 WHEN 'de' THEN 128
         |            WHEN 'zh' THEN 256 ELSE 64 END""".stripMargin,
+
+    "q60_budget_per_lang" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+        |         END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 5000""".stripMargin,
 
     "q47_quantiles" ->
       """SELECT event_type, count(*) AS n,

@@ -96,6 +96,31 @@ object Budget {
       .drop("_bkt", "_w", "_local_cum", "_base")
   }
 
+  /** Per-GROUP budget cut: within each `groupCols` group, keep rows in
+    * ascending `orderCol` order while the group's inclusive running
+    * `weightCol` total stays within `budget` (per-language token
+    * budgets — the mix-spec form of [[takeWhileBudget]]). Unlike the
+    * global cut this needs no two-phase trick: the window partitions
+    * by group, so it is ONE hash shuffle with per-group bounded sorts
+    * (a pathologically hot group degrades that group's task, not the
+    * job — for a single giant group use [[takeWhileBudget]] on it).
+    * `orderCol` must be unique within a group.
+    */
+  def takeWhileBudgetPerGroup(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      orderCol: Column,
+      weightCol: Column,
+      budget: Long,
+      cumCol: String = "cum_weight"): DataFrame = {
+    require(budget >= 0, s"takeWhileBudgetPerGroup: budget must be >= 0, got $budget")
+    require(groupCols.nonEmpty, "takeWhileBudgetPerGroup: need at least one group column")
+    val w = Window.partitionBy(groupCols: _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(cumCol, sum(weightCol.cast("long")).over(w))
+      .filter(col(cumCol) <= budget)
+  }
+
   /** At most `quota` rows per `groupCols` group, keeping the first rows
     * in ascending `orderCol` order (per-domain/source caps — the
     * anti-over-representation step of a corpus mix). One hash shuffle

@@ -67,6 +67,20 @@ class BudgetSpec extends GraftSparkSpec {
       s"unpartitioned window leaked into the budget-cut plan:\n$w"))
   }
 
+  test("per-group budget: each group cut independently, inclusive boundary") {
+    val df = Seq(
+      ("en", 1L, 10L), ("en", 2L, 10L), ("en", 3L, 10L),
+      ("zh", 1L, 25L), ("zh", 2L, 5L), ("zh", 3L, 1L))
+      .toDF("lang", "id", "w")
+    val got = Budget.takeWhileBudgetPerGroup(
+      df, Seq(col("lang")), col("id"), col("w"), budget = 30L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // en: cum 10,20,30 all within; zh: 25,30 within, 31 over
+    assert(got == Seq(("en", 1L, 10L), ("en", 2L, 20L), ("en", 3L, 30L),
+      ("zh", 1L, 25L), ("zh", 2L, 30L)))
+  }
+
   test("quotaPerGroup keeps the first `quota` rows per group in order") {
     val df = (0 until 60).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
     val got = Budget.quotaPerGroup(df, Seq(col("g")), col("id"), quota = 5)
