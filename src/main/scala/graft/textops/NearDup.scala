@@ -354,6 +354,73 @@ object NearDup {
       .select("id_a", "id_b", "hamming").distinct()
   }
 
+  /** Persist a simhash INDEX (`dir/fp.parquet`: id, sh) — 8 bytes of
+    * fingerprint per doc, the cheapest of the near-dup indexes. Chunk
+    * keys are NOT stored: they derive from the fingerprint for any
+    * maxHamming ([[simhashChunkParams]]), so one index serves every
+    * query-time hamming bound — unlike minhash bands, which are fixed
+    * per build.
+    */
+  def buildSimhashIndex(df: DataFrame, idCol: String, textCol: String, dir: String): Unit =
+    writeSimhashIndex(df, idCol, textCol, dir, "overwrite")
+
+  /** Append a new (already-deduped) batch's fingerprints — same
+    * ingestion tail as [[appendToMinhashIndex]]; SimhashIndexSpec pins
+    * append ≡ rebuild-from-union. Caller contract: batch ids are new.
+    */
+  def appendToSimhashIndex(df: DataFrame, idCol: String, textCol: String, dir: String): Unit =
+    writeSimhashIndex(df, idCol, textCol, dir, "append")
+
+  private def writeSimhashIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String, mode: String): Unit =
+    df.select(col(idCol).as("id"),
+      SimHash.simhash64_text(lower(col(textCol))).as("sh"))
+      .write.mode(mode).parquet(s"$dir/fp.parquet")
+
+  /** Near-dup pairs of a NEW batch against a persisted simhash index:
+    * chunk keys recomputed on BOTH sides from the fingerprints, the
+    * pigeonhole candidate equi-join sized by the batch, exact hamming
+    * verify. Cap semantics mirror [[minhashPairsAgainstIndex]]: counted
+    * over the JOINED bucket universe, <= 0 = uncapped (the guarantee).
+    * Returns (id_new, id_corpus, hamming).
+    */
+  def simhashPairsAgainstIndex(
+      newDf: DataFrame, idCol: String, textCol: String, dir: String,
+      maxHamming: Int = 3, maxBucketSize: Long = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (got $maxHamming)")
+    val spark = newDf.sparkSession
+    def chunksOf(fps: DataFrame, idName: String): DataFrame = {
+      val chunks = array(simhashChunkParams(maxHamming).map { case (_, off, mask) =>
+        shiftright(col("sh"), off).bitwiseAND(lit(mask))
+      }: _*)
+      fps.select(col("id").as(idName), col("sh"),
+        posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+    }
+    val idxFp = spark.read.parquet(s"$dir/fp.parquet")
+    val newFp = newDf.select(col(idCol).as("id"),
+      SimHash.simhash64_text(lower(col(textCol))).as("sh"))
+    val newChunks = chunksOf(newFp, "id_new").withColumnRenamed("sh", "sh_n")
+    val idxChunks = chunksOf(idxFp, "id_corpus").withColumnRenamed("sh", "sh_c")
+    val (cn, ci) =
+      if (maxBucketSize <= 0) (newChunks, idxChunks)
+      else {
+        val counts = newChunks.select(col("chunk_idx"), col("chunk"))
+          .unionByName(idxChunks.select(col("chunk_idx"), col("chunk")))
+          .groupBy(col("chunk_idx"), col("chunk"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucketSize)
+          .drop("_n")
+        (newChunks.join(counts, Seq("chunk_idx", "chunk")),
+          idxChunks.join(counts, Seq("chunk_idx", "chunk")))
+      }
+    cn.join(ci, Seq("chunk_idx", "chunk"))
+      .filter(col("id_new") =!= col("id_corpus"))
+      .withColumn("hamming", bit_count(col("sh_n").bitwiseXOR(col("sh_c"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_new", "id_corpus", "hamming").distinct()
+  }
+
   /** Winnowing-fingerprint near-dup pairs: documents sharing at least
     * `minShared` selected rolling-hash fingerprints (catches copied
     * PASSAGES at any offset, which shingle-set Jaccard dilutes away on
