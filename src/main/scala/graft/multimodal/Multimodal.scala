@@ -612,43 +612,50 @@ object Multimodal {
     * (offset, length) slice of every `00dc`/`00db` movi chunk — the
     * embedded MJPEG frames, returned as slices so callers decode only
     * the frames they sample. Chunks are even-aligned (RIFF padding).
+    * Hardened against adversarial payloads (this runs inside tasks over
+    * crawled bytes): size arithmetic in Long so a 0x7FFFFFFF chunk size
+    * can't overflow into a negative offset, LIST recursion depth
+    * bounded, and any residual index error degrades to None (stub
+    * fallback) instead of killing the task.
     */
-  private def parseAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Vector[(Int, Int)])] = {
-    if (bytes.length < 12) return None
-    def fourcc(off: Int): String =
-      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
-    var width = -1
-    var height = -1
-    var declared = 0
-    val frames = Vector.newBuilder[(Int, Int)]
-    def walk(start: Int, end: Int): Unit = {
-      var off = start
-      while (off + 8 <= end) {
-        val typ = fourcc(off)
-        val size = le32(bytes, off + 4)
-        val p = off + 8
-        if (size < 0 || p + size > end) return // malformed chunk: stop
-        typ match {
-          case "LIST" if size >= 4 =>
-            val listType = fourcc(p)
-            if (listType == "hdrl" || listType == "strl" || listType == "movi" ||
-              listType == "rec ") walk(p + 4, p + size)
-          case "avih" if size >= 40 =>
-            declared = le32(bytes, p + 16)
-            width = le32(bytes, p + 32)
-            height = le32(bytes, p + 36)
-          case "00dc" | "00db" if size > 0 =>
-            frames += ((p, size))
-          case _ => ()
+  private def parseAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Vector[(Int, Int)])] =
+    try {
+      if (bytes.length < 12) return None
+      def fourcc(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      var width = -1
+      var height = -1
+      var declared = 0
+      val frames = Vector.newBuilder[(Int, Int)]
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 16) return // nested-LIST bomb: stop descending
+        var off = start
+        while (off >= 0 && off + 8 <= end) {
+          val typ = fourcc(off)
+          val size = le32(bytes, off + 4)
+          val p = off + 8
+          if (size < 0 || p.toLong + size > end) return // malformed chunk: stop
+          typ match {
+            case "LIST" if size >= 4 =>
+              val listType = fourcc(p)
+              if (listType == "hdrl" || listType == "strl" || listType == "movi" ||
+                listType == "rec ") walk(p + 4, p + size, depth + 1)
+            case "avih" if size >= 40 =>
+              declared = le32(bytes, p + 16)
+              width = le32(bytes, p + 32)
+              height = le32(bytes, p + 36)
+            case "00dc" | "00db" if size > 0 =>
+              frames += ((p, size))
+            case _ => ()
+          }
+          off = p + size + (size & 1)
         }
-        off = p + size + (size & 1)
       }
-    }
-    walk(12, bytes.length)
-    if (width > 0 && height > 0) Some((width, height, declared, frames.result()))
-    else None
-  }
+      walk(12, bytes.length, 0)
+      if (width > 0 && height > 0) Some((width, height, declared, frames.result()))
+      else None
+    } catch { case _: RuntimeException => None } // corrupt container -> stub
 
   /** The deterministic fake (audio/video, and undecodable image bytes). */
   private def stubDecode(id: Long, kind: String, bytes: Array[Byte]): DecodedMedia = {

@@ -58,6 +58,7 @@ object Budget {
       chunkSize: Long = 100000L): DataFrame = {
     require(budget >= 0, s"takeWhileBudget: budget must be >= 0, got $budget")
     require(chunkSize > 0, s"takeWhileBudget: chunkSize must be positive, got $chunkSize")
+    requireIntegralWeight(df, weightCol, "takeWhileBudget")
     // floor(double) is weakly monotone in orderCol even past 2^53
     // (round-to-double, /positive, floor are each monotone), which is
     // the only property the cut needs from the bucketing; true floor
@@ -67,12 +68,12 @@ object Budget {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val localCum = df
       .withColumn("_bkt", bucket)
-      .withColumn("_w", weightCol.cast("long"))
+      .withColumn("_w", coalesce(weightCol.cast("long"), lit(0L)))
       .withColumn("_local_cum", sum(col("_w")).over(inBucket))
     // totals fork from the RAW frame: partial aggregation runs inside
     // the scan stage, so this pass shuffles #buckets rows, not data
     val totals = df
-      .select(bucket.as("_bkt"), weightCol.cast("long").as("_w"))
+      .select(bucket.as("_bkt"), coalesce(weightCol.cast("long"), lit(0L)).as("_w"))
       .groupBy(col("_bkt"))
       .agg(sum(col("_w")).as("_bkt_total"))
     // running offsets over the summary frame — a window over #buckets
@@ -115,10 +116,24 @@ object Budget {
       cumCol: String = "cum_weight"): DataFrame = {
     require(budget >= 0, s"takeWhileBudgetPerGroup: budget must be >= 0, got $budget")
     require(groupCols.nonEmpty, "takeWhileBudgetPerGroup: need at least one group column")
+    requireIntegralWeight(df, weightCol, "takeWhileBudgetPerGroup")
     val w = Window.partitionBy(groupCols: _*).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn(cumCol, sum(weightCol.cast("long")).over(w))
+    df.withColumn(cumCol, sum(coalesce(weightCol.cast("long"), lit(0L))).over(w))
       .filter(col(cumCol) <= budget)
+  }
+
+  /** Weights must be an integral type: a silent fractional cast would
+    * truncate BEFORE summation (0.9 -> 0) and make the cut keep far
+    * more than the true weighted budget — round/scale fractional
+    * weights explicitly first. Null weights count as 0 (the row is
+    * kept free); resolved at plan time, no job runs.
+    */
+  private def requireIntegralWeight(df: DataFrame, weightCol: Column, api: String): Unit = {
+    val dt = df.select(weightCol).schema.head.dataType
+    require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+      s"$api: weight column must be an integral type, got ${dt.typeName}; " +
+        "round or rescale fractional weights explicitly before the cut")
   }
 
   /** At most `quota` rows per `groupCols` group, keeping the first rows

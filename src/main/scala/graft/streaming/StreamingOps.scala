@@ -228,11 +228,19 @@ object StreamingOps {
     * Streaming STATE is empty by construction: the corpus lives in the
     * parquet index, bounded by disk rather than the state store, and
     * each batch's shuffle is sized by the batch (the incremental-index
-    * contract). Failure/replay: a replayed batch's already-appended ids
-    * are dropped by the index id anti-join, so the index does not
-    * double-append; the sink still sees the batch again (standard
-    * foreachBatch at-least-once — make the sink idempotent on
-    * `batchId`). Returns the configured writer; the caller sets
+    * contract). Failure/replay: the SINK runs BEFORE the append — a
+    * sink failure replays the batch with the index unchanged, so the
+    * batch re-survives and is re-delivered (standard foreachBatch
+    * at-least-once — make the sink idempotent on `batchId`); appending
+    * first would let the replay's id anti-join drop the batch and hand
+    * the sink nothing, silently losing delivered-to-index docs. A crash
+    * between sink and append re-delivers and THEN appends — covered by
+    * the same idempotent-sink contract. Shingling runs per stage
+    * (in-batch dedup, index probe, append) over batch-sized frames —
+    * the corpus side is never re-shingled, which is the contract that
+    * matters at scale; sharing one (id, shingles, sig) frame across
+    * stages would cut batch-side CPU ~3x at the cost of wider operator
+    * APIs. Returns the configured writer; the caller sets
     * checkpoint/trigger and calls `start()`.
     */
   def dedupIngest(
@@ -254,9 +262,13 @@ object StreamingOps {
           batch.toDF(), idCol, textCol, indexDir,
           shingleSize, k, bands, threshold, maxBucketSize)
           .localCheckpoint(true)
+        // sink FIRST: if it fails, the replay sees an unchanged index
+        // and re-delivers — at-least-once holds. Append-first would
+        // make the replay anti-join away its own batch (delivered to
+        // the index, lost to the sink).
+        sink(survivors, batchId)
         graft.textops.NearDup.appendToMinhashIndex(
           survivors, idCol, textCol, indexDir, shingleSize, k, bands)
-        sink(survivors, batchId)
         survivors.unpersist()
         ()
     }

@@ -176,10 +176,24 @@ object Bpe {
       copy(child = newChild)
   }
 
-  /** Column API: broadcasts the compiled table once per call site. */
+  /** One broadcast per (SparkContext, merges) — NOT per call: a
+    * streaming foreachBatch loop or interactive session calling this
+    * per batch would otherwise leak a fresh (production-vocab ~1 MB)
+    * broadcast every time, and none is ever destroyed. Bounded by the
+    * number of distinct merge tables a driver uses (in practice: one).
+    */
+  private val bcastCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, Seq[(String, String)]), Broadcast[Table]]
+
+  /** Column API: broadcasts the compiled table once per (context,
+    * merges), then reuses it across calls and batches.
+    */
   def bpe_token_count(spark: SparkSession, text: Column,
       merges: Seq[(String, String)]): Column = {
-    val bcast = spark.sparkContext.broadcast(table(merges))
+    val sc = spark.sparkContext
+    val bcast = bcastCache.getOrElseUpdate(
+      (sc.hashCode, merges.toVector), sc.broadcast(table(merges)))
     GraftInterop.column(BpeCountExpr(GraftInterop.expression(text), bcast))
   }
 }

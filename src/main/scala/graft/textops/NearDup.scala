@@ -148,17 +148,27 @@ object NearDup {
   private def writeMinhashIndex(
       df: DataFrame, idCol: String, textCol: String, dir: String,
       shingleSize: Int, k: Int, bands: Int, mode: String): Unit = {
+    // shingles.parquet keeps EVERY id — including docs too short to
+    // shingle — because it doubles as the ingestion ledger
+    // (dedupNewBatch's replay anti-join): a short doc absent from the
+    // ledger would be re-delivered on every replay. Short docs simply
+    // have no band rows (no candidates), which is the same behavior as
+    // minhashPairs over the union.
     val base = df.select(
       col(idCol).as("id"),
       hashedShingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-    base
+    // ledger FIRST: a crash between the two writes then leaves ids
+    // whose band rows are missing — those docs lose near-dup
+    // findability for that one batch, but a replay is still dropped by
+    // the ledger, so the index never accumulates duplicate band rows
+    // (the worse corruption the reverse order allowed).
+    base.write.mode(mode).parquet(s"$dir/shingles.parquet")
+    base.filter(size(col("sh")) > 0)
       .withColumn("sig", TokenShingles.minhash_sig_long(col("sh"), k))
       .select(col("id"),
         posexplode(TokenShingles.lsh_band_keys(col("sig"), bands, k / bands))
           .as(Seq("band_idx", "band_hash")))
       .write.mode(mode).parquet(s"$dir/bands.parquet")
-    base.write.mode(mode).parquet(s"$dir/shingles.parquet")
   }
 
   /** Near-dup pairs of a NEW batch against a persisted index
@@ -234,7 +244,10 @@ object NearDup {
       shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucketSize: Long = 100): DataFrame = {
     val spark = df.sparkSession
-    val p = new org.apache.hadoop.fs.Path(s"$dir/bands.parquet")
+    // probe the LEDGER (shingles.parquet): it is written first and
+    // holds every ingested id, short docs included — the file the
+    // replay anti-join reads must be the file whose existence gates it
+    val p = new org.apache.hadoop.fs.Path(s"$dir/shingles.parquet")
     val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     val fresh =
       if (!exists) df
@@ -309,6 +322,16 @@ object NearDup {
     * drift. Bits are distributed as evenly as possible: the first
     * (64 % n) chunks get an extra bit; offsets are cumulative widths.
     */
+  /** The pigeonhole chunk keys of a fingerprint column — the ONE
+    * projection both [[simhashPairs]] and [[simhashPairsAgainstIndex]]
+    * derive candidates from (SimhashIndexSpec pins their equality, so
+    * the two paths must share this expression, not re-state it).
+    */
+  private def simhashChunkKeys(sh: Column, maxHamming: Int): Column =
+    array(simhashChunkParams(maxHamming).map { case (_, off, mask) =>
+      shiftright(sh, off).bitwiseAND(lit(mask))
+    }: _*)
+
   def simhashChunkParams(maxHamming: Int): Seq[(Int, Int, Long)] = {
     val numChunks = maxHamming + 1
     val widths = Array.tabulate(numChunks)(i => 64 / numChunks + (if (i < 64 % numChunks) 1 else 0))
@@ -333,11 +356,9 @@ object NearDup {
         "chunks below 4 bits make candidate buckets near-useless")
     val base = df.select(col(idCol).as("id"),
       SimHash.simhash64_text(lower(col(textCol))).as("sh"))
-    val chunks = array(simhashChunkParams(maxHamming).map { case (_, off, mask) =>
-      shiftright(col("sh"), off).bitwiseAND(lit(mask))
-    }: _*)
     val chunkedAll = base.select(col("id"), col("sh"),
-      posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      posexplode(simhashChunkKeys(col("sh"), maxHamming))
+        .as(Seq("chunk_idx", "chunk")))
     val chunked =
       if (maxBucketSize <= 0) chunkedAll
       else chunkedAll
@@ -390,13 +411,10 @@ object NearDup {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (got $maxHamming)")
     val spark = newDf.sparkSession
-    def chunksOf(fps: DataFrame, idName: String): DataFrame = {
-      val chunks = array(simhashChunkParams(maxHamming).map { case (_, off, mask) =>
-        shiftright(col("sh"), off).bitwiseAND(lit(mask))
-      }: _*)
+    def chunksOf(fps: DataFrame, idName: String): DataFrame =
       fps.select(col("id").as(idName), col("sh"),
-        posexplode(chunks).as(Seq("chunk_idx", "chunk")))
-    }
+        posexplode(simhashChunkKeys(col("sh"), maxHamming))
+          .as(Seq("chunk_idx", "chunk")))
     val idxFp = spark.read.parquet(s"$dir/fp.parquet")
     val newFp = newDf.select(col(idCol).as("id"),
       SimHash.simhash64_text(lower(col(textCol))).as("sh"))

@@ -78,4 +78,25 @@ class NearDupIndexSpec extends GraftSparkSpec {
     assert(bands.count() == 40 * 8) // 8 band keys per doc
     assert(sh.columns.toSeq == Seq("id", "sh") && sh.count() == 40)
   }
+
+  test("short docs enter the ledger: a replayed batch is a no-op for them too") {
+    val dir = Files.createTempDirectory("minhash_ledger").toString
+    NearDup.buildMinhashIndex(corpusDf, "doc_id", "text", dir)
+    // one normal doc + one doc too short to shingle (2 tokens < 3)
+    val batch = Seq((300L, doc(300, 30)), (301L, "alpha beta")).toDF("doc_id", "text")
+    val first = NearDup.dedupNewBatch(batch, "doc_id", "text", dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(first == Set(300L, 301L))
+    NearDup.appendToMinhashIndex(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        batch.collect().toSeq), batch.schema), "doc_id", "text", dir)
+    // the short doc is in shingles.parquet (the ledger) with no band rows
+    val sh = spark.read.parquet(s"$dir/shingles.parquet")
+    assert(sh.filter(col("id") === 301L).count() == 1)
+    assert(spark.read.parquet(s"$dir/bands.parquet")
+      .filter(col("id") === 301L).count() == 0)
+    // replay: BOTH ids dropped by the ledger anti-join
+    val replay = NearDup.dedupNewBatch(batch, "doc_id", "text", dir)
+    assert(replay.count() == 0, "replayed batch must be a no-op")
+  }
 }

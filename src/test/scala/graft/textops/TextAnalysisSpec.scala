@@ -339,6 +339,33 @@ class TextAnalysisSpec extends GraftSparkSpec {
     assert(Multimodal.frameFeatures(junk, 1, 10).count() == 0)
   }
 
+  test("multimodal decode: adversarial AVI payloads degrade to the stub, never throw") {
+    import graft.multimodal.Multimodal
+    def le32(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    // a chunk whose declared size is 0x7FFFFFFF: p + size overflows Int
+    val overflow = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+      "AVI ".getBytes("US-ASCII") ++
+      "00dc".getBytes("US-ASCII") ++ le32(Int.MaxValue) ++ Array.fill(16)(0x41.toByte)
+    // a LIST that contains itself-shaped headers deep enough to recurse
+    val bomb = {
+      val inner = Array.fill(40)(0.toByte)
+      var payload = inner
+      for (_ <- 0 until 32)
+        payload = "LIST".getBytes("US-ASCII") ++ le32(payload.length + 4) ++
+          "hdrl".getBytes("US-ASCII") ++ payload
+      "RIFF".getBytes("US-ASCII") ++ le32(payload.length + 4) ++
+        "AVI ".getBytes("US-ASCII") ++ payload
+    }
+    val media = Seq((1L, "video", overflow), (2L, "video", bomb))
+      .toDF("media_id", "kind", "bytes")
+    val decoded = Multimodal.decode(media).collect().map(d => d.media_id -> d).toMap
+    assert(!decoded(1L).decoded_real) // stub fallback, no crash
+    assert(!decoded(2L).decoded_real)
+    assert(Multimodal.frameFeatures(media, 1, 10).count() == 0)
+  }
+
   test("multimodal frame sampling strides video only") {
     import graft.multimodal.Multimodal
     val docs = Seq((2L, "x" * 500, "en", "s", 500L)) // doc_id 2 -> video kind
