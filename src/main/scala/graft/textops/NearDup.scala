@@ -445,6 +445,72 @@ object NearDup {
     * long documents). Same bucket-join + giant-bucket-cap shape as
     * minhash.
     */
+  /** Persist a winnow INDEX (`dir/fps.parquet`: id, fp — exploded
+    * distinct fingerprints). The index saves re-winnowing the corpus
+    * text (the expensive scan); per-doc denominators are recomputed at
+    * probe time because the bucket cap is counted over the JOINED
+    * universe, so they cannot be precomputed per corpus snapshot.
+    * Completes the index-lifecycle family (minhash, simhash, IVF, PQ).
+    */
+  def buildWinnowIndex(df: DataFrame, idCol: String, textCol: String, dir: String,
+      k: Int = 5, window: Int = 4): Unit =
+    writeWinnowIndex(df, idCol, textCol, dir, k, window, "overwrite")
+
+  /** Append a new (already-deduped) batch's fingerprints;
+    * WinnowIndexSpec pins append ≡ rebuild-from-union. Caller
+    * contract: batch ids are new, same k/window as the build.
+    */
+  def appendToWinnowIndex(df: DataFrame, idCol: String, textCol: String, dir: String,
+      k: Int = 5, window: Int = 4): Unit =
+    writeWinnowIndex(df, idCol, textCol, dir, k, window, "append")
+
+  private def writeWinnowIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      k: Int, window: Int, mode: String): Unit =
+    df.select(col(idCol).as("id"),
+      explode(Winnowing.winnow_fingerprints(col(textCol), k, window)).as("fp"))
+      .distinct()
+      .write.mode(mode).parquet(s"$dir/fps.parquet")
+
+  /** Near-dup pairs of a NEW batch against a persisted winnow index:
+    * fingerprint equi-join, cap and per-doc denominators over the
+    * JOINED universe (the [[winnowPairs]] semantics — WinnowIndexSpec
+    * pins equality with the cross-pair slice of a fresh union run).
+    * Returns (id_new, id_corpus, shared_fingerprints, containment).
+    */
+  def winnowPairsAgainstIndex(
+      newDf: DataFrame, idCol: String, textCol: String, dir: String,
+      k: Int = 5, window: Int = 4,
+      minSharedRatio: Double = 0.5, maxBucketSize: Long = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = newDf.sparkSession
+    val idxFps = spark.read.parquet(s"$dir/fps.parquet").toDF("id_corpus", "fp")
+    val newFps = newDf.select(col(idCol).as("id_new"),
+      explode(Winnowing.winnow_fingerprints(col(textCol), k, window)).as("fp"))
+      .distinct()
+    val (cn, ci) =
+      if (maxBucketSize <= 0) (newFps, idxFps)
+      else {
+        val counts = newFps.select(col("fp"))
+          .unionByName(idxFps.select(col("fp")))
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucketSize)
+          .drop("_n")
+        (newFps.join(counts, Seq("fp")), idxFps.join(counts, Seq("fp")))
+      }
+    val cn2 = cn.withColumn("nfp_n", count(lit(1)).over(Window.partitionBy(col("id_new"))))
+    val ci2 = ci.withColumn("nfp_c", count(lit(1)).over(Window.partitionBy(col("id_corpus"))))
+    cn2.join(ci2, Seq("fp"))
+      .filter(col("id_new") =!= col("id_corpus"))
+      .groupBy(col("id_new"), col("nfp_n"), col("id_corpus"), col("nfp_c"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .withColumn("containment",
+        round(col("shared_fingerprints") / least(col("nfp_n"), col("nfp_c")), 4))
+      .filter(col("containment") >= minSharedRatio)
+      .select("id_new", "id_corpus", "shared_fingerprints", "containment")
+  }
+
   def winnowPairs(
       df: DataFrame,
       idCol: String,
