@@ -235,13 +235,13 @@ object StreamingOps {
     * first would let the replay's id anti-join drop the batch and hand
     * the sink nothing, silently losing delivered-to-index docs. A crash
     * between sink and append re-delivers and THEN appends — covered by
-    * the same idempotent-sink contract. Shingling runs per stage
-    * (in-batch dedup, index probe, append) over batch-sized frames —
-    * the corpus side is never re-shingled, which is the contract that
-    * matters at scale; sharing one (id, shingles, sig) frame across
-    * stages would cut batch-side CPU ~3x at the cost of wider operator
-    * APIs. Returns the configured writer; the caller sets
-    * checkpoint/trigger and calls `start()`.
+    * the same idempotent-sink contract. The batch is shingled ONCE: a
+    * materialized (rows + shingle column) frame feeds in-batch pair
+    * gen, the index probe, and the append through the prepared cores —
+    * a lazy plan would re-run the text scan at every consuming
+    * exchange, and the corpus side is never re-shingled at all (the
+    * incremental-index contract). Returns the configured writer; the
+    * caller sets checkpoint/trigger and calls `start()`.
     */
   def dedupIngest(
       docs: DataFrame, idCol: String, textCol: String, indexDir: String,
@@ -258,18 +258,28 @@ object StreamingOps {
         // just appended and hand the sink an empty batch. Materialize
         // once, before the index changes; both consumers read the
         // pinned result.
-        val survivors = graft.textops.NearDup.dedupNewBatch(
-          batch.toDF(), idCol, textCol, indexDir,
-          shingleSize, k, bands, threshold, maxBucketSize)
+        import graft.textops.NearDup
+        // shingle once, eagerly: every downstream stage slices this
+        // materialized frame instead of re-scanning the text
+        val withSh = batch.toDF()
+          .withColumn(NearDup.ShCol,
+            NearDup.hashedShingles(org.apache.spark.sql.functions.col(textCol), shingleSize))
+          .localCheckpoint(true)
+        val survivors = NearDup.dedupNewBatchPrepared(
+          withSh, idCol, indexDir, k, bands, threshold, maxBucketSize)
           .localCheckpoint(true)
         // sink FIRST: if it fails, the replay sees an unchanged index
         // and re-delivers — at-least-once holds. Append-first would
         // make the replay anti-join away its own batch (delivered to
         // the index, lost to the sink).
-        sink(survivors, batchId)
-        graft.textops.NearDup.appendToMinhashIndex(
-          survivors, idCol, textCol, indexDir, shingleSize, k, bands)
+        sink(survivors.drop(NearDup.ShCol), batchId)
+        NearDup.writeMinhashIndexFromShingles(
+          survivors.select(
+            org.apache.spark.sql.functions.col(idCol).as("id"),
+            org.apache.spark.sql.functions.col(NearDup.ShCol).as("sh")),
+          indexDir, k, bands, "append")
         survivors.unpersist()
+        withSh.unpersist()
         ()
     }
 

@@ -77,11 +77,23 @@ object NearDup {
       k: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      maxBucketSize: Long = 100): DataFrame = {
-    val base = df.select(
-      col(idCol).as("id"),
-      hashedShingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
+      maxBucketSize: Long = 100): DataFrame =
+    minhashPairsFromShingles(
+      df.select(col(idCol).as("id"),
+        hashedShingles(col(textCol), shingleSize).as("sh")),
+      k, bands, threshold, maxBucketSize)
+
+  /** Core over a precomputed (id, sh) frame — lets the ingestion loop
+    * shingle each batch ONCE (materialized) instead of re-evaluating
+    * the text scan at every consuming exchange of the lazy plan.
+    */
+  private[graft] def minhashPairsFromShingles(
+      shFrame: DataFrame,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucketSize: Long): DataFrame = {
+    val base = shFrame.filter(size(col("sh")) > 0)
     // Band join carries ONLY (band, id): a pair colliding in many bands
     // (exact dups collide in all of them) would otherwise drag its
     // shingle arrays through the shuffle once per band. Dedupe the id
@@ -147,23 +159,31 @@ object NearDup {
 
   private def writeMinhashIndex(
       df: DataFrame, idCol: String, textCol: String, dir: String,
-      shingleSize: Int, k: Int, bands: Int, mode: String): Unit = {
-    // shingles.parquet keeps EVERY id — including docs too short to
-    // shingle — because it doubles as the ingestion ledger
-    // (dedupNewBatch's replay anti-join): a short doc absent from the
-    // ledger would be re-delivered on every replay. Short docs simply
-    // have no band rows (no candidates), which is the same behavior as
-    // minhashPairs over the union.
-    val base = df.select(
-      col(idCol).as("id"),
-      hashedShingles(col(textCol), shingleSize).as("sh"))
-    // ledger FIRST: a crash between the two writes then leaves ids
-    // whose band rows are missing — those docs lose near-dup
-    // findability for that one batch, but a replay is still dropped by
-    // the ledger, so the index never accumulates duplicate band rows
-    // (the worse corruption the reverse order allowed).
-    base.write.mode(mode).parquet(s"$dir/shingles.parquet")
-    base.filter(size(col("sh")) > 0)
+      shingleSize: Int, k: Int, bands: Int, mode: String): Unit =
+    writeMinhashIndexFromShingles(
+      df.select(col(idCol).as("id"),
+        hashedShingles(col(textCol), shingleSize).as("sh")),
+      dir, k, bands, mode)
+
+  /** Write path over a precomputed (id, sh) frame.
+    *
+    * shingles.parquet keeps EVERY id — including docs too short to
+    * shingle — because it doubles as the ingestion ledger
+    * (dedupNewBatch's replay anti-join): a short doc absent from the
+    * ledger would be re-delivered on every replay. Short docs simply
+    * have no band rows (no candidates), which is the same behavior as
+    * minhashPairs over the union.
+    *
+    * Ledger FIRST: a crash between the two writes then leaves ids
+    * whose band rows are missing — those docs lose near-dup
+    * findability for that one batch, but a replay is still dropped by
+    * the ledger, so the index never accumulates duplicate band rows
+    * (the worse corruption the reverse order allowed).
+    */
+  private[graft] def writeMinhashIndexFromShingles(
+      shFrame: DataFrame, dir: String, k: Int, bands: Int, mode: String): Unit = {
+    shFrame.write.mode(mode).parquet(s"$dir/shingles.parquet")
+    shFrame.filter(size(col("sh")) > 0)
       .withColumn("sig", TokenShingles.minhash_sig_long(col("sh"), k))
       .select(col("id"),
         posexplode(TokenShingles.lsh_band_keys(col("sig"), bands, k / bands))
@@ -186,15 +206,23 @@ object NearDup {
   def minhashPairsAgainstIndex(
       newDf: DataFrame, idCol: String, textCol: String, dir: String,
       shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, maxBucketSize: Long = 100): DataFrame = {
-    val spark = newDf.sparkSession
+      threshold: Double = 0.5, maxBucketSize: Long = 100): DataFrame =
+    minhashAgainstIndexFromShingles(
+      newDf.select(col(idCol).as("id"),
+        hashedShingles(col(textCol), shingleSize).as("sh")),
+      dir, k, bands, threshold, maxBucketSize)
+
+  /** Core of [[minhashPairsAgainstIndex]] over a precomputed (id, sh)
+    * batch frame (same motivation as [[minhashPairsFromShingles]]).
+    */
+  private[graft] def minhashAgainstIndexFromShingles(
+      shFrame: DataFrame, dir: String, k: Int, bands: Int,
+      threshold: Double, maxBucketSize: Long): DataFrame = {
+    val spark = shFrame.sparkSession
     val idxBands = spark.read.parquet(s"$dir/bands.parquet")
       .toDF("id_corpus", "band_idx", "band_hash")
     val idxSh = spark.read.parquet(s"$dir/shingles.parquet").toDF("id_corpus", "sh_c")
-    val base = newDf.select(
-      col(idCol).as("id_new"),
-      hashedShingles(col(textCol), shingleSize).as("sh_n"))
-      .filter(size(col("sh_n")) > 0)
+    val base = shFrame.toDF("id_new", "sh_n").filter(size(col("sh_n")) > 0)
     val newBands = base
       .withColumn("sig", TokenShingles.minhash_sig_long(col("sh_n"), k))
       .select(col("id_new"),
@@ -242,25 +270,48 @@ object NearDup {
   def dedupNewBatch(
       df: DataFrame, idCol: String, textCol: String, dir: String,
       shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Long = 100): DataFrame =
+    dedupNewBatchPrepared(
+      df.withColumn(ShCol, hashedShingles(col(textCol), shingleSize)),
+      idCol, dir, k, bands, threshold, maxBucketSize).drop(ShCol)
+
+  /** The throwaway shingle column the prepared ingestion path carries
+    * ([[dedupNewBatchPrepared]]): computing it once on a MATERIALIZED
+    * batch frame is what stops the lazy plan re-running the text scan
+    * at every consuming exchange.
+    */
+  private[graft] val ShCol = "_nd_sh"
+
+  /** Core of [[dedupNewBatch]] over a frame already carrying [[ShCol]]
+    * — all three stages (in-batch pair gen, index probe, and the
+    * caller's append) slice the same shingles instead of re-deriving
+    * them from text.
+    */
+  private[graft] def dedupNewBatchPrepared(
+      dfSh: DataFrame, idCol: String, dir: String,
+      k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucketSize: Long = 100): DataFrame = {
-    val spark = df.sparkSession
+    require(dfSh.columns.contains(ShCol),
+      s"dedupNewBatchPrepared: frame must carry the $ShCol shingle column")
+    val spark = dfSh.sparkSession
+    def shOf(d: DataFrame) = d.select(col(idCol).as("id"), col(ShCol).as("sh"))
     // probe the LEDGER (shingles.parquet): it is written first and
     // holds every ingested id, short docs included — the file the
     // replay anti-join reads must be the file whose existence gates it
     val p = new org.apache.hadoop.fs.Path(s"$dir/shingles.parquet")
     val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     val fresh =
-      if (!exists) df
-      else df.join(
+      if (!exists) dfSh
+      else dfSh.join(
         spark.read.parquet(s"$dir/shingles.parquet").select(col("id").as(idCol)),
         Seq(idCol), "left_anti")
-    val inEdges = minhashPairs(fresh, idCol, textCol,
-      shingleSize, k, bands, threshold, maxBucketSize).select("id_a", "id_b")
+    val inEdges = minhashPairsFromShingles(
+      shOf(fresh), k, bands, threshold, maxBucketSize).select("id_a", "id_b")
     val local = graft.operators.Dedup.dropNearDups(fresh, idCol, inEdges)
     if (!exists) local
     else {
-      val dupIds = minhashPairsAgainstIndex(local, idCol, textCol, dir,
-        shingleSize, k, bands, threshold, maxBucketSize)
+      val dupIds = minhashAgainstIndexFromShingles(
+        shOf(local), dir, k, bands, threshold, maxBucketSize)
         .select(col("id_new").as(idCol)).distinct()
       local.join(dupIds, Seq(idCol), "left_anti")
     }
