@@ -271,8 +271,14 @@ object OracleGen {
     * ways via the inner join + the driver's row-count check).
     */
   def bpeOracle(s: SparkSession, dir: String): String = {
+    // first-wins on duplicate pairs, matching Bpe.Table's rank map
+    // (zipWithIndex.toMap would keep the LAST duplicate's rank and
+    // silently diverge engine vs oracle on a duplicated merges table)
     val rank: Map[(String, String), Int] =
-      graft.textops.Bpe.defaultMerges.zipWithIndex.toMap
+      graft.textops.Bpe.defaultMerges.zipWithIndex
+        .foldLeft(Map.empty[(String, String), Int]) { case (m, (p, r)) =>
+          if (m.contains(p)) m else m.updated(p, r)
+        }
     val rows = s.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), refBpeCount(r.getString(1), rank)))

@@ -42,7 +42,11 @@ object Budget {
     * `orderCol` order stays within `budget`, with the running total
     * appended as `cumCol`. `orderCol` must be numeric-castable, unique
     * and non-null per row (ties would make the cut nondeterministic —
-    * use a row id).
+    * use a row id). `weightCol` values must be >= 0: the
+    * `cum <= budget` filter is a true take-while prefix only when the
+    * running sum is monotone — a negative weight would let later rows
+    * re-enter the budget and the kept set would no longer be a
+    * contiguous prefix of the order.
     *
     * @param chunkSize bucket width in `orderCol` units. Trades the
     *   per-task sort (one bucket's rows) against the summary frame
@@ -105,7 +109,9 @@ object Budget {
     * by group, so it is ONE hash shuffle with per-group bounded sorts
     * (a pathologically hot group degrades that group's task, not the
     * job — for a single giant group use [[takeWhileBudget]] on it).
-    * `orderCol` must be unique within a group.
+    * `orderCol` must be unique within a group; `weightCol` values must
+    * be >= 0 (see [[takeWhileBudget]] — negative weights break the
+    * prefix property of the cut).
     */
   def takeWhileBudgetPerGroup(
       df: DataFrame,

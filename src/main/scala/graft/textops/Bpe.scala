@@ -181,10 +181,19 @@ object Bpe {
     * per batch would otherwise leak a fresh (production-vocab ~1 MB)
     * broadcast every time, and none is ever destroyed. Bounded by the
     * number of distinct merge tables a driver uses (in practice: one).
+    *
+    * Keyed on `(applicationId, startTime)` — a stable identity unique
+    * per context lifetime. `sc.hashCode` (identity hash) can be reused
+    * by a successor context object in the same JVM, which would hand
+    * back a Broadcast owned by a DEAD context; and entries for stopped
+    * contexts would accumulate across restarts. Entries whose context
+    * has stopped are dropped on the next lookup (BpeCacheSpec pins the
+    * two-sequential-contexts shape).
     */
-  private val bcastCache =
+  private[textops] val bcastCache =
     scala.collection.concurrent.TrieMap
-      .empty[(Int, Seq[(String, String)]), Broadcast[Table]]
+      .empty[(String, Long, Seq[(String, String)]),
+        (java.lang.ref.WeakReference[org.apache.spark.SparkContext], Broadcast[Table])]
 
   /** Column API: broadcasts the compiled table once per (context,
     * merges), then reuses it across calls and batches.
@@ -192,8 +201,16 @@ object Bpe {
   def bpe_token_count(spark: SparkSession, text: Column,
       merges: Seq[(String, String)]): Column = {
     val sc = spark.sparkContext
-    val bcast = bcastCache.getOrElseUpdate(
-      (sc.hashCode, merges.toVector), sc.broadcast(table(merges)))
+    // evict entries belonging to stopped (or collected) contexts so the
+    // cache stays bounded across sequential contexts in one JVM
+    bcastCache.foreach { case (k, (ref, _)) =>
+      val owner = ref.get()
+      if (owner == null || owner.isStopped) bcastCache.remove(k)
+    }
+    val key = (sc.applicationId, sc.startTime, merges.toVector)
+    val (_, bcast) = bcastCache.getOrElseUpdate(
+      key,
+      (new java.lang.ref.WeakReference(sc), sc.broadcast(table(merges))))
     GraftInterop.column(BpeCountExpr(GraftInterop.expression(text), bcast))
   }
 }

@@ -219,6 +219,20 @@ object NearDup {
       shFrame: DataFrame, dir: String, k: Int, bands: Int,
       threshold: Double, maxBucketSize: Long): DataFrame = {
     val spark = shFrame.sparkSession
+    // Ledger-first append order means a crash between the FIRST batch's
+    // shingles.parquet write and its bands.parquet write can leave an
+    // index with a ledger but no band file. The replay gates on the
+    // ledger, so this probe must treat the missing band file as an
+    // EMPTY index (no candidates), not PATH_NOT_FOUND — otherwise every
+    // replay of that stream throws and the ingest wedges.
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$dir/bands.parquet")
+    val bandsExist = bandsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(bandsPath)
+    if (!bandsExist)
+      return shFrame.toDF("id_new", "sh_n")
+        .select(col("id_new"), col("id_new").as("id_corpus"),
+          lit(0.0).as("jaccard"))
+        .limit(0)
     val idxBands = spark.read.parquet(s"$dir/bands.parquet")
       .toDF("id_corpus", "band_idx", "band_hash")
     val idxSh = spark.read.parquet(s"$dir/shingles.parquet").toDF("id_corpus", "sh_c")

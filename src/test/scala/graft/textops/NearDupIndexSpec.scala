@@ -99,4 +99,23 @@ class NearDupIndexSpec extends GraftSparkSpec {
     val replay = NearDup.dedupNewBatch(batch, "doc_id", "text", dir)
     assert(replay.count() == 0, "replayed batch must be a no-op")
   }
+
+  test("ledger-only index (crash before the first band write) probes as empty, not an error") {
+    val dir = Files.createTempDirectory("minhash_ledger_only").toString
+    NearDup.buildMinhashIndex(corpusDf, "doc_id", "text", dir)
+    // simulate a crash between the FIRST batch's ledger write and its
+    // band write: shingles.parquet present, bands.parquet missing
+    val p = new org.apache.hadoop.fs.Path(s"$dir/bands.parquet")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val probed = NearDup.minhashPairsAgainstIndex(newDf, "doc_id", "text", dir)
+    assert(probed.columns.toSeq == Seq("id_new", "id_corpus", "jaccard"))
+    assert(probed.count() == 0)
+    // and the replay path runs end-to-end instead of wedging: known ids
+    // are still dropped by the ledger, fresh ids survive (no candidates)
+    val replay = corpusDf.limit(2).unionByName(
+      Seq((500L, doc(500, 30))).toDF("doc_id", "text"))
+    val survivors = NearDup.dedupNewBatch(replay, "doc_id", "text", dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(500L))
+  }
 }
