@@ -685,6 +685,28 @@ object SparkEntry {
         budget = 5000L, cumCol = "cum_tokens")
     }),
 
+    // eval-set decontamination: the eval corpus = two literal benchmark
+    // probes + every 97th document's raw text (a leaked-eval-doc
+    // stand-in); corpus docs get a probe planted on doc_id%7 in {3,5}.
+    // The eval side's window hashes broadcast; the corpus side is ONE
+    // narrow scan — zero shuffles. Oracle recomputes everything from
+    // literal token-string windows (q53's hash-free technique)
+    "q61_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" " + evalProbe1)))
+          .when(col("doc_id") % 7 === 5, concat(col("text"), lit(" " + evalProbe2)))
+          .otherwise(col("text")).as("text"))
+      val evalDf = table(s, dir, "documents")
+        .filter(col("doc_id") % 97 === 0).select(col("text"))
+        .unionByName(s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(evalProbe1), org.apache.spark.sql.Row(evalProbe2)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "text", org.apache.spark.sql.types.StringType)))))
+      graft.textops.SpanDedup.decontaminate(docs, "doc_id", "text", evalDf, "text", k = 8)
+    }),
+
     // exact interpolated quantiles per group: Spark's percentile and
     // DuckDB's quantile_cont share the (n-1)*p linear-interpolation
     // definition, so the values agree bit-for-bit after rounding
@@ -727,6 +749,18 @@ object SparkEntry {
   private val spanBoiler: String =
     "terms of use this document is provided under the graft sample " +
       "license with no warranty of any kind whatsoever amen"
+
+  /** Two literal eval-benchmark probes (>= 8 lowered tokens each) for
+    * the decontamination gate (q61): planted into corpus docs on
+    * doc_id%7 in {3,5} and present in the eval corpus, so a correct
+    * decontaminator must flag exactly those docs (plus the leaked
+    * every-97th eval docs and any natural overlap, which the oracle
+    * recomputes identically).
+    */
+  private val evalProbe1: String =
+    "held out benchmark question what is the capital of freedonia answer unknown"
+  private val evalProbe2: String =
+    "count the exact number of tokens in this held out evaluation prompt"
 
   /** Exact-copy documents shifted by 100000 — the planted truth set for
     * the near-dup recall gates.
@@ -1511,6 +1545,70 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens <= 5000""".stripMargin,
+
+    // hash-free twin of decontaminate (q53's technique, asymmetric
+    // form): eval windows are literal 8-token STRINGS from the eval
+    // corpus (leaked every-97th docs + the two planted probes); a
+    // corpus window hits iff its string equals any eval window;
+    // coverage/trim identical to the q53 oracle
+    "q61_decontaminate" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || ' $evalProbe1'
+         |         WHEN doc_id % 7 = 5 THEN text || ' $evalProbe2'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |evals AS (
+         |  SELECT text FROM documents WHERE doc_id % 97 = 0
+         |  UNION ALL SELECT '$evalProbe1' UNION ALL SELECT '$evalProbe2'),
+         |et AS (
+         |  SELECT list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |                     x -> x != '') AS toks
+         |  FROM evals),
+         |ewl AS (
+         |  SELECT CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+         |              ELSE list_transform(range(1, len(toks) - 6),
+         |                     i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+         |  FROM et),
+         |ew AS (SELECT DISTINCT unnest(ws) AS w FROM ewl),
+         |t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |                x -> x != '') AS toks
+         |  FROM docs),
+         |wl AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(toks) - 6),
+         |                i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+         |  FROM t),
+         |wins AS (
+         |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w FROM wl),
+         |hits AS (
+         |  SELECT wins.doc_id, wins.pos FROM wins JOIN ew ON ew.w = wins.w),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, cpos FROM (
+         |    SELECT doc_id, unnest(range(pos, pos + 8)) AS cpos FROM hits)),
+         |tp AS (
+         |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok
+         |  FROM t),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+         |                    WHERE c.doc_id = tp.doc_id AND c.cpos = tp.pos)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+         |  FROM kept GROUP BY doc_id),
+         |novr AS (SELECT doc_id, count(*) AS n_overlap FROM hits GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.toks) AS n_tokens,
+         |  coalesce(n.n_overlap, 0) AS n_overlap_windows,
+         |  coalesce(n.n_overlap, 0) > 0 AS flagged,
+         |  len(t.toks) - coalesce(a.n_kept, 0) AS n_dropped,
+         |  coalesce(a.text_dedup, '') AS text_clean
+         |FROM t
+         |LEFT JOIN novr n ON n.doc_id = t.doc_id
+         |LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
 
     "q47_quantiles" ->
       """SELECT event_type, count(*) AS n,

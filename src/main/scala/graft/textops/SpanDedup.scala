@@ -1,5 +1,6 @@
 package graft.textops
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, GraftInterop}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -173,6 +174,112 @@ object SpanDedup {
   def dedup_span_stats(loweredText: Column, positions: Column, k: Int): Column =
     GraftInterop.column(DedupSpanStatsExpr(
       GraftInterop.expression(loweredText), GraftInterop.expression(positions), k))
+
+  /** 0-based positions of the k-token windows of `text` whose hash is
+    * in the SORTED `evalHashes` array (binary search per window —
+    * signed order on both sides). Position-ordered, so the output can
+    * feed [[dedupSpanStats]] directly.
+    */
+  def contamPositions(text: UTF8String, evalHashes: Array[Long], k: Int): ArrayData = {
+    val wh = windowHashes(text, k)
+    val m = wh.numElements()
+    val tmp = new Array[Int](m)
+    var n = 0
+    var i = 0
+    while (i < m) {
+      if (java.util.Arrays.binarySearch(evalHashes, wh.getLong(i)) >= 0) {
+        tmp(n) = i
+        n += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) { out(j) = tmp(j); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** The eval-hash table rides a `Broadcast` (ships once per executor,
+    * like [[Bpe.BpeCountExpr]]'s merges table) — an eval corpus is
+    * ~10^5..10^6 windows = single-digit MB that must not re-serialize
+    * with every task.
+    */
+  case class ContamPositionsExpr(
+      child: Expression, bcast: Broadcast[Array[Long]], k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "contam_positions"
+    override def nullSafeEval(input: Any): Any =
+      contamPositions(input.asInstanceOf[UTF8String], bcast.value, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("evalHashes", bcast,
+        classOf[Broadcast[Array[Long]]].getName)
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.textops.SpanDedup.contamPositions(" +
+          s"$input, (long[]) $ref.value(), $k);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def contam_positions(loweredText: Column, bcast: Broadcast[Array[Long]], k: Int): Column =
+    GraftInterop.column(ContamPositionsExpr(GraftInterop.expression(loweredText), bcast, k))
+
+  /** Eval-set decontamination — the asymmetric form of [[dedupSpans]]
+    * and the canonical pre-training step the GPT-3/Gopher/Llama reports
+    * describe: flag (and trim) corpus documents that share any k-token
+    * window with a SMALL eval/benchmark corpus, so the training set
+    * cannot memorize its own test questions.
+    *
+    * Returns one row per corpus row: (idCol, n_tokens,
+    * n_overlap_windows, flagged, n_dropped, text_clean) where
+    * `n_overlap_windows` counts the corpus doc's window OCCURRENCES
+    * hitting the eval set, `flagged` = any hit, and `text_clean` is the
+    * lowered text with every contaminated window's tokens removed
+    * (empty when the whole doc is contaminated) — callers drop flagged
+    * docs or keep the trimmed text, per their tolerance.
+    *
+    * 100 TB shape: the EVAL side is small by definition (a benchmark
+    * suite, not a crawl) — its distinct window hashes are collected
+    * once and broadcast (`maxEvalWindows` guards the driver against a
+    * misrouted large frame); the CORPUS side is one narrow codegen'd
+    * scan — ZERO shuffles, no join, nothing to skew. Matching is
+    * 64-bit window-hash equality (same vanishing-collision argument as
+    * [[dedupSpans]]); both sides tokenize with the family's lowered
+    * whitespace tokenizer.
+    */
+  def decontaminate(
+      df: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, evalTextCol: String,
+      k: Int = 8, maxEvalWindows: Int = 5000000): DataFrame = {
+    require(k >= 2, s"decontaminate: k must be >= 2 (got $k)")
+    require(maxEvalWindows > 0,
+      s"decontaminate: maxEvalWindows must be positive (got $maxEvalWindows)")
+    val spark = df.sparkSession
+    // distinct window hashes of the eval corpus; limit bounds driver
+    // memory BEFORE collect so an oversized frame fails the require
+    // below instead of an OOM
+    val evalRows = evalDf
+      .select(explode(window_hashes(lower(col(evalTextCol)), k)).as("_wh"))
+      .distinct().limit(maxEvalWindows + 1).collect()
+    require(evalRows.length <= maxEvalWindows,
+      s"decontaminate: eval corpus has more than $maxEvalWindows distinct " +
+        s"$k-token windows — this operator broadcasts the eval side; pass the " +
+        "corpus-scale frame as `df` and raise maxEvalWindows only deliberately")
+    val hashes = evalRows.map(_.getLong(0))
+    java.util.Arrays.sort(hashes)
+    val bcast = spark.sparkContext.broadcast(hashes)
+    df.select(col(idCol).as("_dc_id"), lower(col(textCol)).as("_dc_txt"))
+      .withColumn("_dc_pos", contam_positions(col("_dc_txt"), bcast, k))
+      .withColumn("_dc_st", dedup_span_stats(col("_dc_txt"), col("_dc_pos"), k))
+      .select(col("_dc_id").as(idCol),
+        col("_dc_st.n_tokens").as("n_tokens"),
+        size(col("_dc_pos")).cast("long").as("n_overlap_windows"),
+        (size(col("_dc_pos")) > 0).as("flagged"),
+        col("_dc_st.n_dropped").as("n_dropped"),
+        col("_dc_st.text_dedup").as("text_clean"))
+  }
 
   /** Corpus-wide duplicated-span removal. Returns one row per input row:
     * (idCol, n_tokens, n_dropped, text_dedup) where `text_dedup` is the

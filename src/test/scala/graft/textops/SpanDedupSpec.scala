@@ -78,6 +78,64 @@ class SpanDedupSpec extends GraftSparkSpec {
     assert(short.isEmpty)
   }
 
+  private def runDecontam(
+      docs: Seq[(Long, String)], evals: Seq[String], k: Int = 8)
+      : Map[Long, (Long, Long, Boolean, Long, String)] =
+    SpanDedup.decontaminate(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      evals.map(Tuple1(_)).toDF("text"), "text", k)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4), r.getString(5))))
+      .toMap
+
+  test("decontaminate: docs sharing a k-window with the eval set are flagged and trimmed") {
+    val res = runDecontam(
+      Seq(1L -> ("intro " + block + " ending"), // contains the eval block
+        2L -> "totally unrelated content with many distinct tokens here"),
+      Seq(block + " benchmark answer"))
+    // block at positions 1..8 -> 1 matching 8-window (only the block
+    // itself; windows crossing into intro/ending don't hit)
+    assert(res(1L) === ((10L, 1L, true, 8L, "intro ending")))
+    assert(res(2L) === ((8L, 0L, false, 0L,
+      "totally unrelated content with many distinct tokens here")))
+  }
+
+  test("decontaminate: doc equal to an eval doc trims to empty; flags count occurrences") {
+    val res = runDecontam(
+      Seq(1L -> block, 2L -> (block + " " + block)),
+      Seq(block))
+    assert(res(1L) === ((8L, 1L, true, 8L, "")))
+    // 16 tokens, windows at 0..8; those fully inside either copy hit
+    // (positions 0 and 8); straddling windows mix the boundary and miss
+    assert(res(2L)._3 === true)
+    assert(res(2L)._5 === "")
+  }
+
+  test("decontaminate: matching is case-insensitive; short docs never flag") {
+    val res = runDecontam(
+      Seq(1L -> block.toUpperCase, 2L -> "short text"),
+      Seq(block))
+    assert(res(1L) === ((8L, 1L, true, 8L, "")))
+    assert(res(2L) === ((2L, 0L, false, 0L, "short text")))
+  }
+
+  test("decontaminate: empty eval corpus flags nothing") {
+    val res = runDecontam(Seq(1L -> block), Seq("too short"))
+    assert(res(1L) === ((8L, 0L, false, 0L, block)))
+  }
+
+  test("decontaminate: oversized eval corpus fails loudly, not with a driver OOM") {
+    val docs = Seq(1L -> block).toDF("doc_id", "text")
+    val evals = (0 until 50).map(i => Tuple1(
+      (0 until 20).map(j => s"w${i}_$j").mkString(" "))).toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      SpanDedup.decontaminate(docs, "doc_id", "text", evals, "text",
+        k = 8, maxEvalWindows = 100)
+    }
+    assert(e.getMessage.contains("maxEvalWindows"))
+  }
+
   test("dedupSpanStats: merge-scan coverage over sorted positions") {
     val df = Seq(Tuple1("t0 t1 t2 t3 t4 t5 t6 t7")).toDF("t")
     // windows of 3 at positions 1 and 2 cover tokens 1..4
