@@ -57,7 +57,8 @@ object OracleGen {
       "q28_ann_lsh" -> (() => annLshOracle(s, dir)),
       "q32_ann_ivf" -> (() => annIvfOracle(s, dir)),
       "q34_ann_pq" -> (() => annPqOracle(s, dir)),
-      "q55_bpe_tokens" -> (() => bpeOracle(s, dir))
+      "q55_bpe_tokens" -> (() => bpeOracle(s, dir)),
+      "q62_image_neardup" -> (() => imageNearDupOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -127,6 +128,42 @@ object OracleGen {
       .sortBy(_._1)
     checkEmbeddable("q26_simhash", rows.length.toLong)
     val fVals = rows.map { case (id, sh) => s"($id, $sh)" }.mkString(", ")
+    val pVals = NearDup.simhashChunkParams(maxHamming)
+      .map { case (i, off, mask) => s"($i, $off, $mask)" }.mkString(", ")
+    s"""WITH fv(id, sh) AS (VALUES $fVals),
+       |f AS (SELECT CAST(id AS BIGINT) AS id, CAST(sh AS BIGINT) AS sh FROM fv),
+       |params(chunk_idx, off, mask) AS (VALUES $pVals),
+       |chunks AS (
+       |  SELECT id, sh, chunk_idx, (sh >> off) & CAST(mask AS BIGINT) AS chunk
+       |  FROM f CROSS JOIN params),
+       |capped AS (
+       |  SELECT id, sh, chunk_idx, chunk FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY chunk_idx, chunk) AS n
+       |    FROM chunks) WHERE n <= 1000)
+       |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM capped a JOIN capped b
+       |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.id < b.id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming""".stripMargin
+  }
+
+  /** q62: engine emits each image's 64-bit dHash (computed through the
+    * REAL ImageIO decode); DuckDB recomputes the pigeonhole chunk keys
+    * (shared [[NearDup.simhashChunkParams]]), the bucket cap, the chunk
+    * candidate join, and the Hamming verify — the same independent
+    * recomputation as [[simhashOracle]], over perceptual instead of
+    * text fingerprints.
+    */
+  def imageNearDupOracle(s: SparkSession, dir: String): String = {
+    val maxHamming = 4
+    val rows = SparkEntry.imageTwinCorpus(s, dir)
+      .select(col("media_id").as("id"),
+        graft.multimodal.PerceptualHash.dhash64(col("bytes")).as("fp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    checkEmbeddable("q62_image_neardup", rows.length.toLong)
+    val fVals = rows.map { case (id, fp) => s"($id, $fp)" }.mkString(", ")
     val pVals = NearDup.simhashChunkParams(maxHamming)
       .map { case (i, off, mask) => s"($i, $off, $mask)" }.mkString(", ")
     s"""WITH fv(id, sh) AS (VALUES $fVals),

@@ -685,6 +685,32 @@ object SparkEntry {
         budget = 5000L, cumCol = "cum_tokens")
     }),
 
+    // perceptual-hash image near-dup: REAL ImageIO decode -> dHash ->
+    // the simhash family's pigeonhole chunk join (fingerprintPairs).
+    // Corpus = structured PNGs + byte-distinct brightness-shifted twins
+    // (bounded gate corpus, same bound as q39-q44); oracle = generated
+    // (engine emits each image's dHash, DuckDB recomputes chunk keys,
+    // cap, candidate join, and Hamming verify)
+    "q62_image_neardup" -> ((s, dir) => {
+      val fps = imageTwinCorpus(s, dir).select(col("media_id"),
+        graft.multimodal.PerceptualHash.dhash64(col("bytes")).as("fp"))
+      graft.textops.NearDup.fingerprintPairs(
+        fps, "media_id", "fp", maxHamming = 4, maxBucketSize = 1000)
+    }),
+
+    // planted near-identical-image recall gate: every base image must
+    // pair with its brightness-shifted twin (dHash identity under
+    // uniform shift => hamming 0 => full recall, uncapped)
+    "q63_phash_recall" -> ((s, dir) => {
+      val fps = imageTwinCorpus(s, dir).select(col("media_id"),
+        graft.multimodal.PerceptualHash.dhash64(col("bytes")).as("fp"))
+      val pairs = graft.textops.NearDup.fingerprintPairs(
+        fps, "media_id", "fp", maxHamming = 4, maxBucketSize = 0)
+      val truth = table(s, dir, "documents").filter(col("doc_id") < gateDocs)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      recallOf("phash", truth, pairs)
+    }),
+
     // eval-set decontamination: the eval corpus = two literal benchmark
     // probes + every 97th document's raw text (a leaked-eval-doc
     // stand-in); corpus docs get a probe planted on doc_id%7 in {3,5}.
@@ -821,6 +847,21 @@ object SparkEntry {
       (col("doc_id") + 100000).as("doc_id"),
       concat(col("text"), lit(" graftdup")).as("text"),
       col("lang"), col("source"), col("n_chars")))
+  }
+
+  /** Bounded twin-planted image corpus for the perceptual-hash family
+    * (q62/q63): real structured PNGs for doc ids < [[gateDocs]], plus a
+    * byte-distinct brightness-shifted twin of each at id + 100000 —
+    * identical dHash (gradient comparisons are shift-invariant),
+    * different md5. Shared with [[OracleGen.imageNearDupOracle]] so the
+    * engine and oracle hash the same bytes.
+    */
+  def imageTwinCorpus(s: SparkSession, dir: String): DataFrame = {
+    val ids = table(s, dir, "documents")
+      .filter(col("doc_id") < gateDocs).select(col("doc_id"))
+    graft.multimodal.Multimodal.patternImages(
+      ids.unionByName(ids.select((col("doc_id") + 100000).as("doc_id"))),
+      "doc_id", twinOffset = 100000L, brightnessStep = 4)
   }
 
   /** Shared oracle for q4/q17 — both sessionizer implementations must
@@ -1324,6 +1365,15 @@ object SparkEntry {
         |  count(*) AS n_truth, count(*) AS n_found,
         |  CAST(10000 AS BIGINT) AS recall_x10000
         |FROM documents WHERE doc_id < 500 AND length(text) >= 5""".stripMargin,
+
+    // uniform brightness shift leaves every dHash gradient comparison
+    // unchanged -> twin hamming 0 -> the uncapped pigeonhole join finds
+    // every planted pair (full recall by construction)
+    "q63_phash_recall" ->
+      """SELECT 'phash' AS family,
+        |  count(*) AS n_truth, count(*) AS n_found,
+        |  CAST(10000 AS BIGINT) AS recall_x10000
+        |FROM documents WHERE doc_id < 500""".stripMargin,
 
     // ANN families: the oracle RECOMPUTES the ground truth by brute
     // force over the twin-planted corpus (top-1 per query by exact

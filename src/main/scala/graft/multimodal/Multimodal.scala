@@ -262,6 +262,68 @@ object Multimodal {
     buf.array()
   }
 
+  /** Synthesize a STRUCTURED (non-solid) grayscale PNG corpus for the
+    * perceptual-hash family: id -> (media_id, bytes) where the pixel
+    * pattern derives from `id % twinOffset`, so ids m and
+    * m + twinOffset render the SAME pattern and the twin additionally
+    * gets a uniform `+brightnessStep` level shift — a byte-distinct
+    * near-duplicate (different md5, identical dHash: gradient
+    * comparisons are shift-invariant) with everything else pairwise
+    * dissimilar. Pattern: 9x8-ish cells of hash-derived levels in
+    * [5, 240], dims 24+seed%16 x 24+(5*seed)%16.
+    */
+  def patternImages(
+      ids: DataFrame, idCol: String,
+      twinOffset: Long = 100000L, brightnessStep: Int = 4): DataFrame = {
+    require(twinOffset > 0, s"patternImages: twinOffset must be positive")
+    require(brightnessStep >= 0 && brightnessStep <= 10,
+      s"patternImages: brightnessStep must be in [0, 10] (values stay below 255)")
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { id =>
+          val seed = id % twinOffset
+          val bright = if (id >= twinOffset) brightnessStep else 0
+          (id, encodePatternPng(seed, bright))
+        }
+      }.toDF("media_id", "bytes")
+  }
+
+  /** Deterministic avalanche for the pattern cells (splitmix64-style
+    * finalizer over public constants).
+    */
+  private def patternLevel(seed: Long, cx: Int, cy: Int): Int = {
+    var z = seed * 0x9E3779B97F4A7C15L + cx * 0xBF58476D1CE4E5B9L +
+      cy * 0x94D049BB133111EBL
+    z ^= z >>> 31; z *= 0x7FB5D329728EA185L; z ^= z >>> 27
+    (((z & 0x7FFFFFFFFFFFFFFFL) % 236L).toInt)
+  }
+
+  private def encodePatternPng(seed: Long, brightness: Int): Array[Byte] = {
+    val w = 24 + (seed % 16).toInt
+    val h = 24 + ((seed * 5) % 16).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // cell index via the same floor map dHash's grid uses is not
+        // required (brightness shift alone makes the twin) — x*9/w is
+        // just a convenient piecewise-constant structure
+        raster.setSample(x, y, 0,
+          5 + patternLevel(seed, x * 9 / w, y * 8 / h) + brightness)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   private def encodePng(w: Int, h: Int, gray: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val row = Array.fill(w)(gray)

@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, GraftInterop}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Perceptual image hashing — the image analogue of
+  * [[graft.textops.SimHash]]: a 64-bit fingerprint whose Hamming
+  * distance tracks VISUAL similarity, so crawled-corpus image dedup
+  * rides the exact same pigeonhole chunk machinery as text simhash
+  * ([[graft.textops.NearDup.fingerprintPairs]]).
+  *
+  * The hash is dHash (difference hash, the standard
+  * gradient-comparison member of the aHash/dHash/pHash family): decode
+  * (real ImageIO — PNG/JPEG/GIF/BMP ship with the JDK), box-average
+  * the grayscale raster down to a 9x8 grid, then bit (row r, col c) =
+  * 1 iff grid(r, c+1) > grid(r, c) — 8 comparisons per row x 8 rows.
+  * Gradient comparisons are invariant under uniform brightness shift
+  * and any re-encode that preserves pixel values, and robust (small
+  * Hamming distance) to noise/recompression — exactly the
+  * near-duplicate classes a crawl produces. Undecodable payloads hash
+  * to NULL (and [[graft.textops.NearDup.fingerprintPairs]] drops null
+  * fingerprints), never to a sentinel value that would bucket all
+  * broken images together.
+  *
+  * 100 TB shape: one narrow codegen'd scan per image (decode cost is
+  * the image itself, not the corpus), then the chunk-join candidate
+  * path — no pair join, explicit bucket caps.
+  */
+object PerceptualHash {
+
+  /** 64-bit dHash of an encoded image, or null when ImageIO cannot
+    * decode the bytes. Deterministic: integer box sums over
+    * floor-boundary cells, no Graphics2D interpolation, raw raster
+    * samples (not getRGB's gamma-converted view — same rationale as
+    * [[Multimodal.decodeImage]]).
+    */
+  def dhash64(bytes: Array[Byte]): java.lang.Long =
+    try {
+      ImageIO.setUseCache(false)
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) return null
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return null
+      val raster = img.getRaster
+      val nb = math.min(raster.getNumBands, 3)
+      // 9x8 box-average grid; cell (cx, cy) covers x in
+      // [cx*w/9, (cx+1)*w/9) x [cy*h/8, (cy+1)*h/8). For tiny images a
+      // floor range can be empty — widen to one pixel (deterministic,
+      // may resample a pixel into two cells).
+      val grid = Array.ofDim[Double](8, 9)
+      var cy = 0
+      while (cy < 8) {
+        val y0 = (h.toLong * cy / 8).toInt
+        val y1 = math.min(h, math.max(y0 + 1, (h.toLong * (cy + 1) / 8).toInt))
+        var cx = 0
+        while (cx < 9) {
+          val x0 = (w.toLong * cx / 9).toInt
+          val x1 = math.min(w, math.max(x0 + 1, (w.toLong * (cx + 1) / 9).toInt))
+          var acc = 0.0
+          var cnt = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              var b = 0
+              var px = 0.0
+              while (b < nb) { px += raster.getSample(x, y, b); b += 1 }
+              acc += px / nb
+              cnt += 1
+              x += 1
+            }
+            y += 1
+          }
+          grid(cy)(cx) = if (cnt == 0) 0.0 else acc / cnt
+          cx += 1
+        }
+        cy += 1
+      }
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (grid(r)(c + 1) > grid(r)(c)) hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      java.lang.Long.valueOf(hash)
+    } catch { case _: Exception => null }
+
+  case class DHash64Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true // undecodable bytes -> null
+    override def prettyName: String = "dhash64"
+    override def nullSafeEval(input: Any): Any =
+      dhash64(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, { input =>
+        val tmp = ctx.freshName("dh")
+        s"""java.lang.Long $tmp = graft.multimodal.PerceptualHash.dhash64($input);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def dhash64(imageBytes: Column): Column =
+    GraftInterop.column(DHash64Expr(GraftInterop.expression(imageBytes)))
+}

@@ -415,12 +415,34 @@ object NearDup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
+      maxBucketSize: Long = 0): DataFrame =
+    fingerprintPairs(
+      df.select(col(idCol),
+        SimHash.simhash64_text(lower(col(textCol))).as("_fp_sh")),
+      idCol, "_fp_sh", maxHamming, maxBucketSize)
+
+  /** Hamming near-dup pairs over ANY precomputed 64-bit fingerprint
+    * column — the candidate machinery [[simhashPairs]] runs, factored
+    * out so other fingerprint families (perceptual image hashes,
+    * [[graft.multimodal.PerceptualHash.dhash64]]) ride the identical
+    * pigeonhole chunk join: split each fingerprint into maxHamming+1
+    * chunks (two fingerprints within maxHamming MUST agree on at least
+    * one chunk), equi-join per chunk with the bucket cap, exact
+    * `bit_count(xor)` verify. NULL fingerprints (undecodable images)
+    * are dropped — they have no visual identity to match on. Returns
+    * (id_a, id_b, hamming) with id_a < id_b, distinct.
+    */
+  def fingerprintPairs(
+      df: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int = 3,
       maxBucketSize: Long = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (got $maxHamming): 64/(maxHamming+1)-bit " +
         "chunks below 4 bits make candidate buckets near-useless")
-    val base = df.select(col(idCol).as("id"),
-      SimHash.simhash64_text(lower(col(textCol))).as("sh"))
+    val base = df.select(col(idCol).as("id"), col(fpCol).as("sh"))
+      .filter(col("sh").isNotNull)
     val chunkedAll = base.select(col("id"), col("sh"),
       posexplode(simhashChunkKeys(col("sh"), maxHamming))
         .as(Seq("chunk_idx", "chunk")))
