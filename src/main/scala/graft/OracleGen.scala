@@ -58,7 +58,8 @@ object OracleGen {
       "q32_ann_ivf" -> (() => annIvfOracle(s, dir)),
       "q34_ann_pq" -> (() => annPqOracle(s, dir)),
       "q55_bpe_tokens" -> (() => bpeOracle(s, dir)),
-      "q62_image_neardup" -> (() => imageNearDupOracle(s, dir))
+      "q62_image_neardup" -> (() => imageNearDupOracle(s, dir)),
+      "q64_lm_perplexity" -> (() => lmPerplexityOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -324,6 +325,65 @@ object OracleGen {
     val vals = rows.map { case (id, n) => s"($id, $n)" }.mkString(", ")
     s"""WITH expv(doc_id, n_bpe) AS (VALUES $vals)
        |SELECT d.doc_id, CAST(e.n_bpe AS INT) AS n_bpe_tokens
+       |FROM documents d JOIN expv e ON e.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** q64: a driver-side reference LM scorer — naive string-keyed maps
+    * over the model's count arrays, sharing only the TRAINED COUNT
+    * TABLE with [[graft.textops.NgramLm.score]] (same arithmetic
+    * formula evaluated in the same order, so the raw doubles are
+    * bit-identical before the shared HALF_UP rounding). DuckDB joins
+    * the embedded expected rows against the documents table.
+    */
+  def lmPerplexityOracle(s: SparkSession, dir: String): String = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val model = graft.textops.NgramLm.train(
+      docs.filter(col("doc_id") % 10 < 3), "text")
+    // naive views of the count table: string-keyed maps, no binary
+    // search, no packed ids — the independent scoring path
+    val uni: Map[String, Long] = model.vocab.zip(model.unigram).toMap
+    val names: Int => String = id =>
+      if (id < model.vocab.length) model.vocab(id)
+      else if (id == model.unkId) "<unk>" else "<s>"
+    val bi: Map[(String, String), Long] =
+      model.bigramKeys.zip(model.bigramVals).map { case (k, v) =>
+        ((names((k >>> 32).toInt), names((k & 0xFFFFFFFFL).toInt)), v)
+      }.toMap
+    val ctx: Map[String, Long] =
+      model.contextCounts.zipWithIndex.map { case (c, id) => (names(id), c) }.toMap
+    def score(text: String): (Long, Double, Double) = {
+      val toks = text.toLowerCase
+        .split("[ \t\n\\x0B\f\r]+").filter(_.nonEmpty)
+      var h = "<s>"
+      var nll = 0.0
+      toks.foreach { tok =>
+        val w = if (uni.contains(tok)) tok else "<unk>"
+        val cw = if (w == "<unk>") model.unkCount else uni(w)
+        val pu = (cw + 1.0) / (model.total + model.vocab.length + 1.0)
+        val p = (bi.getOrElse((h, w), 0L) + model.alpha * pu) /
+          (ctx.getOrElse(h, 0L) + model.alpha)
+        nll -= math.log(p)
+        h = w
+      }
+      val n = toks.length.toLong
+      val avg = if (n == 0L) 0.0 else nll / n
+      val ppl = if (n == 0L) 1.0 else math.exp(avg)
+      (n, avg, ppl)
+    }
+    // Spark's round(): BigDecimal HALF_UP at scale 4
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = docs.select("doc_id", "text").collect()
+      .map { r =>
+        val (n, avg, ppl) = score(r.getString(1))
+        (r.getLong(0), n, r4(avg), r4(ppl))
+      }.sortBy(_._1)
+    checkEmbeddable("q64_lm_perplexity", rows.length.toLong)
+    val vals = rows.map { case (id, n, avg, ppl) => s"($id, $n, $avg, $ppl)" }
+      .mkString(", ")
+    s"""WITH expv(doc_id, n_tokens, avg_nll, ppl) AS (VALUES $vals)
+       |SELECT d.doc_id, CAST(e.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(e.avg_nll AS DOUBLE) AS avg_nll, CAST(e.ppl AS DOUBLE) AS ppl
        |FROM documents d JOIN expv e ON e.doc_id = d.doc_id""".stripMargin
   }
 

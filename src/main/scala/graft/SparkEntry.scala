@@ -711,6 +711,21 @@ object SparkEntry {
       recallOf("phash", truth, pairs)
     }),
 
+    // bigram-LM perplexity (CCNet-style quality signal): counts trained
+    // on the doc_id%10<3 clean slice, broadcast, every doc scored in
+    // one narrow codegen'd pass; oracle = generated from an independent
+    // driver-side scorer sharing only the trained count table
+    "q64_lm_perplexity" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val model = graft.textops.NgramLm.train(
+        docs.filter(col("doc_id") % 10 < 3), "text")
+      docs.select(col("doc_id"),
+        graft.textops.NgramLm.lm_score(s, col("text"), model).as("_lm"))
+        .select(col("doc_id"), col("_lm.n_tokens").as("n_tokens"),
+          round(col("_lm.avg_nll"), 4).as("avg_nll"),
+          round(col("_lm.ppl"), 4).as("ppl"))
+    }),
+
     // eval-set decontamination: the eval corpus = two literal benchmark
     // probes + every 97th document's raw text (a leaked-eval-doc
     // stand-in); corpus docs get a probe planted on doc_id%7 in {3,5}.

@@ -1,0 +1,215 @@
+package graft.textops
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, GraftInterop, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count-based bigram language-model perplexity scoring — the
+  * CCNet-style quality signal: train token counts on a CLEAN slice of
+  * the corpus, then score every document by its per-token negative
+  * log-likelihood under the model. Fluent text scores low (familiar
+  * token transitions), gibberish/boilerplate/wrong-language text
+  * scores high — the standard companion to the rule-based quality
+  * verdict ([[TextAnalysis.qualityVerdict]]).
+  *
+  * The model is interpolated add-alpha: with unigram Laplace backbone
+  * `pu(w) = (c(w) + 1) / (total + V + 1)` (V vocab types + unk),
+  *
+  *   p(w | h) = (c(h, w) + alpha * pu(w)) / (c(h) + alpha)
+  *
+  * which sums to exactly 1 over the vocab+unk event space for every
+  * context h (including unseen ones, where it degrades to pu). Tokens
+  * are the family's lowered whitespace tokens; each document scores as
+  * a fresh sequence with a `<s>` start context.
+  *
+  * 100 TB shape: mirrors [[Bpe]] exactly — training runs bounded Spark
+  * aggregations over the (small, curated) clean slice; the trained
+  * count table ships ONCE PER EXECUTOR as a Broadcast; scoring is one
+  * narrow codegen'd scan per document (a tight loop over tokens with
+  * array/binary-search lookups, no shuffle, nothing to skew).
+  */
+object NgramLm {
+
+  /** Trained count table. Ids: vocab tokens 0..V-1, unk = V,
+    * start-of-doc context `<s>` = V+1. Bigram counts are packed
+    * `(ctxId << 32) | wId` keys sorted for binary search; context
+    * totals satisfy `contextCounts(h) = sum_w bigram(h, w)`.
+    * The vocab index map is `@transient lazy` (hashed once per
+    * executor JVM, the broadcast ships only flat arrays).
+    */
+  final class Model(
+      val vocab: Array[String],
+      val unigram: Array[Long],
+      val unkCount: Long,
+      val total: Long,
+      val bigramKeys: Array[Long],
+      val bigramVals: Array[Long],
+      val contextCounts: Array[Long],
+      val alpha: Double) extends Serializable {
+
+    def vocabSize: Int = vocab.length
+    def unkId: Int = vocab.length
+    def startId: Int = vocab.length + 1
+
+    @transient private lazy val index: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](vocab.length * 2)
+      var i = 0
+      while (i < vocab.length) { m.put(vocab(i), i); i += 1 }
+      m
+    }
+
+    def idOf(token: String): Int = {
+      val r = index.get(token)
+      if (r == null) unkId else r.intValue()
+    }
+
+    def bigramCount(ctx: Int, w: Int): Long = {
+      val key = (ctx.toLong << 32) | w.toLong
+      val i = java.util.Arrays.binarySearch(bigramKeys, key)
+      if (i >= 0) bigramVals(i) else 0L
+    }
+
+    /** Laplace unigram backbone over vocab + unk (sums to 1). */
+    def pUnigram(w: Int): Double = {
+      val c = if (w < vocab.length) unigram(w) else unkCount
+      (c + 1.0) / (total + vocab.length + 1.0)
+    }
+  }
+
+  private val WsRegex = "[ \\t\\n\\x0B\\f\\r]+"
+
+  /** Train on the clean slice: lowered whitespace tokens, top-`vocabSize`
+    * vocabulary by (count desc, token asc), bigram counts with OOV
+    * folded to unk and a `<s>` context opening each document. Bounded:
+    * the distinct-bigram count must stay under `maxBigrams` (checked
+    * BEFORE collect) — the clean slice is curated and small relative to
+    * the corpus being scored, like [[SpanDedup.decontaminate]]'s eval
+    * side.
+    */
+  def train(
+      df: DataFrame, textCol: String,
+      vocabSize: Int = 4096, maxBigrams: Int = 2000000,
+      alpha: Double = 1.0): Model = {
+    require(vocabSize > 0, s"train: vocabSize must be positive (got $vocabSize)")
+    require(alpha > 0, s"train: alpha must be positive (got $alpha)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df
+      .select(explode(split(lower(col(textCol)), WsRegex)).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L))).as[Long].head()
+    val vocabRows = counts
+      .orderBy(col("n").desc, col("tok").asc).limit(vocabSize)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val vocab = vocabRows.map(_._1)
+    val unigram = vocabRows.map(_._2)
+    val unkCount = total - unigram.sum
+    val unkId = vocab.length
+    val startId = vocab.length + 1
+    val vocabIdx = vocab.zipWithIndex.toMap
+    val bVocabIdx = spark.sparkContext.broadcast(vocabIdx)
+    // packed (ctx, word) id pairs per document, OOV folded to unk,
+    // <s> opening each doc — a distributed flatMap + one hash count
+    val bigramCounts = df.select(lower(col(textCol)).as("t")).as[String]
+      .flatMap { t =>
+        val idx = bVocabIdx.value
+        val parts = if (t == null) Array.empty[String]
+          else t.split(WsRegex).filter(_.nonEmpty)
+        var ctx = startId
+        parts.iterator.map { tok =>
+          val w = idx.getOrElse(tok, unkId)
+          val key = (ctx.toLong << 32) | w.toLong
+          ctx = w
+          key
+        }
+      }.toDF("key").groupBy("key").agg(count(lit(1)).as("n"))
+    val nDistinct = bigramCounts.count()
+    require(nDistinct <= maxBigrams,
+      s"train: clean slice has $nDistinct distinct bigrams > maxBigrams=" +
+        s"$maxBigrams — train on a smaller slice or raise the bound deliberately")
+    val pairs = bigramCounts.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val keys = pairs.map(_._1)
+    val vals = pairs.map(_._2)
+    val ctxCounts = new Array[Long](vocab.length + 2)
+    var i = 0
+    while (i < keys.length) {
+      ctxCounts((keys(i) >>> 32).toInt) += vals(i)
+      i += 1
+    }
+    new Model(vocab, unigram, unkCount, total, keys, vals, ctxCounts, alpha)
+  }
+
+  /** Per-document score under the broadcast model: (n_tokens, avg_nll,
+    * ppl) where avg_nll is the mean natural-log negative likelihood per
+    * token and ppl = exp(avg_nll). Empty documents score (0, 0.0, 1.0).
+    * Lowering happens HERE (not in the caller), so scoring and
+    * training tokenization can't diverge.
+    */
+  def score(text: UTF8String, bcast: Broadcast[Model]): GenericInternalRow = {
+    val m = bcast.value
+    val s = text.toString.toLowerCase
+    var ctx = m.startId
+    var nll = 0.0
+    var n = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWsChar(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWsChar(s.charAt(i))) i += 1
+      if (i > start) {
+        val w = m.idOf(s.substring(start, i))
+        val pu = m.pUnigram(w)
+        val p = (m.bigramCount(ctx, w) + m.alpha * pu) /
+          (m.contextCounts(ctx) + m.alpha)
+        nll -= math.log(p)
+        n += 1L
+        ctx = w
+      }
+    }
+    val avg = if (n == 0L) 0.0 else nll / n
+    val ppl = if (n == 0L) 1.0 else math.exp(avg)
+    new GenericInternalRow(Array[Any](n, avg, ppl))
+  }
+
+  @inline private def isWsChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  case class NgramScoreExpr(child: Expression, bcast: Broadcast[Model])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("avg_nll", DoubleType, nullable = false),
+      StructField("ppl", DoubleType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "lm_score"
+    override def nullSafeEval(input: Any): Any =
+      score(input.asInstanceOf[UTF8String], bcast)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("lmModel", bcast,
+        classOf[Broadcast[Model]].getName)
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.textops.NgramLm.score($input, $ref);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: broadcasts the trained model once per call — train
+    * once, reuse the returned Column across a query; per-batch loops
+    * should hold the model and call this once (the broadcast is per
+    * invocation, not cached: models are caller-owned, unlike
+    * [[Bpe.defaultMerges]]-style shared constants).
+    */
+  def lm_score(spark: SparkSession, text: Column, model: Model): Column = {
+    val bcast = spark.sparkContext.broadcast(model)
+    GraftInterop.column(NgramScoreExpr(GraftInterop.expression(text), bcast))
+  }
+}
