@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared deletion + compaction lifecycle for the persisted index
+  * families (minhash / simhash / winnow / IVF / PQ). Completes the
+  * build → append → probe loop with the two operations a long-running
+  * 100 TB ingest eventually needs:
+  *
+  *  - '''delete''' (takedowns, re-crawls): appending ids to a
+  *    `tombstones.parquet` set is O(batch) — no index rewrite. Every
+  *    probe anti-joins the tombstone set, so deleted docs stop
+  *    matching immediately.
+  *  - '''compact''': each `mode=append` ingest batch adds parquet
+  *    part-files without bound (a year of hourly batches is ~10k files
+  *    per dataset — metadata pressure and tiny-file reads). Compaction
+  *    physically applies the tombstones and rewrites each dataset to a
+  *    bounded file count, then clears the tombstone set.
+  *
+  * Contract: a tombstoned id stays in the ingestion LEDGER (the
+  * replay anti-join keeps using it — a replayed batch containing a
+  * deleted id must not re-append), so re-adding a removed id requires
+  * a compact first; the family specs pin this.
+  *
+  * Crash safety: compaction swaps datasets via `.bak` rename
+  * (write-new → live-to-bak → new-to-live → drop-bak) and deletes the
+  * tombstone file LAST, so a crash at any step is healed by simply
+  * re-running compact — the prologue restores a half-swapped dataset
+  * from its `.bak` and re-applies the still-present tombstones.
+  * Compaction is a maintenance operation: run it from one process,
+  * not concurrently with probes of the same index.
+  */
+object IndexOps {
+
+  private def tombPath(dir: String) = s"$dir/tombstones.parquet"
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    fs(spark, p).exists(p)
+  }
+
+  /** Tombstone `ids` (their `idCol`, long-castable) in the index at
+    * `dir`: O(batch) append, honored by every probe from the next read
+    * on. Idempotent — re-tombstoning an id is harmless (anti-join
+    * semantics don't count).
+    */
+  def removeFromIndex(ids: DataFrame, idCol: String, dir: String): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(tombPath(dir))
+
+  /** `df` minus tombstoned ids, matching on `df`'s `joinCol`. The
+    * no-tombstone fast path keeps the plan unchanged (and the build's
+    * probe plans identical) until the first delete.
+    */
+  def dropTombstoned(
+      spark: SparkSession, dir: String, df: DataFrame, joinCol: String): DataFrame =
+    if (!exists(spark, tombPath(dir))) df
+    else df.join(
+      spark.read.parquet(tombPath(dir)).select(col("id").as(joinCol)).distinct(),
+      Seq(joinCol), "left_anti")
+
+  /** Compact the index at `dir`: for each `(dataset file, id column)`
+    * apply the tombstones and rewrite to `targetFiles` part-files via
+    * the `.bak` swap, then clear the tombstone set (LAST — so a crash
+    * anywhere re-runs to the same result).
+    */
+  def compactIndex(
+      spark: SparkSession, dir: String,
+      datasets: Seq[(String, String)], targetFiles: Int = 4): Unit = {
+    require(targetFiles > 0, s"compactIndex: targetFiles must be positive")
+    datasets.foreach { case (name, idCol) =>
+      compactDataset(spark, dir, name, idCol, targetFiles)
+    }
+    val t = new Path(tombPath(dir))
+    fs(spark, t).delete(t, true)
+    ()
+  }
+
+  private def compactDataset(
+      spark: SparkSession, dir: String, name: String,
+      idCol: String, targetFiles: Int): Unit = {
+    val live = new Path(s"$dir/$name")
+    val bak = new Path(s"$dir/$name.bak")
+    val fresh = new Path(s"$dir/$name.compact")
+    val f = fs(spark, live)
+    // heal a previous crash mid-swap: live missing but .bak present
+    if (!f.exists(live) && f.exists(bak)) f.rename(bak, live)
+    if (!f.exists(live)) return // dataset not written yet (e.g. ledger-only index)
+    f.delete(fresh, true)
+    f.delete(bak, true)
+    // repartition, not coalesce: bounds the file count while keeping
+    // the write parallel (coalesce(1) would single-thread a large
+    // dataset rewrite)
+    dropTombstoned(spark, dir, spark.read.parquet(live.toString), idCol)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(fresh.toString)
+    f.rename(live, bak)
+    f.rename(fresh, live)
+    f.delete(bak, true)
+    ()
+  }
+}

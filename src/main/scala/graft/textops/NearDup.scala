@@ -191,6 +191,50 @@ object NearDup {
       .write.mode(mode).parquet(s"$dir/bands.parquet")
   }
 
+  /** Tombstone `ids` in a persisted minhash index: O(batch) append,
+    * probes stop matching them immediately ([[graft.operators.IndexOps]]
+    * semantics). The ingestion LEDGER keeps knowing the ids (replays
+    * must not re-append them) — re-adding a removed id requires a
+    * [[compactMinhashIndex]] first. IndexDeleteSpec pins
+    * probe-after-delete ≡ probe of an index rebuilt without the ids.
+    */
+  def removeFromMinhashIndex(ids: DataFrame, idCol: String, dir: String): Unit =
+    graft.operators.IndexOps.removeFromIndex(ids, idCol, dir)
+
+  /** Physically apply tombstones and bound the index's parquet file
+    * count (each append adds files without bound — see
+    * [[graft.operators.IndexOps.compactIndex]] for the crash contract).
+    */
+  def compactMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFiles: Int = 4): Unit =
+    graft.operators.IndexOps.compactIndex(spark, dir,
+      Seq("shingles.parquet" -> "id", "bands.parquet" -> "id"), targetFiles)
+
+  /** Tombstone `ids` in a persisted simhash index ([[removeFromMinhashIndex]]
+    * semantics). */
+  def removeFromSimhashIndex(ids: DataFrame, idCol: String, dir: String): Unit =
+    graft.operators.IndexOps.removeFromIndex(ids, idCol, dir)
+
+  /** Apply tombstones + bound file count for a simhash index. */
+  def compactSimhashIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFiles: Int = 4): Unit =
+    graft.operators.IndexOps.compactIndex(spark, dir,
+      Seq("fp.parquet" -> "id"), targetFiles)
+
+  /** Tombstone `ids` in a persisted winnow index ([[removeFromMinhashIndex]]
+    * semantics). */
+  def removeFromWinnowIndex(ids: DataFrame, idCol: String, dir: String): Unit =
+    graft.operators.IndexOps.removeFromIndex(ids, idCol, dir)
+
+  /** Apply tombstones + bound file count for a winnow index. */
+  def compactWinnowIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFiles: Int = 4): Unit =
+    graft.operators.IndexOps.compactIndex(spark, dir,
+      Seq("fps.parquet" -> "id"), targetFiles)
+
   /** Near-dup pairs of a NEW batch against a persisted index
     * ([[buildMinhashIndex]] — same shingleSize/k/bands or the band
     * keys won't align): candidates via band-key equi-join against the
@@ -233,8 +277,9 @@ object NearDup {
         .select(col("id_new"), col("id_new").as("id_corpus"),
           lit(0.0).as("jaccard"))
         .limit(0)
-    val idxBands = spark.read.parquet(s"$dir/bands.parquet")
-      .toDF("id_corpus", "band_idx", "band_hash")
+    val idxBands = graft.operators.IndexOps.dropTombstoned(spark, dir,
+      spark.read.parquet(s"$dir/bands.parquet")
+        .toDF("id_corpus", "band_idx", "band_hash"), "id_corpus")
     val idxSh = spark.read.parquet(s"$dir/shingles.parquet").toDF("id_corpus", "sh_c")
     val base = shFrame.toDF("id_new", "sh_n").filter(size(col("sh_n")) > 0)
     val newBands = base
@@ -502,7 +547,8 @@ object NearDup {
       fps.select(col("id").as(idName), col("sh"),
         posexplode(simhashChunkKeys(col("sh"), maxHamming))
           .as(Seq("chunk_idx", "chunk")))
-    val idxFp = spark.read.parquet(s"$dir/fp.parquet")
+    val idxFp = graft.operators.IndexOps.dropTombstoned(spark, dir,
+      spark.read.parquet(s"$dir/fp.parquet"), "id")
     val newFp = newDf.select(col(idCol).as("id"),
       SimHash.simhash64_text(lower(col(textCol))).as("sh"))
     val newChunks = chunksOf(newFp, "id_new").withColumnRenamed("sh", "sh_n")
@@ -571,7 +617,8 @@ object NearDup {
       minSharedRatio: Double = 0.5, maxBucketSize: Long = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = newDf.sparkSession
-    val idxFps = spark.read.parquet(s"$dir/fps.parquet").toDF("id_corpus", "fp")
+    val idxFps = graft.operators.IndexOps.dropTombstoned(spark, dir,
+      spark.read.parquet(s"$dir/fps.parquet").toDF("id_corpus", "fp"), "id_corpus")
     val newFps = newDf.select(col(idCol).as("id_new"),
       explode(Winnowing.winnow_fingerprints(col(textCol), k, window)).as("fp"))
       .distinct()

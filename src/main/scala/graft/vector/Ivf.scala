@@ -270,11 +270,29 @@ object Ivf {
       .write.mode("append").parquet(s"$dir/cells.parquet")
   }
 
-  private def loadCentroids(
+  private[graft] def loadCentroids(
       spark: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] =
     spark.read.parquet(s"$dir/centroids.parquet")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** Tombstone `ids` in a persisted IVF index: O(batch) append to the
+    * tombstone set, [[searchIndex]] stops returning them immediately;
+    * centroids are untouched (the quantizer doesn't depend on corpus
+    * membership). IndexDeleteSpec pins search-after-delete ≡ search of
+    * an index rebuilt (same quantizer) without the ids.
+    */
+  def removeFromIndex(ids: DataFrame, idCol: String, dir: String): Unit =
+    graft.operators.IndexOps.removeFromIndex(ids, idCol, dir)
+
+  /** Apply tombstones + bound the cells dataset's parquet file count
+    * (see [[graft.operators.IndexOps.compactIndex]]).
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFiles: Int = 4): Unit =
+    graft.operators.IndexOps.compactIndex(spark, dir,
+      Seq("cells.parquet" -> "id"), targetFiles)
 
   /** Exact-cosine rank within probed cells — the one scoring tail
     * shared by [[ivfTopK]] and [[searchIndex]] so the fresh and
@@ -308,7 +326,8 @@ object Ivf {
     Ann.requireBoundedQueries(queries, maxQueries, "searchIndex")
     val spark = corpus.sparkSession
     val centroids = loadCentroids(spark, dir)
-    val cells = spark.read.parquet(s"$dir/cells.parquet")
+    val cells = graft.operators.IndexOps.dropTombstoned(spark, dir,
+      spark.read.parquet(s"$dir/cells.parquet"), "id")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       Ann.l2norm(col(vecCol)).as("_cn"))
       .join(cells.withColumnRenamed("id", "neighbor_id"), Seq("neighbor_id"))

@@ -359,7 +359,24 @@ object Pq {
     * [[searchIndex]] and [[appendToIndex]] so the search and append
     * paths read the identical artifact.
     */
-  private def loadQuantizer(
+  /** Tombstone `ids` in a persisted PQ index: O(batch) append,
+    * [[searchIndex]] stops shortlisting them immediately; centroids and
+    * codebooks are untouched. IndexDeleteSpec pins search-after-delete
+    * ≡ search of an index rebuilt (same quantizer pair) without the ids.
+    */
+  def removeFromIndex(ids: DataFrame, idCol: String, dir: String): Unit =
+    graft.operators.IndexOps.removeFromIndex(ids, idCol, dir)
+
+  /** Apply tombstones + bound the codes dataset's parquet file count
+    * (see [[graft.operators.IndexOps.compactIndex]]).
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFiles: Int = 4): Unit =
+    graft.operators.IndexOps.compactIndex(spark, dir,
+      Seq("codes.parquet" -> "id"), targetFiles)
+
+  private[graft] def loadQuantizer(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")
@@ -388,7 +405,8 @@ object Pq {
     val qRows = collectQueries(queries, qidCol, qvecCol, maxQueries, "searchIndex")
     val luts = buildLuts(qRows, codebooks)
     val qBase = qBaseOf(spark, qRows)
-    val codes = spark.read.parquet(s"$dir/codes.parquet")
+    val codes = graft.operators.IndexOps.dropTombstoned(spark, dir,
+      spark.read.parquet(s"$dir/codes.parquet"), "id")
       .select(col("id").as("neighbor_id"), col("cell").as("_cell"), col("code").as("_code"))
     val shortlist = shortlistFrom(codes, qBase, centroids, luts, k, nprobe, refine)
     rerank(shortlist, corpus, idCol, vecCol, qBase, k)
