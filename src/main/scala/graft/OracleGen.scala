@@ -59,7 +59,8 @@ object OracleGen {
       "q34_ann_pq" -> (() => annPqOracle(s, dir)),
       "q55_bpe_tokens" -> (() => bpeOracle(s, dir)),
       "q62_image_neardup" -> (() => imageNearDupOracle(s, dir)),
-      "q64_lm_perplexity" -> (() => lmPerplexityOracle(s, dir))
+      "q64_lm_perplexity" -> (() => lmPerplexityOracle(s, dir)),
+      "q65_curation_pipeline" -> (() => curationOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -385,6 +386,194 @@ object OracleGen {
        |SELECT d.doc_id, CAST(e.n_tokens AS BIGINT) AS n_tokens,
        |  CAST(e.avg_nll AS DOUBLE) AS avg_nll, CAST(e.ppl AS DOUBLE) AS ppl
        |FROM documents d JOIN expv e ON e.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** q65: the whole curation chain recomputed in ONE DuckDB query. The
+    * only engine-supplied inputs are the stage-4 corpus's minhash keys
+    * (shingle sets + band hashes, the q25 technique — keyed by doc_id,
+    * so a stage-1..4 divergence between engines breaks the key join
+    * and the hash match). Every stage — the cleaning regex chain, the
+    * stopword lang CASE, the quality gate, exact dedup, the capped
+    * band join + exact Jaccard + connected components + keep-best, the
+    * literal-string span dedup, eval-window decontamination, and the
+    * budget cumsum — is plain SQL over the previous stage's CTE.
+    */
+  def curationOracle(s: SparkSession, dir: String): String = {
+    val s4 = SparkEntry.curationStage4(s, dir)
+    val rows = s4
+      .select(col("doc_id").as("id"), NearDup.hashedShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", TokenShingles.minhash_sig_long(col("sh"), 32))
+      .withColumn("bands", TokenShingles.lsh_band_keys(col("sig"), 8, 32 / 8))
+      .select("id", "sh", "bands")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+      .sortBy(_._1)
+    checkEmbeddable("q65_curation_pipeline", rows.iterator.map(_._2.size.toLong + 8).sum)
+    val shVals = rows.map { case (id, sh, _) => s"($id, ${longs(sh)})" }.mkString(", ")
+    val bandVals = rows.flatMap { case (id, _, bands) =>
+      bands.zipWithIndex.map { case (bh, i) => s"($id, $i, $bh)" }
+    }.mkString(", ")
+    // stopword-CASE generators shared with the q20/q52 static oracles,
+    // pointed at the cleaned text
+    val toksExpr = "string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')"
+    val scores = graft.textops.TextAnalysis.stopwords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      lang -> s"len(list_filter($toksExpr, t -> list_contains($list, t)))"
+    }
+    val maxS = scores.values.mkString("greatest(", ", ", ")")
+    val caseChain = scores.map { case (lang, sc) =>
+      s"WHEN $sc = m THEN '$lang'"
+    }.mkString(" ")
+    val en = graft.textops.TextAnalysis.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val p1 = SparkEntry.evalProbe1
+    val p2 = SparkEntry.evalProbe2
+    s"""WITH RECURSIVE
+       |cleaned AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '<[^>]*>', ' ', 'g'),
+       |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+       |      '[ \\t\\n\\r]+', ' ', 'g')) AS text
+       |  FROM documents),
+       |lang AS (
+       |  SELECT doc_id, CASE WHEN m <= 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred
+       |  FROM (SELECT doc_id, text, $maxS AS m FROM cleaned)),
+       |qbase AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') END AS toks,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS DOUBLE) / length(text)
+       |         END AS praw
+       |  FROM cleaned),
+       |qsig AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    floor(praw * 10000.0 + 0.5) / 10000.0 AS pr,
+       |    floor((CASE WHEN len(toks) = 0 THEN 0.0
+       |           ELSE CAST(len(list_filter(toks, t -> list_contains($en, t))) AS DOUBLE)
+       |                / len(toks) END) * 10000.0 + 0.5) / 10000.0 AS sr,
+       |    floor((CASE WHEN len(toks) = 0 THEN 0.0
+       |           ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+       |           END) * 10000.0 + 0.5) / 10000.0 AS rr
+       |  FROM qbase),
+       |qkeep AS (
+       |  SELECT doc_id FROM qsig
+       |  WHERE NOT (n_tokens < 10 OR n_tokens > 100000 OR pr > 0.3
+       |             OR sr < 0.02 OR rr > 0.6)),
+       |s4 AS (
+       |  SELECT doc_id, text, lang_pred FROM (
+       |    SELECT c.doc_id, c.text, l.lang_pred,
+       |           row_number() OVER (PARTITION BY md5(c.text) ORDER BY c.doc_id) AS rn
+       |    FROM cleaned c JOIN lang l USING (doc_id) JOIN qkeep USING (doc_id))
+       |  WHERE rn = 1),
+       |shv(id, sh) AS (VALUES $shVals),
+       |shx AS (SELECT CAST(id AS BIGINT) AS id, CAST(sh AS BIGINT[]) AS sh FROM shv),
+       |bandv(id, band_idx, band_hash) AS (VALUES $bandVals),
+       |capped AS (
+       |  SELECT id, band_idx, band_hash FROM (
+       |    SELECT id, band_idx, band_hash,
+       |           count(*) OVER (PARTITION BY band_idx, band_hash) AS n
+       |    FROM bandv) WHERE n <= 100),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |      round(CASE WHEN len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) = 0
+       |            THEN 0.0
+       |            ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+       |            END, 4) AS jaccard
+       |    FROM cand JOIN shx sa ON sa.id = cand.id_a JOIN shx sb ON sb.id = cand.id_b)
+       |  WHERE jaccard >= 0.5),
+       |sym AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM s4
+       |  UNION
+       |  SELECT sy.id_b, reach.r FROM reach JOIN sym sy ON sy.id_a = reach.id),
+       |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+       |s5 AS (
+       |  SELECT doc_id, text, lang_pred FROM (
+       |    SELECT d.doc_id, d.text, d.lang_pred,
+       |           row_number() OVER (PARTITION BY c.component
+       |                              ORDER BY length(d.text) DESC, d.doc_id ASC) AS rk
+       |    FROM s4 d JOIN comp c USING (doc_id)) WHERE rk = 1),
+       |t6 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+       |                x -> x != '') AS toks
+       |  FROM s5),
+       |wl6 AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+       |         ELSE list_transform(range(1, len(toks) - 6),
+       |                i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+       |  FROM t6),
+       |wins6 AS (
+       |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w FROM wl6),
+       |rn6 AS (
+       |  SELECT doc_id, pos,
+       |         row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+       |  FROM wins6),
+       |dup6 AS (SELECT doc_id, pos FROM rn6 WHERE rn > 1),
+       |covered6 AS (
+       |  SELECT DISTINCT doc_id, cpos FROM (
+       |    SELECT doc_id, unnest(range(pos, pos + 8)) AS cpos FROM dup6)),
+       |tp6 AS (
+       |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok
+       |  FROM t6),
+       |kept6 AS (
+       |  SELECT tp6.doc_id, tp6.pos, tp6.tok FROM tp6
+       |  WHERE NOT EXISTS (SELECT 1 FROM covered6 c
+       |                    WHERE c.doc_id = tp6.doc_id AND c.cpos = tp6.pos)),
+       |agg6 AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+       |  FROM kept6 GROUP BY doc_id),
+       |s6 AS (
+       |  SELECT t6.doc_id, coalesce(a.text_dedup, '') AS text
+       |  FROM t6 LEFT JOIN agg6 a ON a.doc_id = t6.doc_id),
+       |evals AS (
+       |  SELECT text FROM documents WHERE doc_id % 97 = 0
+       |  UNION ALL SELECT '$p1' UNION ALL SELECT '$p2'),
+       |et AS (
+       |  SELECT list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+       |                     x -> x != '') AS toks
+       |  FROM evals),
+       |ewl AS (
+       |  SELECT CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+       |              ELSE list_transform(range(1, len(toks) - 6),
+       |                     i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+       |  FROM et),
+       |ew AS (SELECT DISTINCT unnest(ws) AS w FROM ewl),
+       |t7 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+       |                x -> x != '') AS toks
+       |  FROM s6),
+       |wl7 AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+       |         ELSE list_transform(range(1, len(toks) - 6),
+       |                i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+       |  FROM t7),
+       |wins7 AS (
+       |  SELECT doc_id, unnest(ws) AS w FROM wl7),
+       |flagged AS (SELECT DISTINCT wins7.doc_id FROM wins7 JOIN ew ON ew.w = wins7.w),
+       |s7 AS (
+       |  SELECT t7.doc_id, array_to_string(t7.toks, ' ') AS text, len(t7.toks) AS n_tokens
+       |  FROM t7 WHERE t7.doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |c8 AS (
+       |  SELECT doc_id, text, n_tokens,
+       |         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM s7)
+       |SELECT c8.doc_id, l.lang_pred, c8.text,
+       |  CAST(c8.n_tokens AS BIGINT) AS n_tokens, CAST(c8.cum AS BIGINT) AS cum_tokens
+       |FROM c8 JOIN s4 l ON l.doc_id = c8.doc_id
+       |WHERE c8.cum <= 15000""".stripMargin
   }
 
   /** Reference BPE: per whitespace word, start from code-point symbols,

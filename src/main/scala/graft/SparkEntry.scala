@@ -748,6 +748,44 @@ object SparkEntry {
       graft.textops.SpanDedup.decontaminate(docs, "doc_id", "text", evalDf, "text", k = 8)
     }),
 
+    // the curation-pipeline FLAGSHIP: the full staged chain a real
+    // training-data run executes — clean → lang-id → quality filter →
+    // exact dedup → near-dup keep-best → span dedup → decontaminate →
+    // global token-budget cut — composed from the individually-oracled
+    // operators into ONE query with ONE generated oracle that
+    // recomputes every stage (engine supplies only the stage-4 minhash
+    // keys; ExplainAudit records the whole-chain plan in PLANS.md)
+    "q65_curation_pipeline" -> ((s, dir) => {
+      val s4 = curationStage4(s, dir)
+      val edges = graft.textops.NearDup.minhashPairs(
+        s4, "doc_id", "text", threshold = 0.5, maxBucketSize = 100)
+        .select("id_a", "id_b")
+      // project the score early: the component join + keep-best window
+      // shuffle (doc_id, len), not the text payload
+      val s5 = graft.operators.Dedup.dropNearDupsBy(
+        s4.select(col("doc_id"), col("text"), length(col("text")).as("_len")),
+        "doc_id", col("_len"), edges).drop("_len")
+      val s6 = graft.textops.SpanDedup.dedupSpans(s5, "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("text_dedup").as("text"))
+      val evalDf = table(s, dir, "documents")
+        .filter(col("doc_id") % 97 === 0).select(col("text"))
+        .unionByName(s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(evalProbe1), org.apache.spark.sql.Row(evalProbe2)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "text", org.apache.spark.sql.types.StringType)))))
+      val s7 = graft.textops.SpanDedup.decontaminate(
+        s6, "doc_id", "text", evalDf, "text", k = 8)
+        .filter(!col("flagged"))
+        .select(col("doc_id"), col("text_clean").as("text"), col("n_tokens"))
+      val s8 = graft.operators.Budget.takeWhileBudget(
+        s7, col("doc_id"), col("n_tokens"), budget = 15000L, cumCol = "cum_tokens")
+      s8.join(s4.select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang_pred"), col("text"),
+          col("n_tokens"), col("cum_tokens"))
+    }),
+
     // exact interpolated quantiles per group: Spark's percentile and
     // DuckDB's quantile_cont share the (n-1)*p linear-interpolation
     // definition, so the values agree bit-for-bit after rounding
@@ -798,9 +836,9 @@ object SparkEntry {
     * every-97th eval docs and any natural overlap, which the oracle
     * recomputes identically).
     */
-  private val evalProbe1: String =
+  private[graft] val evalProbe1: String =
     "held out benchmark question what is the capital of freedonia answer unknown"
-  private val evalProbe2: String =
+  private[graft] val evalProbe2: String =
     "count the exact number of tokens in this held out evaluation prompt"
 
   /** Exact-copy documents shifted by 100000 — the planted truth set for
@@ -877,6 +915,27 @@ object SparkEntry {
     graft.multimodal.Multimodal.patternImages(
       ids.unionByName(ids.select((col("doc_id") + 100000).as("doc_id"))),
       "doc_id", twinOffset = 100000L, brightnessStep = 4)
+  }
+
+  /** Stages 1–4 of the curation-pipeline flagship (q65): clean →
+    * lang-id → quality filter → exact dedup (keep smallest doc_id per
+    * identical cleaned text, md5-keyed so the shuffle carries a hash,
+    * not the payload). Shared with [[OracleGen.curationOracle]], which
+    * embeds the stage-4 corpus's minhash keys for the near-dup stage.
+    * Returns (doc_id, lang_pred, text).
+    */
+  def curationStage4(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = table(s, dir, "documents").select(col("doc_id"),
+      graft.textops.TextAnalysis.cleanText(col("text"), stripTags = true).as("text"))
+    val withLang = cleaned.withColumn("lang_pred",
+      graft.textops.TextAnalysis.languageId(col("text")))
+    val quality = withLang
+      .withColumn("_v", graft.textops.TextAnalysis.qualityVerdict(col("text")))
+      .filter(col("_v.keep")).drop("_v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    quality.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
   }
 
   /** Shared oracle for q4/q17 — both sessionizer implementations must
