@@ -204,6 +204,30 @@ object ScaleBench {
     // handles the dropped boilerplate
     timed("minhash_adversarial_50k_capped", graft.textops.NearDup.minhashPairs(
       boiler(50000), "doc_id", "text", threshold = 0.9))
+
+    // ---- phase 1d: hot WINDOW-HASH skew for substring span dedup ----
+    // half the corpus carries one shared licence block, so each of the
+    // block's k-token window hashes occurs in n/2 documents — ONE hash
+    // value owning ~half of all occurrences. SpanDedup claims
+    // (SpanDedup.scala) that this degrades to one LINEAR task: there is
+    // no pair join anywhere, just two plain `min` window aggregates
+    // over the hash partitioning. Evidence sought: 10x docs => ~10x
+    // worst max-task (linear, never quadratic), and the 50k run
+    // completes at all — a pair-join formulation would attempt ~3*10^8
+    // pairs per hot window hash at 50k.
+    def license(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("document number "), col("id"),
+          lit(" unique preamble segment alpha "), col("id") % 997,
+          lit(" beta "), col("id") % 89,
+          when(col("id") % 2 === 0, lit(" terms of use this document is " +
+            "provided under the standard sample license with no warranty " +
+            "of any kind whatsoever either express or implied"))
+            .otherwise(lit(""))).as("text"))
+    timed("spandedup_hot_5k",
+      graft.textops.SpanDedup.dedupSpans(license(5000), "doc_id", "text", k = 8))
+    timed("spandedup_hot_50k",
+      graft.textops.SpanDedup.dedupSpans(license(50000), "doc_id", "text", k = 8))
     } // end !skewOnly
 
     // ---- phase 2: hot-key skew duel ----
