@@ -260,9 +260,12 @@ object SpanDedup {
     // distinct window hashes of the eval corpus; limit bounds driver
     // memory BEFORE collect so an oversized frame fails the require
     // below instead of an OOM
+    // overflow-safe +1: maxEvalWindows = Int.MaxValue must not wrap the
+    // limit negative
+    val probeLimit = math.min(maxEvalWindows.toLong + 1L, Int.MaxValue.toLong).toInt
     val evalRows = evalDf
       .select(explode(window_hashes(lower(col(evalTextCol)), k)).as("_wh"))
-      .distinct().limit(maxEvalWindows + 1).collect()
+      .distinct().limit(probeLimit).collect()
     require(evalRows.length <= maxEvalWindows,
       s"decontaminate: eval corpus has more than $maxEvalWindows distinct " +
         s"$k-token windows — this operator broadcasts the eval side; pass the " +
