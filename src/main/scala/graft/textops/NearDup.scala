@@ -526,8 +526,34 @@ object NearDup {
 
   private def writeSimhashIndex(
       df: DataFrame, idCol: String, textCol: String, dir: String, mode: String): Unit =
-    df.select(col(idCol).as("id"),
-      SimHash.simhash64_text(lower(col(textCol))).as("sh"))
+    writeFingerprintIndex(
+      df.select(col(idCol),
+        SimHash.simhash64_text(lower(col(textCol))).as("_fp_sh")),
+      idCol, "_fp_sh", dir, mode)
+
+  /** Persist a generic 64-bit FINGERPRINT index (`dir/fp.parquet`:
+    * id, sh) — the simhash index's layout opened to any fingerprint
+    * family: perceptual image hashes
+    * ([[graft.multimodal.PerceptualHash.dhash64]]) get the same
+    * build-once/probe-many lifecycle (append / probe / tombstone
+    * delete via [[removeFromSimhashIndex]] semantics / compact via
+    * [[compactSimhashIndex]] — same file, same id column). Chunk keys
+    * are derived at query time, so one index serves any maxHamming.
+    */
+  def buildFingerprintIndex(df: DataFrame, idCol: String, fpCol: String, dir: String): Unit =
+    writeFingerprintIndex(df, idCol, fpCol, dir, "overwrite")
+
+  /** Append a new (already-deduped) batch's fingerprints; caller
+    * contract: batch ids are new. PhashIndexSpec pins append ≡
+    * rebuild-from-union.
+    */
+  def appendToFingerprintIndex(df: DataFrame, idCol: String, fpCol: String, dir: String): Unit =
+    writeFingerprintIndex(df, idCol, fpCol, dir, "append")
+
+  private def writeFingerprintIndex(
+      df: DataFrame, idCol: String, fpCol: String, dir: String, mode: String): Unit =
+    df.select(col(idCol).as("id"), col(fpCol).as("sh"))
+      .filter(col("sh").isNotNull)
       .write.mode(mode).parquet(s"$dir/fp.parquet")
 
   /** Near-dup pairs of a NEW batch against a persisted simhash index:
@@ -539,6 +565,19 @@ object NearDup {
     */
   def simhashPairsAgainstIndex(
       newDf: DataFrame, idCol: String, textCol: String, dir: String,
+      maxHamming: Int = 3, maxBucketSize: Long = 0): DataFrame =
+    fingerprintPairsAgainstIndex(
+      newDf.select(col(idCol),
+        SimHash.simhash64_text(lower(col(textCol))).as("_fp_sh")),
+      idCol, "_fp_sh", dir, maxHamming, maxBucketSize)
+
+  /** [[simhashPairsAgainstIndex]]'s core over a precomputed batch
+    * fingerprint column — probes a [[buildFingerprintIndex]] (or
+    * simhash) index with any 64-bit fingerprint family. NULL batch
+    * fingerprints (undecodable images) never pair.
+    */
+  def fingerprintPairsAgainstIndex(
+      newDf: DataFrame, idCol: String, fpCol: String, dir: String,
       maxHamming: Int = 3, maxBucketSize: Long = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (got $maxHamming)")
@@ -549,8 +588,8 @@ object NearDup {
           .as(Seq("chunk_idx", "chunk")))
     val idxFp = graft.operators.IndexOps.dropTombstoned(spark, dir,
       spark.read.parquet(s"$dir/fp.parquet"), "id")
-    val newFp = newDf.select(col(idCol).as("id"),
-      SimHash.simhash64_text(lower(col(textCol))).as("sh"))
+    val newFp = newDf.select(col(idCol).as("id"), col(fpCol).as("sh"))
+      .filter(col("sh").isNotNull)
     val newChunks = chunksOf(newFp, "id_new").withColumnRenamed("sh", "sh_n")
     val idxChunks = chunksOf(idxFp, "id_corpus").withColumnRenamed("sh", "sh_c")
     val (cn, ci) =
