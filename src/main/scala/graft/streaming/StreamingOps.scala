@@ -283,6 +283,39 @@ object StreamingOps {
         ()
     }
 
+  /** Streaming incremental near-dup ingestion for the FINGERPRINT
+    * (image) family — [[dedupIngest]]'s shape over
+    * [[graft.textops.NearDup.dedupNewFingerprintBatch]]: each batch
+    * drops replays (index ids), in-batch near-dups, and near-dups of
+    * the persisted corpus, delivers the survivors to `sink`, then
+    * appends them so the NEXT batch sees them. The stream frame must
+    * already carry the fingerprint column (e.g.
+    * `withColumn("fp", PerceptualHash.dhash64(col("bytes")))`) — it is
+    * computed ONCE per batch via the eager checkpoint. Sink-first
+    * ordering keeps at-least-once on replay (see [[dedupIngest]]).
+    */
+  def dedupIngestFingerprints(
+      media: DataFrame, idCol: String, fpCol: String, indexDir: String,
+      sink: (DataFrame, Long) => Unit,
+      maxHamming: Int = 3, maxBucketSize: Long = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.textops.NearDup
+        // eager checkpoints for the same two reasons as dedupIngest:
+        // the fingerprint expression (an image decode) runs once, and
+        // the survivors are pinned BEFORE the append mutates the index
+        val pinned = batch.toDF().localCheckpoint(true)
+        val survivors = NearDup.dedupNewFingerprintBatch(
+          pinned, idCol, fpCol, indexDir, maxHamming, maxBucketSize)
+          .localCheckpoint(true)
+        sink(survivors, batchId)
+        NearDup.appendToFingerprintIndex(survivors, idCol, fpCol, indexDir)
+        survivors.unpersist()
+        pinned.unpersist()
+        ()
+    }
+
   final case class BurstKey(source: String, ip: String, request_uri: String)
   final case class BurstEvent(source: String, ip: String, request_uri: String,
       epochMicros: Long, status: Int)

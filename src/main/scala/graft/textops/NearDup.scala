@@ -550,10 +550,15 @@ object NearDup {
   def appendToFingerprintIndex(df: DataFrame, idCol: String, fpCol: String, dir: String): Unit =
     writeFingerprintIndex(df, idCol, fpCol, dir, "append")
 
+  /** fp.parquet doubles as the ingestion LEDGER
+    * ([[dedupNewFingerprintBatch]]'s replay anti-join), so NULL
+    * fingerprints (undecodable images) are kept: they must drop on
+    * replay like any ingested id. A null `sh` derives null chunk keys,
+    * which join nothing — harmless to every probe.
+    */
   private def writeFingerprintIndex(
       df: DataFrame, idCol: String, fpCol: String, dir: String, mode: String): Unit =
     df.select(col(idCol).as("id"), col(fpCol).as("sh"))
-      .filter(col("sh").isNotNull)
       .write.mode(mode).parquet(s"$dir/fp.parquet")
 
   /** Near-dup pairs of a NEW batch against a persisted simhash index:
@@ -609,6 +614,43 @@ object NearDup {
       .withColumn("hamming", bit_count(col("sh_n").bitwiseXOR(col("sh_c"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_new", "id_corpus", "hamming").distinct()
+  }
+
+  /** Dedup a NEW fingerprint batch end-to-end — [[dedupNewBatch]]'s
+    * shape for the generic fingerprint (image) family: (1) drop batch
+    * rows whose id is already in the index (fp.parquet is the ledger —
+    * a replayed batch is a no-op); (2) drop in-batch near-dups
+    * (connected components over [[fingerprintPairs]] edges, keep
+    * smallest id); (3) drop survivors that are near-dups of the
+    * persisted corpus. A missing index dir means this is the first
+    * batch. Null-fingerprint rows (undecodable images) always survive
+    * steps 2–3 (nothing to match on) but ARE replay-dropped by step 1
+    * once appended. The caller appends the survivors
+    * ([[appendToFingerprintIndex]]) so the next batch sees them —
+    * [[graft.streaming.StreamingOps.dedupIngestFingerprints]] wires
+    * both into one foreachBatch loop.
+    */
+  def dedupNewFingerprintBatch(
+      df: DataFrame, idCol: String, fpCol: String, dir: String,
+      maxHamming: Int = 3, maxBucketSize: Long = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$dir/fp.parquet")
+    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fresh =
+      if (!exists) df
+      else df.join(
+        spark.read.parquet(s"$dir/fp.parquet").select(col("id").as(idCol)),
+        Seq(idCol), "left_anti")
+    val inEdges = fingerprintPairs(fresh, idCol, fpCol, maxHamming, maxBucketSize)
+      .select("id_a", "id_b")
+    val local = graft.operators.Dedup.dropNearDups(fresh, idCol, inEdges)
+    if (!exists) local
+    else {
+      val dupIds = fingerprintPairsAgainstIndex(
+        local, idCol, fpCol, dir, maxHamming, maxBucketSize)
+        .select(col("id_new").as(idCol)).distinct()
+      local.join(dupIds, Seq(idCol), "left_anti")
+    }
   }
 
   /** Winnowing-fingerprint near-dup pairs: documents sharing at least

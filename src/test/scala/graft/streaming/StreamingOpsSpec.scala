@@ -221,4 +221,40 @@ class StreamingOpsSpec extends GraftSparkSpec {
         q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
     } finally q.stop()
   }
+
+  test("streaming fingerprint (image) ingestion dedups against the growing index") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("stream_phash").toString + "/idx"
+    val input = MemoryStream[Long]
+    // pattern images per id; ids >= 100000 are brightness-shifted twins
+    // of id - 100000 (dHash-identical, byte-distinct)
+    val media = graft.multimodal.Multimodal.patternImages(
+      input.toDF().toDF("media_id"), "media_id")
+      .withColumn("fp", graft.multimodal.PerceptualHash.dhash64(col("bytes")))
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = StreamingOps.dedupIngestFingerprints(media, "media_id", "fp", dir,
+      (df, bid) => got.synchronized {
+        got ++= df.select("media_id").collect().map(r => (bid, r.getLong(0)))
+      }, maxHamming = 4).start()
+    try {
+      // batch 0: three distinct images + one in-batch twin of image 1
+      input.addData(1L, 2L, 3L, 100001L)
+      q.processAllAvailable()
+      // batch 1: one fresh image, one twin of the INDEXED image 2, one
+      // replayed id
+      input.addData(7L, 100002L, 3L)
+      q.processAllAvailable()
+      val byBatch = got.synchronized {
+        got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap }
+      assert(byBatch(0L) == Set(1L, 2L, 3L))
+      assert(byBatch.getOrElse(1L, Set.empty[Long]) == Set(7L))
+      import spark.implicits._
+      val idxIds = spark.read.parquet(s"$dir/fp.parquet")
+        .select("id").as[Long].collect().toSet
+      assert(idxIds == Set(1L, 2L, 3L, 7L))
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
+    } finally q.stop()
+  }
 }
