@@ -88,8 +88,12 @@ object Bench {
       }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + f"$s%.3f" }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator is locale-sensitive and a
+    // comma-decimal locale would emit malformed JSON
+    val spreads = results.map { case (k, _, s) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+        java.lang.Double.valueOf(s))
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}""")

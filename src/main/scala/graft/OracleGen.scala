@@ -340,26 +340,27 @@ object OracleGen {
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val model = graft.textops.NgramLm.train(
       docs.filter(col("doc_id") % 10 < 3), "text")
-    // naive views of the count table: string-keyed maps, no binary
-    // search, no packed ids — the independent scoring path
-    val uni: Map[String, Long] = model.vocab.zip(model.unigram).toMap
-    val names: Int => String = id =>
-      if (id < model.vocab.length) model.vocab(id)
-      else if (id == model.unkId) "<unk>" else "<s>"
-    val bi: Map[(String, String), Long] =
+    // naive views of the count table: plain Scala maps keyed by the
+    // model's ids, no binary search, no packed-long lookups — the
+    // independent scoring path. Ids (not token STRINGS) key the maps
+    // because a corpus can legitimately contain the literal tokens
+    // "<s>"/"<unk>", which string sentinels would collide with.
+    val vocabIdx: Map[String, Int] = model.vocab.zipWithIndex.toMap
+    val uni: Map[Int, Long] = model.unigram.zipWithIndex.map(_.swap).toMap
+    val bi: Map[(Int, Int), Long] =
       model.bigramKeys.zip(model.bigramVals).map { case (k, v) =>
-        ((names((k >>> 32).toInt), names((k & 0xFFFFFFFFL).toInt)), v)
+        (((k >>> 32).toInt, (k & 0xFFFFFFFFL).toInt), v)
       }.toMap
-    val ctx: Map[String, Long] =
-      model.contextCounts.zipWithIndex.map { case (c, id) => (names(id), c) }.toMap
+    val ctx: Map[Int, Long] =
+      model.contextCounts.zipWithIndex.map { case (c, id) => (id, c) }.toMap
     def score(text: String): (Long, Double, Double) = {
       val toks = text.toLowerCase
         .split("[ \t\n\\x0B\f\r]+").filter(_.nonEmpty)
-      var h = "<s>"
+      var h = model.startId
       var nll = 0.0
       toks.foreach { tok =>
-        val w = if (uni.contains(tok)) tok else "<unk>"
-        val cw = if (w == "<unk>") model.unkCount else uni(w)
+        val w = vocabIdx.getOrElse(tok, model.unkId)
+        val cw = if (w == model.unkId) model.unkCount else uni(w)
         val pu = (cw + 1.0) / (model.total + model.vocab.length + 1.0)
         val p = (bi.getOrElse((h, w), 0L) + model.alpha * pu) /
           (ctx.getOrElse(h, 0L) + model.alpha)

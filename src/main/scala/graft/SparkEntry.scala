@@ -737,15 +737,8 @@ object SparkEntry {
         when(col("doc_id") % 7 === 3, concat(col("text"), lit(" " + evalProbe1)))
           .when(col("doc_id") % 7 === 5, concat(col("text"), lit(" " + evalProbe2)))
           .otherwise(col("text")).as("text"))
-      val evalDf = table(s, dir, "documents")
-        .filter(col("doc_id") % 97 === 0).select(col("text"))
-        .unionByName(s.createDataFrame(
-          java.util.Arrays.asList(
-            org.apache.spark.sql.Row(evalProbe1), org.apache.spark.sql.Row(evalProbe2)),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(
-              "text", org.apache.spark.sql.types.StringType)))))
-      graft.textops.SpanDedup.decontaminate(docs, "doc_id", "text", evalDf, "text", k = 8)
+      graft.textops.SpanDedup.decontaminate(
+        docs, "doc_id", "text", evalCorpus(s, dir), "text", k = 8)
     }),
 
     // the curation-pipeline FLAGSHIP: the full staged chain a real
@@ -772,16 +765,8 @@ object SparkEntry {
         "doc_id", col("_len"), edges).drop("_len")
       val s6 = graft.textops.SpanDedup.dedupSpans(s5, "doc_id", "text", k = 8)
         .select(col("doc_id"), col("text_dedup").as("text"))
-      val evalDf = table(s, dir, "documents")
-        .filter(col("doc_id") % 97 === 0).select(col("text"))
-        .unionByName(s.createDataFrame(
-          java.util.Arrays.asList(
-            org.apache.spark.sql.Row(evalProbe1), org.apache.spark.sql.Row(evalProbe2)),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(
-              "text", org.apache.spark.sql.types.StringType)))))
       val s7 = graft.textops.SpanDedup.decontaminate(
-        s6, "doc_id", "text", evalDf, "text", k = 8)
+        s6, "doc_id", "text", evalCorpus(s, dir), "text", k = 8)
         .filter(!col("flagged"))
         .select(col("doc_id"), col("text_clean").as("text"), col("n_tokens"))
       val s8 = graft.operators.Budget.takeWhileBudget(
@@ -845,6 +830,21 @@ object SparkEntry {
     "held out benchmark question what is the capital of freedonia answer unknown"
   private[graft] val evalProbe2: String =
     "count the exact number of tokens in this held out evaluation prompt"
+
+  /** The q61/q65 eval corpus: every 97th document's raw text (the
+    * leaked-eval-doc stand-in) plus the two literal probes. ONE
+    * definition — the two queries and both oracles' `evals` CTEs must
+    * stay in lockstep.
+    */
+  private def evalCorpus(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .filter(col("doc_id") % 97 === 0).select(col("text"))
+      .unionByName(s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(evalProbe1), org.apache.spark.sql.Row(evalProbe2)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "text", org.apache.spark.sql.types.StringType)))))
 
   /** Exact-copy documents shifted by 100000 — the planted truth set for
     * the near-dup recall gates.

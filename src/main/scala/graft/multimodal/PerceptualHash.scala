@@ -1,5 +1,6 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
 import java.io.ByteArrayInputStream
 
 import javax.imageio.ImageIO
@@ -48,7 +49,23 @@ object PerceptualHash {
       val w = img.getWidth
       val h = img.getHeight
       if (w <= 0 || h <= 0) return null
-      val raster = img.getRaster
+      // Indexed-color images (GIF, palette PNG) store PALETTE INDICES
+      // in the raster — averaging those compares palette order, not
+      // brightness, and a routine palette-reordering re-encode would
+      // hash arbitrarily far away. Resolve them through the color
+      // model to sRGB luminance first; all other types keep the raw
+      // raster samples (getRGB would gamma-convert grayscale rasters —
+      // same rationale as Multimodal.decodeImage).
+      val indexed = img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+      val src =
+        if (!indexed) img
+        else {
+          val g = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          val gg = g.createGraphics()
+          try gg.drawImage(img, 0, 0, null) finally gg.dispose()
+          g
+        }
+      val raster = src.getRaster
       val nb = math.min(raster.getNumBands, 3)
       // 9x8 box-average grid; cell (cx, cy) covers x in
       // [cx*w/9, (cx+1)*w/9) x [cy*h/8, (cy+1)*h/8). For tiny images a

@@ -89,20 +89,30 @@ object IndexOps {
     val bak = new Path(s"$dir/$name.bak")
     val fresh = new Path(s"$dir/$name.compact")
     val f = fs(spark, live)
+    // Hadoop FileSystems signal rename/delete failure by RETURNING
+    // false, not throwing — a swallowed false here would let
+    // compactIndex delete the tombstone file while the old
+    // tombstone-bearing dataset is still live, silently resurrecting
+    // deleted ids. Every step must either succeed or abort the compact.
+    def must(ok: Boolean, step: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"compactIndex: $step failed for $dir/$name — aborting before " +
+          "the tombstone clear (re-run compact; the index is unchanged)")
     // heal a previous crash mid-swap: live missing but .bak present
-    if (!f.exists(live) && f.exists(bak)) f.rename(bak, live)
+    if (!f.exists(live) && f.exists(bak)) must(f.rename(bak, live), "bak restore")
     if (!f.exists(live)) return // dataset not written yet (e.g. ledger-only index)
-    f.delete(fresh, true)
+    f.delete(fresh, true) // false = nothing to delete; verified below
     f.delete(bak, true)
+    must(!f.exists(fresh) && !f.exists(bak), "stale .compact/.bak cleanup")
     // repartition, not coalesce: bounds the file count while keeping
     // the write parallel (coalesce(1) would single-thread a large
     // dataset rewrite)
     dropTombstoned(spark, dir, spark.read.parquet(live.toString), idCol)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(fresh.toString)
-    f.rename(live, bak)
-    f.rename(fresh, live)
-    f.delete(bak, true)
+    must(f.rename(live, bak), "live -> .bak rename")
+    must(f.rename(fresh, live), ".compact -> live rename")
+    must(f.delete(bak, true) || !f.exists(bak), ".bak delete")
     ()
   }
 }

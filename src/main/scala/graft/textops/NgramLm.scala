@@ -102,11 +102,17 @@ object NgramLm {
     val toks = df
       .select(explode(split(lower(col(textCol)), WsRegex)).as("tok"))
       .filter(col("tok") =!= "")
-    val counts = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-    val total = counts.agg(coalesce(sum(col("n")), lit(0L))).as[Long].head()
-    val vocabRows = counts
-      .orderBy(col("n").desc, col("tok").asc).limit(vocabSize)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // cache: two actions read the aggregated counts (the total and the
+    // top-vocab collect) — uncached each would recompute the full
+    // token explode + shuffle
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("n")).cache()
+    val (total, vocabRows) =
+      try {
+        val t = counts.agg(coalesce(sum(col("n")), lit(0L))).as[Long].head()
+        val v = counts.orderBy(col("n").desc, col("tok").asc).limit(vocabSize)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        (t, v)
+      } finally { counts.unpersist(); () }
     val vocab = vocabRows.map(_._1)
     val unigram = vocabRows.map(_._2)
     val unkCount = total - unigram.sum
@@ -129,11 +135,16 @@ object NgramLm {
           key
         }
       }.toDF("key").groupBy("key").agg(count(lit(1)).as("n"))
-    val nDistinct = bigramCounts.count()
-    require(nDistinct <= maxBigrams,
-      s"train: clean slice has $nDistinct distinct bigrams > maxBigrams=" +
-        s"$maxBigrams — train on a smaller slice or raise the bound deliberately")
-    val pairs = bigramCounts.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // bound-and-collect in ONE action (decontaminate's limit pattern):
+    // the limit caps driver memory before collect, and the +1 row
+    // proves the overflow without a separate count() job re-running
+    // the whole flatMap+shuffle
+    val probeLimit = math.min(maxBigrams.toLong + 1L, Int.MaxValue.toLong).toInt
+    val collected = bigramCounts.limit(probeLimit).collect()
+    require(collected.length <= maxBigrams,
+      s"train: clean slice has more than maxBigrams=$maxBigrams distinct " +
+        "bigrams — train on a smaller slice or raise the bound deliberately")
+    val pairs = collected.map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
     val keys = pairs.map(_._1)
     val vals = pairs.map(_._2)

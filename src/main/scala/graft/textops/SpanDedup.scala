@@ -273,7 +273,11 @@ object SpanDedup {
     val hashes = evalRows.map(_.getLong(0))
     java.util.Arrays.sort(hashes)
     val bcast = spark.sparkContext.broadcast(hashes)
-    df.select(col(idCol).as("_dc_id"), lower(col(textCol)).as("_dc_txt"))
+    // null text folds to '' (0 tokens, unflagged, empty text_clean):
+    // a null would propagate into `flagged`, and a downstream
+    // filter(!flagged) silently drops null rather than passing it
+    df.select(col(idCol).as("_dc_id"),
+      lower(coalesce(col(textCol), lit(""))).as("_dc_txt"))
       .withColumn("_dc_pos", contam_positions(col("_dc_txt"), bcast, k))
       .withColumn("_dc_st", dedup_span_stats(col("_dc_txt"), col("_dc_pos"), k))
       .select(col("_dc_id").as(idCol),
@@ -295,7 +299,11 @@ object SpanDedup {
     */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
     require(k >= 2, s"dedupSpans: k must be >= 2 (got $k); k=1 would trim every repeated token")
-    val base = df.select(col(idCol).as("_sd_id"), lower(col(textCol)).as("_sd_txt"))
+    // null text folds to '' — same contract as [[decontaminate]]: a
+    // null would null out the whole stats struct and vanish from
+    // downstream boolean filters instead of passing through
+    val base = df.select(col(idCol).as("_sd_id"),
+      lower(coalesce(col(textCol), lit(""))).as("_sd_txt"))
     val occ = base.select(col("_sd_id"),
       posexplode(window_hashes(col("_sd_txt"), k)).as(Seq("_pos", "_wh")))
     // first occurrence = min (id, pos) per hash, as two plain `min`
