@@ -53,6 +53,24 @@ class PerceptualHashSpec extends GraftSparkSpec {
     assert(hashOf(Array.emptyByteArray).isEmpty)
   }
 
+  test("indexed-color (GIF) encodes hash through the palette, near the grayscale hash") {
+    def pattern(x: Int, y: Int): Int = 5 + (x * 29 + y * 13) % 230
+    val gray = png(40, 32, pattern)
+    // same pixels encoded as GIF: ImageIO round-trips it with an
+    // IndexColorModel, where raw raster samples are palette INDICES
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(gray))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "gif", bos)
+    val gif = bos.toByteArray
+    val hGray = hashOf(gray).get
+    val hGif = hashOf(gif).get
+    val hamming = java.lang.Long.bitCount(hGray ^ hGif)
+    // resolved through the color model the hashes agree up to gray
+    // round-trip error; comparing raw palette indices instead would
+    // put them ~32 bits apart (random)
+    assert(hamming <= 8, s"gif vs png hamming $hamming — palette indices leaked into the hash")
+  }
+
   test("patternImages twins are byte-distinct but dHash-identical; distinct seeds differ") {
     val imgs = Seq(1L, 2L, 100001L).toDF("doc_id")
     val rows = Multimodal.patternImages(imgs, "doc_id")
