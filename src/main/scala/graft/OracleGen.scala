@@ -59,6 +59,7 @@ object OracleGen {
       "q34_ann_pq" -> (() => annPqOracle(s, dir)),
       "q55_bpe_tokens" -> (() => bpeOracle(s, dir)),
       "q62_image_neardup" -> (() => imageNearDupOracle(s, dir)),
+      "q66_audio_neardup" -> (() => audioNearDupOracle(s, dir)),
       "q64_lm_perplexity" -> (() => lmPerplexityOracle(s, dir)),
       "q65_curation_pipeline" -> (() => curationOracle(s, dir))
     ).flatMap { case (name, gen) =>
@@ -157,7 +158,6 @@ object OracleGen {
     * text fingerprints.
     */
   def imageNearDupOracle(s: SparkSession, dir: String): String = {
-    val maxHamming = 4
     val rows = SparkEntry.imageTwinCorpus(s, dir)
       .select(col("media_id").as("id"),
         graft.multimodal.PerceptualHash.dhash64(col("bytes")).as("fp"))
@@ -165,6 +165,31 @@ object OracleGen {
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
     checkEmbeddable("q62_image_neardup", rows.length.toLong)
+    hamming64PairsSql(rows, maxHamming = 4, cap = 1000L)
+  }
+
+  /** q66: [[imageNearDupOracle]]'s construction over the AUDIO hashes
+    * (slice-energy gradients through the real javax.sound decode) —
+    * same independent chunk/cap/Hamming recomputation.
+    */
+  def audioNearDupOracle(s: SparkSession, dir: String): String = {
+    val rows = SparkEntry.audioTwinCorpus(s, dir)
+      .select(col("media_id").as("id"),
+        graft.multimodal.PerceptualHash.audio_hash64(col("bytes")).as("fp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    checkEmbeddable("q66_audio_neardup", rows.length.toLong)
+    hamming64PairsSql(rows, maxHamming = 4, cap = 1000L)
+  }
+
+  /** The shared Hamming-near-dup oracle body: embed (id, fingerprint)
+    * VALUES, recompute the pigeonhole chunk keys (shared
+    * [[NearDup.simhashChunkParams]]), the bucket cap, the candidate
+    * join, and the exact Hamming verify in DuckDB.
+    */
+  private def hamming64PairsSql(
+      rows: Array[(Long, Long)], maxHamming: Int, cap: Long): String = {
     val fVals = rows.map { case (id, fp) => s"($id, $fp)" }.mkString(", ")
     val pVals = NearDup.simhashChunkParams(maxHamming)
       .map { case (i, off, mask) => s"($i, $off, $mask)" }.mkString(", ")
@@ -177,7 +202,7 @@ object OracleGen {
        |capped AS (
        |  SELECT id, sh, chunk_idx, chunk FROM (
        |    SELECT *, count(*) OVER (PARTITION BY chunk_idx, chunk) AS n
-       |    FROM chunks) WHERE n <= 1000)
+       |    FROM chunks) WHERE n <= $cap)
        |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
        |FROM capped a JOIN capped b

@@ -711,6 +711,30 @@ object SparkEntry {
       recallOf("phash", truth, pairs)
     }),
 
+    // audio perceptual near-dup: REAL javax.sound PCM decode ->
+    // slice-energy gradient hash -> the same pigeonhole chunk join as
+    // q62; corpus = structured WAVs + half-gain twins (byte-distinct,
+    // hash-identical); generated oracle recomputes chunk/cap/Hamming
+    // from the emitted hashes
+    "q66_audio_neardup" -> ((s, dir) => {
+      val fps = audioTwinCorpus(s, dir).select(col("media_id"),
+        graft.multimodal.PerceptualHash.audio_hash64(col("bytes")).as("fp"))
+      graft.textops.NearDup.fingerprintPairs(
+        fps, "media_id", "fp", maxHamming = 4, maxBucketSize = 1000)
+    }),
+
+    // planted half-gain-twin recall gate (gain invariance => hamming 0
+    // => full recall, uncapped)
+    "q67_audio_recall" -> ((s, dir) => {
+      val fps = audioTwinCorpus(s, dir).select(col("media_id"),
+        graft.multimodal.PerceptualHash.audio_hash64(col("bytes")).as("fp"))
+      val pairs = graft.textops.NearDup.fingerprintPairs(
+        fps, "media_id", "fp", maxHamming = 4, maxBucketSize = 0)
+      val truth = table(s, dir, "documents").filter(col("doc_id") < gateDocs)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      recallOf("audiohash", truth, pairs)
+    }),
+
     // bigram-LM perplexity (CCNet-style quality signal): counts trained
     // on the doc_id%10<3 clean slice, broadcast, every doc scored in
     // one narrow codegen'd pass; oracle = generated from an independent
@@ -941,6 +965,20 @@ object SparkEntry {
       .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
     quality.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Bounded twin-planted AUDIO corpus for the perceptual-hash family
+    * (q66/q67): structured PCM WAVs for doc ids < [[gateDocs]] plus a
+    * half-gain twin of each at id + 100000 — byte-distinct,
+    * audioHash64-identical (energy gradients are gain-invariant).
+    * Shared with [[OracleGen.audioNearDupOracle]].
+    */
+  def audioTwinCorpus(s: SparkSession, dir: String): DataFrame = {
+    val ids = table(s, dir, "documents")
+      .filter(col("doc_id") < gateDocs).select(col("doc_id"))
+    graft.multimodal.Multimodal.patternWavs(
+      ids.unionByName(ids.select((col("doc_id") + 100000).as("doc_id"))),
+      "doc_id", twinOffset = 100000L)
   }
 
   /** Shared oracle for q4/q17 — both sessionizer implementations must
@@ -1450,6 +1488,14 @@ object SparkEntry {
     // every planted pair (full recall by construction)
     "q63_phash_recall" ->
       """SELECT 'phash' AS family,
+        |  count(*) AS n_truth, count(*) AS n_found,
+        |  CAST(10000 AS BIGINT) AS recall_x10000
+        |FROM documents WHERE doc_id < 500""".stripMargin,
+
+    // exact half-gain (even samples) leaves every slice-energy gradient
+    // comparison unchanged -> twin hamming 0 -> full recall
+    "q67_audio_recall" ->
+      """SELECT 'audiohash' AS family,
         |  count(*) AS n_truth, count(*) AS n_found,
         |  CAST(10000 AS BIGINT) AS recall_x10000
         |FROM documents WHERE doc_id < 500""".stripMargin,

@@ -291,6 +291,51 @@ object Multimodal {
       }.toDF("media_id", "bytes")
   }
 
+  /** Synthesize a structured PCM WAV corpus for the audio
+    * perceptual-hash family — [[patternImages]]'s audio analogue:
+    * ids m and m + twinOffset render the SAME slice-energy profile,
+    * the twin at exactly HALF gain (every sample value is even, so
+    * the halving is exact and [[PerceptualHash.audioHash64]]'s
+    * energy-gradient comparisons are bit-identical) — a byte-distinct,
+    * hash-identical near-duplicate; distinct seeds get distinct
+    * profiles.
+    */
+  def patternWavs(
+      ids: DataFrame, idCol: String, twinOffset: Long = 100000L): DataFrame = {
+    require(twinOffset > 0, "patternWavs: twinOffset must be positive")
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .map { id =>
+        val seed = id % twinOffset
+        (id, encodePatternWav(seed, halve = id >= twinOffset))
+      }.toDF("media_id", "bytes")
+  }
+
+  private def encodePatternWav(seed: Long, halve: Boolean): Array[Byte] = {
+    val n = 2000 + (seed % 500).toInt
+    val dataSize = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(8000 * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var j = 0
+    while (j < n) {
+      // 64 piecewise-constant amplitude segments; even values so the
+      // twin's /2 is exact; alternating sign keeps a zero-mean wave
+      val amp = 2 * (50 + patternLevel(seed, (j.toLong * 64 / n).toInt, 0) * 3)
+      val v = (if (j % 2 == 0) amp else -amp)
+      buf.putShort((if (halve) v / 2 else v).toShort)
+      j += 1
+    }
+    buf.array()
+  }
+
   /** Deterministic avalanche for the pattern cells (splitmix64-style
     * finalizer over public constants).
     */

@@ -132,4 +132,67 @@ object PerceptualHash {
 
   def dhash64(imageBytes: Column): Column =
     GraftInterop.column(DHash64Expr(GraftInterop.expression(imageBytes)))
+
+  /** 64-bit perceptual AUDIO hash, or null when the payload is not a
+    * decodable 16-bit PCM container (WAV/AIFF/AU — the JDK's
+    * javax.sound set): mean |amplitude| over 65 equal time slices,
+    * bit i = slice(i+1) > slice(i). Gradient comparisons over slice
+    * energies are invariant under any positive GAIN change (volume
+    * normalization — the routine audio re-encode) and robust to mild
+    * noise, mirroring [[dhash64]]'s brightness argument for images.
+    * Same deterministic floor-boundary slicing as the image grid.
+    */
+  def audioHash64(bytes: Array[Byte]): java.lang.Long =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) return null
+        val pcm = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(pcm).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = pcm.length / 2
+        if (n < 2) return null
+        val e = new Array[Double](65)
+        var s = 0
+        while (s < 65) {
+          val i0 = (n.toLong * s / 65).toInt
+          val i1 = math.min(n, math.max(i0 + 1, (n.toLong * (s + 1) / 65).toInt))
+          var acc = 0.0
+          var i = i0
+          while (i < i1) { acc += math.abs(bb.getShort(i * 2).toDouble); i += 1 }
+          e(s) = acc / (i1 - i0)
+          s += 1
+        }
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          if (e(b + 1) > e(b)) hash |= 1L << b
+          b += 1
+        }
+        java.lang.Long.valueOf(hash)
+      } finally in.close()
+    } catch { case _: Exception => null }
+
+  case class AudioHash64Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true // undecodable bytes -> null
+    override def prettyName: String = "audio_hash64"
+    override def nullSafeEval(input: Any): Any =
+      audioHash64(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, { input =>
+        val tmp = ctx.freshName("ah")
+        s"""java.lang.Long $tmp = graft.multimodal.PerceptualHash.audioHash64($input);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def audio_hash64(audioBytes: Column): Column =
+    GraftInterop.column(AudioHash64Expr(GraftInterop.expression(audioBytes)))
 }

@@ -82,6 +82,20 @@ class PerceptualHashSpec extends GraftSparkSpec {
     assert(rows(1L)._2 != rows(2L)._2, "distinct patterns must differ")
   }
 
+  test("audioHash64: gain-invariant, content-sensitive, null on non-audio") {
+    val rows = Multimodal.patternWavs(
+      Seq(1L, 2L, 100001L).toDF("doc_id"), "doc_id")
+      .select(col("media_id"), md5(col("bytes")).as("m"),
+        PerceptualHash.audio_hash64(col("bytes")).as("fp"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows(1L)._1 != rows(100001L)._1, "half-gain twin bytes must differ")
+    assert(rows(1L)._2 == rows(100001L)._2, "half-gain twin hash must be identical")
+    assert(rows(1L)._2 != rows(2L)._2, "distinct profiles must differ")
+    val broken = Seq(Tuple1("not audio".getBytes("UTF-8"))).toDF("bytes")
+      .select(PerceptualHash.audio_hash64(col("bytes")).as("fp")).collect().head
+    assert(broken.isNullAt(0))
+  }
+
   test("fingerprintPairs finds planted twins and drops null fingerprints") {
     val imgs = Multimodal.patternImages(
       (0L until 20L).union((100000L until 100020L)).toDF("doc_id"), "doc_id")
