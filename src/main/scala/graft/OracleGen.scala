@@ -60,6 +60,7 @@ object OracleGen {
       "q55_bpe_tokens" -> (() => bpeOracle(s, dir)),
       "q62_image_neardup" -> (() => imageNearDupOracle(s, dir)),
       "q66_audio_neardup" -> (() => audioNearDupOracle(s, dir)),
+      "q68_video_neardup" -> (() => videoNearDupOracle(s, dir)),
       "q64_lm_perplexity" -> (() => lmPerplexityOracle(s, dir)),
       "q65_curation_pipeline" -> (() => curationOracle(s, dir))
     ).flatMap { case (name, gen) =>
@@ -222,6 +223,30 @@ object OracleGen {
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .sortBy(_._1)
     checkEmbeddable("q31_winnow_pairs", rows.iterator.map(_._2.size.toLong).sum)
+    containmentPairsSql(rows, cap = 200, ratio = "0.5")
+  }
+
+  /** q68: [[winnowOracle]]'s construction over per-video sampled-frame
+    * dHash sets (the real MJPEG decode) — DuckDB recomputes the
+    * fingerprint bucket cap, post-cap denominators, shared counts, and
+    * the containment threshold.
+    */
+  def videoNearDupOracle(s: SparkSession, dir: String): String = {
+    val rows = SparkEntry.videoFrameHashFrame(s, dir)
+      .groupBy(col("id")).agg(sort_array(collect_list(col("fp"))).as("fps"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    checkEmbeddable("q68_video_neardup", rows.iterator.map(_._2.size.toLong).sum)
+    containmentPairsSql(rows, cap = 200, ratio = "0.6")
+  }
+
+  /** The shared containment-pairs oracle body (winnow q31, video q68):
+    * embed per-id DISTINCT fingerprint arrays, recompute everything
+    * downstream in DuckDB.
+    */
+  private def containmentPairsSql(
+      rows: Array[(Long, Seq[Long])], cap: Long, ratio: String): String = {
     val fVals = rows.map { case (id, fps) => s"($id, ${longs(fps)})" }.mkString(", ")
     s"""WITH fv(id, fps) AS (VALUES $fVals),
        |f AS (SELECT CAST(id AS BIGINT) AS id,
@@ -229,7 +254,7 @@ object OracleGen {
        |capped AS (
        |  SELECT id, fp FROM (
        |    SELECT id, fp, count(*) OVER (PARTITION BY fp) AS n FROM f)
-       |  WHERE n <= 200),
+       |  WHERE n <= $cap),
        |wn AS (SELECT id, fp, count(*) OVER (PARTITION BY id) AS nfp FROM capped),
        |g AS (
        |  SELECT a.id AS id_a, a.nfp AS nfp_a, b.id AS id_b, b.nfp AS nfp_b,
@@ -241,7 +266,7 @@ object OracleGen {
        |         round(shared_fingerprints / least(nfp_a, nfp_b), 4) AS containment
        |  FROM g)
        |SELECT id_a, id_b, shared_fingerprints, containment
-       |FROM h WHERE containment >= 0.5""".stripMargin
+       |FROM h WHERE containment >= $ratio""".stripMargin
   }
 
   /** Shared DuckDB scaffolding for the three ANN oracles: normalized

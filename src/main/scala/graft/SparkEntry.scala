@@ -735,6 +735,27 @@ object SparkEntry {
       recallOf("audiohash", truth, pairs)
     }),
 
+    // video perceptual near-dup: per-sampled-frame dHashes through the
+    // REAL MJPEG-in-AVI decode, videos pairing on shared frame hashes
+    // via the winnow containment machinery; corpus = structured AVIs +
+    // re-edit twins (sampled frames byte-identical, container bytes
+    // distinct); generated oracle recomputes cap/denominators/
+    // containment from the emitted per-video frame-hash sets
+    "q68_video_neardup" -> ((s, dir) => {
+      graft.textops.NearDup.fingerprintSetPairs(
+        videoFrameHashFrame(s, dir), minSharedRatio = 0.6, maxBucketSize = 200)
+    }),
+
+    // planted re-edit-twin recall gate: sampled frame-hash sets are
+    // identical -> containment 1.0 -> full recall, uncapped
+    "q69_video_recall" -> ((s, dir) => {
+      val pairs = graft.textops.NearDup.fingerprintSetPairs(
+        videoFrameHashFrame(s, dir), minSharedRatio = 0.6, maxBucketSize = 0)
+      val truth = table(s, dir, "documents").filter(col("doc_id") < gateDocs)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      recallOf("videohash", truth, pairs)
+    }),
+
     // bigram-LM perplexity (CCNet-style quality signal): counts trained
     // on the doc_id%10<3 clean slice, broadcast, every doc scored in
     // one narrow codegen'd pass; oracle = generated from an independent
@@ -980,6 +1001,29 @@ object SparkEntry {
       ids.unionByName(ids.select((col("doc_id") + 100000).as("doc_id"))),
       "doc_id", twinOffset = 100000L)
   }
+
+  /** Bounded twin-planted VIDEO corpus for the perceptual-hash family
+    * (q68/q69): structured MJPEG-in-AVI payloads for doc ids <
+    * [[gateDocs]] plus a re-edit twin of each at id + 100000 — even
+    * (sampled) frames byte-identical, odd frames distinct. Shared with
+    * [[OracleGen.videoNearDupOracle]].
+    */
+  def videoTwinCorpus(s: SparkSession, dir: String): DataFrame = {
+    val ids = table(s, dir, "documents")
+      .filter(col("doc_id") < gateDocs).select(col("doc_id"))
+    graft.multimodal.Multimodal.patternAvis(
+      ids.unionByName(ids.select((col("doc_id") + 100000).as("doc_id"))),
+      "doc_id", twinOffset = 100000L)
+  }
+
+  /** The q68/q69 sampled-frame hash frame over [[videoTwinCorpus]] —
+    * one definition for both queries and the generated oracle.
+    */
+  def videoFrameHashFrame(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.videoFrameHashes(
+      videoTwinCorpus(s, dir), stride = 2, maxFrames = 4)
+      .select(col("media_id").as("id"), col("fhash").as("fp"))
+      .distinct()
 
   /** Shared oracle for q4/q17 — both sessionizer implementations must
     * hash-match the same SQL. */
@@ -1496,6 +1540,14 @@ object SparkEntry {
     // comparison unchanged -> twin hamming 0 -> full recall
     "q67_audio_recall" ->
       """SELECT 'audiohash' AS family,
+        |  count(*) AS n_truth, count(*) AS n_found,
+        |  CAST(10000 AS BIGINT) AS recall_x10000
+        |FROM documents WHERE doc_id < 500""".stripMargin,
+
+    // twins share every sampled (even-index) frame byte-for-byte ->
+    // identical frame-hash sets -> containment 1.0 -> full recall
+    "q69_video_recall" ->
+      """SELECT 'videohash' AS family,
         |  count(*) AS n_truth, count(*) AS n_found,
         |  CAST(10000 AS BIGINT) AS recall_x10000
         |FROM documents WHERE doc_id < 500""".stripMargin,

@@ -336,6 +336,84 @@ object Multimodal {
     buf.array()
   }
 
+  /** Synthesize a structured MJPEG-in-AVI corpus for the VIDEO
+    * perceptual-hash family: ids m and m + twinOffset share
+    * byte-identical EVEN frames (the ones a stride-2 sampler hashes)
+    * while their ODD frames differ — a re-edited near-duplicate whose
+    * sampled-frame dHash set matches the original exactly, with the
+    * container bytes distinct. Frame content is the [[patternImages]]
+    * cell pattern, JPEG-encoded (deterministic encoder: same input,
+    * same bytes). 4 + seed%3 frames of 32x24.
+    */
+  def patternAvis(
+      ids: DataFrame, idCol: String, twinOffset: Long = 100000L): DataFrame = {
+    require(twinOffset > 0, "patternAvis: twinOffset must be positive")
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { id =>
+          val seed = id % twinOffset
+          val frames = Array.tabulate(4 + (seed % 3).toInt) { f =>
+            // even frames keyed by the SHARED seed, odd by the full id:
+            // twins agree exactly on what stride-2 sampling sees
+            val frameSeed = if (f % 2 == 0) seed * 31 + f else id * 31 + f
+            encodePatternJpeg(32, 24, frameSeed)
+          }
+          (id, encodeAviMjpegFrames(32, 24, frames))
+        }
+      }.toDF("media_id", "bytes")
+  }
+
+  private def encodePatternJpeg(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, 5 + patternLevel(seed, x * 9 / w, y * 8 / h))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Per-sampled-frame perceptual hashes of AVI payloads:
+    * (media_id, frame_idx, fhash) for every `stride`-th movi frame up
+    * to `maxFrames`, hashing ONLY the sampled frames' (offset, len)
+    * JPEG slices — the q54 decode shape with
+    * [[PerceptualHash.dhash64]] instead of mean luminance. Videos then
+    * near-dup via shared frame hashes
+    * ([[graft.textops.NearDup.fingerprintSetPairs]] — the winnow
+    * containment machinery over frame fingerprints). Undecodable
+    * frames are skipped; non-AVI payloads produce no rows.
+    */
+  def videoFrameHashes(media: DataFrame, stride: Int, maxFrames: Int): DataFrame = {
+    require(stride > 0, s"videoFrameHashes: stride must be positive, got $stride")
+    require(maxFrames > 0, s"videoFrameHashes: maxFrames must be positive, got $maxFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          parseAvi(bytes).iterator.flatMap { case (_, _, _, chunks) =>
+            (0 until chunks.length by stride).take(maxFrames).iterator.flatMap { fi =>
+              val (off, len) = chunks(fi)
+              Option(PerceptualHash.dhash64Slice(bytes, off, len))
+                .map(h => (id, fi, h.longValue()))
+            }
+          }
+        }
+      }.toDF("media_id", "frame_idx", "fhash")
+  }
+
   /** Deterministic avalanche for the pattern cells (splitmix64-style
     * finalizer over public constants).
     */
@@ -406,12 +484,21 @@ object Multimodal {
     * solid-gray frame. All fields little-endian (RIFF), geometry in both
     * avih and the BITMAPINFOHEADER, fourcc/compression `MJPG`.
     */
-  private def encodeAviMjpeg(width: Int, height: Int, frameGrays: Array[Int]): Array[Byte] = {
+  private def encodeAviMjpeg(width: Int, height: Int, frameGrays: Array[Int]): Array[Byte] =
+    encodeAviMjpegFrames(width, height,
+      frameGrays.map(g => encodeJpeg(width, height, g)))
+
+  /** The container assembly over PRE-ENCODED JPEG frames — opened up so
+    * the video near-dup corpus ([[patternAvis]]) can carry patterned
+    * (non-solid) frames through the identical RIFF tree.
+    */
+  private def encodeAviMjpegFrames(
+      width: Int, height: Int, frames: Array[Array[Byte]]): Array[Byte] = {
     val avih = {
       val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       b.putInt(41667) // usec/frame (24 fps)
         .putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
-        .putInt(frameGrays.length) // dwTotalFrames
+        .putInt(frames.length) // dwTotalFrames
         .putInt(0).putInt(1).putInt(0) // initialFrames, streams, suggestedBufSize
         .putInt(width).putInt(height)
       b.array() // reserved[4] = zeros
@@ -422,7 +509,7 @@ object Multimodal {
         .putInt(0).putShort(0).putShort(0) // flags, priority, language
         .putInt(0) // initialFrames
         .putInt(1).putInt(24) // scale, rate -> 24 fps
-        .putInt(0).putInt(frameGrays.length) // start, length
+        .putInt(0).putInt(frames.length) // start, length
         .putInt(0).putInt(-1).putInt(0) // suggestedBufSize, quality, sampleSize
         .putShort(0).putShort(0)
         .putShort(width.toShort).putShort(height.toShort) // rcFrame
@@ -440,7 +527,7 @@ object Multimodal {
       riffChunk("avih", avih),
       riffList("strl", riffChunk("strh", strh), riffChunk("strf", strf)))
     val movi = riffList("movi",
-      frameGrays.map(g => riffChunk("00dc", encodeJpeg(width, height, g))).toSeq: _*)
+      frames.map(f => riffChunk("00dc", f)).toSeq: _*)
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     val buf = java.nio.ByteBuffer.allocate(8 + body.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

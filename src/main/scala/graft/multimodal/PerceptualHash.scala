@@ -42,9 +42,16 @@ object PerceptualHash {
     * [[Multimodal.decodeImage]]).
     */
   def dhash64(bytes: Array[Byte]): java.lang.Long =
+    dhash64Slice(bytes, 0, bytes.length)
+
+  /** [[dhash64]] over an (offset, length) slice — lets the AVI frame
+    * sampler ([[Multimodal.videoFrameHashes]]) hash embedded JPEG
+    * chunks without copying them out.
+    */
+  def dhash64Slice(bytes: Array[Byte], off: Int, len: Int): java.lang.Long =
     try {
       ImageIO.setUseCache(false)
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val img = ImageIO.read(new ByteArrayInputStream(bytes, off, len))
       if (img == null) return null
       val w = img.getWidth
       val h = img.getHeight

@@ -733,11 +733,25 @@ object NearDup {
       k: Int = 5,
       window: Int = 4,
       minSharedRatio: Double = 0.5,
-      maxBucketSize: Long = 200): DataFrame = {
+      maxBucketSize: Long = 200): DataFrame =
+    fingerprintSetPairs(
+      df.select(col(idCol).as("id"),
+        explode(Winnowing.winnow_fingerprints(col(textCol), k, window)).as("fp"))
+        .distinct(),
+      minSharedRatio, maxBucketSize)
+
+  /** Containment pairs over an exploded DISTINCT (id, fp) fingerprint
+    * frame — [[winnowPairs]]'s machinery factored out so other
+    * set-fingerprint families (per-frame video hashes,
+    * [[graft.multimodal.Multimodal.videoFrameHashes]]) share the
+    * identical capped bucket join + containment verify. Returns
+    * (id_a, id_b, shared_fingerprints, containment).
+    */
+  def fingerprintSetPairs(
+      exploded: DataFrame,
+      minSharedRatio: Double,
+      maxBucketSize: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val exploded = df.select(col(idCol).as("id"),
-      explode(Winnowing.winnow_fingerprints(col(textCol), k, window)).as("fp"))
-      .distinct()
     // Bucket cap (window over fp), then per-doc fingerprint count AFTER
     // the cap (window over id) — the denominator must measure the same
     // universe the join can actually match in. Carrying nfp on every row

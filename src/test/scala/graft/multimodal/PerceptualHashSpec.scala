@@ -96,6 +96,25 @@ class PerceptualHashSpec extends GraftSparkSpec {
     assert(broken.isNullAt(0))
   }
 
+  test("videoFrameHashes: re-edit twins share every sampled frame hash; containment pairs them") {
+    val rows = Multimodal.patternAvis(
+      Seq(1L, 2L, 100001L).toDF("doc_id"), "doc_id")
+    val md5s = rows.select(col("media_id"), md5(col("bytes")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(md5s(1L) != md5s(100001L), "twin container bytes must differ (odd frames)")
+    val hashes = Multimodal.videoFrameHashes(rows, stride = 2, maxFrames = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val bySet = hashes.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(bySet(1L) == bySet(100001L), "sampled frame-hash sets must be identical")
+    assert(bySet(1L) != bySet(2L), "distinct videos must differ")
+    val pairs = graft.textops.NearDup.fingerprintSetPairs(
+      Multimodal.videoFrameHashes(rows, stride = 2, maxFrames = 4)
+        .select(col("media_id").as("id"), col("fhash").as("fp")).distinct(),
+      minSharedRatio = 0.6, maxBucketSize = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.toSeq == Seq((1L, 100001L, 1.0)))
+  }
+
   test("fingerprintPairs finds planted twins and drops null fingerprints") {
     val imgs = Multimodal.patternImages(
       (0L until 20L).union((100000L until 100020L)).toDF("doc_id"), "doc_id")
