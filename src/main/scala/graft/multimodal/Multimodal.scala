@@ -243,8 +243,16 @@ object Multimodal {
   /** Minimal PCM WAV writer: RIFF/fmt/data chunks, 16-bit mono LE; the
     * sample wave is a deterministic sawtooth seeded by `step`.
     */
-  private def encodeWav(sampleRate: Int, nSamples: Int, step: Int): Array[Byte] = {
-    val dataSize = nSamples * 2
+  private def encodeWav(sampleRate: Int, nSamples: Int, step: Int): Array[Byte] =
+    wavPcmContainer(sampleRate,
+      Array.tabulate(nSamples)(i => (((i * step) % 256 - 128) * 64).toShort))
+
+  /** The one 44-byte RIFF/WAVE/fmt/data header assembly (16-bit mono
+    * PCM) — shared by every WAV generator so the header constants
+    * cannot drift between corpora.
+    */
+  private def wavPcmContainer(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
@@ -254,11 +262,7 @@ object Multimodal {
       .putInt(sampleRate).putInt(sampleRate * 2)
       .putShort(2).putShort(16) // block align, bits per sample
       .put("data".getBytes("US-ASCII")).putInt(dataSize)
-    var i = 0
-    while (i < nSamples) {
-      buf.putShort((((i * step) % 256 - 128) * 64).toShort)
-      i += 1
-    }
+    samples.foreach(buf.putShort)
     buf.array()
   }
 
@@ -314,26 +318,13 @@ object Multimodal {
 
   private def encodePatternWav(seed: Long, halve: Boolean): Array[Byte] = {
     val n = 2000 + (seed % 500).toInt
-    val dataSize = n * 2
-    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
-      .put("WAVE".getBytes("US-ASCII"))
-      .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(1) // PCM, mono
-      .putInt(8000).putInt(8000 * 2)
-      .putShort(2).putShort(16)
-      .put("data".getBytes("US-ASCII")).putInt(dataSize)
-    var j = 0
-    while (j < n) {
+    wavPcmContainer(8000, Array.tabulate(n) { j =>
       // 64 piecewise-constant amplitude segments; even values so the
       // twin's /2 is exact; alternating sign keeps a zero-mean wave
       val amp = 2 * (50 + patternLevel(seed, (j.toLong * 64 / n).toInt, 0) * 3)
       val v = (if (j % 2 == 0) amp else -amp)
-      buf.putShort((if (halve) v / 2 else v).toShort)
-      j += 1
-    }
-    buf.array()
+      (if (halve) v / 2 else v).toShort
+    })
   }
 
   /** Synthesize a structured MJPEG-in-AVI corpus for the VIDEO
@@ -366,22 +357,8 @@ object Multimodal {
       }.toDF("media_id", "bytes")
   }
 
-  private def encodePatternJpeg(w: Int, h: Int, seed: Long): Array[Byte] = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        raster.setSample(x, y, 0, 5 + patternLevel(seed, x * 9 / w, y * 8 / h))
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "jpg", bos)
-    bos.toByteArray
-  }
+  private def encodePatternJpeg(w: Int, h: Int, seed: Long): Array[Byte] =
+    encodePatternImage(w, h, seed, brightness = 0, "jpg")
 
   /** Per-sampled-frame perceptual hashes of AVI payloads:
     * (media_id, frame_idx, fhash) for every `stride`-th movi frame up
@@ -424,18 +401,26 @@ object Multimodal {
     (((z & 0x7FFFFFFFFFFFFFFFL) % 236L).toInt)
   }
 
-  private def encodePatternPng(seed: Long, brightness: Int): Array[Byte] = {
-    val w = 24 + (seed % 16).toInt
-    val h = 24 + ((seed * 5) % 16).toInt
+  private def encodePatternPng(seed: Long, brightness: Int): Array[Byte] =
+    encodePatternImage(
+      24 + (seed % 16).toInt, 24 + ((seed * 5) % 16).toInt, seed, brightness, "png")
+
+  /** The one pattern-raster encode (9x8-ish hash-level cells over a
+    * TYPE_BYTE_GRAY raster) behind every pattern corpus — image twins
+    * (PNG, brightness-shifted) and video frames (JPEG) must share the
+    * cell formula or the corpora drift apart. Cell alignment with
+    * dHash's grid is NOT required (the twin constructions rely on
+    * brightness/gain invariance, not cell alignment) — x*9/w is just a
+    * convenient piecewise-constant structure.
+    */
+  private def encodePatternImage(
+      w: Int, h: Int, seed: Long, brightness: Int, format: String): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        // cell index via the same floor map dHash's grid uses is not
-        // required (brightness shift alone makes the twin) — x*9/w is
-        // just a convenient piecewise-constant structure
         raster.setSample(x, y, 0,
           5 + patternLevel(seed, x * 9 / w, y * 8 / h) + brightness)
         x += 1
@@ -443,7 +428,7 @@ object Multimodal {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    ImageIO.write(img, format, bos)
     bos.toByteArray
   }
 

@@ -94,25 +94,31 @@ object IndexOps {
     // compactIndex delete the tombstone file while the old
     // tombstone-bearing dataset is still live, silently resurrecting
     // deleted ids. Every step must either succeed or abort the compact.
-    def must(ok: Boolean, step: String): Unit =
+    def must(ok: Boolean, step: String, state: String): Unit =
       if (!ok) throw new java.io.IOException(
         s"compactIndex: $step failed for $dir/$name — aborting before " +
-          "the tombstone clear (re-run compact; the index is unchanged)")
+          s"the tombstone clear. $state Re-running compact heals and " +
+          "completes the swap.")
     // heal a previous crash mid-swap: live missing but .bak present
-    if (!f.exists(live) && f.exists(bak)) must(f.rename(bak, live), "bak restore")
+    if (!f.exists(live) && f.exists(bak)) must(f.rename(bak, live), "bak restore",
+      "The dataset is at its .bak path; probes fail until restored.")
     if (!f.exists(live)) return // dataset not written yet (e.g. ledger-only index)
     f.delete(fresh, true) // false = nothing to delete; verified below
     f.delete(bak, true)
-    must(!f.exists(fresh) && !f.exists(bak), "stale .compact/.bak cleanup")
+    must(!f.exists(fresh) && !f.exists(bak), "stale .compact/.bak cleanup",
+      "The live dataset is unchanged.")
     // repartition, not coalesce: bounds the file count while keeping
     // the write parallel (coalesce(1) would single-thread a large
     // dataset rewrite)
     dropTombstoned(spark, dir, spark.read.parquet(live.toString), idCol)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(fresh.toString)
-    must(f.rename(live, bak), "live -> .bak rename")
-    must(f.rename(fresh, live), ".compact -> live rename")
-    must(f.delete(bak, true) || !f.exists(bak), ".bak delete")
+    must(f.rename(live, bak), "live -> .bak rename",
+      "The live dataset is unchanged.")
+    must(f.rename(fresh, live), ".compact -> live rename",
+      "The live dataset is MISSING (it sits at .bak); probes fail until re-run.")
+    must(f.delete(bak, true) || !f.exists(bak), ".bak delete",
+      "The compacted dataset is live; only the stale .bak remains.")
     ()
   }
 }

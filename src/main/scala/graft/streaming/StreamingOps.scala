@@ -265,21 +265,26 @@ object StreamingOps {
           .withColumn(NearDup.ShCol,
             NearDup.hashedShingles(org.apache.spark.sql.functions.col(textCol), shingleSize))
           .localCheckpoint(true)
-        val survivors = NearDup.dedupNewBatchPrepared(
-          withSh, idCol, indexDir, k, bands, threshold, maxBucketSize)
-          .localCheckpoint(true)
-        // sink FIRST: if it fails, the replay sees an unchanged index
-        // and re-delivers — at-least-once holds. Append-first would
-        // make the replay anti-join away its own batch (delivered to
-        // the index, lost to the sink).
-        sink(survivors.drop(NearDup.ShCol), batchId)
-        NearDup.writeMinhashIndexFromShingles(
-          survivors.select(
-            org.apache.spark.sql.functions.col(idCol).as("id"),
-            org.apache.spark.sql.functions.col(NearDup.ShCol).as("sh")),
-          indexDir, k, bands, "append")
-        survivors.unpersist()
-        withSh.unpersist()
+        // unpersist in finally: a transiently-failing sink would
+        // otherwise leak BOTH checkpoint block sets on every replayed
+        // batch until executor storage degrades the stream
+        try {
+          val survivors = NearDup.dedupNewBatchPrepared(
+            withSh, idCol, indexDir, k, bands, threshold, maxBucketSize)
+            .localCheckpoint(true)
+          try {
+            // sink FIRST: if it fails, the replay sees an unchanged index
+            // and re-delivers — at-least-once holds. Append-first would
+            // make the replay anti-join away its own batch (delivered to
+            // the index, lost to the sink).
+            sink(survivors.drop(NearDup.ShCol), batchId)
+            NearDup.writeMinhashIndexFromShingles(
+              survivors.select(
+                org.apache.spark.sql.functions.col(idCol).as("id"),
+                org.apache.spark.sql.functions.col(NearDup.ShCol).as("sh")),
+              indexDir, k, bands, "append")
+          } finally { survivors.unpersist(); () }
+        } finally { withSh.unpersist(); () }
         ()
     }
 
@@ -306,13 +311,17 @@ object StreamingOps {
         // the fingerprint expression (an image decode) runs once, and
         // the survivors are pinned BEFORE the append mutates the index
         val pinned = batch.toDF().localCheckpoint(true)
-        val survivors = NearDup.dedupNewFingerprintBatch(
-          pinned, idCol, fpCol, indexDir, maxHamming, maxBucketSize)
-          .localCheckpoint(true)
-        sink(survivors, batchId)
-        NearDup.appendToFingerprintIndex(survivors, idCol, fpCol, indexDir)
-        survivors.unpersist()
-        pinned.unpersist()
+        // unpersist in finally — same leak-on-retry argument as
+        // dedupIngest above
+        try {
+          val survivors = NearDup.dedupNewFingerprintBatch(
+            pinned, idCol, fpCol, indexDir, maxHamming, maxBucketSize)
+            .localCheckpoint(true)
+          try {
+            sink(survivors, batchId)
+            NearDup.appendToFingerprintIndex(survivors, idCol, fpCol, indexDir)
+          } finally { survivors.unpersist(); () }
+        } finally { pinned.unpersist(); () }
         ()
     }
 
