@@ -325,6 +325,41 @@ object StreamingOps {
         ()
     }
 
+  /** Streaming incremental SUBSTRING dedup — the span family's
+    * ingestion loop ([[dedupIngest]]'s shape over
+    * [[graft.textops.SpanDedup.dedupSpansNewBatch]]): each batch drops
+    * replayed ids, trims in-batch duplicate spans AND spans already
+    * seen in history, delivers the trimmed rows to `sink`, then
+    * appends the batch's ids + window hashes so the next batch sees
+    * them. Sink-first keeps at-least-once; the ledger-first append
+    * order inside [[graft.textops.SpanDedup.appendToSpanIndex]] keeps
+    * replays no-ops. Batch ids must ascend across batches.
+    */
+  def spanDedupIngest(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      sink: (DataFrame, Long) => Unit, k: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.textops.SpanDedup
+        val pinned = batch.toDF().localCheckpoint(true)
+        try {
+          val out = SpanDedup.dedupSpansNewBatch(
+            pinned, idCol, textCol, indexDir, k).localCheckpoint(true)
+          try {
+            sink(out, batchId)
+            // append the FRESH rows' ORIGINAL text (history must hold
+            // every window seen, including ones trimmed from the
+            // output): out carries exactly the fresh ids
+            SpanDedup.appendToSpanIndex(
+              pinned.join(out.select(org.apache.spark.sql.functions.col(idCol)),
+                Seq(idCol), "left_semi"),
+              idCol, textCol, indexDir, k)
+          } finally { out.unpersist(); () }
+        } finally { pinned.unpersist(); () }
+        ()
+    }
+
   final case class BurstKey(source: String, ip: String, request_uri: String)
   final case class BurstEvent(source: String, ip: String, request_uri: String,
       epochMicros: Long, status: Int)

@@ -288,6 +288,121 @@ object SpanDedup {
         col("_dc_st.text_dedup").as("text_clean"))
   }
 
+  /** Number of hash-derived partitions the span index's window file is
+    * written under — the probe prunes to the buckets a batch actually
+    * touches.
+    */
+  private val SpanIndexBuckets = 256
+
+  /** Persist a SPAN index for incremental substring dedup:
+    * `dir/ids.parquet` (the ingestion ledger — every ingested doc id)
+    * and `dir/windows.parquet` (wh, partitioned by `pb = wh mod 256`)
+    * holding every k-token window hash seen so far. New batches trim
+    * against history without rescanning it
+    * ([[dedupSpansNewBatch]]). Same k as the probe or the hashes
+    * won't align.
+    */
+  def buildSpanIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, k: Int = 8): Unit =
+    writeSpanIndex(df, idCol, textCol, dir, k, "overwrite")
+
+  /** Append a batch (its ids, then its distinct window hashes) to a
+    * persisted span index. LEDGER FIRST: a crash between the two
+    * writes leaves ids whose windows are missing — those windows lose
+    * dedup power for later batches, but a REPLAY of the batch is still
+    * dropped by the ledger, which is the corruption that matters (the
+    * reverse order would let a replayed batch trim itself against its
+    * own just-appended windows and emit garbage). Caller contract:
+    * batch ids are new and ascend across batches (history-wins
+    * semantics equal the global run only when later batches have
+    * larger ids — SpanIndexSpec pins it).
+    */
+  def appendToSpanIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, k: Int = 8): Unit =
+    writeSpanIndex(df, idCol, textCol, dir, k, "append")
+
+  private def writeSpanIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, k: Int, mode: String): Unit = {
+    df.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode(mode).parquet(s"$dir/ids.parquet")
+    df.select(explode(
+        window_hashes(lower(coalesce(col(textCol), lit(""))), k)).as("wh"))
+      .distinct()
+      .withColumn("pb", pmod(col("wh"), lit(SpanIndexBuckets.toLong)).cast("int"))
+      .write.mode(mode).partitionBy("pb").parquet(s"$dir/windows.parquet")
+  }
+
+  /** Incremental substring dedup of a NEW batch against a persisted
+    * span index: (1) ids already in the ledger are dropped whole
+    * (replayed batch → no rows, the at-least-once contract);
+    * (2) within the batch, [[dedupSpans]]'s first-occurrence logic
+    * applies; (3) additionally, any window whose hash exists in
+    * HISTORY is trimmed (history always wins — equal to the global
+    * run when ids ascend across batches). Returns [[dedupSpans]]'s
+    * schema for the surviving batch rows. The caller appends the
+    * batch afterwards ([[appendToSpanIndex]]) so the next batch sees
+    * it — [[graft.streaming.StreamingOps.spanDedupIngest]] wires both.
+    *
+    * 100 TB shape: the history side is NEVER reshuffled — the probe
+    * prunes `windows.parquet` to the (≤256) hash buckets the batch
+    * touches, and the window equi-join's small side is the BATCH
+    * (AQE broadcasts it at typical batch sizes, leaving history
+    * scan-only); everything else is the linear dedupSpans machinery.
+    */
+  def dedupSpansNewBatch(df: DataFrame, idCol: String, textCol: String,
+      dir: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"dedupSpansNewBatch: k must be >= 2 (got $k)")
+    val spark = df.sparkSession
+    val ledgerPath = new org.apache.hadoop.fs.Path(s"$dir/ids.parquet")
+    val exists = ledgerPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ledgerPath)
+    val fresh =
+      if (!exists) df
+      else df.join(
+        spark.read.parquet(s"$dir/ids.parquet").select(col("id").as(idCol)),
+        Seq(idCol), "left_anti")
+    val base = fresh.select(col(idCol).as("_sd_id"),
+      lower(coalesce(col(textCol), lit(""))).as("_sd_txt"))
+    val occ = base.select(col("_sd_id"),
+      posexplode(window_hashes(col("_sd_txt"), k)).as(Seq("_pos", "_wh")))
+    val w = Window.partitionBy("_wh")
+    val inBatch = occ
+      .withColumn("_first_id", min(col("_sd_id")).over(w))
+      .withColumn("_first_pos",
+        min(when(col("_sd_id") === col("_first_id"), col("_pos"))).over(w))
+      .filter(col("_sd_id") > col("_first_id") ||
+        (col("_sd_id") === col("_first_id") && col("_pos") > col("_first_pos")))
+      .select(col("_sd_id"), col("_pos"))
+    val dups = if (!exists) inBatch else {
+      val winPath = new org.apache.hadoop.fs.Path(s"$dir/windows.parquet")
+      val winExists = winPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(winPath)
+      if (!winExists) inBatch // ledger-only crash state: no history windows
+      else {
+        // prune history to the hash buckets this batch touches (a
+        // bounded <=256-value driver collect), then equi-join on the
+        // hash — the batch side is the small one
+        val pbs = occ
+          .select(pmod(col("_wh"), lit(SpanIndexBuckets.toLong)).cast("int").as("pb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val hist = spark.read.parquet(s"$dir/windows.parquet")
+          .filter(col("pb").isin(pbs: _*)).select(col("wh").as("_wh"))
+        val fromHistory = occ.join(hist, Seq("_wh"))
+          .select(col("_sd_id"), col("_pos"))
+        inBatch.unionByName(fromHistory).distinct()
+      }
+    }
+    val perDoc = dups.groupBy("_sd_id")
+      .agg(sort_array(collect_list(col("_pos"))).as("_dps"))
+    base.join(perDoc, Seq("_sd_id"), "left")
+      .withColumn("_st", dedup_span_stats(col("_sd_txt"),
+        coalesce(col("_dps"), typedLit(Seq.empty[Int])), k))
+      .select(col("_sd_id").as(idCol),
+        col("_st.n_tokens").as("n_tokens"),
+        col("_st.n_dropped").as("n_dropped"),
+        col("_st.text_dedup").as("text_dedup"))
+  }
+
   /** Corpus-wide duplicated-span removal. Returns one row per input row:
     * (idCol, n_tokens, n_dropped, text_dedup) where `text_dedup` is the
     * lowered kept tokens joined by single spaces (empty string when the
