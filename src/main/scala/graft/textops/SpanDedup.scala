@@ -403,6 +403,55 @@ object SpanDedup {
         col("_st.text_dedup").as("text_dedup"))
   }
 
+  /** [[decontaminate]] for eval corpora too large to broadcast: the
+    * eval set's window hashes live in a persisted span index
+    * ([[buildSpanIndex]] over the eval corpus), and the corpus probes
+    * it by JOIN instead of broadcast — bucket-pruned history scan,
+    * corpus-window side shuffled on the hash (or the eval side
+    * broadcast by AQE when it measures small, collapsing to the
+    * [[decontaminate]] plan). Output schema and semantics match
+    * [[decontaminate]] exactly (DecontamIndexSpec pins equality on a
+    * shared corpus); the index's id LEDGER is ignored — eval docs are
+    * not being ingested, only matched against.
+    */
+  def decontaminateAgainstIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      evalIndexDir: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"decontaminateAgainstIndex: k must be >= 2 (got $k)")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("_dc_id"),
+      lower(coalesce(col(textCol), lit(""))).as("_dc_txt"))
+    val occ = base.select(col("_dc_id"),
+      posexplode(window_hashes(col("_dc_txt"), k)).as(Seq("_pos", "_wh")))
+    val winPath = new org.apache.hadoop.fs.Path(s"$evalIndexDir/windows.parquet")
+    val winExists = winPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(winPath)
+    val hits =
+      if (!winExists) occ.select(col("_dc_id"), col("_pos")).limit(0)
+      else {
+        val pbs = occ
+          .select(pmod(col("_wh"), lit(SpanIndexBuckets.toLong)).cast("int").as("pb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        occ.join(
+          spark.read.parquet(s"$evalIndexDir/windows.parquet")
+            .filter(col("pb").isin(pbs: _*)).select(col("wh").as("_wh")),
+          Seq("_wh"))
+          .select(col("_dc_id"), col("_pos"))
+      }
+    val perDoc = hits.groupBy("_dc_id")
+      .agg(sort_array(collect_list(col("_pos"))).as("_dps"),
+        count(lit(1)).as("_novr"))
+    base.join(perDoc, Seq("_dc_id"), "left")
+      .withColumn("_st", dedup_span_stats(col("_dc_txt"),
+        coalesce(col("_dps"), typedLit(Seq.empty[Int])), k))
+      .select(col("_dc_id").as(idCol),
+        col("_st.n_tokens").as("n_tokens"),
+        coalesce(col("_novr"), lit(0L)).as("n_overlap_windows"),
+        (coalesce(col("_novr"), lit(0L)) > 0).as("flagged"),
+        col("_st.n_dropped").as("n_dropped"),
+        col("_st.text_dedup").as("text_clean"))
+  }
+
   /** Corpus-wide duplicated-span removal. Returns one row per input row:
     * (idCol, n_tokens, n_dropped, text_dedup) where `text_dedup` is the
     * lowered kept tokens joined by single spaces (empty string when the
