@@ -197,4 +197,88 @@ class PropertySpec extends GraftSparkSpec {
       assert(graft.textops.Bpe.countTokens(u, half) >= n, s"t='$t'")
     }
   }
+
+  // -- perceptual hashes -----------------------------------------------------
+
+  private val imgGen: Gen[(Int, Int, Array[Int])] = for {
+    w <- Gen.chooseNum(9, 48)
+    h <- Gen.chooseNum(8, 40)
+    px <- Gen.listOfN(w * h, Gen.chooseNum(0, 200))
+  } yield (w, h, px.toArray)
+
+  private def pngOf(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    while (i < px.length) { img.getRaster.setSample(i % w, i / w, 0, px(i)); i += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash invariance: any uniform brightness shift preserves the hash on random images") {
+    forAll(imgGen, 25) { case (w, h, px) =>
+      val base = graft.multimodal.PerceptualHash.dhash64(pngOf(w, h, px))
+      for (shift <- Seq(1, 17, 55)) { // px <= 200, shift <= 55 -> no clamp
+        val shifted = graft.multimodal.PerceptualHash.dhash64(
+          pngOf(w, h, px.map(_ + shift)))
+        assert(base == shifted, s"w=$w h=$h shift=$shift")
+      }
+    }
+  }
+
+  private val wavGen: Gen[Array[Short]] = Gen.chooseNum(8, 600).flatMap(n =>
+    // even values in [-8000, 8000]: exact halving, no rounding drift
+    Gen.listOfN(n, Gen.chooseNum(-4000, 4000).map(v => (v * 2).toShort))
+      .map(_.toArray))
+
+  private def wavOf(samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  test("audioHash invariance: exact halving preserves the hash on random waveforms") {
+    forAll(wavGen, 25) { samples =>
+      val base = graft.multimodal.PerceptualHash.audioHash64(wavOf(samples))
+      val halved = graft.multimodal.PerceptualHash.audioHash64(
+        wavOf(samples.map(s => (s / 2).toShort)))
+      assert(base != null && base == halved, s"n=${samples.length}")
+    }
+  }
+
+  // -- decontamination -------------------------------------------------------
+
+  private val tokenGen: Gen[String] = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+  private val docGen: Gen[String] =
+    Gen.listOfN(12, tokenGen).map(_.mkString(" "))
+
+  test("decontaminate flags exactly the docs sharing a k-token window (naive twin)") {
+    forAll(Gen.zip(Gen.listOfN(6, docGen), Gen.listOfN(2, docGen)), 8) {
+      case (corpus, evals) =>
+        val k = 4
+        def windows(t: String): Set[Seq[String]] =
+          t.split(" ").toSeq.sliding(k).filter(_.length == k).map(_.toSeq).toSet
+        val evalWins = evals.flatMap(windows).toSet
+        val expected = corpus.zipWithIndex.collect {
+          case (d, i) if windows(d).exists(evalWins.contains) => i.toLong
+        }.toSet
+        val got = graft.textops.SpanDedup.decontaminate(
+          corpus.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "text"),
+          "doc_id", "text",
+          evals.map(Tuple1(_)).toDF("text"), "text", k = k)
+          .filter(col("flagged")).select("doc_id").as[Long].collect().toSet
+        assert(got == expected, s"corpus=$corpus evals=$evals")
+    }
+  }
 }
