@@ -44,7 +44,7 @@ object OracleGen {
         "run the verify gate at a smaller sf (rows-only fallback applies)")
   }
 
-  /** All six generated oracles. Each generator runs small Spark jobs on
+  /** All generated oracles. Each generator runs small Spark jobs on
     * the same sf dir the queries read; a failure drops that entry (the
     * driver then records the weaker rows-only check, same as before)
     * rather than killing the whole dump.

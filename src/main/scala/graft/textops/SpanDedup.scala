@@ -416,7 +416,8 @@ object SpanDedup {
     */
   def decontaminateAgainstIndex(
       df: DataFrame, idCol: String, textCol: String,
-      evalIndexDir: String, k: Int = 8): DataFrame = {
+      evalIndexDir: String, k: Int = 8,
+      bucketPrune: Boolean = true): DataFrame = {
     require(k >= 2, s"decontaminateAgainstIndex: k must be >= 2 (got $k)")
     val spark = df.sparkSession
     val base = df.select(col(idCol).as("_dc_id"),
@@ -429,13 +430,25 @@ object SpanDedup {
     val hits =
       if (!winExists) occ.select(col("_dc_id"), col("_pos")).limit(0)
       else {
-        val pbs = occ
-          .select(pmod(col("_wh"), lit(SpanIndexBuckets.toLong)).cast("int").as("pb"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        occ.join(
-          spark.read.parquet(s"$evalIndexDir/windows.parquet")
-            .filter(col("pb").isin(pbs: _*)).select(col("wh").as("_wh")),
-          Seq("_wh"))
+        // bucketPrune collects the probe side's (<=256) touched hash
+        // buckets — a FULL extra pass over the probe frame. Worth it
+        // when probing a small batch against a large eval index;
+        // disable for corpus-scale probes, where every bucket is
+        // touched and the pass is pure waste.
+        val histAll = spark.read.parquet(s"$evalIndexDir/windows.parquet")
+        val hist =
+          if (!bucketPrune) histAll
+          else {
+            val pbs = occ
+              .select(pmod(col("_wh"), lit(SpanIndexBuckets.toLong)).cast("int").as("pb"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            histAll.filter(col("pb").isin(pbs: _*))
+          }
+        // distinct: an eval index grown by appends holds duplicate wh
+        // rows (per-batch distinct only) — without the dedup a shared
+        // window would double-count n_overlap_windows and break the
+        // documented equality with [[decontaminate]]
+        occ.join(hist.select(col("wh").as("_wh")).distinct(), Seq("_wh"))
           .select(col("_dc_id"), col("_pos"))
       }
     val perDoc = hits.groupBy("_dc_id")

@@ -41,6 +41,27 @@ class DecontamIndexSpec extends GraftSparkSpec {
     assert(viaIndex(2L)._3 === false && viaIndex(4L)._3 === false)
   }
 
+  test("append-grown eval index (duplicate window rows) still equals broadcast; prune-off too") {
+    val evalA = Seq(Tuple1(probe)).toDF("text").withColumn("doc_id", lit(0L))
+    // second eval batch SHARES the probe window hashes (same text)
+    val evalB = Seq(Tuple1(probe + " extra tail tokens")).toDF("text")
+      .withColumn("doc_id", lit(1L))
+    val dir = Files.createTempDirectory("decontam_idx3").toString
+    SpanDedup.buildSpanIndex(evalA, "doc_id", "text", dir)
+    SpanDedup.appendToSpanIndex(evalB, "doc_id", "text", dir)
+    val corpus = Seq(1L -> ("intro " + probe + " outro")).toDF("doc_id", "text")
+    val broadcastForm = SpanDedup.decontaminate(
+      corpus, "doc_id", "text",
+      evalA.select("text").unionByName(evalB.select("text")), "text")
+      .collect().map(_.toSeq).toSet
+    for (prune <- Seq(true, false)) {
+      val viaIndex = SpanDedup.decontaminateAgainstIndex(
+        corpus, "doc_id", "text", dir, bucketPrune = prune)
+        .collect().map(_.toSeq).toSet
+      assert(viaIndex == broadcastForm, s"bucketPrune=$prune")
+    }
+  }
+
   test("missing window file (ledger-only eval index) flags nothing") {
     val dir = Files.createTempDirectory("decontam_idx2").toString
     SpanDedup.buildSpanIndex(
