@@ -82,8 +82,28 @@ object Bench {
         }
         if (times.contains(-1.0)) { failed += name; (name, -1.0, -1.0) }
         else {
-          val sorted = times.sorted
-          (name, sorted(sorted.length / 2), sorted.last - sorted.head)
+          // Spread-triggered escalation: on a contended box all three
+          // passes can land slow together (round-6 artifact: q10_rules
+          // recorded 5.62 s spread 3.17 against a 3.27 s steady state).
+          // When the passes disagree by more than max(1 s, median), two
+          // extra passes re-take the median over all five — a transient
+          // spike now needs 3 of 5 slow passes to move the number.
+          var sorted = times.sorted
+          var median = sorted(sorted.length / 2)
+          if (sorted.last - sorted.head > math.max(1.0, median)) {
+            val extra = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+              catch { case _: Throwable => -1.0 }
+            }.filter(_ >= 0)
+            sorted = (times ++ extra).sorted
+            median = sorted(sorted.length / 2)
+            // trimmed spread: drop the single min and max of the 5 so
+            // the reported spread describes the re-taken median's
+            // neighborhood, not the spike that triggered escalation
+            if (sorted.length >= 5) sorted = sorted.slice(1, sorted.length - 1)
+          }
+          (name, median, sorted.last - sorted.head)
         }
       }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

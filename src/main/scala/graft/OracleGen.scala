@@ -162,6 +162,9 @@ object OracleGen {
     val rows = SparkEntry.imageTwinCorpus(s, dir)
       .select(col("media_id").as("id"),
         graft.multimodal.PerceptualHash.dhash64(col("bytes")).as("fp"))
+      // undecodable payloads hash to null; fingerprintPairs drops them
+      // too, so the oracle must filter BEFORE getLong (NPE otherwise)
+      .filter(col("fp").isNotNull)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
@@ -177,6 +180,8 @@ object OracleGen {
     val rows = SparkEntry.audioTwinCorpus(s, dir)
       .select(col("media_id").as("id"),
         graft.multimodal.PerceptualHash.audio_hash64(col("bytes")).as("fp"))
+      // same null-drop as the engine side (see imageNearDupOracle)
+      .filter(col("fp").isNotNull)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
@@ -404,7 +409,7 @@ object OracleGen {
     val ctx: Map[Int, Long] =
       model.contextCounts.zipWithIndex.map { case (c, id) => (id, c) }.toMap
     def score(text: String): (Long, Double, Double) = {
-      val toks = text.toLowerCase
+      val toks = text.toLowerCase(java.util.Locale.ROOT)
         .split("[ \t\n\\x0B\f\r]+").filter(_.nonEmpty)
       var h = model.startId
       var nll = 0.0

@@ -78,7 +78,16 @@ object IndexOps {
       compactDataset(spark, dir, name, idCol, targetFiles)
     }
     val t = new Path(tombPath(dir))
-    fs(spark, t).delete(t, true)
+    val tf = fs(spark, t)
+    // delete() signals failure by returning false; a silently-kept
+    // tombstone file would suppress ids legitimately re-added after
+    // this compact — same must() discipline as every swap step above.
+    if (!(tf.delete(t, true) || !tf.exists(t)))
+      throw new java.io.IOException(
+        s"compactIndex: tombstone clear failed for $dir — datasets are " +
+          "compacted but the stale tombstone set would suppress re-added " +
+          "ids. Re-running compact heals (it re-applies the tombstones " +
+          "and retries the clear).")
     ()
   }
 

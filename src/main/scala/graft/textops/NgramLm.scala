@@ -165,7 +165,10 @@ object NgramLm {
     */
   def score(text: UTF8String, bcast: Broadcast[Model]): GenericInternalRow = {
     val m = bcast.value
-    val s = text.toString.toLowerCase
+    // Locale.ROOT matches Spark's lower() ASCII fast path used at
+    // training time; the default locale would diverge under e.g. tr_TR
+    // ('I' -> dotless 'ı'), making every such token OOV at scoring.
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     var ctx = m.startId
     var nll = 0.0
     var n = 0L

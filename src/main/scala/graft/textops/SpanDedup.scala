@@ -248,6 +248,14 @@ object SpanDedup {
     * 64-bit window-hash equality (same vanishing-collision argument as
     * [[dedupSpans]]); both sides tokenize with the family's lowered
     * whitespace tokenizer.
+    *
+    * Each call collects and BROADCASTS the eval hash set anew (same
+    * per-invocation broadcast contract as [[NgramLm.lm_score]]); the
+    * broadcast lives until the SparkContext is stopped. A per-batch
+    * caller looping over micro-batches against the SAME eval set
+    * should call once, reuse the returned plan, or use
+    * [[decontaminateAgainstIndex]] (which keys off a persisted index
+    * instead of a per-call broadcast).
     */
   def decontaminate(
       df: DataFrame, idCol: String, textCol: String,
