@@ -62,7 +62,8 @@ object OracleGen {
       "q66_audio_neardup" -> (() => audioNearDupOracle(s, dir)),
       "q68_video_neardup" -> (() => videoNearDupOracle(s, dir)),
       "q64_lm_perplexity" -> (() => lmPerplexityOracle(s, dir)),
-      "q65_curation_pipeline" -> (() => curationOracle(s, dir))
+      "q65_curation_pipeline" -> (() => curationOracle(s, dir)),
+      "q71_shuffle_shard" -> (() => shuffleShardOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -187,6 +188,43 @@ object OracleGen {
       .sortBy(_._1)
     checkEmbeddable("q66_audio_neardup", rows.length.toLong)
     hamming64PairsSql(rows, maxHamming = 4, cap = 1000L)
+  }
+
+  /** q71: the ONLY engine-supplied inputs are the per-doc permutation
+    * keys (`xxhash64(seed, doc_id)` — DuckDB has no xxhash64), emitted
+    * by the same expression [[graft.operators.CorpusOrder.shuffleKey]]
+    * the query uses. DuckDB independently recomputes the token counts
+    * from the documents table, the (key, id) permutation order, the
+    * one-window running total in that order, and the shard DIV —
+    * i.e. the entire chunked-prefix-sum machinery under test.
+    */
+  def shuffleShardOracle(s: SparkSession, dir: String): String = {
+    val keys = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.CorpusOrder.shuffleKey(42L, col("doc_id")).as("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    checkEmbeddable("q71_shuffle_shard", keys.length.toLong)
+    val kVals = keys.map { case (id, k) => s"($id, $k)" }.mkString(", ")
+    // raw interpolator: the \t\n\x0b in the token regex must reach
+    // DuckDB as literal backslash sequences (s"" would reject \x)
+    raw"""WITH kv(doc_id, k) AS (VALUES $kVals),
+       |t AS (
+       |  SELECT d.doc_id, CAST(kv.k AS BIGINT) AS shuffle_key,
+       |    CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(d.text), '[ \t\n\x0b\f\r]+'))
+       |         END AS BIGINT) AS n_tokens
+       |  FROM documents d JOIN kv ON kv.doc_id = d.doc_id),
+       |c AS (
+       |  SELECT doc_id, n_tokens, shuffle_key,
+       |         sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, n_tokens, shuffle_key,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |  CAST(greatest(cum_tokens - 1, 0) // 5000 AS BIGINT) AS shard_id
+       |FROM c""".stripMargin
   }
 
   /** The shared Hamming-near-dup oracle body: embed (id, fingerprint)

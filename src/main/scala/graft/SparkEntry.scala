@@ -685,6 +685,34 @@ object SparkEntry {
         budget = 5000L, cumCol = "cum_tokens")
     }),
 
+    // token-bounded output sharding — the materialize-for-training
+    // last stage: cut the corpus (in doc_id order) into contiguous
+    // <=5000-token shards (a doc never splits; an oversized doc gets
+    // its own shard); rides q56's chunked cumsum — ONE full-data
+    // shuffle, the shard assignment is a row-local integral DIV
+    "q70_token_shards" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Budget.shardByTokenBudget(
+        docs, col("doc_id"), col("n_tokens"), shardBudget = 5000L,
+        shardCol = "shard_id", cumCol = "cum_tokens", chunkSize = 1000L)
+    }),
+
+    // deterministic global corpus shuffle composed with sharding: the
+    // seeded xxhash64 permutation defines the training order, the
+    // token cumsum runs in THAT order, shards cut the shuffled stream
+    // — shuffle-then-shard, still ONE full-data shuffle. Oracle is
+    // generated: engine emits only (doc_id, shuffle_key); DuckDB
+    // independently recomputes tokens, the (key, id) order, the
+    // cumsum, and the shard assignment
+    "q71_shuffle_shard" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
+      graft.operators.CorpusOrder.shuffleShard(
+        docs, seed = 42L, idCol = col("doc_id"), weightCol = col("n_tokens"),
+        shardBudget = 5000L)
+    }),
+
     // perceptual-hash image near-dup: REAL ImageIO decode -> dHash ->
     // the simhash family's pigeonhole chunk join (fingerprintPairs).
     // Corpus = structured PNGs + byte-distinct brightness-shifted twins
@@ -1772,6 +1800,26 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens <= 5000""".stripMargin,
+
+    // the one-window cumsum + integer DIV is the shard semantics; the
+    // engine's chunked two-phase cumsum + row-local DIV must reproduce
+    // it exactly (DuckDB // is floor division — equal to Spark's
+    // truncating div for the non-negative greatest(cum-1, 0))
+    "q70_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+        |         END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(greatest(cum_tokens - 1, 0) // 5000 AS BIGINT) AS shard_id
+        |FROM c""".stripMargin,
 
     // hash-free twin of decontaminate (q53's technique, asymmetric
     // form): eval windows are literal 8-token STRINGS from the eval

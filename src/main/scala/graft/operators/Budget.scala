@@ -63,12 +63,38 @@ object Budget {
     require(budget >= 0, s"takeWhileBudget: budget must be >= 0, got $budget")
     require(chunkSize > 0, s"takeWhileBudget: chunkSize must be positive, got $chunkSize")
     requireIntegralWeight(df, weightCol, "takeWhileBudget")
+    runningTotal(df, orderCol, Nil, weightCol, cumCol, chunkSize)
+      .filter(col(cumCol) <= budget)
+  }
+
+  /** The distributed prefix sum behind [[takeWhileBudget]] and
+    * [[shardByTokenBudget]]: `df` with the INCLUSIVE running
+    * `weightCol` total in ascending (`orderCol`, `tiebreak*`) order
+    * appended as `cumCol`. `orderCol` must be numeric-castable (it is
+    * also the chunking key); (`orderCol`, tiebreak) must be unique and
+    * non-null per row. The plan shape is documented on the object:
+    * ONE full-data hash shuffle, a summary-frame window, and an
+    * AQE-broadcastable join back.
+    *
+    * `tiebreak` exists for hash-ordered passes ([[CorpusOrder]]): the
+    * bucket is a function of `orderCol` alone, but the within-bucket
+    * sort appends the tiebreak columns so equal hash keys still have a
+    * deterministic global order.
+    */
+  private[operators] def runningTotal(
+      df: DataFrame,
+      orderCol: Column,
+      tiebreak: Seq[Column],
+      weightCol: Column,
+      cumCol: String,
+      chunkSize: Long): DataFrame = {
     // floor(double) is weakly monotone in orderCol even past 2^53
     // (round-to-double, /positive, floor are each monotone), which is
     // the only property the cut needs from the bucketing; true floor
     // also keeps negative ids ordered (floor(-3/2) = -2)
     val bucket = floor(orderCol.cast("double") / chunkSize).cast("long")
-    val inBucket = Window.partitionBy(col("_bkt")).orderBy(orderCol)
+    val inBucket = Window.partitionBy(col("_bkt"))
+      .orderBy(orderCol +: tiebreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val localCum = df
       .withColumn("_bkt", bucket)
@@ -97,9 +123,72 @@ object Budget {
     localCum
       .join(offsets, Seq("_bkt"))
       .withColumn(cumCol, col("_base") + col("_local_cum"))
-      .filter(col(cumCol) <= budget)
       .drop("_bkt", "_w", "_local_cum", "_base")
   }
+
+  /** Token-bounded output sharding — the MATERIALIZE-FOR-TRAINING step
+    * that ends a real curation run: assign each document a shard id so
+    * that consecutive documents (in ascending `orderCol` order) fill
+    * each shard up to `shardBudget` weight before the next shard
+    * starts. Returns `df` + `cumCol` (inclusive running total) +
+    * `shardCol` where
+    *
+    *   shard_id = (cum_weight - 1) DIV shardBudget   (clamped at 0)
+    *
+    * i.e. shard s holds the rows whose running total lies in
+    * (s*B, (s+1)*B]. Every shard's total weight is <= shardBudget
+    * + (its first row's weight - 1): a document NEVER splits across
+    * shards, so a row heavier than the budget gets a shard of its own
+    * (and zero-weight rows ride along with their predecessor's shard).
+    * Shard ids are dense from 0 while weights are positive.
+    *
+    * Same contract as [[takeWhileBudget]]: `orderCol` numeric, unique,
+    * non-null; weights integral and >= 0 (negative weights would break
+    * the monotone running sum that makes shards contiguous).
+    *
+    * 100 TB shape: rides [[runningTotal]]'s ONE full-data shuffle —
+    * the shard assignment itself is a row-local projection on top, no
+    * new exchange (verified by the ShardingSpec plan audit). Write
+    * with [[writeTokenShards]].
+    */
+  def shardByTokenBudget(
+      df: DataFrame,
+      orderCol: Column,
+      weightCol: Column,
+      shardBudget: Long,
+      shardCol: String = "shard_id",
+      cumCol: String = "cum_tokens",
+      chunkSize: Long = 100000L): DataFrame = {
+    require(shardBudget > 0,
+      s"shardByTokenBudget: shardBudget must be positive, got $shardBudget")
+    require(chunkSize > 0,
+      s"shardByTokenBudget: chunkSize must be positive, got $chunkSize")
+    requireIntegralWeight(df, weightCol, "shardByTokenBudget")
+    runningTotal(df, orderCol, Nil, weightCol, cumCol, chunkSize)
+      // integral DIV, not floating /: cum can exceed 2^53 at corpus
+      // scale where a double quotient would round. greatest(..,0)
+      // covers leading zero-weight rows (cum = 0 -> shard 0).
+      .withColumn(shardCol,
+        expr(s"greatest(`$cumCol` - 1L, 0L) div ${shardBudget}L"))
+  }
+
+  /** Write a sharded frame as one directory per shard
+    * (`outDir/<shardCol>=N/...`), each shard's rows in ascending
+    * `orderCol` order within its files — the training-shard layout a
+    * loader streams sequentially. One hash exchange on the shard id
+    * (so each shard is written by exactly one task — without it every
+    * input task would emit a file into every shard directory, file
+    * count = tasks x shards); a shard is at most `shardBudget` tokens,
+    * so the per-task sort is bounded by construction.
+    */
+  def writeTokenShards(
+      df: DataFrame,
+      shardCol: String,
+      orderCol: Column,
+      outDir: String): Unit =
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), orderCol)
+      .write.partitionBy(shardCol).mode("overwrite").parquet(outDir)
 
   /** Per-GROUP budget cut: within each `groupCols` group, keep rows in
     * ascending `orderCol` order while the group's inclusive running
@@ -135,7 +224,7 @@ object Budget {
     * weights explicitly first. Null weights count as 0 (the row is
     * kept free); resolved at plan time, no job runs.
     */
-  private def requireIntegralWeight(df: DataFrame, weightCol: Column, api: String): Unit = {
+  private[operators] def requireIntegralWeight(df: DataFrame, weightCol: Column, api: String): Unit = {
     val dt = df.select(weightCol).schema.head.dataType
     require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
       s"$api: weight column must be an integral type, got ${dt.typeName}; " +
