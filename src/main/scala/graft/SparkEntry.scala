@@ -713,6 +713,29 @@ object SparkEntry {
         shardBudget = 5000L)
     }),
 
+    // URL canonicalization + URL-level dedup: the canonicalize-then-
+    // dedup step a crawl pipeline runs BEFORE content dedup. Messy
+    // URLs planted from doc_id (the q58 replant pattern): variants
+    // 0/1/2 collapse to one canonical form (default port, host/scheme
+    // case, dot segments, fragment, tracking params), 3 keeps a real
+    // param, 4 keeps a non-default port — the oracle replants and
+    // canonicalizes with DuckDB string/regex functions and keeps
+    // row_number()=1 per canonical key
+    "q72_url_dedup" -> ((s, dir) => {
+      val n = (col("doc_id") % 50).cast("string")
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(lit("https://Example.COM:443/articles/"), n, lit("?utm_source=feed&utm_campaign=x#frag")))
+          .when(col("doc_id") % 5 === 1, concat(lit("https://example.com/articles/"), n))
+          .when(col("doc_id") % 5 === 2, concat(lit("HTTPS://EXAMPLE.com/news/../articles/"), n, lit("?ref=tw")))
+          .when(col("doc_id") % 5 === 3, concat(lit("https://example.com/./articles/"), n, lit("?utm_medium=y&keep=1")))
+          .otherwise(concat(lit("http://example.com:8080/Articles/"), n, lit("?a=1&gclid=z&b=2")))
+          .as("url"))
+      val canon = planted.withColumn("url_canon",
+        graft.functions.UrlCanon.canonicalize_url(col("url")))
+      graft.operators.Dedup.exact(canon, Seq(col("url_canon")), col("doc_id"))
+        .select(col("doc_id"), col("url"), col("url_canon"))
+    }),
+
     // perceptual-hash image near-dup: REAL ImageIO decode -> dHash ->
     // the simhash family's pigeonhole chunk join (fingerprintPairs).
     // Corpus = structured PNGs + byte-distinct brightness-shifted twins
@@ -1820,6 +1843,55 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
         |  CAST(greatest(cum_tokens - 1, 0) // 5000 AS BIGINT) AS shard_id
         |FROM c""".stripMargin,
+
+    // the DuckDB twin of UrlCanon.canonicalize over the planted
+    // fixture: fragment strip, scheme/authority lowering, default-port
+    // drop, bounded-regex dot-segment resolution (two passes cover the
+    // fixture's single ./ and ../ occurrences; the engine runs the
+    // full RFC 3986 stack algorithm — equal on this domain), tracking-
+    // param filter via list_filter, then keep-first per canonical key
+    "q72_url_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'https://Example.COM:443/articles/' || (doc_id % 50)::VARCHAR || '?utm_source=feed&utm_campaign=x#frag'
+        |      WHEN 1 THEN 'https://example.com/articles/' || (doc_id % 50)::VARCHAR
+        |      WHEN 2 THEN 'HTTPS://EXAMPLE.com/news/../articles/' || (doc_id % 50)::VARCHAR || '?ref=tw'
+        |      WHEN 3 THEN 'https://example.com/./articles/' || (doc_id % 50)::VARCHAR || '?utm_medium=y&keep=1'
+        |      ELSE 'http://example.com:8080/Articles/' || (doc_id % 50)::VARCHAR || '?a=1&gclid=z&b=2'
+        |    END AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u
+        |  FROM planted),
+        |comp AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS auth,
+        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path,
+        |    CASE WHEN strpos(u, '?') > 0 THEN substr(u, strpos(u, '?') + 1) ELSE '' END AS q
+        |  FROM parts),
+        |norm AS (
+        |  SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |         ELSE auth END AS auth,
+        |    CASE WHEN path = '' THEN '/' ELSE
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(path,
+        |        '/\./', '/', 'g'), '/\./', '/', 'g'),
+        |        '/[^/]+/\.\./', '/', 'g'), '/[^/]+/\.\./', '/', 'g') END AS path,
+        |    coalesce(array_to_string(list_filter(string_split(q, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)')), '&'), '') AS q
+        |  FROM comp),
+        |canon AS (
+        |  SELECT doc_id, url,
+        |    scheme || '://' || auth || path ||
+        |      CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_canon
+        |  FROM norm)
+        |SELECT doc_id, url, url_canon FROM (
+        |  SELECT doc_id, url, url_canon,
+        |    row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rn
+        |  FROM canon) WHERE rn = 1""".stripMargin,
 
     // hash-free twin of decontaminate (q53's technique, asymmetric
     // form): eval windows are literal 8-token STRINGS from the eval
