@@ -63,7 +63,8 @@ object OracleGen {
       "q68_video_neardup" -> (() => videoNearDupOracle(s, dir)),
       "q64_lm_perplexity" -> (() => lmPerplexityOracle(s, dir)),
       "q65_curation_pipeline" -> (() => curationOracle(s, dir)),
-      "q71_shuffle_shard" -> (() => shuffleShardOracle(s, dir))
+      "q71_shuffle_shard" -> (() => shuffleShardOracle(s, dir)),
+      "q73_quality_classifier" -> (() => qualityClassifierOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -479,6 +480,63 @@ object OracleGen {
     s"""WITH expv(doc_id, n_tokens, avg_nll, ppl) AS (VALUES $vals)
        |SELECT d.doc_id, CAST(e.n_tokens AS BIGINT) AS n_tokens,
        |  CAST(e.avg_nll AS DOUBLE) AS avg_nll, CAST(e.ppl AS DOUBLE) AS ppl
+       |FROM documents d JOIN expv e ON e.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** q73: the q64 technique for the hashed-feature classifier — an
+    * independent driver scorer sharing ONLY the trained weight vector
+    * (and the fixture constants): its own FNV-1a implementation, its
+    * own regex tokenizer, its own mean/sigmoid arithmetic replaying
+    * the documented accumulation order (tokens then bigrams, text
+    * order) so the doubles match bit-for-bit before rounding.
+    */
+  def qualityClassifierOracle(s: SparkSession, dir: String): String = {
+    import graft.textops.QualityClassifier
+    val planted = SparkEntry.qualityLabeledDocs(s, dir)
+    val wts = QualityClassifier.train(
+      planted.filter(col("doc_id") % 10 < 3), "text", "label", "doc_id")
+    // independent FNV-1a 64 (the published constants, re-typed here on
+    // purpose — a transcription bug on either side breaks the match)
+    def fnv(sIn: String): Long = {
+      var h = -3750763034362895579L // 0xcbf29ce484222325
+      for (b <- sIn.getBytes(java.nio.charset.StandardCharsets.UTF_8)) {
+        h = (h ^ (b & 0xffL)) * 1099511628211L // 0x100000001b3
+      }
+      h
+    }
+    def idx(f: String): Int = {
+      val m = fnv(f) % wts.dim
+      (if (m < 0) m + wts.dim else m).toInt
+    }
+    def score(text: String): (Double, Boolean) = {
+      val toks = (if (text == null) "" else text)
+        .toLowerCase(java.util.Locale.ROOT)
+        .split("[ \t\n\\x0B\f\r]+").filter(_.nonEmpty)
+      var dot = 0.0
+      toks.foreach(t => dot += wts.w(idx(t)))
+      toks.sliding(2).foreach {
+        case Array(a, b) => dot += wts.w(idx(a + " " + b))
+        case _ =>
+      }
+      val n = toks.length + math.max(toks.length - 1, 0)
+      val z = wts.bias + (if (n == 0) 0.0 else dot / n)
+      val p = 1.0 / (1.0 + math.exp(-z))
+      (p, p >= 0.5)
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = planted.select("doc_id", "text", "label").collect()
+      .map { r =>
+        val (p, pred) = score(r.getString(1))
+        (r.getLong(0), r.getBoolean(2), r4(p), pred)
+      }.sortBy(_._1)
+    checkEmbeddable("q73_quality_classifier", rows.length.toLong)
+    val vals = rows.map { case (id, l, p, pr) =>
+      s"($id, $l, $p, $pr)"
+    }.mkString(", ")
+    s"""WITH expv(doc_id, label, score, pred) AS (VALUES $vals)
+       |SELECT d.doc_id, CAST(e.label AS BOOLEAN) AS label,
+       |  CAST(e.score AS DOUBLE) AS score, CAST(e.pred AS BOOLEAN) AS pred
        |FROM documents d JOIN expv e ON e.doc_id = d.doc_id""".stripMargin
   }
 

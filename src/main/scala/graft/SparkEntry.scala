@@ -736,6 +736,22 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("url_canon"))
     }),
 
+    // hashed-feature linear quality classifier (fastText-style): train
+    // deterministic logistic regression driver-side on the labeled
+    // slice (doc_id%10<3), broadcast the weight table, score the whole
+    // corpus in one codegen'd pass. Oracle: an independent scorer
+    // (own FNV/tokenizer/arithmetic) sharing only the weight vector
+    // embeds expected per-doc scores
+    "q73_quality_classifier" -> ((s, dir) => {
+      val planted = qualityLabeledDocs(s, dir)
+      val wts = graft.textops.QualityClassifier.train(
+        planted.filter(col("doc_id") % 10 < 3), "text", "label", "doc_id")
+      planted.select(col("doc_id"), col("label"),
+        graft.textops.QualityClassifier.quality_score(s, col("text"), wts).as("_qs"))
+        .select(col("doc_id"), col("label"),
+          round(col("_qs.score"), 4).as("score"), col("_qs.pred").as("pred"))
+    }),
+
     // perceptual-hash image near-dup: REAL ImageIO decode -> dHash ->
     // the simhash family's pigeonhole chunk join (fingerprintPairs).
     // Corpus = structured PNGs + byte-distinct brightness-shifted twins
@@ -922,6 +938,27 @@ object SparkEntry {
     * every-97th eval docs and any natural overlap, which the oracle
     * recomputes identically).
     */
+  /** Two spam variants for the quality-classifier fixture (q73):
+    * planted over doc_id%4==0 documents, so the labeled slice is
+    * linearly separable on hashed token/bigram features. Repeated 6x
+    * so spam n-gram mass dominates each bad document.
+    */
+  private[graft] val spamA: String =
+    "buy cheap pills online now best price guaranteed limited offer"
+  private[graft] val spamB: String =
+    "click here to win free prize money today instant payout"
+
+  /** The q73 labeled corpus: every 4th document's text replaced by
+    * repeated spam (label=false), the rest kept raw (label=true).
+    */
+  private[graft] def qualityLabeledDocs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        when(col("doc_id") % 8 === 0, concat_ws(" ", Seq.fill(6)(lit(spamA)): _*))
+          .otherwise(concat_ws(" ", Seq.fill(6)(lit(spamB)): _*)))
+        .otherwise(col("text")).as("text"),
+      (col("doc_id") % 4 =!= 0).as("label"))
+
   private[graft] val evalProbe1: String =
     "held out benchmark question what is the capital of freedonia answer unknown"
   private[graft] val evalProbe2: String =
