@@ -30,12 +30,90 @@ import org.apache.spark.sql.functions._
   * tombstone file LAST, so a crash at any step is healed by simply
   * re-running compact — the prologue restores a half-swapped dataset
   * from its `.bak` and re-applies the still-present tombstones.
-  * Compaction is a maintenance operation: run it from one process,
-  * not concurrently with probes of the same index.
+  *
+  * Mutation exclusivity: every mutating entry point (the family
+  * appends, [[removeFromIndex]], [[compactIndex]]) runs under
+  * [[withMutationLock]] — a second concurrent mutator FAILS FAST with
+  * [[ConcurrentMutationException]] instead of silently corrupting the
+  * index. Probes stay lock-free; do not probe an index while
+  * compacting it (the swap window moves files under the reader).
   */
 object IndexOps {
 
   private def tombPath(dir: String) = s"$dir/tombstones.parquet"
+  private def lockPath(dir: String) = s"$dir/_mutation.lock"
+
+  /** A second mutator found the index locked. Not retried internally:
+    * the caller decides whether to wait, fail the job, or (after a
+    * verified crash) [[IndexOps.forceClearMutationLock]].
+    */
+  final class ConcurrentMutationException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Serialize index MUTATIONS (append / delete / compact) behind an
+    * exclusive lock file, turning the documented single-mutator
+    * contract into a loud failure instead of silent corruption: the
+    * second mutator's `create(overwrite = false)` fails (atomic on
+    * HDFS and object-store semantics Hadoop exposes; best-effort
+    * check-then-create on the local FS) and raises
+    * [[ConcurrentMutationException]] naming the holder.
+    *
+    * The lock releases on BOTH normal and exceptional exit — a live
+    * process that failed its mutation knows it is done mutating. Only
+    * process DEATH leaves the lock behind; the next mutator then
+    * fails fast with the stale holder's tag, and an operator who has
+    * verified the holder is gone clears it with
+    * [[forceClearMutationLock]] (mutations stay crash-safe
+    * independently of the lock: ledger-first appends replay cleanly
+    * and compact heals by re-running — the lock only rules out
+    * CONCURRENT writers).
+    *
+    * Probes never take the lock: reads stay lock-free (the existing
+    * probe-vs-maintenance caveat on [[compactIndex]] stands).
+    */
+  def withMutationLock[A](spark: SparkSession, dir: String, op: String)(body: => A): A = {
+    val p = new Path(lockPath(dir))
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val stream =
+      try f.create(p, false)
+      catch {
+        case e: java.io.IOException =>
+          val holder =
+            try {
+              val in = f.open(p)
+              try {
+                val buf = new Array[Byte](4096)
+                val n = in.read(buf)
+                new String(buf, 0, math.max(n, 0),
+                  java.nio.charset.StandardCharsets.UTF_8).trim
+              } finally in.close()
+            } catch { case _: Throwable => "<unreadable>" }
+          throw new ConcurrentMutationException(
+            s"index at $dir is being mutated by [$holder] — concurrent " +
+              "mutations corrupt the index. If that process crashed " +
+              "(verify it is gone), clear the stale lock with " +
+              s"IndexOps.forceClearMutationLock and re-run. ($e)")
+      }
+    try {
+      stream.write(s"$op pid=${ProcessHandle.current().pid()} t=${
+        java.time.Instant.now()}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally stream.close()
+    try body
+    finally { f.delete(p, false); () }
+  }
+
+  /** Clear a stale mutation lock left by a DEAD mutator. Only for
+    * operator use after verifying the holder process is gone —
+    * clearing a LIVE mutator's lock reintroduces exactly the
+    * concurrent-write corruption the lock exists to prevent.
+    */
+  def forceClearMutationLock(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(lockPath(dir))
+    val f = fs(spark, p)
+    if (!(f.delete(p, false) || !f.exists(p)))
+      throw new java.io.IOException(s"forceClearMutationLock: delete failed for $p")
+  }
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -51,8 +129,10 @@ object IndexOps {
     * semantics don't count).
     */
   def removeFromIndex(ids: DataFrame, idCol: String, dir: String): Unit =
-    ids.select(col(idCol).cast("long").as("id")).distinct()
-      .write.mode("append").parquet(tombPath(dir))
+    withMutationLock(ids.sparkSession, dir, "delete") {
+      ids.select(col(idCol).cast("long").as("id")).distinct()
+        .write.mode("append").parquet(tombPath(dir))
+    }
 
   /** `df` minus tombstoned ids, matching on `df`'s `joinCol`. The
     * no-tombstone fast path keeps the plan unchanged (and the build's
@@ -72,7 +152,14 @@ object IndexOps {
     */
   def compactIndex(
       spark: SparkSession, dir: String,
-      datasets: Seq[(String, String)], targetFiles: Int = 4): Unit = {
+      datasets: Seq[(String, String)], targetFiles: Int = 4): Unit =
+    withMutationLock(spark, dir, "compact") {
+      compactIndexLocked(spark, dir, datasets, targetFiles)
+    }
+
+  private def compactIndexLocked(
+      spark: SparkSession, dir: String,
+      datasets: Seq[(String, String)], targetFiles: Int): Unit = {
     require(targetFiles > 0, s"compactIndex: targetFiles must be positive")
     datasets.foreach { case (name, idCol) =>
       compactDataset(spark, dir, name, idCol, targetFiles)

@@ -155,7 +155,9 @@ object NearDup {
   def appendToMinhashIndex(
       df: DataFrame, idCol: String, textCol: String, dir: String,
       shingleSize: Int = 3, k: Int = 32, bands: Int = 8): Unit =
-    writeMinhashIndex(df, idCol, textCol, dir, shingleSize, k, bands, "append")
+    graft.operators.IndexOps.withMutationLock(df.sparkSession, dir, "append-minhash") {
+      writeMinhashIndex(df, idCol, textCol, dir, shingleSize, k, bands, "append")
+    }
 
   private def writeMinhashIndex(
       df: DataFrame, idCol: String, textCol: String, dir: String,
@@ -522,7 +524,9 @@ object NearDup {
     * append ≡ rebuild-from-union. Caller contract: batch ids are new.
     */
   def appendToSimhashIndex(df: DataFrame, idCol: String, textCol: String, dir: String): Unit =
-    writeSimhashIndex(df, idCol, textCol, dir, "append")
+    graft.operators.IndexOps.withMutationLock(df.sparkSession, dir, "append-simhash") {
+      writeSimhashIndex(df, idCol, textCol, dir, "append")
+    }
 
   private def writeSimhashIndex(
       df: DataFrame, idCol: String, textCol: String, dir: String, mode: String): Unit =
@@ -548,7 +552,9 @@ object NearDup {
     * rebuild-from-union.
     */
   def appendToFingerprintIndex(df: DataFrame, idCol: String, fpCol: String, dir: String): Unit =
-    writeFingerprintIndex(df, idCol, fpCol, dir, "append")
+    graft.operators.IndexOps.withMutationLock(df.sparkSession, dir, "append-fingerprint") {
+      writeFingerprintIndex(df, idCol, fpCol, dir, "append")
+    }
 
   /** fp.parquet doubles as the ingestion LEDGER
     * ([[dedupNewFingerprintBatch]]'s replay anti-join), so NULL
@@ -676,7 +682,9 @@ object NearDup {
     */
   def appendToWinnowIndex(df: DataFrame, idCol: String, textCol: String, dir: String,
       k: Int = 5, window: Int = 4): Unit =
-    writeWinnowIndex(df, idCol, textCol, dir, k, window, "append")
+    graft.operators.IndexOps.withMutationLock(df.sparkSession, dir, "append-winnow") {
+      writeWinnowIndex(df, idCol, textCol, dir, k, window, "append")
+    }
 
   private def writeWinnowIndex(
       df: DataFrame, idCol: String, textCol: String, dir: String,

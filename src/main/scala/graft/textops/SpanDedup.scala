@@ -327,7 +327,9 @@ object SpanDedup {
     */
   def appendToSpanIndex(df: DataFrame, idCol: String, textCol: String,
       dir: String, k: Int = 8): Unit =
-    writeSpanIndex(df, idCol, textCol, dir, k, "append")
+    graft.operators.IndexOps.withMutationLock(df.sparkSession, dir, "append-span") {
+      writeSpanIndex(df, idCol, textCol, dir, k, "append")
+    }
 
   private def writeSpanIndex(df: DataFrame, idCol: String, textCol: String,
       dir: String, k: Int, mode: String): Unit = {

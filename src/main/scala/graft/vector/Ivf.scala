@@ -263,12 +263,13 @@ object Ivf {
     * appending an existing id would double it in every later search.
     */
   def appendToIndex(
-      batch: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
-    val centroids = loadCentroids(batch.sparkSession, dir)
-    batch.select(col(idCol).as("id"),
-      nearest_cells(col(vecCol), centroids, 1).getItem(0).as("cell"))
-      .write.mode("append").parquet(s"$dir/cells.parquet")
-  }
+      batch: DataFrame, idCol: String, vecCol: String, dir: String): Unit =
+    graft.operators.IndexOps.withMutationLock(batch.sparkSession, dir, "append-ivf") {
+      val centroids = loadCentroids(batch.sparkSession, dir)
+      batch.select(col(idCol).as("id"),
+        nearest_cells(col(vecCol), centroids, 1).getItem(0).as("cell"))
+        .write.mode("append").parquet(s"$dir/cells.parquet")
+    }
 
   private[graft] def loadCentroids(
       spark: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] =

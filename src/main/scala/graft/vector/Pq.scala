@@ -347,13 +347,14 @@ object Pq {
     * batch's ids are new (dedup/anti-join against the index first).
     */
   def appendToIndex(
-      batch: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
-    val (centroids, codebooks) = loadQuantizer(batch.sparkSession, dir)
-    batch.select(col(idCol).as("id"),
-      Ivf.nearest_cells(col(vecCol), centroids, 1).getItem(0).as("cell"),
-      pq_encode(col(vecCol), codebooks).as("code"))
-      .write.mode("append").parquet(s"$dir/codes.parquet")
-  }
+      batch: DataFrame, idCol: String, vecCol: String, dir: String): Unit =
+    graft.operators.IndexOps.withMutationLock(batch.sparkSession, dir, "append-pq") {
+      val (centroids, codebooks) = loadQuantizer(batch.sparkSession, dir)
+      batch.select(col(idCol).as("id"),
+        Ivf.nearest_cells(col(vecCol), centroids, 1).getItem(0).as("cell"),
+        pq_encode(col(vecCol), codebooks).as("code"))
+        .write.mode("append").parquet(s"$dir/codes.parquet")
+    }
 
   /** The saved quantizer pair of a persisted index — shared by
     * [[searchIndex]] and [[appendToIndex]] so the search and append
