@@ -85,11 +85,13 @@ object NgramLm {
 
   /** Train on the clean slice: lowered whitespace tokens, top-`vocabSize`
     * vocabulary by (count desc, token asc), bigram counts with OOV
-    * folded to unk and a `<s>` context opening each document. Bounded:
-    * the distinct-bigram count must stay under `maxBigrams` (checked
-    * BEFORE collect) — the clean slice is curated and small relative to
-    * the corpus being scored, like [[SpanDedup.decontaminate]]'s eval
-    * side.
+    * folded to unk and a `<s>` context opening each document. Both
+    * training passes are codegen'd scans + hash counts (the bigram
+    * pass emits packed keys through [[BigramKeysExpr]] — no
+    * object-serde anywhere), so the SLICE can be corpus-scale; the
+    * driver bound is the MODEL: distinct (vocab-folded) bigrams must
+    * stay under `maxBigrams` (checked BEFORE collect), which vocabSize
+    * caps at (V+2)^2 regardless of slice size.
     */
   def train(
       df: DataFrame, textCol: String,
@@ -116,25 +118,16 @@ object NgramLm {
     val vocab = vocabRows.map(_._1)
     val unigram = vocabRows.map(_._2)
     val unkCount = total - unigram.sum
-    val unkId = vocab.length
-    val startId = vocab.length + 1
-    val vocabIdx = vocab.zipWithIndex.toMap
-    val bVocabIdx = spark.sparkContext.broadcast(vocabIdx)
     // packed (ctx, word) id pairs per document, OOV folded to unk,
-    // <s> opening each doc — a distributed flatMap + one hash count
-    val bigramCounts = df.select(lower(col(textCol)).as("t")).as[String]
-      .flatMap { t =>
-        val idx = bVocabIdx.value
-        val parts = if (t == null) Array.empty[String]
-          else t.split(WsRegex).filter(_.nonEmpty)
-        var ctx = startId
-        parts.iterator.map { tok =>
-          val w = idx.getOrElse(tok, unkId)
-          val key = (ctx.toLong << 32) | w.toLong
-          ctx = w
-          key
-        }
-      }.toDF("key").groupBy("key").agg(count(lit(1)).as("n"))
+    // <s> opening each doc — a codegen'd expression + explode + one
+    // hash count (the WindowHashesExpr idiom; the earlier typed
+    // Dataset.flatMap was the family's one object-serde island and
+    // bounded training to small slices for no reason)
+    val bVocab = spark.sparkContext.broadcast(new VocabIndex(vocab))
+    val bigramCounts = df
+      .select(explode(
+        bigram_keys(lower(col(textCol)), bVocab)).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"))
     // bound-and-collect in ONE action (decontaminate's limit pattern):
     // the limit caps driver memory before collect, and the +1 row
     // proves the overflow without a separate count() job re-running
@@ -226,4 +219,83 @@ object NgramLm {
     val bcast = spark.sparkContext.broadcast(model)
     GraftInterop.column(NgramScoreExpr(GraftInterop.expression(text), bcast))
   }
+
+  /** Broadcast payload of the training pass: the vocab ships as a flat
+    * array, the lookup map hashes once per executor JVM (the
+    * [[Model.index]] trick).
+    */
+  final class VocabIndex(val vocab: Array[String]) extends Serializable {
+    def unkId: Int = vocab.length
+    def startId: Int = vocab.length + 1
+    @transient private lazy val index: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](vocab.length * 2)
+      var i = 0
+      while (i < vocab.length) { m.put(vocab(i), i); i += 1 }
+      m
+    }
+    def idOf(token: String): Int = {
+      val r = index.get(token)
+      if (r == null) unkId else r.intValue()
+    }
+  }
+
+  /** The packed bigram keys of one LOWERED document: key i =
+    * `(ctx << 32) | w` over the token-id stream with `<s>` opening the
+    * document and OOV folded to unk — one key per token. Tokenization
+    * is the family's whitespace loop (identical token stream to
+    * [[score]] and the split-regex the aggregates use).
+    */
+  def bigramKeys(text: UTF8String, bcast: Broadcast[VocabIndex]):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val v = bcast.value
+    val s = text.toString
+    // token count first: exact-size output, no buffer growth
+    var n = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWsChar(s.charAt(i))) i += 1
+      if (i < len) n += 1
+      while (i < len && !isWsChar(s.charAt(i))) i += 1
+    }
+    val out = new Array[Any](n)
+    var ctx = v.startId
+    var k = 0
+    i = 0
+    while (i < len) {
+      while (i < len && isWsChar(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWsChar(s.charAt(i))) i += 1
+      if (i > start) {
+        val w = v.idOf(s.substring(start, i))
+        out(k) = (ctx.toLong << 32) | w.toLong
+        ctx = w
+        k += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class BigramKeysExpr(child: Expression, bcast: Broadcast[VocabIndex])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "bigram_keys"
+    override def nullSafeEval(input: Any): Any =
+      bigramKeys(input.asInstanceOf[UTF8String], bcast)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("lmVocab", bcast,
+        classOf[Broadcast[VocabIndex]].getName)
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.textops.NgramLm.bigramKeys($input, $ref);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** The training pass's key column (null text -> null array, dropped
+    * by the explode — same outcome as the old flatMap's empty stream).
+    */
+  def bigram_keys(loweredText: Column, bcast: Broadcast[VocabIndex]): Column =
+    GraftInterop.column(BigramKeysExpr(GraftInterop.expression(loweredText), bcast))
 }
