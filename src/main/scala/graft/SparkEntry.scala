@@ -538,9 +538,23 @@ object SparkEntry {
             .otherwise(lit("")),
           when(col("doc_id") % 4 === 2,
             concat(lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          // phones: E.164 on doc_id%8==7, separated US form on the
+          // rest of doc_id%4==3
+          when(col("doc_id") % 4 === 3,
+            when(col("doc_id") % 8 === 7,
+              concat(lit(" call +1555123"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(concat(lit(" call (555) 123-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))
+            .otherwise(lit("")),
+          // cards: a Luhn-VALID card on doc_id%10==0 (redacted, counted)
+          // and a Luhn-INVALID candidate on doc_id%10==6 (kept, counted
+          // only as candidate) — the checksum, not the shape, decides
+          when(col("doc_id") % 10 === 0, lit(" card 4242 4242 4242 4242"))
+            .when(col("doc_id") % 10 === 6, lit(" card 4242-4242-4242-4243"))
             .otherwise(lit(""))).as("text"))
       graft.textops.Pii.withPiiStats(planted, "text")
-        .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_ssn"), col("redacted"))
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_ssn"),
+          col("n_phones"), col("n_card_candidates"), col("n_cards"), col("redacted"))
     }),
 
     // As-of join: every event aligned to its user's most recent
@@ -1651,7 +1665,20 @@ object SparkEntry {
 
     // Same plant, same pattern strings (Java-regex/RE2 common subset),
     // DuckDB needs the explicit 'g' flag for replace-all.
-    "q45_pii" ->
+    // the Luhn checksum is embedded as an arithmetic CASE over the 16
+    // stripped digits (odd left positions doubled for even length);
+    // the redaction twin applies the card replace per-DOC when that
+    // doc has a Luhn-valid candidate — equivalent to the engine's
+    // per-MATCH conditional replace whenever no doc mixes valid and
+    // invalid candidates (the fixture plants at most one per doc, and
+    // the natural corpus has zero card-shaped runs at every sf —
+    // verified before wiring)
+    "q45_pii" -> {
+      val luhnSum = (1 to 16).map { i =>
+        val d = s"CAST(substr(regexp_replace(x, '[- ]', '', 'g'), $i, 1) AS INT)"
+        if (i % 2 == 1) s"(CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END)"
+        else d
+      }.mkString(" + ")
       s"""WITH planted AS (
          |  SELECT doc_id,
          |    text ||
@@ -1660,18 +1687,38 @@ object SparkEntry {
          |    (CASE WHEN doc_id % 4 = 1
          |          THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END) ||
          |    (CASE WHEN doc_id % 4 = 2
-         |          THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)
+         |          THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) ||
+         |    (CASE WHEN doc_id % 4 = 3 THEN
+         |       CASE WHEN doc_id % 8 = 7
+         |            THEN ' call +1555123' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |            ELSE ' call (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END
+         |     ELSE '' END) ||
+         |    (CASE WHEN doc_id % 10 = 0 THEN ' card 4242 4242 4242 4242'
+         |          WHEN doc_id % 10 = 6 THEN ' card 4242-4242-4242-4243' ELSE '' END)
          |      AS text
-         |  FROM documents)
+         |  FROM documents),
+         |counted AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(list_filter(regexp_extract_all(text, '${graft.textops.Pii.CardRe}'),
+         |      x -> ($luhnSum) % 10 = 0)) AS INT) AS n_cards,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '${graft.textops.Pii.EmailRe}', '<EMAIL>', 'g'),
+         |      '${graft.textops.Pii.Ipv4Re}', '<IP>', 'g'),
+         |      '${graft.textops.Pii.SsnRe}', '<SSN>', 'g'),
+         |      '${graft.textops.Pii.PhoneRe}', '<PHONE>', 'g') AS pre_card
+         |  FROM planted)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${graft.textops.Pii.EmailRe}')) AS INT) AS n_emails,
          |  CAST(len(regexp_extract_all(text, '${graft.textops.Pii.Ipv4Re}')) AS INT) AS n_ipv4,
          |  CAST(len(regexp_extract_all(text, '${graft.textops.Pii.SsnRe}')) AS INT) AS n_ssn,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
-         |    '${graft.textops.Pii.EmailRe}', '<EMAIL>', 'g'),
-         |    '${graft.textops.Pii.Ipv4Re}', '<IP>', 'g'),
-         |    '${graft.textops.Pii.SsnRe}', '<SSN>', 'g') AS redacted
-         |FROM planted""".stripMargin,
+         |  CAST(len(regexp_extract_all(text, '${graft.textops.Pii.PhoneRe}')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '${graft.textops.Pii.CardRe}')) AS INT) AS n_card_candidates,
+         |  n_cards,
+         |  CASE WHEN n_cards > 0
+         |       THEN regexp_replace(pre_card, '${graft.textops.Pii.CardRe}', '<CARD>', 'g')
+         |       ELSE pre_card END AS redacted
+         |FROM counted""".stripMargin
+    },
 
     "q46_asof" -> oracleSqlQ46,
     "q50_asof_chunked" -> oracleSqlQ46,
