@@ -723,7 +723,8 @@ object OracleGen {
        |         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM s7)
        |SELECT c8.doc_id, l.lang_pred, c8.text,
-       |  CAST(c8.n_tokens AS BIGINT) AS n_tokens, CAST(c8.cum AS BIGINT) AS cum_tokens
+       |  CAST(c8.n_tokens AS BIGINT) AS n_tokens, CAST(c8.cum AS BIGINT) AS cum_tokens,
+       |  CAST(greatest(c8.cum - 1, 0) // 2000 AS BIGINT) AS shard_id
        |FROM c8 JOIN s4 l ON l.doc_id = c8.doc_id
        |WHERE c8.cum <= 15000""".stripMargin
   }

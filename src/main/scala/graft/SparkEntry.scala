@@ -870,7 +870,8 @@ object SparkEntry {
     // the curation-pipeline FLAGSHIP: the full staged chain a real
     // training-data run executes — clean → lang-id → quality filter →
     // exact dedup → near-dup keep-best → span dedup → decontaminate →
-    // global token-budget cut — composed from the individually-oracled
+    // global token-budget cut → training-shard assignment — composed
+    // from the individually-oracled
     // operators into ONE query with ONE generated oracle that
     // recomputes every stage (engine supplies only the stage-4 minhash
     // keys; ExplainAudit records the whole-chain plan in PLANS.md)
@@ -897,9 +898,13 @@ object SparkEntry {
         .select(col("doc_id"), col("text_clean").as("text"), col("n_tokens"))
       val s8 = graft.operators.Budget.takeWhileBudget(
         s7, col("doc_id"), col("n_tokens"), budget = 15000L, cumCol = "cum_tokens")
+      // stage 9: training-shard assignment over the kept prefix — the
+      // materialize-for-training tail (write with writeTokenShards);
+      // a row-local DIV on the cumsum stage 8 already computed
       s8.join(s4.select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
         .select(col("doc_id"), col("lang_pred"), col("text"),
           col("n_tokens"), col("cum_tokens"))
+        .withColumn("shard_id", expr("greatest(cum_tokens - 1L, 0L) div 2000L"))
     }),
 
     // exact interpolated quantiles per group: Spark's percentile and
