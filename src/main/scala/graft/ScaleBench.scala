@@ -228,6 +228,39 @@ object ScaleBench {
       graft.textops.SpanDedup.dedupSpans(license(5000), "doc_id", "text", k = 8))
     timed("spandedup_hot_50k",
       graft.textops.SpanDedup.dedupSpans(license(50000), "doc_id", "text", k = 8))
+
+    // ---- phase 1e: global prefix sum — chunked vs unpartitioned ----
+    // shuffle-then-shard (CorpusOrder.shuffleShard) rides the chunked
+    // two-phase cumsum; the naive formulation is ONE unpartitioned
+    // window (every row through a single task — the shape that cannot
+    // survive 100 TB). Evidence sought: identical content hash, naive
+    // max-task ~= its wall-clock (single task) while chunked max-task
+    // stays a small fraction and scales ~linearly 100k -> 1M.
+    def shardCorpus(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        (col("id") * 37 % 23 + 1).as("n_tokens"))
+    def naiveShard(n: Long): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("shuffle_key"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      shardCorpus(n)
+        .withColumn("shuffle_key", xxhash64(lit(42L), col("doc_id")))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("shard_id",
+          expr("greatest(cum_tokens - 1L, 0L) div 100000L"))
+    }
+    def chunkedShard(n: Long): DataFrame =
+      graft.operators.CorpusOrder.shuffleShard(
+        shardCorpus(n), 42L, col("doc_id"), col("n_tokens"), 100000L)
+        // column ORDER differs from the naive twin; select for the
+        // content-hash compare (force hashes columns positionally)
+        .select("doc_id", "n_tokens", "shuffle_key", "cum_tokens", "shard_id")
+    timed("shuffleshard_chunked_1m", chunkedShard(1000000))
+    val ch10m = timed("shuffleshard_chunked_10m", chunkedShard(10000000))
+    val nv10m = timed("shuffleshard_naive_10m", naiveShard(10000000)
+      .select("doc_id", "n_tokens", "shuffle_key", "cum_tokens", "shard_id"))
+    println(s"""{"bench":"scale","workload":"shuffleshard_duel_match",""" +
+      s""""match":${ch10m == nv10m}}""")
     } // end !skewOnly
 
     // ---- phase 2: hot-key skew duel ----
