@@ -935,6 +935,17 @@ object SparkEntry {
         .withColumn("user_band", col("user_id") % 10)
         .rollup(col("event_type"), col("user_band"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
+    // token-window chunking (RAG/embedding prep): 20-token windows,
+    // stride 15 (5-token overlap); chunk boundaries are a pure function
+    // of the token count, the last chunk is the first to reach the
+    // tail. One narrow codegen'd pass — no shuffle; the oracle
+    // recomputes windows with list_slice over the same token twin
+    "q74_chunk" -> ((s, dir) => {
+      graft.textops.Chunker.chunkByTokens(
+        table(s, dir, "documents"), col("text"),
+        window = 20, stride = 15, keep = Seq(col("doc_id")))
     })
   )
 
@@ -2060,7 +2071,27 @@ object SparkEntry {
     "q49_rollup" ->
       """SELECT event_type, user_id % 10 AS user_band,
         |  count(*) AS n, round(sum(value), 6) AS sum_value
-        |FROM events GROUP BY ROLLUP(event_type, (user_id % 10))""".stripMargin
+        |FROM events GROUP BY ROLLUP(event_type, (user_id % 10))""".stripMargin,
+
+    // q74: the whole chunking recomputed — same token twin as q22/q38,
+    // same nChunks formula (ceil((n-W)/S)+1), 1-based inclusive
+    // list_slice mirrors Spark's 1-based slice(start, length)
+    "q74_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') END AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) = 0 THEN 0
+        |         WHEN len(toks) <= 20 THEN 1
+        |         ELSE CAST(floor((len(toks) - 20 + 14) / 15.0) AS INT) + 1 END AS n_chunks
+        |  FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(least(20, n - i * 15) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(list_slice(toks, i * 15 + 1, i * 15 + 20), ' ') AS chunk_text
+        |FROM c, unnest(range(n_chunks)) AS u(i)""".stripMargin
   )
 
   private def annTwinOracleSql(family: String): String =

@@ -1,0 +1,71 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Token-window document chunking — the retrieval/embedding prep step
+  * (RAG indexing, long-document embedding, context-window packing):
+  * split each document into fixed-size token windows with a configurable
+  * stride, so consecutive chunks overlap by `window - stride` tokens.
+  *
+  * Chunk boundaries are a pure function of the token count:
+  *
+  *   nChunks(n) = 0                            if n == 0
+  *              = 1                            if n <= window
+  *              = ceil((n - window)/stride) + 1  otherwise
+  *
+  * so the LAST chunk is the first one whose window reaches the tail —
+  * no degenerate trailing chunk fully contained in its predecessor
+  * (the convention the common splitter libraries settled on). Chunk
+  * `i` covers tokens `[i*stride, min(i*stride + window, n))`; every
+  * token lands in at least one chunk (stride <= window is enforced).
+  *
+  * Tokens are the family's whitespace tokens ([[TextAnalysis.tokens]]),
+  * re-joined with single spaces — chunk text normalizes internal
+  * whitespace runs, the same contract as every other token-level
+  * operator here.
+  *
+  * 100 TB shape: one narrow codegen'd pass (split + sequence + explode
+  * + slice) — no shuffle, no state, nothing to skew; output size is a
+  * bounded multiple of the input (the overlap factor the caller chose).
+  * Composes with [[graft.operators.Budget]] sharding downstream (chunk,
+  * then shard the chunks).
+  */
+object Chunker {
+
+  /** Explode `textCol` into overlapping token-window chunks. Keeps
+    * `keep` columns (they must be plain named columns resolvable after
+    * a select), appends (chunk_idx, chunk_tokens, chunk_text).
+    * `chunk_idx` is 0-based; `chunk_tokens` is the actual token count
+    * of the (possibly short) tail chunk. Zero-token documents emit no
+    * chunks.
+    */
+  def chunkByTokens(
+      df: DataFrame,
+      textCol: Column,
+      window: Int,
+      stride: Int,
+      keep: Seq[Column]): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(stride <= window,
+      s"stride ($stride) > window ($window) would drop tokens between chunks")
+    val base = df.select((keep :+ TextAnalysis.tokens(textCol).as("_toks")): _*)
+    val n = size(col("_toks"))
+    // integer ceil((n - window)/stride): token counts are far below
+    // 2^52 so the double division is exact
+    val nChunks =
+      when(n <= window, lit(1)) // n == 0 never reaches explode (empty seq)
+        .otherwise(floor((n - window + stride - 1) / lit(stride.toDouble))
+          .cast("int") + 1)
+    val idxs = when(n === 0, typedLit(Seq.empty[Int]))
+      .otherwise(sequence(lit(0), nChunks - 1))
+    val start = col("chunk_idx") * stride
+    base
+      .withColumn("chunk_idx", explode(idxs))
+      .select((keep
+        :+ col("chunk_idx").cast("long").as("chunk_idx")
+        :+ least(lit(window), n - start).cast("long").as("chunk_tokens")
+        :+ array_join(slice(col("_toks"), start + 1, lit(window)), " ").as("chunk_text")): _*)
+  }
+}
