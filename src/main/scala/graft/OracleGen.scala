@@ -64,7 +64,8 @@ object OracleGen {
       "q64_lm_perplexity" -> (() => lmPerplexityOracle(s, dir)),
       "q65_curation_pipeline" -> (() => curationOracle(s, dir)),
       "q71_shuffle_shard" -> (() => shuffleShardOracle(s, dir)),
-      "q73_quality_classifier" -> (() => qualityClassifierOracle(s, dir))
+      "q73_quality_classifier" -> (() => qualityClassifierOracle(s, dir)),
+      "q75_mixture" -> (() => mixtureOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -538,6 +539,47 @@ object OracleGen {
        |SELECT d.doc_id, CAST(e.label AS BOOLEAN) AS label,
        |  CAST(e.score AS DOUBLE) AS score, CAST(e.pred AS BOOLEAN) AS pred
        |FROM documents d JOIN expv e ON e.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** q75: the q64/q73 independent-reimplementation technique for the
+    * temperature mixture — its own pass over the raw (lang, n_chars)
+    * columns (no [[graft.operators.Mixture]] code), replaying the
+    * documented deterministic-arithmetic contract (exact Long totals,
+    * lexicographic left-fold Z, left-to-right rate expression,
+    * floor(frac * 2^24) threshold) so the per-stratum (n_full, thr)
+    * plan matches bit-for-bit. DuckDB then recomputes the per-doc
+    * 24-bit md5 coin and the epoch explosion itself — the engine's
+    * emission pass is checked end-to-end, the rate plan against an
+    * independent implementation.
+    */
+  def mixtureOracle(s: SparkSession, dir: String): String = {
+    val alpha = 0.5
+    val budget = 400000L
+    // raw columns only — summed driver-side into a sorted map
+    val rows = s.read.parquet(dir + "/documents.parquet")
+      .select("lang", "n_chars").collect()
+    val totals = scala.collection.immutable.TreeMap(
+      rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sum).toSeq: _*)
+    var z = 0.0
+    totals.foreach { case (_, t) => if (t > 0) z += Math.pow(t.toDouble, alpha) }
+    val plan = totals.toSeq.map { case (lang, t) =>
+      if (t <= 0 || z == 0.0) (lang, 0, 0)
+      else {
+        val r = Math.pow(t.toDouble, alpha) / z * budget.toDouble / t.toDouble
+        val nFull = math.floor(r).toInt
+        (lang, nFull, math.floor((r - nFull) * (1 << 24).toDouble).toInt)
+      }
+    }
+    checkEmbeddable("q75_mixture", plan.length.toLong)
+    val vals = plan.map { case (l, nf, thr) => s"('$l', $nf, $thr)" }.mkString(", ")
+    s"""WITH rates(stratum, n_full, thr) AS (VALUES $vals),
+       |e AS (
+       |  SELECT d.doc_id, d.lang,
+       |    r.n_full + CASE WHEN ('0x' || md5(CAST(d.doc_id AS VARCHAR))[1:6])::BIGINT < r.thr
+       |               THEN 1 ELSE 0 END AS n_ep
+       |  FROM documents d JOIN rates r ON d.lang = r.stratum)
+       |SELECT doc_id, lang, CAST(i AS BIGINT) AS epoch
+       |FROM e, unnest(range(n_ep)) AS t(i)""".stripMargin
   }
 
   /** q65: the whole curation chain recomputed in ONE DuckDB query. The

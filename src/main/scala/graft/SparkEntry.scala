@@ -946,6 +946,20 @@ object SparkEntry {
       graft.textops.Chunker.chunkByTokens(
         table(s, dir, "documents"), col("text"),
         window = 20, stride = 15, keep = Seq(col("doc_id")))
+    }),
+
+    // temperature-weighted mixture with repetition (the mT5/XLM-R
+    // alpha-smoothing recipe): chars-weighted lang rebalancing against
+    // a 400k-char budget at alpha=0.5 — rare langs upsample (epochs
+    // repeat whole docs), the dominant lang downweights. Oracle is
+    // generated: an independent driver implementation recomputes the
+    // per-stratum (n_full, thr) plan from the raw columns; DuckDB
+    // recomputes the per-doc 24-bit md5 coin and the epoch explosion
+    "q75_mixture" -> ((s, dir) => {
+      graft.operators.Mixture.temperatureMix(
+        table(s, dir, "documents"), col("doc_id"), col("lang"), col("n_chars"),
+        alpha = 0.5, budget = 400000L)
+        .select(col("id").as("doc_id"), col("stratum").as("lang"), col("epoch"))
     })
   )
 

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Temperature-weighted corpus mixing with repetition — the
+  * language/source-balancing step multilingual and multi-source
+  * training runs execute (the mT5/XLM-R exponential-smoothing recipe):
+  * given per-stratum weight totals `T_s` (tokens, chars, bytes — the
+  * caller's unit) and a temperature `alpha`, sample stratum `s` with
+  * probability
+  *
+  *   p_s = T_s^alpha / sum_t T_t^alpha
+  *
+  * so `alpha = 1` keeps the natural distribution, `alpha = 0` gives
+  * every stratum an equal budget share, and intermediate values
+  * upsample rare strata without drowning common ones. Against a total
+  * output budget `B`, every document in stratum `s` is emitted
+  *
+  *   r_s = p_s * B / T_s
+  *
+  * times in expectation: `floor(r_s)` guaranteed copies (training
+  * "epochs" over the stratum) plus one more iff the document's
+  * deterministic 24-bit md5 uniform falls below `frac(r_s)` — the
+  * [[Sampling]] md5-bucket idiom at 24-bit resolution, so the kept set
+  * is identical in any engine/run/partitioning and the DuckDB oracle
+  * recomputes the per-doc coin verbatim.
+  *
+  * DETERMINISTIC ARITHMETIC CONTRACT (what an independent
+  * reimplementation must follow to agree bit-for-bit): totals are
+  * exact Long sums; `Z = sum_t T_t^alpha` is a LEFT FOLD of
+  * `Math.pow(T_t, alpha)` in LEXICOGRAPHIC stratum order;
+  * `r_s = Math.pow(T_s, alpha) / Z * B / T_s` evaluated left-to-right
+  * in doubles; the fractional coin threshold is
+  * `floor(frac(r_s) * 2^24)` compared as `u24 < thr`. IEEE doubles
+  * make every step reproducible across implementations that follow
+  * the same op order.
+  *
+  * 100 TB shape: ONE tiny aggregation (num-strata rows) feeds a
+  * driver-side rate table folded into a codegen'd CASE; the emission
+  * pass is narrow (filter + bounded explode) — no corpus-wide shuffle,
+  * no state, nothing to skew. Strata counts are bounded and checked
+  * BEFORE collect ([[maxStrata]]).
+  */
+object Mixture {
+
+  /** Per-stratum emission plan: `nFull` guaranteed copies, one more
+    * iff `u24 < fracThr24`.
+    */
+  final case class StratumRate(
+      stratum: String, total: Long, rate: Double, nFull: Int, fracThr24: Int)
+
+  val maxStrata = 10000
+
+  /** The deterministic rate computation (see the arithmetic contract
+    * above). Zero-total strata emit nothing (`rate = 0`).
+    */
+  def rates(totals: Seq[(String, Long)], alpha: Double, budget: Long): Seq[StratumRate] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val sorted = totals.sortBy(_._1)
+    var z = 0.0
+    sorted.foreach { case (_, t) => if (t > 0) z += Math.pow(t.toDouble, alpha) }
+    sorted.map { case (s, t) =>
+      if (t <= 0 || z == 0.0) StratumRate(s, t, 0.0, 0, 0)
+      else {
+        val r = Math.pow(t.toDouble, alpha) / z * budget.toDouble / t.toDouble
+        val nFull = math.floor(r).toInt
+        val thr = math.floor((r - nFull) * (1 << 24).toDouble).toInt
+        StratumRate(s, t, r, nFull, thr)
+      }
+    }
+  }
+
+  /** 24-bit uniform from the md5 of the id's string form — the
+    * [[Sampling.bucket]] construction widened to 6 hex digits
+    * (`'0x' || md5(id)[1:6]` in the DuckDB twin).
+    */
+  def uniform24(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 6), 16, 10).cast("int")
+
+  /** Emit each row `floor(r_s)` times plus the fractional md5 coin,
+    * with `epoch` numbering the copies 0..n-1. Strata absent from the
+    * observed totals cannot occur (totals come from the same frame);
+    * null strata are rejected up front — a null key would silently
+    * vanish from the when-fold.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: Column,
+      strataCol: Column,
+      weightCol: Column,
+      alpha: Double,
+      budget: Long): DataFrame = {
+    val totalRows = df.groupBy(strataCol.as("_stratum"))
+      .agg(sum(weightCol).as("_total"))
+    val bounded = totalRows.limit(maxStrata + 1).collect()
+    require(bounded.length <= maxStrata,
+      s"more than $maxStrata strata — temperatureMix folds rates into a CASE " +
+        "expression; re-bucket the strata or raise maxStrata")
+    require(bounded.forall(!_.isNullAt(0)),
+      "null stratum key — fill or filter null strata before mixing")
+    val totals = bounded.map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1))).toSeq
+    val rs = rates(totals, alpha, budget)
+
+    val nFullCol = rs.foldLeft(lit(0)) { case (acc, r) =>
+      when(strataCol === r.stratum, lit(r.nFull)).otherwise(acc)
+    }
+    val thrCol = rs.foldLeft(lit(0)) { case (acc, r) =>
+      when(strataCol === r.stratum, lit(r.fracThr24)).otherwise(acc)
+    }
+    val nEpochs = nFullCol + when(uniform24(idCol) < thrCol, 1).otherwise(0)
+    val idxs = when(nEpochs === 0, typedLit(Seq.empty[Int]))
+      .otherwise(sequence(lit(0), nEpochs - 1))
+    df.select(idCol.as("id"), strataCol.as("stratum"), explode(idxs).as("epoch"))
+      .select(col("id"), col("stratum"), col("epoch").cast("long").as("epoch"))
+  }
+}
