@@ -960,6 +960,19 @@ object SparkEntry {
         table(s, dir, "documents"), col("doc_id"), col("lang"), col("n_chars"),
         alpha = 0.5, budget = 400000L)
         .select(col("id").as("doc_id"), col("stratum").as("lang"), col("epoch"))
+    }),
+
+    // per-source quota cap (the C4/RefinedWeb per-host cap): keep the
+    // 8 longest docs per source, rank in rk. Two-phase salted top-k —
+    // the hot-source window never sees more than hotKey/salts rows in
+    // one task (phase 1) or salts*k rows (phase 2); oracle is the
+    // naive one-window row_number form
+    "q76_quota" -> ((s, dir) => {
+      graft.operators.Quota.capPerKey(
+        table(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        key = Seq(col("source")), order = Seq(col("n_chars").desc),
+        id = col("doc_id"), k = 8, salts = 16)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rk").cast("long").as("rk"))
     })
   )
 
@@ -2105,7 +2118,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
         |  CAST(least(20, n - i * 15) AS BIGINT) AS chunk_tokens,
         |  array_to_string(list_slice(toks, i * 15 + 1, i * 15 + 20), ' ') AS chunk_text
-        |FROM c, unnest(range(n_chunks)) AS u(i)""".stripMargin
+        |FROM c, unnest(range(n_chunks)) AS u(i)""".stripMargin,
+
+    // q76: the naive single-window form IS the semantics; the engine's
+    // two-phase salted top-k must reproduce its row set and ranks
+    // exactly (order made total by the doc_id tiebreak)
+    "q76_quota" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 8""".stripMargin
   )
 
   private def annTwinOracleSql(family: String): String =
