@@ -65,7 +65,8 @@ object OracleGen {
       "q65_curation_pipeline" -> (() => curationOracle(s, dir)),
       "q71_shuffle_shard" -> (() => shuffleShardOracle(s, dir)),
       "q73_quality_classifier" -> (() => qualityClassifierOracle(s, dir)),
-      "q75_mixture" -> (() => mixtureOracle(s, dir))
+      "q75_mixture" -> (() => mixtureOracle(s, dir)),
+      "q78_semdedup" -> (() => semDedupOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -190,6 +191,43 @@ object OracleGen {
       .sortBy(_._1)
     checkEmbeddable("q66_audio_neardup", rows.length.toLong)
     hamming64PairsSql(rows, maxHamming = 4, cap = 1000L)
+  }
+
+  /** q78: the ONLY engine-supplied inputs are the (vec_id, cell)
+    * k-means assignments — the candidate blocker, emitted by the same
+    * [[graft.vector.Ivf.nearest_cells]] expression the query uses
+    * (centroids have no static twin: k-means). DuckDB independently
+    * recomputes the planted twin corpus, the within-cell pair join,
+    * the rounded cosine arithmetic, the threshold, and the
+    * keep-first-by-id drop rule from the raw embeddings.
+    */
+  def semDedupOracle(s: SparkSession, dir: String): String = {
+    val emb = SparkEntry.plantedEmbeddings(s, dir)
+    val centroids = Ivf.fitCentroids(emb, "embedding", 8)
+    val cells = emb.select(col("vec_id"),
+      Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy(_._1)
+    checkEmbeddable("q78_semdedup", cells.length.toLong)
+    val cVals = cells.map { case (id, c) => s"($id, $c)" }.mkString(", ")
+    s"""WITH cellv(vec_id, cell) AS (VALUES $cVals),
+       |base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x + 0.01)
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT b.vec_id, CAST(cellv.cell AS INT) AS cell, v,
+       |         sqrt(list_dot_product(v, v)) AS n
+       |  FROM base b JOIN cellv ON cellv.vec_id = b.vec_id),
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id AS id
+       |  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) >= 0.99)
+       |SELECT vec_id, cell,
+       |  vec_id NOT IN (SELECT id FROM drops) AS kept
+       |FROM c""".stripMargin
   }
 
   /** q71: the ONLY engine-supplied inputs are the per-doc permutation

@@ -973,6 +973,19 @@ object SparkEntry {
         key = Seq(col("source")), order = Seq(col("n_chars").desc),
         id = col("doc_id"), k = 8, salts = 16)
         .select(col("doc_id"), col("source"), col("n_chars"), col("rk").cast("long").as("rk"))
+    }),
+
+    // SemDeDup-style semantic dedup: k-means cells block the candidate
+    // pairs, within-cell cosine >= 0.99 drops the higher id. Planted
+    // twin corpus (q33's) so real semantic dups exist. Oracle is
+    // generated: engine emits ONLY (vec_id, cell); DuckDB recomputes
+    // the within-cell pair join, the cosine arithmetic, and the
+    // keep-first rule from the raw embeddings
+    "q78_semdedup" -> ((s, dir) => {
+      graft.vector.SemDedup.semanticDedup(
+        plantedEmbeddings(s, dir), "vec_id", "embedding",
+        nClusters = 8, threshold = 0.99)
+        .select(col("id").as("vec_id"), col("cell"), col("kept"))
     })
   )
 
