@@ -975,6 +975,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"), col("rk").cast("long").as("rk"))
     }),
 
+    // BM25 inverted-index keyword search: postings built from the
+    // lowered token twin, Lucene-variant idf, doc length denormalized
+    // into the postings (no doc-side join), top-10 for a 2-term query.
+    // Rounded score ranks on both sides; the 2-term sum is
+    // order-exact (IEEE addition of two values commutes). Static
+    // oracle recomputes tf/df/dl/avgdl/idf from the raw table
+    "q77_bm25" -> ((s, dir) => {
+      graft.textops.TextIndex.bm25TopK(
+        table(s, dir, "documents"), "doc_id", "text",
+        query = Seq("table", "window"), k = 10)
+        .select(col("id").as("doc_id"), col("score"),
+          col("n_terms"), col("rank").cast("long").as("rank"))
+    }),
+
     // SemDeDup-style semantic dedup: k-means cells block the candidate
     // pairs, within-cell cosine >= 0.99 drops the higher id. Planted
     // twin corpus (q33's) so real semantic dups exist. Oracle is
@@ -2132,6 +2146,45 @@ object SparkEntry {
         |  CAST(least(20, n - i * 15) AS BIGINT) AS chunk_tokens,
         |  array_to_string(list_slice(toks, i * 15 + 1, i * 15 + 20), ' ') AS chunk_text
         |FROM c, unnest(range(n_chunks)) AS u(i)""".stripMargin,
+
+    // q77: full BM25 recompute — token twin, tf/df/dl/avgdl, the
+    // Lucene-variant idf, contribution arithmetic in the SAME
+    // association the engine uses, rounded score ranked with the
+    // doc_id tiebreak
+    "q77_bm25" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dl),
+        |posting AS (
+        |  SELECT doc_id, t.term, count(*) AS tf
+        |  FROM toks, unnest(ts) AS t(term)
+        |  WHERE t.term IN ('table', 'window')
+        |  GROUP BY doc_id, t.term),
+        |dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    (ln(1.0 + (CAST(s.n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5))
+        |       * (p.tf * (1.2 + 1.0)))
+        |      / (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * d.dl) / s.avgdl)) AS c
+        |  FROM posting p, dfreq f, stats s, dl d
+        |  WHERE f.term = p.term AND d.doc_id = p.doc_id),
+        |agg AS (
+        |  SELECT doc_id, round(sum(c), 4) AS score,
+        |    count(*) AS n_terms
+        |  FROM scored GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT doc_id, score, n_terms,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM agg)
+        |SELECT doc_id, score, n_terms, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
 
     // q76: the naive single-window form IS the semantics; the engine's
     // two-phase salted top-k must reproduce its row set and ranks

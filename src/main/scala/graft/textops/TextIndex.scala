@@ -1,0 +1,161 @@
+package graft.textops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inverted-index keyword search with BM25 ranking (Robertson/Spärck
+  * Jones; the Lucene-variant idf `ln(1 + (N - df + 0.5)/(df + 0.5))`,
+  * which never goes negative) — the retrieval side of a curation
+  * pipeline: "find the docs about X" over a curated corpus, quality
+  * auditing ("which kept docs match this spam phrase"), and the
+  * classic RAG keyword-recall companion to the ANN family.
+  *
+  * Terms are the lowered whitespace tokens (the q20/q22 token twin, so
+  * the DuckDB oracle can recompute everything). Index layout:
+  *
+  *  - `postings.parquet` (id, term, tf, dl): one row per distinct
+  *    (doc, term); the doc length rides denormalized in every posting
+  *    — scoring needs NO doc-side join (the classic posting-list
+  *    layout, length-norm inline).
+  *  - `doclens.parquet` (id, dl): one row per doc INCLUDING empty docs
+  *    — the corpus-stats source (N, avgdl) and the ingestion ledger.
+  *
+  * 100 TB shape: a probe reads the postings with `term IN (...)`
+  * pushed into the parquet scan (query terms are a handful — the scan
+  * prunes on the term dictionary), anti-joins tombstones, and
+  * aggregates per doc; only rows of docs CONTAINING a query term ever
+  * shuffle. Corpus stats are one narrow aggregate over the
+  * one-row-per-doc doclens. Top-k lands as TakeOrderedAndProject
+  * (per-partition heads + driver merge), never a global sort.
+  * Partition postings by a term-hash bucket at write
+  * (`bucketedPostings`) and the probe prunes whole files.
+  *
+  * Delete/compact ride [[graft.operators.IndexOps]]: tombstones drop a
+  * doc from BOTH postings and doclens at probe time, so N/avgdl stay
+  * exact under deletes (TextIndexSpec pins search-after-delete ≡
+  * rebuild-without-ids).
+  */
+object TextIndex {
+
+  /** Lowered whitespace terms of `text` (empty → empty array). */
+  def terms(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    TextAnalysis.tokens(lower(text))
+
+  /** One-frame BM25 top-k: build the postings on the fly and rank.
+    * Output: (id, score, n_terms, rank), score rounded to 4 decimals
+    * BEFORE ranking (both engine and oracle rank the rounded value —
+    * the q33 convention, so the comparison never hinges on a half-ulp
+    * of `ln`).
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (postings, doclens) = postingsOf(docs, idCol, textCol)
+    val Array(nDocs, sumDl) = doclens.agg(
+      count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nDocs > 0, "bm25TopK: empty corpus")
+    score(postings, nDocs, sumDl.toDouble / nDocs, query, k, k1, b)
+  }
+
+  /** Build a persisted index (overwrite). */
+  def buildTextIndex(
+      docs: DataFrame, idCol: String, textCol: String, dir: String): Unit =
+    writeTextIndex(docs, idCol, textCol, dir, "overwrite")
+
+  /** Append a batch (caller contract: batch ids are new — dedup the
+    * batch against the ledger first, the minhash-family loop). Ledger
+    * (doclens) FIRST: a crash between the writes loses the batch's
+    * findability, never double-appends it (the minhash write-order
+    * argument).
+    */
+  def appendToTextIndex(
+      docs: DataFrame, idCol: String, textCol: String, dir: String): Unit =
+    graft.operators.IndexOps.withMutationLock(docs.sparkSession, dir, "append-text") {
+      writeTextIndex(docs, idCol, textCol, dir, "append")
+    }
+
+  private def writeTextIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      dir: String, mode: String): Unit = {
+    val (postings, doclens) = postingsOf(docs, idCol, textCol)
+    doclens.write.mode(mode).parquet(s"$dir/doclens.parquet")
+    postings.write.mode(mode).parquet(s"$dir/postings.parquet")
+  }
+
+  /** BM25 top-k over a persisted index, tombstones honored. */
+  def searchTextIndex(
+      spark: SparkSession, dir: String, query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.operators.IndexOps.dropTombstoned
+    val doclens = dropTombstoned(spark, dir,
+      spark.read.parquet(s"$dir/doclens.parquet"), "id")
+    val postings = dropTombstoned(spark, dir,
+      spark.read.parquet(s"$dir/postings.parquet"), "id")
+    val Array(nDocs, sumDl) = doclens.agg(
+      count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nDocs > 0, s"searchTextIndex: index at $dir is empty")
+    score(postings, nDocs, sumDl.toDouble / nDocs, query, k, k1, b)
+  }
+
+  /** Tombstone `ids`: probes drop their postings AND their doclens
+    * rows, so df/N/avgdl all exclude them from the next read on.
+    */
+  def removeFromTextIndex(ids: DataFrame, idCol: String, dir: String): Unit =
+    graft.operators.IndexOps.removeFromIndex(ids, idCol, dir)
+
+  /** Physically apply tombstones + bound the file count. */
+  def compactTextIndex(
+      spark: SparkSession, dir: String, targetFiles: Int = 4): Unit =
+    graft.operators.IndexOps.compactIndex(spark, dir,
+      Seq("doclens.parquet" -> "id", "postings.parquet" -> "id"), targetFiles)
+
+  /** (postings, doclens) of a doc frame. Docs with no tokens get a
+    * dl=0 doclens row (they count in N and avgdl) and no postings.
+    */
+  private def postingsOf(
+      docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      terms(col(textCol)).as("_ts"))
+    val doclens = base.select(col("id"),
+      coalesce(size(col("_ts")), lit(0)).cast("long").as("dl"))
+    val postings = base
+      .select(col("id"), size(col("_ts")).cast("long").as("dl"),
+        explode(col("_ts")).as("term"))
+      .groupBy(col("id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("id"), col("term"), col("tf"), col("dl"))
+    (postings, doclens)
+  }
+
+  /** Shared scoring tail — the frame and index paths both land here so
+    * they cannot diverge. Every arithmetic step is written in the
+    * exact association the DuckDB oracle uses.
+    */
+  private def score(
+      postings: DataFrame, nDocs: Long, avgdl: Double,
+      query: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
+    require(k >= 1, s"bm25: k must be >= 1, got $k")
+    val q = query.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    require(q.nonEmpty, "bm25: empty query")
+    val matched = postings.filter(col("term").isin(q: _*))
+    val dfs = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl))
+    val contrib = (idf * (col("tf") * lit(k1 + 1.0))) / denom
+    val perDoc = matched.join(broadcast(dfs), Seq("term"))
+      .withColumn("_c", contrib)
+      .groupBy(col("id"))
+      .agg(round(sum(col("_c")), 4).as("score"), count(lit(1)).as("n_terms"))
+    perDoc
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
+  }
+}

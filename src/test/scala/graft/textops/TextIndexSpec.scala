@@ -1,0 +1,102 @@
+package graft.textops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.GraftSparkSpec
+
+class TextIndexSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple cherry cherry apple apple"),
+    (4L, ""),
+    (5L, "Apple pie")).toDF("doc_id", "text")
+
+  private def rows(df: DataFrame): Seq[(Long, Double, Long, Int)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSeq.sortBy(_._1)
+
+  // independent reference scorer: own tokenization and arithmetic
+  private def refScores(
+      docs: Seq[(Long, String)], query: Seq[String]): Map[Long, (Double, Int)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> (if (t.trim.isEmpty) Array.empty[String]
+             else t.trim.toLowerCase.split("\\s+"))
+    }.toMap
+    val n = docs.size
+    val avgdl = toks.values.map(_.length).sum.toDouble / n
+    val dfOf = query.map(q => q -> toks.values.count(_.contains(q))).toMap
+    docs.flatMap { case (id, _) =>
+      val contribs = query.flatMap { q =>
+        val tf = toks(id).count(_ == q)
+        if (tf == 0) None
+        else {
+          val df = dfOf(q)
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          val dl = toks(id).length
+          Some(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        }
+      }
+      if (contribs.isEmpty) None
+      else Some(id -> (math.floor(contribs.sum * 10000 + 0.5) / 10000, contribs.length))
+    }.toMap
+  }
+
+  test("bm25TopK matches an independent reference scorer") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "apple cherry cherry apple apple"), (4L, ""), (5L, "Apple pie"))
+    val out = rows(TextIndex.bm25TopK(corpus, "doc_id", "text",
+      Seq("apple", "cherry"), k = 10))
+    val exp = refScores(docs, Seq("apple", "cherry"))
+    assert(out.map(_._1).toSet == exp.keySet) // docs 1, 2, 3, 5
+    out.foreach { case (id, score, nTerms, _) =>
+      assert(math.abs(score - exp(id)._1) < 1e-9, s"doc $id score")
+      assert(nTerms == exp(id)._2, s"doc $id n_terms")
+    }
+    // ranks follow rounded score desc, id asc
+    val byRank = out.sortBy(_._4)
+    assert(byRank.map(_._2).sliding(2).forall {
+      case Seq(a, b) => a > b || (a == b)
+      case _ => true
+    })
+  }
+
+  test("k caps the result and keeps the best-ranked docs") {
+    val out = rows(TextIndex.bm25TopK(corpus, "doc_id", "text",
+      Seq("apple", "cherry"), k = 2))
+    assert(out.length == 2 && out.map(_._4).sorted == Seq(1, 2))
+  }
+
+  test("persisted index search equals the one-frame path; append equals rebuild") {
+    val dir = Files.createTempDirectory("graft_text_idx").toString
+    val a = corpus.filter($"doc_id" <= 3)
+    val b = corpus.filter($"doc_id" > 3)
+    TextIndex.buildTextIndex(a, "doc_id", "text", dir)
+    TextIndex.appendToTextIndex(b, "doc_id", "text", dir)
+    val fromIndex = rows(TextIndex.searchTextIndex(spark, dir, Seq("apple", "cherry"), 10))
+    val oneFrame = rows(TextIndex.bm25TopK(corpus, "doc_id", "text", Seq("apple", "cherry"), 10))
+    assert(fromIndex == oneFrame)
+  }
+
+  test("search after delete equals an index rebuilt without the ids") {
+    val dir = Files.createTempDirectory("graft_text_del").toString
+    val dir2 = Files.createTempDirectory("graft_text_del2").toString
+    TextIndex.buildTextIndex(corpus, "doc_id", "text", dir)
+    TextIndex.removeFromTextIndex(Seq(3L).toDF("doc_id"), "doc_id", dir)
+    TextIndex.buildTextIndex(corpus.filter($"doc_id" =!= 3L), "doc_id", "text", dir2)
+    val afterDelete = rows(TextIndex.searchTextIndex(spark, dir, Seq("apple", "cherry"), 10))
+    val rebuilt = rows(TextIndex.searchTextIndex(spark, dir2, Seq("apple", "cherry"), 10))
+    assert(afterDelete == rebuilt)
+    // deleting changed N/df/avgdl, not just membership: doc 1 score moved
+    val before = rows(TextIndex.bm25TopK(corpus, "doc_id", "text", Seq("apple", "cherry"), 10))
+    assert(afterDelete.find(_._1 == 1L).get._2 !=
+      before.find(_._1 == 1L).get._2)
+    // compact applies tombstones physically; search unchanged
+    TextIndex.compactTextIndex(spark, dir)
+    assert(rows(TextIndex.searchTextIndex(spark, dir, Seq("apple", "cherry"), 10)) == rebuilt)
+  }
+}
