@@ -66,7 +66,8 @@ object OracleGen {
       "q71_shuffle_shard" -> (() => shuffleShardOracle(s, dir)),
       "q73_quality_classifier" -> (() => qualityClassifierOracle(s, dir)),
       "q75_mixture" -> (() => mixtureOracle(s, dir)),
-      "q78_semdedup" -> (() => semDedupOracle(s, dir))
+      "q78_semdedup" -> (() => semDedupOracle(s, dir)),
+      "q79_bpe_train" -> (() => bpeTrainOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -191,6 +192,75 @@ object OracleGen {
       .sortBy(_._1)
     checkEmbeddable("q66_audio_neardup", rows.length.toLong)
     hamming64PairsSql(rows, maxHamming = 4, cap = 1000L)
+  }
+
+  /** q79: a SECOND BPE learner, written independently (functional
+    * structures, different pair-count and rewrite code paths), runs on
+    * the driver over the same corpus and embeds its merge table — the
+    * q64/q73 technique. Shared with the engine: only the data and the
+    * published algorithm's contract (freq-weighted adjacent-position
+    * counts, lexicographic tie-break, left-to-right non-overlap
+    * rewrite, stop below pair-freq 2). Any divergence in the engine's
+    * distributed word count, cap ordering, or merge loop
+    * hash-mismatches the table.
+    */
+  def bpeTrainOracle(s: SparkSession, dir: String): String = {
+    val texts = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    checkEmbeddable("q79_bpe_train", texts.length.toLong)
+    // independent tokenization + word counting (SPACE-only trim —
+    // Spark's trim(), unlike Java String.trim, strips ' ' alone)
+    val wordFreq: Map[List[String], Long] = texts.iterator
+      .flatMap { t =>
+        if (t == null) Iterator.empty
+        else {
+          val sp = t.replaceAll("^ +| +$", "")
+          if (sp.isEmpty) Iterator.empty else sp.split("\\s+").iterator
+        }
+      }
+      .foldLeft(Map.empty[String, Long]) { (m, w) =>
+        m.updated(w, m.getOrElse(w, 0L) + 1L)
+      }
+      .map { case (w, f) =>
+        (w.codePoints().toArray.toList
+          .map(cp => new String(Character.toChars(cp))), f)
+      }
+    // independent learner: pairs via sliding, best via sorted ordering,
+    // merge via a recursive rewrite
+    def mergeWord(syms: List[String], a: String, b: String): List[String] =
+      syms match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: mergeWord(rest, a, b)
+        case x :: rest => x :: mergeWord(rest, a, b)
+        case Nil => Nil
+      }
+    @scala.annotation.tailrec
+    def learn(vocab: Map[List[String], Long], left: Int,
+        acc: List[(String, String)]): List[(String, String)] =
+      if (left == 0) acc.reverse
+      else {
+        val pairCounts = vocab.toSeq
+          .flatMap { case (syms, f) => syms.sliding(2).collect {
+            case List(x, y) => ((x, y), f) } }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val eligible = pairCounts.filter(_._2 >= 2L)
+        if (eligible.isEmpty) acc.reverse
+        else {
+          val best = eligible.toSeq
+            .sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+          val merged = vocab.toSeq
+            .map { case (syms, f) => (mergeWord(syms, best._1, best._2), f) }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          learn(merged, left - 1, best :: acc)
+        }
+      }
+    val merges = learn(wordFreq, 40, Nil)
+    checkEmbeddable("q79_bpe_train", merges.length.toLong)
+    def esc(x: String): String = "'" + x.replace("'", "''") + "'"
+    val vals = merges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${esc(a)}, ${esc(b)})" }
+      .mkString(", ")
+    s"""SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs
+       |FROM (VALUES $vals) t(rank, lhs, rhs)""".stripMargin
   }
 
   /** q78: the ONLY engine-supplied inputs are the (vec_id, cell)

@@ -975,6 +975,21 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"), col("rk").cast("long").as("rk"))
     }),
 
+    // BPE tokenizer TRAINING (the Sennrich learn half; q55 applies a
+    // fixed table): one distributed word-count shuffle bounds the
+    // corpus work, the merge loop runs driver-side over the frequency
+    // table. Output = the ordered merges. Oracle is generated: an
+    // INDEPENDENT driver learner (own tokenizer, own counting, own
+    // merge rewrite) recomputes the full table from the same corpus
+    "q79_bpe_train" -> ((s, dir) => {
+      val merges = graft.textops.Bpe.train(
+        table(s, dir, "documents"), "text", numMerges = 40)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("rank", "lhs", "rhs")
+    }),
+
     // BM25 inverted-index keyword search: postings built from the
     // lowered token twin, Lucene-variant idf, doc length denormalized
     // into the postings (no doc-side join), top-10 for a 2-term query.

@@ -195,6 +195,128 @@ object Bpe {
       .empty[(String, Long, Seq[(String, String)]),
         (java.lang.ref.WeakReference[org.apache.spark.SparkContext], Broadcast[Table])]
 
+  /** Learn a merges table from a corpus — the training half of the
+    * Sennrich et al. 2016 recipe ([[bpe_token_count]] is the apply
+    * half; a table from [[train]] feeds it directly).
+    *
+    * 100 TB shape — how real BPE trainers run: the corpus-scale work
+    * is ONE distributed word-count aggregation (map-side partial
+    * combine collapses a word to one row per input partition before
+    * the shuffle), because merge learning needs only the word
+    * FREQUENCY TABLE, never the corpus. The table is Heaps-law
+    * bounded; `maxVocab` caps the driver collect deterministically
+    * (top by count, ties by word — rare words beyond the cap
+    * contribute negligible pair mass). The merge loop then runs
+    * driver-side over the weighted vocabulary: numMerges iterations
+    * of count-adjacent-pairs → merge-best, at O(vocab · avgWordLen)
+    * per iteration — independent of corpus size.
+    *
+    * Determinism (the oracle contract): pair counting weights every
+    * adjacent position by word frequency (overlapping repeats count
+    * each position, the reference implementation's `get_stats`);
+    * best-pair ties break lexicographically on (left, right); merging
+    * rewrites occurrences left-to-right without overlap (exactly
+    * [[countTokens]]'s apply step). Training stops early when no pair
+    * occurs at least `minPairFreq` times — merging noise pairs would
+    * make the tail of the table partition-count-sensitive through the
+    * maxVocab cap.
+    *
+    * Words are whitespace-split, NOT lowered — the same
+    * pre-tokenization [[countTokens]] applies, so train and apply
+    * cannot disagree about word boundaries.
+    */
+  def train(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int, maxVocab: Int = 1000000,
+      minPairFreq: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"train: numMerges must be >= 0, got $numMerges")
+    require(maxVocab >= 1, s"train: maxVocab must be >= 1, got $maxVocab")
+    import org.apache.spark.sql.functions._
+    val toks = when(length(trim(col(textCol))) === 0,
+      typedLit(Seq.empty[String]))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val vocab: Array[(String, Long)] = docs
+      .select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainFromVocab(vocab, numMerges, minPairFreq)
+  }
+
+  /** The driver-side merge learner over a (word, freq) table. */
+  private[textops] def trainFromVocab(
+      vocab: Array[(String, Long)], numMerges: Int,
+      minPairFreq: Long): Seq[(String, String)] = {
+    // each word as its code-point symbols, carrying its corpus freq
+    var words: Array[(Array[String], Long)] = vocab.map { case (w, f) =>
+      val nCp = w.codePointCount(0, w.length)
+      val syms = new Array[String](nCp)
+      var ci = 0
+      var off = 0
+      while (off < w.length) {
+        val cp = w.codePointAt(off)
+        val n = Character.charCount(cp)
+        syms(ci) = w.substring(off, off + n)
+        ci += 1
+        off += n
+      }
+      (syms, f)
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      var best: (String, String) = null
+      var bestN = minPairFreq - 1
+      counts.foreach { case (pair, n) =>
+        if (n > bestN ||
+          (n == bestN && best != null &&
+            (pair._1 < best._1 || (pair._1 == best._1 && pair._2 < best._2)))) {
+          best = pair
+          bestN = n
+        }
+      }
+      if (best == null) done = true
+      else {
+        merges += best
+        val (a, b) = best
+        words = words.map { case (syms, f) =>
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            if (syms(i) == a && syms(i + 1) == b) has = true
+            i += 1
+          }
+          if (!has) (syms, f)
+          else {
+            // left-to-right non-overlapping rewrite — countTokens' rule
+            val out = new Array[String](syms.length)
+            var w = 0
+            var r = 0
+            while (r < syms.length) {
+              if (r < syms.length - 1 && syms(r) == a && syms(r + 1) == b) {
+                out(w) = a + b; w += 1; r += 2
+              } else { out(w) = syms(r); w += 1; r += 1 }
+            }
+            (java.util.Arrays.copyOf(out, w), f)
+          }
+        }
+      }
+      m += 1
+    }
+    merges.result()
+  }
+
   /** Column API: broadcasts the compiled table once per (context,
     * merges), then reuses it across calls and batches.
     */
