@@ -975,6 +975,19 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"), col("rk").cast("long").as("rk"))
     }),
 
+    // heavy hitters via a Misra-Gries TypedImperativeAggregate:
+    // capacity-bounded summary per task, pairwise-merged — the shuffle
+    // carries <= capacity rows per task instead of one per distinct
+    // term. Capacity (256) exceeds the corpus vocabulary (31 at every
+    // sf), so every estimate is EXACT (the MG no-decrement regime) and
+    // the exact group-count oracle applies; the bounded-error regime
+    // is spec-pinned (HeavyHittersSpec)
+    "q80_heavy_hitters" -> ((s, dir) => {
+      val terms = table(s, dir, "documents").select(
+        explode(graft.textops.TextIndex.terms(col("text"))).as("term"))
+      graft.operators.HeavyHitters.topK(terms, "term", capacity = 256, k = 20)
+    }),
+
     // BPE tokenizer TRAINING (the Sennrich learn half; q55 applies a
     // fixed table): one distributed word-count shuffle bounds the
     // corpus work, the merge loop runs driver-side over the frequency
@@ -2161,6 +2174,25 @@ object SparkEntry {
         |  CAST(least(20, n - i * 15) AS BIGINT) AS chunk_tokens,
         |  array_to_string(list_slice(toks, i * 15 + 1, i * 15 + 20), ' ') AS chunk_text
         |FROM c, unnest(range(n_chunks)) AS u(i)""".stripMargin,
+
+    // q80: exact token counts ARE the MG estimates here (capacity >
+    // distinct vocabulary, so no decrement ever fires — the regime the
+    // scaladoc guarantees); rank ties break on term
+    "q80_heavy_hitters" ->
+      raw"""WITH toks AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT t.term, count(*) AS est
+        |  FROM toks, unnest(ts) AS t(term)
+        |  GROUP BY t.term),
+        |ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY est DESC, term) AS BIGINT) AS rank,
+        |         term, CAST(est AS BIGINT) AS est
+        |  FROM cnt)
+        |SELECT rank, term, est FROM ranked WHERE rank <= 20""".stripMargin,
 
     // q77: full BM25 recompute — token twin, tf/df/dl/avgdl, the
     // Lucene-variant idf, contribution arithmetic in the SAME
