@@ -64,6 +64,7 @@ object OracleGen {
       "q64_lm_perplexity" -> (() => lmPerplexityOracle(s, dir)),
       "q65_curation_pipeline" -> (() => curationOracle(s, dir)),
       "q71_shuffle_shard" -> (() => shuffleShardOracle(s, dir)),
+      "q83_shard_manifest" -> (() => shardManifestOracle(s, dir)),
       "q73_quality_classifier" -> (() => qualityClassifierOracle(s, dir)),
       "q75_mixture" -> (() => mixtureOracle(s, dir)),
       "q78_semdedup" -> (() => semDedupOracle(s, dir)),
@@ -308,14 +309,26 @@ object OracleGen {
     * one-window running total in that order, and the shard DIV —
     * i.e. the entire chunked-prefix-sum machinery under test.
     */
-  def shuffleShardOracle(s: SparkSession, dir: String): String = {
+  def shuffleShardOracle(s: SparkSession, dir: String): String =
+    raw"""${shuffleShardCtes(s, dir, "q71_shuffle_shard")}
+       |SELECT doc_id, n_tokens, shuffle_key,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |  CAST(greatest(cum_tokens - 1, 0) // 5000 AS BIGINT) AS shard_id
+       |FROM c""".stripMargin
+
+  /** Shared WITH-prefix for q71/q83: embed the engine's permutation
+    * keys, then let DuckDB recompute token counts, the (key, id)
+    * order, and the running total. Ends with CTE `c(doc_id, n_tokens,
+    * shuffle_key, cum_tokens)`.
+    */
+  private def shuffleShardCtes(s: SparkSession, dir: String, name: String): String = {
     val keys = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         graft.operators.CorpusOrder.shuffleKey(42L, col("doc_id")).as("k"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
-    checkEmbeddable("q71_shuffle_shard", keys.length.toLong)
+    checkEmbeddable(name, keys.length.toLong)
     val kVals = keys.map { case (id, k) => s"($id, $k)" }.mkString(", ")
     // raw interpolator: the \t\n\x0b in the token regex must reach
     // DuckDB as literal backslash sequences (s"" would reject \x)
@@ -330,12 +343,30 @@ object OracleGen {
        |  SELECT doc_id, n_tokens, shuffle_key,
        |         sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
        |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
-       |  FROM t)
-       |SELECT doc_id, n_tokens, shuffle_key,
-       |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
-       |  CAST(greatest(cum_tokens - 1, 0) // 5000 AS BIGINT) AS shard_id
-       |FROM c""".stripMargin
+       |  FROM t)""".stripMargin
   }
+
+  /** q83: everything q71 recomputes, PLUS the per-shard manifest
+    * aggregation — counts, token sums, id range, and the bit_xor
+    * content checksum over the same md5-60-bit `id:weight` hash the
+    * engine uses ([[graft.operators.ShardManifest.contentHash]] —
+    * md5, so DuckDB reproduces it from scratch).
+    */
+  def shardManifestOracle(s: SparkSession, dir: String): String =
+    raw"""${shuffleShardCtes(s, dir, "q83_shard_manifest")},
+       |sh AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(greatest(cum_tokens - 1, 0) // 5000 AS BIGINT) AS shard_id
+       |  FROM c)
+       |SELECT shard_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(min(doc_id) AS BIGINT) AS min_id,
+       |  CAST(max(doc_id) AS BIGINT) AS max_id,
+       |  CAST(bit_xor(CAST(('0x' || substr(md5(
+       |    CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)
+       |  ), 1, 15)) AS BIGINT)) AS BIGINT) AS content_check
+       |FROM sh GROUP BY shard_id""".stripMargin
 
   /** The shared Hamming-near-dup oracle body: embed (id, fingerprint)
     * VALUES, recompute the pigeonhole chunk keys (shared

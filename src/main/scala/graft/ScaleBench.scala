@@ -261,6 +261,48 @@ object ScaleBench {
       .select("doc_id", "n_tokens", "shuffle_key", "cum_tokens", "shard_id"))
     println(s"""{"bench":"scale","workload":"shuffleshard_duel_match",""" +
       s""""match":${ch10m == nv10m}}""")
+
+    // ---- phase 1f: per-key quota cap — three plans, one truth ----
+    // one host owns half the corpus (the C4-style per-domain cap's
+    // adversary), rows are WIDE (~160-byte payload — the cap runs over
+    // document rows, not bare ids). Three physical plans for the SAME
+    // semantics at 50M rows:
+    //  - builtin: ONE window + rank filter — Catalyst's
+    //    InferWindowGroupLimit (SPARK-37099) prunes map-side to <= k
+    //    rows per (task, key), so the hot key never concentrates;
+    //  - salted: the hand-rolled two-phase (Quota.capPerKeySalted) —
+    //    the same bound bought with an EXTRA full-data exchange;
+    //  - naive: the rule DISABLED (windowGroupLimitThreshold=-1) —
+    //    the hot host's 25M wide rows (~4 GB) sort in ONE task.
+    // Evidence sought: identical kept-row hash all three ways; naive
+    // max-task ~= its wall-clock and a multiple of both bounded
+    // plans; builtin <= salted (hand-scheduling loses to declaring
+    // the plan — the reason capPerKey IS the plain window).
+    val wglKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+    def quotaCorpus(n: Long): DataFrame =
+      spark.range(n).select(col("id"),
+        when(col("id") % 2 === 0, lit("hot.example.com"))
+          .otherwise(concat(lit("host-"), col("id") % 9973)).as("host"),
+        (col("id") * 131 % 100003).as("score"),
+        // payload must survive into the output hash or pruning would
+        // narrow the shuffle and void the wide-row premise
+        concat(lit("x" * 144), col("id")).as("payload"))
+    def builtinQuota(n: Long): DataFrame =
+      graft.operators.Quota.capPerKey(quotaCorpus(n),
+        Seq(col("host")), Seq(col("score").desc), col("id"), k = 8)
+        .select("id", "host", "score", "payload", "rk")
+    def saltedQuota(n: Long): DataFrame =
+      graft.operators.Quota.capPerKeySalted(quotaCorpus(n),
+        Seq(col("host")), Seq(col("score").desc), col("id"), k = 8, salts = 32)
+        .select("id", "host", "score", "payload", "rk")
+    timed("quota_builtin_5m", builtinQuota(5000000))
+    val qb50m = timed("quota_builtin_50m", builtinQuota(50000000))
+    val qs50m = timed("quota_salted_50m", saltedQuota(50000000))
+    spark.conf.set(wglKey, "-1")
+    val qn50m = try timed("quota_naive_50m", builtinQuota(50000000))
+      finally spark.conf.unset(wglKey)
+    println(s"""{"bench":"scale","workload":"quota_duel_match",""" +
+      s""""match":${qb50m == qs50m && qs50m == qn50m}}""")
     } // end !skewOnly
 
     // ---- phase 2: hot-key skew duel ----

@@ -963,15 +963,16 @@ object SparkEntry {
     }),
 
     // per-source quota cap (the C4/RefinedWeb per-host cap): keep the
-    // 8 longest docs per source, rank in rk. Two-phase salted top-k —
-    // the hot-source window never sees more than hotKey/salts rows in
-    // one task (phase 1) or salts*k rows (phase 2); oracle is the
-    // naive one-window row_number form
+    // 8 longest docs per source, rank in rk. ONE window + rank filter
+    // — the plan Catalyst bounds map-side via InferWindowGroupLimit
+    // (each scan task forwards <= k rows per key before the exchange;
+    // ScaleBench phase 1f measures it against both the salted
+    // two-phase and the rule-disabled truly-naive window)
     "q76_quota" -> ((s, dir) => {
       graft.operators.Quota.capPerKey(
         table(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
         key = Seq(col("source")), order = Seq(col("n_chars").desc),
-        id = col("doc_id"), k = 8, salts = 16)
+        id = col("doc_id"), k = 8)
         .select(col("doc_id"), col("source"), col("n_chars"), col("rk").cast("long").as("rk"))
     }),
 
@@ -1028,8 +1029,67 @@ object SparkEntry {
         plantedEmbeddings(s, dir), "vec_id", "embedding",
         nClusters = 8, threshold = 0.99)
         .select(col("id").as("vec_id"), col("cell"), col("kept"))
+    }),
+
+    // line-level boilerplate removal (the C4/CCNet line-frequency
+    // filter): lines reaching document frequency >= 50 vanish from
+    // EVERY doc — the all-occurrences semantics span dedup's
+    // history-wins cannot express. Fixture plants a universal nav bar
+    // + copyright footer, an every-3rd-doc banner (all df >= 50,
+    // dropped) and a per-doc permalink (df = 1, kept) around the real
+    // text; the oracle recomputes DF counting, the trim rule, and the
+    // list_filter reassembly from scratch
+    "q81_line_dedup" -> ((s, dir) => {
+      graft.textops.LineDedup.removeBoilerplate(
+        lineFixture(s, dir), "doc_id", "text", minDf = 50)
+    }),
+
+    // shard-write manifest: the integrity record a materialized
+    // training corpus carries — per shard, doc count, token sum, id
+    // range, and an ORDER-INDEPENDENT bit_xor checksum of md5-60-bit
+    // id:weight hashes, so any engine can re-verify a copy. Composes
+    // q71's shuffle-shard assignment; generated oracle recomputes the
+    // permutation order, the cumsum, the shard DIV, and the checksum
+    "q83_shard_manifest" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
+      val sharded = graft.operators.CorpusOrder.shuffleShard(
+        docs, seed = 42L, idCol = col("doc_id"),
+        weightCol = col("n_tokens"), shardBudget = 5000L)
+      graft.operators.ShardManifest.manifest(
+        sharded, "shard_id", "doc_id", "n_tokens")
+    }),
+
+    // KMV distinct-count sketch (TypedImperativeAggregate): per-lang
+    // distinct-token estimates with k = 16 minima of the md5-derived
+    // 60-bit hash — the shuffle carries <= k longs per (task, lang)
+    // instead of one row per distinct value. The ESTIMATOR itself is
+    // oracle-checked: DuckDB recomputes the same md5 hashes, takes the
+    // k-th smallest, and evaluates the same integer (k-1)*2^60/h_k —
+    // both the exact (c < k) and estimating (c >= k) regimes
+    "q82_distinct_sketch" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("lang"),
+        explode(graft.textops.TextIndex.terms(col("text"))).as("term"))
+      graft.operators.DistinctSketch.estimateByKey(
+        toks, Seq(col("lang")), col("term"), k = 16)
     })
   )
+
+  /** Multi-line fixture for the line-dedup family (q81): the corpus
+    * text has no newlines, so template lines are planted around it —
+    * the q72 messy-URL-fixture discipline. Shared by the query and
+    * [[OracleGen]]-free static oracle (which rebuilds it in SQL).
+    */
+  private[graft] def lineFixture(
+      s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("NAV: home | about | contact\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("subscribe to our newsletter\n")).otherwise(lit("")),
+        coalesce(col("text"), lit("")), lit("\n"),
+        lit("permalink doc-"), col("doc_id").cast("string"), lit("\n"),
+        lit("copyright example corp all rights reserved")).as("text"))
 
   /** Fixed corpus bound for the uncapped near-dup recall gates. */
   private val gateDocs = 500
@@ -2242,7 +2302,69 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
-        |WHERE rk <= 8""".stripMargin
+        |WHERE rk <= 8""".stripMargin,
+
+    // q81: full recompute — the fixture, the (doc, trimmed-line)
+    // distinct DF count, the >= 50 threshold, and the order-preserving
+    // list_filter reassembly (blank-trimmed lines immune on both
+    // sides). trim() is space-only in BOTH engines by design
+    "q81_line_dedup" ->
+      """WITH fix AS (
+        |  SELECT doc_id,
+        |    'NAV: home | about | contact' || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'subscribe to our newsletter' || chr(10) ELSE '' END ||
+        |    coalesce(text, '') || chr(10) ||
+        |    'permalink doc-' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    'copyright example corp all rights reserved' AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT DISTINCT doc_id, trim(line) AS t
+        |  FROM fix, unnest(string_split(text, chr(10))) AS u(line)
+        |  WHERE trim(line) <> ''),
+        |d AS (SELECT t FROM l GROUP BY t HAVING count(*) >= 50),
+        |b AS (SELECT coalesce(list(t), []::VARCHAR[]) AS bl FROM d),
+        |per AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM fix)
+        |SELECT p.doc_id,
+        |  CAST(len(p.ls) AS BIGINT) AS n_lines,
+        |  CAST(len(p.ls) - len(list_filter(p.ls,
+        |    x -> trim(x) = '' OR NOT list_contains(b.bl, trim(x)))) AS BIGINT)
+        |    AS n_dropped,
+        |  array_to_string(list_filter(p.ls,
+        |    x -> trim(x) = '' OR NOT list_contains(b.bl, trim(x))), chr(10))
+        |    AS text_clean
+        |FROM per p CROSS JOIN b""".stripMargin,
+
+    // q82: the ESTIMATOR recomputed from scratch — same md5-60-bit
+    // hashes, distinct per (lang, hash), k-th smallest via row_number,
+    // and the identical integer (k-1)*2^60 // h_k (HUGEINT: 15*2^60
+    // overflows BIGINT); c < k reports c exactly. Tokenizer twin is
+    // q80's verbatim
+    "q82_distinct_sketch" ->
+      raw"""WITH toks AS (
+        |  SELECT lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |t AS (SELECT lang, u.term FROM toks, unnest(ts) AS u(term)),
+        |h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS hv
+        |  FROM t),
+        |r AS (
+        |  SELECT lang, hv,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS c
+        |  FROM h),
+        |kth AS (SELECT lang, hv AS hk, c FROM r WHERE rn = least(c, 16)),
+        |n AS (SELECT lang, count(*) AS n_values FROM t GROUP BY lang)
+        |SELECT n.lang, CAST(n.n_values AS BIGINT) AS n_values,
+        |  CAST(least(k.c, 16) AS BIGINT) AS n_hashes,
+        |  CAST(CASE WHEN k.c < 16 THEN k.c
+        |       ELSE (CAST(15 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+        |            // greatest(k.hk, 1) END AS BIGINT) AS est_distinct
+        |FROM n JOIN kth k ON n.lang = k.lang""".stripMargin
   )
 
   private def annTwinOracleSql(family: String): String =

@@ -1,0 +1,177 @@
+package graft.textops
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, GraftInterop}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Line-level boilerplate removal — the C4/CCNet line-frequency filter
+  * (Raffel et al. 2020 §2.2 dedup "three-sentence spans"; Wenzek et
+  * al., CCNet 2020 per-line dedup): drop every line whose corpus-wide
+  * DOCUMENT frequency reaches `minDf`, from EVERY document including
+  * the first. This is the family member [[SpanDedup]] cannot express:
+  * span dedup is history-wins (the first occurrence survives), while
+  * navigation bars, cookie banners and copyright footers must vanish
+  * from ALL documents once they prove to be template text.
+  *
+  * Semantics (both the engine and the DuckDB oracle implement exactly
+  * this):
+  *   - a line is a `\n`-separated segment of `textCol`; matching is on
+  *     the SPACE-trimmed form (ASCII 0x20 only — the `trim()` the
+  *     engine's counting pass, the removal pass, and DuckDB all
+  *     share); the emitted text keeps the original untrimmed line;
+  *   - lines whose trimmed form is empty are never counted and never
+  *     removed (blank separators are structure, not boilerplate);
+  *   - document frequency counts each doc at most once per distinct
+  *     trimmed line;
+  *   - output: (idCol, n_lines, n_dropped, text_clean) with `n_lines`
+  *     the total input line count (split keeps trailing empties),
+  *     `n_dropped` the removed-line count, `text_clean` the survivors
+  *     re-joined with `\n`.
+  *
+  * 100 TB shape: counting is one `(doc, line)`-distinct shuffle plus
+  * one already-reduced count-per-line shuffle, both with map-side
+  * partial aggregation; the qualifying boilerplate set is SMALL by
+  * construction (lines appearing in >= minDf documents — template
+  * text, not content), so its 64-bit line hashes are collected once
+  * (bounded by `maxBoilerplateLines` BEFORE collect, the
+  * [[SpanDedup.decontaminate]] guard discipline), sorted, broadcast,
+  * and the removal is ONE narrow codegen'd pass over the corpus —
+  * zero shuffles, no join, nothing to skew. Matching in the removal
+  * pass is 64-bit xxhash64 equality (seed 42, the built-in) against
+  * the broadcast sorted array — the [[SpanDedup]] vanishing-collision
+  * argument; the counting pass groups by the line STRING itself, so
+  * a collision can only over-remove, never under-count.
+  *
+  * Each call collects and broadcasts the boilerplate hash set anew
+  * (the per-invocation broadcast contract of [[NgramLm.lm_score]] and
+  * [[SpanDedup.decontaminate]]); the broadcast lives until the
+  * SparkContext stops.
+  */
+object LineDedup {
+
+  /** Trim ASCII spaces (0x20) only — Spark `trim()` / DuckDB `trim()`
+    * semantics, NOT Java's `String.trim` (which also strips control
+    * chars and would diverge from both engines on `\t`).
+    */
+  private[textops] def trimSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
+  /** xxhash64 (seed 42) of a string — exactly the built-in
+    * `functions.xxhash64(col)` on a non-null string column, so hashes
+    * computed here agree with hashes computed in the counting pass.
+    */
+  private[textops] def lineHash(trimmed: String): Long =
+    XxHash64Function.hash(UTF8String.fromString(trimmed), StringType, 42L)
+
+  /** Row-local removal: split on `\n`, drop non-blank lines whose
+    * trimmed hash is in the sorted `hot` array, re-join survivors.
+    * Called from both the interpreted and the codegen path.
+    */
+  def dropLines(text: UTF8String, hot: Array[Long]): InternalRow = {
+    val parts = text.toString.split("\n", -1)
+    val sb = new java.lang.StringBuilder
+    var dropped = 0L
+    var first = true
+    var i = 0
+    while (i < parts.length) {
+      val t = trimSpaces(parts(i))
+      val drop = t.nonEmpty &&
+        java.util.Arrays.binarySearch(hot, lineHash(t)) >= 0
+      if (drop) dropped += 1L
+      else {
+        if (!first) sb.append('\n')
+        sb.append(parts(i))
+        first = false
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      parts.length.toLong, dropped, UTF8String.fromString(sb.toString)))
+  }
+
+  case class DropLinesExpr(child: Expression, bcast: Broadcast[Array[Long]])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_lines", LongType, nullable = false),
+      StructField("n_dropped", LongType, nullable = false),
+      StructField("text_clean", StringType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "drop_boilerplate_lines"
+    override def nullSafeEval(input: Any): Any =
+      dropLines(input.asInstanceOf[UTF8String], bcast.value)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hotLineHashes", bcast,
+        classOf[Broadcast[Array[Long]]].getName)
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.textops.LineDedup.dropLines(" +
+          s"$input, (long[]) $ref.value());")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def drop_boilerplate_lines(text: Column, bcast: Broadcast[Array[Long]]): Column =
+    GraftInterop.column(DropLinesExpr(GraftInterop.expression(text), bcast))
+
+  /** Remove corpus-frequent lines from every document. See the object
+    * scaladoc for exact semantics and the 100 TB shape. Null text
+    * folds to `''` (1 line — the empty segment — 0 dropped, empty
+    * clean text): the [[SpanDedup.decontaminate]] null-fold rule, so
+    * downstream filters never silently drop null-text rows.
+    */
+  def removeBoilerplate(
+      df: DataFrame, idCol: String, textCol: String, minDf: Long,
+      maxBoilerplateLines: Int = 5000000): DataFrame = {
+    require(minDf >= 2,
+      s"removeBoilerplate: minDf must be >= 2 (got $minDf) — at 1 every " +
+        "non-blank line is boilerplate and the output is structurally empty")
+    require(maxBoilerplateLines > 0,
+      s"removeBoilerplate: maxBoilerplateLines must be positive (got $maxBoilerplateLines)")
+    val spark = df.sparkSession
+
+    // document frequency per distinct trimmed non-blank line: the
+    // (doc, line) distinct bounds any doc's contribution at 1, then the
+    // per-line count runs over already-reduced rows. Grouping is by the
+    // line STRING (not its hash) so the count itself is collision-free.
+    val hotDf = df
+      .select(col(idCol).as("_ld_id"),
+        explode(split(coalesce(col(textCol), lit("")), "\n", -1)).as("_ld_raw"))
+      .select(col("_ld_id"), trim(col("_ld_raw")).as("_ld_t"))
+      .filter(col("_ld_t") =!= "")
+      .distinct()
+      .groupBy(col("_ld_t"))
+      .agg(count(lit(1)).as("_ld_df"))
+      .filter(col("_ld_df") >= minDf)
+      .select(xxhash64(col("_ld_t")).as("_ld_h"))
+
+    // bounded collect BEFORE broadcast — an unexpectedly huge
+    // boilerplate set fails loudly instead of OOMing the driver
+    // (overflow-safe +1, the decontaminate guard)
+    val limitN = math.min(maxBoilerplateLines.toLong + 1L, Int.MaxValue.toLong).toInt
+    val hotRows = hotDf.limit(limitN).collect()
+    require(hotRows.length <= maxBoilerplateLines,
+      s"removeBoilerplate: more than $maxBoilerplateLines distinct lines have " +
+        s"document frequency >= $minDf — raise minDf or maxBoilerplateLines deliberately")
+    val hashes = hotRows.map(_.getLong(0))
+    java.util.Arrays.sort(hashes)
+    val bcast = spark.sparkContext.broadcast(hashes)
+
+    df.select(col(idCol).as("_ld_id"),
+      coalesce(col(textCol), lit("")).as("_ld_txt"))
+      .withColumn("_ld_st", drop_boilerplate_lines(col("_ld_txt"), bcast))
+      .select(col("_ld_id").as(idCol),
+        col("_ld_st.n_lines").as("n_lines"),
+        col("_ld_st.n_dropped").as("n_dropped"),
+        col("_ld_st.text_clean").as("text_clean"))
+  }
+}
