@@ -174,4 +174,52 @@ object LineDedup {
         col("_ld_st.n_dropped").as("n_dropped"),
         col("_ld_st.text_clean").as("text_clean"))
   }
+
+  /** The join-based twin of [[removeBoilerplate]] — same output, no
+    * driver collect and no broadcast bound: the escape hatch for a
+    * pathological corpus whose boilerplate set itself is too large to
+    * broadcast (the [[SpanDedup.decontaminateAgainstIndex]] role in
+    * this family; LineDedupSpec pins equality with the broadcast
+    * form).
+    *
+    * Shape: lines explode once with their position; the qualifying
+    * set stays a DataFrame and flags lines via a LEFT join on the
+    * trimmed line string (AQE broadcasts it when it measures small —
+    * the common case — and falls back to a shuffle join when not);
+    * documents reassemble with one groupBy over (id), survivors
+    * sorted by position. ~4 exchanges vs the broadcast form's 2 + 0 —
+    * the price of unboundedness.
+    */
+  def removeBoilerplateJoin(
+      df: DataFrame, idCol: String, textCol: String, minDf: Long): DataFrame = {
+    require(minDf >= 2,
+      s"removeBoilerplateJoin: minDf must be >= 2 (got $minDf)")
+    val lines = df
+      .select(col(idCol).as("_ld_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .as(Seq("_ld_i", "_ld_raw")))
+      .withColumn("_ld_t", trim(col("_ld_raw")))
+    val hot = lines
+      .filter(col("_ld_t") =!= "")
+      .select(col("_ld_id"), col("_ld_t")).distinct()
+      .groupBy(col("_ld_t")).agg(count(lit(1)).as("_ld_df"))
+      .filter(col("_ld_df") >= minDf)
+      .select(col("_ld_t").as("_ld_hot"), lit(true).as("_ld_flag"))
+    lines
+      .join(hot, col("_ld_t") === col("_ld_hot") &&
+        col("_ld_t") =!= "", "left")
+      .groupBy(col("_ld_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_ld_flag"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws("\n",
+          transform(
+            filter(
+              array_sort(collect_list(struct(
+                col("_ld_i"), coalesce(col("_ld_flag"), lit(false)).as("_ld_f"),
+                col("_ld_raw")))),
+              x => !x.getField("_ld_f")),
+            x => x.getField("_ld_raw"))).as("text_clean"))
+      .select(col("_ld_id").as(idCol),
+        col("n_lines"), col("n_dropped"), col("text_clean"))
+  }
 }

@@ -257,4 +257,53 @@ class StreamingOpsSpec extends GraftSparkSpec {
         q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
     } finally q.stop()
   }
+
+  test("streaming corpus stats equal the batch sketches after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val terms = input.toDF().toDF("lang", "term")
+
+    def batchTwin(rows: Seq[(String, String)]): Map[String, (Long, Long, Seq[(String, Long)])] =
+      StreamingOps.corpusStats(
+        rows.toDF("lang", "term"), "lang", "term", mgCapacity = 32, kmvK = 4)
+        .select(col("lang"), col("n_terms"),
+          col("distinct_sketch.est_distinct"), col("heavy_hitters"))
+        .collect().map { r =>
+          r.getString(0) -> ((r.getLong(1), r.getLong(2),
+            r.getSeq[org.apache.spark.sql.Row](3)
+              .map(e => (e.getString(0), e.getLong(1)))))
+        }.toMap
+
+    def streamed(): Map[String, (Long, Long, Seq[(String, Long)])] =
+      spark.table("cstats_out")
+        .select(col("lang"), col("n_terms"),
+          col("distinct_sketch.est_distinct"), col("heavy_hitters"))
+        .collect().map { r =>
+          r.getString(0) -> ((r.getLong(1), r.getLong(2),
+            r.getSeq[org.apache.spark.sql.Row](3)
+              .map(e => (e.getString(0), e.getLong(1)))))
+        }.toMap
+
+    val q = StreamingOps.corpusStats(terms, "lang", "term",
+      mgCapacity = 32, kmvK = 4)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cstats_out").start()
+    try {
+      val b1 = (1 to 60).map(i => ("en", s"t${i % 6}")) ++
+        (1 to 9).map(i => ("de", s"d${i % 3}"))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchTwin(b1), "after batch 1")
+
+      // batch 2 pushes en past kmvK (new distinct terms) and shifts
+      // the heavy-hitter order; state must merge, not reset. Distinct
+      // counts stay under mgCapacity: MG content is only
+      // order-independent in the no-decrement regime
+      val b2 = (1 to 40).map(i => ("en", s"x${i % 9}")) ++
+        (1 to 5).map(_ => ("de", "d0"))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchTwin(b1 ++ b2), "after batch 2")
+    } finally q.stop()
+  }
 }

@@ -85,6 +85,19 @@ class LineDedupSpec extends GraftSparkSpec {
     assert(a == b)
   }
 
+  test("join-based twin equals the broadcast form, including edge rows") {
+    val docs = (1L to 60L).map { i =>
+      val banner = if (i % 3 == 0) "promo banner\n" else ""
+      i -> s"nav | home | about\n$banner  body ${i % 11}  \n\nu$i\nfooter (c)"
+    } :+ (61L -> "") :+ (62L -> "x\n")
+    val df = docs.toDF("doc_id", "text").repartition(5)
+    val a = LineDedup.removeBoilerplate(df, "doc_id", "text", minDf = 10)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = LineDedup.removeBoilerplateJoin(df, "doc_id", "text", minDf = 10)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("boilerplate set larger than maxBoilerplateLines fails loudly") {
     val docs = (1L to 4L).flatMap(d => Seq(d -> "h1\nh2\nh3"))
     val e = intercept[IllegalArgumentException] {
