@@ -180,35 +180,48 @@ object IndexOps {
 
   private def compactDataset(
       spark: SparkSession, dir: String, name: String,
-      idCol: String, targetFiles: Int): Unit = {
+      idCol: String, targetFiles: Int): Unit =
+    swapDataset(spark, dir, name) { (live, fresh) =>
+      // repartition, not coalesce: bounds the file count while keeping
+      // the write parallel (coalesce(1) would single-thread a large
+      // dataset rewrite)
+      dropTombstoned(spark, dir, spark.read.parquet(live), idCol)
+        .repartition(targetFiles)
+        .write.mode("overwrite").parquet(fresh)
+    }
+
+  /** Crash-safe dataset rewrite via the `.bak` swap (write-new →
+    * live-to-bak → new-to-live → drop-bak): `rewrite(livePath,
+    * freshPath)` reads the live dataset and writes its replacement to
+    * the fresh path; every rename/delete RESULT is checked (Hadoop
+    * FileSystems signal failure by returning false, not throwing — a
+    * swallowed false here would leave a compact half-applied while its
+    * caller proceeds, e.g. compactIndex clearing tombstones while the
+    * old tombstone-bearing dataset is still live). A crash at any
+    * step heals by re-running: the prologue restores a half-swapped
+    * dataset from its `.bak`. Callers must hold the mutation lock.
+    * No-op if the dataset does not exist (e.g. a ledger-only index).
+    */
+  private[graft] def swapDataset(
+      spark: SparkSession, dir: String, name: String)(
+      rewrite: (String, String) => Unit): Unit = {
     val live = new Path(s"$dir/$name")
     val bak = new Path(s"$dir/$name.bak")
     val fresh = new Path(s"$dir/$name.compact")
     val f = fs(spark, live)
-    // Hadoop FileSystems signal rename/delete failure by RETURNING
-    // false, not throwing — a swallowed false here would let
-    // compactIndex delete the tombstone file while the old
-    // tombstone-bearing dataset is still live, silently resurrecting
-    // deleted ids. Every step must either succeed or abort the compact.
     def must(ok: Boolean, step: String, state: String): Unit =
       if (!ok) throw new java.io.IOException(
-        s"compactIndex: $step failed for $dir/$name — aborting before " +
-          s"the tombstone clear. $state Re-running compact heals and " +
-          "completes the swap.")
+        s"swapDataset: $step failed for $dir/$name — aborting. $state " +
+          "Re-running the compact heals and completes the swap.")
     // heal a previous crash mid-swap: live missing but .bak present
     if (!f.exists(live) && f.exists(bak)) must(f.rename(bak, live), "bak restore",
       "The dataset is at its .bak path; probes fail until restored.")
-    if (!f.exists(live)) return // dataset not written yet (e.g. ledger-only index)
+    if (!f.exists(live)) return // dataset not written yet
     f.delete(fresh, true) // false = nothing to delete; verified below
     f.delete(bak, true)
     must(!f.exists(fresh) && !f.exists(bak), "stale .compact/.bak cleanup",
       "The live dataset is unchanged.")
-    // repartition, not coalesce: bounds the file count while keeping
-    // the write parallel (coalesce(1) would single-thread a large
-    // dataset rewrite)
-    dropTombstoned(spark, dir, spark.read.parquet(live.toString), idCol)
-      .repartition(targetFiles)
-      .write.mode("overwrite").parquet(fresh.toString)
+    rewrite(live.toString, fresh.toString)
     must(f.rename(live, bak), "live -> .bak rename",
       "The live dataset is unchanged.")
     must(f.rename(fresh, live), ".compact -> live rename",

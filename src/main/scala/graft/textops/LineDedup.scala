@@ -222,4 +222,167 @@ object LineDedup {
       .select(col("_ld_id").as(idCol),
         col("n_lines"), col("n_dropped"), col("text_clean"))
   }
+
+  // ----- persisted line-frequency index (incremental ingestion) -----
+  //
+  // dir/ids.parquet     — doc ingestion ledger (id), LEDGER FIRST
+  // dir/removed.parquet — doc removal ledger (id), LEDGER FIRST
+  // dir/counts.parquet  — append-only DELTA rows (lh, df), partitioned
+  //                       by pb = lh mod 256; current document
+  //                       frequency per line = sum of its deltas.
+  //
+  // The delta formulation is what makes append/remove O(batch): an
+  // ingested batch appends (+1 per distinct (doc, line)), a removed
+  // doc appends (-1) — no read-modify-write of history, the sums
+  // reconcile at read. Replay safety rides the ledgers (the span-index
+  // discipline): ids already ledgered contribute nothing again. A
+  // crash between a ledger write and its delta write loses that
+  // batch's deltas while still blocking replay — ingest crash =
+  // undercounted lines (under-removal), removal crash = overcounted
+  // (over-removal); both heal at the next compact-from-source never,
+  // so the contract is documented instead: ledgers first, deltas
+  // second, and the window between them is the at-least-once cost.
+
+  /** Buckets for the counts dataset — probe-side pruning unit. */
+  val LineIndexBuckets: Int = 256
+
+  private def lineHashCol(t: Column): Column = xxhash64(t)
+
+  /** Distinct per-(doc, trimmed-non-blank-line) +`sign` deltas. */
+  private def lineDeltas(df: DataFrame, idCol: String, textCol: String,
+      sign: Long): DataFrame =
+    df.select(col(idCol).as("_ld_id"),
+      explode(split(coalesce(col(textCol), lit("")), "\n", -1)).as("_ld_raw"))
+      .select(col("_ld_id"), trim(col("_ld_raw")).as("_ld_t"))
+      .filter(col("_ld_t") =!= "")
+      .distinct()
+      .select(lineHashCol(col("_ld_t")).as("lh"), lit(sign).as("df"))
+
+  private def writeLineBatch(df: DataFrame, idCol: String, textCol: String,
+      dir: String, ledger: String, sign: Long, mode: String): Unit = {
+    df.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode(mode).parquet(s"$dir/$ledger")
+    lineDeltas(df, idCol, textCol, sign)
+      .withColumn("pb", pmod(col("lh"), lit(LineIndexBuckets.toLong)).cast("int"))
+      .write.mode(mode).partitionBy("pb").parquet(s"$dir/counts.parquet")
+  }
+
+  private def antiLedger(df: DataFrame, idCol: String, dir: String,
+      ledger: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$ledger")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) df
+    else df.join(
+      spark.read.parquet(s"$dir/$ledger").select(col("id").cast("long").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Create a line-frequency index from an initial corpus (clearing
+    * any stale removal ledger a previous index at `dir` left behind).
+    */
+  def buildLineIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/removed.parquet")
+    p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    writeLineBatch(df, idCol, textCol, dir, "ids.parquet", 1L, "overwrite")
+  }
+
+  /** Ingest a batch: docs already in the ingestion ledger are dropped
+    * whole (at-least-once replay contract), the rest append their
+    * ledger ids FIRST, then their +1 line deltas.
+    */
+  def appendToLineIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit =
+    graft.operators.IndexOps.withMutationLock(df.sparkSession, dir, "append-lines") {
+      // materialize BEFORE the ledger write: the anti-join plan reads
+      // ids.parquet lazily, so an unmaterialized frame re-evaluated for
+      // the delta write would see its own just-appended ids and write
+      // zero deltas
+      val fresh = antiLedger(df, idCol, dir, "ids.parquet").localCheckpoint(true)
+      writeLineBatch(fresh, idCol, textCol, dir, "ids.parquet", 1L, "append")
+    }
+
+  /** Remove docs (takedowns/re-crawls): appends -1 deltas for each
+    * removed doc's distinct lines, so their document frequencies
+    * decrement without rewriting history. The CALLER supplies the
+    * doc content (the index stores only hashed counts); only docs
+    * that are ledgered-in and not already removed count. Removal
+    * ledger first — a replayed removal batch decrements nothing.
+    */
+  def removeFromLineIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit =
+    graft.operators.IndexOps.withMutationLock(df.sparkSession, dir, "remove-lines") {
+      val inIndex = df.join(
+        df.sparkSession.read.parquet(s"$dir/ids.parquet")
+          .select(col("id").cast("long").as(idCol)), Seq(idCol), "left_semi")
+      // same materialize-before-ledger-write rule as appendToLineIndex
+      val fresh = antiLedger(inIndex, idCol, dir, "removed.parquet")
+        .localCheckpoint(true)
+      writeLineBatch(fresh, idCol, textCol, dir, "removed.parquet", -1L, "append")
+    }
+
+  /** Current (line-hash, document-frequency) view: delta sums, zero
+    * and negative net counts dropped.
+    */
+  def lineIndexDf(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/counts.parquet")
+      .groupBy(col("lh")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+
+  /** Clean a batch against the PERSISTED hot-line set (df >= minDf in
+    * the index — i.e. in everything ingested so far): same output
+    * schema and removal semantics as [[removeBoilerplate]], with the
+    * hot set coming from the index instead of the batch itself.
+    * LineIndexSpec pins: after appending batches B1..Bn, the index
+    * hot set equals the batch-union hot set, so cleaning any frame
+    * against the index equals the broadcast form run on the union.
+    */
+  def cleanAgainstLineIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, minDf: Long, maxBoilerplateLines: Int = 5000000): DataFrame = {
+    require(minDf >= 2, s"cleanAgainstLineIndex: minDf must be >= 2 (got $minDf)")
+    val spark = df.sparkSession
+    val limitN = math.min(maxBoilerplateLines.toLong + 1L, Int.MaxValue.toLong).toInt
+    val hotRows = lineIndexDf(spark, dir)
+      .filter(col("df") >= minDf).select(col("lh"))
+      .limit(limitN).collect()
+    require(hotRows.length <= maxBoilerplateLines,
+      s"cleanAgainstLineIndex: more than $maxBoilerplateLines hot lines — " +
+        "raise minDf or maxBoilerplateLines deliberately")
+    val hashes = hotRows.map(_.getLong(0))
+    java.util.Arrays.sort(hashes)
+    val bcast = spark.sparkContext.broadcast(hashes)
+    df.select(col(idCol).as("_ld_id"),
+      coalesce(col(textCol), lit("")).as("_ld_txt"))
+      .withColumn("_ld_st", drop_boilerplate_lines(col("_ld_txt"), bcast))
+      .select(col("_ld_id").as(idCol),
+        col("_ld_st.n_lines").as("n_lines"),
+        col("_ld_st.n_dropped").as("n_dropped"),
+        col("_ld_st.text_clean").as("text_clean"))
+  }
+
+  /** Merge the delta history into one net row per line hash and a
+    * bounded file count (a year of hourly batches otherwise
+    * accumulates ~10k tiny part-files). Rides the
+    * [[graft.operators.IndexOps]] `.bak`-swap compaction (crash at any
+    * step heals by re-running); ledgers are left untouched — they are
+    * already one row per doc.
+    */
+  def compactLineIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFiles: Int = 4): Unit =
+    graft.operators.IndexOps.withMutationLock(spark, dir, "compact-lines") {
+      graft.operators.IndexOps.swapDataset(spark, dir, "counts.parquet") {
+        (live, fresh) =>
+          spark.read.parquet(live)
+            .groupBy(col("pb"), col("lh")).agg(sum(col("df")).as("df"))
+            .filter(col("df") > 0)
+            .select(col("lh"), col("df"), col("pb"))
+            // hash on pb: each bucket lands whole in one task -> one
+            // file per bucket, targetFiles-way parallel rewrite (a
+            // plain repartition(n) would scatter every bucket across
+            // n tasks and multiply the file count)
+            .repartition(targetFiles, col("pb"))
+            .write.mode("overwrite").partitionBy("pb").parquet(fresh)
+      }
+    }
 }
