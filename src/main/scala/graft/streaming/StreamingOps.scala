@@ -407,6 +407,36 @@ object StreamingOps {
         })
   }
 
+  /** Streaming line-level boilerplate cleaning over a growing
+    * line-frequency index ([[graft.textops.LineDedup]]): each batch is
+    * cleaned against the hot-line set AS OF THE PREVIOUS batches (a
+    * line becomes boilerplate only once history proves it — the
+    * incremental-index contract), delivered to `sink`, then appended
+    * to the index so the NEXT batch counts it. Sink-first ordering
+    * keeps at-least-once on replay, and the index append itself drops
+    * replayed batches via the ingestion ledger (see [[dedupIngest]] —
+    * the same discipline; make the sink idempotent on `batchId`).
+    * Returns the configured writer; the caller sets
+    * checkpoint/trigger and calls `start()`.
+    */
+  def lineCleanIngest(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      minDf: Long, sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // eager checkpoint: the append below mutates the index the
+        // cleaning plan reads; materialize the batch once, before the
+        // mutation, so sink and append see the same pinned rows
+        val b = batch.toDF().localCheckpoint(true)
+        try {
+          sink(graft.textops.LineDedup.cleanAgainstLineIndex(
+            b, idCol, textCol, indexDir, minDf), batchId)
+          graft.textops.LineDedup.appendToLineIndex(b, idCol, textCol, indexDir)
+        } finally { b.unpersist(); () }
+        ()
+    }
+
   /** Streaming corpus statistics — continuous ingest monitoring with
     * FIXED state per group: exact running term counts plus the two
     * mergeable sketches ([[graft.operators.HeavyHitters]] Misra-Gries

@@ -323,12 +323,19 @@ object LineDedup {
     }
 
   /** Current (line-hash, document-frequency) view: delta sums, zero
-    * and negative net counts dropped.
+    * and negative net counts dropped. An index not yet built (first
+    * streaming batch) reads as empty — no line is boilerplate until
+    * history proves it.
     */
-  def lineIndexDf(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/counts.parquet")
-      .groupBy(col("lh")).agg(sum(col("df")).as("df"))
-      .filter(col("df") > 0)
+  def lineIndexDf(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/counts.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.range(0).select(col("id").as("lh"), col("id").as("df"))
+    else
+      spark.read.parquet(s"$dir/counts.parquet")
+        .groupBy(col("lh")).agg(sum(col("df")).as("df"))
+        .filter(col("df") > 0)
+  }
 
   /** Clean a batch against the PERSISTED hot-line set (df >= minDf in
     * the index — i.e. in everything ingested so far): same output

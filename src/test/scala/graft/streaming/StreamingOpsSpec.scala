@@ -258,6 +258,47 @@ class StreamingOpsSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("streaming line cleaning: lines turn boilerplate once history proves them") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_lines").toString + "/idx"
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val q = StreamingOps.lineCleanIngest(docs, "doc_id", "text", dir,
+      minDf = 3, (df, bid) => got.synchronized {
+        got ++= df.select("doc_id", "text_clean").collect()
+          .map(r => (bid, r.getLong(0), r.getString(1)))
+      }).start()
+    try {
+      // batch 0: banner df reaches 3 in the INDEX only after append —
+      // batch 0 itself is cleaned against an empty history, untouched
+      input.addData(
+        (1L, "banner\nu1"), (2L, "banner\nu2"), (3L, "banner\nu3"))
+      q.processAllAvailable()
+      // batch 1: history df(banner) = 3 >= minDf -> cleaned
+      input.addData((4L, "banner\nu4"), (5L, "fresh\nu5"))
+      q.processAllAvailable()
+      // batch 2: replayed doc 4 — cleaned output re-delivers (sink
+      // at-least-once) but the index must not double-count
+      input.addData((4L, "banner\nu4"))
+      q.processAllAvailable()
+      val byBatch = got.synchronized {
+        got.groupBy(_._1).view
+          .mapValues(_.map(t => (t._2, t._3)).toSet).toMap }
+      assert(byBatch(0L) == Set((1L, "banner\nu1"), (2L, "banner\nu2"),
+        (3L, "banner\nu3")), "history empty: nothing cleaned yet")
+      assert(byBatch(1L) == Set((4L, "u4"), (5L, "fresh\nu5")))
+      assert(byBatch(2L) == Set((4L, "u4")))
+      // ledger dropped the replay: df(banner) counts docs 1..4 once
+      val bannerDf = graft.textops.LineDedup.lineIndexDf(spark, dir)
+        .filter(col("lh") === org.apache.spark.sql.functions.xxhash64(lit("banner")))
+        .collect()
+      assert(bannerDf.length == 1 && bannerDf(0).getLong(1) == 4L)
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
+    } finally q.stop()
+  }
+
   test("streaming corpus stats equal the batch sketches after every prefix") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String)]
