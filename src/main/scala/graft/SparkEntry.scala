@@ -1072,6 +1072,37 @@ object SparkEntry {
         explode(graft.textops.TextIndex.terms(col("text"))).as("term"))
       graft.operators.DistinctSketch.estimateByKey(
         toks, Seq(col("lang")), col("term"), k = 16)
+    }),
+
+    // sequence packing — the step after sharding: the corpus token
+    // stream (docs concatenated in doc_id order) cut into fixed
+    // 512-token training sequences; documents SPLIT across sequence
+    // boundaries (the dual of q70's never-split shards), one row per
+    // (doc, sequence) overlap. Rides the q56 chunked cumsum — ONE
+    // full-data shuffle, the slice explosion is a row-local Generate
+    "q84_pack_sequences" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing.packSequences(
+        docs, col("doc_id"), col("n_tokens"), seqLen = 512L, chunkSize = 1000L)
+    }),
+
+    // corpus snapshot diff — the incremental-curation primitive: old =
+    // last crawl (every-89th doc missing, every-13th doc's text at v1),
+    // new = today's (every-97th doc dropped); classify every id as
+    // added/removed/changed/unchanged by md5 content hash. Both sides
+    // project to (id, hash) BEFORE the one full-outer shuffle — the
+    // payload never shuffles
+    "q85_snapshot_diff" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 89 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0,
+            concat(lit("v1 "), coalesce(col("text"), lit(""))))
+            .otherwise(col("text")).as("text"))
+      val newSnap = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"))
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
     })
   )
 
@@ -2364,7 +2395,62 @@ object SparkEntry {
         |  CAST(CASE WHEN k.c < 16 THEN k.c
         |       ELSE (CAST(15 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
         |            // greatest(k.hk, 1) END AS BIGINT) AS est_distinct
-        |FROM n JOIN kth k ON n.lang = k.lang""".stripMargin
+        |FROM n JOIN kth k ON n.lang = k.lang""".stripMargin,
+
+    // q84: the packing arithmetic recomputed from the same one-window
+    // cumsum as q70 — each doc's global span [gstart, cum) overlaps
+    // sequences gstart//512 .. (cum-1)//512 (generate_series), slice
+    // offsets are the same greatest/least integer algebra (DuckDB //
+    // is floor division — equal to Spark's div on these non-negatives)
+    "q84_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+        |         END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, n_tokens, cum_tokens,
+        |         cum_tokens - n_tokens AS gstart
+        |  FROM c WHERE n_tokens > 0),
+        |x AS (
+        |  SELECT doc_id, n_tokens, cum_tokens, gstart,
+        |    unnest(generate_series(gstart // 512, (cum_tokens - 1) // 512))
+        |      AS seq_id
+        |  FROM e)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |  CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(seq_id * 512 - gstart, 0) AS BIGINT) AS doc_start,
+        |  CAST(least(n_tokens, (seq_id + 1) * 512 - gstart)
+        |       - greatest(seq_id * 512 - gstart, 0) AS BIGINT) AS doc_len,
+        |  CAST(greatest(gstart - seq_id * 512, 0) AS BIGINT) AS seq_start
+        |FROM x""".stripMargin,
+
+    // q85: the same two snapshot fixtures rebuilt in SQL, md5 content
+    // hashes, and a full-outer-join CASE — DuckDB md5(varchar) equals
+    // Spark md5 over the UTF-8 bytes (the Sampling-family discipline)
+    "q85_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    md5(coalesce(CASE WHEN doc_id % 13 = 0
+        |        THEN 'v1 ' || coalesce(text, '') ELSE text END, ''))
+        |      AS old_hash
+        |  FROM documents WHERE doc_id % 89 <> 0),
+        |n AS (
+        |  SELECT doc_id, md5(coalesce(text, '')) AS new_hash
+        |  FROM documents WHERE doc_id % 97 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN old_hash = new_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_hash, new_hash
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
   )
 
   private def annTwinOracleSql(family: String): String =
