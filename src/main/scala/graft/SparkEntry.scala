@@ -1103,6 +1103,43 @@ object SparkEntry {
       val newSnap = docs.filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"), col("text"))
       graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
+    }),
+
+    // domain blocklist gate — the URL-level filter before any content
+    // work: hosts matching a blocked domain by the label-aligned
+    // suffix rule (exact or ".domain"-suffixed; "nottracker.example"
+    // must NOT match "tracker.example"). Uses the SCALE path: suffix
+    // chain explode + equi-join against the blocklist table — only
+    // (id, suffix) pairs shuffle, AQE broadcasts the hit set
+    "q86_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val n = (col("doc_id") % 50).cast("string")
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit("https://ads.tracker.example/p/"), n))
+          .when(col("doc_id") % 7 === 1, concat(lit("https://tracker.example/x/"), n))
+          .when(col("doc_id") % 7 === 2, concat(lit("https://nottracker.example/x/"), n))
+          .when(col("doc_id") % 7 === 3, concat(lit("https://spam.net:8443/y/"), n))
+          .when(col("doc_id") % 7 === 4, concat(lit("https://user:pw@sub.spam.net/z/"), n))
+          .when(col("doc_id") % 7 === 5, lit("not a url"))
+          .otherwise(concat(lit("https://good.example.org/ok/"), n)).as("url"))
+      val blocklist = Seq("tracker.example", "spam.net").toDF("domain")
+      graft.operators.Blocklist.flagBlocked(
+        planted.withColumn("url_host", graft.operators.Blocklist.urlHost(col("url"))),
+        "doc_id", col("url_host"), blocklist)
+        .select(col("doc_id"), col("url_host"), col("blocked"))
+    }),
+
+    // cross-stratum overlap estimation: pairwise per-lang vocabulary
+    // Jaccard from KMV sketches — ONE data pass (<= k longs per
+    // (task, lang) shuffled), pairwise arithmetic on the #langs-row
+    // sketch frame. The KMV union identity (k smallest of A∪B all lie
+    // in A's or B's minima) makes the merged sketch EQUAL the union's
+    // sketch, so DuckDB recomputes every estimate from raw text
+    "q87_corpus_overlap" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("lang"),
+        explode(graft.textops.TextIndex.terms(col("text"))).as("term"))
+      graft.operators.DistinctSketch.overlapByKey(
+        toks, col("lang"), col("term"), k = 64)
     })
   )
 
@@ -2450,7 +2487,96 @@ object SparkEntry {
         |       WHEN old_hash = new_hash THEN 'unchanged'
         |       ELSE 'changed' END AS status,
         |  old_hash, new_hash
-        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // q86: host extraction (authority sans userinfo/port, lowered,
+    // NULL for non-URLs) and the label-aligned suffix rule rebuilt
+    // with DuckDB regex/LIKE — the '.'-anchored LIKE is exactly the
+    // engine's suffix-chain join semantics
+    "q86_blocklist" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 7
+        |      WHEN 0 THEN 'https://ads.tracker.example/p/' || (doc_id % 50)::VARCHAR
+        |      WHEN 1 THEN 'https://tracker.example/x/' || (doc_id % 50)::VARCHAR
+        |      WHEN 2 THEN 'https://nottracker.example/x/' || (doc_id % 50)::VARCHAR
+        |      WHEN 3 THEN 'https://spam.net:8443/y/' || (doc_id % 50)::VARCHAR
+        |      WHEN 4 THEN 'https://user:pw@sub.spam.net/z/' || (doc_id % 50)::VARCHAR
+        |      WHEN 5 THEN 'not a url'
+        |      ELSE 'https://good.example.org/ok/' || (doc_id % 50)::VARCHAR
+        |    END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    nullif(lower(regexp_replace(regexp_replace(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^.*@', ''), ':[0-9]*$', '')), '') AS url_host
+        |  FROM planted)
+        |SELECT doc_id, url_host,
+        |  coalesce(
+        |    url_host = 'tracker.example' OR url_host LIKE '%.tracker.example'
+        |    OR url_host = 'spam.net' OR url_host LIKE '%.spam.net',
+        |    FALSE) AS blocked
+        |FROM h""".stripMargin,
+
+    // q87: the full estimator pipeline recomputed from raw text — q82's
+    // md5-60-bit hashes and per-lang k-th-smallest, PLUS the pairwise
+    // union sketch rebuilt as the k smallest distinct hashes over both
+    // langs (exactly what merging two KMV sketches yields), then the
+    // same inclusion-exclusion and x10000 integral division in HUGEINT
+    "q87_corpus_overlap" ->
+      raw"""WITH toks AS (
+        |  SELECT lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |t AS (SELECT lang, u.term FROM toks, unnest(ts) AS u(term)),
+        |h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS hv
+        |  FROM t),
+        |r AS (
+        |  SELECT lang, hv,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS c
+        |  FROM h),
+        |ke AS (
+        |  SELECT lang,
+        |    CAST(CASE WHEN c < 64 THEN c
+        |         ELSE (CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+        |              // greatest(hv, 1) END AS BIGINT) AS est
+        |  FROM r WHERE rn = least(c, 64)),
+        |pairs AS (
+        |  SELECT a.lang AS key_a, b.lang AS key_b
+        |  FROM (SELECT DISTINCT lang FROM h) a,
+        |       (SELECT DISTINCT lang FROM h) b
+        |  WHERE a.lang < b.lang),
+        |uh AS (
+        |  SELECT DISTINCT p.key_a, p.key_b, h.hv
+        |  FROM pairs p JOIN h ON h.lang = p.key_a OR h.lang = p.key_b),
+        |ur AS (
+        |  SELECT key_a, key_b, hv,
+        |    row_number() OVER (PARTITION BY key_a, key_b ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY key_a, key_b) AS c
+        |  FROM uh),
+        |ue AS (
+        |  SELECT key_a, key_b,
+        |    CAST(CASE WHEN c < 64 THEN c
+        |         ELSE (CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+        |              // greatest(hv, 1) END AS BIGINT) AS est_union
+        |  FROM ur WHERE rn = least(c, 64))
+        |SELECT p.key_a, p.key_b, ea.est AS est_a, eb.est AS est_b,
+        |  ue.est_union,
+        |  CAST(greatest(ea.est + eb.est - ue.est_union, 0) AS BIGINT)
+        |    AS est_intersect,
+        |  CAST((CAST(greatest(ea.est + eb.est - ue.est_union, 0) AS HUGEINT)
+        |        * 10000) // greatest(ue.est_union, 1) AS BIGINT)
+        |    AS jaccard_x10000
+        |FROM pairs p
+        |JOIN ke ea ON ea.lang = p.key_a
+        |JOIN ke eb ON eb.lang = p.key_b
+        |JOIN ue ON ue.key_a = p.key_a AND ue.key_b = p.key_b""".stripMargin
   )
 
   private def annTwinOracleSql(family: String): String =

@@ -74,6 +74,65 @@ object DistinctSketch {
       .withColumn("est_distinct", col("_kmv.est_distinct"))
       .drop("_kmv")
 
+  /** Aggregate Column: the sketch's raw minima as a sorted
+    * `array<long>` — the mergeable form set algebra needs.
+    */
+  def kmvMinima(hash: Column, k: Int): Column =
+    GraftInterop.column(
+      KmvSetAgg(GraftInterop.expression(hash), k).toAggregateExpression())
+
+  /** Cross-stratum overlap estimation — "how much does source A's
+    * vocabulary (or URL set, or fingerprint set) overlap source B's?"
+    * — from per-stratum KMV sketches, in ONE pass over the data plus
+    * pairwise arithmetic on the #groups-row sketch frame.
+    *
+    * The KMV union identity makes this exact over sketches: the k
+    * smallest distinct hashes of `A UNION B` all lie in A's k minima
+    * or B's k minima, so merging two sketches (distinct-union, trim to
+    * k) IS the union's sketch — no second data pass. Estimates:
+    *
+    *   est_union     = KMV estimate of the merged sketch
+    *   est_intersect = max(est_a + est_b - est_union, 0)   (incl-excl)
+    *   jaccard_x10000 = est_intersect * 10000 DIV est_union
+    *
+    * All integer arithmetic (the DIV runs in decimal(38,0) — the
+    * (k-1)*2^60 numerator overflows a signed 64-bit lane for k > 8),
+    * so an independent engine recomputes every column exactly from the
+    * raw values; when every side holds < k distinct hashes the whole
+    * row degenerates to exact set algebra (up to 60-bit collisions).
+    *
+    * Scale shape: one hash-shuffle aggregation over the data (<= k
+    * longs per (task, group) shuffled), then a pairwise join of the
+    * #groups-row sketch frame against itself — quadratic in the GROUP
+    * count (strata: languages, sources, crawls), never in the data.
+    */
+  def overlapByKey(
+      df: org.apache.spark.sql.DataFrame, keyCol: Column,
+      value: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    val sk = df.groupBy(keyCol.as("key"))
+      .agg(kmvMinima(hash60(value), k).as("_mins"))
+    val a = sk.select(col("key").as("key_a"), col("_mins").as("_ma"))
+    val b = sk.select(col("key").as("key_b"), col("_mins").as("_mb"))
+    def est(arr: String): Column =
+      when(size(col(arr)) < k, size(col(arr)).cast("long"))
+        .otherwise(expr(
+          s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashDomain AS DECIMAL(38,0)))" +
+            s" DIV greatest(element_at(`$arr`, $k), 1L) AS BIGINT)"))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("_mu",
+        slice(array_sort(array_distinct(concat(col("_ma"), col("_mb")))), 1, 2 * k))
+      .withColumn("est_a", est("_ma"))
+      .withColumn("est_b", est("_mb"))
+      .withColumn("est_union", est("_mu"))
+      .withColumn("est_intersect",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .withColumn("jaccard_x10000", expr(
+        "CAST((CAST(est_intersect AS DECIMAL(38,0)) * 10000)" +
+          " DIV greatest(est_union, 1L) AS BIGINT)"))
+      .select("key_a", "key_b", "est_a", "est_b", "est_union",
+        "est_intersect", "jaccard_x10000")
+  }
+
   /** KMV estimate from the sorted distinct-minima set — shared by the
     * aggregate's eval and the spec's reference recomputation.
     */
@@ -156,6 +215,57 @@ object DistinctSketch {
     override def withNewMutableAggBufferOffset(newOffset: Int): KmvAgg =
       copy(mutableAggBufferOffset = newOffset)
     override def withNewInputAggBufferOffset(newOffset: Int): KmvAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren.head)
+  }
+
+  /** [[KmvAgg]]'s twin evaluating to the RAW sorted minima
+    * (`array<long>`, ascending) instead of the estimate — the
+    * mergeable form [[overlapByKey]]'s set algebra composes. Same
+    * buffer, same update/merge, same serialization.
+    */
+  case class KmvSetAgg(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+    require(k >= 2, s"kmv_minima: k must be >= 2, got $k")
+
+    private val inner = KmvAgg(child, k)
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "kmv_minima"
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      inner.createAggregationBuffer()
+    override def update(
+        buf: java.util.TreeSet[java.lang.Long],
+        input: InternalRow): java.util.TreeSet[java.lang.Long] =
+      inner.update(buf, input)
+    override def merge(
+        buf: java.util.TreeSet[java.lang.Long],
+        other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+      inner.merge(buf, other)
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+      inner.serialize(buf)
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+      inner.deserialize(bytes)
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val arr = new Array[Any](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): KmvSetAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): KmvSetAgg =
       copy(inputAggBufferOffset = newOffset)
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression =
