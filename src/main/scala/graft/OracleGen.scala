@@ -68,7 +68,8 @@ object OracleGen {
       "q73_quality_classifier" -> (() => qualityClassifierOracle(s, dir)),
       "q75_mixture" -> (() => mixtureOracle(s, dir)),
       "q78_semdedup" -> (() => semDedupOracle(s, dir)),
-      "q79_bpe_train" -> (() => bpeTrainOracle(s, dir))
+      "q79_bpe_train" -> (() => bpeTrainOracle(s, dir)),
+      "q88_kmeans_refine" -> (() => kmeansRefineOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -299,6 +300,76 @@ object OracleGen {
        |SELECT vec_id, cell,
        |  vec_id NOT IN (SELECT id FROM drops) AS kept
        |FROM c""".stripMargin
+  }
+
+  /** q88: an INDEPENDENT driver-side recomputation of the distributed
+    * fixed-point Lloyd refinement — the q64/q73 technique. Shares only
+    * the arithmetic CONTRACT with [[Ivf.refineCentroids]] (reciprocal-
+    * multiply normalization, floor(x*inv*2^40 + 0.5) quantization,
+    * exact integer sums, the s/n/S mean expression, empty-cell
+    * stability, lowest-id init): own loops, own BigInt accumulation,
+    * own argmin. Because the engine's sums are fixed-point integers,
+    * the recomputation is bit-identical REGARDLESS of Spark's
+    * partitioning — which is exactly the property under test; the
+    * embedded per-vector cells are therefore exact, not approximate.
+    */
+  def kmeansRefineOracle(s: SparkSession, dir: String): String = {
+    val rows = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    checkEmbeddable("q88_kmeans_refine", rows.length.toLong)
+    val S = Ivf.RefineScale.toDouble
+    val k = 8
+    val iters = 2
+    def normalize(v: Array[Double]): Array[Double] = {
+      var norm = 0.0
+      var i = 0
+      while (i < v.length) { norm += v(i) * v(i); i += 1 }
+      val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+      v.map(_ * inv)
+    }
+    var centers: Array[Array[Double]] = rows.take(k).map(r => normalize(r._2))
+    def assign(vn: Array[Double]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centers.length) {
+        var acc = 0.0
+        var j = 0
+        val m = math.min(vn.length, centers(c).length)
+        while (j < m) { val d = vn(j) - centers(c)(j); acc += d * d; j += 1 }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until iters) {
+      val dim = centers(0).length
+      val sums = Array.fill(k)(Array.fill(dim)(BigInt(0)))
+      val counts = new Array[Long](k)
+      rows.foreach { case (_, v) =>
+        val vn = normalize(v)
+        val c = assign(vn)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) {
+          sums(c)(j) += BigInt(math.floor(vn(j) * S + 0.5).toLong)
+          j += 1
+        }
+      }
+      val next = centers.map(_.clone())
+      for (c <- 0 until k if counts(c) > 0; j <- 0 until dim)
+        next(c)(j) = new java.math.BigDecimal(sums(c)(j).bigInteger).doubleValue() /
+          counts(c).toDouble / S
+      centers = next
+    }
+    val vals = rows.map { case (id, v) => s"($id, ${assign(normalize(v))})" }
+      .mkString(", ")
+    s"""WITH a(vec_id, cell) AS (VALUES $vals)
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS INT) AS cell
+       |FROM a""".stripMargin
   }
 
   /** q71: the ONLY engine-supplied inputs are the per-doc permutation

@@ -1140,6 +1140,26 @@ object SparkEntry {
         explode(graft.textops.TextIndex.terms(col("text"))).as("term"))
       graft.operators.DistinctSketch.overlapByKey(
         toks, col("lang"), col("term"), k = 64)
+    }),
+
+    // distributed fixed-point Lloyd refinement — the corpus-scale
+    // quantizer path (the driver-sample fit's companion): 2 exact
+    // Lloyd iterations over the full embeddings table from a
+    // deterministic lowest-8-ids init; coordinates quantize to 2^40
+    // fixed-point so the distributed sums are integer-exact and the
+    // refined centroids are partitioning-independent. Per iteration:
+    // one narrow assign scan + ONE (cell, pos) hash aggregation —
+    // k*dim summary rows shuffle, never vectors. Generated oracle: an
+    // independent driver scorer (own loops, own BigInt sums) embeds
+    // the expected per-vector cells — exact, not approximate, BECAUSE
+    // of the fixed-point contract
+    "q88_kmeans_refine" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val init = graft.vector.Ivf.initFromIds(emb, "vec_id", "embedding", 8)
+      val centers = graft.vector.Ivf.refineCentroids(emb, "embedding", init, iters = 2)
+      emb.select(col("vec_id"),
+        graft.vector.Ivf.nearest_cells(col("embedding"), centers, 1)
+          .getItem(0).as("cell"))
     })
   )
 

@@ -111,6 +111,100 @@ object Ivf {
       sample: Array[Array[Double]], nlist: Int, seed: Long, iters: Int): Array[Array[Double]] =
     kmeans(sample, math.min(nlist, sample.length), seed, iters)
 
+  /** Fixed-point scale for [[refineCentroids]]' distributed centroid
+    * update: coordinates quantize to `floor(x * 2^40 + 0.5)` longs
+    * BEFORE the distributed sum. Double sums are partition-order
+    * dependent (FP addition is not associative), which would make the
+    * refined centroids — and so every downstream cell assignment —
+    * vary run to run at scale; integer sums are exact and
+    * order-independent, and the 2^-40 quantization error is far below
+    * any clustering-relevant signal. The [[Sampling]]/[[graft.operators.DistinctSketch]]
+    * determinism discipline applied to arithmetic.
+    */
+  val RefineScale: Long = 1L << 40
+
+  /** Distributed Lloyd refinement — the corpus-scale companion to the
+    * driver-side [[fitCentroids]]: start from given centroids (a
+    * sample fit, or a deterministic init) and run `iters` exact Lloyd
+    * iterations over the FULL corpus. Use it when the corpus
+    * distribution drifts from any bounded sample (the 100 TB regime
+    * where cell-balance decides IVF probe cost).
+    *
+    * Per iteration: one narrow scan assigns every vector to its
+    * nearest centroid (the same codegen'd [[NearestCellsExpr]] the
+    * search path uses — reciprocal-multiply normalization included),
+    * coordinates quantize to [[RefineScale]] fixed-point, and ONE hash
+    * aggregation (map-side partial combine) reduces `(cell, pos)` sums
+    * — k*dim summary rows cross the wire, never the vectors. Sums
+    * accumulate in decimal(38,0): at 100 TB, 2^40-scaled coords times
+    * billions of rows overflow a long.
+    *
+    * Deterministic by construction: integer sums are
+    * partitioning-independent, the mean is a fixed expression over
+    * exact integers, and empty cells keep their previous centroid (no
+    * RNG — unlike the sample path's reseed, which would make the
+    * result irreproducible). KmeansRefineSpec pins partitioning
+    * invariance and the naive-recompute equality.
+    */
+  def refineCentroids(
+      corpus: DataFrame, vecCol: String,
+      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    require(init.nonEmpty, "refineCentroids: need at least one centroid")
+    require(iters >= 0, s"refineCentroids: iters must be >= 0, got $iters")
+    var centers = init.map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val norm = Ann.l2norm(col(vecCol))
+      val inv = when(norm > 0, lit(1.0) / norm).otherwise(lit(0.0))
+      val rows = corpus
+        .select(
+          nearest_cells(col(vecCol), centers, 1).getItem(0).as("_cell"),
+          transform(col(vecCol),
+            x => floor(x.cast("double") * inv * RefineScale + 0.5d).cast("long"))
+            .as("_q"))
+        .select(col("_cell"), posexplode(col("_q")))
+        .groupBy(col("_cell"), col("pos"))
+        .agg(sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = centers.map(_.clone())
+      rows.foreach { r =>
+        val cell = r.getInt(0)
+        val pos = r.getInt(1)
+        val s = r.getDecimal(2)
+        val n = r.getLong(3)
+        next(cell)(pos) = s.doubleValue() / n.toDouble / RefineScale.toDouble
+      }
+      centers = next
+      it += 1
+    }
+    centers
+  }
+
+  /** Deterministic centroid init for [[refineCentroids]]: the `k`
+    * lowest-id vectors, normalized with the SAME reciprocal-multiply
+    * arithmetic as [[NearestCellsExpr]] (an independent recomputation
+    * must reproduce the init bit-for-bit, so the normalization variant
+    * matters). Bounded collect (k rows).
+    */
+  def initFromIds(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] = {
+    require(k >= 1, s"initFromIds: k must be >= 1, got $k")
+    corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast(ArrayType(org.apache.spark.sql.types.DoubleType)))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](0).toArray
+        var norm = 0.0
+        var i = 0
+        while (i < v.length) { norm += v(i) * v(i); i += 1 }
+        val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+        i = 0
+        while (i < v.length) { v(i) *= inv; i += 1 }
+        v
+      }
+  }
+
   /** Bounded deterministic training sample of L2-normalized vectors,
     * collected to the driver (hash-gated, so reproducible across runs
     * and partitionings). Shared by the IVF and PQ quantizers.
