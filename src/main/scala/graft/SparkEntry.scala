@@ -1160,6 +1160,20 @@ object SparkEntry {
       emb.select(col("vec_id"),
         graft.vector.Ivf.nearest_cells(col("embedding"), centers, 1)
           .getItem(0).as("cell"))
+    }),
+
+    // count-min sketch point estimates — Misra-Gries' companion (q80
+    // answers WHICH keys are hot; this answers HOW OFTEN for any
+    // probed key) in one pass with depth*width fixed memory per task.
+    // Buckets are md5-derived ("d:term" % width), so the DuckDB
+    // oracle rebuilds the identical sketch from raw counts and takes
+    // the same min-over-rows — the estimator itself is hash-checked
+    "q89_count_min" -> ((s, dir) => {
+      val terms = table(s, dir, "documents").select(col("doc_id"),
+        explode(graft.textops.TextIndex.terms(col("text"))).as("term"))
+      val probes = terms.filter(col("doc_id") < 3).select(col("term"))
+      graft.operators.CountMin.estimateProbes(
+        terms, col("term"), probes, "term", depth = 4, width = 1024)
     })
   )
 
@@ -2596,7 +2610,38 @@ object SparkEntry {
         |FROM pairs p
         |JOIN ke ea ON ea.lang = p.key_a
         |JOIN ke eb ON eb.lang = p.key_b
-        |JOIN ue ON ue.key_a = p.key_a AND ue.key_b = p.key_b""".stripMargin
+        |JOIN ue ON ue.key_a = p.key_a AND ue.key_b = p.key_b""".stripMargin,
+
+    // q89: the sketch rebuilt from exact term counts — per depth row,
+    // bucket totals are the sum of counts over colliding terms (same
+    // md5("d:term") % width buckets), estimates the same min over
+    // rows; the linearity of the counters is what makes the group-by
+    // form equal the engine's streaming form
+    "q89_count_min" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |t AS (SELECT doc_id, u.term FROM toks, unnest(ts) AS u(term)),
+        |counts AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+        |dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+        |g AS (
+        |  SELECT dd.d,
+        |    CAST(('0x' || substr(md5(dd.d::VARCHAR || ':' || c.term), 1, 15))
+        |         AS BIGINT) % 1024 AS b,
+        |    sum(c.cnt) AS tot
+        |  FROM counts c CROSS JOIN dd GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT term FROM t WHERE doc_id < 3),
+        |pe AS (
+        |  SELECT p.term, dd.d,
+        |    CAST(('0x' || substr(md5(dd.d::VARCHAR || ':' || p.term), 1, 15))
+        |         AS BIGINT) % 1024 AS b
+        |  FROM probes p CROSS JOIN dd)
+        |SELECT pe.term, CAST(min(coalesce(g.tot, 0)) AS BIGINT) AS est
+        |FROM pe LEFT JOIN g ON g.d = pe.d AND g.b = pe.b
+        |GROUP BY pe.term""".stripMargin
   )
 
   private def annTwinOracleSql(family: String): String =
