@@ -438,27 +438,31 @@ object StreamingOps {
     }
 
   /** Streaming corpus statistics — continuous ingest monitoring with
-    * FIXED state per group: exact running term counts plus the two
+    * FIXED state per group: exact running term counts plus the three
     * mergeable sketches ([[graft.operators.HeavyHitters]] Misra-Gries
     * top terms, [[graft.operators.DistinctSketch]] KMV distinct
-    * estimate) as ONE streaming aggregation. The
+    * estimate, [[graft.operators.CountMin]] frequency counters for
+    * arbitrary later point probes) as ONE streaming aggregation. The
     * TypedImperativeAggregate buffers serialize into the state store
-    * between micro-batches, so per-group state is O(mgCapacity + kmvK)
-    * regardless of stream length — the streaming twin of q80/q82, and
-    * after any prefix of the stream the results are IDENTICAL to the
-    * batch aggregates over that prefix (mergeability is exactly
-    * partition/batch-order independence; StreamingOpsSpec pins this).
-    * Run in complete/update output mode (global stats, no watermark —
-    * the state is the fixed-size summaries themselves, not row
-    * history).
+    * between micro-batches, so per-group state is O(mgCapacity + kmvK
+    * + cmsDepth*cmsWidth) regardless of stream length — the streaming
+    * twin of q80/q82/q89, and after any prefix of the stream the
+    * results are IDENTICAL to the batch aggregates over that prefix
+    * (mergeability is exactly partition/batch-order independence;
+    * StreamingOpsSpec pins this). Run in complete/update output mode
+    * (global stats, no watermark — the state is the fixed-size
+    * summaries themselves, not row history).
     */
   def corpusStats(
       terms: DataFrame, groupCol: String, termCol: String,
-      mgCapacity: Int = 256, kmvK: Int = 64): DataFrame =
+      mgCapacity: Int = 256, kmvK: Int = 64,
+      cmsDepth: Int = 4, cmsWidth: Int = 256): DataFrame =
     terms.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n_terms"),
       graft.operators.DistinctSketch.kmv(
         graft.operators.DistinctSketch.hash60(col(termCol)), kmvK).as("distinct_sketch"),
       graft.operators.HeavyHitters.mg_summary(col(termCol), mgCapacity)
-        .as("heavy_hitters"))
+        .as("heavy_hitters"),
+      graft.operators.CountMin.cms(col(termCol), cmsDepth, cmsWidth)
+        .as("freq_sketch"))
 }
