@@ -123,6 +123,62 @@ object Ivf {
     */
   val RefineScale: Long = 1L << 40
 
+  /** `quantize_norm(vec)` -> fixed-point longs
+    * `floor(x_i * (1/||v||) * RefineScale + 0.5)` in ONE tight loop —
+    * the [[refineCentroids]] projection. A Column-combinator
+    * formulation (`transform(v, x -> floor(x * (1/l2norm(v)) * S +
+    * 0.5))`) inlines the l2norm aggregate fold into EVERY element
+    * lambda: an O(dim^2) expression tree whose Janino compile
+    * dominated the whole refinement (~3 s per iteration at dim 64 —
+    * the SURVEY §9 blowup class caught again by the bench).
+    * Arithmetic is bit-identical to [[nearestCells]]' normalization
+    * (reciprocal multiply) so the OracleGen scorer reproduces it.
+    */
+  case class QuantizeNormExpr(child: Expression, scale: Long)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "quantize_norm"
+
+    @transient private lazy val isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      Ivf.quantizeNorm(input.asInstanceOf[ArrayData], isFloat, scale)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.vector.Ivf.quantizeNorm($input, $isFloat, ${scale}L);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def quantizeNorm(v: ArrayData, isFloat: Boolean, scale: Long): ArrayData = {
+    val n = v.numElements()
+    val vec = new Array[Double](n)
+    var i = 0
+    var norm = 0.0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      vec(i) = x; norm += x * x; i += 1
+    }
+    val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(vec(i) * inv * scale + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def quantize_norm(v: Column): Column =
+    GraftInterop.column(QuantizeNormExpr(GraftInterop.expression(v), RefineScale))
+
   /** Distributed Lloyd refinement — the corpus-scale companion to the
     * driver-side [[fitCentroids]]: start from given centroids (a
     * sample fit, or a deterministic init) and run `iters` exact Lloyd
@@ -154,14 +210,10 @@ object Ivf {
     var centers = init.map(_.clone())
     var it = 0
     while (it < iters) {
-      val norm = Ann.l2norm(col(vecCol))
-      val inv = when(norm > 0, lit(1.0) / norm).otherwise(lit(0.0))
       val rows = corpus
         .select(
           nearest_cells(col(vecCol), centers, 1).getItem(0).as("_cell"),
-          transform(col(vecCol),
-            x => floor(x.cast("double") * inv * RefineScale + 0.5d).cast("long"))
-            .as("_q"))
+          quantize_norm(col(vecCol)).as("_q"))
         .select(col("_cell"), posexplode(col("_q")))
         .groupBy(col("_cell"), col("pos"))
         .agg(sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
