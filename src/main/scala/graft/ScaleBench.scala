@@ -303,6 +303,45 @@ object ScaleBench {
       finally spark.conf.unset(wglKey)
     println(s"""{"bench":"scale","workload":"quota_duel_match",""" +
       s""""match":${qb50m == qs50m && qs50m == qn50m}}""")
+
+    // ---- phase 1g: corpus-stat sketches vs exact distinct shuffle ----
+    // per-source vocabulary stats (the q80/q82/q89 trio as ONE
+    // aggregation) against the exact two-level groupBy, at ~n/10
+    // distinct terms with one source owning half the stream. The exact
+    // form's shuffle carries one row per DISTINCT (source, term) — it
+    // GROWS with vocabulary; the sketch form's shuffle is a fixed
+    // summary per (task, source) regardless of n. Evidence sought:
+    // sketch cost grows only with the SCAN (flat max-task), exact cost
+    // grows with the distinct count; KMV estimate lands within its
+    // ~1/sqrt(k-2) band of the exact answer at 50M.
+    def statCorpus(n: Long): DataFrame =
+      spark.range(n).select(
+        when(col("id") % 2 === 0, lit("hot-src"))
+          .otherwise(concat(lit("src-"), col("id") % 7)).as("source"),
+        concat(lit("term-"), (col("id") * 2654435761L) % (n / 10)).as("term"))
+    def exactStats(n: Long): DataFrame =
+      statCorpus(n).groupBy("source", "term").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_distinct"), sum("c").as("n_terms"))
+    def sketchStats(n: Long): DataFrame =
+      statCorpus(n).groupBy("source").agg(
+        count(lit(1)).as("n_terms"),
+        graft.operators.DistinctSketch.kmv(
+          graft.operators.DistinctSketch.hash60(col("term")), 256).as("kmv"),
+        graft.operators.HeavyHitters.mg_summary(col("term"), 64).as("mg"),
+        graft.operators.CountMin.cms(col("term"), 4, 1024).as("cms"))
+        .select(col("source"), col("n_terms"), col("kmv.est_distinct"))
+    timed("cstats_sketch_5m", sketchStats(5000000))
+    timed("cstats_sketch_50m", sketchStats(50000000))
+    timed("cstats_exact_5m", exactStats(5000000))
+    timed("cstats_exact_50m", exactStats(50000000))
+    val est = sketchStats(50000000)
+      .filter(col("source") === "hot-src").collect()(0).getLong(2)
+    val exact = exactStats(50000000)
+      .filter(col("source") === "hot-src").collect()(0).getLong(1)
+    println(s"""{"bench":"scale","workload":"cstats_kmv_accuracy",""" +
+      s""""est":$est,"exact":$exact,""" +
+      f""""rel_err":${math.abs(est - exact).toDouble / exact}%.4f}""")
     } // end !skewOnly
 
     // ---- phase 2: hot-key skew duel ----

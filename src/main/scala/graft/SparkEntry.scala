@@ -2612,11 +2612,12 @@ object SparkEntry {
         |JOIN ke eb ON eb.lang = p.key_b
         |JOIN ue ON ue.key_a = p.key_a AND ue.key_b = p.key_b""".stripMargin,
 
-    // q89: the sketch rebuilt from exact term counts — per depth row,
-    // bucket totals are the sum of counts over colliding terms (same
-    // md5("d:term") % width buckets), estimates the same min over
-    // rows; the linearity of the counters is what makes the group-by
-    // form equal the engine's streaming form
+    // q89: the sketch rebuilt from exact term counts — depth row d's
+    // bucket is hex digits [8d, 8d+8) of ONE md5(term) (unsigned
+    // 32-bit slice) % width; bucket totals sum counts over colliding
+    // terms, estimates take the same min over rows; the linearity of
+    // the counters is what makes the group-by form equal the engine's
+    // streaming form
     "q89_count_min" ->
       raw"""WITH toks AS (
         |  SELECT doc_id,
@@ -2629,14 +2630,14 @@ object SparkEntry {
         |dd AS (SELECT unnest(generate_series(0, 3)) AS d),
         |g AS (
         |  SELECT dd.d,
-        |    CAST(('0x' || substr(md5(dd.d::VARCHAR || ':' || c.term), 1, 15))
+        |    CAST(('0x' || substr(md5(c.term), 1 + 8 * dd.d, 8))
         |         AS BIGINT) % 1024 AS b,
         |    sum(c.cnt) AS tot
         |  FROM counts c CROSS JOIN dd GROUP BY 1, 2),
         |probes AS (SELECT DISTINCT term FROM t WHERE doc_id < 3),
         |pe AS (
         |  SELECT p.term, dd.d,
-        |    CAST(('0x' || substr(md5(dd.d::VARCHAR || ':' || p.term), 1, 15))
+        |    CAST(('0x' || substr(md5(p.term), 1 + 8 * dd.d, 8))
         |         AS BIGINT) % 1024 AS b
         |  FROM probes p CROSS JOIN dd)
         |SELECT pe.term, CAST(min(coalesce(g.tot, 0)) AS BIGINT) AS est

@@ -25,31 +25,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * add (the counters are linear), so the sketch is independent of
   * partitioning and merge order.
   *
-  * Engine-agnostic by the repo's md5 discipline: row r increments
-  * bucket `md5("d:" || value)[0..15 hex] % width` in each depth row d
-  * — any engine with md5 (the DuckDB oracle, a Python consumer)
-  * rebuilds the exact same sketch and estimates from raw data, so the
-  * ESTIMATOR is oracle-checkable, not just a lucky exact regime.
+  * Engine-agnostic by the repo's md5 discipline: depth row d's bucket
+  * is hex digits `[8d, 8d+8)` of ONE `md5(value)` (an unsigned 32-bit
+  * slice) mod width — any engine with md5 (the DuckDB oracle, a
+  * Python consumer) rebuilds the exact same sketch and estimates from
+  * raw data, so the ESTIMATOR is oracle-checkable, not just a lucky
+  * exact regime; and a row costs one digest regardless of depth.
   */
 object CountMin {
 
-  /** The bucket of `value` in depth row `d` — Scala side (aggregate
-    * update). MUST stay in lockstep with [[bucket_col]] and the DuckDB
-    * twin `('0x' || substr(md5(d || ':' || v), 1, 15))::BIGINT % width`.
+  /** The bucket of `value` in depth row `d`: bytes `4d..4d+3` of ONE
+    * md5 of the value, as an unsigned 32-bit integer mod width — the
+    * 128 md5 bits slice into four independent-enough row hashes, so a
+    * row costs ONE digest regardless of depth (the naive
+    * per-depth-salted form pays depth digests per row — measured 4x
+    * on the update path). MUST stay in lockstep with [[bucket_col]]
+    * and the DuckDB twin
+    * `('0x' || substr(md5(v), 1 + 8*d, 8))::BIGINT % width`.
     */
   def bucket(d: Int, value: UTF8String, width: Int): Int = {
     val md = tlMd5.get()
     md.reset()
-    md.update(String.valueOf(d).getBytes("UTF-8"))
-    md.update(':'.toByte)
-    md.update(value.getBytes)
-    val hex = md.digest()
-    // first 15 hex digits = high 60 bits of the first 8 bytes, minus
-    // the low nibble of byte 7
+    bucketOfDigest(md.digest(value.getBytes), d, width)
+  }
+
+  private def bucketOfDigest(dig: Array[Byte], d: Int, width: Int): Int = {
     var h = 0L
-    var i = 0
-    while (i < 8) { h = (h << 8) | (hex(i) & 0xffL); i += 1 }
-    (((h >>> 4) % width).toInt)
+    var i = 4 * d
+    val end = i + 4
+    while (i < end) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+    (h % width).toInt
   }
 
   private val tlMd5 = new ThreadLocal[java.security.MessageDigest] {
@@ -57,10 +62,12 @@ object CountMin {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Column twin of [[bucket]] for the probe side. */
-  def bucket_col(d: Column, value: Column, width: Int): Column =
-    pmod(conv(substring(md5(concat(d.cast("string"), lit(":"),
-      value.cast("string"))), 1, 15), 16, 10).cast("long"), lit(width.toLong))
+  /** Column twin of [[bucket]] for the probe side (`d` is a plan-time
+    * constant — positions fold into the substring literal).
+    */
+  def bucket_col(d: Int, value: Column, width: Int): Column =
+    pmod(conv(substring(md5(value.cast("string")), 1 + 8 * d, 8), 16, 10)
+      .cast("long"), lit(width.toLong))
 
   /** Aggregate Column: the `depth*width` counter array (row-major:
     * counter(d, b) at index d*width + b).
@@ -74,8 +81,10 @@ object CountMin {
     * row per group; broadcast it against the probe frame).
     */
   def estimate(sketch: Column, probe: Column, depth: Int, width: Int): Column =
-    array_min(transform(sequence(lit(0), lit(depth - 1)),
-      d => element_at(sketch, (d * width + bucket_col(d, probe, width) + 1).cast("int"))))
+    (0 until depth)
+      .map(d => element_at(sketch,
+        (lit(d * width) + bucket_col(d, probe, width) + 1).cast("int")))
+      .reduceLeft((a, b) => least(a, b))
 
   /** The q-series convenience: build ONE sketch over `value`, estimate
     * each distinct probe — `(probeCol, est)` rows. The sketch frame is
@@ -97,8 +106,10 @@ object CountMin {
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[Array[Long]] {
 
-    require(depth >= 1 && depth <= 16, s"cms: depth must be in [1,16], got $depth")
-    require(width >= 2, s"cms: width must be >= 2, got $width")
+    require(depth >= 1 && depth <= 4,
+      s"cms: depth must be in [1,4] (md5 yields four 32-bit slices), got $depth")
+    require(width >= 2 && width <= (1 << 30),
+      s"cms: width must be in [2, 2^30], got $width")
 
     override def children: Seq[Expression] = Seq(child)
     override def nullable: Boolean = false
@@ -111,10 +122,12 @@ object CountMin {
     override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
       val v = child.eval(input)
       if (v != null) {
-        val u = v.asInstanceOf[UTF8String]
+        val md = tlMd5.get()
+        md.reset()
+        val dig = md.digest(v.asInstanceOf[UTF8String].getBytes)
         var d = 0
         while (d < depth) {
-          buf(d * width + bucket(d, u, width)) += 1L
+          buf(d * width + bucketOfDigest(dig, d, width)) += 1L
           d += 1
         }
       }

@@ -19,7 +19,7 @@ class CountMinSpec extends GraftSparkSpec {
   test("scala bucket and column bucket agree") {
     val vals = Seq("alpha", "beta", "hot", "w0", "ünïcode")
     val gotCol = vals.toDF("v")
-      .select(col("v"), CountMin.bucket_col(lit(3), col("v"), 512).as("b"))
+      .select(col("v"), CountMin.bucket_col(3, col("v"), 512).as("b"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     vals.foreach { v =>
       assert(gotCol(v) == CountMin.bucket(3, UTF8String.fromString(v), 512).toLong,
