@@ -1174,6 +1174,26 @@ object SparkEntry {
       val probes = terms.filter(col("doc_id") < 3).select(col("term"))
       graft.operators.CountMin.estimateProbes(
         terms, col("term"), probes, "term", depth = 4, width = 1024)
+    }),
+
+    // markup-to-text extraction — the crawl stage ahead of cleaning:
+    // script/style BODIES drop (bare tag-stripping would leak code
+    // into the text — the fixture's script contains `1 < 2` to prove
+    // the order matters), comments drop, tags strip to spaces, common
+    // entities decode (&amp; last ≡ a strict single-pass decoder),
+    // whitespace collapses. One codegen'd builtin chain, zero
+    // shuffles; the DuckDB oracle runs the same RE2-compatible chain
+    "q90_strip_markup" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>doc "), col("doc_id").cast("string"),
+        lit("</title><style type=\"text/css\">body { color: red; }</style>"),
+        lit("<script>var x = 1 < 2 && \"a\";</script></head><body><!-- nav bar -->"),
+        lit("<div class=\"main\"><p>"), coalesce(col("text"), lit("")),
+        lit("</p><br/>Tom &amp; Jerry &lt;3 &quot;quoted&quot; it&#39;s" +
+          " here&nbsp;&gt;end</div></body></html>"))
+      table(s, dir, "documents").select(col("doc_id"),
+        graft.textops.TextAnalysis.stripMarkup(html).as("text_clean"))
+        .withColumn("n_chars", length(col("text_clean")).cast("long"))
     })
   )
 
@@ -2642,7 +2662,38 @@ object SparkEntry {
         |  FROM probes p CROSS JOIN dd)
         |SELECT pe.term, CAST(min(coalesce(g.tot, 0)) AS BIGINT) AS est
         |FROM pe LEFT JOIN g ON g.d = pe.d AND g.b = pe.b
-        |GROUP BY pe.term""".stripMargin
+        |GROUP BY pe.term""".stripMargin,
+
+    // q90: the same fixture and the same ordered chain in RE2 —
+    // block bodies, comments, tags (all with the 'g' option; DuckDB
+    // replaces first-match by default), literal entity replaces with
+    // &amp; last, explicit whitespace class, trim
+    "q90_strip_markup" ->
+      raw"""WITH planted AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc ' || doc_id::VARCHAR ||
+        |    '</title><style type="text/css">body { color: red; }</style>' ||
+        |    '<script>var x = 1 < 2 && "a";</script></head><body><!-- nav bar -->' ||
+        |    '<div class="main"><p>' || coalesce(text, '') ||
+        |    '</p><br/>Tom &amp; Jerry &lt;3 &quot;quoted&quot; it&#39;s here&nbsp;&gt;end</div></body></html>'
+        |      AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |          '(?s)<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '[ \t\n\r\f\x0B]+', ' ', 'g')) AS text_clean
+        |  FROM planted)
+        |SELECT doc_id, text_clean,
+        |  CAST(length(text_clean) AS BIGINT) AS n_chars
+        |FROM c""".stripMargin
   )
 
   private def annTwinOracleSql(family: String): String =

@@ -49,6 +49,37 @@ object TextAnalysis {
     trim(regexp_replace(noCtl, "[ \\t\\n\\r]+", " "))
   }
 
+  /** Markup-to-text extraction — the crawl-pipeline stage ahead of
+    * [[cleanText]]: drop `<script>`/`<style>` CONTENT (their bodies
+    * are code, not prose — bare tag-stripping would leak them into
+    * the text), drop `<!-- -->` comments, strip remaining tags to a
+    * space, decode the common entities, collapse whitespace. The
+    * regex approximation every large pipeline ships (C4/CCNet-grade),
+    * NOT an HTML5 parser: unclosed constructs stay in place.
+    *
+    * Entity decode is a chained literal replace with `&amp;` LAST —
+    * equivalent to a strict single-pass `&name;` decoder (a
+    * double-encoded `&amp;lt;` yields the literal text `&lt;`, the
+    * standard one-pass behavior). Every regex is written to mean the
+    * same thing in Java regex (Spark) and RE2 (the DuckDB oracle):
+    * inline `(?is)` flags, explicit whitespace classes, non-greedy
+    * block bodies. Pure codegen'd builtin chain — no UDF, no custom
+    * expression.
+    */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (acc, (e, r)) =>
+      regexp_replace(acc, e, r)
+    }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f\\x0B]+", " "))
+  }
+
   /** Count of tokens present in `words` (with repeats). */
   def stopwordCount(toks: Column, words: Seq[String]): Column = {
     val set = typedLit(words)

@@ -113,6 +113,28 @@ class TextAnalysisSpec extends GraftSparkSpec {
     assert(clean("\t\u000B\f ") == "") // pure-dirt input -> empty
   }
 
+  test("stripMarkup: block bodies drop before tag stripping; entities single-pass") {
+    def strip(s: String): String =
+      Seq(s).toDF("text")
+        .select(TextAnalysis.stripMarkup(col("text")).as("c"))
+        .collect().head.getString(0)
+    // script BODY (containing a '<' that is not a tag) vanishes whole;
+    // bare tag-stripping would have left "var x = 1 " behind
+    assert(strip("<p>a</p><script>var x = 1 < 2;</script>b") == "a b")
+    assert(strip("<style>p { color: red }</style>text") == "text")
+    assert(strip("a<!-- hidden <b>bold</b> -->z") == "a z")
+    // case-insensitive, attribute-carrying, multi-line blocks
+    assert(strip("<SCRIPT type=\"module\">\nx\n</SCRIPT>ok") == "ok")
+    // entity decode: &amp; last == strict single-pass (double-encoded
+    // &amp;lt; becomes the literal text &lt;)
+    assert(strip("Tom &amp; Jerry &lt;3 &quot;q&quot; it&#39;s&nbsp;x") ==
+      "Tom & Jerry <3 \"q\" it's x")
+    assert(strip("&amp;lt;") == "&lt;")
+    // unclosed '<' stays (not an HTML parser — the documented contract)
+    assert(strip("a <unclosed") == "a <unclosed")
+    assert(strip("  <p>  a  </p>  ") == "a")
+  }
+
   test("stratifiedSample: per-stratum rates, default applies, nested in global sample") {
     import graft.operators.Sampling
     val docs = (0L until 400L).map(i =>
