@@ -1194,6 +1194,25 @@ object SparkEntry {
       table(s, dir, "documents").select(col("doc_id"),
         graft.textops.TextAnalysis.stripMarkup(html).as("text_clean"))
         .withColumn("n_chars", length(col("text_clean")).cast("long"))
+    }),
+
+    // Bloom membership sketch — the seen-set prefilter: ONE fixed-size
+    // aggregation over the corpus vocabulary (m/64 longs per task),
+    // probes answered against the broadcast one-row sketch frame by
+    // pure Column arithmetic. Probes mix present terms (must all be
+    // true — no false negatives) with planted absent keys (false
+    // unless a real double-hash collision fills all 5 bits — the
+    // oracle recomputes the exact set-bit set, so even a false
+    // positive must MATCH)
+    "q91_bloom" -> ((s, dir) => {
+      val terms = table(s, dir, "documents").select(col("doc_id"),
+        explode(graft.textops.TextIndex.terms(col("text"))).as("term"))
+      val present = terms.filter(col("doc_id") < 3).select(col("term"))
+      val absent = s.range(0, 8)
+        .select(concat(lit("zzz_absent_"), col("id").cast("string")).as("term"))
+      graft.operators.Bloom.mightContainProbes(
+        terms, col("term"), present.union(absent), "term",
+        m = 1 << 17, k = 5)
     })
   )
 
@@ -2693,7 +2712,45 @@ object SparkEntry {
         |  FROM planted)
         |SELECT doc_id, text_clean,
         |  CAST(length(text_clean) AS BIGINT) AS n_chars
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // q91: rebuild the exact SET-BIT SET from raw data under the same
+    // md5 double-hash scheme (h1/h2 = unsigned 32-bit md5 slices,
+    // stride forced odd with pure arithmetic), then answer every
+    // probe: might_contain = ALL k probed bits present. False
+    // positives are recomputed too, not tolerated
+    "q91_bloom" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |t AS (SELECT doc_id, u.term FROM toks, unnest(ts) AS u(term)),
+        |ii AS (SELECT unnest(generate_series(0, 4)) AS i),
+        |hv AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(md5(term), 9, 8)) AS BIGINT) AS h2
+        |  FROM t),
+        |bits AS (
+        |  SELECT DISTINCT (h1 + i * (h2 - h2 % 2 + 1)) % 131072 AS bit
+        |  FROM hv CROSS JOIN ii),
+        |probes AS (
+        |  SELECT DISTINCT term FROM t WHERE doc_id < 3
+        |  UNION
+        |  SELECT 'zzz_absent_' || unnest(generate_series(0, 7))::VARCHAR),
+        |ph AS (
+        |  SELECT term,
+        |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(md5(term), 9, 8)) AS BIGINT) AS h2
+        |  FROM probes),
+        |pb AS (
+        |  SELECT term, (h1 + i * (h2 - h2 % 2 + 1)) % 131072 AS bit
+        |  FROM ph CROSS JOIN ii)
+        |SELECT pb.term, bool_and(b.bit IS NOT NULL) AS might_contain
+        |FROM pb LEFT JOIN bits b ON b.bit = pb.bit
+        |GROUP BY pb.term""".stripMargin
   )
 
   private def annTwinOracleSql(family: String): String =
