@@ -1213,6 +1213,28 @@ object SparkEntry {
       graft.operators.Bloom.mightContainProbes(
         terms, col("term"), present.union(absent), "term",
         m = 1 << 17, k = 5)
+    }),
+
+    // Unicode NFC canonicalization — the normalize-before-hash step:
+    // composed and decomposed spellings of the same text must collide
+    // in every dedup family. The corpus is ASCII (the expression's
+    // zero-copy fast path), so the planted prefix carries the real
+    // cases: combining acute, combining ring, the ANGSTROM/OHM
+    // singletons, hangul jamo, an already-composed é, and a
+    // reorder-only cluster (dot-above after dot-below). Both engines
+    // run the stability-guaranteed UAX #15 algorithm — the comparison
+    // is exact, including char counts shrinking by composition
+    "q92_nfc" -> ((s, dir) => {
+      val raw = concat(
+        lit("é Å Å Ω 가 é q̣̇ "),
+        coalesce(col("text"), lit("")))
+      table(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          graft.textops.TextAnalysis.nfc_normalize(col("raw")).as("text_nfc"),
+          length(col("raw")).cast("long").as("n_chars_raw"),
+          length(graft.textops.TextAnalysis.nfc_normalize(col("raw")))
+            .cast("long").as("n_chars_nfc"))
     })
   )
 
@@ -2750,7 +2772,25 @@ object SparkEntry {
         |  FROM ph CROSS JOIN ii)
         |SELECT pb.term, bool_and(b.bit IS NOT NULL) AS might_contain
         |FROM pb LEFT JOIN bits b ON b.bit = pb.bit
-        |GROUP BY pb.term""".stripMargin
+        |GROUP BY pb.term""".stripMargin,
+
+    // q92: the identical planted codepoint sequence built with chr()
+    // (769=U+0301 acute, 778=U+030A ring, 8491=ANGSTROM, 8486=OHM,
+    // 4352/4449=hangul jamo, 233=composed é, 775/803=dot-above/below
+    // in the WRONG canonical order), normalized by DuckDB's
+    // utf8proc-backed nfc_normalize — same UAX #15 algorithm
+    "q92_nfc" ->
+      raw"""WITH planted AS (
+        |  SELECT doc_id,
+        |    'e' || chr(769) || ' A' || chr(778) || ' ' || chr(8491) ||
+        |    ' ' || chr(8486) || ' ' || chr(4352) || chr(4449) || ' ' ||
+        |    chr(233) || ' q' || chr(775) || chr(803) || ' ' ||
+        |    coalesce(text, '') AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS text_nfc,
+        |  CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc
+        |FROM planted""".stripMargin
   )
 
   private def annTwinOracleSql(family: String): String =

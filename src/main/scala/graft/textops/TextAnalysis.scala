@@ -2,8 +2,12 @@ package graft.textops
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftInterop}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-analysis operators for training-data pipelines (SURVEY §7.4.9 /
   * builder brief): language-ID, quality scoring, token counting,
@@ -79,6 +83,52 @@ object TextAnalysis {
     }
     trim(regexp_replace(decoded, "[ \\t\\n\\r\\f\\x0B]+", " "))
   }
+
+  /** Unicode NFC normalization (UAX #15) — the canonicalization step a
+    * crawl pipeline runs BEFORE any hashing/dedup/token work: the same
+    * text arriving composed (`é`) and decomposed (`e`+U+0301) from two
+    * sources would otherwise hash apart and dodge every dedup family.
+    * NFC (not NFK*) because it is content-preserving — compatibility
+    * folding changes text (ﬁ -> fi) and belongs in lossy cleaning.
+    *
+    * Scale shape: one narrow codegen'd pass. The Java-side helper fast
+    * paths pure-ASCII input (the overwhelming majority of crawl bytes)
+    * with a byte scan — no decode, no allocation, the input UTF8String
+    * passes through — and quick-checks already-normalized non-ASCII
+    * (`Normalizer.isNormalized`) before paying for a rewrite. Both
+    * Spark (java.text.Normalizer) and the DuckDB oracle
+    * (`nfc_normalize`, utf8proc) implement the same UAX #15 algorithm,
+    * whose results are stability-guaranteed across Unicode versions —
+    * which is what makes an exact cross-engine oracle possible at all.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val n = s.numBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { ascii = (s.getByte(i) & 0x80) == 0; i += 1 }
+    if (ascii) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  case class NfcExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+    override def nullSafeEval(input: Any): Any =
+      nfc(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.textops.TextAnalysis.nfc($input);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column form of [[nfc]]. */
+  def nfc_normalize(text: Column): Column =
+    GraftInterop.column(NfcExpr(GraftInterop.expression(text)))
 
   /** Count of tokens present in `words` (with repeats). */
   def stopwordCount(toks: Column, words: Seq[String]): Column = {

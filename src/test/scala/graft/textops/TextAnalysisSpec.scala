@@ -135,6 +135,27 @@ class TextAnalysisSpec extends GraftSparkSpec {
     assert(strip("  <p>  a  </p>  ") == "a")
   }
 
+  test("nfc_normalize: composition, singletons, hangul, reorder, ascii identity") {
+    def norm(s: String): String =
+      Seq(s).toDF("text")
+        .select(TextAnalysis.nfc_normalize(col("text")).as("c"))
+        .collect().head.getString(0)
+    assert(norm("é") == "é")             // e + combining acute -> é
+    assert(norm("é") == "é")              // already composed stays
+    assert(norm("Å") == "Å")              // ANGSTROM SIGN -> Å (singleton)
+    assert(norm("Ω") == "Ω")              // OHM SIGN -> Ω (singleton)
+    assert(norm("가") == "가")        // hangul jamo -> 가
+    // canonical reordering: dot-above (ccc 230) after dot-below (ccc
+    // 220), even though no precomposed q-form exists
+    assert(norm("q̣̇") == "q̣̇")
+    assert(norm("plain ascii stays") == "plain ascii stays")
+    assert(norm("") == "")
+    // null passes through the expression's null-safe path
+    val r = Seq(Option.empty[String]).toDF("text")
+      .select(TextAnalysis.nfc_normalize(col("text")).as("c")).collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("stratifiedSample: per-stratum rates, default applies, nested in global sample") {
     import graft.operators.Sampling
     val docs = (0L until 400L).map(i =>
