@@ -1235,6 +1235,17 @@ object SparkEntry {
           length(col("raw")).cast("long").as("n_chars_raw"),
           length(graft.textops.TextAnalysis.nfc_normalize(col("raw")))
             .cast("long").as("n_chars_nfc"))
+    }),
+
+    // deterministic train/val/test split — a row-local salted-md5
+    // labeling (zero shuffles): stable across runs, partitionings and
+    // corpus versions (adding/removing docs never moves a survivor
+    // between splits — the leak random splits create). test/val take
+    // the LOW buckets so growing either rate only drains train
+    "q93_split" -> ((s, dir) => {
+      graft.operators.Sampling.assignSplit(
+        table(s, dir, "documents").select(col("doc_id")), col("doc_id"),
+        valBuckets = 13, testBuckets = 26)
     })
   )
 
@@ -2790,7 +2801,20 @@ object SparkEntry {
         |SELECT doc_id, nfc_normalize(raw) AS text_nfc,
         |  CAST(length(raw) AS BIGINT) AS n_chars_raw,
         |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc
-        |FROM planted""".stripMargin
+        |FROM planted""".stripMargin,
+
+    // q93: recompute the salted first-md5-byte bucket and the CASE
+    "q93_split" ->
+      raw"""WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 2))
+        |         AS BIGINT) AS bkt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN bkt < 26 THEN 'test'
+        |       WHEN bkt < 39 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM b""".stripMargin
   )
 
   private def annTwinOracleSql(family: String): String =

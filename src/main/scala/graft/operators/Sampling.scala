@@ -53,4 +53,42 @@ object Sampling {
       }
     df.filter(bucket(idCol) < cutoff)
   }
+
+  /** 0-255 bucket of `salt || id` — [[bucket]] with a domain label, so
+    * independent decisions about the SAME id (split assignment vs
+    * subsampling vs an A/B holdout) draw from decorrelated hashes
+    * instead of all keying off one byte.
+    */
+  def saltedBucket(idCol: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 2), 16, 10)
+      .cast("int")
+
+  /** Deterministic train/val/test split — the partition every training
+    * run needs, as a row-local labeling (NOT a per-run random split):
+    * an id's assignment is a pure function of the id, so it is stable
+    * across runs, partitionings, engines, and — the property random
+    * splits lack — across CORPUS VERSIONS: re-curating, adding, or
+    * removing documents never moves a surviving document between
+    * splits, so yesterday's test set never leaks into today's train
+    * set. Rates are in the repo's /256 bucket units on a salted hash
+    * (default salt `"split:"` decorrelates the split from
+    * [[deterministicSample]]'s plain-md5 subsetting, so sampled
+    * subcorpora keep all three splits at the same rates).
+    *
+    * 100 TB shape: one narrow codegen'd projection — zero shuffles,
+    * zero state; test/val land in the LOW buckets so growing either
+    * rate only ever moves rows OUT of train (never test -> val).
+    */
+  def assignSplit(
+      df: DataFrame, idCol: Column, valBuckets: Int, testBuckets: Int,
+      salt: String = "split:", splitCol: String = "split"): DataFrame = {
+    require(valBuckets >= 0 && testBuckets >= 0 && valBuckets + testBuckets < 256,
+      s"val+test buckets must leave train nonempty in [0, 256): " +
+        s"got val=$valBuckets test=$testBuckets")
+    val b = saltedBucket(idCol, salt)
+    df.withColumn(splitCol,
+      when(b < testBuckets, "test")
+        .when(b < testBuckets + valBuckets, "val")
+        .otherwise("train"))
+  }
 }

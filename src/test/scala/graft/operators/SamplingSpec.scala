@@ -34,4 +34,41 @@ class SamplingSpec extends GraftSparkSpec {
     intercept[IllegalArgumentException](
       Sampling.deterministicSample(ids, col("id"), 257))
   }
+
+  test("assignSplit: exhaustive, stable across partitioning and corpus versions") {
+    def splits(df: org.apache.spark.sql.DataFrame, parts: Int): Map[Long, String] =
+      Sampling.assignSplit(df.repartition(parts), col("id"),
+        valBuckets = 13, testBuckets = 26)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val a = splits(ids, 1)
+    assert(a.size == 1000 && a.values.forall(Set("train", "val", "test")))
+    assert(a == splits(ids, 11)) // partitioning-invariant
+    // corpus-version stability: dropping half the docs moves NOBODY
+    val half = splits(ids.filter(col("id") % 2 === 0), 3)
+    assert(half.forall { case (id, s) => a(id) == s })
+    // rates land near 26/256 and 13/256 (loose bands for 1000 ids)
+    val n = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("test") > 60 && n("test") < 150, s"test=${n("test")}")
+    assert(n("val") > 25 && n("val") < 85, s"val=${n("val")}")
+    assert(n("train") > 700, s"train=${n("train")}")
+  }
+
+  test("assignSplit: growing val only ever takes from train; salt decorrelates") {
+    val base = Sampling.assignSplit(ids, col("id"), valBuckets = 13, testBuckets = 26)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val grown = Sampling.assignSplit(ids, col("id"), valBuckets = 40, testBuckets = 26)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    grown.foreach { case (id, s) =>
+      if (base(id) == "test") assert(s == "test") // test set never moves
+      if (s == "val") assert(base(id) != "test")  // new val came from train
+    }
+    // the split hash is NOT the sampling hash: the deterministic
+    // sample's kept set must contain all three splits
+    val kept = Sampling.deterministicSample(ids, col("id"), 32)
+    val keptSplits = Sampling.assignSplit(kept, col("id"), 13, 26)
+      .collect().map(_.getString(1)).toSet
+    assert(keptSplits == Set("train", "val", "test"))
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(ids, col("id"), valBuckets = 200, testBuckets = 56))
+  }
 }
