@@ -3,8 +3,9 @@ package graft.textops
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftInterop, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Merges-table-driven byte-pair-encoding token counting.
@@ -57,6 +58,50 @@ object Bpe {
   }
 
   def table(merges: Seq[(String, String)]): Table = new Table(merges.toArray)
+
+  /** A merges table plus a symbol->id vocabulary — the encode half's
+    * broadcast unit. Id assignment is the Sennrich convention: base
+    * symbols take ids `0..B-1` in the given order, merge `i`'s output
+    * symbol takes id `B+i` (first occurrence wins when two merges
+    * produce the same string, e.g. (a,bc) and (ab,c) -> "abc" —
+    * matching [[Table]]'s first-wins rank). Symbols outside the
+    * vocabulary encode as [[Coder.UnkId]] (-1): an explicit sentinel,
+    * never a silent drop — token COUNTS must agree with
+    * [[countTokens]] exactly.
+    */
+  final class Coder(val table: Table, val baseSymbols: Array[String])
+      extends Serializable {
+    @transient private lazy val idOf: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](
+        (baseSymbols.length + table.pairs.length) * 2)
+      var i = 0
+      while (i < baseSymbols.length) {
+        if (!m.containsKey(baseSymbols(i))) m.put(baseSymbols(i), i)
+        i += 1
+      }
+      var j = 0
+      while (j < table.pairs.length) {
+        val sym = table.pairs(j)._1 + table.pairs(j)._2
+        if (!m.containsKey(sym)) m.put(sym, baseSymbols.length + j)
+        j += 1
+      }
+      m
+    }
+    def id(sym: String): Int = {
+      val r = idOf.get(sym)
+      if (r == null) Coder.UnkId else r.intValue()
+    }
+  }
+
+  object Coder { val UnkId: Int = -1 }
+
+  def coder(merges: Seq[(String, String)], baseSymbols: Seq[String]): Coder =
+    new Coder(table(merges), baseSymbols.toArray)
+
+  /** Printable-ASCII base vocabulary (codepoints 33..126 — whitespace
+    * never appears in a word by construction).
+    */
+  val asciiBase: Seq[String] = (33 to 126).map(_.toChar.toString)
 
   /** A small deterministic English-leaning merges list (common digraphs,
     * then compounds built from them) — a stand-in for a trained merges
@@ -113,6 +158,16 @@ object Bpe {
   private def bpeWordCount(word: String, t: Table): Int = {
     val nCp = word.codePointCount(0, word.length)
     if (nCp <= 1) return nCp
+    bpeWordSymbols(word, t).length
+  }
+
+  /** [[bpeWordCount]]'s merge loop, returning the final symbol
+    * sequence — the encode path's core ([[countTokens]] keeps its
+    * zero-allocation short-word fast path and delegates here
+    * otherwise).
+    */
+  private def bpeWordSymbols(word: String, t: Table): Array[String] = {
+    val nCp = word.codePointCount(0, word.length)
     var syms = new Array[String](nCp)
     var ci = 0
     var off = 0
@@ -156,7 +211,7 @@ object Bpe {
         nSyms = w
       }
     }
-    nSyms
+    if (nSyms == syms.length) syms else java.util.Arrays.copyOf(syms, nSyms)
   }
 
   case class BpeCountExpr(child: Expression, bcast: Broadcast[Table])
@@ -171,6 +226,51 @@ object Bpe {
         classOf[Broadcast[Table]].getName)
       nullSafeCodeGen(ctx, ev, input =>
         s"${ev.value} = graft.textops.Bpe.countTokens($input, $ref);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** BPE-encode `text` to token ids under the broadcast coder — the
+    * materialization step [[countTokens]] only counts: the id arrays
+    * are what a training job actually reads. Same pre-tokenization
+    * and merge loop, so `size(ids) == bpe_token_count` always.
+    */
+  def encodeIds(text: UTF8String, bcast: Broadcast[Coder]): ArrayData = {
+    val c = bcast.value
+    val t = c.table
+    val s = text.toString
+    val out = new java.util.ArrayList[Integer](s.length / 4 + 4)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWsChar(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWsChar(s.charAt(i))) i += 1
+      if (i > start) {
+        val syms = bpeWordSymbols(s.substring(start, i), t)
+        var j = 0
+        while (j < syms.length) { out.add(c.id(syms(j))); j += 1 }
+      }
+    }
+    val arr = new Array[Int](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k).intValue(); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+
+  case class BpeEncodeExpr(child: Expression, bcast: Broadcast[Coder])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "bpe_encode"
+    override def nullSafeEval(input: Any): Any =
+      encodeIds(input.asInstanceOf[UTF8String], bcast)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeCoder", bcast,
+        classOf[Broadcast[Coder]].getName)
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.textops.Bpe.encodeIds($input, $ref);")
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -334,5 +434,31 @@ object Bpe {
       key,
       (new java.lang.ref.WeakReference(sc), sc.broadcast(table(merges))))
     GraftInterop.column(BpeCountExpr(GraftInterop.expression(text), bcast))
+  }
+
+  /** [[bcastCache]]'s twin for compiled coders (merges + base vocab). */
+  private[textops] val coderCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Long, Seq[(String, String)], Seq[String]),
+        (java.lang.ref.WeakReference[org.apache.spark.SparkContext], Broadcast[Coder])]
+
+  /** Column API for encode-to-ids: broadcasts the compiled coder once
+    * per (context, merges, base vocab), then reuses it across calls
+    * and batches — the [[bpe_token_count]] discipline.
+    */
+  def bpe_encode(spark: SparkSession, text: Column,
+      merges: Seq[(String, String)],
+      baseSymbols: Seq[String] = asciiBase): Column = {
+    val sc = spark.sparkContext
+    coderCache.foreach { case (k, (ref, _)) =>
+      val owner = ref.get()
+      if (owner == null || owner.isStopped) coderCache.remove(k)
+    }
+    val key = (sc.applicationId, sc.startTime, merges.toVector, baseSymbols.toVector)
+    val (_, bcast) = coderCache.getOrElseUpdate(
+      key,
+      (new java.lang.ref.WeakReference(sc),
+        sc.broadcast(coder(merges, baseSymbols))))
+    GraftInterop.column(BpeEncodeExpr(GraftInterop.expression(text), bcast))
   }
 }
