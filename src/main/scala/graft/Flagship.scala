@@ -48,8 +48,7 @@ object Flagship {
 
   /** Deterministic apache-format lines derived from `events`. */
   def syntheticLines(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = SparkEntry.eventsTable(spark, sfDir)
     val ip = concat(lit("10."), (col("user_id") % 200).cast("string"), lit(".0.1"))
     val ts = date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss Z")
     val method = element_at(

@@ -136,8 +136,8 @@ object ScaleBench {
             .otherwise(x)).as("embedding"))
     emb.write.mode("overwrite").parquet(s"$outDir/embeddings")
 
-    val ev = spark.read.parquet(s"$outDir/events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = graft.SparkEntry.normalizeEventTs(
+      spark.read.parquet(s"$outDir/events"))
     val logs = ev.select(
       col("event_id"),
       col("event_type").as("source"),
@@ -354,11 +354,12 @@ object ScaleBench {
     if (!advOnly) {
     val skewReplicas = sys.env.getOrElse("SPARK_GRAFT_SKEW_REPLICAS", "100").toLong
     val skRep = explode(sequence(lit(0L), lit(skewReplicas - 1L))).as("_r")
-    val skBase = spark.read.parquet(s"$baseDir/events.parquet")
+    val skBase = graft.SparkEntry.normalizeEventTs(
+        spark.read.parquet(s"$baseDir/events.parquet"))
       .select(col("*"), skRep)
       .select(
         (col("event_id") + col("_r") * lit(1000000000L)).as("event_id"),
-        timestamp_micros(expr("ts DIV 1000")).as("utc_timestamp"),
+        col("ts").as("utc_timestamp"),
         (col("user_id") + col("_r") * lit(1000000L)).as("user_id"),
         col("event_type"))
     val skewed = skBase.select(

@@ -20,13 +20,37 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) in the driver's parquet; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a nanos
-    * long. Convert with integer division (a double division would lose
-    * precision above 2^53 nanos).
+  /** `events.ts` arrives in one of three shapes depending on how the
+    * driver generated the parquet and on the session config, so adapt by
+    * the OBSERVED type rather than assuming one:
+    *  - nanos LONG (TIMESTAMP(NANOS) parquet +
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`): convert with
+    *    integer division (a double division would lose precision above
+    *    2^53 nanos); [[graft.plans.NanoTsPushdown]] restores pushdown.
+    *  - TIMESTAMP_NTZ (timestamp[us] parquet, no isAdjustedToUTC): cast
+    *    to session-zoned timestamp — the session runs UTC, so values are
+    *    identical and downstream `epoch`-based math is unchanged.
+    *  - TIMESTAMP: already the canonical shape.
     */
   def eventsTable(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventTs(table(s, dir, "events"))
+
+  /** Normalize an event-shaped frame's `colName` to session-zoned
+    * TIMESTAMP regardless of which physical shape the parquet carried
+    * (see [[eventsTable]]). Shared by every direct `events.parquet`
+    * reader so a driver-side regeneration of the testdata cannot break
+    * one copy of the conversion silently.
+    */
+  def normalizeEventTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast("timestamp"))
+      case _ => df
+    }
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the real log pipeline over synthetic apache lines generated
@@ -559,10 +583,11 @@ object SparkEntry {
 
     // As-of join: every event aligned to its user's most recent
     // checkpoint (events with event_id % 10 == 0) at or before it —
-    // DuckDB's native ASOF LEFT JOIN is the oracle. Times are raw
-    // parquet nanos (LongType under nanosAsLong) == epoch_ns.
+    // DuckDB's native ASOF LEFT JOIN is the oracle. Times are epoch
+    // nanos longs (raw parquet nanos when available, else converted
+    // from the timestamp) == epoch_ns on the oracle side.
     "q46_asof" -> ((s, dir) => {
-      val ev = table(s, dir, "events")
+      val ev = eventsNanos(s, dir)
       val left = ev.select(col("event_id"), col("user_id"), col("ts"))
       graft.operators.AsofJoin.asofBackward(
         left, q46Checkpoints(ev), Seq("user_id"), "ts", "rts",
@@ -573,7 +598,7 @@ object SparkEntry {
     // same as-of semantics through the skew-proof chunked twin
     // (hourly chunks over nano timestamps) — same oracle as q46
     "q50_asof_chunked" -> ((s, dir) => {
-      val ev = table(s, dir, "events")
+      val ev = eventsNanos(s, dir)
       val left = ev.select(col("event_id"), col("user_id"), col("ts"))
       graft.operators.AsofJoin.asofBackwardChunked(
         left, q46Checkpoints(ev), Seq("user_id"), "ts", "rts",
@@ -1480,6 +1505,22 @@ object SparkEntry {
         |  FROM keys)
         |SELECT s.event_id, n.cluster
         |FROM sess s JOIN numbered n USING (source, ip, local_id)""".stripMargin
+
+  /** `events` with `ts` as an epoch-NANOS long whatever the physical
+    * parquet shape — q46/q50's as-of machinery (and its hourly
+    * chunkSize) works in nanos, matching the oracle's `epoch_ns(ts)`.
+    * Micros→nanos multiplication cannot overflow for any timestamp
+    * DuckDB itself can represent (|micros| < 2^62/1000).
+    */
+  private def eventsNanos(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val ev = table(s, dir, "events")
+    ev.schema("ts").dataType match {
+      case LongType => ev
+      case _ => normalizeEventTs(ev)
+        .withColumn("ts", expr("unix_micros(ts) * 1000L"))
+    }
+  }
 
   /** q46/q50's checkpoint frame, deduped to ONE row per (user_id, ts):
     * DuckDB's ASOF JOIN picks an ARBITRARY row among equal-time

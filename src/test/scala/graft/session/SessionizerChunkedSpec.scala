@@ -12,8 +12,7 @@ class SessionizerChunkedSpec extends GraftSparkSpec {
   import spark.implicits._
 
   private def logsFrame = {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = graft.SparkEntry.eventsTable(spark, "/root/testdata/sf0.001")
     ev.select(
       col("event_id"),
       col("event_type").as("source"),
