@@ -1271,6 +1271,25 @@ object SparkEntry {
       graft.operators.Sampling.assignSplit(
         table(s, dir, "documents").select(col("doc_id")), col("doc_id"),
         valBuckets = 13, testBuckets = 26)
+    }),
+
+    // PageRank over a deterministic doc-id link graph (two modular
+    // out-links per doc + a hub link to doc 0 from every 10th doc):
+    // 5 exact fixed-point power iterations — the oracle recomputes the
+    // SAME integer recurrence through 5 unrolled CTE iterations, so the
+    // ranks hash-match exactly (no float tolerance anywhere).
+    "q94_pagerank" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id * 7 + 1) % $n").as("dst"))
+      val e2 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id * 13 + 2) % $n").as("dst"))
+      val e3 = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("src"), lit(0L).as("dst"))
+      graft.operators.LinkGraph.pageRank(
+          docs, "doc_id", e1.union(e2).union(e3), iters = 5)
+        .select(col("doc_id"), col("rank").as("rank_fp"))
     })
   )
 
@@ -2855,8 +2874,43 @@ object SparkEntry {
         |  CASE WHEN bkt < 26 THEN 'test'
         |       WHEN bkt < 39 THEN 'val'
         |       ELSE 'train' END AS split
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    "q94_pagerank" -> oracleSqlQ94
   )
+
+  /** q94's oracle: the SAME integer PageRank recurrence as
+    * [[graft.operators.LinkGraph.pageRank]], 5 iterations unrolled as
+    * chained CTEs (DuckDB 1.0 recursive CTEs cannot aggregate over the
+    * recursive table). DuckDB's 128-bit intermediates make the plain
+    * `(r*85)//(100*d)` equal the engine's overflow-safe split form.
+    */
+  private val oracleSqlQ94: String = {
+    val base = graft.operators.LinkGraph.Scale * 15 / 100
+    val iters = (1 to 5).map { k =>
+      s"""p$k AS (
+         |  SELECT d0.doc_id AS id, $base + COALESCE(s.c, 0) AS r
+         |  FROM documents d0 LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |           CAST(SUM((p.r * 85) // (100 * g.d)) AS BIGINT) AS c
+         |    FROM p${k - 1} p JOIN e ON e.src = p.id JOIN g ON g.src = e.src
+         |    GROUP BY e.dst) s ON s.id = d0.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT doc_id AS src,
+       |         (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 13 + 2) % (SELECT count(*) FROM documents)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 0 FROM documents WHERE doc_id % 10 = 0),
+       |g AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |p0 AS (SELECT doc_id AS id, ${graft.operators.LinkGraph.Scale} AS r
+       |       FROM documents),
+       |""".stripMargin + iters + """
+       |SELECT id AS doc_id, r AS rank_fp FROM p5""".stripMargin
+  }
 
   private def annTwinOracleSql(family: String): String =
     s"""WITH base AS (

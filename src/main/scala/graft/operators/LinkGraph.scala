@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Link-graph centrality (PageRank) over a corpus-scale edge list —
+  * the web-graph quality signal curation pipelines weight documents by
+  * (hub/spam structure is invisible to per-document text features).
+  *
+  * All-integer fixed-point arithmetic, the [[graft.vector.Ivf.RefineScale]]
+  * discipline applied to an ITERATIVE distributed algorithm: double
+  * power-iteration sums would be partition-order dependent, so ranks
+  * are `Scale`-scaled longs, per-edge contributions use exact integer
+  * floor division, and per-node sums accumulate in decimal(38,0).
+  * The result is bit-reproducible under any partitioning — which is
+  * also what lets a DuckDB oracle recompute the EXACT ranks.
+  *
+  * Semantics per iteration (damping d = dampNum/dampDen):
+  *   r'(v) = floor(Scale*(dampDen-dampNum)/dampDen)
+  *           + sum over in-edges (u,v) of floor(r(u)*dampNum / (dampDen*deg(u)))
+  * Parallel edges count twice (in deg and in contribution); self-loops
+  * allowed; a dangling node (outdeg 0) simply leaks its damped mass —
+  * no uniform redistribution, because that term is a full broadcast of
+  * a global scalar per iteration and the LEAKED-mass variant is the
+  * standard practical choice for web-scale graphs (documented, and the
+  * oracle states the same recurrence).
+  *
+  * Scale shape: `deg` joins `edges` ONCE up front (one shuffle,
+  * localCheckpoint'ed); each iteration is one ranks-to-edges equi-join
+  * on src plus one (dst) hash aggregation with map-side partial
+  * combine — only (dst, contrib) pairs cross the second exchange. On a
+  * real cluster the checkpointed edge frame keeps its (src)
+  * partitioning across all iterations, so only the (small) rank frame
+  * moves. Lineage truncates per iteration ([[Dedup.connectedComponents]]'
+  * loop discipline).
+  *
+  * Overflow: contributions avoid `r*dampNum` (which overflows a long
+  * once total mass nears 2^63/dampNum — reachable at ~1e12 nodes via a
+  * hub that concentrates the corpus' mass) with the exact identity
+  *   floor(r*c/b) = (r DIV b)*c + ((r MOD b)*c) DIV b
+  * whose intermediates stay below max(r, b*c). The oracle computes the
+  * plain form — DuckDB's 128-bit intermediates make the two equal.
+  */
+object LinkGraph {
+
+  /** Rank fixed-point unit: rank 1.0 == 2^20. */
+  val Scale: Long = 1L << 20
+
+  /** `iters` exact power iterations; returns one row per node:
+    * (idCol, rank) with rank in [[Scale]]-scaled fixed point.
+    *
+    * @param nodes one row per vertex, column `idCol` (long)
+    * @param edges columns `src`, `dst` (longs); rows outside `nodes`'
+    *              id set contribute nothing on the dst side and must
+    *              not appear on the src side (deg is edge-derived)
+    */
+  def pageRank(
+      nodes: DataFrame, idCol: String, edges: DataFrame,
+      iters: Int, dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 0, s"pageRank: iters must be >= 0, got $iters")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      s"pageRank: damping $dampNum/$dampDen outside [0,1]")
+    val base = Scale * (dampDen - dampNum) / dampDen
+
+    // deg joined in once: every iteration reuses this frame (and on a
+    // cluster, its partitioning) without recomputing the aggregation
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
+    val edgesDeg = edges.join(deg, "src")
+      .select(col("src"), col("dst"), (lit(dampDen) * col("_deg")).as("_b"))
+      .localCheckpoint(true)
+
+    var ranks = nodes.select(col(idCol).as("id"), lit(Scale).as("r"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val contribs = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("id"))
+        .select(col("dst"),
+          expr(s"(r DIV _b) * $dampNum + ((r % _b) * $dampNum) DIV _b").as("_c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("_c").cast(DecimalType(38, 0))).as("_s"))
+      val updated = nodes.select(col(idCol).as("id"))
+        .join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("_s"), lit(0)).cast("long")).as("r"))
+        .localCheckpoint(true)
+      val prev = ranks
+      ranks = updated
+      prev.unpersist()
+      it += 1
+    }
+    val out = ranks.select(col("id").as(idCol), col("r").as("rank"))
+    edgesDeg.unpersist()
+    out
+  }
+}

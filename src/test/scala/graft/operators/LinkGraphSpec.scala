@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.GraftSparkSpec
+
+/** PageRank fixed-point power iteration: exact equality against an
+  * independent driver-side BigInt recompute (no tolerance — the
+  * operator's whole claim is bit-reproducible integer arithmetic),
+  * hand-checked tiny graph, partitioning invariance, damped-mass
+  * bound, and the overflow-safe split-division identity at extreme
+  * rank magnitudes.
+  */
+class LinkGraphSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  /** Independent reference: adjacency loops over BigInt — shares no
+    * arithmetic shape with the operator's DIV/MOD split form.
+    */
+  private def reference(
+      ids: Seq[Long], edges: Seq[(Long, Long)], iters: Int,
+      dampNum: Long = 85, dampDen: Long = 100): Map[Long, Long] = {
+    val base = BigInt(LinkGraph.Scale) * (dampDen - dampNum) / dampDen
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var r = ids.map(_ -> BigInt(LinkGraph.Scale)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = collection.mutable.Map.empty[Long, BigInt]
+      edges.foreach { case (s, d) =>
+        val c = r(s) * dampNum / (BigInt(dampDen) * deg(s))
+        contrib(d) = contrib.getOrElse(d, BigInt(0)) + c
+      }
+      r = ids.map(id => id -> (base + contrib.getOrElse(id, BigInt(0)))).toMap
+    }
+    r.map { case (k, v) => k -> v.toLong }
+  }
+
+  private def run(
+      ids: Seq[Long], edges: Seq[(Long, Long)], iters: Int,
+      parts: Int = 4): Map[Long, Long] = {
+    val nodes = ids.toDF("id").repartition(parts)
+    val e = edges.toDF("src", "dst").repartition(parts)
+    LinkGraph.pageRank(nodes, "id", e, iters)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+  }
+
+  test("hand-checked 3-node cycle with a hub") {
+    // 0->1, 1->2, 2->0, and 2->0 duplicated (parallel edge)
+    val ids = Seq(0L, 1L, 2L)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 0L))
+    // iteration 1 by hand (Scale=2^20=1048576, base=157286):
+    //   contrib(0->1) = 1048576*85/100        = 891289 (deg 1)
+    //   contrib(1->2) = 891289 same           = 891289
+    //   contrib(2->0) per edge = 1048576*85/(100*2) = 445644, twice
+    val got1 = run(ids, edges, iters = 1)
+    assert(got1(0L) == 157286L + 2 * 445644L)
+    assert(got1(1L) == 157286L + 891289L)
+    assert(got1(2L) == 157286L + 891289L)
+    assert(got1 == reference(ids, edges, 1))
+  }
+
+  test("matches the independent BigInt reference on a dense modular graph") {
+    val n = 97L
+    val ids = (0L until n)
+    val edges = ids.flatMap { i =>
+      Seq((i, (i * 7 + 1) % n), (i, (i * 13 + 2) % n)) ++
+        (if (i % 10 == 0) Seq((i, 0L)) else Nil)
+    }
+    val want = reference(ids, edges, 5)
+    assert(run(ids, edges, 5) == want)
+  }
+
+  test("partitioning-invariant") {
+    val n = 53L
+    val ids = (0L until n)
+    val edges = ids.map(i => (i, (i * 31 + 3) % n))
+    val a = run(ids, edges, 4, parts = 1)
+    val b = run(ids, edges, 4, parts = 7)
+    assert(a == b)
+  }
+
+  test("mass never exceeds the undamped total; sinks leak it") {
+    val ids = Seq(0L, 1L, 2L, 3L)
+    // 3 is a sink's TARGET only; 0,1,2 chain into it — dangling node 3
+    // has no out-edges, so its damped mass leaves the system
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val got = run(ids, edges, 10)
+    val total = got.values.sum
+    assert(total <= 4L * LinkGraph.Scale)
+    assert(got == reference(ids, edges, 10))
+  }
+
+  test("split division form stays exact at hub-concentrated magnitudes") {
+    // one hub receiving from many: rank magnitudes grow toward the
+    // regime where naive r*85 is the thing that would overflow first;
+    // equality with the BigInt reference (which computes r*85/b
+    // directly) proves the split identity, not just absence of crash
+    val n = 40L
+    val ids = (0L until n)
+    val edges = ids.filter(_ > 0).map(i => (i, 0L)) ++ Seq((0L, 1L))
+    val got = run(ids, edges, 8)
+    assert(got == reference(ids, edges, 8))
+  }
+
+  test("iters=0 returns the uniform init; bad args fail fast") {
+    val got = run(Seq(1L, 2L), Seq((1L, 2L)), 0)
+    assert(got == Map(1L -> LinkGraph.Scale, 2L -> LinkGraph.Scale))
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(Seq(1L).toDF("id"), "id",
+        Seq((1L, 1L)).toDF("src", "dst"), iters = -1)
+    }
+  }
+}
