@@ -1290,6 +1290,25 @@ object SparkEntry {
       graft.operators.LinkGraph.pageRank(
           docs, "doc_id", e1.union(e2).union(e3), iters = 5)
         .select(col("doc_id"), col("rank").as("rank_fp"))
+    }),
+
+    // weighted sample without replacement (Efraimidis–Spirakis A-ES,
+    // md5-derived uniforms): 100 docs weight-proportional by size —
+    // the oracle recomputes u, ln(u)/w, and the top-k cut in DuckDB
+    "q95_weighted_sample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), (coalesce(col("n_chars"), lit(0L)) + 1).as("w"))
+      graft.operators.Sampling.weightedSample(docs, col("doc_id"), col("w"), k = 100)
+    }),
+
+    // positional phrase search: docs containing the exact consecutive
+    // token trigram, with occurrence counts; the oracle slides a
+    // list_slice window over the same token twin
+    "q96_phrase_search" -> ((s, dir) => {
+      graft.textops.TextIndex.phraseSearch(
+          table(s, dir, "documents"), "doc_id", "text",
+          Seq("slow", "hash", "batch"))
+        .select(col("id").as("doc_id"), col("n_occ"))
     })
   )
 
@@ -2876,7 +2895,28 @@ object SparkEntry {
         |       ELSE 'train' END AS split
         |FROM b""".stripMargin,
 
-    "q94_pagerank" -> oracleSqlQ94
+    "q94_pagerank" -> oracleSqlQ94,
+
+    "q95_weighted_sample" ->
+      raw"""WITH s AS (
+        |  SELECT doc_id, COALESCE(n_chars, 0) + 1 AS w,
+        |    (CAST(('0x' || substr(md5('wsamp:' || doc_id::VARCHAR), 1, 15))
+        |          AS BIGINT) + 1) / 1152921504606846976.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, w FROM s
+        |ORDER BY ln(u) / w DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q96_phrase_search" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_occ
+        |FROM t, unnest(range(len(ts) - 2)) AS u(i)
+        |WHERE list_slice(ts, i + 1, i + 3) = ['slow', 'hash', 'batch']
+        |GROUP BY doc_id""".stripMargin
   )
 
   /** q94's oracle: the SAME integer PageRank recurrence as

@@ -91,4 +91,45 @@ object Sampling {
         .when(b < testBuckets + valBuckets, "val")
         .otherwise("train"))
   }
+
+  /** Efraimidis–Spirakis A-ES key for weighted sampling WITHOUT
+    * replacement: rank ids by `ln(u)/w` descending, where `u` is a
+    * deterministic md5-derived uniform in (0, 1] — the largest-key rows
+    * are a weight-proportional sample, and because `u` is a pure
+    * function of (salt, id), the selection is reproducible across runs,
+    * partitionings, and engines (the q95 oracle recomputes it in
+    * DuckDB). `u = (h60 + 1) / 2^60` with h60 the family's md5-60-bit
+    * hash: +1 keeps `u` strictly positive (ln(0) = -Inf would tie every
+    * zero-hash row) and the upper end u = 1 -> key = 0 is fine.
+    *
+    * Floating point: ln and the divide are IEEE doubles on both
+    * engines; only the SELECTED SET is output, so a cross-engine ulp
+    * divergence matters only if two keys straddle the k-boundary within
+    * ~1 ulp — SamplingSpec audits the actual boundary margin (orders of
+    * magnitude above ulp noise for md5-spread keys).
+    */
+  def weightedKey(idCol: Column, weightCol: Column, salt: String = "wsamp:"): Column = {
+    val h60 = conv(substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 15),
+      16, 10).cast("long")
+    log((h60 + 1).cast("double") / lit(1152921504606846976.0d)) / // u = h/2^60
+      weightCol.cast("double")
+  }
+
+  /** Weight-proportional sample of `k` rows without replacement (the
+    * corpus-mix primitive when strata rates aren't known up front —
+    * e.g. sample by token count or by a quality score). Weights must be
+    * strictly positive. 100 TB shape: `orderBy(key).limit(k)` plans as
+    * TakeOrderedAndProject — each task keeps its local top-k, only
+    * k rows per task reach the driver merge, no global sort, no
+    * shuffle of the data itself.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: Column, weightCol: Column, k: Int,
+      salt: String = "wsamp:"): DataFrame = {
+    require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+    df.withColumn("_wkey", weightedKey(idCol, weightCol, salt))
+      .orderBy(col("_wkey").desc, idCol)
+      .limit(k)
+      .drop("_wkey")
+  }
 }

@@ -116,6 +116,52 @@ object TextIndex {
   /** (postings, doclens) of a doc frame. Docs with no tokens get a
     * dl=0 doclens row (they count in N and avgdl) and no postings.
     */
+  /** Positional postings: one row per token occurrence (id, pos, term)
+    * — the layout phrase/proximity queries need (tf-only postings
+    * cannot distinguish "new york" from "york new").
+    */
+  def positions(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        posexplode(terms(col(textCol))).as(Seq("pos", "term")))
+
+  /** Exact consecutive-phrase search: docs containing the token
+    * sequence `phrase`, with occurrence counts — output (id, n_occ).
+    *
+    * Standard positional-intersection on aligned bases: a phrase-term
+    * occurrence at position p as phrase offset i is a candidate start
+    * at base = p - i; a base with ALL `phrase.length` offsets present
+    * is a match (each offset can only be contributed by the single
+    * token at base+i, so the count test is exact — repeated phrase
+    * terms included, since each occurrence explodes into one row per
+    * offset the term holds in the phrase).
+    *
+    * 100 TB shape: ONE narrow scan — the `term IN (...)` filter pushes
+    * into the parquet scan, the per-row offsets explode is bounded by
+    * the phrase length, and only (id, base, off) triples for MATCHING
+    * terms ever shuffle into the two aggregations.
+    */
+  def phraseSearch(
+      docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    val p = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(p.nonEmpty, "phraseSearch: empty phrase")
+    val offsetsByTerm = p.zipWithIndex.groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2) }
+    val offArr = offsetsByTerm.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("array<int>")) { case (acc, (t, offs)) =>
+        when(col("term") === t, typedLit(offs)).otherwise(acc)
+      }
+    positions(docs, idCol, textCol)
+      .filter(col("term").isin(p.distinct: _*))
+      .select(col("id"), col("pos"), explode(offArr).as("off"))
+      .select(col("id"), (col("pos") - col("off")).as("base"))
+      .groupBy(col("id"), col("base"))
+      .agg(count(lit(1)).as("_m"))
+      .filter(col("_m") === p.length && col("base") >= 0)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
   private def postingsOf(
       docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
     val base = docs.select(col(idCol).cast("long").as("id"),

@@ -71,4 +71,59 @@ class SamplingSpec extends GraftSparkSpec {
     intercept[IllegalArgumentException](
       Sampling.assignSplit(ids, col("id"), valBuckets = 200, testBuckets = 56))
   }
+
+  /** Independent A-ES reference: java MessageDigest md5 + Math.log,
+    * sharing no Spark expression machinery with [[Sampling.weightedKey]].
+    */
+  private def referenceSelect(
+      rows: Seq[(Long, Long)], k: Int, salt: String = "wsamp:"): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(s"$salt$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / (1L << 60).toDouble
+      math.log(u) / w.toDouble
+    }
+    rows.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+  }
+
+  test("weightedSample: matches the independent reference, any partitioning") {
+    val rows = (0L until 500L).map(i => (i, i % 17 + 1))
+    val want = referenceSelect(rows, 50).toSet
+    def got(parts: Int) = Sampling.weightedSample(
+        rows.toDF("id", "w").repartition(parts), col("id"), col("w"), 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(got(1) == want)
+    assert(got(7) == want)
+  }
+
+  test("weightedSample: heavy weights dominate the selection") {
+    // 10 ids with weight 10^6 vs 990 with weight 1: every heavy id's
+    // key ln(u)/1e6 is > any light id's key unless the light u is
+    // astronomically close to 1 — all heavies must be in the top 20
+    val rows = (0L until 1000L).map(i => (i, if (i < 10) 1000000L else 1L))
+    val got = Sampling.weightedSample(
+        rows.toDF("id", "w").repartition(5), col("id"), col("w"), 20)
+      .collect().map(_.getLong(0)).toSet
+    assert((0L until 10L).forall(got.contains), s"missing heavy ids in $got")
+    assert(got == referenceSelect(rows, 20).toSet)
+  }
+
+  test("weightedSample: k-boundary margin is far above ulp noise") {
+    // the cross-engine safety argument: the gap between the k-th and
+    // (k+1)-th keys must dwarf 1-ulp libm divergence
+    val rows = (0L until 500L).map(i => (i, i % 17 + 1))
+    val keyed = rows.toDF("id", "w")
+      .withColumn("k", Sampling.weightedKey(col("id"), col("w")))
+      .orderBy(col("k").desc, col("id"))
+      .collect().map(_.getDouble(2))
+    val margin = keyed(49) - keyed(50)
+    assert(margin > 1e-9, s"boundary margin $margin too small")
+  }
+
+  test("weightedSample: bad k fails fast") {
+    intercept[IllegalArgumentException](
+      Sampling.weightedSample(ids, col("id"), lit(1L), 0))
+  }
 }

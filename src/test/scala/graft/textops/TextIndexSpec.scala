@@ -99,4 +99,30 @@ class TextIndexSpec extends GraftSparkSpec {
     TextIndex.compactTextIndex(spark, dir)
     assert(rows(TextIndex.searchTextIndex(spark, dir, Seq("apple", "cherry"), 10)) == rebuilt)
   }
+
+  test("phraseSearch: exact consecutive matches only, counted per doc") {
+    val docs = Seq(
+      (1L, "new york is not york new"),          // 1 occurrence
+      (2L, "new new york york new york city"),   // positions 1 and 4
+      (3L, "new jersey and york"),               // terms present, never adjacent
+      (4L, "NEW YORK"),                          // case-folded match
+      (5L, "")                                   // empty doc
+    ).toDF("doc_id", "text")
+    val got = TextIndex.phraseSearch(docs, "doc_id", "text", Seq("new", "york"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 1L))
+  }
+
+  test("phraseSearch: repeated phrase terms need the full aligned run") {
+    val docs = Seq(
+      (1L, "a b a b a"),  // "a b a" at bases 0 and 2
+      (2L, "a b b a"),    // never
+      (3L, "a a b a")     // base 1
+    ).toDF("doc_id", "text")
+    val got = TextIndex.phraseSearch(docs, "doc_id", "text", Seq("a", "b", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+    intercept[IllegalArgumentException](
+      TextIndex.phraseSearch(docs, "doc_id", "text", Nil))
+  }
 }
