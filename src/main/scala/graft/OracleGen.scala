@@ -62,6 +62,7 @@ object OracleGen {
       "q66_audio_neardup" -> (() => audioNearDupOracle(s, dir)),
       "q68_video_neardup" -> (() => videoNearDupOracle(s, dir)),
       "q64_lm_perplexity" -> (() => lmPerplexityOracle(s, dir)),
+      "q97_backoff_lm" -> (() => backoffLmOracle(s, dir)),
       "q65_curation_pipeline" -> (() => curationOracle(s, dir)),
       "q71_shuffle_shard" -> (() => shuffleShardOracle(s, dir)),
       "q83_shard_manifest" -> (() => shardManifestOracle(s, dir)),
@@ -686,6 +687,79 @@ object OracleGen {
         (r.getLong(0), n, r4(avg), r4(ppl))
       }.sortBy(_._1)
     checkEmbeddable("q64_lm_perplexity", rows.length.toLong)
+    val vals = rows.map { case (id, n, avg, ppl) => s"($id, $n, $avg, $ppl)" }
+      .mkString(", ")
+    s"""WITH expv(doc_id, n_tokens, avg_nll, ppl) AS (VALUES $vals)
+       |SELECT d.doc_id, CAST(e.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(e.avg_nll AS DOUBLE) AS avg_nll, CAST(e.ppl AS DOUBLE) AS ppl
+       |FROM documents d JOIN expv e ON e.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** q97: the q64 technique for the trigram stupid-backoff LM — a
+    * driver-side reference scorer over plain tuple-keyed maps unpacked
+    * from the trained arrays (no binary search, no packed-long
+    * lookups), replaying the backoff chain in the same evaluation
+    * order so the raw doubles are bit-identical before rounding.
+    */
+  def backoffLmOracle(s: SparkSession, dir: String): String = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val m = graft.textops.NgramLm.trainTrigram(
+      docs.filter(col("doc_id") % 10 < 3), "text")
+    val vocabIdx: Map[String, Int] = m.vocab.zipWithIndex.toMap
+    val uni: Map[Int, Long] = m.unigram.zipWithIndex.map(_.swap).toMap
+    val bi: Map[(Int, Int), Long] =
+      m.bigramKeys.zip(m.bigramVals).map { case (k, v) =>
+        (((k >>> 32).toInt, (k & 0xFFFFFFFFL).toInt), v)
+      }.toMap
+    val ctx1: Map[Int, Long] =
+      m.contextCounts.zipWithIndex.map { case (c, id) => (id, c) }.toMap
+    val tri: Map[(Int, Int, Int), Long] =
+      m.trigramKeys.zip(m.trigramVals).map { case (k, v) =>
+        (((k >>> 42).toInt, ((k >>> 21) & 0x1FFFFFL).toInt,
+          (k & 0x1FFFFFL).toInt), v)
+      }.toMap
+    val ctx2: Map[(Int, Int), Long] =
+      m.ctx2Keys.zip(m.ctx2Vals).map { case (k, v) =>
+        (((k >>> 21).toInt, (k & 0x1FFFFFL).toInt), v)
+      }.toMap
+    def score(text: String): (Long, Double, Double) = {
+      val toks = text.toLowerCase(java.util.Locale.ROOT)
+        .split("[ \t\n\\x0B\f\r]+").filter(_.nonEmpty)
+      var u = m.startId
+      var v = m.startId
+      var nll = 0.0
+      toks.foreach { tok =>
+        val w = vocabIdx.getOrElse(tok, m.unkId)
+        val t3 = tri.getOrElse((u, v, w), 0L)
+        val sc =
+          if (t3 > 0L) t3.toDouble / ctx2((u, v))
+          else {
+            val t2 = bi.getOrElse((v, w), 0L)
+            val s2 =
+              if (t2 > 0L) t2.toDouble / ctx1(v)
+              else {
+                val cw = if (w == m.unkId) m.unkCount else uni(w)
+                m.backoff * ((cw + 1.0) / (m.total + m.vocab.length + 1.0))
+              }
+            m.backoff * s2
+          }
+        nll -= math.log(sc)
+        u = v
+        v = w
+      }
+      val n = toks.length.toLong
+      val avg = if (n == 0L) 0.0 else nll / n
+      val ppl = if (n == 0L) 1.0 else math.exp(avg)
+      (n, avg, ppl)
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = docs.select("doc_id", "text").collect()
+      .map { r =>
+        val (n, avg, ppl) = score(r.getString(1))
+        (r.getLong(0), n, r4(avg), r4(ppl))
+      }.sortBy(_._1)
+    checkEmbeddable("q97_backoff_lm", rows.length.toLong)
     val vals = rows.map { case (id, n, avg, ppl) => s"($id, $n, $avg, $ppl)" }
       .mkString(", ")
     s"""WITH expv(doc_id, n_tokens, avg_nll, ppl) AS (VALUES $vals)

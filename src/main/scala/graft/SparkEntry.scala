@@ -1309,6 +1309,41 @@ object SparkEntry {
           table(s, dir, "documents"), "doc_id", "text",
           Seq("slow", "hash", "batch"))
         .select(col("id").as("doc_id"), col("n_occ"))
+    }),
+
+    // trigram stupid-backoff LM (Brants et al. 2007) — the web-scale
+    // companion to q64's interpolated bigram: same clean-slice train /
+    // score-all shape, backoff chain trigram -> bigram -> Laplace
+    // unigram with the fixed 0.4 multiplier; oracle is an independent
+    // driver scorer sharing only the trained count arrays
+    "q97_backoff_lm" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val model = graft.textops.NgramLm.trainTrigram(
+        docs.filter(col("doc_id") % 10 < 3), "text")
+      docs.select(col("doc_id"),
+        graft.textops.NgramLm.lm_score3(s, col("text"), model).as("_lm"))
+        .select(col("doc_id"), col("_lm.n_tokens").as("n_tokens"),
+          round(col("_lm.avg_nll"), 4).as("avg_nll"),
+          round(col("_lm.ppl"), 4).as("ppl"))
+    }),
+
+    // accent stripping (NFD -> drop Mn -> NFC) over an accents-planted
+    // fixture + lowercase fold: the dedup/search normalization key.
+    // DuckDB's strip_accents computes the same mark removal on this
+    // repertoire (no singleton decompositions planted)
+    "q98_strip_accents" -> ((s, dir) => {
+      val raw = concat(
+        lit("étude Ångström naïve façade " +
+          "Ḩusáin q̣̇ "),
+        coalesce(col("text"), lit("")))
+      table(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          lower(graft.textops.TextAnalysis.strip_accents(col("raw")))
+            .as("text_folded"),
+          length(col("raw")).cast("long").as("n_chars_raw"),
+          length(graft.textops.TextAnalysis.strip_accents(col("raw")))
+            .cast("long").as("n_chars_stripped"))
     })
   )
 
@@ -2916,7 +2951,20 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_occ
         |FROM t, unnest(range(len(ts) - 2)) AS u(i)
         |WHERE list_slice(ts, i + 1, i + 3) = ['slow', 'hash', 'batch']
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    "q98_strip_accents" ->
+      raw"""WITH planted AS (
+        |  SELECT doc_id,
+        |    chr(233) || 'tude ' || chr(197) || 'ngstr' || chr(246) ||
+        |    'm na' || chr(239) || 've fa' || chr(231) || 'ade ' ||
+        |    chr(7720) || 'us' || chr(225) || 'in q' || chr(775) ||
+        |    chr(803) || ' ' || coalesce(text, '') AS raw
+        |  FROM documents)
+        |SELECT doc_id, lower(strip_accents(raw)) AS text_folded,
+        |  CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(strip_accents(raw)) AS BIGINT) AS n_chars_stripped
+        |FROM planted""".stripMargin
   )
 
   /** q94's oracle: the SAME integer PageRank recurrence as

@@ -298,4 +298,262 @@ object NgramLm {
     */
   def bigram_keys(loweredText: Column, bcast: Broadcast[VocabIndex]): Column =
     GraftInterop.column(BigramKeysExpr(GraftInterop.expression(loweredText), bcast))
+
+  // ------------------------------------------------------------------
+  // Trigram stupid backoff (Brants et al. 2007): the web-scale scoring
+  // recipe — no discounting to tune, counts only, each backoff level
+  // multiplies a fixed 0.4. Not a probability distribution (scores
+  // don't sum to 1), which is exactly why it needs no smoothing state
+  // and scales to corpus-sized count tables.
+  // ------------------------------------------------------------------
+
+  /** Id packing width for trigram keys: 3 ids per long. */
+  private val TriBits = 21
+  private val TriMask = (1L << TriBits) - 1
+
+  /** Trained trigram count table. Trigram keys pack `(u << 42) |
+    * (v << 21) | w`; `ctx2Keys` pack `(u << 21) | v` with
+    * `ctx2Vals(i) = sum_w c3(u, v, w)`. Bigram arrays reuse the
+    * [[Model]] packing (`(v << 32) | w`); `contextCounts` are the
+    * bigram-context totals. Terminal unigram level is the Laplace
+    * backbone (so unk and unseen tokens never hit -log 0).
+    */
+  final class TrigramModel(
+      val vocab: Array[String],
+      val unigram: Array[Long],
+      val unkCount: Long,
+      val total: Long,
+      val bigramKeys: Array[Long],
+      val bigramVals: Array[Long],
+      val contextCounts: Array[Long],
+      val trigramKeys: Array[Long],
+      val trigramVals: Array[Long],
+      val ctx2Keys: Array[Long],
+      val ctx2Vals: Array[Long],
+      val backoff: Double) extends Serializable {
+
+    def unkId: Int = vocab.length
+    def startId: Int = vocab.length + 1
+
+    @transient private lazy val index: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](vocab.length * 2)
+      var i = 0
+      while (i < vocab.length) { m.put(vocab(i), i); i += 1 }
+      m
+    }
+    def idOf(token: String): Int = {
+      val r = index.get(token)
+      if (r == null) unkId else r.intValue()
+    }
+    def c3(u: Int, v: Int, w: Int): Long = {
+      val key = (u.toLong << (2 * TriBits)) | (v.toLong << TriBits) | w.toLong
+      val i = java.util.Arrays.binarySearch(trigramKeys, key)
+      if (i >= 0) trigramVals(i) else 0L
+    }
+    def c2ctx(u: Int, v: Int): Long = {
+      val key = (u.toLong << TriBits) | v.toLong
+      val i = java.util.Arrays.binarySearch(ctx2Keys, key)
+      if (i >= 0) ctx2Vals(i) else 0L
+    }
+    def c2(v: Int, w: Int): Long = {
+      val key = (v.toLong << 32) | w.toLong
+      val i = java.util.Arrays.binarySearch(bigramKeys, key)
+      if (i >= 0) bigramVals(i) else 0L
+    }
+    /** Laplace unigram terminal (identical form to [[Model.pUnigram]]). */
+    def pUnigram(w: Int): Double = {
+      val c = if (w < vocab.length) unigram(w) else unkCount
+      (c + 1.0) / (total + vocab.length + 1.0)
+    }
+  }
+
+  /** Train the trigram table on the clean slice — the [[train]] shape
+    * with one extra codegen'd key pass: unigram/bigram passes are
+    * shared machinery, the trigram pass emits 21-bit-packed keys with a
+    * double-`<s>` opening context. The driver bound stays the MODEL
+    * (distinct folded trigrams under `maxNgrams`, checked before
+    * collect); vocabSize caps it at (V+2)^3 regardless of slice size.
+    */
+  def trainTrigram(
+      df: DataFrame, textCol: String,
+      vocabSize: Int = 4096, maxNgrams: Int = 4000000,
+      backoff: Double = 0.4): TrigramModel = {
+    require(vocabSize > 0 && vocabSize + 2 < (1 << TriBits),
+      s"trainTrigram: vocabSize must be in [1, ${(1 << TriBits) - 3}] (got $vocabSize)")
+    require(backoff > 0 && backoff <= 1, s"trainTrigram: backoff in (0,1] (got $backoff)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df
+      .select(explode(split(lower(col(textCol)), WsRegex)).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("n")).cache()
+    val (total, vocabRows) =
+      try {
+        val t = counts.agg(coalesce(sum(col("n")), lit(0L))).as[Long].head()
+        val v = counts.orderBy(col("n").desc, col("tok").asc).limit(vocabSize)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        (t, v)
+      } finally { counts.unpersist(); () }
+    val vocab = vocabRows.map(_._1)
+    val unigram = vocabRows.map(_._2)
+    val unkCount = total - unigram.sum
+    val bVocab = spark.sparkContext.broadcast(new VocabIndex(vocab))
+
+    def packedCounts(keyCol: Column, cap: Int, what: String): Array[(Long, Long)] = {
+      val grouped = df.select(explode(keyCol).as("key"))
+        .groupBy("key").agg(count(lit(1)).as("n"))
+      val probeLimit = math.min(cap.toLong + 1L, Int.MaxValue.toLong).toInt
+      val collected = grouped.limit(probeLimit).collect()
+      require(collected.length <= cap,
+        s"trainTrigram: clean slice has more than $cap distinct $what — " +
+          "train on a smaller slice or raise the bound deliberately")
+      collected.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    }
+    val bi = packedCounts(bigram_keys(lower(col(textCol)), bVocab), maxNgrams, "bigrams")
+    val tri = packedCounts(trigram_keys(lower(col(textCol)), bVocab), maxNgrams, "trigrams")
+
+    val ctxCounts = new Array[Long](vocab.length + 2)
+    bi.foreach { case (k, n) => ctxCounts((k >>> 32).toInt) += n }
+    // ctx2 totals aggregate trigram counts by their (u, v) prefix; the
+    // trigram array is already prefix-sorted, so one linear merge pass
+    val ctx2K = Array.newBuilder[Long]
+    val ctx2V = Array.newBuilder[Long]
+    var i = 0
+    while (i < tri.length) {
+      val prefix = tri(i)._1 >>> TriBits
+      var s = 0L
+      while (i < tri.length && (tri(i)._1 >>> TriBits) == prefix) {
+        s += tri(i)._2; i += 1
+      }
+      ctx2K += prefix; ctx2V += s
+    }
+    new TrigramModel(vocab, unigram, unkCount, total,
+      bi.map(_._1), bi.map(_._2), ctxCounts,
+      tri.map(_._1), tri.map(_._2), ctx2K.result(), ctx2V.result(), backoff)
+  }
+
+  /** Per-document stupid-backoff score: (n_tokens, avg_nll, ppl) over
+    * `-log S(w | u, v)` with the fixed-multiplier backoff chain
+    * trigram -> bigram -> Laplace unigram. Same tokenization loop and
+    * empty-doc convention as [[score]].
+    */
+  def scoreTrigram(text: UTF8String, bcast: Broadcast[TrigramModel]): GenericInternalRow = {
+    val m = bcast.value
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    var u = m.startId
+    var v = m.startId
+    var nll = 0.0
+    var n = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWsChar(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWsChar(s.charAt(i))) i += 1
+      if (i > start) {
+        val w = m.idOf(s.substring(start, i))
+        val t3 = m.c3(u, v, w)
+        val sc =
+          if (t3 > 0L) t3.toDouble / m.c2ctx(u, v)
+          else {
+            val t2 = m.c2(v, w)
+            val s2 =
+              if (t2 > 0L) t2.toDouble / m.contextCounts(v)
+              else m.backoff * m.pUnigram(w)
+            m.backoff * s2
+          }
+        nll -= math.log(sc)
+        n += 1L
+        u = v
+        v = w
+      }
+    }
+    val avg = if (n == 0L) 0.0 else nll / n
+    val ppl = if (n == 0L) 1.0 else math.exp(avg)
+    new GenericInternalRow(Array[Any](n, avg, ppl))
+  }
+
+  case class TrigramScoreExpr(child: Expression, bcast: Broadcast[TrigramModel])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("avg_nll", DoubleType, nullable = false),
+      StructField("ppl", DoubleType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "lm_score3"
+    override def nullSafeEval(input: Any): Any =
+      scoreTrigram(input.asInstanceOf[UTF8String], bcast)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("lm3Model", bcast,
+        classOf[Broadcast[TrigramModel]].getName)
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.textops.NgramLm.scoreTrigram($input, $ref);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API for the trigram scorer ([[lm_score]]'s broadcast
+    * contract: one broadcast per call, model caller-owned).
+    */
+  def lm_score3(spark: SparkSession, text: Column, model: TrigramModel): Column = {
+    val bcast = spark.sparkContext.broadcast(model)
+    GraftInterop.column(TrigramScoreExpr(GraftInterop.expression(text), bcast))
+  }
+
+  /** Packed trigram keys of one LOWERED document: key i =
+    * `(u << 42) | (v << 21) | w` over the id stream with a
+    * double-`<s>` opening context — one key per token.
+    */
+  def trigramKeys(text: UTF8String, bcast: Broadcast[VocabIndex]):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val vi = bcast.value
+    val s = text.toString
+    var n = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWsChar(s.charAt(i))) i += 1
+      if (i < len) n += 1
+      while (i < len && !isWsChar(s.charAt(i))) i += 1
+    }
+    val out = new Array[Any](n)
+    var u = vi.startId
+    var v = vi.startId
+    var k = 0
+    i = 0
+    while (i < len) {
+      while (i < len && isWsChar(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWsChar(s.charAt(i))) i += 1
+      if (i > start) {
+        val w = vi.idOf(s.substring(start, i))
+        out(k) = (u.toLong << (2 * TriBits)) | (v.toLong << TriBits) | w.toLong
+        u = v
+        v = w
+        k += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class TrigramKeysExpr(child: Expression, bcast: Broadcast[VocabIndex])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "trigram_keys"
+    override def nullSafeEval(input: Any): Any =
+      trigramKeys(input.asInstanceOf[UTF8String], bcast)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("lm3Vocab", bcast,
+        classOf[Broadcast[VocabIndex]].getName)
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.textops.NgramLm.trigramKeys($input, $ref);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def trigram_keys(loweredText: Column, bcast: Broadcast[VocabIndex]): Column =
+    GraftInterop.column(TrigramKeysExpr(GraftInterop.expression(loweredText), bcast))
 }

@@ -130,6 +130,55 @@ object TextAnalysis {
   def nfc_normalize(text: Column): Column =
     GraftInterop.column(NfcExpr(GraftInterop.expression(text)))
 
+  /** Accent stripping: NFD-decompose, drop combining marks (Mn), NFC
+    * recompose — matching-insensitive text normalization for dedup
+    * keys and search (résumé == resume). Deliberately conservative:
+    * case, ß, ligatures, and non-Latin scripts pass through (this is
+    * mark removal, not transliteration). [[nfc]]'s zero-copy ASCII
+    * fast path applies — the overwhelming majority of crawl bytes
+    * never decode. DuckDB's `strip_accents` (utf8proc) computes the
+    * same function on the mark-bearing repertoire (cross-checked in
+    * TextAnalysisSpec; singleton compatibility decompositions like
+    * OHM SIGN, which utf8proc leaves alone, are excluded from the
+    * oracle fixture by construction).
+    */
+  def stripAccents(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val n = s.numBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { ascii = (s.getByte(i) & 0x80) == 0; i += 1 }
+    if (ascii) return s
+    val str = s.toString
+    val nfd = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    while (j < nfd.length) {
+      val cp = nfd.codePointAt(j)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  case class StripAccentsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "strip_accents"
+    override def nullSafeEval(input: Any): Any =
+      stripAccents(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.textops.TextAnalysis.stripAccents($input);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column form of [[stripAccents]]. */
+  def strip_accents(text: Column): Column =
+    GraftInterop.column(StripAccentsExpr(GraftInterop.expression(text)))
+
   /** Count of tokens present in `words` (with repeats). */
   def stopwordCount(toks: Column, words: Seq[String]): Column = {
     val set = typedLit(words)

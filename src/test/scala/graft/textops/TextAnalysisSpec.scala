@@ -156,6 +156,25 @@ class TextAnalysisSpec extends GraftSparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("strip_accents: marks drop, non-mark repertoire passes through") {
+    def strip(s: String): String =
+      Seq(s).toDF("text")
+        .select(TextAnalysis.strip_accents(col("text")).as("c"))
+        .collect().head.getString(0)
+    assert(strip("étude Ångström naïve façade") == "etude Angstrom naive facade")
+    assert(strip("é") == "e")            // decomposed input strips too
+    assert(strip("Ḩusáin") == "Husain")
+    assert(strip("q̣̇") == "q")            // stacked marks, no precomposed form
+    // NOT transliteration: case, sharp s, ligatures, other scripts stay
+    assert(strip("ß ﬁ Æ") == "ß ﬁ Æ")
+    assert(strip("가") == "가")       // hangul jamo recompose, no marks
+    assert(strip("plain ascii stays") == "plain ascii stays")
+    assert(strip("") == "")
+    val r = Seq(Option.empty[String]).toDF("text")
+      .select(TextAnalysis.strip_accents(col("text")).as("c")).collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("stratifiedSample: per-stratum rates, default applies, nested in global sample") {
     import graft.operators.Sampling
     val docs = (0L until 400L).map(i =>
