@@ -1344,6 +1344,25 @@ object SparkEntry {
           length(col("raw")).cast("long").as("n_chars_raw"),
           length(graft.textops.TextAnalysis.strip_accents(col("raw")))
             .cast("long").as("n_chars_stripped"))
+    }),
+
+    // multi-phrase content filter (the C4-style badwords gate): flag
+    // docs containing any listed phrase, with per-doc hit counts — all
+    // phrases matched in ONE positional scan; oracle unions a
+    // sliding-window check per phrase over the token twin
+    "q99_content_filter" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val hits = graft.textops.TextIndex.phraseSetSearch(
+          docs, "doc_id", "text",
+          Seq(Seq("slow", "hash", "batch"), Seq("order", "fast"), Seq("merge")))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("_np"), sum(col("n_occ")).as("_ns"))
+      docs.select(col("doc_id"))
+        .join(hits, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_np"), lit(0L)).as("n_phrases_hit"),
+          coalesce(col("_ns"), lit(0L)).as("n_spans"),
+          (coalesce(col("_np"), lit(0L)) > 0).as("blocked"))
     })
   )
 
@@ -2964,7 +2983,38 @@ object SparkEntry {
         |SELECT doc_id, lower(strip_accents(raw)) AS text_folded,
         |  CAST(length(raw) AS BIGINT) AS n_chars_raw,
         |  CAST(length(strip_accents(raw)) AS BIGINT) AS n_chars_stripped
-        |FROM planted""".stripMargin
+        |FROM planted""".stripMargin,
+
+    "q99_content_filter" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, 0 AS p, count(*) AS n_occ
+        |  FROM t, unnest(range(len(ts) - 2)) AS u(i)
+        |  WHERE list_slice(ts, i + 1, i + 3) = ['slow', 'hash', 'batch']
+        |  GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT doc_id, 1, count(*)
+        |  FROM t, unnest(range(len(ts) - 1)) AS u(i)
+        |  WHERE list_slice(ts, i + 1, i + 2) = ['order', 'fast']
+        |  GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT doc_id, 2, count(*)
+        |  FROM t, unnest(range(len(ts))) AS u(i)
+        |  WHERE ts[i + 1] = 'merge'
+        |  GROUP BY doc_id),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS np, sum(n_occ) AS ns
+        |  FROM occ GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.np, 0) AS BIGINT) AS n_phrases_hit,
+        |  CAST(COALESCE(a.ns, 0) AS BIGINT) AS n_spans,
+        |  COALESCE(a.np, 0) > 0 AS blocked
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
   )
 
   /** q94's oracle: the SAME integer PageRank recurrence as

@@ -162,6 +162,57 @@ object TextIndex {
       .agg(count(lit(1)).as("n_occ"))
   }
 
+  /** Multi-phrase occurrence counts in ONE scan — the C4-style content
+    * filter primitive ("drop documents containing any listed phrase"):
+    * output (id, phrase_idx, n_occ) for every document × phrase with at
+    * least one exact consecutive occurrence. [[phraseSearch]]'s aligned-
+    * base intersection generalized: each matching token explodes into
+    * one (phrase_idx, offset) entry per slot it holds across ALL
+    * phrases, bases group per (id, phrase_idx), and a base with every
+    * offset of its phrase present is one occurrence. Single-token
+    * phrases degenerate to plain term counting in the same plan.
+    *
+    * 100 TB shape unchanged from [[phraseSearch]]: the union of all
+    * phrase terms is one pushed-down IN filter, the explode is bounded
+    * by the total slot count a term holds, and only matching triples
+    * shuffle. The phrase list itself is a plan constant — suitable for
+    * the dozens-to-hundreds range of curated blocklists, not millions
+    * (that regime wants [[graft.textops.SpanDedup]]'s hash machinery).
+    */
+  def phraseSetSearch(
+      docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "phraseSetSearch: phrases must be non-empty")
+    val lowered = phrases.map(_.map(_.toLowerCase(java.util.Locale.ROOT)))
+    // term -> every (phrase_idx, offset) slot it fills
+    val slots: Map[String, Seq[(Int, Int)]] = lowered.zipWithIndex
+      .flatMap { case (p, pi) => p.zipWithIndex.map { case (t, off) => (t, (pi, off)) } }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val slotArr = slots.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("array<struct<p:int,o:int>>")) {
+        case (acc, (t, ss)) =>
+          when(col("term") === t,
+            array(ss.map { case (pi, off) =>
+              struct(lit(pi).as("p"), lit(off).as("o"))
+            }: _*)).otherwise(acc)
+      }
+    val phraseLen = lowered.zipWithIndex
+      .foldLeft(lit(null).cast("int")) { case (acc, (p, pi)) =>
+        when(col("p") === pi, lit(p.length)).otherwise(acc)
+      }
+    positions(docs, idCol, textCol)
+      .filter(col("term").isin(slots.keys.toSeq: _*))
+      .select(col("id"), col("pos"), explode(slotArr).as("s"))
+      .select(col("id"), col("s.p").as("p"), (col("pos") - col("s.o")).as("base"))
+      .groupBy(col("id"), col("p"), col("base"))
+      .agg(count(lit(1)).as("_m"))
+      .filter(col("_m") === phraseLen && col("base") >= 0)
+      .groupBy(col("id"), col("p"))
+      .agg(count(lit(1)).as("n_occ"))
+      .select(col("id"), col("p").as("phrase_idx"), col("n_occ"))
+  }
+
   private def postingsOf(
       docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
     val base = docs.select(col(idCol).cast("long").as("id"),

@@ -125,4 +125,20 @@ class TextIndexSpec extends GraftSparkSpec {
     intercept[IllegalArgumentException](
       TextIndex.phraseSearch(docs, "doc_id", "text", Nil))
   }
+
+  test("phraseSetSearch: all phrases in one pass, shared terms disambiguated") {
+    val docs = Seq(
+      (1L, "new york new york city"),   // p0 ×2, p1 ×1, p2 ×2 (york)
+      (2L, "york alone"),               // p2 ×1
+      (3L, "new city")                  // nothing ("new" and "city" only in longer phrases)
+    ).toDF("doc_id", "text")
+    val got = TextIndex.phraseSetSearch(docs, "doc_id", "text",
+        Seq(Seq("new", "york"), Seq("york", "city"), Seq("york")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, 0) -> 2L, (1L, 1) -> 1L, (1L, 2) -> 2L,
+      (2L, 2) -> 1L))
+    intercept[IllegalArgumentException](
+      TextIndex.phraseSetSearch(docs, "doc_id", "text", Seq(Seq("a"), Nil)))
+  }
 }
