@@ -342,6 +342,40 @@ object ScaleBench {
     println(s"""{"bench":"scale","workload":"cstats_kmv_accuracy",""" +
       s""""est":$est,"exact":$exact,""" +
       f""""rel_err":${math.abs(est - exact).toDouble / exact}%.4f}""")
+
+    // ---- phase 1h: pagerank hub-skew — partial combine vs raw shuffle ----
+    // EVERY node links to node 0 (plus one modular link): the
+    // mega-hub in-degree skew of a real web graph. The operator's
+    // per-iteration (dst) hash aggregation partial-combines hub
+    // contributions inside each task, so at most one hub row per task
+    // crosses the exchange; the naive twin repartitions the raw
+    // contribution rows by dst first — ALL n hub rows land in one
+    // task. Same integer sums either way (xor-checked); end-to-end
+    // iteration cost at 1M vs 10M shows the operator's scaling.
+    def prGraph(n: Long): (DataFrame, DataFrame) = {
+      val nodes = spark.range(n).select(col("id"))
+      val edges = nodes
+        .select(col("id").as("src"), ((col("id") * 7 + 1) % n).as("dst"))
+        .union(nodes.select(col("id").as("src"), lit(0L).as("dst")))
+      (nodes, edges)
+    }
+    val (prN1, prE1) = prGraph(1000000L)
+    timed("pagerank_1m_3it",
+      graft.operators.LinkGraph.pageRank(prN1, "id", prE1, iters = 3))
+    val (prN10, prE10) = prGraph(10000000L)
+    timed("pagerank_10m_3it",
+      graft.operators.LinkGraph.pageRank(prN10, "id", prE10, iters = 3))
+    val prDeg = prE10.groupBy("src").agg(count(lit(1)).as("_deg"))
+    val prContribs = prE10.join(prDeg, "src").select(col("dst"),
+      expr(s"(${graft.operators.LinkGraph.Scale} DIV (100 * _deg)) * 85").as("_c"))
+    val (prCombineXor, _) = timed("pr_hub_agg_combine",
+      prContribs.groupBy("dst").agg(sum(col("_c")).as("s")))
+    val (prNaiveXor, _) = timed("pr_hub_agg_naive",
+      prContribs.repartition(col("dst")).groupBy("dst").agg(sum(col("_c")).as("s")))
+    println(s"""{"bench":"scale","workload":"pr_hub_duel_match",""" +
+      s""""match":${prCombineXor == prNaiveXor}}""")
+    if (prCombineXor != prNaiveXor)
+      throw new IllegalStateException("pagerank hub aggregation duel diverged")
     } // end !skewOnly
 
     // ---- phase 2: hot-key skew duel ----

@@ -1363,6 +1363,36 @@ object SparkEntry {
           coalesce(col("_np"), lit(0L)).as("n_phrases_hit"),
           coalesce(col("_ns"), lit(0L)).as("n_spans"),
           (coalesce(col("_np"), lit(0L)) > 0).as("blocked"))
+    }),
+
+    // host-level PageRank joined back per document — the composed
+    // pipeline shape: extract hosts from planted doc URLs (the q72/q86
+    // URL machinery), build the distinct host link graph (+ a hub),
+    // md5-60-bit host ids (the family's engine-agnostic hash; the
+    // oracle never needs them — it runs the same recurrence keyed on
+    // the host STRINGS), rank with the q94 fixed-point iterations, and
+    // broadcast-join host_rank back to every document
+    "q100_host_rank" -> ((s, dir) => {
+      import graft.operators.{Blocklist, DistinctSketch, LinkGraph}
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+          lit(".example/p/"), col("doc_id").cast("string")).as("url"),
+        concat(lit("https://h"), ((col("doc_id") * 3 + 1) % 20).cast("string"),
+          lit(".example/x")).as("out_link"))
+      val withHosts = planted.select(col("doc_id"),
+        Blocklist.urlHost(col("url")).as("host"),
+        Blocklist.urlHost(col("out_link")).as("tgt"))
+      val nodes = withHosts.select(col("host")).distinct()
+        .withColumn("hid", DistinctSketch.hash60(col("host")))
+      val edges = withHosts.select(col("host").as("sh"), col("tgt").as("dh"))
+        .union(withHosts.select(col("host").as("sh"), lit("h0.example").as("dh")))
+        .distinct()
+        .select(DistinctSketch.hash60(col("sh")).as("src"),
+          DistinctSketch.hash60(col("dh")).as("dst"))
+      val ranks = LinkGraph.pageRank(nodes, "hid", edges, iters = 5)
+      withHosts.select(col("doc_id"), col("host"))
+        .join(broadcast(nodes.join(ranks, "hid")), "host")
+        .select(col("doc_id"), col("host"), col("rank").as("host_rank_fp"))
     })
   )
 
@@ -3014,8 +3044,40 @@ object SparkEntry {
         |  CAST(COALESCE(a.np, 0) AS BIGINT) AS n_phrases_hit,
         |  CAST(COALESCE(a.ns, 0) AS BIGINT) AS n_spans,
         |  COALESCE(a.np, 0) > 0 AS blocked
-        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+
+    "q100_host_rank" -> oracleSqlQ100
   )
+
+  /** q100's oracle: the q94 unrolled fixed-point recurrence keyed on
+    * host STRINGS (the engine's md5 ids are an internal detail — graph
+    * isomorphism means the ranks agree as long as the edge sets do).
+    */
+  private val oracleSqlQ100: String = {
+    val base = graft.operators.LinkGraph.Scale * 15 / 100
+    val iters = (1 to 5).map { k =>
+      s"""p$k AS (
+         |  SELECT n.host AS id, $base + COALESCE(s.c, 0) AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |           CAST(SUM((p.r * 85) // (100 * g.deg)) AS BIGINT) AS c
+         |    FROM p${k - 1} p JOIN e ON e.src = p.id JOIN g ON g.src = e.src
+         |    GROUP BY e.dst) s ON s.id = n.host)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'h' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+       |    'h' || CAST((doc_id * 3 + 1) % 20 AS VARCHAR) || '.example' AS tgt
+       |  FROM documents),
+       |n AS (SELECT DISTINCT host FROM d),
+       |e AS (SELECT DISTINCT host AS src, tgt AS dst FROM d
+       |      UNION SELECT DISTINCT host, 'h0.example' FROM d),
+       |g AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |p0 AS (SELECT host AS id, ${graft.operators.LinkGraph.Scale} AS r FROM n),
+       |""".stripMargin + iters + """
+       |SELECT d.doc_id, d.host, p.r AS host_rank_fp
+       |FROM d JOIN p5 p ON p.id = d.host""".stripMargin
+  }
 
   /** q94's oracle: the SAME integer PageRank recurrence as
     * [[graft.operators.LinkGraph.pageRank]], 5 iterations unrolled as
