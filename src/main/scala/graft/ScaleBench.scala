@@ -365,9 +365,20 @@ object ScaleBench {
     val (prN10, prE10) = prGraph(10000000L)
     timed("pagerank_10m_3it",
       graft.operators.LinkGraph.pageRank(prN10, "id", prE10, iters = 3))
-    val prDeg = prE10.groupBy("src").agg(count(lit(1)).as("_deg"))
-    val prContribs = prE10.join(prDeg, "src").select(col("dst"),
-      expr(s"(${graft.operators.LinkGraph.Scale} DIV (100 * _deg)) * 85").as("_c"))
+    // the aggregation duel runs at 50M nodes (50M hub rows): at 10M
+    // the single naive hub task still sums in ~2 s and hides the
+    // asymmetry the combine exists to prevent
+    // materialize the contribution frame FIRST (parquet, not a memory
+    // checkpoint — 100M cached rows beside the naive arm's repartition
+    // exhaust execution memory): uncached, both arms would recompute
+    // the 100M-row deg join and its cost would swamp the aggregation
+    // difference the duel exists to show
+    val (_, prE50) = prGraph(50000000L)
+    val prDeg = prE50.groupBy("src").agg(count(lit(1)).as("_deg"))
+    prE50.join(prDeg, "src").select(col("dst"),
+        expr(s"(${graft.operators.LinkGraph.Scale} DIV (100 * _deg)) * 85").as("_c"))
+      .write.mode("overwrite").parquet(s"$outDir/pr_contribs")
+    val prContribs = spark.read.parquet(s"$outDir/pr_contribs")
     val (prCombineXor, _) = timed("pr_hub_agg_combine",
       prContribs.groupBy("dst").agg(sum(col("_c")).as("s")))
     val (prNaiveXor, _) = timed("pr_hub_agg_naive",
