@@ -1393,6 +1393,25 @@ object SparkEntry {
       withHosts.select(col("doc_id"), col("host"))
         .join(broadcast(nodes.join(ranks, "hid")), "host")
         .select(col("doc_id"), col("host"), col("rank").as("host_rank_fp"))
+    }),
+
+    // Aho–Corasick dictionary matching: the large-list content-filter
+    // scale path (q99's plan-constant phrase list caps out at dozens;
+    // the broadcast automaton takes 10^4-10^6 patterns in one linear
+    // codegen'd pass). Patterns here are borderless (no proper
+    // prefix==suffix), so the automaton's overlapping end-position
+    // count equals the replace-count the DuckDB oracle computes
+    "q101_dictionary_match" -> ((s, dir) => {
+      val patterns = Seq("merge", "slow hash", "spark", "window dup")
+      val auto = graft.textops.PhraseAutomaton.build(patterns)
+      val packed = graft.textops.PhraseAutomaton.ac_match(
+        s, coalesce(col("text"), lit("")), auto)
+      table(s, dir, "documents")
+        .select(col("doc_id"), packed.as("_m"))
+        .select(col("doc_id"),
+          graft.textops.PhraseAutomaton.ac_hits(col("_m")).as("n_hits"),
+          graft.textops.PhraseAutomaton.ac_distinct(col("_m")).as("n_patterns"),
+          (graft.textops.PhraseAutomaton.ac_distinct(col("_m")) > 0).as("flagged"))
     })
   )
 
@@ -3046,7 +3065,27 @@ object SparkEntry {
         |  COALESCE(a.np, 0) > 0 AS blocked
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
 
-    "q100_host_rank" -> oracleSqlQ100
+    "q100_host_rank" -> oracleSqlQ100,
+
+    // replace-count per pattern is exact because every pattern is
+    // borderless — occurrences cannot overlap, so the automaton's
+    // end-position count equals the non-overlapping count
+    "q101_dictionary_match" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    (length(s) - length(replace(s, 'merge', ''))) // 5 AS c0,
+        |    (length(s) - length(replace(s, 'slow hash', ''))) // 9 AS c1,
+        |    (length(s) - length(replace(s, 'spark', ''))) // 5 AS c2,
+        |    (length(s) - length(replace(s, 'window dup', ''))) // 10 AS c3
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(c0 + c1 + c2 + c3 AS BIGINT) AS n_hits,
+        |  CAST((c0 > 0)::INT + (c1 > 0)::INT + (c2 > 0)::INT
+        |       + (c3 > 0)::INT AS BIGINT) AS n_patterns,
+        |  (c0 + c1 + c2 + c3) > 0 AS flagged
+        |FROM c""".stripMargin
   )
 
   /** q100's oracle: the q94 unrolled fixed-point recurrence keyed on
