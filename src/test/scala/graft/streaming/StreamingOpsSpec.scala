@@ -352,4 +352,27 @@ class StreamingOpsSpec extends GraftSparkSpec {
       assert(streamed() == batchTwin(b1 ++ b2), "after batch 2")
     } finally q.stop()
   }
+
+  test("streaming dictionary match: the AC automaton is a stateless streaming projection") {
+    import graft.textops.PhraseAutomaton
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val auto = PhraseAutomaton.build(Seq("bad phrase", "spam"))
+    val q = input.toDF().toDF("id", "text")
+      .select(col("id"),
+        PhraseAutomaton.ac_match(spark, col("text"), auto).as("m"))
+      .select(col("id"),
+        PhraseAutomaton.ac_hits(col("m")).as("hits"),
+        PhraseAutomaton.ac_distinct(col("m")).as("pats"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ac_out").start()
+    try {
+      input.addData((1L, "clean doc"), (2L, "SPAM and a bad phrase here"),
+        (3L, "spam spam spam"))
+      q.processAllAvailable()
+      val got = spark.table("ac_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == Map(1L -> ((0L, 0L)), 2L -> ((2L, 2L)), 3L -> ((3L, 1L))))
+    } finally q.stop()
+  }
 }
