@@ -1412,6 +1412,25 @@ object SparkEntry {
           graft.textops.PhraseAutomaton.ac_hits(col("_m")).as("n_hits"),
           graft.textops.PhraseAutomaton.ac_distinct(col("_m")).as("n_patterns"),
           (graft.textops.PhraseAutomaton.ac_distinct(col("_m")) > 0).as("flagged"))
+    }),
+
+    // corpus report: the per-(source, lang) dashboard rollup a curation
+    // run publishes — doc/char/token totals and token-length extremes
+    // with ROLLUP subtotals (q49's grouping-set discipline on the
+    // documents table; the token twin is q22's)
+    "q102_corpus_report" -> ((s, dir) => {
+      import graft.textops.TextAnalysis
+      val enriched = table(s, dir, "documents").select(
+        col("source"), col("lang"),
+        coalesce(col("n_chars"), lit(0L)).as("_nc"),
+        TextAnalysis.nTokens(col("text")).cast("long").as("_ntok"))
+      enriched.rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_nc")).as("total_chars"),
+          sum(col("_ntok")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("_ntok")).as("min_tokens"),
+          max(col("_ntok")).as("max_tokens"))
     })
   )
 
@@ -3085,7 +3104,21 @@ object SparkEntry {
         |  CAST((c0 > 0)::INT + (c1 > 0)::INT + (c2 > 0)::INT
         |       + (c3 > 0)::INT AS BIGINT) AS n_patterns,
         |  (c0 + c1 + c2 + c3) > 0 AS flagged
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "q102_corpus_report" ->
+      raw"""WITH t AS (
+        |  SELECT source, lang, COALESCE(n_chars, 0) AS nc,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+        |         END AS BIGINT) AS ntok
+        |  FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS total_chars,
+        |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT lang) AS n_langs,
+        |  min(ntok) AS min_tokens, max(ntok) AS max_tokens
+        |FROM t GROUP BY ROLLUP(source, lang)""".stripMargin
   )
 
   /** q100's oracle: the q94 unrolled fixed-point recurrence keyed on
