@@ -940,11 +940,16 @@ object OracleGen {
        |  SELECT doc_id FROM qsig
        |  WHERE NOT (n_tokens < 10 OR n_tokens > 100000 OR pr > 0.3
        |             OR sr < 0.02 OR rr > 0.6)),
+       |chit AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM qbase b, unnest(range(len(b.toks) - 2)) AS u(i)
+       |  WHERE list_slice(b.toks, i + 1, i + 3) = ['slow', 'hash', 'batch']),
        |s4 AS (
        |  SELECT doc_id, text, lang_pred FROM (
        |    SELECT c.doc_id, c.text, l.lang_pred,
        |           row_number() OVER (PARTITION BY md5(c.text) ORDER BY c.doc_id) AS rn
-       |    FROM cleaned c JOIN lang l USING (doc_id) JOIN qkeep USING (doc_id))
+       |    FROM cleaned c JOIN lang l USING (doc_id) JOIN qkeep USING (doc_id)
+       |    WHERE c.doc_id NOT IN (SELECT doc_id FROM chit))
        |  WHERE rn = 1),
        |shv(id, sh) AS (VALUES $shVals),
        |shx AS (SELECT CAST(id AS BIGINT) AS id, CAST(sh AS BIGINT[]) AS sh FROM shv),

@@ -894,8 +894,9 @@ object SparkEntry {
 
     // the curation-pipeline FLAGSHIP: the full staged chain a real
     // training-data run executes — clean → lang-id → quality filter →
-    // exact dedup → near-dup keep-best → span dedup → decontaminate →
-    // global token-budget cut → training-shard assignment — composed
+    // content gate (blocked phrases) → exact dedup → near-dup
+    // keep-best → span dedup → decontaminate → global token-budget
+    // cut → training-shard assignment — composed
     // from the individually-oracled
     // operators into ONE query with ONE generated oracle that
     // recomputes every stage (engine supplies only the stage-4 minhash
@@ -1586,11 +1587,12 @@ object SparkEntry {
       "doc_id", twinOffset = 100000L, brightnessStep = 4)
   }
 
-  /** Stages 1–4 of the curation-pipeline flagship (q65): clean →
-    * lang-id → quality filter → exact dedup (keep smallest doc_id per
-    * identical cleaned text, md5-keyed so the shuffle carries a hash,
-    * not the payload). Shared with [[OracleGen.curationOracle]], which
-    * embeds the stage-4 corpus's minhash keys for the near-dup stage.
+  /** Stages 1–4b of the curation-pipeline flagship (q65): clean →
+    * lang-id → quality filter → content gate (blocked-phrase drop) →
+    * exact dedup (keep smallest doc_id per identical cleaned text,
+    * md5-keyed so the shuffle carries a hash, not the payload). Shared
+    * with [[OracleGen.curationOracle]], which embeds the stage-4
+    * corpus's minhash keys for the near-dup stage.
     * Returns (doc_id, lang_pred, text).
     */
   def curationStage4(s: SparkSession, dir: String): DataFrame = {
@@ -1601,11 +1603,23 @@ object SparkEntry {
     val quality = withLang
       .withColumn("_v", graft.textops.TextAnalysis.qualityVerdict(col("text")))
       .filter(col("_v.keep")).drop("_v")
+    // content gate (the C4-style badwords filter, q99's machinery, one
+    // blocked trigram here): runs BEFORE dedup so blocked documents
+    // never cost candidate-generation work downstream
+    val gated = quality.join(
+      graft.textops.TextIndex.phraseSearch(quality, "doc_id", "text",
+          curationBlockedPhrase).select(col("id").as("_blk")),
+      col("doc_id") === col("_blk"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
-    quality.withColumn("_rn", row_number().over(w))
+    gated.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
+
+  /** The flagship's blocked phrase (shared with
+    * [[OracleGen.curationOracle]]'s chit CTE).
+    */
+  val curationBlockedPhrase: Seq[String] = Seq("slow", "hash", "batch")
 
   /** Bounded twin-planted AUDIO corpus for the perceptual-hash family
     * (q66/q67): structured PCM WAVs for doc ids < [[gateDocs]] plus a
