@@ -1605,9 +1605,13 @@ object SparkEntry {
       .filter(col("_v.keep")).drop("_v")
     // content gate (the C4-style badwords filter, q99's machinery, one
     // blocked trigram here): runs BEFORE dedup so blocked documents
-    // never cost candidate-generation work downstream
+    // never cost candidate-generation work downstream. The blocked-id
+    // side derives from `cleaned` (stage 1), NOT `quality` — the gate
+    // only needs the text column, and an anti-join against the quality
+    // frame would re-evaluate the whole lang-id + verdict subtree for
+    // the probe side
     val gated = quality.join(
-      graft.textops.TextIndex.phraseSearch(quality, "doc_id", "text",
+      graft.textops.TextIndex.phraseSearch(cleaned, "doc_id", "text",
           curationBlockedPhrase).select(col("id").as("_blk")),
       col("doc_id") === col("_blk"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window

@@ -151,7 +151,15 @@ object TextIndex {
       .foldLeft(lit(null).cast("array<int>")) { case (acc, (t, offs)) =>
         when(col("term") === t, typedLit(offs)).otherwise(acc)
       }
-    positions(docs, idCol, textCol)
+    // coarse pre-gate: a token equal to t requires the SUBSTRING t, so
+    // docs missing any phrase term as a substring cannot match — the
+    // cheap contains conjunction skips the token explode for them
+    // (necessary condition only; the positional intersection below is
+    // still the decider)
+    val preGate = p.distinct
+      .map(t => lower(col(textCol)).contains(t))
+      .reduce(_ && _)
+    positions(docs.filter(preGate), idCol, textCol)
       .filter(col("term").isin(p.distinct: _*))
       .select(col("id"), col("pos"), explode(offArr).as("off"))
       .select(col("id"), (col("pos") - col("off")).as("base"))
@@ -201,7 +209,14 @@ object TextIndex {
       .foldLeft(lit(null).cast("int")) { case (acc, (p, pi)) =>
         when(col("p") === pi, lit(p.length)).otherwise(acc)
       }
-    positions(docs, idCol, textCol)
+    // coarse pre-gate ([[phraseSearch]]'s): a doc can hit SOME phrase
+    // only if it carries every term of at least one phrase as a
+    // substring
+    val preGate = lowered
+      .map(_.distinct.map(t => lower(col(textCol)).contains(t))
+        .reduce(_ && _))
+      .reduce(_ || _)
+    positions(docs.filter(preGate), idCol, textCol)
       .filter(col("term").isin(slots.keys.toSeq: _*))
       .select(col("id"), col("pos"), explode(slotArr).as("s"))
       .select(col("id"), col("s.p").as("p"), (col("pos") - col("s.o")).as("base"))
