@@ -1,6 +1,6 @@
 package graft.textops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,6 +83,11 @@ object TextIndex {
     val (postings, doclens) = postingsOf(docs, idCol, textCol)
     doclens.write.mode(mode).parquet(s"$dir/doclens.parquet")
     postings.write.mode(mode).parquet(s"$dir/postings.parquet")
+    // positional postings beside the tf postings: BM25 never reads
+    // them, phrase probes never read the tf side — separate files keep
+    // each probe's scan narrow
+    positions(docs, idCol, textCol).write.mode(mode)
+      .parquet(s"$dir/positions.parquet")
   }
 
   /** BM25 top-k over a persisted index, tombstones honored. */
@@ -111,7 +116,8 @@ object TextIndex {
   def compactTextIndex(
       spark: SparkSession, dir: String, targetFiles: Int = 4): Unit =
     graft.operators.IndexOps.compactIndex(spark, dir,
-      Seq("doclens.parquet" -> "id", "postings.parquet" -> "id"), targetFiles)
+      Seq("doclens.parquet" -> "id", "postings.parquet" -> "id",
+        "positions.parquet" -> "id"), targetFiles)
 
   /** (postings, doclens) of a doc frame. Docs with no tokens get a
     * dl=0 doclens row (they count in N and avgdl) and no postings.
@@ -145,12 +151,7 @@ object TextIndex {
       phrase: Seq[String]): DataFrame = {
     val p = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
     require(p.nonEmpty, "phraseSearch: empty phrase")
-    val offsetsByTerm = p.zipWithIndex.groupBy(_._1)
-      .map { case (t, xs) => t -> xs.map(_._2) }
-    val offArr = offsetsByTerm.toSeq.sortBy(_._1)
-      .foldLeft(lit(null).cast("array<int>")) { case (acc, (t, offs)) =>
-        when(col("term") === t, typedLit(offs)).otherwise(acc)
-      }
+    val offArr = phraseOffsetsArr(p)
     // coarse pre-gate: a token equal to t requires the SUBSTRING t, so
     // docs missing any phrase term as a substring cannot match — the
     // cheap contains conjunction skips the token explode for them
@@ -159,8 +160,38 @@ object TextIndex {
     val preGate = p.distinct
       .map(t => lower(col(textCol)).contains(t))
       .reduce(_ && _)
-    positions(docs.filter(preGate), idCol, textCol)
-      .filter(col("term").isin(p.distinct: _*))
+    phraseOccurrences(positions(docs.filter(preGate), idCol, textCol), p, offArr)
+  }
+
+  /** [[phraseSearch]] against a persisted index's positional postings
+    * — the probe never touches document text: the `term IN` filter
+    * pushes into the positions.parquet scan, tombstoned docs drop, and
+    * the same aligned-base intersection decides. (No contains pre-gate
+    * here — the pushed-down term filter IS the prune on the index
+    * path.)
+    */
+  def phraseSearchIndex(
+      spark: SparkSession, dir: String, phrase: Seq[String]): DataFrame = {
+    val p = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(p.nonEmpty, "phraseSearchIndex: empty phrase")
+    val pos = graft.operators.IndexOps.dropTombstoned(spark, dir,
+      spark.read.parquet(s"$dir/positions.parquet"), "id")
+    phraseOccurrences(pos, p, phraseOffsetsArr(p))
+  }
+
+  private def phraseOffsetsArr(p: Seq[String]): Column = {
+    val offsetsByTerm = p.zipWithIndex.groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2) }
+    offsetsByTerm.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("array<int>")) { case (acc, (t, offs)) =>
+        when(col("term") === t, typedLit(offs)).otherwise(acc)
+      }
+  }
+
+  /** Shared intersection tail of the frame and index phrase paths. */
+  private def phraseOccurrences(
+      pos: DataFrame, p: Seq[String], offArr: Column): DataFrame =
+    pos.filter(col("term").isin(p.distinct: _*))
       .select(col("id"), col("pos"), explode(offArr).as("off"))
       .select(col("id"), (col("pos") - col("off")).as("base"))
       .groupBy(col("id"), col("base"))
@@ -168,7 +199,6 @@ object TextIndex {
       .filter(col("_m") === p.length && col("base") >= 0)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_occ"))
-  }
 
   /** Multi-phrase occurrence counts in ONE scan — the C4-style content
     * filter primitive ("drop documents containing any listed phrase"):

@@ -141,4 +141,34 @@ class TextIndexSpec extends GraftSparkSpec {
     intercept[IllegalArgumentException](
       TextIndex.phraseSetSearch(docs, "doc_id", "text", Seq(Seq("a"), Nil)))
   }
+
+  test("phraseSearchIndex: equals the one-frame path; delete and append honored") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_posidx").toFile.getAbsolutePath
+    val docs = Seq(
+      (1L, "new york is not york new"),
+      (2L, "new new york york new york city"),
+      (3L, "new jersey and york"),
+      (4L, "NEW YORK")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val phrase = Seq("new", "york")
+    TextIndex.buildTextIndex(docs, "doc_id", "text", dir)
+    val oneFrame = rows(TextIndex.phraseSearch(docs, "doc_id", "text", phrase))
+    assert(rows(TextIndex.phraseSearchIndex(spark, dir, phrase)) == oneFrame)
+    // delete doc 2: index probe must equal a rebuild without it
+    TextIndex.removeFromTextIndex(Seq(2L).toDF("id"), "id", dir)
+    assert(rows(TextIndex.phraseSearchIndex(spark, dir, phrase)) ==
+      oneFrame - 2L)
+    // compact applies tombstones physically; probe unchanged
+    TextIndex.compactTextIndex(spark, dir)
+    assert(rows(TextIndex.phraseSearchIndex(spark, dir, phrase)) ==
+      oneFrame - 2L)
+    // append a new doc; probe sees it
+    TextIndex.appendToTextIndex(
+      Seq((5L, "more new york text")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(rows(TextIndex.phraseSearchIndex(spark, dir, phrase)) ==
+      (oneFrame - 2L) + (5L -> 1L))
+  }
 }
