@@ -100,6 +100,23 @@ class LinkGraphSpec extends GraftSparkSpec {
     assert(got == reference(ids, edges, 8))
   }
 
+  test("randomized graphs match the BigInt reference across seeds") {
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    for (seed <- 1 to 4) {
+      val n = 30L + seed * 7
+      val ids = 0L until n
+      // 2n random edges incl. self-loops and parallel duplicates
+      val edges = lcg(seed * 2654435761L).take(2 * n.toInt)
+        .grouped(2).map { case Seq(a, b) =>
+          (((a >>> 33) % n + n) % n, ((b >>> 33) % n + n) % n)
+        }.toSeq
+      // nodes with no out-edges are dangling — covered by construction
+      val want = reference(ids, edges, 4)
+      assert(run(ids, edges, 4) == want, s"seed $seed diverged")
+    }
+  }
+
   test("iters=0 returns the uniform init; bad args fail fast") {
     val got = run(Seq(1L, 2L), Seq((1L, 2L)), 0)
     assert(got == Map(1L -> LinkGraph.Scale, 2L -> LinkGraph.Scale))

@@ -171,4 +171,31 @@ class TextIndexSpec extends GraftSparkSpec {
     assert(rows(TextIndex.phraseSearchIndex(spark, dir, phrase)) ==
       (oneFrame - 2L) + (5L -> 1L))
   }
+
+  test("phraseSearch: randomized duel against a brute-force sliding window") {
+    // deterministic LCG over a 3-token vocab: maximal repeated-term
+    // and overlap traffic for the aligned-base intersection
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    val vocab = Vector("a", "b", "c")
+    val docs = (0 until 30).map { i =>
+      val toks = lcg(i * 2654435761L).take(40)
+        .map(x => vocab(((x >>> 33) % 3).toInt)).toSeq
+      (i.toLong, toks.mkString(" "))
+    }
+    val phrases = Seq(Seq("a"), Seq("a", "b"), Seq("a", "a"),
+      Seq("a", "b", "a"), Seq("c", "c", "c"), Seq("b", "a", "b", "a"))
+    val df = docs.toDF("doc_id", "text")
+    phrases.foreach { p =>
+      val got = TextIndex.phraseSearch(df, "doc_id", "text", p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val n = (0 to toks.length - p.length)
+          .count(i => toks.slice(i, i + p.length) == p)
+        if (n > 0) Some(id -> n.toLong) else None
+      }.toMap
+      assert(got == want, s"phrase $p diverged")
+    }
+  }
 }
