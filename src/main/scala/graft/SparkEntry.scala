@@ -1432,6 +1432,18 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"),
           min(col("_ntok")).as("min_tokens"),
           max(col("_ntok")).as("max_tokens"))
+    }),
+
+    // per-stratum weighted sample: 20 docs per language, weight = doc
+    // size — q95's A-ES key through the plain-window form that
+    // InferWindowGroupLimit prunes map-side (the q76 lesson applied to
+    // sampling); oracle recomputes key and per-lang rank in DuckDB
+    "q103_weighted_per_lang" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (coalesce(col("n_chars"), lit(0L)) + 1).as("w"))
+      graft.operators.Sampling.weightedSamplePerKey(
+        docs, col("doc_id"), col("w"), col("lang"), k = 20)
     })
   )
 
@@ -3136,7 +3148,20 @@ object SparkEntry {
         |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
         |  count(DISTINCT lang) AS n_langs,
         |  min(ntok) AS min_tokens, max(ntok) AS max_tokens
-        |FROM t GROUP BY ROLLUP(source, lang)""".stripMargin
+        |FROM t GROUP BY ROLLUP(source, lang)""".stripMargin,
+
+    "q103_weighted_per_lang" ->
+      raw"""WITH s AS (
+        |  SELECT doc_id, lang, COALESCE(n_chars, 0) + 1 AS w,
+        |    (CAST(('0x' || substr(md5('wsamp:' || doc_id::VARCHAR), 1, 15))
+        |          AS BIGINT) + 1) / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, w,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY ln(u) / w DESC, doc_id) AS rk
+        |  FROM s)
+        |SELECT doc_id, lang, w FROM r WHERE rk <= 20""".stripMargin
   )
 
   /** q100's oracle: the q94 unrolled fixed-point recurrence keyed on

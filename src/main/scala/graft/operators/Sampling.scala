@@ -132,4 +132,25 @@ object Sampling {
       .limit(k)
       .drop("_wkey")
   }
+
+  /** Per-stratum weighted sample without replacement: `k` rows per
+    * group by the same A-ES key — the per-language/per-source variant
+    * every mixture plan needs. Written as the PLAIN window + rank
+    * filter: Spark's InferWindowGroupLimit (the q76 lesson) performs
+    * the map-side per-group top-k prune, so each task forwards at most
+    * k rows per group it sees — a hot stratum never concentrates in
+    * one task's sort.
+    */
+  def weightedSamplePerKey(
+      df: DataFrame, idCol: Column, weightCol: Column,
+      strataCol: Column, k: Int, salt: String = "wsamp:"): DataFrame = {
+    require(k >= 1, s"weightedSamplePerKey: k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(col("_wkey").desc, idCol)
+    df.withColumn("_wkey", weightedKey(idCol, weightCol, salt))
+      .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_wkey", "_rk")
+  }
 }

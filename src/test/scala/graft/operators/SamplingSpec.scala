@@ -125,5 +125,26 @@ class SamplingSpec extends GraftSparkSpec {
   test("weightedSample: bad k fails fast") {
     intercept[IllegalArgumentException](
       Sampling.weightedSample(ids, col("id"), lit(1L), 0))
+    intercept[IllegalArgumentException](
+      Sampling.weightedSamplePerKey(ids, col("id"), lit(1L), lit("x"), 0))
+  }
+
+  test("weightedSamplePerKey: per-stratum top-k by the same A-ES order") {
+    val rows = (0L until 300L).map(i => (i, s"lang${i % 3}", i % 11 + 1))
+    def perKeyReference(k: Int): Set[Long] =
+      rows.groupBy(_._2).values.flatMap { grp =>
+        referenceSelect(grp.map(r => (r._1, r._3)), k)
+      }.toSet
+    val got = Sampling.weightedSamplePerKey(
+        rows.toDF("id", "lang", "w").repartition(5),
+        col("id"), col("w"), col("lang"), k = 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == perKeyReference(7))
+    assert(got.size == 21) // 7 per stratum, 3 strata
+    // plan rides the window-group-limit prune (the q76 assertion)
+    val plan = Sampling.weightedSamplePerKey(
+        rows.toDF("id", "lang", "w"), col("id"), col("w"), col("lang"), 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no map-side prune:\n$plan")
   }
 }
