@@ -1444,6 +1444,25 @@ object SparkEntry {
           (coalesce(col("n_chars"), lit(0L)) + 1).as("w"))
       graft.operators.Sampling.weightedSamplePerKey(
         docs, col("doc_id"), col("w"), col("lang"), k = 20)
+    }),
+
+    // TrustRank: q94's link graph with teleport mass restricted to a
+    // trusted seed set (every 25th doc) — rank measures
+    // link-distance-discounted reachability from trusted ground; the
+    // oracle masks init and base with the same seed CASE
+    "q104_trustrank" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id * 7 + 1) % $n").as("dst"))
+      val e2 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id * 13 + 2) % $n").as("dst"))
+      val e3 = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("src"), lit(0L).as("dst"))
+      val seeds = docs.filter(col("doc_id") % 25 === 0)
+      graft.operators.LinkGraph.personalizedPageRank(
+          docs, "doc_id", e1.union(e2).union(e3), seeds, iters = 5)
+        .select(col("doc_id"), col("rank").as("trust_fp"))
     })
   )
 
@@ -3161,8 +3180,44 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY lang
         |                            ORDER BY ln(u) / w DESC, doc_id) AS rk
         |  FROM s)
-        |SELECT doc_id, lang, w FROM r WHERE rk <= 20""".stripMargin
+        |SELECT doc_id, lang, w FROM r WHERE rk <= 20""".stripMargin,
+
+    "q104_trustrank" -> oracleSqlQ104
   )
+
+  /** q104's oracle: [[oracleSqlQ94]]'s recurrence with init and base
+    * masked to the seed set.
+    */
+  private val oracleSqlQ104: String = {
+    val base = graft.operators.LinkGraph.Scale * 15 / 100
+    val iters = (1 to 5).map { k =>
+      s"""p$k AS (
+         |  SELECT d0.doc_id AS id,
+         |    (CASE WHEN d0.doc_id % 25 = 0 THEN $base ELSE 0 END)
+         |      + COALESCE(s.c, 0) AS r
+         |  FROM documents d0 LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |           CAST(SUM((p.r * 85) // (100 * g.d)) AS BIGINT) AS c
+         |    FROM p${k - 1} p JOIN e ON e.src = p.id JOIN g ON g.src = e.src
+         |    GROUP BY e.dst) s ON s.id = d0.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT doc_id AS src,
+       |         (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 13 + 2) % (SELECT count(*) FROM documents)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 0 FROM documents WHERE doc_id % 10 = 0),
+       |g AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |p0 AS (SELECT doc_id AS id,
+       |         CASE WHEN doc_id % 25 = 0
+       |              THEN ${graft.operators.LinkGraph.Scale} ELSE 0 END AS r
+       |       FROM documents),
+       |""".stripMargin + iters + """
+       |SELECT id AS doc_id, r AS trust_fp FROM p5""".stripMargin
+  }
 
   /** q100's oracle: the q94 unrolled fixed-point recurrence keyed on
     * host STRINGS (the engine's md5 ids are an internal detail — graph

@@ -57,11 +57,49 @@ object LinkGraph {
     */
   def pageRank(
       nodes: DataFrame, idCol: String, edges: DataFrame,
-      iters: Int, dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      iters: Int, dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    rankLoop(nodes, idCol, edges, iters, dampNum, dampDen, seeds = None)
+
+  /** Personalized (TrustRank-style) variant: the teleport mass lands
+    * ONLY on `seeds` (one `idCol` column — the hand-vetted trusted
+    * set), so rank flows outward from the seeds through links and a
+    * page's score measures its link-distance-discounted reachability
+    * from trusted ground (Gyöngyi et al. 2004, "Combating Web Spam
+    * with TrustRank"). Identical recurrence, with init and the
+    * per-iteration base term masked to seeds:
+    *   r0(v) = Scale·[v ∈ S];  base(v) = floor(Scale·(1-d))·[v ∈ S].
+    * Non-seed nodes reachable only via links accumulate damped mass;
+    * unreachable ones converge to 0. Same fixed-point arithmetic,
+    * same exchanges (the seed flag is one extra broadcast-friendly
+    * join at init, then rides the node frame).
+    */
+  def personalizedPageRank(
+      nodes: DataFrame, idCol: String, edges: DataFrame, seeds: DataFrame,
+      iters: Int, dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    rankLoop(nodes, idCol, edges, iters, dampNum, dampDen, Some(seeds))
+
+  private def rankLoop(
+      nodes: DataFrame, idCol: String, edges: DataFrame,
+      iters: Int, dampNum: Long, dampDen: Long,
+      seeds: Option[DataFrame]): DataFrame = {
     require(iters >= 0, s"pageRank: iters must be >= 0, got $iters")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"pageRank: damping $dampNum/$dampDen outside [0,1]")
     val base = Scale * (dampDen - dampNum) / dampDen
+
+    // node frame with per-node init and base mass; the seed mask joins
+    // ONCE here and persists across iterations
+    val nodeBase = (seeds match {
+      case None =>
+        nodes.select(col(idCol).as("id"), lit(Scale).as("_r0"), lit(base).as("_base"))
+      case Some(sd) =>
+        nodes.select(col(idCol).as("id"))
+          .join(sd.select(col(idCol).as("id"), lit(true).as("_isSeed")),
+            Seq("id"), "left")
+          .select(col("id"),
+            when(col("_isSeed"), Scale).otherwise(0L).as("_r0"),
+            when(col("_isSeed"), base).otherwise(0L).as("_base"))
+    }).localCheckpoint(true)
 
     // deg joined in once: every iteration reuses this frame (and on a
     // cluster, its partitioning) without recomputing the aggregation
@@ -70,7 +108,7 @@ object LinkGraph {
       .select(col("src"), col("dst"), (lit(dampDen) * col("_deg")).as("_b"))
       .localCheckpoint(true)
 
-    var ranks = nodes.select(col(idCol).as("id"), lit(Scale).as("r"))
+    var ranks = nodeBase.select(col("id"), col("_r0").as("r"))
       .localCheckpoint(true)
     var it = 0
     while (it < iters) {
@@ -80,10 +118,10 @@ object LinkGraph {
           expr(s"(r DIV _b) * $dampNum + ((r % _b) * $dampNum) DIV _b").as("_c"))
         .groupBy(col("dst"))
         .agg(sum(col("_c").cast(DecimalType(38, 0))).as("_s"))
-      val updated = nodes.select(col(idCol).as("id"))
+      val updated = nodeBase.select(col("id"), col("_base"))
         .join(contribs, col("id") === col("dst"), "left")
         .select(col("id"),
-          (lit(base) + coalesce(col("_s"), lit(0)).cast("long")).as("r"))
+          (col("_base") + coalesce(col("_s"), lit(0)).cast("long")).as("r"))
         .localCheckpoint(true)
       val prev = ranks
       ranks = updated
@@ -92,6 +130,7 @@ object LinkGraph {
     }
     val out = ranks.select(col("id").as(idCol), col("r").as("rank"))
     edgesDeg.unpersist()
+    nodeBase.unpersist()
     out
   }
 }

@@ -14,21 +14,26 @@ class LinkGraphSpec extends GraftSparkSpec {
   import spark.implicits._
 
   /** Independent reference: adjacency loops over BigInt — shares no
-    * arithmetic shape with the operator's DIV/MOD split form.
+    * arithmetic shape with the operator's DIV/MOD split form. `seeds`
+    * None = uniform teleport; Some = personalized (mass on seeds only).
     */
   private def reference(
       ids: Seq[Long], edges: Seq[(Long, Long)], iters: Int,
-      dampNum: Long = 85, dampDen: Long = 100): Map[Long, Long] = {
-    val base = BigInt(LinkGraph.Scale) * (dampDen - dampNum) / dampDen
+      dampNum: Long = 85, dampDen: Long = 100,
+      seeds: Option[Set[Long]] = None): Map[Long, Long] = {
+    val baseAll = BigInt(LinkGraph.Scale) * (dampDen - dampNum) / dampDen
+    def isSeed(id: Long) = seeds.forall(_.contains(id))
+    def base(id: Long) = if (isSeed(id)) baseAll else BigInt(0)
     val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
-    var r = ids.map(_ -> BigInt(LinkGraph.Scale)).toMap
+    var r = ids.map(id =>
+      id -> (if (isSeed(id)) BigInt(LinkGraph.Scale) else BigInt(0))).toMap
     for (_ <- 1 to iters) {
       val contrib = collection.mutable.Map.empty[Long, BigInt]
       edges.foreach { case (s, d) =>
         val c = r(s) * dampNum / (BigInt(dampDen) * deg(s))
         contrib(d) = contrib.getOrElse(d, BigInt(0)) + c
       }
-      r = ids.map(id => id -> (base + contrib.getOrElse(id, BigInt(0)))).toMap
+      r = ids.map(id => id -> (base(id) + contrib.getOrElse(id, BigInt(0)))).toMap
     }
     r.map { case (k, v) => k -> v.toLong }
   }
@@ -115,6 +120,31 @@ class LinkGraphSpec extends GraftSparkSpec {
       val want = reference(ids, edges, 4)
       assert(run(ids, edges, 4) == want, s"seed $seed diverged")
     }
+  }
+
+  test("personalized: mass flows from seeds; unreachable nodes stay at zero") {
+    // chain 0 -> 1 -> 2, isolated node 3, seed = {0}
+    val ids = Seq(0L, 1L, 2L, 3L)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val seeds = Seq(0L)
+    val got = LinkGraph.personalizedPageRank(
+        ids.toDF("id").repartition(3), "id",
+        edges.toDF("src", "dst"), seeds.toDF("id"), iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference(ids, edges, 6, seeds = Some(seeds.toSet)))
+    assert(got(3L) == 0L)                  // unreachable, no teleport
+    assert(got(0L) > got(1L) && got(1L) > got(2L)) // distance discount
+  }
+
+  test("personalized with ALL nodes as seeds equals plain pageRank") {
+    val ids = (0L until 40L)
+    val edges = ids.map(i => (i, (i * 11 + 3) % 40))
+    val plain = run(ids, edges, 4)
+    val allSeeds = LinkGraph.personalizedPageRank(
+        ids.toDF("id"), "id", edges.toDF("src", "dst"),
+        ids.toDF("id"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(allSeeds == plain)
   }
 
   test("iters=0 returns the uniform init; bad args fail fast") {
