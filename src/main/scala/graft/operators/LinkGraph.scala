@@ -93,8 +93,11 @@ object LinkGraph {
       case None =>
         nodes.select(col(idCol).as("id"), lit(Scale).as("_r0"), lit(base).as("_base"))
       case Some(sd) =>
+        // distinct: a duplicated seed id would multiply node rows
+        // through the join (and then every downstream rank row)
         nodes.select(col(idCol).as("id"))
-          .join(sd.select(col(idCol).as("id"), lit(true).as("_isSeed")),
+          .join(sd.select(col(idCol).as("id")).distinct()
+              .withColumn("_isSeed", lit(true)),
             Seq("id"), "left")
           .select(col("id"),
             when(col("_isSeed"), Scale).otherwise(0L).as("_r0"),

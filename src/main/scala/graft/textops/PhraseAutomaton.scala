@@ -152,7 +152,11 @@ object PhraseAutomaton {
       i += 1
     }
     val distinct = if (seen == null) 0 else seen.cardinality()
-    (hits << 32) | distinct.toLong
+    // saturate: a pathological doc (every position ending many
+    // patterns) could push total hits past 2^31 and corrupt the
+    // distinct half of the packed long
+    val h = math.min(hits, Int.MaxValue.toLong)
+    (h << 32) | distinct.toLong
   }
 
   case class AcMatchExpr(child: Expression, bcast: Broadcast[Automaton])
