@@ -1463,6 +1463,24 @@ object SparkEntry {
       graft.operators.LinkGraph.personalizedPageRank(
           docs, "doc_id", e1.union(e2).union(e3), seeds, iters = 5)
         .select(col("doc_id"), col("rank").as("trust_fp"))
+    }),
+
+    // per-node triangle counts on an undirected link graph — the local
+    // clustering signal (spam farms are triangle-dense). Chain edges
+    // (+1, +2 mod n) guarantee a triangle per consecutive triple; the
+    // q94 modular edges add irregular noise. Oracle is a brute
+    // canonical triple join over the deduped edge set
+    "q105_triangles" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id + 1) % $n").as("dst"))
+      val e2 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id + 2) % $n").as("dst"))
+      val e3 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id * 7 + 1) % $n").as("dst"))
+      graft.operators.LinkGraph.triangleCounts(e1.union(e2).union(e3))
+        .select(col("id").as("doc_id"), col("n_triangles"))
     })
   )
 
@@ -3182,7 +3200,33 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, lang, w FROM r WHERE rk <= 20""".stripMargin,
 
-    "q104_trustrank" -> oracleSqlQ104
+    "q104_trustrank" -> oracleSqlQ104,
+
+    // brute canonical triple join (a < b < c over the undirected
+    // deduped simple edge set), each triangle credited to its three
+    // corners via unnest
+    "q105_triangles" ->
+      raw"""WITH raw(src, dst) AS (
+        |  SELECT doc_id, (doc_id + 1) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 7 + 1) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src != dst),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT t.id FROM tri, unnest([x, y, z]) AS t(id))
+        |SELECT id AS doc_id, count(*) AS n_triangles
+        |FROM corners GROUP BY id""".stripMargin
   )
 
   /** q104's oracle: [[oracleSqlQ94]]'s recurrence with init and base

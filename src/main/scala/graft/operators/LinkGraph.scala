@@ -78,6 +78,60 @@ object LinkGraph {
       iters: Int, dampNum: Long = 85, dampDen: Long = 100): DataFrame =
     rankLoop(nodes, idCol, edges, iters, dampNum, dampDen, Some(seeds))
 
+  /** Per-node triangle counts over the UNDIRECTED simple graph induced
+    * by `edges` (direction, duplicates, and self-loops dropped) — the
+    * local clustering signal link-spam detection uses (spam farms are
+    * triangle-dense, organic link neighborhoods are sparse).
+    *
+    * Degree-ordered orientation (the classic MapReduce triangle
+    * recipe): each undirected edge orients toward the higher
+    * (degree, id) endpoint, so every wedge is generated at its
+    * LOWEST-degree vertex — the per-vertex wedge explosion is bounded
+    * by the out-degree in the ORIENTED graph, which is O(sqrt(|E|))
+    * for any graph, not the raw degree a celebrity hub would have.
+    * One wedge self-join + one edge semi-join decide; each triangle is
+    * found exactly once and credited to its three corners.
+    *
+    * Output: (id, n_triangles), one row per vertex WITH at least one
+    * triangle (left-join against the node set for a dense frame).
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    // orient (u -> w) iff (deg, id) of u < of w: each undirected edge
+    // exactly once, wedges form at the small end
+    val oriented = sym
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "_da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "_db"), "b")
+      .filter(col("_da") < col("_db") ||
+        (col("_da") === col("_db") && col("a") < col("b")))
+      .select(col("a").as("u"), col("b").as("w"))
+      .localCheckpoint(true)
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.u").as("u"), col("e1.w").as("x"), col("e2.w").as("y"))
+    // the wedge (x, y) closes iff the oriented edge x->y or y->x exists;
+    // orientation ordering guarantees it would be oriented x->y iff
+    // (deg,id)(x) < (deg,id)(y) — but x < y here is by ID, so probe the
+    // UNDIRECTED canonical form against `und`
+    val closed = wedges.join(und,
+      least(col("x"), col("y")) === und("a") &&
+        greatest(col("x"), col("y")) === und("b"), "left_semi")
+    // NOTE: `oriented` stays persisted — the returned frame is lazy
+    // and still reads it (both self-join sides); unpersisting here
+    // would drop the checkpointed blocks before the caller's action
+    closed
+      .select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   private def rankLoop(
       nodes: DataFrame, idCol: String, edges: DataFrame,
       iters: Int, dampNum: Long, dampDen: Long,

@@ -147,6 +147,36 @@ class LinkGraphSpec extends GraftSparkSpec {
     assert(allSeeds == plain)
   }
 
+  test("triangleCounts: hand graph, direction/dup/self-loop immunity, brute duel") {
+    // K4 minus one edge on {0,1,2,3}: triangles {0,1,2} and {0,1,3}
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (1L, 3L), (3L, 0L),
+      // noise: reversed dups, self-loop, repeated edge
+      (1L, 0L), (2L, 2L), (0L, 1L))
+    val got = LinkGraph.triangleCounts(edges.toDF("src", "dst").repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
+
+    // brute duel on a random multigraph
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    val n = 40L
+    val rnd = lcg(99).take(300).grouped(2).map { case Seq(a, b) =>
+      (((a >>> 33) % n + n) % n, ((b >>> 33) % n + n) % n)
+    }.toSeq
+    val und = rnd.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct.toSet
+    val ids = und.flatMap { case (a, b) => Seq(a, b) }.toSeq
+    val brute = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      Seq(x, y, z) <- ids.sorted.combinations(3)
+      if und((x, y)) && und((y, z)) && und((x, z))
+      v <- Seq(x, y, z)
+    } brute(v) += 1L
+    val got2 = LinkGraph.triangleCounts(rnd.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == brute.toMap)
+  }
+
   test("iters=0 returns the uniform init; bad args fail fast") {
     val got = run(Seq(1L, 2L), Seq((1L, 2L)), 0)
     assert(got == Map(1L -> LinkGraph.Scale, 2L -> LinkGraph.Scale))
