@@ -1481,6 +1481,22 @@ object SparkEntry {
         expr(s"(doc_id * 7 + 1) % $n").as("dst"))
       graft.operators.LinkGraph.triangleCounts(e1.union(e2).union(e3))
         .select(col("id").as("doc_id"), col("n_triangles"))
+    }),
+
+    // local clustering coefficient over the q105 graph — integer
+    // x10000 emission so no float division crosses engines
+    "q106_clustering" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id + 1) % $n").as("dst"))
+      val e2 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id + 2) % $n").as("dst"))
+      val e3 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id * 7 + 1) % $n").as("dst"))
+      graft.operators.LinkGraph.clusteringCoeff(e1.union(e2).union(e3))
+        .select(col("id").as("doc_id"), col("degree"),
+          col("n_triangles"), col("coeff_x10000"))
     })
   )
 
@@ -3226,7 +3242,39 @@ object SparkEntry {
         |corners AS (
         |  SELECT t.id FROM tri, unnest([x, y, z]) AS t(id))
         |SELECT id AS doc_id, count(*) AS n_triangles
-        |FROM corners GROUP BY id""".stripMargin
+        |FROM corners GROUP BY id""".stripMargin,
+
+    "q106_clustering" ->
+      raw"""WITH raw(src, dst) AS (
+        |  SELECT doc_id, (doc_id + 1) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 7 + 1) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src != dst),
+        |deg AS (
+        |  SELECT id, count(*) AS degree FROM (
+        |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY id),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (
+        |  SELECT t.id, count(*) AS n_triangles
+        |  FROM tri, unnest([x, y, z]) AS t(id) GROUP BY t.id)
+        |SELECT d.id AS doc_id, d.degree,
+        |  COALESCE(tc.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN d.degree >= 2
+        |       THEN (COALESCE(tc.n_triangles, 0) * 20000) // (d.degree * (d.degree - 1))
+        |       ELSE 0 END AS coeff_x10000
+        |FROM deg d LEFT JOIN tc ON tc.id = d.id""".stripMargin
   )
 
   /** q104's oracle: [[oracleSqlQ94]]'s recurrence with init and base

@@ -132,6 +132,31 @@ object LinkGraph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node over the same undirected
+    * simple graph as [[triangleCounts]]:
+    * `coeff = 2·T(v) / (d(v)·(d(v)−1))`, emitted as a floor'd x10000
+    * integer (the repo's integer-division oracle discipline — no float
+    * division crosses engines). Nodes with degree < 2 score 0.
+    * Output: (id, degree, n_triangles, coeff_x10000), one row per
+    * vertex of the simple graph.
+    */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          expr("(coalesce(n_triangles, 0L) * 20000) DIV (degree * (degree - 1))"))
+          .otherwise(0L).as("coeff_x10000"))
+  }
+
   private def rankLoop(
       nodes: DataFrame, idCol: String, edges: DataFrame,
       iters: Int, dampNum: Long, dampDen: Long,

@@ -177,6 +177,19 @@ class LinkGraphSpec extends GraftSparkSpec {
     assert(got2 == brute.toMap)
   }
 
+  test("clusteringCoeff: complete triangle = 10000, open path = 0, half-closed hub") {
+    // triangle {0,1,2}; path node 3 attached to 0 and 4 (0-3, 3-4)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L), (3L, 4L))
+    val got = LinkGraph.clusteringCoeff(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 10000L)))   // closed pair
+    assert(got(2L) == ((2L, 1L, 10000L)))
+    assert(got(0L) == ((3L, 1L, 3333L)))    // 2*1/(3*2) = 1/3 floor'd
+    assert(got(3L) == ((2L, 0L, 0L)))       // open wedge
+    assert(got(4L) == ((1L, 0L, 0L)))       // degree < 2
+  }
+
   test("iters=0 returns the uniform init; bad args fail fast") {
     val got = run(Seq(1L, 2L), Seq((1L, 2L)), 0)
     assert(got == Map(1L -> LinkGraph.Scale, 2L -> LinkGraph.Scale))
