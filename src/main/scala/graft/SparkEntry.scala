@@ -1497,6 +1497,25 @@ object SparkEntry {
       graft.operators.LinkGraph.clusteringCoeff(e1.union(e2).union(e3))
         .select(col("id").as("doc_id"), col("degree"),
           col("n_triangles"), col("coeff_x10000"))
+    }),
+
+    // sentence segmentation over a punctuation-planted fixture (the
+    // corpus text is terminator-free word salad): split on [.!?]+
+    // runs, trim, drop empties — the simplification is documented, and
+    // identical on both engines (no lookbehind: RE2 has none)
+    "q107_sentences" -> ((s, dir) => {
+      val raw = concat(
+        lit("First planted sentence. Second one! Is this the third? "),
+        coalesce(col("text"), lit("")))
+      val sents = filter(
+        transform(split(raw, "[.!?]+"), x => trim(x)),
+        x => length(x) > 0)
+      table(s, dir, "documents")
+        .select(col("doc_id"), sents.as("_s"))
+        .select(col("doc_id"), size(col("_s")).cast("long").as("n_sents"),
+          posexplode(col("_s")).as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+          col("sentence"), col("n_sents"))
     })
   )
 
@@ -3274,7 +3293,23 @@ object SparkEntry {
         |  CASE WHEN d.degree >= 2
         |       THEN (COALESCE(tc.n_triangles, 0) * 20000) // (d.degree * (d.degree - 1))
         |       ELSE 0 END AS coeff_x10000
-        |FROM deg d LEFT JOIN tc ON tc.id = d.id""".stripMargin
+        |FROM deg d LEFT JOIN tc ON tc.id = d.id""".stripMargin,
+
+    "q107_sentences" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(
+        |        string_split_regex(
+        |          'First planted sentence. Second one! Is this the third? '
+        |            || coalesce(text, ''), '[.!?]+'),
+        |        x -> trim(x)),
+        |      x -> length(x) > 0) AS sents
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS sent_idx,
+        |  sents[i + 1] AS sentence,
+        |  CAST(len(sents) AS BIGINT) AS n_sents
+        |FROM t, unnest(range(len(sents))) AS u(i)""".stripMargin
   )
 
   /** q104's oracle: [[oracleSqlQ94]]'s recurrence with init and base
