@@ -95,12 +95,20 @@ object LinkGraph {
     * Output: (id, n_triangles), one row per vertex WITH at least one
     * triangle (left-join against the node set for a dense frame).
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsFromUnd(canonicalUndirected(edges))
+
+  /** Canonical undirected simple edge set (a < b, deduped, loops
+    * dropped) — shared by [[triangleCounts]] and [[clusteringCoeff]].
+    */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("a"), col("dst").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
+
+  private def triangleCountsFromUnd(und: DataFrame): DataFrame = {
     val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
     // orient (u -> w) iff (deg, id) of u < of w: each undirected edge
@@ -112,24 +120,31 @@ object LinkGraph {
         (col("_da") === col("_db") && col("a") < col("b")))
       .select(col("a").as("u"), col("b").as("w"))
       .localCheckpoint(true)
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
-      .select(col("e1.u").as("u"), col("e1.w").as("x"), col("e2.w").as("y"))
-    // the wedge (x, y) closes iff the oriented edge x->y or y->x exists;
-    // orientation ordering guarantees it would be oriented x->y iff
-    // (deg,id)(x) < (deg,id)(y) — but x < y here is by ID, so probe the
-    // UNDIRECTED canonical form against `und`
-    val closed = wedges.join(und,
-      least(col("x"), col("y")) === und("a") &&
-        greatest(col("x"), col("y")) === und("b"), "left_semi")
-    // NOTE: `oriented` stays persisted — the returned frame is lazy
-    // and still reads it (both self-join sides); unpersisting here
-    // would drop the checkpointed blocks before the caller's action
-    closed
-      .select(explode(array(col("u"), col("x"), col("y"))).as("id"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_triangles"))
+    try {
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+        .select(col("e1.u").as("u"), col("e1.w").as("x"), col("e2.w").as("y"))
+      // the wedge (x, y) closes iff the oriented edge x->y or y->x exists;
+      // orientation ordering guarantees it would be oriented x->y iff
+      // (deg,id)(x) < (deg,id)(y) — but x < y here is by ID, so probe the
+      // UNDIRECTED canonical form against `und`
+      val closed = wedges.join(und,
+        least(col("x"), col("y")) === und("a") &&
+          greatest(col("x"), col("y")) === und("b"), "left_semi")
+      // EAGER result (one aggregated row per triangle-corner vertex,
+      // O(V) — tiny next to the wedge stream it summarizes): a lazy
+      // return would keep `oriented`'s checkpointed blocks referenced
+      // forever, so repeated calls would accumulate block-manager
+      // memory until RDD GC. Materialize, then release `oriented` in
+      // the finally — the returned frame's own blocks live exactly as
+      // long as the caller holds the frame.
+      closed
+        .select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .localCheckpoint(true)
+    } finally { oriented.unpersist(); () }
   }
 
   /** Local clustering coefficient per node over the same undirected
@@ -141,20 +156,23 @@ object LinkGraph {
     * vertex of the simple graph.
     */
   def clusteringCoeff(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .distinct()
-    val deg = und.select(col("a").as("id"))
-      .union(und.select(col("b").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
-    deg.join(triangleCounts(edges), Seq("id"), "left")
-      .select(col("id"), col("degree"),
-        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-        when(col("degree") >= 2,
-          expr("(coalesce(n_triangles, 0L) * 20000) DIV (degree * (degree - 1))"))
-          .otherwise(0L).as("coeff_x10000"))
+    // und computed ONCE (checkpointed) and shared by the degree and
+    // triangle paths — previously the triangle call re-derived it from
+    // the raw edges a second time
+    val und = canonicalUndirected(edges).localCheckpoint(true)
+    try {
+      val deg = und.select(col("a").as("id"))
+        .union(und.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      val tri = triangleCountsFromUnd(und) // eager — safe to drop und after
+      deg.join(tri, Seq("id"), "left")
+        .select(col("id"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          when(col("degree") >= 2,
+            expr("(coalesce(n_triangles, 0L) * 20000) DIV (degree * (degree - 1))"))
+            .otherwise(0L).as("coeff_x10000"))
+        .localCheckpoint(true)
+    } finally { und.unpersist(); () }
   }
 
   private def rankLoop(

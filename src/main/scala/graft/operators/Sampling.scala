@@ -111,14 +111,28 @@ object Sampling {
   def weightedKey(idCol: Column, weightCol: Column, salt: String = "wsamp:"): Column = {
     val h60 = conv(substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 15),
       16, 10).cast("long")
+    val w = weightCol.cast("double")
+    // contract enforcement: w <= 0 gives ln(u)/0 = ±Inf (or a flipped
+    // key sign for w < 0), silently ranking the bad row FIRST and
+    // poisoning the sample — fail loudly instead. assert_true also
+    // raises on a NULL weight (condition evaluates null), returns null
+    // on success, so the coalesce(…, 0.0) addend is a no-op for valid
+    // rows and stays inside the key expression (a standalone guard
+    // column would be pruned by the optimizer before it could fire)
+    val guard = coalesce(
+      assert_true(w > lit(0.0d),
+        lit("weighted sampling: weights must be strictly positive"))
+        .cast("double"),
+      lit(0.0d))
     log((h60 + 1).cast("double") / lit(1152921504606846976.0d)) / // u = h/2^60
-      weightCol.cast("double")
+      w + guard
   }
 
   /** Weight-proportional sample of `k` rows without replacement (the
     * corpus-mix primitive when strata rates aren't known up front —
     * e.g. sample by token count or by a quality score). Weights must be
-    * strictly positive. 100 TB shape: `orderBy(key).limit(k)` plans as
+    * strictly positive (enforced inside [[weightedKey]]: a non-positive
+    * or NULL weight raises instead of silently winning the sample). 100 TB shape: `orderBy(key).limit(k)` plans as
     * TakeOrderedAndProject — each task keeps its local top-k, only
     * k rows per task reach the driver merge, no global sort, no
     * shuffle of the data itself.

@@ -34,7 +34,10 @@ object JsonlCorpus {
     * with per-field type mismatches may appear in both branches
     * (salvaged fields + flag) — a strict caller anti-joins clean
     * against corrupt on a key. Fully malformed lines yield an all-null
-    * clean row (filter on a required key to drop them).
+    * clean row (filter on a required key to drop them). Blank and
+    * whitespace-only lines carry no object at all, so they appear in
+    * the corrupt branch (and never in clean) — nothing is silently
+    * dropped.
     */
   def readJsonl(
       spark: SparkSession, path: String, schema: StructType):
@@ -53,9 +56,14 @@ object JsonlCorpus {
     val corruptSchema = schema.add("_corrupt", org.apache.spark.sql.types.StringType)
     val parsed = from_json(col("raw"), corruptSchema,
       Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))
+    // `parsed.isNull` catches blank/whitespace-only lines: from_json
+    // yields a NULL struct for them (no object, so no _corrupt field
+    // either), and the clean scan skips them — without this disjunct
+    // they'd vanish from BOTH branches, breaking the nothing-dropped
+    // contract
     val corrupt = spark.read.text(path)
       .select(input_file_name().as("file"), col("value").as("raw"))
-      .filter(parsed.getField("_corrupt").isNotNull)
+      .filter(parsed.isNull || parsed.getField("_corrupt").isNotNull)
     (clean, corrupt)
   }
 

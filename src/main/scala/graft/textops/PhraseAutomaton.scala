@@ -44,17 +44,23 @@ object PhraseAutomaton {
       val chars: Array[Array[Char]],
       val next: Array[Array[Int]],
       val fail: Array[Int],
-      val outCount: Array[Int],    // patterns ENDING at this state (own + via fail chain)
-      val outDistinct: Array[Array[Int]] // distinct pattern ids ending here (chain-collapsed)
+      val ownId: Array[Int],   // the ONE pattern ending exactly here (-1 if none)
+      val outLink: Array[Int]  // nearest proper fail-ancestor with an own output (-1)
   ) extends Serializable {
     def size: Int = fail.length
   }
 
   /** Build the automaton for `patterns` (case-folded, deduplicated;
     * empty patterns rejected). Driver-side `O(total pattern chars ×
-    * log degree)`; the BFS collapses failure chains so matching never
-    * walks them (`outCount`/`outDistinct` carry the transitive
-    * output sets).
+    * log degree)`. Outputs are OWN-only plus an output LINK (the
+    * nearest failure-chain ancestor that itself ends a pattern) walked
+    * at match time — materializing the transitive output set per state
+    * (the previous design) is O(depth) per state for suffix-nested
+    * dictionaries, i.e. ~quadratic total broadcast bytes in pattern
+    * length; the link keeps the automaton O(states) while the match
+    * walk stays O(outputs actually emitted). Deduplicated patterns are
+    * distinct strings, so each state ends at most one pattern and a
+    * single `ownId` suffices.
     */
   def build(patterns: Seq[String]): Automaton = {
     require(patterns.nonEmpty, "PhraseAutomaton: empty pattern list")
@@ -64,17 +70,17 @@ object PhraseAutomaton {
     // mutable trie
     val gotoMaps = collection.mutable.ArrayBuffer(
       collection.mutable.TreeMap.empty[Char, Int])
-    val ends = collection.mutable.ArrayBuffer(List.empty[Int])
+    val ends = collection.mutable.ArrayBuffer(-1)
     pats.zipWithIndex.foreach { case (p, pid) =>
       var s = 0
       p.foreach { c =>
         s = gotoMaps(s).getOrElseUpdate(c, {
           gotoMaps += collection.mutable.TreeMap.empty[Char, Int]
-          ends += Nil
+          ends += -1
           gotoMaps.length - 1
         })
       }
-      ends(s) = pid :: ends(s)
+      ends(s) = pid // distinct patterns -> distinct end states, one pid max
     }
     val n = gotoMaps.length
     val chars = new Array[Array[Char]](n)
@@ -85,16 +91,16 @@ object PhraseAutomaton {
       next(i) = chars(i).map(gotoMaps(i))
       i += 1
     }
-    // BFS failure links + transitive output collapse
+    // BFS failure links + output links (fail(s) is strictly shallower
+    // than s, so its outLink is final by the time s dequeues)
     val fail = new Array[Int](n)
-    val outD = new Array[List[Int]](n)
-    i = 0
-    while (i < n) { outD(i) = ends(i); i += 1 }
+    val ownId = ends.toArray
+    val outLink = Array.fill(n)(-1)
     val queue = collection.mutable.Queue.empty[Int]
     chars(0).indices.foreach { k => fail(next(0)(k)) = 0; queue += next(0)(k) }
     while (queue.nonEmpty) {
       val s = queue.dequeue()
-      outD(s) = outD(s) ++ outD(fail(s))
+      outLink(s) = if (ownId(fail(s)) >= 0) fail(s) else outLink(fail(s))
       var k = 0
       while (k < chars(s).length) {
         val c = chars(s)(k)
@@ -109,8 +115,7 @@ object PhraseAutomaton {
         k += 1
       }
     }
-    new Automaton(chars, next, fail,
-      outD.map(_.size), outD.map(_.distinct.sorted.toArray))
+    new Automaton(chars, next, fail, ownId, outLink)
   }
 
   @inline private def transition(
@@ -142,12 +147,15 @@ object PhraseAutomaton {
         t = transition(a.chars, a.next, state, c)
       }
       state = if (t >= 0) t else 0
-      if (a.outCount(state) > 0) {
-        hits += a.outCount(state)
+      // emit outputs: own pattern (if any) then the output-link chain —
+      // the walk costs O(patterns actually ending at this position), so
+      // total match cost stays O(|text| + hits)
+      var o = if (a.ownId(state) >= 0) state else a.outLink(state)
+      while (o >= 0) {
+        hits += 1
         if (seen == null) seen = new java.util.BitSet()
-        val ids = a.outDistinct(state)
-        var k = 0
-        while (k < ids.length) { seen.set(ids(k)); k += 1 }
+        seen.set(a.ownId(o))
+        o = a.outLink(o)
       }
       i += 1
     }

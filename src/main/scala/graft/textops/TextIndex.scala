@@ -42,6 +42,17 @@ object TextIndex {
   def terms(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     TextAnalysis.tokens(lower(text))
 
+  /** Fold a driver-side query/phrase term EXACTLY the way [[terms]]
+    * folds tokens: through the same `UTF8String.toLowerCase` that
+    * Spark's `lower()` executes. A `Locale.ROOT` driver fold (the
+    * previous form) diverges from `lower()`'s non-ASCII slow path
+    * under a non-ROOT default JVM locale (Turkish 'I'), silently
+    * missing matches — identical folding on both sides is
+    * locale-agnostic by construction.
+    */
+  private def foldTerm(t: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(t).toLowerCase.toString
+
   /** One-frame BM25 top-k: build the postings on the fly and rank.
     * Output: (id, score, n_terms, rank), score rounded to 4 decimals
     * BEFORE ranking (both engine and oracle rank the rounded value —
@@ -149,7 +160,7 @@ object TextIndex {
   def phraseSearch(
       docs: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String]): DataFrame = {
-    val p = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
+    val p = phrase.map(foldTerm)
     require(p.nonEmpty, "phraseSearch: empty phrase")
     val offArr = phraseOffsetsArr(p)
     // coarse pre-gate: a token equal to t requires the SUBSTRING t, so
@@ -172,7 +183,7 @@ object TextIndex {
     */
   def phraseSearchIndex(
       spark: SparkSession, dir: String, phrase: Seq[String]): DataFrame = {
-    val p = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
+    val p = phrase.map(foldTerm)
     require(p.nonEmpty, "phraseSearchIndex: empty phrase")
     val pos = graft.operators.IndexOps.dropTombstoned(spark, dir,
       spark.read.parquet(s"$dir/positions.parquet"), "id")
@@ -222,7 +233,7 @@ object TextIndex {
       phrases: Seq[Seq[String]]): DataFrame = {
     require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
       "phraseSetSearch: phrases must be non-empty")
-    val lowered = phrases.map(_.map(_.toLowerCase(java.util.Locale.ROOT)))
+    val lowered = phrases.map(_.map(foldTerm))
     // term -> every (phrase_idx, offset) slot it fills
     val slots: Map[String, Seq[(Int, Int)]] = lowered.zipWithIndex
       .flatMap { case (p, pi) => p.zipWithIndex.map { case (t, off) => (t, (pi, off)) } }
@@ -281,7 +292,7 @@ object TextIndex {
       postings: DataFrame, nDocs: Long, avgdl: Double,
       query: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
     require(k >= 1, s"bm25: k must be >= 1, got $k")
-    val q = query.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val q = query.map(foldTerm).distinct
     require(q.nonEmpty, "bm25: empty query")
     val matched = postings.filter(col("term").isin(q: _*))
     val dfs = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
