@@ -1499,25 +1499,46 @@ object SparkEntry {
           col("n_triangles"), col("coeff_x10000"))
     }),
 
-    // sentence segmentation over a punctuation-planted fixture (the
-    // corpus text is terminator-free word salad): split on [.!?]+
-    // runs, trim, drop empties — the simplification is documented, and
-    // identical on both engines (no lookbehind: RE2 has none)
+    // sentence segmentation ([[graft.textops.TextAnalysis.sentences]])
+    // over a fixture exercising every protection rule — abbreviation
+    // (Dr., Inc.), decimal (3.14), ellipsis (Hmm...), e.g. — the
+    // corpus text itself is terminator-free word salad forming the
+    // final sentence. Engine-identical rule set: no lookaround (RE2
+    // has none), shared abbreviation list, placeholder restore
     "q107_sentences" -> ((s, dir) => {
-      val raw = concat(
-        lit("First planted sentence. Second one! Is this the third? "),
+      val raw = concat(lit(sentenceFixturePrefix),
         coalesce(col("text"), lit("")))
-      val sents = filter(
-        transform(split(raw, "[.!?]+"), x => trim(x)),
-        x => length(x) > 0)
       table(s, dir, "documents")
-        .select(col("doc_id"), sents.as("_s"))
+        .select(col("doc_id"),
+          graft.textops.TextAnalysis.sentences(raw).as("_s"))
         .select(col("doc_id"), size(col("_s")).cast("long").as("n_sents"),
           posexplode(col("_s")).as(Seq("sent_idx", "sentence")))
         .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
           col("sentence"), col("n_sents"))
+    }),
+
+    // sentence-aligned chunking (the RAG-quality default): q107's
+    // fixture plus a per-doc-varying run of 4-token filler sentences,
+    // binned at 12 tokens — chunks overrun by at most one sentence,
+    // and the giant terminator-free corpus tail pins the
+    // longer-than-window single-sentence rule
+    "q108_sentence_chunks" -> ((s, dir) => {
+      val raw = concat(lit(sentenceFixturePrefix),
+        expr("repeat('Alpha beta gamma delta. ', CAST(doc_id % 5 + 3 AS INT))"),
+        coalesce(col("text"), lit("")))
+      val docs = table(s, dir, "documents").select(col("doc_id"), raw.as("text"))
+      graft.textops.Chunker.chunkBySentences(
+        docs, col("text"), window = 12, keep = Seq(col("doc_id")))
     })
   )
+
+  /** q107/q108 sentence fixture: one prefix exercising every
+    * [[graft.textops.TextAnalysis.sentences]] protection rule, shared
+    * with the DuckDB oracles (which re-run the same regex pipeline).
+    */
+  private[graft] val sentenceFixturePrefix: String =
+    "Dr. Smith paid 3.14 to Acme Inc. on Jan 5. Hmm... so it goes on! " +
+      "Was it e.g. worth it? Yes. "
 
   /** Multi-line fixture for the line-dedup family (q81): the corpus
     * text has no newlines, so template lines are planted around it —
@@ -3296,21 +3317,81 @@ object SparkEntry {
         |FROM deg d LEFT JOIN tc ON tc.id = d.id""".stripMargin,
 
     "q107_sentences" ->
-      raw"""WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(
-        |      list_transform(
-        |        string_split_regex(
-        |          'First planted sentence. Second one! Is this the third? '
-        |            || coalesce(text, ''), '[.!?]+'),
-        |        x -> trim(x)),
-        |      x -> length(x) > 0) AS sents
+        |    ${sentencesSql(s"'$sentenceFixturePrefix' || coalesce(text, '')")} AS sents
         |  FROM documents)
         |SELECT doc_id, CAST(i AS BIGINT) AS sent_idx,
         |  sents[i + 1] AS sentence,
         |  CAST(len(sents) AS BIGINT) AS n_sents
-        |FROM t, unnest(range(len(sents))) AS u(i)""".stripMargin
+        |FROM t, unnest(range(len(sents))) AS u(i)""".stripMargin,
+
+    // replays the sentence pipeline, then the prefix-sum binning and
+    // the ordered per-(doc, bin) regroup relationally — string_agg
+    // ORDER BY is the oracle's pin of the engine's
+    // array_sort(collect_list(struct)) regroup
+    "q108_sentence_chunks" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    ${sentencesSql(
+             s"'$sentenceFixturePrefix' || " +
+               "repeat('Alpha beta gamma delta. ', CAST(doc_id % 5 + 3 AS INT))" +
+               " || coalesce(text, '')")} AS sents
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS si, sents[i + 1] AS sent
+        |  FROM t, unnest(range(len(sents))) AS u(i)),
+        |tok AS (
+        |  SELECT doc_id, si, sent,
+        |    CAST(CASE WHEN length(trim(sent)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(sent), '[ \\t\\n\\x0b\\f\\r]+'))
+        |         END AS BIGINT) AS ntok
+        |  FROM s),
+        |b AS (
+        |  SELECT doc_id, si, sent, ntok,
+        |    (sum(ntok) OVER (PARTITION BY doc_id ORDER BY si) - ntok) // 12 AS bin
+        |  FROM tok),
+        |g AS (
+        |  SELECT doc_id, bin, count(*) AS chunk_sents,
+        |    CAST(sum(ntok) AS BIGINT) AS chunk_tokens,
+        |    string_agg(sent, ' ' ORDER BY si) AS chunk_text
+        |  FROM b GROUP BY doc_id, bin)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bin) - 1
+        |       AS BIGINT) AS chunk_idx,
+        |  chunk_sents, chunk_tokens, chunk_text
+        |FROM g""".stripMargin
   )
+
+  /** DuckDB twin of [[graft.textops.TextAnalysis.sentences]] applied
+    * to the SQL string expression `input`: the SAME regex pipeline —
+    * placeholder strip, ellipsis/decimal/abbreviation protection
+    * (shared [[graft.textops.TextAnalysis.sentenceAbbrevs]] list),
+    * terminator-run split, trim+restore, empty drop. RE2 (DuckDB) and
+    * Java regex (Spark) agree on every construct used (no lookaround,
+    * ASCII `\\b`, explicit classes).
+    */
+  private def sentencesSql(input: String): String = {
+    val abbrevs = graft.textops.TextAnalysis.sentenceAbbrevs.mkString("|")
+    s"""list_filter(
+       |      list_transform(
+       |        string_split_regex(
+       |          regexp_replace(
+       |            regexp_replace(
+       |              regexp_replace(
+       |                regexp_replace(
+       |                  regexp_replace(
+       |                    regexp_replace($input, '[\\x01\\x02]', '', 'g'),
+       |                    '\\.\\.\\.', chr(2), 'g'),
+       |                  '([0-9])\\.([0-9])', '\\1' || chr(1) || '\\2', 'g'),
+       |                '([0-9])\\.([0-9])', '\\1' || chr(1) || '\\2', 'g'),
+       |              '\\b($abbrevs)\\.', '\\1' || chr(1), 'g'),
+       |            '\\b([ei])\\.([ge])\\.',
+       |            '\\1' || chr(1) || '\\2' || chr(1), 'g'),
+       |          '[.!?]+'),
+       |        x -> trim(replace(replace(x, chr(2), '...'), chr(1), '.'))),
+       |      x -> length(x) > 0)""".stripMargin
+  }
 
   /** q104's oracle: [[oracleSqlQ94]]'s recurrence with init and base
     * masked to the seed set.

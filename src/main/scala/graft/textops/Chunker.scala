@@ -68,4 +68,64 @@ object Chunker {
         :+ least(lit(window), n - start).cast("long").as("chunk_tokens")
         :+ array_join(slice(col("_toks"), start + 1, lit(window)), " ").as("chunk_text")): _*)
   }
+
+  /** Sentence-aligned chunking — the RAG-quality default: chunk
+    * boundaries fall only at sentence ends ([[TextAnalysis.sentences]]'
+    * segmentation), so no chunk starts or stops mid-sentence. Sentences
+    * are binned by their token prefix sum: a sentence whose
+    * cumulative-token count BEFORE it is `c` lands in bin
+    * `floor(c / window)`, then bins re-densify to consecutive
+    * `chunk_idx` per document. Consequences of the rule (documented,
+    * oracle-pinned): a chunk may overrun `window` by up to one
+    * sentence (the sentence that crosses the boundary belongs to the
+    * bin it started in), and a sentence longer than `window` gets a
+    * bin — and therefore a chunk — of its own. No overlap/stride:
+    * sentence alignment and overlap are competing goals; a caller
+    * wanting both runs [[chunkByTokens]].
+    *
+    * `keep` must include the document key (it is the window/group
+    * partition key). Output: keep ++ (chunk_idx, chunk_sents,
+    * chunk_tokens, chunk_text), chunk text = sentences joined with
+    * single spaces (terminators already normalized by `sentences`).
+    *
+    * 100 TB shape: one shuffle on the doc key (the prefix-sum window +
+    * the per-(doc, bin) aggregation share it); per-partition state is
+    * bounded by the largest single document, never by a hot key — doc
+    * keys are unique. The ordered chunk text aggregates via
+    * `array_sort(collect_list(struct(idx, sent)))`, the repo's
+    * order-insensitive regroup (collect_list order is not guaranteed
+    * across retries/partitionings; the sort pins it).
+    */
+  def chunkBySentences(
+      df: DataFrame,
+      textCol: Column,
+      window: Int,
+      keep: Seq[Column]): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(keep.nonEmpty, "chunkBySentences: keep must include the doc key")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keep: _*).orderBy(col("_si"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cumBefore = sum(col("_ntok")).over(w) - col("_ntok")
+    // floor(double-div) is exact while per-doc token counts stay below
+    // 2^52 — far beyond any single document
+    val binned = df
+      .select((keep :+ TextAnalysis.sentences(textCol).as("_ss")): _*)
+      .select((keep :+ posexplode(col("_ss")).as(Seq("_si", "_sent"))): _*)
+      .withColumn("_ntok", size(TextAnalysis.tokens(col("_sent"))).cast("long"))
+      .withColumn("_bin", floor(cumBefore / lit(window.toDouble)).cast("long"))
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy(keep: _*).orderBy(col("_bin"))
+    binned
+      .groupBy((keep :+ col("_bin")): _*)
+      .agg(count(lit(1)).as("chunk_sents"),
+        sum(col("_ntok")).as("chunk_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("_si"), col("_sent")))),
+            x => x.getField("_sent")), " ").as("chunk_text"))
+      .withColumn("chunk_idx",
+        (row_number().over(wIdx) - 1).cast("long"))
+      .select((keep :+ col("chunk_idx") :+ col("chunk_sents")
+        :+ col("chunk_tokens") :+ col("chunk_text")): _*)
+  }
 }

@@ -179,6 +179,57 @@ object TextAnalysis {
   def strip_accents(text: Column): Column =
     GraftInterop.column(StripAccentsExpr(GraftInterop.expression(text)))
 
+  /** Closed abbreviation list whose trailing period never ends a
+    * sentence (the jusText/NLTK-style short list; case-sensitive, the
+    * listed forms only). Shared with the q107 oracle so both engines
+    * protect exactly the same set.
+    */
+  val sentenceAbbrevs: Seq[String] = Seq(
+    "Mr", "Mrs", "Ms", "Dr", "Prof", "Sr", "Jr", "St", "vs", "etc",
+    "al", "Inc", "Ltd", "Co", "Corp", "Fig")
+
+  private val ProtP = "\u0001" // protected (non-boundary) period
+  private val ProtE = "\u0002" // protected ellipsis
+
+  /** Sentence segmentation as a pure Column expression (array<string>):
+    * split on terminator runs `[.!?]+` with abbreviation / decimal /
+    * ellipsis protection, trim, drop empties. Engine-identical by
+    * construction — every rule uses only regex features Java regex and
+    * RE2 (the DuckDB oracle) share (no lookaround: RE2 has none;
+    * `\b` is the ASCII word boundary in both):
+    *
+    *  1. strip U+0001/U+0002 from the input (the two placeholder code
+    *     points; never legitimate text),
+    *  2. `...` runs become a placeholder — an ellipsis trails off, it
+    *     does not end the sentence (a 4th+ dot still terminates),
+    *  3. decimals `3.14` protect the interior period (two passes, so
+    *     alternating chains like `1.2.3` protect fully — a single
+    *     global pass cannot rescan the overlap),
+    *  4. [[sentenceAbbrevs]] + `e.g.`/`i.e.` protect their periods,
+    *  5. split `[.!?]+`, trim, restore placeholders, drop empties.
+    *
+    * Protected periods are RESTORED in the output ("Dr. Smith stayed"
+    * keeps its dot); terminators themselves are dropped (the split
+    * convention, q107's original shape). Heuristic by design — an
+    * unlisted abbreviation splits — but the rule set is the classic
+    * public one and each rule is pinned by SentencesSpec.
+    */
+  def sentences(text: Column): Column = {
+    val s0 = regexp_replace(coalesce(text, lit("")), "[\\x01\\x02]", "")
+    val s1 = regexp_replace(s0, "\\.\\.\\.", ProtE)
+    val dec = "([0-9])\\.([0-9])"
+    val s2 = regexp_replace(regexp_replace(s1, dec, "$1" + ProtP + "$2"),
+      dec, "$1" + ProtP + "$2")
+    val s3 = regexp_replace(s2,
+      "\\b(" + sentenceAbbrevs.mkString("|") + ")\\.", "$1" + ProtP)
+    val s4 = regexp_replace(s3, "\\b([ei])\\.([ge])\\.",
+      "$1" + ProtP + "$2" + ProtP)
+    filter(
+      transform(split(s4, "[.!?]+"),
+        x => trim(regexp_replace(regexp_replace(x, ProtE, "..."), ProtP, "."))),
+      x => length(x) > 0)
+  }
+
   /** Count of tokens present in `words` (with repeats). */
   def stopwordCount(toks: Column, words: Seq[String]): Column = {
     val set = typedLit(words)

@@ -75,4 +75,59 @@ class ChunkerSpec extends GraftSparkSpec {
         col("text"), window = 3, stride = 4, Seq(col("id")))
     }
   }
+
+  // ---- sentence-aligned mode ----
+
+  private def sentChunksOf(text: String, window: Int): Seq[(Long, Long, Long, String)] =
+    Chunker.chunkBySentences(
+      Seq((1L, text)).toDF("id", "text"), col("text"), window, Seq(col("id")))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+
+  test("sentence mode: bins fill to the window at sentence ends only") {
+    // four 4-token sentences, window 8: prefix sums 0,4,8,12 -> bins
+    // 0,0,1,1
+    assert(sentChunksOf("a b c d. e f g h. i j k l. m n o p.", 8) ==
+      Seq((0L, 2L, 8L, "a b c d e f g h"),
+        (1L, 2L, 8L, "i j k l m n o p")))
+  }
+
+  test("sentence mode: a boundary-crossing sentence stays in its bin (overrun)") {
+    // ntoks 3, 10, 2 at window 5: prefixes 0,3,13 -> bins 0,0,2;
+    // chunk 0 overruns to 13 tokens, bin ids re-densify to 0,1
+    assert(sentChunksOf("a b c. d e f g h i j k l m. n o.", 5) ==
+      Seq((0L, 2L, 13L, "a b c d e f g h i j k l m"),
+        (1L, 1L, 2L, "n o")))
+  }
+
+  test("sentence mode: a longer-than-window sentence gets its own chunk") {
+    // ntoks 3, 7, 2 at window 3: prefixes 0, 3, 10 -> bins 0, 1, 3 —
+    // the long sentence starts exactly at a boundary so it is alone
+    assert(sentChunksOf("a b c. d e f g h i j. k l.", 3) ==
+      Seq((0L, 1L, 3L, "a b c"),
+        (1L, 1L, 7L, "d e f g h i j"),
+        (2L, 1L, 2L, "k l")))
+  }
+
+  test("sentence mode: no mid-sentence boundary ever (invariant)") {
+    val text = (0 until 40).map(i => s"tok$i word$i end$i.").mkString(" ")
+    val chunks = sentChunksOf(text, 7)
+    // every chunk is a concatenation of whole 3-token sentences
+    assert(chunks.forall(_._3 % 3 == 0))
+    assert(chunks.map(_._2).sum == 40)
+    assert(chunks.map(_._1) == chunks.indices.map(_.toLong))
+    // reassembling the chunks reproduces the token stream in order
+    assert(chunks.map(_._4).mkString(" ") ==
+      (0 until 40).map(i => s"tok$i word$i end$i").mkString(" "))
+  }
+
+  test("sentence mode: empty doc emits no chunks; window >= 1 enforced") {
+    assert(sentChunksOf("", 5).isEmpty)
+    assert(sentChunksOf("  ?! . ", 5).isEmpty)
+    intercept[IllegalArgumentException] {
+      Chunker.chunkBySentences(Seq((1L, "a")).toDF("id", "text"),
+        col("text"), 0, Seq(col("id")))
+    }
+  }
 }
