@@ -1565,6 +1565,20 @@ object SparkEntry {
           coalesce(col("reason"), lit("ok")).as("status"),
           col("content_length"),
           decode(col("payload"), "UTF-8").as("text"))
+    }),
+
+    // mergeable quantile sketch: per-source token-length p50/p90/p99
+    // via the bottom-k value-count sketch (multiset-pure — unlike
+    // KLL/GK its output is independent of stream and merge order, so
+    // the oracle recomputes it EXACTLY in both regimes: ORDER BY
+    // (hash, value) LIMIT k, then a cumulative-sum lower quantile
+    // over the retained histogram). k=64 so corpus sources run the
+    // estimator regime, not just the exact one
+    "q110_quantile_sketch" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("source"),
+        graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("ntok"))
+      graft.operators.QuantileSketch.quantilesByKey(
+        docs, Seq(col("source")), col("ntok"), k = 16)
     })
   )
 
@@ -3425,7 +3439,54 @@ object SparkEntry {
         |         WHEN 5 THEN CAST(octet_length(encode(pay)) - 4 AS BIGINT)
         |         ELSE CAST(octet_length(encode(pay)) AS BIGINT) END AS content_length,
         |  CASE WHEN m IN (5, 9) THEN NULL ELSE pay END AS text
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // full sketch replay: bottom-16 (md5 hash, value) pairs of the
+    // distinct token-count histogram per source, exact counts, lower
+    // quantile by cumulative sum — both regimes recomputed, not just
+    // the exact one
+    "q110_quantile_sketch" ->
+      raw"""WITH t AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+        |         END AS BIGINT) AS ntok
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, ntok AS v, count(*) AS c FROM t
+        |  WHERE ntok IS NOT NULL GROUP BY source, ntok),
+        |hh AS (
+        |  SELECT source, v, c,
+        |    CAST(('0x' || substr(md5('qsk:' || CAST(v AS VARCHAR)), 1, 15))
+        |         AS BIGINT) AS hv
+        |  FROM h),
+        |top AS (
+        |  SELECT source, v, c FROM (
+        |    SELECT source, v, c,
+        |      row_number() OVER (PARTITION BY source ORDER BY hv, v) AS rn
+        |    FROM hh) WHERE rn <= 16),
+        |w AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS wt,
+        |    CAST(count(*) AS BIGINT) AS np
+        |  FROM top GROUP BY source),
+        |cum AS (
+        |  SELECT tp.source, tp.v,
+        |    sum(tp.c) OVER (PARTITION BY tp.source ORDER BY tp.v) AS cm,
+        |    w.wt
+        |  FROM top tp JOIN w ON w.source = tp.source),
+        |qs AS (
+        |  SELECT source,
+        |    min(v) FILTER (WHERE cm * 10000 >= 5000 * wt) AS p50,
+        |    min(v) FILTER (WHERE cm * 10000 >= 9000 * wt) AS p90,
+        |    min(v) FILTER (WHERE cm * 10000 >= 9900 * wt) AS p99
+        |  FROM cum GROUP BY source),
+        |nn AS (SELECT source, count(ntok) AS n FROM t GROUP BY source)
+        |SELECT nn.source, CAST(nn.n AS BIGINT) AS n,
+        |  CAST(COALESCE(w.np, 0) AS BIGINT) AS n_pairs,
+        |  qs.p50, qs.p90, qs.p99
+        |FROM nn
+        |LEFT JOIN w ON w.source = nn.source
+        |LEFT JOIN qs ON qs.source = nn.source""".stripMargin
   )
 
   /** DuckDB twin of [[graft.textops.TextAnalysis.sentences]] applied

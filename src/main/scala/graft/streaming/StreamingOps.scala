@@ -456,7 +456,7 @@ object StreamingOps {
   def corpusStats(
       terms: DataFrame, groupCol: String, termCol: String,
       mgCapacity: Int = 256, kmvK: Int = 64,
-      cmsDepth: Int = 4, cmsWidth: Int = 256): DataFrame =
+      cmsDepth: Int = 4, cmsWidth: Int = 256, quantileK: Int = 256): DataFrame =
     terms.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n_terms"),
       graft.operators.DistinctSketch.kmv(
@@ -464,5 +464,10 @@ object StreamingOps {
       graft.operators.HeavyHitters.mg_summary(col(termCol), mgCapacity)
         .as("heavy_hitters"),
       graft.operators.CountMin.cms(col(termCol), cmsDepth, cmsWidth)
-        .as("freq_sketch"))
+        .as("freq_sketch"),
+      // "p99 term length so far" — the quantile member of the sketch
+      // family; mergeable, so batch-prefix ≡ streaming state holds for
+      // it exactly as for the other three
+      graft.operators.QuantileSketch.qsketch(
+        length(col(termCol)).cast("long"), quantileK).as("len_quantiles"))
 }

@@ -304,30 +304,32 @@ class StreamingOpsSpec extends GraftSparkSpec {
     val input = MemoryStream[(String, String)]
     val terms = input.toDF().toDF("lang", "term")
 
-    def batchTwin(rows: Seq[(String, String)]): Map[String, (Long, Long, Seq[(String, Long)], Seq[Long])] =
+    def batchTwin(rows: Seq[(String, String)]): Map[String, (Long, Long, Seq[(String, Long)], Seq[Long], Seq[Long], Seq[Long])] =
       StreamingOps.corpusStats(
         rows.toDF("lang", "term"), "lang", "term", mgCapacity = 32, kmvK = 4,
         cmsDepth = 2, cmsWidth = 32)
         .select(col("lang"), col("n_terms"),
           col("distinct_sketch.est_distinct"), col("heavy_hitters"),
-          col("freq_sketch"))
+          col("freq_sketch"), col("len_quantiles.values"),
+          col("len_quantiles.counts"))
         .collect().map { r =>
           r.getString(0) -> ((r.getLong(1), r.getLong(2),
             r.getSeq[org.apache.spark.sql.Row](3)
               .map(e => (e.getString(0), e.getLong(1))),
-            r.getSeq[Long](4)))
+            r.getSeq[Long](4), r.getSeq[Long](5), r.getSeq[Long](6)))
         }.toMap
 
-    def streamed(): Map[String, (Long, Long, Seq[(String, Long)], Seq[Long])] =
+    def streamed(): Map[String, (Long, Long, Seq[(String, Long)], Seq[Long], Seq[Long], Seq[Long])] =
       spark.table("cstats_out")
         .select(col("lang"), col("n_terms"),
           col("distinct_sketch.est_distinct"), col("heavy_hitters"),
-          col("freq_sketch"))
+          col("freq_sketch"), col("len_quantiles.values"),
+          col("len_quantiles.counts"))
         .collect().map { r =>
           r.getString(0) -> ((r.getLong(1), r.getLong(2),
             r.getSeq[org.apache.spark.sql.Row](3)
               .map(e => (e.getString(0), e.getLong(1))),
-            r.getSeq[Long](4)))
+            r.getSeq[Long](4), r.getSeq[Long](5), r.getSeq[Long](6)))
         }.toMap
 
     val q = StreamingOps.corpusStats(terms, "lang", "term",
