@@ -1579,6 +1579,28 @@ object SparkEntry {
         graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("ntok"))
       graft.operators.QuantileSketch.quantilesByKey(
         docs, Seq(col("source")), col("ntok"), k = 16)
+    }),
+
+    // jusText-style main-content block classification over a planted
+    // nav/heading/body/promo/footer page (the q81 fixture discipline:
+    // the corpus text is the body block; boilerplate is planted around
+    // it). The oracle re-runs block segmentation, per-block link/text
+    // stats, and the keep rule from scratch in SQL
+    "q111_main_content" -> ((s, dir) => {
+      val html = concat(
+        lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a> " +
+          "<a href=\"/contact\">Contact menu links</a></div>"),
+        lit("<h1>Title "), col("doc_id").cast("string"), lit("</h1>"),
+        lit("<p>"), coalesce(col("text"), lit("")), lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<div class=\"promo\"><a href=\"/sub\">subscribe to our " +
+            "newsletter today</a></div>")).otherwise(lit("")),
+        lit("<p>Short note.</p>"),
+        lit("<footer><a href=\"/t\">terms</a> <a href=\"/p\">privacy</a> " +
+          "<a href=\"/c\">copyright example corp</a></footer>"))
+      graft.textops.MainContent.blocks(
+        table(s, dir, "documents"), Seq(col("doc_id")), html)
     })
   )
 
@@ -3486,7 +3508,58 @@ object SparkEntry {
         |  qs.p50, qs.p90, qs.p99
         |FROM nn
         |LEFT JOIN w ON w.source = nn.source
-        |LEFT JOIN qs ON qs.source = nn.source""".stripMargin
+        |LEFT JOIN qs ON qs.source = nn.source""".stripMargin,
+
+    "q111_main_content" ->
+      raw"""WITH f AS (
+        |  SELECT doc_id,
+        |    '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact menu links</a></div>'
+        |    || '<h1>Title ' || CAST(doc_id AS VARCHAR) || '</h1>'
+        |    || '<p>' || coalesce(text, '') || '</p>'
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN '<div class="promo"><a href="/sub">subscribe to our newsletter today</a></div>'
+        |         ELSE '' END
+        |    || '<p>Short note.</p>'
+        |    || '<footer><a href="/t">terms</a> <a href="/p">privacy</a> <a href="/c">copyright example corp</a></footer>'
+        |    AS html
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?i)</?(blockquote|thead|tbody|table|section|article|footer|header|aside|main|nav|pre|ul|ol|li|tr|td|th|div|h[1-6]|hr|br|p)([ \t\n\r\f][^>]*)?/?>',
+        |    chr(1), 'g') AS marked
+        |  FROM f),
+        |raws AS (
+        |  SELECT doc_id, i AS ri, blocks[i + 1] AS raw
+        |  FROM (SELECT doc_id, string_split(marked, chr(1)) AS blocks FROM m),
+        |       unnest(range(len(blocks))) AS u(i)),
+        |calc AS (
+        |  SELECT doc_id, ri,
+        |    trim(regexp_replace(regexp_replace(raw,
+        |      '(?s)<[^>]*>', ' ', 'g'), '[ \t\n\r]+', ' ', 'g')) AS text,
+        |    CAST(COALESCE(list_aggregate(list_transform(
+        |      regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
+        |      y -> length(trim(regexp_replace(regexp_replace(y,
+        |        '(?s)<[^>]*>', ' ', 'g'), '[ \t\n\r]+', ' ', 'g')))),
+        |      'sum'), 0) AS BIGINT) AS n_link_chars
+        |  FROM raws),
+        |blk AS (
+        |  SELECT doc_id, ri, text,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(CASE WHEN length(text) = 0 THEN 0
+        |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_words,
+        |    n_link_chars
+        |  FROM calc WHERE length(text) > 0)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ri) - 1
+        |       AS BIGINT) AS block_idx,
+        |  text, n_chars, n_words, n_link_chars,
+        |  (n_link_chars * 10000) // greatest(n_chars, 1) AS link_density_x10000,
+        |  (n_words >= 6 AND
+        |   n_link_chars * 10000 <= 3300 * greatest(n_chars, 1)) AS keep
+        |FROM blk""".stripMargin
   )
 
   /** DuckDB twin of [[graft.textops.TextAnalysis.sentences]] applied
