@@ -70,7 +70,8 @@ object OracleGen {
       "q75_mixture" -> (() => mixtureOracle(s, dir)),
       "q78_semdedup" -> (() => semDedupOracle(s, dir)),
       "q79_bpe_train" -> (() => bpeTrainOracle(s, dir)),
-      "q88_kmeans_refine" -> (() => kmeansRefineOracle(s, dir))
+      "q88_kmeans_refine" -> (() => kmeansRefineOracle(s, dir)),
+      "q112_compression" -> (() => compressionOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -314,6 +315,39 @@ object OracleGen {
     * partitioning — which is exactly the property under test; the
     * embedded per-vector cells are therefore exact, not approximate.
     */
+  /** q112: deflate has no DuckDB twin, so the per-doc (raw, deflated,
+    * ratio) triples come from an INDEPENDENT driver-side scorer — the
+    * `DeflaterOutputStream` stream path against the engine's manual
+    * `Deflater.deflate` loop, sharing only the level-6/raw-stream
+    * constants (the q64 independent-driver-scorer technique). Flags
+    * recompute in SQL from the embedded ratios.
+    */
+  def compressionOracle(s: SparkSession, dir: String): String = {
+    val rows = SparkEntry.compressionFixture(s, dir)
+      .select("doc_id", "ftext").collect()
+      .map { r =>
+        val raw = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bos = new java.io.ByteArrayOutputStream()
+        val dos = new java.util.zip.DeflaterOutputStream(
+          bos, new java.util.zip.Deflater(6, true))
+        dos.write(raw); dos.close()
+        val dl = bos.size().toLong
+        val ratio = if (raw.isEmpty) 0L else dl * 10000L / raw.length
+        (r.getLong(0), raw.length.toLong, dl, ratio)
+      }.sortBy(_._1)
+    checkEmbeddable("q112_compression", rows.length.toLong)
+    val vals = rows.map { case (id, rb, db, ra) => s"($id, $rb, $db, $ra)" }
+      .mkString(", ")
+    s"""WITH expv(doc_id, raw_bytes, deflate_bytes, ratio_x10000) AS (VALUES $vals)
+       |SELECT d.doc_id, CAST(raw_bytes AS BIGINT) AS raw_bytes,
+       |  CAST(deflate_bytes AS BIGINT) AS deflate_bytes,
+       |  CAST(ratio_x10000 AS BIGINT) AS ratio_x10000,
+       |  CASE WHEN ratio_x10000 < 1500 THEN 'too_compressible'
+       |       WHEN ratio_x10000 > 6000 THEN 'incompressible'
+       |       ELSE 'ok' END AS flag
+       |FROM documents d JOIN expv ON expv.doc_id = d.doc_id""".stripMargin
+  }
+
   def kmeansRefineOracle(s: SparkSession, dir: String): String = {
     val rows = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

@@ -1601,8 +1601,45 @@ object SparkEntry {
           "<a href=\"/c\">copyright example corp</a></footer>"))
       graft.textops.MainContent.blocks(
         table(s, dir, "documents"), Seq(col("doc_id")), html)
+    }),
+
+    // compression-ratio gate over a three-regime fixture: template
+    // spam (doc_id%3==0, pathologically compressible), plain corpus
+    // text, and base64 soup (doc_id%3==2, nearly incompressible).
+    // Oracle: q64's independent-driver-scorer technique — DuckDB has
+    // no deflate, so per-doc ratios from a SECOND implementation
+    // (stream path vs the engine's manual loop, sharing only the
+    // level-6/raw-stream constants) embed as a VALUES CTE and the
+    // flags recompute in SQL
+    "q112_compression" -> ((s, dir) => {
+      val sig = graft.textops.Compression.compressionSignal(col("ftext"))
+      compressionFixture(s, dir)
+        .select(col("doc_id"), sig.as("_s"))
+        .select(col("doc_id"),
+          col("_s.raw_bytes").as("raw_bytes"),
+          col("_s.deflate_bytes").as("deflate_bytes"),
+          col("_s.ratio_x10000").as("ratio_x10000"),
+          when(col("_s.ratio_x10000") < 1500, "too_compressible")
+            .when(col("_s.ratio_x10000") > 6000, "incompressible")
+            .otherwise("ok").as("flag"))
     })
   )
+
+  /** q112's three-regime fixture (shared with [[OracleGen]]'s
+    * independent scorer — the scorer is the independent half, the
+    * fixture construction is common, q25's key discipline).
+    */
+  private[graft] def compressionFixture(
+      s: SparkSession, dir: String): DataFrame = {
+    val b64soup = concat((0 until 10).map(i =>
+      base64(unhex(md5(concat(lit(s"c$i:"), col("doc_id").cast("string")))))): _*)
+    table(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(expr("repeat('spam spam spam spam ', 40)"),
+          coalesce(col("text"), lit(""))))
+        .when(col("doc_id") % 3 === 2, b64soup)
+        .otherwise(coalesce(col("text"), lit(""))).as("ftext"))
+  }
 
   /** q109's fixture directory — deterministic per sf dir (Verify and
     * Bench each overwrite their own copy; the write is part of the

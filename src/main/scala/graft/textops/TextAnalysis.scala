@@ -301,12 +301,20 @@ object TextAnalysis {
   /** Thresholds for [[qualityVerdict]] — the classic C4/Gopher-style
     * cheap-rule bundle, with conventional defaults.
     */
+  /** `deflateBounds = Some((lo, hi))` switches on the
+    * [[Compression]] gate: a doc whose deflate ratio_x10000 falls
+    * below `lo` flags `too_compressible` (template spam), above `hi`
+    * flags `incompressible` (binary/base64-as-text). Off by default —
+    * the verdict struct then stays byte-identical to the pre-gate
+    * shape (q52's oracle contract).
+    */
   final case class QualityThresholds(
       minTokens: Int = 10,
       maxTokens: Int = 100000,
       maxPunctRatio: Double = 0.3,
       minStopRatio: Double = 0.02,
-      maxRepetitionRatio: Double = 0.6)
+      maxRepetitionRatio: Double = 0.6,
+      deflateBounds: Option[(Int, Int)] = None)
 
   /** Composite training-corpus quality FILTER (not just the scores):
     * per document, every failed rule in fixed order as a
@@ -322,16 +330,25 @@ object TextAnalysis {
     val pr = round4(punctRatio(text))
     val sr = round4(stopwordRatio(text))
     val rr = repetitionRatio(text)
-    val reasons = array(
+    val base = Seq(
       when(nt < t.minTokens, lit("too_short")),
       when(nt > t.maxTokens, lit("too_long")),
       when(pr > t.maxPunctRatio, lit("too_much_punct")),
       when(sr < t.minStopRatio, lit("too_few_stopwords")),
       when(rr > t.maxRepetitionRatio, lit("too_repetitive")))
-    struct(
+    val (reasons, extraFields) = t.deflateBounds match {
+      case None => (array(base: _*), Seq.empty[Column])
+      case Some((lo, hi)) =>
+        val ratio = Compression.compressionSignal(text).getField("ratio_x10000")
+        (array(base ++ Seq(
+          when(ratio < lo, lit("too_compressible")),
+          when(ratio > hi, lit("incompressible"))): _*),
+          Seq(ratio.as("deflate_ratio_x10000")))
+    }
+    struct((Seq(
       nt.as("n_tokens"), pr.as("punct_ratio"), sr.as("stop_ratio"),
-      rr.as("rep_ratio"),
+      rr.as("rep_ratio")) ++ extraFields ++ Seq(
       array_join(filter(reasons, r => r.isNotNull), ",").as("fail_reasons"),
-      (size(filter(reasons, r => r.isNotNull)) === 0).as("keep"))
+      (size(filter(reasons, r => r.isNotNull)) === 0).as("keep"))): _*)
   }
 }
