@@ -1622,6 +1622,26 @@ object SparkEntry {
           when(col("_s.ratio_x10000") < 1500, "too_compressible")
             .when(col("_s.ratio_x10000") > 6000, "incompressible")
             .otherwise("ok").as("flag"))
+    }),
+
+    // bounded edit-distance similarity self-join over planted titles:
+    // every doc gets "report <id> summary"; %4==0 docs add a
+    // substitution twin ("repost"), %4==2 docs a distance-2 decoy
+    // ("rxpxrt", must never pair at maxD=1); numeric ids supply
+    // organic digit-substitution and insertion pairs ("report 12" vs
+    // "report 123"). Oracle replays the FastSS deletion-variant
+    // candidate join in substr algebra and verifies with DuckDB's
+    // native levenshtein
+    "q113_edit_join" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      def titles(off: Int, word: String, cond: Column) =
+        docs.filter(cond).select((col("doc_id") * 4 + off).as("sid"),
+          concat(lit(word + " "), col("doc_id").cast("string"),
+            lit(" summary")).as("s"))
+      val all = titles(0, "report", lit(true))
+        .union(titles(1, "repost", col("doc_id") % 4 === 0))
+        .union(titles(2, "rxpxrt", col("doc_id") % 4 === 2))
+      graft.textops.EditDistance.editSimilarityJoin(all, col("sid"), col("s"))
     })
   )
 
@@ -3596,7 +3616,34 @@ object SparkEntry {
         |  (n_link_chars * 10000) // greatest(n_chars, 1) AS link_density_x10000,
         |  (n_words >= 6 AND
         |   n_link_chars * 10000 <= 3300 * greatest(n_chars, 1)) AS keep
-        |FROM blk""".stripMargin
+        |FROM blk""".stripMargin,
+
+    // the FastSS candidate stage replayed in substr algebra, verified
+    // with DuckDB's native levenshtein — both pipeline stages
+    // independently recomputed (engine bucket cap of 512 is inert
+    // here: the widest organic bucket is the ~25-member digit class)
+    "q113_edit_join" ->
+      raw"""WITH base AS (
+        |  SELECT doc_id * 4 AS sid,
+        |    'report ' || CAST(doc_id AS VARCHAR) || ' summary' AS s
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 1,
+        |    'repost ' || CAST(doc_id AS VARCHAR) || ' summary'
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 2,
+        |    'rxpxrt ' || CAST(doc_id AS VARCHAR) || ' summary'
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |sigs AS (
+        |  SELECT DISTINCT sid, s, sig
+        |  FROM base, unnest([s] || list_transform(range(length(s)),
+        |    i -> substr(s, 1, i) || substr(s, i + 2, length(s)))) AS u(sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.sid AS id_a, b.sid AS id_b, a.s AS sa, b.s AS sb
+        |  FROM sigs a JOIN sigs b ON b.sig = a.sig AND a.sid < b.sid)
+        |SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(sa, sb) <= 1""".stripMargin
   )
 
   /** DuckDB twin of [[graft.textops.TextAnalysis.sentences]] applied
