@@ -1642,6 +1642,29 @@ object SparkEntry {
         .union(titles(1, "repost", col("doc_id") % 4 === 0))
         .union(titles(2, "rxpxrt", col("doc_id") % 4 === 2))
       graft.textops.EditDistance.editSimilarityJoin(all, col("sid"), col("s"))
+    }),
+
+    // interleaved text+media training documents: 16-token tile chunks
+    // at even positions, each doc's media segment (q29's kind formula,
+    // plan-constant token costs) anchored at odd position
+    // (doc_id%4)*2+1 — the assembled sequence is the multimodal
+    // training shape. Oracle rebuilds the interleaving from the q74
+    // chunker twin + the media formulas and re-ranks it
+    "q114_interleave" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val chunks = graft.textops.Chunker.chunkByTokens(
+        docs, col("text"), window = 16, stride = 16, keep = Seq(col("doc_id")))
+        .select(col("doc_id").as("id"), (col("chunk_idx") * 2).as("pos"),
+          col("chunk_text").as("content"),
+          col("chunk_tokens").as("seg_tokens"))
+      val kind = element_at(typedLit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val media = docs.select(col("doc_id").as("id"),
+        ((col("doc_id") % 4) * 2 + 1).as("pos"),
+        col("doc_id").as("media_id"), kind.as("kind"),
+        graft.multimodal.Interleave.mediaTokenCost(kind).as("seg_tokens"))
+      graft.multimodal.Interleave.interleave(chunks, media, maxSegments = 64)
+        .withColumnRenamed("id", "doc_id")
     })
   )
 
@@ -3643,7 +3666,49 @@ object SparkEntry {
         |  SELECT DISTINCT a.sid AS id_a, b.sid AS id_b, a.s AS sa, b.s AS sb
         |  FROM sigs a JOIN sigs b ON b.sig = a.sig AND a.sid < b.sid)
         |SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
-        |FROM cand WHERE levenshtein(sa, sb) <= 1""".stripMargin
+        |FROM cand WHERE levenshtein(sa, sb) <= 1""".stripMargin,
+
+    "q114_interleave" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')
+        |         END AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) = 0 THEN 0
+        |         WHEN len(toks) <= 16 THEN 1
+        |         ELSE CAST(floor((len(toks) - 16 + 15) / 16.0) AS INT) + 1
+        |         END AS n_chunks
+        |  FROM t),
+        |txt AS (
+        |  SELECT doc_id, CAST(i * 2 AS BIGINT) AS pos, 'text' AS seg_type,
+        |    CAST(NULL AS BIGINT) AS media_id,
+        |    array_to_string(list_slice(toks, i * 16 + 1, i * 16 + 16), ' ')
+        |      AS content,
+        |    CAST(least(16, n - i * 16) AS BIGINT) AS seg_tokens
+        |  FROM c, unnest(range(n_chunks)) AS u(i)),
+        |med AS (
+        |  SELECT doc_id, CAST((doc_id % 4) * 2 + 1 AS BIGINT) AS pos,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS seg_type,
+        |    doc_id AS media_id, CAST(NULL AS VARCHAR) AS content,
+        |    CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 64
+        |         WHEN 1 THEN 128 ELSE 256 END AS BIGINT) AS seg_tokens
+        |  FROM documents),
+        |u AS (SELECT * FROM txt UNION ALL SELECT * FROM med),
+        |g AS (
+        |  SELECT doc_id, count(*) AS n_segments,
+        |    CAST(sum(seg_tokens) AS BIGINT) AS doc_tokens
+        |  FROM u GROUP BY doc_id)
+        |SELECT u.doc_id,
+        |  CAST(row_number() OVER (PARTITION BY u.doc_id
+        |       ORDER BY pos, seg_type, media_id) - 1 AS BIGINT) AS seq_idx,
+        |  seg_type, media_id, content, seg_tokens,
+        |  CAST(g.n_segments AS BIGINT) AS n_segments, g.doc_tokens
+        |FROM u JOIN g ON g.doc_id = u.doc_id
+        |WHERE g.n_segments <= 64""".stripMargin
   )
 
   /** DuckDB twin of [[graft.textops.TextAnalysis.sentences]] applied
