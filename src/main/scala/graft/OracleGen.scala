@@ -71,7 +71,8 @@ object OracleGen {
       "q78_semdedup" -> (() => semDedupOracle(s, dir)),
       "q79_bpe_train" -> (() => bpeTrainOracle(s, dir)),
       "q88_kmeans_refine" -> (() => kmeansRefineOracle(s, dir)),
-      "q112_compression" -> (() => compressionOracle(s, dir))
+      "q112_compression" -> (() => compressionOracle(s, dir)),
+      "q115_outlinks" -> (() => linkOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -346,6 +347,80 @@ object OracleGen {
        |       WHEN ratio_x10000 > 6000 THEN 'incompressible'
        |       ELSE 'ok' END AS flag
        |FROM documents d JOIN expv ON expv.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** q115: href extraction, quote-strip, and dst_host all recompute in
+    * DuckDB from the SQL-rebuilt fixture (the regex repertoire is
+    * Java/RE2-shared by design); RFC 3986 resolution — the one
+    * non-SQL-expressible step — embeds from an INDEPENDENT
+    * implementation, `java.net.URI.resolve` (RFC-correct on the
+    * fixture's well-formed repertoire), with the engine's two
+    * documented link-graph rules applied on top: fragments drop,
+    * non-http(s) results and empty refs are non-edges. The join on
+    * (doc_id, link_idx) makes extraction disagreements visible too: a
+    * missing or extra engine match misaligns every later index of that
+    * document.
+    */
+  def linkOracle(s: SparkSession, dir: String): String = {
+    val rows = SparkEntry.linkFixture(s, dir)
+      .select(col("doc_id"), col("page_url"),
+        graft.textops.LinkExtract.rawHrefs(col("html")).as("hs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+      .sortBy(_._1)
+    checkEmbeddable("q115_outlinks", rows.iterator.map(_._3.size.toLong).sum)
+    def resolveJava(base: String, ref: String): Option[String] = {
+      if (ref.trim.isEmpty) return None // empty ref: no edge (shared rule)
+      val res =
+        try java.net.URI.create(base).resolve(java.net.URI.create(ref))
+        catch { case _: Exception => return None }
+      val scheme = res.getScheme
+      if (scheme == null) return None
+      val sl = scheme.toLowerCase(java.util.Locale.ROOT)
+      if (sl != "http" && sl != "https") return None // shared rule
+      val str = res.toString
+      val h = str.indexOf('#') // shared rule: fragments drop
+      Some(if (h >= 0) str.substring(0, h) else str)
+    }
+    val vals = rows.flatMap { case (id, base, hs) =>
+      hs.zipWithIndex.flatMap { case (h, i) =>
+        resolveJava(base, h).map(u => s"($id, $i, '${u.replace("'", "''")}')")
+      }
+    }
+    require(vals.nonEmpty, "q115: no resolvable links")
+    val pat = graft.textops.LinkExtract.hrefPattern.replace("'", "''")
+    s"""WITH fx AS (
+       |  SELECT doc_id,
+       |    '<p>intro</p><a href="https://ext' || CAST(doc_id % 5 AS VARCHAR) ||
+       |      '.example.org/x/y?z=' || CAST(doc_id AS VARCHAR) || '">abs</a>' ||
+       |    '<A HREF=''//cdn' || CAST(doc_id % 3 AS VARCHAR) ||
+       |      '.example.net/asset.js''>proto</A>' ||
+       |    '<a class="m" href=/r/p' || CAST(doc_id % 11 AS VARCHAR) || '>rooted</a>' ||
+       |    '<a href="sub/item' || CAST(doc_id AS VARCHAR) || '.html">rel</a>' ||
+       |    '<a href="../up/i' || CAST(doc_id % 4 AS VARCHAR) || '">up</a>' ||
+       |    CASE WHEN doc_id % 2 = 0 THEN '<a href="javascript:void(0)">js</a>' ELSE '' END ||
+       |    CASE WHEN doc_id % 3 = 0 THEN '<a href="mailto:x@example.com">m</a>' ELSE '' END ||
+       |    '<a href="./here.html?q=' || CAST(doc_id % 6 AS VARCHAR) || '">dot</a>' ||
+       |    CASE WHEN doc_id % 5 = 0 THEN '<a href="">empty</a>' ELSE '' END ||
+       |    CASE WHEN doc_id % 4 = 1 THEN '<a href="#top">top</a>' ELSE '' END ||
+       |    '<img href="/not-anchor"><a name="x">none</a>' AS html
+       |  FROM documents),
+       |ex AS (
+       |  SELECT doc_id, regexp_extract_all(html, '$pat', 1) AS hs FROM fx),
+       |links AS (
+       |  SELECT doc_id, unnest(range(len(hs))) AS li,
+       |         regexp_replace(unnest(hs), '^["'']|["'']$$', '', 'g') AS href
+       |  FROM ex),
+       |res(doc_id, li, url) AS (VALUES ${vals.mkString(", ")}),
+       |j AS (
+       |  SELECT l.doc_id, CAST(l.li AS BIGINT) AS link_idx, l.href, r.url,
+       |    regexp_replace(regexp_replace(regexp_extract(r.url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^.*@', ''),
+       |      ':[0-9]*$$', '') AS h
+       |  FROM links l JOIN res r ON l.doc_id = r.doc_id AND l.li = r.li)
+       |SELECT doc_id, link_idx, href, url,
+       |  CASE WHEN length(h) > 0 THEN lower(h) END AS dst_host
+       |FROM j""".stripMargin
   }
 
   def kmeansRefineOracle(s: SparkSession, dir: String): String = {

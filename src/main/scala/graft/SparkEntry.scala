@@ -1665,6 +1665,22 @@ object SparkEntry {
         graft.multimodal.Interleave.mediaTokenCost(kind).as("seg_tokens"))
       graft.multimodal.Interleave.interleave(chunks, media, maxSegments = 64)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // HTML outlink extraction + RFC 3986 resolution over a planted
+    // page fixture exercising every href shape (absolute, protocol-
+    // relative, rooted, relative, dot-relative, unquoted/single-quoted
+    // attributes, javascript:/mailto:/empty/fragment-only refs).
+    // Oracle: extraction + quote-strip + dst_host recompute in DuckDB
+    // from the same fixture formula; resolution comes from an
+    // INDEPENDENT implementation (java.net.URI) embedded as VALUES —
+    // the engine's hand-written §5.2 transform must agree with the
+    // JDK's on every emitted row (OracleGen.linkOracle)
+    "q115_outlinks" -> ((s, dir) => {
+      val fx = linkFixture(s, dir)
+      graft.textops.LinkExtract
+        .outlinks(fx, Seq(col("doc_id")), col("page_url"), col("html"))
+        .select("doc_id", "link_idx", "href", "url", "dst_host")
     })
   )
 
@@ -1682,6 +1698,35 @@ object SparkEntry {
           coalesce(col("text"), lit(""))))
         .when(col("doc_id") % 3 === 2, b64soup)
         .otherwise(coalesce(col("text"), lit(""))).as("ftext"))
+  }
+
+  /** q115's planted page fixture: every doc is a page at a per-doc
+    * base URL whose anchors cover the href-shape repertoire (shared
+    * construction: the query reads this frame, the oracle rebuilds the
+    * same strings in SQL — the q111/q113 fixture discipline).
+    */
+  private[graft] def linkFixture(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def n(m: Int) = (id % m).cast("string")
+    val html = concat(
+      lit("<p>intro</p><a href=\"https://ext"), n(5),
+      lit(".example.org/x/y?z="), id.cast("string"), lit("\">abs</a>"),
+      lit("<A HREF='//cdn"), n(3), lit(".example.net/asset.js'>proto</A>"),
+      lit("<a class=\"m\" href=/r/p"), n(11), lit(">rooted</a>"),
+      lit("<a href=\"sub/item"), id.cast("string"), lit(".html\">rel</a>"),
+      lit("<a href=\"../up/i"), n(4), lit("\">up</a>"),
+      when(id % 2 === 0, lit("<a href=\"javascript:void(0)\">js</a>"))
+        .otherwise(lit("")),
+      when(id % 3 === 0, lit("<a href=\"mailto:x@example.com\">m</a>"))
+        .otherwise(lit("")),
+      lit("<a href=\"./here.html?q="), n(6), lit("\">dot</a>"),
+      when(id % 5 === 0, lit("<a href=\"\">empty</a>")).otherwise(lit("")),
+      when(id % 4 === 1, lit("<a href=\"#top\">top</a>")).otherwise(lit("")),
+      lit("<img href=\"/not-anchor\"><a name=\"x\">none</a>"))
+    table(s, dir, "documents").select(id,
+      concat(lit("https://host"), n(7), lit(".example.com/a/b/page"),
+        id.cast("string"), lit(".html")).as("page_url"),
+      html.as("html"))
   }
 
   /** q109's fixture directory — deterministic per sf dir (Verify and
