@@ -69,8 +69,15 @@ object Bench {
     // sorted execution order: Map hash order would shuffle which
     // queries absorb residual JIT warmup between rounds, making
     // per-query timings incomparable across BENCH_r{N}.json files
+    // SPARK_GRAFT_BENCH_ONLY=q65_curation_pipeline,q73_... restricts the
+    // timed set — for A/B-profiling individual queries on an idle box
+    // (the official driver run leaves it unset and times everything)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results: Seq[(String, Double, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val times = (1 to passes).map { _ =>
           val t0 = System.nanoTime()
           try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }

@@ -72,7 +72,9 @@ object OracleGen {
       "q79_bpe_train" -> (() => bpeTrainOracle(s, dir)),
       "q88_kmeans_refine" -> (() => kmeansRefineOracle(s, dir)),
       "q112_compression" -> (() => compressionOracle(s, dir)),
-      "q115_outlinks" -> (() => linkOracle(s, dir))
+      "q115_outlinks" -> (() => linkOracle(s, dir)),
+      "q116_unigram_train" -> (() => unigramTrainOracle(s, dir)),
+      "q117_unigram_segment" -> (() => unigramSegmentOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -347,6 +349,149 @@ object OracleGen {
        |       WHEN ratio_x10000 > 6000 THEN 'incompressible'
        |       ELSE 'ok' END AS flag
        |FROM documents d JOIN expv ON expv.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** q116/q117: a fully INDEPENDENT unigram-LM trainer + segmenter
+    * (immutable maps, fold/recursion idioms — zero shared code with
+    * [[graft.textops.Unigram]]), sharing ONLY the documented
+    * determinism rules and the four constants (vocab 400, maxPieceLen
+    * 6, 2 hard-EM iterations, UNK −1e4). Replays: Spark-split word
+    * frequencies (trailing-empty semantics of Spark `split` included),
+    * weighted substring seed, prune/score formula, Viterbi with the
+    * longer-piece tie-break, two EM iterations, the corpus-exact
+    * refine pass, and per-doc segmentation. Any divergence anywhere in
+    * the engine's distributed pipeline hash-mismatches.
+    */
+  private def unigramExpected(s: SparkSession, dir: String)
+      : (Seq[(String, Long)], Seq[(Long, Long, String)]) = {
+    val VS = 400; val ML = 6; val EI = 2; val MK = "▁"
+    val docs: Seq[(Long, String)] = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+      .sortBy(_._1).toSeq
+    def cps(w: String): Vector[String] =
+      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+    def isSingle(p: String) = p.codePointCount(0, p.length) == 1
+    // word frequencies under the ENGINE's split semantics: Spark trim
+    // strips spaces only; Spark split keeps leading/trailing empties
+    val wordFreq: Map[String, Long] = docs.iterator.flatMap { case (_, t) =>
+      val sp = t.replaceAll("^ +| +$", "")
+      if (sp.isEmpty) Iterator.empty else sp.split("\\s+", -1).iterator
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val marked: Seq[(Vector[String], Long)] =
+      wordFreq.toSeq.sortBy(_._1).map { case (w, f) => (cps(MK + w), f) }
+    val seedCounts: Map[String, Long] =
+      marked.foldLeft(Map.empty[String, Long]) { case (m, (cp, f)) =>
+        val subs = for {
+          i <- cp.indices
+          l <- 1 to math.min(ML, cp.length - i)
+        } yield cp.slice(i, i + l).mkString
+        subs.foldLeft(m)((mm, p) => mm.updated(p, mm.getOrElse(p, 0L) + f))
+      }
+    val seedSingles: Seq[String] =
+      seedCounts.keysIterator.filter(isSingle).toSeq.sorted
+    def prune(singles: Seq[(String, Long)], multis: Seq[(String, Long)])
+        : (Vector[String], Map[String, Double], Int) = {
+      val keptM = multis.filter(_._2 > 0L)
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, VS - singles.size))
+      val kept = (singles.map { case (p, c) => (p, math.max(c, 1L)) } ++ keptM)
+        .sortBy(_._1)
+      val t = kept.map(_._2).sum.toDouble
+      val maxLen = math.max(1,
+        kept.iterator.map(e => e._1.codePointCount(0, e._1.length)).max)
+      (kept.map(_._1).toVector,
+        kept.map { case (p, c) => p -> Math.log(c / t) }.toMap, maxLen)
+    }
+    def viterbi(cp: Vector[String], score: Map[String, Double],
+        maxLen: Int): List[String] = {
+      val n = cp.length
+      val memo = new Array[(Double, Int)](n + 1)
+      memo(0) = (0.0, 0)
+      for (i <- 1 to n) {
+        var bestSc = Double.NegativeInfinity
+        var bestL = 0
+        for (l <- 1 to math.min(maxLen, i)) {
+          val prev = memo(i - l)
+          if (prev._1 != Double.NegativeInfinity) {
+            val piece = cp.slice(i - l, i).mkString
+            val ps = score.get(piece) match {
+              case Some(v) => v
+              case None =>
+                if (l == 1) graft.textops.Unigram.UnkScore
+                else Double.NegativeInfinity
+            }
+            if (ps != Double.NegativeInfinity) {
+              val cand = prev._1 + ps
+              if (cand > bestSc || (cand == bestSc && l > bestL)) {
+                bestSc = cand; bestL = l
+              }
+            }
+          }
+        }
+        memo(i) = (bestSc, bestL)
+      }
+      var out = List.empty[String]
+      var j = n
+      while (j > 0) {
+        val l = memo(j)._2
+        out = cp.slice(j - l, j).mkString :: out
+        j -= l
+      }
+      out
+    }
+    var (pieces, scores, maxLen) = prune(
+      seedCounts.toSeq.filter(e => isSingle(e._1)).sortBy(_._1),
+      seedCounts.toSeq.filter(e => !isSingle(e._1)))
+    for (_ <- 1 to EI) {
+      val c2 = marked.foldLeft(Map.empty[String, Long]) { case (m, (cp, f)) =>
+        viterbi(cp, scores, maxLen)
+          .foldLeft(m)((mm, p) => mm.updated(p, mm.getOrElse(p, 0L) + f))
+      }
+      val next = prune(
+        seedSingles.map(p => (p, c2.getOrElse(p, 0L))),
+        c2.toSeq.filter(e => !isSingle(e._1)))
+      pieces = next._1; scores = next._2; maxLen = next._3
+    }
+    // corpus-exact refine: occurrence counts from per-doc segmentation
+    def segDoc(t: String): List[String] =
+      t.split("[ \t\n\f\r]+").toList.filter(_.nonEmpty)
+        .flatMap(w => viterbi(cps(MK + w), scores, maxLen))
+    val refCounts = docs.foldLeft(Map.empty[String, Long]) { case (m, (_, t)) =>
+      segDoc(t).foldLeft(m)((mm, p) => mm.updated(p, mm.getOrElse(p, 0L) + 1L))
+    }
+    val refined = prune(
+      pieces.filter(isSingle).map(p => (p, refCounts.getOrElse(p, 0L))),
+      pieces.filter(p => !isSingle(p)).map(p => (p, refCounts.getOrElse(p, 0L))))
+    pieces = refined._1; scores = refined._2; maxLen = refined._3
+    val vocab = pieces.map(p =>
+      (p, Math.floor(scores(p) * 1e6).toLong))
+    val segs = docs.map { case (id, t) =>
+      val ps = segDoc(t)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(ps.mkString("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (id, ps.length.toLong, md.map("%02x".format(_)).mkString)
+    }
+    (vocab, segs)
+  }
+
+  def unigramTrainOracle(s: SparkSession, dir: String): String = {
+    val (vocab, _) = unigramExpected(s, dir)
+    checkEmbeddable("q116_unigram_train", vocab.length.toLong)
+    def esc(x: String): String = "'" + x.replace("'", "''") + "'"
+    val vals = vocab.map { case (p, sx) => s"(${esc(p)}, $sx)" }.mkString(", ")
+    s"""SELECT piece, CAST(sx AS BIGINT) AS score_x1e6
+       |FROM (VALUES $vals) t(piece, sx)""".stripMargin
+  }
+
+  def unigramSegmentOracle(s: SparkSession, dir: String): String = {
+    val (_, segs) = unigramExpected(s, dir)
+    checkEmbeddable("q117_unigram_segment", segs.length.toLong)
+    val vals = segs.map { case (id, n, md) => s"($id, $n, '$md')" }.mkString(", ")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(np AS BIGINT) AS n_pieces,
+       |  seg_md5
+       |FROM (VALUES $vals) t(doc_id, np, seg_md5)""".stripMargin
   }
 
   /** q115: href extraction, quote-strip, and dst_host all recompute in

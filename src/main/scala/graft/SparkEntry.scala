@@ -1681,8 +1681,52 @@ object SparkEntry {
       graft.textops.LinkExtract
         .outlinks(fx, Seq(col("doc_id")), col("page_url"), col("html"))
         .select("doc_id", "link_idx", "href", "url", "dst_host")
+    }),
+
+    // unigram-LM (SentencePiece-style) tokenizer TRAINING: hard-EM
+    // over the distributed word-frequency table, then the corpus-exact
+    // refine M-step. Output = the final vocabulary with fixed-point
+    // log-prob scores. Oracle: a fully INDEPENDENT driver-side trainer
+    // (immutable collections, memoized recursion — OracleGen
+    // .unigramOracle) replays seed/EM/refine under the shared
+    // determinism rules and embeds the expected vocab as VALUES —
+    // the q79 bpe-train discipline, one level up
+    "q116_unigram_train" -> ((s, dir) => {
+      val model = unigramModel(s, dir)
+      import s.implicits._
+      model.pieces.zip(model.scores).toSeq
+        .map { case (p, sc) => (p, Math.floor(sc * 1e6).toLong) }
+        .toDF("piece", "score_x1e6")
+    }),
+
+    // the APPLY half: Viterbi-segment every document under the q116
+    // model (one codegen'd pass over the broadcast vocab); per-doc
+    // piece count + an md5 over the piece sequence pin the exact
+    // segmentation without exploding rows. Oracle embeds both from the
+    // independent trainer's own Viterbi
+    "q117_unigram_segment" -> ((s, dir) => {
+      val model = unigramModel(s, dir)
+      table(s, dir, "documents").select(col("doc_id"),
+        graft.textops.Unigram
+          .unigram_segment(s, coalesce(col("text"), lit("")), model).as("ps"))
+        .select(col("doc_id"),
+          size(col("ps")).cast("long").as("n_pieces"),
+          md5(concat_ws("", col("ps"))).as("seg_md5"))
     })
   )
+
+  /** The q116/q117 model: shared constants (vocab 400, pieces ≤ 6
+    * code points, 2 hard-EM iterations, corpus-exact refine) — the
+    * oracle's independent trainer uses the same four numbers and
+    * nothing else.
+    */
+  private[graft] def unigramModel(
+      s: SparkSession, dir: String): graft.textops.Unigram.Model = {
+    val docs = table(s, dir, "documents")
+    val m0 = graft.textops.Unigram.train(
+      docs, "text", vocabSize = 400, maxPieceLen = 6, emIters = 2)
+    graft.textops.Unigram.refineCounts(s, docs, "text", m0, vocabSize = 400)
+  }
 
   /** q112's three-regime fixture (shared with [[OracleGen]]'s
     * independent scorer — the scorer is the independent half, the
