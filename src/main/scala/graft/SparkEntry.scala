@@ -1712,7 +1712,17 @@ object SparkEntry {
         .select(col("doc_id"),
           size(col("ps")).cast("long").as("n_pieces"),
           md5(concat_ws("", col("ps"))).as("seg_md5"))
-    })
+    }),
+
+    // hashing-trick TF-IDF cosine top-k — the embedding-free
+    // similarity path (q27's shape with vectors the engine BUILDS
+    // instead of reads): md5 bucket hashing, smooth idf, dense
+    // array-order arithmetic, stop-bucket-capped candidate join.
+    // Static oracle recomputes everything from the tokens up
+    "q118_tfidf_topk" -> ((s, dir) =>
+      graft.textops.TfIdf.cosineTopK(
+        table(s, dir, "documents"), "doc_id", "text",
+        probePred = col("doc_id") < 16, k = 5))
   )
 
   /** The q116/q117 model: shared constants (vocab 400, pieces ≤ 6
@@ -3797,7 +3807,58 @@ object SparkEntry {
         |  seg_type, media_id, content, seg_tokens,
         |  CAST(g.n_segments AS BIGINT) AS n_segments, g.doc_tokens
         |FROM u JOIN g ON g.doc_id = u.doc_id
-        |WHERE g.n_segments <= 64""".stripMargin
+        |WHERE g.n_segments <= 64""".stripMargin,
+
+    // q118: full ground-up recompute — q89's token+md5-bucket SQL,
+    // sklearn smooth idf (DuckDB `/` on integers is float division,
+    // matching the engine's cast-then-divide), dense vectors via a
+    // bucket grid with list(... ORDER BY), list_dot_product for norms
+    // and dots (index-ordered, q27's pairing with the engine's
+    // DotProductExpr), the stop-bucket cap, and the same ranking
+    "q118_tfidf_topk" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |t AS (SELECT id, u.term FROM toks, unnest(ts) AS u(term)),
+        |tf AS (
+        |  SELECT id,
+        |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024 AS bucket,
+        |    count(*) AS tf
+        |  FROM t GROUP BY 1, 2),
+        |dfb AS (SELECT bucket, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT tf.id, tf.bucket, dfb.df, nd.n_docs,
+        |    tf.tf * (ln((nd.n_docs + 1) / (dfb.df + 1)) + 1.0) AS w
+        |  FROM tf JOIN dfb USING (bucket) CROSS JOIN nd),
+        |ids AS (SELECT DISTINCT id FROM tf),
+        |grid AS (
+        |  SELECT ids.id, gs.b
+        |  FROM ids CROSS JOIN (SELECT unnest(range(1024)) AS b) gs),
+        |dense AS (
+        |  SELECT g.id, list(coalesce(w.w, 0.0) ORDER BY g.b) AS vec
+        |  FROM grid g LEFT JOIN w ON w.id = g.id AND w.bucket = g.b
+        |  GROUP BY g.id),
+        |vn AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS n FROM dense),
+        |idx AS (SELECT id, bucket FROM w WHERE df <= greatest(8, n_docs // 5)),
+        |cand AS (
+        |  SELECT DISTINCT p.id AS query_id, c.id AS neighbor_id
+        |  FROM idx p JOIN idx c ON c.bucket = p.bucket AND c.id != p.id
+        |  WHERE p.id < 16),
+        |scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    list_dot_product(q.vec, c.vec) / (q.n * c.n) AS cos_raw
+        |  FROM cand JOIN vn q ON q.id = cand.query_id
+        |            JOIN vn c ON c.id = cand.neighbor_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin
   )
 
   /** DuckDB twin of [[graft.textops.TextAnalysis.sentences]] applied
