@@ -1722,7 +1722,35 @@ object SparkEntry {
     "q118_tfidf_topk" -> ((s, dir) =>
       graft.textops.TfIdf.cosineTopK(
         table(s, dir, "documents"), "doc_id", "text",
-        probePred = col("doc_id") < 16, k = 5))
+        probePred = col("doc_id") < 16, k = 5)),
+
+    // robots-style longest-prefix URL gate over a planted per-host
+    // rule table: /private disallowed but /private/ok re-allowed
+    // (longest wins), /tmp allow+disallow tie on host3 (allow wins),
+    // host5 blanket-disallowed, host6 ruleless (opt-out default),
+    // %5==4 URLs have an empty path (reads as "/"). Static oracle
+    // replays the whole decision in SQL with the rules as VALUES
+    "q119_robots_gate" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(lit("https://host"), (id % 7).cast("string"),
+        lit(".example.com"),
+        when(id % 5 === 0, concat(lit("/private/page"), id.cast("string")))
+          .when(id % 5 === 1, concat(lit("/private/ok/page"), id.cast("string")))
+          .when(id % 5 === 2, concat(lit("/public/page"), id.cast("string")))
+          .when(id % 5 === 3, concat(lit("/tmp/x"), id.cast("string")))
+          .otherwise(lit("")))
+      val urls = table(s, dir, "documents").select(id, url.as("url"))
+      import s.implicits._
+      val rules = (0 until 6).flatMap { k =>
+        val h = s"host$k.example.com"
+        Seq((h, false, "/private"), (h, true, "/private/ok")) ++
+          (if (k % 2 == 0) Seq((h, false, "/tmp")) else Nil) ++
+          (if (k == 3) Seq((h, false, "/tmp"), (h, true, "/tmp")) else Nil) ++
+          (if (k == 5) Seq((h, false, "/")) else Nil)
+      }.toDF("host", "allow", "prefix")
+      graft.operators.RobotsGate.decide(
+        urls, Seq(col("doc_id")), col("url"), rules)
+    })
   )
 
   /** The q116/q117 model: shared constants (vocab 400, pieces ≤ 6
@@ -3858,7 +3886,66 @@ object SparkEntry {
         |            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
-        |FROM ranked WHERE rank <= 5""".stripMargin
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // q119: the same fixture formula, the rule table as VALUES, and
+    // the decision replayed via a ranked window: longest prefix, then
+    // allow over disallow, then prefix text (the engine's struct-max
+    // ordering); unmatched rows sort last via the match flag
+    "q119_robots_gate" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN '/private/page' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '/private/ok/page' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN '/public/page' || CAST(doc_id AS VARCHAR)
+        |      WHEN 3 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+        |      ELSE '' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    CASE WHEN length(h2) > 0 THEN lower(h2) END AS host,
+        |    CASE WHEN length(pth) = 0 THEN '/' ELSE pth END AS path
+        |  FROM (
+        |    SELECT doc_id, url,
+        |      regexp_replace(regexp_replace(regexp_extract(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^.*@', ''),
+        |        ':[0-9]*$', '') AS h2,
+        |      regexp_replace(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS pth
+        |    FROM urls)),
+        |rules(host, allow, prefix) AS (VALUES
+        |  ('host0.example.com', false, '/private'),
+        |  ('host0.example.com', true, '/private/ok'),
+        |  ('host0.example.com', false, '/tmp'),
+        |  ('host1.example.com', false, '/private'),
+        |  ('host1.example.com', true, '/private/ok'),
+        |  ('host2.example.com', false, '/private'),
+        |  ('host2.example.com', true, '/private/ok'),
+        |  ('host2.example.com', false, '/tmp'),
+        |  ('host3.example.com', false, '/private'),
+        |  ('host3.example.com', true, '/private/ok'),
+        |  ('host3.example.com', false, '/tmp'),
+        |  ('host3.example.com', true, '/tmp'),
+        |  ('host4.example.com', false, '/private'),
+        |  ('host4.example.com', true, '/private/ok'),
+        |  ('host4.example.com', false, '/tmp'),
+        |  ('host5.example.com', false, '/private'),
+        |  ('host5.example.com', true, '/private/ok'),
+        |  ('host5.example.com', false, '/')),
+        |j AS (
+        |  SELECT p.doc_id, p.url, p.host, r.allow, r.prefix
+        |  FROM p LEFT JOIN rules r
+        |    ON r.host = p.host AND starts_with(p.path, r.prefix)),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY (prefix IS NOT NULL) DESC, length(prefix) DESC,
+        |             allow DESC, prefix DESC) AS rn
+        |  FROM j)
+        |SELECT doc_id, url, host,
+        |  coalesce(allow, true) AS allowed, prefix AS matched_prefix
+        |FROM rk WHERE rn = 1""".stripMargin
   )
 
   /** DuckDB twin of [[graft.textops.TextAnalysis.sentences]] applied
