@@ -74,7 +74,8 @@ object OracleGen {
       "q112_compression" -> (() => compressionOracle(s, dir)),
       "q115_outlinks" -> (() => linkOracle(s, dir)),
       "q116_unigram_train" -> (() => unigramTrainOracle(s, dir)),
-      "q117_unigram_segment" -> (() => unigramSegmentOracle(s, dir))
+      "q117_unigram_segment" -> (() => unigramSegmentOracle(s, dir)),
+      "q120_uri_anomaly" -> (() => uriAnomalyOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -959,6 +960,31 @@ object OracleGen {
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val m = graft.textops.NgramLm.trainTrigram(
       docs.filter(col("doc_id") % 10 < 3), "text")
+    val score = triScorer(m)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = docs.select("doc_id", "text").collect()
+      .map { r =>
+        val (n, avg, ppl) = score(r.getString(1))
+        (r.getLong(0), n, r4(avg), r4(ppl))
+      }.sortBy(_._1)
+    checkEmbeddable("q97_backoff_lm", rows.length.toLong)
+    val vals = rows.map { case (id, n, avg, ppl) => s"($id, $n, $avg, $ppl)" }
+      .mkString(", ")
+    s"""WITH expv(doc_id, n_tokens, avg_nll, ppl) AS (VALUES $vals)
+       |SELECT d.doc_id, CAST(e.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(e.avg_nll AS DOUBLE) AS avg_nll, CAST(e.ppl AS DOUBLE) AS ppl
+       |FROM documents d JOIN expv e ON e.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** The independent stupid-backoff scorer over an engine-trained
+    * [[graft.textops.NgramLm.TrigramModel]] — map-based lookups
+    * replaying the backoff chain in the engine's evaluation order
+    * (shared by the q97 and q120 oracles; the model parameters are the
+    * engine-supplied keys, the scoring is recomputed from them).
+    */
+  private def triScorer(
+      m: graft.textops.NgramLm.TrigramModel): String => (Long, Double, Double) = {
     val vocabIdx: Map[String, Int] = m.vocab.zipWithIndex.toMap
     val uni: Map[Int, Long] = m.unigram.zipWithIndex.map(_.swap).toMap
     val bi: Map[(Int, Int), Long] =
@@ -1006,20 +1032,45 @@ object OracleGen {
       val ppl = if (n == 0L) 1.0 else math.exp(avg)
       (n, avg, ppl)
     }
+    score
+  }
+
+  /** q120: the reference-domain composition oracle — distinct pseudo-
+    * log URIs recompute IN SQL (the [[graft.PseudoLog.sqlLogs]] CTE);
+    * the char-LM perplexities embed from [[triScorer]] over the
+    * engine-trained model (the q97 technique); ranking and the top-25
+    * cut replay in SQL over the embedded rounded values.
+    */
+  def uriAnomalyOracle(s: SparkSession, dir: String): String = {
+    val lg = graft.PseudoLog.logs(s, dir)
+      .select(col("event_id"), col("request_uri"))
+    val charified = lg.select(col("event_id"),
+      concat_ws(" ", split(col("request_uri"), "")).as("ctext"))
+    val m = graft.textops.NgramLm.trainTrigram(charified, "ctext",
+      vocabSize = 256)
+    val score = triScorer(m)
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-    val rows = docs.select("doc_id", "text").collect()
-      .map { r =>
-        val (n, avg, ppl) = score(r.getString(1))
-        (r.getLong(0), n, r4(avg), r4(ppl))
-      }.sortBy(_._1)
-    checkEmbeddable("q97_backoff_lm", rows.length.toLong)
-    val vals = rows.map { case (id, n, avg, ppl) => s"($id, $n, $avg, $ppl)" }
-      .mkString(", ")
-    s"""WITH expv(doc_id, n_tokens, avg_nll, ppl) AS (VALUES $vals)
-       |SELECT d.doc_id, CAST(e.n_tokens AS BIGINT) AS n_tokens,
-       |  CAST(e.avg_nll AS DOUBLE) AS avg_nll, CAST(e.ppl AS DOUBLE) AS ppl
-       |FROM documents d JOIN expv e ON e.doc_id = d.doc_id""".stripMargin
+    val uris = lg.select(col("request_uri")).distinct()
+      .collect().map(_.getString(0)).sorted
+    checkEmbeddable("q120_uri_anomaly", uris.length.toLong)
+    val vals = uris.map { u =>
+      val (n, _, ppl) = score(u.toCharArray.map(_.toString).mkString(" "))
+      s"('${u.replace("'", "''")}', $n, ${r4(ppl)})"
+    }.mkString(", ")
+    "WITH " + graft.PseudoLog.sqlLogs + s""",
+       |d AS (SELECT DISTINCT request_uri FROM logs),
+       |sc(request_uri, n_chars, char_ppl) AS (VALUES $vals),
+       |j AS (
+       |  SELECT d.request_uri, CAST(sc.n_chars AS BIGINT) AS n_chars,
+       |    CAST(sc.char_ppl AS DOUBLE) AS char_ppl
+       |  FROM d JOIN sc ON sc.request_uri = d.request_uri),
+       |rk AS (
+       |  SELECT *, row_number() OVER (
+       |    ORDER BY char_ppl DESC, request_uri ASC) AS rank
+       |  FROM j)
+       |SELECT request_uri, n_chars, char_ppl, rank
+       |FROM rk WHERE rank <= 25""".stripMargin
   }
 
   /** q73: the q64 technique for the hashed-feature classifier — an

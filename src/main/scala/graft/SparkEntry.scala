@@ -1750,6 +1750,34 @@ object SparkEntry {
       }.toDF("host", "allow", "prefix")
       graft.operators.RobotsGate.decide(
         urls, Seq(col("doc_id")), col("url"), rules)
+    }),
+
+    // URI anomaly scoring — the reference-domain × textops-LM
+    // composition: train the q97 char-trigram stupid-backoff LM over
+    // the pseudo-log's URI characters (each char a token via the
+    // space-join), score every DISTINCT URI, rank the top 25 by
+    // perplexity — traversal/webshell/encoded segments are rare in
+    // the corpus, so they surface without any rule list. The
+    // unpartitioned window ranks a URI-inventory-bounded frame
+    // (hundreds of rows), not the event stream. Oracle: q97's
+    // embedded independent scorer over the engine-trained model,
+    // distinct URIs + ranking recomputed in SQL
+    "q120_uri_anomaly" -> ((s, dir) => {
+      val lg = PseudoLog.logs(s, dir).select(col("event_id"), col("request_uri"))
+      val charified = lg.select(col("event_id"),
+        concat_ws(" ", split(col("request_uri"), "")).as("ctext"))
+      val model = graft.textops.NgramLm.trainTrigram(
+        charified, "ctext", vocabSize = 256)
+      val scored = lg.select(col("request_uri")).distinct()
+        .withColumn("_c", concat_ws(" ", split(col("request_uri"), "")))
+        .select(col("request_uri"),
+          graft.textops.NgramLm.lm_score3(s, col("_c"), model).as("_lm"))
+        .select(col("request_uri"),
+          col("_lm.n_tokens").as("n_chars"),
+          round(col("_lm.ppl"), 4).as("char_ppl"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("char_ppl").desc, col("request_uri").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 25)
     })
   )
 
