@@ -1778,6 +1778,25 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("char_ppl").desc, col("request_uri").asc)
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 25)
+    }),
+
+    // mojibake repair over a byte-pinned planted repertoire (the q98
+    // discipline): %4==0 Latin-1-style mis-decode, %4==1 a CP1252
+    // curly-quote mis-decode, %4==2 plain ASCII (fast path), %4==3
+    // GENUINE accented text that must survive untouched (0xE9+ASCII
+    // is not valid UTF-8). Static oracle: the fixture's four expected
+    // outcomes as literals — the repair function itself is pinned by
+    // MojibakeSpec's JDK-transcode round-trip properties
+    "q121_mojibake" -> ((s, dir) => {
+      val v = (col("doc_id") % 4).cast("int")
+      val raw = when(v === 0, lit("cafÃ© rÃ©sumÃ©"))
+        .when(v === 1, lit("itâ€™s â€˜naÃ¯veâ€™â€¦"))
+        .when(v === 2, concat(lit("plain ascii doc "), col("doc_id").cast("string")))
+        .otherwise(lit("café already-correct naïve"))
+      table(s, dir, "documents").select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), col("raw"),
+          graft.textops.Mojibake.fix_mojibake(col("raw")).as("fixed"))
+        .withColumn("changed", col("fixed") =!= col("raw"))
     })
   )
 
@@ -3973,7 +3992,27 @@ object SparkEntry {
         |  FROM j)
         |SELECT doc_id, url, host,
         |  coalesce(allow, true) AS allowed, prefix AS matched_prefix
-        |FROM rk WHERE rn = 1""".stripMargin
+        |FROM rk WHERE rn = 1""".stripMargin,
+
+    // q121: the fixture's four outcomes as literals (raw rebuilt from
+    // the same CASE; fixed = the hand-verified repairs; changed =
+    // which variants repair). The repair FUNCTION is spec-pinned
+    // (MojibakeSpec JDK round-trip properties); this oracle pins the
+    // engine's wiring and the pass-through guarantees
+    "q121_mojibake" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'cafÃ© rÃ©sumÃ©'
+        |    WHEN 1 THEN 'itâ€™s â€˜naÃ¯veâ€™â€¦'
+        |    WHEN 2 THEN 'plain ascii doc ' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'café already-correct naïve' END AS raw,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'café résumé'
+        |    WHEN 1 THEN 'it’s ‘naïve’…'
+        |    WHEN 2 THEN 'plain ascii doc ' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'café already-correct naïve' END AS fixed,
+        |  CAST(doc_id % 4 AS INT) IN (0, 1) AS changed
+        |FROM documents""".stripMargin
   )
 
   /** DuckDB twin of [[graft.textops.TextAnalysis.sentences]] applied
