@@ -75,7 +75,8 @@ object OracleGen {
       "q115_outlinks" -> (() => linkOracle(s, dir)),
       "q116_unigram_train" -> (() => unigramTrainOracle(s, dir)),
       "q117_unigram_segment" -> (() => unigramSegmentOracle(s, dir)),
-      "q120_uri_anomaly" -> (() => uriAnomalyOracle(s, dir))
+      "q120_uri_anomaly" -> (() => uriAnomalyOracle(s, dir)),
+      "q122_diversity_sample" -> (() => diversityOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -493,6 +494,44 @@ object OracleGen {
     s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(np AS BIGINT) AS n_pieces,
        |  seg_md5
        |FROM (VALUES $vals) t(doc_id, np, seg_md5)""".stripMargin
+  }
+
+  /** q122: the q78 discipline — the (vec_id, cell) k-means
+    * assignments are the ONLY engine-supplied keys; Hamilton
+    * apportionment, the per-cell cap, the md5 within-cell ranking,
+    * and the quota cut all recompute independently in SQL.
+    */
+  def diversityOracle(s: SparkSession, dir: String): String = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val centroids = Ivf.fitCentroids(emb, "embedding", 8)
+    val cells = emb.select(col("vec_id"),
+      Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    checkEmbeddable("q122_diversity_sample", cells.length.toLong)
+    val vals = cells.map { case (id, c) => s"($id, $c)" }.mkString(", ")
+    s"""WITH cellv(vec_id, cell) AS (VALUES $vals),
+       |sizes AS (SELECT cell, count(*) AS n_c FROM cellv GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_total FROM cellv),
+       |alloc AS (
+       |  SELECT cell, n_c, (100 * n_c) // n_total AS base,
+       |         (100 * n_c) % n_total AS rem
+       |  FROM sizes CROSS JOIN tot),
+       |sb AS (SELECT sum(base) AS sum_base FROM alloc),
+       |q AS (SELECT *, row_number() OVER (ORDER BY rem DESC, cell ASC) AS crank
+       |      FROM alloc CROSS JOIN sb),
+       |quotas AS (
+       |  SELECT cell, least(n_c, base +
+       |    CASE WHEN crank <= 100 - sum_base THEN 1 ELSE 0 END) AS quota
+       |  FROM q),
+       |ranked AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY md5('div9:' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC)
+       |      AS pick_rank
+       |  FROM cellv)
+       |SELECT CAST(r.vec_id AS BIGINT) AS vec_id, CAST(r.cell AS INT) AS cell,
+       |  CAST(r.pick_rank AS BIGINT) AS pick_rank
+       |FROM ranked r JOIN quotas USING (cell) WHERE pick_rank <= quota""".stripMargin
   }
 
   /** q115: href extraction, quote-strip, and dst_host all recompute in

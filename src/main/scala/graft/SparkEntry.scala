@@ -1797,7 +1797,18 @@ object SparkEntry {
         .select(col("doc_id"), col("raw"),
           graft.textops.Mojibake.fix_mojibake(col("raw")).as("fixed"))
         .withColumn("changed", col("fixed") =!= col("raw"))
-    })
+    }),
+
+    // cluster-balanced diversity sampling: 100 rows across 8 k-means
+    // cells by Hamilton apportionment, md5-ranked within cell. Oracle
+    // = q78's discipline: the (vec_id, cell) assignments are the only
+    // engine-supplied keys; allocation, capping, ranking, and the cut
+    // all recompute in SQL from them
+    "q122_diversity_sample" -> ((s, dir) =>
+      graft.vector.DiversitySample.clusterBalanced(
+        s, table(s, dir, "embeddings"), "vec_id", "embedding",
+        nCells = 8, total = 100, salt = "div9")
+        .withColumnRenamed("id", "vec_id"))
   )
 
   /** The q116/q117 model: shared constants (vocab 400, pieces ≤ 6

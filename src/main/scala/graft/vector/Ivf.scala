@@ -266,7 +266,17 @@ object Ivf {
       seed: Long = 42L, sampleCap: Int = 65536): Array[Array[Double]] = {
     val total = corpus.count()
     val gated =
-      if (total <= sampleCap) corpus.select(normalized(col(vecCol)).as("_v"))
+      if (total <= sampleCap)
+        // deterministic ORDER even under repartitioning: a bare
+        // collect() returns partition order, which would make the
+        // k-means init (and so centroids, cells, and every
+        // cell-derived downstream) vary with partition count — the
+        // same hazard the big branch always guarded against
+        corpus
+          .select(normalized(col(vecCol)).as("_v"),
+            xxhash64(col(vecCol)).as("_h"))
+          .orderBy(col("_h"))
+          .select(col("_v"))
       else {
         // keep ~sampleCap rows: hash-gate with a margin, then take the
         // sampleCap SMALLEST hashes — a bare limit() would drop the
