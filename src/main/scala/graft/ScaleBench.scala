@@ -387,6 +387,22 @@ object ScaleBench {
       s""""match":${prCombineXor == prNaiveXor}}""")
     if (prCombineXor != prNaiveXor)
       throw new IllegalStateException("pagerank hub aggregation duel diverged")
+
+    // ---- phase 1i: tf-idf stop-bucket cap — candidate-join skew ----
+    // every boilerplate doc shares the template terms, so WITHOUT the
+    // stop-bucket cap each probe pairs with the whole corpus through
+    // those buckets (probe x corpus candidates, each a 1024-dim dot);
+    // the cap drops corpus-wide buckets from the candidate INDEX only
+    // (vectors keep their idf mass), leaving the varying-token buckets
+    // (~n/97 docs each) to generate candidates. Evidence: capped cost
+    // tracks n/97 while uncapped pays probe x corpus at 5k already.
+    timed("tfidf_adversarial_5k_uncapped", graft.textops.TfIdf.cosineTopK(
+      boiler(5000), "doc_id", "text", col("doc_id") < 8, k = 5,
+      stopBucketCap = Long.MaxValue))
+    timed("tfidf_adversarial_5k_capped", graft.textops.TfIdf.cosineTopK(
+      boiler(5000), "doc_id", "text", col("doc_id") < 8, k = 5))
+    timed("tfidf_adversarial_50k_capped", graft.textops.TfIdf.cosineTopK(
+      boiler(50000), "doc_id", "text", col("doc_id") < 8, k = 5))
     } // end !skewOnly
 
     // ---- phase 2: hot-key skew duel ----

@@ -67,14 +67,23 @@ object TfIdf {
       numBuckets: Int = 1024): DataFrame =
     denseFrom(sparse(docs, idCol, textCol, numBuckets), numBuckets)
 
-  private def denseFrom(sp: DataFrame, numBuckets: Int): DataFrame =
+  private def denseFrom(sp: DataFrame, numBuckets: Int): DataFrame = {
+    // pin the dense build's parallelism: the sparse map rows LOOK tiny
+    // to AQE (it coalesced this stage to ONE task in the ScaleBench
+    // duel — 62 s serialized at 50k docs), but each row inflates to an
+    // 8*numBuckets-byte array in the projection below. An explicit
+    // repartition is user-specified partitioning AQE must respect.
+    val shufflePartitions =
+      sp.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     sp.groupBy("id")
       .agg(map_from_entries(
         collect_list(struct(col("bucket").cast("int"), col("w")))).as("_m"))
+      .repartition(shufflePartitions, col("id"))
       .withColumn("vec", transform(sequence(lit(0), lit(numBuckets - 1)),
         b => coalesce(element_at(col("_m"), b), lit(0.0))))
       .select(col("id"), col("vec"),
         graft.vector.Ann.l2norm(col("vec")).as("n"))
+  }
 
   /** Cosine top-k over the hashed tf-idf space: probes = rows of
     * `docs` satisfying `probePred`. Returns (query_id, neighbor_id,
@@ -82,12 +91,17 @@ object TfIdf {
     * q27 shape.
     */
   def cosineTopK(docs: DataFrame, idCol: String, textCol: String,
-      probePred: Column, k: Int = 5, numBuckets: Int = 1024): DataFrame = {
+      probePred: Column, k: Int = 5, numBuckets: Int = 1024,
+      stopBucketCap: Long = -1L): DataFrame = {
     val sp = sparse(docs, idCol, textCol, numBuckets)
-    // stop-bucket cap: max(8, N div 5) — the floor keeps tiny corpora
-    // usable; plan-constant via the 1-row broadcast already in `sp`
-    val idx = sp.filter(col("df") <=
-        greatest(lit(8L), floor(col("n_docs") / 5).cast("long")))
+    // stop-bucket cap: max(8, N div 5) by default — the floor keeps
+    // tiny corpora usable; plan-constant via the 1-row broadcast
+    // already in `sp`. An explicit stopBucketCap overrides (the
+    // ScaleBench duel's uncapped arm passes Long.MaxValue).
+    val capExpr =
+      if (stopBucketCap >= 0L) lit(stopBucketCap)
+      else greatest(lit(8L), floor(col("n_docs") / 5).cast("long"))
+    val idx = sp.filter(col("df") <= capExpr)
       .select("id", "bucket")
     val probeIds = docs.filter(probePred)
       .select(col(idCol).as("query_id")).distinct()
@@ -104,6 +118,9 @@ object TfIdf {
         col("n").as("_cn")), "neighbor_id")
       .withColumn("cosine",
         graft.vector.Ann.dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      // drop the 8KB vector payloads BEFORE the rank window's shuffle —
+      // only (query_id, neighbor_id, cosine) triples move
+      .select("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -377,4 +377,43 @@ class StreamingOpsSpec extends GraftSparkSpec {
       assert(got == Map(1L -> ((0L, 0L)), 2L -> ((2L, 2L)), 3L -> ((3L, 1L))))
     } finally q.stop()
   }
+
+  test("streaming crawl-ingest projections: outlinks, mojibake fix, unigram " +
+    "segment are stateless streaming expressions") {
+    import graft.textops.{LinkExtract, Mojibake, Unigram}
+    implicit val sqlCtx = spark.sqlContext
+    // a tiny pre-trained model: the broadcast is ingest-time state the
+    // STREAM never mutates (train-offline/apply-online, the production
+    // shape for tokenizers)
+    val model = {
+      import spark.implicits._
+      Unigram.train(Seq("ab ab ab").toDF("text"), "text",
+        vocabSize = 20, maxPieceLen = 3, emIters = 1)
+    }
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("id", "url", "html")
+      .select(col("id"),
+        LinkExtract.resolve_url(col("url"),
+          try_element_at(LinkExtract.rawHrefs(col("html")), lit(1))).as("first_link"),
+        Mojibake.fix_mojibake(col("html")).as("fixed"),
+        Unigram.unigram_segment(spark, col("html"), model).as("pieces"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("crawl_out").start()
+    try {
+      input.addData(
+        (1L, "https://a.example.com/x/page.html", """<a href="sub/y">cafÃ©</a>"""),
+        (2L, "https://b.example.com/", "ab plain"))
+      q.processAllAvailable()
+      val got = spark.table("crawl_out").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1),
+          r.getString(2), r.getSeq[String](3).toList))
+        .sortBy(_._1).toList
+      assert(got.head._1 === 1L)
+      assert(got.head._2 === "https://a.example.com/x/sub/y")
+      assert(got.head._3.contains("café")) // mojibake repaired in-stream
+      assert(got(1)._2 === null) // no anchor -> no edge
+      assert(got(1)._4.take(1) === List(Unigram.Marker + "ab"))
+    } finally q.stop()
+  }
 }
