@@ -76,7 +76,8 @@ object OracleGen {
       "q116_unigram_train" -> (() => unigramTrainOracle(s, dir)),
       "q117_unigram_segment" -> (() => unigramSegmentOracle(s, dir)),
       "q120_uri_anomaly" -> (() => uriAnomalyOracle(s, dir)),
-      "q122_diversity_sample" -> (() => diversityOracle(s, dir))
+      "q122_diversity_sample" -> (() => diversityOracle(s, dir)),
+      "q123_outlink_rank" -> (() => outlinkRankOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -546,14 +547,18 @@ object OracleGen {
     * missing or extra engine match misaligns every later index of that
     * document.
     */
-  def linkOracle(s: SparkSession, dir: String): String = {
+  /** The embedded independent-resolution rows shared by the q115 and
+    * q123 oracles: `(doc_id, link_idx, 'resolved-url')` literals from
+    * `java.net.URI` over the engine-extracted raw hrefs.
+    */
+  private def linkResolutionVals(s: SparkSession, dir: String): Seq[String] = {
     val rows = SparkEntry.linkFixture(s, dir)
       .select(col("doc_id"), col("page_url"),
         graft.textops.LinkExtract.rawHrefs(col("html")).as("hs"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
       .sortBy(_._1)
-    checkEmbeddable("q115_outlinks", rows.iterator.map(_._3.size.toLong).sum)
+    checkEmbeddable("link_resolution", rows.iterator.map(_._3.size.toLong).sum)
     def resolveJava(base: String, ref: String): Option[String] = {
       if (ref.trim.isEmpty) return None // empty ref: no edge (shared rule)
       val res =
@@ -567,11 +572,15 @@ object OracleGen {
       val h = str.indexOf('#') // shared rule: fragments drop
       Some(if (h >= 0) str.substring(0, h) else str)
     }
-    val vals = rows.flatMap { case (id, base, hs) =>
+    rows.flatMap { case (id, base, hs) =>
       hs.zipWithIndex.flatMap { case (h, i) =>
         resolveJava(base, h).map(u => s"($id, $i, '${u.replace("'", "''")}')")
       }
-    }
+    }.toSeq
+  }
+
+  def linkOracle(s: SparkSession, dir: String): String = {
+    val vals = linkResolutionVals(s, dir)
     require(vals.nonEmpty, "q115: no resolvable links")
     val pat = graft.textops.LinkExtract.hrefPattern.replace("'", "''")
     s"""WITH fx AS (
@@ -606,6 +615,51 @@ object OracleGen {
        |SELECT doc_id, link_idx, href, url,
        |  CASE WHEN length(h) > 0 THEN lower(h) END AS dst_host
        |FROM j""".stripMargin
+  }
+
+  /** q123: the crawl-loop composition oracle — src hosts from the
+    * SQL-rebuilt fixture, dst hosts from the embedded independent
+    * resolution ([[linkResolutionVals]]), the distinct host-edge set
+    * and the q100-style integer PageRank recurrence replayed entirely
+    * in SQL on host STRINGS (ids are an engine-internal detail).
+    */
+  def outlinkRankOracle(s: SparkSession, dir: String): String = {
+    val vals = linkResolutionVals(s, dir)
+    require(vals.nonEmpty, "q123: no resolvable links")
+    val base = graft.operators.LinkGraph.Scale * 15 / 100
+    val iters = (1 to 5).map { k =>
+      s"""p$k AS (
+         |  SELECT n.host AS id, $base + COALESCE(s.c, 0) AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |           CAST(SUM((p.r * 85) // (100 * g.deg)) AS BIGINT) AS c
+         |    FROM p${k - 1} p JOIN e ON e.src = p.id JOIN g ON g.src = e.src
+         |    GROUP BY e.dst) s ON s.id = n.host)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH res(doc_id, li, url) AS (VALUES ${vals.mkString(", ")}),
+       |d AS (
+       |  SELECT doc_id,
+       |    'host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS src_host
+       |  FROM documents),
+       |l AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(h) > 0 THEN lower(h) END AS dst_host
+       |  FROM (
+       |    SELECT doc_id,
+       |      regexp_replace(regexp_replace(regexp_extract(url,
+       |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^.*@', ''),
+       |        ':[0-9]*$$', '') AS h
+       |    FROM res)),
+       |e AS (
+       |  SELECT DISTINCT d.src_host AS src, l.dst_host AS dst
+       |  FROM d JOIN l USING (doc_id)
+       |  WHERE l.dst_host IS NOT NULL AND l.dst_host != d.src_host),
+       |n AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+       |g AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |p0 AS (SELECT host AS id, ${graft.operators.LinkGraph.Scale} AS r FROM n),
+       |""".stripMargin + iters + """
+       |SELECT n.host, p.r AS host_rank_fp
+       |FROM n JOIN p5 p ON p.id = n.host""".stripMargin
   }
 
   def kmeansRefineOracle(s: SparkSession, dir: String): String = {

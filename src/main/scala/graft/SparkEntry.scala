@@ -1808,7 +1808,37 @@ object SparkEntry {
       graft.vector.DiversitySample.clusterBalanced(
         s, table(s, dir, "embeddings"), "vec_id", "embedding",
         nCells = 8, total = 100, salt = "div9")
-        .withColumnRenamed("id", "vec_id"))
+        .withColumnRenamed("id", "vec_id")),
+
+    // the crawl loop CLOSED: q115's extracted+resolved outlinks →
+    // distinct (src_host, dst_host) edges (self-links dropped) →
+    // q94's integer PageRank over md5-60-bit host ids → per-host
+    // fixed-point ranks. Host payloads never enter the iteration
+    // (q100's discipline); the oracle replays edges from the embedded
+    // independent resolution and the recurrence on host strings
+    "q123_outlink_rank" -> ((s, dir) => {
+      import graft.operators.{Blocklist, DistinctSketch, LinkGraph}
+      val fx = linkFixture(s, dir)
+      val links = graft.textops.LinkExtract
+        .outlinks(fx, Seq(col("doc_id")), col("page_url"), col("html"))
+      val pages = fx.select(col("doc_id"),
+        Blocklist.urlHost(col("page_url")).as("src_host"))
+      val hostEdges = links.select(col("doc_id"), col("dst_host"))
+        .join(pages, "doc_id")
+        .filter(col("dst_host").isNotNull &&
+          col("dst_host") =!= col("src_host"))
+        .select(col("src_host").as("sh"), col("dst_host").as("dh"))
+        .distinct()
+      val nodes = hostEdges.select(col("sh").as("host"))
+        .union(hostEdges.select(col("dh").as("host"))).distinct()
+        .withColumn("hid", DistinctSketch.hash60(col("host")))
+      val edges = hostEdges.select(
+        DistinctSketch.hash60(col("sh")).as("src"),
+        DistinctSketch.hash60(col("dh")).as("dst"))
+      val ranks = LinkGraph.pageRank(nodes, "hid", edges, iters = 5)
+      nodes.join(ranks, "hid")
+        .select(col("host"), col("rank").as("host_rank_fp"))
+    })
   )
 
   /** The q116/q117 model: shared constants (vocab 400, pieces ≤ 6
