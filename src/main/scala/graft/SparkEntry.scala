@@ -1572,8 +1572,9 @@ object SparkEntry {
     // KLL/GK its output is independent of stream and merge order, so
     // the oracle recomputes it EXACTLY in both regimes: ORDER BY
     // (hash, value) LIMIT k, then a cumulative-sum lower quantile
-    // over the retained histogram). k=64 so corpus sources run the
-    // estimator regime, not just the exact one
+    // over the retained histogram). k=16 so corpus sources (whose
+    // distinct token-length count exceeds it) run the estimator
+    // regime, not just the exact one
     "q110_quantile_sketch" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select(col("source"),
         graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("ntok"))

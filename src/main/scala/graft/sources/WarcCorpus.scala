@@ -168,13 +168,20 @@ object WarcCorpus {
           line = readLine()
         }
         if (line == null) return emit(h, None, null, "eof in headers")
-        val lenOpt = h.get("content-length").flatMap(s => s.toLongOption)
-        if (lenOpt.isEmpty)
+        val rawLen = h.get("content-length")
+        if (rawLen.isEmpty)
           return { resync(); emit(h, None, null, "missing content-length") }
+        val lenOpt = rawLen.flatMap(_.toLongOption)
+        // present-but-unusable (non-numeric or negative) is its OWN
+        // reason, and no value salvages — a consumer asserting
+        // content_length >= 0 on salvaged rows must never see -7
+        if (lenOpt.isEmpty || lenOpt.get < 0)
+          return { resync(); emit(h, None, null, "invalid content-length") }
         val len = lenOpt.get
-        if (len < 0)
-          return { resync(); emit(h, lenOpt, null, "missing content-length") }
-        if (len > maxPayloadBytes) {
+        // len.toInt below would wrap negative past Int.MaxValue and
+        // kill the whole file's parse — route through the skip branch
+        // regardless of how high the caller raised maxPayloadBytes
+        if (len > maxPayloadBytes || len > Int.MaxValue.toLong) {
           // skip without buffering — the guard that keeps one
           // pathological record from sizing executor memory
           val skipped = skipFully(len)
@@ -332,12 +339,21 @@ object WarcCorpus {
           val p = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d$ext")
           val fs = p.getFileSystem(conf)
           val os = fs.create(p, true)
+          // close-shield: gz.close() must release its native Deflater
+          // (Deflater.end()) after EVERY record — finish() alone leaks
+          // one native zlib handle per record until GC — without
+          // closing the shared part-file stream underneath
+          val shield = new java.io.FilterOutputStream(os) {
+            override def write(b: Array[Byte], off: Int, len: Int): Unit =
+              os.write(b, off, len) // default FilterOutputStream loops per byte
+            override def close(): Unit = flush()
+          }
           try {
             it.foreach { row =>
               val bytes = row.getAs[Array[Byte]](0)
               if (gzipPerRecord) {
-                val gz = new GZIPOutputStream(os, 1 << 16)
-                gz.write(bytes); gz.finish()
+                val gz = new GZIPOutputStream(shield, 1 << 16)
+                gz.write(bytes); gz.finish(); gz.close()
               } else os.write(bytes)
             }
           } finally os.close()

@@ -43,11 +43,14 @@ object LinkExtract {
   /** Anchor-href matcher. One capture: the attribute value, quoted
     * (either quote) or bare. Explicit whitespace classes (`\s` differs
     * Java-vs-RE2 on vertical tab); non-greedy `[^>]*?` scans to the
-    * FIRST href inside the tag.
+    * FIRST href inside the tag. The attribute NAME must start at a
+    * whitespace boundary — `(?:[^>]*?[ws])?href` — so `data-href=`/
+    * `xlink:href=` can never read as an href (a bare `[^>]*?href`
+    * matches any attribute name merely ENDING in "href").
     */
   val hrefPattern: String =
-    "(?is)<a[ \\t\\n\\r\\f][^>]*?href[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*" +
-      "(\"[^\"]*\"|'[^']*'|[^ \\t\\n\\r\\f>\"']+)"
+    "(?is)<a[ \\t\\n\\r\\f](?:[^>]*?[ \\t\\n\\r\\f])?href[ \\t\\n\\r\\f]*=" +
+      "[ \\t\\n\\r\\f]*(\"[^\"]*\"|'[^']*'|[^ \\t\\n\\r\\f>\"']+)"
 
   /** Raw href attribute values of every `<a>` tag, in document order,
     * surrounding quotes stripped. Empty values survive (resolution

@@ -93,7 +93,11 @@ object TfIdf {
   def cosineTopK(docs: DataFrame, idCol: String, textCol: String,
       probePred: Column, k: Int = 5, numBuckets: Int = 1024,
       stopBucketCap: Long = -1L): DataFrame = {
-    val sp = sparse(docs, idCol, textCol, numBuckets)
+    // the sparse model feeds BOTH the candidate index and the dense
+    // vectors (two joins each) — checkpoint once or the tokenize+tf+df
+    // lineage re-executes per consumer (the q65 multi-consumer
+    // discipline; blocks release on RDD GC)
+    val sp = sparse(docs, idCol, textCol, numBuckets).localCheckpoint()
     // stop-bucket cap: max(8, N div 5) by default — the floor keeps
     // tiny corpora usable; plan-constant via the 1-row broadcast
     // already in `sp`. An explicit stopBucketCap overrides (the

@@ -115,6 +115,8 @@ class LinkExtractSpec extends GraftSparkSpec {
       """<p>x</p><a href="/dq">d</a> <A HREF='/sq'>s</A>
         |<a class="z" href = /bare>b</a>
         |<a name="no-href">none</a>
+        |<a data-href="/tracker">not-an-href-attr</a>
+        |<a xlink:href="/svg">not-an-href-attr</a>
         |<img href="/not-an-anchor">
         |<a href="">empty</a><a href="#top">frag</a>""".stripMargin
     val got = Seq(html).toDF("h")
