@@ -77,7 +77,8 @@ object OracleGen {
       "q117_unigram_segment" -> (() => unigramSegmentOracle(s, dir)),
       "q120_uri_anomaly" -> (() => uriAnomalyOracle(s, dir)),
       "q122_diversity_sample" -> (() => diversityOracle(s, dir)),
-      "q123_outlink_rank" -> (() => outlinkRankOracle(s, dir))
+      "q123_outlink_rank" -> (() => outlinkRankOracle(s, dir)),
+      "q124_cluster_keywords" -> (() => clusterKeywordsOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -615,6 +616,47 @@ object OracleGen {
        |SELECT doc_id, link_idx, href, url,
        |  CASE WHEN length(h) > 0 THEN lower(h) END AS dst_host
        |FROM j""".stripMargin
+  }
+
+  /** q124: cells embed (the q78 discipline); tokens, df, per-cell cf,
+    * the stop-term cap, the smooth-idf score, rounding, and the
+    * ranked cut all recompute in SQL.
+    */
+  def clusterKeywordsOracle(s: SparkSession, dir: String): String = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val centroids = Ivf.fitCentroids(emb, "embedding", 8)
+    val cells = emb.select(col("vec_id"),
+      Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    checkEmbeddable("q124_cluster_keywords", cells.length.toLong)
+    val vals = cells.map { case (id, c) => s"($id, $c)" }.mkString(", ")
+    raw"""WITH cellv(doc_id, cell) AS (VALUES $vals),
+       |toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+       |         END AS ts
+       |  FROM documents),
+       |t AS (SELECT doc_id, u.term FROM toks, unnest(ts) AS u(term)),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |dft AS (SELECT term, count(*) AS df
+       |        FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term),
+       |cf AS (
+       |  SELECT c.cell, t.term, count(*) AS cf
+       |  FROM t JOIN cellv c ON c.doc_id = t.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT cf.cell, cf.term, cf.cf, dft.df,
+       |    round(cf.cf * (ln((nd.n_docs + 1) / (dft.df + 1)) + 1.0), 4) AS score
+       |  FROM cf JOIN dft USING (term) CROSS JOIN nd
+       |  WHERE dft.df <= greatest(8, nd.n_docs // 5)),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cell
+       |    ORDER BY score DESC, term ASC) AS rank
+       |  FROM scored)
+       |SELECT CAST(cell AS INT) AS cell, rank, term, score,
+       |  CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df
+       |FROM rk WHERE rank <= 5""".stripMargin
   }
 
   /** q123: the crawl-loop composition oracle — src hosts from the

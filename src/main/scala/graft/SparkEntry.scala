@@ -1839,6 +1839,38 @@ object SparkEntry {
       val ranks = LinkGraph.pageRank(nodes, "hid", edges, iters = 5)
       nodes.join(ranks, "hid")
         .select(col("host"), col("rank").as("host_rank_fp"))
+    }),
+
+    // per-cluster keyword extraction — the corpus-exploration op that
+    // labels k-means cells with their top cf·idf terms (cf = term
+    // occurrences within the cell, idf corpus-wide smooth, stop terms
+    // capped by the q118 df rule). embeddings.vec_id IS documents
+    // .doc_id in the testdata star schema. Ranking on the ROUNDED
+    // score (q77's discipline). Oracle: cells embed (q78), terms/df/
+    // cf/score/rank recompute in SQL
+    "q124_cluster_keywords" -> ((s, dir) => {
+      import graft.vector.Ivf
+      val emb = table(s, dir, "embeddings")
+      val centroids = Ivf.fitCentroids(emb, "embedding", 8)
+      val cells = emb.select(col("vec_id").as("doc_id"),
+        Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
+      val docs = table(s, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(graft.textops.TextIndex.terms(col("text"))).as("term"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val dft = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val cf = terms.join(cells, "doc_id")
+        .groupBy("cell", "term").agg(count(lit(1)).as("cf"))
+      val scored = cf.join(dft, "term").crossJoin(broadcast(n))
+        .filter(col("df") <=
+          greatest(lit(8L), floor(col("n_docs") / 5).cast("long")))
+        .withColumn("score", round(col("cf") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell"))
+        .orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("cell", "rank", "term", "score", "cf", "df")
     })
   )
 
