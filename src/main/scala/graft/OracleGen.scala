@@ -78,7 +78,8 @@ object OracleGen {
       "q120_uri_anomaly" -> (() => uriAnomalyOracle(s, dir)),
       "q122_diversity_sample" -> (() => diversityOracle(s, dir)),
       "q123_outlink_rank" -> (() => outlinkRankOracle(s, dir)),
-      "q124_cluster_keywords" -> (() => clusterKeywordsOracle(s, dir))
+      "q124_cluster_keywords" -> (() => clusterKeywordsOracle(s, dir)),
+      "q125_longest_repeat" -> (() => longestRepeatOracle(s, dir))
     ).flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
@@ -615,6 +616,51 @@ object OracleGen {
        |  FROM links l JOIN res r ON l.doc_id = r.doc_id AND l.li = r.li)
        |SELECT doc_id, link_idx, href, url,
        |  CASE WHEN length(h) > 0 THEN lower(h) END AS dst_host
+       |FROM j""".stripMargin
+  }
+
+  /** q125: the independent-driver-scorer technique — a SECOND
+    * longest-repeat implementation (plain substring-set binary
+    * search, no rolling hash, different idioms) computes every doc's
+    * answer over the shared fixture; the embedded values join against
+    * the SQL-rebuilt fixture and the derived columns recompute in
+    * SQL.
+    */
+  def longestRepeatOracle(s: SparkSession, dir: String): String = {
+    def lrs(t: String): Int = {
+      val n = t.length
+      if (n < 2) return 0
+      def has(len: Int): Boolean = {
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        (0 to n - len).exists(i => !seen.add(t.substring(i, i + len)))
+      }
+      var lo = 0
+      var hi = n - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (has(mid)) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+    val rows = SparkEntry.repeatFixture(s, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    checkEmbeddable("q125_longest_repeat", rows.length.toLong)
+    val vals = rows.map { case (id, t) => s"($id, ${lrs(t)})" }.mkString(", ")
+    s"""WITH expv(doc_id, lr) AS (VALUES $vals),
+       |fx AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN coalesce(text, '') || ' ' ||
+       |      substr(coalesce(text, ''), 1, 40) || ' ' ||
+       |      substr(coalesce(text, ''), 1, 40)
+       |    ELSE coalesce(text, '') END AS ftext
+       |  FROM documents),
+       |j AS (
+       |  SELECT fx.doc_id, length(fx.ftext) AS n_chars,
+       |    CAST(e.lr AS BIGINT) AS longest_repeat
+       |  FROM fx JOIN expv e ON e.doc_id = fx.doc_id)
+       |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, longest_repeat,
+       |  (longest_repeat * 10000) // greatest(n_chars, 1) AS rep_x10000,
+       |  (longest_repeat * 10000) // greatest(n_chars, 1) >= 2000 AS flagged
        |FROM j""".stripMargin
   }
 

@@ -1871,8 +1871,38 @@ object SparkEntry {
         .orderBy(col("score").desc, col("term").asc)
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
         .select("cell", "rank", "term", "score", "cf", "df")
+    }),
+
+    // longest internal repeat — the within-doc copy-paste signal:
+    // %5==0 docs get a planted duplicated 40-char chunk appended
+    // twice; the detector must find it (and whatever natural repeats
+    // the corpus text already has). Oracle: the q112 independent-
+    // driver-scorer technique — a second implementation (plain
+    // substring-set binary search, no rolling hash) computes every
+    // doc's answer; the fixture and derived columns recompute in SQL
+    "q125_longest_repeat" -> ((s, dir) => {
+      val fx = repeatFixture(s, dir)
+      fx.select(col("doc_id"),
+          length(col("ftext")).cast("long").as("n_chars"),
+          graft.textops.Repeats.longest_repeat(col("ftext"))
+            .cast("long").as("longest_repeat"))
+        .withColumn("rep_x10000",
+          expr("longest_repeat * 10000 DIV greatest(n_chars, 1L)"))
+        .withColumn("flagged", col("rep_x10000") >= 2000)
     })
   )
+
+  /** q125's fixture (shared construction, q112's discipline): planted
+    * duplication for %5==0 docs — the first 40 chars appended twice.
+    */
+  private[graft] def repeatFixture(s: SparkSession, dir: String): DataFrame = {
+    val base = coalesce(col("text"), lit(""))
+    table(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(base, lit(" "), substring(base, 1, 40), lit(" "),
+          substring(base, 1, 40)))
+        .otherwise(base).as("ftext"))
+  }
 
   /** The q116/q117 model: shared constants (vocab 400, pieces ≤ 6
     * code points, 2 hard-EM iterations, corpus-exact refine) — the
