@@ -1889,8 +1889,52 @@ object SparkEntry {
         .withColumn("rep_x10000",
           expr("longest_repeat * 10000 DIV greatest(n_chars, 1L)"))
         .withColumn("flagged", col("rep_x10000") >= 2000)
+    }),
+
+    // mixed-language detection — the FineWeb-style gate: language-ID
+    // per 16-token chunk (q74's chunker × q20's stopword classifier),
+    // then per-doc consistency stats; %6==0 docs get a planted French
+    // tail so the majority fraction genuinely drops. Majority ties
+    // break by (count desc, lang asc). Static oracle rebuilds chunks,
+    // the per-chunk CASE classifier, and every aggregate in SQL
+    "q126_mixed_lang" -> ((s, dir) => {
+      val fx = mixedLangFixture(s, dir)
+      val chunks = graft.textops.Chunker.chunkByTokens(
+        fx, col("ftext"), window = 16, stride = 16, keep = Seq(col("doc_id")))
+      val cl = chunks.select(col("doc_id"),
+        graft.textops.TextAnalysis.languageId(col("chunk_text")).as("clang"))
+      val counts = cl.groupBy("doc_id", "clang").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("n").desc, col("clang").asc)
+      val major = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("clang").as("majority_lang"),
+          col("n").as("_mn"))
+      val tot = counts.groupBy("doc_id").agg(
+        sum(col("n")).as("n_chunks"),
+        countDistinct(col("clang")).as("n_langs"))
+      tot.join(major, "doc_id")
+        .withColumn("majority_x10000", expr("_mn * 10000 DIV n_chunks"))
+        .withColumn("mixed",
+          col("n_langs") > 1 && col("majority_x10000") < 8000)
+        .select("doc_id", "n_chunks", "n_langs", "majority_lang",
+          "majority_x10000", "mixed")
     })
   )
+
+  /** q126's fixture: a planted French tail (20 stopword tokens — at
+    * least one full 16-token chunk classifies fr) on %6==0 docs.
+    */
+  private[graft] val frenchTail: String =
+    "le la les et est un une dans que pour " +
+      "le la les et est un une dans que pour"
+
+  private[graft] def mixedLangFixture(
+      s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 6 === 0,
+        concat(coalesce(col("text"), lit("")), lit(" " + frenchTail)))
+        .otherwise(coalesce(col("text"), lit(""))).as("ftext"))
 
   /** q125's fixture (shared construction, q112's discipline): planted
     * duplication for %5==0 docs — the first 40 chars appended twice.
@@ -4116,7 +4160,62 @@ object SparkEntry {
         |    WHEN 2 THEN 'plain ascii doc ' || CAST(doc_id AS VARCHAR)
         |    ELSE 'café already-correct naïve' END AS fixed,
         |  CAST(doc_id % 4 AS INT) IN (0, 1) AS changed
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // q126: chunks from the q74 twin (window=stride=16), the q20
+    // per-chunk stopword CASE classifier, and every aggregate replayed
+    "q126_mixed_lang" -> {
+      val toks =
+        "string_split_regex(trim(lower(chunk_text)), '[ \\t\\n\\x0b\\f\\r]+')"
+      val scores = graft.textops.TextAnalysis.stopwords.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        lang -> s"len(list_filter($toks, t -> list_contains($list, t)))"
+      }
+      val maxS = scores.values.mkString("greatest(", ", ", ")")
+      val caseChain = scores.map { case (lang, sc) =>
+        s"WHEN $sc = m THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH fx AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 6 = 0
+         |    THEN coalesce(text, '') || ' $frenchTail'
+         |    ELSE coalesce(text, '') END AS ftext
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(ftext)) = 0 THEN []::VARCHAR[]
+         |         ELSE string_split_regex(trim(ftext), '[ \\t\\n\\x0b\\f\\r]+')
+         |         END AS toks
+         |  FROM fx),
+         |c AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |    CASE WHEN len(toks) = 0 THEN 0
+         |         WHEN len(toks) <= 16 THEN 1
+         |         ELSE CAST(floor((len(toks) - 16 + 15) / 16.0) AS INT) + 1
+         |         END AS n_chunks
+         |  FROM t),
+         |ch AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_slice(toks, i * 16 + 1, i * 16 + 16), ' ')
+         |      AS chunk_text
+         |  FROM c, unnest(range(n_chunks)) AS u(i)),
+         |lang AS (
+         |  SELECT doc_id,
+         |    CASE WHEN m <= 0 THEN 'und' $caseChain ELSE 'und' END AS clang
+         |  FROM (SELECT doc_id, chunk_text, $maxS AS m FROM ch)),
+         |counts AS (SELECT doc_id, clang, count(*) AS n FROM lang GROUP BY 1, 2),
+         |major AS (
+         |  SELECT doc_id, clang AS majority_lang, n AS mn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY n DESC, clang ASC) AS rn FROM counts) WHERE rn = 1),
+         |tot AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chunks,
+         |    CAST(count(DISTINCT clang) AS BIGINT) AS n_langs
+         |  FROM counts GROUP BY 1)
+         |SELECT t.doc_id, t.n_chunks, t.n_langs, m.majority_lang,
+         |  (m.mn * 10000) // t.n_chunks AS majority_x10000,
+         |  t.n_langs > 1 AND (m.mn * 10000) // t.n_chunks < 8000 AS mixed
+         |FROM tot t JOIN major m USING (doc_id)""".stripMargin
+    }
   )
 
   /** DuckDB twin of [[graft.textops.TextAnalysis.sentences]] applied
