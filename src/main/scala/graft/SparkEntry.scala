@@ -1919,6 +1919,32 @@ object SparkEntry {
           col("n_langs") > 1 && col("majority_x10000") < 8000)
         .select("doc_id", "n_chunks", "n_langs", "majority_lang",
           "majority_x10000", "mixed")
+    }),
+
+    // Flesch-Kincaid readability as ONE exact integer rational —
+    // fk_x100 = max(3900·W² + 118000·Y·S − 155900·S·W, 0) DIV
+    // (100·S·W) with S/W floored at 1 (the 0.39·W/S + 11.8·Y/W −
+    // 15.59 grade formula, syllables = per-word vowel-group count
+    // floored at 1, negative grades clamp to 0 so integer division
+    // never crosses the trunc-vs-floor divergence). Sentences from
+    // q107's machinery over the same fixture prefix; everything
+    // replays in SQL
+    "q127_readability" -> ((s, dir) => {
+      val text = concat(lit(sentenceFixturePrefix), coalesce(col("text"), lit("")))
+      val sents = graft.textops.TextAnalysis.sentences(text)
+      val toks = graft.textops.TextAnalysis.tokens(text)
+      val syl = aggregate(
+        transform(toks, t => greatest(lit(1),
+          size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))))
+          .cast("long")),
+        lit(0L), (a, x) => a + x)
+      table(s, dir, "documents").select(col("doc_id"),
+          greatest(size(sents), lit(1)).cast("long").as("n_sents"),
+          greatest(size(toks), lit(1)).cast("long").as("n_words"),
+          syl.as("n_syllables"))
+        .withColumn("fk_x100", expr(
+          "greatest(3900 * n_words * n_words + 118000 * n_syllables * n_sents" +
+            " - 155900 * n_sents * n_words, 0L) DIV (100 * n_sents * n_words)"))
     })
   )
 
@@ -4215,7 +4241,36 @@ object SparkEntry {
          |  (m.mn * 10000) // t.n_chunks AS majority_x10000,
          |  t.n_langs > 1 AND (m.mn * 10000) // t.n_chunks < 8000 AS mixed
          |FROM tot t JOIN major m USING (doc_id)""".stripMargin
-    }
+    },
+
+    // q127: q107's sentence pipeline + the token twin + the per-word
+    // vowel-group syllable count, folded into the same exact integer
+    // rational (all clamps replayed; // on non-negatives == DIV)
+    "q127_readability" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    '$sentenceFixturePrefix' || coalesce(text, '') AS ftext
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id,
+         |    ${sentencesSql("ftext")} AS sents,
+         |    CASE WHEN length(trim(ftext)) = 0 THEN []::VARCHAR[]
+         |         ELSE string_split_regex(trim(ftext), '[ \\t\\n\\x0b\\f\\r]+')
+         |         END AS toks
+         |  FROM f),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(greatest(len(sents), 1) AS BIGINT) AS n_sents,
+         |    CAST(greatest(len(toks), 1) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(toks,
+         |      w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+'))))),
+         |      0) AS BIGINT) AS n_syllables
+         |  FROM t)
+         |SELECT doc_id, n_sents, n_words, n_syllables,
+         |  greatest(3900 * n_words * n_words + 118000 * n_syllables * n_sents
+         |    - 155900 * n_sents * n_words, 0) // (100 * n_sents * n_words)
+         |    AS fk_x100
+         |FROM m""".stripMargin
   )
 
   /** DuckDB twin of [[graft.textops.TextAnalysis.sentences]] applied
