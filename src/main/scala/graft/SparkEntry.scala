@@ -1945,8 +1945,52 @@ object SparkEntry {
         .withColumn("fk_x100", expr(
           "greatest(3900 * n_words * n_words + 118000 * n_syllables * n_sents" +
             " - 155900 * n_sents * n_words, 0L) DIV (100 * n_sents * n_words)"))
+    }),
+
+    // Gopher-style line-shape rules (Rae et al. 2021 repertoire):
+    // bullet-line fraction, ellipsis-line fraction, symbol-to-word
+    // ratio — the LINE-layout quality gate the token-level verdict
+    // (q52) can't see. Planted line fixture: %4==0 docs get three
+    // bullet lines, %3==0 an ellipsis line, %7==0 a #-heavy line.
+    // Pure array-local Column algebra, zero shuffles; fully static
+    // SQL oracle
+    "q128_gopher_lines" -> ((s, dir) => {
+      val fx = gopherFixture(s, dir)
+      val lines = filter(split(col("ftext"), "\n"),
+        l => length(trim(l)) > 0)
+      val nLines = greatest(size(lines), lit(1)).cast("long")
+      val bullets = size(filter(lines, l =>
+        trim(l).startsWith("- ") || trim(l).startsWith("•"))).cast("long")
+      val ellip = size(filter(lines, l => trim(l).endsWith("..."))).cast("long")
+      val words = greatest(
+        size(graft.textops.TextAnalysis.tokens(col("ftext"))), lit(1))
+        .cast("long")
+      val hashes = (length(col("ftext")) -
+        length(regexp_replace(col("ftext"), "#", ""))).cast("long")
+      fx.select(col("doc_id"), nLines.as("n_lines"), bullets.as("n_bullet"),
+          ellip.as("n_ellipsis"), words.as("n_words"), hashes.as("n_hash"))
+        .withColumn("bullet_x10000", expr("n_bullet * 10000 DIV n_lines"))
+        .withColumn("ellipsis_x10000", expr("n_ellipsis * 10000 DIV n_lines"))
+        .withColumn("symbol_x10000", expr("n_hash * 10000 DIV n_words"))
+        .withColumn("keep", col("bullet_x10000") <= 9000 &&
+          col("ellipsis_x10000") <= 3000 && col("symbol_x10000") <= 1000)
     })
   )
+
+  /** q128's planted line fixture (the q81 discipline — corpus text is
+    * one body line; rule-triggering lines plant around it).
+    */
+  private[graft] def gopherFixture(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 4 === 0,
+          lit("- item one\n- item two\n• item three\n")).otherwise(lit("")),
+        coalesce(col("text"), lit("")), lit("\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("click to read more...\n")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("### tags # index ## more #\n")).otherwise(lit("")),
+        lit("plain closing line")).as("ftext"))
 
   /** q126's fixture: a planted French tail (20 stopword tokens — at
     * least one full 16-token chunk classifies fr) on %6==0 docs.
@@ -4270,7 +4314,51 @@ object SparkEntry {
          |  greatest(3900 * n_words * n_words + 118000 * n_syllables * n_sents
          |    - 155900 * n_sents * n_words, 0) // (100 * n_sents * n_words)
          |    AS fk_x100
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+
+    // q128: the same fixture and every line stat replayed with DuckDB
+    // list functions; trim on both engines strips spaces only
+    "q128_gopher_lines" ->
+      raw"""WITH fx AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0
+        |      THEN '- item one' || chr(10) || '- item two' || chr(10) ||
+        |           '• item three' || chr(10) ELSE '' END) ||
+        |    coalesce(text, '') || chr(10) ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |      THEN 'click to read more...' || chr(10) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0
+        |      THEN '### tags # index ## more #' || chr(10) ELSE '' END) ||
+        |    'plain closing line' AS ftext
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, ftext,
+        |    list_filter(string_split(ftext, chr(10)),
+        |                l -> length(trim(l)) > 0) AS lines,
+        |    CASE WHEN length(trim(ftext)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(ftext), '[ \t\n\x0b\f\r]+')
+        |         END AS toks
+        |  FROM fx),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(len(lines), 1) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l ->
+        |      starts_with(trim(l), '- ') OR starts_with(trim(l), '•')))
+        |      AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(lines, l -> ends_with(trim(l), '...')))
+        |      AS BIGINT) AS n_ellipsis,
+        |    CAST(greatest(len(toks), 1) AS BIGINT) AS n_words,
+        |    CAST(length(ftext) - length(replace(ftext, '#', ''))
+        |      AS BIGINT) AS n_hash
+        |  FROM m)
+        |SELECT doc_id, n_lines, n_bullet, n_ellipsis, n_words, n_hash,
+        |  (n_bullet * 10000) // n_lines AS bullet_x10000,
+        |  (n_ellipsis * 10000) // n_lines AS ellipsis_x10000,
+        |  (n_hash * 10000) // n_words AS symbol_x10000,
+        |  (n_bullet * 10000) // n_lines <= 9000
+        |    AND (n_ellipsis * 10000) // n_lines <= 3000
+        |    AND (n_hash * 10000) // n_words <= 1000 AS keep
+        |FROM c""".stripMargin
   )
 
   /** DuckDB twin of [[graft.textops.TextAnalysis.sentences]] applied
