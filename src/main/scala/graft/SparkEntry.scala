@@ -1974,8 +1974,60 @@ object SparkEntry {
         .withColumn("symbol_x10000", expr("n_hash * 10000 DIV n_words"))
         .withColumn("keep", col("bullet_x10000") <= 9000 &&
           col("ellipsis_x10000") <= 3000 && col("symbol_x10000") <= 1000)
+    }),
+
+    // publication-date extraction (trafilatura-style, simplified):
+    // FIRST ISO date (pattern-validated month/day) wins; else the
+    // first "Month D, YYYY" textual date normalizes through a month
+    // CASE + lpad; else null. %5==2 plants an INVALID decoy
+    // (2021-13-40 — must not match), %5==3 plants both forms (ISO
+    // preference is positional-independent by rule). Every regex
+    // construct is Java≡RE2; fully static SQL oracle
+    "q129_date_extract" -> ((s, dir) => {
+      val fx = dateFixture(s, dir)
+      val iso = regexp_extract(col("ftext"), dateIsoPattern, 0)
+      val tm = regexp_extract(col("ftext"), dateTextPattern, 1)
+      val td = regexp_extract(col("ftext"), dateTextPattern, 2)
+      val ty = regexp_extract(col("ftext"), dateTextPattern, 3)
+      val monthNum = element_at(
+        map(monthNames.zipWithIndex.flatMap { case (m, i) =>
+          Seq(lit(m), lit(f"${i + 1}%02d"))
+        }: _*), tm)
+      val textDate = when(length(ty) > 0,
+        concat(ty, lit("-"), monthNum, lit("-"), lpad(td, 2, "0")))
+      fx.select(col("doc_id"),
+        when(length(iso) > 0, iso).otherwise(textDate).as("pub_date"),
+        when(length(iso) > 0, "iso")
+          .when(length(ty) > 0, "text").as("date_source"))
+        .withColumn("date_found", col("pub_date").isNotNull)
     })
   )
+
+  private[graft] val monthNames: Seq[String] = Seq(
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December")
+
+  /** ISO date with pattern-level month/day validation (no calendar
+    * check — documented); `\b` is the ASCII word boundary in both
+    * Java regex and RE2.
+    */
+  private[graft] val dateIsoPattern: String =
+    "\\b(19[0-9][0-9]|20[0-2][0-9])-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])\\b"
+
+  private[graft] val dateTextPattern: String =
+    "\\b(" + monthNames.mkString("|") + ") ([1-9][0-9]?), (19[0-9][0-9]|20[0-2][0-9])\\b"
+
+  /** q129's planted fixture: ISO / textual / invalid-decoy / both. */
+  private[graft] def dateFixture(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 5 === 0, lit("Published 2021-07-05 · "))
+          .when(col("doc_id") % 5 === 1, lit("Posted on March 9, 2019 · "))
+          .when(col("doc_id") % 5 === 2, lit("ref 2021-13-40 build · "))
+          .when(col("doc_id") % 5 === 3,
+            lit("June 2, 2020 draft, final 2022-01-31 · "))
+          .otherwise(lit("")),
+        coalesce(col("text"), lit(""))).as("ftext"))
 
   /** q128's planted line fixture (the q81 discipline — corpus text is
     * one body line; rule-triggering lines plant around it).
@@ -4358,7 +4410,40 @@ object SparkEntry {
         |  (n_bullet * 10000) // n_lines <= 9000
         |    AND (n_ellipsis * 10000) // n_lines <= 3000
         |    AND (n_hash * 10000) // n_words <= 1000 AS keep
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // q129: both regex patterns are shared constants; the month CASE
+    // and lpad normalization replay in SQL
+    "q129_date_extract" -> {
+      val monthCase = monthNames.zipWithIndex
+        .map { case (m, i) => s"WHEN '$m' THEN '${f"${i + 1}%02d"}'" }
+        .mkString("CASE tm ", " ", " END")
+      s"""WITH fx AS (
+         |  SELECT doc_id,
+         |    (CASE CAST(doc_id % 5 AS INT)
+         |      WHEN 0 THEN 'Published 2021-07-05 · '
+         |      WHEN 1 THEN 'Posted on March 9, 2019 · '
+         |      WHEN 2 THEN 'ref 2021-13-40 build · '
+         |      WHEN 3 THEN 'June 2, 2020 draft, final 2022-01-31 · '
+         |      ELSE '' END) || coalesce(text, '') AS ftext
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id,
+         |    regexp_extract(ftext, '$dateIsoPattern', 0) AS iso,
+         |    regexp_extract(ftext, '$dateTextPattern', 1) AS tm,
+         |    regexp_extract(ftext, '$dateTextPattern', 2) AS td,
+         |    regexp_extract(ftext, '$dateTextPattern', 3) AS ty
+         |  FROM fx)
+         |SELECT doc_id,
+         |  CASE WHEN length(iso) > 0 THEN iso
+         |       WHEN length(ty) > 0 THEN ty || '-' || ($monthCase) || '-' ||
+         |         lpad(td, 2, '0')
+         |  END AS pub_date,
+         |  CASE WHEN length(iso) > 0 THEN 'iso'
+         |       WHEN length(ty) > 0 THEN 'text' END AS date_source,
+         |  (length(iso) > 0 OR length(ty) > 0) AS date_found
+         |FROM e""".stripMargin
+    }
   )
 
   /** DuckDB twin of [[graft.textops.TextAnalysis.sentences]] applied
