@@ -2000,8 +2000,79 @@ object SparkEntry {
         when(length(iso) > 0, "iso")
           .when(length(ty) > 0, "text").as("date_source"))
         .withColumn("date_found", col("pub_date").isNotNull)
+    }),
+
+    // character-unigram Shannon entropy — q112's deflate companion
+    // (entropy is the model-free version of the same gibberish axis:
+    // template spam sits LOW, base64/hex soup sits HIGH, prose in
+    // between). H = log2(N) − Σ n·log2(n) / N, folded in SORTED-char
+    // array order so no distributed float summation decides the
+    // value (the q27 discipline); rounded to 4 decimals. Same
+    // three-regime fixture as q112, so the two signals are directly
+    // comparable in the artifact. Docs reduce to their char histogram
+    // before the per-doc regroup — nothing bigger than the alphabet
+    // shuffles
+    "q130_char_entropy" -> ((s, dir) => {
+      val fx = compressionFixture(s, dir) // (doc_id, ftext)
+      val pairs = fx
+        .select(col("doc_id"), explode(split(col("ftext"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
+      pairs.groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("ch"), col("n")))).as("_a"),
+          sum(col("n")).as("n_chars"))
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          round(
+            log2(col("n_chars").cast("double")) -
+              aggregate(col("_a"), lit(0.0), (acc, x) =>
+                acc + x.getField("n").cast("double") *
+                  log2(x.getField("n").cast("double"))) /
+                col("n_chars").cast("double"),
+            4).as("entropy"))
+        .withColumn("flag",
+          when(col("entropy") < 2.5, "low_entropy")
+            .when(col("entropy") > 5.2, "high_entropy")
+            .otherwise("ok"))
     })
   )
+
+  /** q130's static oracle: the q112 fixture rebuilt in SQL (repeat /
+    * base64(unhex(md5)) / passthrough — all three arms verified
+    * byte-identical across engines), the char histogram, and the
+    * entropy fold in the same sorted-char order, rounded to 4.
+    */
+  private val oracleSqlQ130: String = {
+    val soup = (0 until 10).map(i =>
+      s"base64(unhex(md5('c$i:' || CAST(doc_id AS VARCHAR))))")
+      .mkString(" || ")
+    s"""WITH fx AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN repeat('spam spam spam spam ', 40) || coalesce(text, '')
+       |    WHEN doc_id % 3 = 2 THEN $soup
+       |    ELSE coalesce(text, '') END AS ftext
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(ftext, '(?s).')) AS c
+       |  FROM fx),
+       |cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+       |a AS (
+       |  SELECT doc_id, list(n ORDER BY c) AS ns,
+       |    CAST(sum(n) AS BIGINT) AS n_chars
+       |  FROM cnt GROUP BY 1),
+       |h AS (
+       |  SELECT doc_id, n_chars,
+       |    round(log2(CAST(n_chars AS DOUBLE)) -
+       |      list_sum(list_transform(ns,
+       |        n -> CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)))) / n_chars,
+       |      4) AS entropy
+       |  FROM a)
+       |SELECT doc_id, n_chars, entropy,
+       |  CASE WHEN entropy < 2.5 THEN 'low_entropy'
+       |       WHEN entropy > 5.2 THEN 'high_entropy'
+       |       ELSE 'ok' END AS flag
+       |FROM h""".stripMargin
+  }
 
   private[graft] val monthNames: Seq[String] = Seq(
     "January", "February", "March", "April", "May", "June", "July",
@@ -4443,7 +4514,9 @@ object SparkEntry {
          |       WHEN length(ty) > 0 THEN 'text' END AS date_source,
          |  (length(iso) > 0 OR length(ty) > 0) AS date_found
          |FROM e""".stripMargin
-    }
+    },
+
+    "q130_char_entropy" -> oracleSqlQ130
   )
 
   /** DuckDB twin of [[graft.textops.TextAnalysis.sentences]] applied
