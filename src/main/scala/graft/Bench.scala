@@ -74,6 +74,15 @@ object Bench {
     // (the official driver run leaves it unset and times everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on typo'd names: an unknown query would otherwise
+    // silently shrink the timed set to nothing and an A/B session
+    // would read an empty bench as success
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val results: Seq[(String, Double, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }

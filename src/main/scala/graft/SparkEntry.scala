@@ -2199,13 +2199,16 @@ object SparkEntry {
       html.as("html"))
   }
 
-  /** q109's fixture directory — deterministic per sf dir (Verify and
-    * Bench each overwrite their own copy; the write is part of the
-    * measured query, a real render+ingest round trip).
+  /** q109's fixture directory — deterministic per (sf dir, process):
+    * the write is part of the measured query, a real render+ingest
+    * round trip, and the PID suffix keeps concurrent sessions on the
+    * same sf dir (Verify while Bench runs) from deleting each other's
+    * fixture mid-read.
     */
   private def warcFixtureDir(dir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-warc-fixture-" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      "graft-warc-fixture-" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "-p" + ProcessHandle.current().pid())
       .getAbsolutePath
 
   /** q107/q108 sentence fixture: one prefix exercising every

@@ -121,6 +121,13 @@ object WarcCorpus {
       maxPayloadBytes: Long): Iterator[WarcRec] =
     new Iterator[WarcRec] {
       private val in = new PushbackInputStream(open(pds), 8)
+      // a consumer that stops early (limit(n), a failing downstream
+      // stage) never drains to EOF — close at task end regardless, or
+      // each partially-consumed file leaks an open (gzip) stream
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          try in.close() catch { case _: java.io.IOException => () }
+        })
       private var idx = -1L
       private var nextRec: WarcRec = null
       private var done = false
@@ -324,17 +331,27 @@ object WarcCorpus {
     val spark = df.sparkSession
     val ext = if (gzipPerRecord) ".warc.gz" else ".warc"
     val out = new org.apache.hadoop.fs.Path(outDir)
-    val fs0 = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val driverConf = spark.sparkContext.hadoopConfiguration
+    val fs0 = out.getFileSystem(driverConf)
     fs0.delete(out, true)
     fs0.mkdirs(out)
+    // the driver's live Configuration is not serializable (and its
+    // Spark-side broadcast wrapper is private[spark]), but a bare
+    // task-side `new Configuration()` would drop every runtime-set
+    // spark.hadoop.* entry — defaultFS, s3 credentials — and resolve
+    // outDir against a different filesystem than the one prepared
+    // above. Ship the entries as a plain Map and replay them.
+    val confEntries: Map[String, String] = {
+      val it = driverConf.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
     df.select(recordCol.cast("binary").as("rec"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
-          // task-side Configuration(): loads the cluster's
-          // core-site/hdfs-site from the executor classpath (the
-          // driver's live Configuration is not serializable and its
-          // Spark-side wrapper is private[spark])
           val conf = new org.apache.hadoop.conf.Configuration()
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val p = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d$ext")
           val fs = p.getFileSystem(conf)

@@ -73,8 +73,11 @@ object TfIdf {
     // duel — 62 s serialized at 50k docs), but each row inflates to an
     // 8*numBuckets-byte array in the projection below. An explicit
     // repartition is user-specified partitioning AQE must respect.
+    // toIntOption: some distributions set this conf to a non-numeric
+    // sentinel (e.g. "auto"); a bare toInt would throw at plan build
     val shufflePartitions =
-      sp.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      sp.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        .toIntOption.filter(_ > 0).getOrElse(32)
     sp.groupBy("id")
       .agg(map_from_entries(
         collect_list(struct(col("bucket").cast("int"), col("w")))).as("_m"))
