@@ -285,7 +285,8 @@ object OracleGen {
     */
   def semDedupOracle(s: SparkSession, dir: String): String = {
     val emb = SparkEntry.plantedEmbeddings(s, dir)
-    val centroids = Ivf.fitCentroids(emb, "embedding", 8)
+    val centroids = Ivf.fitCentroids(emb, "embedding", 8,
+      cacheKey = Some("oracle:" + dir + "#embeddings-planted"))
     val cells = emb.select(col("vec_id"),
       Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
       .collect()
@@ -506,7 +507,8 @@ object OracleGen {
     */
   def diversityOracle(s: SparkSession, dir: String): String = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
-    val centroids = Ivf.fitCentroids(emb, "embedding", 8)
+    val centroids = Ivf.fitCentroids(emb, "embedding", 8,
+      cacheKey = Some("oracle:" + dir + "#embeddings"))
     val cells = emb.select(col("vec_id"),
       Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
@@ -670,7 +672,8 @@ object OracleGen {
     */
   def clusterKeywordsOracle(s: SparkSession, dir: String): String = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
-    val centroids = Ivf.fitCentroids(emb, "embedding", 8)
+    val centroids = Ivf.fitCentroids(emb, "embedding", 8,
+      cacheKey = Some("oracle:" + dir + "#embeddings"))
     val cells = emb.select(col("vec_id"),
       Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
@@ -1020,7 +1023,8 @@ object OracleGen {
   def annIvfOracle(s: SparkSession, dir: String): String = {
     val (nlist, nprobe, k) = (16, 6, 5)
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
-    val centroids = Ivf.fitCentroids(emb, "embedding", nlist)
+    val centroids = Ivf.fitCentroids(emb, "embedding", nlist,
+      cacheKey = Some("oracle:" + dir + "#embeddings"))
     val cells = emb.select(col("vec_id"),
       Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)

@@ -403,7 +403,7 @@ object SparkEntry {
       graft.vector.Ivf.ivfTopK(
         emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 6)
+        k = 5, nlist = 16, nprobe = 6, cacheKey = Some(dir + "#embeddings"))
     }),
 
     // IVF-PQ ANN: coarse cells + product-quantized codes + ADC
@@ -414,7 +414,8 @@ object SparkEntry {
       graft.vector.Pq.ivfPqTopK(
         emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 6, m = 8, ks = 64, refine = 8)
+        k = 5, nlist = 16, nprobe = 6, m = 8, ks = 64, refine = 8,
+        cacheKey = Some(dir + "#embeddings"))
     }),
 
     // winnowing rolling-hash fingerprint overlap (rows-only; passage-
@@ -534,7 +535,7 @@ object SparkEntry {
       val res = graft.vector.Ivf.ivfTopK(
         twinEmbeddings(emb), "vec_id", "embedding",
         emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 6)
+        k = 5, nlist = 16, nprobe = 6, cacheKey = Some(dir + "#embeddings-twin"))
       twinRecallOf("ann_ivf", res)
     }),
 
@@ -543,7 +544,8 @@ object SparkEntry {
       val res = graft.vector.Pq.ivfPqTopK(
         twinEmbeddings(emb), "vec_id", "embedding",
         emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 6, m = 8, ks = 64, refine = 8)
+        k = 5, nlist = 16, nprobe = 6, m = 8, ks = 64, refine = 8,
+        cacheKey = Some(dir + "#embeddings-twin"))
       twinRecallOf("ann_pq", res)
     }),
 
@@ -1053,7 +1055,8 @@ object SparkEntry {
     "q78_semdedup" -> ((s, dir) => {
       graft.vector.SemDedup.semanticDedup(
         plantedEmbeddings(s, dir), "vec_id", "embedding",
-        nClusters = 8, threshold = 0.99)
+        nClusters = 8, threshold = 0.99,
+        cacheKey = Some(dir + "#embeddings-planted"))
         .select(col("id").as("vec_id"), col("cell"), col("kept"))
     }),
 
@@ -1808,7 +1811,8 @@ object SparkEntry {
     "q122_diversity_sample" -> ((s, dir) =>
       graft.vector.DiversitySample.clusterBalanced(
         s, table(s, dir, "embeddings"), "vec_id", "embedding",
-        nCells = 8, total = 100, salt = "div9")
+        nCells = 8, total = 100, salt = "div9",
+        cacheKey = Some(dir + "#embeddings"))
         .withColumnRenamed("id", "vec_id")),
 
     // the crawl loop CLOSED: q115's extracted+resolved outlinks →
@@ -1851,7 +1855,8 @@ object SparkEntry {
     "q124_cluster_keywords" -> ((s, dir) => {
       import graft.vector.Ivf
       val emb = table(s, dir, "embeddings")
-      val centroids = Ivf.fitCentroids(emb, "embedding", 8)
+      val centroids = Ivf.fitCentroids(emb, "embedding", 8,
+        cacheKey = Some(dir + "#embeddings"))
       val cells = emb.select(col("vec_id").as("doc_id"),
         Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
       val docs = table(s, dir, "documents")

@@ -37,9 +37,9 @@ object DiversitySample {
     */
   def clusterBalanced(spark: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, nCells: Int, total: Int,
-      salt: String): DataFrame = {
+      salt: String, cacheKey: Option[String] = None): DataFrame = {
     require(total > 0 && nCells > 0, "clusterBalanced: total, nCells > 0")
-    val centroids = Ivf.fitCentroids(emb, vecCol, nCells)
+    val centroids = Ivf.fitCentroids(emb, vecCol, nCells, cacheKey = cacheKey)
     val cells = emb.select(col(idCol).as("id"),
       Ivf.nearest_cells(col(vecCol), centroids, 1).getItem(0).as("cell"))
     val sizes = cells.groupBy("cell").agg(count(lit(1)).as("n_c"))

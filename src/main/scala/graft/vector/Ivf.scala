@@ -98,10 +98,23 @@ object Ivf {
     */
   def fitCentroids(
       corpus: DataFrame, vecCol: String, nlist: Int,
-      seed: Long = 42L, sampleCap: Int = 65536, iters: Int = 10): Array[Array[Double]] = {
-    val sample = sampleNormalized(corpus, vecCol, seed, sampleCap)
-    fitCentroids(sample, nlist, seed, iters)
+      seed: Long = 42L, sampleCap: Int = 65536, iters: Int = 10,
+      cacheKey: Option[String] = None): Array[Array[Double]] = {
+    def compute(): Array[Array[Double]] = {
+      val sample = sampleNormalized(corpus, vecCol, seed, sampleCap, cacheKey)
+      fitCentroids(sample, nlist, seed, iters)
+    }
+    cacheKey match {
+      case Some(k) =>
+        centroidMemo.computeIfAbsent((k, nlist, seed, sampleCap, iters),
+          _ => compute())
+      case None => compute()
+    }
   }
+
+  /** Fitted-quantizer memo over [[sampleMemo]]'s keys — see there. */
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long, Int, Int), Array[Array[Double]]]()
 
   /** Sample-taking overload — the ONE place the training recipe
     * (k clamping, iteration count) lives; both the IVF-flat and IVF-PQ
@@ -263,39 +276,49 @@ object Ivf {
     */
   def sampleNormalized(
       corpus: DataFrame, vecCol: String,
-      seed: Long = 42L, sampleCap: Int = 65536): Array[Array[Double]] = {
-    val total = corpus.count()
-    val gated =
-      if (total <= sampleCap)
-        // deterministic ORDER even under repartitioning: a bare
-        // collect() returns partition order, which would make the
-        // k-means init (and so centroids, cells, and every
-        // cell-derived downstream) vary with partition count — the
-        // same hazard the big branch always guarded against
-        corpus
-          .select(normalized(col(vecCol)).as("_v"),
-            xxhash64(col(vecCol)).as("_h"))
-          .orderBy(col("_h"))
-          .select(col("_v"))
-      else {
-        // keep ~sampleCap rows: hash-gate with a margin, then take the
-        // sampleCap SMALLEST hashes — a bare limit() would drop the
-        // ~5% excess in partition order, making the sample (and so the
-        // centroids and recall numbers) vary with partition count
-        val keepPerM = ((sampleCap.toDouble * 1.05 / total) * 1000000L).toLong.max(1L)
-        val h = pmod(xxhash64(col(vecCol)), lit(1000000L))
-        corpus
-          .filter(h < keepPerM)
-          .select(normalized(col(vecCol)).as("_v"), xxhash64(col(vecCol)).as("_h"))
-          .orderBy(col("_h"))
-          .limit(sampleCap)
-          .select(col("_v"))
-      }
-    val sample: Array[Array[Double]] = gated.collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "sampleNormalized: empty corpus")
-    sample
+      seed: Long = 42L, sampleCap: Int = 65536,
+      cacheKey: Option[String] = None): Array[Array[Double]] = {
+    def compute(): Array[Array[Double]] = {
+      // the sampleCap SMALLEST xxhash64 values globally: ONE job, no
+      // count(), no full sort — Sort+Limit under the (default ~2^31)
+      // topKSortFallbackThreshold plans TakeOrderedAndProject, a
+      // per-partition bounded top-k merged on the driver. Ordered by
+      // hash, so the sample (and the k-means init, centroids, cells,
+      // and every cell-derived downstream) is reproducible across
+      // runs AND partitionings; when the corpus is under the cap this
+      // is exactly "all rows ordered by hash". Hash ties are copies
+      // of the same vector (xxhash64 of the vector value), so tie
+      // order cannot change the sampled multiset.
+      val sample: Array[Array[Double]] = corpus
+        .select(normalized(col(vecCol)).as("_v"),
+          xxhash64(col(vecCol)).as("_h"))
+        .orderBy(col("_h"))
+        .limit(sampleCap)
+        .select(col("_v"))
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "sampleNormalized: empty corpus")
+      sample
+    }
+    cacheKey match {
+      case Some(k) =>
+        sampleMemo.computeIfAbsent((k, seed, sampleCap), _ => compute())
+      case None => compute()
+    }
   }
+
+  /** Process-level memo for [[sampleNormalized]] (and, via the
+    * `cacheKey` passthroughs, the quantizers it feeds): the IVF-flat,
+    * IVF-PQ, diversity-sample, and cluster-keyword queries all train
+    * on the SAME corpus sample, and the fit is deterministic, so
+    * refitting per query is pure recompute. Opt-in by key — the
+    * caller owns naming the corpus (dir + table + transform); tests
+    * that exercise partition-order insensitivity simply don't pass a
+    * key and keep measuring the real path. Bounded: one 65k-vector
+    * sample per distinct corpus key per process.
+    */
+  private val sampleMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), Array[Array[Double]]]()
 
   /** Plain seeded k-means++ / Lloyd's. Deterministic for a fixed input
     * order (the hash-gated sample is order-stable modulo partition
@@ -500,9 +523,10 @@ object Ivf {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
-      maxQueries: Int = Ann.MaxQueries): DataFrame = {
+      maxQueries: Int = Ann.MaxQueries,
+      cacheKey: Option[String] = None): DataFrame = {
     Ann.requireBoundedQueries(queries, maxQueries, "ivfTopK")
-    val centroids = fitCentroids(corpus, vecCol, nlist)
+    val centroids = fitCentroids(corpus, vecCol, nlist, cacheKey = cacheKey)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       Ann.l2norm(col(vecCol)).as("_cn"),
       nearest_cells(col(vecCol), centroids, 1).getItem(0).as("_cell"))

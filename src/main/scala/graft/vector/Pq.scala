@@ -278,8 +278,9 @@ object Pq {
     */
   private def train(
       corpus: DataFrame, vecCol: String, nlist: Int, m: Int, ks: Int,
-      seed: Long): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val sample = Ivf.sampleNormalized(corpus, vecCol, seed)
+      seed: Long, cacheKey: Option[String] = None)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val sample = Ivf.sampleNormalized(corpus, vecCol, seed, cacheKey = cacheKey)
     (Ivf.fitCentroids(sample, nlist, seed, iters = 10), fitCodebooks(sample, m, ks, seed))
   }
 
@@ -288,11 +289,11 @@ object Pq {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nlist: Int, nprobe: Int,
       m: Int, ks: Int, refine: Int, seed: Long,
-      maxQueries: Int): (DataFrame, DataFrame) = {
+      maxQueries: Int, cacheKey: Option[String] = None): (DataFrame, DataFrame) = {
     // validate the query contract BEFORE paying for quantizer training
     // (sample collect + k-means) — fail-fast on a bad maxQueries/frame
     val qRows = collectQueries(queries, qidCol, qvecCol, maxQueries, "ivfPqTopK")
-    val (centroids, codebooks) = train(corpus, vecCol, nlist, m, ks, seed)
+    val (centroids, codebooks) = train(corpus, vecCol, nlist, m, ks, seed, cacheKey)
     val luts = buildLuts(qRows, codebooks)
     val qBase = qBaseOf(queries.sparkSession, qRows)
     // Corpus index: cell id + m-byte code per vector (codes-only scan)
@@ -423,10 +424,11 @@ object Pq {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, ks: Int = 64, refine: Int = 4, seed: Long = 42L,
-      maxQueries: Int = Ann.MaxQueries): DataFrame = {
+      maxQueries: Int = Ann.MaxQueries,
+      cacheKey: Option[String] = None): DataFrame = {
     val (shortlist, qBase) = adcShortlistWithQueries(
       corpus, idCol, vecCol, queries, qidCol, qvecCol,
-      k, nlist, nprobe, m, ks, refine, seed, maxQueries)
+      k, nlist, nprobe, m, ks, refine, seed, maxQueries, cacheKey)
     rerank(shortlist, corpus, idCol, vecCol, qBase, k)
   }
 }

@@ -38,9 +38,9 @@ object SemDedup {
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, threshold: Double,
-      maxCellSize: Long = 0): DataFrame = {
+      maxCellSize: Long = 0, cacheKey: Option[String] = None): DataFrame = {
     require(nClusters >= 1, s"semanticDedup: nClusters must be >= 1, got $nClusters")
-    val centroids = Ivf.fitCentroids(df, vecCol, nClusters)
+    val centroids = Ivf.fitCentroids(df, vecCol, nClusters, cacheKey = cacheKey)
     val assigned = df.select(
       col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("_v"),
