@@ -1,0 +1,642 @@
+package graft.registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.SparkEntry._
+import graft.functions.{Cidr, RiskFeatures}
+import graft.rules.{GraftConfig, RuleEngine}
+import graft.session.Sessionizer
+import graft.sources.ParseLogLine
+
+/** Dedup query registry — document dedup families (n-gram/minhash/simhash/winnowing, spans, lines, decontamination, URL, edit-distance).
+  *
+  * Mechanically split out of the former SparkEntry monolith (round
+  * 10): entry text is unchanged; [[graft.SparkEntry.queries]] merges
+  * every registry back into the single driver-facing map, and the
+  * shared fixtures/oracle helpers stay on SparkEntry (`private[graft]`).
+  */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact n-gram Jaccard pairs within (lang, source) buckets
+    "q24_ngram_jaccard" -> ((s, dir) => {
+      graft.textops.NearDup.ngramJaccardPairs(
+        table(s, dir, "documents"), "doc_id", "text",
+        bucketCols = Seq(col("lang"), col("source"), expr("n_chars DIV 100")),
+        shingleSize = 3, threshold = 0.05)
+    }),
+
+
+    // MinHash+LSH near-dup over the planted corpus (rows-only check:
+    // the LSH band hashes are engine-internal; recall is pinned in
+    // NearDupSpec against planted duplicates)
+    "q25_minhash_lsh" -> ((s, dir) => {
+      graft.textops.NearDup.minhashPairs(
+        plantedDocs(s, dir), "doc_id", "text", threshold = 0.5)
+    }),
+
+
+    // SimHash near-dup over the planted corpus (rows-only). Capped:
+    // boilerplate corpora collapse chunk buckets and an uncapped bucket
+    // goes quadratic (ScaleBench's simhash_adversarial_* workloads
+    // measure it); the cap never binds on the planted corpus
+    // (NearDupSpec pins capped == uncapped there), and the uncapped
+    // guarantee is exercised by q40_simhash_recall on its bounded slice.
+    "q26_simhash" -> ((s, dir) => {
+      graft.textops.NearDup.simhashPairs(
+        plantedDocs(s, dir), "doc_id", "text", maxHamming = 6, maxBucketSize = 1000)
+    }),
+
+
+    // winnowing rolling-hash fingerprint overlap (rows-only; passage-
+    // copy detection guarantee pinned in WinnowingSpec)
+    "q31_winnow_pairs" -> ((s, dir) => {
+      graft.textops.NearDup.winnowPairs(
+        plantedDocs(s, dir), "doc_id", "text", minSharedRatio = 0.5)
+    }),
+
+
+    // near-dup clustering: connected components over a deterministic
+    // pair graph (consecutive doc ids sharing a length bucket), the
+    // step that turns pairwise near-dup evidence into droppable groups
+    "q36_components" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val edges = docs.select(col("doc_id").as("id_a"), expr("n_chars DIV 100").as("_ba"))
+        .join(docs.select(col("doc_id").as("id_b"), expr("n_chars DIV 100").as("_bb")),
+          col("id_b") === col("id_a") + 1 && col("_ba") === col("_bb"))
+        .select("id_a", "id_b")
+      graft.operators.Dedup.connectedComponents(docs, "doc_id", edges)
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
+
+    // near-dup DROP: keep each component's smallest-id row (the
+    // pipeline action the clustering feeds)
+    "q37_drop_neardups" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val edges = docs.select(col("doc_id").as("id_a"), expr("n_chars DIV 100").as("_ba"))
+        .join(docs.select(col("doc_id").as("id_b"), expr("n_chars DIV 100").as("_bb")),
+          col("id_b") === col("id_a") + 1 && col("_ba") === col("_bb"))
+        .select("id_a", "id_b")
+      graft.operators.Dedup.dropNearDups(docs, "doc_id", edges)
+        .select(col("doc_id"))
+    }),
+
+
+    // ---- recall gates for the candidate-generation families ----
+    // Each plants EXACT twins (structural ground truth the oracle
+    // recomputes from the base tables) and reports recall over the truth
+    // set as a deterministic scalar. The guarantee making the value
+    // oracle-predictable: exact copies collide in every minhash band /
+    // simhash chunk / winnow fingerprint bucket (uncapped), and an exact
+    // twin vector shares every LSH signature + coarse cell, then wins
+    // the exact re-rank at cosine 1.0.
+    //
+    // The near-dup gates run UNCAPPED (that is the guarantee under
+    // test), so their corpus is bounded to a fixed 500-doc slice —
+    // recall evidence doesn't improve with corpus size, but an uncapped
+    // pair join's cost does (winnow at sf0.1 was 188s unbounded).
+
+    "q39_minhash_recall" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < gateDocs)
+      val corpus = docs.unionByName(twinDocs(docs))
+      val pairs = graft.textops.NearDup.minhashPairs(
+        corpus, "doc_id", "text", threshold = 0.9, maxBucketSize = 0) // 0 = uncapped
+      val truth = docs
+        .filter(size(graft.textops.NearDup.hashedShingles(col("text"), 3)) > 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      recallOf("minhash", truth, pairs)
+    }),
+
+
+    "q40_simhash_recall" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < gateDocs)
+      val corpus = docs.unionByName(twinDocs(docs))
+      val pairs = graft.textops.NearDup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      val truth = docs
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      recallOf("simhash", truth, pairs)
+    }),
+
+
+    "q41_winnow_recall" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < gateDocs)
+      val corpus = docs.unionByName(twinDocs(docs))
+      val pairs = graft.textops.NearDup.winnowPairs(
+        corpus, "doc_id", "text", minSharedRatio = 0.5, maxBucketSize = 0) // 0 = uncapped
+      val truth = docs.filter(length(col("text")) >= 5) // k=5: below one k-gram -> no fingerprints
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      recallOf("winnow", truth, pairs)
+    }),
+
+
+    // near-dup drop keeping the BEST row per component (score =
+    // n_chars, ties to the smallest id) — same deterministic pair
+    // graph as q36/q37, recursive-CTE + window oracle
+    "q51_drop_best" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val edges = docs.select(col("doc_id").as("id_a"), expr("n_chars DIV 100").as("_ba"))
+        .join(docs.select(col("doc_id").as("id_b"), expr("n_chars DIV 100").as("_bb")),
+          col("id_b") === col("id_a") + 1 && col("_ba") === col("_bb"))
+        .select("id_a", "id_b")
+      // project BEFORE the drop: the component join and the
+      // per-component window shuffle only the two columns they need,
+      // not the full text payload
+      graft.operators.Dedup.dropNearDupsBy(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", col("n_chars"), edges)
+    }),
+
+
+    // substring-level exact dedup: duplicated >=8-token spans (planted
+    // licence boilerplate on every 5th doc) trimmed to their globally
+    // first occurrence; oracle recomputes windows/keep-first/coverage
+    // from the parquet text with string windows (hash-free)
+    "q53_dedup_spans" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + spanBoiler)))
+          .otherwise(col("text")).as("text"))
+      graft.textops.SpanDedup.dedupSpans(docs, "doc_id", "text", k = 8)
+    }),
+
+
+    // eval-set decontamination: the eval corpus = two literal benchmark
+    // probes + every 97th document's raw text (a leaked-eval-doc
+    // stand-in); corpus docs get a probe planted on doc_id%7 in {3,5}.
+    // The eval side's window hashes broadcast; the corpus side is ONE
+    // narrow scan — zero shuffles. Oracle recomputes everything from
+    // literal token-string windows (q53's hash-free technique)
+    "q61_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" " + evalProbe1)))
+          .when(col("doc_id") % 7 === 5, concat(col("text"), lit(" " + evalProbe2)))
+          .otherwise(col("text")).as("text"))
+      graft.textops.SpanDedup.decontaminate(
+        docs, "doc_id", "text", evalCorpus(s, dir), "text", k = 8)
+    }),
+
+
+    // URL canonicalization + URL-level dedup: the canonicalize-then-
+    // dedup step a crawl pipeline runs BEFORE content dedup. Messy
+    // URLs planted from doc_id (the q58 replant pattern): variants
+    // 0/1/2 collapse to one canonical form (default port, host/scheme
+    // case, dot segments, fragment, tracking params), 3 keeps a real
+    // param, 4 keeps a non-default port — the oracle replants and
+    // canonicalizes with DuckDB string/regex functions and keeps
+    // row_number()=1 per canonical key
+    "q72_url_dedup" -> ((s, dir) => {
+      val n = (col("doc_id") % 50).cast("string")
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(lit("https://Example.COM:443/articles/"), n, lit("?utm_source=feed&utm_campaign=x#frag")))
+          .when(col("doc_id") % 5 === 1, concat(lit("https://example.com/articles/"), n))
+          .when(col("doc_id") % 5 === 2, concat(lit("HTTPS://EXAMPLE.com/news/../articles/"), n, lit("?ref=tw")))
+          .when(col("doc_id") % 5 === 3, concat(lit("https://example.com/./articles/"), n, lit("?utm_medium=y&keep=1")))
+          .otherwise(concat(lit("http://example.com:8080/Articles/"), n, lit("?a=1&gclid=z&b=2")))
+          .as("url"))
+      val canon = planted.withColumn("url_canon",
+        graft.functions.UrlCanon.canonicalize_url(col("url")))
+      graft.operators.Dedup.exact(canon, Seq(col("url_canon")), col("doc_id"))
+        .select(col("doc_id"), col("url"), col("url_canon"))
+    }),
+
+
+    // line-level boilerplate removal (the C4/CCNet line-frequency
+    // filter): lines reaching document frequency >= 50 vanish from
+    // EVERY doc — the all-occurrences semantics span dedup's
+    // history-wins cannot express. Fixture plants a universal nav bar
+    // + copyright footer, an every-3rd-doc banner (all df >= 50,
+    // dropped) and a per-doc permalink (df = 1, kept) around the real
+    // text; the oracle recomputes DF counting, the trim rule, and the
+    // list_filter reassembly from scratch
+    "q81_line_dedup" -> ((s, dir) => {
+      graft.textops.LineDedup.removeBoilerplate(
+        lineFixture(s, dir), "doc_id", "text", minDf = 50)
+    }),
+
+
+    // cross-stratum overlap estimation: pairwise per-lang vocabulary
+    // Jaccard from KMV sketches — ONE data pass (<= k longs per
+    // (task, lang) shuffled), pairwise arithmetic on the #langs-row
+    // sketch frame. The KMV union identity (k smallest of A∪B all lie
+    // in A's or B's minima) makes the merged sketch EQUAL the union's
+    // sketch, so DuckDB recomputes every estimate from raw text
+    "q87_corpus_overlap" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("lang"),
+        explode(graft.textops.TextIndex.terms(col("text"))).as("term"))
+      graft.operators.DistinctSketch.overlapByKey(
+        toks, col("lang"), col("term"), k = 64)
+    }),
+
+
+    // bounded edit-distance similarity self-join over planted titles:
+    // every doc gets "report <id> summary"; %4==0 docs add a
+    // substitution twin ("repost"), %4==2 docs a distance-2 decoy
+    // ("rxpxrt", must never pair at maxD=1); numeric ids supply
+    // organic digit-substitution and insertion pairs ("report 12" vs
+    // "report 123"). Oracle replays the FastSS deletion-variant
+    // candidate join in substr algebra and verifies with DuckDB's
+    // native levenshtein
+    "q113_edit_join" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      def titles(off: Int, word: String, cond: Column) =
+        docs.filter(cond).select((col("doc_id") * 4 + off).as("sid"),
+          concat(lit(word + " "), col("doc_id").cast("string"),
+            lit(" summary")).as("s"))
+      val all = titles(0, "report", lit(true))
+        .union(titles(1, "repost", col("doc_id") % 4 === 0))
+        .union(titles(2, "rxpxrt", col("doc_id") % 4 === 2))
+      graft.textops.EditDistance.editSimilarityJoin(all, col("sid"), col("s"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // tokens filter empties rather than trim-then-split: the Spark side's
+    // byte scanner (TokenShingles) never yields an empty token for text
+    // with leading non-space whitespace, where trim(' only') + split
+    // would artifact one — keep the oracle on the scanner's semantics
+    "q24_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, n_chars // 100 AS nb,
+        |         list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), t -> t != '') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, lang, source, nb,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+        |          ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |               / len(list_distinct(a.sh || b.sh)) END, 4) AS jaccard
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+        |                   AND a.nb = b.nb AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.05""".stripMargin,
+
+
+    "q36_components" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 1 AND a.n_chars // 100 = b.n_chars // 100),
+        |sym AS (SELECT id_a, id_b FROM edges UNION SELECT id_b, id_a FROM edges),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.id_b, reach.r FROM reach JOIN sym s ON s.id_a = reach.id)
+        |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+
+
+    "q37_drop_neardups" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 1 AND a.n_chars // 100 = b.n_chars // 100),
+        |sym AS (SELECT id_a, id_b FROM edges UNION SELECT id_b, id_a FROM edges),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.id_b, reach.r FROM reach JOIN sym s ON s.id_a = reach.id)
+        |SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(r)""".stripMargin,
+
+
+    // ---- recall-gate oracles ----
+    // Near-dup families: the oracle derives the TRUTH-SET SIZE from the
+    // base table (same eligibility rule as the Spark side) and asserts
+    // full recall — which the uncapped exact-twin construction
+    // guarantees (identical text => identical bands/chunks/fingerprints,
+    // exact verify passes at jaccard 1 / hamming 0 / containment 1).
+    // Token-parity with TokenShingles is the q24-proven expression.
+    "q39_minhash_recall" ->
+      """SELECT 'minhash' AS family,
+        |  count(*) AS n_truth, count(*) AS n_found,
+        |  CAST(10000 AS BIGINT) AS recall_x10000
+        |FROM documents
+        |WHERE doc_id < 500 AND len(list_filter(
+        |  string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), t -> t != '')) >= 3""".stripMargin,
+
+
+    "q40_simhash_recall" ->
+      """SELECT 'simhash' AS family,
+        |  count(*) AS n_truth, count(*) AS n_found,
+        |  CAST(10000 AS BIGINT) AS recall_x10000
+        |FROM documents WHERE doc_id < 500""".stripMargin,
+
+
+    "q41_winnow_recall" ->
+      """SELECT 'winnow' AS family,
+        |  count(*) AS n_truth, count(*) AS n_found,
+        |  CAST(10000 AS BIGINT) AS recall_x10000
+        |FROM documents WHERE doc_id < 500 AND length(text) >= 5""".stripMargin,
+
+
+    "q51_drop_best" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 1 AND a.n_chars // 100 = b.n_chars // 100),
+        |sym AS (SELECT id_a, id_b FROM edges UNION SELECT id_b, id_a FROM edges),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.id_b, reach.r FROM reach JOIN sym s ON s.id_a = reach.id),
+        |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+        |ranked AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY c.component
+        |                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+        |  FROM documents d JOIN comp c USING (doc_id))
+        |SELECT doc_id, n_chars FROM ranked WHERE rk = 1""".stripMargin,
+
+
+    // hash-free twin of SpanDedup: windows are the literal 8-token
+    // STRINGS (tokens contain no whitespace, so ' '-join is injective),
+    // keep-first via row_number over (doc_id, pos), coverage = union of
+    // [pos, pos+8) per doc, trimmed text = kept tokens string_agg'd in
+    // position order — a 64-bit window-hash collision on the Spark side
+    // is the only possible divergence
+    "q53_dedup_spans" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' $spanBoiler' ELSE text END AS text
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |                x -> x != '') AS toks
+         |  FROM docs),
+         |wl AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(toks) - 6),
+         |                i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+         |  FROM t),
+         |wins AS (
+         |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w FROM wl),
+         |rn AS (
+         |  SELECT doc_id, pos,
+         |         row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+         |  FROM wins),
+         |dup AS (SELECT doc_id, pos FROM rn WHERE rn > 1),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, cpos FROM (
+         |    SELECT doc_id, unnest(range(pos, pos + 8)) AS cpos FROM dup)),
+         |tp AS (
+         |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok
+         |  FROM t),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+         |                    WHERE c.doc_id = tp.doc_id AND c.cpos = tp.pos)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.toks) AS n_tokens,
+         |  len(t.toks) - coalesce(a.n_kept, 0) AS n_dropped,
+         |  coalesce(a.text_dedup, '') AS text_dedup
+         |FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
+
+
+    // hash-free twin of decontaminate (q53's technique, asymmetric
+    // form): eval windows are literal 8-token STRINGS from the eval
+    // corpus (leaked every-97th docs + the two planted probes); a
+    // corpus window hits iff its string equals any eval window;
+    // coverage/trim identical to the q53 oracle
+    "q61_decontaminate" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || ' $evalProbe1'
+         |         WHEN doc_id % 7 = 5 THEN text || ' $evalProbe2'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |evals AS (
+         |  SELECT text FROM documents WHERE doc_id % 97 = 0
+         |  UNION ALL SELECT '$evalProbe1' UNION ALL SELECT '$evalProbe2'),
+         |et AS (
+         |  SELECT list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |                     x -> x != '') AS toks
+         |  FROM evals),
+         |ewl AS (
+         |  SELECT CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+         |              ELSE list_transform(range(1, len(toks) - 6),
+         |                     i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+         |  FROM et),
+         |ew AS (SELECT DISTINCT unnest(ws) AS w FROM ewl),
+         |t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |                x -> x != '') AS toks
+         |  FROM docs),
+         |wl AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(toks) - 6),
+         |                i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+         |  FROM t),
+         |wins AS (
+         |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w FROM wl),
+         |hits AS (
+         |  SELECT wins.doc_id, wins.pos FROM wins JOIN ew ON ew.w = wins.w),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, cpos FROM (
+         |    SELECT doc_id, unnest(range(pos, pos + 8)) AS cpos FROM hits)),
+         |tp AS (
+         |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok
+         |  FROM t),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+         |                    WHERE c.doc_id = tp.doc_id AND c.cpos = tp.pos)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+         |  FROM kept GROUP BY doc_id),
+         |novr AS (SELECT doc_id, count(*) AS n_overlap FROM hits GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.toks) AS n_tokens,
+         |  coalesce(n.n_overlap, 0) AS n_overlap_windows,
+         |  coalesce(n.n_overlap, 0) > 0 AS flagged,
+         |  len(t.toks) - coalesce(a.n_kept, 0) AS n_dropped,
+         |  coalesce(a.text_dedup, '') AS text_clean
+         |FROM t
+         |LEFT JOIN novr n ON n.doc_id = t.doc_id
+         |LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
+
+
+    // the DuckDB twin of UrlCanon.canonicalize over the planted
+    // fixture: fragment strip, scheme/authority lowering, default-port
+    // drop, bounded-regex dot-segment resolution (two passes cover the
+    // fixture's single ./ and ../ occurrences; the engine runs the
+    // full RFC 3986 stack algorithm — equal on this domain), tracking-
+    // param filter via list_filter, then keep-first per canonical key
+    "q72_url_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'https://Example.COM:443/articles/' || (doc_id % 50)::VARCHAR || '?utm_source=feed&utm_campaign=x#frag'
+        |      WHEN 1 THEN 'https://example.com/articles/' || (doc_id % 50)::VARCHAR
+        |      WHEN 2 THEN 'HTTPS://EXAMPLE.com/news/../articles/' || (doc_id % 50)::VARCHAR || '?ref=tw'
+        |      WHEN 3 THEN 'https://example.com/./articles/' || (doc_id % 50)::VARCHAR || '?utm_medium=y&keep=1'
+        |      ELSE 'http://example.com:8080/Articles/' || (doc_id % 50)::VARCHAR || '?a=1&gclid=z&b=2'
+        |    END AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u
+        |  FROM planted),
+        |comp AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS auth,
+        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path,
+        |    CASE WHEN strpos(u, '?') > 0 THEN substr(u, strpos(u, '?') + 1) ELSE '' END AS q
+        |  FROM parts),
+        |norm AS (
+        |  SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |         ELSE auth END AS auth,
+        |    CASE WHEN path = '' THEN '/' ELSE
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(path,
+        |        '/\./', '/', 'g'), '/\./', '/', 'g'),
+        |        '/[^/]+/\.\./', '/', 'g'), '/[^/]+/\.\./', '/', 'g') END AS path,
+        |    coalesce(array_to_string(list_filter(string_split(q, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)')), '&'), '') AS q
+        |  FROM comp),
+        |canon AS (
+        |  SELECT doc_id, url,
+        |    scheme || '://' || auth || path ||
+        |      CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_canon
+        |  FROM norm)
+        |SELECT doc_id, url, url_canon FROM (
+        |  SELECT doc_id, url, url_canon,
+        |    row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rn
+        |  FROM canon) WHERE rn = 1""".stripMargin,
+
+
+    // q81: full recompute — the fixture, the (doc, trimmed-line)
+    // distinct DF count, the >= 50 threshold, and the order-preserving
+    // list_filter reassembly (blank-trimmed lines immune on both
+    // sides). trim() is space-only in BOTH engines by design
+    "q81_line_dedup" ->
+      """WITH fix AS (
+        |  SELECT doc_id,
+        |    'NAV: home | about | contact' || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'subscribe to our newsletter' || chr(10) ELSE '' END ||
+        |    coalesce(text, '') || chr(10) ||
+        |    'permalink doc-' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    'copyright example corp all rights reserved' AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT DISTINCT doc_id, trim(line) AS t
+        |  FROM fix, unnest(string_split(text, chr(10))) AS u(line)
+        |  WHERE trim(line) <> ''),
+        |d AS (SELECT t FROM l GROUP BY t HAVING count(*) >= 50),
+        |b AS (SELECT coalesce(list(t), []::VARCHAR[]) AS bl FROM d),
+        |per AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM fix)
+        |SELECT p.doc_id,
+        |  CAST(len(p.ls) AS BIGINT) AS n_lines,
+        |  CAST(len(p.ls) - len(list_filter(p.ls,
+        |    x -> trim(x) = '' OR NOT list_contains(b.bl, trim(x)))) AS BIGINT)
+        |    AS n_dropped,
+        |  array_to_string(list_filter(p.ls,
+        |    x -> trim(x) = '' OR NOT list_contains(b.bl, trim(x))), chr(10))
+        |    AS text_clean
+        |FROM per p CROSS JOIN b""".stripMargin,
+
+
+    // q87: the full estimator pipeline recomputed from raw text — q82's
+    // md5-60-bit hashes and per-lang k-th-smallest, PLUS the pairwise
+    // union sketch rebuilt as the k smallest distinct hashes over both
+    // langs (exactly what merging two KMV sketches yields), then the
+    // same inclusion-exclusion and x10000 integral division in HUGEINT
+    "q87_corpus_overlap" ->
+      raw"""WITH toks AS (
+        |  SELECT lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |t AS (SELECT lang, u.term FROM toks, unnest(ts) AS u(term)),
+        |h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS hv
+        |  FROM t),
+        |r AS (
+        |  SELECT lang, hv,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS c
+        |  FROM h),
+        |ke AS (
+        |  SELECT lang,
+        |    CAST(CASE WHEN c < 64 THEN c
+        |         ELSE (CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+        |              // greatest(hv, 1) END AS BIGINT) AS est
+        |  FROM r WHERE rn = least(c, 64)),
+        |pairs AS (
+        |  SELECT a.lang AS key_a, b.lang AS key_b
+        |  FROM (SELECT DISTINCT lang FROM h) a,
+        |       (SELECT DISTINCT lang FROM h) b
+        |  WHERE a.lang < b.lang),
+        |uh AS (
+        |  SELECT DISTINCT p.key_a, p.key_b, h.hv
+        |  FROM pairs p JOIN h ON h.lang = p.key_a OR h.lang = p.key_b),
+        |ur AS (
+        |  SELECT key_a, key_b, hv,
+        |    row_number() OVER (PARTITION BY key_a, key_b ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY key_a, key_b) AS c
+        |  FROM uh),
+        |ue AS (
+        |  SELECT key_a, key_b,
+        |    CAST(CASE WHEN c < 64 THEN c
+        |         ELSE (CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+        |              // greatest(hv, 1) END AS BIGINT) AS est_union
+        |  FROM ur WHERE rn = least(c, 64))
+        |SELECT p.key_a, p.key_b, ea.est AS est_a, eb.est AS est_b,
+        |  ue.est_union,
+        |  CAST(greatest(ea.est + eb.est - ue.est_union, 0) AS BIGINT)
+        |    AS est_intersect,
+        |  CAST((CAST(greatest(ea.est + eb.est - ue.est_union, 0) AS HUGEINT)
+        |        * 10000) // greatest(ue.est_union, 1) AS BIGINT)
+        |    AS jaccard_x10000
+        |FROM pairs p
+        |JOIN ke ea ON ea.lang = p.key_a
+        |JOIN ke eb ON eb.lang = p.key_b
+        |JOIN ue ON ue.key_a = p.key_a AND ue.key_b = p.key_b""".stripMargin,
+
+
+    // the FastSS candidate stage replayed in substr algebra, verified
+    // with DuckDB's native levenshtein — both pipeline stages
+    // independently recomputed (engine bucket cap of 512 is inert
+    // here: the widest organic bucket is the ~25-member digit class)
+    "q113_edit_join" ->
+      raw"""WITH base AS (
+        |  SELECT doc_id * 4 AS sid,
+        |    'report ' || CAST(doc_id AS VARCHAR) || ' summary' AS s
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 1,
+        |    'repost ' || CAST(doc_id AS VARCHAR) || ' summary'
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 2,
+        |    'rxpxrt ' || CAST(doc_id AS VARCHAR) || ' summary'
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |sigs AS (
+        |  SELECT DISTINCT sid, s, sig
+        |  FROM base, unnest([s] || list_transform(range(length(s)),
+        |    i -> substr(s, 1, i) || substr(s, i + 2, length(s)))) AS u(sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.sid AS id_a, b.sid AS id_b, a.s AS sa, b.s AS sb
+        |  FROM sigs a JOIN sigs b ON b.sig = a.sig AND a.sid < b.sid)
+        |SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(sa, sb) <= 1""".stripMargin
+  )
+}

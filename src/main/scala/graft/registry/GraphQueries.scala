@@ -1,0 +1,435 @@
+package graft.registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.SparkEntry._
+import graft.functions.{Cidr, RiskFeatures}
+import graft.rules.{GraftConfig, RuleEngine}
+import graft.session.Sessionizer
+import graft.sources.ParseLogLine
+
+/** Graph query registry — link-graph ops (PageRank family, triangles, robots/blocklist gates, snapshot diff).
+  *
+  * Mechanically split out of the former SparkEntry monolith (round
+  * 10): entry text is unchanged; [[graft.SparkEntry.queries]] merges
+  * every registry back into the single driver-facing map, and the
+  * shared fixtures/oracle helpers stay on SparkEntry (`private[graft]`).
+  */
+object GraphQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // corpus snapshot diff — the incremental-curation primitive: old =
+    // last crawl (every-89th doc missing, every-13th doc's text at v1),
+    // new = today's (every-97th doc dropped); classify every id as
+    // added/removed/changed/unchanged by md5 content hash. Both sides
+    // project to (id, hash) BEFORE the one full-outer shuffle — the
+    // payload never shuffles
+    "q85_snapshot_diff" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 89 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0,
+            concat(lit("v1 "), coalesce(col("text"), lit(""))))
+            .otherwise(col("text")).as("text"))
+      val newSnap = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"))
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
+    }),
+
+
+    // domain blocklist gate — the URL-level filter before any content
+    // work: hosts matching a blocked domain by the label-aligned
+    // suffix rule (exact or ".domain"-suffixed; "nottracker.example"
+    // must NOT match "tracker.example"). Uses the SCALE path: suffix
+    // chain explode + equi-join against the blocklist table — only
+    // (id, suffix) pairs shuffle, AQE broadcasts the hit set
+    "q86_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val n = (col("doc_id") % 50).cast("string")
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit("https://ads.tracker.example/p/"), n))
+          .when(col("doc_id") % 7 === 1, concat(lit("https://tracker.example/x/"), n))
+          .when(col("doc_id") % 7 === 2, concat(lit("https://nottracker.example/x/"), n))
+          .when(col("doc_id") % 7 === 3, concat(lit("https://spam.net:8443/y/"), n))
+          .when(col("doc_id") % 7 === 4, concat(lit("https://user:pw@sub.spam.net/z/"), n))
+          .when(col("doc_id") % 7 === 5, lit("not a url"))
+          .otherwise(concat(lit("https://good.example.org/ok/"), n)).as("url"))
+      val blocklist = Seq("tracker.example", "spam.net").toDF("domain")
+      graft.operators.Blocklist.flagBlocked(
+        planted.withColumn("url_host", graft.operators.Blocklist.urlHost(col("url"))),
+        "doc_id", col("url_host"), blocklist)
+        .select(col("doc_id"), col("url_host"), col("blocked"))
+    }),
+
+
+    // PageRank over a deterministic doc-id link graph (two modular
+    // out-links per doc + a hub link to doc 0 from every 10th doc):
+    // 5 exact fixed-point power iterations — the oracle recomputes the
+    // SAME integer recurrence through 5 unrolled CTE iterations, so the
+    // ranks hash-match exactly (no float tolerance anywhere).
+    "q94_pagerank" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id * 7 + 1) % $n").as("dst"))
+      val e2 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id * 13 + 2) % $n").as("dst"))
+      val e3 = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("src"), lit(0L).as("dst"))
+      graft.operators.LinkGraph.pageRank(
+          docs, "doc_id", e1.union(e2).union(e3), iters = 5)
+        .select(col("doc_id"), col("rank").as("rank_fp"))
+    }),
+
+
+    // host-level PageRank joined back per document — the composed
+    // pipeline shape: extract hosts from planted doc URLs (the q72/q86
+    // URL machinery), build the distinct host link graph (+ a hub),
+    // md5-60-bit host ids (the family's engine-agnostic hash; the
+    // oracle never needs them — it runs the same recurrence keyed on
+    // the host STRINGS), rank with the q94 fixed-point iterations, and
+    // broadcast-join host_rank back to every document
+    "q100_host_rank" -> ((s, dir) => {
+      import graft.operators.{Blocklist, DistinctSketch, LinkGraph}
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+          lit(".example/p/"), col("doc_id").cast("string")).as("url"),
+        concat(lit("https://h"), ((col("doc_id") * 3 + 1) % 20).cast("string"),
+          lit(".example/x")).as("out_link"))
+      val withHosts = planted.select(col("doc_id"),
+        Blocklist.urlHost(col("url")).as("host"),
+        Blocklist.urlHost(col("out_link")).as("tgt"))
+      val nodes = withHosts.select(col("host")).distinct()
+        .withColumn("hid", DistinctSketch.hash60(col("host")))
+      val edges = withHosts.select(col("host").as("sh"), col("tgt").as("dh"))
+        .union(withHosts.select(col("host").as("sh"), lit("h0.example").as("dh")))
+        .distinct()
+        .select(DistinctSketch.hash60(col("sh")).as("src"),
+          DistinctSketch.hash60(col("dh")).as("dst"))
+      val ranks = LinkGraph.pageRank(nodes, "hid", edges, iters = 5)
+      withHosts.select(col("doc_id"), col("host"))
+        .join(broadcast(nodes.join(ranks, "hid")), "host")
+        .select(col("doc_id"), col("host"), col("rank").as("host_rank_fp"))
+    }),
+
+
+    // TrustRank: q94's link graph with teleport mass restricted to a
+    // trusted seed set (every 25th doc) — rank measures
+    // link-distance-discounted reachability from trusted ground; the
+    // oracle masks init and base with the same seed CASE
+    "q104_trustrank" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id * 7 + 1) % $n").as("dst"))
+      val e2 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id * 13 + 2) % $n").as("dst"))
+      val e3 = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("src"), lit(0L).as("dst"))
+      val seeds = docs.filter(col("doc_id") % 25 === 0)
+      graft.operators.LinkGraph.personalizedPageRank(
+          docs, "doc_id", e1.union(e2).union(e3), seeds, iters = 5)
+        .select(col("doc_id"), col("rank").as("trust_fp"))
+    }),
+
+
+    // per-node triangle counts on an undirected link graph — the local
+    // clustering signal (spam farms are triangle-dense). Chain edges
+    // (+1, +2 mod n) guarantee a triangle per consecutive triple; the
+    // q94 modular edges add irregular noise. Oracle is a brute
+    // canonical triple join over the deduped edge set
+    "q105_triangles" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id + 1) % $n").as("dst"))
+      val e2 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id + 2) % $n").as("dst"))
+      val e3 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id * 7 + 1) % $n").as("dst"))
+      graft.operators.LinkGraph.triangleCounts(e1.union(e2).union(e3))
+        .select(col("id").as("doc_id"), col("n_triangles"))
+    }),
+
+
+    // local clustering coefficient over the q105 graph — integer
+    // x10000 emission so no float division crosses engines
+    "q106_clustering" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id + 1) % $n").as("dst"))
+      val e2 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id + 2) % $n").as("dst"))
+      val e3 = docs.select(col("doc_id").as("src"),
+        expr(s"(doc_id * 7 + 1) % $n").as("dst"))
+      graft.operators.LinkGraph.clusteringCoeff(e1.union(e2).union(e3))
+        .select(col("id").as("doc_id"), col("degree"),
+          col("n_triangles"), col("coeff_x10000"))
+    }),
+
+
+    // HTML outlink extraction + RFC 3986 resolution over a planted
+    // page fixture exercising every href shape (absolute, protocol-
+    // relative, rooted, relative, dot-relative, unquoted/single-quoted
+    // attributes, javascript:/mailto:/empty/fragment-only refs).
+    // Oracle: extraction + quote-strip + dst_host recompute in DuckDB
+    // from the same fixture formula; resolution comes from an
+    // INDEPENDENT implementation (java.net.URI) embedded as VALUES —
+    // the engine's hand-written §5.2 transform must agree with the
+    // JDK's on every emitted row (OracleGen.linkOracle)
+    "q115_outlinks" -> ((s, dir) => {
+      val fx = linkFixture(s, dir)
+      graft.textops.LinkExtract
+        .outlinks(fx, Seq(col("doc_id")), col("page_url"), col("html"))
+        .select("doc_id", "link_idx", "href", "url", "dst_host")
+    }),
+
+
+    // robots-style longest-prefix URL gate over a planted per-host
+    // rule table: /private disallowed but /private/ok re-allowed
+    // (longest wins), /tmp allow+disallow tie on host3 (allow wins),
+    // host5 blanket-disallowed, host6 ruleless (opt-out default),
+    // %5==4 URLs have an empty path (reads as "/"). Static oracle
+    // replays the whole decision in SQL with the rules as VALUES
+    "q119_robots_gate" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(lit("https://host"), (id % 7).cast("string"),
+        lit(".example.com"),
+        when(id % 5 === 0, concat(lit("/private/page"), id.cast("string")))
+          .when(id % 5 === 1, concat(lit("/private/ok/page"), id.cast("string")))
+          .when(id % 5 === 2, concat(lit("/public/page"), id.cast("string")))
+          .when(id % 5 === 3, concat(lit("/tmp/x"), id.cast("string")))
+          .otherwise(lit("")))
+      val urls = table(s, dir, "documents").select(id, url.as("url"))
+      import s.implicits._
+      val rules = (0 until 6).flatMap { k =>
+        val h = s"host$k.example.com"
+        Seq((h, false, "/private"), (h, true, "/private/ok")) ++
+          (if (k % 2 == 0) Seq((h, false, "/tmp")) else Nil) ++
+          (if (k == 3) Seq((h, false, "/tmp"), (h, true, "/tmp")) else Nil) ++
+          (if (k == 5) Seq((h, false, "/")) else Nil)
+      }.toDF("host", "allow", "prefix")
+      graft.operators.RobotsGate.decide(
+        urls, Seq(col("doc_id")), col("url"), rules)
+    }),
+
+
+    // the crawl loop CLOSED: q115's extracted+resolved outlinks →
+    // distinct (src_host, dst_host) edges (self-links dropped) →
+    // q94's integer PageRank over md5-60-bit host ids → per-host
+    // fixed-point ranks. Host payloads never enter the iteration
+    // (q100's discipline); the oracle replays edges from the embedded
+    // independent resolution and the recurrence on host strings
+    "q123_outlink_rank" -> ((s, dir) => {
+      import graft.operators.{Blocklist, DistinctSketch, LinkGraph}
+      val fx = linkFixture(s, dir)
+      val links = graft.textops.LinkExtract
+        .outlinks(fx, Seq(col("doc_id")), col("page_url"), col("html"))
+      val pages = fx.select(col("doc_id"),
+        Blocklist.urlHost(col("page_url")).as("src_host"))
+      val hostEdges = links.select(col("doc_id"), col("dst_host"))
+        .join(pages, "doc_id")
+        .filter(col("dst_host").isNotNull &&
+          col("dst_host") =!= col("src_host"))
+        .select(col("src_host").as("sh"), col("dst_host").as("dh"))
+        .distinct()
+      val nodes = hostEdges.select(col("sh").as("host"))
+        .union(hostEdges.select(col("dh").as("host"))).distinct()
+        .withColumn("hid", DistinctSketch.hash60(col("host")))
+      val edges = hostEdges.select(
+        DistinctSketch.hash60(col("sh")).as("src"),
+        DistinctSketch.hash60(col("dh")).as("dst"))
+      val ranks = LinkGraph.pageRank(nodes, "hid", edges, iters = 5)
+      nodes.join(ranks, "hid")
+        .select(col("host"), col("rank").as("host_rank_fp"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // q85: the same two snapshot fixtures rebuilt in SQL, md5 content
+    // hashes, and a full-outer-join CASE — DuckDB md5(varchar) equals
+    // Spark md5 over the UTF-8 bytes (the Sampling-family discipline)
+    "q85_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    md5(coalesce(CASE WHEN doc_id % 13 = 0
+        |        THEN 'v1 ' || coalesce(text, '') ELSE text END, ''))
+        |      AS old_hash
+        |  FROM documents WHERE doc_id % 89 <> 0),
+        |n AS (
+        |  SELECT doc_id, md5(coalesce(text, '')) AS new_hash
+        |  FROM documents WHERE doc_id % 97 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN old_hash = new_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_hash, new_hash
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+
+    // q86: host extraction (authority sans userinfo/port, lowered,
+    // NULL for non-URLs) and the label-aligned suffix rule rebuilt
+    // with DuckDB regex/LIKE — the '.'-anchored LIKE is exactly the
+    // engine's suffix-chain join semantics
+    "q86_blocklist" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 7
+        |      WHEN 0 THEN 'https://ads.tracker.example/p/' || (doc_id % 50)::VARCHAR
+        |      WHEN 1 THEN 'https://tracker.example/x/' || (doc_id % 50)::VARCHAR
+        |      WHEN 2 THEN 'https://nottracker.example/x/' || (doc_id % 50)::VARCHAR
+        |      WHEN 3 THEN 'https://spam.net:8443/y/' || (doc_id % 50)::VARCHAR
+        |      WHEN 4 THEN 'https://user:pw@sub.spam.net/z/' || (doc_id % 50)::VARCHAR
+        |      WHEN 5 THEN 'not a url'
+        |      ELSE 'https://good.example.org/ok/' || (doc_id % 50)::VARCHAR
+        |    END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    nullif(lower(regexp_replace(regexp_replace(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^.*@', ''), ':[0-9]*$', '')), '') AS url_host
+        |  FROM planted)
+        |SELECT doc_id, url_host,
+        |  coalesce(
+        |    url_host = 'tracker.example' OR url_host LIKE '%.tracker.example'
+        |    OR url_host = 'spam.net' OR url_host LIKE '%.spam.net',
+        |    FALSE) AS blocked
+        |FROM h""".stripMargin,
+
+
+    "q94_pagerank" -> oracleSqlQ94,
+
+
+    "q100_host_rank" -> oracleSqlQ100,
+
+
+    "q104_trustrank" -> oracleSqlQ104,
+
+
+    // brute canonical triple join (a < b < c over the undirected
+    // deduped simple edge set), each triangle credited to its three
+    // corners via unnest
+    "q105_triangles" ->
+      raw"""WITH raw(src, dst) AS (
+        |  SELECT doc_id, (doc_id + 1) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 7 + 1) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src != dst),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT t.id FROM tri, unnest([x, y, z]) AS t(id))
+        |SELECT id AS doc_id, count(*) AS n_triangles
+        |FROM corners GROUP BY id""".stripMargin,
+
+
+    "q106_clustering" ->
+      raw"""WITH raw(src, dst) AS (
+        |  SELECT doc_id, (doc_id + 1) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 7 + 1) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src != dst),
+        |deg AS (
+        |  SELECT id, count(*) AS degree FROM (
+        |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY id),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (
+        |  SELECT t.id, count(*) AS n_triangles
+        |  FROM tri, unnest([x, y, z]) AS t(id) GROUP BY t.id)
+        |SELECT d.id AS doc_id, d.degree,
+        |  COALESCE(tc.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN d.degree >= 2
+        |       THEN (COALESCE(tc.n_triangles, 0) * 20000) // (d.degree * (d.degree - 1))
+        |       ELSE 0 END AS coeff_x10000
+        |FROM deg d LEFT JOIN tc ON tc.id = d.id""".stripMargin,
+
+
+    // q119: the same fixture formula, the rule table as VALUES, and
+    // the decision replayed via a ranked window: longest prefix, then
+    // allow over disallow, then prefix text (the engine's struct-max
+    // ordering); unmatched rows sort last via the match flag
+    "q119_robots_gate" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN '/private/page' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '/private/ok/page' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN '/public/page' || CAST(doc_id AS VARCHAR)
+        |      WHEN 3 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+        |      ELSE '' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    CASE WHEN length(h2) > 0 THEN lower(h2) END AS host,
+        |    CASE WHEN length(pth) = 0 THEN '/' ELSE pth END AS path
+        |  FROM (
+        |    SELECT doc_id, url,
+        |      regexp_replace(regexp_replace(regexp_extract(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^.*@', ''),
+        |        ':[0-9]*$', '') AS h2,
+        |      regexp_replace(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS pth
+        |    FROM urls)),
+        |rules(host, allow, prefix) AS (VALUES
+        |  ('host0.example.com', false, '/private'),
+        |  ('host0.example.com', true, '/private/ok'),
+        |  ('host0.example.com', false, '/tmp'),
+        |  ('host1.example.com', false, '/private'),
+        |  ('host1.example.com', true, '/private/ok'),
+        |  ('host2.example.com', false, '/private'),
+        |  ('host2.example.com', true, '/private/ok'),
+        |  ('host2.example.com', false, '/tmp'),
+        |  ('host3.example.com', false, '/private'),
+        |  ('host3.example.com', true, '/private/ok'),
+        |  ('host3.example.com', false, '/tmp'),
+        |  ('host3.example.com', true, '/tmp'),
+        |  ('host4.example.com', false, '/private'),
+        |  ('host4.example.com', true, '/private/ok'),
+        |  ('host4.example.com', false, '/tmp'),
+        |  ('host5.example.com', false, '/private'),
+        |  ('host5.example.com', true, '/private/ok'),
+        |  ('host5.example.com', false, '/')),
+        |j AS (
+        |  SELECT p.doc_id, p.url, p.host, r.allow, r.prefix
+        |  FROM p LEFT JOIN rules r
+        |    ON r.host = p.host AND starts_with(p.path, r.prefix)),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY (prefix IS NOT NULL) DESC, length(prefix) DESC,
+        |             allow DESC, prefix DESC) AS rn
+        |  FROM j)
+        |SELECT doc_id, url, host,
+        |  coalesce(allow, true) AS allowed, prefix AS matched_prefix
+        |FROM rk WHERE rn = 1""".stripMargin
+  )
+}

@@ -1,0 +1,633 @@
+package graft.registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.SparkEntry._
+import graft.functions.{Cidr, RiskFeatures}
+import graft.rules.{GraftConfig, RuleEngine}
+import graft.session.Sessionizer
+import graft.sources.ParseLogLine
+
+/** Pipeline query registry — corpus assembly (sampling, mixtures, budgets, shards, packing, manifests) + mergeable sketches.
+  *
+  * Mechanically split out of the former SparkEntry monolith (round
+  * 10): entry text is unchanged; [[graft.SparkEntry.queries]] merges
+  * every registry back into the single driver-facing map, and the
+  * shared fixtures/oracle helpers stay on SparkEntry (`private[graft]`).
+  */
+object PipelineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // deterministic md5-bucket sampling (~12.5%): same kept set in any
+    // engine/run/partitioning — the oracle recomputes the bucket in SQL
+    "q48_sample" -> ((s, dir) => {
+      graft.operators.Sampling.deterministicSample(
+        table(s, dir, "documents"), col("doc_id"), keepBuckets = 32)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+
+    // token-budget corpus cut: keep documents in doc_id order while
+    // the running whitespace-token total stays within budget — the
+    // "fill the training mix" step, via the two-phase range-partitioned
+    // cumsum (no unpartitioned window anywhere in the plan)
+    "q56_budget_cut" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Budget.takeWhileBudget(
+        docs, col("doc_id"), col("n_tokens"), budget = 20000L,
+        cumCol = "cum_tokens", chunkSize = 1000L)
+    }),
+
+
+    // per-(lang, source) quota — the anti-over-representation cap of a
+    // corpus mix; one hash shuffle on the group key
+    "q57_source_quota" -> ((s, dir) => {
+      graft.operators.Budget.quotaPerGroup(
+        table(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        Seq(col("lang"), col("source")), col("doc_id"), quota = 20)
+    }),
+
+
+    // stratified deterministic sample: downweight the over-represented
+    // lang (en keeps 32/256), keep the rare ones whole (zh 256), drop
+    // strata with no rate (default 0) — same md5 bucket as q48, so the
+    // oracle recomputes row fates exactly
+    "q59_stratified" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedSample(
+        table(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"),
+        Map("en" -> 32, "de" -> 128, "zh" -> 256), defaultKeepBuckets = 64)
+    }),
+
+
+    // per-language token budget (the mix-spec form): one hash shuffle,
+    // per-group windowed cumsum, same alias discipline as q56
+    "q60_budget_per_lang" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"),
+        graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Budget.takeWhileBudgetPerGroup(
+        docs, Seq(col("lang")), col("doc_id"), col("n_tokens"),
+        budget = 5000L, cumCol = "cum_tokens")
+    }),
+
+
+    // the curation-pipeline FLAGSHIP: the full staged chain a real
+    // training-data run executes — clean → lang-id → quality filter →
+    // content gate (blocked phrases) → exact dedup → near-dup
+    // keep-best → span dedup → decontaminate → global token-budget
+    // cut → training-shard assignment — composed
+    // from the individually-oracled
+    // operators into ONE query with ONE generated oracle that
+    // recomputes every stage (engine supplies only the stage-4 minhash
+    // keys; ExplainAudit records the whole-chain plan in PLANS.md)
+    "q65_curation_pipeline" -> ((s, dir) => {
+      // three consumers reference stage 4 (edge generation, keep-best,
+      // the final lang join) — checkpoint it once instead of
+      // recomputing the clean+verdict+dedup subtree per consumer (the
+      // parquet-staging shape a production pipeline uses between
+      // phases; eager, so the cost lands inside this query's timing)
+      val s4 = curationStage4(s, dir).localCheckpoint()
+      val edges = graft.textops.NearDup.minhashPairs(
+        s4, "doc_id", "text", threshold = 0.5, maxBucketSize = 100)
+        .select("id_a", "id_b")
+      // project the score early: the component join + keep-best window
+      // shuffle (doc_id, len), not the text payload
+      val s5 = graft.operators.Dedup.dropNearDupsBy(
+        s4.select(col("doc_id"), col("text"), length(col("text")).as("_len")),
+        "doc_id", col("_len"), edges).drop("_len")
+      val s6 = graft.textops.SpanDedup.dedupSpans(s5, "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("text_dedup").as("text"))
+      val s7 = graft.textops.SpanDedup.decontaminate(
+        s6, "doc_id", "text", evalCorpus(s, dir), "text", k = 8)
+        .filter(!col("flagged"))
+        .select(col("doc_id"), col("text_clean").as("text"), col("n_tokens"))
+      val s8 = graft.operators.Budget.takeWhileBudget(
+        s7, col("doc_id"), col("n_tokens"), budget = 15000L, cumCol = "cum_tokens")
+      // stage 9: training-shard assignment over the kept prefix — the
+      // materialize-for-training tail (write with writeTokenShards);
+      // a row-local DIV on the cumsum stage 8 already computed
+      s8.join(s4.select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang_pred"), col("text"),
+          col("n_tokens"), col("cum_tokens"))
+        .withColumn("shard_id", expr("greatest(cum_tokens - 1L, 0L) div 2000L"))
+    }),
+
+
+    // token-bounded output sharding — the materialize-for-training
+    // last stage: cut the corpus (in doc_id order) into contiguous
+    // <=5000-token shards (a doc never splits; an oversized doc gets
+    // its own shard); rides q56's chunked cumsum — ONE full-data
+    // shuffle, the shard assignment is a row-local integral DIV
+    "q70_token_shards" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Budget.shardByTokenBudget(
+        docs, col("doc_id"), col("n_tokens"), shardBudget = 5000L,
+        shardCol = "shard_id", cumCol = "cum_tokens", chunkSize = 1000L)
+    }),
+
+
+    // deterministic global corpus shuffle composed with sharding: the
+    // seeded xxhash64 permutation defines the training order, the
+    // token cumsum runs in THAT order, shards cut the shuffled stream
+    // — shuffle-then-shard, still ONE full-data shuffle. Oracle is
+    // generated: engine emits only (doc_id, shuffle_key); DuckDB
+    // independently recomputes tokens, the (key, id) order, the
+    // cumsum, and the shard assignment
+    "q71_shuffle_shard" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
+      graft.operators.CorpusOrder.shuffleShard(
+        docs, seed = 42L, idCol = col("doc_id"), weightCol = col("n_tokens"),
+        shardBudget = 5000L)
+    }),
+
+
+    // temperature-weighted mixture with repetition (the mT5/XLM-R
+    // alpha-smoothing recipe): chars-weighted lang rebalancing against
+    // a 400k-char budget at alpha=0.5 — rare langs upsample (epochs
+    // repeat whole docs), the dominant lang downweights. Oracle is
+    // generated: an independent driver implementation recomputes the
+    // per-stratum (n_full, thr) plan from the raw columns; DuckDB
+    // recomputes the per-doc 24-bit md5 coin and the epoch explosion
+    "q75_mixture" -> ((s, dir) => {
+      graft.operators.Mixture.temperatureMix(
+        table(s, dir, "documents"), col("doc_id"), col("lang"), col("n_chars"),
+        alpha = 0.5, budget = 400000L)
+        .select(col("id").as("doc_id"), col("stratum").as("lang"), col("epoch"))
+    }),
+
+
+    // per-source quota cap (the C4/RefinedWeb per-host cap): keep the
+    // 8 longest docs per source, rank in rk. ONE window + rank filter
+    // — the plan Catalyst bounds map-side via InferWindowGroupLimit
+    // (each scan task forwards <= k rows per key before the exchange;
+    // ScaleBench phase 1f measures it against both the salted
+    // two-phase and the rule-disabled truly-naive window)
+    "q76_quota" -> ((s, dir) => {
+      graft.operators.Quota.capPerKey(
+        table(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        key = Seq(col("source")), order = Seq(col("n_chars").desc),
+        id = col("doc_id"), k = 8)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rk").cast("long").as("rk"))
+    }),
+
+
+    // shard-write manifest: the integrity record a materialized
+    // training corpus carries — per shard, doc count, token sum, id
+    // range, and an ORDER-INDEPENDENT bit_xor checksum of md5-60-bit
+    // id:weight hashes, so any engine can re-verify a copy. Composes
+    // q71's shuffle-shard assignment; generated oracle recomputes the
+    // permutation order, the cumsum, the shard DIV, and the checksum
+    "q83_shard_manifest" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
+      val sharded = graft.operators.CorpusOrder.shuffleShard(
+        docs, seed = 42L, idCol = col("doc_id"),
+        weightCol = col("n_tokens"), shardBudget = 5000L)
+      graft.operators.ShardManifest.manifest(
+        sharded, "shard_id", "doc_id", "n_tokens")
+    }),
+
+
+    // sequence packing — the step after sharding: the corpus token
+    // stream (docs concatenated in doc_id order) cut into fixed
+    // 512-token training sequences; documents SPLIT across sequence
+    // boundaries (the dual of q70's never-split shards), one row per
+    // (doc, sequence) overlap. Rides the q56 chunked cumsum — ONE
+    // full-data shuffle, the slice explosion is a row-local Generate
+    "q84_pack_sequences" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing.packSequences(
+        docs, col("doc_id"), col("n_tokens"), seqLen = 512L, chunkSize = 1000L)
+    }),
+
+
+    // weighted sample without replacement (Efraimidis–Spirakis A-ES,
+    // md5-derived uniforms): 100 docs weight-proportional by size —
+    // the oracle recomputes u, ln(u)/w, and the top-k cut in DuckDB
+    "q95_weighted_sample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), (coalesce(col("n_chars"), lit(0L)) + 1).as("w"))
+      graft.operators.Sampling.weightedSample(docs, col("doc_id"), col("w"), k = 100)
+    }),
+
+
+    // per-stratum weighted sample: 20 docs per language, weight = doc
+    // size — q95's A-ES key through the plain-window form that
+    // InferWindowGroupLimit prunes map-side (the q76 lesson applied to
+    // sampling); oracle recomputes key and per-lang rank in DuckDB
+    "q103_weighted_per_lang" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (coalesce(col("n_chars"), lit(0L)) + 1).as("w"))
+      graft.operators.Sampling.weightedSamplePerKey(
+        docs, col("doc_id"), col("w"), col("lang"), k = 20)
+    }),
+
+
+    // heavy hitters via a Misra-Gries TypedImperativeAggregate:
+    // capacity-bounded summary per task, pairwise-merged — the shuffle
+    // carries <= capacity rows per task instead of one per distinct
+    // term. Capacity (256) exceeds the corpus vocabulary (31 at every
+    // sf), so every estimate is EXACT (the MG no-decrement regime) and
+    // the exact group-count oracle applies; the bounded-error regime
+    // is spec-pinned (HeavyHittersSpec)
+    "q80_heavy_hitters" -> ((s, dir) => {
+      val terms = table(s, dir, "documents").select(
+        explode(graft.textops.TextIndex.terms(col("text"))).as("term"))
+      graft.operators.HeavyHitters.topK(terms, "term", capacity = 256, k = 20)
+    }),
+
+
+    // KMV distinct-count sketch (TypedImperativeAggregate): per-lang
+    // distinct-token estimates with k = 16 minima of the md5-derived
+    // 60-bit hash — the shuffle carries <= k longs per (task, lang)
+    // instead of one row per distinct value. The ESTIMATOR itself is
+    // oracle-checked: DuckDB recomputes the same md5 hashes, takes the
+    // k-th smallest, and evaluates the same integer (k-1)*2^60/h_k —
+    // both the exact (c < k) and estimating (c >= k) regimes
+    "q82_distinct_sketch" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("lang"),
+        explode(graft.textops.TextIndex.terms(col("text"))).as("term"))
+      graft.operators.DistinctSketch.estimateByKey(
+        toks, Seq(col("lang")), col("term"), k = 16)
+    }),
+
+
+    // count-min sketch point estimates — Misra-Gries' companion (q80
+    // answers WHICH keys are hot; this answers HOW OFTEN for any
+    // probed key) in one pass with depth*width fixed memory per task.
+    // Buckets are md5-derived ("d:term" % width), so the DuckDB
+    // oracle rebuilds the identical sketch from raw counts and takes
+    // the same min-over-rows — the estimator itself is hash-checked
+    "q89_count_min" -> ((s, dir) => {
+      val terms = table(s, dir, "documents").select(col("doc_id"),
+        explode(graft.textops.TextIndex.terms(col("text"))).as("term"))
+      val probes = terms.filter(col("doc_id") < 3).select(col("term"))
+      graft.operators.CountMin.estimateProbes(
+        terms, col("term"), probes, "term", depth = 4, width = 1024)
+    }),
+
+
+    // Bloom membership sketch — the seen-set prefilter: ONE fixed-size
+    // aggregation over the corpus vocabulary (m/64 longs per task),
+    // probes answered against the broadcast one-row sketch frame by
+    // pure Column arithmetic. Probes mix present terms (must all be
+    // true — no false negatives) with planted absent keys (false
+    // unless a real double-hash collision fills all 5 bits — the
+    // oracle recomputes the exact set-bit set, so even a false
+    // positive must MATCH)
+    "q91_bloom" -> ((s, dir) => {
+      val terms = table(s, dir, "documents").select(col("doc_id"),
+        explode(graft.textops.TextIndex.terms(col("text"))).as("term"))
+      val present = terms.filter(col("doc_id") < 3).select(col("term"))
+      val absent = s.range(0, 8)
+        .select(concat(lit("zzz_absent_"), col("id").cast("string")).as("term"))
+      graft.operators.Bloom.mightContainProbes(
+        terms, col("term"), present.union(absent), "term",
+        m = 1 << 17, k = 5)
+    }),
+
+
+    // mergeable quantile sketch: per-source token-length p50/p90/p99
+    // via the bottom-k value-count sketch (multiset-pure — unlike
+    // KLL/GK its output is independent of stream and merge order, so
+    // the oracle recomputes it EXACTLY in both regimes: ORDER BY
+    // (hash, value) LIMIT k, then a cumulative-sum lower quantile
+    // over the retained histogram). k=16 so corpus sources (whose
+    // distinct token-length count exceeds it) run the estimator
+    // regime, not just the exact one
+    "q110_quantile_sketch" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("source"),
+        graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("ntok"))
+      graft.operators.QuantileSketch.quantilesByKey(
+        docs, Seq(col("source")), col("ntok"), k = 16)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q48_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || md5(CAST(doc_id AS VARCHAR))[1:2])::INT % 256 < 32""".stripMargin,
+
+
+    // the oracle's one-window cumsum IS the semantics; the engine's
+    // range-partitioned two-phase formulation must reproduce it exactly
+    "q56_budget_cut" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+        |         END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 20000""".stripMargin,
+
+
+    "q57_source_quota" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |         row_number() OVER (PARTITION BY lang, source
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20""".stripMargin,
+
+
+    "q59_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || md5(CAST(doc_id AS VARCHAR))[1:2])::INT % 256 <
+        |  CASE lang WHEN 'en' THEN 32 WHEN 'de' THEN 128
+        |            WHEN 'zh' THEN 256 ELSE 64 END""".stripMargin,
+
+
+    "q60_budget_per_lang" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+        |         END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 5000""".stripMargin,
+
+
+    // the one-window cumsum + integer DIV is the shard semantics; the
+    // engine's chunked two-phase cumsum + row-local DIV must reproduce
+    // it exactly (DuckDB // is floor division — equal to Spark's
+    // truncating div for the non-negative greatest(cum-1, 0))
+    "q70_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+        |         END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(greatest(cum_tokens - 1, 0) // 5000 AS BIGINT) AS shard_id
+        |FROM c""".stripMargin,
+
+
+    // q76: the naive single-window form IS the semantics; the engine's
+    // two-phase salted top-k must reproduce its row set and ranks
+    // exactly (order made total by the doc_id tiebreak)
+    "q76_quota" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 8""".stripMargin,
+
+
+    // q84: the packing arithmetic recomputed from the same one-window
+    // cumsum as q70 — each doc's global span [gstart, cum) overlaps
+    // sequences gstart//512 .. (cum-1)//512 (generate_series), slice
+    // offsets are the same greatest/least integer algebra (DuckDB //
+    // is floor division — equal to Spark's div on these non-negatives)
+    "q84_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+        |         END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, n_tokens, cum_tokens,
+        |         cum_tokens - n_tokens AS gstart
+        |  FROM c WHERE n_tokens > 0),
+        |x AS (
+        |  SELECT doc_id, n_tokens, cum_tokens, gstart,
+        |    unnest(generate_series(gstart // 512, (cum_tokens - 1) // 512))
+        |      AS seq_id
+        |  FROM e)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |  CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(seq_id * 512 - gstart, 0) AS BIGINT) AS doc_start,
+        |  CAST(least(n_tokens, (seq_id + 1) * 512 - gstart)
+        |       - greatest(seq_id * 512 - gstart, 0) AS BIGINT) AS doc_len,
+        |  CAST(greatest(gstart - seq_id * 512, 0) AS BIGINT) AS seq_start
+        |FROM x""".stripMargin,
+
+
+    "q95_weighted_sample" ->
+      raw"""WITH s AS (
+        |  SELECT doc_id, COALESCE(n_chars, 0) + 1 AS w,
+        |    (CAST(('0x' || substr(md5('wsamp:' || doc_id::VARCHAR), 1, 15))
+        |          AS BIGINT) + 1) / 1152921504606846976.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, w FROM s
+        |ORDER BY ln(u) / w DESC, doc_id LIMIT 100""".stripMargin,
+
+
+    "q103_weighted_per_lang" ->
+      raw"""WITH s AS (
+        |  SELECT doc_id, lang, COALESCE(n_chars, 0) + 1 AS w,
+        |    (CAST(('0x' || substr(md5('wsamp:' || doc_id::VARCHAR), 1, 15))
+        |          AS BIGINT) + 1) / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, w,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY ln(u) / w DESC, doc_id) AS rk
+        |  FROM s)
+        |SELECT doc_id, lang, w FROM r WHERE rk <= 20""".stripMargin,
+
+
+    // q80: exact token counts ARE the MG estimates here (capacity >
+    // distinct vocabulary, so no decrement ever fires — the regime the
+    // scaladoc guarantees); rank ties break on term
+    "q80_heavy_hitters" ->
+      raw"""WITH toks AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT t.term, count(*) AS est
+        |  FROM toks, unnest(ts) AS t(term)
+        |  GROUP BY t.term),
+        |ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY est DESC, term) AS BIGINT) AS rank,
+        |         term, CAST(est AS BIGINT) AS est
+        |  FROM cnt)
+        |SELECT rank, term, est FROM ranked WHERE rank <= 20""".stripMargin,
+
+
+    // q82: the ESTIMATOR recomputed from scratch — same md5-60-bit
+    // hashes, distinct per (lang, hash), k-th smallest via row_number,
+    // and the identical integer (k-1)*2^60 // h_k (HUGEINT: 15*2^60
+    // overflows BIGINT); c < k reports c exactly. Tokenizer twin is
+    // q80's verbatim
+    "q82_distinct_sketch" ->
+      raw"""WITH toks AS (
+        |  SELECT lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |t AS (SELECT lang, u.term FROM toks, unnest(ts) AS u(term)),
+        |h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS hv
+        |  FROM t),
+        |r AS (
+        |  SELECT lang, hv,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS c
+        |  FROM h),
+        |kth AS (SELECT lang, hv AS hk, c FROM r WHERE rn = least(c, 16)),
+        |n AS (SELECT lang, count(*) AS n_values FROM t GROUP BY lang)
+        |SELECT n.lang, CAST(n.n_values AS BIGINT) AS n_values,
+        |  CAST(least(k.c, 16) AS BIGINT) AS n_hashes,
+        |  CAST(CASE WHEN k.c < 16 THEN k.c
+        |       ELSE (CAST(15 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+        |            // greatest(k.hk, 1) END AS BIGINT) AS est_distinct
+        |FROM n JOIN kth k ON n.lang = k.lang""".stripMargin,
+
+
+    // q89: the sketch rebuilt from exact term counts — depth row d's
+    // bucket is hex digits [8d, 8d+8) of ONE md5(term) (unsigned
+    // 32-bit slice) % width; bucket totals sum counts over colliding
+    // terms, estimates take the same min over rows; the linearity of
+    // the counters is what makes the group-by form equal the engine's
+    // streaming form
+    "q89_count_min" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |t AS (SELECT doc_id, u.term FROM toks, unnest(ts) AS u(term)),
+        |counts AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+        |dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+        |g AS (
+        |  SELECT dd.d,
+        |    CAST(('0x' || substr(md5(c.term), 1 + 8 * dd.d, 8))
+        |         AS BIGINT) % 1024 AS b,
+        |    sum(c.cnt) AS tot
+        |  FROM counts c CROSS JOIN dd GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT term FROM t WHERE doc_id < 3),
+        |pe AS (
+        |  SELECT p.term, dd.d,
+        |    CAST(('0x' || substr(md5(p.term), 1 + 8 * dd.d, 8))
+        |         AS BIGINT) % 1024 AS b
+        |  FROM probes p CROSS JOIN dd)
+        |SELECT pe.term, CAST(min(coalesce(g.tot, 0)) AS BIGINT) AS est
+        |FROM pe LEFT JOIN g ON g.d = pe.d AND g.b = pe.b
+        |GROUP BY pe.term""".stripMargin,
+
+
+    // q91: rebuild the exact SET-BIT SET from raw data under the same
+    // md5 double-hash scheme (h1/h2 = unsigned 32-bit md5 slices,
+    // stride forced odd with pure arithmetic), then answer every
+    // probe: might_contain = ALL k probed bits present. False
+    // positives are recomputed too, not tolerated
+    "q91_bloom" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |t AS (SELECT doc_id, u.term FROM toks, unnest(ts) AS u(term)),
+        |ii AS (SELECT unnest(generate_series(0, 4)) AS i),
+        |hv AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(md5(term), 9, 8)) AS BIGINT) AS h2
+        |  FROM t),
+        |bits AS (
+        |  SELECT DISTINCT (h1 + i * (h2 - h2 % 2 + 1)) % 131072 AS bit
+        |  FROM hv CROSS JOIN ii),
+        |probes AS (
+        |  SELECT DISTINCT term FROM t WHERE doc_id < 3
+        |  UNION
+        |  SELECT 'zzz_absent_' || unnest(generate_series(0, 7))::VARCHAR),
+        |ph AS (
+        |  SELECT term,
+        |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(md5(term), 9, 8)) AS BIGINT) AS h2
+        |  FROM probes),
+        |pb AS (
+        |  SELECT term, (h1 + i * (h2 - h2 % 2 + 1)) % 131072 AS bit
+        |  FROM ph CROSS JOIN ii)
+        |SELECT pb.term, bool_and(b.bit IS NOT NULL) AS might_contain
+        |FROM pb LEFT JOIN bits b ON b.bit = pb.bit
+        |GROUP BY pb.term""".stripMargin,
+
+
+    // full sketch replay: bottom-16 (md5 hash, value) pairs of the
+    // distinct token-count histogram per source, exact counts, lower
+    // quantile by cumulative sum — both regimes recomputed, not just
+    // the exact one
+    "q110_quantile_sketch" ->
+      raw"""WITH t AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+        |         END AS BIGINT) AS ntok
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, ntok AS v, count(*) AS c FROM t
+        |  WHERE ntok IS NOT NULL GROUP BY source, ntok),
+        |hh AS (
+        |  SELECT source, v, c,
+        |    CAST(('0x' || substr(md5('qsk:' || CAST(v AS VARCHAR)), 1, 15))
+        |         AS BIGINT) AS hv
+        |  FROM h),
+        |top AS (
+        |  SELECT source, v, c FROM (
+        |    SELECT source, v, c,
+        |      row_number() OVER (PARTITION BY source ORDER BY hv, v) AS rn
+        |    FROM hh) WHERE rn <= 16),
+        |w AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS wt,
+        |    CAST(count(*) AS BIGINT) AS np
+        |  FROM top GROUP BY source),
+        |cum AS (
+        |  SELECT tp.source, tp.v,
+        |    sum(tp.c) OVER (PARTITION BY tp.source ORDER BY tp.v) AS cm,
+        |    w.wt
+        |  FROM top tp JOIN w ON w.source = tp.source),
+        |qs AS (
+        |  SELECT source,
+        |    min(v) FILTER (WHERE cm * 10000 >= 5000 * wt) AS p50,
+        |    min(v) FILTER (WHERE cm * 10000 >= 9000 * wt) AS p90,
+        |    min(v) FILTER (WHERE cm * 10000 >= 9900 * wt) AS p99
+        |  FROM cum GROUP BY source),
+        |nn AS (SELECT source, count(ntok) AS n FROM t GROUP BY source)
+        |SELECT nn.source, CAST(nn.n AS BIGINT) AS n,
+        |  CAST(COALESCE(w.np, 0) AS BIGINT) AS n_pairs,
+        |  qs.p50, qs.p90, qs.p99
+        |FROM nn
+        |LEFT JOIN w ON w.source = nn.source
+        |LEFT JOIN qs ON qs.source = nn.source""".stripMargin
+  )
+}

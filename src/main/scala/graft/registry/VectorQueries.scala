@@ -1,0 +1,235 @@
+package graft.registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.SparkEntry._
+import graft.functions.{Cidr, RiskFeatures}
+import graft.rules.{GraftConfig, RuleEngine}
+import graft.session.Sessionizer
+import graft.sources.ParseLogLine
+
+/** Vector query registry — embedding ops (brute/LSH/IVF/PQ ANN, recall gates, semdedup, k-means refine, diversity, cluster keywords).
+  *
+  * Mechanically split out of the former SparkEntry monolith (round
+  * 10): entry text is unchanged; [[graft.SparkEntry.queries]] merges
+  * every registry back into the single driver-facing map, and the
+  * shared fixtures/oracle helpers stay on SparkEntry (`private[graft]`).
+  */
+object VectorQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // brute-force exact cosine top-5 for the first 20 vectors
+    "q27_embed_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.vector.Ann.cosineTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+    }),
+
+
+    // LSH ANN over the same queries (rows-only; recall pinned in AnnSpec)
+    "q28_ann_lsh" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.vector.Ann.lshTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nPlanes = 4)
+    }),
+
+
+    // IVF-flat ANN: kmeans coarse quantizer + nprobe cells (rows-only;
+    // recall vs brute pinned in AnnSpec)
+    "q32_ann_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.vector.Ivf.ivfTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6, cacheKey = Some(dir + "#embeddings"))
+    }),
+
+
+    // embedding-cosine near-dup pairs over planted perturbed copies
+    // (exact, fully oracle-checkable: brute pairwise with the tight-loop
+    // dot product)
+    "q33_embed_pairs" -> ((s, dir) => {
+      graft.textops.NearDup.embeddingCosinePairs(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", threshold = 0.99)
+    }),
+
+
+    // IVF-PQ ANN: coarse cells + product-quantized codes + ADC
+    // shortlist + exact re-rank (rows-only; recall + exact-re-rank
+    // equality pinned in AnnSpec)
+    "q34_ann_pq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.vector.Pq.ivfPqTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6, m = 8, ks = 64, refine = 8,
+        cacheKey = Some(dir + "#embeddings"))
+    }),
+
+
+    "q42_lsh_twin_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val res = graft.vector.Ann.lshTopK(
+        twinEmbeddings(emb), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5, nPlanes = 4)
+      twinRecallOf("ann_lsh", res)
+    }),
+
+
+    "q43_ivf_twin_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val res = graft.vector.Ivf.ivfTopK(
+        twinEmbeddings(emb), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6, cacheKey = Some(dir + "#embeddings-twin"))
+      twinRecallOf("ann_ivf", res)
+    }),
+
+
+    "q44_pq_twin_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val res = graft.vector.Pq.ivfPqTopK(
+        twinEmbeddings(emb), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6, m = 8, ks = 64, refine = 8,
+        cacheKey = Some(dir + "#embeddings-twin"))
+      twinRecallOf("ann_pq", res)
+    }),
+
+
+    // SemDeDup-style semantic dedup: k-means cells block the candidate
+    // pairs, within-cell cosine >= 0.99 drops the higher id. Planted
+    // twin corpus (q33's) so real semantic dups exist. Oracle is
+    // generated: engine emits ONLY (vec_id, cell); DuckDB recomputes
+    // the within-cell pair join, the cosine arithmetic, and the
+    // keep-first rule from the raw embeddings
+    "q78_semdedup" -> ((s, dir) => {
+      graft.vector.SemDedup.semanticDedup(
+        plantedEmbeddings(s, dir), "vec_id", "embedding",
+        nClusters = 8, threshold = 0.99,
+        cacheKey = Some(dir + "#embeddings-planted"))
+        .select(col("id").as("vec_id"), col("cell"), col("kept"))
+    }),
+
+
+    // distributed fixed-point Lloyd refinement — the corpus-scale
+    // quantizer path (the driver-sample fit's companion): 2 exact
+    // Lloyd iterations over the full embeddings table from a
+    // deterministic lowest-8-ids init; coordinates quantize to 2^40
+    // fixed-point so the distributed sums are integer-exact and the
+    // refined centroids are partitioning-independent. Per iteration:
+    // one narrow assign scan + ONE (cell, pos) hash aggregation —
+    // k*dim summary rows shuffle, never vectors. Generated oracle: an
+    // independent driver scorer (own loops, own BigInt sums) embeds
+    // the expected per-vector cells — exact, not approximate, BECAUSE
+    // of the fixed-point contract
+    "q88_kmeans_refine" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val init = graft.vector.Ivf.initFromIds(emb, "vec_id", "embedding", 8)
+      val centers = graft.vector.Ivf.refineCentroids(emb, "embedding", init, iters = 2)
+      emb.select(col("vec_id"),
+        graft.vector.Ivf.nearest_cells(col("embedding"), centers, 1)
+          .getItem(0).as("cell"))
+    }),
+
+
+    // cluster-balanced diversity sampling: 100 rows across 8 k-means
+    // cells by Hamilton apportionment, md5-ranked within cell. Oracle
+    // = q78's discipline: the (vec_id, cell) assignments are the only
+    // engine-supplied keys; allocation, capping, ranking, and the cut
+    // all recompute in SQL from them
+    "q122_diversity_sample" -> ((s, dir) =>
+      graft.vector.DiversitySample.clusterBalanced(
+        s, table(s, dir, "embeddings"), "vec_id", "embedding",
+        nCells = 8, total = 100, salt = "div9",
+        cacheKey = Some(dir + "#embeddings"))
+        .withColumnRenamed("id", "vec_id")),
+
+
+    // per-cluster keyword extraction — the corpus-exploration op that
+    // labels k-means cells with their top cf·idf terms (cf = term
+    // occurrences within the cell, idf corpus-wide smooth, stop terms
+    // capped by the q118 df rule). embeddings.vec_id IS documents
+    // .doc_id in the testdata star schema. Ranking on the ROUNDED
+    // score (q77's discipline). Oracle: cells embed (q78), terms/df/
+    // cf/score/rank recompute in SQL
+    "q124_cluster_keywords" -> ((s, dir) => {
+      import graft.vector.Ivf
+      val emb = table(s, dir, "embeddings")
+      val centroids = Ivf.fitCentroids(emb, "embedding", 8,
+        cacheKey = Some(dir + "#embeddings"))
+      val cells = emb.select(col("vec_id").as("doc_id"),
+        Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
+      val docs = table(s, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(graft.textops.TextIndex.terms(col("text"))).as("term"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val dft = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val cf = terms.join(cells, "doc_id")
+        .groupBy("cell", "term").agg(count(lit(1)).as("cf"))
+      val scored = cf.join(dft, "term").crossJoin(broadcast(n))
+        .filter(col("df") <=
+          greatest(lit(8L), floor(col("n_docs") / 5).cast("long")))
+        .withColumn("score", round(col("cf") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell"))
+        .orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("cell", "rank", "term", "score", "cf", "df")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q27_embed_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+        |  FROM embeddings),
+        |q AS (SELECT * FROM c WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(c.v, q.v) / (c.n * q.n) AS cos_raw
+        |  FROM c CROSS JOIN q WHERE c.vec_id != q.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+
+    "q33_embed_pairs" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x + 0.01) AS v
+        |  FROM base),
+        |c AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM planted),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) AS cosine
+        |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99""".stripMargin,
+
+
+    // ANN families: the oracle RECOMPUTES the ground truth by brute
+    // force over the twin-planted corpus (top-1 per query by exact
+    // cosine, ties by neighbor id — the same ordering the Spark side
+    // ranks with) and counts how many top-1s are the planted twin. The
+    // ANN result must agree exactly.
+    "q42_lsh_twin_recall" -> annTwinOracleSql("ann_lsh"),
+
+    "q43_ivf_twin_recall" -> annTwinOracleSql("ann_ivf"),
+
+    "q44_pq_twin_recall" -> annTwinOracleSql("ann_pq")
+  )
+}
