@@ -64,6 +64,7 @@ object OracleGen {
       "q64_lm_perplexity" -> (() => lmPerplexityOracle(s, dir)),
       "q97_backoff_lm" -> (() => backoffLmOracle(s, dir)),
       "q65_curation_pipeline" -> (() => curationOracle(s, dir)),
+      "q131_crawl_corpus" -> (() => crawlCorpusOracle(s, dir)),
       "q71_shuffle_shard" -> (() => shuffleShardOracle(s, dir)),
       "q83_shard_manifest" -> (() => shardManifestOracle(s, dir)),
       "q73_quality_classifier" -> (() => qualityClassifierOracle(s, dir)),
@@ -820,6 +821,286 @@ object OracleGen {
     * one-window running total in that order, and the shard DIV —
     * i.e. the entire chunked-prefix-sum machinery under test.
     */
+  /** q131: the crawl->corpus flagship recomputed in ONE DuckDB query.
+    * Engine-supplied inputs, both keyed by doc_id so any stage
+    * divergence breaks the key join and the hash match: (a) the
+    * post-URL-dedup corpus's minhash shingle sets + band hashes (the
+    * q65 recipe), (b) the xxhash64 shuffle keys (the q71 recipe —
+    * DuckDB has no xxhash64). Everything else — the page fixture, the
+    * WARC ingest verdicts (a pure doc_id%13 function, q109's rule),
+    * the q111 block chain, the mojibake prefix repair (guarded
+    * `starts_with`: only planted docs can carry the prefix and their
+    * tails are pure ASCII, so whole-string repair provably equals the
+    * literal substitution), the q20/q52/q128/q130 gates, canonical-URL
+    * keep-first, banded candidate join + exact Jaccard + connected
+    * components + keep-best, eval decontamination, the budget cumsum,
+    * and the shuffle-order shard cut — is plain SQL over the previous
+    * CTE. The WARC byte round-trip has no oracle-side shortcut: the
+    * final md5(text) only matches if every clean payload came back
+    * byte-exact through the streaming parser.
+    */
+  def crawlCorpusOracle(s: SparkSession, dir: String): String = {
+    val ingested = SparkEntry.crawlPages(s, dir)
+      .filter(col("doc_id") % 13 =!= 5 && col("doc_id") % 13 =!= 9)
+      .select(col("doc_id"), col("page_url").as("target_uri"), col("html"))
+    val dd = SparkEntry.crawlUrlDeduped(SparkEntry.crawlGated(ingested))
+    val rows = dd
+      .select(col("doc_id").as("id"), NearDup.hashedShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", TokenShingles.minhash_sig_long(col("sh"), 32))
+      .withColumn("bands", TokenShingles.lsh_band_keys(col("sig"), 8, 32 / 8))
+      .select("id", "sh", "bands")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+      .sortBy(_._1)
+    checkEmbeddable("q131_crawl_corpus",
+      rows.iterator.map(_._2.size.toLong + 8).sum)
+    val shVals = rows.map { case (id, sh, _) => s"($id, ${longs(sh)})" }.mkString(", ")
+    val bandVals = rows.flatMap { case (id, _, bands) =>
+      bands.zipWithIndex.map { case (bh, i) => s"($id, $i, $bh)" }
+    }.mkString(", ")
+    val keys = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.CorpusOrder.shuffleKey(42L, col("doc_id")).as("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val kVals = keys.map { case (id, k) => s"($id, $k)" }.mkString(", ")
+    val toksExpr = "string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')"
+    val scores = graft.textops.TextAnalysis.stopwords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      lang -> s"len(list_filter($toksExpr, t -> list_contains($list, t)))"
+    }
+    val maxS = scores.values.mkString("greatest(", ", ", ")")
+    val caseChain = scores.map { case (lang, sc) =>
+      s"WHEN $sc = m THEN '$lang'"
+    }.mkString(" ")
+    val en = graft.textops.TextAnalysis.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val p1 = SparkEntry.evalProbe1
+    val p2 = SparkEntry.evalProbe2
+    val mojiRaw = SparkEntry.crawlMojiRaw
+    val mojiFixed = SparkEntry.crawlMojiFixed
+    val soup = SparkEntry.crawlSoup
+    s"""WITH RECURSIVE
+       |base AS (
+       |  SELECT doc_id, coalesce(text, '') AS t FROM documents
+       |  WHERE doc_id % 13 NOT IN (5, 9)),
+       |pg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 19 = 4 THEN '$soup'
+       |         WHEN doc_id % 17 = 2 THEN '• ' || t
+       |         WHEN doc_id % 11 = 3 AND NOT regexp_matches(t, '[^\\x00-\\x7F]')
+       |           THEN '$mojiRaw' || t
+       |         ELSE t END AS body
+       |  FROM base),
+       |f AS (
+       |  SELECT doc_id,
+       |    '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact menu links</a></div>'
+       |    || '<h1>Title ' || CAST(doc_id AS VARCHAR) || '</h1>'
+       |    || '<p>' || body || '</p>'
+       |    || CASE WHEN doc_id % 3 = 0
+       |         THEN '<div class="promo"><a href="/sub">subscribe to our newsletter today</a></div>'
+       |         ELSE '' END
+       |    || '<p>Short note.</p>'
+       |    || '<footer><a href="/t">terms</a> <a href="/p">privacy</a> <a href="/c">copyright example corp</a></footer>'
+       |    AS html
+       |  FROM pg),
+       |mk AS (
+       |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+       |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |    '(?s)<!--.*?-->', ' ', 'g'),
+       |    '(?i)</?(blockquote|thead|tbody|table|section|article|footer|header|aside|main|nav|pre|ul|ol|li|tr|td|th|div|h[1-6]|hr|br|p)([ \\t\\n\\r\\f][^>]*)?/?>',
+       |    chr(1), 'g') AS marked
+       |  FROM f),
+       |rawb AS (
+       |  SELECT doc_id, i AS ri, blocks[i + 1] AS rawt
+       |  FROM (SELECT doc_id, string_split(marked, chr(1)) AS blocks FROM mk),
+       |       unnest(range(len(blocks))) AS u(i)),
+       |calcb AS (
+       |  SELECT doc_id, ri,
+       |    trim(regexp_replace(regexp_replace(rawt,
+       |      '(?s)<[^>]*>', ' ', 'g'), '[ \\t\\n\\r]+', ' ', 'g')) AS text,
+       |    CAST(COALESCE(list_aggregate(list_transform(
+       |      regexp_extract_all(rawt, '(?is)<a[^>]*>(.*?)</a>', 1),
+       |      y -> length(trim(regexp_replace(regexp_replace(y,
+       |        '(?s)<[^>]*>', ' ', 'g'), '[ \\t\\n\\r]+', ' ', 'g')))),
+       |      'sum'), 0) AS BIGINT) AS n_link_chars
+       |  FROM rawb),
+       |blk AS (
+       |  SELECT doc_id, ri, text,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(CASE WHEN length(text) = 0 THEN 0
+       |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_words,
+       |    n_link_chars
+       |  FROM calcb WHERE length(text) > 0),
+       |mc0 AS (
+       |  SELECT doc_id, string_agg(text, ' ' ORDER BY ri) AS text
+       |  FROM blk
+       |  WHERE n_words >= 6 AND n_link_chars * 10000 <= 3300 * greatest(n_chars, 1)
+       |  GROUP BY doc_id),
+       |mc AS (
+       |  SELECT f.doc_id, coalesce(mc0.text, '') AS text
+       |  FROM f LEFT JOIN mc0 ON mc0.doc_id = f.doc_id),
+       |moji AS (
+       |  SELECT doc_id,
+       |    CASE WHEN starts_with(text, '$mojiRaw')
+       |      THEN '$mojiFixed' || substr(text, length('$mojiRaw') + 1)
+       |      ELSE text END AS text
+       |  FROM mc),
+       |lang AS (
+       |  SELECT doc_id, CASE WHEN m <= 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred
+       |  FROM (SELECT doc_id, text, $maxS AS m FROM moji)),
+       |qbase AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') END AS toks,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS DOUBLE) / length(text)
+       |         END AS praw
+       |  FROM moji),
+       |qsig AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    floor(praw * 10000.0 + 0.5) / 10000.0 AS pr,
+       |    floor((CASE WHEN len(toks) = 0 THEN 0.0
+       |           ELSE CAST(len(list_filter(toks, t -> list_contains($en, t))) AS DOUBLE)
+       |                / len(toks) END) * 10000.0 + 0.5) / 10000.0 AS sr,
+       |    floor((CASE WHEN len(toks) = 0 THEN 0.0
+       |           ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+       |           END) * 10000.0 + 0.5) / 10000.0 AS rr
+       |  FROM qbase),
+       |qkeep AS (
+       |  SELECT doc_id FROM qsig
+       |  WHERE NOT (n_tokens < 10 OR n_tokens > 100000 OR pr > 0.3
+       |             OR sr < 0.02 OR rr > 0.6)),
+       |gop AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines,
+       |      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |           ELSE string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') END AS toks,
+       |      CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash
+       |    FROM moji)
+       |  WHERE CAST(len(list_filter(lines, l ->
+       |          starts_with(trim(l), '- ') OR starts_with(trim(l), '•'))) AS BIGINT) * 10000
+       |          <= 9000 * CAST(greatest(len(lines), 1) AS BIGINT)
+       |    AND CAST(len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS BIGINT) * 10000
+       |          <= 3000 * CAST(greatest(len(lines), 1) AS BIGINT)
+       |    AND n_hash * 10000 <= 1000 * CAST(greatest(len(toks), 1) AS BIGINT)),
+       |ech AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c FROM moji),
+       |ecnt AS (SELECT doc_id, c, count(*) AS n FROM ech GROUP BY 1, 2),
+       |ea AS (
+       |  SELECT doc_id, list(n ORDER BY c) AS ns,
+       |    CAST(sum(n) AS BIGINT) AS n_chars
+       |  FROM ecnt GROUP BY 1),
+       |ent AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      round(log2(CAST(n_chars AS DOUBLE)) -
+       |        list_sum(list_transform(ns,
+       |          n -> CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)))) / n_chars,
+       |        4) AS entropy
+       |    FROM ea)
+       |  WHERE entropy >= 2.5 AND entropy <= 5.2),
+       |gated AS (
+       |  SELECT m.doc_id, m.text, l.lang_pred
+       |  FROM moji m
+       |  JOIN lang l ON l.doc_id = m.doc_id AND l.lang_pred <> 'und'
+       |  JOIN qkeep ON qkeep.doc_id = m.doc_id
+       |  JOIN gop ON gop.doc_id = m.doc_id
+       |  JOIN ent ON ent.doc_id = m.doc_id),
+       |dd AS (
+       |  SELECT doc_id, text, lang_pred FROM (
+       |    SELECT doc_id, text, lang_pred,
+       |      row_number() OVER (
+       |        PARTITION BY 'https://h' || CAST(doc_id % 4 AS VARCHAR) ||
+       |          '.example.com/p/' || CAST(doc_id % 400 AS VARCHAR)
+       |        ORDER BY doc_id) AS rn
+       |    FROM gated) WHERE rn = 1),
+       |shv(id, sh) AS (VALUES $shVals),
+       |shx AS (SELECT CAST(id AS BIGINT) AS id, CAST(sh AS BIGINT[]) AS sh FROM shv),
+       |bandv(id, band_idx, band_hash) AS (VALUES $bandVals),
+       |capped AS (
+       |  SELECT id, band_idx, band_hash FROM (
+       |    SELECT id, band_idx, band_hash,
+       |           count(*) OVER (PARTITION BY band_idx, band_hash) AS n
+       |    FROM bandv) WHERE n <= 100),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |      round(CASE WHEN len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) = 0
+       |            THEN 0.0
+       |            ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+       |            END, 4) AS jaccard
+       |    FROM cand JOIN shx sa ON sa.id = cand.id_a JOIN shx sb ON sb.id = cand.id_b)
+       |  WHERE jaccard >= 0.5),
+       |sym AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM dd
+       |  UNION
+       |  SELECT sy.id_b, reach.r FROM reach JOIN sym sy ON sy.id_a = reach.id),
+       |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+       |s5 AS (
+       |  SELECT doc_id, text, lang_pred FROM (
+       |    SELECT d.doc_id, d.text, d.lang_pred,
+       |           row_number() OVER (PARTITION BY c.component
+       |                              ORDER BY length(d.text) DESC, d.doc_id ASC) AS rk
+       |    FROM dd d JOIN comp c USING (doc_id)) WHERE rk = 1),
+       |evals AS (
+       |  SELECT text FROM documents WHERE doc_id % 97 = 0
+       |  UNION ALL SELECT '$p1' UNION ALL SELECT '$p2'),
+       |et AS (
+       |  SELECT list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+       |                     x -> x != '') AS toks
+       |  FROM evals),
+       |ewl AS (
+       |  SELECT CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+       |              ELSE list_transform(range(1, len(toks) - 6),
+       |                     i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+       |  FROM et),
+       |ew AS (SELECT DISTINCT unnest(ws) AS w FROM ewl),
+       |t7 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+       |                x -> x != '') AS toks
+       |  FROM s5),
+       |wl7 AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+       |         ELSE list_transform(range(1, len(toks) - 6),
+       |                i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+       |  FROM t7),
+       |wins7 AS (
+       |  SELECT doc_id, unnest(ws) AS w FROM wl7),
+       |flagged AS (SELECT DISTINCT wins7.doc_id FROM wins7 JOIN ew ON ew.w = wins7.w),
+       |s7 AS (
+       |  SELECT t7.doc_id, array_to_string(t7.toks, ' ') AS text, len(t7.toks) AS n_tokens
+       |  FROM t7 WHERE t7.doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |c8 AS (
+       |  SELECT doc_id, text, n_tokens,
+       |         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM s7),
+       |bud AS (SELECT doc_id, text, n_tokens FROM c8 WHERE cum <= 12000),
+       |kv(doc_id, k) AS (VALUES $kVals),
+       |sh2 AS (
+       |  SELECT b.doc_id, b.text, b.n_tokens, CAST(kv.k AS BIGINT) AS shuffle_key,
+       |    sum(b.n_tokens) OVER (ORDER BY kv.k, b.doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM bud b JOIN kv ON kv.doc_id = b.doc_id)
+       |SELECT sh2.doc_id, g.lang_pred,
+       |  CAST(sh2.n_tokens AS BIGINT) AS n_tokens, sh2.shuffle_key,
+       |  CAST(sh2.cum_tokens AS BIGINT) AS cum_tokens,
+       |  CAST(greatest(sh2.cum_tokens - 1, 0) // 2500 AS BIGINT) AS shard_id,
+       |  md5(sh2.text) AS text_md5
+       |FROM sh2 JOIN dd g ON g.doc_id = sh2.doc_id""".stripMargin
+  }
+
   def shuffleShardOracle(s: SparkSession, dir: String): String =
     raw"""${shuffleShardCtes(s, dir, "q71_shuffle_shard")}
        |SELECT doc_id, n_tokens, shuffle_key,

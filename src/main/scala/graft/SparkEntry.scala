@@ -483,6 +483,136 @@ object SparkEntry {
     */
   val curationBlockedPhrase: Seq[String] = Seq("slow", "hash", "batch")
 
+  // ----------------------------------------------------------------
+  // q131 crawl->corpus flagship: fixture + shared pipeline stages
+  // (the round-10 verdict item 1 — one oracled run from raw WARC
+  // bytes to manifested training shards)
+  // ----------------------------------------------------------------
+
+  /** Mojibake plant for q131 (the q121 %4==0 repertoire): UTF-8 bytes
+    * of "café résumé " mis-decoded as Latin-1. Planted only on docs
+    * whose corpus text is pure ASCII (the fixture guard below), so the
+    * whole-string repair provably fires exactly on the planted docs.
+    */
+  private[graft] val crawlMojiRaw: String = "cafÃ© rÃ©sumÃ© "
+  private[graft] val crawlMojiFixed: String = "café résumé "
+
+  /** Low-entropy-but-quality-passing soup for q131's entropy gate: 15
+    * distinct {a,b}-alphabet tokens (repetition ratio 0, stopword 'a'
+    * present, no punctuation) whose char entropy ~1.56 < 2.5 — the one
+    * regime the q52-style token verdict cannot reject.
+    */
+  private[graft] val crawlSoup: String =
+    "a aa ab ba bb aab abb bab bba aaa bbb aabb abba baab babb"
+
+  /** q131 page fixture: one crawlable HTML page per document —
+    * the q111 boilerplate shape (link-dense nav/footer, short
+    * heading/note blocks, optional promo) around a planted body, plus
+    * a Target-URI whose canonical form collides mod 400 (the q72
+    * dedup surface). Body plants, mutually exclusive by CASE priority:
+    * %19==4 low-entropy soup, %17==2 a leading "• " bullet (the
+    * gopher line gate; U+2022 maps to CP1252 0x95, an invalid lone
+    * continuation byte, so mojibake repair provably leaves these
+    * docs untouched), %11==3 the mojibake mis-decode prefix (ASCII
+    * corpus text only — verified pure-ASCII at every shipped sf).
+    * Returns (doc_id, page_url, html).
+    */
+  private[graft] def crawlPages(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val t = coalesce(col("text"), lit(""))
+    val asciiOnly = !t.rlike("[^\\x00-\\x7F]")
+    val body = when(id % 19 === 4, lit(crawlSoup))
+      .when(id % 17 === 2, concat(lit("• "), t))
+      .when(id % 11 === 3 && asciiOnly, concat(lit(crawlMojiRaw), t))
+      .otherwise(t)
+    val pageUrl = concat(
+      lit("https://H"), (id % 4).cast("string"), lit(".Example.com/p/"),
+      (id % 400).cast("string"),
+      when(id % 3 === 0, lit("?utm_source=feed&utm_campaign=crawl"))
+        .otherwise(lit("")))
+    table(s, dir, "documents").select(id, pageUrl.as("page_url"),
+      concat(
+        lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a> " +
+          "<a href=\"/contact\">Contact menu links</a></div>"),
+        lit("<h1>Title "), id.cast("string"), lit("</h1>"),
+        lit("<p>"), body, lit("</p>"),
+        when(id % 3 === 0,
+          lit("<div class=\"promo\"><a href=\"/sub\">subscribe to our " +
+            "newsletter today</a></div>")).otherwise(lit("")),
+        lit("<p>Short note.</p>"),
+        lit("<footer><a href=\"/t\">terms</a> <a href=\"/p\">privacy</a> " +
+          "<a href=\"/c\">copyright example corp</a></footer>")).as("html"))
+  }
+
+  /** q131 stages 2-6 over ingested pages (doc_id, target_uri, html):
+    * main-content block extraction -> mojibake repair -> language /
+    * quality / gopher-line-shape / char-entropy gates. All narrow
+    * codegen'd projections + filters — zero exchanges. Shared with
+    * [[OracleGen.crawlCorpusOracle]], which replays the same stages
+    * from the documents table to harvest the minhash keys.
+    */
+  private[graft] def crawlGated(pages: DataFrame): DataFrame = {
+    import graft.textops.TextAnalysis
+    // checkpoint the extracted text ONCE: four gates consume it, and
+    // without the cut Catalyst inlines the mainContent+repair subtree
+    // into EVERY gate expression (measured 22 s vs 9 s sum-of-stages
+    // at sf0.1 — the q65 staging discipline)
+    val content = pages.select(col("doc_id"), col("target_uri"),
+      graft.textops.Mojibake.fix_mojibake(
+        graft.textops.MainContent.mainContent(col("html"))).as("text"))
+      .localCheckpoint()
+    val lang = content
+      .withColumn("lang_pred", TextAnalysis.languageId(col("text")))
+      .filter(col("lang_pred") =!= "und")
+    val qual = lang
+      .withColumn("_v", TextAnalysis.qualityVerdict(col("text")))
+      .filter(col("_v.keep")).drop("_v")
+    // gopher line-shape gate (q128 rules; post-collapse text is one
+    // line, so a leading bullet makes the fraction 10000)
+    val lines = filter(split(col("text"), "\n"), l => length(trim(l)) > 0)
+    val nLines = greatest(size(lines), lit(1)).cast("long")
+    val bullets = size(filter(lines, l =>
+      trim(l).startsWith("- ") || trim(l).startsWith("•"))).cast("long")
+    val ellip = size(filter(lines, l => trim(l).endsWith("..."))).cast("long")
+    val words = greatest(size(TextAnalysis.tokens(col("text"))), lit(1))
+      .cast("long")
+    val hashes = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("long")
+    // multiplicative form of the q128 thresholds (exact integer
+    // comparison, no division): frac_x10000 <= T  ⇔  cnt*10000 <= T*n
+    // is the MainContent keep-rule shape; the oracle mirrors it
+    val gopher = qual.filter(
+      bullets * 10000L <= lit(9000L) * nLines &&
+        ellip * 10000L <= lit(3000L) * nLines &&
+        hashes * 10000L <= lit(1000L) * words)
+    // char-entropy gate (q130 constants on the rounded value)
+    gopher
+      .withColumn("_H", round(TextAnalysis.charEntropy(col("text")), 4))
+      .filter(col("_H") >= 2.5 && col("_H") <= 5.2)
+      .drop("_H")
+  }
+
+  /** q131 stage 7: canonical-URL exact dedup (q72's operator) — keep
+    * the smallest doc_id per canonical Target-URI. Output:
+    * (doc_id, lang_pred, text).
+    */
+  private[graft] def crawlUrlDeduped(gated: DataFrame): DataFrame =
+    graft.operators.Dedup.exact(
+      gated.withColumn("_canon",
+        graft.functions.UrlCanon.canonicalize_url(col("target_uri"))),
+      Seq(col("_canon")), col("doc_id"))
+      .select(col("doc_id"), col("lang_pred"), col("text"))
+
+  /** q131's WARC fixture / shard output dirs — per (sf dir, process),
+    * the [[warcFixtureDir]] discipline.
+    */
+  private[graft] def crawlFixtureDir(dir: String, leaf: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-" + leaf + "-" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "-p" + ProcessHandle.current().pid())
+      .getAbsolutePath
+
   /** Bounded twin-planted AUDIO corpus for the perceptual-hash family
     * (q66/q67): structured PCM WAVs for doc ids < [[gateDocs]] plus a
     * half-gain twin of each at id + 100000 — byte-distinct,

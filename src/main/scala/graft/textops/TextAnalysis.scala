@@ -351,4 +351,58 @@ object TextAnalysis {
       array_join(filter(reasons, r => r.isNotNull), ",").as("fail_reasons"),
       (size(filter(reasons, r => r.isNotNull)) === 0).as("keep"))): _*)
   }
+
+  /** Character-unigram Shannon entropy, ROW-LOCAL and codegen'd: the
+    * q130 signal (`H = log2(N) − Σ n·log2(n) / N`) without q130's
+    * per-(doc, char) shuffle, so a composed pipeline (q131) can gate
+    * on entropy as one narrow projection. The tight loop sorts the
+    * doc's code points and folds run lengths ASCENDING — the same
+    * addition order as q130's sorted-histogram fold, with the same
+    * log2 arithmetic Spark's codegen emits (`StrictMath.log(x) /
+    * StrictMath.log(2)`), so the two formulations (and the DuckDB
+    * `list(n ORDER BY c)` oracle: VARCHAR order = UTF-8 byte order =
+    * code-point order) agree bit-for-bit. NULL in, or empty text,
+    * yields NULL (q130 has no row for a charless doc).
+    */
+  def charEntropy(text: Column): Column =
+    when(length(text) > 0,
+      GraftInterop.column(CharEntropyExpr(GraftInterop.expression(text))))
+
+  /** Tight-loop worker for [[CharEntropyExpr]]; NaN on empty input
+    * (unreachable behind [[charEntropy]]'s length guard).
+    */
+  def charEntropyValue(s: UTF8String): Double = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return Double.NaN
+    java.util.Arrays.sort(cps)
+    def log2(x: Double): Double =
+      java.lang.StrictMath.log(x) / java.lang.StrictMath.log(2)
+    var acc = 0.0
+    var run = 1
+    var i = 1
+    while (i < n) {
+      if (cps(i) == cps(i - 1)) run += 1
+      else { acc += run.toDouble * log2(run.toDouble); run = 1 }
+      i += 1
+    }
+    acc += run.toDouble * log2(run.toDouble)
+    log2(n.toDouble) - acc / n.toDouble
+  }
+
+  case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "char_entropy"
+
+    override def nullSafeEval(input: Any): Any =
+      TextAnalysis.charEntropyValue(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.textops.TextAnalysis.charEntropyValue($input);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 }
