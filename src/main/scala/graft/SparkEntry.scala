@@ -604,6 +604,31 @@ object SparkEntry {
       Seq(col("_canon")), col("doc_id"))
       .select(col("doc_id"), col("lang_pred"), col("text"))
 
+  /** q132 fixture: docs with doc_id % 5 == 2 and doc_id >= 200 append
+    * a one-token filler (misaligning the copy) plus a 23-token slice
+    * (offset doc_id % 11) copied VERBATIM from source doc
+    * (doc_id*31 + 7) % 200 — a k-misaligned cross-doc exact duplicate
+    * whose boundaries the exact-span detector must recover precisely.
+    * Sources sit below every copier id, so first-occurrence keeps the
+    * source side. Natural corpus repeats surface too; the static
+    * oracle recomputes everything from scratch.
+    */
+  private[graft] def exactSpanFixture(s: SparkSession, dir: String): DataFrame = {
+    val toks = (c: Column) =>
+      filter(split(c, "[ \\t\\n\\x0B\\f\\r]+"), x => x =!= "")
+    val src = table(s, dir, "documents").select(
+      col("doc_id").as("_sid"), coalesce(col("text"), lit("")).as("_stext"))
+    table(s, dir, "documents")
+      .join(src, col("_sid") === pmod(col("doc_id") * 31 + 7, lit(200)), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 2 && col("doc_id") >= 200,
+          concat(coalesce(col("text"), lit("")),
+            lit(" filler"), pmod(col("doc_id"), lit(7)).cast("string"), lit(" "),
+            array_join(slice(toks(col("_stext")),
+              (pmod(col("doc_id"), lit(11)) + 1).cast("int"), lit(23)), " ")))
+          .otherwise(coalesce(col("text"), lit(""))).as("ftext"))
+  }
+
   /** q131's WARC fixture / shard output dirs — per (sf dir, process),
     * the [[warcFixtureDir]] discipline.
     */

@@ -162,6 +162,24 @@ object DedupQueries {
     }),
 
 
+    // EXACT all-duplicated-substring discovery (ExactSubstr, Lee et
+    // al. 2022, re-expressed): one row per MAXIMAL duplicated token
+    // span with boundary-precise 0-based offsets — stride-1 windows
+    // make the covered-position union exact, and results are decided
+    // by LITERAL window text (hashes only gate which windows carry
+    // text payload). Fixture plants k-misaligned verbatim 23-token
+    // cross-doc copies behind a one-token filler; the fully static
+    // oracle recomputes windows, first-occurrence, the gaps-and-
+    // islands merge, and the span md5 from raw token strings — no
+    // hash appears on either side of the compare
+    "q132_exact_spans" -> ((s, dir) => {
+      graft.textops.SpanDedup.exactSpans(
+        exactSpanFixture(s, dir), "doc_id", "ftext", k = 8)
+        .select(col("doc_id"), col("span_start"), col("span_len"),
+          md5(col("span_text")).as("span_md5"))
+    }),
+
+
     // eval-set decontamination: the eval corpus = two literal benchmark
     // probes + every 97th document's raw text (a leaked-eval-doc
     // stand-in); corpus docs get a probe planted on doc_id%7 in {3,5}.
@@ -362,6 +380,61 @@ object DedupQueries {
     // [pos, pos+8) per doc, trimmed text = kept tokens string_agg'd in
     // position order — a 64-bit window-hash collision on the Spark side
     // is the only possible divergence
+    // q132: full hash-free recompute — fixture self-join plant,
+    // stride-1 literal 8-token windows, first occurrence by
+    // (doc_id, pos), gaps-and-islands merge (break when the sorted
+    // position step exceeds k), exact span slice + md5
+    "q132_exact_spans" ->
+      raw"""WITH src AS (
+        |  SELECT doc_id AS sid, coalesce(text, '') AS stext FROM documents),
+        |fx AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 5 = 2 AND d.doc_id >= 200
+        |      THEN coalesce(d.text, '') || ' filler' || CAST(d.doc_id % 7 AS VARCHAR) || ' ' ||
+        |        array_to_string(
+        |          (list_filter(string_split_regex(s.stext, '[ \t\n\x0b\f\r]+'),
+        |                       x -> x != ''))[(d.doc_id % 11 + 1):(d.doc_id % 11 + 23)], ' ')
+        |      ELSE coalesce(d.text, '') END AS ftext
+        |  FROM documents d JOIN src s ON s.sid = (d.doc_id * 31 + 7) % 200),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(ftext), '[ \t\n\x0b\f\r]+'),
+        |                x -> x != '') AS toks
+        |  FROM fx),
+        |wl AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+        |         ELSE list_transform(range(1, len(toks) - 6),
+        |                i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+        |  FROM t),
+        |wins AS (
+        |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w FROM wl),
+        |rn AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+        |  FROM wins),
+        |dup AS (SELECT doc_id, pos FROM rn WHERE rn > 1),
+        |isl AS (
+        |  SELECT doc_id, pos - 1 AS p,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dup),
+        |grp AS (
+        |  SELECT doc_id, p,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, min(p) AS span_start, max(p) + 8 AS span_end
+        |  FROM grp GROUP BY doc_id, g)
+        |SELECT s.doc_id,
+        |  CAST(s.span_start AS BIGINT) AS span_start,
+        |  CAST(s.span_end - s.span_start AS BIGINT) AS span_len,
+        |  md5(array_to_string(t.toks[s.span_start + 1:s.span_end], ' ')) AS span_md5
+        |FROM spans s JOIN t ON t.doc_id = s.doc_id""".stripMargin,
+
+
     "q53_dedup_spans" ->
       s"""WITH docs AS (
          |  SELECT doc_id,

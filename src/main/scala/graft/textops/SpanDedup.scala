@@ -515,4 +515,198 @@ object SpanDedup {
         col("_st.n_dropped").as("n_dropped"),
         col("_st.text_dedup").as("text_dedup"))
   }
+
+  // ---------------------------------------------------------------
+  // exact maximal duplicated substrings (ExactSubstr-style, q132)
+  // ---------------------------------------------------------------
+
+  /** Tokenize by the same whitespace walk [[windowHashes]] uses;
+    * returns token strings (original bytes, caller lowers upstream).
+    */
+  private def tokenStrings(text: UTF8String): Array[String] = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < len) {
+      while (i < len && TokenShingles.isWs(bytes(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !TokenShingles.isWs(bytes(i))) i += 1
+        out += new String(bytes, start, i - start,
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+    }
+    out.toArray
+  }
+
+  /** Literal k-token window texts at the requested (sorted, 0-based)
+    * token positions: array<struct<pos:int, wt:string>> — the payload
+    * the exact-dedup shuffle carries ONLY for hash-gated candidate
+    * windows. Positions past the last full window are skipped.
+    */
+  def windowTextsAt(text: UTF8String, positions: ArrayData, k: Int): ArrayData = {
+    val toks = tokenStrings(text)
+    val m = toks.length - k + 1
+    val npos = positions.numElements()
+    val out = new Array[Any](npos)
+    var n = 0
+    var pi = 0
+    while (pi < npos) {
+      val p = positions.getInt(pi)
+      if (p >= 0 && p < m) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(p + j))
+          j += 1
+        }
+        out(n) = new GenericInternalRow(Array[Any](
+          p, UTF8String.fromString(sb.toString)))
+        n += 1
+      }
+      pi += 1
+    }
+    new GenericArrayData(if (n == npos) out else out.take(n))
+  }
+
+  /** Merge sorted duplicate-window positions into maximal covered
+    * spans ([p, p+k) unions; adjacent-or-overlapping runs coalesce):
+    * array<struct<start:int, len:int, text:string>> where `text` is
+    * the span's tokens joined by single spaces — the EXACT duplicated
+    * substring, boundary-precise because the window stride is 1.
+    */
+  def coveredSpans(text: UTF8String, positions: ArrayData, k: Int): ArrayData = {
+    val toks = tokenStrings(text)
+    val nTok = toks.length
+    val npos = positions.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def emit(start: Int, end: Int): Unit = {
+      val e = math.min(end, nTok)
+      if (e > start) {
+        val sb = new java.lang.StringBuilder
+        var j = start
+        while (j < e) {
+          if (j > start) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        out += new GenericInternalRow(Array[Any](
+          start, e - start, UTF8String.fromString(sb.toString)))
+      }
+    }
+    var pi = 0
+    var start = -1
+    var end = -1
+    while (pi < npos) {
+      val p = positions.getInt(pi)
+      if (start < 0) { start = p; end = p + k }
+      else if (p <= end) { if (p + k > end) end = p + k }
+      else { emit(start, end); start = p; end = p + k }
+      pi += 1
+    }
+    if (start >= 0) emit(start, end)
+    new GenericArrayData(out.toArray)
+  }
+
+  case class WindowTextsAtExpr(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("wt", StringType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def prettyName: String = "window_texts_at"
+    override def nullSafeEval(text: Any, positions: Any): Any =
+      windowTextsAt(text.asInstanceOf[UTF8String], positions.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (text, positions) =>
+        s"${ev.value} = graft.textops.SpanDedup.windowTextsAt($text, $positions, $k);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class CoveredSpansExpr(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("start", IntegerType, nullable = false),
+      StructField("len", IntegerType, nullable = false),
+      StructField("text", StringType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def prettyName: String = "covered_spans"
+    override def nullSafeEval(text: Any, positions: Any): Any =
+      coveredSpans(text.asInstanceOf[UTF8String], positions.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (text, positions) =>
+        s"${ev.value} = graft.textops.SpanDedup.coveredSpans($text, $positions, $k);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def window_texts_at(text: Column, positions: Column, k: Int): Column =
+    GraftInterop.column(WindowTextsAtExpr(
+      GraftInterop.expression(text), GraftInterop.expression(positions), k))
+
+  def covered_spans(text: Column, positions: Column, k: Int): Column =
+    GraftInterop.column(CoveredSpansExpr(
+      GraftInterop.expression(text), GraftInterop.expression(positions), k))
+
+  /** EXACT all-duplicated-substring discovery (the Lee et al. 2022
+    * ExactSubstr shape, re-expressed for Spark): one row per MAXIMAL
+    * duplicated token span — a run of >= k tokens whose every k-window
+    * also occurs at a strictly earlier (doc_id, pos). Boundary-exact:
+    * the window stride is 1, so the union of duplicated windows covers
+    * precisely the tokens inside shared runs of length >= k (any such
+    * token lies inside some fully-shared window), and NO hash ever
+    * decides a result — window hashes only GATE which windows pay for
+    * carrying literal text (a hash collision adds a candidate whose
+    * singleton literal group then drops; identical windows always
+    * share a hash, so nothing is missed).
+    *
+    * 100 TB shape: phase 1 shuffles (hash, id, pos) rows only; the
+    * literal k-token window payload (~k tokens per row, the price of
+    * exactness — a suffix array ships the same bytes) is carried ONLY
+    * by windows whose hash occurs twice or more. No suffix array over
+    * the corpus, no pair join: first-occurrence is two plain `min`
+    * window aggregates per literal window group (the [[dedupSpans]]
+    * SortAggregate-avoidance discipline).
+    *
+    * Output: (idCol, span_start, span_len, span_text) — 0-based token
+    * offsets into the LOWERED tokenization, span_text the exact
+    * duplicated substring (tokens joined by single spaces).
+    */
+  def exactSpans(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"exactSpans: k must be >= 2 (got $k)")
+    val base = df.select(col(idCol).as("_es_id"),
+      lower(coalesce(col(textCol), lit(""))).as("_es_txt"))
+    val occ = base.select(col("_es_id"),
+      posexplode(window_hashes(col("_es_txt"), k)).as(Seq("_pos", "_wh")))
+    val cand = occ.groupBy("_wh").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).select("_wh")
+    val candPos = occ.join(cand, "_wh").groupBy("_es_id")
+      .agg(sort_array(collect_list(col("_pos"))).as("_cps"))
+    val wts = base.join(candPos, Seq("_es_id"))
+      .select(col("_es_id"),
+        explode(window_texts_at(col("_es_txt"), col("_cps"), k)).as("_w"))
+      .select(col("_es_id"), col("_w.pos").as("_pos"), col("_w.wt").as("_wt"))
+    val w = Window.partitionBy("_wt")
+    val dups = wts
+      .withColumn("_first_id", min(col("_es_id")).over(w))
+      .withColumn("_first_pos",
+        min(when(col("_es_id") === col("_first_id"), col("_pos"))).over(w))
+      .filter(col("_es_id") > col("_first_id") ||
+        (col("_es_id") === col("_first_id") && col("_pos") > col("_first_pos")))
+      .select(col("_es_id"), col("_pos"))
+    val perDoc = dups.groupBy("_es_id")
+      .agg(sort_array(collect_list(col("_pos"))).as("_dps"))
+    base.join(perDoc, Seq("_es_id"))
+      .select(col("_es_id").as(idCol),
+        explode(covered_spans(col("_es_txt"), col("_dps"), k)).as("_sp"))
+      .select(col(idCol),
+        col("_sp.start").cast("long").as("span_start"),
+        col("_sp.len").cast("long").as("span_len"),
+        col("_sp.text").as("span_text"))
+  }
 }
