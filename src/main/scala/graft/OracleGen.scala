@@ -65,6 +65,8 @@ object OracleGen {
       "q97_backoff_lm" -> (() => backoffLmOracle(s, dir)),
       "q65_curation_pipeline" -> (() => curationOracle(s, dir)),
       "q131_crawl_corpus" -> (() => crawlCorpusOracle(s, dir)),
+      "q133_ann_graph" -> (() => graphAnnOracle(s, dir)),
+      "q134_graph_twin_recall" -> (() => graphRecallOracle(s, dir)),
       "q71_shuffle_shard" -> (() => shuffleShardOracle(s, dir)),
       "q83_shard_manifest" -> (() => shardManifestOracle(s, dir)),
       "q73_quality_classifier" -> (() => qualityClassifierOracle(s, dir)),
@@ -1327,6 +1329,129 @@ object OracleGen {
          |  FROM probev p JOIN cellv cv ON cv.cell = p.cell
          |  WHERE cv.vec_id != p.query_id)""".stripMargin
     "WITH " + annRank(cand, k)
+  }
+
+  /** q133/q134: the graph-ANN walk replayed in SQL. Engine-supplied
+    * structure keys (the q32 discipline, one level up): the symmetric
+    * per-cell kNN edge list and each query's entry pool — both pure
+    * functions of the deterministic quantizer + build. DuckDB then
+    * recomputes EVERY cosine from the raw embeddings and replays the
+    * pool/beam recurrence itself (hops unrolled as CTE rounds, same
+    * (cos DESC, node ASC) tie-breaks), so a walk divergence, a wrong
+    * edge, or a dropped candidate all break the hash.
+    */
+  private def graphCtes(s: SparkSession, dir: String, name: String,
+      nlist: Int, nprobe: Int, m: Int, replicas: Int, hops: Int,
+      beam: Int, nQueries: Int): String = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = SparkEntry.jitterTwinEmbeddings(emb)
+    val centroids = Ivf.fitCentroids(corpus, "embedding", nlist,
+      cacheKey = Some("oracle:" + dir + "#embeddings-jitter"))
+    val (edges, entries) = graft.vector.GraphAnn.buildCached(
+      corpus, "vec_id", "embedding", centroids, m, replicas,
+      Some(("oracle:" + dir + "#embeddings-jitter", nlist)))
+    val eRows = edges.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val pool0 = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"),
+        explode(Ivf.nearest_cells(col("embedding"), centroids, nprobe)).as("cell"))
+      .join(entries, Seq("cell"))
+      .select(col("vec_id"), col("entry_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    checkEmbeddable(s"$name edges", eRows.length.toLong)
+    checkEmbeddable(s"$name pool0", pool0.length.toLong)
+    val eVals = eRows.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    val pVals = pool0.map { case (q, n) => s"($q, $n)" }.mkString(", ")
+    val jc = SparkEntry.jitterC
+    val hopCtes = (0 until hops).map { i =>
+      s"""s$i AS (
+         |  SELECT p.qid, p.node, list_dot_product(c.v, q.qv) / (c.n * q.qn) AS cos
+         |  FROM p$i p JOIN cn c ON c.vec_id = p.node JOIN qv q ON q.qid = p.qid),
+         |b$i AS (
+         |  SELECT qid, node FROM (
+         |    SELECT qid, node, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, node ASC) AS rk FROM s$i) WHERE rk <= $beam),
+         |p${i + 1} AS (
+         |  SELECT qid, node FROM p$i
+         |  UNION
+         |  SELECT b.qid, e.dst FROM b$i b JOIN e ON e.src = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cor AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |    list_transform(
+       |      list_zip(embedding::DOUBLE[], list_reverse(embedding::DOUBLE[])),
+       |      p -> p[1] + $jc * p[2])
+       |  FROM embeddings),
+       |cn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM cor),
+       |qv AS (SELECT vec_id AS qid, v AS qv, n AS qn FROM cn WHERE vec_id < $nQueries),
+       |e(src, dst) AS (VALUES $eVals),
+       |p0(qid, node) AS (VALUES $pVals),
+       |$hopCtes,
+       |sfin AS (
+       |  SELECT p.qid, p.node, list_dot_product(c.v, q.qv) / (c.n * q.qn) AS cos
+       |  FROM p$hops p JOIN cn c ON c.vec_id = p.node JOIN qv q ON q.qid = p.qid
+       |  WHERE p.node != p.qid),
+       |gr AS (
+       |  SELECT qid, node, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, node ASC) AS rank
+       |  FROM sfin)""".stripMargin
+  }
+
+  def graphAnnOracle(s: SparkSession, dir: String): String =
+    s"""${graphCtes(s, dir, "q133_ann_graph",
+         nlist = 64, nprobe = 1, m = 6, replicas = 2, hops = 5, beam = 12,
+         nQueries = 100)}
+       |SELECT qid AS query_id, node AS neighbor_id,
+       |  round(cos, 4) AS cosine, rank
+       |FROM gr WHERE rank <= 5""".stripMargin
+
+  def graphRecallOracle(s: SparkSession, dir: String): String = {
+    val (nlist, nprobe, nQueries) = (64, 1, 100)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = SparkEntry.jitterTwinEmbeddings(emb)
+    val centroids = Ivf.fitCentroids(corpus, "embedding", nlist,
+      cacheKey = Some("oracle:" + dir + "#embeddings-jitter"))
+    val cells = corpus.select(col("vec_id"),
+      Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"),
+        explode(Ivf.nearest_cells(col("embedding"), centroids, nprobe)).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(identity)
+    checkEmbeddable("q134 cells", cells.length.toLong)
+    checkEmbeddable("q134 probes", probes.length.toLong)
+    val cVals = cells.map { case (id, c) => s"($id, $c)" }.mkString(", ")
+    val pVals = probes.map { case (id, c) => s"($id, $c)" }.mkString(", ")
+    s"""${graphCtes(s, dir, "q134_graph_twin_recall",
+         nlist = nlist, nprobe = nprobe, m = 6, replicas = 2, hops = 5,
+         beam = 12, nQueries = nQueries)},
+       |cellv(vec_id, cell) AS (VALUES $cVals),
+       |probev(query_id, cell) AS (VALUES $pVals),
+       |iscored AS (
+       |  SELECT p.query_id AS qid, cv.vec_id AS node,
+       |         list_dot_product(c.v, q.qv) / (c.n * q.qn) AS cos
+       |  FROM probev p JOIN cellv cv ON cv.cell = p.cell
+       |  JOIN cn c ON c.vec_id = cv.vec_id
+       |  JOIN qv q ON q.qid = p.query_id
+       |  WHERE cv.vec_id != p.query_id),
+       |ir AS (
+       |  SELECT qid, node, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, node ASC) AS rank
+       |  FROM iscored)
+       |SELECT 'ann_graph' AS family,
+       |  count(*) AS n_truth,
+       |  count(*) FILTER (WHERE node = qid + 100000) AS n_found,
+       |  CAST(floor(10000 * (count(*) FILTER (WHERE node = qid + 100000))
+       |       / count(*)) AS BIGINT) AS recall_x10000
+       |FROM gr WHERE rank = 1
+       |UNION ALL
+       |SELECT 'ann_ivf_nprobe1',
+       |  count(*),
+       |  count(*) FILTER (WHERE node = qid + 100000),
+       |  CAST(floor(10000 * (count(*) FILTER (WHERE node = qid + 100000))
+       |       / count(*)) AS BIGINT)
+       |FROM ir WHERE rank = 1""".stripMargin
   }
 
   /** q55: a driver-side reference BPE implementation — intentionally

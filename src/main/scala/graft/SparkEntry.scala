@@ -385,6 +385,36 @@ object SparkEntry {
       .unionByName(emb.select(
         (col("vec_id") + 100000).as("vec_id"), col("embedding")))
 
+  /** Jitter coefficient for [[jitterTwinEmbeddings]] — sized so a
+    * fair fraction of twins cross an IVF cell boundary (the regime
+    * where plain IVF at nprobe=1 is structurally blind) while every
+    * twin stays its query's true nearest neighbor by a wide margin.
+    */
+  private[graft] val jitterC: Double = 0.35
+
+  /** Embeddings plus a JITTERED twin of every vector: twin =
+    * x + [[jitterC]]·reverse(x) — reverse(x) is near-orthogonal to x
+    * on this corpus (avg |x·rev| ≈ 0.14), so the twin sits a real
+    * ~19° rotation away (cosine ≈ 0.94, still far above the 0.51
+    * natural-neighbor ceiling, so every twin stays its query's true
+    * NN). Pure IEEE mul/add on doubles, expressed identically in
+    * DuckDB (`list_transform(list_zip(v, list_reverse(v)), ...)`).
+    * Unlike [[twinEmbeddings]]' exact copies (which always co-locate
+    * with their query, so every cell-partitioned method scores 1.0),
+    * a real rotation sends a fair share of twins across an IVF cell
+    * boundary — the fixture that separates graph search (cross-cell
+    * edges) from plain IVF at the same probe budget.
+    */
+  private[graft] def jitterTwinEmbeddings(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(emb.select(
+        (col("vec_id") + 100000).as("vec_id"),
+        zip_with(
+          transform(col("embedding"), x => x.cast("double")),
+          reverse(transform(col("embedding"), x => x.cast("double"))),
+          (a, b) => a + lit(jitterC) * b).as("embedding")))
+
   /** (family, n_truth, n_found, recall_x10000) for a truth pair set vs a
     * found pair set.
     */

@@ -183,6 +183,48 @@ object VectorQueries {
         .orderBy(col("score").desc, col("term").asc)
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
         .select("cell", "rank", "term", "score", "cf", "df")
+    }),
+
+
+    // graph ANN (round-10 verdict item 3): per-IVF-cell kNN graph with
+    // 2-cell overlapping assignment, searched by a deterministic
+    // bounded-hop beam walk. Corpus = JITTERED twins (some cross a
+    // cell boundary — the exact-copy twin fixture can't separate any
+    // cell-partitioned method from brute force). Oracle is generated:
+    // engine supplies edges + entry pools; DuckDB replays the walk
+    // (unrolled pool/beam CTEs) and recomputes every cosine from the
+    // raw vectors (OracleGen.graphAnnOracle)
+    "q133_ann_graph" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.vector.GraphAnn.graphTopK(
+        jitterTwinEmbeddings(emb), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+        k = 5, nlist = 64, nprobe = 1, m = 6, replicas = 2,
+        hops = 5, beam = 12,
+        cacheKey = Some(dir + "#embeddings-jitter"))
+    }),
+
+
+    // the graph-vs-IVF duel at EQUAL probe budget (nprobe=1) on the
+    // jittered-twin fixture: one query, two recall rows. The graph's
+    // cross-cell edges recover twins whose own cell was never probed;
+    // plain IVF's candidate set is structurally the probed cell.
+    // AnnSpec pins graph >= 0.9 AND graph > ivf; the oracle recomputes
+    // both searches (OracleGen.graphRecallOracle)
+    "q134_graph_twin_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val corpus = jitterTwinEmbeddings(emb)
+      val qs = emb.filter(col("vec_id") < 100)
+      val g = graft.vector.GraphAnn.graphTopK(
+        corpus, "vec_id", "embedding", qs, "vec_id", "embedding",
+        k = 1, nlist = 64, nprobe = 1, m = 6, replicas = 2,
+        hops = 5, beam = 12, cacheKey = Some(dir + "#embeddings-jitter"))
+      val ivf = graft.vector.Ivf.ivfTopK(
+        corpus, "vec_id", "embedding", qs, "vec_id", "embedding",
+        k = 1, nlist = 64, nprobe = 1,
+        cacheKey = Some(dir + "#embeddings-jitter"))
+      twinRecallOf("ann_graph", g)
+        .unionByName(twinRecallOf("ann_ivf_nprobe1", ivf))
     })
   )
 
