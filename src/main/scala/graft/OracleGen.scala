@@ -67,6 +67,7 @@ object OracleGen {
       "q131_crawl_corpus" -> (() => crawlCorpusOracle(s, dir)),
       "q133_ann_graph" -> (() => graphAnnOracle(s, dir)),
       "q134_graph_twin_recall" -> (() => graphRecallOracle(s, dir)),
+      "q135_lang_classifier" -> (() => langClassifierOracle(s, dir)),
       "q71_shuffle_shard" -> (() => shuffleShardOracle(s, dir)),
       "q83_shard_manifest" -> (() => shardManifestOracle(s, dir)),
       "q73_quality_classifier" -> (() => qualityClassifierOracle(s, dir)),
@@ -1452,6 +1453,65 @@ object OracleGen {
        |  CAST(floor(10000 * (count(*) FILTER (WHERE node = qid + 100000))
        |       / count(*)) AS BIGINT)
        |FROM ir WHERE rank = 1""".stripMargin
+  }
+
+  /** q135: the q73 independent-scorer discipline for the softmax
+    * model — own FNV-1a constants, own normalization/tokenization,
+    * own max-shifted softmax in class order, sharing ONLY the trained
+    * weight table; the fixture replays from [[SparkEntry.langText]]
+    * (a pure doc_id function) and every expected (label, pred, score)
+    * row embeds as VALUES joined against documents for coverage.
+    */
+  def langClassifierOracle(s: SparkSession, dir: String): String = {
+    val model = SparkEntry.langModelFor(s, dir)
+    def fnv(sIn: String): Long = {
+      var h = -3750763034362895579L // 0xcbf29ce484222325
+      for (b <- sIn.getBytes(java.nio.charset.StandardCharsets.UTF_8)) {
+        h = (h ^ (b & 0xffL)) * 1099511628211L // 0x100000001b3
+      }
+      h
+    }
+    def idx(f: String): Int = {
+      val m = fnv(f) % model.dim
+      (if (m < 0) m + model.dim else m).toInt
+    }
+    def scoreOf(text: String): (String, Double) = {
+      val t = text.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[ \t\n\\x0B\f\r]+", " ").trim
+      val nC = model.classes.length
+      val dot = new Array[Double](nC)
+      var n = 0
+      def add(f: String): Unit = {
+        val i = idx(f)
+        var c = 0
+        while (c < nC) { dot(c) += model.w(c)(i); c += 1 }
+        n += 1
+      }
+      for (i <- 0 to t.length - 2) add(t.substring(i, i + 2))
+      for (i <- 0 to t.length - 3) add(t.substring(i, i + 3))
+      val z = (0 until nC).map(c =>
+        model.bias(c) + (if (n == 0) 0.0 else dot(c) / n)).toArray
+      var best = 0
+      for (c <- 1 until nC) if (z(c) > z(best)) best = c
+      val zmax = z.max
+      var sum = 0.0
+      for (c <- 0 until nC) sum += math.exp(z(c) - zmax)
+      (model.classes(best), math.exp(z(best) - zmax) / sum)
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ids = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    checkEmbeddable("q135_lang_classifier", ids.length.toLong)
+    val rows = ids.map { id =>
+      val (label, text) = SparkEntry.langText(id)
+      val (pred, p) = scoreOf(text)
+      s"($id, '$label', '$pred', ${r4(p)}, ${label == pred})"
+    }.mkString(", ")
+    s"""WITH expv(doc_id, label, pred, score, correct) AS (VALUES $rows)
+       |SELECT d.doc_id, e.label, e.pred,
+       |  CAST(e.score AS DOUBLE) AS score, e.correct
+       |FROM documents d JOIN expv e ON e.doc_id = d.doc_id""".stripMargin
   }
 
   /** q55: a driver-side reference BPE implementation — intentionally

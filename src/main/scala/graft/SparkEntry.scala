@@ -659,6 +659,83 @@ object SparkEntry {
           .otherwise(coalesce(col("text"), lit(""))).as("ftext"))
   }
 
+  /** q135 fixture: deterministic five-language labeled corpus — one
+    * row per document id, label = langs(doc_id % 5), text = two
+    * phrases from the language's pool (variant-indexed by doc_id) plus
+    * a language-neutral numeral token (shared noise the classifier
+    * must see past). Pure function of doc_id, shared verbatim with
+    * [[OracleGen.langClassifierOracle]].
+    */
+  private[graft] val langPools: Map[String, Seq[String]] = Map(
+    "en" -> Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "a quiet morning with strong coffee and an old book is enough",
+      "they walked through the market and bought fresh bread and cheese",
+      "rain kept falling on the roof while the children played inside"),
+    "de" -> Seq(
+      "der schnelle braune fuchs springt über den faulen hund am flussufer",
+      "ein ruhiger morgen mit starkem kaffee und einem alten buch genügt",
+      "sie gingen über den markt und kauften frisches brot und käse",
+      "der regen fiel auf das dach während die kinder drinnen spielten"),
+    "fr" -> Seq(
+      "le rapide renard brun saute par dessus le chien paresseux près de la rivière",
+      "un matin calme avec un café fort et un vieux livre suffit",
+      "ils ont traversé le marché et acheté du pain frais et du fromage",
+      "la pluie tombait sur le toit pendant que les enfants jouaient dedans"),
+    "es" -> Seq(
+      "el rápido zorro marrón salta sobre el perro perezoso junto al río",
+      "una mañana tranquila con café fuerte y un libro viejo es suficiente",
+      "caminaron por el mercado y compraron pan fresco y queso",
+      "la lluvia caía sobre el techo mientras los niños jugaban dentro"),
+    "it" -> Seq(
+      "la veloce volpe marrone salta sopra il cane pigro vicino al fiume",
+      "una mattina tranquilla con caffè forte e un vecchio libro basta",
+      "hanno attraversato il mercato e comprato pane fresco e formaggio",
+      "la pioggia cadeva sul tetto mentre i bambini giocavano dentro"))
+
+  private[graft] val langPoolOrder: Seq[String] = Seq("en", "de", "fr", "es", "it")
+
+  private[graft] def langText(docId: Long): (String, String) = {
+    val label = langPoolOrder((docId % 5).toInt)
+    val pool = langPools(label)
+    val text = pool(((docId / 5) % 4).toInt) + " " +
+      pool(((docId / 20) % 4).toInt) + " " + (docId % 100)
+    (label, text)
+  }
+
+  /** q135's trained model, memoized per sf dir: the trainer is
+    * deterministic on its ordered bounded slice (%7<5, doc_id<700 —
+    * labeled sets are curated and SMALL; they do not grow with the
+    * corpus), so Verify/Bench passes and the oracle generator all
+    * share one fit — the [[graft.vector.Ivf]] quantizer-memo
+    * discipline.
+    */
+  private[graft] def langModelFor(
+      s: SparkSession, dir: String): graft.textops.LangClassifier.Model =
+    langModelMemo.computeIfAbsent(dir, _ =>
+      graft.textops.LangClassifier.train(
+        langLabeledDocs(s, dir)
+          .filter(col("doc_id") % 7 < 5 && col("doc_id") < 700),
+        "text", "label", "doc_id"))
+
+  private val langModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.textops.LangClassifier.Model]()
+
+  private[graft] def langLabeledDocs(s: SparkSession, dir: String): DataFrame = {
+    val langArr = array(langPoolOrder.map(lit): _*)
+    val v1 = pmod(expr("doc_id DIV 5"), lit(4)).cast("int")
+    val v2 = pmod(expr("doc_id DIV 20"), lit(4)).cast("int")
+    val phrase = (v: Column) =>
+      langPoolOrder.zipWithIndex.foldLeft(lit(""): Column) { case (acc, (l, i)) =>
+        when(col("doc_id") % 5 === i,
+          element_at(array(langPools(l).map(lit): _*), v + 1)).otherwise(acc)
+      }
+    table(s, dir, "documents").select(col("doc_id"),
+      element_at(langArr, (col("doc_id") % 5 + 1).cast("int")).as("label"),
+      concat(phrase(v1), lit(" "), phrase(v2), lit(" "),
+        (col("doc_id") % 100).cast("string")).as("text"))
+  }
+
   /** q131's WARC fixture / shard output dirs — per (sf dir, process),
     * the [[warcFixtureDir]] discipline.
     */

@@ -178,6 +178,26 @@ object TextQueries {
     }),
 
 
+    // trained multi-class language ID (round-10 verdict item 4):
+    // QualityClassifier's hashed-feature trainer generalized to
+    // softmax over 5 classes, char-2/3-gram features, trained on the
+    // %7<5 slice of a deterministic five-language labeled fixture and
+    // scored over ALL of it in one codegen'd broadcast pass (held-out
+    // accuracy pinned in LangClassifierSpec's confusion matrix).
+    // Oracle: q73's discipline — an independent scorer (own FNV, own
+    // normalization, own softmax order) sharing only the trained
+    // weight table embeds every expected (pred, score) row
+    "q135_lang_classifier" -> ((s, dir) => {
+      val planted = langLabeledDocs(s, dir)
+      val model = langModelFor(s, dir)
+      planted.select(col("doc_id"), col("label"),
+        graft.textops.LangClassifier.lang_score(s, col("text"), model).as("_ls"))
+        .select(col("doc_id"), col("label"),
+          col("_ls.pred").as("pred"), round(col("_ls.score"), 4).as("score"))
+        .withColumn("correct", col("pred") === col("label"))
+    }),
+
+
     // token-window chunking (RAG/embedding prep): 20-token windows,
     // stride 15 (5-token overlap); chunk boundaries are a pure function
     // of the token count, the last chunk is the first to reach the
