@@ -703,6 +703,39 @@ object SparkEntry {
     (label, text)
   }
 
+  /** q136 fixture: structured HTML per document — a header-rowed
+    * table (%2==0, with a stray inline tag in a header cell), a
+    * multi-line `<pre><code>` block (%3==0, indentation + newlines
+    * that MUST survive), an unordered list (%4==0, inline tag in an
+    * item), an ordered list (%5==0), and always a prose paragraph +
+    * a comment-wrapped decoy table that extraction must ignore.
+    */
+  private[graft] def htmlStructFixture(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def n(m: Int) = (id % m).cast("string")
+    val html = concat(
+      lit("<h1>Doc "), id.cast("string"), lit("</h1>"),
+      lit("<!-- <table><tr><td>decoy</td></tr></table> -->"),
+      when(id % 2 === 0, concat(
+        lit("<table><tr><th>name</th><th>count <b>total</b></th></tr>" +
+          "<tr><td>alpha "), id.cast("string"),
+        lit("</td><td>"), n(7),
+        lit("</td></tr><tr><td>beta</td><td>"), n(3),
+        lit("</td></tr></table>"))).otherwise(lit("")),
+      lit("<p>"), coalesce(col("text"), lit("")), lit("</p>"),
+      when(id % 3 === 0, concat(
+        lit("<pre><code>def f(x):\n    return x + "), n(9),
+        lit("\n</code></pre>"))).otherwise(lit("")),
+      when(id % 4 === 0, concat(
+        lit("<ul><li>item one of "), id.cast("string"),
+        lit("</li><li>second <i>item</i></li><li>third</li></ul>")))
+        .otherwise(lit("")),
+      when(id % 5 === 0, concat(
+        lit("<ol><li>first step</li><li>step "), n(5),
+        lit("</li></ol>"))).otherwise(lit("")))
+    table(s, dir, "documents").select(id, html.as("html"))
+  }
+
   /** q135's trained model, memoized per sf dir: the trainer is
     * deterministic on its ordered bounded slice (%7<5, doc_id<700 —
     * labeled sets are curated and SMALL; they do not grow with the

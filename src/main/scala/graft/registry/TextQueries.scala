@@ -178,6 +178,18 @@ object TextQueries {
     }),
 
 
+    // HTML structure extraction (round-10 verdict item 7): tables /
+    // code blocks / lists as typed markdown rows beside q111's text
+    // blocks — header-separator rule, whitespace-preserving code
+    // fences, numbered/bulleted items, comment-decoy immunity. Fully
+    // static oracle: the fixture and every extraction/serialization
+    // rule recompute with DuckDB regex/list/string functions
+    "q136_html_structure" -> ((s, dir) => {
+      graft.textops.HtmlStructure.structures(
+        htmlStructFixture(s, dir), Seq(col("doc_id")), col("html"))
+    }),
+
+
     // trained multi-class language ID (round-10 verdict item 4):
     // QualityClassifier's hashed-feature trainer generalized to
     // softmax over 5 classes, char-2/3-gram features, trained on the
@@ -990,6 +1002,119 @@ object TextQueries {
         |       AS BIGINT) AS chunk_idx,
         |  chunk_sents, chunk_tokens, chunk_text
         |FROM g""".stripMargin,
+
+
+    // q136: full static recompute — the fixture, the script/style/
+    // comment pre-clean, per-kind regex extraction, and every
+    // markdown serialization rule (header separator, whitespace-
+    // preserving fences, numbering) in DuckDB regex/list functions
+    "q136_html_structure" -> {
+      val collapse = (c: String) =>
+        s"trim(regexp_replace(regexp_replace($c, '(?s)<[^>]*>', ' ', 'g'), " +
+          s"'[ \\t\\n\\r]+', ' ', 'g'))"
+      raw"""WITH fx AS (
+        |  SELECT doc_id,
+        |    '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+        |    || '<!-- <table><tr><td>decoy</td></tr></table> -->'
+        |    || CASE WHEN doc_id % 2 = 0 THEN
+        |         '<table><tr><th>name</th><th>count <b>total</b></th></tr><tr><td>alpha '
+        |         || CAST(doc_id AS VARCHAR) || '</td><td>' || CAST(doc_id % 7 AS VARCHAR)
+        |         || '</td></tr><tr><td>beta</td><td>' || CAST(doc_id % 3 AS VARCHAR)
+        |         || '</td></tr></table>'
+        |       ELSE '' END
+        |    || '<p>' || coalesce(text, '') || '</p>'
+        |    || CASE WHEN doc_id % 3 = 0 THEN
+        |         '<pre><code>def f(x):' || chr(10) || '    return x + '
+        |         || CAST(doc_id % 9 AS VARCHAR) || chr(10) || '</code></pre>'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN
+        |         '<ul><li>item one of ' || CAST(doc_id AS VARCHAR)
+        |         || '</li><li>second <i>item</i></li><li>third</li></ul>'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN
+        |         '<ol><li>first step</li><li>step ' || CAST(doc_id % 5 AS VARCHAR)
+        |         || '</li></ol>'
+        |       ELSE '' END AS html
+        |  FROM documents),
+        |cl AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g') AS html
+        |  FROM fx),
+        |tbx AS (
+        |  SELECT doc_id, i AS struct_idx, ts[i + 1] AS t
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(html, '(?is)<table[^>]*>(.*?)</table>', 1) AS ts
+        |        FROM cl),
+        |       unnest(range(len(ts))) AS u(i)),
+        |tbm AS (
+        |  SELECT doc_id, struct_idx,
+        |    regexp_extract_all(t, '(?is)<tr[^>]*>(.*?)</tr>', 1) AS rows_
+        |  FROM tbx),
+        |tbr AS (
+        |  SELECT doc_id, struct_idx, rows_,
+        |    list_transform(rows_, r -> '| ' || array_to_string(
+        |      list_transform(regexp_extract_all(r, '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1),
+        |        c -> ${collapse("c")}), ' | ') || ' |') AS mdrows,
+        |    '|' || array_to_string(list_transform(
+        |      regexp_extract_all(rows_[1], '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1),
+        |      c -> '---'), '|') || '|' AS sep,
+        |    regexp_matches(rows_[1], '(?is)<th') AS has_header
+        |  FROM tbm),
+        |tb AS (
+        |  SELECT doc_id, 'table' AS kind, struct_idx,
+        |    CASE WHEN len(rows_) = 0 THEN ''
+        |         WHEN has_header THEN mdrows[1] || chr(10) || sep ||
+        |           CASE WHEN len(mdrows) > 1
+        |             THEN chr(10) || array_to_string(mdrows[2:len(mdrows)], chr(10))
+        |             ELSE '' END
+        |         ELSE array_to_string(mdrows, chr(10)) END AS markdown
+        |  FROM tbr),
+        |cdx AS (
+        |  SELECT doc_id, i AS struct_idx, cs[i + 1] AS c
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(html, '(?is)<pre[^>]*>(.*?)</pre>', 1) AS cs
+        |        FROM cl),
+        |       unnest(range(len(cs))) AS u(i)),
+        |cd AS (
+        |  SELECT doc_id, 'code' AS kind, struct_idx,
+        |    chr(96) || chr(96) || chr(96) || chr(10) ||
+        |    regexp_replace(regexp_replace(
+        |      regexp_replace(c, '(?s)<[^>]*>', '', 'g'),
+        |      '^[ \t\n\r]+', ''), '[ \t\n\r]+$$', '')
+        |    || chr(10) || chr(96) || chr(96) || chr(96) AS markdown
+        |  FROM cdx),
+        |ulx AS (
+        |  SELECT doc_id, i AS struct_idx, ls[i + 1] AS l
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(html, '(?is)<ul[^>]*>(.*?)</ul>', 1) AS ls
+        |        FROM cl),
+        |       unnest(range(len(ls))) AS u(i)),
+        |ul AS (
+        |  SELECT doc_id, 'ul' AS kind, struct_idx,
+        |    array_to_string(list_transform(
+        |      regexp_extract_all(l, '(?is)<li[^>]*>(.*?)</li>', 1),
+        |      it -> '- ' || ${collapse("it")}), chr(10)) AS markdown
+        |  FROM ulx),
+        |olx AS (
+        |  SELECT doc_id, i AS struct_idx, ls[i + 1] AS l
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(html, '(?is)<ol[^>]*>(.*?)</ol>', 1) AS ls
+        |        FROM cl),
+        |       unnest(range(len(ls))) AS u(i)),
+        |ol AS (
+        |  SELECT doc_id, 'ol' AS kind, struct_idx,
+        |    array_to_string(list_transform(
+        |      list_zip(regexp_extract_all(l, '(?is)<li[^>]*>(.*?)</li>', 1),
+        |               range(1, len(regexp_extract_all(l, '(?is)<li[^>]*>(.*?)</li>', 1)) + 1)),
+        |      p -> CAST(p[2] AS VARCHAR) || '. ' || ${collapse("p[1]")}), chr(10)) AS markdown
+        |  FROM olx)
+        |SELECT doc_id, kind, CAST(struct_idx AS BIGINT) AS struct_idx, markdown FROM tb
+        |UNION ALL SELECT doc_id, kind, CAST(struct_idx AS BIGINT), markdown FROM cd
+        |UNION ALL SELECT doc_id, kind, CAST(struct_idx AS BIGINT), markdown FROM ul
+        |UNION ALL SELECT doc_id, kind, CAST(struct_idx AS BIGINT), markdown FROM ol""".stripMargin
+    },
 
 
     "q111_main_content" ->
