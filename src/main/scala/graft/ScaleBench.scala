@@ -403,6 +403,46 @@ object ScaleBench {
       boiler(5000), "doc_id", "text", col("doc_id") < 8, k = 5))
     timed("tfidf_adversarial_50k_capped", graft.textops.TfIdf.cosineTopK(
       boiler(50000), "doc_id", "text", col("doc_id") < 8, k = 5))
+
+    // ---- phase 1j: incremental-PageRank delta duel ----
+    // many-component graph (5-node rings); the delta touches a FIXED
+    // 200 components regardless of graph size and arrives as a known
+    // change feed (the crawler scenario pageRankDelta's
+    // knownDeltaEdges models — WITHOUT it the multiset diff adds two
+    // graph-linear shuffles and the win shrinks accordingly, which is
+    // exactly why the parameter exists). Claim measured: the delta
+    // path's cost tracks the DELTA (near-flat 1M -> 4M) while full
+    // recompute scales with the graph; equality is xor-checked (the
+    // exactness contract — fixed-point integers, no tolerance).
+    def ringGraph(n: Long): (DataFrame, DataFrame) = {
+      val nodes = spark.range(n).select(col("id"))
+      val edges = nodes.select(col("id").as("src"),
+        when(col("id") % 5 === 4, col("id") - 4).otherwise(col("id") + 1).as("dst"))
+      (nodes, edges)
+    }
+    for (n <- Seq(2000000L, 8000000L)) {
+      val (dn, de) = ringGraph(n)
+      // delta: 200 specific components gain a chord edge
+      val extra = spark.range(200L).select(
+        (col("id") * 5L * (n / 1000L / 5L)).as("src"),
+        (col("id") * 5L * (n / 1000L / 5L) + 2L).as("dst"))
+        .localCheckpoint(true)
+      val newE = de.unionByName(extra)
+      val prev = graft.operators.LinkGraph.pageRank(dn, "id", de, iters = 5)
+        .localCheckpoint(true)
+      val (fullXor, _) = timed(s"pr_delta_full_${n / 1000000}m",
+        graft.operators.LinkGraph.pageRank(dn, "id", newE, iters = 5))
+      val (deltaXor, _) = timed(s"pr_delta_incr_${n / 1000000}m",
+        graft.operators.LinkGraph.pageRankDelta(
+          dn, "id", newE, dn, de, prev, iters = 5,
+          knownDeltaEdges = Some(extra))
+          .select(col("id"), col("rank")))
+      println(s"""{"bench":"scale","workload":"pr_delta_duel_match_${n / 1000000}m",""" +
+        s""""match":${fullXor == deltaXor}}""")
+      if (fullXor != deltaXor)
+        throw new IllegalStateException("incremental pagerank duel diverged")
+      prev.unpersist()
+    }
     } // end !skewOnly
 
     // ---- phase 2: hot-key skew duel ----

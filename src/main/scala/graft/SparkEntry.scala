@@ -1042,6 +1042,66 @@ object SparkEntry {
        |SELECT id AS doc_id, r AS rank_fp FROM p5""".stripMargin
   }
 
+  /** q137 fixture: a many-component link graph over doc ids — each
+    * group of 4 consecutive ids is one weakly-connected component (a
+    * 3-cycle plus a tail). The NEW snapshot differs in exactly two
+    * group classes: g%10==3 gains a back-edge from the tail, g%10==7
+    * loses the tail edge (leaving its tail node isolated) — so the
+    * incremental ranker must re-run exactly those components and
+    * carry every other rank forward untouched.
+    */
+  private[graft] def deltaGraphEdges(
+      s: SparkSession, dir: String, isNew: Boolean): DataFrame = {
+    val base = table(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("b"), expr("doc_id DIV 4").as("g"))
+    val keepTail =
+      if (isNew) col("g") % 10 =!= 7 else lit(true)
+    val addBack =
+      if (isNew) col("g") % 10 === 3 else lit(false)
+    base.select(explode(array(
+        struct(col("b").as("src"), (col("b") + 1).as("dst"), lit(true).as("keep")),
+        struct((col("b") + 1).as("src"), (col("b") + 2).as("dst"), lit(true).as("keep")),
+        struct((col("b") + 2).as("src"), col("b").as("dst"), lit(true).as("keep")),
+        struct(col("b").as("src"), (col("b") + 3).as("dst"), keepTail.as("keep")),
+        struct((col("b") + 3).as("src"), col("b").as("dst"), addBack.as("keep"))))
+        .as("_e"))
+      .filter(col("_e.keep"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+  }
+
+  /** q137's oracle: FULL fixed-point PageRank on the NEW snapshot (the
+    * q94 recurrence — the equality contract says the delta path must
+    * match it exactly), plus the recomputed flag from the touched-
+    * component rule — so the oracle pins BOTH exactness and laziness.
+    */
+  private[graft] val oracleSqlQ137: String = {
+    val base = graft.operators.LinkGraph.Scale * 15 / 100
+    val iters = (1 to 5).map { k =>
+      s"""p$k AS (
+         |  SELECT d0.doc_id AS id, $base + COALESCE(s.c, 0) AS r
+         |  FROM documents d0 LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |           CAST(SUM((p.r * 85) // (100 * g.d)) AS BIGINT) AS c
+         |    FROM p${k - 1} p JOIN e ON e.src = p.id JOIN g ON g.src = e.src
+         |    GROUP BY e.dst) s ON s.id = d0.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b4 AS (SELECT doc_id AS b, doc_id // 4 AS g FROM documents
+       |            WHERE doc_id % 4 = 0),
+       |e AS (
+       |  SELECT b AS src, b + 1 AS dst FROM b4
+       |  UNION ALL SELECT b + 1, b + 2 FROM b4
+       |  UNION ALL SELECT b + 2, b FROM b4
+       |  UNION ALL SELECT b, b + 3 FROM b4 WHERE g % 10 != 7
+       |  UNION ALL SELECT b + 3, b FROM b4 WHERE g % 10 = 3),
+       |g AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |p0 AS (SELECT doc_id AS id, ${graft.operators.LinkGraph.Scale} AS r
+       |       FROM documents),
+       |""".stripMargin + iters + """
+       |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank,
+       |  ((id // 4) % 10) IN (3, 7) AS recomputed
+       |FROM p5""".stripMargin
+  }
+
   private[graft] def annTwinOracleSql(family: String): String =
     s"""WITH base AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -85,6 +85,25 @@ object GraphQueries {
     }),
 
 
+    // incremental PageRank (round-10 verdict item 8): rank the OLD
+    // snapshot in full, then apply the NEW snapshot via
+    // pageRankDelta — multi-source closure from the edge-delta
+    // endpoints, rank iterations on the touched components ONLY,
+    // every other rank carried forward. The fixture's groups-of-4
+    // components change in exactly two id classes; the static oracle
+    // recomputes FULL PageRank on the new graph (the equality
+    // contract) plus the touched-rule flag (the laziness contract)
+    "q137_incremental_pagerank" -> ((s, dir) => {
+      import graft.operators.LinkGraph
+      val nodes = table(s, dir, "documents").select(col("doc_id").as("id"))
+      val oldE = deltaGraphEdges(s, dir, isNew = false)
+      val newE = deltaGraphEdges(s, dir, isNew = true)
+      val prev = LinkGraph.pageRank(nodes, "id", oldE, iters = 5)
+      LinkGraph.pageRankDelta(nodes, "id", newE, nodes, oldE, prev, iters = 5)
+        .select(col("id").as("doc_id"), col("rank"), col("recomputed"))
+    }),
+
+
     // host-level PageRank joined back per document — the composed
     // pipeline shape: extract hosts from planted doc URLs (the q72/q86
     // URL machinery), build the distinct host link graph (+ a hub),
@@ -305,6 +324,8 @@ object GraphQueries {
 
 
     "q94_pagerank" -> oracleSqlQ94,
+
+    "q137_incremental_pagerank" -> oracleSqlQ137,
 
 
     "q100_host_rank" -> oracleSqlQ100,
