@@ -1401,16 +1401,19 @@ object OracleGen {
 
   def graphAnnOracle(s: SparkSession, dir: String): String =
     s"""${graphCtes(s, dir, "q133_ann_graph",
-         nlist = 64, nprobe = 1, m = 6, replicas = 2, hops = 5, beam = 12,
+         nlist = SparkEntry.graphNlist(
+           SparkEntry.jitterTwinEmbeddings(
+             s.read.parquet(s"$dir/embeddings.parquet"))),
+         nprobe = 1, m = 6, replicas = 2, hops = 5, beam = 12,
          nQueries = 100)}
        |SELECT qid AS query_id, node AS neighbor_id,
        |  round(cos, 4) AS cosine, rank
        |FROM gr WHERE rank <= 5""".stripMargin
 
   def graphRecallOracle(s: SparkSession, dir: String): String = {
-    val (nlist, nprobe, nQueries) = (64, 1, 100)
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
     val corpus = SparkEntry.jitterTwinEmbeddings(emb)
+    val (nlist, nprobe, nQueries) = (SparkEntry.graphNlist(corpus), 1, 100)
     val centroids = Ivf.fitCentroids(corpus, "embedding", nlist,
       cacheKey = Some("oracle:" + dir + "#embeddings-jitter"))
     val cells = corpus.select(col("vec_id"),

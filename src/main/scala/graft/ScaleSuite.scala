@@ -91,8 +91,21 @@ object ScaleSuite {
 
     // ---- phase 1: warmup (Bench's shared recipe) then the timed suite ----
     Bench.warmAll(spark, sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"))
+    // SPARK_GRAFT_SUITE_ONLY=q133_ann_graph,... restricts the timed
+    // set for A/B scaling sessions (the Bench ONLY contract, same
+    // fail-fast on typos)
+    val only = sys.env.get("SPARK_GRAFT_SUITE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SUITE_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { Bench.force(fn(spark, outDir)); true }

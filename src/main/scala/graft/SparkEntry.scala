@@ -415,6 +415,20 @@ object SparkEntry {
           reverse(transform(col("embedding"), x => x.cast("double"))),
           (a, b) => a + lit(jitterC) * b).as("embedding")))
 
+  /** Quantizer size for the graph-ANN fixture, SIZED TO THE CORPUS:
+    * nlist = max(64, ceil(rows/160)) keeps within-cell populations
+    * ~160-320 regardless of corpus size, so the per-cell kNN build
+    * stays linear overall (at a FIXED nlist the cells — and the
+    * quadratic inside them — grow with the data: ScaleSuite measured
+    * 26x wall at 10x rows before this). This is the honest 100 TB
+    * rule: the coarse quantizer grows with the corpus. Deterministic
+    * per sf dir, so the oracle generator replays the same value.
+    */
+  private[graft] def graphNlist(corpus: DataFrame): Int = {
+    val n = corpus.count()
+    math.max(64L, (n + 159L) / 160L).toInt
+  }
+
   /** (family, n_truth, n_found, recall_x10000) for a truth pair set vs a
     * found pair set.
     */

@@ -196,11 +196,12 @@ object VectorQueries {
     // raw vectors (OracleGen.graphAnnOracle)
     "q133_ann_graph" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
+      val corpus = jitterTwinEmbeddings(emb)
       graft.vector.GraphAnn.graphTopK(
-        jitterTwinEmbeddings(emb), "vec_id", "embedding",
+        corpus, "vec_id", "embedding",
         emb.filter(col("vec_id") < 100), "vec_id", "embedding",
-        k = 5, nlist = 64, nprobe = 1, m = 6, replicas = 2,
-        hops = 5, beam = 12,
+        k = 5, nlist = graphNlist(corpus), nprobe = 1, m = 6,
+        replicas = 2, hops = 5, beam = 12,
         cacheKey = Some(dir + "#embeddings-jitter"))
     }),
 
@@ -215,13 +216,14 @@ object VectorQueries {
       val emb = table(s, dir, "embeddings")
       val corpus = jitterTwinEmbeddings(emb)
       val qs = emb.filter(col("vec_id") < 100)
+      val nlist = graphNlist(corpus)
       val g = graft.vector.GraphAnn.graphTopK(
         corpus, "vec_id", "embedding", qs, "vec_id", "embedding",
-        k = 1, nlist = 64, nprobe = 1, m = 6, replicas = 2,
+        k = 1, nlist = nlist, nprobe = 1, m = 6, replicas = 2,
         hops = 5, beam = 12, cacheKey = Some(dir + "#embeddings-jitter"))
       val ivf = graft.vector.Ivf.ivfTopK(
         corpus, "vec_id", "embedding", qs, "vec_id", "embedding",
-        k = 1, nlist = 64, nprobe = 1,
+        k = 1, nlist = nlist, nprobe = 1,
         cacheKey = Some(dir + "#embeddings-jitter"))
       twinRecallOf("ann_graph", g)
         .unionByName(twinRecallOf("ann_ivf_nprobe1", ivf))
