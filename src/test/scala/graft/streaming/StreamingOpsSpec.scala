@@ -416,4 +416,43 @@ class StreamingOpsSpec extends GraftSparkSpec {
       assert(got(1)._4.take(1) === List(Unigram.Marker + "ab"))
     } finally q.stop()
   }
+
+  test("streaming round-10 projections: trained lang ID, HTML structure, " +
+    "char entropy are stateless streaming expressions") {
+    import graft.textops.{HtmlStructure, LangClassifier, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    // train-offline/apply-online: the softmax model broadcasts once,
+    // the stream only scores (the q135 production shape)
+    val model = {
+      import spark.implicits._
+      LangClassifier.train(
+        Seq((1L, "en", "the quick brown fox jumps over the lazy dog today"),
+          (2L, "de", "der schnelle braune fuchs springt über den faulen hund"),
+          (3L, "en", "a quiet morning with strong coffee and an old book"),
+          (4L, "de", "ein ruhiger morgen mit starkem kaffee und einem buch"))
+          .toDF("id", "label", "text"),
+        "text", "label", "id", epochs = 60)
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "html")
+      .select(col("id"),
+        LangClassifier.lang_score(spark, col("html"), model)
+          .getField("pred").as("lang"),
+        HtmlStructure.ulMarkdown(col("html")).as("ul_md"),
+        round(TextAnalysis.charEntropy(col("html")), 2).as("h"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("r10_out").start()
+    try {
+      input.addData(
+        (1L, "<li>the fox and the dog play today</li>"),
+        (2L, "<li>der fuchs und der hund</li>"))
+      q.processAllAvailable()
+      val got = spark.table("r10_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+        .sortBy(_._1).toList
+      assert(got.map(_._2) === List("en", "de"))
+      assert(got.head._3 === "- the fox and the dog play today")
+      assert(got.forall(_._4 > 0.0))
+    } finally q.stop()
+  }
 }
