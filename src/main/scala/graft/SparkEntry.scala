@@ -429,6 +429,18 @@ object SparkEntry {
     math.max(64L, (n + 159L) / 160L).toInt
   }
 
+  /** q78's cluster count, SIZED TO THE CORPUS (the [[graphNlist]]
+    * rule): nClusters = max(8, ceil(rows/256)) bounds within-cell
+    * populations, so the blocked pair join stays linear overall
+    * (fixed 8 clusters made cells — and the quadratic inside them —
+    * grow with the data: 31.9 s of the q78 ScaleSuite row at sf~1).
+    * 8 at both oracle-gate sfs, so gate values are unchanged.
+    */
+  private[graft] def semDedupClusters(corpus: DataFrame): Int = {
+    val n = corpus.count()
+    math.max(8L, (n + 255L) / 256L).toInt
+  }
+
   /** (family, n_truth, n_found, recall_x10000) for a truth pair set vs a
     * found pair set.
     */
@@ -749,6 +761,24 @@ object SparkEntry {
         lit("</li></ol>"))).otherwise(lit("")))
     table(s, dir, "documents").select(id, html.as("html"))
   }
+
+  /** q73's trained weights, memoized per sf dir — the q135
+    * discipline applied back to the binary classifier: the labeled
+    * slice caps at 700 ids (labeled sets are curated and small; the
+    * unbounded %10<3 slice made training cost grow with the corpus —
+    * 15 s of the q73 ScaleSuite row at sf~1), and the deterministic
+    * fit is shared by Verify/Bench passes and the oracle generator.
+    */
+  private[graft] def qualityModelFor(
+      s: SparkSession, dir: String): graft.textops.QualityClassifier.Weights =
+    qualityModelMemo.computeIfAbsent(dir, _ =>
+      graft.textops.QualityClassifier.train(
+        qualityLabeledDocs(s, dir)
+          .filter(col("doc_id") % 10 < 3 && col("doc_id") < 700),
+        "text", "label", "doc_id"))
+
+  private val qualityModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.textops.QualityClassifier.Weights]()
 
   /** q135's trained model, memoized per sf dir: the trainer is
     * deterministic on its ordered bounded slice (%7<5, doc_id<700 —

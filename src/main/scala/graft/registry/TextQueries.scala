@@ -169,8 +169,7 @@ object TextQueries {
     // embeds expected per-doc scores
     "q73_quality_classifier" -> ((s, dir) => {
       val planted = qualityLabeledDocs(s, dir)
-      val wts = graft.textops.QualityClassifier.train(
-        planted.filter(col("doc_id") % 10 < 3), "text", "label", "doc_id")
+      val wts = qualityModelFor(s, dir)
       planted.select(col("doc_id"), col("label"),
         graft.textops.QualityClassifier.quality_score(s, col("text"), wts).as("_qs"))
         .select(col("doc_id"), col("label"),

@@ -110,9 +110,10 @@ object VectorQueries {
     // the within-cell pair join, the cosine arithmetic, and the
     // keep-first rule from the raw embeddings
     "q78_semdedup" -> ((s, dir) => {
+      val planted = plantedEmbeddings(s, dir)
       graft.vector.SemDedup.semanticDedup(
-        plantedEmbeddings(s, dir), "vec_id", "embedding",
-        nClusters = 8, threshold = 0.99,
+        planted, "vec_id", "embedding",
+        nClusters = semDedupClusters(planted), threshold = 0.99,
         cacheKey = Some(dir + "#embeddings-planted"))
         .select(col("id").as("vec_id"), col("cell"), col("kept"))
     }),

@@ -358,10 +358,20 @@ object Ivf {
       centers(c) = points(math.min(pick, n - 1)).clone()
       c += 1
     }
-    // Lloyd iterations
+    // Lloyd iterations with a FIXED-POINT early stop: when an
+    // iteration's assignments equal the previous iteration's and no
+    // empty cell reseeded, the mean update reproduces the same
+    // centers and every remaining iteration would be a no-op — the
+    // break returns bit-identical centers to running them all (a
+    // reseed draws from rnd, so iterations keep running while any
+    // cell is empty). Large-nlist fits (the corpus-sized quantizers)
+    // usually converge well before the iteration cap.
     val assign = new Array[Int](n)
+    val prevAssign = Array.fill(n)(-1)
     var it = 0
-    while (it < iters) {
+    var converged = false
+    while (it < iters && !converged) {
+      var changed = false
       var i = 0
       while (i < n) {
         var best = 0; var bestD = Double.MaxValue
@@ -372,6 +382,7 @@ object Ivf {
           j += 1
         }
         assign(i) = best
+        if (best != prevAssign(i)) { changed = true; prevAssign(i) = best }
         i += 1
       }
       val sums = Array.fill(k, dim)(0.0)
@@ -384,6 +395,7 @@ object Ivf {
         counts(a) += 1
         i += 1
       }
+      var reseeded = false
       var j = 0
       while (j < k) {
         if (counts(j) > 0) {
@@ -393,9 +405,11 @@ object Ivf {
         } else {
           // empty cell: reseed to a random point (keeps nlist cells live)
           centers(j) = points(rnd.nextInt(n)).clone()
+          reseeded = true
         }
         j += 1
       }
+      converged = !changed && !reseeded
       it += 1
     }
     centers
