@@ -280,10 +280,35 @@ object SparkEntry {
     * fixture mid-read.
     */
   private[graft] def warcFixtureDir(dir: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-warc-fixture-" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "-p" + ProcessHandle.current().pid())
-      .getAbsolutePath
+    perProcessTmpDir("graft-warc-fixture-" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+
+  /** Per-process temp dir with shutdown-hook cleanup: the PID suffix
+    * that ends the Verify-vs-Bench race would otherwise leak one
+    * fixture/shard dir per process into java.io.tmpdir forever.
+    */
+  private[graft] def perProcessTmpDir(stem: String): String = {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      stem + "-p" + ProcessHandle.current().pid())
+    val path = f.getAbsolutePath
+    cleanupDirs.add(path)
+    if (cleanupHookArmed.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        cleanupDirs.forEach { p =>
+          def rm(x: java.io.File): Unit = {
+            val kids = x.listFiles()
+            if (kids != null) kids.foreach(rm)
+            x.delete()
+            ()
+          }
+          try rm(new java.io.File(p)) catch { case _: Throwable => () }
+        }))
+    path
+  }
+
+  private val cleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val cleanupHookArmed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** q107/q108 sentence fixture: one prefix exercising every
     * [[graft.textops.TextAnalysis.sentences]] protection rule, shared
@@ -817,10 +842,7 @@ object SparkEntry {
     * the [[warcFixtureDir]] discipline.
     */
   private[graft] def crawlFixtureDir(dir: String, leaf: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-" + leaf + "-" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "-p" + ProcessHandle.current().pid())
-      .getAbsolutePath
+    perProcessTmpDir("graft-" + leaf + "-" + dir.replaceAll("[^A-Za-z0-9]", "_"))
 
   /** Bounded twin-planted AUDIO corpus for the perceptual-hash family
     * (q66/q67): structured PCM WAVs for doc ids < [[gateDocs]] plus a
