@@ -334,6 +334,29 @@ object SparkEntry {
         lit("permalink doc-"), col("doc_id").cast("string"), lit("\n"),
         lit("copyright example corp all rights reserved")).as("text"))
 
+  /** Multi-paragraph fixture for keep-first paragraph dedup (q138):
+    * corpus text has no newlines, so paragraphs are planted around it —
+    * a universal intro + footer (kept only in the smallest doc id), an
+    * every-3rd-doc promo (its %7 variant carries leading spaces, so
+    * the trimmed-match rule is exercised), an every-5th-doc
+    * whitespace-only paragraph (structure — never dropped), the doc's
+    * own text, and a per-doc unique permalink. Shared by the query and
+    * the static oracle, which rebuilds it in SQL.
+    */
+  private[graft] def paragraphFixture(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("welcome to the graft sample corpus"),
+        when(col("doc_id") % 3 === 0,
+          when(col("doc_id") % 7 === 0,
+            lit("\n\n  subscribe to our newsletter today"))
+            .otherwise(lit("\n\nsubscribe to our newsletter today")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("\n\n  ")).otherwise(lit("")),
+        lit("\n\n"), coalesce(col("text"), lit("")),
+        lit("\n\npermalink doc-"), col("doc_id").cast("string"),
+        lit("\n\nshared footer all rights reserved")).as("text"))
+
   /** Fixed corpus bound for the uncapped near-dup recall gates. */
   private[graft] val gateDocs = 500
 
@@ -970,7 +993,7 @@ object SparkEntry {
     staticOracleSql ++ ctx.map { case (s, dir) => OracleGen.all(s, dir) }
       .getOrElse(Map.empty)
 
-  private def staticOracleSql: Map[String, String] =
+  private[graft] def staticOracleSql: Map[String, String] =
     graft.registry.CoreLogQueries.oracleSql ++
     graft.registry.TextQueries.oracleSql ++
     graft.registry.DedupQueries.oracleSql ++

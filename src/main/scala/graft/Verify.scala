@@ -5,7 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional extra args: verify ONLY these queries (local iteration;
+    // the driver always passes exactly two args). Unknown names fail
+    // fast — the Bench SPARK_GRAFT_BENCH_ONLY discipline.
+    val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"Verify: unknown queries: ${unknown.mkString(", ")}")
+    def selected(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -19,7 +26,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -42,7 +49,13 @@ object Verify {
     // (OracleGen) for the six candidate-generation queries: they embed
     // engine-computed keys for THIS sf dir, the same data the query
     // dumps above just read.
-    val oracles = SparkEntry.oracleSql(Some((spark, sfDir)))
+    // skip the (expensive) OracleGen pass when a local ONLY run needs
+    // static oracles alone
+    val needGen = only.isEmpty ||
+      (only -- SparkEntry.staticOracleSql.keySet).nonEmpty
+    val oracles =
+      SparkEntry.oracleSql(if (needGen) Some((spark, sfDir)) else None)
+        .filter(kv => selected(kv._1))
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

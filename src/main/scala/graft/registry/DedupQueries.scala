@@ -234,6 +234,21 @@ object DedupQueries {
     }),
 
 
+    // keep-first cross-doc paragraph dedup (Lee et al. 2022 /
+    // RefinedWeb §3.3) — verbatim repeated paragraphs survive exactly
+    // once, at their smallest (doc_id, idx); LineDedup's complement
+    // (template text vanishes everywhere, duplicated CONTENT keeps one
+    // canonical copy). First-occurrence is an AGGREGATE
+    // (min(struct(id, idx)) with map-side combine), never a window —
+    // a nav bar in 10^8 docs reduces per-task instead of one-tasking.
+    // Oracle recomputes the fixture, the trimmed-match rule, the
+    // (id, idx) keep-first window, and the ordered reassembly
+    "q138_paragraph_dedup" -> ((s, dir) => {
+      graft.textops.ParagraphDedup.dedupParagraphs(
+        paragraphFixture(s, dir), "doc_id", "text")
+    }),
+
+
     // cross-stratum overlap estimation: pairwise per-lang vocabulary
     // Jaccard from KMV sketches — ONE data pass (<= k longs per
     // (task, lang) shuffled), pairwise arithmetic on the #langs-row
@@ -623,6 +638,44 @@ object DedupQueries {
         |    x -> trim(x) = '' OR NOT list_contains(b.bl, trim(x))), chr(10))
         |    AS text_clean
         |FROM per p CROSS JOIN b""".stripMargin,
+
+
+    // q138: full recompute — the paragraph fixture, position-indexed
+    // split segments, the trimmed-match keep-first window ordered by
+    // (doc_id, i) (the oracle may use a window; the ENGINE must not —
+    // its min(struct) aggregate is the hot-key-safe twin), and the
+    // order-preserving filtered reassembly
+    "q138_paragraph_dedup" ->
+      """WITH fix AS (
+        |  SELECT doc_id,
+        |    'welcome to the graft sample corpus' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      CASE WHEN doc_id % 7 = 0
+        |           THEN chr(10)||chr(10)||'  subscribe to our newsletter today'
+        |           ELSE chr(10)||chr(10)||'subscribe to our newsletter today' END
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10)||chr(10)||'  ' ELSE '' END ||
+        |    chr(10)||chr(10) || coalesce(text, '') ||
+        |    chr(10)||chr(10) || 'permalink doc-' || CAST(doc_id AS VARCHAR) ||
+        |    chr(10)||chr(10) || 'shared footer all rights reserved' AS text
+        |  FROM documents),
+        |p AS (
+        |  SELECT f.doc_id, g.i AS i, f.ps[g.i] AS para, trim(f.ps[g.i]) AS t
+        |  FROM (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps
+        |        FROM fix) f,
+        |       unnest(generate_series(1, len(f.ps))) AS g(i)),
+        |k AS (
+        |  SELECT doc_id, i, para,
+        |    CASE WHEN t = '' THEN TRUE
+        |         ELSE row_number() OVER (PARTITION BY t ORDER BY doc_id, i) = 1
+        |         END AS keep
+        |  FROM p)
+        |SELECT doc_id,
+        |  count(*) AS n_paras,
+        |  sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped,
+        |  coalesce(string_agg(para, chr(10)||chr(10) ORDER BY i)
+        |             FILTER (WHERE keep), '') AS text_dedup
+        |FROM k GROUP BY doc_id""".stripMargin,
 
 
     // q87: the full estimator pipeline recomputed from raw text — q82's
