@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog distinct-count sketch (Flajolet et al. 2007), the
+  * register-merge companion of [[DistinctSketch]]'s KMV bottom-k:
+  * KMV keeps k minima (exact below k, ~1/sqrt(k) error above), HLL
+  * keeps `m` 6-bit registers — constant 64·`m`-bit state per group
+  * whose MERGE is a pointwise max, the property that makes it the
+  * standard sketch for pre-aggregated rollup cubes (per-day sketches
+  * max-merge into per-month cardinalities without re-reading data).
+  *
+  * Register discipline over the family's engine-agnostic
+  * [[DistinctSketch.hash60]] (md5-derived 60-bit): register = `h mod
+  * 64` (6 bits), remainder r = `h div 64` (54 bits), rank rho(r) =
+  * leading zeros of r in its 54-bit lane + 1 (r = 0 → 55). The
+  * estimator is the raw HLL formula with alpha_64 = 0.709 (the
+  * paper's constant for m = 64), evaluated in INTEGER arithmetic so
+  * DuckDB recomputes it bit-for-bit: with T = Σ_j 2^(55 − M_j)
+  * (empty registers contribute 2^55, M_j = 0),
+  *
+  *   est_x1000 = (709·4096 · 2^55) DIV T     — alpha·m²·1000 · 2^55
+  *
+  * T ≤ 64·2^55 = 2^61 fits a signed 64-bit lane; the numerator
+  * (~1.05e23) runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the
+  * [[DistinctSketch.overlapByKey]] wide-integer discipline. No
+  * small-range linear-counting correction (it needs a float ln):
+  * below ~2.5·m distinct values prefer KMV, which is EXACT there —
+  * the two sketches are complements, not substitutes.
+  *
+  * 100 TB shape: one narrow hash pass, then ONE hash aggregation on
+  * (group, register) with map-side partial max — ≤ 64 rows per
+  * (task, group) shuffle, the same bound as KMV's k longs — and a
+  * second already-tiny 64→1 reduce per group. No distinct, no
+  * windows, nothing skews: a hot register still reduces per-task.
+  */
+object Hll {
+
+  /** Registers (m). Fixed — alpha below is m-specific. */
+  val m: Int = 64
+
+  /** Bits in the post-register remainder lane: 60 − log2(m). */
+  val restBits: Int = 54
+
+  /** alpha_64 · m² · 1000 = 0.709 · 4096 · 1000, exact. */
+  val alphaM2x1000: Long = 709L * 4096L
+
+  /** The estimator's integer numerator, alpha_64·m²·1000 · 2^55 —
+    * shared verbatim with the DuckDB oracle literal.
+    */
+  val estNumerator: String = (BigInt(alphaM2x1000) << (restBits + 1)).toString
+
+  /** Per-group HLL distinct estimate:
+    * (groupCols..., n_values, n_regs_hit, max_rho, est_x1000).
+    * `n_regs_hit` (registers with ≥ 1 element) and `max_rho` ride
+    * along as sketch-health diagnostics — and make the oracle check
+    * the register table itself, not just the final quotient.
+    */
+  def estimateByKey(
+      df: DataFrame, groupCols: Seq[Column], value: Column): DataFrame = {
+    val keyNames = df.select(groupCols: _*).columns.toSeq
+    val base = df.select((groupCols :+
+      DistinctSketch.hash60(value).as("_hll_h")): _*)
+    val rho = base
+      .withColumn("_hll_reg", pmod(col("_hll_h"), lit(m.toLong)))
+      .withColumn("_hll_rest", expr(s"_hll_h DIV $m"))
+      .withColumn("_hll_rho",
+        when(col("_hll_rest") === 0L, lit(restBits + 1L))
+          .otherwise(lit(restBits + 1L) - length(bin(col("_hll_rest"))).cast("long")))
+    val perReg = rho
+      .groupBy((keyNames.map(col) :+ col("_hll_reg")): _*)
+      .agg(max(col("_hll_rho")).as("_hll_m"), count(lit(1)).as("_hll_c"))
+    perReg
+      .groupBy(keyNames.map(col): _*)
+      .agg(
+        sum(col("_hll_c")).as("n_values"),
+        count(lit(1)).as("n_regs_hit"),
+        max(col("_hll_m")).as("max_rho"),
+        sum(expr(s"shiftleft(1L, CAST(${restBits + 1} - _hll_m AS INT))"))
+          .as("_hll_t_hit"))
+      .withColumn("_hll_t",
+        col("_hll_t_hit") +
+          (lit(m.toLong) - col("n_regs_hit")) * lit(1L << (restBits + 1)))
+      .withColumn("est_x1000", expr(
+        s"CAST(CAST('$estNumerator' AS DECIMAL(38,0))" +
+          " DIV CAST(_hll_t AS DECIMAL(38,0)) AS BIGINT)"))
+      .select((keyNames.map(col) ++ Seq(col("n_values"), col("n_regs_hit"),
+        col("max_rho"), col("est_x1000"))): _*)
+  }
+}

@@ -338,6 +338,18 @@ object PipelineQueries {
     }),
 
 
+    // HyperLogLog distinct sketch — KMV's register-merge companion
+    // (q82 is exact below k and ~1/sqrt(k) above; HLL's 64 6-bit
+    // registers max-merge, the rollup-cube property). Estimator runs
+    // the raw integer formula (alpha_64 x1000, DECIMAL(38,0) DIV), so
+    // DuckDB recomputes registers AND quotient bit-for-bit
+    "q139_hll_distinct" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("lang"),
+        explode(graft.textops.TextIndex.terms(col("text"))).as("term"))
+      graft.operators.Hll.estimateByKey(toks, Seq(col("lang")), col("term"))
+    }),
+
+
     // count-min sketch point estimates — Misra-Gries' companion (q80
     // answers WHICH keys are hot; this answers HOW OFTEN for any
     // probed key) in one pass with depth*width fixed memory per task.
@@ -587,6 +599,45 @@ object PipelineQueries {
         |       ELSE (CAST(15 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
         |            // greatest(k.hk, 1) END AS BIGINT) AS est_distinct
         |FROM n JOIN kth k ON n.lang = k.lang""".stripMargin,
+
+
+    // q139: the register table rebuilt from raw text — q82's md5-60-bit
+    // hashes, register/remainder split, the bin()-length rank (rest = 0
+    // cased FIRST on both sides: bin(0) = '0' has length 1), per-register
+    // max, and the same integer estimator with empty registers folded in
+    // as 2^55 terms; the numerator literal is Hll.estNumerator verbatim
+    "q139_hll_distinct" ->
+      raw"""WITH toks AS (
+        |  SELECT lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |t AS (SELECT lang, u.term FROM toks, unnest(ts) AS u(term)),
+        |h AS (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS hv
+        |  FROM t),
+        |rr AS (
+        |  SELECT lang, hv % 64 AS reg,
+        |    CASE WHEN hv // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(hv // 64)) END AS rho
+        |  FROM h),
+        |pr AS (
+        |  SELECT lang, reg, max(rho) AS mr, count(*) AS c
+        |  FROM rr GROUP BY lang, reg),
+        |pk AS (
+        |  SELECT lang, sum(c) AS n_values, count(*) AS n_regs_hit,
+        |    max(mr) AS max_rho,
+        |    sum(1::HUGEINT << (55 - mr)) AS t_hit
+        |  FROM pr GROUP BY lang)
+        |SELECT lang, CAST(n_values AS BIGINT) AS n_values,
+        |  CAST(n_regs_hit AS BIGINT) AS n_regs_hit,
+        |  CAST(max_rho AS BIGINT) AS max_rho,
+        |  CAST('${graft.operators.Hll.estNumerator}'::HUGEINT
+        |       // (t_hit + (64 - n_regs_hit) * (1::HUGEINT << 55))
+        |       AS BIGINT) AS est_x1000
+        |FROM pk""".stripMargin,
 
 
     // q89: the sketch rebuilt from exact term counts — depth row d's
