@@ -357,6 +357,37 @@ object SparkEntry {
         lit("\n\npermalink doc-"), col("doc_id").cast("string"),
         lit("\n\nshared footer all rights reserved")).as("text"))
 
+  /** Anchor-element fixture for the anchor-text aggregation (q140):
+    * every doc links two hosts with real anchor text (one with a
+    * nested `<b>` tag, one with messy whitespace), every 4th adds an
+    * image link (empty visible text), every 5th a `javascript:` ref
+    * (dropped by resolution), every 7th an UPPERCASE-tag anchor. All
+    * hrefs are absolute lowercase-scheme http(s), so the static
+    * oracle's resolution is identity and host extraction is the q86
+    * regex. Shared by the query and its static oracle.
+    */
+  private[graft] def anchorFixture(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    table(s, dir, "documents").select(id,
+      concat(lit("https://src"), (id % 6).cast("string"),
+        lit(".example/page/"), id.cast("string")).as("page_url"),
+      concat(
+        lit("<p>intro "), id.cast("string"), lit("</p>"),
+        lit("<a href=\"https://h"), (id % 10).cast("string"),
+        lit(".example/p/"), (id % 25).cast("string"),
+        lit("\">Read <b>more</b> now</a>"),
+        lit("<a href='https://h"), ((id * 3 + 1) % 10).cast("string"),
+        lit(".example/next'>  Next\n page  </a>"),
+        when(id % 4 === 0,
+          concat(lit("<a href=https://h"), (id % 10).cast("string"),
+            lit(".example/img><img src=\"i.png\"/></a>"))).otherwise(lit("")),
+        when(id % 5 === 0,
+          lit("<a href=\"javascript:void(0)\">Click</a>")).otherwise(lit("")),
+        when(id % 7 === 0,
+          lit("<A HREF=\"https://h3.example/up\">CAPS  anchor</A>"))
+          .otherwise(lit(""))).as("html"))
+  }
+
   /** Fixed corpus bound for the uncapped near-dup recall gates. */
   private[graft] val gateDocs = 500
 

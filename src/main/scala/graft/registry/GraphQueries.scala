@@ -208,6 +208,22 @@ object GraphQueries {
     }),
 
 
+    // per-target-host anchor-text aggregation — the link-graph TEXT
+    // signal (anchor-text corpora; the feature TrustRank-era search
+    // used for target-page description): q115's extraction machinery
+    // extended through the closing tag, inner text normalized (nested
+    // tags stripped, whitespace collapsed), aggregated per dst_host
+    // with the modal anchor decided by (count desc, text asc) on the
+    // already-reduced (host, anchor, count) frame. Fixture hrefs are
+    // absolute lowercase-scheme http(s), so the static oracle replays
+    // extraction + normalization + aggregation entirely in SQL
+    "q140_anchor_text" -> ((s, dir) => {
+      val links = graft.textops.LinkExtract.anchorTexts(
+        anchorFixture(s, dir), Seq(col("doc_id")), col("page_url"), col("html"))
+      graft.textops.LinkExtract.aggregateAnchors(links, "doc_id")
+    }),
+
+
     // robots-style longest-prefix URL gate over a planted per-host
     // rule table: /private disallowed but /private/ok re-allowed
     // (longest wins), /tmp allow+disallow tie on host3 (allow wins),
@@ -392,6 +408,73 @@ object GraphQueries {
         |       THEN (COALESCE(tc.n_triangles, 0) * 20000) // (d.degree * (d.degree - 1))
         |       ELSE 0 END AS coeff_x10000
         |FROM deg d LEFT JOIN tc ON tc.id = d.id""".stripMargin,
+
+
+    // q140: the fixture formula, the engine's anchor regexes QUOTED
+    // VERBATIM from LinkExtract (every construct Java/RE2 common
+    // ground), identity resolution for absolute http(s) hrefs, the
+    // q86 host regex, and the same two aggregations + modal window
+    "q140_anchor_text" -> {
+      def rq(p: String): String = "'" + p.replace("'", "''") + "'"
+      val ap = rq(graft.textops.LinkExtract.anchorPattern)
+      val hp = rq(graft.textops.LinkExtract.hrefPattern)
+      raw"""WITH fix AS (
+        |  SELECT doc_id,
+        |    '<p>intro ' || CAST(doc_id AS VARCHAR) || '</p>' ||
+        |    '<a href="https://h' || CAST(doc_id % 10 AS VARCHAR) ||
+        |      '.example/p/' || CAST(doc_id % 25 AS VARCHAR) ||
+        |      '">Read <b>more</b> now</a>' ||
+        |    '<a href=''https://h' || CAST((doc_id * 3 + 1) % 10 AS VARCHAR) ||
+        |      '.example/next''>  Next' || chr(10) || ' page  </a>' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |      '<a href=https://h' || CAST(doc_id % 10 AS VARCHAR) ||
+        |      '.example/img><img src="i.png"/></a>' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      '<a href="javascript:void(0)">Click</a>' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      '<A HREF="https://h3.example/up">CAPS  anchor</A>' ELSE '' END
+        |      AS html
+        |  FROM documents),
+        |m AS (
+        |  SELECT f.doc_id, u.elem
+        |  FROM (SELECT doc_id, regexp_extract_all(html, $ap, 0) AS es
+        |        FROM fix) f,
+        |       unnest(f.es) AS u(elem)),
+        |x AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_extract(elem, $hp, 1),
+        |      '^["'']|["'']$$', '', 'g') AS href,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(elem, '(?is)^<a[^>]*>', ''),
+        |      '(?is)</a>$$', ''), '<[^>]*>', ' ', 'g'),
+        |      '[ \t\n\r\f]+', ' ', 'g')) AS anchor
+        |  FROM m),
+        |hh AS (
+        |  SELECT doc_id, anchor,
+        |    nullif(lower(regexp_replace(regexp_replace(
+        |      regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^.*@', ''), ':[0-9]*$$', '')), '') AS dst_host
+        |  FROM x
+        |  WHERE regexp_matches(href, '^https?://')),
+        |ph AS (
+        |  SELECT dst_host, count(*) AS n_links,
+        |    count(DISTINCT doc_id) AS n_docs,
+        |    count(DISTINCT anchor) FILTER (WHERE anchor <> '') AS n_anchors
+        |  FROM hh GROUP BY dst_host),
+        |pa AS (
+        |  SELECT dst_host, anchor, count(*) AS c
+        |  FROM hh WHERE anchor <> '' GROUP BY dst_host, anchor),
+        |tp AS (
+        |  SELECT dst_host, anchor AS top_anchor, c AS top_anchor_n,
+        |    row_number() OVER (PARTITION BY dst_host
+        |      ORDER BY c DESC, anchor ASC) AS rn
+        |  FROM pa)
+        |SELECT ph.dst_host, CAST(ph.n_links AS BIGINT) AS n_links,
+        |  CAST(ph.n_docs AS BIGINT) AS n_docs,
+        |  CAST(ph.n_anchors AS BIGINT) AS n_anchors,
+        |  tp.top_anchor, CAST(tp.top_anchor_n AS BIGINT) AS top_anchor_n
+        |FROM ph LEFT JOIN tp ON tp.dst_host = ph.dst_host AND tp.rn = 1""".stripMargin
+    },
 
 
     // q119: the same fixture formula, the rule table as VALUES, and

@@ -61,6 +61,82 @@ object LinkExtract {
       regexp_extract_all(coalesce(html, lit("")), lit(hrefPattern), lit(1)),
       v => regexp_replace(v, "^[\"']|[\"']$", ""))
 
+  /** Full `<a href=…>…</a>` element matcher — [[hrefPattern]] extended
+    * through the closing tag (group 1 is still the href value). The
+    * non-greedy body stops at the FIRST `</a>`, so an unclosed anchor
+    * swallows up to the next close — a well-formed-ness assumption
+    * both the engine and the oracle share verbatim.
+    */
+  val anchorPattern: String = hrefPattern + "[^>]*>.*?</a>"
+
+  /** Whole anchor elements (tag through `</a>`), in document order. */
+  def anchorElements(html: Column): Column =
+    regexp_extract_all(coalesce(html, lit("")), lit(anchorPattern), lit(0))
+
+  /** Normalized anchor text of one matched element: opening tag and
+    * `</a>` stripped, nested tags replaced by spaces, whitespace
+    * collapsed, space-trimmed. Every regex construct is Java/RE2
+    * common ground — the DuckDB oracle replays these four rewrites
+    * verbatim.
+    */
+  def anchorTextOf(elem: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      elem,
+      "(?is)^<a[^>]*>", ""),
+      "(?is)</a>$", ""),
+      "<[^>]*>", " "),
+      "[ \\t\\n\\r\\f]+", " "))
+
+  /** The anchor-text table — [[outlinks]]' shape plus the normalized
+    * inner text: idCols ++ (link_idx, href, url, dst_host, anchor),
+    * one row per RESOLVABLE closed anchor element. Anchors whose
+    * visible text is empty (image links) emit `anchor = ''`. One
+    * narrow pass; nothing shuffles.
+    */
+  def anchorTexts(
+      df: DataFrame, idCols: Seq[Column], baseUrl: Column,
+      html: Column): DataFrame =
+    df.select((idCols :+ baseUrl.as("_base") :+
+      posexplode(anchorElements(html)).as(Seq("link_idx", "_elem"))): _*)
+      .withColumn("href", regexp_replace(
+        regexp_extract(col("_elem"), hrefPattern, 1), "^[\"']|[\"']$", ""))
+      .withColumn("url", resolve_url(col("_base"), col("href")))
+      .filter(col("url").isNotNull)
+      .withColumn("dst_host", graft.operators.Blocklist.urlHost(col("url")))
+      .withColumn("anchor", anchorTextOf(col("_elem")))
+      .drop("_base", "_elem")
+      .withColumn("link_idx", col("link_idx").cast("long"))
+
+  /** Per-target-host anchor aggregation — the link-graph text signal
+    * (anchor-text corpora à la DeepMind's anchor datasets; TrustRank
+    * features): for every dst_host, the inbound-link count, distinct
+    * linking documents, distinct non-empty anchor texts, and the
+    * modal anchor by (count desc, text asc).
+    *
+    * 100 TB shape: both aggregations hash-shuffle on small keys with
+    * map-side partial aggregation; the modal-anchor window runs over
+    * the already-REDUCED (host, anchor, count) frame — bounded by
+    * distinct anchors per host, never by link count — so a host with
+    * 10^9 inbound links of 10^3 distinct texts windows 10^3 rows.
+    */
+  def aggregateAnchors(links: DataFrame, idCol: String): DataFrame = {
+    val perHost = links.groupBy(col("dst_host")).agg(
+      count(lit(1)).as("n_links"),
+      countDistinct(col(idCol)).as("n_docs"),
+      countDistinct(when(col("anchor") =!= "", col("anchor"))).as("n_anchors"))
+    val perAnchor = links.filter(col("anchor") =!= "")
+      .groupBy(col("dst_host"), col("anchor"))
+      .agg(count(lit(1)).as("_ax_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst_host"))
+      .orderBy(col("_ax_c").desc, col("anchor").asc)
+    val top = perAnchor.withColumn("_ax_rn", row_number().over(w))
+      .filter(col("_ax_rn") === 1)
+      .select(col("dst_host"), col("anchor").as("top_anchor"),
+        col("_ax_c").as("top_anchor_n"))
+    perHost.join(top, Seq("dst_host"), "left")
+  }
+
   /** RFC 3986 §5.2 resolution as a column:
     * `resolve_url(col("base"), col("href"))`. Null when base is not an
     * absolute http(s) URL, when ref is empty, or when the resolved
