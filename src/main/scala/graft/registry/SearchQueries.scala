@@ -87,6 +87,31 @@ object SearchQueries {
     }),
 
 
+    // reciprocal-rank fusion — the BM25+vector hybrid-retrieval
+    // combiner (Cormack et al. 2009; the Elasticsearch/OpenSearch
+    // default, k=60): lexical top-20 for a 2-term query fused with
+    // the dense top-20 around query vector 0 (vec_id IS doc_id in the
+    // testdata star schema) by integer 1000000 DIV (60+rank) — only
+    // RANKS cross the retriever boundary, no score calibration. The
+    // oracle recomputes both rankings (q77's BM25 arithmetic, q27's
+    // cosine) and the same integral fusion
+    "q141_rrf_fusion" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val lex = graft.textops.TextIndex.bm25TopK(docs, "doc_id", "text",
+        query = Seq("table", "window"), k = 20)
+        .select(col("id"), col("rank").cast("long").as("rank"))
+      val emb = table(s, dir, "embeddings")
+      val dense = graft.vector.Ann.cosineTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("id"), col("rank").cast("long").as("rank"))
+      graft.textops.HybridSearch
+        .rrfFuse(Seq("bm25" -> lex, "cosine" -> dense), k = 10)
+        .select(col("id").as("doc_id"), col("n_lists"),
+          col("rrf_x1m"), col("rank"))
+    }),
+
+
     // hashing-trick TF-IDF cosine top-k — the embedding-free
     // similarity path (q27's shape with vectors the engine BUILDS
     // instead of reads): md5 bucket hashing, smooth idf, dense
@@ -204,6 +229,68 @@ object SearchQueries {
         |       + (c3 > 0)::INT AS BIGINT) AS n_patterns,
         |  (c0 + c1 + c2 + c3) > 0 AS flagged
         |FROM c""".stripMargin,
+
+
+    // q141: both rankings recomputed from scratch — q77's BM25 CTEs
+    // (rank on the ROUNDED score, doc_id tiebreak) at k=20, q27's raw
+    // cosine ranking around vec 0 at k=20, then the same integer
+    // fusion and final (rrf desc, id) window
+    "q141_rrf_fusion" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dl),
+        |posting AS (
+        |  SELECT doc_id, t.term, count(*) AS tf
+        |  FROM toks, unnest(ts) AS t(term)
+        |  WHERE t.term IN ('table', 'window')
+        |  GROUP BY doc_id, t.term),
+        |dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    (ln(1.0 + (CAST(s.n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5))
+        |       * (p.tf * (1.2 + 1.0)))
+        |      / (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * d.dl) / s.avgdl)) AS c
+        |  FROM posting p, dfreq f, stats s, dl d
+        |  WHERE f.term = p.term AND d.doc_id = p.doc_id),
+        |agg AS (
+        |  SELECT doc_id, round(sum(c), 4) AS score FROM scored GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM agg),
+        |cv AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+        |  FROM embeddings),
+        |qv AS (SELECT * FROM cv WHERE vec_id = 0),
+        |dsc AS (
+        |  SELECT cv.vec_id AS id,
+        |    list_dot_product(cv.v, qv.v) / (cv.nn * qv.nn) AS cos_raw
+        |  FROM cv CROSS JOIN qv WHERE cv.vec_id != qv.vec_id),
+        |dense AS (
+        |  SELECT id, row_number() OVER (ORDER BY cos_raw DESC, id ASC) AS rank
+        |  FROM dsc),
+        |u AS (
+        |  SELECT id, 1000000 // (60 + rank) AS s FROM lex WHERE rank <= 20
+        |  UNION ALL
+        |  SELECT id, 1000000 // (60 + rank) AS s FROM dense WHERE rank <= 20),
+        |f AS (
+        |  SELECT id, count(*) AS n_lists, sum(s) AS rrf_x1m
+        |  FROM u GROUP BY id),
+        |r AS (
+        |  SELECT id, n_lists, rrf_x1m,
+        |    row_number() OVER (ORDER BY rrf_x1m DESC, id ASC) AS rank
+        |  FROM f)
+        |SELECT id AS doc_id, CAST(n_lists AS BIGINT) AS n_lists,
+        |  CAST(rrf_x1m AS BIGINT) AS rrf_x1m, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
 
 
     // q118: full ground-up recompute — q89's token+md5-bucket SQL,
