@@ -73,6 +73,36 @@ object VectorQueries {
     }),
 
 
+    // SQ8 scalar-quantized ANN (FAISS QT_8bit shape): per-dim corpus
+    // [min,max] fit (one map-side-combined aggregation, 2·dim driver
+    // doubles), codes-only approximate scan (integer-exact code dots
+    // in doubles), top-(k·refine) shortlist, exact cosine re-rank via
+    // id join-back. The static oracle recomputes fit, codes,
+    // shortlist AND re-rank from raw embeddings — the whole codec is
+    // hash-gated, not just the final ranking
+    "q142_ann_sq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.vector.Sq.sqTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, refine = 4)
+    }),
+
+
+    // the SQ8 twin-recall gate beside q42/q43/q44: exact-copy twins
+    // quantize to identical codes, so a correct codec must put every
+    // query's twin at rank 1 — the oracle recomputes the brute-force
+    // ground truth and the counts must AGREE exactly
+    "q143_sq_twin_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val res = graft.vector.Sq.sqTopK(
+        twinEmbeddings(emb), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, refine = 4)
+      twinRecallOf("ann_sq", res)
+    }),
+
+
     "q42_lsh_twin_recall" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val res = graft.vector.Ann.lshTopK(
@@ -264,6 +294,57 @@ object VectorQueries {
         |         round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) AS cosine
         |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99""".stripMargin,
+
+
+    // q142: the whole SQ8 codec replayed — per-dim min/max from the
+    // same doubles, the clamp(floor((x−mn)·255/(mx−mn))) code formula
+    // in the engine's exact IEEE association, integer-exact code dots,
+    // the (adot desc, id) shortlist at k·refine = 20, and the q27
+    // exact-cosine re-rank
+    "q142_ann_sq" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dims AS (
+        |  SELECT u.i AS i, min(c.v[u.i]) AS mn, max(c.v[u.i]) AS mx
+        |  FROM c, unnest(generate_series(1, len(c.v))) AS u(i)
+        |  GROUP BY u.i),
+        |codes AS (
+        |  SELECT c.vec_id, list(
+        |    CASE WHEN d.mx = d.mn THEN 0.0
+        |         ELSE least(greatest(
+        |           floor((c.v[d.i] - d.mn) * 255.0 / (d.mx - d.mn)), 0.0), 255.0)
+        |    END ORDER BY d.i) AS cd
+        |  FROM c CROSS JOIN dims d
+        |  GROUP BY c.vec_id),
+        |q AS (SELECT vec_id, cd FROM codes WHERE vec_id < 20),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+        |    list_dot_product(c2.cd, q.cd) /
+        |      greatest(sqrt(list_dot_product(c2.cd, c2.cd)) *
+        |               sqrt(list_dot_product(q.cd, q.cd)), 1e-12) AS adot
+        |  FROM codes c2 CROSS JOIN q WHERE c2.vec_id != q.vec_id),
+        |short AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adot DESC, neighbor_id ASC) AS arank
+        |  FROM cand),
+        |norms AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM c),
+        |rr AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    list_dot_product(cn.v, qn.v) / (cn.n * qn.n) AS cos_raw
+        |  FROM short s
+        |  JOIN norms cn ON cn.vec_id = s.neighbor_id
+        |  JOIN norms qn ON qn.vec_id = s.query_id
+        |  WHERE s.arank <= 20),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        |  FROM rr)
+        |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+
+    "q143_sq_twin_recall" -> annTwinOracleSql("ann_sq"),
 
 
     // ANN families: the oracle RECOMPUTES the ground truth by brute
