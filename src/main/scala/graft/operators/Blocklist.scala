@@ -31,6 +31,33 @@ object Blocklist {
     when(length(host) > 0, lower(host))
   }
 
+  /** Second-level labels that act as public-suffix components under
+    * 2-letter ccTLDs (`co.uk`, `ac.jp`, `gov.au`, …) — the
+    * registrable-domain heuristic's fixed table. A full
+    * publicsuffix.org list plugs in the same way (broadcast lookup);
+    * this closed set keeps the rule expressible as one codegen'd
+    * Column and one DuckDB CASE.
+    */
+  val PublicSecondLevels: Seq[String] =
+    Seq("co", "com", "org", "net", "gov", "ac", "edu")
+
+  /** Registrable domain (eTLD+1 heuristic) of an already-extracted
+    * host: the last two labels, or the last THREE when the TLD is
+    * 2 letters and the second-to-last label is a [[PublicSecondLevels]]
+    * member (`www.alpha.co.uk` -> `alpha.co.uk`, `news.beta.com` ->
+    * `beta.com`). Hosts of ≤ 2 labels pass through; null host stays
+    * null. Deterministic and replayed verbatim by the DuckDB oracle.
+    */
+  def registrableDomain(host: Column): Column = {
+    val ls = split(host, "\\.")
+    val n = size(ls)
+    when(n <= 2, host)
+      .when(length(element_at(ls, -1)) === 2 &&
+        element_at(ls, -2).isin(PublicSecondLevels: _*),
+        array_join(slice(ls, n - 2, lit(3)), "."))
+      .otherwise(array_join(slice(ls, n - 1, lit(2)), "."))
+  }
+
   /** The label-suffix chain of a host: `a.b.c` ->
     * `[a.b.c, b.c, c]` — the join keys of the scale path.
     */

@@ -208,6 +208,37 @@ object GraphQueries {
     }),
 
 
+    // registrable-domain rollup (eTLD+1 heuristic) — the quota/report
+    // granularity crawl pipelines actually use (host-level quotas
+    // over-split www./blog./cdn. mirrors of one site): planted hosts
+    // exercise the 2-letter-ccTLD + public-second-level rule
+    // (alpha.co.uk keeps 3 labels), deep subdomains, and bare
+    // 2-label hosts; per-domain docs, distinct hosts, token mass,
+    // and integral mean. Fully static oracle
+    "q144_domain_report" -> ((s, dir) => {
+      val id = col("doc_id")
+      val host = when(id % 8 === 0, lit("www.alpha.co.uk"))
+        .when(id % 8 === 1, lit("blog.alpha.co.uk"))
+        .when(id % 8 === 2, lit("alpha.co.uk"))
+        .when(id % 8 === 3, lit("beta.com"))
+        .when(id % 8 === 4, lit("news.beta.com"))
+        .when(id % 8 === 5, lit("cdn.gamma.org"))
+        .when(id % 8 === 6, lit("deep.sub.gamma.org"))
+        .otherwise(lit("delta.io"))
+      table(s, dir, "documents")
+        .select(id, host.as("host"),
+          graft.textops.TextAnalysis.nTokens(col("text")).cast("long").as("_nt"))
+        .withColumn("domain",
+          graft.operators.Blocklist.registrableDomain(col("host")))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(col("_nt")).as("n_tokens"))
+        .withColumn("mean_tokens_x100",
+          expr("CAST(n_tokens * 100 DIV n_docs AS BIGINT)"))
+    }),
+
+
     // per-target-host anchor-text aggregation — the link-graph TEXT
     // signal (anchor-text corpora; the feature TrustRank-era search
     // used for target-page description): q115's extraction machinery
@@ -408,6 +439,40 @@ object GraphQueries {
         |       THEN (COALESCE(tc.n_triangles, 0) * 20000) // (d.degree * (d.degree - 1))
         |       ELSE 0 END AS coeff_x10000
         |FROM deg d LEFT JOIN tc ON tc.id = d.id""".stripMargin,
+
+
+    // q144: fixture, label algebra (string_split + inclusive list
+    // slicing), the 2-letter-TLD + public-second-level CASE, the q56
+    // token count, and the x100 integral mean
+    "q144_domain_report" ->
+      raw"""WITH fix AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 8 AS INT)
+        |      WHEN 0 THEN 'www.alpha.co.uk'
+        |      WHEN 1 THEN 'blog.alpha.co.uk'
+        |      WHEN 2 THEN 'alpha.co.uk'
+        |      WHEN 3 THEN 'beta.com'
+        |      WHEN 4 THEN 'news.beta.com'
+        |      WHEN 5 THEN 'cdn.gamma.org'
+        |      WHEN 6 THEN 'deep.sub.gamma.org'
+        |      ELSE 'delta.io' END AS host,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+        |         END AS BIGINT) AS nt
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, host, nt,
+        |    CASE WHEN len(ls) <= 2 THEN host
+        |         WHEN length(ls[len(ls)]) = 2 AND list_contains(
+        |             ['co','com','org','net','gov','ac','edu'], ls[len(ls)-1])
+        |           THEN array_to_string(ls[len(ls)-2:len(ls)], '.')
+        |         ELSE array_to_string(ls[len(ls)-1:len(ls)], '.') END AS domain
+        |  FROM (SELECT *, string_split(host, '.') AS ls FROM fix))
+        |SELECT domain, count(*) AS n_docs,
+        |  count(DISTINCT host) AS n_hosts,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST((sum(nt) * 100) // count(*) AS BIGINT) AS mean_tokens_x100
+        |FROM d GROUP BY domain""".stripMargin,
 
 
     // q140: the fixture formula, the engine's anchor regexes QUOTED

@@ -67,4 +67,24 @@ class BlocklistSpec extends GraftSparkSpec {
       .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(3L, 6L, 7L))
   }
+
+  test("registrableDomain: eTLD+1 heuristic") {
+    import spark.implicits._
+    val cases = Seq(
+      "www.alpha.co.uk" -> "alpha.co.uk",   // 2-letter TLD + public 2nd level
+      "deep.sub.alpha.co.uk" -> "alpha.co.uk",
+      "alpha.co.uk" -> "alpha.co.uk",
+      "news.beta.com" -> "beta.com",        // 3-letter TLD: last two labels
+      "deep.sub.gamma.org" -> "gamma.org",
+      "x.co.com" -> "co.com",               // 'com' is not a 2-letter TLD
+      "ab.cd.ef" -> "cd.ef",                // 'cd' not in the public set
+      "delta.io" -> "delta.io",             // 2 labels pass through
+      "localhost" -> "localhost")           // 1 label passes through
+    val got = cases.map(_._1).toDF("host")
+      .select(col("host"), Blocklist.registrableDomain(col("host")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"$h -> ${got(h)}, want $want")
+    }
+  }
 }
