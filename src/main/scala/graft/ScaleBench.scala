@@ -404,6 +404,58 @@ object ScaleBench {
     timed("tfidf_adversarial_50k_capped", graft.textops.TfIdf.cosineTopK(
       boiler(50000), "doc_id", "text", col("doc_id") < 8, k = 5))
 
+    // ---- phase 1k: hot-paragraph duel for keep-first paragraph dedup ----
+    // every document carries ONE corpus-universal paragraph, so its
+    // trimmed form owns n occurrences. ParagraphDedup deliberately
+    // computes first-occurrence as min(struct(id, idx)) — an aggregate
+    // with map-side partial combine — instead of the obvious
+    // row_number window, whose hot partition serializes all n
+    // occurrences into one task-sized sort. The window twin below is
+    // that rejected formulation; evidence sought: identical xor/rows
+    // (same semantics), window max-task growing ~linearly with the hot
+    // paragraph while the shipped aggregate's stays flat.
+    def paraCorpus(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("shared announcement paragraph identical across the " +
+          "whole corpus for every single document\n\nbody "), col("id"),
+          lit(" alpha "), col("id") % 997,
+          lit("\n\npermalink "), col("id")).as("text"))
+    def windowParaDedup(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val paras = df.select(col("doc_id").as("_pp_id"),
+        posexplode(split(coalesce(col("text"), lit("")), "\n\n", -1))
+          .as(Seq("_pp_i", "_pp_raw")))
+        .withColumn("_pp_t", trim(col("_pp_raw")))
+      val w = Window.partitionBy(col("_pp_t"))
+        .orderBy(col("_pp_id"), col("_pp_i"))
+      val nb = paras.filter(col("_pp_t") =!= "")
+        .withColumn("_pp_keep", row_number().over(w) === 1)
+      val bl = paras.filter(col("_pp_t") === "")
+        .withColumn("_pp_keep", lit(true))
+      nb.unionByName(bl)
+        .groupBy(col("_pp_id"))
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("_pp_keep"), 0L).otherwise(1L)).as("n_dropped"),
+          concat_ws("\n\n", transform(filter(array_sort(collect_list(struct(
+            col("_pp_i"), col("_pp_keep").as("_pp_k"), col("_pp_raw")))),
+            x => x.getField("_pp_k")), x => x.getField("_pp_raw")))
+            .as("text_dedup"))
+        .select(col("_pp_id").as("doc_id"),
+          col("n_paras"), col("n_dropped"), col("text_dedup"))
+    }
+    for (n <- Seq(200000L, 2000000L)) {
+      val tag = if (n >= 1000000) s"${n / 1000000}m" else s"${n / 1000}k"
+      val (ax, ar) = timed(s"paradedup_agg_$tag",
+        graft.textops.ParagraphDedup.dedupParagraphs(
+          paraCorpus(n), "doc_id", "text"))
+      val (wx, wr) = timed(s"paradedup_window_$tag",
+        windowParaDedup(paraCorpus(n)))
+      println(s"""{"bench":"scale","workload":"paradedup_duel_match_$tag",""" +
+        s""""match":${ax == wx && ar == wr}}""")
+      if (ax != wx || ar != wr)
+        throw new IllegalStateException("paragraph dedup duel diverged")
+    }
+
     // ---- phase 1j: incremental-PageRank delta duel ----
     // many-component graph (5-node rings); the delta touches a FIXED
     // 200 components regardless of graph size and arrives as a known

@@ -1,7 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftInterop}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
 /** HyperLogLog distinct-count sketch (Flajolet et al. 2007), the
   * register-merge companion of [[DistinctSketch]]'s KMV bottom-k:
@@ -87,5 +91,103 @@ object Hll {
           " DIV CAST(_hll_t AS DECIMAL(38,0)) AS BIGINT)"))
       .select((keyNames.map(col) ++ Seq(col("n_values"), col("n_regs_hit"),
         col("max_rho"), col("est_x1000"))): _*)
+  }
+
+  /** Register rank of one hash60 value: (register index, rho). */
+  private[operators] def rankOf(h: Long): (Int, Int) = {
+    require(h >= 0 && h < DistinctSketch.HashDomain,
+      s"hll: hash $h outside [0, 2^60) — feed hash60() values")
+    val reg = (h % m).toInt
+    val rest = h / m
+    val rho =
+      if (rest == 0) restBits + 1
+      else restBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+    (reg, rho)
+  }
+
+  /** The estimator over a full register array (0 = empty register) —
+    * shared by [[estimateByKey]]'s semantics doc, [[HllAgg.eval]] and
+    * HllSpec's reference recomputation.
+    */
+  private[operators] def estimateOf(regs: Array[Byte]): Long = {
+    var t = BigInt(0)
+    var i = 0
+    while (i < regs.length) {
+      t += BigInt(1) << (restBits + 1 - regs(i))
+      i += 1
+    }
+    (BigInt(estNumerator) / t).toLong
+  }
+
+  /** Aggregate Column form of the sketch — the MERGEABLE shape rollup
+    * cubes and streaming aggregations consume (per-day registers
+    * max-merge into per-month cardinalities; a streaming aggregation
+    * carries the 64-byte buffer in the state store between
+    * micro-batches). Evaluates to the [[estimateByKey]] columns
+    * (n_regs_hit, max_rho, est_x1000) — HllSpec pins the two forms
+    * equal on every prefix/partitioning, which is exactly the
+    * mergeability contract.
+    */
+  def hll(hash: Column): Column =
+    GraftInterop.column(
+      HllAgg(GraftInterop.expression(hash)).toAggregateExpression())
+
+  case class HllAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Byte]] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_regs_hit", LongType, nullable = false),
+      StructField("max_rho", LongType, nullable = false),
+      StructField("est_x1000", LongType, nullable = false)))
+    override def prettyName: String = "hll"
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val (reg, rho) = rankOf(v.asInstanceOf[Long])
+        if (rho > buf(reg)) buf(reg) = rho.toByte
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) {
+        if (other(i) > buf(i)) buf(i) = other(i)
+        i += 1
+      }
+      buf
+    }
+
+    override def eval(buf: Array[Byte]): Any = {
+      var hit = 0L
+      var maxR = 0L
+      var i = 0
+      while (i < m) {
+        if (buf(i) > 0) hit += 1
+        if (buf(i) > maxR) maxR = buf(i).toLong
+        i += 1
+      }
+      new GenericInternalRow(Array[Any](hit, maxR, estimateOf(buf)))
+    }
+
+    // defensive copies: the byte array crosses the row-buffer boundary
+    // in both directions and UnsafeRow regions are reused
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): HllAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): HllAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren.head)
   }
 }

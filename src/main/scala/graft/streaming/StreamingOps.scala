@@ -469,5 +469,10 @@ object StreamingOps {
       // family; mergeable, so batch-prefix ≡ streaming state holds for
       // it exactly as for the other three
       graft.operators.QuantileSketch.qsketch(
-        length(col(termCol)).cast("long"), quantileK).as("len_quantiles"))
+        length(col(termCol)).cast("long"), quantileK).as("len_quantiles"),
+      // HLL registers (64 bytes of state) — the max-merge distinct
+      // sketch; complements KMV (exact below k) with the register
+      // form rollup cubes max-merge (q139's aggregate twin)
+      graft.operators.Hll.hll(
+        graft.operators.DistinctSketch.hash60(col(termCol))).as("hll_sketch"))
 }

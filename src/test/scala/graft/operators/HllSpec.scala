@@ -80,4 +80,21 @@ class HllSpec extends GraftSparkSpec {
     val vals = (1 to 2000).map(i => (if (i % 2 == 0) "e" else "o") -> s"t$i")
     assert(run(vals, parts = 1) == run(vals, parts = 13))
   }
+
+  test("the mergeable aggregate form equals the DataFrame form") {
+    val vals = (1 to 3000).map(i => (if (i % 3 == 0) "a" else "b") -> s"v$i")
+    val viaAgg = vals.toDF("k", "v").repartition(11)
+      .groupBy(col("k"))
+      .agg(Hll.hll(DistinctSketch.hash60(col("v"))).as("h"))
+      .select(col("k"), col("h.n_regs_hit"), col("h.max_rho"),
+        col("h.est_x1000"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val viaDf = run(vals)
+    assert(viaDf.keySet == viaAgg.keySet)
+    viaDf.foreach { case (k, (_, nh, mr, e)) =>
+      assert(viaAgg(k) == ((nh, mr, e)), s"key $k")
+    }
+  }
 }

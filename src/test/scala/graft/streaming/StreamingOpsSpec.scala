@@ -304,33 +304,25 @@ class StreamingOpsSpec extends GraftSparkSpec {
     val input = MemoryStream[(String, String)]
     val terms = input.toDF().toDF("lang", "term")
 
-    def batchTwin(rows: Seq[(String, String)]): Map[String, (Long, Long, Seq[(String, Long)], Seq[Long], Seq[Long], Seq[Long])] =
-      StreamingOps.corpusStats(
-        rows.toDF("lang", "term"), "lang", "term", mgCapacity = 32, kmvK = 4,
-        cmsDepth = 2, cmsWidth = 32)
-        .select(col("lang"), col("n_terms"),
+    def proj(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Seq[(String, Long)], Seq[Long], Seq[Long], Seq[Long], Long)] =
+      df.select(col("lang"), col("n_terms"),
           col("distinct_sketch.est_distinct"), col("heavy_hitters"),
           col("freq_sketch"), col("len_quantiles.values"),
-          col("len_quantiles.counts"))
+          col("len_quantiles.counts"), col("hll_sketch.est_x1000"))
         .collect().map { r =>
           r.getString(0) -> ((r.getLong(1), r.getLong(2),
             r.getSeq[org.apache.spark.sql.Row](3)
               .map(e => (e.getString(0), e.getLong(1))),
-            r.getSeq[Long](4), r.getSeq[Long](5), r.getSeq[Long](6)))
+            r.getSeq[Long](4), r.getSeq[Long](5), r.getSeq[Long](6),
+            r.getLong(7)))
         }.toMap
 
-    def streamed(): Map[String, (Long, Long, Seq[(String, Long)], Seq[Long], Seq[Long], Seq[Long])] =
-      spark.table("cstats_out")
-        .select(col("lang"), col("n_terms"),
-          col("distinct_sketch.est_distinct"), col("heavy_hitters"),
-          col("freq_sketch"), col("len_quantiles.values"),
-          col("len_quantiles.counts"))
-        .collect().map { r =>
-          r.getString(0) -> ((r.getLong(1), r.getLong(2),
-            r.getSeq[org.apache.spark.sql.Row](3)
-              .map(e => (e.getString(0), e.getLong(1))),
-            r.getSeq[Long](4), r.getSeq[Long](5), r.getSeq[Long](6)))
-        }.toMap
+    def batchTwin(rows: Seq[(String, String)]) = proj(
+      StreamingOps.corpusStats(
+        rows.toDF("lang", "term"), "lang", "term", mgCapacity = 32, kmvK = 4,
+        cmsDepth = 2, cmsWidth = 32))
+
+    def streamed() = proj(spark.table("cstats_out"))
 
     val q = StreamingOps.corpusStats(terms, "lang", "term",
       mgCapacity = 32, kmvK = 4, cmsDepth = 2, cmsWidth = 32)
