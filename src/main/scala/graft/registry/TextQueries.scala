@@ -23,6 +23,17 @@ object TextQueries {
 
     // ---- beyond-reference: text analysis over documents --------------
 
+    // adjacent-pair PMI collocations (Church & Hanks 1990; word2vec's
+    // phrase pass) — bigrams from a zip-shift of each doc's own token
+    // array (no self-join, no per-doc window), counts reduced with
+    // map-side combine, the ln chain in ONE shared association, top-50
+    // on the rounded value. Oracle recomputes counts and the identical
+    // ln chain from raw text
+    "q145_collocations" -> ((s, dir) =>
+      graft.textops.Collocations.pmiTopK(
+        table(s, dir, "documents"), "text", minCount = 5, k = 50)),
+
+
     "q20_lang_id" -> ((s, dir) => {
       table(s, dir, "documents").select(
         col("doc_id"),
@@ -651,6 +662,44 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // q145: token/bigram counts from the q77 token twin, the pmi ln
+    // chain in the engine's exact left-to-right association, round 4,
+    // and the same (pmi desc, a, b) top-50 window
+    "q145_collocations" ->
+      raw"""WITH toks AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |u AS (
+        |  SELECT t.term, count(*) AS c
+        |  FROM toks, unnest(ts) AS t(term) GROUP BY t.term),
+        |nt AS (SELECT sum(c) AS n_tok FROM u),
+        |bg AS (
+        |  SELECT ts[g.i] AS term_a, ts[g.i + 1] AS term_b, count(*) AS c_ab
+        |  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+        |  GROUP BY ts[g.i], ts[g.i + 1]),
+        |nb AS (SELECT sum(c_ab) AS n_big FROM bg),
+        |scored AS (
+        |  SELECT b.term_a, b.term_b, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+        |    round(ln(CAST(b.c_ab AS DOUBLE)) - ln(CAST(nb.n_big AS DOUBLE)) -
+        |          ln(CAST(ua.c AS DOUBLE)) - ln(CAST(ub.c AS DOUBLE)) +
+        |          ln(CAST(nt.n_tok AS DOUBLE)) + ln(CAST(nt.n_tok AS DOUBLE)),
+        |      4) AS pmi
+        |  FROM bg b
+        |  JOIN u ua ON ua.term = b.term_a
+        |  JOIN u ub ON ub.term = b.term_b
+        |  CROSS JOIN nt CROSS JOIN nb
+        |  WHERE b.c_ab >= 5),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY pmi DESC, term_a ASC, term_b ASC) AS rank
+        |  FROM scored)
+        |SELECT term_a, term_b, CAST(c_ab AS BIGINT) AS c_ab,
+        |  CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+        |  pmi, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 50""".stripMargin,
 
     "q20_lang_id" -> {
       val toks = "string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')"

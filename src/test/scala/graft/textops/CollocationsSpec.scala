@@ -1,0 +1,53 @@
+package graft.textops
+
+import graft.GraftSparkSpec
+
+class CollocationsSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private def run(texts: Seq[String], minCount: Long = 1, k: Int = 50) =
+    Collocations.pmiTopK(texts.toDF("text"), "text", minCount, k)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6))))
+
+  test("counts: bigrams are adjacent pairs within a doc, never across docs") {
+    val got = run(Seq("a b c", "c a")).toMap
+    // bigrams: (a,b), (b,c), (c,a) — one each; NOT (c,c) across docs
+    assert(got.keySet == Set(("a", "b"), ("b", "c"), ("c", "a")))
+    assert(got(("a", "b"))._1 == 1L)
+    // unigram marginals: a=2, b=1, c=2
+    assert(got(("a", "b"))._2 == 2L && got(("a", "b"))._3 == 1L)
+  }
+
+  test("the pmi value matches the formula") {
+    val got = run(Seq("x y x y x y")).toMap
+    // tokens: x=3, y=3, N=6; bigrams: (x,y)=3, (y,x)=2, B=5
+    val xy = got(("x", "y"))
+    val expect = math.log(3.0) - math.log(5.0) - math.log(3.0) -
+      math.log(3.0) + math.log(6.0) + math.log(6.0)
+    assert(xy._1 == 3L)
+    assert(math.abs(xy._4 - BigDecimal(expect)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("minCount filters; ranking breaks pmi ties by (a, b)") {
+    val corpus = Seq.fill(5)("p q") ++ Seq("r s")
+    val got = run(corpus, minCount = 2)
+    assert(got.map(_._1).toSeq == Seq(("p", "q"))) // (r,s) count 1 dropped
+  }
+
+  test("empty and single-token docs contribute no bigrams") {
+    val got = run(Seq("", "solo", "a b"))
+    assert(got.map(_._1).toSeq == Seq(("a", "b")))
+  }
+
+  test("partitioning-insensitive") {
+    val corpus = (1 to 100).map(i => s"w${i % 7} w${i % 5} w${i % 3} w${i % 7}")
+    def go(parts: Int) =
+      Collocations.pmiTopK(
+        corpus.toDF("text").repartition(parts), "text", minCount = 3, k = 20)
+        .collect().map(_.toSeq).toSeq
+    assert(go(1) == go(13))
+  }
+}
