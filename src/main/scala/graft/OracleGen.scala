@@ -81,6 +81,7 @@ object OracleGen {
       "q117_unigram_segment" -> (() => unigramSegmentOracle(s, dir)),
       "q120_uri_anomaly" -> (() => uriAnomalyOracle(s, dir)),
       "q122_diversity_sample" -> (() => diversityOracle(s, dir)),
+      "q146_semantic_order" -> (() => curriculumOracle(s, dir)),
       "q123_outlink_rank" -> (() => outlinkRankOracle(s, dir)),
       "q124_cluster_keywords" -> (() => clusterKeywordsOracle(s, dir)),
       "q125_longest_repeat" -> (() => longestRepeatOracle(s, dir))
@@ -542,6 +543,51 @@ object OracleGen {
        |SELECT CAST(r.vec_id AS BIGINT) AS vec_id, CAST(r.cell AS INT) AS cell,
        |  CAST(r.pick_rank AS BIGINT) AS pick_rank
        |FROM ranked r JOIN quotas USING (cell) WHERE pick_rank <= quota""".stripMargin
+  }
+
+  /** q146: the q122/q78 generated-key discipline — the engine supplies
+    * ONLY its (vec_id, cell) assignments and the fitted centroid
+    * coordinates (Double.toString round-trips bit-exactly through
+    * DuckDB's correctly-rounded parse); every cosine, in-cell rank and
+    * cell-major offset recomputes in SQL from the raw embeddings.
+    */
+  def curriculumOracle(s: SparkSession, dir: String): String = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val n = SparkEntry.semDedupClusters(emb)
+    val centroids = Ivf.fitCentroids(emb, "embedding", n,
+      cacheKey = Some("oracle:" + dir + "#embeddings"))
+    val cells = emb.select(col("vec_id"),
+      Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    checkEmbeddable("q146_semantic_order",
+      cells.length.toLong + centroids.map(_.length.toLong).sum)
+    val vals = cells.map { case (id, c) => s"($id, $c)" }.mkString(", ")
+    val cvals = centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"""WITH cellv(vec_id, cell) AS (VALUES $vals),
+       |cent(cell, cv) AS (VALUES $cvals),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_dot_product(v.v, c.cv) /
+       |      (sqrt(list_dot_product(v.v, v.v)) *
+       |       sqrt(list_dot_product(c.cv, c.cv))) AS cos
+       |  FROM cellv a JOIN v USING (vec_id) JOIN cent c USING (cell)),
+       |ranked AS (
+       |  SELECT vec_id, cell, cos,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY cos DESC, vec_id ASC) AS cell_rank
+       |  FROM scored),
+       |offs AS (SELECT cell, count(*) AS nc FROM cellv GROUP BY cell),
+       |o2 AS (
+       |  SELECT cell, coalesce(sum(nc) OVER (ORDER BY cell
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM offs)
+       |SELECT r.vec_id, CAST(r.cell AS INT) AS cell, round(r.cos, 4) AS sim,
+       |  CAST(r.cell_rank AS BIGINT) AS cell_rank,
+       |  CAST(o2.off + r.cell_rank AS BIGINT) AS global_pos
+       |FROM ranked r JOIN o2 USING (cell)""".stripMargin
   }
 
   /** q115: href extraction, quote-strip, and dst_host all recompute in

@@ -406,14 +406,17 @@ object ScaleBench {
 
     // ---- phase 1k: hot-paragraph duel for keep-first paragraph dedup ----
     // every document carries ONE corpus-universal paragraph, so its
-    // trimmed form owns n occurrences. ParagraphDedup deliberately
-    // computes first-occurrence as min(struct(id, idx)) — an aggregate
-    // with map-side partial combine — instead of the obvious
-    // row_number window, whose hot partition serializes all n
-    // occurrences into one task-sized sort. The window twin below is
-    // that rejected formulation; evidence sought: identical xor/rows
-    // (same semantics), window max-task growing ~linearly with the hot
-    // paragraph while the shipped aggregate's stays flat.
+    // trimmed form owns n occurrences. History of this duel (round
+    // 10): the first shipped form computed first-occurrence as a
+    // map-side-combined aggregate but applied it back via an equi-join
+    // on the paragraph key — and MEASURED SLOWER than the naive window
+    // (16.5 s vs 7.6 s max-task at 2M): the join colocates the hot
+    // key exactly like the window does, and AQE's skew split never
+    // triggered below its 256 MB partition threshold. The shipped form
+    // is now two-tier (hot paragraphs ≥ hotThreshold apply via
+    // broadcast — no colocation; cold keys are < hotThreshold by
+    // construction). Evidence sought: identical xor/rows, two-tier
+    // max-task flat vs the window twin's growing single-task sort.
     def paraCorpus(n: Long): DataFrame =
       spark.range(n).select(col("id").as("doc_id"),
         concat(lit("shared announcement paragraph identical across the " +
@@ -445,9 +448,9 @@ object ScaleBench {
     }
     for (n <- Seq(200000L, 2000000L)) {
       val tag = if (n >= 1000000) s"${n / 1000000}m" else s"${n / 1000}k"
-      val (ax, ar) = timed(s"paradedup_agg_$tag",
+      val (ax, ar) = timed(s"paradedup_twotier_$tag",
         graft.textops.ParagraphDedup.dedupParagraphs(
-          paraCorpus(n), "doc_id", "text"))
+          paraCorpus(n), "doc_id", "text", hotThreshold = 1000))
       val (wx, wr) = timed(s"paradedup_window_$tag",
         windowParaDedup(paraCorpus(n)))
       println(s"""{"bench":"scale","workload":"paradedup_duel_match_$tag",""" +

@@ -217,6 +217,21 @@ object VectorQueries {
     }),
 
 
+    // similarity-coherent corpus ordering (In-Context Pretraining,
+    // Shi et al. 2023): cell-major by the shared nlist=8 quantizer
+    // (free via the fitted-quantizer memo q122/q124 already pay for),
+    // within-cell by descending cosine-to-centroid. The generated
+    // oracle embeds the engine's (id, cell) keys + centroid
+    // coordinates and recomputes every cosine, rank and cell-major
+    // offset from raw embeddings (OracleGen.curriculumOracle)
+    "q146_semantic_order" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.vector.Curriculum.semanticOrder(
+        emb, "vec_id", "embedding",
+        nCells = semDedupClusters(emb), cacheKey = Some(dir + "#embeddings"))
+    }),
+
+
     // graph ANN (round-10 verdict item 3): per-IVF-cell kNN graph with
     // 2-cell overlapping assignment, searched by a deterministic
     // bounded-hop beam walk. Corpus = JITTERED twins (some cross a

@@ -66,6 +66,28 @@ class ParagraphDedupSpec extends GraftSparkSpec {
     assert(got(2L) == ((1L, 0L, "solo")))
   }
 
+  test("hot-tier (broadcast) path equals the cold-only path") {
+    val docs = (1L to 300L).map(i => i -> s"hot shared para${SEP}own $i")
+    val df = docs.toDF("doc_id", "text").repartition(5)
+    def go(thr: Long) =
+      ParagraphDedup.dedupParagraphs(df, "doc_id", "text", hotThreshold = thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).sortBy(_._1).toSeq
+    // thr=10: the shared para (300 occurrences) rides the broadcast
+    // tier; thr=100000: everything cold — identical output required
+    assert(go(10) == go(100000))
+    assert(go(10).count(_._3 == 1L) == 299) // dropped everywhere but first
+  }
+
+  test("an unexpectedly huge hot tier fails loudly before broadcast") {
+    val docs = (1L to 40L).map(i => i -> s"dup a${SEP}dup b")
+    intercept[IllegalArgumentException] {
+      ParagraphDedup.dedupParagraphs(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        hotThreshold = 2, maxHotParagraphs = 1).collect()
+    }
+  }
+
   test("partitioning-insensitive: same output at 1, 4 and 13 partitions") {
     val docs = (1L to 60L).map { i =>
       val promo = if (i % 3 == 0) s"promo para$SEP" else ""
