@@ -208,6 +208,29 @@ object GraphQueries {
     }),
 
 
+    // crawl politeness scheduling — the frontier→fetcher step after
+    // the robots/blocklist gates: per-host 0-based fetch slots in
+    // md5-fair order, fetch_time = slot · crawl_delay(host). The slot
+    // is computed TWO-PHASE over md5-prefix buckets (the q17 chunked
+    // discipline: a 10^8-URL host must not serialize into one
+    // window task); the oracle computes the same slots with the naive
+    // per-host window — the two formulations are oracle-equal by
+    // construction, which is exactly the claim
+    "q147_crawl_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val urls = table(s, dir, "documents").select(id,
+        concat(lit("h"), (id % 5).cast("string"), lit(".example")).as("host"),
+        concat(lit("https://h"), (id % 5).cast("string"),
+          lit(".example/p/"), id.cast("string")).as("url"))
+      val delays = (0 until 4)
+        .map(h => (s"h$h.example", (h + 1) * 100L)).toDF("host", "delay_ms")
+      graft.operators.CrawlScheduler.schedule(
+        urls, "host", "url", delays, defaultDelayMs = 1000L)
+        .select("doc_id", "host", "url", "fetch_slot", "fetch_time_ms")
+    }),
+
+
     // registrable-domain rollup (eTLD+1 heuristic) — the quota/report
     // granularity crawl pipelines actually use (host-level quotas
     // over-split www./blog./cdn. mirrors of one site): planted hosts
@@ -439,6 +462,31 @@ object GraphQueries {
         |       THEN (COALESCE(tc.n_triangles, 0) * 20000) // (d.degree * (d.degree - 1))
         |       ELSE 0 END AS coeff_x10000
         |FROM deg d LEFT JOIN tc ON tc.id = d.id""".stripMargin,
+
+
+    // q147: the same fixture, the delay table as VALUES, and the slot
+    // computed with the NAIVE per-host window the engine deliberately
+    // avoids — two-phase == window equality is the checked claim
+    "q147_crawl_schedule" ->
+      """WITH fix AS (
+        |  SELECT doc_id,
+        |    'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+        |    'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example/p/' ||
+        |      CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |delays(host, delay_ms) AS (VALUES
+        |  ('h0.example', 100), ('h1.example', 200),
+        |  ('h2.example', 300), ('h3.example', 400)),
+        |slotted AS (
+        |  SELECT doc_id, host, url,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY md5(url) ASC, url ASC) - 1 AS fetch_slot
+        |  FROM fix)
+        |SELECT s.doc_id, s.host, s.url,
+        |  CAST(s.fetch_slot AS BIGINT) AS fetch_slot,
+        |  CAST(s.fetch_slot * coalesce(d.delay_ms, 1000) AS BIGINT)
+        |    AS fetch_time_ms
+        |FROM slotted s LEFT JOIN delays d ON d.host = s.host""".stripMargin,
 
 
     // q144: fixture, label algebra (string_split + inclusive list
