@@ -36,7 +36,8 @@ class CrawlSchedulerSpec extends GraftSparkSpec {
 
   test("slots are a 0-based permutation per host; times multiply the host delay") {
     val got = CrawlScheduler.schedule(urls(90, 2), "host", "url", delays)
-      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+      .select("host", "fetch_slot", "fetch_time_ms")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     got.groupBy(_._1).foreach { case (h, rows) =>
       assert(rows.map(_._2).sorted.toSeq == (0L until rows.length).toSeq, h)
       val d = if (h == "h0") 100L else 250L
@@ -48,7 +49,8 @@ class CrawlSchedulerSpec extends GraftSparkSpec {
     val got = CrawlScheduler.schedule(
       Seq(("hx", "https://hx/a"), ("hx", "https://hx/b")).toDF("host", "url"),
       "host", "url", delays, defaultDelayMs = 777L)
-      .collect().map(r => (r.getLong(3), r.getLong(4))).sortBy(_._1)
+      .select("fetch_slot", "fetch_time_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(got.toSeq == Seq((0L, 0L), (1L, 777L)))
   }
 
