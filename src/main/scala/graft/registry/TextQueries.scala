@@ -34,6 +34,41 @@ object TextQueries {
         table(s, dir, "documents"), "text", minCount = 5, k = 50)),
 
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): the word
+    // co-occurrence graph (adjacent-pair edges, symmetrized,
+    // self-loops dropped) ranked by q94's integer fixed-point
+    // PageRank — the q123 composition discipline on WORDS: md5-60-bit
+    // ids drive the iteration, the oracle replays the recurrence on
+    // the term STRINGS through 5 unrolled CTEs, fully static. Top-20
+    // by (rank desc, term) over the #distinct-terms reduced frame
+    "q148_textrank" -> ((s, dir) => {
+      import graft.operators.{DistinctSketch, LinkGraph}
+      val toks = table(s, dir, "documents")
+        .select(graft.textops.TextIndex.terms(col("text")).as("_ts"))
+      val pairs = toks.select(explode(zip_with(
+          col("_ts"),
+          slice(col("_ts"), lit(2), greatest(size(col("_ts")) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("_p"))
+        .filter(col("_p.b").isNotNull && col("_p.a") =!= col("_p.b"))
+        .select(col("_p.a").as("wa"), col("_p.b").as("wb"))
+      val und = pairs
+        .union(pairs.select(col("wb").as("wa"), col("wa").as("wb")))
+        .distinct()
+      val nodes = und.select(col("wa").as("term")).distinct()
+        .withColumn("tid", DistinctSketch.hash60(col("term")))
+      val edges = und.select(
+        DistinctSketch.hash60(col("wa")).as("src"),
+        DistinctSketch.hash60(col("wb")).as("dst"))
+      val ranks = LinkGraph.pageRank(nodes, "tid", edges, iters = 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rank_fp").desc, col("term").asc)
+      nodes.join(ranks, "tid")
+        .select(col("term"), col("rank").as("rank_fp"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .filter(col("pos") <= 20)
+    }),
+
+
     "q20_lang_id" -> ((s, dir) => {
       table(s, dir, "documents").select(
         col("doc_id"),
@@ -662,6 +697,47 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // q148: the word graph derived in SQL from the same token twin,
+    // q123's recurrence shape on term strings, 5 unrolled iterations,
+    // and the (rank desc, term) top-20 window
+    "q148_textrank" -> {
+      val scale = graft.operators.LinkGraph.Scale
+      val base = scale * 15 / 100
+      val iters = (1 to 5).map { k =>
+        s"""p$k AS (
+           |  SELECT n.term AS id, $base + COALESCE(s.c, 0) AS r
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS id,
+           |           CAST(SUM((p.r * 85) // (100 * g.deg)) AS BIGINT) AS c
+           |    FROM p${k - 1} p JOIN e ON e.src = p.id JOIN g ON g.src = e.src
+           |    GROUP BY e.dst) s ON s.id = n.term)""".stripMargin
+      }.mkString(",\n")
+      raw"""WITH toks AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
+        |         END AS ts
+        |  FROM documents),
+        |pr AS (
+        |  SELECT ts[g.i] AS a, ts[g.i + 1] AS b
+        |  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+        |  WHERE ts[g.i] != ts[g.i + 1]),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT a AS src, b AS dst FROM pr
+        |    UNION ALL SELECT b, a FROM pr)),
+        |n AS (SELECT DISTINCT src AS term FROM e),
+        |g AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |p0 AS (SELECT term AS id, $scale AS r FROM n),
+        |""".stripMargin + iters + """
+        |, ranked AS (
+        |  SELECT n.term, p.r AS rank_fp,
+        |    row_number() OVER (ORDER BY p.r DESC, n.term ASC) AS pos
+        |  FROM n JOIN p5 p ON p.id = n.term)
+        |SELECT term, rank_fp, CAST(pos AS BIGINT) AS pos
+        |FROM ranked WHERE pos <= 20""".stripMargin
+    },
+
 
     // q145: token/bigram counts from the q77 token twin, the pmi ln
     // chain in the engine's exact left-to-right association, round 4,
