@@ -338,6 +338,30 @@ object PipelineQueries {
     }),
 
 
+    // k-anonymity by global recoding (Sweeney 2002) — the
+    // metadata-side privacy gate beside q45's content scrubbing:
+    // planted (zip, age) quasi-identifiers generalize uniformly up a
+    // 3-rung ladder until below-k rows fit the 10% suppression
+    // budget; the whole decision is integral, so the oracle unrolls
+    // the ladder, picks the SAME level, and recomputes class sizes
+    // and suppression flags
+    "q149_k_anonymity" -> ((s, dir) => {
+      val id = col("doc_id")
+      val zipRungs = Seq(
+        concat(lit("z"), (id % 97).cast("string")),
+        concat(lit("z"), expr("CAST((doc_id % 97) DIV 10 AS STRING)")),
+        lit("*"))
+      val ageRungs = Seq(
+        (id % 61).cast("string"),
+        expr("CAST((doc_id % 61) DIV 10 * 10 AS STRING)"),
+        lit("*"))
+      graft.operators.KAnonymity.kAnonymize(
+        table(s, dir, "documents").select(id),
+        "doc_id", Seq("zip" -> zipRungs, "age" -> ageRungs),
+        k = 5, maxSuppressedPermille = 100)
+    }),
+
+
     // HyperLogLog distinct sketch — KMV's register-merge companion
     // (q82 is exact below k and ~1/sqrt(k) above; HLL's 64 6-bit
     // registers max-merge, the rollup-cube property). Estimator runs
@@ -599,6 +623,43 @@ object PipelineQueries {
         |       ELSE (CAST(15 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
         |            // greatest(k.hk, 1) END AS BIGINT) AS est_distinct
         |FROM n JOIN kth k ON n.lang = k.lang""".stripMargin,
+
+
+    // q149: the ladder unrolled (l0/l1/l2 CTEs), per-level suppressed
+    // sums, the same integral level pick, class sizes and flags at
+    // the picked level
+    "q149_k_anonymity" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 97 AS z, doc_id % 61 AS a FROM documents),
+        |l0 AS (SELECT doc_id, 'z' || CAST(z AS VARCHAR) AS zip,
+        |              CAST(a AS VARCHAR) AS age FROM base),
+        |l1 AS (SELECT doc_id, 'z' || CAST(z // 10 AS VARCHAR) AS zip,
+        |              CAST((a // 10) * 10 AS VARCHAR) AS age FROM base),
+        |l2 AS (SELECT doc_id, '*' AS zip, '*' AS age FROM base),
+        |nn AS (SELECT count(*) AS n FROM base),
+        |s0 AS (SELECT coalesce(sum(c), 0) AS s FROM (
+        |  SELECT count(*) AS c FROM l0 GROUP BY zip, age) WHERE c < 5),
+        |s1 AS (SELECT coalesce(sum(c), 0) AS s FROM (
+        |  SELECT count(*) AS c FROM l1 GROUP BY zip, age) WHERE c < 5),
+        |s2 AS (SELECT coalesce(sum(c), 0) AS s FROM (
+        |  SELECT count(*) AS c FROM l2 GROUP BY zip, age) WHERE c < 5),
+        |lvl AS (
+        |  SELECT CASE WHEN s0.s * 1000 <= nn.n * 100 THEN 0
+        |              WHEN s1.s * 1000 <= nn.n * 100 THEN 1
+        |              ELSE 2 END AS l
+        |  FROM s0, s1, s2, nn),
+        |u AS (
+        |  SELECT 0 AS l, * FROM l0
+        |  UNION ALL SELECT 1, * FROM l1
+        |  UNION ALL SELECT 2, * FROM l2),
+        |pick AS (SELECT u.* FROM u JOIN lvl ON u.l = lvl.l),
+        |cs AS (SELECT zip, age, count(*) AS class_size
+        |       FROM pick GROUP BY zip, age)
+        |SELECT p.doc_id, p.zip, p.age,
+        |  CAST(cs.class_size AS BIGINT) AS class_size,
+        |  cs.class_size < 5 AS suppressed,
+        |  CAST(p.l AS BIGINT) AS level
+        |FROM pick p JOIN cs USING (zip, age)""".stripMargin,
 
 
     // q139: the register table rebuilt from raw text — q82's md5-60-bit
