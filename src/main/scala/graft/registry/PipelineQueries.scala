@@ -338,6 +338,19 @@ object PipelineQueries {
     }),
 
 
+    // differentially-private count release (Dwork et al. 2006) — the
+    // privacy family's aggregate arm: per-lang counts + seeded
+    // Laplace(1/ε) noise via inverse-CDF over the md5-uniform (the
+    // no-PRNG rule makes the release deterministic and hash-gated;
+    // production swaps in a secret per-release seed, same mechanism).
+    // true_n rides along for the gate — documented drop-on-publish
+    "q150_dp_counts" -> ((s, dir) => {
+      graft.operators.DpRelease.laplaceNoisyCounts(
+        table(s, dir, "documents"), Seq(col("lang")),
+        epsilonX1000 = 1000, seed = "dp9")
+    }),
+
+
     // k-anonymity by global recoding (Sweeney 2002) — the
     // metadata-side privacy gate beside q45's content scrubbing:
     // planted (zip, age) quasi-identifiers generalize uniformly up a
@@ -623,6 +636,30 @@ object PipelineQueries {
         |       ELSE (CAST(15 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
         |            // greatest(k.hk, 1) END AS BIGINT) AS est_distinct
         |FROM n JOIN kth k ON n.lang = k.lang""".stripMargin,
+
+
+    // q150: counts, the md5-60-bit uniform, and the inverse-CDF
+    // Laplace chain in the engine's exact association (b = 1.0 at
+    // eps_x1000 = 1000), HALF_UP rounding, clamp at 0
+    "q150_dp_counts" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS true_n FROM documents GROUP BY lang),
+        |h AS (
+        |  SELECT lang, true_n,
+        |    CAST(('0x' || substr(md5('dp9' || '|' || lang), 1, 15)) AS BIGINT)
+        |      AS hv
+        |  FROM c),
+        |l AS (
+        |  SELECT lang, true_n,
+        |    (-1.0) * sign(CAST(hv AS DOUBLE) / 1152921504606846976.0 - 0.5) *
+        |    ln(1.0 - 2.0 * abs(CAST(hv AS DOUBLE) / 1152921504606846976.0 - 0.5))
+        |      AS lap
+        |  FROM h)
+        |SELECT lang, CAST(true_n AS BIGINT) AS true_n,
+        |  CAST(round(lap * 1000.0, 0) AS BIGINT) AS noise_x1000,
+        |  CAST(greatest(true_n + CAST(round(lap, 0) AS BIGINT), 0) AS BIGINT)
+        |    AS dp_n
+        |FROM l""".stripMargin,
 
 
     // q149: the ladder unrolled (l0/l1/l2 CTEs), per-level suppressed
