@@ -196,6 +196,35 @@ object DedupQueries {
     }),
 
 
+    // per-eval-doc contamination report — q61's REVERSE view (the
+    // GPT-3 appendix-C / PaLM §C.2 table): for each benchmark doc,
+    // the distinct-window leak fraction into the training corpus and
+    // the distinct corpus docs touching it. Same planted fixture as
+    // q61 with the eval side carrying ids; eval windows broadcast,
+    // one corpus scan, matched-pair-bounded aggregation. Oracle
+    // matches literal token windows (the q53/q61 hash-free technique)
+    "q151_contamination_report" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" " + evalProbe1)))
+          .when(col("doc_id") % 7 === 5, concat(col("text"), lit(" " + evalProbe2)))
+          .otherwise(col("text")).as("text"))
+      val evals = table(s, dir, "documents")
+        .filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+        .unionByName(s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(900001L, evalProbe1),
+            org.apache.spark.sql.Row(900002L, evalProbe2)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("eval_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))))
+      graft.textops.SpanDedup.contaminationReport(
+        docs, "doc_id", "text", evals, "eval_id", "text", k = 8)
+    }),
+
+
     // URL canonicalization + URL-level dedup: the canonicalize-then-
     // dedup step a crawl pipeline runs BEFORE content dedup. Messy
     // URLs planted from doc_id (the q58 replant pattern): variants
@@ -498,6 +527,64 @@ object DedupQueries {
     // corpus (leaked every-97th docs + the two planted probes); a
     // corpus window hits iff its string equals any eval window;
     // coverage/trim identical to the q53 oracle
+    // q151: q61's literal-window CTEs with eval ids carried through —
+    // distinct eval windows, corpus windows, the matched triple set,
+    // per-eval distinct counts, and the x10000 integral fraction
+    "q151_contamination_report" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || ' $evalProbe1'
+         |         WHEN doc_id % 7 = 5 THEN text || ' $evalProbe2'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |evals(eval_id, text) AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+         |  UNION ALL SELECT 900001, '$evalProbe1'
+         |  UNION ALL SELECT 900002, '$evalProbe2'),
+         |et AS (
+         |  SELECT eval_id,
+         |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |                x -> x != '') AS toks
+         |  FROM evals),
+         |ewl AS (
+         |  SELECT eval_id,
+         |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(toks) - 6),
+         |                i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+         |  FROM et),
+         |ew AS (SELECT DISTINCT eval_id, unnest(ws) AS w FROM ewl),
+         |tot AS (SELECT eval_id, count(*) AS n_windows FROM ew GROUP BY eval_id),
+         |ct AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |                x -> x != '') AS toks
+         |  FROM docs),
+         |cwl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(toks) - 6),
+         |                i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+         |  FROM ct),
+         |cwin AS (SELECT doc_id, unnest(ws) AS w FROM cwl),
+         |m AS (
+         |  SELECT DISTINCT ew.eval_id, cwin.doc_id, ew.w
+         |  FROM ew JOIN cwin ON cwin.w = ew.w),
+         |agg AS (
+         |  SELECT eval_id, count(DISTINCT w) AS n_matched_windows,
+         |         count(DISTINCT doc_id) AS n_docs_hit
+         |  FROM m GROUP BY eval_id)
+         |SELECT e.eval_id,
+         |  CAST(coalesce(t.n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(a.n_matched_windows, 0) AS BIGINT) AS n_matched_windows,
+         |  CAST(coalesce(a.n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+         |  CAST(CASE WHEN coalesce(t.n_windows, 0) = 0 THEN 0
+         |       ELSE (coalesce(a.n_matched_windows, 0) * 10000)
+         |            // t.n_windows END AS BIGINT) AS contamination_x10000
+         |FROM (SELECT DISTINCT eval_id FROM evals) e
+         |LEFT JOIN tot t ON t.eval_id = e.eval_id
+         |LEFT JOIN agg a ON a.eval_id = e.eval_id""".stripMargin,
+
+
     "q61_decontaminate" ->
       s"""WITH docs AS (
          |  SELECT doc_id,

@@ -296,6 +296,70 @@ object SpanDedup {
         col("_dc_st.text_dedup").as("text_clean"))
   }
 
+  /** Per-eval-document contamination report — [[decontaminate]]'s
+    * REVERSE view, the table every model paper publishes (GPT-3
+    * appendix C; PaLM §C.2): for each eval/benchmark document, how
+    * much of it leaked into the training corpus. A window "leaks"
+    * when its k-token form occurs in any corpus document; the report
+    * gives the distinct-window leak fraction and the count of
+    * distinct corpus documents touching the eval doc.
+    *
+    * Output: (evalIdCol, n_windows, n_matched_windows, n_docs_hit,
+    * contamination_x10000) — n_windows counts the eval doc's DISTINCT
+    * k-token windows (the fraction's denominator); eval docs shorter
+    * than k have 0 windows and 0 contamination.
+    *
+    * 100 TB shape: the corpus side is ONE narrow window-hash scan;
+    * the eval side (distinct (eval_id, window-hash), bounded by
+    * `maxEvalWindows` BEFORE broadcast) broadcasts, so the only
+    * shuffle is the matched-pair distinct aggregation — bounded by
+    * the leak volume, not the corpus. Matching is 64-bit window-hash
+    * equality (the family's vanishing-collision argument; the oracle
+    * matches literal token windows).
+    */
+  def contaminationReport(
+      df: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, evalIdCol: String, evalTextCol: String,
+      k: Int = 8, maxEvalWindows: Int = 5000000): DataFrame = {
+    require(k >= 2, s"contaminationReport: k must be >= 2 (got $k)")
+    require(maxEvalWindows > 0,
+      s"contaminationReport: maxEvalWindows must be positive (got $maxEvalWindows)")
+    val evalW = evalDf.select(col(evalIdCol).as("_cr_eid"),
+      explode(window_hashes(lower(coalesce(col(evalTextCol), lit(""))), k))
+        .as("_cr_wh"))
+      .distinct()
+    // bounded BEFORE broadcast — the decontaminate guard
+    val probeLimit = math.min(maxEvalWindows.toLong + 1L, Int.MaxValue.toLong).toInt
+    val nEvalW = evalW.limit(probeLimit).count()
+    require(nEvalW <= maxEvalWindows,
+      s"contaminationReport: eval corpus has more than $maxEvalWindows distinct " +
+        "(doc, window) pairs — the eval side broadcasts; raise maxEvalWindows " +
+        "only deliberately")
+    val corpusW = df.select(col(idCol).as("_cr_did"),
+      explode(window_hashes(lower(coalesce(col(textCol), lit(""))), k))
+        .as("_cr_wh"))
+    val matched = corpusW.join(broadcast(evalW), Seq("_cr_wh"))
+      .select("_cr_eid", "_cr_did", "_cr_wh").distinct()
+      .groupBy(col("_cr_eid"))
+      .agg(countDistinct(col("_cr_wh")).as("n_matched_windows"),
+        countDistinct(col("_cr_did")).as("n_docs_hit"))
+    val totals = evalW.groupBy(col("_cr_eid"))
+      .agg(count(lit(1)).as("n_windows"))
+    evalDf.select(col(evalIdCol).as("_cr_eid")).distinct()
+      .join(totals, Seq("_cr_eid"), "left")
+      .join(matched, Seq("_cr_eid"), "left")
+      .withColumn("n_windows", coalesce(col("n_windows"), lit(0L)))
+      .withColumn("n_matched_windows",
+        coalesce(col("n_matched_windows"), lit(0L)))
+      .withColumn("n_docs_hit", coalesce(col("n_docs_hit"), lit(0L)))
+      .withColumn("contamination_x10000",
+        when(col("n_windows") === 0, lit(0L)).otherwise(expr(
+          "CAST(n_matched_windows * 10000 DIV n_windows AS BIGINT)")))
+      .select(col("_cr_eid").as(evalIdCol), col("n_windows"),
+        col("n_matched_windows"), col("n_docs_hit"),
+        col("contamination_x10000"))
+  }
+
   /** Number of hash-derived partitions the span index's window file is
     * written under — the probe prunes to the buckets a batch actually
     * touches.
