@@ -338,6 +338,27 @@ object PipelineQueries {
     }),
 
 
+    // declarative data-quality checks (the dbt-test shape): four
+    // row-level rules over a fixture with PLANTED violations (%13
+    // nulled text, %17 corrupted n_chars, %41 unknown lang) evaluated
+    // in ONE aggregation pass; a rule violates on FALSE or NULL (the
+    // null-escape contract). Oracle: per-rule SELECTs over the same
+    // fixture, unioned
+    "q152_data_checks" -> ((s, dir) => {
+      val id = col("doc_id")
+      val fix = table(s, dir, "documents").select(id,
+        when(id % 13 === 0, lit(null: String)).otherwise(col("text")).as("text"),
+        when(id % 41 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+        when(id % 17 === 0, col("n_chars") + 7).otherwise(col("n_chars"))
+          .as("n_chars"))
+      graft.operators.DataChecks.checkRules(fix, "doc_id", Seq(
+        "text_not_null" -> col("text").isNotNull,
+        "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
+        "lang_known" -> col("lang").isin("en", "de", "fr", "es", "zh"),
+        "id_non_negative" -> (col("doc_id") >= 0)))
+    }),
+
+
     // differentially-private count release (Dwork et al. 2006) — the
     // privacy family's aggregate arm: per-lang counts + seeded
     // Laplace(1/ε) noise via inverse-CDF over the md5-uniform (the
@@ -636,6 +657,51 @@ object PipelineQueries {
         |       ELSE (CAST(15 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
         |            // greatest(k.hk, 1) END AS BIGINT) AS est_distinct
         |FROM n JOIN kth k ON n.lang = k.lang""".stripMargin,
+
+
+    // q152: the planted fixture + one UNION ALL arm per rule, each a
+    // FILTER(NOT coalesce(pred, false)) count + min id, and the
+    // x10000 integral rate
+    "q152_data_checks" ->
+      """WITH fix AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text,
+        |    CASE WHEN doc_id % 41 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 17 = 0 THEN n_chars + 7 ELSE n_chars END
+        |      AS n_chars
+        |  FROM documents),
+        |nr AS (SELECT count(*) AS n_rows FROM fix),
+        |u AS (
+        |  SELECT 'text_not_null' AS rule,
+        |    count(*) FILTER (WHERE NOT coalesce(text IS NOT NULL, false))
+        |      AS n_violations,
+        |    min(doc_id) FILTER (WHERE NOT coalesce(text IS NOT NULL, false))
+        |      AS min_violating_id
+        |  FROM fix
+        |  UNION ALL
+        |  SELECT 'n_chars_consistent',
+        |    count(*) FILTER (WHERE NOT coalesce(n_chars = length(text), false)),
+        |    min(doc_id) FILTER (WHERE NOT coalesce(n_chars = length(text), false))
+        |  FROM fix
+        |  UNION ALL
+        |  SELECT 'lang_known',
+        |    count(*) FILTER (WHERE NOT coalesce(
+        |      lang IN ('en', 'de', 'fr', 'es', 'zh'), false)),
+        |    min(doc_id) FILTER (WHERE NOT coalesce(
+        |      lang IN ('en', 'de', 'fr', 'es', 'zh'), false))
+        |  FROM fix
+        |  UNION ALL
+        |  SELECT 'id_non_negative',
+        |    count(*) FILTER (WHERE NOT coalesce(doc_id >= 0, false)),
+        |    min(doc_id) FILTER (WHERE NOT coalesce(doc_id >= 0, false))
+        |  FROM fix)
+        |SELECT u.rule, CAST(nr.n_rows AS BIGINT) AS n_rows,
+        |  CAST(u.n_violations AS BIGINT) AS n_violations,
+        |  CAST(CASE WHEN nr.n_rows = 0 THEN 0
+        |       ELSE u.n_violations * 10000 // nr.n_rows END AS BIGINT)
+        |    AS violation_x10000,
+        |  u.min_violating_id
+        |FROM u CROSS JOIN nr""".stripMargin,
 
 
     // q150: counts, the md5-60-bit uniform, and the inverse-CDF
