@@ -34,6 +34,18 @@ object TextQueries {
         table(s, dir, "documents"), "text", minCount = 5, k = 50)),
 
 
+    // content-defined chunking (Rabin-style CDC, the LBFS/rsync
+    // storage-dedup primitive): chunk boundaries where the 8-point
+    // rolling polynomial hash mod 64 == 5, so boundaries follow
+    // CONTENT — an early edit leaves later chunks and their hashes
+    // identical (the spec pins shift-resilience). One codegen'd O(n)
+    // pass; oracle replays every window hash from unicode(substr)
+    // with embedded B-power constants, the cut set, and chunk md5s
+    "q153_cdc_chunks" -> ((s, dir) =>
+      graft.textops.CdcChunker.chunks(
+        table(s, dir, "documents"), "doc_id", "text")),
+
+
     // TextRank keyword extraction (Mihalcea & Tarau 2004): the word
     // co-occurrence graph (adjacent-pair edges, symmetrized,
     // self-loops dropped) ranked by q94's integer fixed-point
@@ -697,6 +709,47 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // q153: every window hash re-evaluated as the explicit polynomial
+    // (unicode code points × embedded B-power constants, mod 2^30 —
+    // the engine's Horner form reduces to the same residue), the cut
+    // rule, the per-doc final cut, and chunk md5s over substr spans
+    "q153_cdc_chunks" -> {
+      val pw = graft.textops.CdcChunker.powerConstants(8)
+      val terms = (0 until 8)
+        .map(j =>
+          s"CAST(unicode(substr(s, i + ${j + 1}, 1)) AS BIGINT) * ${pw(j)}")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, coalesce(text, '') AS s,
+         |    length(coalesce(text, '')) AS n
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, s, n, u.i
+         |  FROM t, unnest(range(0, greatest(n - 7, 0))) AS u(i)),
+         |h AS (
+         |  SELECT doc_id, i + 8 AS cutp,
+         |    ($terms) % ${graft.textops.CdcChunker.M} AS hv
+         |  FROM p),
+         |cuts AS (SELECT doc_id, cutp FROM h WHERE hv % 64 = 5),
+         |ends AS (
+         |  SELECT DISTINCT doc_id, cutp FROM (
+         |    SELECT doc_id, cutp FROM cuts
+         |    UNION ALL SELECT doc_id, n FROM t WHERE n > 0)),
+         |ce AS (
+         |  SELECT doc_id, cutp,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY cutp) - 1
+         |      AS chunk_idx,
+         |    lag(cutp, 1, 0) OVER (PARTITION BY doc_id ORDER BY cutp)
+         |      AS startp
+         |  FROM ends)
+         |SELECT ce.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(startp AS BIGINT) AS start,
+         |  CAST(cutp - startp AS BIGINT) AS len,
+         |  md5(substr(t.s, startp + 1, cutp - startp)) AS chunk_md5
+         |FROM ce JOIN t ON t.doc_id = ce.doc_id""".stripMargin
+    },
+
 
     // q148: the word graph derived in SQL from the same token twin,
     // q123's recurrence shape on term strings, 5 unrolled iterations,

@@ -1,0 +1,126 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame, GraftInterop}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Content-defined chunking (Rabin-style CDC; Muthitacharoen et al.
+  * 2001 LBFS; the rsync/restic/storage-dedup primitive): split each
+  * document at positions where a w-code-point rolling polynomial hash
+  * satisfies `h % divisor == remainder`, so chunk boundaries follow
+  * CONTENT, not offsets — an insertion early in a document shifts
+  * every fixed-size block but leaves all later CDC chunks (and their
+  * hashes) identical, which is what makes chunk-level dedup and
+  * delta-sync work.
+  *
+  * This is the STATELESS variant: every window position is tested (no
+  * min/max chunk-size reset — those make boundary selection
+  * sequential in a way SQL cannot replay; production adds them as a
+  * post-pass). Hash: h_i = Σ_{j<w} c_{i+j}·B^{w−1−j} mod M over
+  * Unicode code points — both engines compute character positions as
+  * code points, so the DuckDB oracle replays every window hash from
+  * `unicode(substr(…))` with embedded B-power constants, the cut set,
+  * and each chunk's md5.
+  *
+  * 100 TB shape: one narrow codegen'd pass computes each doc's chunk
+  * spans in O(n); chunk rows explode from the span array; nothing
+  * shuffles until a downstream groupBy on chunk hash (the dedup
+  * step), which reduces map-side.
+  */
+object CdcChunker {
+
+  val B: Long = 31L
+  val M: Long = 1L << 30
+
+  /** Chunk spans of one document: array of (start, len) in code
+    * points; an empty/zero-length text yields no spans.
+    */
+  def chunkSpans(text: UTF8String, w: Int, d: Long, r: Long): ArrayData = {
+    val s = text.toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (n >= w) {
+      var bw = 1L
+      var k = 1
+      while (k < w) { bw = bw * B % M; k += 1 }
+      var h = 0L
+      var i = 0
+      while (i < n) {
+        h =
+          if (i < w) (h * B + cps(i)) % M
+          else ((h - cps(i - w) * bw % M + M) % M * B + cps(i)) % M
+        if (i >= w - 1 && h % d == r) cuts += (i + 1)
+        i += 1
+      }
+    }
+    if (cuts.isEmpty || cuts.last != n) cuts += n
+    val out = new Array[Any](cuts.length)
+    var prev = 0
+    var ci = 0
+    while (ci < cuts.length) {
+      out(ci) = new GenericInternalRow(
+        Array[Any](prev, cuts(ci) - prev))
+      prev = cuts(ci)
+      ci += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class CdcSpansExpr(child: Expression, w: Int, d: Long, r: Long)
+      extends UnaryExpression {
+    require(w >= 2, s"cdc_spans: w must be >= 2 (got $w)")
+    require(d >= 2 && r >= 0 && r < d,
+      s"cdc_spans: need divisor >= 2 and remainder in [0, divisor) (got $d/$r)")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("start", IntegerType, nullable = false),
+      StructField("len", IntegerType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "cdc_spans"
+    override def nullSafeEval(input: Any): Any =
+      chunkSpans(input.asInstanceOf[UTF8String], w, d, r)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.textops.CdcChunker.chunkSpans($input, $w, ${d}L, ${r}L);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def cdc_spans(text: Column, w: Int, d: Long, r: Long): Column =
+    GraftInterop.column(CdcSpansExpr(GraftInterop.expression(text), w, d, r))
+
+  /** The chunk table: (idCol, chunk_idx, start, len, chunk_md5). */
+  def chunks(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, divisor: Long = 64, remainder: Long = 5): DataFrame =
+    df.select(col(idCol).as("_cc_id"),
+        coalesce(col(textCol), lit("")).as("_cc_t"))
+      .select(col("_cc_id"), col("_cc_t"),
+        posexplode(cdc_spans(col("_cc_t"), w, divisor, remainder))
+          .as(Seq("chunk_idx", "_cc_s")))
+      .select(col("_cc_id").as(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("_cc_s.start").cast("long").as("start"),
+        col("_cc_s.len").cast("long").as("len"),
+        md5(expr("substr(_cc_t, _cc_s.start + 1, _cc_s.len)"))
+          .as("chunk_md5"))
+
+  /** B-power constants `B^{w−1−j} mod M` for j = 0..w−1 — embedded
+    * into the DuckDB oracle so it evaluates the same polynomial.
+    */
+  def powerConstants(w: Int): Seq[Long] = {
+    val pw = new Array[Long](w)
+    pw(w - 1) = 1L
+    var j = w - 2
+    while (j >= 0) { pw(j) = pw(j + 1) * B % M; j -= 1 }
+    pw.toSeq
+  }
+}
