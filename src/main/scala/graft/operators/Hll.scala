@@ -55,27 +55,35 @@ object Hll {
     */
   val estNumerator: String = (BigInt(alphaM2x1000) << (restBits + 1)).toString
 
-  /** Per-group HLL distinct estimate:
-    * (groupCols..., n_values, n_regs_hit, max_rho, est_x1000).
-    * `n_regs_hit` (registers with ≥ 1 element) and `max_rho` ride
-    * along as sketch-health diagnostics — and make the oracle check
-    * the register table itself, not just the final quotient.
+  /** Per-group register table: (groupCols..., _hll_reg, _hll_m,
+    * _hll_c) — one row per hit register with its max rank and element
+    * count. The MERGEABLE intermediate: registers of a coarser group
+    * are the pointwise `max(_hll_m)` (and `sum(_hll_c)`) over its
+    * fine groups — the rollup-cube path [[estimateFromRegisters]]
+    * turns back into estimates (q154 gates it against the direct
+    * computation through the oracle).
     */
-  def estimateByKey(
+  def registersByKey(
       df: DataFrame, groupCols: Seq[Column], value: Column): DataFrame = {
     val keyNames = df.select(groupCols: _*).columns.toSeq
     val base = df.select((groupCols :+
       DistinctSketch.hash60(value).as("_hll_h")): _*)
-    val rho = base
+    base
       .withColumn("_hll_reg", pmod(col("_hll_h"), lit(m.toLong)))
       .withColumn("_hll_rest", expr(s"_hll_h DIV $m"))
       .withColumn("_hll_rho",
         when(col("_hll_rest") === 0L, lit(restBits + 1L))
           .otherwise(lit(restBits + 1L) - length(bin(col("_hll_rest"))).cast("long")))
-    val perReg = rho
       .groupBy((keyNames.map(col) :+ col("_hll_reg")): _*)
       .agg(max(col("_hll_rho")).as("_hll_m"), count(lit(1)).as("_hll_c"))
-    perReg
+  }
+
+  /** The estimator over a register table keyed by `keyNames` —
+    * shared by [[estimateByKey]] (fresh registers) and the rollup
+    * path (max-merged registers), so the two cannot drift.
+    */
+  def estimateFromRegisters(regs: DataFrame, keyNames: Seq[String]): DataFrame =
+    regs
       .groupBy(keyNames.map(col): _*)
       .agg(
         sum(col("_hll_c")).as("n_values"),
@@ -91,6 +99,17 @@ object Hll {
           " DIV CAST(_hll_t AS DECIMAL(38,0)) AS BIGINT)"))
       .select((keyNames.map(col) ++ Seq(col("n_values"), col("n_regs_hit"),
         col("max_rho"), col("est_x1000"))): _*)
+
+  /** Per-group HLL distinct estimate:
+    * (groupCols..., n_values, n_regs_hit, max_rho, est_x1000).
+    * `n_regs_hit` (registers with ≥ 1 element) and `max_rho` ride
+    * along as sketch-health diagnostics — and make the oracle check
+    * the register table itself, not just the final quotient.
+    */
+  def estimateByKey(
+      df: DataFrame, groupCols: Seq[Column], value: Column): DataFrame = {
+    val keyNames = df.select(groupCols: _*).columns.toSeq
+    estimateFromRegisters(registersByKey(df, groupCols, value), keyNames)
   }
 
   /** Register rank of one hash60 value: (register index, rho). */

@@ -408,6 +408,36 @@ object PipelineQueries {
     }),
 
 
+    // HLL time-rollup — the mergeability property made ORACLE-CHECKED
+    // instead of spec-asserted: distinct users per day computed twice,
+    // (a) directly and (b) by pointwise max-merging the per-HOUR
+    // register tables (the rollup-cube path: per-day sketches
+    // max-merge into months without re-reading data). Both columns
+    // must hash-match the oracle's single direct recompute — a broken
+    // merge diverges column (b)
+    "q154_hll_rollup" -> ((s, dir) => {
+      import graft.operators.Hll
+      val ev = eventsTable(s, dir).select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        col("user_id"))
+      val hourly = Hll.registersByKey(
+        ev, Seq(col("day"), col("hour")), col("user_id"))
+      val merged = hourly.groupBy(col("day"), col("_hll_reg"))
+        .agg(max(col("_hll_m")).as("_hll_m"), sum(col("_hll_c")).as("_hll_c"))
+      val viaMerge = Hll.estimateFromRegisters(merged, Seq("day"))
+        .select(col("day"), col("est_x1000").as("est_merged_x1000"))
+      val direct = Hll.estimateByKey(ev, Seq(col("day")), col("user_id"))
+        .select(col("day"), col("n_values"),
+          col("est_x1000").as("est_direct_x1000"))
+      val nh = ev.select("day", "hour").distinct()
+        .groupBy("day").agg(count(lit(1)).as("n_hours"))
+      direct.join(viaMerge, "day").join(nh, "day")
+        .select("day", "n_hours", "n_values",
+          "est_direct_x1000", "est_merged_x1000")
+    }),
+
+
     // count-min sketch point estimates — Misra-Gries' companion (q80
     // answers WHICH keys are hot; this answers HOW OFTEN for any
     // probed key) in one pass with depth*width fixed memory per task.
@@ -802,6 +832,44 @@ object PipelineQueries {
         |       // (t_hit + (64 - n_regs_hit) * (1::HUGEINT << 55))
         |       AS BIGINT) AS est_x1000
         |FROM pk""".stripMargin,
+
+
+    // q154: ONE direct per-day register recompute feeds BOTH estimate
+    // columns — max-merge is associative, so the engine's hourly
+    // rollup must equal it bit-for-bit or the hash gate fails
+    "q154_hll_rollup" ->
+      raw"""WITH ev AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    strftime(ts, '%Y-%m-%d %H') AS hour, user_id
+        |  FROM events),
+        |h AS (
+        |  SELECT day,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) AS hv
+        |  FROM ev),
+        |rr AS (
+        |  SELECT day, hv % 64 AS reg,
+        |    CASE WHEN hv // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(hv // 64)) END AS rho
+        |  FROM h),
+        |pr AS (SELECT day, reg, max(rho) AS mr, count(*) AS c
+        |       FROM rr GROUP BY day, reg),
+        |pk AS (
+        |  SELECT day, sum(c) AS n_values, count(*) AS n_regs_hit,
+        |    sum(1::HUGEINT << (55 - mr)) AS t_hit
+        |  FROM pr GROUP BY day),
+        |est AS (
+        |  SELECT day, n_values,
+        |    CAST('${graft.operators.Hll.estNumerator}'::HUGEINT
+        |         // (t_hit + (64 - n_regs_hit) * (1::HUGEINT << 55))
+        |         AS BIGINT) AS e
+        |  FROM pk),
+        |nh AS (SELECT day, count(DISTINCT hour) AS n_hours
+        |       FROM ev GROUP BY day)
+        |SELECT est.day, CAST(nh.n_hours AS BIGINT) AS n_hours,
+        |  CAST(est.n_values AS BIGINT) AS n_values,
+        |  est.e AS est_direct_x1000, est.e AS est_merged_x1000
+        |FROM est JOIN nh ON nh.day = est.day""".stripMargin,
 
 
     // q89: the sketch rebuilt from exact term counts — depth row d's

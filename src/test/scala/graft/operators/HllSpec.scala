@@ -81,6 +81,23 @@ class HllSpec extends GraftSparkSpec {
     assert(run(vals, parts = 1) == run(vals, parts = 13))
   }
 
+  test("rollup: fine-grained registers max-merge to the coarse estimate") {
+    val vals = (1 to 4000).map(i => ((s"d${i % 2}", s"h${i % 24}"), s"u${i % 700}"))
+    val df = vals.map { case ((d, h), v) => (d, h, v) }.toDF("d", "h", "v")
+      .repartition(9)
+    val fine = Hll.registersByKey(df, Seq(col("d"), col("h")), col("v"))
+    val merged = Hll.estimateFromRegisters(
+      fine.groupBy(col("d"), col("_hll_reg"))
+        .agg(max(col("_hll_m")).as("_hll_m"), sum(col("_hll_c")).as("_hll_c")),
+      Seq("d"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val direct = Hll.estimateByKey(df, Seq(col("d")), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(merged == direct)
+  }
+
   test("the mergeable aggregate form equals the DataFrame form") {
     val vals = (1 to 3000).map(i => (if (i % 3 == 0) "a" else "b") -> s"v$i")
     val viaAgg = vals.toDF("k", "v").repartition(11)
