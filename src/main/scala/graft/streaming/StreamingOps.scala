@@ -360,6 +360,39 @@ object StreamingOps {
         ()
     }
 
+  /** Streaming CDC storage-dedup loop: each micro-batch chunks its
+    * docs, reports per-doc dedup accounting against EVERYTHING
+    * ingested so far ([[graft.textops.CdcChunker.dedupStatsAgainstIndex]]
+    * — the restic/borg per-backup ratio), then appends its novel
+    * chunk hashes. Sink BEFORE append (the [[lineCleanIngest]] replay
+    * rule): a replayed batch reports against the same history and the
+    * ledger drops its re-append. StreamingOpsSpec pins the
+    * batch-sequence stats equal to batch-by-batch recomputation
+    * against the union of previous batches.
+    */
+  def cdcChunkIngest(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.textops.CdcChunker
+        // eager checkpoint: the append mutates the index the stats
+        // plan reads — pin the batch so sink and append see one state
+        val pinned = batch.toDF().localCheckpoint(true)
+        try {
+          // stats pinned too: the append below mutates the index the
+          // stats plan reads lazily
+          val stats = CdcChunker.dedupStatsAgainstIndex(
+            pinned, idCol, textCol, indexDir).localCheckpoint(true)
+          try {
+            sink(stats, batchId)
+            CdcChunker.appendToChunkIndex(pinned, idCol, textCol, indexDir)
+          } finally { stats.unpersist(); () }
+        } finally { pinned.unpersist(); () }
+        ()
+    }
+
   final case class BurstKey(source: String, ip: String, request_uri: String)
   final case class BurstEvent(source: String, ip: String, request_uri: String,
       epochMicros: Long, status: Int)

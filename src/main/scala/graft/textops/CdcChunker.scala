@@ -123,4 +123,85 @@ object CdcChunker {
     while (j >= 0) { pw(j) = pw(j + 1) * B % M; j -= 1 }
     pw.toSeq
   }
+
+  // ----- persisted chunk-hash index (the storage-dedup loop) -----
+  //
+  // dir/ids.parquet    — doc ingestion ledger (replay safety, LEDGER
+  //                      FIRST — the SpanDedup write-order argument)
+  // dir/chunks.parquet — distinct chunk md5s seen so far
+  //
+  // The serving loop: a new batch chunks, measures how many of its
+  // bytes are already stored (dedup ratio — the number restic/borg
+  // print per backup), then appends its novel hashes. Within-batch
+  // repeats of a novel hash count as new (first-batch cost); history
+  // dedups across batches.
+
+  private def antiLedger(df: DataFrame, idCol: String, dir: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$dir/ids.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) df
+    else df.join(
+      spark.read.parquet(s"$dir/ids.parquet")
+        .select(col("id").cast("long").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  private def writeChunkBatch(df: DataFrame, idCol: String, textCol: String,
+      dir: String, w: Int, d: Long, r: Long, mode: String): Unit = {
+    df.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode(mode).parquet(s"$dir/ids.parquet")
+    chunks(df, idCol, textCol, w, d, r)
+      .select(col("chunk_md5")).distinct()
+      .write.mode(mode).parquet(s"$dir/chunks.parquet")
+  }
+
+  /** Create a chunk-hash index from an initial corpus (overwrite). */
+  def buildChunkIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, w: Int = 8, divisor: Long = 64, remainder: Long = 5): Unit =
+    writeChunkBatch(df, idCol, textCol, dir, w, divisor, remainder, "overwrite")
+
+  /** Ingest a batch: already-ledgered docs drop whole (at-least-once
+    * replay contract); ledger ids FIRST, then the batch's distinct
+    * chunk hashes.
+    */
+  def appendToChunkIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, w: Int = 8, divisor: Long = 64, remainder: Long = 5): Unit =
+    graft.operators.IndexOps.withMutationLock(
+      df.sparkSession, dir, "append-cdc") {
+      val fresh = antiLedger(df, idCol, dir).localCheckpoint(true)
+      try writeChunkBatch(fresh, idCol, textCol, dir, w, divisor, remainder,
+        "append")
+      finally { fresh.unpersist(); () }
+    }
+
+  /** Known chunk hashes (empty frame when the index does not exist —
+    * first streaming batch).
+    */
+  def chunkIndexHashes(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/chunks.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.range(0).select(col("id").cast("string").as("chunk_md5"))
+    else spark.read.parquet(s"$dir/chunks.parquet").select(col("chunk_md5"))
+  }
+
+  /** Per-doc dedup accounting against the PERSISTED hash set:
+    * (idCol, n_chunks, n_dup_chunks, n_cps, dup_cps) — `*_cps` in
+    * code points (the chunker's unit). One chunking pass + one
+    * equi-join on the hash; distinct-hash history keeps the index
+    * frame reduced, AQE broadcasts it when small.
+    */
+  def dedupStatsAgainstIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, w: Int = 8, divisor: Long = 64, remainder: Long = 5): DataFrame = {
+    val known = chunkIndexHashes(df.sparkSession, dir)
+      .withColumn("_cdc_known", lit(true))
+    chunks(df, idCol, textCol, w, divisor, remainder)
+      .join(known, Seq("chunk_md5"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_cdc_known"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("len")).as("n_cps"),
+        sum(when(col("_cdc_known"), col("len")).otherwise(0L)).as("dup_cps"))
+  }
 }

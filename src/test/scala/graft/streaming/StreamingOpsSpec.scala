@@ -299,6 +299,54 @@ class StreamingOpsSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC ingest: dedup accounting against everything ingested so far") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_cdc").toString + "/idx"
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val q = StreamingOps.cdcChunkIngest(docs, "doc_id", "text", dir,
+      (df, bid) => got.synchronized {
+        got ++= df.select("doc_id", "n_chunks", "n_dup_chunks").collect()
+          .map(r => (bid, r.getLong(0), r.getLong(1), r.getLong(2)))
+      }).start()
+    val base = (1 to 40).map(i => s"shared run $i token${i % 5}").mkString(" ")
+    try {
+      // batch 0: empty history — zero dup chunks
+      input.addData((1L, base))
+      q.processAllAvailable()
+      // batch 1: an exact re-upload under a new id — every chunk dup;
+      // plus a fresh doc sharing a long middle run with doc 1
+      input.addData((2L, base),
+        (3L, "totally new prefix " + base.substring(40, 400) + " new tail"))
+      q.processAllAvailable()
+      // batch 2: replayed id 1 — stats re-deliver (at-least-once),
+      // the ledger drops its re-append
+      input.addData((1L, base))
+      q.processAllAvailable()
+      val byBatch = got.synchronized {
+        got.groupBy(_._1).view
+          .mapValues(_.map(t => (t._2, t._3, t._4)).toSet).toMap }
+      val b0 = byBatch(0L)
+      assert(b0.size == 1 && b0.head._3 == 0L, s"batch 0 must have no dups: $b0")
+      val byId1 = byBatch(1L).map(t => t._1 -> ((t._2, t._3))).toMap
+      // doc 2 = exact re-upload: all chunks known
+      assert(byId1(2L)._1 == byId1(2L)._2 && byId1(2L)._1 > 0)
+      // doc 3 shares interior content: SOME but not all chunks known
+      assert(byId1(3L)._2 > 0 && byId1(3L)._2 < byId1(3L)._1,
+        s"doc 3 expected partial dedup: ${byId1(3L)}")
+      // batch 2: replay reports fully-dup against history
+      val byId2 = byBatch(2L).map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(byId2(1L)._1 == byId2(1L)._2)
+      // ledger: doc 1 ingested once (ids.parquet holds 1,2,3)
+      import spark.implicits._
+      assert(spark.read.parquet(s"$dir/ids.parquet")
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
+    } finally q.stop()
+  }
+
   test("streaming corpus stats equal the batch sketches after every prefix") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String)]
