@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval join — "which events fall inside which time
+  * windows" (ad attribution, session enrichment, downtime overlap).
+  * Spark has no native range-join strategy: the naive formulation is
+  * a BroadcastNestedLoopJoin (every point × every interval — dead at
+  * scale), and windows don't apply because intervals OVERLAP.
+  *
+  * The scale shape is the classic BUCKETIZED range join (the
+  * Databricks range-join-hint technique, built from primitives):
+  * time divides into fixed chunks; an interval replicates to every
+  * chunk it covers, a point maps to exactly ONE chunk, and the join
+  * becomes an equi-join on the chunk id followed by the exact
+  * between-filter. Each qualifying (interval, point) pair emerges
+  * exactly once — the point's chunk is unique, so no dedup pass.
+  *
+  * Cost model: interval replication = ceil(len/chunk) + 1 rows; probe
+  * fan-in per chunk = points in that time slice. `chunkSeconds` is
+  * the dial: small chunks replicate intervals more, large chunks scan
+  * more candidates per point. `maxChunksPerInterval` fails loudly on
+  * the year-long-interval × 1-second-chunk explosion instead of
+  * silently materializing 31M rows per interval. For per-entity
+  * intervals, prepend the entity to both join keys via `keyCols` —
+  * the chunk id then partitions WITHIN the entity (the q17 chunked
+  * discipline).
+  */
+object IntervalJoin {
+
+  /** Join epoch-second points to [start, end] epoch-second intervals
+    * (both ends inclusive). Output: every column of `intervals` and
+    * `points` (caller projects), one row per qualifying pair.
+    */
+  def pointsInIntervals(
+      intervals: DataFrame, startCol: String, endCol: String,
+      points: DataFrame, tsCol: String,
+      chunkSeconds: Long, keyCols: Seq[String] = Nil,
+      maxChunksPerInterval: Long = 100000): DataFrame = {
+    require(chunkSeconds > 0,
+      s"pointsInIntervals: chunkSeconds must be positive (got $chunkSeconds)")
+    require(maxChunksPerInterval > 0,
+      s"pointsInIntervals: maxChunksPerInterval must be positive")
+    val iv = intervals
+      .withColumn("_ij_c0", floor(col(startCol) / chunkSeconds).cast("long"))
+      .withColumn("_ij_c1", floor(col(endCol) / chunkSeconds).cast("long"))
+    // loud guard BEFORE the explode: one bounded aggregation
+    val worst = iv.agg(coalesce(max(col("_ij_c1") - col("_ij_c0")), lit(0L)))
+      .collect()(0).getLong(0)
+    require(worst + 1 <= maxChunksPerInterval,
+      s"pointsInIntervals: an interval spans ${worst + 1} chunks of " +
+        s"$chunkSeconds s (> $maxChunksPerInterval) — raise chunkSeconds or " +
+        "maxChunksPerInterval deliberately")
+    val expanded = iv
+      .withColumn("_ij_chunk",
+        explode(sequence(col("_ij_c0"), col("_ij_c1"))))
+      .drop("_ij_c0", "_ij_c1")
+    val probe = points
+      .withColumn("_ij_chunk", floor(col(tsCol) / chunkSeconds).cast("long"))
+    val joinKeys = keyCols :+ "_ij_chunk"
+    expanded.join(probe, joinKeys)
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_ij_chunk")
+  }
+}

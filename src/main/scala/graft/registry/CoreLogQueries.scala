@@ -250,6 +250,28 @@ object CoreLogQueries {
     // DuckDB's native ASOF LEFT JOIN is the oracle. Times are epoch
     // nanos longs (raw parquet nanos when available, else converted
     // from the timestamp) == epoch_ns on the oracle side.
+    // bucketized point-in-interval join — the range join Spark lacks
+    // natively (the naive form is a BroadcastNestedLoopJoin): 200
+    // overlapping 10-minute windows every 7 minutes × the events
+    // stream. Intervals replicate to covered 600 s chunks, each point
+    // maps to ONE chunk, equi-join + exact between-filter — every
+    // qualifying pair emerges exactly once, no dedup. Oracle is the
+    // plain theta join
+    "q155_interval_join" -> ((s, dir) => {
+      val base = 1704067200L // 2024-01-01 00:00:00 UTC
+      val intervals = s.range(0, 200).select(
+        col("id").as("interval_id"),
+        (lit(base) + col("id") * 420L).as("start_sec"),
+        (lit(base) + col("id") * 420L + 600L).as("end_sec"))
+      val points = eventsTable(s, dir).select(col("event_id"),
+        col("ts").cast("long").as("ts_sec"))
+      graft.operators.IntervalJoin.pointsInIntervals(
+        intervals, "start_sec", "end_sec", points, "ts_sec",
+        chunkSeconds = 600)
+        .select("interval_id", "event_id", "ts_sec")
+    }),
+
+
     "q46_asof" -> ((s, dir) => {
       val ev = eventsNanos(s, dir)
       val left = ev.select(col("event_id"), col("user_id"), col("ts"))
@@ -563,6 +585,21 @@ object CoreLogQueries {
 
 
     "q46_asof" -> oracleSqlQ46,
+
+    // q155: the plain theta join the engine's bucketized form must
+    // reproduce pair-for-pair; second-resolution epochs (floor the
+    // double epoch(), the DuckDB-1.0 rule)
+    "q155_interval_join" ->
+      """WITH iv AS (
+        |  SELECT t.k AS interval_id,
+        |    1704067200 + t.k * 420 AS s,
+        |    1704067200 + t.k * 420 + 600 AS e
+        |  FROM range(200) t(k)),
+        |p AS (
+        |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events)
+        |SELECT iv.interval_id, p.event_id, p.ts_sec
+        |FROM iv JOIN p ON p.ts_sec >= iv.s AND p.ts_sec <= iv.e""".stripMargin,
 
     "q50_asof_chunked" -> oracleSqlQ46,
 

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+class IntervalJoinSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private val intervals = Seq(
+    (1L, 100L, 200L), (2L, 150L, 250L), (3L, 1000L, 1000L))
+    .toDF("iid", "s", "e")
+  private val points = Seq(
+    (10L, 99L), (11L, 100L), (12L, 175L), (13L, 200L), (14L, 250L),
+    (15L, 251L), (16L, 1000L), (17L, 5000L))
+    .toDF("pid", "ts")
+
+  private def run(chunk: Long) =
+    IntervalJoin.pointsInIntervals(intervals, "s", "e", points, "ts", chunk)
+      .select("iid", "pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private val naive = intervals.crossJoin(points)
+    .filter(col("ts") >= col("s") && col("ts") <= col("e"))
+    .select("iid", "pid").collect()
+    .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("matches the naive theta join; both interval ends inclusive") {
+    val got = run(chunk = 60)
+    assert(got == naive)
+    assert(got.contains((1L, 11L)) && got.contains((1L, 13L))) // boundaries
+    assert(got.contains((2L, 12L)) && got.contains((1L, 12L))) // overlap
+    assert(got.contains((3L, 16L)))                            // zero-length
+    assert(!got.contains((1L, 10L)) && !got.contains((2L, 15L)))
+  }
+
+  test("pairs emerge exactly once regardless of chunk size") {
+    for (chunk <- Seq(1L, 7L, 50L, 1000L, 100000L)) {
+      val rows = IntervalJoin.pointsInIntervals(
+        intervals, "s", "e", points, "ts", chunk)
+        .select("iid", "pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length == rows.toSet.size, s"chunk=$chunk duplicated pairs")
+      assert(rows.toSet == naive, s"chunk=$chunk")
+    }
+  }
+
+  test("keyCols: per-entity intervals only match same-entity points") {
+    val iv = Seq(("a", 1L, 0L, 100L), ("b", 2L, 0L, 100L))
+      .toDF("k", "iid", "s", "e")
+    val pt = Seq(("a", 10L, 50L), ("b", 11L, 50L), ("c", 12L, 50L))
+      .toDF("k", "pid", "ts")
+    val got = IntervalJoin.pointsInIntervals(iv, "s", "e", pt, "ts",
+      chunkSeconds = 10, keyCols = Seq("k"))
+      .select("iid", "pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 11L)))
+  }
+
+  test("the chunk-explosion guard fails loudly") {
+    val huge = Seq((1L, 0L, 10000000L)).toDF("iid", "s", "e")
+    intercept[IllegalArgumentException] {
+      IntervalJoin.pointsInIntervals(huge, "s", "e", points, "ts",
+        chunkSeconds = 1, maxChunksPerInterval = 1000)
+    }
+  }
+}
