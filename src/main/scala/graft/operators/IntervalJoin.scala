@@ -63,4 +63,49 @@ object IntervalJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_ij_chunk")
   }
+
+  /** Interval × interval OVERLAP join (inclusive ends: overlap iff
+    * `aStart ≤ bEnd AND bStart ≤ aEnd`) — downtime correlation,
+    * session co-occurrence, booking conflicts. Both sides replicate
+    * to their covered chunks; a qualifying pair shares EVERY chunk in
+    * the ranges' intersection, so the join would duplicate it — the
+    * dedup-free trick is to keep the pair only in the FIRST shared
+    * chunk, `max(chunk(aStart), chunk(bStart))`, which any
+    * overlapping pair contains exactly once. Column names of the two
+    * frames must be disjoint (keyCols excepted).
+    */
+  def intervalOverlaps(
+      a: DataFrame, aStartCol: String, aEndCol: String,
+      b: DataFrame, bStartCol: String, bEndCol: String,
+      chunkSeconds: Long, keyCols: Seq[String] = Nil,
+      maxChunksPerInterval: Long = 100000): DataFrame = {
+    require(chunkSeconds > 0,
+      s"intervalOverlaps: chunkSeconds must be positive (got $chunkSeconds)")
+    val overlapCols =
+      (a.columns.toSet intersect b.columns.toSet) -- keyCols.toSet
+    require(overlapCols.isEmpty,
+      s"intervalOverlaps: non-key column collision: ${overlapCols.mkString(", ")}")
+    def expand(df: DataFrame, s: String, e: String, tag: String): DataFrame = {
+      val iv = df
+        .withColumn(s"_ij_${tag}0", floor(col(s) / chunkSeconds).cast("long"))
+        .withColumn(s"_ij_${tag}1", floor(col(e) / chunkSeconds).cast("long"))
+      val worst = iv.agg(coalesce(
+        max(col(s"_ij_${tag}1") - col(s"_ij_${tag}0")), lit(0L)))
+        .collect()(0).getLong(0)
+      require(worst + 1 <= maxChunksPerInterval,
+        s"intervalOverlaps: a $tag-side interval spans ${worst + 1} chunks — " +
+          "raise chunkSeconds or maxChunksPerInterval deliberately")
+      iv.withColumn("_ij_chunk",
+        explode(sequence(col(s"_ij_${tag}0"), col(s"_ij_${tag}1"))))
+        .drop(s"_ij_${tag}1")
+    }
+    val ea = expand(a, aStartCol, aEndCol, "a")
+    val eb = expand(b, bStartCol, bEndCol, "b")
+    ea.join(eb, keyCols :+ "_ij_chunk")
+      .filter(col(aStartCol) <= col(bEndCol) &&
+        col(bStartCol) <= col(aEndCol))
+      // first-shared-chunk rule: exactly-once emission, no dedup pass
+      .filter(col("_ij_chunk") === greatest(col("_ij_a0"), col("_ij_b0")))
+      .drop("_ij_chunk", "_ij_a0", "_ij_b0")
+  }
 }

@@ -272,6 +272,27 @@ object CoreLogQueries {
     }),
 
 
+    // interval × interval overlap join — q155's two-sided sibling
+    // (downtime correlation / session co-occurrence): both planted
+    // window sets replicate to covered chunks; the first-shared-chunk
+    // rule (keep the pair only at max(startChunkA, startChunkB))
+    // makes emission exactly-once with NO dedup pass. Oracle is the
+    // plain inclusive-overlap theta join
+    "q156_interval_overlap" -> ((s, dir) => {
+      val base = 1704067200L
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val a = ids.select(col("doc_id").as("aid"),
+        (lit(base) + col("doc_id") * 540L).as("a_start"),
+        (lit(base) + col("doc_id") * 540L + 720L).as("a_end"))
+      val b = ids.select(col("doc_id").as("bid"),
+        (lit(base) + col("doc_id") * 420L).as("b_start"),
+        (lit(base) + col("doc_id") * 420L + 300L).as("b_end"))
+      graft.operators.IntervalJoin.intervalOverlaps(
+        a, "a_start", "a_end", b, "b_start", "b_end", chunkSeconds = 600)
+        .select("aid", "bid")
+    }),
+
+
     "q46_asof" -> ((s, dir) => {
       val ev = eventsNanos(s, dir)
       val left = ev.select(col("event_id"), col("user_id"), col("ts"))
@@ -585,6 +606,20 @@ object CoreLogQueries {
 
 
     "q46_asof" -> oracleSqlQ46,
+
+    // q156: plain inclusive-overlap theta join over the same planted
+    // window sets
+    "q156_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT doc_id AS aid, 1704067200 + doc_id * 540 AS s,
+        |         1704067200 + doc_id * 540 + 720 AS e
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id AS bid, 1704067200 + doc_id * 420 AS s,
+        |         1704067200 + doc_id * 420 + 300 AS e
+        |  FROM documents)
+        |SELECT a.aid, b.bid
+        |FROM a JOIN b ON a.s <= b.e AND b.s <= a.e""".stripMargin,
 
     // q155: the plain theta join the engine's bucketized form must
     // reproduce pair-for-pair; second-resolution epochs (floor the

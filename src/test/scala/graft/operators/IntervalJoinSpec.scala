@@ -57,6 +57,37 @@ class IntervalJoinSpec extends GraftSparkSpec {
     assert(got == Set((1L, 10L), (2L, 11L)))
   }
 
+  test("overlap join matches the naive theta join, exactly once per pair") {
+    val a = Seq((1L, 100L, 200L), (2L, 150L, 250L), (3L, 500L, 500L))
+      .toDF("aid", "as", "ae")
+    val b = Seq((10L, 180L, 300L), (11L, 200L, 210L), (12L, 251L, 400L),
+      (13L, 500L, 600L), (14L, 0L, 99L))
+      .toDF("bid", "bs", "be")
+    val naiveOv = a.crossJoin(b)
+      .filter(col("as") <= col("be") && col("bs") <= col("ae"))
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (chunk <- Seq(1L, 13L, 60L, 10000L)) {
+      val rows = IntervalJoin.intervalOverlaps(
+        a, "as", "ae", b, "bs", "be", chunkSeconds = chunk)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length == rows.toSet.size, s"chunk=$chunk duplicated")
+      assert(rows.toSet == naiveOv, s"chunk=$chunk")
+    }
+    // inclusive boundary overlap (a1 ends exactly where b11 starts)
+    assert(naiveOv.contains((1L, 11L)))
+    // zero-length interval overlapping a range start
+    assert(naiveOv.contains((3L, 13L)))
+  }
+
+  test("overlap join rejects colliding non-key column names") {
+    val x = Seq((1L, 0L, 1L)).toDF("id", "s", "e")
+    intercept[IllegalArgumentException] {
+      IntervalJoin.intervalOverlaps(x, "s", "e", x, "s", "e", 10)
+    }
+  }
+
   test("the chunk-explosion guard fails loudly") {
     val huge = Seq((1L, 0L, 10000000L)).toDF("iid", "s", "e")
     intercept[IllegalArgumentException] {
