@@ -46,6 +46,34 @@ object TextQueries {
         table(s, dir, "documents"), "doc_id", "text")),
 
 
+    // per-source chunk-level dedup ratio — the CDC family's
+    // analytical report (what fraction of each source's bytes are
+    // corpus-wide duplicate chunks — the restic "total dedup" number,
+    // and the crawl-ops signal for mirror-heavy sources): q153's
+    // chunks, corpus-wide occurrence counts per chunk_md5, duplicate
+    // mass = code points in chunks whose hash occurs > once. One
+    // chunking pass + two map-side-combined aggregations
+    "q157_dedup_ratio" -> ((s, dir) => {
+      val ch = graft.textops.CdcChunker.chunks(
+        table(s, dir, "documents").select(col("doc_id"), col("text"),
+          col("source")),
+        "doc_id", "text")
+        .join(table(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+      val occ = ch.groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("_dr_occ"))
+      ch.join(occ, "chunk_md5")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("len")).as("n_cps"),
+          sum(when(col("_dr_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("_dr_occ") > 1, col("len")).otherwise(0L)).as("dup_cps"))
+        .withColumn("dup_x10000",
+          expr("CAST(CASE WHEN n_cps = 0 THEN 0 " +
+            "ELSE dup_cps * 10000 DIV n_cps END AS BIGINT)"))
+    }),
+
+
     // TextRank keyword extraction (Mihalcea & Tarau 2004): the word
     // co-occurrence graph (adjacent-pair edges, symmetrized,
     // self-loops dropped) ranked by q94's integer fixed-point
@@ -748,6 +776,53 @@ object TextQueries {
          |  CAST(cutp - startp AS BIGINT) AS len,
          |  md5(substr(t.s, startp + 1, cutp - startp)) AS chunk_md5
          |FROM ce JOIN t ON t.doc_id = ce.doc_id""".stripMargin
+    },
+
+
+    // q157: q153's chunk CTEs + per-chunk corpus occurrence counts +
+    // the per-source duplicate-mass aggregation and x10000 ratio
+    "q157_dedup_ratio" -> {
+      val pw = graft.textops.CdcChunker.powerConstants(8)
+      val terms = (0 until 8)
+        .map(j =>
+          s"CAST(unicode(substr(s, i + ${j + 1}, 1)) AS BIGINT) * ${pw(j)}")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, source, coalesce(text, '') AS s,
+         |    length(coalesce(text, '')) AS n
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, s, n, u.i
+         |  FROM t, unnest(range(0, greatest(n - 7, 0))) AS u(i)),
+         |h AS (
+         |  SELECT doc_id, i + 8 AS cutp,
+         |    ($terms) % ${graft.textops.CdcChunker.M} AS hv
+         |  FROM p),
+         |cuts AS (SELECT doc_id, cutp FROM h WHERE hv % 64 = 5),
+         |ends AS (
+         |  SELECT DISTINCT doc_id, cutp FROM (
+         |    SELECT doc_id, cutp FROM cuts
+         |    UNION ALL SELECT doc_id, n FROM t WHERE n > 0)),
+         |ce AS (
+         |  SELECT doc_id, cutp,
+         |    lag(cutp, 1, 0) OVER (PARTITION BY doc_id ORDER BY cutp)
+         |      AS startp
+         |  FROM ends),
+         |chunks AS (
+         |  SELECT t.source, ce.cutp - ce.startp AS len,
+         |    md5(substr(t.s, ce.startp + 1, ce.cutp - ce.startp)) AS cm
+         |  FROM ce JOIN t USING (doc_id)),
+         |occ AS (SELECT cm, count(*) AS o FROM chunks GROUP BY cm)
+         |SELECT c.source, count(*) AS n_chunks,
+         |  CAST(sum(c.len) AS BIGINT) AS n_cps,
+         |  count(*) FILTER (WHERE o.o > 1) AS n_dup_chunks,
+         |  CAST(coalesce(sum(c.len) FILTER (WHERE o.o > 1), 0) AS BIGINT)
+         |    AS dup_cps,
+         |  CAST(CASE WHEN sum(c.len) = 0 THEN 0
+         |       ELSE coalesce(sum(c.len) FILTER (WHERE o.o > 1), 0) * 10000
+         |            // sum(c.len) END AS BIGINT) AS dup_x10000
+         |FROM chunks c JOIN occ o ON o.cm = c.cm
+         |GROUP BY c.source""".stripMargin
     },
 
 
