@@ -728,10 +728,14 @@ object DedupQueries {
 
 
     // q138: full recompute — the paragraph fixture, position-indexed
-    // split segments, the trimmed-match keep-first window ordered by
-    // (doc_id, i) (the oracle may use a window; the ENGINE must not —
-    // its min(struct) aggregate is the hot-key-safe twin), and the
-    // order-preserving filtered reassembly
+    // split segments, keep-first via min(doc_id*1e6+i) per trimmed
+    // paragraph (the engine's min(struct) aggregate is the
+    // hot-key-safe twin), and q81's list_sort/list_filter/
+    // list_transform reassembly over the original split array.
+    // Deliberately NO `string_agg(... ORDER BY ...) FILTER (...)`:
+    // that construct hash-mismatched in the round-10 driver gate
+    // (ordered-aggregate + FILTER is cross-version fragile in DuckDB)
+    // while this shape is the q81-proven one.
     "q138_paragraph_dedup" ->
       """WITH fix AS (
         |  SELECT doc_id,
@@ -751,18 +755,28 @@ object DedupQueries {
         |  FROM (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps
         |        FROM fix) f,
         |       unnest(generate_series(1, len(f.ps))) AS g(i)),
+        |w AS (
+        |  SELECT t, min(doc_id * 1000000 + i) AS fk
+        |  FROM p WHERE t <> '' GROUP BY t),
         |k AS (
-        |  SELECT doc_id, i, para,
-        |    CASE WHEN t = '' THEN TRUE
-        |         ELSE row_number() OVER (PARTITION BY t ORDER BY doc_id, i) = 1
-        |         END AS keep
-        |  FROM p)
-        |SELECT doc_id,
-        |  count(*) AS n_paras,
-        |  sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped,
-        |  coalesce(string_agg(para, chr(10)||chr(10) ORDER BY i)
-        |             FILTER (WHERE keep), '') AS text_dedup
-        |FROM k GROUP BY doc_id""".stripMargin,
+        |  SELECT p.doc_id, p.i,
+        |    (p.t = '' OR p.doc_id * 1000000 + p.i = w.fk) AS keep
+        |  FROM p LEFT JOIN w ON p.t = w.t),
+        |ki AS (
+        |  SELECT doc_id,
+        |    count(*) AS n_paras,
+        |    sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped,
+        |    list_sort(list(CASE WHEN keep THEN i END)) AS kis
+        |  FROM k GROUP BY doc_id),
+        |per AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps
+        |        FROM fix)
+        |SELECT per.doc_id, ki.n_paras, ki.n_dropped,
+        |  coalesce(array_to_string(
+        |    list_transform(
+        |      list_filter(ki.kis, x -> x IS NOT NULL),
+        |      x -> per.ps[x]),
+        |    chr(10)||chr(10)), '') AS text_dedup
+        |FROM per JOIN ki USING (doc_id)""".stripMargin,
 
 
     // q87: the full estimator pipeline recomputed from raw text — q82's
