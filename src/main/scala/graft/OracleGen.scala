@@ -67,6 +67,7 @@ object OracleGen {
       "q131_crawl_corpus" -> (() => crawlCorpusOracle(s, dir)),
       "q133_ann_graph" -> (() => graphAnnOracle(s, dir)),
       "q134_graph_twin_recall" -> (() => graphRecallOracle(s, dir)),
+      "q158_ann_hier" -> (() => graphHierOracle(s, dir)),
       "q135_lang_classifier" -> (() => langClassifierOracle(s, dir)),
       "q71_shuffle_shard" -> (() => shuffleShardOracle(s, dir)),
       "q83_shard_manifest" -> (() => shardManifestOracle(s, dir)),
@@ -1456,6 +1457,109 @@ object OracleGen {
        |SELECT qid AS query_id, node AS neighbor_id,
        |  round(cos, 4) AS cosine, rank
        |FROM gr WHERE rank <= 5""".stripMargin
+
+  /** q158: the hierarchical-entry walk replayed in SQL. On top of the
+    * q133 discipline (edges + every cosine recomputed from raw
+    * vectors), the engine additionally supplies the coarse layer's
+    * STRUCTURE keys — cell-graph edges, per-cell medoid ids, the
+    * fixed seed cell — and DuckDB replays the cell walk (unrolled
+    * rounds, medoid vectors re-read from the raw corpus by entry id,
+    * (cos DESC, cell ASC) tie-breaks), derives pool_0 from the walked
+    * entry cells itself, then replays the base walk. A wrong cell
+    * edge, a mis-scored medoid, or a drifted entry-probe all break
+    * the hash.
+    */
+  def graphHierOracle(s: SparkSession, dir: String): String = {
+    val (m, replicas) = (6, 2)
+    val (entryProbe, cellHops, cellBeam, hops, beam, cellM, nQueries) =
+      (4, 4, 4, 5, 12, 4, 100)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = SparkEntry.jitterTwinEmbeddings(emb)
+    val nlist = SparkEntry.graphNlist(corpus)
+    val centroids = Ivf.fitCentroids(corpus, "embedding", nlist,
+      cacheKey = Some("oracle:" + dir + "#embeddings-jitter"))
+    val (edges, entries) = graft.vector.GraphAnn.buildCached(
+      corpus, "vec_id", "embedding", centroids, m, replicas,
+      Some(("oracle:" + dir + "#embeddings-jitter", nlist)))
+    val cellEdges = graft.vector.GraphAnn.buildCellGraph(centroids, cellM)
+    val eRows = edges.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val medRows = entries.collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    val seed = medRows.map(_._1).min
+    checkEmbeddable("q158 edges", eRows.length.toLong)
+    checkEmbeddable("q158 cellEdges", cellEdges.length.toLong)
+    checkEmbeddable("q158 medoids", medRows.length.toLong)
+    val eVals = eRows.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    val ceVals = cellEdges.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    val medVals = medRows.map { case (c, id) => s"($c, $id)" }.mkString(", ")
+    val jc = SparkEntry.jitterC
+    val cellCtes = (0 until cellHops).map { i =>
+      s"""ccs$i AS (
+         |  SELECT p.qid, p.cell,
+         |    list_dot_product(c.v, q.qv) / (c.n * q.qn) AS cos
+         |  FROM cp$i p JOIN med m ON m.cell = p.cell
+         |  JOIN cn c ON c.vec_id = m.entry_id JOIN qv q ON q.qid = p.qid),
+         |ccb$i AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qid, cell, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, cell ASC) AS rk FROM ccs$i) WHERE rk <= $cellBeam),
+         |cp${i + 1} AS (
+         |  SELECT qid, cell FROM cp$i
+         |  UNION
+         |  SELECT b.qid, ce.cdst FROM ccb$i b JOIN ce ON ce.csrc = b.cell)""".stripMargin
+    }.mkString(",\n")
+    val hopCtes = (0 until hops).map { i =>
+      s"""s$i AS (
+         |  SELECT p.qid, p.node, list_dot_product(c.v, q.qv) / (c.n * q.qn) AS cos
+         |  FROM p$i p JOIN cn c ON c.vec_id = p.node JOIN qv q ON q.qid = p.qid),
+         |b$i AS (
+         |  SELECT qid, node FROM (
+         |    SELECT qid, node, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, node ASC) AS rk FROM s$i) WHERE rk <= $beam),
+         |p${i + 1} AS (
+         |  SELECT qid, node FROM p$i
+         |  UNION
+         |  SELECT b.qid, e.dst FROM b$i b JOIN e ON e.src = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cor AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |    list_transform(
+       |      list_zip(embedding::DOUBLE[], list_reverse(embedding::DOUBLE[])),
+       |      p -> p[1] + $jc * p[2])
+       |  FROM embeddings),
+       |cn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM cor),
+       |qv AS (SELECT vec_id AS qid, v AS qv, n AS qn FROM cn WHERE vec_id < $nQueries),
+       |e(src, dst) AS (VALUES $eVals),
+       |ce(csrc, cdst) AS (VALUES $ceVals),
+       |med(cell, entry_id) AS (VALUES $medVals),
+       |cp0(qid, cell) AS (SELECT qid, $seed FROM qv),
+       |$cellCtes,
+       |ecs AS (
+       |  SELECT p.qid, p.cell,
+       |    list_dot_product(c.v, q.qv) / (c.n * q.qn) AS cos
+       |  FROM cp$cellHops p JOIN med m ON m.cell = p.cell
+       |  JOIN cn c ON c.vec_id = m.entry_id JOIN qv q ON q.qid = p.qid),
+       |ec AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, cell ASC) AS rk FROM ecs) WHERE rk <= $entryProbe),
+       |p0(qid, node) AS (
+       |  SELECT DISTINCT ec.qid, m.entry_id
+       |  FROM ec JOIN med m ON m.cell = ec.cell),
+       |$hopCtes,
+       |sfin AS (
+       |  SELECT p.qid, p.node, list_dot_product(c.v, q.qv) / (c.n * q.qn) AS cos
+       |  FROM p$hops p JOIN cn c ON c.vec_id = p.node JOIN qv q ON q.qid = p.qid
+       |  WHERE p.node != p.qid),
+       |gr AS (
+       |  SELECT qid, node, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, node ASC) AS rank
+       |  FROM sfin)
+       |SELECT qid AS query_id, node AS neighbor_id,
+       |  round(cos, 4) AS cosine, rank
+       |FROM gr WHERE rank <= 5""".stripMargin
+  }
 
   def graphRecallOracle(s: SparkSession, dir: String): String = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")

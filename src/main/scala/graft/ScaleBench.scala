@@ -459,6 +459,45 @@ object ScaleBench {
         throw new IllegalStateException("paragraph dedup duel diverged")
     }
 
+    // ---- phase 1l: collapsed-cell graph-ANN build duel ----
+    // a duplicate-heavy embedding dump: every vector is one base + a
+    // tiny per-id epsilon, so the quantizer collapses the corpus into
+    // ~1 cell and an UNCAPPED per-cell kNN self-join goes quadratic in
+    // corpus size (the round-10 verdict's scale-killer). Evidence
+    // sought: uncapped cost superlinear when n doubles at SMALL n (so
+    // it is never run big); capped build max-task flat from 30k to
+    // 300k while search still answers a full top-k.
+    def collapsedVecs(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)), j =>
+          when(j === lit(0), lit(1.0)).otherwise(lit(0.0)) +
+            lit(1e-4) * ((col("id") * 31 + j.cast("long")) % 97).cast("double"))
+          .as("embedding"))
+    def collapsedGraph(n: Long, cap: Long): (DataFrame, DataFrame, DataFrame, Array[Array[Double]]) = {
+      val dfc = collapsedVecs(n).localCheckpoint()
+      val cents = graft.vector.Ivf.fitCentroids(dfc, "embedding", 8)
+      val (e, en) = graft.vector.GraphAnn.build(
+        dfc, "vec_id", "embedding", cents, m = 4, replicas = 2, maxCellSize = cap)
+      (dfc, e, en, cents)
+    }
+    timed("graphann_collapsed_4k_uncapped", collapsedGraph(4000, 0)._2)
+    timed("graphann_collapsed_8k_uncapped", collapsedGraph(8000, 0)._2)
+    for (n <- Seq(30000L, 300000L)) {
+      val tag = s"${n / 1000}k"
+      val (dfc, e, en, cents) = collapsedGraph(n, graft.vector.GraphAnn.DefaultMaxCellSize)
+      timed(s"graphann_collapsed_${tag}_capped", e)
+      // checkpoint AFTER the timed build so the measured window is the
+      // build itself; the walk re-consumes edges per hop
+      val eChk = e.localCheckpoint()
+      val qs = dfc.filter(col("vec_id") < 8)
+      val (_, sr) = timed(s"graphann_collapsed_${tag}_capped_search",
+        graft.vector.GraphAnn.searchTopK(dfc, "vec_id", "embedding",
+          qs, "vec_id", "embedding", cents, eChk, en,
+          k = 3, nprobe = 1, hops = 3, beam = 8))
+      if (sr != 24L)
+        throw new IllegalStateException(s"collapsed-cell capped search returned $sr rows, want 24")
+    }
+
     // ---- phase 1j: incremental-PageRank delta duel ----
     // many-component graph (5-node rings); the delta touches a FIXED
     // 200 components regardless of graph size and arrives as a known

@@ -28,18 +28,23 @@ object DataChecks {
     require(rules.nonEmpty, "checkRules: need at least one rule")
     require(rules.map(_._1).distinct.size == rules.size,
       "checkRules: rule names must be unique")
-    val aggs = rules.flatMap { case (name, pred) =>
+    // internal aggregate aliases are POSITIONAL (_dc_n_0, _dc_n_1, …):
+    // interpolating the user-facing rule name into an alias and
+    // re-resolving it with col() would mis-parse names containing
+    // dots (struct-field path) or backticks; the name only ever
+    // surfaces as a string literal in the output struct
+    val aggs = rules.zipWithIndex.flatMap { case ((_, pred), i) =>
       val bad = !coalesce(pred, lit(false))
       Seq(
-        sum(when(bad, 1L).otherwise(0L)).as(s"_dc_n_$name"),
-        min(when(bad, col(idCol))).as(s"_dc_id_$name"))
+        sum(when(bad, 1L).otherwise(0L)).as(s"_dc_n_$i"),
+        min(when(bad, col(idCol))).as(s"_dc_id_$i"))
     }
     val one = df.agg(count(lit(1)).as("_dc_rows"), aggs: _*)
-    val ruleRows = array(rules.map { case (name, _) =>
+    val ruleRows = array(rules.zipWithIndex.map { case ((name, _), i) =>
       struct(
         lit(name).as("rule"),
-        col(s"_dc_n_$name").as("n_violations"),
-        col(s"_dc_id_$name").as("min_violating_id"))
+        col(s"_dc_n_$i").as("n_violations"),
+        col(s"_dc_id_$i").as("min_violating_id"))
     }: _*)
     one.select(col("_dc_rows"), explode(ruleRows).as("_dc_r"))
       .select(

@@ -34,6 +34,17 @@ object DpRelease {
     * (groupCols..., true_n, noise_x1000, dp_n).
     * `epsilonX1000` is ε scaled by 1000 (integral API — ε = 1.0 is
     * 1000); sensitivity is 1 (add/remove one row moves a count by 1).
+    *
+    * SECURITY CONTRACT ON `seed`: the noise is a deterministic
+    * function of (seed, group key) — anyone who knows or guesses the
+    * seed can subtract it exactly, so the ε guarantee rests ENTIRELY
+    * on the seed being a high-entropy secret (≥ 128 bits from a CSPRNG,
+    * e.g. `java.util.UUID.randomUUID().toString`), fresh per release,
+    * and never co-published with the output. Low-entropy fixed
+    * strings ("test", a date) are for TEST DETERMINISM only — they
+    * carry no privacy. Production and test are deliberately one code
+    * path (determinism is what makes the oracle gate possible); the
+    * seed's provenance is what distinguishes them.
     */
   def laplaceNoisyCounts(
       df: DataFrame, groupCols: Seq[Column],

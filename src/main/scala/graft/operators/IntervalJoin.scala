@@ -29,6 +29,23 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** The explosion guard folded into the chunk-upper-bound expression:
+    * a row whose interval would replicate past `maxChunks` raises a
+    * loud runtime error AT THAT ROW instead of materializing the
+    * explosion. This replaces the former eager 1-row `collect()`
+    * pre-scan (round-10 advice): the valid path now costs ZERO extra
+    * jobs — the check rides the scan the explode performs anyway —
+    * and the failure still precedes any blow-up because the guard
+    * evaluates before its row's `sequence` does.
+    */
+  private def guardedUpper(
+      op: String, chunkSeconds: Long, maxChunks: Long,
+      c0: Column, c1: Column): Column =
+    when(c1 - c0 < maxChunks, c1).otherwise(raise_error(concat(
+      lit(s"$op: an interval spans "), (c1 - c0 + 1).cast("string"),
+      lit(s" chunks of $chunkSeconds s (> $maxChunks) — raise " +
+        "chunkSeconds or maxChunksPerInterval deliberately"))).cast("long"))
+
   /** Join epoch-second points to [start, end] epoch-second intervals
     * (both ends inclusive). Output: every column of `intervals` and
     * `points` (caller projects), one row per qualifying pair.
@@ -44,14 +61,9 @@ object IntervalJoin {
       s"pointsInIntervals: maxChunksPerInterval must be positive")
     val iv = intervals
       .withColumn("_ij_c0", floor(col(startCol) / chunkSeconds).cast("long"))
-      .withColumn("_ij_c1", floor(col(endCol) / chunkSeconds).cast("long"))
-    // loud guard BEFORE the explode: one bounded aggregation
-    val worst = iv.agg(coalesce(max(col("_ij_c1") - col("_ij_c0")), lit(0L)))
-      .collect()(0).getLong(0)
-    require(worst + 1 <= maxChunksPerInterval,
-      s"pointsInIntervals: an interval spans ${worst + 1} chunks of " +
-        s"$chunkSeconds s (> $maxChunksPerInterval) — raise chunkSeconds or " +
-        "maxChunksPerInterval deliberately")
+      .withColumn("_ij_c1",
+        guardedUpper("pointsInIntervals", chunkSeconds, maxChunksPerInterval,
+          col("_ij_c0"), floor(col(endCol) / chunkSeconds).cast("long")))
     val expanded = iv
       .withColumn("_ij_chunk",
         explode(sequence(col("_ij_c0"), col("_ij_c1"))))
@@ -88,13 +100,10 @@ object IntervalJoin {
     def expand(df: DataFrame, s: String, e: String, tag: String): DataFrame = {
       val iv = df
         .withColumn(s"_ij_${tag}0", floor(col(s) / chunkSeconds).cast("long"))
-        .withColumn(s"_ij_${tag}1", floor(col(e) / chunkSeconds).cast("long"))
-      val worst = iv.agg(coalesce(
-        max(col(s"_ij_${tag}1") - col(s"_ij_${tag}0")), lit(0L)))
-        .collect()(0).getLong(0)
-      require(worst + 1 <= maxChunksPerInterval,
-        s"intervalOverlaps: a $tag-side interval spans ${worst + 1} chunks — " +
-          "raise chunkSeconds or maxChunksPerInterval deliberately")
+        .withColumn(s"_ij_${tag}1",
+          guardedUpper(s"intervalOverlaps ($tag side)", chunkSeconds,
+            maxChunksPerInterval,
+            col(s"_ij_${tag}0"), floor(col(e) / chunkSeconds).cast("long")))
       iv.withColumn("_ij_chunk",
         explode(sequence(col(s"_ij_${tag}0"), col(s"_ij_${tag}1"))))
         .drop(s"_ij_${tag}1")

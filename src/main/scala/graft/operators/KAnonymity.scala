@@ -32,7 +32,10 @@ object KAnonymity {
   /** `ladder`: per QI output column, its generalization rungs —
     * rung 0 the raw value, later rungs coarser; shorter ladders clamp
     * at their top. Output: (idCol, QIs at the chosen level...,
-    * class_size, suppressed, level).
+    * class_size, suppressed, level). Suppressed rows carry NULL in
+    * every QI column — the frame is safe to release as-is (a caller
+    * who forgot to filter cannot leak the below-k classes this
+    * operator exists to protect); `suppressed` keeps the accounting.
     */
   def kAnonymize(
       df: DataFrame, idCol: String,
@@ -69,7 +72,10 @@ object KAnonymity {
     val sizes = g.groupBy(qiNames.map(col): _*)
       .agg(count(lit(1)).as("class_size"))
     g.join(sizes, qiNames)
-      .select(col(idCol) +: qiNames.map(col) :+ col("class_size") :+
+      .select(col(idCol) +:
+        qiNames.map(nm =>
+          when(col("class_size") < k, lit(null)).otherwise(col(nm)).as(nm)) :+
+        col("class_size") :+
         (col("class_size") < k).as("suppressed") :+
         lit(level.toLong).as("level"): _*)
   }

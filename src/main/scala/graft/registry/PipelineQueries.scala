@@ -788,7 +788,9 @@ object PipelineQueries {
         |pick AS (SELECT u.* FROM u JOIN lvl ON u.l = lvl.l),
         |cs AS (SELECT zip, age, count(*) AS class_size
         |       FROM pick GROUP BY zip, age)
-        |SELECT p.doc_id, p.zip, p.age,
+        |SELECT p.doc_id,
+        |  CASE WHEN cs.class_size < 5 THEN NULL ELSE p.zip END AS zip,
+        |  CASE WHEN cs.class_size < 5 THEN NULL ELSE p.age END AS age,
         |  CAST(cs.class_size AS BIGINT) AS class_size,
         |  cs.class_size < 5 AS suppressed,
         |  CAST(p.l AS BIGINT) AS level

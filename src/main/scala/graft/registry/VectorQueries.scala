@@ -273,6 +273,30 @@ object VectorQueries {
         cacheKey = Some(dir + "#embeddings-jitter"))
       twinRecallOf("ann_graph", g)
         .unionByName(twinRecallOf("ann_ivf_nprobe1", ivf))
+    }),
+
+
+    // hierarchical entry (round-11 verdict item 3, HNSW's top layer in
+    // spirit): a coarse kNN graph over cell centroids walked FIRST —
+    // from a fixed seed cell, scored against each cell's MEDOID
+    // vector (a real corpus vector, so entry choice reflects data,
+    // not quantizer artifacts) — picks the entry cells; the base beam
+    // walk then runs unchanged. Per-query cost independent of BOTH
+    // corpus size and nlist (no O(nlist) centroid scan). Oracle is
+    // generated: engine supplies base edges + cell edges + medoid
+    // ids + seed; DuckDB replays the cell walk AND the base walk,
+    // recomputing every cosine from raw vectors
+    // (OracleGen.graphHierOracle). GraphAnnSpec's decoy-cell fixture
+    // pins the recall unlock (ivf=0, flat=0, hier=1).
+    "q158_ann_hier" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val corpus = jitterTwinEmbeddings(emb)
+      graft.vector.GraphAnn.graphTopKHier(
+        corpus, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+        k = 5, nlist = graphNlist(corpus), m = 6, replicas = 2,
+        entryProbe = 4, cellHops = 4, cellBeam = 4, hops = 5, beam = 12,
+        cellM = 4, cacheKey = Some(dir + "#embeddings-jitter"))
     })
   )
 

@@ -38,14 +38,14 @@ object CdcChunker {
   val B: Long = 31L
   val M: Long = 1L << 30
 
-  /** Chunk spans of one document: array of (start, len) in code
-    * points; an empty/zero-length text yields no spans.
+  /** Raw content-defined cut positions (exclusive end offsets, code
+    * points) — every window position whose rolling hash fires; the
+    * document end is NOT appended here.
     */
-  def chunkSpans(text: UTF8String, w: Int, d: Long, r: Long): ArrayData = {
-    val s = text.toString
-    val cps = s.codePoints().toArray
+  private def rawCuts(
+      cps: Array[Int], w: Int, d: Long, r: Long)
+      : scala.collection.mutable.ArrayBuffer[Int] = {
     val n = cps.length
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
     val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
     if (n >= w) {
       var bw = 1L
@@ -61,7 +61,11 @@ object CdcChunker {
         i += 1
       }
     }
-    if (cuts.isEmpty || cuts.last != n) cuts += n
+    cuts
+  }
+
+  private def spansFromCuts(
+      cuts: scala.collection.IndexedSeq[Int]): ArrayData = {
     val out = new Array[Any](cuts.length)
     var prev = 0
     var ci = 0
@@ -72,6 +76,57 @@ object CdcChunker {
       ci += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Chunk spans of one document: array of (start, len) in code
+    * points; an empty/zero-length text yields no spans.
+    */
+  def chunkSpans(text: UTF8String, w: Int, d: Long, r: Long): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val cuts = rawCuts(cps, w, d, r)
+    if (cuts.isEmpty || cuts.last != n) cuts += n
+    spansFromCuts(cuts)
+  }
+
+  /** Min/max-bounded chunk spans (round-10 verdict item 6 — the
+    * restic/borg chunk-size stabilization): the STATELESS cut set is
+    * post-processed by the sequential skip-then-cut rule —
+    *
+    *   prev = 0; repeat until prev = n:
+    *     cut = the SMALLEST content cut c with minLen ≤ c − prev ≤
+    *           maxLen, else min(prev + maxLen, n)
+    *
+    * — so a pathological byte pattern can no longer emit degenerate
+    * chunks (a cut every position, or none for megabytes): every
+    * chunk except possibly the document's final remainder has length
+    * in [minLen, maxLen]. Because the underlying hash stream is
+    * position-stateless, shift-resilience survives: after an edit,
+    * the walk re-synchronizes at the first in-bounds content cut past
+    * the edit (CdcChunkerSpec pins it), unlike true reset-at-cut
+    * variants whose hash state itself diverges. The oracle replays
+    * the walk with a WITH RECURSIVE next-cut lookup.
+    */
+  def boundedChunkSpans(
+      text: UTF8String, w: Int, d: Long, r: Long,
+      minLen: Int, maxLen: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val cuts = rawCuts(cps, w, d, r)
+    val bounded = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var prev = 0
+    var lo = 0 // first raw-cut index with cuts(lo) > prev (cuts ascend)
+    while (prev < n) {
+      while (lo < cuts.length && cuts(lo) - prev < minLen) lo += 1
+      val cut =
+        if (lo < cuts.length && cuts(lo) - prev <= maxLen) cuts(lo)
+        else math.min(prev + maxLen, n)
+      bounded += cut
+      prev = cut
+    }
+    spansFromCuts(bounded)
   }
 
   case class CdcSpansExpr(child: Expression, w: Int, d: Long, r: Long)

@@ -28,6 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnn {
 
+  /** Default within-cell quadratic guard. The corpus-sized
+    * `nlist = max(64, rows/160)` rule bounds the AVERAGE cell at
+    * ~160·replicas rows, so this cap never fires on a healthy
+    * distribution — it exists for the collapsed-cell corpus (a
+    * duplicate-heavy embedding dump, exactly what a dedup pipeline
+    * sees), where one cell swallows the corpus and the per-cell
+    * self-join otherwise goes quadratic in corpus size. 1024 is ~3x
+    * the healthy average cell and caps the worst cell at 1024² ≈ 1M
+    * scored pairs — a single-digit-seconds task (ScaleBench phase 1l
+    * measured 2048² ≈ 4.2M pairs at 6–16 s max-task; 1M keeps the
+    * guardrail's own worst case short) — while dropped rows keep
+    * their OTHER replica cells (graceful coverage degradation, the
+    * [[SemDedup]] discipline).
+    */
+  val DefaultMaxCellSize: Long = 1024L
+
   /** Neighbor graph + entry points.
     * edges: (src, dst) directed top-`m` by cosine within each of the
     * vector's `replicas` assigned cells (deduped); entries: per cell
@@ -36,7 +52,7 @@ object GraphAnn {
   def build(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], m: Int = 6, replicas: Int = 2,
-      maxCellSize: Long = 0): (DataFrame, DataFrame) = {
+      maxCellSize: Long = DefaultMaxCellSize): (DataFrame, DataFrame) = {
     require(m >= 1 && replicas >= 1, "build: m, replicas >= 1")
     val spark = corpus.sparkSession
     val assigned0 = corpus.select(
@@ -105,19 +121,30 @@ object GraphAnn {
       maxQueries: Int = Ann.MaxQueries): DataFrame = {
     require(hops >= 1 && beam >= 1, "searchTopK: hops, beam >= 1")
     Ann.requireBoundedQueries(queries, maxQueries, "graphTopK")
-    val c = corpus.select(col(idCol).cast("long").as("node"),
-      transform(col(vecCol), x => x.cast("double")).as("_cv"),
-      Ann.l2norm(col(vecCol)).as("_cn"))
     val q = queries.select(col(qidCol).cast("long").as("query_id"),
       transform(col(qvecCol), x => x.cast("double")).as("_qv"),
       Ann.l2norm(col(qvecCol)).as("_qn"),
       Ivf.nearest_cells(col(qvecCol), centroids,
         math.min(nprobe, centroids.length)).as("_cells"))
     val qb = broadcast(q)
-    var pool = qb.select(col("query_id"), explode(col("_cells")).as("cell"))
+    val pool0 = qb.select(col("query_id"), explode(col("_cells")).as("cell"))
       .join(entries, Seq("cell"))
       .select(col("query_id"), col("entry_id").as("node"))
       .distinct()
+    baseWalk(corpus, idCol, vecCol, qb, pool0, edges, k, hops, beam)
+  }
+
+  /** The base-layer beam walk from an explicit entry pool — shared by
+    * the fixed-nprobe [[searchTopK]] and the hierarchical
+    * [[searchTopKHier]] (which differ ONLY in how pool_0 is chosen).
+    */
+  private def baseWalk(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      qb: DataFrame, pool0: DataFrame, edges: DataFrame,
+      k: Int, hops: Int, beam: Int): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("node"),
+      transform(col(vecCol), x => x.cast("double")).as("_cv"),
+      Ann.l2norm(col(vecCol)).as("_cn"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("_cos").desc, col("node").asc)
     def scored(p: DataFrame): DataFrame =
@@ -125,6 +152,7 @@ object GraphAnn {
         .join(qb.select(col("query_id"), col("_qv"), col("_qn")), Seq("query_id"))
         .withColumn("_cos",
           Ann.dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+    var pool = pool0
     var i = 0
     while (i < hops) {
       // checkpoint each round: pool_i feeds BOTH the beam rank and the
@@ -149,6 +177,130 @@ object GraphAnn {
         round(col("_cos"), 4).as("cosine"), col("rank"))
   }
 
+  /** Coarse navigable layer over the cells (the round-10 verdict's
+    * item 3, HNSW's top layer in spirit): cells as nodes, each linked
+    * to its `cellM` nearest cells by centroid cosine (cos DESC, cell
+    * ASC tie-break), symmetrized. Built driver-side — the centroid
+    * array is already driver-resident from the fit, and nlist² stays
+    * trivial up to the guarded bound (64k cells = 4G ops is where it
+    * stops being trivial; beyond that the construction recurses: fit
+    * a coarser quantizer over the CENTROIDS and build per-super-cell,
+    * which is exactly [[build]] one level up — not needed at current
+    * corpus-sized nlist, where nlist = rows/160 keeps the layer under
+    * a few thousand cells per billion rows of a 160-row-cell layout).
+    */
+  def buildCellGraph(
+      centroids: Array[Array[Double]], cellM: Int = 4): Array[(Int, Int)] = {
+    val n = centroids.length
+    require(n.toLong * n <= (1L << 32),
+      s"buildCellGraph: $n cells exceeds the driver-side bound; recurse the build")
+    val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    val directed = for {
+      i <- centroids.indices
+      j <- centroids.indices
+        .filter(_ != i)
+        .sortBy(j => (-dotd(centroids(i), centroids(j)) / (norms(i) * norms(j)), j))
+        .take(math.min(cellM, n - 1))
+    } yield (i, j)
+    (directed ++ directed.map { case (a, b) => (b, a) }).distinct.sorted.toArray
+  }
+
+  private def dotd(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Hierarchical entry selection + base walk: instead of probing the
+    * query's `nprobe` nearest cells (an O(nlist·dim) exact centroid
+    * scan per query — and structurally blind when the true neighbor's
+    * cell is not among them), walk the [[buildCellGraph]] layer from a
+    * FIXED seed cell (HNSW's single global entry point), scoring
+    * candidate cells by cosine(query, cell MEDOID vector) — a real
+    * corpus vector, so entry selection reflects the data rather than
+    * the quantizer's artifacts — then seed the base walk with the
+    * entries of the top `entryProbe` walked cells. Per-query cost is
+    * O(cellBeam · cellM · cellHops + beam · m · hops), independent of
+    * BOTH corpus size and nlist. Deterministic throughout ((cos DESC,
+    * cell/node ASC) tie-breaks), so the DuckDB oracle replays the cell
+    * walk and the base walk from engine-supplied structure alone.
+    */
+  def searchTopKHier(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      centroids: Array[Array[Double]], edges: DataFrame, entries: DataFrame,
+      cellEdges: Array[(Int, Int)], k: Int, entryProbe: Int = 4,
+      cellHops: Int = 4, cellBeam: Int = 4, hops: Int = 3, beam: Int = 8,
+      maxQueries: Int = Ann.MaxQueries): DataFrame = {
+    require(entryProbe >= 1 && cellHops >= 1 && cellBeam >= 1,
+      "searchTopKHier: entryProbe, cellHops, cellBeam >= 1")
+    Ann.requireBoundedQueries(queries, maxQueries, "searchTopKHier")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      transform(col(qvecCol), x => x.cast("double")).as("_qv"),
+      Ann.l2norm(col(qvecCol)).as("_qn"))
+    val qb = broadcast(q)
+    // medoid vectors: the per-cell entry point's REAL vector —
+    // checkpointed (it feeds every cell-walk round) then broadcast
+    val medoids = broadcast(entries
+      .join(corpus.select(col(idCol).cast("long").as("entry_id"),
+        transform(col(vecCol), x => x.cast("double")).as("_mv"),
+        Ann.l2norm(col(vecCol)).as("_mn")), Seq("entry_id"))
+      .select(col("cell"), col("_mv"), col("_mn"))
+      .localCheckpoint())
+    val ce = broadcast(cellEdges.toSeq.toDF("csrc", "cdst"))
+    val seedCell = entries.agg(min(col("cell"))).collect()(0).getInt(0)
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("cell").asc)
+    def scoredCells(p: DataFrame): DataFrame =
+      p.join(medoids, Seq("cell"))
+        .join(qb.select(col("query_id"), col("_qv"), col("_qn")), Seq("query_id"))
+        .withColumn("_cos",
+          Ann.dot(col("_mv"), col("_qv")) / (col("_mn") * col("_qn")))
+    var cellPool = qb.select(col("query_id"), lit(seedCell).as("cell"))
+    var i = 0
+    while (i < cellHops) {
+      cellPool = cellPool.localCheckpoint()
+      val front = scoredCells(cellPool)
+        .withColumn("_rk", row_number().over(wc))
+        .filter(col("_rk") <= cellBeam)
+        .select(col("query_id"), col("cell"))
+      val expanded = front.join(ce, col("cell") === col("csrc"))
+        .select(col("query_id"), col("cdst").as("cell"))
+      cellPool = cellPool.unionByName(expanded).distinct()
+      i += 1
+    }
+    val entryCells = scoredCells(cellPool)
+      .withColumn("_rk", row_number().over(wc))
+      .filter(col("_rk") <= entryProbe)
+      .select(col("query_id"), col("cell"))
+    val pool0 = entryCells.join(entries, Seq("cell"))
+      .select(col("query_id"), col("entry_id").as("node"))
+      .distinct()
+    baseWalk(corpus, idCol, vecCol, qb, pool0, edges, k, hops, beam)
+  }
+
+  /** Train + build + hierarchical search in one call (the
+    * [[graphTopK]] shape with [[searchTopKHier]] as the entry path).
+    */
+  def graphTopKHier(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int = 16, m: Int = 6, replicas: Int = 2,
+      entryProbe: Int = 4, cellHops: Int = 4, cellBeam: Int = 4,
+      hops: Int = 3, beam: Int = 8, cellM: Int = 4,
+      cacheKey: Option[String] = None,
+      maxCellSize: Long = DefaultMaxCellSize): DataFrame = {
+    val centroids = Ivf.fitCentroids(corpus, vecCol, nlist, cacheKey = cacheKey)
+    val (edges, entries) = buildCached(
+      corpus, idCol, vecCol, centroids, m, replicas,
+      cacheKey.map(ck => (ck, nlist)), maxCellSize)
+    searchTopKHier(corpus, idCol, vecCol, queries, qidCol, qvecCol,
+      centroids, edges, entries, buildCellGraph(centroids, cellM),
+      k, entryProbe, cellHops, cellBeam, hops, beam)
+  }
+
   /** Train + build + search in one call (the [[Ivf.ivfTopK]] shape).
     * With a `cacheKey`, the fitted quantizer AND the built graph memo
     * per process (the [[Ivf.fitCentroids]] discipline): the graph is
@@ -160,33 +312,50 @@ object GraphAnn {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 1, m: Int = 6,
       replicas: Int = 2, hops: Int = 3, beam: Int = 8,
-      cacheKey: Option[String] = None): DataFrame = {
+      cacheKey: Option[String] = None,
+      maxCellSize: Long = DefaultMaxCellSize): DataFrame = {
     val centroids = Ivf.fitCentroids(corpus, vecCol, nlist, cacheKey = cacheKey)
     val (edges, entries) = buildCached(
       corpus, idCol, vecCol, centroids, m, replicas,
-      cacheKey.map(ck => (ck, nlist)))
+      cacheKey.map(ck => (ck, nlist)), maxCellSize)
     searchTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol,
       centroids, edges, entries, k, nprobe, hops, beam)
   }
 
-  /** [[build]] behind the per-process memo (checkpointed frames). */
+  /** [[build]] behind the per-process memo (checkpointed frames).
+    * Keyed on `(applicationId, startTime)` plus the build params (the
+    * [[graft.textops.Bpe]] cache discipline): localCheckpoint'ed
+    * frames are owned by their SparkContext, so a memo hit from a
+    * PREVIOUS context in the same JVM would hand back dangling RDDs.
+    * Entries whose owning context has stopped are evicted on lookup.
+    */
   def buildCached(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], m: Int, replicas: Int,
-      key: Option[(String, Int)]): (DataFrame, DataFrame) = {
+      key: Option[(String, Int)],
+      maxCellSize: Long = DefaultMaxCellSize): (DataFrame, DataFrame) = {
     def built(): (DataFrame, DataFrame) = {
-      val (e, n) = build(corpus, idCol, vecCol, centroids, m, replicas)
+      val (e, n) = build(corpus, idCol, vecCol, centroids, m, replicas, maxCellSize)
       (e.localCheckpoint(), n.localCheckpoint())
     }
     key match {
       case Some((ck, nlist)) =>
-        graphMemo.computeIfAbsent((ck, nlist, m, replicas), _ => built())
+        val sc = corpus.sparkSession.sparkContext
+        graphMemo.foreach { case (k, (ref, _)) =>
+          val owner = ref.get()
+          if (owner == null || owner.isStopped) graphMemo.remove(k)
+        }
+        val memoKey = (sc.applicationId, sc.startTime, ck, nlist, m, replicas, maxCellSize)
+        graphMemo.getOrElseUpdate(
+          memoKey, (new java.lang.ref.WeakReference(sc), built()))._2
       case None => built()
     }
   }
 
-  private val graphMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), (DataFrame, DataFrame)]()
+  private[vector] val graphMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Long, String, Int, Int, Int, Long),
+        (java.lang.ref.WeakReference[org.apache.spark.SparkContext], (DataFrame, DataFrame))]
 
   /** Persist the graph index beside the IVF layout: centroids,
     * vectors, edges, entries — [[searchIndex]] then runs with NO
@@ -198,7 +367,8 @@ object GraphAnn {
     */
   def writeIndex(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String,
-      centroids: Array[Array[Double]], m: Int = 6, replicas: Int = 2): Unit = {
+      centroids: Array[Array[Double]], m: Int = 6, replicas: Int = 2,
+      maxCellSize: Long = DefaultMaxCellSize): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
@@ -207,7 +377,7 @@ object GraphAnn {
     corpus.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
       .write.mode("overwrite").parquet(s"$dir/vectors.parquet")
-    val (edges, entries) = build(corpus, idCol, vecCol, centroids, m, replicas)
+    val (edges, entries) = build(corpus, idCol, vecCol, centroids, m, replicas, maxCellSize)
     edges.write.mode("overwrite").parquet(s"$dir/edges.parquet")
     entries.write.mode("overwrite").parquet(s"$dir/entries.parquet")
   }

@@ -106,15 +106,29 @@ object Ivf {
     }
     cacheKey match {
       case Some(k) =>
-        centroidMemo.computeIfAbsent((k, nlist, seed, sampleCap, iters),
-          _ => compute())
+        val sc = corpus.sparkSession.sparkContext
+        centroidMemo.foreach { case (mk, (ref, _)) =>
+          val owner = ref.get()
+          if (owner == null || owner.isStopped) centroidMemo.remove(mk)
+        }
+        centroidMemo.getOrElseUpdate(
+          (sc.applicationId, sc.startTime, k, nlist, seed, sampleCap, iters),
+          (new java.lang.ref.WeakReference(sc), compute()))._2
       case None => compute()
     }
   }
 
-  /** Fitted-quantizer memo over [[sampleMemo]]'s keys — see there. */
+  /** Fitted-quantizer memo over [[sampleMemo]]'s keys — see there.
+    * Keyed on `(applicationId, startTime)` plus the fit params so a
+    * successor SparkContext in the same JVM (or the same cacheKey
+    * naming a rewritten corpus in a NEW session) never reads a stale
+    * fit; stopped-owner entries are evicted on lookup (the
+    * [[graft.textops.Bpe]] cache discipline).
+    */
   private val centroidMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long, Int, Int), Array[Array[Double]]]()
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Long, String, Int, Long, Int, Int),
+        (java.lang.ref.WeakReference[org.apache.spark.SparkContext], Array[Array[Double]])]
 
   /** Sample-taking overload — the ONE place the training recipe
     * (k clamping, iteration count) lives; both the IVF-flat and IVF-PQ
@@ -302,7 +316,14 @@ object Ivf {
     }
     cacheKey match {
       case Some(k) =>
-        sampleMemo.computeIfAbsent((k, seed, sampleCap), _ => compute())
+        val sc = corpus.sparkSession.sparkContext
+        sampleMemo.foreach { case (mk, (ref, _)) =>
+          val owner = ref.get()
+          if (owner == null || owner.isStopped) sampleMemo.remove(mk)
+        }
+        sampleMemo.getOrElseUpdate(
+          (sc.applicationId, sc.startTime, k, seed, sampleCap),
+          (new java.lang.ref.WeakReference(sc), compute()))._2
       case None => compute()
     }
   }
@@ -315,10 +336,15 @@ object Ivf {
     * caller owns naming the corpus (dir + table + transform); tests
     * that exercise partition-order insensitivity simply don't pass a
     * key and keep measuring the real path. Bounded: one 65k-vector
-    * sample per distinct corpus key per process.
+    * sample per distinct corpus key per SESSION — the key folds in
+    * `(applicationId, startTime)` and stopped-owner entries are
+    * evicted on lookup, so a restarted context (or a cacheKey naming
+    * re-ingested data in a new session) never reads a stale sample.
     */
   private val sampleMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), Array[Array[Double]]]()
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Long, String, Long, Int),
+        (java.lang.ref.WeakReference[org.apache.spark.SparkContext], Array[Array[Double]])]
 
   /** Plain seeded k-means++ / Lloyd's. Deterministic for a fixed input
     * order (the hash-gated sample is order-stable modulo partition

@@ -42,6 +42,15 @@ class DataChecksSpec extends GraftSparkSpec {
     assert(got("ids_positive") == ((4L, 0L, 0L, -1L)))
   }
 
+  test("rule names with dots and backticks are plain labels, not paths") {
+    // positional internal aliases: a dotted name must not resolve as
+    // a struct-field path (round-10 advice)
+    val got = run(Seq("host.nonnull" -> (col("id") > 0),
+      "weird`tick" -> (col("id") > 2)))
+    assert(got("host.nonnull")._2 == 0L)
+    assert(got("weird`tick")._1 == 4L)
+  }
+
   test("duplicate rule names are rejected") {
     intercept[IllegalArgumentException] {
       DataChecks.checkRules(df, "id",

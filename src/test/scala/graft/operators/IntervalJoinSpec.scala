@@ -88,11 +88,30 @@ class IntervalJoinSpec extends GraftSparkSpec {
     }
   }
 
-  test("the chunk-explosion guard fails loudly") {
+  test("the chunk-explosion guard fails loudly (at action, zero extra jobs)") {
+    // the guard is folded into the chunk expression (raise_error), so
+    // it surfaces when the plan RUNS — the valid path pays no 1-row
+    // collect() pre-scan job per call anymore
     val huge = Seq((1L, 0L, 10000000L)).toDF("iid", "s", "e")
-    intercept[IllegalArgumentException] {
+    val ex = intercept[Exception] {
       IntervalJoin.pointsInIntervals(huge, "s", "e", points, "ts",
-        chunkSeconds = 1, maxChunksPerInterval = 1000)
+        chunkSeconds = 1, maxChunksPerInterval = 1000).collect()
     }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("raise chunkSeconds")),
+      s"guard message missing: ${msgs(ex).mkString(" | ")}")
+  }
+
+  test("overlap-side chunk-explosion guard also fails loudly") {
+    val huge = Seq((1L, 0L, 10000000L)).toDF("xid", "xs", "xe")
+    val other = Seq((2L, 5L, 9L)).toDF("yid", "ys", "ye")
+    val ex = intercept[Exception] {
+      IntervalJoin.intervalOverlaps(huge, "xs", "xe", other, "ys", "ye",
+        chunkSeconds = 1, maxChunksPerInterval = 1000).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("raise chunkSeconds")))
   }
 }

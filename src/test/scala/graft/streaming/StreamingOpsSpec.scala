@@ -395,6 +395,62 @@ class StreamingOpsSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("streaming politeness schedule: prefix-equal to the batch scheduler with carryover") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val delays = Seq(("h1", 500L), ("h2", 200L)).toDF("host", "delay_ms")
+
+    // batch twin with carried-over per-host offsets: apply q147's
+    // scheduler to each batch alone, then shift its slots by the
+    // host's cumulative count from earlier batches
+    def expected(batches: Seq[Seq[(String, String)]]): Set[(String, String, Long, Long)] = {
+      val counters = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val delayOf = Map("h1" -> 500L, "h2" -> 200L).withDefaultValue(1000L)
+      val out = Set.newBuilder[(String, String, Long, Long)]
+      for (b <- batches) {
+        val sched = graft.operators.CrawlScheduler.schedule(
+          b.toDF("host", "url"), "host", "url", delays, defaultDelayMs = 1000L)
+          .select("host", "url", "fetch_slot")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        for ((h, u, s) <- sched) {
+          val slot = counters(h) + s
+          out += ((h, u, slot, slot * delayOf(h)))
+        }
+        for ((h, n) <- b.groupBy(_._1).view.mapValues(_.size)) counters(h) += n
+      }
+      out.result()
+    }
+
+    def streamed(): Set[(String, String, Long, Long)] =
+      spark.table("polite_out")
+        .select("host", "url", "fetch_slot", "fetch_time_ms")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+
+    val q = StreamingOps.politenessSchedule(
+      input.toDF().toDF("host", "url"), "host", "url", delays,
+      defaultDelayMs = 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("polite_out").start()
+    try {
+      val b1 = Seq(("h1", "u/a"), ("h1", "u/b"), ("h2", "u/c"), ("h3", "u/d"))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(streamed() == expected(Seq(b1)), "after batch 1")
+
+      // batch 2 revisits h1/h2: slots must CONTINUE, not restart —
+      // the politeness contract the per-host counter state carries
+      val b2 = Seq(("h1", "u/e"), ("h1", "u/f"), ("h2", "u/g"))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(streamed() == expected(Seq(b1, b2)), "after batch 2")
+      // h1 saw 2 + 2 urls: its max slot is 3; h3 used the default delay
+      val byHost = streamed().groupBy(_._1)
+      assert(byHost("h1").map(_._3) == Set(0L, 1L, 2L, 3L))
+      assert(byHost("h3").head._4 == 0L * 1000L)
+    } finally q.stop()
+  }
+
   test("streaming dictionary match: the AC automaton is a stateless streaming projection") {
     import graft.textops.PhraseAutomaton
     implicit val sqlCtx = spark.sqlContext

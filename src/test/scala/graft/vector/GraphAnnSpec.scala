@@ -75,6 +75,158 @@ class GraphAnnSpec extends GraftSparkSpec {
     assert(fromDisk === fresh)
   }
 
+  test("default maxCellSize is inert on the gate fixture: capped == uncapped") {
+    // the corpus-sized nlist rule keeps cells far under DefaultMaxCellSize
+    // on any healthy distribution, so the guardrail must not change a
+    // single edge/entry/search row vs a deliberately-uncapped build
+    val centroids = Ivf.fitCentroids(corpus, "embedding", 16)
+    val (eCap, nCap) = GraphAnn.build(
+      corpus, "vec_id", "embedding", centroids, m = 6, replicas = 2)
+    val (eRaw, nRaw) = GraphAnn.build(
+      corpus, "vec_id", "embedding", centroids, m = 6, replicas = 2,
+      maxCellSize = 0)
+    assert(eCap.as[(Long, Long)].collect().sorted.toSeq ===
+      eRaw.as[(Long, Long)].collect().sorted.toSeq)
+    assert(nCap.as[(Int, Long)].collect().sorted.toSeq ===
+      nRaw.as[(Int, Long)].collect().sorted.toSeq)
+    val res = GraphAnn.searchTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", centroids, eCap, nCap,
+      k = 5, nprobe = 1, hops = 3, beam = 8)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val resRaw = GraphAnn.searchTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", centroids, eRaw, nRaw,
+      k = 5, nprobe = 1, hops = 3, beam = 8)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(res === resRaw)
+  }
+
+  test("collapsed-cell corpus: cap bounds the build, search still answers") {
+    // duplicate-heavy dump: every vector is one base + per-id epsilon,
+    // so one cell swallows the corpus and an uncapped build would be
+    // quadratic in corpus size. With the cap the per-cell population is
+    // <= maxCellSize (smallest ids kept), bounding out-edges, and the
+    // walk still returns a full deterministic top-k.
+    val base = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    val collapsed = (0L until 500L).map { i =>
+      (i, base.zipWithIndex.map { case (x, j) =>
+        x + 1e-4 * ((i * 31 + j) % 97) }.toSeq)
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val centroids = Ivf.fitCentroids(collapsed, "embedding", 8)
+    val cap = 64L
+    val (edges, entries) = GraphAnn.build(
+      collapsed, "vec_id", "embedding", centroids, m = 4, replicas = 2,
+      maxCellSize = cap)
+    // kept population per cell <= cap, so directed out-edges per cell
+    // <= cap * m; symmetrization at most doubles
+    val nCells = entries.count()
+    assert(edges.count() <= 2L * cap * 4L * nCells, "edge mass bounded by cap")
+    val qs = collapsed.filter(col("vec_id") < 8)
+    val res = GraphAnn.searchTopK(collapsed, "vec_id", "embedding",
+      qs, "vec_id", "embedding", centroids, edges, entries,
+      k = 3, nprobe = 1, hops = 3, beam = 8)
+    assert(res.count() === 24L, "full top-k per query under the cap")
+    val res2 = GraphAnn.searchTopK(collapsed.repartition(7), "vec_id",
+      "embedding", qs, "vec_id", "embedding", centroids, edges, entries,
+      k = 3, nprobe = 1, hops = 3, beam = 8)
+    assert(res.as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq ===
+      res2.as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq)
+  }
+
+  // Decoy-cell fixture (round-11 verdict item 3): queries point at u;
+  // the DECOY cell's centroid IS u but its members are a 45-degree
+  // ring (cosine .707 to u — the centroid is a quantizer artifact, no
+  // member is near it); the true nearest vectors are a tight TARGET
+  // cluster at 20 degrees whose replica set ({target, shadow}) never
+  // touches the decoy, and per-ring TRAP cells absorb the ring
+  // members' second replicas. Centroid-probing (IVF nprobe=1, flat
+  // graph entry) lands in the decoy and walks ring/trap space forever;
+  // the medoid-scored cell walk ranks the target cell by its REAL
+  // member vector (cosine .94) and enters it directly.
+  private lazy val decoyFixture: (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, Array[Array[Double]]) = {
+    val rnd = new scala.util.Random(11)
+    def unit(i: Int): Array[Double] =
+      Array.tabulate(dim)(j => if (j == i) 1.0 else 0.0)
+    def mix(a: Array[Double], ca: Double, b: Array[Double], cb: Double) =
+      a.zip(b).map { case (x, y) => ca * x + cb * y }
+    def noisy(v: Array[Double], eps: Double): Seq[Double] =
+      v.map(x => x + eps * rnd.nextGaussian()).toSeq
+    val u = unit(0)
+    val cos20 = math.cos(math.toRadians(20)); val sin20 = math.sin(math.toRadians(20))
+    val cos25 = math.cos(math.toRadians(25)); val sin25 = math.sin(math.toRadians(25))
+    val targetC = mix(u, cos20, unit(25), sin20)
+    val shadowC = mix(u, cos25, unit(25), sin25)
+    val trapCs = (1 to 24).map(i => mix(u, 0.5, unit(i), math.sqrt(3) / 2))
+    val fillerCs = (26 to 29).map(unit)
+    // centroid order: decoy first (cell 0 = the hier walk's fixed seed)
+    val centroids = (Seq(u, targetC, shadowC) ++ trapCs ++ fillerCs).toArray
+    val ring = (1 to 24).map(i => mix(u, 0.707, unit(i), 0.707).toSeq)
+    val targets = (0 until 8).map(_ => noisy(targetC, 0.02))
+    val shadows = (0 until 8).map(_ => noisy(shadowC, 0.02))
+    val traps = trapCs.flatMap(c => (0 until 4).map(_ => noisy(c, 0.02)))
+    val fillers = fillerCs.flatMap(c => (0 until 8).map(_ => noisy(c, 0.02)))
+    val corpus = (ring ++ targets ++ shadows ++ traps ++ fillers)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val qs = (0 until 20).map(j => (10000L + j, noisy(u, 0.01)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    (corpus, qs, centroids)
+  }
+
+  test("decoy cells: IVF and flat graph miss, hier entry recovers >= 0.95") {
+    val (cor, qs, centroids) = decoyFixture
+    // ground truth: exact top-1 by brute force
+    val truth = Ann.cosineTopK(cor, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id").as("_true"))
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double =
+      res.filter(col("rank") === 1).join(truth, Seq("query_id"))
+        .filter(col("neighbor_id") === col("_true")).count() / 20.0
+    val (edges, entries) = GraphAnn.build(
+      cor, "vec_id", "embedding", centroids, m = 4, replicas = 2)
+    // IVF nprobe=1 emulated against the SAME fixed centroids: probe
+    // the query's nearest cell, candidates = its primary members
+    val assigned = cor.select(col("vec_id").as("neighbor_id"),
+      transform(col("embedding"), x => x.cast("double")).as("_v"),
+      Ann.l2norm(col("embedding")).as("_n"),
+      Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
+    val probed = qs.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), x => x.cast("double")).as("_qv"),
+      Ann.l2norm(col("embedding")).as("_qn"),
+      Ivf.nearest_cells(col("embedding"), centroids, 1).getItem(0).as("cell"))
+    val ivfRes = probed.join(assigned, Seq("cell"))
+      .withColumn("_cos", Ann.dot(col("_v"), col("_qv")) / (col("_n") * col("_qn")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("_cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") === 1)
+    val flat = GraphAnn.searchTopK(cor, "vec_id", "embedding",
+      qs, "vec_id", "embedding", centroids, edges, entries,
+      k = 1, nprobe = 1, hops = 5, beam = 12)
+    val hier = GraphAnn.searchTopKHier(cor, "vec_id", "embedding",
+      qs, "vec_id", "embedding", centroids, edges, entries,
+      GraphAnn.buildCellGraph(centroids, cellM = 4),
+      k = 1, entryProbe = 4, cellHops = 4, cellBeam = 4, hops = 3, beam = 8)
+    val (ri, rf, rh) = (recallOf(ivfRes), recallOf(flat), recallOf(hier))
+    info(s"ivf=$ri flat=$rf hier=$rh")
+    assert(ri < 0.5, s"ivf recall $ri should miss on the decoy fixture")
+    assert(rf < 0.5, s"flat graph recall $rf should miss on the decoy fixture")
+    assert(rh >= 0.95, s"hier recall $rh")
+  }
+
+  test("hier search deterministic under repartitioning") {
+    val (cor, qs, centroids) = decoyFixture
+    val (edges, entries) = GraphAnn.build(
+      cor, "vec_id", "embedding", centroids, m = 4, replicas = 2)
+    val cg = GraphAnn.buildCellGraph(centroids, cellM = 4)
+    def run(parts: Int) =
+      GraphAnn.searchTopKHier(cor.repartition(parts), "vec_id", "embedding",
+        qs, "vec_id", "embedding", centroids, edges, entries, cg,
+        k = 5, entryProbe = 4, cellHops = 4, cellBeam = 4, hops = 3, beam = 8)
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(run(2) === run(11))
+  }
+
   test("edges are symmetric and capped; entries one per cell") {
     val centroids = Ivf.fitCentroids(corpus, "embedding", 8)
     val (edges, entries) = GraphAnn.build(
