@@ -129,17 +129,27 @@ object Bench {
           (name, median, sorted.last - sorted.head)
         }
       }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // slowest-first: the driver records a truncated slice of this
+    // line, which in round 10 dropped the q100+ heavy queries from
+    // the gate artifact entirely (alphabetical order put them at the
+    // cut). With the maps ordered by descending median — and a
+    // compact top-10 right after "value" — the heavy profile survives
+    // any truncation direction.
+    val byCost = results.sortBy { case (_, v, _) => -v }
+    val qs = byCost.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val slowest = byCost.take(10).map { case (k, v, _) =>
+      s"\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
     // Locale.ROOT: the f-interpolator is locale-sensitive and a
     // comma-decimal locale would emit malformed JSON
-    val spreads = results.map { case (k, _, s) =>
+    val spreads = byCost.map { case (k, _, s) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
         java.lang.Double.valueOf(s))
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","slowest":$slowest,"queries":$qs,"spread":$spreads,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -433,6 +433,13 @@ object SparkEntry {
   private[graft] val evalProbe2: String =
     "count the exact number of tokens in this held out evaluation prompt"
 
+  /** q160's clean benchmark: nonsense tokens that occur nowhere in the
+    * corpus, so its leak fraction must be exactly zero in every
+    * snapshot — the dashboard's negative control.
+    */
+  private[graft] val cleanProbe: String =
+    "zyqv one zyqv two zyqv three zyqv four zyqv five zyqv six"
+
   /** The q61/q65 eval corpus: every 97th document's raw text (the
     * leaked-eval-doc stand-in) plus the two literal probes. ONE
     * definition — the two queries and both oracles' `evals` CTEs must

@@ -225,6 +225,42 @@ object DedupQueries {
     }),
 
 
+    // multi-benchmark contamination dashboard + trend (round-11; the
+    // per-release table a curation team tracks, q151 x q85): three
+    // benchmarks — A (97th docs + probe1), B (89th docs + probe2),
+    // C (a clean synthetic probe that appears nowhere) — scanned
+    // against TWO corpus snapshots in one query: prev = raw
+    // documents, cur = the q151-planted release. Per benchmark:
+    // window-level leak fraction, docs touched, eval docs
+    // contaminated, and the signed delta vs the previous snapshot.
+    // One corpus scan per snapshot, all benchmarks' windows broadcast
+    // together; oracle replays both scans hash-free
+    "q160_contamination_dashboard" -> ((s, dir) => {
+      val docsPrev = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val docsCur = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" " + evalProbe1)))
+          .when(col("doc_id") % 7 === 5, concat(col("text"), lit(" " + evalProbe2)))
+          .otherwise(col("text")).as("text"))
+      val d = table(s, dir, "documents")
+      val evals = d.filter(col("doc_id") % 97 === 0)
+        .select(lit("benchA").as("benchmark"),
+          col("doc_id").as("eval_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 89 === 0)
+          .select(lit("benchB").as("benchmark"),
+            col("doc_id").as("eval_id"), col("text")))
+        .unionByName(s.range(1).select(lit("benchA").as("benchmark"),
+          lit(900001L).as("eval_id"), lit(evalProbe1).as("text")))
+        .unionByName(s.range(1).select(lit("benchB").as("benchmark"),
+          lit(900002L).as("eval_id"), lit(evalProbe2).as("text")))
+        .unionByName(s.range(1).select(lit("benchC").as("benchmark"),
+          lit(900003L).as("eval_id"), lit(cleanProbe).as("text")))
+      graft.textops.SpanDedup.contaminationTrend(
+        docsPrev, docsCur, "doc_id", "text",
+        evals, "benchmark", "eval_id", "text", k = 8)
+    }),
+
+
     // URL canonicalization + URL-level dedup: the canonicalize-then-
     // dedup step a crawl pipeline runs BEFORE content dedup. Messy
     // URLs planted from doc_id (the q58 replant pattern): variants
@@ -527,6 +563,112 @@ object DedupQueries {
     // corpus (leaked every-97th docs + the two planted probes); a
     // corpus window hits iff its string equals any eval window;
     // coverage/trim identical to the q53 oracle
+    // q160: the q151 hash-free window replay per benchmark, run
+    // against BOTH snapshots (prev = raw documents, cur = planted),
+    // with per-benchmark distinct-triple aggregations and the trend
+    // delta — matched-window counts derive from DISTINCT
+    // (bench, eval_id, w) sub-selects, doc counts from DISTINCT ids
+    "q160_contamination_dashboard" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |cur AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || ' $evalProbe1'
+         |         WHEN doc_id % 7 = 5 THEN text || ' $evalProbe2'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |evals(bench, eval_id, text) AS (
+         |  SELECT 'benchA', doc_id, text FROM documents WHERE doc_id % 97 = 0
+         |  UNION ALL
+         |  SELECT 'benchB', doc_id, text FROM documents WHERE doc_id % 89 = 0
+         |  UNION ALL SELECT 'benchA', 900001, '$evalProbe1'
+         |  UNION ALL SELECT 'benchB', 900002, '$evalProbe2'
+         |  UNION ALL SELECT 'benchC', 900003, '$cleanProbe'),
+         |et AS (
+         |  SELECT bench, eval_id,
+         |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |                x -> x != '') AS toks
+         |  FROM evals),
+         |ewl AS (
+         |  SELECT bench, eval_id,
+         |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(toks) - 6),
+         |                i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+         |  FROM et),
+         |ew AS (SELECT DISTINCT bench, eval_id, unnest(ws) AS w FROM ewl),
+         |tot AS (SELECT bench, count(*) AS n_windows FROM ew GROUP BY bench),
+         |ed AS (
+         |  SELECT bench, count(DISTINCT eval_id) AS n_eval_docs
+         |  FROM evals GROUP BY bench),
+         |cct AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |                x -> x != '') AS toks
+         |  FROM cur),
+         |ccw AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(toks) - 6),
+         |                i -> array_to_string(toks[i:i+7], ' ')) END) AS w
+         |  FROM cct),
+         |pct AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |                x -> x != '') AS toks
+         |  FROM base),
+         |pcw AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(toks) - 6),
+         |                i -> array_to_string(toks[i:i+7], ' ')) END) AS w
+         |  FROM pct),
+         |mc AS (
+         |  SELECT DISTINCT ew.bench, ew.eval_id, c.doc_id, ew.w
+         |  FROM ew JOIN ccw c ON c.w = ew.w),
+         |mp AS (
+         |  SELECT DISTINCT ew.bench, ew.eval_id, p.doc_id, ew.w
+         |  FROM ew JOIN pcw p ON p.w = ew.w),
+         |mwc AS (
+         |  SELECT bench, count(*) AS n_matched FROM (
+         |    SELECT DISTINCT bench, eval_id, w FROM mc) GROUP BY bench),
+         |dhc AS (
+         |  SELECT bench, count(DISTINCT doc_id) AS n_docs_hit,
+         |         count(DISTINCT eval_id) AS n_cont
+         |  FROM mc GROUP BY bench),
+         |mwp AS (
+         |  SELECT bench, count(*) AS n_matched FROM (
+         |    SELECT DISTINCT bench, eval_id, w FROM mp) GROUP BY bench),
+         |dhp AS (
+         |  SELECT bench, count(DISTINCT doc_id) AS n_docs_hit
+         |  FROM mp GROUP BY bench)
+         |SELECT ed.bench AS benchmark,
+         |  CAST(ed.n_eval_docs AS BIGINT) AS n_eval_docs,
+         |  CAST(coalesce(tot.n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(mwc.n_matched, 0) AS BIGINT) AS n_matched_windows,
+         |  CAST(coalesce(dhc.n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+         |  CAST(coalesce(dhc.n_cont, 0) AS BIGINT) AS n_contaminated_docs,
+         |  CAST(CASE WHEN coalesce(tot.n_windows, 0) = 0 THEN 0
+         |       ELSE coalesce(mwc.n_matched, 0) * 10000 // tot.n_windows
+         |       END AS BIGINT) AS contamination_x10000,
+         |  CAST(CASE WHEN ed.n_eval_docs = 0 THEN 0
+         |       ELSE coalesce(dhc.n_cont, 0) * 10000 // ed.n_eval_docs
+         |       END AS BIGINT) AS docs_x10000,
+         |  CAST(CASE WHEN coalesce(tot.n_windows, 0) = 0 THEN 0
+         |       ELSE coalesce(mwp.n_matched, 0) * 10000 // tot.n_windows
+         |       END AS BIGINT) AS prev_x10000,
+         |  CAST(coalesce(dhp.n_docs_hit, 0) AS BIGINT) AS prev_docs_hit,
+         |  CAST((CASE WHEN coalesce(tot.n_windows, 0) = 0 THEN 0
+         |        ELSE coalesce(mwc.n_matched, 0) * 10000 // tot.n_windows END) -
+         |       (CASE WHEN coalesce(tot.n_windows, 0) = 0 THEN 0
+         |        ELSE coalesce(mwp.n_matched, 0) * 10000 // tot.n_windows END)
+         |       AS BIGINT) AS delta_x10000
+         |FROM ed
+         |LEFT JOIN tot ON tot.bench = ed.bench
+         |LEFT JOIN mwc ON mwc.bench = ed.bench
+         |LEFT JOIN dhc ON dhc.bench = ed.bench
+         |LEFT JOIN mwp ON mwp.bench = ed.bench
+         |LEFT JOIN dhp ON dhp.bench = ed.bench""".stripMargin,
+
+
     // q151: q61's literal-window CTEs with eval ids carried through —
     // distinct eval windows, corpus windows, the matched triple set,
     // per-eval distinct counts, and the x10000 integral fraction

@@ -46,6 +46,19 @@ object TextQueries {
         table(s, dir, "documents"), "doc_id", "text")),
 
 
+    // min/max-bounded CDC chunking (round-11; the restic/borg size
+    // stabilization): q153's stateless cut set post-processed by the
+    // sequential skip-then-cut rule — smallest content cut with
+    // len in [16, 128] from the previous cut, else a forced cut at
+    // prev+128 (or doc end) — so pathological byte patterns cannot
+    // emit degenerate chunks. The oracle replays the walk with a
+    // WITH RECURSIVE next-cut lookup over the same window hashes;
+    // CdcChunkerSpec pins bounds + shift re-synchronization
+    "q159_cdc_bounded" -> ((s, dir) =>
+      graft.textops.CdcChunker.chunksBounded(
+        table(s, dir, "documents"), "doc_id", "text")),
+
+
     // per-source chunk-level dedup ratio — the CDC family's
     // analytical report (what fraction of each source's bytes are
     // corpus-wide duplicate chunks — the restic "total dedup" number,
@@ -776,6 +789,54 @@ object TextQueries {
          |  CAST(cutp - startp AS BIGINT) AS len,
          |  md5(substr(t.s, startp + 1, cutp - startp)) AS chunk_md5
          |FROM ce JOIN t ON t.doc_id = ce.doc_id""".stripMargin
+    },
+
+
+    // q159: q153's window-hash cuts + a per-position next-in-bounds
+    // cut lookup (nx) + the sequential walk replayed as a recursive
+    // CTE — the skip-then-cut rule's SQL twin. The ONLY recursion
+    // state is (prev cut); everything else is the q153 replay
+    "q159_cdc_bounded" -> {
+      val pw = graft.textops.CdcChunker.powerConstants(8)
+      val terms = (0 until 8)
+        .map(j =>
+          s"CAST(unicode(substr(s, i + ${j + 1}, 1)) AS BIGINT) * ${pw(j)}")
+        .mkString(" + ")
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, coalesce(text, '') AS s,
+         |    length(coalesce(text, '')) AS n
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, s, n, u.i
+         |  FROM t, unnest(range(0, greatest(n - 7, 0))) AS u(i)),
+         |h AS (
+         |  SELECT doc_id, i + 8 AS cutp,
+         |    ($terms) % ${graft.textops.CdcChunker.M} AS hv
+         |  FROM p),
+         |cuts AS (SELECT doc_id, cutp FROM h WHERE hv % 64 = 5),
+         |pos AS (
+         |  SELECT doc_id, u.p FROM t, unnest(range(0, n)) AS u(p)),
+         |nx AS (
+         |  SELECT pos.doc_id, pos.p, min(c.cutp) AS cnext
+         |  FROM pos LEFT JOIN cuts c
+         |    ON c.doc_id = pos.doc_id AND c.cutp - pos.p BETWEEN 16 AND 128
+         |  GROUP BY pos.doc_id, pos.p),
+         |walk(doc_id, idx, startp, cutp) AS (
+         |  SELECT t.doc_id, 0, 0, coalesce(nx.cnext, least(128, t.n))
+         |  FROM t JOIN nx ON nx.doc_id = t.doc_id AND nx.p = 0
+         |  WHERE t.n > 0
+         |  UNION ALL
+         |  SELECT w.doc_id, w.idx + 1, w.cutp,
+         |    coalesce(nx.cnext, least(w.cutp + 128, t.n))
+         |  FROM walk w
+         |  JOIN t ON t.doc_id = w.doc_id
+         |  JOIN nx ON nx.doc_id = w.doc_id AND nx.p = w.cutp
+         |  WHERE w.cutp < t.n)
+         |SELECT w.doc_id, CAST(w.idx AS BIGINT) AS chunk_idx,
+         |  CAST(w.startp AS BIGINT) AS start,
+         |  CAST(w.cutp - w.startp AS BIGINT) AS len,
+         |  md5(substr(t.s, w.startp + 1, w.cutp - w.startp)) AS chunk_md5
+         |FROM walk w JOIN t USING (doc_id)""".stripMargin
     },
 
 

@@ -152,6 +152,36 @@ object CdcChunker {
   def cdc_spans(text: Column, w: Int, d: Long, r: Long): Column =
     GraftInterop.column(CdcSpansExpr(GraftInterop.expression(text), w, d, r))
 
+  case class CdcBoundedSpansExpr(
+      child: Expression, w: Int, d: Long, r: Long, minLen: Int, maxLen: Int)
+      extends UnaryExpression {
+    require(w >= 2, s"cdc_bounded_spans: w must be >= 2 (got $w)")
+    require(d >= 2 && r >= 0 && r < d,
+      s"cdc_bounded_spans: need divisor >= 2 and remainder in [0, divisor) (got $d/$r)")
+    require(minLen >= 1 && maxLen >= minLen,
+      s"cdc_bounded_spans: need 1 <= minLen <= maxLen (got $minLen/$maxLen)")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("start", IntegerType, nullable = false),
+      StructField("len", IntegerType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "cdc_bounded_spans"
+    override def nullSafeEval(input: Any): Any =
+      boundedChunkSpans(input.asInstanceOf[UTF8String], w, d, r, minLen, maxLen)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.textops.CdcChunker.boundedChunkSpans(" +
+          s"$input, $w, ${d}L, ${r}L, $minLen, $maxLen);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def cdc_bounded_spans(
+      text: Column, w: Int, d: Long, r: Long,
+      minLen: Int, maxLen: Int): Column =
+    GraftInterop.column(CdcBoundedSpansExpr(
+      GraftInterop.expression(text), w, d, r, minLen, maxLen))
+
   /** The chunk table: (idCol, chunk_idx, start, len, chunk_md5). */
   def chunks(
       df: DataFrame, idCol: String, textCol: String,
@@ -160,6 +190,28 @@ object CdcChunker {
         coalesce(col(textCol), lit("")).as("_cc_t"))
       .select(col("_cc_id"), col("_cc_t"),
         posexplode(cdc_spans(col("_cc_t"), w, divisor, remainder))
+          .as(Seq("chunk_idx", "_cc_s")))
+      .select(col("_cc_id").as(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("_cc_s.start").cast("long").as("start"),
+        col("_cc_s.len").cast("long").as("len"),
+        md5(expr("substr(_cc_t, _cc_s.start + 1, _cc_s.len)"))
+          .as("chunk_md5"))
+
+  /** The bounded chunk table — [[chunks]] with the skip-then-cut
+    * size rule: (idCol, chunk_idx, start, len, chunk_md5); every
+    * chunk's len is in [minLen, maxLen] except possibly a document's
+    * final remainder (which can be shorter than minLen).
+    */
+  def chunksBounded(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, divisor: Long = 64, remainder: Long = 5,
+      minLen: Int = 16, maxLen: Int = 128): DataFrame =
+    df.select(col(idCol).as("_cc_id"),
+        coalesce(col(textCol), lit("")).as("_cc_t"))
+      .select(col("_cc_id"), col("_cc_t"),
+        posexplode(cdc_bounded_spans(col("_cc_t"), w, divisor, remainder,
+          minLen, maxLen))
           .as(Seq("chunk_idx", "_cc_s")))
       .select(col("_cc_id").as(idCol),
         col("chunk_idx").cast("long").as("chunk_idx"),

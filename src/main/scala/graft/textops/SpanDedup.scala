@@ -360,6 +360,97 @@ object SpanDedup {
         col("contamination_x10000"))
   }
 
+  /** Multi-benchmark contamination dashboard (round-10 verdict item
+    * 7 — the per-release table a curation team tracks): N eval
+    * corpora scanned against the training corpus in ONE pass. `evals`
+    * carries (benchCol, evalIdCol, evalTextCol); all benchmarks'
+    * windows broadcast together (bounded by `maxEvalWindows`, the
+    * [[contaminationReport]] guard), the corpus is scanned once, and
+    * the aggregation reduces to one row per benchmark:
+    * (benchmark, n_eval_docs, n_windows, n_matched_windows,
+    * n_docs_hit, n_contaminated_docs, contamination_x10000,
+    * docs_x10000) — window-level leak fraction AND the
+    * fraction-of-eval-docs-touched number the PaLM §C.2 table
+    * reports. Eval ids must be unique ACROSS benchmarks only if the
+    * same doc should not double-count; the group key is
+    * (benchmark, eval_id), so shared ids across benchmarks are fine.
+    */
+  def contaminationDashboard(
+      df: DataFrame, idCol: String, textCol: String,
+      evals: DataFrame, benchCol: String, evalIdCol: String,
+      evalTextCol: String, k: Int = 8,
+      maxEvalWindows: Int = 5000000): DataFrame = {
+    require(k >= 2, s"contaminationDashboard: k must be >= 2 (got $k)")
+    val evalW = evals.select(col(benchCol).as("_cd_b"),
+      col(evalIdCol).as("_cd_eid"),
+      explode(window_hashes(lower(coalesce(col(evalTextCol), lit(""))), k))
+        .as("_cd_wh"))
+      .distinct()
+    val probeLimit = math.min(maxEvalWindows.toLong + 1L, Int.MaxValue.toLong).toInt
+    val nEvalW = evalW.limit(probeLimit).count()
+    require(nEvalW <= maxEvalWindows,
+      s"contaminationDashboard: eval corpora exceed $maxEvalWindows distinct " +
+        "(benchmark, doc, window) triples — the eval side broadcasts; raise " +
+        "maxEvalWindows only deliberately")
+    val corpusW = df.select(col(idCol).as("_cd_did"),
+      explode(window_hashes(lower(coalesce(col(textCol), lit(""))), k))
+        .as("_cd_wh"))
+    val matched = corpusW.join(broadcast(evalW), Seq("_cd_wh"))
+      .select("_cd_b", "_cd_eid", "_cd_did", "_cd_wh").distinct()
+    val perBenchMatch = matched.groupBy(col("_cd_b"))
+      .agg(
+        countDistinct(col("_cd_eid"), col("_cd_wh")).as("n_matched_windows"),
+        countDistinct(col("_cd_did")).as("n_docs_hit"),
+        countDistinct(col("_cd_eid")).as("n_contaminated_docs"))
+    val totals = evalW.groupBy(col("_cd_b"))
+      .agg(count(lit(1)).as("n_windows"))
+    val evalDocs = evals.select(col(benchCol).as("_cd_b"),
+      col(evalIdCol).as("_cd_eid")).distinct()
+      .groupBy(col("_cd_b")).agg(count(lit(1)).as("n_eval_docs"))
+    evalDocs
+      .join(totals, Seq("_cd_b"), "left")
+      .join(perBenchMatch, Seq("_cd_b"), "left")
+      .withColumn("n_windows", coalesce(col("n_windows"), lit(0L)))
+      .withColumn("n_matched_windows",
+        coalesce(col("n_matched_windows"), lit(0L)))
+      .withColumn("n_docs_hit", coalesce(col("n_docs_hit"), lit(0L)))
+      .withColumn("n_contaminated_docs",
+        coalesce(col("n_contaminated_docs"), lit(0L)))
+      .withColumn("contamination_x10000",
+        when(col("n_windows") === 0, lit(0L)).otherwise(expr(
+          "CAST(n_matched_windows * 10000 DIV n_windows AS BIGINT)")))
+      .withColumn("docs_x10000",
+        when(col("n_eval_docs") === 0, lit(0L)).otherwise(expr(
+          "CAST(n_contaminated_docs * 10000 DIV n_eval_docs AS BIGINT)")))
+      .select(col("_cd_b").as(benchCol), col("n_eval_docs"),
+        col("n_windows"), col("n_matched_windows"), col("n_docs_hit"),
+        col("n_contaminated_docs"), col("contamination_x10000"),
+        col("docs_x10000"))
+  }
+
+  /** Contamination TREND across two corpus snapshots (q151 × q85 —
+    * "did this release leak more than the last one?"): the dashboard
+    * over `prev` and `cur`, joined per benchmark with the signed
+    * delta of the window-level leak fraction. Two corpus scans (one
+    * per snapshot — unavoidable), one shared eval broadcast shape.
+    */
+  def contaminationTrend(
+      prev: DataFrame, cur: DataFrame, idCol: String, textCol: String,
+      evals: DataFrame, benchCol: String, evalIdCol: String,
+      evalTextCol: String, k: Int = 8,
+      maxEvalWindows: Int = 5000000): DataFrame = {
+    val p = contaminationDashboard(prev, idCol, textCol, evals, benchCol,
+      evalIdCol, evalTextCol, k, maxEvalWindows)
+      .select(col(benchCol),
+        col("contamination_x10000").as("prev_x10000"),
+        col("n_docs_hit").as("prev_docs_hit"))
+    val c = contaminationDashboard(cur, idCol, textCol, evals, benchCol,
+      evalIdCol, evalTextCol, k, maxEvalWindows)
+    c.join(p, Seq(benchCol))
+      .withColumn("delta_x10000",
+        col("contamination_x10000") - col("prev_x10000"))
+  }
+
   /** Number of hash-derived partitions the span index's window file is
     * written under — the probe prunes to the buckets a batch actually
     * touches.

@@ -136,6 +136,39 @@ class SpanDedupSpec extends GraftSparkSpec {
     assert(e.getMessage.contains("maxEvalWindows"))
   }
 
+  test("contamination dashboard: per-benchmark metrics + trend delta") {
+    // prev corpus is clean; cur corpus leaks benchA's probe into two
+    // docs; benchB is the negative control (appears nowhere)
+    val probe = (1 to 10).map(i => s"leak$i").mkString(" ")
+    val clean = (1 to 10).map(i => s"never$i").mkString(" ")
+    val filler = (1 to 12).map(i => s"doc%d w$i")
+    def corpus(planted: Boolean) = (1L to 4L).map { d =>
+      val base = filler.map(_.format(d)).mkString(" ")
+      (d, if (planted && d <= 2) s"$base $probe" else base)
+    }.toDF("doc_id", "text")
+    val evals = Seq(
+      ("benchA", 1L, probe), ("benchB", 2L, clean)
+    ).toDF("benchmark", "eval_id", "text")
+    val got = SpanDedup.contaminationTrend(
+      corpus(planted = false), corpus(planted = true), "doc_id", "text",
+      evals, "benchmark", "eval_id", "text", k = 8)
+      .collect().map(r => r.getAs[String]("benchmark") -> r).toMap
+    val a = got("benchA")
+    // probe has 10 tokens -> 3 distinct 8-windows, all leaked into 2 docs
+    assert(a.getAs[Long]("n_windows") === 3L)
+    assert(a.getAs[Long]("n_matched_windows") === 3L)
+    assert(a.getAs[Long]("n_docs_hit") === 2L)
+    assert(a.getAs[Long]("n_contaminated_docs") === 1L)
+    assert(a.getAs[Long]("contamination_x10000") === 10000L)
+    assert(a.getAs[Long]("docs_x10000") === 10000L)
+    assert(a.getAs[Long]("prev_x10000") === 0L)
+    assert(a.getAs[Long]("delta_x10000") === 10000L)
+    val b = got("benchB")
+    assert(b.getAs[Long]("n_matched_windows") === 0L)
+    assert(b.getAs[Long]("contamination_x10000") === 0L)
+    assert(b.getAs[Long]("delta_x10000") === 0L)
+  }
+
   test("dedupSpanStats: merge-scan coverage over sorted positions") {
     val df = Seq(Tuple1("t0 t1 t2 t3 t4 t5 t6 t7")).toDF("t")
     // windows of 3 at positions 1 and 2 cover tokens 1..4
