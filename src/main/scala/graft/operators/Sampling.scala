@@ -54,6 +54,32 @@ object Sampling {
     df.filter(bucket(idCol) < cutoff)
   }
 
+  /** Per-row-probability hash-gated Bernoulli — the importance
+    * RESAMPLING primitive (DSIR, Xie et al. 2023; DoReMi-style
+    * reweighting applied at the example level): every row carries its
+    * own acceptance probability `probX10000Col` (x10000 integral —
+    * e.g. a normalized importance weight target_score/source_score,
+    * or a quality-classifier acceptance curve), and is kept iff
+    *
+    *   hash60(salt || id) mod 10000 < clamp(prob_x10000, 0, 10000)
+    *
+    * Exact integral arithmetic (hash60 is the md5-derived 60-bit
+    * value the sketch family uses, so DuckDB replays the decision
+    * bit-for-bit); deterministic per (salt, id) — run order,
+    * partitioning, and retries cannot change a row's fate, and
+    * DIFFERENT salts draw independent decisions for the same id (the
+    * [[saltedBucket]] argument). One narrow codegen'd filter; no
+    * shuffle, no state.
+    */
+  def importanceResample(
+      df: DataFrame, idCol: Column, probX10000Col: Column,
+      salt: String = "isamp:"): DataFrame = {
+    val h = DistinctSketch.hash60(
+      concat(lit(salt), idCol.cast("string")))
+    val p = greatest(lit(0L), least(lit(10000L), probX10000Col.cast("long")))
+    df.filter(pmod(h, lit(10000L)) < p)
+  }
+
   /** 0-255 bucket of `salt || id` — [[bucket]] with a domain label, so
     * independent decisions about the SAME id (split assignment vs
     * subsampling vs an A/B holdout) draw from decorrelated hashes

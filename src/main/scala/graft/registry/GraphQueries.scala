@@ -278,6 +278,38 @@ object GraphQueries {
     }),
 
 
+    // robots.txt PARSER (round-11): raw per-host robots text ->
+    // the (host, allow, prefix) rule table q119's gate and the
+    // crawl-delay table q147's scheduler consume. Fixture covers the
+    // documented RFC 9309 subset branch by branch: exact-agent groups
+    // beating *, consecutive UA lines sharing a group, multiple
+    // matching groups combining, comments, empty Disallow (allow-all
+    // no-op), orphan rules before any UA line, invalid Crawl-delay
+    // values, empty files, and hosts with no matching group. Static
+    // oracle replays line split, directive regexes, the lag/cumsum
+    // group numbering, selection, and aggregation
+    "q163_robots_parse" -> ((s, dir) => {
+      val i = col("id")
+      val txt = when(i === 0, lit(
+          "User-agent: *\nDisallow: /private\nAllow: /private/ok\nCrawl-delay: 2"))
+        .when(i === 1, lit(
+          "User-agent: graftbot\nDisallow: /bot\nUser-agent: *\nDisallow: /all"))
+        .when(i === 2, lit(
+          "# top comment\nUser-agent: *\nDisallow:\nAllow: /a  # inline\nCrawl-delay: abc"))
+        .when(i === 3, lit(
+          "User-agent: GraftBot\nUser-agent: otherbot\nDisallow: /shared\n" +
+            "Crawl-delay: 1\nUser-agent: graftbot\nDisallow: /extra\nCrawl-delay: 3"))
+        .when(i === 4, lit("Disallow: /orphan\nUser-agent: *\nAllow: /"))
+        .when(i === 5, lit(""))
+        .otherwise(lit("User-agent: otherbot\nDisallow: /x"))
+      graft.operators.RobotsGate.parseRobots(
+        s.range(7).select(
+          concat(lit("host"), i.cast("string"), lit(".example.com")).as("host"),
+          txt.as("robots")),
+        "host", "robots", "graftbot")
+    }),
+
+
     // robots-style longest-prefix URL gate over a planted per-host
     // rule table: /private disallowed but /private/ok re-allowed
     // (longest wins), /tmp allow+disallow tie on host3 (allow wins),
@@ -521,6 +553,84 @@ object GraphQueries {
         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
         |  CAST((sum(nt) * 100) // count(*) AS BIGINT) AS mean_tokens_x100
         |FROM d GROUP BY domain""".stripMargin,
+
+
+    // q163: the parse replayed line by line — the same comment-strip /
+    // directive / value regexes, lag-based group numbering, the
+    // exact-beats-star selection, empty-Disallow and invalid-delay
+    // drops, and the distinct/max aggregations
+    "q163_robots_parse" ->
+      raw"""WITH hosts AS (
+        |  SELECT 'host' || CAST(i AS VARCHAR) || '.example.com' AS host,
+        |    CASE i
+        |      WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /private' ||
+        |        chr(10) || 'Allow: /private/ok' || chr(10) || 'Crawl-delay: 2'
+        |      WHEN 1 THEN 'User-agent: graftbot' || chr(10) || 'Disallow: /bot' ||
+        |        chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /all'
+        |      WHEN 2 THEN '# top comment' || chr(10) || 'User-agent: *' ||
+        |        chr(10) || 'Disallow:' || chr(10) || 'Allow: /a  # inline' ||
+        |        chr(10) || 'Crawl-delay: abc'
+        |      WHEN 3 THEN 'User-agent: GraftBot' || chr(10) ||
+        |        'User-agent: otherbot' || chr(10) || 'Disallow: /shared' ||
+        |        chr(10) || 'Crawl-delay: 1' || chr(10) || 'User-agent: graftbot' ||
+        |        chr(10) || 'Disallow: /extra' || chr(10) || 'Crawl-delay: 3'
+        |      WHEN 4 THEN 'Disallow: /orphan' || chr(10) || 'User-agent: *' ||
+        |        chr(10) || 'Allow: /'
+        |      WHEN 5 THEN ''
+        |      ELSE 'User-agent: otherbot' || chr(10) || 'Disallow: /x'
+        |    END AS robots
+        |  FROM range(7) t(i)),
+        |ls AS (SELECT host, string_split(robots, chr(10)) AS a FROM hosts),
+        |ln AS (
+        |  SELECT host, g.i AS ln,
+        |    trim(regexp_replace(a[g.i], '#.*$$', '')) AS clean
+        |  FROM ls, unnest(generate_series(1, len(a))) AS g(i)),
+        |p AS (
+        |  SELECT host, ln,
+        |    lower(regexp_extract(clean, '^([A-Za-z-]+)[ '||chr(9)||']*:', 1)) AS dir,
+        |    trim(regexp_extract(clean,
+        |      '^[A-Za-z-]+[ '||chr(9)||']*:[ '||chr(9)||']*(.*)$$', 1)) AS val
+        |  FROM ln
+        |  WHERE regexp_extract(clean, '^([A-Za-z-]+)[ '||chr(9)||']*:', 1) != ''),
+        |g AS (
+        |  SELECT host, ln, dir, val,
+        |    dir = 'user-agent' AS ua,
+        |    coalesce(lag(dir = 'user-agent') OVER
+        |      (PARTITION BY host ORDER BY ln), false) AS prev_ua
+        |  FROM p),
+        |gg AS (
+        |  SELECT host, ln, dir, val, ua,
+        |    sum(CASE WHEN ua AND NOT prev_ua THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY host ORDER BY ln
+        |       ROWS UNBOUNDED PRECEDING) AS gid
+        |  FROM g),
+        |gv AS (SELECT * FROM gg WHERE gid > 0),
+        |ga AS (
+        |  SELECT host, gid,
+        |    max(lower(val) = 'graftbot') AS is_exact,
+        |    max(val = '*') AS is_star
+        |  FROM gv WHERE ua GROUP BY host, gid),
+        |he AS (SELECT host, max(is_exact) AS any_exact FROM ga GROUP BY host),
+        |sel AS (
+        |  SELECT ga.host, ga.gid FROM ga JOIN he USING (host)
+        |  WHERE CASE WHEN he.any_exact THEN ga.is_exact ELSE ga.is_star END),
+        |body AS (
+        |  SELECT gv.* FROM gv JOIN sel
+        |    ON sel.host = gv.host AND sel.gid = gv.gid
+        |  WHERE NOT gv.ua),
+        |rules AS (
+        |  SELECT DISTINCT host, 'rule' AS kind, dir = 'allow' AS allow,
+        |    val AS prefix, CAST(NULL AS BIGINT) AS delay_ms
+        |  FROM body
+        |  WHERE dir IN ('allow', 'disallow') AND val != ''),
+        |delays AS (
+        |  SELECT host, 'delay' AS kind, CAST(NULL AS BOOLEAN) AS allow,
+        |    CAST(NULL AS VARCHAR) AS prefix,
+        |    max(CAST(val AS BIGINT) * 1000) AS delay_ms
+        |  FROM body
+        |  WHERE dir = 'crawl-delay' AND regexp_matches(val, '^[0-9]+$$')
+        |  GROUP BY host)
+        |SELECT * FROM rules UNION ALL SELECT * FROM delays""".stripMargin,
 
 
     // q140: the fixture formula, the engine's anchor regexes QUOTED

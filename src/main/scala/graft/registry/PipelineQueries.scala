@@ -30,6 +30,24 @@ object PipelineQueries {
     }),
 
 
+    // per-row-probability importance resampling (round-11; the DSIR /
+    // example-level reweighting primitive): every doc's acceptance
+    // probability derives from its length — p_x10000 =
+    // min(10000, n_chars*10000 div (n_chars+500)), a saturating
+    // quality-ish curve — and the keep decision is the exact integral
+    // hash gate hash60(salt||id) mod 10000 < p. One narrow codegen'd
+    // filter; oracle replays hash + curve bit-for-bit (q82's hash60)
+    "q161_importance_sample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("prob_x10000",
+          least(lit(10000L),
+            expr("CAST(n_chars * 10000 DIV (n_chars + 500) AS BIGINT)")))
+      graft.operators.Sampling.importanceResample(
+        docs, col("doc_id"), col("prob_x10000"))
+        .select(col("doc_id"), col("lang"), col("prob_x10000"))
+    }),
+
+
     // token-budget corpus cut: keep documents in doc_id order while
     // the running whitespace-token total stays within budget — the
     // "fill the training mix" step, via the two-phase range-partitioned
@@ -494,6 +512,19 @@ object PipelineQueries {
     "q48_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || md5(CAST(doc_id AS VARCHAR))[1:2])::INT % 256 < 32""".stripMargin,
+
+
+    // q161: the saturating curve + the q82-proven md5-60-bit hash
+    // gate, both in exact integral arithmetic
+    "q161_importance_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    least(10000, n_chars * 10000 // (n_chars + 500)) AS prob_x10000
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(prob_x10000 AS BIGINT) AS prob_x10000
+        |FROM t
+        |WHERE CAST(('0x' || substr(md5('isamp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 10000 < prob_x10000""".stripMargin,
 
 
     // the oracle's one-window cumsum IS the semantics; the engine's

@@ -297,10 +297,78 @@ object VectorQueries {
         k = 5, nlist = graphNlist(corpus), m = 6, replicas = 2,
         entryProbe = 4, cellHops = 4, cellBeam = 4, hops = 5, beam = 12,
         cellM = 4, cacheKey = Some(dir + "#embeddings-jitter"))
+    }),
+
+
+    // margin-based bitext mining (round-11; Artetxe & Schwenk 2019 /
+    // CCMatrix): side A = raw embeddings (< 100), side B = jittered
+    // "translations" of a WIDER slice (< 150, +100000 ids) so a third
+    // of B has no true source — exactly the asymmetry the margin
+    // handles and a raw cosine cutoff does not. All post-cosine
+    // arithmetic integral (x10000), so the static oracle replays the
+    // full criterion from brute force with zero float-order risk
+    "q164_bitext_mine" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val aSide = emb.filter(col("vec_id") < 100)
+      val bSide = jitterTwinEmbeddings(emb.filter(col("vec_id") < 150))
+        .filter(col("vec_id") >= 100000)
+      graft.vector.BitextMining.marginMine(
+        aSide, "vec_id", "embedding", bSide, "vec_id", "embedding",
+        k = 4, marginX10000 = 10000L)
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // q164: the margin criterion replayed from brute force — both
+    // directions' top-4 neighborhoods, x10000 integral cosines, the
+    // same greatest(...,1) denominator guard, the best-margin pick
+    // with (margin desc, dst asc) tie-break, and the >= 1.0 threshold
+    "q164_bitext_mine" ->
+      s"""WITH a0 AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE vec_id < 100),
+         |b0 AS (
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(
+         |      list_zip(embedding::DOUBLE[], list_reverse(embedding::DOUBLE[])),
+         |      p -> p[1] + ${SparkEntry.jitterC} * p[2]) AS v
+         |  FROM embeddings WHERE vec_id < 150),
+         |an AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM a0),
+         |bn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM b0),
+         |cab AS (
+         |  SELECT x.vec_id AS qx, y.vec_id AS qy,
+         |    CAST(round(round(list_dot_product(x.v, y.v) / (x.n * y.n), 4)
+         |      * 10000, 0) AS BIGINT) AS ci,
+         |    list_dot_product(x.v, y.v) / (x.n * y.n) AS craw
+         |  FROM an x CROSS JOIN bn y),
+         |rab AS (
+         |  SELECT qx, qy, ci,
+         |    row_number() OVER (PARTITION BY qx
+         |      ORDER BY craw DESC, qy ASC) AS rk
+         |  FROM cab),
+         |rba AS (
+         |  SELECT qx, qy, ci,
+         |    row_number() OVER (PARTITION BY qy
+         |      ORDER BY craw DESC, qx ASC) AS rk
+         |  FROM cab),
+         |sa AS (SELECT qx, sum(ci) AS s FROM rab WHERE rk <= 4 GROUP BY qx),
+         |sb AS (SELECT qy, sum(ci) AS s FROM rba WHERE rk <= 4 GROUP BY qy),
+         |cand AS (
+         |  SELECT r.qx, r.qy, r.ci,
+         |    CAST(r.ci * 8 * 10000 // greatest(sa.s + sb.s, 1) AS BIGINT)
+         |      AS margin
+         |  FROM rab r JOIN sa ON sa.qx = r.qx JOIN sb ON sb.qy = r.qy
+         |  WHERE r.rk <= 4),
+         |best AS (
+         |  SELECT qx, qy, ci, margin,
+         |    row_number() OVER (PARTITION BY qx
+         |      ORDER BY margin DESC, qy ASC) AS brk
+         |  FROM cand)
+         |SELECT qx AS src_id, qy AS dst_id, ci AS cos_x10000,
+         |  margin AS margin_x10000
+         |FROM best WHERE brk = 1 AND margin >= 10000""".stripMargin,
+
 
     "q27_embed_topk" ->
       """WITH c AS (

@@ -35,6 +35,34 @@ class SamplingSpec extends GraftSparkSpec {
       Sampling.deterministicSample(ids, col("id"), 257))
   }
 
+  test("importanceResample: per-row probability honored, deterministic, clamped") {
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("p", (col("id") % 4) * 2500L + 1250L) // 1250..8750 x10000
+    def kept(parts: Int) = Sampling
+      .importanceResample(df.repartition(parts), col("id"), col("p"))
+      .collect().map(_.getLong(0)).toSet
+    val k = kept(1)
+    assert(k === kept(13), "partitioning must not change a row's fate")
+    // acceptance rate per probability band tracks p (1000 ids/band)
+    for (band <- 0 until 4) {
+      val inBand = k.count(_ % 4 == band)
+      val expect = (band * 2500 + 1250) / 10.0 // of 1000
+      assert(math.abs(inBand - expect) < 70,
+        s"band $band kept $inBand, expected ~$expect")
+    }
+    // clamping: p <= 0 keeps nothing, p >= 10000 keeps everything
+    val zero = Sampling.importanceResample(
+      df.withColumn("p", lit(-5L)), col("id"), col("p")).count()
+    val all = Sampling.importanceResample(
+      df.withColumn("p", lit(20000L)), col("id"), col("p")).count()
+    assert(zero === 0L && all === 4000L)
+    // a different salt draws an independent decision set
+    val other = Sampling.importanceResample(
+      df, col("id"), col("p"), salt = "other:")
+      .collect().map(_.getLong(0)).toSet
+    assert(other !== k)
+  }
+
   test("assignSplit: exhaustive, stable across partitioning and corpus versions") {
     def splits(df: org.apache.spark.sql.DataFrame, parts: Int): Map[Long, String] =
       Sampling.assignSplit(df.repartition(parts), col("id"),
