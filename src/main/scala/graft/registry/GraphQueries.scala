@@ -278,6 +278,22 @@ object GraphQueries {
     }),
 
 
+    // per-key distribution drift between snapshots (round-11; the PSI
+    // mix check beside q85's content diff): prev keys follow
+    // doc_id % 5, cur keys doc_id % 6 — k5 is born, every share
+    // shifts. Integral shares; the one float column is the per-key
+    // PSI term from already-integral inputs, 4-decimal rounded (the
+    // q145 ln convention); absent keys clip to the 1/10000 floor
+    "q165_share_drift" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val prev = d.filter(col("doc_id") % 89 =!= 0)
+        .select(concat(lit("k"), (col("doc_id") % 5).cast("string")).as("key"))
+      val cur = d.filter(col("doc_id") % 97 =!= 0)
+        .select(concat(lit("k"), (col("doc_id") % 6).cast("string")).as("key"))
+      graft.operators.DriftReport.shareDrift(prev, cur, "key")
+    }),
+
+
     // robots.txt PARSER (round-11): raw per-host robots text ->
     // the (host, allow, prefix) rule table q119's gate and the
     // crawl-delay table q147's scheduler consume. Fixture covers the
@@ -553,6 +569,45 @@ object GraphQueries {
         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
         |  CAST((sum(nt) * 100) // count(*) AS BIGINT) AS mean_tokens_x100
         |FROM d GROUP BY domain""".stripMargin,
+
+
+    // q165: both snapshots' counts, x10000 integral shares, and the
+    // same clipped PSI-term formula with DuckDB's ln
+    "q165_share_drift" ->
+      """WITH prev AS (
+        |  SELECT 'k' || CAST(doc_id % 5 AS VARCHAR) AS key FROM documents
+        |  WHERE doc_id % 89 != 0),
+        |cur AS (
+        |  SELECT 'k' || CAST(doc_id % 6 AS VARCHAR) AS key FROM documents
+        |  WHERE doc_id % 97 != 0),
+        |pc AS (SELECT key, count(*) AS n_prev FROM prev GROUP BY key),
+        |cc AS (SELECT key, count(*) AS n_cur FROM cur GROUP BY key),
+        |pt AS (SELECT sum(n_prev) AS t FROM pc),
+        |ct AS (SELECT sum(n_cur) AS t FROM cc),
+        |ps AS (
+        |  SELECT key, n_prev,
+        |    CAST(n_prev * 10000 // pt.t AS BIGINT) AS share_prev_x10000
+        |  FROM pc, pt),
+        |cs AS (
+        |  SELECT key, n_cur,
+        |    CAST(n_cur * 10000 // ct.t AS BIGINT) AS share_cur_x10000
+        |  FROM cc, ct),
+        |j AS (
+        |  SELECT coalesce(ps.key, cs.key) AS key,
+        |    coalesce(n_prev, 0) AS n_prev, coalesce(n_cur, 0) AS n_cur,
+        |    coalesce(share_prev_x10000, 0) AS share_prev_x10000,
+        |    coalesce(share_cur_x10000, 0) AS share_cur_x10000
+        |  FROM ps FULL OUTER JOIN cs ON ps.key = cs.key)
+        |SELECT key, CAST(n_prev AS BIGINT) AS n_prev,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  share_prev_x10000, share_cur_x10000,
+        |  share_cur_x10000 - share_prev_x10000 AS delta_x10000,
+        |  round(
+        |    (greatest(share_cur_x10000, 1) / 10000.0 -
+        |     greatest(share_prev_x10000, 1) / 10000.0) *
+        |    ln(greatest(share_cur_x10000, 1) * 1.0 /
+        |       greatest(share_prev_x10000, 1)), 4) AS psi_term
+        |FROM j""".stripMargin,
 
 
     // q163: the parse replayed line by line — the same comment-strip /
