@@ -238,26 +238,30 @@ object DedupQueries {
     "q160_contamination_dashboard" -> ((s, dir) => {
       val docsPrev = table(s, dir, "documents")
         .select(col("doc_id"), col("text"))
-      val docsCur = table(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" " + evalProbe1)))
-          .when(col("doc_id") % 7 === 5, concat(col("text"), lit(" " + evalProbe2)))
-          .otherwise(col("text")).as("text"))
-      val d = table(s, dir, "documents")
-      val evals = d.filter(col("doc_id") % 97 === 0)
-        .select(lit("benchA").as("benchmark"),
-          col("doc_id").as("eval_id"), col("text"))
-        .unionByName(d.filter(col("doc_id") % 89 === 0)
-          .select(lit("benchB").as("benchmark"),
-            col("doc_id").as("eval_id"), col("text")))
-        .unionByName(s.range(1).select(lit("benchA").as("benchmark"),
-          lit(900001L).as("eval_id"), lit(evalProbe1).as("text")))
-        .unionByName(s.range(1).select(lit("benchB").as("benchmark"),
-          lit(900002L).as("eval_id"), lit(evalProbe2).as("text")))
-        .unionByName(s.range(1).select(lit("benchC").as("benchmark"),
-          lit(900003L).as("eval_id"), lit(cleanProbe).as("text")))
       graft.textops.SpanDedup.contaminationTrend(
-        docsPrev, docsCur, "doc_id", "text",
-        evals, "benchmark", "eval_id", "text", k = 8)
+        docsPrev, plantedContaminationDocs(s, dir), "doc_id", "text",
+        benchEvals(s, dir), "benchmark", "eval_id", "text", k = 8)
+    }),
+
+
+    // the q160 dashboard against a PERSISTED span index (round-11):
+    // the corpus's window index exists anyway (substring dedup builds
+    // it), so the per-release dashboard probes it with ONLY the eval
+    // windows in hand — zero corpus bytes scanned. Window-grain index
+    // = no n_docs_hit column; everything else must equal the scanning
+    // dashboard (spec-pinned), and the oracle is the q160 cur-side
+    // replay minus that column. The index builds once per process in
+    // a tmp fixture dir (the q131 WARC fixture discipline)
+    "q166_contamination_indexed" -> ((s, dir) => {
+      val docsCur = plantedContaminationDocs(s, dir)
+      val idxDir = crawlFixtureDir(dir, "span-idx-contam")
+      val winPath = new org.apache.hadoop.fs.Path(s"$idxDir/windows.parquet")
+      if (!winPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(winPath))
+        graft.textops.SpanDedup.buildSpanIndex(
+          docsCur, "doc_id", "text", idxDir, k = 8)
+      graft.textops.SpanDedup.contaminationDashboardIndexed(
+        s, idxDir, benchEvals(s, dir), "benchmark", "eval_id", "text", k = 8)
     }),
 
 
@@ -669,6 +673,75 @@ object DedupQueries {
          |LEFT JOIN dhp ON dhp.bench = ed.bench""".stripMargin,
 
 
+    // q166: q160's cur-side replay without the doc-grain column (the
+    // index stores windows, not doc ids) — an INDEXED probe must
+    // produce exactly what a full scan of the same corpus would
+    "q166_contamination_indexed" ->
+      s"""WITH cur AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || ' $evalProbe1'
+         |         WHEN doc_id % 7 = 5 THEN text || ' $evalProbe2'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |evals(bench, eval_id, text) AS (
+         |  SELECT 'benchA', doc_id, text FROM documents WHERE doc_id % 97 = 0
+         |  UNION ALL
+         |  SELECT 'benchB', doc_id, text FROM documents WHERE doc_id % 89 = 0
+         |  UNION ALL SELECT 'benchA', 900001, '$evalProbe1'
+         |  UNION ALL SELECT 'benchB', 900002, '$evalProbe2'
+         |  UNION ALL SELECT 'benchC', 900003, '$cleanProbe'),
+         |et AS (
+         |  SELECT bench, eval_id,
+         |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |                x -> x != '') AS toks
+         |  FROM evals),
+         |ewl AS (
+         |  SELECT bench, eval_id,
+         |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(toks) - 6),
+         |                i -> array_to_string(toks[i:i+7], ' ')) END AS ws
+         |  FROM et),
+         |ew AS (SELECT DISTINCT bench, eval_id, unnest(ws) AS w FROM ewl),
+         |tot AS (SELECT bench, count(*) AS n_windows FROM ew GROUP BY bench),
+         |ed AS (
+         |  SELECT bench, count(DISTINCT eval_id) AS n_eval_docs
+         |  FROM evals GROUP BY bench),
+         |cct AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |                x -> x != '') AS toks
+         |  FROM cur),
+         |ccw AS (
+         |  SELECT DISTINCT unnest(
+         |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(toks) - 6),
+         |                i -> array_to_string(toks[i:i+7], ' ')) END) AS w
+         |  FROM cct),
+         |mc AS (
+         |  SELECT DISTINCT ew.bench, ew.eval_id, ew.w
+         |  FROM ew JOIN ccw c ON c.w = ew.w),
+         |mwc AS (
+         |  SELECT bench, count(*) AS n_matched FROM mc GROUP BY bench),
+         |dhc AS (
+         |  SELECT bench, count(DISTINCT eval_id) AS n_cont
+         |  FROM mc GROUP BY bench)
+         |SELECT ed.bench AS benchmark,
+         |  CAST(ed.n_eval_docs AS BIGINT) AS n_eval_docs,
+         |  CAST(coalesce(tot.n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(mwc.n_matched, 0) AS BIGINT) AS n_matched_windows,
+         |  CAST(coalesce(dhc.n_cont, 0) AS BIGINT) AS n_contaminated_docs,
+         |  CAST(CASE WHEN coalesce(tot.n_windows, 0) = 0 THEN 0
+         |       ELSE coalesce(mwc.n_matched, 0) * 10000 // tot.n_windows
+         |       END AS BIGINT) AS contamination_x10000,
+         |  CAST(CASE WHEN ed.n_eval_docs = 0 THEN 0
+         |       ELSE coalesce(dhc.n_cont, 0) * 10000 // ed.n_eval_docs
+         |       END AS BIGINT) AS docs_x10000
+         |FROM ed
+         |LEFT JOIN tot ON tot.bench = ed.bench
+         |LEFT JOIN mwc ON mwc.bench = ed.bench
+         |LEFT JOIN dhc ON dhc.bench = ed.bench""".stripMargin,
+
+
     // q151: q61's literal-window CTEs with eval ids carried through —
     // distinct eval windows, corpus windows, the matched triple set,
     // per-eval distinct counts, and the x10000 integral fraction
@@ -1008,4 +1081,31 @@ object DedupQueries {
         |SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(sa, sb) <= 1""".stripMargin
   )
+
+  /** q160/q166 shared "current release" corpus — the q151 plant. */
+  private def plantedContaminationDocs(
+      s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 7 === 3, concat(col("text"), lit(" " + evalProbe1)))
+        .when(col("doc_id") % 7 === 5, concat(col("text"), lit(" " + evalProbe2)))
+        .otherwise(col("text")).as("text"))
+
+  /** q160/q166 shared 3-benchmark eval fixture (A: 97th docs +
+    * probe1; B: 89th docs + probe2; C: the clean negative control).
+    */
+  private def benchEvals(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    d.filter(col("doc_id") % 97 === 0)
+      .select(lit("benchA").as("benchmark"),
+        col("doc_id").as("eval_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 89 === 0)
+        .select(lit("benchB").as("benchmark"),
+          col("doc_id").as("eval_id"), col("text")))
+      .unionByName(s.range(1).select(lit("benchA").as("benchmark"),
+        lit(900001L).as("eval_id"), lit(evalProbe1).as("text")))
+      .unionByName(s.range(1).select(lit("benchB").as("benchmark"),
+        lit(900002L).as("eval_id"), lit(evalProbe2).as("text")))
+      .unionByName(s.range(1).select(lit("benchC").as("benchmark"),
+        lit(900003L).as("eval_id"), lit(cleanProbe).as("text")))
+  }
 }

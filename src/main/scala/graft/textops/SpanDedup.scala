@@ -428,6 +428,81 @@ object SpanDedup {
         col("docs_x10000"))
   }
 
+  /** [[contaminationDashboard]] against a PERSISTED span index
+    * instead of a corpus scan — the 100 TB release loop: the corpus's
+    * window index already exists (built once for substring dedup),
+    * so the per-release dashboard probes it with only the eval
+    * windows in hand, scanning ZERO corpus bytes. The index is
+    * window-grain (no doc ids), so the output drops `n_docs_hit`;
+    * every other column matches the scanning dashboard exactly
+    * (SpanDedupSpec pins the equality). Bucket pruning pushes the
+    * (≤256) touched `pb` partitions into the index scan — the
+    * decontaminateAgainstIndex discipline; the eval side is small by
+    * contract, so the prune pass is cheap and always on.
+    */
+  def contaminationDashboardIndexed(
+      spark: org.apache.spark.sql.SparkSession, corpusIndexDir: String,
+      evals: DataFrame, benchCol: String, evalIdCol: String,
+      evalTextCol: String, k: Int = 8,
+      maxEvalWindows: Int = 5000000): DataFrame = {
+    require(k >= 2, s"contaminationDashboardIndexed: k must be >= 2 (got $k)")
+    val evalW = evals.select(col(benchCol).as("_cd_b"),
+      col(evalIdCol).as("_cd_eid"),
+      explode(window_hashes(lower(coalesce(col(evalTextCol), lit(""))), k))
+        .as("_cd_wh"))
+      .distinct()
+      .localCheckpoint()
+    val nEvalW = evalW.count()
+    require(nEvalW <= maxEvalWindows,
+      s"contaminationDashboardIndexed: eval corpora exceed $maxEvalWindows " +
+        "distinct (benchmark, doc, window) triples; raise maxEvalWindows " +
+        "only deliberately")
+    val winPath = new org.apache.hadoop.fs.Path(s"$corpusIndexDir/windows.parquet")
+    val winExists = winPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(winPath)
+    val matched =
+      if (!winExists)
+        evalW.select(col("_cd_b"), col("_cd_eid"), col("_cd_wh")).limit(0)
+      else {
+        val pbs = evalW
+          .select(pmod(col("_cd_wh"), lit(SpanIndexBuckets.toLong))
+            .cast("int").as("pb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val hist = spark.read.parquet(s"$corpusIndexDir/windows.parquet")
+          .filter(col("pb").isin(pbs: _*))
+          .select(col("wh").as("_cd_wh")).distinct()
+        evalW.join(hist, Seq("_cd_wh"))
+          .select(col("_cd_b"), col("_cd_eid"), col("_cd_wh"))
+      }
+    val perBenchMatch = matched.groupBy(col("_cd_b"))
+      .agg(
+        countDistinct(col("_cd_eid"), col("_cd_wh")).as("n_matched_windows"),
+        countDistinct(col("_cd_eid")).as("n_contaminated_docs"))
+    val totals = evalW.groupBy(col("_cd_b"))
+      .agg(count(lit(1)).as("n_windows"))
+    val evalDocs = evals.select(col(benchCol).as("_cd_b"),
+      col(evalIdCol).as("_cd_eid")).distinct()
+      .groupBy(col("_cd_b")).agg(count(lit(1)).as("n_eval_docs"))
+    evalDocs
+      .join(totals, Seq("_cd_b"), "left")
+      .join(perBenchMatch, Seq("_cd_b"), "left")
+      .withColumn("n_windows", coalesce(col("n_windows"), lit(0L)))
+      .withColumn("n_matched_windows",
+        coalesce(col("n_matched_windows"), lit(0L)))
+      .withColumn("n_contaminated_docs",
+        coalesce(col("n_contaminated_docs"), lit(0L)))
+      .withColumn("contamination_x10000",
+        when(col("n_windows") === 0, lit(0L)).otherwise(expr(
+          "CAST(n_matched_windows * 10000 DIV n_windows AS BIGINT)")))
+      .withColumn("docs_x10000",
+        when(col("n_eval_docs") === 0, lit(0L)).otherwise(expr(
+          "CAST(n_contaminated_docs * 10000 DIV n_eval_docs AS BIGINT)")))
+      .select(col("_cd_b").as(benchCol), col("n_eval_docs"),
+        col("n_windows"), col("n_matched_windows"),
+        col("n_contaminated_docs"), col("contamination_x10000"),
+        col("docs_x10000"))
+  }
+
   /** Contamination TREND across two corpus snapshots (q151 × q85 —
     * "did this release leak more than the last one?"): the dashboard
     * over `prev` and `cur`, joined per benchmark with the signed

@@ -169,6 +169,38 @@ class SpanDedupSpec extends GraftSparkSpec {
     assert(b.getAs[Long]("delta_x10000") === 0L)
   }
 
+  test("indexed contamination dashboard equals the scanning dashboard") {
+    val probe = (1 to 10).map(i => s"leak$i").mkString(" ")
+    val clean = (1 to 10).map(i => s"never$i").mkString(" ")
+    val corpus = (1L to 6L).map { d =>
+      val base = (1 to 12).map(i => s"doc${d}w$i").mkString(" ")
+      (d, if (d <= 2) s"$base $probe" else base)
+    }.toDF("doc_id", "text")
+    val evals = Seq(("benchA", 1L, probe), ("benchB", 2L, clean))
+      .toDF("benchmark", "eval_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("span-idx-dash").toFile
+    dir.deleteOnExit()
+    // build incrementally — the indexed path must see appends too
+    SpanDedup.buildSpanIndex(corpus.filter(col("doc_id") <= 3),
+      "doc_id", "text", dir.getAbsolutePath)
+    SpanDedup.appendToSpanIndex(corpus.filter(col("doc_id") > 3),
+      "doc_id", "text", dir.getAbsolutePath)
+    val scanned = SpanDedup.contaminationDashboard(
+      corpus, "doc_id", "text", evals, "benchmark", "eval_id", "text", k = 8)
+      .drop("n_docs_hit")
+      .collect().map(_.toSeq).toSet
+    val indexed = SpanDedup.contaminationDashboardIndexed(
+      spark, dir.getAbsolutePath, evals, "benchmark", "eval_id", "text", k = 8)
+      .collect().map(_.toSeq).toSet
+    assert(indexed === scanned)
+    // a missing index reads as an uncontaminated corpus, not an error
+    val empty = SpanDedup.contaminationDashboardIndexed(
+      spark, dir.getAbsolutePath + "-nope", evals,
+      "benchmark", "eval_id", "text", k = 8)
+      .collect().map(r => r.getAs[Long]("n_matched_windows")).toSeq
+    assert(empty === Seq(0L, 0L))
+  }
+
   test("dedupSpanStats: merge-scan coverage over sorted positions") {
     val df = Seq(Tuple1("t0 t1 t2 t3 t4 t5 t6 t7")).toDF("t")
     // windows of 3 at positions 1 and 2 cover tokens 1..4
