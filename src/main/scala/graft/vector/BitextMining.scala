@@ -35,19 +35,54 @@ object BitextMining {
 
   /** Mined pairs: (src_id, dst_id, cos_x10000, margin_x10000), the
     * best-margin dst per src with margin ≥ `marginX10000`
-    * (10000 = 1.0; CCMatrix ships ~1.06).
+    * (10000 = 1.0; CCMatrix ships ~1.06). Exact brute-force backend.
     */
   def marginMine(
       a: DataFrame, aIdCol: String, aVecCol: String,
       b: DataFrame, bIdCol: String, bVecCol: String,
       k: Int = 4, marginX10000: Long = 10000L,
-      maxQueries: Int = Ann.MaxQueries): DataFrame = {
-    require(k >= 1, s"marginMine: k must be >= 1 (got $k)")
-    val nnAB = Ann.cosineTopK(b, bIdCol, bVecCol, a, aIdCol, aVecCol,
-      k, maxQueries)
+      maxQueries: Int = Ann.MaxQueries): DataFrame =
+    marginFromTopK(
+      Ann.cosineTopK(b, bIdCol, bVecCol, a, aIdCol, aVecCol, k, maxQueries),
+      Ann.cosineTopK(a, aIdCol, aVecCol, b, bIdCol, bVecCol, k, maxQueries),
+      k, marginX10000)
+
+  /** [[marginMine]] with the IVF candidate backend per direction —
+    * the corpus-scale path (no cross join anywhere): each side's
+    * top-k comes from `nprobe` probed cells, and the margin algebra
+    * is IDENTICAL (it consumes only (query_id, neighbor_id, cosine)
+    * frames). BitextMiningSpec duels this against the exact backend
+    * on the planted-translation fixture. As with all IVF searches,
+    * recall < 1 is the trade — a pair whose candidate never surfaces
+    * in EITHER direction's probe cannot be mined; nprobe is the dial.
+    */
+  def marginMineIvf(
+      a: DataFrame, aIdCol: String, aVecCol: String,
+      b: DataFrame, bIdCol: String, bVecCol: String,
+      k: Int = 4, marginX10000: Long = 10000L,
+      nlist: Int = 16, nprobe: Int = 4,
+      maxQueries: Int = Ann.MaxQueries,
+      cacheKeyA: Option[String] = None,
+      cacheKeyB: Option[String] = None): DataFrame =
+    marginFromTopK(
+      Ivf.ivfTopK(b, bIdCol, bVecCol, a, aIdCol, aVecCol, k, nlist,
+        nprobe, maxQueries, cacheKeyB),
+      Ivf.ivfTopK(a, aIdCol, aVecCol, b, bIdCol, bVecCol, k, nlist,
+        nprobe, maxQueries, cacheKeyA),
+      k, marginX10000)
+
+  /** The backend-independent margin algebra over two top-k frames of
+    * shape (query_id, neighbor_id, cosine, …): nnAB = per-source
+    * neighbors in B, nnBA = per-target neighbors in A. Everything
+    * after the cosines is integer arithmetic.
+    */
+  def marginFromTopK(
+      nnAB0: DataFrame, nnBA0: DataFrame,
+      k: Int, marginX10000: Long): DataFrame = {
+    require(k >= 1, s"marginFromTopK: k must be >= 1 (got $k)")
+    val nnAB = nnAB0
       .withColumn("_bm_c", round(col("cosine") * 10000).cast("long"))
-    val nnBA = Ann.cosineTopK(a, aIdCol, aVecCol, b, bIdCol, bVecCol,
-      k, maxQueries)
+    val nnBA = nnBA0
       .withColumn("_bm_c", round(col("cosine") * 10000).cast("long"))
     val sumA = nnAB.groupBy(col("query_id").as("src_id"))
       .agg(sum(col("_bm_c")).as("_bm_sa"))

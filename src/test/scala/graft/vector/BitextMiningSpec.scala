@@ -48,6 +48,39 @@ class BitextMiningSpec extends GraftSparkSpec {
     assert(mined === (1 to 6).map(i => i.toLong -> (100010L + i)).toMap)
   }
 
+  test("IVF backend duels the exact backend on planted translations") {
+    // jittered-translation corpus where IVF candidates work (no decoy
+    // construction): 200 sources, translations = x + 0.35 reverse(x)
+    val rnd = new scala.util.Random(23)
+    val xs = (0 until 200).map { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n).toSeq)
+    }
+    val ys = xs.map { case (i, v) =>
+      (i + 100000L, v.zip(v.reverse).map { case (p, q) => p + 0.35 * q })
+    }
+    val aDf = xs.toDF("vec_id", "embedding").localCheckpoint()
+    val bDf = ys.toDF("vec_id", "embedding").localCheckpoint()
+    def recall(mined: Map[Long, Long]): Double =
+      xs.count { case (i, _) => mined.get(i).contains(i + 100000L) } / 200.0
+    val exact = BitextMining.marginMine(
+      aDf, "vec_id", "embedding", bDf, "vec_id", "embedding",
+      k = 4, marginX10000 = 10000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = BitextMining.marginMineIvf(
+      aDf, "vec_id", "embedding", bDf, "vec_id", "embedding",
+      k = 4, marginX10000 = 10000L, nlist = 16, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(recall(exact) >= 0.95, s"exact recall ${recall(exact)}")
+    assert(recall(ivf) >= 0.9, s"ivf-backend recall ${recall(ivf)}")
+    // where both backends mined the same pair, the margin algebra must
+    // agree on it (same downstream arithmetic)
+    val agree = ivf.keySet.intersect(exact.keySet)
+      .count(i => ivf(i) == exact(i))
+    assert(agree * 10 >= ivf.size * 9, s"$agree/${ivf.size} pairs agree")
+  }
+
   test("deterministic under repartitioning; threshold filters") {
     def run(parts: Int, thr: Long) = BitextMining.marginMine(
       aSide.repartition(parts), "vec_id", "embedding",
