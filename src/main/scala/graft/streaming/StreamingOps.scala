@@ -498,6 +498,63 @@ object StreamingOps {
       .drop("_cs_d")
   }
 
+  /** The streaming crawl FRONTIER end-to-end (round-11; composes the
+    * round's parser with the gates and the politeness scheduler):
+    * discovered URLs stream in; domain-blocklisted hosts drop, robots
+    * rules gate per path, and survivors take per-host fetch slots.
+    *
+    * The robots decision here is deliberately AGGREGATION-FREE so it
+    * can sit upstream of `flatMapGroupsWithState` in append mode
+    * (Spark rejects stateful-after-aggregate chains): the rule table
+    * pre-aggregates per host into a (len DESC, allow-first) sorted
+    * ARRAY — a BATCH-side groupBy, done once — and the stream side is
+    * a stream-static broadcast join + a scalar first-matching-prefix
+    * lambda. Longest-prefix / allow-beats-disallow semantics equal
+    * [[graft.operators.RobotsGate.decide]]'s max-struct form
+    * (StreamingOpsSpec pins the allowed-set equality). The blocklist
+    * check is the label-aligned suffix rule as a scalar `exists` over
+    * the (bounded, literal) domain list.
+    *
+    * `parsedRobots` is [[graft.operators.RobotsGate.parseRobots]]
+    * output — `kind = rule` rows gate, `kind = delay` rows feed the
+    * scheduler. Output = [[politenessSchedule]]'s schema over the
+    * gated stream.
+    */
+  def frontierSchedule(
+      urls: DataFrame, urlCol: String, parsedRobots: DataFrame,
+      blockedDomains: Seq[String],
+      defaultDelayMs: Long = 1000L): DataFrame = {
+    import graft.operators.{Blocklist, RobotsGate}
+    val rulesByHost = parsedRobots.filter(col("kind") === "rule")
+      .select(col("host"),
+        // DESC sort: len first (longest prefix wins), then ord with
+        // allow=1 > disallow=0 (allow beats disallow on exact ties —
+        // RobotsGate.decide's max-struct order)
+        struct(
+          length(col("prefix")).as("len"),
+          when(col("allow"), 1).otherwise(0).as("ord"),
+          col("allow").as("allow"), col("prefix").as("prefix")).as("_r"))
+      .groupBy(col("host"))
+      .agg(sort_array(collect_list(col("_r")), asc = false).as("_fr_rules"))
+    val delays = parsedRobots.filter(col("kind") === "delay")
+      .select(col("host"), col("delay_ms"))
+    val withHost = urls
+      .withColumn("host", Blocklist.urlHost(col(urlCol)))
+      .withColumn("_fr_path", RobotsGate.urlPath(col(urlCol)))
+      .filter(col("host").isNotNull)
+      .filter(!exists(typedLit(blockedDomains),
+        d => col("host") === d || col("host").endsWith(concat(lit("."), d))))
+    val gated = withHost
+      .join(broadcast(rulesByHost), Seq("host"), "left")
+      .withColumn("_fr_m", filter(coalesce(col("_fr_rules"),
+          array().cast(
+            "array<struct<len:int,ord:int,allow:boolean,prefix:string>>")),
+        r => col("_fr_path").startsWith(r.getField("prefix"))))
+      .filter(size(col("_fr_m")) === 0 || col("_fr_m").getItem(0).getField("allow"))
+      .drop("_fr_rules", "_fr_m", "_fr_path")
+    politenessSchedule(gated, "host", urlCol, delays, defaultDelayMs)
+  }
+
   /** Streaming line-level boilerplate cleaning over a growing
     * line-frequency index ([[graft.textops.LineDedup]]): each batch is
     * cleaned against the hot-line set AS OF THE PREVIOUS batches (a

@@ -451,6 +451,60 @@ class StreamingOpsSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("streaming crawl frontier: robots + blocklist gates feed the politeness state") {
+    implicit val sqlCtx = spark.sqlContext
+    val robotsTxt =
+      "User-agent: *\nDisallow: /private\nAllow: /private/ok\nCrawl-delay: 2"
+    val parsed = graft.operators.RobotsGate.parseRobots(
+      Seq(("h1.example.com", robotsTxt)).toDF("host", "robots"),
+      "host", "robots", "graftbot").localCheckpoint()
+    val input = MemoryStream[String]
+    val q = StreamingOps.frontierSchedule(
+      input.toDF().toDF("url"), "url", parsed,
+      blockedDomains = Seq("spam.net"), defaultDelayMs = 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("frontier_out").start()
+    try {
+      val b1 = Seq(
+        "https://h1.example.com/private/x", // disallowed
+        "https://h1.example.com/private/ok/x", // re-allowed (longest prefix)
+        "https://h1.example.com/pub", // no rule matches -> allowed
+        "https://ads.spam.net/z", // blocklisted subdomain
+        "https://notspam.net/z", // NOT blocklisted (label-aligned rule)
+        "https://other.com/a") // ruleless host, default delay
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      def rows() = spark.table("frontier_out")
+        .select("host", "url", "fetch_slot", "fetch_time_ms")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      val got1 = rows()
+      assert(got1.map(_._2) === Set(
+        "https://h1.example.com/private/ok/x", "https://h1.example.com/pub",
+        "https://notspam.net/z", "https://other.com/a"))
+      // allowed-set parity with the batch gate on the same urls
+      val batchAllowed = graft.operators.RobotsGate.decide(
+        b1.toDF("u").withColumn("host",
+          graft.operators.Blocklist.urlHost(col("u")))
+          .filter(!col("host").isin("ads.spam.net")),
+        Seq(col("u")), col("u"),
+        parsed.filter(col("kind") === "rule")
+          .select(col("host"), col("allow"), col("prefix")))
+        .filter(col("allowed")).select("u")
+        .collect().map(_.getString(0)).toSet
+      assert(got1.map(_._2) === batchAllowed)
+      // h1's crawl-delay (2 s) prices its slots; ruleless hosts use
+      // the default
+      val h1 = got1.filter(_._1 == "h1.example.com")
+      assert(h1.map(t => (t._3, t._4)) === Set((0L, 0L), (1L, 2000L)))
+      // batch 2: slots continue per host across batches
+      input.addData("https://h1.example.com/pub2")
+      q.processAllAvailable()
+      val h1b2 = rows().filter(_._1 == "h1.example.com").map(_._3)
+      assert(h1b2 === Set(0L, 1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming dictionary match: the AC automaton is a stateless streaming projection") {
     import graft.textops.PhraseAutomaton
     implicit val sqlCtx = spark.sqlContext
