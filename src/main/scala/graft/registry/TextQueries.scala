@@ -46,6 +46,17 @@ object TextQueries {
         table(s, dir, "documents"), "doc_id", "text")),
 
 
+    // per-source dataset "nutrition card" (round-11; the
+    // datasheets-for-datasets release summary) — volume, q52 quality
+    // pass rate, q45 PII incidence (regex families only), corpus-wide
+    // exact-dup mass attributed per source WITHOUT a raw-doc
+    // join-back (two reduced frames — the hot-key lesson), modal
+    // language + share. One narrow scan, everything else reduced
+    "q167_dataset_card" -> ((s, dir) =>
+      graft.operators.DatasetCard.perSource(
+        table(s, dir, "documents"), "source", "doc_id", "text", "lang")),
+
+
     // min/max-bounded CDC chunking (round-11; the restic/borg size
     // stabilization): q153's stateless cut set post-processed by the
     // sequential skip-then-cut rule — smallest content cut with
@@ -789,6 +800,82 @@ object TextQueries {
          |  CAST(cutp - startp AS BIGINT) AS len,
          |  md5(substr(t.s, startp + 1, cutp - startp)) AS chunk_md5
          |FROM ce JOIN t ON t.doc_id = ce.doc_id""".stripMargin
+    },
+
+
+    // q167: every card column replayed — q56's token count, q52's
+    // quality signals verbatim, q45's PII regex families, md5 dup
+    // attribution, and the modal-lang window
+    "q167_dataset_card" -> {
+      val en = graft.textops.TextAnalysis.stopwords("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH sig AS (
+         |  SELECT source, doc_id, lang, text,
+         |    md5(coalesce(text, '')) AS h,
+         |    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(coalesce(text, '')),
+         |                '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tok,
+         |    (len(regexp_extract_all(text, '${graft.textops.Pii.EmailRe}')) +
+         |     len(regexp_extract_all(text, '${graft.textops.Pii.Ipv4Re}')) +
+         |     len(regexp_extract_all(text, '${graft.textops.Pii.SsnRe}')) +
+         |     len(regexp_extract_all(text, '${graft.textops.Pii.PhoneRe}'))) > 0
+         |      AS pii
+         |  FROM documents),
+         |q AS (
+         |  SELECT source, doc_id,
+         |    CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+         |         ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') END AS toks,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS DOUBLE) / length(text)
+         |         END AS praw
+         |  FROM documents),
+         |qs AS (
+         |  SELECT source, doc_id, len(toks) AS n_tokens,
+         |    floor(praw * 10000.0 + 0.5) / 10000.0 AS pr,
+         |    floor((CASE WHEN len(toks) = 0 THEN 0.0
+         |           ELSE CAST(len(list_filter(toks, t -> list_contains($en, t))) AS DOUBLE)
+         |                / len(toks) END) * 10000.0 + 0.5) / 10000.0 AS sr,
+         |    floor((CASE WHEN len(toks) = 0 THEN 0.0
+         |           ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |           END) * 10000.0 + 0.5) / 10000.0 AS rr
+         |  FROM q),
+         |keepf AS (
+         |  SELECT source, doc_id,
+         |    (n_tokens >= 10 AND n_tokens <= 100000 AND pr <= 0.3 AND
+         |     sr >= 0.02 AND rr <= 0.6) AS keep
+         |  FROM qs),
+         |main AS (
+         |  SELECT s.source, count(*) AS n_docs,
+         |    sum(s.n_tok) AS n_tokens,
+         |    sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS n_quality_keep,
+         |    sum(CASE WHEN s.pii THEN 1 ELSE 0 END) AS n_pii_docs
+         |  FROM sig s JOIN keepf k ON k.doc_id = s.doc_id
+         |  GROUP BY s.source),
+         |psm AS (SELECT source, h, count(*) AS n FROM sig GROUP BY source, h),
+         |mt AS (SELECT h, sum(n) AS tot FROM psm GROUP BY h),
+         |dups AS (
+         |  SELECT p.source, sum(p.n) AS n_dup_docs
+         |  FROM psm p JOIN mt ON mt.h = p.h WHERE mt.tot > 1
+         |  GROUP BY p.source),
+         |lc AS (SELECT source, lang, count(*) AS c FROM sig GROUP BY source, lang),
+         |tl AS (
+         |  SELECT source, lang AS top_lang, c AS top_n FROM (
+         |    SELECT source, lang, c, row_number() OVER (PARTITION BY source
+         |      ORDER BY c DESC, lang ASC) AS rn FROM lc) WHERE rn = 1)
+         |SELECT m.source,
+         |  CAST(m.n_docs AS BIGINT) AS n_docs,
+         |  CAST(m.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(m.n_quality_keep AS BIGINT) AS n_quality_keep,
+         |  CAST(m.n_quality_keep * 10000 // m.n_docs AS BIGINT) AS quality_x10000,
+         |  CAST(m.n_pii_docs AS BIGINT) AS n_pii_docs,
+         |  CAST(m.n_pii_docs * 10000 // m.n_docs AS BIGINT) AS pii_x10000,
+         |  CAST(coalesce(d.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+         |  CAST(coalesce(d.n_dup_docs, 0) * 10000 // m.n_docs AS BIGINT) AS dup_x10000,
+         |  tl.top_lang,
+         |  CAST(tl.top_n * 10000 // m.n_docs AS BIGINT) AS top_lang_x10000
+         |FROM main m
+         |LEFT JOIN dups d ON d.source = m.source
+         |LEFT JOIN tl ON tl.source = m.source""".stripMargin
     },
 
 
