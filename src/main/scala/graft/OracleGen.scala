@@ -58,6 +58,7 @@ object OracleGen {
       "q32_ann_ivf" -> (() => annIvfOracle(s, dir)),
       "q34_ann_pq" -> (() => annPqOracle(s, dir)),
       "q55_bpe_tokens" -> (() => bpeOracle(s, dir)),
+      "q168_tokenizer_fertility" -> (() => bpeFertilityOracle(s, dir)),
       "q62_image_neardup" -> (() => imageNearDupOracle(s, dir)),
       "q66_audio_neardup" -> (() => audioNearDupOracle(s, dir)),
       "q68_video_neardup" -> (() => videoNearDupOracle(s, dir)),
@@ -1693,6 +1694,42 @@ object OracleGen {
     s"""WITH expv(doc_id, n_bpe) AS (VALUES $vals)
        |SELECT d.doc_id, CAST(e.n_bpe AS INT) AS n_bpe_tokens
        |FROM documents d JOIN expv e ON e.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** q168: per-doc counts from the SAME independent reference BPE
+    * scorer as q55 embed as VALUES; DuckDB recomputes the whitespace
+    * token twin (q56's formula), joins on doc_id for the lang key,
+    * and aggregates the fertility ratio itself — so a drift in the
+    * engine's apply path, the per-lang aggregation, or the integral
+    * division all hash-mismatch.
+    */
+  def bpeFertilityOracle(s: SparkSession, dir: String): String = {
+    val rank: Map[(String, String), Int] =
+      graft.textops.Bpe.defaultMerges.zipWithIndex
+        .foldLeft(Map.empty[(String, String), Int]) { case (m, (p, r)) =>
+          if (m.contains(p)) m else m.updated(p, r)
+        }
+    val rows = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), refBpeCount(
+        Option(r.getString(1)).getOrElse(""), rank)))
+      .sortBy(_._1)
+    checkEmbeddable("q168_tokenizer_fertility", rows.length.toLong)
+    val vals = rows.map { case (id, n) => s"($id, $n)" }.mkString(", ")
+    raw"""WITH expv(doc_id, n_bpe) AS (VALUES $vals),
+       |ws AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(coalesce(text, '')),
+       |                '[ \t\n\x0b\f\r]+')) END AS n_ws
+       |  FROM documents)
+       |SELECT w.lang, count(*) AS n_docs,
+       |  CAST(sum(e.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(w.n_ws) AS BIGINT) AS n_ws_tokens,
+       |  CAST(sum(e.n_bpe) * 10000 // greatest(sum(w.n_ws), 1) AS BIGINT)
+       |    AS fertility_x10000
+       |FROM ws w JOIN expv e ON e.doc_id = w.doc_id
+       |GROUP BY w.lang""".stripMargin
   }
 
   /** q64: a driver-side reference LM scorer — naive string-keyed maps

@@ -240,6 +240,27 @@ object TextQueries {
     }),
 
 
+    // tokenizer fertility per language (round-11; the tokenizer-eval
+    // number: BPE tokens per whitespace word, x10000) — the q55 apply
+    // path aggregated per lang against the q56 whitespace-token twin.
+    // The oracle embeds per-doc counts from OracleGen's INDEPENDENT
+    // reference BPE scorer (the q55/q64 discipline) and recomputes
+    // the whitespace side + aggregation itself
+    "q168_tokenizer_fertility" -> ((s, dir) => {
+      val t = coalesce(col("text"), lit(""))
+      table(s, dir, "documents").select(col("lang"),
+        graft.textops.Bpe.bpe_token_count(s, t,
+          graft.textops.Bpe.defaultMerges).cast("long").as("_bpe"),
+        graft.textops.TextAnalysis.nTokens(t).cast("long").as("_ws"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_bpe")).as("n_bpe_tokens"),
+          sum(col("_ws")).as("n_ws_tokens"))
+        .withColumn("fertility_x10000", expr(
+          "CAST(n_bpe_tokens * 10000 DIV greatest(n_ws_tokens, 1) AS BIGINT)"))
+    }),
+
+
     // C4-style cleaning over planted dirt: tags on doc_id%3==0, a BEL
     // control char + ragged whitespace on %3==1 — the oracle replants
     // identically and runs the same explicit-class regex chain (both
