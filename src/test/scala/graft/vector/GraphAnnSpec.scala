@@ -227,6 +227,33 @@ class GraphAnnSpec extends GraftSparkSpec {
     assert(run(2) === run(11))
   }
 
+  test("index append rebuilds only affected cells, equals union rebuild") {
+    val half = corpus.filter(col("vec_id") % 2 === 0).localCheckpoint()
+    val rest = corpus.filter(col("vec_id") % 2 =!= 0).localCheckpoint()
+    val centroids = Ivf.fitCentroids(corpus, "embedding", 16)
+    def searched(dir: String) =
+      GraphAnn.searchIndex(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nprobe = 2, hops = 3, beam = 8)
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val dirInc = Files.createTempDirectory("graph-idx-inc").toFile
+    dirInc.deleteOnExit()
+    GraphAnn.writeIndex(half, "vec_id", "embedding",
+      dirInc.getAbsolutePath, centroids, m = 6, replicas = 2)
+    GraphAnn.appendToIndex(rest, "vec_id", "embedding",
+      dirInc.getAbsolutePath, m = 6, replicas = 2)
+    val dirFull = Files.createTempDirectory("graph-idx-full").toFile
+    dirFull.deleteOnExit()
+    GraphAnn.writeIndex(corpus, "vec_id", "embedding",
+      dirFull.getAbsolutePath, centroids, m = 6, replicas = 2)
+    val inc = searched(dirInc.getAbsolutePath)
+    assert(inc === searched(dirFull.getAbsolutePath),
+      "append must equal a from-scratch index over the union")
+    // replayed append batch is a no-op (ledger drops it whole)
+    GraphAnn.appendToIndex(rest, "vec_id", "embedding",
+      dirInc.getAbsolutePath, m = 6, replicas = 2)
+    assert(searched(dirInc.getAbsolutePath) === inc)
+  }
+
   test("edges are symmetric and capped; entries one per cell") {
     val centroids = Ivf.fitCentroids(corpus, "embedding", 8)
     val (edges, entries) = GraphAnn.build(
