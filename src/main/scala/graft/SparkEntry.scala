@@ -189,6 +189,43 @@ object SparkEntry {
           lit("### tags # index ## more #\n")).otherwise(lit("")),
         lit("plain closing line")).as("ftext"))
 
+  /** q169's planted code documents (shared constants — the oracle
+    * embeds them with newlines as a `<NL>` placeholder through
+    * `replace(..., chr(10))`). The C doc carries an auto-generated
+    * header (is_code true, stack_pass false); the Python doc is
+    * indentation-shaped and clean (is_code true, stack_pass true).
+    */
+  private[graft] val cCodeDoc: String =
+    "// Auto-generated by graft-bindgen. DO NOT EDIT.\n" +
+      "#include <vector>\n" +
+      "int main(int argc, char** argv) {\n" +
+      "    int total = 0;\n" +
+      "    for (int i = 0; i < argc; i++) { total += i; }\n" +
+      "    return total;\n" +
+      "}"
+
+  private[graft] val pyCodeDoc: String =
+    "def total_len(args):\n" +
+      "    import sys\n" +
+      "    total = 0\n" +
+      "    for a in args:\n" +
+      "        total += len(a)\n" +
+      "    return total"
+
+  /** q169's fixture: %6==0 docs become the C code doc, %6==3 the
+    * Python doc, %6==5 keep their prose plus a planted 1200-char
+    * line (trips the max-line-length rule); everything else is the
+    * corpus prose untouched.
+    */
+  private[graft] def codeFixture(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 6 === 0, lit(cCodeDoc))
+        .when(col("doc_id") % 6 === 3, lit(pyCodeDoc))
+        .when(col("doc_id") % 6 === 5,
+          concat(coalesce(col("text"), lit("")), lit("\n"),
+            repeat(lit("z"), 1200)))
+        .otherwise(coalesce(col("text"), lit(""))).as("ftext"))
+
   /** q126's fixture: a planted French tail (20 stopword tokens — at
     * least one full 16-token chunk classifies fr) on %6==0 docs.
     */

@@ -48,6 +48,28 @@ object PipelineQueries {
     }),
 
 
+    // filter-threshold calibration sweep (round-11): retention vs
+    // threshold for the en-stopword-ratio quality score over an
+    // 11-point integral grid — the report a curation team reads
+    // before picking a cutoff. ONE corpus scan answers the whole
+    // grid (a conditional-aggregate pair per threshold, map-side
+    // combined to a 1-row frame, unpivoted driver-free); weight =
+    // whitespace token count, so both doc and token retention land
+    "q170_threshold_sweep" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val toks = graft.textops.TextAnalysis.tokens(lower(col("text")))
+      val scored = docs.select(
+        graft.textops.TextAnalysis.stopwordCount(toks,
+          graft.textops.TextAnalysis.stopwords("en"))
+          .cast("long").as("_cal_stop"),
+        size(toks).cast("long").as("n_tokens"))
+        .withColumn("stop_x10000", expr(
+          "CAST(10000 * _cal_stop DIV greatest(n_tokens, 1) AS BIGINT)"))
+      graft.operators.Calibration.thresholdSweep(
+        scored, "stop_x10000", "n_tokens", (0L to 10000L by 1000L))
+    }),
+
+
     // token-budget corpus cut: keep documents in doc_id order while
     // the running whitespace-token total stays within budget — the
     // "fill the training mix" step, via the two-phase range-partitioned
@@ -508,6 +530,49 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // q170: per-doc integral stopword score replayed (the q21/q167
+    // token shape), then the grid unnested and every threshold's
+    // conditional counts re-aggregated — same integral `//` ratios
+    "q170_threshold_sweep" -> {
+      val en = graft.textops.TextAnalysis.stopwords("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+         |              ELSE string_split_regex(trim(lower(text)),
+         |                     '[ \\t\\n\\x0b\\f\\r]+') END AS toks
+         |  FROM documents),
+         |d AS (
+         |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(toks, x -> list_contains($en, x)))
+         |      AS BIGINT) AS n_stop
+         |  FROM t),
+         |sc AS (
+         |  SELECT n_tokens,
+         |    10000 * n_stop // greatest(n_tokens, 1) AS stop_x10000
+         |  FROM d),
+         |g AS (SELECT CAST(unnest([0, 1000, 2000, 3000, 4000, 5000,
+         |  6000, 7000, 8000, 9000, 10000]) AS BIGINT) AS threshold),
+         |r AS (
+         |  SELECT g.threshold,
+         |    count(*) AS n_docs,
+         |    coalesce(sum(sc.n_tokens), 0) AS w_total,
+         |    sum(CASE WHEN sc.stop_x10000 >= g.threshold
+         |             THEN 1 ELSE 0 END) AS n_kept,
+         |    coalesce(sum(CASE WHEN sc.stop_x10000 >= g.threshold
+         |             THEN sc.n_tokens ELSE 0 END), 0) AS w_kept
+         |  FROM g CROSS JOIN sc GROUP BY g.threshold)
+         |SELECT threshold, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(w_total AS BIGINT) AS w_total,
+         |  CAST(n_kept AS BIGINT) AS n_kept,
+         |  CAST(w_kept AS BIGINT) AS w_kept,
+         |  CAST(10000 * n_kept // greatest(n_docs, 1) AS BIGINT)
+         |    AS docs_kept_x10000,
+         |  CAST(10000 * w_kept // greatest(w_total, 1) AS BIGINT)
+         |    AS w_kept_x10000
+         |FROM r""".stripMargin
+    },
+
 
     "q48_sample" ->
       """SELECT doc_id, lang FROM documents

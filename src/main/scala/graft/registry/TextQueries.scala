@@ -261,6 +261,20 @@ object TextQueries {
     }),
 
 
+    // code-document detection + The Stack/StarCoder file filters
+    // (round-11): per-doc line stats (avg/max line length, alnum
+    // fraction, indent/punct-terminated line fractions, keyword
+    // lexicon hits, auto-generated header) and two verdicts — a
+    // structural is_code heuristic and the published stack_pass file
+    // rules (avg ≤ 100, max ≤ 1000, alnum ≥ 0.25, not generated).
+    // Planted fixture: %6==0 an auto-generated C doc, %6==3 a clean
+    // indented Python doc, %6==5 prose plus a 1200-char line. One
+    // codegen'd narrow pass; all ratios integral
+    "q169_code_filter" -> ((s, dir) =>
+      graft.textops.CodeFilter.lineStats(
+        codeFixture(s, dir), "doc_id", "ftext")),
+
+
     // C4-style cleaning over planted dirt: tags on doc_id%3==0, a BEL
     // control char + ragged whitespace on %3==1 — the oracle replants
     // identically and runs the same explicit-class regex chain (both
@@ -1699,6 +1713,65 @@ object TextQueries {
 
     // q128: the same fixture and every line stat replayed with DuckDB
     // list functions; trim on both engines strips spaces only
+    // q169: the two code docs are the SHARED constants (newlines as a
+    // <NL> placeholder resolved via replace(..., chr(10))); lexicon
+    // and autogen markers embed from CodeFilter's own lists; every
+    // ratio is integral `//` on the same counts
+    "q169_code_filter" -> {
+      val cNl = graft.SparkEntry.cCodeDoc.replace("\n", "<NL>")
+      val pyNl = graft.SparkEntry.pyCodeDoc.replace("\n", "<NL>")
+      val kwSum = graft.textops.CodeFilter.kwLexicon
+        .map(k => s"(CASE WHEN contains(t, '$k') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val agOr = graft.textops.CodeFilter.autogenMarkers
+        .map(m => s"contains(lower(substr(t, 1, 200)), '$m')")
+        .mkString(" OR ")
+      s"""WITH fx AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 6 = 0 THEN replace('$cNl', '<NL>', chr(10))
+         |         WHEN doc_id % 6 = 3 THEN replace('$pyNl', '<NL>', chr(10))
+         |         WHEN doc_id % 6 = 5 THEN coalesce(text, '') || chr(10) ||
+         |              repeat('z', 1200)
+         |         ELSE coalesce(text, '') END AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM fx),
+         |c AS (
+         |  SELECT doc_id, t,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(list_max(list_transform(lines, x -> length(x)))
+         |      AS BIGINT) AS max_line_len,
+         |    CAST(length(t) - (len(lines) - 1) AS BIGINT) AS body_chars,
+         |    CAST(length(t) AS BIGINT) AS n_chars,
+         |    CAST(length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))
+         |      AS BIGINT) AS alnum_chars,
+         |    CAST(len(list_filter(lines,
+         |      x -> substr(x, 1, 1) IN (' ', chr(9)))) AS BIGINT) AS n_indent,
+         |    CAST(len(list_filter(lines, x ->
+         |      ends_with(rtrim(x), ';') OR ends_with(rtrim(x), '{') OR
+         |      ends_with(rtrim(x), '}'))) AS BIGINT) AS n_punct,
+         |    CAST($kwSum AS BIGINT) AS kw_hits,
+         |    ($agOr) AS autogen
+         |  FROM m),
+         |r AS (
+         |  SELECT doc_id, n_lines, max_line_len,
+         |    100 * body_chars // n_lines AS avg_len_x100,
+         |    CASE WHEN n_chars = 0 THEN 0
+         |         ELSE 10000 * alnum_chars // n_chars END AS alnum_x10000,
+         |    10000 * n_indent // n_lines AS indent_x10000,
+         |    10000 * n_punct // n_lines AS punctl_x10000,
+         |    kw_hits, autogen
+         |  FROM c)
+         |SELECT doc_id, n_lines, max_line_len, avg_len_x100, alnum_x10000,
+         |  indent_x10000, punctl_x10000, kw_hits, autogen,
+         |  ((punctl_x10000 >= 2500 OR indent_x10000 >= 4000)
+         |    AND kw_hits >= 2) AS is_code,
+         |  (avg_len_x100 <= 10000 AND max_line_len <= 1000
+         |    AND alnum_x10000 >= 2500 AND NOT autogen) AS stack_pass
+         |FROM r""".stripMargin
+    },
+
+
     "q128_gopher_lines" ->
       raw"""WITH fx AS (
         |  SELECT doc_id,
