@@ -189,6 +189,30 @@ object SparkEntry {
           lit("### tags # index ## more #\n")).otherwise(lit("")),
         lit("plain closing line")).as("ftext"))
 
+  /** q171's record-linkage fixture over `customer`: every customer is
+    * a clean record (name = "customer " + 9-digit key); %3==0 keys
+    * add a dirty twin (+100000, name + " inc" — Jaccard 2/3, same
+    * nation/segment → above threshold), %5==0 keys add a same-block
+    * DECOY (+200000, name + " llc corp", shifted nation — Jaccard
+    * 1/2 and no nation bonus → below threshold). The 9-digit token is
+    * the natural block key; different keys never share a block.
+    */
+  private[graft] def erFixture(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer")
+    def digits: Column = lpad(col("c_custkey").cast("string"), 9, "0")
+    def rec(idOff: Long, nameSuffix: String, nationShift: Boolean): Seq[Column] = Seq(
+      (col("c_custkey") + idOff).cast("long").as("rec_id"),
+      concat(lit("customer "), digits, lit(nameSuffix)).as("name"),
+      (if (nationShift) (col("c_nationkey") + 1) % 25 else col("c_nationkey"))
+        .cast("long").as("nation"),
+      lower(col("c_mktsegment")).as("segment"))
+    c.select(rec(0L, "", nationShift = false): _*)
+      .unionByName(c.filter(col("c_custkey") % 3 === 0)
+        .select(rec(100000L, " inc", nationShift = false): _*))
+      .unionByName(c.filter(col("c_custkey") % 5 === 0)
+        .select(rec(200000L, " llc corp", nationShift = true): _*))
+  }
+
   /** q169's planted code documents (shared constants — the oracle
     * embeds them with newlines as a `<NL>` placeholder through
     * `replace(..., chr(10))`). The C doc carries an auto-generated

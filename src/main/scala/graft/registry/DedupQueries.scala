@@ -59,6 +59,25 @@ object DedupQueries {
     }),
 
 
+    // entity resolution / record linkage (round-11): blocking on the
+    // record's numeric token, integral Fellegi–Sunter-ish scoring
+    // (name-token Jaccard scaled to 600 + 250 nation + 150 segment,
+    // threshold 700), transitive clustering via the CC operator —
+    // over the erFixture's clean/twin/decoy customer records. The
+    // decoy shares its base's BLOCK but scores 450 (Jaccard 1/2,
+    // no nation bonus): blocking recall and scoring precision are
+    // both live in the oracle check
+    "q171_entity_resolution" -> ((s, dir) => {
+      val recs = erFixture(s, dir)
+        .withColumn("blk", regexp_extract(col("name"), "[0-9]+", 0))
+        .withColumn("toks", array_distinct(split(col("name"), " ")))
+      graft.operators.EntityResolution.resolve(
+        recs, "rec_id", "blk", "toks",
+        nameWeight = 600, exactBonus = Seq("nation" -> 250, "segment" -> 150),
+        threshold = 700L)
+    }),
+
+
     // near-dup clustering: connected components over a deterministic
     // pair graph (consecutive doc ids sharing a length bucket), the
     // step that turns pairwise near-dup evidence into droppable groups
@@ -378,6 +397,56 @@ object DedupQueries {
         |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
         |                   AND a.nb = b.nb AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.05""".stripMargin,
+
+
+    // q171: fixture replayed via UNION ALL, the same integral score
+    // algebra (list_intersect / list_distinct-concat lengths, `//`),
+    // and the q36-proven recursive min-label reach for clustering
+    "q171_entity_resolution" ->
+      """WITH RECURSIVE
+        |recs AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS rec_id,
+        |    'customer ' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS name,
+        |    CAST(c_nationkey AS BIGINT) AS nation,
+        |    lower(c_mktsegment) AS segment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey + 100000 AS BIGINT),
+        |    'customer ' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') || ' inc',
+        |    CAST(c_nationkey AS BIGINT), lower(c_mktsegment)
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(c_custkey + 200000 AS BIGINT),
+        |    'customer ' || lpad(CAST(c_custkey AS VARCHAR), 9, '0')
+        |      || ' llc corp',
+        |    CAST((c_nationkey + 1) % 25 AS BIGINT), lower(c_mktsegment)
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |t AS (
+        |  SELECT rec_id, regexp_extract(name, '[0-9]+') AS blk,
+        |    list_distinct(string_split(name, ' ')) AS toks, nation, segment
+        |  FROM recs),
+        |bc AS (SELECT blk, count(*) AS bn FROM t GROUP BY blk),
+        |tb AS (SELECT t.* FROM t JOIN bc ON bc.blk = t.blk
+        |       WHERE bc.bn <= 64),
+        |p AS (
+        |  SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+        |    600 * len(list_intersect(a.toks, b.toks))
+        |      // greatest(len(list_distinct(a.toks || b.toks)), 1)
+        |    + CASE WHEN a.nation = b.nation THEN 250 ELSE 0 END
+        |    + CASE WHEN a.segment = b.segment THEN 150 ELSE 0 END AS score
+        |  FROM tb a JOIN tb b ON a.blk = b.blk AND a.rec_id < b.rec_id),
+        |e AS (SELECT id_a, id_b FROM p WHERE score >= 700),
+        |sym AS (SELECT id_a, id_b FROM e UNION SELECT id_b, id_a FROM e),
+        |reach(id, r) AS (
+        |  SELECT rec_id, rec_id FROM recs
+        |  UNION
+        |  SELECT s.id_b, reach.r FROM reach JOIN sym s ON s.id_a = reach.id),
+        |comp AS (SELECT id AS rec_id, min(r) AS entity_id
+        |         FROM reach GROUP BY id),
+        |sz AS (SELECT entity_id, count(*) AS n_records
+        |       FROM comp GROUP BY entity_id)
+        |SELECT comp.rec_id, comp.entity_id, sz.n_records
+        |FROM comp JOIN sz ON sz.entity_id = comp.entity_id""".stripMargin,
 
 
     "q36_components" ->
