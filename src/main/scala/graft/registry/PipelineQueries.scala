@@ -48,6 +48,57 @@ object PipelineQueries {
     }),
 
 
+    // bucketed co-located join (round-11; the warehouse fact/dim
+    // layout): orders and customer written as 8-bucket tables on the
+    // customer key, then joined WITHOUT any ShuffleExchange (spec
+    // plan-asserts it) — the shuffle is paid once at write time and
+    // amortized across every later join on the key. Revenue in exact
+    // integral cents so the sum is order-independent; oracle is the
+    // plain join/agg over the base tables (the layout must be
+    // result-transparent)
+    "q172_colocated_join" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val o = graft.operators.StorageLayout.writeBucketed(
+        table(s, dir, "orders").select(col("o_custkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("_sl_cents")),
+        s"graft_bkt_orders_$sfx",
+        perProcessTmpDir(s"graft-bkt-orders-$sfx"),
+        numBuckets = 8, bucketCol = "o_custkey")
+      val c = graft.operators.StorageLayout.writeBucketed(
+        table(s, dir, "customer").select(
+          col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        s"graft_bkt_customer_$sfx",
+        perProcessTmpDir(s"graft-bkt-customer-$sfx"),
+        numBuckets = 8, bucketCol = "o_custkey")
+      graft.operators.StorageLayout.colocatedJoin(o, c, "o_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("_sl_cents")).as("revenue_cents"))
+    }),
+
+
+    // partition-pruned scan (round-11): documents written partitioned
+    // by lang (5 directories), read back filtered to one lang — the
+    // scan touches 1/5 of the files before decoding a row (spec
+    // asserts the pushed PartitionFilters and the pruned file count).
+    // Oracle is the plain filtered aggregate over the base table
+    "q173_partition_prune" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-part-docs-$sfx")
+      graft.operators.StorageLayout.writePartitioned(
+        table(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("lang"),
+          graft.textops.TextAnalysis.nTokens(col("text")).cast("long")
+            .as("n_tokens")),
+        path, "lang")
+      graft.operators.StorageLayout.readPartitioned(s, path)
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    }),
+
+
     // filter-threshold calibration sweep (round-11): retention vs
     // threshold for the en-stopword-ratio quality score over an
     // 11-point integral grid — the report a curation team reads
@@ -530,6 +581,29 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // q172: the layout is result-transparent — the oracle is the
+    // plain join/agg with the same exact-cents conversion
+    "q172_colocated_join" ->
+      """SELECT c.c_mktsegment AS c_mktsegment,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin,
+
+
+    // q173: pruning is result-transparent — plain filtered aggregate
+    "q173_partition_prune" -> {
+      s"""SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text),
+         |             '[ \\t\\n\\x0b\\f\\r]+')) END) AS BIGINT) AS n_tokens
+         |FROM documents WHERE lang = 'en'
+         |GROUP BY source""".stripMargin
+    },
+
 
     // q170: per-doc integral stopword score replayed (the q21/q167
     // token shape), then the grid unnested and every threshold's
