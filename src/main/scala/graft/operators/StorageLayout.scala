@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Physical storage layout for shuffle-free reads — the two layout
-  * moves that matter most at 100 TB:
+/** Physical storage layout for shuffle-free / scan-pruned reads — the
+  * layout moves that matter most at 100 TB:
   *
   *  - **Bucketed tables** ([[writeBucketed]]): both sides of a
   *    recurring equi-join written with the same bucket count on the
@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   *    predicate pushdown into file pruning — a `lang = 'en'` read
   *    touches 1/k of the files before a single row is decoded.
   *    `StorageLayoutSpec` asserts the pushed `PartitionFilters`.
+  *  - **Range clustering** ([[writeRangeClustered]]): high-cardinality
+  *    filter columns can't be directory partitions; range-partitioned
+  *    + sorted files give each file a tight min/max for the column,
+  *    so the pushed predicate skips whole row groups (the parquet
+  *    footer-stats path). `StorageLayoutSpec` pins the skip
+  *    differentially via the executed scan's row metric.
+  *  - **Z-order clustering** ([[writeZOrdered]]): interleaving the
+  *    bits of two equi-depth bucket ranks yields a single cluster key
+  *    whose file ranges are tight in BOTH dimensions — predicates on
+  *    either column skip row groups, where range clustering serves
+  *    only its one column (the Delta/Iceberg OPTIMIZE ZORDER move).
+  *  - **Small-file compaction** ([[compactSmallFiles]]): streaming /
+  *    incremental ingest accretes thousands of tiny files whose
+  *    per-file open cost dominates scans; compaction coalesces them
+  *    to a target row count WITHOUT a shuffle and swaps the directory
+  *    ledger-first (tmp + verify, then swap via a `.old` hop, never a
+  *    delete-before-replace window).
   *
   * Spark-only mechanics worth noting: bucket metadata lives in the
   * session catalog, so bucketed data round-trips through
@@ -67,4 +84,113 @@ object StorageLayout {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Write `df` range-partitioned + sorted on `col` across `numFiles`
+    * files: each file carries a tight, near-disjoint [min,max] for
+    * the column, so a later pushed range predicate skips whole row
+    * groups. `numFiles` is user-specified partitioning — AQE never
+    * coalesces it.
+    */
+  def writeRangeClustered(
+      df: DataFrame, path: String, colName: String, numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(colName))
+      .sortWithinPartitions(colName)
+      .write.mode("overwrite").parquet(path)
+
+  /** Morton/Z value of two bucket ranks in [0, 2^bits): bit i of `a`
+    * lands at position 2i, bit i of `b` at 2i+1. Pure codegen'd
+    * shift/mask algebra.
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Write `df` clustered on the Z-order curve over two NUMERIC
+    * columns: each column is rank-bucketed into 2^bits equi-depth
+    * buckets (cut points from one bounded `approxQuantile` pass —
+    * 2^bits-1 doubles on the driver, never data rows), the bucket
+    * ranks bit-interleaved into a Morton value, and the frame
+    * range-partitioned + sorted on it. Files end up tight in BOTH
+    * dimensions, so pushed predicates on either column skip row
+    * groups. Equi-depth (not min/max-linear) bucketing keeps the
+    * curve balanced under skewed value distributions.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      numFiles: Int,
+      bits: Int = 8): Unit = {
+    require(bits >= 1 && bits <= 20, s"writeZOrdered: bits=$bits out of range")
+    val zv = zValue(
+      equiDepthBucket(df, colA, bits),
+      equiDepthBucket(df, colB, bits), bits)
+    df.withColumn("_sl_z", zv)
+      .repartitionByRange(numFiles, col("_sl_z"))
+      .sortWithinPartitions("_sl_z")
+      .drop("_sl_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Equi-depth bucket rank in [0, 2^bits) for a numeric column:
+    * count of quantile cut points <= the value, via a literal-array
+    * higher-order filter (codegen'd; the array is 2^bits-1 doubles).
+    */
+  private def equiDepthBucket(df: DataFrame, colName: String, bits: Int): Column = {
+    val nb = 1 << bits
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val cuts = df.stat.approxQuantile(colName, probs, 0.001)
+    val cutsLit = typedLit(cuts.toSeq)
+    size(filter(cutsLit, c => c <= col(colName).cast("double"))).cast("long")
+  }
+
+  /** Compaction report: parquet data files and rows before/after. */
+  final case class CompactReport(
+      filesBefore: Long, filesAfter: Long, rows: Long)
+
+  /** Coalesce the parquet directory at `path` down to
+    * ceil(rows / targetRowsPerFile) files WITHOUT a shuffle
+    * (`coalesce` merges partitions narrowly — at 100 TB the rewrite
+    * is IO-bound, never exchange-bound), then swap directories
+    * ledger-first: write to `<path>.compact.tmp`, VERIFY the tmp row
+    * count equals the source, hop the old directory to `<path>.old`,
+    * rename tmp into place, drop the hop. There is no window where
+    * `path` has been deleted and nothing replaces it; a crash
+    * mid-swap leaves either the original or the verified compacted
+    * directory plus debris directories that a re-run clears.
+    */
+  def compactSmallFiles(
+      spark: SparkSession, path: String, targetRowsPerFile: Long): CompactReport = {
+    require(targetRowsPerFile > 0, "compactSmallFiles: target must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    def dataFiles(dir: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(dir).count(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet")).toLong
+    val before = dataFiles(p)
+    val rows = spark.read.parquet(path).count()
+    val k = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val src = spark.read.parquet(path)
+    // coalesce (narrow) when the reader's merged splits are finer than
+    // the target — the 100 TB path; if the reader already merged the
+    // tiny files COARSER than the target (small total data), coalesce
+    // cannot widen, so fall back to an even round-robin repartition
+    val compacted =
+      if (src.rdd.getNumPartitions >= k) src.coalesce(k) else src.repartition(k)
+    compacted.write.mode("overwrite").parquet(tmp.toString)
+    val tmpRows = spark.read.parquet(tmp.toString).count()
+    require(tmpRows == rows,
+      s"compactSmallFiles: tmp has $tmpRows rows, source has $rows — aborting swap")
+    require(fs.rename(p, old), s"compactSmallFiles: could not hop $path aside")
+    require(fs.rename(tmp, p), s"compactSmallFiles: could not move tmp into $path")
+    fs.delete(old, true)
+    CompactReport(before, dataFiles(p), rows)
+  }
 }

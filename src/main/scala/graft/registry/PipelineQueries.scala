@@ -99,6 +99,99 @@ object PipelineQueries {
     }),
 
 
+    // range-clustered scan (round-11): documents written range-
+    // partitioned + sorted on the high-cardinality n_chars column (no
+    // directory partitioning possible there), read back with a band
+    // predicate — the pushed filter skips whole row groups via the
+    // tight per-file min/max (spec pins the skip differentially).
+    // Layout is result-transparent; oracle is the plain filtered agg
+    "q175_range_cluster" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-rc-docs-$sfx")
+      graft.operators.StorageLayout.writeRangeClustered(
+        table(s, dir, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars")),
+        path, "n_chars", numFiles = 8)
+      s.read.parquet(path)
+        .filter(col("n_chars").between(100L, 250L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+
+    // z-order clustered scan (round-11): one cluster key serving
+    // band predicates on EITHER of two numeric columns (doc_id,
+    // n_chars) — the filter below is on the SECOND dimension, the one
+    // plain range clustering on doc_id could not skip for. Result-
+    // transparent; oracle is the plain filtered aggregate
+    "q176_zorder" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-zo-docs-$sfx")
+      graft.operators.StorageLayout.writeZOrdered(
+        table(s, dir, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars")),
+        path, "doc_id", "n_chars", numFiles = 8, bits = 6)
+      s.read.parquet(path)
+        .filter(col("doc_id").between(50L, 400L) &&
+          col("n_chars").between(100L, 250L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+
+    // small-file compaction (round-11): a 40-file ingest mess
+    // coalesced (no shuffle) to ~4 row-targeted files and swapped in
+    // ledger-first; the compacted table must read back identically —
+    // oracle is the plain aggregate over the base table (spec pins
+    // the file counts and the no-delete-window swap)
+    "q177_compaction" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-cp-docs-$sfx")
+      val base = table(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("n_chars"))
+      base.repartition(40).write.mode("overwrite").parquet(path)
+      val total = base.count()
+      graft.operators.StorageLayout.compactSmallFiles(
+        s, path, targetRowsPerFile = math.max(1L, total / 4))
+      s.read.parquet(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
+
+    // filter-funnel accounting (round-11): four quality gates in
+    // pipeline order, ONE pass — per gate the unconditional fail
+    // count, the first-fail waterfall attribution, the marginal
+    // unique-fail count ("drop this gate, recover N docs") and the
+    // retention curve. All gate scores exact-integral so the oracle
+    // replays them verbatim (q170's stopword shape, q173's token
+    // shape, an ASCII-alpha ratio)
+    "q174_filter_funnel" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val toksLow = graft.textops.TextAnalysis.tokens(lower(col("text")))
+      val scored = docs.select(
+        length(trim(col("text"))).cast("long").as("_fu_len"),
+        graft.textops.TextAnalysis.nTokens(col("text")).cast("long")
+          .as("_fu_ntok"),
+        graft.textops.TextAnalysis.stopwordCount(toksLow,
+          graft.textops.TextAnalysis.stopwords("en")).cast("long")
+          .as("_fu_stop"),
+        size(toksLow).cast("long").as("_fu_ntok_low"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+          .as("_fu_alpha"),
+        greatest(length(col("text")).cast("long"), lit(1L)).as("_fu_chars"))
+      graft.operators.Funnel.report(scored, Seq(
+        "min_len" -> (col("_fu_len") >= 200L),
+        "min_tokens" -> (col("_fu_ntok") >= 55L),
+        "stopword" -> (expr(
+          "CAST(10000 * _fu_stop DIV greatest(_fu_ntok_low, 1L) AS BIGINT)")
+          >= 400L),
+        "alpha" -> (expr(
+          "CAST(10000 * _fu_alpha DIV _fu_chars AS BIGINT)") >= 8200L)))
+    }),
+
+
     // filter-threshold calibration sweep (round-11): retention vs
     // threshold for the en-stopword-ratio quality score over an
     // 11-point integral grid — the report a curation team reads
@@ -602,6 +695,87 @@ object PipelineQueries {
          |             '[ \\t\\n\\x0b\\f\\r]+')) END) AS BIGINT) AS n_tokens
          |FROM documents WHERE lang = 'en'
          |GROUP BY source""".stripMargin
+    },
+
+
+    // q175/q176/q177: layouts are result-transparent — plain filtered
+    // aggregates over the base table
+    "q175_range_cluster" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars BETWEEN 100 AND 250
+        |GROUP BY lang""".stripMargin,
+
+    "q176_zorder" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 50 AND 400 AND n_chars BETWEEN 100 AND 250
+        |GROUP BY lang""".stripMargin,
+
+    "q177_compaction" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang""".stripMargin,
+
+
+    // q174: the four gate flags replayed exactly (q170's stopword
+    // integral, q173's token shape, RE2 alpha strip), then the
+    // waterfall/marginal/retention counts re-derived per gate and
+    // stacked by UNION ALL
+    "q174_filter_funnel" -> {
+      val en = graft.textops.TextAnalysis.stopwords("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val names = Seq("min_len", "min_tokens", "stopword", "alpha")
+      val perGate = names.zipWithIndex.map { case (name, i) =>
+        val surv = (0 to i).map(j => s"g$j").mkString(" AND ")
+        s"""SELECT CAST($i AS BIGINT) AS gate_ord, '$name' AS gate,
+           |  count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN NOT g$i THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_fail,
+           |  CAST(sum(CASE WHEN ff = $i THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_first_fail,
+           |  CAST(sum(CASE WHEN nfail = 1 AND NOT g$i THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_unique_fail,
+           |  CAST(sum(CASE WHEN $surv THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_survive
+           |FROM m""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "")
+      s"""WITH d AS (
+         |  SELECT
+         |    CAST(length(trim(text)) AS BIGINT) AS lt,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text),
+         |             '[ \\t\\n\\x0b\\f\\r]+')) END AS BIGINT) AS ntok,
+         |    CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+         |      ELSE string_split_regex(trim(lower(text)),
+         |             '[ \\t\\n\\x0b\\f\\r]+') END AS toks,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |      AS BIGINT) AS alpha,
+         |    greatest(CAST(length(text) AS BIGINT), 1) AS chars
+         |  FROM documents),
+         |g AS (
+         |  SELECT
+         |    coalesce(lt >= 200, false) AS g0,
+         |    coalesce(ntok >= 55, false) AS g1,
+         |    coalesce(10000 * CAST(len(list_filter(toks,
+         |        x -> list_contains($en, x))) AS BIGINT)
+         |      // greatest(CAST(len(toks) AS BIGINT), 1) >= 400,
+         |      false) AS g2,
+         |    coalesce(10000 * alpha // chars >= 8200, false) AS g3
+         |  FROM d),
+         |m AS (
+         |  SELECT g0, g1, g2, g3,
+         |    (CASE WHEN NOT g0 THEN 1 ELSE 0 END
+         |     + CASE WHEN NOT g1 THEN 1 ELSE 0 END
+         |     + CASE WHEN NOT g2 THEN 1 ELSE 0 END
+         |     + CASE WHEN NOT g3 THEN 1 ELSE 0 END) AS nfail,
+         |    (CASE WHEN NOT g0 THEN 0 WHEN NOT g1 THEN 1
+         |          WHEN NOT g2 THEN 2 WHEN NOT g3 THEN 3
+         |          ELSE -1 END) AS ff
+         |  FROM g)
+         |$perGate""".stripMargin
     },
 
 

@@ -84,4 +84,93 @@ class StorageLayoutSpec extends GraftSparkSpec {
     assert(scanned === enFiles.toLong, s"scanned $scanned of $allFiles")
     assert(scanned < allFiles.toLong)
   }
+
+  // rows DECODED by the executed parquet scan (post row-group
+  // skipping, pre post-scan Filter re-eval)
+  private def rowsDecoded(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    df.collect()
+    scans(df.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("range clustering: band predicate skips row groups; unclustered twin decodes everything") {
+    val n = 40000L
+    val data = (0L until n).map(i => (i, (i * 2654435761L) % n))
+      .toDF("x", "noise")
+    val clustered = graft.SparkEntry.perProcessTmpDir("graft-spec-rc")
+    val unclustered = graft.SparkEntry.perProcessTmpDir("graft-spec-rc-un")
+    StorageLayout.writeRangeClustered(data, clustered, "x", numFiles = 8)
+    // the ingest mess: hash-scattered, every file spans the full x range
+    data.repartition(8, $"noise").write.mode("overwrite").parquet(unclustered)
+
+    def band(path: String) = spark.read.parquet(path)
+      .filter($"x" >= 1000L && $"x" < 3000L)
+    val cRows = rowsDecoded(band(clustered))
+    val uRows = rowsDecoded(band(unclustered))
+    assert(band(clustered).count() === 2000L)
+    assert(band(clustered).agg(sum("x")).head.getLong(0) ===
+      band(unclustered).agg(sum("x")).head.getLong(0))
+    // clustered: the band lives in ~1 of 8 files (5k rows); generous 4x slack
+    assert(cRows <= n / 2, s"clustered scan decoded $cRows of $n")
+    assert(uRows === n, s"unclustered twin should decode all rows, got $uRows")
+    assert(cRows < uRows)
+  }
+
+  test("z-order: predicates on EITHER dimension skip; range-by-A cannot skip on B") {
+    val n = 40000L
+    // two independent dimensions (bit-reversal decorrelates b from a)
+    val data = (0L until n).map { i =>
+      (i, java.lang.Long.reverse(i) >>> (64 - 16))
+    }.toDF("a", "b")
+    val zPath = graft.SparkEntry.perProcessTmpDir("graft-spec-zo")
+    val rPath = graft.SparkEntry.perProcessTmpDir("graft-spec-zo-r")
+    StorageLayout.writeZOrdered(data, zPath, "a", "b", numFiles = 16, bits = 6)
+    StorageLayout.writeRangeClustered(data, rPath, "a", numFiles = 16)
+
+    val bMax = 1L << 16
+    def bandA(path: String) = spark.read.parquet(path)
+      .filter($"a" >= 1000L && $"a" < 1000L + n / 8)
+    def bandB(path: String) = spark.read.parquet(path)
+      .filter($"b" >= 1000L && $"b" < 1000L + bMax / 8)
+
+    // result transparency on both dims
+    assert(bandA(zPath).agg(sum("b")).head.getLong(0) ===
+      bandA(rPath).agg(sum("b")).head.getLong(0))
+    assert(bandB(zPath).agg(sum("a")).head.getLong(0) ===
+      bandB(rPath).agg(sum("a")).head.getLong(0))
+
+    val zA = rowsDecoded(bandA(zPath))
+    val zB = rowsDecoded(bandB(zPath))
+    val rB = rowsDecoded(bandB(rPath))
+    // z-order skips on BOTH dims (1/8 band -> curve locality keeps the
+    // decode well under the full table)
+    assert(zA <= (n * 7) / 10, s"z-order failed to skip on dim A: $zA of $n")
+    assert(zB <= (n * 7) / 10, s"z-order failed to skip on dim B: $zB of $n")
+    // the one-dimensional layout serves only its own column
+    assert(rB === n, s"range-by-A should decode everything for a B band, got $rB")
+  }
+
+  test("compaction: file count drops, content identical, swap leaves no debris") {
+    val path = graft.SparkEntry.perProcessTmpDir("graft-spec-compact")
+    val data = (0L until 5000L).map(i => (i, s"v$i")).toDF("id", "v")
+    data.repartition(40).write.mode("overwrite").parquet(path)
+    val before = spark.read.parquet(path).orderBy("id").collect().toSeq
+    val rep = StorageLayout.compactSmallFiles(spark, path, targetRowsPerFile = 1000L)
+    assert(rep.filesBefore === 40L && rep.rows === 5000L)
+    assert(rep.filesAfter === 5L, s"expected 5 files, got ${rep.filesAfter}")
+    val after = spark.read.parquet(path).orderBy("id").collect().toSeq
+    assert(after === before)
+    // ledger-first swap: no tmp/old debris remains
+    assert(!new java.io.File(path + ".compact.tmp").exists())
+    assert(!new java.io.File(path + ".old").exists())
+    // idempotent re-run: already at target -> file count unchanged
+    val rep2 = StorageLayout.compactSmallFiles(spark, path, targetRowsPerFile = 1000L)
+    assert(rep2.filesAfter === 5L && rep2.rows === 5000L)
+  }
 }
