@@ -38,10 +38,30 @@ object Funnel {
     * n_survive), one row per gate in pipeline order. Gate names must
     * be unique.
     */
-  def report(df: DataFrame, gates: Seq[(String, Column)]): DataFrame = {
+  def report(df: DataFrame, gates: Seq[(String, Column)]): DataFrame =
+    reportInternal(df, gates, None)
+
+  /** [[report]] segmented by a grouping column (per-source / per-lang
+    * retention): one row per (segment, gate), counts within the
+    * segment. Still one aggregation — the shuffle carries
+    * #segments × one summary row.
+    */
+  def reportBy(
+      df: DataFrame, segment: String,
+      gates: Seq[(String, Column)]): DataFrame =
+    reportInternal(df, gates, Some(segment))
+
+  private val reservedOut = Set("gate_ord", "gate", "n_rows", "n_fail",
+    "n_first_fail", "n_unique_fail", "n_survive")
+
+  private def reportInternal(
+      df: DataFrame, gates: Seq[(String, Column)],
+      segment: Option[String]): DataFrame = {
     require(gates.nonEmpty, "Funnel.report: need at least one gate")
     require(gates.map(_._1).distinct.size == gates.size,
       "Funnel.report: gate names must be unique")
+    require(segment.forall(s => !reservedOut.contains(s)),
+      s"Funnel.reportBy: segment column collides with an output column")
     val n = gates.size
     // internal aliases are POSITIONAL (the DataChecks rule: user
     // names never become resolvable identifiers)
@@ -53,7 +73,8 @@ object Funnel {
     val firstFail = (0 until n).foldRight(lit(-1): Column) {
       case (i, rest) => when(!col(s"_fn_g$i"), lit(i)).otherwise(rest)
     }
-    val meta = df.select(flags: _*)
+    val segCols = segment.toSeq.map(s => col(s).as("_fn_seg"))
+    val meta = df.select(segCols ++ flags: _*)
       .withColumn("_fn_nfail", nfail)
       .withColumn("_fn_first", firstFail)
     val aggs = (0 until n).flatMap { i =>
@@ -65,7 +86,11 @@ object Funnel {
         sum(when((0 to i).map(j => col(s"_fn_g$j")).reduce(_ && _), 1L)
           .otherwise(0L)).as(s"_fn_sv_$i"))
     }
-    val one = meta.agg(count(lit(1)).as("_fn_rows"), aggs: _*)
+    val one = segment match {
+      case Some(_) => meta.groupBy(col("_fn_seg"))
+        .agg(count(lit(1)).as("_fn_rows"), aggs: _*)
+      case None => meta.agg(count(lit(1)).as("_fn_rows"), aggs: _*)
+    }
     val gateRows = array((0 until n).map { i =>
       struct(
         lit(i.toLong).as("gate_ord"),
@@ -75,14 +100,17 @@ object Funnel {
         col(s"_fn_uf_$i").as("n_unique_fail"),
         col(s"_fn_sv_$i").as("n_survive"))
     }: _*)
-    one.select(col("_fn_rows"), explode(gateRows).as("_fn_r"))
-      .select(
+    val segOut = segment.toSeq.map(s => col("_fn_seg").as(s))
+    val exploded = one.select(
+      segOut :+ col("_fn_rows") :+ explode(gateRows).as("_fn_r"): _*)
+    exploded.select(
+      segment.toSeq.map(col) ++ Seq(
         col("_fn_r.gate_ord").as("gate_ord"),
         col("_fn_r.gate").as("gate"),
         col("_fn_rows").as("n_rows"),
         col("_fn_r.n_fail").as("n_fail"),
         col("_fn_r.n_first_fail").as("n_first_fail"),
         col("_fn_r.n_unique_fail").as("n_unique_fail"),
-        col("_fn_r.n_survive").as("n_survive"))
+        col("_fn_r.n_survive").as("n_survive")): _*)
   }
 }

@@ -168,27 +168,30 @@ object PipelineQueries {
     // replays them verbatim (q170's stopword shape, q173's token
     // shape, an ASCII-alpha ratio)
     "q174_filter_funnel" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      val toksLow = graft.textops.TextAnalysis.tokens(lower(col("text")))
-      val scored = docs.select(
-        length(trim(col("text"))).cast("long").as("_fu_len"),
-        graft.textops.TextAnalysis.nTokens(col("text")).cast("long")
-          .as("_fu_ntok"),
-        graft.textops.TextAnalysis.stopwordCount(toksLow,
-          graft.textops.TextAnalysis.stopwords("en")).cast("long")
-          .as("_fu_stop"),
-        size(toksLow).cast("long").as("_fu_ntok_low"),
-        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
-          .as("_fu_alpha"),
-        greatest(length(col("text")).cast("long"), lit(1L)).as("_fu_chars"))
-      graft.operators.Funnel.report(scored, Seq(
-        "min_len" -> (col("_fu_len") >= 200L),
-        "min_tokens" -> (col("_fu_ntok") >= 55L),
-        "stopword" -> (expr(
-          "CAST(10000 * _fu_stop DIV greatest(_fu_ntok_low, 1L) AS BIGINT)")
-          >= 400L),
-        "alpha" -> (expr(
-          "CAST(10000 * _fu_alpha DIV _fu_chars AS BIGINT)") >= 8200L)))
+      val (scored, gates) = funnelScored(s, dir, Seq.empty)
+      graft.operators.Funnel.report(scored, gates)
+    }),
+
+
+    // per-source funnel (round-11): the q174 waterfall segmented by
+    // the source column — which ingest feed loses how much, and to
+    // which gate first. One grouped aggregation; the shuffle carries
+    // #sources summary rows
+    "q178_funnel_by_source" -> ((s, dir) => {
+      val (scored, gates) = funnelScored(s, dir, Seq(col("source")))
+      graft.operators.Funnel.reportBy(scored, "source", gates)
+    }),
+
+
+    // one-pass table profile (round-11): ANALYZE-style column stats
+    // (nulls, exact distinct, min/max as strings) — the report that
+    // feeds broadcast-threshold and clustering-column decisions. At
+    // 100 TB the distinct counter swaps to the q139 HLL sketch, same
+    // report schema
+    "q179_table_profile" -> ((s, dir) => {
+      graft.operators.TableProfile.profile(
+        table(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars", "text"))
     }),
 
 
@@ -673,6 +676,97 @@ object PipelineQueries {
     })
   )
 
+  /** q174/q178 shared oracle: the four gate flags replayed exactly
+    * (q170's stopword integral, q173's token shape, RE2 alpha strip),
+    * then the waterfall/marginal/retention counts re-derived per gate
+    * — optionally per segment column — and stacked by UNION ALL.
+    */
+  private def funnelOracleSql(segment: Option[String]): String = {
+    val en = graft.textops.TextAnalysis.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val segSel = segment.map(s => s"$s, ").getOrElse("")
+    val segGroup = segment.map(s => s"\nGROUP BY $s").getOrElse("")
+    val names = Seq("min_len", "min_tokens", "stopword", "alpha")
+    val perGate = names.zipWithIndex.map { case (name, i) =>
+      val surv = (0 to i).map(j => s"g$j").mkString(" AND ")
+      s"""SELECT ${segSel}CAST($i AS BIGINT) AS gate_ord, '$name' AS gate,
+         |  count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN NOT g$i THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fail,
+         |  CAST(sum(CASE WHEN ff = $i THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_first_fail,
+         |  CAST(sum(CASE WHEN nfail = 1 AND NOT g$i THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_unique_fail,
+         |  CAST(sum(CASE WHEN $surv THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_survive
+         |FROM m$segGroup""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "")
+    s"""WITH d AS (
+       |  SELECT $segSel
+       |    CAST(length(trim(text)) AS BIGINT) AS lt,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split_regex(trim(text),
+       |             '[ \\t\\n\\x0b\\f\\r]+')) END AS BIGINT) AS ntok,
+       |    CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+       |      ELSE string_split_regex(trim(lower(text)),
+       |             '[ \\t\\n\\x0b\\f\\r]+') END AS toks,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+       |      AS BIGINT) AS alpha,
+       |    greatest(CAST(length(text) AS BIGINT), 1) AS chars
+       |  FROM documents),
+       |g AS (
+       |  SELECT $segSel
+       |    coalesce(lt >= 200, false) AS g0,
+       |    coalesce(ntok >= 55, false) AS g1,
+       |    coalesce(10000 * CAST(len(list_filter(toks,
+       |        x -> list_contains($en, x))) AS BIGINT)
+       |      // greatest(CAST(len(toks) AS BIGINT), 1) >= 400,
+       |      false) AS g2,
+       |    coalesce(10000 * alpha // chars >= 8200, false) AS g3
+       |  FROM d),
+       |m AS (
+       |  SELECT $segSel g0, g1, g2, g3,
+       |    (CASE WHEN NOT g0 THEN 1 ELSE 0 END
+       |     + CASE WHEN NOT g1 THEN 1 ELSE 0 END
+       |     + CASE WHEN NOT g2 THEN 1 ELSE 0 END
+       |     + CASE WHEN NOT g3 THEN 1 ELSE 0 END) AS nfail,
+       |    (CASE WHEN NOT g0 THEN 0 WHEN NOT g1 THEN 1
+       |          WHEN NOT g2 THEN 2 WHEN NOT g3 THEN 3
+       |          ELSE -1 END) AS ff
+       |  FROM g)
+       |$perGate""".stripMargin
+  }
+
+  /** The q174/q178 shared gate-score projection. */
+  private def funnelScored(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      extraCols: Seq[org.apache.spark.sql.Column])
+      : (org.apache.spark.sql.DataFrame,
+         Seq[(String, org.apache.spark.sql.Column)]) = {
+    val docs = table(s, dir, "documents")
+    val toksLow = graft.textops.TextAnalysis.tokens(lower(col("text")))
+    val scored = docs.select(extraCols ++ Seq(
+      length(trim(col("text"))).cast("long").as("_fu_len"),
+      graft.textops.TextAnalysis.nTokens(col("text")).cast("long")
+        .as("_fu_ntok"),
+      graft.textops.TextAnalysis.stopwordCount(toksLow,
+        graft.textops.TextAnalysis.stopwords("en")).cast("long")
+        .as("_fu_stop"),
+      size(toksLow).cast("long").as("_fu_ntok_low"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+        .as("_fu_alpha"),
+      greatest(length(col("text")).cast("long"), lit(1L)).as("_fu_chars")): _*)
+    val gates = Seq(
+      "min_len" -> (col("_fu_len") >= 200L),
+      "min_tokens" -> (col("_fu_ntok") >= 55L),
+      "stopword" -> (expr(
+        "CAST(10000 * _fu_stop DIV greatest(_fu_ntok_low, 1L) AS BIGINT)")
+        >= 400L),
+      "alpha" -> (expr(
+        "CAST(10000 * _fu_alpha DIV _fu_chars AS BIGINT)") >= 8200L))
+    (scored, gates)
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     // q172: the layout is result-transparent — the oracle is the
@@ -720,63 +814,23 @@ object PipelineQueries {
         |FROM documents GROUP BY lang""".stripMargin,
 
 
-    // q174: the four gate flags replayed exactly (q170's stopword
-    // integral, q173's token shape, RE2 alpha strip), then the
-    // waterfall/marginal/retention counts re-derived per gate and
-    // stacked by UNION ALL
-    "q174_filter_funnel" -> {
-      val en = graft.textops.TextAnalysis.stopwords("en")
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      val names = Seq("min_len", "min_tokens", "stopword", "alpha")
-      val perGate = names.zipWithIndex.map { case (name, i) =>
-        val surv = (0 to i).map(j => s"g$j").mkString(" AND ")
-        s"""SELECT CAST($i AS BIGINT) AS gate_ord, '$name' AS gate,
-           |  count(*) AS n_rows,
-           |  CAST(sum(CASE WHEN NOT g$i THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS n_fail,
-           |  CAST(sum(CASE WHEN ff = $i THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS n_first_fail,
-           |  CAST(sum(CASE WHEN nfail = 1 AND NOT g$i THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS n_unique_fail,
-           |  CAST(sum(CASE WHEN $surv THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS n_survive
-           |FROM m""".stripMargin
-      }.mkString("\n", "\nUNION ALL\n", "")
-      s"""WITH d AS (
-         |  SELECT
-         |    CAST(length(trim(text)) AS BIGINT) AS lt,
-         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |      ELSE len(string_split_regex(trim(text),
-         |             '[ \\t\\n\\x0b\\f\\r]+')) END AS BIGINT) AS ntok,
-         |    CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
-         |      ELSE string_split_regex(trim(lower(text)),
-         |             '[ \\t\\n\\x0b\\f\\r]+') END AS toks,
-         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-         |      AS BIGINT) AS alpha,
-         |    greatest(CAST(length(text) AS BIGINT), 1) AS chars
-         |  FROM documents),
-         |g AS (
-         |  SELECT
-         |    coalesce(lt >= 200, false) AS g0,
-         |    coalesce(ntok >= 55, false) AS g1,
-         |    coalesce(10000 * CAST(len(list_filter(toks,
-         |        x -> list_contains($en, x))) AS BIGINT)
-         |      // greatest(CAST(len(toks) AS BIGINT), 1) >= 400,
-         |      false) AS g2,
-         |    coalesce(10000 * alpha // chars >= 8200, false) AS g3
-         |  FROM d),
-         |m AS (
-         |  SELECT g0, g1, g2, g3,
-         |    (CASE WHEN NOT g0 THEN 1 ELSE 0 END
-         |     + CASE WHEN NOT g1 THEN 1 ELSE 0 END
-         |     + CASE WHEN NOT g2 THEN 1 ELSE 0 END
-         |     + CASE WHEN NOT g3 THEN 1 ELSE 0 END) AS nfail,
-         |    (CASE WHEN NOT g0 THEN 0 WHEN NOT g1 THEN 1
-         |          WHEN NOT g2 THEN 2 WHEN NOT g3 THEN 3
-         |          ELSE -1 END) AS ff
-         |  FROM g)
-         |$perGate""".stripMargin
-    },
+    // q174/q178: shared funnel oracle (see funnelOracleSql)
+    "q174_filter_funnel" -> funnelOracleSql(None),
+    "q178_funnel_by_source" -> funnelOracleSql(Some("source")),
+
+    // q179: per-column stats stacked by UNION ALL; exact distinct,
+    // min/max rendered as strings (binary/codepoint order in both
+    // engines)
+    "q179_table_profile" ->
+      Seq("doc_id", "lang", "source", "n_chars", "text").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM documents""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", ""),
 
 
     // q170: per-doc integral stopword score replayed (the q21/q167

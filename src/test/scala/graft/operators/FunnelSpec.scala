@@ -61,6 +61,24 @@ class FunnelSpec extends GraftSparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("reportBy segments the same counts per group") {
+    val seg = df.withColumn("src", when($"id" <= 2L, "s1").otherwise("s2"))
+    val rep = Funnel.reportBy(seg, "src",
+      Seq("gateA" -> ($"a" > 0), "gateB" -> ($"b" > 0)))
+      .orderBy("src", "gate_ord").collect()
+    assert(rep.length === 4)
+    // s1 = ids 1,2: gateA fails id2 (first+unique), both survive gateB path: id1 only
+    val s1a = rep(0)
+    assert(s1a.getString(0) === "s1" && s1a.getLong(3) === 2L) // n_rows
+    assert(s1a.getLong(4) === 1L && s1a.getLong(5) === 1L && s1a.getLong(6) === 1L)
+    // s2 = ids 3,4,5: gateA fails 4,5; gateB fails 3,4
+    val s2a = rep(2); val s2b = rep(3)
+    assert(s2a.getString(0) === "s2" && s2a.getLong(4) === 2L) // n_fail gateA
+    assert(s2b.getLong(4) === 2L)     // gateB n_fail
+    assert(s2b.getLong(5) === 1L)     // first-fail gateB: id 3 only
+    assert(s2b.getLong(7) === 0L)     // nobody survives both in s2
+  }
+
   test("duplicate gate names are rejected") {
     intercept[IllegalArgumentException] {
       Funnel.report(df, Seq("g" -> ($"a" > 0), "g" -> ($"b" > 0)))
