@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.StorageLayout
+
 /** Scale evidence runner (round-3 VERDICT #7): one order of magnitude
   * above the per-round bench, plus a deliberately hot-keyed corpus.
   *
@@ -89,8 +91,10 @@ object ScaleBench {
     // a skew-shape fix. SPARK_GRAFT_ADVERSARIAL_ONLY=1: run only the
     // generated boilerplate-corpus phases (1b/1c) — they need neither
     // the sf~1 store nor the skewed events.
-    val skewOnly = sys.env.get("SPARK_GRAFT_SKEW_ONLY").contains("1")
-    val advOnly = sys.env.get("SPARK_GRAFT_ADVERSARIAL_ONLY").contains("1")
+    val layoutOnly = sys.env.get("SPARK_GRAFT_LAYOUT_ONLY").contains("1")
+    val skewOnly = sys.env.get("SPARK_GRAFT_SKEW_ONLY").contains("1") && !layoutOnly
+    val advOnly = (sys.env.get("SPARK_GRAFT_ADVERSARIAL_ONLY").contains("1")
+      || layoutOnly)
 
     // Template text with one low-cardinality varying token (phases
     // 1b/1c): docs sharing id % 97 are byte-identical boilerplate, the
@@ -170,7 +174,7 @@ object ScaleBench {
 
     } // end phase 0/1 (!skewOnly && !advOnly)
 
-    if (!skewOnly) {
+    if (!skewOnly && !layoutOnly) {
     // ---- phase 1b: adversarial boilerplate corpus for simhash ----
     // fingerprints collapse onto few values, so every chunk bucket
     // holds O(n/97) docs and the uncapped pair join goes quadratic.
@@ -538,6 +542,92 @@ object ScaleBench {
       prev.unpersist()
     }
     } // end !skewOnly
+
+    if (layoutOnly || (!skewOnly && !advOnly))
+    // ---- phase 1m: storage-layout skip + compaction duels ----
+    // (a) range clustering: an 8M-row table with a real payload, read
+    // with a 1/16 band predicate — the clustered layout's tight
+    // per-file min/max lets the pushed filter skip row groups, the
+    // hash-scattered twin decodes everything (identical results,
+    // xor-checked). (b) z-order: a band on the SECOND dimension skips
+    // on the z layout but cannot on the one-dimensional layout.
+    // (c) compaction: 1024-tiny-file ingest mess vs the coalesced
+    // table on a full scan — per-file open cost is the 100 TB killer
+    // the operator exists for.
+    {
+      val n = 8000000L
+      val layoutBase = s"$outDir/layout"
+      def payload = concat(lit("payload-"), col("id") % 1000,
+        lit("-abcdefghijklmnopqrstuvwxyz0123456789-"), col("id") % 7)
+      // second dimension decorrelated from id by a Knuth-style
+      // multiplicative hash, kept overflow-free for ANSI mode
+      // (id * K < 2^55, reduced mod 2^32, top 16 bits taken)
+      val src = spark.range(n).select(col("id"), payload.as("p"),
+        shiftright(pmod(col("id") * lit(2654435761L), lit(4294967296L)), 16)
+          .as("b"))
+      StorageLayout.writeRangeClustered(src, s"$layoutBase/rc", "id", 64)
+      // the scattered twin sorts within files by b: without this the
+      // map-side id-runs survive the shuffle and parquet PAGE indexes
+      // still skip — a real ingest mess has no residual id order
+      src.repartition(64, col("b")).sortWithinPartitions("b")
+        .write.mode("overwrite").parquet(s"$layoutBase/scatter")
+      // decoded-rows-aware timer: on one box with 32 idle cores the
+      // wall delta of a skipped scan is noise — the cluster-relevant
+      // quantity is rows DECODED (scan IO), reported alongside
+      def scanRows(df: DataFrame): Long = {
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          // AQE hides materialized stages behind QueryStageExec whose
+          // `plan` is NOT in `children`
+          case q: QueryStageExec => scans(q.plan)
+          case f: FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(scans)
+        }
+        scans(df.queryExecution.executedPlan)
+          .map(_.metrics("numOutputRows").value).sum
+      }
+      def timedScan(name: String, mk: => DataFrame): Long = {
+        val warm = mk; warm.collect()          // codegen/JIT warm pass
+        val fresh = mk
+        val t0 = System.nanoTime()
+        fresh.collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val decoded = scanRows(fresh)
+        val x = force(mk)._1
+        println(f"""{"bench":"scale","workload":"$name","sec":$sec%.2f,"rows_decoded":$decoded,"xor":$x}""")
+        x
+      }
+      def bandId(path: String) = spark.read.parquet(path)
+        .filter(col("id") >= n / 2 && col("id") < n / 2 + n / 16)
+        .agg(sum(length(col("p"))).as("s"), count(lit(1)).as("c"))
+      val rcXor = timedScan("layout_band_range_clustered", bandId(s"$layoutBase/rc"))
+      val scXor = timedScan("layout_band_scattered", bandId(s"$layoutBase/scatter"))
+      if (rcXor != scXor)
+        throw new IllegalStateException("range-cluster band duel diverged")
+
+      StorageLayout.writeZOrdered(src, s"$layoutBase/zo", "id", "b", 64, bits = 6)
+      def bandB(path: String) = spark.read.parquet(path)
+        .filter(col("b") >= 1000L && col("b") < 1000L + 65536L / 16L)
+        .agg(sum(col("id")).as("s"), count(lit(1)).as("c"))
+      val zbXor = timedScan("layout_bandB_zorder", bandB(s"$layoutBase/zo"))
+      val rbXor = timedScan("layout_bandB_range_by_id", bandB(s"$layoutBase/rc"))
+      if (zbXor != rbXor)
+        throw new IllegalStateException("z-order dim-B duel diverged")
+
+      src.repartition(1024).write.mode("overwrite").parquet(s"$layoutBase/tiny")
+      def fullScan(path: String) = spark.read.parquet(path)
+        .agg(sum(length(col("p"))).as("s"), count(lit(1)).as("c"))
+      val preXor = timedScan("compact_fullscan_1024_files", fullScan(s"$layoutBase/tiny"))
+      val t0 = System.nanoTime()
+      val rep = StorageLayout.compactSmallFiles(
+        spark, s"$layoutBase/tiny", targetRowsPerFile = n / 32)
+      println(f"""{"bench":"scale","workload":"compact_rewrite","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"files_before":${rep.filesBefore},"files_after":${rep.filesAfter}}""")
+      val postXor = timedScan("compact_fullscan_compacted", fullScan(s"$layoutBase/tiny"))
+      if (preXor != postXor)
+        throw new IllegalStateException("compaction full-scan duel diverged")
+    }
 
     // ---- phase 2: hot-key skew duel ----
     // one (source, ip) pair owns every even event_id = 50% of all rows;
