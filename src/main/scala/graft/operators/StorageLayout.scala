@@ -162,6 +162,85 @@ object StorageLayout {
     * mid-swap leaves either the original or the verified compacted
     * directory plus debris directories that a re-run clears.
     */
+  /** Delete report: parquet data files in the table, how many
+    * contained matches (and were rewritten), rows before, rows
+    * deleted.
+    */
+  final case class DeleteReport(
+      filesTotal: Long, filesRewritten: Long,
+      rowsBefore: Long, rowsDeleted: Long)
+
+  /** Delete-where table maintenance (GDPR erasure, TTL retention):
+    * rewrite the directory at `path` without the rows matching
+    * `predicate`, with rewrite IO proportional to the files that
+    * actually CONTAIN a match — one bounded job groups matches by
+    * `_metadata.file_path` (#files rows, never data rows), matched
+    * files are re-read and filtered, untouched files are hard-linked
+    * (copy fallback) into the new directory unread. Swap is the
+    * [[compactSmallFiles]] ledger-first discipline: build tmp, verify
+    * the row accounting, hop the old directory aside, move tmp into
+    * place — no delete-before-replace window. A predicate matching
+    * nothing is a metadata-only no-op.
+    *
+    * At 100 TB this is the Delta/Iceberg DELETE shape minus the
+    * manifest: clustering the table on the delete key first
+    * ([[writeRangeClustered]]) is what keeps the touched-file set —
+    * and therefore the rewrite — small.
+    */
+  def deleteWhere(
+      spark: SparkSession, path: String, predicate: Column): DeleteReport = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val dataFiles = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq
+    val df = spark.read.parquet(path)
+    val rowsBefore = df.count()
+    // one bounded job: matched rows per containing file (#files rows)
+    val perFile = df.where(predicate)
+      .groupBy(col("_metadata.file_path").as("_sl_f"))
+      .agg(count(lit(1)).as("_sl_n")).collect()
+    val rowsDeleted = perFile.map(_.getLong(1)).sum
+    if (perFile.isEmpty)
+      return DeleteReport(dataFiles.size.toLong, 0L, rowsBefore, 0L)
+    // a predicate matching EVERYTHING is almost always a bug, and an
+    // all-rows-deleted parquet directory would not read back (no part
+    // file carries the schema) — refuse, like the k-anonymity
+    // safe-by-default rule
+    require(rowsDeleted < rowsBefore,
+      s"deleteWhere: predicate matches all $rowsBefore rows — refusing; " +
+        "drop the directory instead")
+    // compare by basename: _metadata.file_path and listStatus render
+    // the same file with different URI schemes
+    val touchedNames = perFile
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    val (touched, untouched) =
+      dataFiles.partition(f => touchedNames.contains(f.getName))
+    val tmp = new org.apache.hadoop.fs.Path(path + ".delete.tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(touched.map(_.toString): _*)
+      .where(!predicate)
+      .write.mode("overwrite").parquet(tmp.toString)
+    untouched.foreach { f =>
+      val dst = new org.apache.hadoop.fs.Path(tmp, f.getName)
+      val srcFile = java.nio.file.Paths.get(f.toUri.getPath)
+      val dstFile = java.nio.file.Paths.get(dst.toUri.getPath)
+      try java.nio.file.Files.createLink(dstFile, srcFile)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, dst, false, hconf)
+      }
+    }
+    val tmpRows = spark.read.parquet(tmp.toString).count()
+    require(tmpRows == rowsBefore - rowsDeleted,
+      s"deleteWhere: tmp has $tmpRows rows, want ${rowsBefore - rowsDeleted} — aborting swap")
+    require(fs.rename(p, old), s"deleteWhere: could not hop $path aside")
+    require(fs.rename(tmp, p), s"deleteWhere: could not move tmp into $path")
+    fs.delete(old, true)
+    DeleteReport(dataFiles.size.toLong, touched.size.toLong, rowsBefore, rowsDeleted)
+  }
+
   def compactSmallFiles(
       spark: SparkSession, path: String, targetRowsPerFile: Long): CompactReport = {
     require(targetRowsPerFile > 0, "compactSmallFiles: target must be positive")

@@ -160,6 +160,27 @@ object PipelineQueries {
     }),
 
 
+    // file-granular delete-where (round-11): documents written
+    // range-clustered on n_chars, then the short tail deleted — the
+    // rewrite touches only the files containing matches (spec pins
+    // that), the swap is ledger-first. Result-transparent: oracle is
+    // the plain survivor aggregate over the base table
+    "q180_delete_where" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-dw-docs-$sfx")
+      graft.operators.StorageLayout.writeRangeClustered(
+        table(s, dir, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars")),
+        path, "n_chars", numFiles = 8)
+      graft.operators.StorageLayout.deleteWhere(
+        s, path, col("n_chars") < 150L)
+      s.read.parquet(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"))
+    }),
+
+
     // filter-funnel accounting (round-11): four quality gates in
     // pipeline order, ONE pass — per gate the unconditional fail
     // count, the first-fail waterfall attribution, the marginal
@@ -812,6 +833,14 @@ object PipelineQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // q180: delete is result-transparent — survivors' aggregate
+    "q180_delete_where" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS min_chars
+        |FROM documents WHERE NOT (n_chars < 150)
+        |GROUP BY lang""".stripMargin,
 
 
     // q174/q178: shared funnel oracle (see funnelOracleSql)

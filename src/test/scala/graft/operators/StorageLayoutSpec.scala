@@ -173,4 +173,38 @@ class StorageLayoutSpec extends GraftSparkSpec {
     val rep2 = StorageLayout.compactSmallFiles(spark, path, targetRowsPerFile = 1000L)
     assert(rep2.filesAfter === 5L && rep2.rows === 5000L)
   }
+
+  test("deleteWhere: rewrite touches only files containing matches") {
+    val path = graft.SparkEntry.perProcessTmpDir("graft-spec-delete")
+    val data = (0L until 20000L).map(i => (i, s"v$i")).toDF("id", "v")
+    // range-clustered on the delete key: matches land in few files
+    StorageLayout.writeRangeClustered(data, path, "id", numFiles = 10)
+    val rep = StorageLayout.deleteWhere(spark, path, col("id") < 3000L)
+    assert(rep.rowsBefore === 20000L && rep.rowsDeleted === 3000L)
+    assert(rep.filesTotal === 10L)
+    assert(rep.filesRewritten <= 3L,
+      s"clustered delete should touch few files, rewrote ${rep.filesRewritten}")
+    val after = spark.read.parquet(path)
+    assert(after.count() === 17000L)
+    assert(after.filter($"id" < 3000L).count() === 0L)
+    assert(after.agg(sum("id")).head.getLong(0) ===
+      data.filter($"id" >= 3000L).agg(sum("id")).head.getLong(0))
+    assert(!new java.io.File(path + ".delete.tmp").exists())
+    assert(!new java.io.File(path + ".old").exists())
+  }
+
+  test("deleteWhere: no-match no-op; all-match refused") {
+    val path = graft.SparkEntry.perProcessTmpDir("graft-spec-delete-edge")
+    val data = (0L until 100L).map(i => (i, i * 2)).toDF("id", "w")
+    data.repartition(4).write.mode("overwrite").parquet(path)
+    val before = spark.read.parquet(path).inputFiles.sorted.toSeq
+    val rep = StorageLayout.deleteWhere(spark, path, col("id") < 0L)
+    assert(rep.filesRewritten === 0L && rep.rowsDeleted === 0L)
+    assert(spark.read.parquet(path).inputFiles.sorted.toSeq === before,
+      "no-match delete must not touch any file")
+    intercept[IllegalArgumentException] {
+      StorageLayout.deleteWhere(spark, path, col("id") >= 0L)
+    }
+    assert(spark.read.parquet(path).count() === 100L, "refused delete must not mutate")
+  }
 }
