@@ -623,4 +623,22 @@ object StreamingOps {
       // form rollup cubes max-merge (q139's aggregate twin)
       graft.operators.Hll.hll(
         graft.operators.DistinctSketch.hash60(col(termCol))).as("hll_sketch"))
+
+  /** Streaming filter-funnel — q174's gate accounting over a live
+    * ingest. Gate flags and the first-fail/fail-count derivations are
+    * row-local projections, so the whole report is ONE streaming
+    * aggregation whose state is the 4·#gates counters (no watermark —
+    * the state is the fixed-size summary, never row history; run in
+    * complete output mode). Counted sums are commutative, so after
+    * any stream prefix the report is IDENTICAL to
+    * [[graft.operators.Funnel.report]] over that prefix — the
+    * corpusStats mergeability argument, pinned in StreamingOpsSpec.
+    * The projection/aggregation chain is streaming-compatible as
+    * written, so this IS the batch operator applied to a streaming
+    * frame; the alias exists to document and pin that contract.
+    */
+  def funnelIngest(
+      rows: DataFrame,
+      gates: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    graft.operators.Funnel.report(rows, gates)
 }

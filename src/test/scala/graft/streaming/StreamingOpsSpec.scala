@@ -605,4 +605,39 @@ class StreamingOpsSpec extends GraftSparkSpec {
       assert(got.forall(_._4 > 0.0))
     } finally q.stop()
   }
+
+  test("streaming funnel equals the batch report after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Option[Int], Option[Int])]
+    val rows = input.toDF().toDF("id", "a", "b")
+    val gates = Seq(
+      "gateA" -> (col("a") > 0), "gateB" -> (col("b") > 0))
+
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select("gate", "n_rows", "n_fail", "n_first_fail",
+          "n_unique_fail", "n_survive")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+
+    def batchTwin(data: Seq[(Long, Option[Int], Option[Int])]) =
+      proj(graft.operators.Funnel.report(data.toDF("id", "a", "b"), gates))
+
+    val q = StreamingOps.funnelIngest(rows, gates)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("funnel_out").start()
+    try {
+      val b1 = Seq((1L, Option(5), Option(5)), (2L, Option(0), Option(5)),
+        (3L, Option(5), Option(0)))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(proj(spark.table("funnel_out")) === batchTwin(b1), "after batch 1")
+
+      val b2 = Seq((4L, Option(0), Option(0)),
+        (5L, Option.empty[Int], Option(5)))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(proj(spark.table("funnel_out")) === batchTwin(b1 ++ b2),
+        "after batch 2 (null-escape row included)")
+    } finally q.stop()
+  }
 }
