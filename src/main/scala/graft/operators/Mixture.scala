@@ -115,4 +115,63 @@ object Mixture {
     df.select(idCol.as("id"), strataCol.as("stratum"), explode(idxs).as("epoch"))
       .select(col("id"), col("stratum"), col("epoch").cast("long").as("epoch"))
   }
+
+  /** Water-filling budget allocation WITHOUT repetition — the other
+    * half of mixture planning: [[temperatureMix]] repeats data to hit
+    * target shares; this answers "how much can I actually take from
+    * each source" when repetition is off the table. Given per-stratum
+    * availability `a_i`, target weight `w_i`, and a total budget `B`,
+    * allocate `min(a_i, λ·w_i)` with λ chosen so allocations sum to
+    * B: strata that run dry are capped at their availability and
+    * their unused share redistributes to the rest — the classic
+    * water-filling solution, computed in closed form over the SORTED
+    * (by `a_i/w_i`, the saturation order) strata frame.
+    *
+    * Exactness contract: saturation tests and the final proportional
+    * shares are pure integer arithmetic
+    * (`a_k · wSuffix ≤ (B − satPrefix) · w_k`, floor-DIV shares); the
+    * one double is the SORT key `a_i/w_i` (one IEEE division, ties
+    * broken by stratum), so the DuckDB oracle replays the whole plan
+    * bit-for-bit. Saturation is prefix-closed in this order, so the
+    * per-row window test is globally consistent (unsat at k forces
+    * unsat at k+1 — the standard water-filling argument).
+    *
+    * 100 TB shape: runs on the per-stratum TOTALS frame (#strata
+    * rows); the unpartitioned windows are bounded by construction.
+    * Allocation floors may leave `B − Σalloc < #unsat strata` tokens
+    * unassigned — reported, never silently re-spread.
+    */
+  def waterFill(
+      totals: DataFrame,
+      stratumCol: String,
+      availCol: String,
+      weightCol: String,
+      budget: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy(col("_mx_ratio"), col(stratumCol))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    totals.select(
+      col(stratumCol),
+      col(availCol).cast("long").as("avail"),
+      col(weightCol).cast("long").as("wgt"),
+      budget.cast("long").as("_mx_b"))
+      .withColumn("_mx_ratio", col("avail").cast("double") / col("wgt"))
+      .withColumn("_mx_satprefix", coalesce(
+        sum(col("avail")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("_mx_wsuffix",
+        sum(col("wgt")).over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("saturated",
+        col("avail") * col("_mx_wsuffix") <=
+          (col("_mx_b") - col("_mx_satprefix")) * col("wgt"))
+      .withColumn("_mx_sattotal",
+        sum(when(col("saturated"), col("avail")).otherwise(0L)).over(wAll))
+      .withColumn("_mx_wu",
+        sum(when(!col("saturated"), col("wgt")).otherwise(0L)).over(wAll))
+      .withColumn("allocated",
+        when(col("saturated"), col("avail"))
+          .otherwise(expr("wgt * (_mx_b - _mx_sattotal) DIV _mx_wu")))
+      .select(col(stratumCol), col("wgt"), col("avail"),
+        col("allocated"), col("saturated"))
+  }
 }

@@ -160,6 +160,24 @@ object PipelineQueries {
     }),
 
 
+    // water-filling mixture allocation (round-11): how many chars to
+    // take per lang toward a half-corpus budget under skewed target
+    // weights (zh 8x) WITHOUT repeating data — strata that run dry cap
+    // at availability, surplus redistributes. Integer saturation tests
+    // and floor-DIV shares; the one double is the sort key, replayed
+    // identically by the oracle
+    "q181_water_fill" -> ((s, dir) => {
+      val totals = table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("avail"))
+        .withColumn("wgt", when(col("lang") === "zh", 8L).otherwise(1L))
+      val b = totals.agg(sum(col("avail")).as("_tot"))
+        .select(expr("_tot DIV 2").as("_mxb"))
+      graft.operators.Mixture.waterFill(
+        totals.crossJoin(broadcast(b)), "lang", "avail", "wgt", col("_mxb"))
+    }),
+
+
     // file-granular delete-where (round-11): documents written
     // range-clustered on n_chars, then the short tail deleted — the
     // rewrite touches only the files containing matches (spec pins
@@ -833,6 +851,37 @@ object PipelineQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // q181: the water-filling plan replayed — same sort key (one IEEE
+    // division), same integer saturation test, same floor-DIV shares
+    "q181_water_fill" ->
+      """WITH tot AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail,
+        |    CAST(CASE WHEN lang = 'zh' THEN 8 ELSE 1 END AS BIGINT) AS wgt
+        |  FROM documents GROUP BY lang),
+        |b AS (SELECT CAST(sum(avail) // 2 AS BIGINT) AS bud FROM tot),
+        |ord AS (
+        |  SELECT t.*, b.bud,
+        |    coalesce(sum(avail) OVER (ORDER BY avail * 1.0 / wgt, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS satprefix,
+        |    sum(wgt) OVER (ORDER BY avail * 1.0 / wgt, lang
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wsuffix
+        |  FROM tot t, b),
+        |f AS (
+        |  SELECT *,
+        |    (avail * wsuffix <= (bud - satprefix) * wgt) AS saturated
+        |  FROM ord),
+        |g AS (
+        |  SELECT *,
+        |    sum(CASE WHEN saturated THEN avail ELSE 0 END) OVER () AS sattotal,
+        |    sum(CASE WHEN saturated THEN 0 ELSE wgt END) OVER () AS wu
+        |  FROM f)
+        |SELECT lang, wgt, avail,
+        |  CAST(CASE WHEN saturated THEN avail
+        |       ELSE wgt * (bud - sattotal) // wu END AS BIGINT) AS allocated,
+        |  saturated
+        |FROM g""".stripMargin,
 
     // q180: delete is result-transparent — survivors' aggregate
     "q180_delete_where" ->

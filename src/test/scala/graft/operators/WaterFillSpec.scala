@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+/** Pins [[Mixture.waterFill]]: saturation order, cap-at-availability,
+  * proportional floor-DIV redistribution, and the two degenerate
+  * regimes (budget below every saturation point; budget above total
+  * availability).
+  */
+class WaterFillSpec extends GraftSparkSpec {
+
+  import spark.implicits._
+
+  // strata: A(avail 10, w 1)  C(avail 100, w 2)  B(avail 100, w 1)
+  // saturation order by avail/w: A(10) < C(50) < B(100)
+  private val totals = Seq(
+    ("A", 10L, 1L), ("B", 100L, 1L), ("C", 100L, 2L))
+    .toDF("stratum", "avail", "wgt")
+
+  private def plan(budget: Long): Map[String, (Long, Boolean)] =
+    Mixture.waterFill(totals, "stratum", "avail", "wgt", lit(budget))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+
+  test("mid budget: A saturates, surplus redistributes by weight") {
+    // B=110: A caps at 10; remaining 100 over weights C:2 B:1
+    val p = plan(110L)
+    assert(p("A") === ((10L, true)))
+    assert(p("C") === ((66L, false))) // 2 * 100 DIV 3
+    assert(p("B") === ((33L, false))) // 1 * 100 DIV 3
+    // floors never overshoot and leave < #unsat strata unassigned
+    assert(p.values.map(_._1).sum <= 110L)
+    assert(110L - p.values.map(_._1).sum < 3L)
+  }
+
+  test("small budget: nobody saturates, pure proportional shares") {
+    val p = plan(30L)
+    assert(p.values.forall(!_._2))
+    assert(p("A") === ((7L, false)) && p("B") === ((7L, false)) &&
+      p("C") === ((15L, false)))
+  }
+
+  test("budget above total availability: everyone capped") {
+    val p = plan(1000L)
+    assert(p("A") === ((10L, true)) && p("B") === ((100L, true)) &&
+      p("C") === ((100L, true)))
+  }
+
+  test("allocation never exceeds availability at any budget") {
+    for (b <- Seq(1L, 15L, 55L, 150L, 209L, 210L, 211L)) {
+      val p = plan(b)
+      assert(p("A")._1 <= 10L && p("B")._1 <= 100L && p("C")._1 <= 100L, s"budget $b")
+      assert(p.values.map(_._1).sum <= b || p.values.map(_._1).sum === 210L, s"budget $b")
+    }
+  }
+}
