@@ -160,6 +160,36 @@ object PipelineQueries {
     }),
 
 
+    // versioned-table time travel (round-11): documents committed as
+    // table v1, a delete committed as v2 (untouched files carry over
+    // by NAME, zero rewrite IO), then ONE report reads BOTH versions —
+    // the audit a curation team runs after a retention pass. The log
+    // layer is result-transparent: the oracle computes both versions
+    // from the base table
+    "q182_time_travel" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlog-docs-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      graft.operators.TableLog.create(s, path,
+        table(s, dir, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars")))
+      graft.operators.TableLog.deleteWhere(s, path, col("n_chars") < 150L)
+      val v1 = graft.operators.TableLog.read(s, path, Some(1L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_v1"), sum(col("n_chars")).as("chars_v1"))
+      val v2 = graft.operators.TableLog.read(s, path, Some(2L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("_n2"), sum(col("n_chars")).as("_c2"))
+      // left join from v1 (every lang exists pre-delete): a lang whose
+      // docs ALL fall to the retention pass reports 0, not a lost row
+      v1.join(v2, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs_v1"), col("chars_v1"),
+          coalesce(col("_n2"), lit(0L)).as("n_docs_v2"),
+          coalesce(col("_c2"), lit(0L)).as("chars_v2"))
+    }),
+
+
     // water-filling mixture allocation (round-11): how many chars to
     // take per lang toward a half-corpus budget under skewed target
     // weights (zh 8x) WITHOUT repeating data — strata that run dry cap
@@ -850,6 +880,18 @@ object PipelineQueries {
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // q182: both versions recomputed from the base table (the log
+    // layer must be result-transparent)
+    "q182_time_travel" ->
+      """SELECT lang,
+        |  count(*) AS n_docs_v1,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_v1,
+        |  CAST(sum(CASE WHEN NOT (n_chars < 150) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs_v2,
+        |  CAST(sum(CASE WHEN NOT (n_chars < 150) THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS chars_v2
         |FROM documents GROUP BY lang""".stripMargin,
 
     // q181: the water-filling plan replayed — same sort key (one IEEE

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+/** Pins [[TableLog]]: atomic versions (create/append/delete/compact),
+  * time travel, zero-IO carry-over of untouched files on delete,
+  * vacuum retention, crash-orphan invisibility, and the
+  * empty-manifest refusal.
+  */
+class TableLogSpec extends GraftSparkSpec {
+
+  import spark.implicits._
+
+  private def freshPath(stem: String): String = {
+    val p = graft.SparkEntry.perProcessTmpDir(stem)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    p
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("create / append / delete / compact as versions, all time-travelable") {
+    val path = freshPath("graft-spec-tlog")
+    val b1 = (0L until 1000L).map(i => (i, i % 7)).toDF("id", "g")
+    val b2 = (1000L until 1500L).map(i => (i, i % 7)).toDF("id", "g")
+
+    assert(TableLog.create(spark, path, b1.repartition(4)) === 1L)
+    assert(rows(TableLog.read(spark, path)) === rows(b1))
+
+    assert(TableLog.append(spark, path, b2.repartition(2)) === 2L)
+    assert(rows(TableLog.read(spark, path)) === rows(b1.union(b2)))
+    assert(rows(TableLog.read(spark, path, Some(1L))) === rows(b1), "v1 intact")
+
+    assert(TableLog.deleteWhere(spark, path, col("id") >= 1200L) === 3L)
+    assert(rows(TableLog.read(spark, path)) ===
+      rows(b1.union(b2).filter($"id" < 1200L)))
+    assert(rows(TableLog.read(spark, path, Some(2L))) === rows(b1.union(b2)),
+      "v2 intact after delete")
+
+    assert(TableLog.compact(spark, path, targetRowsPerFile = 600L) === 4L)
+    assert(rows(TableLog.read(spark, path)) ===
+      rows(b1.union(b2).filter($"id" < 1200L)))
+    assert(TableLog.read(spark, path).inputFiles.length <
+      TableLog.read(spark, path, Some(3L)).inputFiles.length)
+
+    assert(TableLog.versions(spark, path) === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("delete carries untouched files over by name — zero rewrite IO") {
+    val path = freshPath("graft-spec-tlog-del")
+    val data = (0L until 2000L).map(i => (i, s"p$i")).toDF("id", "p")
+    // range-clustered create: matches land in one file
+    TableLog.create(spark, path,
+      data.repartitionByRange(4, $"id").sortWithinPartitions("id"))
+    val v1Files = TableLog.read(spark, path, Some(1L)).inputFiles.map(
+      f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    TableLog.deleteWhere(spark, path, col("id") < 300L)
+    val v2Files = TableLog.read(spark, path, Some(2L)).inputFiles.map(
+      f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    // 3 of the 4 original files carried over untouched
+    assert((v1Files intersect v2Files).size === 3,
+      s"expected 3 carried files, got ${(v1Files intersect v2Files).size}")
+    assert(TableLog.read(spark, path).count() === 1700L)
+  }
+
+  test("vacuum drops unreferenced files and expired manifests; orphans invisible") {
+    val path = freshPath("graft-spec-tlog-vac")
+    val data = (0L until 500L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, data.repartition(4))
+    TableLog.compact(spark, path, 500L) // v2: one file
+    TableLog.deleteWhere(spark, path, col("id") < 100L) // v3
+
+    // a crashed commit's debris: orphan data file + scratch dir
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(s"$path/data/orphan.parquet")
+    data.limit(10).coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_scratch_crashed")
+    fs.create(orphan, true).close()
+    assert(TableLog.read(spark, path).count() === 400L,
+      "orphans must be invisible to reads")
+
+    TableLog.vacuum(spark, path, keepVersions = 2)
+    assert(TableLog.versions(spark, path) === Seq(2L, 3L))
+    assert(!fs.exists(orphan), "vacuum must drop orphans")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_scratch_crashed")))
+    assert(TableLog.read(spark, path, Some(2L)).count() === 500L)
+    assert(TableLog.read(spark, path).count() === 400L)
+    intercept[IllegalArgumentException] {
+      TableLog.read(spark, path, Some(1L))
+    }
+  }
+
+  test("refusals: existing table on create, empty manifest on delete-all") {
+    val path = freshPath("graft-spec-tlog-ref")
+    val data = (0L until 50L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, data)
+    intercept[IllegalArgumentException] {
+      TableLog.create(spark, path, data)
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.deleteWhere(spark, path, col("id") >= 0L)
+    }
+    assert(TableLog.read(spark, path).count() === 50L, "refused delete must not mutate")
+  }
+}
