@@ -160,6 +160,34 @@ object PipelineQueries {
     }),
 
 
+    // funnel trend across snapshots (round-11; q174 × q85): the same
+    // four gates run on the previous and current corpus snapshots
+    // (q85's derivations: old drops %89 and carries "v1 "-prefixed
+    // texts for %13, new drops %97), joined per gate with signed
+    // deltas — the release-over-release gate-drift report
+    "q183_funnel_trend" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 89 =!= 0)
+        .select(when(col("doc_id") % 13 === 0,
+          concat(lit("v1 "), coalesce(col("text"), lit(""))))
+          .otherwise(col("text")).as("text"))
+      val newSnap = docs.filter(col("doc_id") % 97 =!= 0).select(col("text"))
+      val (so, go) = funnelScoredFrame(oldSnap, Seq.empty)
+      val (sn, gn) = funnelScoredFrame(newSnap, Seq.empty)
+      val fo = graft.operators.Funnel.report(so, go)
+        .select(col("gate_ord"), col("gate"),
+          col("n_rows").as("old_rows"), col("n_fail").as("old_fail"),
+          col("n_survive").as("old_survive"))
+      val fn = graft.operators.Funnel.report(sn, gn)
+        .select(col("gate_ord"), col("gate"),
+          col("n_rows").as("new_rows"), col("n_fail").as("new_fail"),
+          col("n_survive").as("new_survive"))
+      fo.join(fn, Seq("gate_ord", "gate"))
+        .withColumn("d_fail", col("new_fail") - col("old_fail"))
+        .withColumn("d_survive", col("new_survive") - col("old_survive"))
+    }),
+
+
     // versioned-table time travel (round-11): documents committed as
     // table v1, a delete committed as v2 (untouched files carry over
     // by NAME, zero rewrite IO), then ONE report reads BOTH versions —
@@ -750,7 +778,9 @@ object PipelineQueries {
     * then the waterfall/marginal/retention counts re-derived per gate
     * — optionally per segment column — and stacked by UNION ALL.
     */
-  private def funnelOracleSql(segment: Option[String]): String = {
+  private def funnelOracleSql(
+      segment: Option[String],
+      fromSql: String = "SELECT * FROM documents"): String = {
     val en = graft.textops.TextAnalysis.stopwords("en")
       .map(w => s"'$w'").mkString("[", ", ", "]")
     val segSel = segment.map(s => s"$s, ").getOrElse("")
@@ -782,7 +812,7 @@ object PipelineQueries {
        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
        |      AS BIGINT) AS alpha,
        |    greatest(CAST(length(text) AS BIGINT), 1) AS chars
-       |  FROM documents),
+       |  FROM ($fromSql)),
        |g AS (
        |  SELECT $segSel
        |    coalesce(lt >= 200, false) AS g0,
@@ -811,8 +841,15 @@ object PipelineQueries {
       s: org.apache.spark.sql.SparkSession, dir: String,
       extraCols: Seq[org.apache.spark.sql.Column])
       : (org.apache.spark.sql.DataFrame,
+         Seq[(String, org.apache.spark.sql.Column)]) =
+    funnelScoredFrame(table(s, dir, "documents"), extraCols)
+
+  /** [[funnelScored]] over an arbitrary docs frame (q183 snapshots). */
+  private def funnelScoredFrame(
+      docs: org.apache.spark.sql.DataFrame,
+      extraCols: Seq[org.apache.spark.sql.Column])
+      : (org.apache.spark.sql.DataFrame,
          Seq[(String, org.apache.spark.sql.Column)]) = {
-    val docs = table(s, dir, "documents")
     val toksLow = graft.textops.TextAnalysis.tokens(lower(col("text")))
     val scored = docs.select(extraCols ++ Seq(
       length(trim(col("text"))).cast("long").as("_fu_len"),
@@ -881,6 +918,27 @@ object PipelineQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // q183: two funnel replays (parameterized snapshot sources) joined
+    // per gate
+    "q183_funnel_trend" -> {
+      val oldFrom =
+        """SELECT doc_id, CASE WHEN doc_id % 13 = 0
+          |  THEN 'v1 ' || coalesce(text, '') ELSE text END AS text
+          |FROM documents WHERE doc_id % 89 <> 0""".stripMargin
+      val newFrom =
+        "SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0"
+      s"""SELECT o.gate_ord, o.gate,
+         |  o.n_rows AS old_rows, o.n_fail AS old_fail,
+         |  o.n_survive AS old_survive,
+         |  n.n_rows AS new_rows, n.n_fail AS new_fail,
+         |  n.n_survive AS new_survive,
+         |  (n.n_fail - o.n_fail) AS d_fail,
+         |  (n.n_survive - o.n_survive) AS d_survive
+         |FROM (${funnelOracleSql(None, oldFrom)}) o
+         |JOIN (${funnelOracleSql(None, newFrom)}) n
+         |  USING (gate_ord, gate)""".stripMargin
+    },
 
     // q182: both versions recomputed from the base table (the log
     // layer must be result-transparent)
