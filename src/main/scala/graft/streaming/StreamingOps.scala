@@ -624,6 +624,77 @@ object StreamingOps {
       graft.operators.Hll.hll(
         graft.operators.DistinctSketch.hash60(col(termCol))).as("hll_sketch"))
 
+  /** Bootstrap the vector store + IVF index that [[annIngest]] grows:
+    * fit the quantizer on the bootstrap corpus, persist centroids +
+    * assignments ([[graft.vector.Ivf.writeIndex]]) and the vectors
+    * themselves under `<dir>/vectors.parquet`. The quantizer is FIXED
+    * from here on (the appendToIndex contract); re-train by
+    * re-bootstrapping when drift warrants it.
+    */
+  def annIngestInit(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nlist: Int): Unit = {
+    val centroids = graft.vector.Ivf.fitCentroids(corpus, vecCol, nlist)
+    graft.vector.Ivf.writeIndex(corpus, idCol, vecCol, dir, centroids)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .write.mode("overwrite").parquet(s"$dir/vectors.parquet")
+  }
+
+  /** Streaming ANN ingestion — the vector twin of [[dedupIngest]]:
+    * each micro-batch drops ids the index already holds (replay
+    * protection), delivers the survivors to `sink`, appends their
+    * vectors to the store and their cell assignments to the persisted
+    * IVF index — the NEXT batch (and any [[annIngestSearch]]) sees
+    * them. Streaming STATE is empty; the corpus lives on disk bounded
+    * by data, not the state store.
+    *
+    * Failure/replay ordering: sink FIRST (at-least-once with an
+    * idempotent sink, the dedupIngest contract), then vectors —
+    * idempotently, via an id anti-join against the store — then the
+    * assignment append. A crash after the vectors write replays into
+    * a re-sink + skipped vector append + assignment append; there is
+    * no order in which a replayed id double-lands in either store.
+    */
+  def annIngest(
+      vecs: DataFrame, idCol: String, vecCol: String, dir: String,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // EAGER pin: the survivors plan anti-joins the index, and the
+        // appends below MUTATE it (the dedupIngest rationale)
+        val pinned = batch.toDF().localCheckpoint(true)
+        try {
+          val known = spark.read.parquet(s"$dir/cells.parquet")
+            .select(col("id").as("_an_known"))
+          val fresh = pinned.join(
+            known, pinned(idCol) === col("_an_known"), "left_anti")
+            .localCheckpoint(true)
+          try {
+            sink(fresh, batchId)
+            val stored = spark.read.parquet(s"$dir/vectors.parquet")
+              .select(col("id").as("_an_stored"))
+            fresh.select(col(idCol).as("id"), col(vecCol).as("vec"))
+              .join(stored, col("id") === col("_an_stored"), "left_anti")
+              .write.mode("append").parquet(s"$dir/vectors.parquet")
+            graft.vector.Ivf.appendToIndex(fresh, idCol, vecCol, dir)
+          } finally { fresh.unpersist(); () }
+        } finally { pinned.unpersist(); () }
+        ()
+    }
+
+  /** Search the [[annIngest]]-grown index: the persisted-index path
+    * over the persisted vector store.
+    */
+  def annIngestSearch(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nprobe: Int = 4): DataFrame =
+    graft.vector.Ivf.searchIndex(
+      spark.read.parquet(s"$dir/vectors.parquet"), "id", "vec",
+      queries, qidCol, qvecCol, dir, k, nprobe)
+
   /** Streaming filter-funnel — q174's gate accounting over a live
     * ingest. Gate flags and the first-fail/fail-count derivations are
     * row-local projections, so the whole report is ONE streaming

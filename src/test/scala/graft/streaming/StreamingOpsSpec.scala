@@ -606,6 +606,54 @@ class StreamingOpsSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest: append-grown index ≡ rebuilt index; replays dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Long): Seq[Double] =
+      Seq.tabulate(8)(j => if (j == (i % 8).toInt) 1.0 else 0.01 * ((i + j) % 5))
+    val dir = graft.SparkEntry.perProcessTmpDir("graft-spec-ann-ingest")
+    val bootstrap = (0L until 50L).map(i => (i, vec(i))).toDF("vid", "emb")
+    StreamingOps.annIngestInit(bootstrap, "vid", "emb", dir, nlist = 4)
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val vecs = input.toDF().toDF("vid", "emb")
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingOps.annIngest(vecs, "vid", "emb", dir,
+      (df, _) => { sunk ++= df.select("vid").collect().map(_.getLong(0)); () })
+      .option("checkpointLocation",
+        graft.SparkEntry.perProcessTmpDir("graft-spec-ann-ingest-ckpt"))
+      .start()
+    try {
+      val b1 = (50L until 70L).map(i => (i, vec(i)))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(sunk.sorted == (50L until 70L).toSeq, "batch 1 delivered")
+
+      // replay protection: same ids again -> dropped, stores unchanged
+      input.addData(b1.map { case (i, _) => (i, vec(i + 1)) }: _*)
+      q.processAllAvailable()
+      assert(sunk.size === 20, "replayed ids must not re-deliver")
+      assert(spark.read.parquet(s"$dir/vectors.parquet").count() === 70L)
+
+      val b2 = (70L until 80L).map(i => (i, vec(i)))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+
+      // append-grown ≡ rebuilt with the same saved quantizer
+      val queries = Seq((1000L, vec(3)), (1001L, vec(11))).toDF("qid", "qv")
+      val grown = StreamingOps.annIngestSearch(
+        spark, dir, queries, "qid", "qv", k = 5, nprobe = 2)
+      val union = bootstrap.union(
+        (b1 ++ b2).toDF("vid", "emb"))
+      val rebuilt = graft.SparkEntry.perProcessTmpDir("graft-spec-ann-rebuilt")
+      graft.vector.Ivf.writeIndex(union, "vid", "emb", rebuilt,
+        graft.vector.Ivf.loadCentroids(spark, dir))
+      val expect = graft.vector.Ivf.searchIndex(
+        union, "vid", "emb", queries, "qid", "qv", rebuilt, k = 5, nprobe = 2)
+      assert(grown.collect().map(_.toSeq).toSet ===
+        expect.collect().map(_.toSeq).toSet)
+    } finally q.stop()
+  }
+
   test("streaming funnel equals the batch report after every prefix") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Option[Int], Option[Int])]
