@@ -162,6 +162,42 @@ object StorageLayout {
     * mid-swap leaves either the original or the verified compacted
     * directory plus debris directories that a re-run clears.
     */
+  /** Layout advisor — turns a [[TableProfile.profile]] report into
+    * clustering recommendations, closing the loop between the stats
+    * pass and the physical-design writers above. Deterministic
+    * integer/string rules (oracle-replayable):
+    *
+    *  - `partition`: 1 < n_distinct ≤ maxPartitions and zero nulls —
+    *    a directory per value stays cheap and prunes files outright
+    *    ([[writePartitioned]]);
+    *  - `range_cluster`: the highest-cardinality remaining column —
+    *    the best row-group-skip payoff per sort
+    *    ([[writeRangeClustered]]);
+    *  - `zorder_with`: the runner-up — pair it with the first via
+    *    [[writeZOrdered]] when the workload filters both;
+    *  - `none`: everything else.
+    *
+    * Ranking ties break by column name. The advisor sees only the
+    * #columns-row profile frame; at 100 TB the expensive part is the
+    * profile (one pass), not this.
+    */
+  def adviseLayout(profile: DataFrame, maxPartitions: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isPart = col("n_distinct") > 1L &&
+      col("n_distinct") <= maxPartitions && col("n_null") === 0L
+    val w = Window.partitionBy(col("_sl_part"))
+      .orderBy(col("n_distinct").desc, col("col_name"))
+    profile
+      .withColumn("_sl_part", isPart)
+      .withColumn("_sl_rank", row_number().over(w))
+      .withColumn("role",
+        when(col("_sl_part"), lit("partition"))
+          .when(col("_sl_rank") === 1, lit("range_cluster"))
+          .when(col("_sl_rank") === 2, lit("zorder_with"))
+          .otherwise(lit("none")))
+      .select(col("col_name"), col("n_distinct"), col("n_null"), col("role"))
+  }
+
   /** Delete report: parquet data files in the table, how many
     * contained matches (and were rewritten), rows before, rows
     * deleted.

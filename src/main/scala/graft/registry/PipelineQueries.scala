@@ -160,6 +160,19 @@ object PipelineQueries {
     }),
 
 
+    // layout advisor (round-11): the q179 profile fed through
+    // deterministic partition/cluster/zorder selection rules — the
+    // stats→physical-design loop closed (lang/source become directory
+    // partitions, the highest-cardinality column range-clusters, the
+    // runner-up pairs into a z-order)
+    "q184_layout_advisor" -> ((s, dir) => {
+      graft.operators.StorageLayout.adviseLayout(
+        graft.operators.TableProfile.profile(
+          table(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars", "text")))
+    }),
+
+
     // funnel trend across snapshots (round-11; q174 × q85): the same
     // four gates run on the previous and current corpus snapshots
     // (q85's derivations: old drops %89 and carries "v1 "-prefixed
@@ -873,6 +886,18 @@ object PipelineQueries {
     (scored, gates)
   }
 
+  /** q179/q184 shared oracle: per-column stats stacked by UNION ALL. */
+  private val profileOracleSql: String =
+    Seq("doc_id", "lang", "source", "n_chars", "text").map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_str,
+         |  CAST(max($c) AS VARCHAR) AS max_str
+         |FROM documents""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "")
+
   val oracleSql: Map[String, String] = Map(
 
     // q172: the layout is result-transparent — the oracle is the
@@ -999,16 +1024,24 @@ object PipelineQueries {
     // q179: per-column stats stacked by UNION ALL; exact distinct,
     // min/max rendered as strings (binary/codepoint order in both
     // engines)
-    "q179_table_profile" ->
-      Seq("doc_id", "lang", "source", "n_chars", "text").map { c =>
-        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS n_null,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  CAST(min($c) AS VARCHAR) AS min_str,
-           |  CAST(max($c) AS VARCHAR) AS max_str
-           |FROM documents""".stripMargin
-      }.mkString("\n", "\nUNION ALL\n", ""),
+    "q179_table_profile" -> profileOracleSql,
+
+    // q184: the q179 profile fed through the same deterministic
+    // partition/cluster/zorder rules (PARTITION BY the partition flag,
+    // rank by cardinality, ties by name)
+    "q184_layout_advisor" ->
+      s"""WITH p AS ($profileOracleSql),
+         |r AS (SELECT *,
+         |  (n_distinct > 1 AND n_distinct <= 20 AND n_null = 0)
+         |    AS is_part FROM p),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY is_part
+         |  ORDER BY n_distinct DESC, col_name) AS rk FROM r)
+         |SELECT col_name, n_distinct, n_null,
+         |  CASE WHEN is_part THEN 'partition'
+         |       WHEN rk = 1 THEN 'range_cluster'
+         |       WHEN rk = 2 THEN 'zorder_with'
+         |       ELSE 'none' END AS role
+         |FROM k""".stripMargin,
 
 
     // q170: per-doc integral stopword score replayed (the q21/q167

@@ -193,6 +193,20 @@ class StorageLayoutSpec extends GraftSparkSpec {
     assert(!new java.io.File(path + ".old").exists())
   }
 
+  test("adviseLayout: partition / range_cluster / zorder_with / none roles") {
+    val prof = Seq(
+      ("lang", 100L, 0L, 5L, "a", "z"),     // low-card, no nulls -> partition
+      ("id", 100L, 0L, 100L, "1", "99"),    // top cardinality -> range_cluster
+      ("score", 100L, 0L, 80L, "0", "9"),   // runner-up -> zorder_with
+      ("flag", 100L, 2L, 2L, "0", "1"),     // nulls disqualify partition -> none
+      ("const", 100L, 0L, 1L, "x", "x"))    // single value -> none
+      .toDF("col_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
+    val roles = StorageLayout.adviseLayout(prof)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(roles === Map("lang" -> "partition", "id" -> "range_cluster",
+      "score" -> "zorder_with", "flag" -> "none", "const" -> "none"))
+  }
+
   test("deleteWhere: no-match no-op; all-match refused") {
     val path = graft.SparkEntry.perProcessTmpDir("graft-spec-delete-edge")
     val data = (0L until 100L).map(i => (i, i * 2)).toDF("id", "w")
