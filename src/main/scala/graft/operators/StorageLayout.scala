@@ -177,23 +177,34 @@ object StorageLayout {
     *    [[writeZOrdered]] when the workload filters both;
     *  - `none`: everything else.
     *
-    * Ranking ties break by column name. The advisor sees only the
-    * #columns-row profile frame; at 100 TB the expensive part is the
-    * profile (one pass), not this.
+    * Cluster roles are only assigned among `clusterable` columns (the
+    * caller declares which columns order meaningfully — the profile
+    * renders min/max as strings, so it cannot tell a sortable numeric
+    * from a long text payload). Ranking ties break by column name.
+    * The advisor sees only the #columns-row profile frame; at 100 TB
+    * the expensive part is the profile (one pass), not this.
     */
-  def adviseLayout(profile: DataFrame, maxPartitions: Long = 20L): DataFrame = {
+  def adviseLayout(
+      profile: DataFrame, clusterable: Seq[String],
+      maxPartitions: Long = 20L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(clusterable.nonEmpty, "adviseLayout: declare clusterable columns")
     val isPart = col("n_distinct") > 1L &&
       col("n_distinct") <= maxPartitions && col("n_null") === 0L
-    val w = Window.partitionBy(col("_sl_part"))
+    val isClu = !isPart && col("col_name").isin(clusterable: _*)
+    val w = Window.partitionBy(col("_sl_grp"))
       .orderBy(col("n_distinct").desc, col("col_name"))
     profile
       .withColumn("_sl_part", isPart)
+      .withColumn("_sl_grp",
+        when(isPart, lit("p")).when(isClu, lit("c")).otherwise(lit("n")))
       .withColumn("_sl_rank", row_number().over(w))
       .withColumn("role",
         when(col("_sl_part"), lit("partition"))
-          .when(col("_sl_rank") === 1, lit("range_cluster"))
-          .when(col("_sl_rank") === 2, lit("zorder_with"))
+          .when(col("_sl_grp") === "c" && col("_sl_rank") === 1,
+            lit("range_cluster"))
+          .when(col("_sl_grp") === "c" && col("_sl_rank") === 2,
+            lit("zorder_with"))
           .otherwise(lit("none")))
       .select(col("col_name"), col("n_distinct"), col("n_null"), col("role"))
   }

@@ -169,7 +169,8 @@ object PipelineQueries {
       graft.operators.StorageLayout.adviseLayout(
         graft.operators.TableProfile.profile(
           table(s, dir, "documents"),
-          Seq("doc_id", "lang", "source", "n_chars", "text")))
+          Seq("doc_id", "lang", "source", "n_chars", "text")),
+        clusterable = Seq("doc_id", "n_chars"))
     }),
 
 
@@ -1034,12 +1035,16 @@ object PipelineQueries {
          |r AS (SELECT *,
          |  (n_distinct > 1 AND n_distinct <= 20 AND n_null = 0)
          |    AS is_part FROM p),
-         |k AS (SELECT *, row_number() OVER (PARTITION BY is_part
-         |  ORDER BY n_distinct DESC, col_name) AS rk FROM r)
+         |r2 AS (SELECT *,
+         |  CASE WHEN is_part THEN 'p'
+         |       WHEN col_name IN ('doc_id', 'n_chars') THEN 'c'
+         |       ELSE 'n' END AS grp FROM r),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY grp
+         |  ORDER BY n_distinct DESC, col_name) AS rk FROM r2)
          |SELECT col_name, n_distinct, n_null,
          |  CASE WHEN is_part THEN 'partition'
-         |       WHEN rk = 1 THEN 'range_cluster'
-         |       WHEN rk = 2 THEN 'zorder_with'
+         |       WHEN grp = 'c' AND rk = 1 THEN 'range_cluster'
+         |       WHEN grp = 'c' AND rk = 2 THEN 'zorder_with'
          |       ELSE 'none' END AS role
          |FROM k""".stripMargin,
 

@@ -196,15 +196,18 @@ class StorageLayoutSpec extends GraftSparkSpec {
   test("adviseLayout: partition / range_cluster / zorder_with / none roles") {
     val prof = Seq(
       ("lang", 100L, 0L, 5L, "a", "z"),     // low-card, no nulls -> partition
-      ("id", 100L, 0L, 100L, "1", "99"),    // top cardinality -> range_cluster
-      ("score", 100L, 0L, 80L, "0", "9"),   // runner-up -> zorder_with
+      ("id", 100L, 0L, 100L, "1", "99"),    // top clusterable -> range_cluster
+      ("text", 100L, 0L, 95L, "a", "z"),    // high-card but NOT clusterable -> none
+      ("score", 100L, 0L, 80L, "0", "9"),   // clusterable runner-up -> zorder_with
       ("flag", 100L, 2L, 2L, "0", "1"),     // nulls disqualify partition -> none
       ("const", 100L, 0L, 1L, "x", "x"))    // single value -> none
       .toDF("col_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
-    val roles = StorageLayout.adviseLayout(prof)
+    val roles = StorageLayout.adviseLayout(
+      prof, clusterable = Seq("id", "score", "const"))
       .collect().map(r => r.getString(0) -> r.getString(3)).toMap
     assert(roles === Map("lang" -> "partition", "id" -> "range_cluster",
-      "score" -> "zorder_with", "flag" -> "none", "const" -> "none"))
+      "text" -> "none", "score" -> "zorder_with", "flag" -> "none",
+      "const" -> "none"))
   }
 
   test("deleteWhere: no-match no-op; all-match refused") {
