@@ -97,15 +97,24 @@ object StorageLayout {
       .sortWithinPartitions(colName)
       .write.mode("overwrite").parquet(path)
 
-  /** Morton/Z value of two bucket ranks in [0, 2^bits): bit i of `a`
-    * lands at position 2i, bit i of `b` at 2i+1. Pure codegen'd
-    * shift/mask algebra.
+  /** Morton/Z value of k bucket ranks in [0, 2^bits): bit i of
+    * dimension d lands at position i·k + d. Pure codegen'd shift/mask
+    * algebra; k·bits must fit a Long.
+    */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    val k = dims.size
+    require(k >= 2, "zValueN: need at least two dimensions")
+    require(k * bits <= 62, s"zValueN: $k dims x $bits bits overflow a Long")
+    (for { i <- 0 until bits; (c, d) <- dims.zipWithIndex } yield
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + d))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Two-dimensional [[zValueN]] (bit i of `a` at 2i, of `b` at
+    * 2i+1).
     */
   def zValue(a: Column, b: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    zValueN(Seq(a, b), bits)
 
   /** Write `df` clustered on the Z-order curve over two NUMERIC
     * columns: each column is rank-bucketed into 2^bits equi-depth
@@ -123,11 +132,23 @@ object StorageLayout {
       colA: String,
       colB: String,
       numFiles: Int,
+      bits: Int = 8): Unit =
+    writeZOrderedN(df, path, Seq(colA, colB), numFiles, bits)
+
+  /** [[writeZOrdered]] over k ≥ 2 numeric columns: one cluster key
+    * serving band predicates on ANY of them. Skip selectivity per
+    * dimension degrades as k grows (each dimension owns 1/k of the
+    * key's bits) — 2–4 dims is the useful range, same as
+    * Delta/Iceberg practice.
+    */
+  def writeZOrderedN(
+      df: DataFrame,
+      path: String,
+      cols: Seq[String],
+      numFiles: Int,
       bits: Int = 8): Unit = {
-    require(bits >= 1 && bits <= 20, s"writeZOrdered: bits=$bits out of range")
-    val zv = zValue(
-      equiDepthBucket(df, colA, bits),
-      equiDepthBucket(df, colB, bits), bits)
+    require(bits >= 1 && bits <= 20, s"writeZOrderedN: bits=$bits out of range")
+    val zv = zValueN(cols.map(c => equiDepthBucket(df, c, bits)), bits)
     df.withColumn("_sl_z", zv)
       .repartitionByRange(numFiles, col("_sl_z"))
       .sortWithinPartitions("_sl_z")

@@ -160,6 +160,28 @@ object PipelineQueries {
     }),
 
 
+    // 3-dim z-order (round-11): one cluster key serving bands on any
+    // of (doc_id, n_chars, n_tokens); the query filters TWO of the
+    // three. Result-transparent; oracle is the plain filtered agg
+    // with the q173 token shape
+    "q185_zorder3" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-zo3-docs-$sfx")
+      graft.operators.StorageLayout.writeZOrderedN(
+        table(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars"),
+          graft.textops.TextAnalysis.nTokens(col("text")).cast("long")
+            .as("n_tokens")),
+        path, Seq("doc_id", "n_chars", "n_tokens"), numFiles = 8, bits = 5)
+      s.read.parquet(path)
+        .filter(col("doc_id").between(50L, 400L) &&
+          col("n_tokens").between(20L, 70L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
+
     // layout advisor (round-11): the q179 profile fed through
     // deterministic partition/cluster/zorder selection rules — the
     // stats→physical-design loop closed (lang/source become directory
@@ -944,6 +966,21 @@ object PipelineQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // q185: layout-transparent filtered aggregate (q173's token shape)
+    "q185_zorder3" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text),
+        |             '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM d
+        |WHERE doc_id BETWEEN 50 AND 400 AND n_tokens BETWEEN 20 AND 70
+        |GROUP BY lang""".stripMargin,
 
     // q183: two funnel replays (parameterized snapshot sources) joined
     // per gate

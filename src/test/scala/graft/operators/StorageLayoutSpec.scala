@@ -156,6 +156,33 @@ class StorageLayoutSpec extends GraftSparkSpec {
     assert(rB === n, s"range-by-A should decode everything for a B band, got $rB")
   }
 
+  test("3-dim z-order: a band on ANY of the three dimensions skips") {
+    val n = 40000L
+    val data = (0L until n).map { i =>
+      (i,
+        (i * 2654435761L % 4294967296L) >> 16,
+        (i * 1327217885L % 4294967296L) >> 16)
+    }.toDF("a", "b", "c")
+    val zPath = graft.SparkEntry.perProcessTmpDir("graft-spec-zo3")
+    val sPath = graft.SparkEntry.perProcessTmpDir("graft-spec-zo3-s")
+    StorageLayout.writeZOrderedN(data, zPath, Seq("a", "b", "c"), 16, bits = 6)
+    data.repartition(16, $"b").sortWithinPartitions("b")
+      .write.mode("overwrite").parquet(sPath)
+
+    def band(path: String, colName: String, lo: Long, hi: Long) =
+      spark.read.parquet(path).filter(col(colName) >= lo && col(colName) < hi)
+    val bands = Seq(("a", 1000L, 1000L + n / 8),
+      ("b", 8000L, 8000L + 65536L / 8), ("c", 20000L, 20000L + 65536L / 8))
+    for ((cn, lo, hi) <- bands) {
+      val z = band(zPath, cn, lo, hi)
+      val s = band(sPath, cn, lo, hi)
+      assert(z.agg(sum("a"), sum("b"), sum("c")).collect().head ===
+        s.agg(sum("a"), sum("b"), sum("c")).collect().head, s"dim $cn results")
+      val decoded = rowsDecoded(z)
+      assert(decoded <= (n * 7) / 10, s"dim $cn failed to skip: $decoded of $n")
+    }
+  }
+
   test("compaction: file count drops, content identical, swap leaves no debris") {
     val path = graft.SparkEntry.perProcessTmpDir("graft-spec-compact")
     val data = (0L until 5000L).map(i => (i, s"v$i")).toDF("id", "v")
