@@ -654,10 +654,17 @@ object StreamingOps {
     * assignment append. A crash after the vectors write replays into
     * a re-sink + skipped vector append + assignment append; there is
     * no order in which a replayed id double-lands in either store.
+    *
+    * `compactAboveFiles > 0` bounds steady-state file counts: after a
+    * batch commits, if either store exceeds the threshold it folds
+    * back down (tombstone-applying index compact; row-preserving
+    * store coalesce) — without this, one file set accretes per batch
+    * forever.
     */
   def annIngest(
       vecs: DataFrame, idCol: String, vecCol: String, dir: String,
-      sink: (DataFrame, Long) => Unit)
+      sink: (DataFrame, Long) => Unit,
+      compactAboveFiles: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -679,6 +686,29 @@ object StreamingOps {
               .join(stored, col("id") === col("_an_stored"), "left_anti")
               .write.mode("append").parquet(s"$dir/vectors.parquet")
             graft.vector.Ivf.appendToIndex(fresh, idCol, vecCol, dir)
+            // steady-state file-count bound: per-batch appends accrete
+            // one file set per batch; above the threshold, fold the
+            // assignment index (tombstone-applying compact) and the
+            // vector store (row-preserving coalesce) back down. Runs
+            // AFTER the batch commits — a crash mid-compact replays
+            // into a no-op batch plus a re-compact.
+            if (compactAboveFiles > 0) {
+              def files(p: String): Int = {
+                val hp = new org.apache.hadoop.fs.Path(p)
+                val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                if (!fs.exists(hp)) 0
+                else fs.listStatus(hp).count(s =>
+                  s.isFile && s.getPath.getName.endsWith(".parquet"))
+              }
+              if (files(s"$dir/cells.parquet") > compactAboveFiles)
+                graft.vector.Ivf.compactIndex(spark, dir)
+              if (files(s"$dir/vectors.parquet") > compactAboveFiles) {
+                val rows = spark.read.parquet(s"$dir/vectors.parquet").count()
+                graft.operators.StorageLayout.compactSmallFiles(
+                  spark, s"$dir/vectors.parquet",
+                  targetRowsPerFile = math.max(1L, rows / 4))
+              }
+            }
           } finally { fresh.unpersist(); () }
         } finally { pinned.unpersist(); () }
         ()

@@ -654,6 +654,40 @@ class StreamingOpsSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest: compactAboveFiles bounds store file counts") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Long): Seq[Double] =
+      Seq.tabulate(8)(j => if (j == (i % 8).toInt) 1.0 else 0.0)
+    val dir = graft.SparkEntry.perProcessTmpDir("graft-spec-ann-compact")
+    StreamingOps.annIngestInit(
+      (0L until 40L).map(i => (i, vec(i))).toDF("vid", "emb"),
+      "vid", "emb", dir, nlist = 4)
+    def files(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.annIngest(input.toDF().toDF("vid", "emb"),
+      "vid", "emb", dir, (_, _) => (), compactAboveFiles = 6)
+      .option("checkpointLocation",
+        graft.SparkEntry.perProcessTmpDir("graft-spec-ann-compact-ckpt"))
+      .start()
+    try {
+      for (b <- 0 until 6) {
+        input.addData((40L + b * 5 until 45L + b * 5).map(i => (i, vec(i))): _*)
+        q.processAllAvailable()
+      }
+      assert(files(s"$dir/cells.parquet") <= 10,
+        s"index files unbounded: ${files(s"$dir/cells.parquet")}")
+      assert(files(s"$dir/vectors.parquet") <= 10,
+        s"store files unbounded: ${files(s"$dir/vectors.parquet")}")
+      assert(spark.read.parquet(s"$dir/vectors.parquet").count() === 70L)
+      // search still serves the full corpus after the folds
+      val got = StreamingOps.annIngestSearch(spark, dir,
+        Seq((9000L, vec(2))).toDF("qid", "qv"), "qid", "qv", k = 3, nprobe = 4)
+      assert(got.count() === 3L)
+    } finally q.stop()
+  }
+
   test("streaming funnel equals the batch report after every prefix") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Option[Int], Option[Int])]
