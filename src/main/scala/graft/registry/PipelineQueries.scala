@@ -160,6 +160,20 @@ object PipelineQueries {
     }),
 
 
+    // ingest-volume anomaly report (round-11): per pseudo-day char
+    // totals vs the trailing-7-day exact median — day 12 carries a
+    // planted spike the robust baseline must flag without the spike
+    // dragging later days' baselines
+    "q186_ingest_anomaly" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(
+        expr("doc_id DIV 20").as("day"),
+        (col("n_chars") + when(expr("doc_id DIV 20") === 12, 100000L)
+          .otherwise(0L)).as("m"))
+      graft.operators.IngestMonitor.volumeAnomalies(
+        docs, col("day"), col("m"))
+    }),
+
+
     // 3-dim z-order (round-11): one cluster key serving bands on any
     // of (doc_id, n_chars, n_tokens); the query filters TWO of the
     // three. Result-transparent; oracle is the plain filtered agg
@@ -966,6 +980,33 @@ object PipelineQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // q186: trailing-median anomaly flags replayed (list window +
+    // 1-based sorted middle element, integer deviation)
+    "q186_ingest_anomaly" ->
+      """WITH d AS (
+        |  SELECT doc_id // 20 AS bucket,
+        |    CAST(n_chars + CASE WHEN doc_id // 20 = 12
+        |      THEN 100000 ELSE 0 END AS BIGINT) AS m
+        |  FROM documents),
+        |b AS (SELECT bucket, CAST(sum(m) AS BIGINT) AS metric
+        |      FROM d GROUP BY bucket),
+        |t AS (SELECT *, list(metric) OVER (ORDER BY bucket
+        |  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail FROM b),
+        |f AS (SELECT bucket, metric,
+        |  -- an empty window frame yields a NULL list, not []
+        |  (coalesce(len(trail), 0) = 7) AS has_history,
+        |  CASE WHEN coalesce(len(trail), 0) = 7 THEN list_sort(trail)[4] END
+        |    AS trailing_median FROM t)
+        |SELECT bucket, metric, trailing_median,
+        |  CASE WHEN has_history AND trailing_median > 0
+        |    THEN abs(metric - trailing_median) * 1000 // trailing_median
+        |  END AS deviation_x1000,
+        |  has_history,
+        |  coalesce(CASE WHEN has_history AND trailing_median > 0
+        |    THEN abs(metric - trailing_median) * 1000 // trailing_median
+        |  END > 300, false) AS anomaly
+        |FROM f""".stripMargin,
 
     // q185: layout-transparent filtered aggregate (q173's token shape)
     "q185_zorder3" ->
