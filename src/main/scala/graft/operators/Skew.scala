@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Hot-key mitigation utilities (SURVEY §7.4.7).
@@ -38,6 +38,33 @@ object Skew {
     * your hot key is literal repeats of one line, aggregate them first
     * (count per distinct row) and join the distinct rows instead.
     */
+  /** Key-skew diagnosis — "find the hot keys before they find you":
+    * top-k keys by row count with their x10000 share of the table and
+    * a deterministic rank (count desc, key asc). The report that
+    * decides whether a join needs [[saltedJoin]] or a two-tier apply
+    * (the ParagraphDedup/hot-key discipline) BEFORE the 16-hour job
+    * discovers it the hard way.
+    *
+    * 100 TB shape: one map-side-combined count per key, then the
+    * global top-k rides Spark's rank-limit pushdown
+    * (TakeOrderedAndProject / WindowGroupLimit — the q145-pinned
+    * plan shape), never a one-task global sort.
+    */
+  def keySkewReport(df: DataFrame, keyCol: Column, topK: Int = 20): DataFrame = {
+    require(topK > 0, "keySkewReport: topK must be positive")
+    val counts = df.groupBy(keyCol.as("key")).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("_sk_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_x10000",
+        expr("CAST(n * 10000 DIV _sk_total AS BIGINT)"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("key").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("key").cast("string").as("key"), col("n"),
+        col("share_x10000"), col("rank"))
+  }
+
   def saltedJoin(
       big: DataFrame, small: DataFrame,
       keys: Seq[String], salts: Int = 16): DataFrame = {

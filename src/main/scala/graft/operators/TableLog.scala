@@ -61,29 +61,61 @@ object TableLog {
     vs.last
   }
 
-  private def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] = {
+  private def manifestBody(spark: SparkSession, path: String, v: Long): String = {
     val f = fs(spark, path)
     val mp = manifestPath(path, v)
     require(f.exists(mp), s"TableLog: version $v not committed at $path")
     val in = f.open(mp)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    // one JSON string array, written by commit() below
-    body.trim.stripPrefix("[").stripSuffix("]").split(",")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def filesField(body: String): String = {
+    val t = body.trim
+    if (t.startsWith("{")) {
+      val i = t.indexOf('['); val j = t.lastIndexOf(']')
+      t.substring(i, j + 1)
+    } else t
+  }
+
+  private def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] = {
+    // either a bare JSON string array or {"tag":"...","files":[...]}
+    filesField(manifestBody(spark, path, v))
+      .stripPrefix("[").stripSuffix("]").split(",")
       .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
   }
 
+  /** Idempotency tags of all committed versions (see [[appendBatch]]). */
+  def tags(spark: SparkSession, path: String): Map[String, Long] =
+    versions(spark, path).flatMap { v =>
+      val t = manifestBody(spark, path, v).trim
+      if (!t.startsWith("{")) None
+      else {
+        val m = "\"tag\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(t)
+        m.map(_.group(1) -> v)
+      }
+    }.toMap
+
   /** Publish `files` as version `v`: tmp write, fsync-close, rename.
-    * The rename is the commit point.
+    * The rename is the commit point; an optional idempotency `tag`
+    * rides INSIDE the manifest, so tag and version become visible
+    * atomically.
     */
-  private def commit(spark: SparkSession, path: String, v: Long, files: Seq[String]): Long = {
+  private def commit(
+      spark: SparkSession, path: String, v: Long, files: Seq[String],
+      tag: Option[String] = None): Long = {
     require(files.nonEmpty, "TableLog: refusing to commit an empty file list " +
       "(an all-rows delete; drop the table instead)")
+    require(tag.forall(t => !t.contains("\"")), "TableLog: tag must not contain quotes")
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
     val tmp = new Path(logDir(path), f"_tmp_v$v%07d.json")
     val out = f.create(tmp, true)
-    out.write(files.sorted.map(n => "\"" + n + "\"")
-      .mkString("[", ",", "]").getBytes("UTF-8"))
+    val arr = files.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val body = tag match {
+      case Some(t) => s"""{"tag":"$t","files":$arr}"""
+      case None => arr
+    }
+    out.write(body.getBytes("UTF-8"))
     out.close()
     require(f.rename(tmp, manifestPath(path, v)),
       s"TableLog: commit rename failed for v$v (concurrent writer?)")
@@ -172,6 +204,39 @@ object TableLog {
     val newFiles =
       if (survivors.isEmpty) Nil else writeDataFiles(spark, path, survivors)
     commit(spark, path, v + 1, untouched ++ newFiles)
+  }
+
+  /** Tagged idempotent append — the exactly-once unit for streaming
+    * sinks: if a committed version already carries `tag`, return it
+    * WITHOUT writing (the replayed-batch path); otherwise append as a
+    * new version carrying the tag. Tag and version commit atomically
+    * (the tag lives in the manifest the rename publishes), so there is
+    * no crash window where the batch's data is visible but its replay
+    * marker is not, or vice versa. A crash after the data-file stage
+    * but before the commit leaves orphans for [[vacuum]]; the replay
+    * re-stages and commits fresh files.
+    */
+  def appendBatch(
+      spark: SparkSession, path: String, df: DataFrame, tag: String): Long =
+    tags(spark, path).get(tag) match {
+      case Some(v) => v
+      case None =>
+        val v = latestVersion(spark, path)
+        val cur = readManifest(spark, path, v)
+        commit(spark, path, v + 1, cur ++ writeDataFiles(spark, path, df),
+          Some(tag))
+    }
+
+  /** History report: (version, n_rows) per committed version — the
+    * DESCRIBE HISTORY surface. Row counts come from parquet footers
+    * (count(*) over an exact file list), so the report costs metadata
+    * reads, not data scans.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, path)
+      .map(v => (v, read(spark, path, Some(v)).count()))
+      .toDF("version", "n_rows")
   }
 
   /** Drop data files referenced by NO retained manifest and all

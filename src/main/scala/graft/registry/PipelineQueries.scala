@@ -160,6 +160,31 @@ object PipelineQueries {
     }),
 
 
+    // versioned-table history (round-11): the DESCRIBE HISTORY surface
+    // over a create + retention-delete chain; footer-count reads, no
+    // data scan. Oracle recomputes both versions' row counts
+    "q187_table_history" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlog-hist-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      graft.operators.TableLog.create(s, path,
+        table(s, dir, "documents").select(col("doc_id"), col("n_chars")))
+      graft.operators.TableLog.deleteWhere(s, path, col("n_chars") < 150L)
+      graft.operators.TableLog.history(s, path)
+    }),
+
+
+    // key-skew diagnosis (round-11): top-20 event users by row count
+    // with x10000 table share — the report that decides whether a join
+    // needs salting BEFORE the long job finds out. Global top-k rides
+    // the rank-limit pushdown, never a one-task sort
+    "q188_key_skew" -> ((s, dir) => {
+      graft.operators.Skew.keySkewReport(
+        eventsTable(s, dir), col("user_id"), topK = 20)
+    }),
+
+
     // ingest-volume anomaly report (round-11): per pseudo-day char
     // totals vs the trailing-7-day exact median — day 12 carries a
     // planted spike the robust baseline must flag without the spike
@@ -980,6 +1005,27 @@ object PipelineQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // q187: both versions' row counts from the base table
+    "q187_table_history" ->
+      """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*) FROM documents
+        |WHERE NOT (n_chars < 150)""".stripMargin,
+
+    // q188: top-20 with numeric tie-break, key rendered as string
+    "q188_key_skew" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT count(*) AS total FROM events),
+        |r AS (SELECT c.*, t.total,
+        |    row_number() OVER (ORDER BY n DESC, user_id ASC) AS rank
+        |  FROM c, t)
+        |SELECT CAST(user_id AS VARCHAR) AS key, n,
+        |  CAST(n * 10000 // total AS BIGINT) AS share_x10000,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 20""".stripMargin,
 
     // q186: trailing-median anomaly flags replayed (list window +
     // 1-based sorted middle element, integer deviation)

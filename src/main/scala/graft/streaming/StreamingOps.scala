@@ -725,6 +725,27 @@ object StreamingOps {
       spark.read.parquet(s"$dir/vectors.parquet"), "id", "vec",
       queries, qidCol, qvecCol, dir, k, nprobe)
 
+  /** Exactly-once streaming append into a [[graft.operators.TableLog]]
+    * table: each micro-batch commits as ONE atomic table version
+    * tagged `batch-<id>`; a replayed batch finds its tag in a
+    * committed manifest and skips entirely. Unlike the built-in file
+    * sink's private commit log, the result is a versioned,
+    * time-travelable table any [[graft.operators.TableLog.read]]
+    * serves consistently mid-stream (readers see whole versions,
+    * never a half-written batch). The table must exist
+    * ([[graft.operators.TableLog.create]] a seed or empty-schema
+    * frame first).
+    */
+  def tableLogSink(rows: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.TableLog.appendBatch(
+            batch.sparkSession, path, batch.toDF(), s"batch-$batchId")
+        ()
+    }
+
   /** Streaming filter-funnel — q174's gate accounting over a live
     * ingest. Gate flags and the first-fail/fail-count derivations are
     * row-local projections, so the whole report is ONE streaming

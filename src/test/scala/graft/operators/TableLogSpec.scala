@@ -96,6 +96,26 @@ class TableLogSpec extends GraftSparkSpec {
     }
   }
 
+  test("tagged append is idempotent; history reports per-version rows") {
+    val path = freshPath("graft-spec-tlog-tag")
+    val seed = (0L until 100L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, seed)
+    val batch = (100L until 150L).map(i => (i, i)).toDF("id", "w")
+    val v2 = TableLog.appendBatch(spark, path, batch, "batch-7")
+    assert(v2 === 2L)
+    // the replayed batch: same tag -> same version, nothing written
+    val replay = TableLog.appendBatch(spark, path,
+      batch.withColumn("w", $"w" * 2), "batch-7")
+    assert(replay === 2L)
+    assert(TableLog.versions(spark, path) === Seq(1L, 2L))
+    assert(TableLog.read(spark, path).count() === 150L)
+    assert(TableLog.tags(spark, path) === Map("batch-7" -> 2L))
+    // untagged v1 is invisible to the tag map; history sees both
+    assert(TableLog.history(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ===
+      Seq((1L, 100L), (2L, 150L)))
+  }
+
   test("refusals: existing table on create, empty manifest on delete-all") {
     val path = freshPath("graft-spec-tlog-ref")
     val data = (0L until 50L).map(i => (i, i)).toDF("id", "w")

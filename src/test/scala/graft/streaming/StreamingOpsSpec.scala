@@ -654,6 +654,36 @@ class StreamingOpsSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("tableLogSink: each micro-batch is one atomic version, replays skipped") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = graft.SparkEntry.perProcessTmpDir("graft-spec-tlog-sink")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    graft.operators.TableLog.create(spark, path,
+      Seq((0L, "seed")).toDF("id", "v"))
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.tableLogSink(input.toDF().toDF("id", "v"), path)
+      .option("checkpointLocation",
+        graft.SparkEntry.perProcessTmpDir("graft-spec-tlog-sink-ckpt"))
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(graft.operators.TableLog.versions(spark, path).size === 3)
+      assert(graft.operators.TableLog.read(spark, path).count() === 4L)
+      // a crashed-and-replayed batch: same tag -> no fourth version
+      graft.operators.TableLog.appendBatch(spark, path,
+        Seq((9L, "dup")).toDF("id", "v"), "batch-1")
+      assert(graft.operators.TableLog.versions(spark, path).size === 3)
+      assert(graft.operators.TableLog.read(spark, path).count() === 4L)
+      // mid-stream readers see whole versions: v2 is exactly batch 0
+      assert(graft.operators.TableLog.read(spark, path, Some(2L)).count() === 3L)
+    } finally q.stop()
+  }
+
   test("streaming ANN ingest: compactAboveFiles bounds store file counts") {
     implicit val sqlCtx = spark.sqlContext
     def vec(i: Long): Seq[Double] =
