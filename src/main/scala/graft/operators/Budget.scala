@@ -218,6 +218,27 @@ object Budget {
       .filter(col(cumCol) <= budget)
   }
 
+  /** [[takeWhileBudgetPerGroup]] with PER-GROUP budgets carried in a
+    * column (join the plan — e.g. [[Mixture.waterFill]] allocations —
+    * onto the rows first): keep a group's rows while its running
+    * weight total stays within ITS budget. Same one-shuffle shape.
+    */
+  def takeWhileBudgetPerGroupVar(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      orderCol: Column,
+      weightCol: Column,
+      budgetCol: Column,
+      cumCol: String = "cum_weight"): DataFrame = {
+    require(groupCols.nonEmpty,
+      "takeWhileBudgetPerGroupVar: need at least one group column")
+    requireIntegralWeight(df, weightCol, "takeWhileBudgetPerGroupVar")
+    val w = Window.partitionBy(groupCols: _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(cumCol, sum(coalesce(weightCol.cast("long"), lit(0L))).over(w))
+      .filter(col(cumCol) <= budgetCol.cast("long"))
+  }
+
   /** Weights must be an integral type: a silent fractional cast would
     * truncate BEFORE summation (0.9 -> 0) and make the cut keep far
     * more than the true weighted budget — round/scale fractional

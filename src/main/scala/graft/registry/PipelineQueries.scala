@@ -263,6 +263,29 @@ object PipelineQueries {
     }),
 
 
+    // water-fill applied (round-11): the q181 allocation plan joined
+    // back (broadcast — #langs rows) and materialized by a per-lang
+    // running-char cut at each lang's own allocation — plan →
+    // training-mix rows in one shuffle
+    "q189_water_fill_apply" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("n_chars"))
+      val totals = docs.groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("avail"))
+        .withColumn("wgt", when(col("lang") === "zh", 8L).otherwise(1L))
+      val b = totals.agg(sum(col("avail")).as("_tot"))
+        .select(expr("_tot DIV 2").as("_mxb"))
+      val plan = graft.operators.Mixture.waterFill(
+        totals.crossJoin(broadcast(b)), "lang", "avail", "wgt", col("_mxb"))
+        .select(col("lang"), col("allocated"))
+      graft.operators.Budget.takeWhileBudgetPerGroupVar(
+        docs.join(broadcast(plan), Seq("lang")),
+        Seq(col("lang")), col("doc_id"), col("n_chars"),
+        col("allocated"), cumCol = "cum_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("cum_chars"))
+    }),
+
+
     // versioned-table time travel (round-11): documents committed as
     // table v1, a delete committed as v2 (untouched files carry over
     // by NAME, zero rewrite IO), then ONE report reads BOTH versions —
@@ -948,6 +971,39 @@ object PipelineQueries {
     (scored, gates)
   }
 
+  /** q181/q189 shared oracle: the water-filling plan replayed — same
+    * sort key (one IEEE division), same integer saturation test, same
+    * floor-DIV shares.
+    */
+  private val waterFillOracleSql: String =
+    """WITH tot AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail,
+        |    CAST(CASE WHEN lang = 'zh' THEN 8 ELSE 1 END AS BIGINT) AS wgt
+        |  FROM documents GROUP BY lang),
+        |b AS (SELECT CAST(sum(avail) // 2 AS BIGINT) AS bud FROM tot),
+        |ord AS (
+        |  SELECT t.*, b.bud,
+        |    coalesce(sum(avail) OVER (ORDER BY avail * 1.0 / wgt, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS satprefix,
+        |    sum(wgt) OVER (ORDER BY avail * 1.0 / wgt, lang
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wsuffix
+        |  FROM tot t, b),
+        |f AS (
+        |  SELECT *,
+        |    (avail * wsuffix <= (bud - satprefix) * wgt) AS saturated
+        |  FROM ord),
+        |g AS (
+        |  SELECT *,
+        |    sum(CASE WHEN saturated THEN avail ELSE 0 END) OVER () AS sattotal,
+        |    sum(CASE WHEN saturated THEN 0 ELSE wgt END) OVER () AS wu
+        |  FROM f)
+        |SELECT lang, wgt, avail,
+        |  CAST(CASE WHEN saturated THEN avail
+        |       ELSE wgt * (bud - sattotal) // wu END AS BIGINT) AS allocated,
+        |  saturated
+        |FROM g""".stripMargin
+
   /** q179/q184 shared oracle: per-column stats stacked by UNION ALL. */
   private val profileOracleSql: String =
     Seq("doc_id", "lang", "source", "n_chars", "text").map { c =>
@@ -1104,34 +1160,23 @@ object PipelineQueries {
 
     // q181: the water-filling plan replayed — same sort key (one IEEE
     // division), same integer saturation test, same floor-DIV shares
-    "q181_water_fill" ->
-      """WITH tot AS (
-        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail,
-        |    CAST(CASE WHEN lang = 'zh' THEN 8 ELSE 1 END AS BIGINT) AS wgt
-        |  FROM documents GROUP BY lang),
-        |b AS (SELECT CAST(sum(avail) // 2 AS BIGINT) AS bud FROM tot),
-        |ord AS (
-        |  SELECT t.*, b.bud,
-        |    coalesce(sum(avail) OVER (ORDER BY avail * 1.0 / wgt, lang
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS satprefix,
-        |    sum(wgt) OVER (ORDER BY avail * 1.0 / wgt, lang
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wsuffix
-        |  FROM tot t, b),
-        |f AS (
-        |  SELECT *,
-        |    (avail * wsuffix <= (bud - satprefix) * wgt) AS saturated
-        |  FROM ord),
-        |g AS (
-        |  SELECT *,
-        |    sum(CASE WHEN saturated THEN avail ELSE 0 END) OVER () AS sattotal,
-        |    sum(CASE WHEN saturated THEN 0 ELSE wgt END) OVER () AS wu
-        |  FROM f)
-        |SELECT lang, wgt, avail,
-        |  CAST(CASE WHEN saturated THEN avail
-        |       ELSE wgt * (bud - sattotal) // wu END AS BIGINT) AS allocated,
-        |  saturated
-        |FROM g""".stripMargin,
+    "q181_water_fill" -> waterFillOracleSql,
+
+    // q189: the q181 plan joined onto the rows, per-lang running-char
+    // cut at each allocation
+    "q189_water_fill_apply" ->
+      s"""WITH wf AS ($waterFillOracleSql),
+         |docs AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+         |         FROM documents),
+         |c AS (SELECT d.doc_id, d.lang, d.n_chars, wf.allocated,
+         |    sum(d.n_chars) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_chars
+         |  FROM docs d JOIN wf ON wf.lang = d.lang)
+         |SELECT doc_id, lang, n_chars, cum_chars
+         |FROM c WHERE cum_chars <= allocated""".stripMargin,
+
+
 
     // q180: delete is result-transparent — survivors' aggregate
     "q180_delete_where" ->
