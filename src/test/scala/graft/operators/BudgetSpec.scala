@@ -81,6 +81,20 @@ class BudgetSpec extends GraftSparkSpec {
       ("zh", 1L, 25L), ("zh", 2L, 30L)))
   }
 
+  test("per-group VARIABLE budgets: each group cut at its own allocation") {
+    val df = Seq(
+      ("en", 1L, 10L, 25L), ("en", 2L, 10L, 25L), ("en", 3L, 10L, 25L),
+      ("zh", 1L, 25L, 60L), ("zh", 2L, 5L, 60L), ("zh", 3L, 40L, 60L))
+      .toDF("lang", "id", "w", "alloc")
+    val got = Budget.takeWhileBudgetPerGroupVar(
+      df, Seq(col("lang")), col("id"), col("w"), col("alloc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // en budget 25: cum 10,20 in, 30 out; zh budget 60: 25,30 in, 70 out
+    assert(got == Seq(("en", 1L, 10L), ("en", 2L, 20L),
+      ("zh", 1L, 25L), ("zh", 2L, 30L)))
+  }
+
   test("quotaPerGroup keeps the first `quota` rows per group in order") {
     val df = (0 until 60).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
     val got = Budget.quotaPerGroup(df, Seq(col("g")), col("id"), quota = 5)
