@@ -60,4 +60,37 @@ object Calibration {
       .withColumn("w_kept_x10000",
         expr("CAST(10000 * w_kept DIV greatest(w_total, 1) AS BIGINT)"))
   }
+
+  /** Exact percentile-rank normalization of a bounded non-negative
+    * integral score — "this document's quality is better than X% of
+    * the corpus", the score-comparability layer between differently
+    * scaled signals. Ties order deterministically by a salted
+    * [[DistinctSketch.hash60]] spread (then id), so equal scores get
+    * distinct, reproducible ranks and the DuckDB oracle replays the
+    * full order.
+    *
+    * 100 TB shape: the global rank is [[Budget.runningTotal]]'s
+    * chunked two-phase cumsum over the composite key
+    * `score·2^20 + hash20` — the 2^16 chunk width spreads a
+    * concentrated score over 16 hash sub-buckets, so NO unpartitioned
+    * window over data rows exists in the plan (the q56/q71
+    * machinery on a new surface). `pct_x10000 = (rank−1)·10000 DIV
+    * (n−1)` spans 0..10000 inclusive.
+    */
+  def percentileRank(
+      df: DataFrame, idCol: Column, scoreCol: Column,
+      salt: String = "prank:",
+      outCol: String = "pct_x10000"): DataFrame = {
+    val h20 = pmod(DistinctSketch.hash60(concat(lit(salt),
+      idCol.cast("string"))), lit(1048576L))
+    val keyed = df.withColumn("_pr_key",
+      scoreCol.cast("long") * lit(1048576L) + h20)
+    val ranked = Budget.runningTotal(
+      keyed, col("_pr_key"), Seq(idCol), lit(1L), "rank", 1L << 16)
+    val n = df.agg(count(lit(1)).as("_pr_n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn(outCol,
+        expr("CAST((rank - 1) * 10000 DIV greatest(_pr_n - 1, 1) AS BIGINT)"))
+      .drop("_pr_key", "_pr_n")
+  }
 }

@@ -263,6 +263,27 @@ object PipelineQueries {
     }),
 
 
+    // percentile-rank normalization (round-11): the en-stopword score
+    // mapped to exact corpus percentiles — the comparability layer
+    // between differently scaled quality signals. Global rank via the
+    // chunked two-phase cumsum (no unpartitioned window over data
+    // rows); ties spread by a salted hash so the oracle replays the
+    // full deterministic order
+    "q190_percentile_rank" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val toks = graft.textops.TextAnalysis.tokens(lower(col("text")))
+      val scored = docs.select(col("doc_id"),
+        graft.textops.TextAnalysis.stopwordCount(toks,
+          graft.textops.TextAnalysis.stopwords("en")).cast("long").as("_st"),
+        size(toks).cast("long").as("_nt"))
+        .withColumn("score", expr(
+          "CAST(10000 * _st DIV greatest(_nt, 1) AS BIGINT)"))
+        .select(col("doc_id"), col("score"))
+      graft.operators.Calibration.percentileRank(
+        scored, col("doc_id"), col("score"))
+    }),
+
+
     // water-fill applied (round-11): the q181 allocation plan joined
     // back (broadcast — #langs rows) and materialized by a per-lang
     // running-char cut at each lang's own allocation — plan →
@@ -1161,6 +1182,36 @@ object PipelineQueries {
     // q181: the water-filling plan replayed — same sort key (one IEEE
     // division), same integer saturation test, same floor-DIV shares
     "q181_water_fill" -> waterFillOracleSql,
+
+    // q190: the integral score replayed (q170 shape), ranked by
+    // (score, salted-hash20, id), percentile = (rank-1)*10000 // (n-1)
+    "q190_percentile_rank" -> {
+      val en = graft.textops.TextAnalysis.stopwords("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+         |      ELSE string_split_regex(trim(lower(text)),
+         |             '[ \\t\\n\\x0b\\f\\r]+') END AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    10000 * CAST(len(list_filter(toks,
+         |        x -> list_contains($en, x))) AS BIGINT)
+         |      // greatest(CAST(len(toks) AS BIGINT), 1) AS score,
+         |    CAST(('0x' || substr(md5('prank:' || CAST(doc_id AS VARCHAR)),
+         |      1, 15)) AS BIGINT) % 1048576 AS h
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score, h, doc_id) AS rank,
+         |    count(*) OVER () AS n
+         |  FROM s)
+         |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank,
+         |  CAST((rank - 1) * 10000 // greatest(n - 1, 1) AS BIGINT)
+         |    AS pct_x10000
+         |FROM r""".stripMargin
+    },
 
     // q189: the q181 plan joined onto the rows, per-lang running-char
     // cut at each allocation

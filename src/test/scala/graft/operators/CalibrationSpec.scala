@@ -76,4 +76,30 @@ class CalibrationSpec extends GraftSparkSpec {
     assert(!plan.contains("Join"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("percentileRank: distinct deterministic ranks under ties, full 0..10000 span") {
+    import spark.implicits._
+    // 11 rows, score has heavy ties (0,0,0,5,5,5,5,9,9,9,9)
+    val df = (0L until 11L)
+      .map(i => (i, if (i < 3) 0L else if (i < 7) 5L else 9L))
+      .toDF("id", "score")
+    val got = Calibration.percentileRank(df, $"id", $"score")
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSeq === (1L to 11L)) // ranks dense+distinct
+    assert(got.head.getLong(3) === 0L && got.last.getLong(3) === 10000L)
+    // rank order respects score order (ties resolved inside the tie set)
+    assert(got.map(_.getLong(1)).toSeq === got.map(_.getLong(1)).toSeq.sorted)
+    // reproducible across runs (the salted-hash tiebreak is pure)
+    val again = Calibration.percentileRank(df, $"id", $"score")
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    assert(again === got.map(_.getLong(0)).toSeq)
+    // no unpartitioned window over data rows anywhere in the plan
+    val wplans = Calibration.percentileRank(df, $"id", $"score")
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wplans.nonEmpty)
+    wplans.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window leaked into percentileRank:\n$w"))
+  }
 }
