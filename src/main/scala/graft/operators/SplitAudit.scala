@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/val/test split-leakage audit — the eval-hygiene check behind
+  * [[Sampling.assignSplit]]'s promise: identical CONTENT must not
+  * straddle splits (an exact duplicate of a test document inside
+  * train is memorized eval contamination, invisible to per-row
+  * bucketing because the copies carry different ids).
+  *
+  * [[exactDupLeakage]] groups rows by content hash and reports, per
+  * observed SPLIT-SET (the sorted distinct splits a content group
+  * touches), how many groups and rows land there: `"train"` rows are
+  * clean, `"test,train"` rows are the leak. One hash aggregation on
+  * the content key + one on the #split-sets summary; the shuffle
+  * carries (hash, split) pairs, never text.
+  *
+  * The near-dup variant of this audit composes the minhash pair
+  * machinery (q25) with the same split join; exact-content grouping
+  * is the oracle-exact core.
+  */
+object SplitAudit {
+
+  /** (splits, n_groups, n_docs): `splits` is the comma-joined sorted
+    * distinct split set of a content group. Rows with
+    * `splits.contains(",")` are leaking groups.
+    */
+  def exactDupLeakage(
+      df: DataFrame, textCol: Column, splitCol: Column): DataFrame =
+    df.select(md5(textCol.cast("binary")).as("_sa_grp"),
+        splitCol.as("_sa_split"))
+      .groupBy(col("_sa_grp"))
+      .agg(
+        array_join(array_sort(collect_set(col("_sa_split"))), ",")
+          .as("splits"),
+        count(lit(1)).as("_sa_n"))
+      .groupBy(col("splits"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("_sa_n")).as("n_docs"))
+}

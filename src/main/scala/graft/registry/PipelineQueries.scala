@@ -263,6 +263,22 @@ object PipelineQueries {
     }),
 
 
+    // split-leakage audit (round-11): exact duplicates planted at
+    // id+100000 carry DIFFERENT md5 split buckets, so per-row
+    // bucketing scatters the copies across splits — the audit groups
+    // by content hash and reports every observed split-set ("test,
+    // train" rows are memorized-eval contamination). q93's split rule
+    "q191_split_leakage" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(
+        docs.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val split = graft.operators.Sampling.assignSplit(
+        planted, col("doc_id"), valBuckets = 13, testBuckets = 26)
+      graft.operators.SplitAudit.exactDupLeakage(
+        split, col("text"), col("split"))
+    }),
+
+
     // percentile-rank normalization (round-11): the en-stopword score
     // mapped to exact corpus percentiles — the comparability layer
     // between differently scaled quality signals. Global rank via the
@@ -1182,6 +1198,28 @@ object PipelineQueries {
     // q181: the water-filling plan replayed — same sort key (one IEEE
     // division), same integer saturation test, same floor-DIV shares
     "q181_water_fill" -> waterFillOracleSql,
+
+    // q191: planted union + q93's bucket rule + content-hash grouping
+    "q191_split_leakage" ->
+      """WITH p AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents),
+        |d AS (
+        |  SELECT text,
+        |    CASE WHEN b < 26 THEN 'test'
+        |         WHEN b < 39 THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM (SELECT text,
+        |    CAST(('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 2))
+        |      AS BIGINT) AS b FROM p)),
+        |g AS (
+        |  SELECT md5(text) AS grp,
+        |    array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+        |    count(*) AS n
+        |  FROM d GROUP BY md5(text))
+        |SELECT splits, count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_docs
+        |FROM g GROUP BY splits""".stripMargin,
 
     // q190: the integral score replayed (q170 shape), ranked by
     // (score, salted-hash20, id), percentile = (rank-1)*10000 // (n-1)
