@@ -148,6 +148,15 @@ object Mixture {
       weightCol: String,
       budget: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // guard the ratio's domain: wgt=0 makes the avail/wgt sort key
+    // Infinity (or NaN at 0/0) and the saturation/allocation integer
+    // arithmetic then silently produces a wrong plan; negative avail
+    // breaks the prefix-closure argument. #strata rows — bounded scan.
+    val nBad = totals
+      .where(col(weightCol).cast("long") <= 0 || col(availCol).cast("long") < 0)
+      .limit(1).count()
+    require(nBad == 0,
+      s"waterFill: every $weightCol must be > 0 and every $availCol >= 0")
     val wOrd = Window.orderBy(col("_mx_ratio"), col(stratumCol))
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     totals.select(

@@ -178,10 +178,14 @@ object StorageLayout {
     * is IO-bound, never exchange-bound), then swap directories
     * ledger-first: write to `<path>.compact.tmp`, VERIFY the tmp row
     * count equals the source, hop the old directory to `<path>.old`,
-    * rename tmp into place, drop the hop. There is no window where
-    * `path` has been deleted and nothing replaces it; a crash
-    * mid-swap leaves either the original or the verified compacted
-    * directory plus debris directories that a re-run clears.
+    * rename tmp into place, drop the hop. Crash safety: nothing is
+    * deleted before its replacement is verified, so a crash mid-swap
+    * leaves either the original or the verified compacted directory
+    * (plus debris directories a re-run clears) — but between the two
+    * renames the table path briefly does not exist, so a CONCURRENT
+    * reader in that window fails; single-accessor during maintenance
+    * is the contract ([[TableLog.compact]] is the
+    * concurrent-reader-safe versioned twin).
     */
   /** Layout advisor — turns a [[TableProfile.profile]] report into
     * clustering recommendations, closing the loop between the stats
@@ -247,8 +251,14 @@ object StorageLayout {
     * (copy fallback) into the new directory unread. Swap is the
     * [[compactSmallFiles]] ledger-first discipline: build tmp, verify
     * the row accounting, hop the old directory aside, move tmp into
-    * place — no delete-before-replace window. A predicate matching
-    * nothing is a metadata-only no-op.
+    * place. Crash safety: at every point either the original or the
+    * verified output is recoverable (nothing is deleted before its
+    * replacement is verified) — but between the two renames the table
+    * path briefly does not exist, so a CONCURRENT reader in that
+    * window fails; single-accessor during maintenance is the
+    * contract (the versioned [[TableLog.deleteWhere]] is the
+    * concurrent-reader-safe twin). A predicate matching nothing is a
+    * metadata-only no-op.
     *
     * At 100 TB this is the Delta/Iceberg DELETE shape minus the
     * manifest: clustering the table on the delete key first
@@ -288,8 +298,14 @@ object StorageLayout {
     val tmp = new org.apache.hadoop.fs.Path(path + ".delete.tmp")
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     fs.delete(tmp, true); fs.delete(old, true)
+    // survivors = NOT(matched): rows where the predicate evaluates to
+    // NULL (nullable delete column) did NOT match and must be KEPT —
+    // a bare !predicate is NULL for them too and the filter would drop
+    // them silently. coalesce(pred, false) makes NULL an explicit
+    // keep, and the tmpRows accounting below then passes instead of
+    // aborting the swap whenever a touched file has NULL-predicate rows.
     spark.read.parquet(touched.map(_.toString): _*)
-      .where(!predicate)
+      .where(!coalesce(predicate, lit(false)))
       .write.mode("overwrite").parquet(tmp.toString)
     untouched.foreach { f =>
       val dst = new org.apache.hadoop.fs.Path(tmp, f.getName)

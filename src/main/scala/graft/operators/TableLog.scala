@@ -105,7 +105,12 @@ object TableLog {
       tag: Option[String] = None): Long = {
     require(files.nonEmpty, "TableLog: refusing to commit an empty file list " +
       "(an all-rows delete; drop the table instead)")
-    require(tag.forall(t => !t.contains("\"")), "TableLog: tag must not contain quotes")
+    // no quotes (JSON embedding) and no brackets: filesField parses
+    // the manifest by slicing from the first '[' to the last ']', so
+    // a bracketed tag would corrupt file-list parsing for every later
+    // readManifest/read/vacuum of the version
+    require(tag.forall(t => !t.exists(c => c == '"' || c == '[' || c == ']')),
+      "TableLog: tag must not contain quotes or square brackets")
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
     val tmp = new Path(logDir(path), f"_tmp_v$v%07d.json")
@@ -193,16 +198,34 @@ object TableLog {
     val v = latestVersion(spark, path)
     val cur = readManifest(spark, path, v)
     val df = read(spark, path, Some(v))
-    val touchedNames = df.where(predicate)
+    val perFile = df.where(predicate)
       .groupBy(col("_metadata.file_path").as("_tl_f"))
       .agg(count(lit(1)).as("_tl_n")).collect()
-      .map(r => new Path(r.getString(0)).getName).toSet
+    val touchedNames =
+      perFile.map(r => new Path(r.getString(0)).getName).toSet
     if (touchedNames.isEmpty) return commit(spark, path, v + 1, cur)
+    val rowsDeleted = perFile.map(_.getLong(1)).sum
     val (touched, untouched) = cur.partition(touchedNames.contains)
     val touchedPaths = touched.map(n => new Path(dataDir(path), n).toString)
-    val survivors = spark.read.parquet(touchedPaths: _*).where(!predicate)
+    val touchedDf = spark.read.parquet(touchedPaths: _*)
+    val touchedRows = touchedDf.count()
+    // survivors = NOT(matched): NULL-predicate rows did not match and
+    // must be kept — bare !predicate is NULL for them and would drop
+    // them silently (the StorageLayout.deleteWhere discipline)
+    val survivors = touchedDf.where(!coalesce(predicate, lit(false)))
     val newFiles =
       if (survivors.isEmpty) Nil else writeDataFiles(spark, path, survivors)
+    // row accounting BEFORE the commit rename: a survivor filter that
+    // dropped more than the matched rows (e.g. a non-deterministic
+    // predicate) aborts here, leaving only orphan data files for
+    // vacuum — never a committed wrong version
+    val survivorRows =
+      if (newFiles.isEmpty) 0L
+      else spark.read.parquet(
+        newFiles.map(n => new Path(dataDir(path), n).toString): _*).count()
+    require(survivorRows == touchedRows - rowsDeleted,
+      s"TableLog.deleteWhere: survivors have $survivorRows rows, want " +
+        s"${touchedRows - rowsDeleted} — aborting commit (orphans go to vacuum)")
     commit(spark, path, v + 1, untouched ++ newFiles)
   }
 

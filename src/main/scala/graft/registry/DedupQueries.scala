@@ -1054,7 +1054,7 @@ object DedupQueries {
         |  FROM k GROUP BY doc_id),
         |per AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps
         |        FROM fix)
-        |SELECT per.doc_id, ki.n_paras, ki.n_dropped,
+        |SELECT per.doc_id, ki.n_paras, CAST(ki.n_dropped AS BIGINT) AS n_dropped,
         |  coalesce(array_to_string(
         |    list_transform(
         |      list_filter(ki.kis, x -> x IS NOT NULL),

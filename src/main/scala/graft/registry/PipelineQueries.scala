@@ -1262,7 +1262,7 @@ object PipelineQueries {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |      AS cum_chars
          |  FROM docs d JOIN wf ON wf.lang = d.lang)
-         |SELECT doc_id, lang, n_chars, cum_chars
+         |SELECT doc_id, lang, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars
          |FROM c WHERE cum_chars <= allocated""".stripMargin,
 
 

@@ -251,4 +251,23 @@ class StorageLayoutSpec extends GraftSparkSpec {
     }
     assert(spark.read.parquet(path).count() === 100L, "refused delete must not mutate")
   }
+
+  test("deleteWhere keeps rows whose predicate evaluates to NULL") {
+    // nullable delete column: NULL rows did NOT match the predicate
+    // and must survive the rewrite (bare !predicate is NULL for them
+    // and would silently drop them; the rowsBefore-rowsDeleted
+    // verification then catches nothing because both sides shrank)
+    val path = graft.SparkEntry.perProcessTmpDir("graft-spec-delete-null")
+    val data = (0L until 100L)
+      .map(i => (i, if (i % 10 == 0) None else Some(i * 2)))
+      .toDF("id", "w")
+    data.repartition(2).write.mode("overwrite").parquet(path)
+    val rep = StorageLayout.deleteWhere(spark, path, col("w") < 40L)
+    // matched: w=2i<40, non-null → ids 1..19 except 10 → 18 rows
+    val kept = spark.read.parquet(path)
+    assert(rep.rowsDeleted === 18L)
+    assert(kept.count() === 82L)
+    assert(kept.where(col("w").isNull).count() === 10L,
+      "all NULL-predicate rows must survive the delete")
+  }
 }

@@ -128,4 +128,32 @@ class TableLogSpec extends GraftSparkSpec {
     }
     assert(TableLog.read(spark, path).count() === 50L, "refused delete must not mutate")
   }
+
+  test("deleteWhere keeps NULL-predicate rows; accounting verifies") {
+    val path = freshPath("graft-spec-tlog-null")
+    val data = (0L until 100L)
+      .map(i => (i, if (i % 10 == 0) None else Some(i * 2)))
+      .toDF("id", "w")
+    TableLog.create(spark, path, data.repartition(2))
+    TableLog.deleteWhere(spark, path, col("w") < 40L)
+    val kept = TableLog.read(spark, path)
+    // matched: w=2i<40, non-null → ids 1..19 except 10 → 18 rows
+    assert(kept.count() === 82L)
+    assert(kept.where(col("w").isNull).count() === 10L,
+      "all NULL-predicate rows must survive the delete")
+    // pre-delete version still whole (time travel unaffected)
+    assert(TableLog.read(spark, path, Some(1L)).count() === 100L)
+  }
+
+  test("tags with square brackets are refused (manifest parse safety)") {
+    val path = freshPath("graft-spec-tlog-tag")
+    val data = (0L until 10L).map(i => (i, i)).toDF("id", "g")
+    TableLog.create(spark, path, data)
+    intercept[IllegalArgumentException] {
+      TableLog.appendBatch(spark, path, data, "batch[7]")
+    }
+    // table unharmed, a clean tag still works
+    assert(TableLog.appendBatch(spark, path, data, "batch-7") === 2L)
+    assert(TableLog.tags(spark, path) === Map("batch-7" -> 2L))
+  }
 }

@@ -55,4 +55,17 @@ class WaterFillSpec extends GraftSparkSpec {
       assert(p.values.map(_._1).sum <= b || p.values.map(_._1).sum === 210L, s"budget $b")
     }
   }
+
+  test("non-positive weight and negative availability are refused") {
+    // wgt=0 would make the avail/wgt sort key Infinity (NaN at 0/0)
+    // and silently corrupt the saturation order — must fail loudly
+    val zeroW = Seq(("A", 10L, 0L), ("B", 5L, 1L)).toDF("stratum", "avail", "wgt")
+    intercept[IllegalArgumentException] {
+      Mixture.waterFill(zeroW, "stratum", "avail", "wgt", lit(10L)).collect()
+    }
+    val negA = Seq(("A", -1L, 1L), ("B", 5L, 1L)).toDF("stratum", "avail", "wgt")
+    intercept[IllegalArgumentException] {
+      Mixture.waterFill(negA, "stratum", "avail", "wgt", lit(10L)).collect()
+    }
+  }
 }

@@ -43,8 +43,21 @@ def main():
             f"SELECT * FROM read_parquet({spark_files!r})").fetchall()
         scols = [d[0] for d in con.description]
         try:
-            d = con.execute(sql).fetchall()
-            dcols = [dd[0] for dd in con.description]
+            # Driver-faithful fetch: the driver reads oracle results via
+            # Arrow, where DuckDB HUGEINT (from uncast sum()) and DECIMAL
+            # become float64 — invisible to fetchall() (Python ints).
+            # Going through .arrow() makes that divergence fail HERE.
+            tbl = con.execute(sql).arrow()
+            dcols = list(tbl.column_names)
+            bad = [f"{c}:{tbl.schema.field(c).type}" for c in dcols
+                   if "decimal" in str(tbl.schema.field(c).type)]
+            if bad:
+                print(f"[FAIL] {name}: oracle output has driver-lossy "
+                      f"types (wrap in CAST): {bad}")
+                ok = False
+                continue
+            d = [tuple(col[i].as_py() for col in tbl.columns)
+                 for i in range(tbl.num_rows)]
         except Exception as e:
             print(f"[FAIL] {name}: oracle sql error: {e}")
             ok = False
