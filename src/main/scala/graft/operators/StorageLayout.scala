@@ -160,7 +160,7 @@ object StorageLayout {
     * count of quantile cut points <= the value, via a literal-array
     * higher-order filter (codegen'd; the array is 2^bits-1 doubles).
     */
-  private def equiDepthBucket(df: DataFrame, colName: String, bits: Int): Column = {
+  private[operators] def equiDepthBucket(df: DataFrame, colName: String, bits: Int): Column = {
     val nb = 1 << bits
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     val cuts = df.stat.approxQuantile(colName, probs, 0.001)

@@ -1,42 +1,78 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{Callable, Executors}
+
+import scala.jdk.CollectionConverters._
+// parquet's ColumnChunkMetaData.getStatistics returns Statistics[T forSome T]
+import scala.language.existentials
+
 import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 
 /** Versioned table layer — the manifest/snapshot log that unifies the
-  * [[StorageLayout]] maintenance moves (append, compact, delete) into
-  * ATOMIC table versions with time travel, the Delta/Iceberg log
-  * shape reduced to its load-bearing core:
+  * [[StorageLayout]] maintenance moves (append, compact, delete,
+  * recluster) into ATOMIC table versions with time travel, the
+  * Delta/Iceberg log shape reduced to its load-bearing core:
   *
   *  - data files are immutable and live flat under `<path>/data/`;
   *  - version N is a manifest `<path>/_log/vNNNNNNN.json` listing the
-  *    file names that make up the table at N;
+  *    file names that make up the table at N, plus per-file per-column
+  *    min/max bounds harvested from the parquet FOOTERS at write time
+  *    (zero data IO — the stats the writer already paid for);
   *  - every commit writes its NEW data files first, then publishes
   *    the manifest via a write-to-tmp + rename (the ledger-first
   *    rule): a crash mid-commit leaves orphan data files and NO
   *    manifest, so readers never see a partial version and a re-run
   *    simply re-commits;
   *  - old versions stay readable (time travel) until [[vacuum]]
-  *    drops files no retained manifest references.
+  *    drops files no retained manifest references — and vacuum
+  *    records its retention watermark FIRST, so a reader of a
+  *    dropped version fails fast with "version vacuumed", never a
+  *    mid-job FileNotFound;
+  *  - all MUTATIONS serialize behind [[IndexOps.withMutationLock]]:
+  *    a second concurrent committer fails loudly instead of racing
+  *    the version counter and stranding orphan data files.
   *
   * Contrast with the directory-swap maintenance ops
   * ([[StorageLayout.compactSmallFiles]]/[[StorageLayout.deleteWhere]]):
   * those mutate a plain parquet directory in place (no history, works
   * on any existing data); this layer buys atomic multi-reader
   * versioning and time travel for the price of owning the directory
-  * layout. Single-writer by contract (no optimistic-concurrency CAS —
-  * object-store conditional-put is deployment-specific; the rename
-  * publish point is where it would slot in).
+  * layout. [[optimizeRange]]/[[optimizeZOrder]] are the committed-
+  * version twins of the StorageLayout layout writers (Delta's
+  * OPTIMIZE ZORDER): a recluster is a table version, time-travelable
+  * and vacuumable like any other.
   *
-  * 100 TB shape: manifests carry file NAMES (bytes proportional to
-  * file count, never data); reads hand Spark the exact file list, so
-  * scan planning never lists the directory; compact/delete rewrite
-  * IO is bounded exactly as in the directory-swap twins (delete's
-  * touched-file discovery is the same bounded `_metadata.file_path`
-  * job).
+  * 100 TB shape: manifests carry file NAMES + footer bounds (bytes
+  * proportional to file count, never data); reads hand Spark the
+  * exact file list, so scan planning never lists the directory;
+  * [[readBand]] prunes that list against the manifest bounds BEFORE
+  * Spark opens a single footer — at object-store latency the
+  * difference between one manifest read and 100k footer GETs.
+  * Per-file driver work (staging renames, footer harvests) runs on a
+  * bounded thread pool, not a serial loop.
   */
 object TableLog {
+
+  /** Per-file column bound from the parquet footer. `kind`: "l"
+    * (integral), "d" (floating), "s" (UTF8 string); min/max carried
+    * as strings so 64-bit longs survive JSON exactly.
+    */
+  final case class ColBound(kind: String, min: String, max: String)
+
+  private final case class Manifest(
+      tag: Option[String],
+      files: Seq[String],
+      stats: Map[String, Map[String, ColBound]])
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -44,6 +80,8 @@ object TableLog {
   private def dataDir(path: String) = new Path(s"$path/data")
   private def manifestPath(path: String, v: Long) =
     new Path(logDir(path), f"v$v%07d.json")
+  private def watermarkPath(path: String) =
+    new Path(logDir(path), "_vacuum_watermark")
 
   /** Committed versions, ascending; empty if no table exists. */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
@@ -61,173 +99,445 @@ object TableLog {
     vs.last
   }
 
+  private def readSmallFile(spark: SparkSession, path: String, p: Path): String = {
+    val f = fs(spark, path)
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
   private def manifestBody(spark: SparkSession, path: String, v: Long): String = {
     val f = fs(spark, path)
     val mp = manifestPath(path, v)
     require(f.exists(mp), s"TableLog: version $v not committed at $path")
-    val in = f.open(mp)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    readSmallFile(spark, path, mp)
   }
 
-  private def filesField(body: String): String = {
-    val t = body.trim
-    if (t.startsWith("{")) {
-      val i = t.indexOf('['); val j = t.lastIndexOf(']')
-      t.substring(i, j + 1)
-    } else t
+  /** Parse a manifest; accepts all historical formats (bare JSON
+    * string array; {"tag","files"}; {"tag","files","stats"}).
+    */
+  private def parseManifest(body: String): Manifest =
+    JsonMethods.parse(body) match {
+      case JArray(vs) =>
+        Manifest(None, vs.collect { case JString(s) => s }, Map.empty)
+      case o: JObject =>
+        val tag = o \ "tag" match { case JString(t) => Some(t); case _ => None }
+        val files = o \ "files" match {
+          case JArray(vs) => vs.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        val stats = o \ "stats" match {
+          case JObject(byFile) => byFile.map { case (fname, cols) =>
+            fname -> (cols match {
+              case JObject(byCol) => byCol.collect {
+                case (cn, JArray(List(JString(k), JString(mn), JString(mx)))) =>
+                  cn -> ColBound(k, mn, mx)
+              }.toMap
+              case _ => Map.empty[String, ColBound]
+            })
+          }.toMap
+          case _ => Map.empty[String, Map[String, ColBound]]
+        }
+        Manifest(tag, files, stats)
+      case other =>
+        throw new IllegalStateException(s"TableLog: unparseable manifest: $other")
+    }
+
+  private def renderManifest(m: Manifest): String = {
+    val filesJ = JArray(m.files.sorted.map(JString(_): JValue).toList)
+    val statsJ = JObject(m.stats.toList.sortBy(_._1).map { case (f, cols) =>
+      f -> (JObject(cols.toList.sortBy(_._1).map { case (c, b) =>
+        c -> (JArray(List(JString(b.kind), JString(b.min), JString(b.max))): JValue)
+      }): JValue)
+    })
+    val fields: List[(String, JValue)] =
+      m.tag.map(t => "tag" -> (JString(t): JValue)).toList :+
+        ("files" -> (filesJ: JValue)) :+ ("stats" -> (statsJ: JValue))
+    JsonMethods.compact(JsonMethods.render(JObject(fields)))
   }
 
-  private def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] = {
-    // either a bare JSON string array or {"tag":"...","files":[...]}
-    filesField(manifestBody(spark, path, v))
-      .stripPrefix("[").stripSuffix("]").split(",")
-      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
-  }
+  private def readManifestFull(
+      spark: SparkSession, path: String, v: Long): Manifest =
+    parseManifest(manifestBody(spark, path, v))
+
+  private def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] =
+    readManifestFull(spark, path, v).files
 
   /** Idempotency tags of all committed versions (see [[appendBatch]]). */
   def tags(spark: SparkSession, path: String): Map[String, Long] =
     versions(spark, path).flatMap { v =>
-      val t = manifestBody(spark, path, v).trim
-      if (!t.startsWith("{")) None
-      else {
-        val m = "\"tag\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(t)
-        m.map(_.group(1) -> v)
-      }
+      readManifestFull(spark, path, v).tag.map(_ -> v)
     }.toMap
 
-  /** Publish `files` as version `v`: tmp write, fsync-close, rename.
-    * The rename is the commit point; an optional idempotency `tag`
-    * rides INSIDE the manifest, so tag and version become visible
-    * atomically.
+  /** Per-file column bounds recorded in version `v`'s manifest
+    * (empty map per file for pre-stats manifests).
+    */
+  def fileStats(spark: SparkSession, path: String, v: Long)
+      : Map[String, Map[String, ColBound]] =
+    readManifestFull(spark, path, v).stats
+
+  /** Publish `files` (+ per-file footer bounds) as version `v`: tmp
+    * write, fsync-close, rename. The rename is the commit point; an
+    * optional idempotency `tag` rides INSIDE the manifest, so tag and
+    * version become visible atomically.
     */
   private def commit(
       spark: SparkSession, path: String, v: Long, files: Seq[String],
+      stats: Map[String, Map[String, ColBound]],
       tag: Option[String] = None): Long = {
     require(files.nonEmpty, "TableLog: refusing to commit an empty file list " +
       "(an all-rows delete; drop the table instead)")
-    // no quotes (JSON embedding) and no brackets: filesField parses
-    // the manifest by slicing from the first '[' to the last ']', so
-    // a bracketed tag would corrupt file-list parsing for every later
-    // readManifest/read/vacuum of the version
+    // no quotes or brackets: defense in depth for any downstream
+    // consumer that greps manifests textually (the JSON layer itself
+    // escapes correctly since the stats upgrade)
     require(tag.forall(t => !t.exists(c => c == '"' || c == '[' || c == ']')),
       "TableLog: tag must not contain quotes or square brackets")
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
     val tmp = new Path(logDir(path), f"_tmp_v$v%07d.json")
     val out = f.create(tmp, true)
-    val arr = files.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    val body = tag match {
-      case Some(t) => s"""{"tag":"$t","files":$arr}"""
-      case None => arr
-    }
-    out.write(body.getBytes("UTF-8"))
+    out.write(renderManifest(Manifest(tag, files, stats)).getBytes(UTF_8))
     out.close()
     require(f.rename(tmp, manifestPath(path, v)),
       s"TableLog: commit rename failed for v$v (concurrent writer?)")
     v
   }
 
-  /** Write `df`'s rows as new immutable data files under the table's
-    * data dir and return their file names. Files are staged through a
-    * scratch dir and renamed in (same volume), so a crash leaves
-    * orphans in scratch, never half-visible names in data/.
+  /** Run `n` per-file driver tasks on a bounded pool (object-store
+    * metadata latency makes a serial loop O(#files · RTT); 16-wide
+    * keeps a 100k-file commit in seconds). Exceptions propagate.
     */
-  private def writeDataFiles(spark: SparkSession, path: String, df: DataFrame): Seq[String] = {
+  private def perFile[A, B](items: Seq[A], width: Int = 16)(f: A => B): Seq[B] = {
+    if (items.isEmpty) Nil
+    else if (items.size == 1) Seq(f(items.head))
+    else {
+      val pool = Executors.newFixedThreadPool(math.min(width, items.size))
+      try {
+        val futures = items.map(a => pool.submit(new Callable[B] {
+          override def call(): B = f(a)
+        }))
+        futures.map(_.get())
+      } finally pool.shutdown()
+    }
+  }
+
+  /** Min/max bounds per TOP-LEVEL primitive column from one parquet
+    * file's footer — metadata IO only, merged across row groups. A
+    * column whose chunks lack usable stats in any block is omitted
+    * (readers treat missing bounds as "cannot prune": conservative).
+    */
+  private def footerBounds(
+      spark: SparkSession, file: Path): Map[String, ColBound] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hconf))
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, ColBound]
+      val dead = scala.collection.mutable.Set.empty[String]
+      for (b <- reader.getFooter.getBlocks.asScala;
+           c <- b.getColumns.asScala if c.getPath.size == 1) {
+        val name = c.getPath.toDotString
+        val st = c.getStatistics
+        if (st == null || st.isEmpty || !st.hasNonNullValue) dead += name
+        else {
+          val pt = c.getPrimitiveType
+          val bound: Option[ColBound] = pt.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+              Some(ColBound("l",
+                st.genericGetMin.toString, st.genericGetMax.toString))
+            case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+              Some(ColBound("d",
+                st.genericGetMin.toString, st.genericGetMax.toString))
+            case PrimitiveTypeName.BINARY
+                if pt.getLogicalTypeAnnotation ==
+                  LogicalTypeAnnotation.stringType() =>
+              Some(ColBound("s",
+                st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
+                st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8))
+            case _ => None
+          }
+          bound match {
+            case None => dead += name
+            case Some(nb) =>
+              acc.get(name) match {
+                case None => acc(name) = nb
+                case Some(prev) => acc(name) = mergeBounds(prev, nb)
+              }
+          }
+        }
+      }
+      acc.toMap.filterNot { case (k, _) => dead.contains(k) }
+    } finally reader.close()
+  }
+
+  private def mergeBounds(a: ColBound, b: ColBound): ColBound = a.kind match {
+    case "l" => ColBound("l",
+      math.min(a.min.toLong, b.min.toLong).toString,
+      math.max(a.max.toLong, b.max.toLong).toString)
+    case "d" => ColBound("d",
+      math.min(a.min.toDouble, b.min.toDouble).toString,
+      math.max(a.max.toDouble, b.max.toDouble).toString)
+    case _ => ColBound("s",
+      if (a.min <= b.min) a.min else b.min,
+      if (a.max >= b.max) a.max else b.max)
+  }
+
+  /** Write `df`'s rows as new immutable data files under the table's
+    * data dir; returns their names and per-file footer bounds. Files
+    * are staged through a scratch dir and renamed in (same volume),
+    * so a crash leaves orphans in scratch, never half-visible names
+    * in data/. Renames and footer harvests run on the bounded pool.
+    */
+  private def writeDataFiles(
+      spark: SparkSession, path: String, df: DataFrame)
+      : (Seq[String], Map[String, Map[String, ColBound]]) = {
     val f = fs(spark, path)
     val scratch = new Path(s"$path/_scratch_${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(scratch.toString)
     f.mkdirs(dataDir(path))
-    val names = f.listStatus(scratch).toSeq
+    val staged = f.listStatus(scratch).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { s =>
-        val n = s.getPath.getName
-        require(f.rename(s.getPath, new Path(dataDir(path), n)),
-          s"TableLog: could not stage data file $n")
-        n
-      }
+      .map(_.getPath)
+    val names = perFile(staged) { p =>
+      val n = p.getName
+      require(f.rename(p, new Path(dataDir(path), n)),
+        s"TableLog: could not stage data file $n")
+      n
+    }
+    val stats = perFile(names) { n =>
+      n -> footerBounds(spark, new Path(dataDir(path), n))
+    }.toMap
     f.delete(scratch, true)
-    names
+    (names, stats)
   }
+
+  private def withLock[A](spark: SparkSession, path: String, op: String)(
+      body: => A): A =
+    IndexOps.withMutationLock(spark, path, s"TableLog.$op")(body)
 
   /** Create the table (version 1). Fails if a log already exists. */
-  def create(spark: SparkSession, path: String, df: DataFrame): Long = {
-    require(versions(spark, path).isEmpty,
-      s"TableLog: table already exists at $path")
-    commit(spark, path, 1L, writeDataFiles(spark, path, df))
-  }
+  def create(spark: SparkSession, path: String, df: DataFrame): Long =
+    withLock(spark, path, "create") {
+      require(versions(spark, path).isEmpty,
+        s"TableLog: table already exists at $path")
+      val (names, stats) = writeDataFiles(spark, path, df)
+      commit(spark, path, 1L, names, stats)
+    }
 
   /** Append rows as a new version (old files + new files). */
-  def append(spark: SparkSession, path: String, df: DataFrame): Long = {
-    val v = latestVersion(spark, path)
-    val cur = readManifest(spark, path, v)
-    commit(spark, path, v + 1, cur ++ writeDataFiles(spark, path, df))
+  def append(spark: SparkSession, path: String, df: DataFrame): Long =
+    withLock(spark, path, "append") {
+      val v = latestVersion(spark, path)
+      val cur = readManifestFull(spark, path, v)
+      val (names, stats) = writeDataFiles(spark, path, df)
+      commit(spark, path, v + 1, cur.files ++ names, cur.stats ++ stats)
+    }
+
+  /** Lowest version still readable after the last vacuum (1 if never
+    * vacuumed). Written BEFORE vacuum deletes anything, so the guard
+    * in [[read]] holds even across a mid-vacuum crash.
+    */
+  def vacuumWatermark(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, path)
+    val wp = watermarkPath(path)
+    if (!f.exists(wp)) 1L
+    else readSmallFile(spark, path, wp).trim.toLong
+  }
+
+  private def checkNotVacuumed(spark: SparkSession, path: String, v: Long): Unit = {
+    val wm = vacuumWatermark(spark, path)
+    require(v >= wm,
+      s"TableLog: version $v vacuumed (oldest readable version is $wm) — " +
+        "its manifest may survive a crashed vacuum but its data files are gone")
   }
 
   /** Read the table at `version` (default: latest). Hands Spark the
     * manifest's exact file list — no directory listing, orphans and
-    * other versions' files invisible.
+    * other versions' files invisible. A version below the vacuum
+    * watermark fails fast here instead of mid-job FileNotFound.
     */
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, path))
+    checkNotVacuumed(spark, path, v)
     val files = readManifest(spark, path, v)
       .map(n => new Path(dataDir(path), n).toString)
     spark.read.parquet(files: _*)
   }
 
+  /** Manifest-level file pruning: names of version `v`'s files whose
+    * recorded [min,max] for `colName` overlaps [lower, upper] — plus
+    * every file with no recorded bound for the column (conservative).
+    * Decided entirely from the manifest: zero parquet footer opens.
+    */
+  def bandFiles(
+      spark: SparkSession, path: String, colName: String,
+      lower: Any, upper: Any, version: Option[Long] = None): Seq[String] = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    checkNotVacuumed(spark, path, v)
+    val m = readManifestFull(spark, path, v)
+    m.files.filter { n =>
+      m.stats.get(n).flatMap(_.get(colName)) match {
+        case None => true
+        case Some(b) => overlaps(b, lower, upper)
+      }
+    }
+  }
+
+  private def overlaps(b: ColBound, lower: Any, upper: Any): Boolean =
+    try b.kind match {
+      case "l" =>
+        b.min.toLong <= anyToLong(upper) && b.max.toLong >= anyToLong(lower)
+      case "d" =>
+        b.min.toDouble <= anyToDouble(upper) && b.max.toDouble >= anyToDouble(lower)
+      case _ =>
+        b.min <= upper.toString && b.max >= lower.toString
+    } catch {
+      // band value not convertible to the recorded kind: never prune
+      case _: NumberFormatException => true
+    }
+
+  private def anyToLong(a: Any): Long = a match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case s: String => s.toLong
+    case other => throw new NumberFormatException(other.toString)
+  }
+
+  private def anyToDouble(a: Any): Double = a match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case s: String => s.toDouble
+    case other => throw new NumberFormatException(other.toString)
+  }
+
+  /** Band read served through manifest pruning: semantically equal to
+    * `read(version).where(colName between lower and upper)`, but the
+    * file list is cut against the manifest bounds BEFORE Spark plans
+    * the scan. On a table clustered on `colName`
+    * ([[optimizeRange]]/[[optimizeZOrder]]), a narrow band reads a
+    * handful of files out of 100k without opening the rest's footers.
+    * The residual predicate still applies (bounds are per-file, not
+    * per-row).
+    */
+  def readBand(
+      spark: SparkSession, path: String, colName: String,
+      lower: Any, upper: Any, version: Option[Long] = None): DataFrame = {
+    val pred = col(colName) >= lit(lower) && col(colName) <= lit(upper)
+    val kept = bandFiles(spark, path, colName, lower, upper, version)
+    if (kept.isEmpty) read(spark, path, version).where(lit(false))
+    else spark.read.parquet(
+      kept.map(n => new Path(dataDir(path), n).toString): _*).where(pred)
+  }
+
   /** Compact the current version's files toward a row target as a new
     * version. Old files stay (time travel) until [[vacuum]].
     */
-  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Long = {
-    require(targetRowsPerFile > 0, "TableLog.compact: target must be positive")
-    val v = latestVersion(spark, path)
-    val cur = read(spark, path, Some(v))
-    val rows = cur.count()
-    val k = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val src = read(spark, path, Some(v))
-    val compacted = if (src.rdd.getNumPartitions >= k) src.coalesce(k)
-      else src.repartition(k)
-    commit(spark, path, v + 1, writeDataFiles(spark, path, compacted))
-  }
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Long =
+    withLock(spark, path, "compact") {
+      require(targetRowsPerFile > 0, "TableLog.compact: target must be positive")
+      val v = latestVersion(spark, path)
+      val cur = read(spark, path, Some(v))
+      val rows = cur.count()
+      val k = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val src = read(spark, path, Some(v))
+      val compacted = if (src.rdd.getNumPartitions >= k) src.coalesce(k)
+        else src.repartition(k)
+      val (names, stats) = writeDataFiles(spark, path, compacted)
+      commit(spark, path, v + 1, names, stats)
+    }
+
+  /** OPTIMIZE, range flavor: rewrite the latest version's rows
+    * range-partitioned + sorted on `colName` as a NEW COMMITTED
+    * VERSION — the [[StorageLayout.writeRangeClustered]] layout win
+    * (tight near-disjoint per-file bounds; [[readBand]] then prunes
+    * from the manifest) without the out-of-band directory rewrite:
+    * the recluster is time-travelable and concurrent readers keep
+    * reading the old version throughout.
+    */
+  def optimizeRange(
+      spark: SparkSession, path: String, colName: String, numFiles: Int): Long =
+    withLock(spark, path, "optimizeRange") {
+      require(numFiles > 0, "TableLog.optimizeRange: numFiles must be positive")
+      val v = latestVersion(spark, path)
+      val clustered = read(spark, path, Some(v))
+        .repartitionByRange(numFiles, col(colName))
+        .sortWithinPartitions(colName)
+      val (names, stats) = writeDataFiles(spark, path, clustered)
+      commit(spark, path, v + 1, names, stats)
+    }
+
+  /** OPTIMIZE, z-order flavor over k ≥ 2 numeric columns (Delta's
+    * OPTIMIZE ZORDER as a committed version): equi-depth bucket
+    * ranks, Morton-interleaved, range-partitioned + sorted — files
+    * end up tight in EVERY listed dimension, so [[readBand]] on any
+    * of them prunes from the manifest.
+    */
+  def optimizeZOrder(
+      spark: SparkSession, path: String, cols: Seq[String],
+      numFiles: Int, bits: Int = 8): Long =
+    withLock(spark, path, "optimizeZOrder") {
+      require(numFiles > 0, "TableLog.optimizeZOrder: numFiles must be positive")
+      val v = latestVersion(spark, path)
+      val df = read(spark, path, Some(v))
+      val zv = StorageLayout.zValueN(
+        cols.map(c => StorageLayout.equiDepthBucket(df, c, bits)), bits)
+      val clustered = df.withColumn("_tl_z", zv)
+        .repartitionByRange(numFiles, col("_tl_z"))
+        .sortWithinPartitions("_tl_z")
+        .drop("_tl_z")
+      val (names, stats) = writeDataFiles(spark, path, clustered)
+      commit(spark, path, v + 1, names, stats)
+    }
 
   /** Delete matching rows as a new version: untouched files carry
-    * over BY NAME (zero IO — the manifest layer's advantage over the
-    * directory-swap [[StorageLayout.deleteWhere]], which must link or
-    * copy them), touched files are rewritten without their matches.
+    * over BY NAME with their recorded bounds (zero IO — the manifest
+    * layer's advantage over the directory-swap
+    * [[StorageLayout.deleteWhere]], which must link or copy them),
+    * touched files are rewritten without their matches.
     */
-  def deleteWhere(spark: SparkSession, path: String, predicate: Column): Long = {
-    val v = latestVersion(spark, path)
-    val cur = readManifest(spark, path, v)
-    val df = read(spark, path, Some(v))
-    val perFile = df.where(predicate)
-      .groupBy(col("_metadata.file_path").as("_tl_f"))
-      .agg(count(lit(1)).as("_tl_n")).collect()
-    val touchedNames =
-      perFile.map(r => new Path(r.getString(0)).getName).toSet
-    if (touchedNames.isEmpty) return commit(spark, path, v + 1, cur)
-    val rowsDeleted = perFile.map(_.getLong(1)).sum
-    val (touched, untouched) = cur.partition(touchedNames.contains)
-    val touchedPaths = touched.map(n => new Path(dataDir(path), n).toString)
-    val touchedDf = spark.read.parquet(touchedPaths: _*)
-    val touchedRows = touchedDf.count()
-    // survivors = NOT(matched): NULL-predicate rows did not match and
-    // must be kept — bare !predicate is NULL for them and would drop
-    // them silently (the StorageLayout.deleteWhere discipline)
-    val survivors = touchedDf.where(!coalesce(predicate, lit(false)))
-    val newFiles =
-      if (survivors.isEmpty) Nil else writeDataFiles(spark, path, survivors)
-    // row accounting BEFORE the commit rename: a survivor filter that
-    // dropped more than the matched rows (e.g. a non-deterministic
-    // predicate) aborts here, leaving only orphan data files for
-    // vacuum — never a committed wrong version
-    val survivorRows =
-      if (newFiles.isEmpty) 0L
-      else spark.read.parquet(
-        newFiles.map(n => new Path(dataDir(path), n).toString): _*).count()
-    require(survivorRows == touchedRows - rowsDeleted,
-      s"TableLog.deleteWhere: survivors have $survivorRows rows, want " +
-        s"${touchedRows - rowsDeleted} — aborting commit (orphans go to vacuum)")
-    commit(spark, path, v + 1, untouched ++ newFiles)
-  }
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column): Long =
+    withLock(spark, path, "deleteWhere") {
+      val v = latestVersion(spark, path)
+      val cur = readManifestFull(spark, path, v)
+      val df = read(spark, path, Some(v))
+      val perFileMatches = df.where(predicate)
+        .groupBy(col("_metadata.file_path").as("_tl_f"))
+        .agg(count(lit(1)).as("_tl_n")).collect()
+      val touchedNames =
+        perFileMatches.map(r => new Path(r.getString(0)).getName).toSet
+      if (touchedNames.isEmpty) commit(spark, path, v + 1, cur.files, cur.stats)
+      else {
+        val rowsDeleted = perFileMatches.map(_.getLong(1)).sum
+        val (touched, untouched) = cur.files.partition(touchedNames.contains)
+        val touchedPaths = touched.map(n => new Path(dataDir(path), n).toString)
+        val touchedDf = spark.read.parquet(touchedPaths: _*)
+        val touchedRows = touchedDf.count()
+        // survivors = NOT(matched): NULL-predicate rows did not match
+        // and must be kept — bare !predicate is NULL for them and
+        // would drop them silently (StorageLayout.deleteWhere
+        // discipline)
+        val survivors = touchedDf.where(!coalesce(predicate, lit(false)))
+        val (newFiles, newStats) =
+          if (survivors.isEmpty) (Nil, Map.empty[String, Map[String, ColBound]])
+          else writeDataFiles(spark, path, survivors)
+        // row accounting BEFORE the commit rename: a survivor filter
+        // that dropped more than the matched rows (e.g. a
+        // non-deterministic predicate) aborts here, leaving only
+        // orphan data files for vacuum — never a committed wrong
+        // version
+        val survivorRows =
+          if (newFiles.isEmpty) 0L
+          else spark.read.parquet(
+            newFiles.map(n => new Path(dataDir(path), n).toString): _*).count()
+        require(survivorRows == touchedRows - rowsDeleted,
+          s"TableLog.deleteWhere: survivors have $survivorRows rows, want " +
+            s"${touchedRows - rowsDeleted} — aborting commit (orphans go to vacuum)")
+        commit(spark, path, v + 1, untouched ++ newFiles,
+          (cur.stats -- touched) ++ newStats)
+      }
+    }
 
   /** Tagged idempotent append — the exactly-once unit for streaming
     * sinks: if a committed version already carries `tag`, return it
@@ -244,44 +554,72 @@ object TableLog {
     tags(spark, path).get(tag) match {
       case Some(v) => v
       case None =>
-        val v = latestVersion(spark, path)
-        val cur = readManifest(spark, path, v)
-        commit(spark, path, v + 1, cur ++ writeDataFiles(spark, path, df),
-          Some(tag))
+        withLock(spark, path, "appendBatch") {
+          // re-check under the lock: a concurrent committer may have
+          // landed this tag between the lock-free probe and here
+          tags(spark, path).get(tag) match {
+            case Some(v) => v
+            case None =>
+              val v = latestVersion(spark, path)
+              val cur = readManifestFull(spark, path, v)
+              val (names, stats) = writeDataFiles(spark, path, df)
+              commit(spark, path, v + 1, cur.files ++ names,
+                cur.stats ++ stats, Some(tag))
+          }
+        }
     }
 
-  /** History report: (version, n_rows) per committed version — the
-    * DESCRIBE HISTORY surface. Row counts come from parquet footers
-    * (count(*) over an exact file list), so the report costs metadata
-    * reads, not data scans.
+  /** History report: (version, n_rows) per READABLE version (vacuumed
+    * versions are excluded) — the DESCRIBE HISTORY surface.
     */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    versions(spark, path)
+    val wm = vacuumWatermark(spark, path)
+    versions(spark, path).filter(_ >= wm)
       .map(v => (v, read(spark, path, Some(v)).count()))
       .toDF("version", "n_rows")
   }
 
   /** Drop data files referenced by NO retained manifest and all
     * manifests older than `keepVersions` back from latest. Orphans
-    * from crashed commits go with them.
+    * from crashed commits go with them. Ordering is crash-safe for
+    * READERS: the retention watermark is published FIRST (tmp +
+    * rename), then manifests are deleted, then files — so at every
+    * crash point a dropped version either fails [[read]]'s watermark
+    * guard or has no manifest, never a manifest whose files are gone.
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Unit = {
-    require(keepVersions >= 1, "TableLog.vacuum: must keep at least the latest")
-    val f = fs(spark, path)
-    val vs = versions(spark, path)
-    val keep = vs.takeRight(keepVersions)
-    val referenced = keep.flatMap(readManifest(spark, path, _)).toSet
-    if (f.exists(dataDir(path)))
-      f.listStatus(dataDir(path)).foreach { s =>
-        if (s.isFile && !referenced.contains(s.getPath.getName))
-          f.delete(s.getPath, false)
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Unit =
+    withLock(spark, path, "vacuum") {
+      require(keepVersions >= 1, "TableLog.vacuum: must keep at least the latest")
+      val f = fs(spark, path)
+      val vs = versions(spark, path)
+      val keep = vs.takeRight(keepVersions)
+      val referenced = keep.flatMap(readManifest(spark, path, _)).toSet
+      // 1. watermark first (atomic tmp+rename, monotone non-decreasing)
+      if (keep.nonEmpty && keep.head > vacuumWatermark(spark, path)) {
+        val tmp = new Path(logDir(path), "_tmp_watermark")
+        val out = f.create(tmp, true)
+        out.write(keep.head.toString.getBytes(UTF_8))
+        out.close()
+        f.delete(watermarkPath(path), false)
+        require(f.rename(tmp, watermarkPath(path)),
+          "TableLog.vacuum: watermark publish failed")
       }
-    vs.dropRight(keepVersions).foreach(v => f.delete(manifestPath(path, v), false))
-    // crashed-commit scratch dirs are orphans too
-    f.listStatus(new Path(path)).foreach { s =>
-      if (s.isDirectory && s.getPath.getName.startsWith("_scratch_"))
-        f.delete(s.getPath, true)
+      // 2. expired manifests
+      vs.dropRight(keepVersions).foreach(v => f.delete(manifestPath(path, v), false))
+      // 3. unreferenced data files (parallel: object-store deletes are
+      // per-file RPCs)
+      if (f.exists(dataDir(path))) {
+        val doomed = f.listStatus(dataDir(path)).toSeq
+          .filter(s => s.isFile && !referenced.contains(s.getPath.getName))
+          .map(_.getPath)
+        perFile(doomed) { p => f.delete(p, false) }
+      }
+      // crashed-commit scratch dirs are orphans too
+      f.listStatus(new Path(path)).foreach { s =>
+        if (s.isDirectory && s.getPath.getName.startsWith("_scratch_"))
+          f.delete(s.getPath, true)
+      }
+      ()
     }
-  }
 }

@@ -146,7 +146,7 @@ class TableLogSpec extends GraftSparkSpec {
   }
 
   test("tags with square brackets are refused (manifest parse safety)") {
-    val path = freshPath("graft-spec-tlog-tag")
+    val path = freshPath("graft-spec-tlog-brkt")
     val data = (0L until 10L).map(i => (i, i)).toDF("id", "g")
     TableLog.create(spark, path, data)
     intercept[IllegalArgumentException] {
@@ -155,5 +155,144 @@ class TableLogSpec extends GraftSparkSpec {
     // table unharmed, a clean tag still works
     assert(TableLog.appendBatch(spark, path, data, "batch-7") === 2L)
     assert(TableLog.tags(spark, path) === Map("batch-7" -> 2L))
+  }
+
+  test("optimizeRange commits a recluster as a version; manifest bounds prune") {
+    val path = freshPath("graft-spec-tlog-opt")
+    // hash-partitioned create: every file spans ~the full id range,
+    // so a band overlaps ALL files' bounds
+    val data = (0L until 4000L).map(i => (i, s"p$i")).toDF("id", "p")
+    TableLog.create(spark, path, data.repartition(8))
+    val allFiles = TableLog.read(spark, path, Some(1L)).inputFiles.length
+    assert(TableLog.bandFiles(spark, path, "id", 100L, 150L).size === allFiles,
+      "unclustered: bounds cannot prune")
+
+    val v2 = TableLog.optimizeRange(spark, path, "id", numFiles = 8)
+    assert(v2 === 2L)
+    // content identical across the recluster, old version intact
+    assert(rows(TableLog.read(spark, path, Some(2L))) === rows(data))
+    assert(rows(TableLog.read(spark, path, Some(1L))) === rows(data))
+    // clustered: a narrow band keeps 1-2 of 8 files, decided from the
+    // manifest alone
+    val kept = TableLog.bandFiles(spark, path, "id", 100L, 150L)
+    assert(kept.size <= 2, s"manifest pruning kept ${kept.size} of 8 files")
+    // band read ≡ full read + filter
+    assert(rows(TableLog.readBand(spark, path, "id", 100L, 150L)) ===
+      rows(TableLog.read(spark, path).where($"id".between(100L, 150L))))
+    // string bounds prune too (p100..p150 lexicographic)
+    val keptS = TableLog.bandFiles(spark, path, "p", "p100", "p101")
+    assert(keptS.size < allFiles)
+  }
+
+  test("optimizeZOrder: bands on EITHER dimension prune from the manifest") {
+    val path = freshPath("graft-spec-tlog-zopt")
+    val n = 4096L
+    // two independent dimensions (row-major grid)
+    val data = (0L until n).map(i => (i % 64L, i / 64L, i)).toDF("x", "y", "v")
+    TableLog.create(spark, path, data.repartition(8))
+    TableLog.optimizeZOrder(spark, path, Seq("x", "y"), numFiles = 16, bits = 6)
+    val total = TableLog.read(spark, path).inputFiles.length
+    val keptX = TableLog.bandFiles(spark, path, "x", 0L, 7L)
+    val keptY = TableLog.bandFiles(spark, path, "y", 0L, 7L)
+    assert(keptX.size < total, s"x band kept ${keptX.size} of $total")
+    assert(keptY.size < total, s"y band kept ${keptY.size} of $total")
+    assert(rows(TableLog.readBand(spark, path, "x", 0L, 7L)) ===
+      rows(TableLog.read(spark, path).where($"x".between(0L, 7L))))
+  }
+
+  test("readBand decodes fewer rows than an unclustered full scan") {
+    val path = freshPath("graft-spec-tlog-band")
+    val data = (0L until 20000L).map(i => (i, i * 3)).toDF("id", "w")
+    TableLog.create(spark, path, data.repartition(8))
+    TableLog.optimizeRange(spark, path, "id", numFiles = 8)
+    def decoded(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+      df.collect()
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val band = TableLog.readBand(spark, path, "id", 1000L, 1999L)
+    val d = decoded(band)
+    assert(d <= 20000L / 4, s"manifest-pruned band decoded $d of 20000")
+  }
+
+  test("concurrent mutators are excluded by the table lock") {
+    val path = freshPath("graft-spec-tlog-lock")
+    val data = (0L until 100L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, data)
+    // a live mutator holds the table lock; every mutation fails fast
+    IndexOps.withMutationLock(spark, path, "TableLog.test-holder") {
+      intercept[IndexOps.ConcurrentMutationException] {
+        TableLog.append(spark, path, data)
+      }
+      intercept[IndexOps.ConcurrentMutationException] {
+        TableLog.deleteWhere(spark, path, col("id") < 10L)
+      }
+      intercept[IndexOps.ConcurrentMutationException] {
+        TableLog.vacuum(spark, path)
+      }
+    }
+    // lock released: mutations work again, nothing corrupted
+    assert(TableLog.append(spark, path, data) === 2L)
+    assert(TableLog.read(spark, path).count() === 200L)
+  }
+
+  test("crashed vacuum: watermark guard beats mid-job FileNotFound") {
+    val path = freshPath("graft-spec-tlog-wm")
+    val data = (0L until 300L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, data)          // v1
+    TableLog.compact(spark, path, 300L)         // v2
+    TableLog.append(spark, path, data)          // v3
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: vacuum published its watermark and
+    // deleted v1's files, but v1's manifest survived
+    val m1 = new org.apache.hadoop.fs.Path(s"$path/_log/v0000001.json")
+    val saved = new org.apache.hadoop.fs.Path(s"$path/_log/saved.bak")
+    fsys.rename(m1, saved)
+    TableLog.vacuum(spark, path, keepVersions = 2)
+    fsys.rename(saved, m1)
+    assert(TableLog.versions(spark, path).contains(1L), "crash state: manifest back")
+    val e = intercept[IllegalArgumentException] {
+      TableLog.read(spark, path, Some(1L))
+    }
+    assert(e.getMessage.contains("vacuumed"),
+      s"want a fail-fast 'vacuumed' error, got: ${e.getMessage}")
+    // retained versions unaffected
+    assert(TableLog.read(spark, path, Some(2L)).count() === 300L)
+    assert(TableLog.read(spark, path).count() === 600L)
+  }
+
+  test("pre-stats manifests (old formats) still read; stats recorded on new commits") {
+    val path = freshPath("graft-spec-tlog-compat")
+    val data = (0L until 100L).map(i => (i, s"s$i")).toDF("id", "s")
+    TableLog.create(spark, path, data.repartition(2))
+    val stats = TableLog.fileStats(spark, path, 1L)
+    assert(stats.nonEmpty && stats.values.forall(_.contains("id")),
+      "new commits must carry footer bounds for id")
+    assert(stats.values.forall(_.contains("s")), "string bounds too")
+    // rewrite v1's manifest in the round-11 format ({"tag","files"})
+    // and the round-10 format (bare array): both must read and both
+    // must be un-prunable (no bounds -> keep all)
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = TableLog.read(spark, path, Some(1L)).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).sorted
+    for (body <- Seq(
+        names.map(n => "\"" + n + "\"").mkString("[", ",", "]"),
+        s"""{"tag":"t0","files":${names.map(n => "\"" + n + "\"").mkString("[", ",", "]")}}""")) {
+      val mp = new org.apache.hadoop.fs.Path(s"$path/_log/v0000001.json")
+      val out = fsys.create(mp, true)
+      out.write(body.getBytes("UTF-8")); out.close()
+      assert(TableLog.read(spark, path, Some(1L)).count() === 100L)
+      assert(TableLog.bandFiles(spark, path, "id", 0L, 0L, Some(1L)).size ===
+        names.length, "no bounds -> conservative keep-all")
+    }
   }
 }
