@@ -150,17 +150,16 @@ object GraphAnn {
     * ASC tie-break), symmetrized. Built driver-side — the centroid
     * array is already driver-resident from the fit, and nlist² stays
     * trivial up to the guarded bound (64k cells = 4G ops is where it
-    * stops being trivial; beyond that the construction recurses: fit
-    * a coarser quantizer over the CENTROIDS and build per-super-cell,
-    * which is exactly [[build]] one level up — not needed at current
-    * corpus-sized nlist, where nlist = rows/160 keeps the layer under
-    * a few thousand cells per billion rows of a 160-row-cell layout).
+    * stops being trivial; beyond that use [[buildCellGraphScalable]],
+    * which recurses: fits a coarser quantizer over the CENTROIDS and
+    * runs the distributed [[build]] per-super-cell, one level up).
     */
   def buildCellGraph(
       centroids: Array[Array[Double]], cellM: Int = 4): Array[(Int, Int)] = {
     val n = centroids.length
     require(n.toLong * n <= (1L << 32),
-      s"buildCellGraph: $n cells exceeds the driver-side bound; recurse the build")
+      s"buildCellGraph: $n cells exceeds the driver-side flat bound — " +
+        "use buildCellGraphScalable (distributed per-super-cell build)")
     val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
     val directed = for {
       i <- centroids.indices
@@ -176,6 +175,50 @@ object GraphAnn {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
+  }
+
+  /** [[buildCellGraph]] without the driver bound — the recursion the
+    * flat builder's scaladoc promises, made real: up to `flatBound`
+    * cells the flat O(n²) build runs as before; beyond it the
+    * CENTROIDS become a corpus, a coarser quantizer is fitted over
+    * them (bounded deterministic sample), and the distributed
+    * [[build]] machinery produces the per-super-cell centroid kNN one
+    * level up — overlapping replica assignment carries cross-super-
+    * cell edges (the same trick that makes the base layer navigable
+    * across cells), `maxCellSize = flatBound` caps the within-super-
+    * cell quadratic, and a skewed super-cell degrades coverage
+    * gracefully instead of going quadratic. Output contract identical
+    * to the flat build: symmetrized, deduped, sorted (src, dst) with
+    * ~`cellM` out-edges per cell, so the per-query walk cost —
+    * O(cellBeam · cellM · cellHops) — is unchanged; only the BUILD
+    * scales out. Billion-vector shape: nlist = rows/160 puts 6M cells
+    * at 1e9 rows; the flat 65k bound dies there, this build is one
+    * replicate-explode + per-super-cell join over an nlist-row frame.
+    */
+  def buildCellGraphScalable(
+      spark: SparkSession,
+      centroids: Array[Array[Double]], cellM: Int = 4,
+      flatBound: Int = 16384): Array[(Int, Int)] = {
+    require(flatBound >= 4, "buildCellGraphScalable: flatBound >= 4")
+    val n = centroids.length
+    if (n <= flatBound) buildCellGraph(centroids, cellM)
+    else {
+      import spark.implicits._
+      // centroid frame: n rows of (cell id, vector) — parallelize, not
+      // a LocalRelation literal (a million-row literal bloats the plan)
+      val cdf = spark.sparkContext
+        .parallelize(centroids.toIndexedSeq.zipWithIndex
+          .map { case (v, i) => (i.toLong, v.toIndexedSeq) }, 32)
+        .toDF("cid", "cvec")
+      // average super-cell ≈ flatBound/4 members: each within-super-
+      // cell kNN stays far inside the flat regime even at 2x replicas
+      val superK = math.max(4, n / math.max(1, flatBound / 4))
+      val superCentroids = Ivf.fitCentroids(cdf, "cvec", superK)
+      val (edges, _) = build(cdf, "cid", "cvec", superCentroids,
+        m = cellM, replicas = 2, maxCellSize = flatBound.toLong)
+      edges.select(col("src").cast("int"), col("dst").cast("int"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    }
   }
 
   /** Hierarchical entry selection + base walk: instead of probing the
@@ -264,7 +307,8 @@ object GraphAnn {
       corpus, idCol, vecCol, centroids, m, replicas,
       cacheKey.map(ck => (ck, nlist)), maxCellSize)
     searchTopKHier(corpus, idCol, vecCol, queries, qidCol, qvecCol,
-      centroids, edges, entries, buildCellGraph(centroids, cellM),
+      centroids, edges, entries,
+      buildCellGraphScalable(corpus.sparkSession, centroids, cellM),
       k, entryProbe, cellHops, cellBeam, hops, beam)
   }
 

@@ -267,4 +267,49 @@ class GraphAnnSpec extends GraftSparkSpec {
     val ids = corpus.select("vec_id").as[Long].collect().toSet
     assert(e.forall { case (a, b) => ids(a) && ids(b) })
   }
+
+  test("scalable cell graph: recursion past the flat bound preserves the contract") {
+    // 200 cells on a smooth 1-D manifold: true cell-neighbors are
+    // index-adjacent, so the flat O(n²) build is an exact reference
+    val nCells = 200
+    val cellCentroids = (0 until nCells).map { i =>
+      val t = i * 0.02
+      Array(math.cos(t), math.sin(t), math.cos(2 * t) * 0.3, 1.0)
+    }.toArray
+    val flat = GraphAnn.buildCellGraph(cellCentroids, cellM = 4).toSet
+    // flatBound = 32 << 200 forces the distributed per-super-cell path
+    val rec = GraphAnn.buildCellGraphScalable(
+      spark, cellCentroids, cellM = 4, flatBound = 32).toSet
+    // same structural contract as the flat build
+    assert(rec.forall { case (a, b) => rec.contains((b, a)) }, "symmetry")
+    assert(rec.forall { case (a, b) =>
+      a >= 0 && a < nCells && b >= 0 && b < nCells && a != b })
+    assert(rec.size <= nCells * 4 * 2 * 2, "edge budget: ~cellM out-edges per cell")
+    // quality: overlapping replica assignment recovers the manifold
+    // adjacency the super-cell split would otherwise cut
+    val overlap = flat.count(rec.contains).toDouble / flat.size
+    assert(overlap >= 0.7, s"recursive build kept only $overlap of flat edges")
+    // below the bound the scalable build IS the flat build
+    assert(GraphAnn.buildCellGraphScalable(
+      spark, cellCentroids, cellM = 4, flatBound = 512).toSet === flat)
+  }
+
+  test("hier search through a recursively-built cell layer keeps decoy recall") {
+    val (cor, qs, centroids) = decoyFixture
+    val truth = Ann.cosineTopK(cor, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id").as("_true"))
+    val (edges, entries) = GraphAnn.build(
+      cor, "vec_id", "embedding", centroids, m = 4, replicas = 2)
+    // flatBound = 8 << 31 cells: the cell layer itself is built by the
+    // distributed recursion; the walk contract must be unaffected
+    val cg = GraphAnn.buildCellGraphScalable(
+      spark, centroids, cellM = 4, flatBound = 8)
+    val hier = GraphAnn.searchTopKHier(cor, "vec_id", "embedding",
+      qs, "vec_id", "embedding", centroids, edges, entries, cg,
+      k = 1, entryProbe = 4, cellHops = 4, cellBeam = 4, hops = 3, beam = 8)
+    val recall = hier.filter(col("rank") === 1).join(truth, Seq("query_id"))
+      .filter(col("neighbor_id") === col("_true")).count() / 20.0
+    assert(recall >= 0.95, s"hier recall through recursive cell layer: $recall")
+  }
 }
