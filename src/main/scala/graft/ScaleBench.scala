@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.StorageLayout
+import graft.operators.{StorageLayout, TableLog}
 
 /** Scale evidence runner (round-3 VERDICT #7): one order of magnitude
   * above the per-round bench, plus a deliberately hot-keyed corpus.
@@ -606,6 +606,58 @@ object ScaleBench {
       val scXor = timedScan("layout_band_scattered", bandId(s"$layoutBase/scatter"))
       if (rcXor != scXor)
         throw new IllegalStateException("range-cluster band duel diverged")
+
+      // (d) manifest-level pruning: the SAME band served through
+      // TableLog's footer-stats manifest. readBand cuts the file list
+      // against the manifest bounds BEFORE Spark plans the scan, so
+      // the band never opens the pruned files' footers — at
+      // object-store latency, #files planned is the metric that
+      // matters (one manifest read vs 100k footer GETs); decoded rows
+      // must be no worse than the parquet-footer row-group-skip path
+      // on the same clustered layout, and results are xor-equal.
+      {
+        val tlPath = s"$layoutBase/tlog"
+        val tlHP = new org.apache.hadoop.fs.Path(tlPath)
+        val tlFs = tlHP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        tlFs.delete(tlHP, true)
+        var t1 = System.nanoTime()
+        TableLog.create(spark, tlPath, src.repartition(64, col("b")))
+        TableLog.optimizeRange(spark, tlPath, "id", numFiles = 64)
+        println(f"""{"bench":"scale","workload":"tablelog_create_optimize","sec":${(System.nanoTime() - t1) / 1e9}%.2f}""")
+        def scanFiles(df: DataFrame): Long = {
+          import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+            case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+            case q: QueryStageExec => scans(q.plan)
+            case f: FileSourceScanExec => Seq(f)
+            case other => other.children.flatMap(scans)
+          }
+          scans(df.queryExecution.executedPlan)
+            .map(_.metrics("numFiles").value).sum
+        }
+        def timedBand(name: String, mk: => DataFrame): Long = {
+          val warm = mk; warm.collect()
+          val fresh = mk
+          val t0 = System.nanoTime()
+          fresh.collect()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val decoded = scanRows(fresh)
+          val files = scanFiles(fresh)
+          val x = force(mk)._1
+          println(f"""{"bench":"scale","workload":"$name","sec":$sec%.2f,"rows_decoded":$decoded,"files_planned":$files,"xor":$x}""")
+          x
+        }
+        def agg(df: DataFrame) =
+          df.agg(sum(length(col("p"))).as("s"), count(lit(1)).as("c"))
+        val mXor = timedBand("manifest_band_tablelog",
+          agg(TableLog.readBand(spark, tlPath, "id", n / 2, n / 2 + n / 16 - 1)))
+        val fXor = timedBand("footer_band_tablelog",
+          agg(TableLog.read(spark, tlPath)
+            .filter(col("id") >= n / 2 && col("id") < n / 2 + n / 16)))
+        if (mXor != fXor)
+          throw new IllegalStateException("manifest-pruning duel diverged")
+      }
 
       StorageLayout.writeZOrdered(src, s"$layoutBase/zo", "id", "b", 64, bits = 6)
       def bandB(path: String) = spark.read.parquet(path)
