@@ -183,4 +183,73 @@ object Mixture {
       .select(col(stratumCol), col("wgt"), col("avail"),
         col("allocated"), col("saturated"))
   }
+
+  /** Multi-epoch ANNEALED mixture schedule without data repetition —
+    * the two-stage pretraining data-schedule shape (natural mix
+    * early, upweighted rare/quality strata late, e.g. the
+    * "mid-training" / decay-phase recipes): epoch `e`'s weights
+    * interpolate linearly from `startWCol` to `endWCol` on the
+    * integer lattice
+    *
+    *   w_e = startW · (E−1−e) + endW · e
+    *
+    * (unnormalized — [[waterFill]] only consumes weight RATIOS, and
+    * the floor-DIV shares stay exactly replayable), each epoch
+    * allocates `budgetPerEpoch` by water-filling, and allocations
+    * CONSUME availability: epoch e+1 fills from what epochs ≤ e left
+    * behind, so the schedule never re-plans data it already spent.
+    *
+    * Output: one row per (epoch, stratum) — the weight used, the
+    * availability ENTERING the epoch, the allocation, and the
+    * saturation flag.
+    *
+    * Exactness: pure integer interpolation + [[waterFill]]'s integer
+    * saturation/floor-DIV arithmetic, so a SQL oracle replays the
+    * whole E-step schedule bit-for-bit. Weights must be >= 1 at both
+    * endpoints (zero would zero a whole epoch's weight lattice).
+    *
+    * 100 TB shape: a driver loop of E steps, each on the #strata
+    * TOTALS frame (localCheckpoint'ed — E chained window plans would
+    * otherwise nest); the corpus itself is never touched.
+    */
+  def annealSchedule(
+      totals: DataFrame,
+      stratumCol: String,
+      availCol: String,
+      startWCol: String,
+      endWCol: String,
+      epochs: Int,
+      budgetPerEpoch: Column): DataFrame = {
+    require(epochs >= 2, s"annealSchedule: need >= 2 epochs, got $epochs")
+    val nBadW = totals
+      .where(col(startWCol).cast("long") <= 0 || col(endWCol).cast("long") <= 0)
+      .limit(1).count()
+    require(nBadW == 0,
+      s"annealSchedule: every $startWCol and $endWCol must be >= 1")
+    var remaining = totals.select(
+      col(stratumCol),
+      col(availCol).cast("long").as("avail"),
+      col(startWCol).cast("long").as("_mx_sw"),
+      col(endWCol).cast("long").as("_mx_ew"),
+      budgetPerEpoch.cast("long").as("_mx_bpe"))
+      .localCheckpoint()
+    val steps = (0 until epochs).map { e =>
+      val stepIn = remaining.withColumn("_mx_we",
+        col("_mx_sw") * lit((epochs - 1 - e).toLong) +
+          col("_mx_ew") * lit(e.toLong))
+      val alloc = waterFill(stepIn, stratumCol, "avail", "_mx_we",
+        col("_mx_bpe"))
+      val step = alloc
+        .select(lit(e).as("epoch"), col(stratumCol), col("wgt"),
+          col("avail"), col("allocated"), col("saturated"))
+        .localCheckpoint()
+      remaining = remaining
+        .join(step.select(col(stratumCol), col("allocated")), Seq(stratumCol))
+        .withColumn("avail", col("avail") - col("allocated"))
+        .drop("allocated")
+        .localCheckpoint()
+      step
+    }
+    steps.reduce(_ unionByName _)
+  }
 }

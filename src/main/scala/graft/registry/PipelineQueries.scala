@@ -323,6 +323,110 @@ object PipelineQueries {
     }),
 
 
+    // OPTIMIZE as a committed version (round-12): documents created
+    // hash-scattered in a TableLog store, reclustered by
+    // optimizeRange (Delta's OPTIMIZE shape — time-travelable, old
+    // version readable throughout), then a band served through
+    // readBand: the file list is cut against the manifest's
+    // footer-stats bounds BEFORE Spark plans the scan. Layout is
+    // result-transparent — the oracle is the plain band filter
+    "q192_optimize_range" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlopt-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      graft.operators.TableLog.create(s, path,
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(8))
+      graft.operators.TableLog.optimizeRange(s, path, "doc_id", numFiles = 8)
+      graft.operators.TableLog.readBand(s, path, "doc_id", 100L, 400L)
+    }),
+
+
+    // z-order OPTIMIZE as a committed version (round-12): recluster
+    // on (n_chars, doc_id), then a manifest-pruned band on n_chars —
+    // the dimension a doc_id-ranged layout cannot serve — aggregated
+    // per lang. Result-transparent again
+    "q193_optimize_zorder" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlzo-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      graft.operators.TableLog.create(s, path,
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(8))
+      graft.operators.TableLog.optimizeZOrder(
+        s, path, Seq("n_chars", "doc_id"), numFiles = 8, bits = 6)
+      graft.operators.TableLog.readBand(s, path, "n_chars", 150L, 300L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+
+    // vacuum + history (round-12): create → retention delete →
+    // compact, then vacuum to the last two versions — history reports
+    // exactly the READABLE versions (the watermark guard keeps
+    // vacuumed versions failing fast, spec-pinned); row counts are
+    // recomputable from the base table, so the whole
+    // maintenance chain is oracle-checked
+    "q194_vacuum_history" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlvac-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      graft.operators.TableLog.create(s, path,
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(4))
+      graft.operators.TableLog.deleteWhere(s, path, col("n_chars") < 150L)
+      graft.operators.TableLog.compact(s, path, targetRowsPerFile = 100000L)
+      graft.operators.TableLog.vacuum(s, path, keepVersions = 2)
+      graft.operators.TableLog.history(s, path)
+    }),
+
+
+    // annealed multi-epoch mixture schedule (round-12): three epochs
+    // from the natural-ish zh-8x mix to a uniform mix, each epoch
+    // water-filling a sixth of the corpus from the availability the
+    // previous epochs left behind (no data repetition across the
+    // schedule — the two-stage/mid-training data-schedule shape).
+    // Pure integer interpolation + the q181 arithmetic, so the oracle
+    // replays all three chained epochs
+    "q195_anneal_schedule" -> ((s, dir) => {
+      val totals = table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("avail"))
+        .withColumn("sw", when(col("lang") === "zh", 8L).otherwise(1L))
+        .withColumn("ew", lit(1L))
+      val b = totals.agg(sum(col("avail")).as("_tot"))
+        .select(expr("_tot DIV 6").as("_mxb"))
+      graft.operators.Mixture.annealSchedule(
+        totals.crossJoin(broadcast(b)), "lang", "avail", "sw", "ew",
+        epochs = 3, budgetPerEpoch = col("_mxb"))
+    }),
+
+
+    // temperature-smoothed allocation WITHOUT repetition (round-12):
+    // the XLM-R-style alpha=0.5 rebalance as a water-fill — weights
+    // floor(sqrt(avail)) upsample rare langs against a third-corpus
+    // budget, capped at availability. sqrt is IEEE
+    // correctly-rounded, so floor(sqrt(BIGINT)) is bit-identical
+    // cross-engine and the plan replays exactly
+    "q196_temperature_fill" -> ((s, dir) => {
+      val totals = table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("avail"))
+        .withColumn("wgt",
+          greatest(lit(1L), floor(sqrt(col("avail"))).cast("long")))
+      val b = totals.agg(sum(col("avail")).as("_tot"))
+        .select(expr("_tot DIV 3").as("_mxb"))
+      graft.operators.Mixture.waterFill(
+        totals.crossJoin(broadcast(b)), "lang", "avail", "wgt", col("_mxb"))
+    }),
+
+
     // versioned-table time travel (round-11): documents committed as
     // table v1, a delete committed as v2 (untouched files carry over
     // by NAME, zero rewrite IO), then ONE report reads BOTH versions —
@@ -1008,16 +1112,16 @@ object PipelineQueries {
     (scored, gates)
   }
 
-  /** q181/q189 shared oracle: the water-filling plan replayed — same
+  /** One water-fill plan replay as a parenthesized subquery with
+    * LOCAL CTEs (DuckDB scopes them to the parens, so several steps
+    * can sit in one statement — the q183 twin-replay idiom): same
     * sort key (one IEEE division), same integer saturation test, same
-    * floor-DIV shares.
+    * floor-DIV shares as [[graft.operators.Mixture.waterFill]].
+    * `totSql` must yield (lang, avail, wgt); `budRel` names a
+    * relation with a `bud` column visible at the use site.
     */
-  private val waterFillOracleSql: String =
-    """WITH tot AS (
-        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail,
-        |    CAST(CASE WHEN lang = 'zh' THEN 8 ELSE 1 END AS BIGINT) AS wgt
-        |  FROM documents GROUP BY lang),
-        |b AS (SELECT CAST(sum(avail) // 2 AS BIGINT) AS bud FROM tot),
+  private def waterFillStepSql(totSql: String, budRel: String): String =
+    s"""(WITH tot AS ($totSql),
         |ord AS (
         |  SELECT t.*, b.bud,
         |    coalesce(sum(avail) OVER (ORDER BY avail * 1.0 / wgt, lang
@@ -1025,7 +1129,7 @@ object PipelineQueries {
         |      AS satprefix,
         |    sum(wgt) OVER (ORDER BY avail * 1.0 / wgt, lang
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wsuffix
-        |  FROM tot t, b),
+        |  FROM tot t, $budRel b),
         |f AS (
         |  SELECT *,
         |    (avail * wsuffix <= (bud - satprefix) * wgt) AS saturated
@@ -1039,7 +1143,20 @@ object PipelineQueries {
         |  CAST(CASE WHEN saturated THEN avail
         |       ELSE wgt * (bud - sattotal) // wu END AS BIGINT) AS allocated,
         |  saturated
-        |FROM g""".stripMargin
+        |FROM g)""".stripMargin
+
+  /** q181/q189 shared oracle: the documents-table water-fill (zh 8x,
+    * half-corpus budget) through [[waterFillStepSql]].
+    */
+  private val waterFillOracleSql: String =
+    s"""WITH docwf_base AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail,
+        |    CAST(CASE WHEN lang = 'zh' THEN 8 ELSE 1 END AS BIGINT) AS wgt
+        |  FROM documents GROUP BY lang),
+        |docwf_bud AS (
+        |  SELECT CAST(sum(avail) // 2 AS BIGINT) AS bud FROM docwf_base)
+        |SELECT * FROM ${waterFillStepSql(
+             "SELECT lang, avail, wgt FROM docwf_base", "docwf_bud")} wf""".stripMargin
 
   /** q179/q184 shared oracle: per-column stats stacked by UNION ALL. */
   private val profileOracleSql: String =
@@ -1198,6 +1315,84 @@ object PipelineQueries {
     // q181: the water-filling plan replayed — same sort key (one IEEE
     // division), same integer saturation test, same floor-DIV shares
     "q181_water_fill" -> waterFillOracleSql,
+
+    // q192: layout + log are result-transparent — the band itself
+    "q192_optimize_range" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id BETWEEN 100 AND 400""".stripMargin,
+
+    // q193: the n_chars band aggregated per lang
+    "q193_optimize_zorder" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars BETWEEN 150 AND 300
+        |GROUP BY lang""".stripMargin,
+
+    // q194: the maintenance chain replayed as counts — v2 (post
+    // retention delete) and v3 (compact, content-identical) survive
+    // the keep-2 vacuum; v1 is vacuumed away
+    "q194_vacuum_history" ->
+      """WITH k AS (
+        |  SELECT count(*) AS n FROM documents WHERE NOT (n_chars < 150))
+        |SELECT 2 AS version, CAST(n AS BIGINT) AS n_rows FROM k
+        |UNION ALL
+        |SELECT 3 AS version, CAST(n AS BIGINT) AS n_rows FROM k""".stripMargin,
+
+    // q195: three chained water-fill epochs — epoch e's availability
+    // is the base minus the previous epochs' allocations, weights
+    // walk the integer lattice sw*(2-e) + 1*e, budget a sixth of the
+    // corpus each epoch
+    "q195_anneal_schedule" -> {
+      val base =
+        """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail,
+          |    CAST(CASE WHEN lang = 'zh' THEN 8 ELSE 1 END AS BIGINT) AS sw
+          |  FROM documents GROUP BY lang""".stripMargin
+      def w(e: Int) = s"CAST(sw * ${2 - e} + 1 * $e AS BIGINT)"
+      val e0 = waterFillStepSql(
+        s"SELECT lang, avail, ${w(0)} AS wgt FROM ann_base", "ann_bud")
+      val e1 = waterFillStepSql(
+        s"""SELECT t.lang, t.avail - p0.allocated AS avail,
+           |${w(1)} AS wgt
+           |FROM ann_base t JOIN ann_e0 p0 USING (lang)""".stripMargin,
+        "ann_bud")
+      val e2 = waterFillStepSql(
+        s"""SELECT t.lang,
+           |t.avail - p0.allocated - p1.allocated AS avail,
+           |${w(2)} AS wgt
+           |FROM ann_base t JOIN ann_e0 p0 USING (lang)
+           |  JOIN ann_e1 p1 USING (lang)""".stripMargin,
+        "ann_bud")
+      s"""WITH ann_base AS ($base),
+         |ann_bud AS (SELECT CAST(sum(avail) // 6 AS BIGINT) AS bud
+         |            FROM ann_base),
+         |ann_e0 AS (SELECT * FROM $e0 z0),
+         |ann_e1 AS (SELECT * FROM $e1 z1),
+         |ann_e2 AS (SELECT * FROM $e2 z2)
+         |SELECT 0 AS epoch, lang, wgt, avail, allocated, saturated
+         |FROM ann_e0
+         |UNION ALL
+         |SELECT 1 AS epoch, lang, wgt, avail, allocated, saturated
+         |FROM ann_e1
+         |UNION ALL
+         |SELECT 2 AS epoch, lang, wgt, avail, allocated, saturated
+         |FROM ann_e2""".stripMargin
+    },
+
+    // q196: the sqrt-weighted (alpha = 0.5 temperature) water-fill —
+    // floor(sqrt(BIGINT)) is bit-identical cross-engine
+    "q196_temperature_fill" -> {
+      val tot =
+        """SELECT lang, avail,
+          |  CAST(greatest(1, CAST(floor(sqrt(avail)) AS BIGINT)) AS BIGINT)
+          |    AS wgt
+          |FROM tmp_base""".stripMargin
+      s"""WITH tmp_base AS (
+         |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail
+         |  FROM documents GROUP BY lang),
+         |tmp_bud AS (SELECT CAST(sum(avail) // 3 AS BIGINT) AS bud
+         |            FROM tmp_base)
+         |SELECT * FROM ${waterFillStepSql(tot, "tmp_bud")} wf""".stripMargin
+    },
 
     // q191: planted union + q93's bucket rule + content-hash grouping
     "q191_split_leakage" ->

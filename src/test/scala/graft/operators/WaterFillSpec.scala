@@ -56,6 +56,50 @@ class WaterFillSpec extends GraftSparkSpec {
     }
   }
 
+  test("annealSchedule: consumed availability, integer weight lattice, budget respected") {
+    val tot = Seq(("A", 100L, 4L, 1L), ("B", 1000L, 1L, 1L), ("C", 500L, 1L, 2L))
+      .toDF("stratum", "avail", "sw", "ew")
+    val sched = Mixture.annealSchedule(
+      tot, "stratum", "avail", "sw", "ew", epochs = 3, budgetPerEpoch = lit(300L))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(sched.length === 9, "one row per (epoch, stratum)")
+    // weight lattice: w_e = sw*(2-e) + ew*e
+    for ((e, s, w, _, _) <- sched) {
+      val (sw, ew) = Map("A" -> ((4L, 1L)), "B" -> ((1L, 1L)), "C" -> ((1L, 2L)))(s)
+      assert(w === sw * (2 - e) + ew * e, s"epoch $e stratum $s weight")
+    }
+    // per-epoch budget respected (floor-DIV may leave < #unsat unassigned)
+    for (e <- 0 until 3) {
+      val al = sched.filter(_._1 == e).map(_._5).sum
+      assert(al <= 300L, s"epoch $e over budget: $al")
+    }
+    // availability consumed: epoch e's avail = base - prior allocations,
+    // and cumulative allocation never exceeds the base (no repetition)
+    val base = Map("A" -> 100L, "B" -> 1000L, "C" -> 500L)
+    for (s <- Seq("A", "B", "C")) {
+      val rows = sched.filter(_._2 == s).sortBy(_._1)
+      var remain = base(s)
+      for ((_, _, _, avail, alloc) <- rows) {
+        assert(avail === remain, s"stratum $s entering avail")
+        assert(alloc <= avail, s"stratum $s allocation exceeds availability")
+        remain -= alloc
+      }
+      assert(remain >= 0L)
+    }
+    // A (only 100 available, heavily weighted early) runs dry: its
+    // epoch-0 allocation saturates at 100 and later epochs get 0
+    val aRows = sched.filter(_._2 == "A").sortBy(_._1).map(_._5)
+    assert(aRows(0) === 100L && aRows(1) === 0L && aRows(2) === 0L)
+  }
+
+  test("annealSchedule refuses non-positive endpoint weights") {
+    val tot = Seq(("A", 10L, 0L, 1L)).toDF("stratum", "avail", "sw", "ew")
+    intercept[IllegalArgumentException] {
+      Mixture.annealSchedule(tot, "stratum", "avail", "sw", "ew", 3, lit(5L))
+    }
+  }
+
   test("non-positive weight and negative availability are refused") {
     // wgt=0 would make the avail/wgt sort key Infinity (NaN at 0/0)
     // and silently corrupt the saturation order — must fail loudly
