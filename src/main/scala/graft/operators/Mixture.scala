@@ -252,4 +252,43 @@ object Mixture {
     }
     steps.reduce(_ unionByName _)
   }
+
+  /** Materialize an [[annealSchedule]] plan as per-row EPOCH
+    * assignments: within each stratum, rows ordered by `orderCol`
+    * fill epoch 0's allocation first, then epoch 1's, and so on — a
+    * row lands in epoch `e` iff its inclusive running weight total
+    * lies in (Σ_{e'<e} alloc, Σ_{e'<=e} alloc]. Rows past the
+    * schedule's total allocation are dropped (the plan never spent
+    * them). Output: the input columns + `epoch` + `cumCol`.
+    *
+    * 100 TB shape: ONE shuffle (the per-stratum cumsum window); the
+    * epoch windows are a broadcast #strata × E frame, and each row
+    * matches at most one window. The q189 apply composed with a
+    * schedule instead of a single budget.
+    */
+  def annealAssign(
+      df: DataFrame,
+      schedule: DataFrame,
+      stratumCol: String,
+      orderCol: Column,
+      weightCol: Column,
+      cumCol: String = "cum_weight"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Budget.requireIntegralWeight(df, weightCol, "annealAssign")
+    val wEp = Window.partitionBy(col(stratumCol)).orderBy(col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windows = schedule
+      .select(col(stratumCol), col("epoch"), col("allocated"))
+      .withColumn("_mx_hi", sum(col("allocated")).over(wEp))
+      .withColumn("_mx_lo", col("_mx_hi") - col("allocated"))
+      .where(col("allocated") > 0L)
+      .select(col(stratumCol), col("epoch"), col("_mx_lo"), col("_mx_hi"))
+    val wCum = Window.partitionBy(col(stratumCol)).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(cumCol,
+        sum(coalesce(weightCol.cast("long"), lit(0L))).over(wCum))
+      .join(broadcast(windows), Seq(stratumCol))
+      .where(col(cumCol) > col("_mx_lo") && col(cumCol) <= col("_mx_hi"))
+      .drop("_mx_lo", "_mx_hi")
+  }
 }

@@ -491,6 +491,40 @@ object TableLog {
       commit(spark, path, v + 1, names, stats)
     }
 
+  /** The advisor loop closed (round-11 q184 → a committed version):
+    * profile the CURRENT version, ask
+    * [[StorageLayout.adviseLayout]] for the physical design, and
+    * APPLY it — [[optimizeZOrder]] on (range_cluster, zorder_with)
+    * when the advisor names a partner, [[optimizeRange]] on the
+    * range_cluster column alone otherwise. Returns the new version,
+    * the applied mode ("zorder" | "range") and the columns used.
+    * Deterministic: the advisor's rules are integer/string ranks, so
+    * the same table state always yields the same rewrite.
+    */
+  def autoOptimize(
+      spark: SparkSession, path: String, clusterable: Seq[String],
+      numFiles: Int, maxPartitions: Long = 20L,
+      bits: Int = 8): (Long, String, Seq[String]) = {
+    val cur = read(spark, path)
+    val prof = TableProfile.profile(cur, cur.columns.toSeq)
+    val advice = StorageLayout
+      .adviseLayout(prof, clusterable, maxPartitions)
+      .select(col("col_name"), col("role")).collect()
+    val rc = advice.find(_.getString(1) == "range_cluster").map(_.getString(0))
+    val zw = advice.find(_.getString(1) == "zorder_with").map(_.getString(0))
+    (rc, zw) match {
+      case (Some(a), Some(b)) =>
+        (optimizeZOrder(spark, path, Seq(a, b), numFiles, bits),
+          "zorder", Seq(a, b))
+      case (Some(a), None) =>
+        (optimizeRange(spark, path, a, numFiles), "range", Seq(a))
+      case _ =>
+        throw new IllegalArgumentException(
+          "TableLog.autoOptimize: the advisor found no clusterable " +
+            s"column among ${clusterable.mkString(", ")} — nothing to apply")
+    }
+  }
+
   /** Delete matching rows as a new version: untouched files carry
     * over BY NAME with their recorded bounds (zero IO — the manifest
     * layer's advantage over the directory-swap

@@ -408,6 +408,54 @@ object PipelineQueries {
     }),
 
 
+    // advisor loop closed (round-12): profile the logged table's
+    // current version, let adviseLayout pick the physical design
+    // (range_cluster doc_id + zorder_with n_chars on this schema),
+    // APPLY it as a committed optimize version, then serve a band
+    // through the new layout — decision and content both oracled
+    "q197_auto_optimize" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlauto-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      graft.operators.TableLog.create(s, path,
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(8))
+      val (_, mode, cols) = graft.operators.TableLog.autoOptimize(
+        s, path, clusterable = Seq("doc_id", "n_chars"), numFiles = 8)
+      graft.operators.TableLog.readBand(s, path, cols.head, 100L, 400L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("mode", lit(mode))
+        .withColumn("applied_cols", lit(cols.mkString(",")))
+    }),
+
+
+    // annealed schedule MATERIALIZED (round-12; q195 × q189): each
+    // doc labeled with the epoch whose cumulative allocation window
+    // its per-lang running-char total falls into — one shuffle, the
+    // windows a broadcast #langs x epochs frame
+    "q198_anneal_apply" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("n_chars"))
+      val totals = docs.groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("avail"))
+        .withColumn("sw", when(col("lang") === "zh", 8L).otherwise(1L))
+        .withColumn("ew", lit(1L))
+      val b = totals.agg(sum(col("avail")).as("_tot"))
+        .select(expr("_tot DIV 6").as("_mxb"))
+      val plan = graft.operators.Mixture.annealSchedule(
+        totals.crossJoin(broadcast(b)), "lang", "avail", "sw", "ew",
+        epochs = 3, budgetPerEpoch = col("_mxb"))
+      graft.operators.Mixture.annealAssign(
+        docs, plan, "lang", col("doc_id"), col("n_chars"),
+        cumCol = "cum_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("epoch"), col("cum_chars"))
+    }),
+
+
     // temperature-smoothed allocation WITHOUT repetition (round-12):
     // the XLM-R-style alpha=0.5 rebalance as a water-fill — weights
     // floor(sqrt(avail)) upsample rare langs against a third-corpus
@@ -1145,6 +1193,39 @@ object PipelineQueries {
         |  saturated
         |FROM g)""".stripMargin
 
+  /** q195/q198 shared oracle CTE block: three chained water-fill
+    * epochs over documents — epoch e's availability is the base minus
+    * the previous epochs' allocations, weights walk the integer
+    * lattice sw*(2-e) + 1*e, budget a sixth of the corpus per epoch.
+    */
+  private val annealOracleCtes: String = {
+    val base =
+      """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail,
+        |    CAST(CASE WHEN lang = 'zh' THEN 8 ELSE 1 END AS BIGINT) AS sw
+        |  FROM documents GROUP BY lang""".stripMargin
+    def w(e: Int) = s"CAST(sw * ${2 - e} + 1 * $e AS BIGINT)"
+    val e0 = waterFillStepSql(
+      s"SELECT lang, avail, ${w(0)} AS wgt FROM ann_base", "ann_bud")
+    val e1 = waterFillStepSql(
+      s"""SELECT t.lang, t.avail - p0.allocated AS avail,
+         |${w(1)} AS wgt
+         |FROM ann_base t JOIN ann_e0 p0 USING (lang)""".stripMargin,
+      "ann_bud")
+    val e2 = waterFillStepSql(
+      s"""SELECT t.lang,
+         |t.avail - p0.allocated - p1.allocated AS avail,
+         |${w(2)} AS wgt
+         |FROM ann_base t JOIN ann_e0 p0 USING (lang)
+         |  JOIN ann_e1 p1 USING (lang)""".stripMargin,
+      "ann_bud")
+    s"""ann_base AS ($base),
+       |ann_bud AS (SELECT CAST(sum(avail) // 6 AS BIGINT) AS bud
+       |            FROM ann_base),
+       |ann_e0 AS (SELECT * FROM $e0 z0),
+       |ann_e1 AS (SELECT * FROM $e1 z1),
+       |ann_e2 AS (SELECT * FROM $e2 z2)""".stripMargin
+  }
+
   /** q181/q189 shared oracle: the documents-table water-fill (zh 8x,
     * half-corpus budget) through [[waterFillStepSql]].
     */
@@ -1342,32 +1423,8 @@ object PipelineQueries {
     // is the base minus the previous epochs' allocations, weights
     // walk the integer lattice sw*(2-e) + 1*e, budget a sixth of the
     // corpus each epoch
-    "q195_anneal_schedule" -> {
-      val base =
-        """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail,
-          |    CAST(CASE WHEN lang = 'zh' THEN 8 ELSE 1 END AS BIGINT) AS sw
-          |  FROM documents GROUP BY lang""".stripMargin
-      def w(e: Int) = s"CAST(sw * ${2 - e} + 1 * $e AS BIGINT)"
-      val e0 = waterFillStepSql(
-        s"SELECT lang, avail, ${w(0)} AS wgt FROM ann_base", "ann_bud")
-      val e1 = waterFillStepSql(
-        s"""SELECT t.lang, t.avail - p0.allocated AS avail,
-           |${w(1)} AS wgt
-           |FROM ann_base t JOIN ann_e0 p0 USING (lang)""".stripMargin,
-        "ann_bud")
-      val e2 = waterFillStepSql(
-        s"""SELECT t.lang,
-           |t.avail - p0.allocated - p1.allocated AS avail,
-           |${w(2)} AS wgt
-           |FROM ann_base t JOIN ann_e0 p0 USING (lang)
-           |  JOIN ann_e1 p1 USING (lang)""".stripMargin,
-        "ann_bud")
-      s"""WITH ann_base AS ($base),
-         |ann_bud AS (SELECT CAST(sum(avail) // 6 AS BIGINT) AS bud
-         |            FROM ann_base),
-         |ann_e0 AS (SELECT * FROM $e0 z0),
-         |ann_e1 AS (SELECT * FROM $e1 z1),
-         |ann_e2 AS (SELECT * FROM $e2 z2)
+    "q195_anneal_schedule" ->
+      s"""WITH $annealOracleCtes
          |SELECT 0 AS epoch, lang, wgt, avail, allocated, saturated
          |FROM ann_e0
          |UNION ALL
@@ -1375,8 +1432,84 @@ object PipelineQueries {
          |FROM ann_e1
          |UNION ALL
          |SELECT 2 AS epoch, lang, wgt, avail, allocated, saturated
-         |FROM ann_e2""".stripMargin
-    },
+         |FROM ann_e2""".stripMargin,
+
+    // q198: the schedule materialized — per-lang running-char cumsum
+    // against the chained epochs' cumulative allocation windows; a
+    // doc lands in the epoch whose window its inclusive cumsum falls
+    // into, rows past the total allocation are never emitted
+    "q198_anneal_apply" ->
+      s"""WITH $annealOracleCtes,
+         |ann_plan AS (
+         |  SELECT 0 AS epoch, lang, allocated FROM ann_e0
+         |  UNION ALL SELECT 1, lang, allocated FROM ann_e1
+         |  UNION ALL SELECT 2, lang, allocated FROM ann_e2),
+         |wins AS (
+         |  SELECT lang, epoch, allocated,
+         |    CAST(sum(allocated) OVER (PARTITION BY lang ORDER BY epoch
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS hi
+         |  FROM ann_plan),
+         |w2 AS (
+         |  SELECT lang, epoch, hi - allocated AS lo, hi
+         |  FROM wins WHERE allocated > 0),
+         |adocs AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+         |          FROM documents),
+         |ac AS (
+         |  SELECT d.*,
+         |    sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM adocs d)
+         |SELECT ac.doc_id, ac.lang, ac.n_chars, w2.epoch,
+         |  CAST(ac.cum AS BIGINT) AS cum_chars
+         |FROM ac JOIN w2 ON w2.lang = ac.lang
+         |  AND ac.cum > w2.lo AND ac.cum <= w2.hi""".stripMargin,
+
+    // q197: the advisor's decision replayed (q184's role rules over
+    // the 3-column profile) + the band aggregate the rewritten table
+    // serves — decision AND content both oracle-checked
+    "q197_auto_optimize" ->
+      """WITH prof AS (
+        |  SELECT 'doc_id' AS col_name, count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(DISTINCT lang),
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(DISTINCT n_chars),
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM documents),
+        |r AS (SELECT *,
+        |  (n_distinct > 1 AND n_distinct <= 20 AND n_null = 0) AS is_part
+        |  FROM prof),
+        |r2 AS (SELECT *,
+        |  CASE WHEN is_part THEN 'p'
+        |       WHEN col_name IN ('doc_id', 'n_chars') THEN 'c'
+        |       ELSE 'n' END AS grp FROM r),
+        |r3 AS (SELECT *,
+        |  row_number() OVER (PARTITION BY grp
+        |    ORDER BY n_distinct DESC, col_name) AS rk FROM r2),
+        |roles AS (SELECT col_name,
+        |  CASE WHEN is_part THEN 'partition'
+        |       WHEN grp = 'c' AND rk = 1 THEN 'range_cluster'
+        |       WHEN grp = 'c' AND rk = 2 THEN 'zorder_with'
+        |       ELSE 'none' END AS role FROM r3),
+        |m AS (SELECT
+        |  CASE WHEN count(CASE WHEN role = 'zorder_with' THEN 1 END) > 0
+        |    THEN 'zorder' ELSE 'range' END AS mode,
+        |  (SELECT col_name FROM roles WHERE role = 'range_cluster') ||
+        |    coalesce(',' ||
+        |      (SELECT col_name FROM roles WHERE role = 'zorder_with'), '')
+        |    AS applied_cols
+        |  FROM roles),
+        |band AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents WHERE doc_id BETWEEN 100 AND 400 GROUP BY lang)
+        |SELECT m.mode, m.applied_cols, band.lang, band.n_docs, band.sum_chars
+        |FROM m, band""".stripMargin,
 
     // q196: the sqrt-weighted (alpha = 0.5 temperature) water-fill —
     // floor(sqrt(BIGINT)) is bit-identical cross-engine

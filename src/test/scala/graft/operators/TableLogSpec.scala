@@ -269,6 +269,31 @@ class TableLogSpec extends GraftSparkSpec {
     assert(TableLog.read(spark, path).count() === 600L)
   }
 
+  test("autoOptimize applies the advisor's plan as a committed version") {
+    val path = freshPath("graft-spec-tlog-auto")
+    // two clusterable high-cardinality columns -> zorder(doc-ish, w);
+    // g (3 distinct, no nulls) is the partition candidate the
+    // clustering must NOT pick
+    val data = (0L until 2000L).map(i => (i, i * 7 % 2000L, i % 3))
+      .toDF("id", "w", "g")
+    TableLog.create(spark, path, data.repartition(8))
+    val (v, mode, cols) = TableLog.autoOptimize(
+      spark, path, clusterable = Seq("id", "w"), numFiles = 8)
+    assert(v === 2L)
+    assert(mode === "zorder" && cols.toSet === Set("id", "w"))
+    assert(rows(TableLog.read(spark, path, Some(2L))) === rows(data))
+    // the rewrite serves manifest-pruned bands on BOTH columns
+    val total = TableLog.read(spark, path).inputFiles.length
+    assert(TableLog.bandFiles(spark, path, "id", 0L, 100L).size < total)
+    assert(TableLog.bandFiles(spark, path, "w", 0L, 100L).size < total)
+    // single clusterable -> range mode
+    val p2 = freshPath("graft-spec-tlog-auto2")
+    TableLog.create(spark, p2, data.repartition(8))
+    val (_, mode2, cols2) = TableLog.autoOptimize(
+      spark, p2, clusterable = Seq("id"), numFiles = 8)
+    assert(mode2 === "range" && cols2 === Seq("id"))
+  }
+
   test("pre-stats manifests (old formats) still read; stats recorded on new commits") {
     val path = freshPath("graft-spec-tlog-compat")
     val data = (0L until 100L).map(i => (i, s"s$i")).toDF("id", "s")

@@ -93,6 +93,44 @@ class WaterFillSpec extends GraftSparkSpec {
     assert(aRows(0) === 100L && aRows(1) === 0L && aRows(2) === 0L)
   }
 
+  test("annealAssign: rows fill epochs in order, none past the total allocation") {
+    val tot = Seq(("A", 100L, 4L, 1L), ("B", 60L, 1L, 1L))
+      .toDF("stratum", "avail", "sw", "ew")
+    val sched = Mixture.annealSchedule(
+      tot, "stratum", "avail", "sw", "ew", epochs = 3, budgetPerEpoch = lit(30L))
+    // rows: stratum A ids 1..10 weight 10 each, B ids 1..6 weight 10
+    val rows = ((1 to 10).map(i => ("A", i.toLong, 10L)) ++
+      (1 to 6).map(i => ("B", i.toLong, 10L)))
+      .toDF("stratum", "id", "w")
+    val out = Mixture.annealAssign(rows, sched, "stratum", col("id"), col("w"))
+      .select(col("stratum"), col("id"), col("epoch"), col("cum_weight"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val plan = sched.collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(4)).toMap
+    // epoch boundaries snap at row granularity: a row whose cumsum
+    // crosses hi_e lands in the NEXT epoch, so each epoch's assigned
+    // weight deviates from its allocation by less than one row
+    for (e <- 0 until 3; s <- Seq("A", "B")) {
+      val got = out.filter(o => o._1 == s && o._3 == e).length * 10L
+      val alloc = plan((e, s))
+      assert(math.abs(got - alloc) < 10L,
+        s"epoch $e stratum $s: assigned $got of $alloc")
+    }
+    // nothing past the schedule's total allocation is ever emitted
+    for (s <- Seq("A", "B")) {
+      val totalGot = out.filter(_._1 == s).length * 10L
+      val totalAlloc = (0 until 3).map(e => plan((e, s))).sum
+      assert(totalGot <= totalAlloc, s"stratum $s overshoot")
+    }
+    // epochs are contiguous in id order within a stratum
+    for (s <- Seq("A", "B")) {
+      val byId = out.filter(_._1 == s).sortBy(_._2).map(_._3)
+      assert(byId === byId.sorted, s"stratum $s epoch labels must be monotone")
+    }
+    // cumsum column is the inclusive running weight
+    for ((s, id, _, cum) <- out) assert(cum === id * 10L, s"$s $id")
+  }
+
   test("annealSchedule refuses non-positive endpoint weights") {
     val tot = Seq(("A", 10L, 0L, 1L)).toDF("stratum", "avail", "sw", "ew")
     intercept[IllegalArgumentException] {
