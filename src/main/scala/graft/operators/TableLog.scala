@@ -491,6 +491,45 @@ object TableLog {
       commit(spark, path, v + 1, names, stats)
     }
 
+  /** Incremental OPTIMIZE (Delta's `OPTIMIZE WHERE`): recluster ONLY
+    * the files whose recorded bounds overlap [lower, upper] on
+    * `colName` (plus files with no recorded bound — conservative),
+    * range-partitioned + sorted on the column; every other file
+    * carries over BY NAME with its stats, zero IO. Whole files are
+    * rewritten, so content is exactly preserved even when a touched
+    * file also holds rows outside the band. This is the only
+    * OPTIMIZE a 100 TB table can afford on a steady-state ingest
+    * tail: the rewrite cost is proportional to the MESSY REGION
+    * (yesterday's appends), not the table.
+    */
+  def optimizeRangeWhere(
+      spark: SparkSession, path: String, colName: String,
+      lower: Any, upper: Any, numFiles: Int): Long =
+    withLock(spark, path, "optimizeRangeWhere") {
+      require(numFiles > 0, "TableLog.optimizeRangeWhere: numFiles must be positive")
+      val v = latestVersion(spark, path)
+      checkNotVacuumed(spark, path, v)
+      val m = readManifestFull(spark, path, v)
+      val touchedSet = m.files.filter { n =>
+        m.stats.get(n).flatMap(_.get(colName)) match {
+          case None => true
+          case Some(b) => overlaps(b, lower, upper)
+        }
+      }.toSet
+      if (touchedSet.isEmpty) commit(spark, path, v + 1, m.files, m.stats)
+      else {
+        val (touched, untouched) = m.files.partition(touchedSet.contains)
+        val df = spark.read.parquet(
+          touched.map(n => new Path(dataDir(path), n).toString): _*)
+        val clustered = df
+          .repartitionByRange(numFiles, col(colName))
+          .sortWithinPartitions(colName)
+        val (names, stats) = writeDataFiles(spark, path, clustered)
+        commit(spark, path, v + 1, untouched ++ names,
+          m.stats.filterNot { case (k, _) => touchedSet.contains(k) } ++ stats)
+      }
+    }
+
   /** The advisor loop closed (round-11 q184 → a committed version):
     * profile the CURRENT version, ask
     * [[StorageLayout.adviseLayout]] for the physical design, and

@@ -408,6 +408,32 @@ object PipelineQueries {
     }),
 
 
+    // incremental OPTIMIZE (round-12; Delta's OPTIMIZE WHERE): the
+    // steady-state ingest shape — a clustered head, a messy appended
+    // tail, then a recluster that touches ONLY the files overlapping
+    // the tail band (clustered head files carry over by name,
+    // spec-pinned); a band through the healed region is then
+    // manifest-pruned. Result-transparent as always
+    "q199_incremental_optimize" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlinc-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.TableLog.create(s, path,
+        docs.where(col("doc_id") < 300L).repartition(4))
+      graft.operators.TableLog.optimizeRange(s, path, "doc_id", numFiles = 4)
+      graft.operators.TableLog.append(s, path,
+        docs.where(col("doc_id") >= 300L).repartition(2))
+      graft.operators.TableLog.optimizeRangeWhere(
+        s, path, "doc_id", 300L, Long.MaxValue, numFiles = 2)
+      graft.operators.TableLog.readBand(s, path, "doc_id", 350L, 450L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+
     // advisor loop closed (round-12): profile the logged table's
     // current version, let adviseLayout pick the physical design
     // (range_cluster doc_id + zorder_with n_chars on this schema),
@@ -1464,6 +1490,14 @@ object PipelineQueries {
          |  CAST(ac.cum AS BIGINT) AS cum_chars
          |FROM ac JOIN w2 ON w2.lang = ac.lang
          |  AND ac.cum > w2.lo AND ac.cum <= w2.hi""".stripMargin,
+
+    // q199: the maintenance chain is result-transparent — the healed
+    // band's aggregate
+    "q199_incremental_optimize" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id BETWEEN 350 AND 450
+        |GROUP BY lang""".stripMargin,
 
     // q197: the advisor's decision replayed (q184's role rules over
     // the 3-column profile) + the band aggregate the rewritten table

@@ -294,6 +294,34 @@ class TableLogSpec extends GraftSparkSpec {
     assert(mode2 === "range" && cols2 === Seq("id"))
   }
 
+  test("optimizeRangeWhere reclusters only the overlapping files") {
+    val path = freshPath("graft-spec-tlog-optw")
+    val head = (0L until 3000L).map(i => (i, s"p$i")).toDF("id", "p")
+    val tail = (3000L until 4000L).map(i => (i, s"p$i")).toDF("id", "p")
+    TableLog.create(spark, path, head.repartition(4))
+    TableLog.optimizeRange(spark, path, "id", numFiles = 4)   // v2: clustered
+    TableLog.append(spark, path, tail.repartition(2))          // v3: messy tail
+    val v3Files = TableLog.read(spark, path, Some(3L)).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    TableLog.optimizeRangeWhere(spark, path, "id", 3000L, Long.MaxValue, 2)
+    val v4Files = TableLog.read(spark, path, Some(4L)).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    // the 4 clustered head files (bounds < 3000) carried over by name
+    assert((v3Files intersect v4Files).size === 4,
+      s"expected 4 carried files, got ${(v3Files intersect v4Files).size}")
+    // content exactly preserved, both versions readable
+    assert(rows(TableLog.read(spark, path, Some(4L))) === rows(head.union(tail)))
+    assert(rows(TableLog.read(spark, path, Some(3L))) === rows(head.union(tail)))
+    // the tail band is now manifest-prunable down to the new files
+    val kept = TableLog.bandFiles(spark, path, "id", 3200L, 3400L)
+    assert(kept.size <= 2, s"tail band kept ${kept.size} files")
+    // band overlapping nothing rewritten -> pure carry-over commit
+    val v5 = TableLog.optimizeRangeWhere(spark, path, "id", -100L, -1L, 2)
+    assert(v5 === 5L)
+    assert(TableLog.read(spark, path, Some(5L)).inputFiles.map(
+      f => new org.apache.hadoop.fs.Path(f).getName).toSet === v4Files)
+  }
+
   test("pre-stats manifests (old formats) still read; stats recorded on new commits") {
     val path = freshPath("graft-spec-tlog-compat")
     val data = (0L until 100L).map(i => (i, s"s$i")).toDF("id", "s")
