@@ -38,4 +38,22 @@ object SplitAudit {
       .groupBy(col("splits"))
       .agg(count(lit(1)).as("n_groups"),
         sum(col("_sa_n")).as("n_docs"))
+
+  /** The CONSTRUCTIVE twin of [[exactDupLeakage]]: group-atomic split
+    * assignment. Rows are bucketed by the md5 of their CONTENT
+    * instead of their id ([[Sampling.assignSplit]]'s salted rule on
+    * the content hash), so exact duplicates land in the same split by
+    * construction and the audit's leaking-group count is zero — a
+    * row-local projection, no shuffle, same cross-run/cross-engine
+    * stability as every md5-bucket op in the family. The id-keyed
+    * split keeps its own virtue (stable under content edits); pick
+    * per corpus: content-keyed when dedup is incomplete, id-keyed
+    * when content is mutable.
+    */
+  def assignSplitByContent(
+      df: DataFrame, textCol: Column,
+      valBuckets: Int, testBuckets: Int,
+      salt: String = "split:", splitCol: String = "split"): DataFrame =
+    Sampling.assignSplit(df, md5(textCol.cast("binary")),
+      valBuckets, testBuckets, salt, splitCol)
 }

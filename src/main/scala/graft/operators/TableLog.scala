@@ -72,7 +72,8 @@ object TableLog {
   private final case class Manifest(
       tag: Option[String],
       files: Seq[String],
-      stats: Map[String, Map[String, ColBound]])
+      stats: Map[String, Map[String, ColBound]],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -137,7 +138,12 @@ object TableLog {
           }.toMap
           case _ => Map.empty[String, Map[String, ColBound]]
         }
-        Manifest(tag, files, stats)
+        val schema = o \ "schema" match {
+          case JString(s) => Some(org.apache.spark.sql.types.DataType
+            .fromJson(s).asInstanceOf[org.apache.spark.sql.types.StructType])
+          case _ => None
+        }
+        Manifest(tag, files, stats, schema)
       case other =>
         throw new IllegalStateException(s"TableLog: unparseable manifest: $other")
     }
@@ -150,7 +156,8 @@ object TableLog {
       }): JValue)
     })
     val fields: List[(String, JValue)] =
-      m.tag.map(t => "tag" -> (JString(t): JValue)).toList :+
+      m.tag.map(t => "tag" -> (JString(t): JValue)).toList ++
+        m.schema.map(s => "schema" -> (JString(s.json): JValue)).toList :+
         ("files" -> (filesJ: JValue)) :+ ("stats" -> (statsJ: JValue))
     JsonMethods.compact(JsonMethods.render(JObject(fields)))
   }
@@ -183,7 +190,8 @@ object TableLog {
   private def commit(
       spark: SparkSession, path: String, v: Long, files: Seq[String],
       stats: Map[String, Map[String, ColBound]],
-      tag: Option[String] = None): Long = {
+      tag: Option[String] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     require(files.nonEmpty, "TableLog: refusing to commit an empty file list " +
       "(an all-rows delete; drop the table instead)")
     // no quotes or brackets: defense in depth for any downstream
@@ -195,7 +203,7 @@ object TableLog {
     f.mkdirs(logDir(path))
     val tmp = new Path(logDir(path), f"_tmp_v$v%07d.json")
     val out = f.create(tmp, true)
-    out.write(renderManifest(Manifest(tag, files, stats)).getBytes(UTF_8))
+    out.write(renderManifest(Manifest(tag, files, stats, schema)).getBytes(UTF_8))
     out.close()
     require(f.rename(tmp, manifestPath(path, v)),
       s"TableLog: commit rename failed for v$v (concurrent writer?)")
@@ -313,22 +321,55 @@ object TableLog {
       body: => A): A =
     IndexOps.withMutationLock(spark, path, s"TableLog.$op")(body)
 
+  /** Schema evolution rule: appends may ADD columns; same-name
+    * columns must keep their type (retypes/renames are a rewrite,
+    * not an append). Everything goes nullable — old rows lack the
+    * new columns, and an evolved batch may omit old ones.
+    */
+  private def mergedSchema(
+      cur: Option[org.apache.spark.sql.types.StructType],
+      incoming: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = cur match {
+    case None => incoming
+    case Some(base) =>
+      val byName = base.fields.map(f => f.name -> f).toMap
+      incoming.fields.foreach { f =>
+        byName.get(f.name).foreach { ex =>
+          require(ex.dataType == f.dataType,
+            s"TableLog: column ${f.name} type would change " +
+              s"${ex.dataType} -> ${f.dataType} — appends add columns, " +
+              "never retype; rewrite the table instead")
+        }
+      }
+      val added = incoming.fields.filterNot(f => byName.contains(f.name))
+      org.apache.spark.sql.types.StructType(
+        (base.fields ++ added).map(_.copy(nullable = true)))
+  }
+
   /** Create the table (version 1). Fails if a log already exists. */
   def create(spark: SparkSession, path: String, df: DataFrame): Long =
     withLock(spark, path, "create") {
       require(versions(spark, path).isEmpty,
         s"TableLog: table already exists at $path")
       val (names, stats) = writeDataFiles(spark, path, df)
-      commit(spark, path, 1L, names, stats)
+      commit(spark, path, 1L, names, stats, schema = Some(df.schema))
     }
 
-  /** Append rows as a new version (old files + new files). */
+  /** Append rows as a new version (old files + new files). The batch
+    * may carry NEW columns (schema evolution): the committed schema
+    * is the by-name union, old rows read back NULL in the added
+    * columns, and a batch missing old columns reads back NULL there —
+    * types never silently change ([[mergedSchema]]).
+    */
   def append(spark: SparkSession, path: String, df: DataFrame): Long =
     withLock(spark, path, "append") {
       val v = latestVersion(spark, path)
       val cur = readManifestFull(spark, path, v)
+      val base = cur.schema.orElse(
+        Some(readFiles(spark, path, cur, cur.files).schema))
       val (names, stats) = writeDataFiles(spark, path, df)
-      commit(spark, path, v + 1, cur.files ++ names, cur.stats ++ stats)
+      commit(spark, path, v + 1, cur.files ++ names, cur.stats ++ stats,
+        schema = Some(mergedSchema(base, df.schema)))
     }
 
   /** Lowest version still readable after the last vacuum (1 if never
@@ -349,6 +390,21 @@ object TableLog {
         "its manifest may survive a crashed vacuum but its data files are gone")
   }
 
+  /** Read a file subset under a manifest's recorded schema: with a
+    * schema in the log, Spark never opens a footer to plan (missing
+    * columns — schema evolution — come back NULL); without one
+    * (pre-schema manifests) the reader infers from footers as before.
+    */
+  private def readFiles(
+      spark: SparkSession, path: String, m: Manifest,
+      names: Seq[String]): DataFrame = {
+    val files = names.map(n => new Path(dataDir(path), n).toString)
+    m.schema match {
+      case Some(sc) => spark.read.schema(sc).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
+  }
+
   /** Read the table at `version` (default: latest). Hands Spark the
     * manifest's exact file list — no directory listing, orphans and
     * other versions' files invisible. A version below the vacuum
@@ -357,9 +413,8 @@ object TableLog {
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, path))
     checkNotVacuumed(spark, path, v)
-    val files = readManifest(spark, path, v)
-      .map(n => new Path(dataDir(path), n).toString)
-    spark.read.parquet(files: _*)
+    val m = readManifestFull(spark, path, v)
+    readFiles(spark, path, m, m.files)
   }
 
   /** Manifest-level file pruning: names of version `v`'s files whose
@@ -424,11 +479,12 @@ object TableLog {
   def readBand(
       spark: SparkSession, path: String, colName: String,
       lower: Any, upper: Any, version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, path))
     val pred = col(colName) >= lit(lower) && col(colName) <= lit(upper)
-    val kept = bandFiles(spark, path, colName, lower, upper, version)
-    if (kept.isEmpty) read(spark, path, version).where(lit(false))
-    else spark.read.parquet(
-      kept.map(n => new Path(dataDir(path), n).toString): _*).where(pred)
+    val kept = bandFiles(spark, path, colName, lower, upper, Some(v))
+    val m = readManifestFull(spark, path, v)
+    if (kept.isEmpty) readFiles(spark, path, m, m.files).where(lit(false))
+    else readFiles(spark, path, m, kept).where(pred)
   }
 
   /** Compact the current version's files toward a row target as a new
@@ -445,7 +501,8 @@ object TableLog {
       val compacted = if (src.rdd.getNumPartitions >= k) src.coalesce(k)
         else src.repartition(k)
       val (names, stats) = writeDataFiles(spark, path, compacted)
-      commit(spark, path, v + 1, names, stats)
+      commit(spark, path, v + 1, names, stats,
+        schema = readManifestFull(spark, path, v).schema)
     }
 
   /** OPTIMIZE, range flavor: rewrite the latest version's rows
@@ -465,7 +522,8 @@ object TableLog {
         .repartitionByRange(numFiles, col(colName))
         .sortWithinPartitions(colName)
       val (names, stats) = writeDataFiles(spark, path, clustered)
-      commit(spark, path, v + 1, names, stats)
+      commit(spark, path, v + 1, names, stats,
+        schema = readManifestFull(spark, path, v).schema)
     }
 
   /** OPTIMIZE, z-order flavor over k ≥ 2 numeric columns (Delta's
@@ -488,7 +546,8 @@ object TableLog {
         .sortWithinPartitions("_tl_z")
         .drop("_tl_z")
       val (names, stats) = writeDataFiles(spark, path, clustered)
-      commit(spark, path, v + 1, names, stats)
+      commit(spark, path, v + 1, names, stats,
+        schema = readManifestFull(spark, path, v).schema)
     }
 
   /** Incremental OPTIMIZE (Delta's `OPTIMIZE WHERE`): recluster ONLY
@@ -516,17 +575,17 @@ object TableLog {
           case Some(b) => overlaps(b, lower, upper)
         }
       }.toSet
-      if (touchedSet.isEmpty) commit(spark, path, v + 1, m.files, m.stats)
+      if (touchedSet.isEmpty)
+        commit(spark, path, v + 1, m.files, m.stats, schema = m.schema)
       else {
         val (touched, untouched) = m.files.partition(touchedSet.contains)
-        val df = spark.read.parquet(
-          touched.map(n => new Path(dataDir(path), n).toString): _*)
-        val clustered = df
+        val clustered = readFiles(spark, path, m, touched)
           .repartitionByRange(numFiles, col(colName))
           .sortWithinPartitions(colName)
         val (names, stats) = writeDataFiles(spark, path, clustered)
         commit(spark, path, v + 1, untouched ++ names,
-          m.stats.filterNot { case (k, _) => touchedSet.contains(k) } ++ stats)
+          m.stats.filterNot { case (k, _) => touchedSet.contains(k) } ++ stats,
+          schema = m.schema)
       }
     }
 
@@ -574,43 +633,82 @@ object TableLog {
     withLock(spark, path, "deleteWhere") {
       val v = latestVersion(spark, path)
       val cur = readManifestFull(spark, path, v)
-      val df = read(spark, path, Some(v))
-      val perFileMatches = df.where(predicate)
-        .groupBy(col("_metadata.file_path").as("_tl_f"))
-        .agg(count(lit(1)).as("_tl_n")).collect()
-      val touchedNames =
-        perFileMatches.map(r => new Path(r.getString(0)).getName).toSet
-      if (touchedNames.isEmpty) commit(spark, path, v + 1, cur.files, cur.stats)
-      else {
-        val rowsDeleted = perFileMatches.map(_.getLong(1)).sum
-        val (touched, untouched) = cur.files.partition(touchedNames.contains)
-        val touchedPaths = touched.map(n => new Path(dataDir(path), n).toString)
-        val touchedDf = spark.read.parquet(touchedPaths: _*)
-        val touchedRows = touchedDf.count()
-        // survivors = NOT(matched): NULL-predicate rows did not match
-        // and must be kept — bare !predicate is NULL for them and
-        // would drop them silently (StorageLayout.deleteWhere
-        // discipline)
-        val survivors = touchedDf.where(!coalesce(predicate, lit(false)))
-        val (newFiles, newStats) =
-          if (survivors.isEmpty) (Nil, Map.empty[String, Map[String, ColBound]])
-          else writeDataFiles(spark, path, survivors)
-        // row accounting BEFORE the commit rename: a survivor filter
-        // that dropped more than the matched rows (e.g. a
-        // non-deterministic predicate) aborts here, leaving only
-        // orphan data files for vacuum — never a committed wrong
-        // version
-        val survivorRows =
-          if (newFiles.isEmpty) 0L
-          else spark.read.parquet(
-            newFiles.map(n => new Path(dataDir(path), n).toString): _*).count()
-        require(survivorRows == touchedRows - rowsDeleted,
-          s"TableLog.deleteWhere: survivors have $survivorRows rows, want " +
-            s"${touchedRows - rowsDeleted} — aborting commit (orphans go to vacuum)")
-        commit(spark, path, v + 1, untouched ++ newFiles,
-          (cur.stats -- touched) ++ newStats)
-      }
+      deleteCore(spark, path, v, cur, cur.files, predicate)
     }
+
+  /** [[deleteWhere]] specialized to a band on a stats column: the
+    * CANDIDATE file set comes from the MANIFEST bounds (files whose
+    * [min,max] overlaps the band, plus unbounded files —
+    * conservative), so the match-discovery job scans only the band's
+    * neighborhood instead of the whole table. On a table clustered on
+    * `colName`, a TTL/GDPR delete's discovery cost is proportional to
+    * the band — the difference between touching yesterday's files and
+    * re-reading 100 TB.
+    */
+  def deleteBand(
+      spark: SparkSession, path: String, colName: String,
+      lower: Any, upper: Any): Long =
+    withLock(spark, path, "deleteBand") {
+      val v = latestVersion(spark, path)
+      checkNotVacuumed(spark, path, v)
+      val cur = readManifestFull(spark, path, v)
+      val candidates = cur.files.filter { n =>
+        cur.stats.get(n).flatMap(_.get(colName)) match {
+          case None => true
+          case Some(b) => overlaps(b, lower, upper)
+        }
+      }
+      val pred = col(colName) >= lit(lower) && col(colName) <= lit(upper)
+      if (candidates.isEmpty)
+        commit(spark, path, v + 1, cur.files, cur.stats, schema = cur.schema)
+      else deleteCore(spark, path, v, cur, candidates, pred)
+    }
+
+  /** Shared delete engine: find files containing matches WITHIN the
+    * candidate set (one bounded `_metadata.file_path` job), rewrite
+    * only those without their matches, carry everything else by name.
+    */
+  private def deleteCore(
+      spark: SparkSession, path: String, v: Long, cur: Manifest,
+      candidates: Seq[String], predicate: Column): Long = {
+    val df = readFiles(spark, path, cur, candidates)
+    val perFileMatches = df.where(predicate)
+      .groupBy(col("_metadata.file_path").as("_tl_f"))
+      .agg(count(lit(1)).as("_tl_n")).collect()
+    val touchedNames =
+      perFileMatches.map(r => new Path(r.getString(0)).getName).toSet
+    if (touchedNames.isEmpty)
+      commit(spark, path, v + 1, cur.files, cur.stats, schema = cur.schema)
+    else {
+      val rowsDeleted = perFileMatches.map(_.getLong(1)).sum
+      val (touched, untouched) = cur.files.partition(touchedNames.contains)
+      val touchedDf = readFiles(spark, path, cur, touched)
+      val touchedRows = touchedDf.count()
+      // survivors = NOT(matched): NULL-predicate rows did not match
+      // and must be kept — bare !predicate is NULL for them and
+      // would drop them silently (StorageLayout.deleteWhere
+      // discipline)
+      val survivors = touchedDf.where(!coalesce(predicate, lit(false)))
+      val (newFiles, newStats) =
+        if (survivors.isEmpty) (Nil, Map.empty[String, Map[String, ColBound]])
+        else writeDataFiles(spark, path, survivors)
+      // row accounting BEFORE the commit rename: a survivor filter
+      // that dropped more than the matched rows (e.g. a
+      // non-deterministic predicate) aborts here, leaving only
+      // orphan data files for vacuum — never a committed wrong
+      // version
+      val survivorRows =
+        if (newFiles.isEmpty) 0L
+        else spark.read.parquet(
+          newFiles.map(n => new Path(dataDir(path), n).toString): _*).count()
+      require(survivorRows == touchedRows - rowsDeleted,
+        s"TableLog.deleteWhere: survivors have $survivorRows rows, want " +
+          s"${touchedRows - rowsDeleted} — aborting commit (orphans go to vacuum)")
+      commit(spark, path, v + 1, untouched ++ newFiles,
+        cur.stats.filterNot { case (k, _) => touchedNames.contains(k) } ++ newStats,
+        schema = cur.schema)
+    }
+  }
 
   /** Tagged idempotent append — the exactly-once unit for streaming
     * sinks: if a committed version already carries `tag`, return it
@@ -635,9 +733,12 @@ object TableLog {
             case None =>
               val v = latestVersion(spark, path)
               val cur = readManifestFull(spark, path, v)
+              val base = cur.schema.orElse(
+                Some(readFiles(spark, path, cur, cur.files).schema))
               val (names, stats) = writeDataFiles(spark, path, df)
               commit(spark, path, v + 1, cur.files ++ names,
-                cur.stats ++ stats, Some(tag))
+                cur.stats ++ stats, Some(tag),
+                schema = Some(mergedSchema(base, df.schema)))
           }
         }
     }

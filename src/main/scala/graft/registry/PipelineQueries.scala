@@ -408,6 +408,70 @@ object PipelineQueries {
     }),
 
 
+    // manifest-pruned band delete (round-12): on a table clustered on
+    // the delete key, the TTL/GDPR delete's match-discovery job scans
+    // only the files whose manifest bounds overlap the band — the
+    // whole-table `_metadata` pass becomes a band-proportional one.
+    // Result-transparent: survivors' aggregate
+    "q200_delete_band" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tldb-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      graft.operators.TableLog.create(s, path,
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(4))
+      graft.operators.TableLog.optimizeRange(s, path, "doc_id", numFiles = 8)
+      graft.operators.TableLog.deleteBand(s, path, "doc_id", 100L, 200L)
+      graft.operators.TableLog.read(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+    }),
+
+
+    // schema evolution on append (round-12): the table's schema lives
+    // in the manifest (Delta/Iceberg's move — readers never open a
+    // footer to plan, and evolution is a LOG property): an appended
+    // batch carries a NEW column, old rows read back NULL there, and
+    // the pre-evolution version still reads with its own schema.
+    // Result-transparent modulo the evolution rule the oracle replays
+    "q201_schema_evolution" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlse-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+      graft.operators.TableLog.create(s, path,
+        docs.where(col("doc_id") < 300L)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(2))
+      graft.operators.TableLog.append(s, path,
+        docs.where(col("doc_id") >= 300L)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+          .repartition(2))
+      graft.operators.TableLog.read(s, path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+
+    // group-atomic split assignment (round-12): the constructive fix
+    // to the q191 audit — splits keyed on CONTENT hash, so the
+    // planted exact duplicates can never straddle train/val/test; the
+    // output is the same audit, now showing only single-split groups
+    "q202_group_split" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(
+        docs.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val split = graft.operators.SplitAudit.assignSplitByContent(
+        planted, col("text"), valBuckets = 13, testBuckets = 26)
+      graft.operators.SplitAudit.exactDupLeakage(
+        split, col("text"), col("split"))
+    }),
+
+
     // incremental OPTIMIZE (round-12; Delta's OPTIMIZE WHERE): the
     // steady-state ingest shape — a clustered head, a messy appended
     // tail, then a recluster that touches ONLY the files overlapping
@@ -1490,6 +1554,44 @@ object PipelineQueries {
          |  CAST(ac.cum AS BIGINT) AS cum_chars
          |FROM ac JOIN w2 ON w2.lang = ac.lang
          |  AND ac.cum > w2.lo AND ac.cum <= w2.hi""".stripMargin,
+
+    // q200: survivors of the band delete
+    "q200_delete_band" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id
+        |FROM documents WHERE NOT (doc_id BETWEEN 100 AND 200)
+        |GROUP BY lang""".stripMargin,
+
+    // q201: the evolution rule replayed — pre-evolution rows carry
+    // NULL in the added column
+    "q201_schema_evolution" ->
+      """SELECT CASE WHEN doc_id < 300 THEN NULL ELSE source END AS source,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // q202: q191's audit with the bucket keyed on md5(text) — every
+    // content group is split-atomic by construction
+    "q202_group_split" ->
+      """WITH p AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents),
+        |d AS (
+        |  SELECT text,
+        |    CASE WHEN b < 26 THEN 'test'
+        |         WHEN b < 39 THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM (SELECT text,
+        |    CAST(('0x' || substr(md5('split:' || md5(text)), 1, 2))
+        |      AS BIGINT) AS b FROM p)),
+        |g AS (
+        |  SELECT md5(text) AS grp,
+        |    array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+        |    count(*) AS n
+        |  FROM d GROUP BY md5(text))
+        |SELECT splits, count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_docs
+        |FROM g GROUP BY splits""".stripMargin,
 
     // q199: the maintenance chain is result-transparent — the healed
     // band's aggregate

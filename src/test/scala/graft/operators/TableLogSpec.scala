@@ -322,6 +322,62 @@ class TableLogSpec extends GraftSparkSpec {
       f => new org.apache.hadoop.fs.Path(f).getName).toSet === v4Files)
   }
 
+  test("schema evolution: appended columns read back NULL for old rows; retype refused") {
+    val path = freshPath("graft-spec-tlog-evo")
+    val v1 = (0L until 100L).map(i => (i, i * 2)).toDF("id", "w")
+    val v2 = (100L until 150L).map(i => (i, i * 2, s"s$i")).toDF("id", "w", "tag")
+    TableLog.create(spark, path, v1.repartition(2))
+    TableLog.append(spark, path, v2.repartition(2))
+    val latest = TableLog.read(spark, path)
+    assert(latest.columns.toSeq === Seq("id", "w", "tag"))
+    assert(latest.count() === 150L)
+    assert(latest.where(col("tag").isNull).count() === 100L,
+      "pre-evolution rows read NULL in the added column")
+    assert(latest.where(col("tag") === "s120").count() === 1L)
+    // the pre-evolution version keeps ITS schema
+    assert(TableLog.read(spark, path, Some(1L)).columns.toSeq === Seq("id", "w"))
+    // a batch MISSING an old column appends too (reads back NULL)
+    TableLog.append(spark, path,
+      (150L until 160L).map(i => Tuple1(i)).toDF("id"))
+    val l3 = TableLog.read(spark, path)
+    assert(l3.where(col("id") >= 150L && col("w").isNull).count() === 10L)
+    // retype is refused loudly
+    intercept[IllegalArgumentException] {
+      TableLog.append(spark, path,
+        Seq(("200", 1L)).toDF("id", "w"))
+    }
+    // rewrites carry the evolved schema
+    TableLog.compact(spark, path, targetRowsPerFile = 1000L)
+    assert(TableLog.read(spark, path).columns.toSeq === Seq("id", "w", "tag"))
+    assert(TableLog.read(spark, path).count() === 160L)
+  }
+
+  test("deleteBand: discovery scans only manifest-overlapping files, result equals deleteWhere") {
+    val pathA = freshPath("graft-spec-tlog-db-a")
+    val pathB = freshPath("graft-spec-tlog-db-b")
+    val data = (0L until 4000L).map(i => (i, s"p$i")).toDF("id", "p")
+    for (p <- Seq(pathA, pathB)) {
+      TableLog.create(spark, p, data.repartition(4))
+      TableLog.optimizeRange(spark, p, "id", numFiles = 8)
+    }
+    val before = TableLog.read(spark, pathA, Some(2L)).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    TableLog.deleteBand(spark, pathA, "id", 1000L, 1499L)
+    TableLog.deleteWhere(spark, pathB, col("id").between(1000L, 1499L))
+    assert(rows(TableLog.read(spark, pathA)) === rows(TableLog.read(spark, pathB)),
+      "band delete must equal the generic delete")
+    assert(TableLog.read(spark, pathA).count() === 3500L)
+    // clustered files outside the band carried over by name
+    val after = TableLog.read(spark, pathA).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    assert((before intersect after).size >= 6,
+      s"expected >= 6 carried files, got ${(before intersect after).size}")
+    // no-overlap band: pure carry-over commit, nothing rewritten
+    val v = TableLog.deleteBand(spark, pathA, "id", 100000L, 200000L)
+    assert(TableLog.read(spark, pathA, Some(v)).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet === after)
+  }
+
   test("pre-stats manifests (old formats) still read; stats recorded on new commits") {
     val path = freshPath("graft-spec-tlog-compat")
     val data = (0L until 100L).map(i => (i, s"s$i")).toDF("id", "s")
