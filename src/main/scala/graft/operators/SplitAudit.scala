@@ -56,4 +56,25 @@ object SplitAudit {
       salt: String = "split:", splitCol: String = "split"): DataFrame =
     Sampling.assignSplit(df, md5(textCol.cast("binary")),
       valBuckets, testBuckets, salt, splitCol)
+
+  /** NEAR-dup-atomic split: rows joined to their connected-component
+    * label over caller-supplied similarity edges (the q36 CC
+    * machinery — minhash pairs, embedding pairs, whatever the
+    * pipeline's near-dup stage emits), then bucketed by COMPONENT
+    * id — an entire near-dup CLUSTER lands in one split. This is the
+    * guarantee [[assignSplitByContent]] cannot give when
+    * near-duplicates differ byte-wise (the common case: boilerplate
+    * variants, re-crawls, light edits). Cost: the CC fixed-point over
+    * the edge set + one hash join back; the split itself is the same
+    * row-local salted bucket.
+    */
+  def assignSplitByComponent(
+      df: DataFrame, idCol: String, edges: DataFrame,
+      valBuckets: Int, testBuckets: Int,
+      salt: String = "split:", splitCol: String = "split"): DataFrame = {
+    val comps = Dedup.connectedComponents(df, idCol, edges)
+      .select(col("id").as(idCol), col("component"))
+    Sampling.assignSplit(df.join(comps, Seq(idCol)), col("component"),
+      valBuckets, testBuckets, salt, splitCol)
+  }
 }

@@ -228,10 +228,18 @@ object TableLog {
     }
   }
 
+  /** Reserved stats key carrying the file's ROW COUNT (from the
+    * footer's block metadata): [[history]] and any count-only reader
+    * answer from the manifest without opening a single file. '#' is
+    * not legal in this layer's column names, so it cannot collide.
+    */
+  val RowsKey = "#rows"
+
   /** Min/max bounds per TOP-LEVEL primitive column from one parquet
-    * file's footer — metadata IO only, merged across row groups. A
-    * column whose chunks lack usable stats in any block is omitted
-    * (readers treat missing bounds as "cannot prune": conservative).
+    * file's footer — metadata IO only, merged across row groups — plus
+    * the file row count under [[RowsKey]]. A column whose chunks lack
+    * usable stats in any block is omitted (readers treat missing
+    * bounds as "cannot prune": conservative).
     */
   private def footerBounds(
       spark: SparkSession, file: Path): Map[String, ColBound] = {
@@ -240,8 +248,12 @@ object TableLog {
     try {
       val acc = scala.collection.mutable.Map.empty[String, ColBound]
       val dead = scala.collection.mutable.Set.empty[String]
+      val nRows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      acc(RowsKey) = ColBound("l", nRows.toString, nRows.toString)
       for (b <- reader.getFooter.getBlocks.asScala;
            c <- b.getColumns.asScala if c.getPath.size == 1) {
+        require(c.getPath.toDotString != RowsKey,
+          s"TableLog: column name $RowsKey is reserved")
         val name = c.getPath.toDotString
         val st = c.getStatistics
         if (st == null || st.isEmpty || !st.hasNonNullValue) dead += name
@@ -744,13 +756,26 @@ object TableLog {
     }
 
   /** History report: (version, n_rows) per READABLE version (vacuumed
-    * versions are excluded) — the DESCRIBE HISTORY surface.
+    * versions are excluded) — the DESCRIBE HISTORY surface. Versions
+    * whose manifest carries [[RowsKey]] counts for every file answer
+    * from the MANIFEST alone (zero file opens — at 100k files the
+    * difference between one small read and 100k footer GETs per
+    * version); pre-stats manifests fall back to a count scan.
     */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val wm = vacuumWatermark(spark, path)
     versions(spark, path).filter(_ >= wm)
-      .map(v => (v, read(spark, path, Some(v)).count()))
+      .map { v =>
+        val m = readManifestFull(spark, path, v)
+        val known = m.files
+          .flatMap(n => m.stats.get(n).flatMap(_.get(RowsKey)))
+          .map(_.min.toLong)
+        val rows =
+          if (known.size == m.files.size) known.sum
+          else readFiles(spark, path, m, m.files).count()
+        (v, rows)
+      }
       .toDF("version", "n_rows")
   }
 

@@ -472,6 +472,29 @@ object PipelineQueries {
     }),
 
 
+    // near-dup-atomic split (round-12): the q36 component machinery
+    // composed with the salted split bucket — a whole near-dup
+    // CLUSTER (here the deterministic adjacent-id/same-length-bucket
+    // edge rule the q36/q37 oracles replay) lands in one split, the
+    // guarantee content-hash splitting cannot give when near-dups
+    // differ byte-wise. Output: per-split component and doc counts
+    "q203_component_split" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val edges = docs.select(col("doc_id").as("id_a"),
+          expr("n_chars DIV 100").as("_ba"))
+        .join(docs.select(col("doc_id").as("id_b"),
+          expr("n_chars DIV 100").as("_bb")),
+          col("id_b") === col("id_a") + 1 && col("_ba") === col("_bb"))
+        .select("id_a", "id_b")
+      graft.operators.SplitAudit.assignSplitByComponent(
+        docs.select(col("doc_id")), "doc_id", edges,
+        valBuckets = 13, testBuckets = 26)
+        .groupBy(col("split"))
+        .agg(countDistinct(col("component")).as("n_components"),
+          count(lit(1)).as("n_docs"))
+    }),
+
+
     // incremental OPTIMIZE (round-12; Delta's OPTIMIZE WHERE): the
     // steady-state ingest shape — a clustered head, a messy appended
     // tail, then a recluster that touches ONLY the files overlapping
@@ -1554,6 +1577,32 @@ object PipelineQueries {
          |  CAST(ac.cum AS BIGINT) AS cum_chars
          |FROM ac JOIN w2 ON w2.lang = ac.lang
          |  AND ac.cum > w2.lo AND ac.cum <= w2.hi""".stripMargin,
+
+    // q203: the q36 reach replay + the salted bucket on the component
+    // label, aggregated per split
+    "q203_component_split" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 1 AND a.n_chars // 100 = b.n_chars // 100),
+        |sym AS (SELECT id_a, id_b FROM edges UNION SELECT id_b, id_a FROM edges),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.id_b, reach.r FROM reach JOIN sym s ON s.id_a = reach.id),
+        |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+        |d AS (
+        |  SELECT doc_id, component,
+        |    CASE WHEN b < 26 THEN 'test'
+        |         WHEN b < 39 THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM (SELECT doc_id, component,
+        |    CAST(('0x' || substr(md5('split:' || CAST(component AS VARCHAR)),
+        |      1, 2)) AS BIGINT) AS b FROM comp))
+        |SELECT split, count(DISTINCT component) AS n_components,
+        |  count(*) AS n_docs
+        |FROM d GROUP BY split""".stripMargin,
 
     // q200: survivors of the band delete
     "q200_delete_band" ->
