@@ -169,11 +169,89 @@ object TableLog {
   private def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] =
     readManifestFull(spark, path, v).files
 
-  /** Idempotency tags of all committed versions (see [[appendBatch]]). */
-  def tags(spark: SparkSession, path: String): Map[String, Long] =
-    versions(spark, path).flatMap { v =>
+  /** Write a tag checkpoint every this many versions (amortizes
+    * [[tags]] from O(#versions) manifest reads to O(1) checkpoint +
+    * O(K) recent manifests — the Delta checkpoint move applied to the
+    * one derived map this log maintains).
+    */
+  val TagCheckpointEvery: Long = 32L
+
+  private def ckptPath(path: String, v: Long) =
+    new Path(logDir(path), f"_ckpt_v$v%07d.json")
+
+  /** Newest tag checkpoint: (covered-through version, tag map). */
+  private def newestCkpt(
+      spark: SparkSession, path: String): Option[(Long, Map[String, Long])] = {
+    val f = fs(spark, path)
+    if (!f.exists(logDir(path))) None
+    else f.listStatus(logDir(path)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_ckpt_v") && n.endsWith(".json") =>
+        n.stripPrefix("_ckpt_v").stripSuffix(".json").toLong
+      }.sorted.lastOption.map { v =>
+        val tags = JsonMethods.parse(
+          readSmallFile(spark, path, ckptPath(path, v))) \ "tags" match {
+          case JObject(fields) => fields.collect {
+            case (k, JInt(n)) => k -> n.toLong
+          }.toMap
+          case _ => Map.empty[String, Long]
+        }
+        (v, tags)
+      }
+  }
+
+  /** Checkpoint the full tag map as of version `v` (tmp + rename;
+    * derived data — a stale or missing checkpoint only costs manifest
+    * reads). Older checkpoints are dropped.
+    */
+  private def writeCkpt(
+      spark: SparkSession, path: String, v: Long,
+      tagMap: Map[String, Long]): Unit = {
+    val f = fs(spark, path)
+    val body = JsonMethods.compact(JsonMethods.render(JObject(List(
+      "version" -> (JInt(v): JValue),
+      "tags" -> (JObject(tagMap.toList.sortBy(_._1).map { case (k, n) =>
+        k -> (JInt(n): JValue)
+      }): JValue)))))
+    val tmp = new Path(logDir(path), "_tmp_ckpt.json")
+    val out = f.create(tmp, true)
+    out.write(body.getBytes(UTF_8))
+    out.close()
+    f.delete(ckptPath(path, v), false)
+    require(f.rename(tmp, ckptPath(path, v)),
+      "TableLog: tag checkpoint publish failed")
+    f.listStatus(logDir(path)).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("_ckpt_v") && n.endsWith(".json") &&
+        n.stripPrefix("_ckpt_v").stripSuffix(".json").toLong < v)
+        f.delete(s.getPath, false)
+    }
+  }
+
+  /** Idempotency tags of all committed versions (see [[appendBatch]]):
+    * the newest checkpoint plus the manifests committed after it —
+    * O(1) + O(versions-since-checkpoint) reads, not O(#versions).
+    * Because [[vacuum]] checkpoints BEFORE dropping manifests, tags
+    * of vacuumed versions survive — a replayed ancient batch is still
+    * recognized instead of silently double-appending.
+    */
+  def tags(spark: SparkSession, path: String): Map[String, Long] = {
+    val base = newestCkpt(spark, path)
+    val from = base.map(_._1).getOrElse(0L)
+    val inc = versions(spark, path).filter(_ > from).flatMap { v =>
       readManifestFull(spark, path, v).tag.map(_ -> v)
     }.toMap
+    base.map(_._2).getOrElse(Map.empty[String, Long]) ++ inc
+  }
+
+  /** File names making up `version` (default latest) — the manifest's
+    * list, exposed for maintenance policies (e.g. a streaming sink's
+    * compaction threshold) without planning a read.
+    */
+  def files(spark: SparkSession, path: String,
+      version: Option[Long] = None): Seq[String] = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    readManifest(spark, path, v)
+  }
 
   /** Per-file column bounds recorded in version `v`'s manifest
     * (empty map per file for pre-stats manifests).
@@ -748,9 +826,15 @@ object TableLog {
               val base = cur.schema.orElse(
                 Some(readFiles(spark, path, cur, cur.files).schema))
               val (names, stats) = writeDataFiles(spark, path, df)
-              commit(spark, path, v + 1, cur.files ++ names,
+              val committed = commit(spark, path, v + 1, cur.files ++ names,
                 cur.stats ++ stats, Some(tag),
                 schema = Some(mergedSchema(base, df.schema)))
+              // amortized tag checkpoint (derived data; crash-safe to
+              // skip or repeat) keeps tags() O(1)+O(K) as a streaming
+              // sink accretes thousands of tagged versions
+              if (committed % TagCheckpointEvery == 0L)
+                writeCkpt(spark, path, committed, tags(spark, path))
+              committed
           }
         }
     }
@@ -794,6 +878,10 @@ object TableLog {
       val vs = versions(spark, path)
       val keep = vs.takeRight(keepVersions)
       val referenced = keep.flatMap(readManifest(spark, path, _)).toSet
+      // 0. checkpoint the tag map BEFORE dropping manifests: a
+      // replayed batch whose version was vacuumed must still be
+      // recognized as committed (exactly-once survives retention)
+      if (vs.nonEmpty) writeCkpt(spark, path, vs.last, tags(spark, path))
       // 1. watermark first (atomic tmp+rename, monotone non-decreasing)
       if (keep.nonEmpty && keep.head > vacuumWatermark(spark, path)) {
         val tmp = new Path(logDir(path), "_tmp_watermark")

@@ -738,13 +738,38 @@ object StreamingOps {
     */
   def tableLogSink(rows: DataFrame, path: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    tableLogSink(rows, path, compactAboveFiles = 0, targetRowsPerFile = 0L)
+
+  /** [[tableLogSink]] with steady-state file-count maintenance: after
+    * each committed batch, if the table's CURRENT version lists more
+    * than `compactAboveFiles` files, fold a [[graft.operators.TableLog.compact]]
+    * toward `targetRowsPerFile` as the next version (the annIngest
+    * `compactAboveFiles` discipline on the table log). Replay-safe:
+    * the append commits (tagged) BEFORE the fold, a replayed batch is
+    * recognized by its tag and never re-appended, and a compact that
+    * re-runs after a crash is content-identical maintenance — another
+    * version, same rows. The file-count probe reads the MANIFEST
+    * ([[graft.operators.TableLog.files]]), never the data.
+    */
+  def tableLogSink(
+      rows: DataFrame, path: String,
+      compactAboveFiles: Int, targetRowsPerFile: Long)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactAboveFiles == 0 || targetRowsPerFile > 0,
+      "tableLogSink: compaction needs a positive targetRowsPerFile")
     rows.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
           graft.operators.TableLog.appendBatch(
-            batch.sparkSession, path, batch.toDF(), s"batch-$batchId")
+            s, path, batch.toDF(), s"batch-$batchId")
+          if (compactAboveFiles > 0 &&
+            graft.operators.TableLog.files(s, path).size > compactAboveFiles)
+            graft.operators.TableLog.compact(s, path, targetRowsPerFile)
+        }
         ()
     }
+  }
 
   /** Streaming filter-funnel — q174's gate accounting over a live
     * ingest. Gate flags and the first-fail/fail-count derivations are

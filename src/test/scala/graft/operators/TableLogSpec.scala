@@ -294,6 +294,24 @@ class TableLogSpec extends GraftSparkSpec {
     assert(mode2 === "range" && cols2 === Seq("id"))
   }
 
+  test("tags survive vacuum via the checkpoint — replayed ancient batches stay skipped") {
+    val path = freshPath("graft-spec-tlog-tagvac")
+    val data = (0L until 50L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, data)                       // v1
+    TableLog.appendBatch(spark, path, data, "b1")            // v2
+    TableLog.appendBatch(spark, path, data, "b2")            // v3
+    TableLog.appendBatch(spark, path, data, "b3")            // v4
+    TableLog.vacuum(spark, path, keepVersions = 2)           // drops v1, v2
+    assert(TableLog.versions(spark, path) === Seq(3L, 4L))
+    // b1's manifest is gone, but the vacuum-time checkpoint remembers
+    // it: the replay is recognized, nothing is appended
+    assert(TableLog.tags(spark, path).keySet === Set("b1", "b2", "b3"))
+    assert(TableLog.appendBatch(spark, path, data, "b1") === 2L)
+    assert(TableLog.versions(spark, path) === Seq(3L, 4L),
+      "replayed vacuumed batch must not create a version")
+    assert(TableLog.read(spark, path).count() === 200L)
+  }
+
   test("optimizeRangeWhere reclusters only the overlapping files") {
     val path = freshPath("graft-spec-tlog-optw")
     val head = (0L until 3000L).map(i => (i, s"p$i")).toDF("id", "p")
@@ -367,11 +385,13 @@ class TableLogSpec extends GraftSparkSpec {
     assert(rows(TableLog.read(spark, pathA)) === rows(TableLog.read(spark, pathB)),
       "band delete must equal the generic delete")
     assert(TableLog.read(spark, pathA).count() === 3500L)
-    // clustered files outside the band carried over by name
+    // clustered files outside the band carried over by name (the
+    // 500-wide band straddles 2-3 of the 8 range files — boundaries
+    // come from RangePartitioner's sampling, which is not seed-stable)
     val after = TableLog.read(spark, pathA).inputFiles
       .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
-    assert((before intersect after).size >= 6,
-      s"expected >= 6 carried files, got ${(before intersect after).size}")
+    assert((before intersect after).size >= 5,
+      s"expected >= 5 carried files, got ${(before intersect after).size}")
     // no-overlap band: pure carry-over commit, nothing rewritten
     val v = TableLog.deleteBand(spark, pathA, "id", 100000L, 200000L)
     assert(TableLog.read(spark, pathA, Some(v)).inputFiles

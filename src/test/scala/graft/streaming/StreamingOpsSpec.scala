@@ -684,6 +684,33 @@ class StreamingOpsSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("tableLogSink: compactAboveFiles bounds the table's file count") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = graft.SparkEntry.perProcessTmpDir("graft-spec-tlog-sinkc")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    graft.operators.TableLog.create(spark, path,
+      Seq((0L, "seed")).toDF("id", "v"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.tableLogSink(input.toDF().toDF("id", "v"), path,
+      compactAboveFiles = 3, targetRowsPerFile = 1000L)
+      .option("checkpointLocation",
+        graft.SparkEntry.perProcessTmpDir("graft-spec-tlog-sinkc-ckpt"))
+      .start()
+    try {
+      for (b <- 0 until 6) {
+        input.addData((10L + b, s"r$b"))
+        q.processAllAvailable()
+      }
+      // steady state: the fold keeps the CURRENT version's file list
+      // bounded (each append adds >= 1 file; compact folds to 1 at
+      // these row counts) while every row survives
+      assert(graft.operators.TableLog.files(spark, path).size <= 4,
+        s"file count ${graft.operators.TableLog.files(spark, path).size}")
+      assert(graft.operators.TableLog.read(spark, path).count() === 7L)
+    } finally q.stop()
+  }
+
   test("streaming ANN ingest: compactAboveFiles bounds store file counts") {
     implicit val sqlCtx = spark.sqlContext
     def vec(i: Long): Seq[Double] =
