@@ -69,6 +69,10 @@ object OracleGen {
       "q133_ann_graph" -> (() => graphAnnOracle(s, dir)),
       "q134_graph_twin_recall" -> (() => graphRecallOracle(s, dir)),
       "q158_ann_hier" -> (() => graphHierOracle(s, dir)),
+      // the index-served twin produces IDENTICAL results by
+      // construction (searchIndexHier ≡ fresh build + hier search,
+      // GraphAnnSpec pin), so it shares q158's generated replay
+      "q204_ann_hier_indexed" -> (() => graphHierOracle(s, dir)),
       "q135_lang_classifier" -> (() => langClassifierOracle(s, dir)),
       "q71_shuffle_shard" -> (() => shuffleShardOracle(s, dir)),
       "q83_shard_manifest" -> (() => shardManifestOracle(s, dir)),

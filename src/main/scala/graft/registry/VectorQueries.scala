@@ -300,6 +300,31 @@ object VectorQueries {
     }),
 
 
+    // index-served hierarchical ANN (round-12): q158's walk from a
+    // PERSISTED index — writeIndex stores the per-cell directed
+    // lists, entries, and the hier cell layer (cell_edges.parquet);
+    // searchIndexHier equals fresh build + hier search (spec-pinned),
+    // so it shares q158's generated oracle. The composition a serving
+    // pipeline runs: build once, search many, append without
+    // invalidating the cell layer
+    "q204_ann_hier_indexed" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val corpus = jitterTwinEmbeddings(emb)
+      val centroids = graft.vector.Ivf.fitCentroids(
+        corpus, "embedding", graphNlist(corpus),
+        cacheKey = Some(dir + "#embeddings-jitter"))
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idxDir = perProcessTmpDir(s"graft-gannidx-$sfx")
+      graft.vector.GraphAnn.writeIndex(
+        corpus, "vec_id", "embedding", idxDir, centroids,
+        m = 6, replicas = 2)
+      graft.vector.GraphAnn.searchIndexHier(
+        s, idxDir, emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+        k = 5, entryProbe = 4, cellHops = 4, cellBeam = 4,
+        hops = 5, beam = 12)
+    }),
+
+
     // margin-based bitext mining (round-11; Artetxe & Schwenk 2019 /
     // CCMatrix): side A = raw embeddings (< 100), side B = jittered
     // "translations" of a WIDER slice (< 150, +100000 ids) so a third

@@ -458,6 +458,11 @@ object GraphAnn {
       .parquet(s"$dir/edges.parquet")
     entriesOf(assigned, centroids)
       .write.mode("overwrite").parquet(s"$dir/entries.parquet")
+    // the hier entry layer ([[searchIndexHier]]): derived from the
+    // quantizer alone, so appends never invalidate it
+    buildCellGraphScalable(spark, centroids, cellM = 4).toSeq
+      .toDF("csrc", "cdst").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/cell_edges.parquet")
   }
 
   /** Append a batch to a persisted graph index by rebuilding ONLY the
@@ -540,5 +545,39 @@ object GraphAnn {
     val entries = spark.read.parquet(s"$dir/entries.parquet")
     searchTopK(vectors, "id", "vec", queries, qidCol, qvecCol,
       centroids, edges, entries, k, nprobe, hops, beam)
+  }
+
+  /** [[searchTopKHier]] served from a persisted index: entry cells
+    * come from the stored cell-layer graph (`cell_edges.parquet`,
+    * written by [[writeIndex]]); pre-cell-layer indexes rebuild it on
+    * the fly from the stored centroids (cheap — nlist-sized). Results
+    * equal a fresh build + hier search (spec-pinned): the stored
+    * per-cell directed lists symmetrize at load exactly as
+    * [[build]]'s final step.
+    */
+  def searchIndexHier(
+      spark: SparkSession, dir: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, entryProbe: Int = 4, cellHops: Int = 4, cellBeam: Int = 4,
+      hops: Int = 3, beam: Int = 8): DataFrame = {
+    val centroids = Ivf.loadCentroids(spark, dir)
+    val vectors = spark.read.parquet(s"$dir/vectors.parquet")
+    val directed = spark.read.parquet(s"$dir/edges.parquet")
+      .select(col("src"), col("dst")).distinct()
+    val edges = directed
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val entries = spark.read.parquet(s"$dir/entries.parquet")
+    val cePath = new org.apache.hadoop.fs.Path(s"$dir/cell_edges.parquet")
+    val hasCe = cePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(cePath)
+    val cellEdges: Array[(Int, Int)] =
+      if (hasCe) spark.read.parquet(cePath.toString)
+        .select(col("csrc").cast("int"), col("cdst").cast("int"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+      else buildCellGraphScalable(spark, centroids, cellM = 4)
+    searchTopKHier(vectors, "id", "vec", queries, qidCol, qvecCol,
+      centroids, edges, entries, cellEdges,
+      k, entryProbe, cellHops, cellBeam, hops, beam)
   }
 }

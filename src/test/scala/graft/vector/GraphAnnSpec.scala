@@ -294,6 +294,31 @@ class GraphAnnSpec extends GraftSparkSpec {
       spark, cellCentroids, cellM = 4, flatBound = 512).toSet === flat)
   }
 
+  test("searchIndexHier equals fresh build + hier search; fallback path too") {
+    val (cor, qs, centroids) = decoyFixture
+    val (edges, entries) = GraphAnn.build(
+      cor, "vec_id", "embedding", centroids, m = 4, replicas = 2)
+    val cg = GraphAnn.buildCellGraph(centroids, cellM = 4)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val fresh = norm(GraphAnn.searchTopKHier(cor, "vec_id", "embedding",
+      qs, "vec_id", "embedding", centroids, edges, entries, cg,
+      k = 3, entryProbe = 4, cellHops = 4, cellBeam = 4, hops = 3, beam = 8))
+    val dir = Files.createTempDirectory("graph-idx-hier").toFile
+    dir.deleteOnExit()
+    GraphAnn.writeIndex(cor, "vec_id", "embedding",
+      dir.getAbsolutePath, centroids, m = 4, replicas = 2)
+    def served() = norm(GraphAnn.searchIndexHier(
+      spark, dir.getAbsolutePath, qs, "vec_id", "embedding",
+      k = 3, entryProbe = 4, cellHops = 4, cellBeam = 4, hops = 3, beam = 8))
+    assert(served() === fresh, "persisted cell layer")
+    // pre-round-12 index shape: no cell_edges.parquet — rebuilt on
+    // the fly from the stored centroids, same results
+    val ce = new org.apache.hadoop.fs.Path(s"${dir.getAbsolutePath}/cell_edges.parquet")
+    ce.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(ce, true)
+    assert(served() === fresh, "fallback cell layer")
+  }
+
   test("hier search through a recursively-built cell layer keeps decoy recall") {
     val (cor, qs, centroids) = decoyFixture
     val truth = Ann.cosineTopK(cor, "vec_id", "embedding",
