@@ -52,6 +52,7 @@ object OracleGen {
   def all(s: SparkSession, dir: String): Map[String, String] =
     Seq[(String, () => String)](
       "q25_minhash_lsh" -> (() => minhashOracle(s, dir)),
+      "q205_neardup_split" -> (() => neardupSplitOracle(s, dir)),
       "q26_simhash" -> (() => simhashOracle(s, dir)),
       "q31_winnow_pairs" -> (() => winnowOracle(s, dir)),
       "q28_ann_lsh" -> (() => annLshOracle(s, dir)),
@@ -106,7 +107,11 @@ object OracleGen {
     * hashes; DuckDB recomputes the bucket cap, the banded candidate
     * join, and exact Jaccard (|A∩B| / |A∪B|) from the sets.
     */
-  def minhashOracle(s: SparkSession, dir: String): String = {
+  /** The q25 CTE chain (engine-supplied shingles + band keys, pairs
+    * re-derived in SQL with the bucket cap and exact jaccard) —
+    * shared by [[minhashOracle]] and [[neardupSplitOracle]].
+    */
+  private def minhashPairCtes(s: SparkSession, dir: String, tag: String): String = {
     val rows = SparkEntry.plantedDocs(s, dir)
       .select(col("doc_id").as("id"),
         NearDup.hashedShingles(col("text"), 3).as("sh"))
@@ -117,12 +122,12 @@ object OracleGen {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
       .sortBy(_._1)
-    checkEmbeddable("q25_minhash_lsh", rows.iterator.map(_._2.size.toLong + 8).sum)
+    checkEmbeddable(tag, rows.iterator.map(_._2.size.toLong + 8).sum)
     val shVals = rows.map { case (id, sh, _) => s"($id, ${longs(sh)})" }.mkString(", ")
     val bandVals = rows.flatMap { case (id, _, bands) =>
       bands.zipWithIndex.map { case (bh, i) => s"($id, $i, $bh)" }
     }.mkString(", ")
-    s"""WITH shv(id, sh) AS (VALUES $shVals),
+    s"""shv(id, sh) AS (VALUES $shVals),
        |sh AS (SELECT CAST(id AS BIGINT) AS id, CAST(sh AS BIGINT[]) AS sh FROM shv),
        |bandv(id, band_idx, band_hash) AS (VALUES $bandVals),
        |capped AS (
@@ -141,9 +146,41 @@ object OracleGen {
        |          ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
        |             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
        |          END, 4) AS jaccard
-       |  FROM cand JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b)
-       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
+       |  FROM cand JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b)""".stripMargin
   }
+
+  def minhashOracle(s: SparkSession, dir: String): String =
+    s"""WITH ${minhashPairCtes(s, dir, "q25_minhash_lsh")}
+       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
+
+  /** q205: the q25 pair replay feeding the q36 recursive CC and the
+    * component split bucket — the whole near-dup-atomic split chain
+    * (pairs → clusters → split → audit counts) recomputed from
+    * engine-supplied shingles/bands alone.
+    */
+  def neardupSplitOracle(s: SparkSession, dir: String): String =
+    s"""WITH RECURSIVE ${minhashPairCtes(s, dir, "q205_neardup_split")},
+       |ids AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL SELECT doc_id + 100000 FROM documents),
+       |np AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+       |sym AS (SELECT id_a, id_b FROM np UNION SELECT id_b, id_a FROM np),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM ids
+       |  UNION
+       |  SELECT sy.id_b, reach.r FROM reach JOIN sym sy ON sy.id_a = reach.id),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       |d AS (
+       |  SELECT id, component,
+       |    CASE WHEN b < 26 THEN 'test'
+       |         WHEN b < 39 THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM (SELECT id, component,
+       |    CAST(('0x' || substr(md5('split:' || CAST(component AS VARCHAR)),
+       |      1, 2)) AS BIGINT) AS b FROM comp))
+       |SELECT split, count(DISTINCT component) AS n_components,
+       |  count(*) AS n_docs
+       |FROM d GROUP BY split""".stripMargin
 
   /** q26: engine emits per-doc 64-bit simhash fingerprints; DuckDB
     * recomputes the pigeonhole chunk keys (shift+mask from the SHARED

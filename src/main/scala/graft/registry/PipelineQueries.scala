@@ -495,6 +495,26 @@ object PipelineQueries {
     }),
 
 
+    // near-dup-atomic split over REAL minhash edges (round-12): the
+    // q25 LSH pair machinery feeds the component split — planted
+    // byte-DIFFERENT twins (" graftdup" suffix) land in the same
+    // split, which content-hash splitting (q202) cannot do. Oracle is
+    // generated: engine-supplied shingles/bands, pairs + CC + bucket
+    // all replayed in SQL (OracleGen.neardupSplitOracle)
+    "q205_neardup_split" -> ((s, dir) => {
+      val base = plantedDocs(s, dir)
+      val pairs = graft.textops.NearDup.minhashPairs(
+        base, "doc_id", "text", threshold = 0.5)
+      graft.operators.SplitAudit.assignSplitByComponent(
+        base.select(col("doc_id")), "doc_id",
+        pairs.select(col("id_a"), col("id_b")),
+        valBuckets = 13, testBuckets = 26)
+        .groupBy(col("split"))
+        .agg(countDistinct(col("component")).as("n_components"),
+          count(lit(1)).as("n_docs"))
+    }),
+
+
     // incremental OPTIMIZE (round-12; Delta's OPTIMIZE WHERE): the
     // steady-state ingest shape — a clustered head, a messy appended
     // tail, then a recluster that touches ONLY the files overlapping
