@@ -839,6 +839,37 @@ object TableLog {
         }
     }
 
+  /** Version diff — CDC between two table versions with IO
+    * proportional to CHANGED FILES: files listed by BOTH manifests
+    * cancel without being read (immutability makes name equality
+    * content equality); only each side's exclusive files are scanned,
+    * and the row-level diff is a multiset `exceptAll` over those
+    * bounded frames. Output: the `to` version's schema + a `change`
+    * column ("added" | "removed"); rows from pre-evolution files read
+    * NULL in added columns. A delete that rewrote 2 of 100k files
+    * diffs by reading 2 + their survivors — never the table.
+    */
+  def diff(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
+    checkNotVacuumed(spark, path, fromV)
+    checkNotVacuumed(spark, path, toV)
+    val a = readManifestFull(spark, path, fromV)
+    val b = readManifestFull(spark, path, toV)
+    val shared = a.files.toSet intersect b.files.toSet
+    val onlyA = a.files.filterNot(shared)
+    val onlyB = b.files.filterNot(shared)
+    // both sides read under the TO version's schema: evolution only
+    // ADDS columns, so it is the superset and old rows align with
+    // NULLs (mergedSchema's retype refusal guarantees compatibility)
+    val mTo = b
+    def side(names: Seq[String]): DataFrame =
+      if (names.isEmpty) readFiles(spark, path, mTo, b.files).where(lit(false))
+      else readFiles(spark, path, mTo, names)
+    val avail = side(onlyA)
+    val bvail = side(onlyB)
+    bvail.exceptAll(avail).withColumn("change", lit("added"))
+      .unionByName(avail.exceptAll(bvail).withColumn("change", lit("removed")))
+  }
+
   /** History report: (version, n_rows) per READABLE version (vacuumed
     * versions are excluded) — the DESCRIBE HISTORY surface. Versions
     * whose manifest carries [[RowsKey]] counts for every file answer

@@ -495,6 +495,32 @@ object PipelineQueries {
     }),
 
 
+    // version diff / CDC between table versions (round-12): a
+    // retention delete then an append, diffed v1 -> v3 — shared
+    // manifest files cancel WITHOUT being read (immutability makes
+    // name equality content equality), so the diff's IO is the
+    // changed files. Result-transparent: the oracle recomputes both
+    // change sets from the base table
+    "q206_version_diff" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tldiff-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.TableLog.create(s, path, docs.repartition(4))
+      graft.operators.TableLog.optimizeRange(s, path, "n_chars", numFiles = 8)
+      graft.operators.TableLog.deleteBand(s, path, "n_chars", 0L, 149L)
+      graft.operators.TableLog.append(s, path,
+        docs.where(col("doc_id") < 50L)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            col("lang"), col("n_chars")))
+      graft.operators.TableLog.diff(s, path, 2L, 4L)
+        .groupBy(col("change"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+
     // near-dup-atomic split over REAL minhash edges (round-12): the
     // q25 LSH pair machinery feeds the component split — planted
     // byte-DIFFERENT twins (" graftdup" suffix) land in the same
@@ -1623,6 +1649,17 @@ object PipelineQueries {
         |SELECT split, count(DISTINCT component) AS n_components,
         |  count(*) AS n_docs
         |FROM d GROUP BY split""".stripMargin,
+
+    // q206: both change sets recomputed from the base table (removed
+    // = the retention band, added = the re-keyed append)
+    "q206_version_diff" ->
+      """SELECT 'removed' AS change, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars BETWEEN 0 AND 149 GROUP BY lang
+        |UNION ALL
+        |SELECT 'added' AS change, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id < 50 GROUP BY lang""".stripMargin,
 
     // q200: survivors of the band delete
     "q200_delete_band" ->

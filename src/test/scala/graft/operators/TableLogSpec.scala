@@ -398,6 +398,33 @@ class TableLogSpec extends GraftSparkSpec {
       .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet === after)
   }
 
+  test("diff reads only the changed files; added/removed exact") {
+    val path = freshPath("graft-spec-tlog-diff")
+    val data = (0L until 4000L).map(i => (i, i * 2)).toDF("id", "w")
+    TableLog.create(spark, path, data.repartition(4))
+    TableLog.optimizeRange(spark, path, "id", numFiles = 8)   // v2
+    TableLog.deleteBand(spark, path, "id", 0L, 499L)          // v3
+    TableLog.append(spark, path,
+      (10000L until 10100L).map(i => (i, i)).toDF("id", "w")) // v4
+    val d = TableLog.diff(spark, path, 2L, 4L)
+    val got = d.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expected =
+      (0L until 500L).map(i => (i, i * 2, "removed")).toSet ++
+        (10000L until 10100L).map(i => (i, i, "added")).toSet
+    assert(got === expected)
+    // shared clustered files cancel without being read: the diff's
+    // scan set excludes every file common to both manifests
+    val shared = TableLog.files(spark, path, Some(2L)).toSet intersect
+      TableLog.files(spark, path, Some(4L)).toSet
+    assert(shared.nonEmpty, "fixture must have carried files")
+    val scanned = d.inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    assert((scanned intersect shared).isEmpty,
+      s"diff scanned shared files: ${scanned intersect shared}")
+    // identical versions diff empty
+    assert(TableLog.diff(spark, path, 4L, 4L).count() === 0L)
+  }
+
   test("pre-stats manifests (old formats) still read; stats recorded on new commits") {
     val path = freshPath("graft-spec-tlog-compat")
     val data = (0L until 100L).map(i => (i, s"s$i")).toDF("id", "s")
