@@ -839,6 +839,21 @@ object TableLog {
         }
     }
 
+  /** RESTORE: re-commit version `v`'s exact state (files, bounds,
+    * schema) as the NEW latest version — the Delta RESTORE shape.
+    * Zero data IO: the manifest is copied forward, the bad versions
+    * stay readable for forensics until [[vacuum]], and the restore
+    * itself is time-travelable like any commit. Fails fast if `v`
+    * was vacuumed (its files are gone).
+    */
+  def restore(spark: SparkSession, path: String, v: Long): Long =
+    withLock(spark, path, "restore") {
+      checkNotVacuumed(spark, path, v)
+      val m = readManifestFull(spark, path, v)
+      val latest = latestVersion(spark, path)
+      commit(spark, path, latest + 1, m.files, m.stats, schema = m.schema)
+    }
+
   /** Version diff — CDC between two table versions with IO
     * proportional to CHANGED FILES: files listed by BOTH manifests
     * cancel without being read (immutability makes name equality

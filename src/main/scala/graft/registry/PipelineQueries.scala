@@ -495,6 +495,32 @@ object PipelineQueries {
     }),
 
 
+    // RESTORE as a committed version (round-12): a bad retention
+    // delete rolled back by re-committing v1's manifest (zero data
+    // IO), with the bad version still readable — the report joins
+    // the restored state and the bad state, both oracle-recomputed
+    "q207_restore" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlres-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      graft.operators.TableLog.create(s, path,
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(4))
+      graft.operators.TableLog.deleteWhere(s, path, col("n_chars") < 150L)
+      graft.operators.TableLog.restore(s, path, 1L)
+      val restored = graft.operators.TableLog.read(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val bad = graft.operators.TableLog.read(s, path, Some(2L))
+        .groupBy(col("lang")).agg(count(lit(1)).as("_nb"))
+      restored.join(bad, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          coalesce(col("_nb"), lit(0L)).as("n_docs_bad"))
+    }),
+
+
     // version diff / CDC between table versions (round-12): a
     // retention delete then an append, diffed v1 -> v3 — shared
     // manifest files cancel WITHOUT being read (immutability makes
@@ -1649,6 +1675,15 @@ object PipelineQueries {
         |SELECT split, count(DISTINCT component) AS n_components,
         |  count(*) AS n_docs
         |FROM d GROUP BY split""".stripMargin,
+
+    // q207: the restored state is the base table; the bad state is
+    // the survivor count
+    "q207_restore" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN NOT (n_chars < 150) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs_bad
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // q206: both change sets recomputed from the base table (removed
     // = the retention band, added = the re-keyed append)

@@ -398,6 +398,29 @@ class TableLogSpec extends GraftSparkSpec {
       .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet === after)
   }
 
+  test("restore re-commits an old version's exact state, zero data IO") {
+    val path = freshPath("graft-spec-tlog-restore")
+    val data = (0L until 1000L).map(i => (i, i * 3)).toDF("id", "w")
+    TableLog.create(spark, path, data.repartition(4))
+    TableLog.deleteWhere(spark, path, col("id") < 900L)       // v2: oops
+    assert(TableLog.read(spark, path).count() === 100L)
+    val v3 = TableLog.restore(spark, path, 1L)
+    assert(v3 === 3L)
+    assert(rows(TableLog.read(spark, path)) === rows(data), "state restored")
+    // zero-copy: the restored manifest lists exactly v1's files
+    assert(TableLog.files(spark, path, Some(3L)).toSet ===
+      TableLog.files(spark, path, Some(1L)).toSet)
+    // the bad version stays readable for forensics
+    assert(TableLog.read(spark, path, Some(2L)).count() === 100L)
+    // restoring a vacuumed version fails fast
+    TableLog.append(spark, path, data)                        // v4
+    TableLog.vacuum(spark, path, keepVersions = 2)
+    val e = intercept[IllegalArgumentException] {
+      TableLog.restore(spark, path, 2L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("diff reads only the changed files; added/removed exact") {
     val path = freshPath("graft-spec-tlog-diff")
     val data = (0L until 4000L).map(i => (i, i * 2)).toDF("id", "w")
