@@ -152,11 +152,16 @@ object Mixture {
     // Infinity (or NaN at 0/0) and the saturation/allocation integer
     // arithmetic then silently produces a wrong plan; negative avail
     // breaks the prefix-closure argument. #strata rows — bounded scan.
+    // NULLs must trip the guard too: a NULL weight/avail slips a
+    // bare <=/< predicate (NULL comparison is NULL, filtered out by
+    // where) and then poisons the ratio sort key silently
     val nBad = totals
-      .where(col(weightCol).cast("long") <= 0 || col(availCol).cast("long") < 0)
+      .where(col(weightCol).cast("long") <= 0 || col(availCol).cast("long") < 0 ||
+        col(weightCol).isNull || col(availCol).isNull)
       .limit(1).count()
     require(nBad == 0,
-      s"waterFill: every $weightCol must be > 0 and every $availCol >= 0")
+      s"waterFill: every $weightCol must be > 0 and every $availCol >= 0 " +
+        "(non-null)")
     val wOrd = Window.orderBy(col("_mx_ratio"), col(stratumCol))
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     totals.select(
@@ -222,10 +227,11 @@ object Mixture {
       budgetPerEpoch: Column): DataFrame = {
     require(epochs >= 2, s"annealSchedule: need >= 2 epochs, got $epochs")
     val nBadW = totals
-      .where(col(startWCol).cast("long") <= 0 || col(endWCol).cast("long") <= 0)
+      .where(col(startWCol).cast("long") <= 0 || col(endWCol).cast("long") <= 0 ||
+        col(startWCol).isNull || col(endWCol).isNull)
       .limit(1).count()
     require(nBadW == 0,
-      s"annealSchedule: every $startWCol and $endWCol must be >= 1")
+      s"annealSchedule: every $startWCol and $endWCol must be >= 1 (non-null)")
     var remaining = totals.select(
       col(stratumCol),
       col(availCol).cast("long").as("avail"),

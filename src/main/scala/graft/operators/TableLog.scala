@@ -69,11 +69,20 @@ object TableLog {
     */
   final case class ColBound(kind: String, min: String, max: String)
 
+  /** `files` are paths RELATIVE to `data/` (flat names for
+    * unpartitioned tables; `col=value/...` hive paths for partitioned
+    * ones). `partCols` + `parts` (per-file partition VALUES, aligned
+    * with partCols) are the Iceberg-style partition record: equality
+    * pruning decides from the manifest, the hive directory layout
+    * lets one Spark scan recover the columns.
+    */
   private final case class Manifest(
       tag: Option[String],
       files: Seq[String],
       stats: Map[String, Map[String, ColBound]],
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      partCols: Seq[String] = Nil,
+      parts: Map[String, Seq[String]] = Map.empty)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -84,9 +93,38 @@ object TableLog {
   private def watermarkPath(path: String) =
     new Path(logDir(path), "_vacuum_watermark")
 
-  /** Committed versions, ascending; empty if no table exists. */
+  /** Test-visible log-IO accounting per table path: manifest reads
+    * and `_log/` directory lists. Pins the checkpoint's
+    * O(1)+O(since-checkpoint) read-path claim with counted IO
+    * instead of wall-clock.
+    */
+  private[operators] object LogIo {
+    private val reads = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+    private val lists = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+    private def bump(m: java.util.concurrent.ConcurrentHashMap[
+        String, java.util.concurrent.atomic.AtomicLong], path: String): Unit = {
+      m.computeIfAbsent(path,
+        _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+      ()
+    }
+    def bumpRead(path: String): Unit = bump(reads, path)
+    def bumpList(path: String): Unit = bump(lists, path)
+    def manifestReads(path: String): Long =
+      Option(reads.get(path)).map(_.get).getOrElse(0L)
+    def logLists(path: String): Long =
+      Option(lists.get(path)).map(_.get).getOrElse(0L)
+  }
+
+  /** Committed versions, ascending; empty if no table exists. The
+    * listing authority (which manifests EXIST — vacuum and forensics
+    * need it); hot paths resolve through [[latestVersion]]'s
+    * checkpoint + probes instead.
+    */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val f = fs(spark, path)
+    LogIo.bumpList(path)
     if (!f.exists(logDir(path))) Nil
     else f.listStatus(logDir(path)).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
@@ -94,10 +132,33 @@ object TableLog {
       }.sorted
   }
 
-  def latestVersion(spark: SparkSession, path: String): Long = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"TableLog: no committed version at $path")
-    vs.last
+  /** Latest committed version: resolved from the newest checkpoint
+    * plus O(since-checkpoint) existence probes — never a `_log/`
+    * listing once a checkpoint exists. Every read and mutation calls
+    * this, so at a streaming sink's 50k commits it is the difference
+    * between one small read + a few HEADs and a 50k-entry list per
+    * operation.
+    */
+  def latestVersion(spark: SparkSession, path: String): Long =
+    latestFrom(spark, path, newestCkpt(spark, path))
+
+  private def latestFrom(
+      spark: SparkSession, path: String, ck: Option[Ckpt]): Long = ck match {
+    case Some(c) =>
+      val above = versionsAbove(spark, path, c.version)
+      if (above.nonEmpty) above.last
+      else if (fs(spark, path).exists(manifestPath(path, c.version))) c.version
+      else {
+        // checkpoint without its manifest and nothing above it:
+        // debris — fall back to the listing authority
+        val vs = versions(spark, path)
+        require(vs.nonEmpty, s"TableLog: no committed version at $path")
+        vs.last
+      }
+    case None =>
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"TableLog: no committed version at $path")
+      vs.last
   }
 
   private def readSmallFile(spark: SparkSession, path: String, p: Path): String = {
@@ -110,6 +171,7 @@ object TableLog {
     val f = fs(spark, path)
     val mp = manifestPath(path, v)
     require(f.exists(mp), s"TableLog: version $v not committed at $path")
+    LogIo.bumpRead(path)
     readSmallFile(spark, path, mp)
   }
 
@@ -143,7 +205,20 @@ object TableLog {
             .fromJson(s).asInstanceOf[org.apache.spark.sql.types.StructType])
           case _ => None
         }
-        Manifest(tag, files, stats, schema)
+        val partCols = o \ "partCols" match {
+          case JArray(vs) => vs.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        val parts = o \ "parts" match {
+          case JObject(byFile) => byFile.map { case (fname, vals) =>
+            fname -> (vals match {
+              case JArray(vs) => vs.collect { case JString(s) => s }
+              case _ => Nil
+            })
+          }.toMap
+          case _ => Map.empty[String, Seq[String]]
+        }
+        Manifest(tag, files, stats, schema, partCols, parts)
       case other =>
         throw new IllegalStateException(s"TableLog: unparseable manifest: $other")
     }
@@ -155,9 +230,17 @@ object TableLog {
         c -> (JArray(List(JString(b.kind), JString(b.min), JString(b.max))): JValue)
       }): JValue)
     })
+    val partsFields: List[(String, JValue)] =
+      if (m.partCols.isEmpty) Nil
+      else List(
+        "partCols" -> (JArray(m.partCols.map(JString(_): JValue).toList): JValue),
+        "parts" -> (JObject(m.parts.toList.sortBy(_._1).map { case (f, vs) =>
+          f -> (JArray(vs.map(JString(_): JValue).toList): JValue)
+        }): JValue))
     val fields: List[(String, JValue)] =
       m.tag.map(t => "tag" -> (JString(t): JValue)).toList ++
-        m.schema.map(s => "schema" -> (JString(s.json): JValue)).toList :+
+        m.schema.map(s => "schema" -> (JString(s.json): JValue)).toList ++
+        partsFields :+
         ("files" -> (filesJ: JValue)) :+ ("stats" -> (statsJ: JValue))
     JsonMethods.compact(JsonMethods.render(JObject(fields)))
   }
@@ -169,56 +252,186 @@ object TableLog {
   private def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] =
     readManifestFull(spark, path, v).files
 
-  /** Write a tag checkpoint every this many versions (amortizes
-    * [[tags]] from O(#versions) manifest reads to O(1) checkpoint +
-    * O(K) recent manifests — the Delta checkpoint move applied to the
-    * one derived map this log maintains).
+  /** Write a log-state checkpoint every this many versions. The
+    * checkpoint captures the FULL derived log state — latest version,
+    * that version's manifest (files + stats + schema), the tag map,
+    * and per-version row-count history — so [[latestVersion]]/
+    * [[read]]/[[tags]]/[[history]] replay O(1) checkpoint IO +
+    * O(versions-since-checkpoint) manifest reads instead of listing
+    * and walking `_log/`. A streaming sink committing every few
+    * minutes accretes tens of thousands of versions; without this,
+    * every operation pays O(#versions) log IO (the Delta CHECKPOINT
+    * move).
     */
-  val TagCheckpointEvery: Long = 32L
+  val CheckpointEvery: Long = 32L
 
   private def ckptPath(path: String, v: Long) =
     new Path(logDir(path), f"_ckpt_v$v%07d.json")
+  private def lastCkptPtr(path: String) =
+    new Path(logDir(path), "_last_ckpt")
 
-  /** Newest tag checkpoint: (covered-through version, tag map). */
-  private def newestCkpt(
-      spark: SparkSession, path: String): Option[(Long, Map[String, Long])] = {
-    val f = fs(spark, path)
-    if (!f.exists(logDir(path))) None
-    else f.listStatus(logDir(path)).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("_ckpt_v") && n.endsWith(".json") =>
-        n.stripPrefix("_ckpt_v").stripSuffix(".json").toLong
-      }.sorted.lastOption.map { v =>
-        val tags = JsonMethods.parse(
-          readSmallFile(spark, path, ckptPath(path, v))) \ "tags" match {
-          case JObject(fields) => fields.collect {
-            case (k, JInt(n)) => k -> n.toLong
-          }.toMap
-          case _ => Map.empty[String, Long]
-        }
-        (v, tags)
-      }
+  /** Full checkpointed log state as of `version`. `history` is None
+    * for pre-round-13 tag-only checkpoints (fall back to walking);
+    * ascending (version, rows) otherwise. `manifest` is the state at
+    * `version` itself.
+    */
+  private final case class Ckpt(
+      version: Long,
+      tags: Map[String, Long],
+      history: Option[Seq[(Long, Long)]],
+      manifest: Option[Manifest])
+
+  private def parseCkpt(v: Long, body: String): Ckpt = {
+    val j = JsonMethods.parse(body)
+    val tags = j \ "tags" match {
+      case JObject(fields) => fields.collect {
+        case (k, JInt(n)) => k -> n.toLong
+      }.toMap
+      case _ => Map.empty[String, Long]
+    }
+    val history = j \ "history" match {
+      case JArray(rows) => Some(rows.collect {
+        case JArray(List(JInt(hv), JInt(hr))) => (hv.toLong, hr.toLong)
+      })
+      case _ => None
+    }
+    val manifest = j \ "manifest" match {
+      case o: JObject => Some(parseManifest(JsonMethods.compact(
+        JsonMethods.render(o))))
+      case _ => None
+    }
+    Ckpt(v, tags, history, manifest)
   }
 
-  /** Checkpoint the full tag map as of version `v` (tmp + rename;
-    * derived data — a stale or missing checkpoint only costs manifest
-    * reads). Older checkpoints are dropped.
+  /** Newest checkpoint, located through the `_last_ckpt` pointer
+    * (one small read — never a directory list in steady state; the
+    * list fallback serves pre-pointer tables). Checkpoint readers are
+    * LOCK-FREE, so a concurrent mutator's [[writeCkpt]] can publish a
+    * newer checkpoint and delete the one this reader just resolved —
+    * the open then throws FileNotFound. Bounded retry re-resolves and
+    * finds the replacement (writeCkpt renames the new checkpoint in
+    * BEFORE deleting old ones, so a readable one always exists):
+    * readers never fail on the race.
     */
-  private def writeCkpt(
-      spark: SparkSession, path: String, v: Long,
-      tagMap: Map[String, Long]): Unit = {
+  private def newestCkpt(spark: SparkSession, path: String): Option[Ckpt] = {
     val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < 9) {
+      val found: Option[Long] =
+        (try {
+          if (f.exists(lastCkptPtr(path)))
+            Some(readSmallFile(spark, path, lastCkptPtr(path)).trim.toLong)
+          else None
+        } catch { case _: java.io.FileNotFoundException => None }) match {
+          case some @ Some(_) => some
+          case None =>
+            if (!f.exists(logDir(path))) None
+            else f.listStatus(logDir(path)).toSeq.map(_.getPath.getName)
+              .collect { case n if n.startsWith("_ckpt_v") && n.endsWith(".json") =>
+                n.stripPrefix("_ckpt_v").stripSuffix(".json").toLong
+              }.sorted.lastOption
+        }
+      found match {
+        case None => return None
+        case Some(v) =>
+          try return Some(parseCkpt(v,
+            readSmallFile(spark, path, ckptPath(path, v))))
+          catch {
+            case _: java.io.FileNotFoundException =>
+              attempt += 1 // deleted under us: a newer one exists; re-resolve
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"TableLog: checkpoint at $path kept vanishing across 9 reads")
+  }
+
+  /** Committed versions strictly above `from`, by existence probes
+    * (versions are committed densely, so the first missing manifest
+    * ends the run) — O(since-`from`) metadata RPCs, no directory
+    * list. Only valid when `from` is a committed (or checkpointed)
+    * version: vacuum deletes a PREFIX of versions, never punches
+    * holes above a checkpoint ([[vacuum]] re-checkpoints at the
+    * latest version before dropping anything).
+    */
+  private def versionsAbove(
+      spark: SparkSession, path: String, from: Long): Seq[Long] = {
+    val f = fs(spark, path)
+    Iterator.iterate(from + 1)(_ + 1)
+      .takeWhile(v => f.exists(manifestPath(path, v)))
+      .toSeq
+  }
+
+  /** Rows in version `v` per its manifest: the [[RowsKey]] sums when
+    * every file carries one (zero data IO), a count scan otherwise
+    * (pre-stats manifests only).
+    */
+  private def manifestRows(
+      spark: SparkSession, path: String, m: Manifest): Long = {
+    val known = m.files
+      .flatMap(n => m.stats.get(n).flatMap(_.get(RowsKey)))
+      .map(_.min.toLong)
+    if (known.size == m.files.size) known.sum
+    else readFiles(spark, path, m, m.files).count()
+  }
+
+  /** Checkpoint the full log state as of version `v`: built
+    * INCREMENTALLY from the previous checkpoint plus the ≤
+    * [[CheckpointEvery]] manifests committed since (never a full log
+    * walk), published tmp + rename, then the `_last_ckpt` pointer is
+    * updated and older checkpoints dropped. Derived data — a stale or
+    * missing checkpoint only costs manifest reads.
+    */
+  private def writeCkpt(spark: SparkSession, path: String, v: Long): Unit = {
+    val f = fs(spark, path)
+    val prev = newestCkpt(spark, path)
+    val from = prev.map(_.version).getOrElse(0L)
+    // versions to fold in: everything committed in (from, v]. Sourced
+    // from a probe when the previous checkpoint anchors the run, from
+    // a (bounded: pre-first-checkpoint) list otherwise.
+    val newer = (if (prev.isDefined) versionsAbove(spark, path, from)
+      else versions(spark, path)).filter(_ <= v)
+    val folded = newer.map(nv => nv -> readManifestFull(spark, path, nv))
+    val tagMap = prev.map(_.tags).getOrElse(Map.empty[String, Long]) ++
+      folded.flatMap { case (nv, m) => m.tag.map(_ -> nv) }.toMap
+    // pre-round-13 checkpoints carry no history: rebuild what is
+    // still on disk (vacuumed versions' rows are unrecoverable there)
+    val baseHist = prev.flatMap(_.history).getOrElse(
+      prev.map(c => versions(spark, path).filter(_ <= c.version).map { hv =>
+        val m = readManifestFull(spark, path, hv)
+        hv -> manifestRows(spark, path, m)
+      }).getOrElse(Nil))
+    val hist = baseHist ++ folded.map { case (nv, m) =>
+      nv -> manifestRows(spark, path, m)
+    }
+    val manifest = folded.lastOption.filter(_._1 == v).map(_._2)
+      .getOrElse(readManifestFull(spark, path, v))
     val body = JsonMethods.compact(JsonMethods.render(JObject(List(
       "version" -> (JInt(v): JValue),
       "tags" -> (JObject(tagMap.toList.sortBy(_._1).map { case (k, n) =>
         k -> (JInt(n): JValue)
-      }): JValue)))))
-    val tmp = new Path(logDir(path), "_tmp_ckpt.json")
+      }): JValue),
+      "history" -> (JArray(hist.sortBy(_._1).map { case (hv, hr) =>
+        JArray(List(JInt(hv), JInt(hr))): JValue
+      }.toList): JValue),
+      "manifest" -> (JsonMethods.parse(renderManifest(manifest)): JValue)))))
+    val tmp = new Path(logDir(path),
+      s"_tmp_ckpt_${java.util.UUID.randomUUID()}.json")
     val out = f.create(tmp, true)
     out.write(body.getBytes(UTF_8))
     out.close()
     f.delete(ckptPath(path, v), false)
     require(f.rename(tmp, ckptPath(path, v)),
-      "TableLog: tag checkpoint publish failed")
+      "TableLog: checkpoint publish failed")
+    // pointer AFTER the checkpoint is readable; cleanup last
+    val ptmp = new Path(logDir(path),
+      s"_tmp_ptr_${java.util.UUID.randomUUID()}")
+    val pout = f.create(ptmp, true)
+    pout.write(v.toString.getBytes(UTF_8))
+    pout.close()
+    f.delete(lastCkptPtr(path), false)
+    require(f.rename(ptmp, lastCkptPtr(path)),
+      "TableLog: checkpoint pointer publish failed")
     f.listStatus(logDir(path)).foreach { s =>
       val n = s.getPath.getName
       if (n.startsWith("_ckpt_v") && n.endsWith(".json") &&
@@ -236,11 +449,14 @@ object TableLog {
     */
   def tags(spark: SparkSession, path: String): Map[String, Long] = {
     val base = newestCkpt(spark, path)
-    val from = base.map(_._1).getOrElse(0L)
-    val inc = versions(spark, path).filter(_ > from).flatMap { v =>
-      readManifestFull(spark, path, v).tag.map(_ -> v)
-    }.toMap
-    base.map(_._2).getOrElse(Map.empty[String, Long]) ++ inc
+    val inc = base match {
+      case Some(c) => versionsAbove(spark, path, c.version)
+      case None => versions(spark, path)
+    }
+    base.map(_.tags).getOrElse(Map.empty[String, Long]) ++
+      inc.flatMap { v =>
+        readManifestFull(spark, path, v).tag.map(_ -> v)
+      }.toMap
   }
 
   /** File names making up `version` (default latest) — the manifest's
@@ -269,23 +485,61 @@ object TableLog {
       spark: SparkSession, path: String, v: Long, files: Seq[String],
       stats: Map[String, Map[String, ColBound]],
       tag: Option[String] = None,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
-    require(files.nonEmpty, "TableLog: refusing to commit an empty file list " +
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Long =
+    commitFull(spark, path, v, Manifest(tag, files, stats, schema))
+
+  private def commitFull(
+      spark: SparkSession, path: String, v: Long, m: Manifest): Long = {
+    require(commitTryFull(spark, path, v, m),
+      s"TableLog: commit rename failed for v$v (concurrent writer?)")
+    v
+  }
+
+  /** In-process guard serializing the exists-check + rename per
+    * (table, version): local-filesystem rename(2) OVERWRITES an
+    * existing destination, so the rename alone is not a CAS there.
+    * Cross-process, HDFS rename-without-overwrite and object-store
+    * conditional PUTs are atomic; local mode gets the JVM guard.
+    */
+  private val commitGuard =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Attempt to publish version `v`; false iff another writer already
+    * committed it — the compare-and-swap [[appendOptimistic]] retries
+    * on. A won commit at a [[CheckpointEvery]] boundary also writes
+    * the log-state checkpoint.
+    */
+  private def commitTry(
+      spark: SparkSession, path: String, v: Long, files: Seq[String],
+      stats: Map[String, Map[String, ColBound]],
+      tag: Option[String] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Boolean =
+    commitTryFull(spark, path, v, Manifest(tag, files, stats, schema))
+
+  private def commitTryFull(
+      spark: SparkSession, path: String, v: Long, m: Manifest): Boolean = {
+    require(m.files.nonEmpty, "TableLog: refusing to commit an empty file list " +
       "(an all-rows delete; drop the table instead)")
     // no quotes or brackets: defense in depth for any downstream
     // consumer that greps manifests textually (the JSON layer itself
     // escapes correctly since the stats upgrade)
-    require(tag.forall(t => !t.exists(c => c == '"' || c == '[' || c == ']')),
+    require(m.tag.forall(t => !t.exists(c => c == '"' || c == '[' || c == ']')),
       "TableLog: tag must not contain quotes or square brackets")
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
-    val tmp = new Path(logDir(path), f"_tmp_v$v%07d.json")
+    val tmp = new Path(logDir(path),
+      s"_tmp_v${java.util.UUID.randomUUID()}.json")
     val out = f.create(tmp, true)
-    out.write(renderManifest(Manifest(tag, files, stats, schema)).getBytes(UTF_8))
+    out.write(renderManifest(m).getBytes(UTF_8))
     out.close()
-    require(f.rename(tmp, manifestPath(path, v)),
-      s"TableLog: commit rename failed for v$v (concurrent writer?)")
-    v
+    val dest = manifestPath(path, v)
+    val guard = commitGuard.computeIfAbsent(s"$path#v$v", _ => new Object)
+    val won = guard.synchronized {
+      if (f.exists(dest)) { f.delete(tmp, false); false }
+      else f.rename(tmp, dest)
+    }
+    if (won && v % CheckpointEvery == 0L) writeCkpt(spark, path, v)
+    won
   }
 
   /** Run `n` per-file driver tasks on a bounded pool (object-store
@@ -319,9 +573,9 @@ object TableLog {
     * usable stats in any block is omitted (readers treat missing
     * bounds as "cannot prune": conservative).
     */
-  private def footerBounds(
-      spark: SparkSession, file: Path): Map[String, ColBound] = {
-    val hconf = spark.sparkContext.hadoopConfiguration
+  private[operators] def footerBounds(
+      hconf: org.apache.hadoop.conf.Configuration,
+      file: Path): Map[String, ColBound] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hconf))
     try {
       val acc = scala.collection.mutable.Map.empty[String, ColBound]
@@ -366,6 +620,26 @@ object TableLog {
     } finally reader.close()
   }
 
+  /** String bounds compare in UTF-8 unsigned-byte order — the order
+    * parquet footer min/max and Spark's UTF8String comparisons use.
+    * Java's String.compareTo is UTF-16 code-unit order, which ranks
+    * supplementary-plane characters (surrogate pairs, e.g. emoji)
+    * BELOW U+E000..U+FFFF; pruning with it would wrongly drop files
+    * whose matching rows sit past the plane boundary.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(UTF_8)
+    val y = b.getBytes(UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def mergeBounds(a: ColBound, b: ColBound): ColBound = a.kind match {
     case "l" => ColBound("l",
       math.min(a.min.toLong, b.min.toLong).toString,
@@ -374,8 +648,8 @@ object TableLog {
       math.min(a.min.toDouble, b.min.toDouble).toString,
       math.max(a.max.toDouble, b.max.toDouble).toString)
     case _ => ColBound("s",
-      if (a.min <= b.min) a.min else b.min,
-      if (a.max >= b.max) a.max else b.max)
+      if (utf8Compare(a.min, b.min) <= 0) a.min else b.min,
+      if (utf8Compare(a.max, b.max) >= 0) a.max else b.max)
   }
 
   /** Write `df`'s rows as new immutable data files under the table's
@@ -400,16 +674,60 @@ object TableLog {
         s"TableLog: could not stage data file $n")
       n
     }
-    val stats = perFile(names) { n =>
-      n -> footerBounds(spark, new Path(dataDir(path), n))
-    }.toMap
+    val stats = harvestStats(spark, path, names)
     f.delete(scratch, true)
     (names, stats)
+  }
+
+  /** Files-per-commit threshold above which footer-stat harvesting
+    * runs as a Spark job instead of the driver pool: a 100k-file bulk
+    * create/optimize would otherwise funnel ~100k footer GETs through
+    * one JVM — minutes of near-serial driver metadata IO. Incremental
+    * appends (bounded batches) stay on the pool, dodging job-launch
+    * latency.
+    */
+  private[operators] val StatsJobThreshold = 64
+
+  /** Per-file footer bounds for `names`, harvested where Delta and
+    * Iceberg harvest them — in the CLUSTER — once the file count
+    * outgrows the driver pool. Identical output on both paths
+    * ([[footerBounds]] is deterministic per file); only manifest
+    * rendering stays on the driver.
+    */
+  private[operators] def harvestStats(
+      spark: SparkSession, path: String, names: Seq[String])
+      : Map[String, Map[String, ColBound]] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    if (names.size <= StatsJobThreshold)
+      perFile(names) { n =>
+        n -> footerBounds(hconf, new Path(dataDir(path), n))
+      }.toMap
+    else {
+      val dataDirStr = dataDir(path).toString
+      val conf = new org.apache.spark.SerializableWritable(
+        new org.apache.hadoop.conf.Configuration(hconf))
+      val slices =
+        math.min(names.size, spark.sparkContext.defaultParallelism * 2)
+      spark.sparkContext.parallelize(names, slices)
+        .map(n => n -> footerBounds(conf.value, new Path(dataDirStr, n)))
+        .collect().toMap
+    }
   }
 
   private def withLock[A](spark: SparkSession, path: String, op: String)(
       body: => A): A =
     IndexOps.withMutationLock(spark, path, s"TableLog.$op")(body)
+
+  /** Rewrite maintenance on partitioned tables would have to re-route
+    * every rewritten row into its hive directory and re-record its
+    * partition values — out of scope for now; refuse loudly rather
+    * than silently flattening the layout.
+    */
+  private def requireUnpartitioned(m: Manifest, op: String): Unit =
+    require(m.partCols.isEmpty,
+      s"TableLog.$op: not supported on a partitioned table (partition " +
+        s"columns: ${m.partCols.mkString(", ")}) — use appendPartitioned / " +
+        "read / readPartition")
 
   /** Schema evolution rule: appends may ADD columns; same-name
     * columns must keep their type (retypes/renames are a rewrite,
@@ -445,6 +763,187 @@ object TableLog {
       commit(spark, path, 1L, names, stats, schema = Some(df.schema))
     }
 
+  /** Hive-style percent-escaping of partition dir names, matching
+    * what Spark's partitioned writer emits — decoded here so manifest
+    * partition VALUES compare against caller-supplied literals.
+    */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Stage a partitioned write: `df.write.partitionBy(partCols)` into
+    * scratch, move each leaf file into `data/` KEEPING its hive
+    * partition directories, and record per-file partition values.
+    * Returns (relative paths, footer stats, per-file partition
+    * values). The recorded schema puts partition columns LAST (where
+    * Spark's partition recovery appends them).
+    */
+  private def writeDataFilesPartitioned(
+      spark: SparkSession, path: String, df: DataFrame,
+      partCols: Seq[String])
+      : (Seq[String], Map[String, Map[String, ColBound]],
+        Map[String, Seq[String]]) = {
+    val f = fs(spark, path)
+    val scratch = new Path(s"$path/_scratch_${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(scratch.toString)
+    f.mkdirs(dataDir(path))
+    val it = f.listFiles(scratch, true)
+    val staged = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+        staged += s.getPath
+    }
+    val scratchUri = scratch.toUri.getPath
+    val rels = staged.toSeq.map { p =>
+      val rel = p.toUri.getPath.stripPrefix(scratchUri).stripPrefix("/")
+      val segs = rel.split('/').dropRight(1)
+      require(segs.length == partCols.length &&
+        segs.zip(partCols).forall { case (seg, c) => seg.startsWith(c + "=") },
+        s"TableLog: unexpected partition layout at $rel (want ${partCols.mkString("/")})")
+      val vals = segs.map(seg => unescapePathName(seg.split("=", 2)(1))).toSeq
+      (p, rel, vals)
+    }
+    val names = perFile(rels) { case (p, rel, _) =>
+      val dest = new Path(dataDir(path), rel)
+      f.mkdirs(dest.getParent)
+      require(f.rename(p, dest), s"TableLog: could not stage data file $rel")
+      rel
+    }
+    val stats = harvestStats(spark, path, names)
+    val parts = rels.map { case (_, rel, vals) => rel -> vals }.toMap
+    f.delete(scratch, true)
+    (names, stats, parts)
+  }
+
+  /** Order a schema data-columns-first, partition-columns-last — the
+    * order a partitioned scan yields.
+    */
+  private def partitionedSchema(
+      df: DataFrame, partCols: Seq[String]): org.apache.spark.sql.types.StructType = {
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    partCols.foreach(c => require(byName.contains(c),
+      s"TableLog: partition column $c not in the batch"))
+    org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(f => partCols.contains(f.name)) ++
+        partCols.map(byName(_)))
+  }
+
+  /** Create a hive-partitioned table (version 1): one directory level
+    * per partition column, per-file partition VALUES recorded in the
+    * manifest (the Iceberg partition-record shape), so
+    * [[readPartition]]/[[readPartitionBand]] prune files on partition
+    * EQUALITY from one manifest read — before bounds, before any
+    * listing. Reads recover the partition columns from the directory
+    * names in a single scan. Rewrite maintenance (compact/optimize/
+    * delete) is refused on partitioned tables for now — append with
+    * [[appendPartitioned]], read with [[read]].
+    */
+  def createPartitioned(
+      spark: SparkSession, path: String, df: DataFrame,
+      partCols: Seq[String]): Long =
+    withLock(spark, path, "createPartitioned") {
+      require(partCols.nonEmpty, "TableLog.createPartitioned: no partition columns")
+      require(versions(spark, path).isEmpty,
+        s"TableLog: table already exists at $path")
+      val (names, stats, parts) =
+        writeDataFilesPartitioned(spark, path, df, partCols)
+      commitFull(spark, path, 1L, Manifest(None, names, stats,
+        Some(partitionedSchema(df, partCols)), partCols, parts))
+    }
+
+  /** Append a batch into a partitioned table (same partition columns;
+    * schema evolution rules as [[append]]).
+    */
+  def appendPartitioned(spark: SparkSession, path: String, df: DataFrame): Long =
+    withLock(spark, path, "appendPartitioned") {
+      val v = latestVersion(spark, path)
+      val cur = readManifestFull(spark, path, v)
+      require(cur.partCols.nonEmpty,
+        "TableLog.appendPartitioned: table is not partitioned — use append")
+      val base = cur.schema.orElse(
+        Some(readFiles(spark, path, cur, cur.files).schema))
+      val merged = mergedSchema(base, partitionedSchema(df, cur.partCols))
+      val (names, stats, parts) =
+        writeDataFilesPartitioned(spark, path, df, cur.partCols)
+      commitFull(spark, path, v + 1, cur.copy(
+        files = cur.files ++ names, stats = cur.stats ++ stats,
+        schema = Some(merged), parts = cur.parts ++ parts, tag = None))
+    }
+
+  /** Manifest partition pruning: files of version `v` whose recorded
+    * partition values match every (col -> value) in `eq` — decided
+    * from ONE manifest read, zero listings, zero footers.
+    */
+  def partitionFiles(
+      spark: SparkSession, path: String, eq: Map[String, String],
+      version: Option[Long] = None): Seq[String] = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    checkNotVacuumed(spark, path, v)
+    val m = readManifestFull(spark, path, v)
+    require(m.partCols.nonEmpty, "TableLog.partitionFiles: table is not partitioned")
+    val unknown = eq.keySet -- m.partCols.toSet
+    require(unknown.isEmpty,
+      s"TableLog.partitionFiles: not partition columns: ${unknown.mkString(", ")}")
+    val idx = m.partCols.zipWithIndex.toMap
+    m.files.filter { n =>
+      m.parts.get(n) match {
+        case None => true // no record: conservative keep
+        case Some(vals) => eq.forall { case (c, want) => vals(idx(c)) == want }
+      }
+    }
+  }
+
+  /** Partition-equality read: semantically
+    * `read(version).where(eq conjunction)`, file list cut to the
+    * matching partitions from the manifest. The residual predicate
+    * still applies (defense in depth; partition values are file-level
+    * truth, so it filters nothing).
+    */
+  def readPartition(
+      spark: SparkSession, path: String, eq: Map[String, String],
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    val kept = partitionFiles(spark, path, eq, Some(v))
+    val m = readManifestFull(spark, path, v)
+    val pred = eq.map { case (c, want) => col(c) === lit(want) }
+      .reduce(_ && _)
+    if (kept.isEmpty) emptyFrame(spark, path, m)
+    else readFiles(spark, path, m, kept).where(pred)
+  }
+
+  /** Partition equality COMPOSED with a stats band — Delta partition
+    * pruning + file skipping in one manifest decision: keep files
+    * matching the partition AND overlapping [lower, upper] on
+    * `colName` (partition equality tested FIRST — cheaper, and it is
+    * exact while bounds are conservative).
+    */
+  def readPartitionBand(
+      spark: SparkSession, path: String, eq: Map[String, String],
+      colName: String, lower: Any, upper: Any,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    val m = readManifestFull(spark, path, v)
+    val inPart = partitionFiles(spark, path, eq, Some(v)).toSet
+    val kept = bandFiles(spark, path, colName, lower, upper, Some(v))
+      .filter(inPart.contains)
+    val pred = eq.map { case (c, want) => col(c) === lit(want) }
+      .reduce(_ && _) &&
+      col(colName) >= lit(lower) && col(colName) <= lit(upper)
+    if (kept.isEmpty) emptyFrame(spark, path, m)
+    else readFiles(spark, path, m, kept).where(pred)
+  }
+
   /** Append rows as a new version (old files + new files). The batch
     * may carry NEW columns (schema evolution): the committed schema
     * is the by-name union, old rows read back NULL in the added
@@ -455,12 +954,59 @@ object TableLog {
     withLock(spark, path, "append") {
       val v = latestVersion(spark, path)
       val cur = readManifestFull(spark, path, v)
+      requireUnpartitioned(cur, "append")
       val base = cur.schema.orElse(
         Some(readFiles(spark, path, cur, cur.files).schema))
+      // validate the evolution BEFORE the data write: a refused
+      // retype must fail before paying a full batch of IO and
+      // stranding orphan files until vacuum
+      val merged = mergedSchema(base, df.schema)
       val (names, stats) = writeDataFiles(spark, path, df)
       commit(spark, path, v + 1, cur.files ++ names, cur.stats ++ stats,
-        schema = Some(mergedSchema(base, df.schema)))
+        schema = Some(merged))
     }
+
+  /** Optimistic-concurrency append — the Delta append-append rule.
+    * Stages the batch's data files ONCE (invisible until a manifest
+    * references them), then retries the version CAS: read the latest
+    * manifest, REBASE the new file names onto it, attempt the commit;
+    * on losing the race, re-read and retry. Appends commute with
+    * every commit kind (they only ADD files a concurrent
+    * delete/optimize/restore never saw), so the rebase is always
+    * valid. Unlike [[append]], NO table lock is taken: two concurrent
+    * appenders BOTH land, as consecutive versions. Non-append
+    * mutators still serialize behind the lock and fail loudly if an
+    * optimistic appender steals their version (delete/optimize do NOT
+    * commute — aborting to orphans-for-vacuum is the correct loss).
+    * Schema evolution is re-validated against the current base on
+    * every attempt.
+    */
+  def appendOptimistic(
+      spark: SparkSession, path: String, df: DataFrame,
+      maxRetries: Int = 16): Long = {
+    // validate the evolution BEFORE paying the data write
+    val v0 = latestVersion(spark, path)
+    val cur0 = readManifestFull(spark, path, v0)
+    requireUnpartitioned(cur0, "appendOptimistic")
+    val base0 = cur0.schema.orElse(
+      Some(readFiles(spark, path, cur0, cur0.files).schema))
+    mergedSchema(base0, df.schema)
+    val (names, stats) = writeDataFiles(spark, path, df)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(spark, path)
+      val cur = readManifestFull(spark, path, v)
+      val base = cur.schema.orElse(
+        Some(readFiles(spark, path, cur, cur.files).schema))
+      val merged = mergedSchema(base, df.schema)
+      if (commitTry(spark, path, v + 1, cur.files ++ names,
+        cur.stats ++ stats, None, Some(merged))) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TableLog.appendOptimistic: lost the commit race $maxRetries times " +
+        s"at $path — staged files go to vacuum")
+  }
 
   /** Lowest version still readable after the last vacuum (1 if never
     * vacuumed). Written BEFORE vacuum deletes anything, so the guard
@@ -489,10 +1035,32 @@ object TableLog {
       spark: SparkSession, path: String, m: Manifest,
       names: Seq[String]): DataFrame = {
     val files = names.map(n => new Path(dataDir(path), n).toString)
+    // partitioned layout: basePath makes ONE scan recover the
+    // partition columns from the hive directory names — never a
+    // per-partition union of scans
+    val rd =
+      if (m.partCols.isEmpty) spark.read
+      else spark.read.option("basePath", dataDir(path).toString)
     m.schema match {
-      case Some(sc) => spark.read.schema(sc).parquet(files: _*)
-      case None => spark.read.parquet(files: _*)
+      case Some(sc) => rd.schema(sc).parquet(files: _*)
+      case None => rd.parquet(files: _*)
     }
+  }
+
+  /** Zero-row frame in a manifest's shape WITHOUT enumerating its
+    * files: with a recorded schema the frame is built directly from
+    * it (zero file IO — at 100k files a `where(false)` over the full
+    * list would still make the planner enumerate, and for pre-schema
+    * manifests footer-read, every pruned file, defeating total
+    * pruning exactly when it wins most); pre-schema manifests read
+    * ONE file under `lit(false)` to recover the shape.
+    */
+  private def emptyFrame(
+      spark: SparkSession, path: String, m: Manifest): DataFrame = m.schema match {
+    case Some(sc) =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+    case None =>
+      readFiles(spark, path, m, m.files.take(1)).where(lit(false))
   }
 
   /** Read the table at `version` (default: latest). Hands Spark the
@@ -500,12 +1068,24 @@ object TableLog {
     * other versions' files invisible. A version below the vacuum
     * watermark fails fast here instead of mid-job FileNotFound.
     */
-  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
-    val v = version.getOrElse(latestVersion(spark, path))
-    checkNotVacuumed(spark, path, v)
-    val m = readManifestFull(spark, path, v)
-    readFiles(spark, path, m, m.files)
-  }
+  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame =
+    version match {
+      case Some(v) =>
+        checkNotVacuumed(spark, path, v)
+        val m = readManifestFull(spark, path, v)
+        readFiles(spark, path, m, m.files)
+      case None =>
+        // latest read off a fresh checkpoint plans from the
+        // checkpoint's EMBEDDED manifest: zero manifest reads
+        val ck = newestCkpt(spark, path)
+        val v = latestFrom(spark, path, ck)
+        checkNotVacuumed(spark, path, v)
+        val m = ck match {
+          case Some(c) if c.version == v && c.manifest.isDefined => c.manifest.get
+          case _ => readManifestFull(spark, path, v)
+        }
+        readFiles(spark, path, m, m.files)
+    }
 
   /** Manifest-level file pruning: names of version `v`'s files whose
     * recorded [min,max] for `colName` overlaps [lower, upper] — plus
@@ -533,7 +1113,8 @@ object TableLog {
       case "d" =>
         b.min.toDouble <= anyToDouble(upper) && b.max.toDouble >= anyToDouble(lower)
       case _ =>
-        b.min <= upper.toString && b.max >= lower.toString
+        utf8Compare(b.min, upper.toString) <= 0 &&
+          utf8Compare(b.max, lower.toString) >= 0
     } catch {
       // band value not convertible to the recorded kind: never prune
       case _: NumberFormatException => true
@@ -573,7 +1154,7 @@ object TableLog {
     val pred = col(colName) >= lit(lower) && col(colName) <= lit(upper)
     val kept = bandFiles(spark, path, colName, lower, upper, Some(v))
     val m = readManifestFull(spark, path, v)
-    if (kept.isEmpty) readFiles(spark, path, m, m.files).where(lit(false))
+    if (kept.isEmpty) emptyFrame(spark, path, m)
     else readFiles(spark, path, m, kept).where(pred)
   }
 
@@ -584,6 +1165,7 @@ object TableLog {
     withLock(spark, path, "compact") {
       require(targetRowsPerFile > 0, "TableLog.compact: target must be positive")
       val v = latestVersion(spark, path)
+      requireUnpartitioned(readManifestFull(spark, path, v), "compact")
       val cur = read(spark, path, Some(v))
       val rows = cur.count()
       val k = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
@@ -608,6 +1190,7 @@ object TableLog {
     withLock(spark, path, "optimizeRange") {
       require(numFiles > 0, "TableLog.optimizeRange: numFiles must be positive")
       val v = latestVersion(spark, path)
+      requireUnpartitioned(readManifestFull(spark, path, v), "optimizeRange")
       val clustered = read(spark, path, Some(v))
         .repartitionByRange(numFiles, col(colName))
         .sortWithinPartitions(colName)
@@ -628,6 +1211,7 @@ object TableLog {
     withLock(spark, path, "optimizeZOrder") {
       require(numFiles > 0, "TableLog.optimizeZOrder: numFiles must be positive")
       val v = latestVersion(spark, path)
+      requireUnpartitioned(readManifestFull(spark, path, v), "optimizeZOrder")
       val df = read(spark, path, Some(v))
       val zv = StorageLayout.zValueN(
         cols.map(c => StorageLayout.equiDepthBucket(df, c, bits)), bits)
@@ -659,6 +1243,7 @@ object TableLog {
       val v = latestVersion(spark, path)
       checkNotVacuumed(spark, path, v)
       val m = readManifestFull(spark, path, v)
+      requireUnpartitioned(m, "optimizeRangeWhere")
       val touchedSet = m.files.filter { n =>
         m.stats.get(n).flatMap(_.get(colName)) match {
           case None => true
@@ -723,6 +1308,7 @@ object TableLog {
     withLock(spark, path, "deleteWhere") {
       val v = latestVersion(spark, path)
       val cur = readManifestFull(spark, path, v)
+      requireUnpartitioned(cur, "deleteWhere")
       deleteCore(spark, path, v, cur, cur.files, predicate)
     }
 
@@ -742,6 +1328,7 @@ object TableLog {
       val v = latestVersion(spark, path)
       checkNotVacuumed(spark, path, v)
       val cur = readManifestFull(spark, path, v)
+      requireUnpartitioned(cur, "deleteBand")
       val candidates = cur.files.filter { n =>
         cur.stats.get(n).flatMap(_.get(colName)) match {
           case None => true
@@ -823,18 +1410,18 @@ object TableLog {
             case None =>
               val v = latestVersion(spark, path)
               val cur = readManifestFull(spark, path, v)
+              requireUnpartitioned(cur, "appendBatch")
               val base = cur.schema.orElse(
                 Some(readFiles(spark, path, cur, cur.files).schema))
+              val merged = mergedSchema(base, df.schema)
               val (names, stats) = writeDataFiles(spark, path, df)
-              val committed = commit(spark, path, v + 1, cur.files ++ names,
+              // the amortized log-state checkpoint (keeps tags() and
+              // every other read O(1)+O(K) as a streaming sink
+              // accretes thousands of tagged versions) rides inside
+              // commit itself at CheckpointEvery boundaries
+              commit(spark, path, v + 1, cur.files ++ names,
                 cur.stats ++ stats, Some(tag),
-                schema = Some(mergedSchema(base, df.schema)))
-              // amortized tag checkpoint (derived data; crash-safe to
-              // skip or repeat) keeps tags() O(1)+O(K) as a streaming
-              // sink accretes thousands of tagged versions
-              if (committed % TagCheckpointEvery == 0L)
-                writeCkpt(spark, path, committed, tags(spark, path))
-              committed
+                schema = Some(merged))
           }
         }
     }
@@ -859,10 +1446,14 @@ object TableLog {
     * cancel without being read (immutability makes name equality
     * content equality); only each side's exclusive files are scanned,
     * and the row-level diff is a multiset `exceptAll` over those
-    * bounded frames. Output: the `to` version's schema + a `change`
-    * column ("added" | "removed"); rows from pre-evolution files read
-    * NULL in added columns. A delete that rewrote 2 of 100k files
-    * diffs by reading 2 + their survivors — never the table.
+    * bounded frames. Both sides read under the by-name UNION of the
+    * two manifests' schemas (`to`'s column order, `from`-only columns
+    * appended) — evolution only ADDS columns, but [[restore]] can
+    * re-commit an OLD, NARROWER schema, and projecting the wide side
+    * down to it would let a row whose only change sits in the dropped
+    * column cancel silently. Rows from files lacking a column read
+    * NULL there. A delete that rewrote 2 of 100k files diffs by
+    * reading 2 + their survivors — never the table.
     */
   def diff(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
     checkNotVacuumed(spark, path, fromV)
@@ -872,17 +1463,52 @@ object TableLog {
     val shared = a.files.toSet intersect b.files.toSet
     val onlyA = a.files.filterNot(shared)
     val onlyB = b.files.filterNot(shared)
-    // both sides read under the TO version's schema: evolution only
-    // ADDS columns, so it is the superset and old rows align with
-    // NULLs (mergedSchema's retype refusal guarantees compatibility)
-    val mTo = b
-    def side(names: Seq[String]): DataFrame =
-      if (names.isEmpty) readFiles(spark, path, mTo, b.files).where(lit(false))
-      else readFiles(spark, path, mTo, names)
-    val avail = side(onlyA)
-    val bvail = side(onlyB)
+    // by-name union: same-name columns keep one type within a log
+    // (mergedSchema refuses retypes and restore only replays old
+    // committed schemas), asserted here as defense in depth
+    val unionSchema: Option[org.apache.spark.sql.types.StructType] =
+      (a.schema, b.schema) match {
+        case (Some(sa), Some(sb)) =>
+          val inB = sb.fields.map(f => f.name -> f).toMap
+          sa.fields.foreach { f =>
+            inB.get(f.name).foreach { ex =>
+              require(ex.dataType == f.dataType,
+                s"TableLog.diff: column ${f.name} has type ${f.dataType} at " +
+                  s"v$fromV but ${ex.dataType} at v$toV — cannot align")
+            }
+          }
+          Some(org.apache.spark.sql.types.StructType(
+            (sb.fields ++ sa.fields.filterNot(f => inB.contains(f.name)))
+              .map(_.copy(nullable = true))))
+        case (saOpt, sbOpt) => sbOpt.orElse(saOpt)
+      }
+    val mA = a.copy(schema = unionSchema.orElse(a.schema))
+    val mB = b.copy(schema = unionSchema.orElse(b.schema))
+    def side(m: Manifest, names: Seq[String]): DataFrame =
+      if (names.isEmpty) emptyFrame(spark, path, mB)
+      else readFiles(spark, path, m, names)
+    val avail = side(mA, onlyA)
+    val bvail = side(mB, onlyB)
     bvail.exceptAll(avail).withColumn("change", lit("added"))
       .unionByName(avail.exceptAll(bvail).withColumn("change", lit("removed")))
+  }
+
+  /** Change feed: every row-level change in versions (fromV, toV],
+    * stamped with the version that committed it — the chain of
+    * [[diff]]s a downstream incremental consumer (index maintenance,
+    * dashboard refresh) replays, and the batch surface the streaming
+    * change-feed source ([[graft.streaming.TableLogChangeFeed]])
+    * emits micro-batches of. IO stays proportional to CHANGED files
+    * per version (the [[diff]] guarantee); schemas may widen across
+    * the range (evolution), so the union aligns by name with NULL
+    * fill.
+    */
+  def changes(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
+    require(toV > fromV,
+      s"TableLog.changes: need toV > fromV, got ($fromV, $toV]")
+    (fromV + 1 to toV).map { v =>
+      diff(spark, path, v - 1, v).withColumn("_commit_version", lit(v))
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   /** History report: (version, n_rows) per READABLE version (vacuumed
@@ -895,18 +1521,19 @@ object TableLog {
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val wm = vacuumWatermark(spark, path)
-    versions(spark, path).filter(_ >= wm)
-      .map { v =>
-        val m = readManifestFull(spark, path, v)
-        val known = m.files
-          .flatMap(n => m.stats.get(n).flatMap(_.get(RowsKey)))
-          .map(_.min.toLong)
-        val rows =
-          if (known.size == m.files.size) known.sum
-          else readFiles(spark, path, m, m.files).count()
-        (v, rows)
-      }
-      .toDF("version", "n_rows")
+    val ck = newestCkpt(spark, path)
+    val rows = ck.flatMap(c => c.history.map(h => (c.version, h))) match {
+      case Some((cv, h)) =>
+        // checkpointed history + the ≤ CheckpointEvery manifests since
+        h.filter(_._1 >= wm) ++ versionsAbove(spark, path, cv).map { v =>
+          v -> manifestRows(spark, path, readManifestFull(spark, path, v))
+        }
+      case None =>
+        versions(spark, path).filter(_ >= wm).map { v =>
+          v -> manifestRows(spark, path, readManifestFull(spark, path, v))
+        }
+    }
+    rows.toDF("version", "n_rows")
   }
 
   /** Drop data files referenced by NO retained manifest and all
@@ -924,10 +1551,12 @@ object TableLog {
       val vs = versions(spark, path)
       val keep = vs.takeRight(keepVersions)
       val referenced = keep.flatMap(readManifest(spark, path, _)).toSet
-      // 0. checkpoint the tag map BEFORE dropping manifests: a
+      // 0. checkpoint the full log state BEFORE dropping manifests: a
       // replayed batch whose version was vacuumed must still be
-      // recognized as committed (exactly-once survives retention)
-      if (vs.nonEmpty) writeCkpt(spark, path, vs.last, tags(spark, path))
+      // recognized as committed (exactly-once survives retention),
+      // and history/latest stay serveable without the dropped
+      // manifests
+      if (vs.nonEmpty) writeCkpt(spark, path, vs.last)
       // 1. watermark first (atomic tmp+rename, monotone non-decreasing)
       if (keep.nonEmpty && keep.head > vacuumWatermark(spark, path)) {
         val tmp = new Path(logDir(path), "_tmp_watermark")
@@ -943,10 +1572,17 @@ object TableLog {
       // 3. unreferenced data files (parallel: object-store deletes are
       // per-file RPCs)
       if (f.exists(dataDir(path))) {
-        val doomed = f.listStatus(dataDir(path)).toSeq
-          .filter(s => s.isFile && !referenced.contains(s.getPath.getName))
-          .map(_.getPath)
-        perFile(doomed) { p => f.delete(p, false) }
+        // recursive: partitioned tables nest files under hive dirs,
+        // and the manifest references them by RELATIVE path
+        val dataUri = dataDir(path).toUri.getPath
+        val it = f.listFiles(dataDir(path), true)
+        val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val s = it.next()
+          val rel = s.getPath.toUri.getPath.stripPrefix(dataUri).stripPrefix("/")
+          if (s.isFile && !referenced.contains(rel)) doomed += s.getPath
+        }
+        perFile(doomed.toSeq) { p => f.delete(p, false) }
       }
       // crashed-commit scratch dirs are orphans too
       f.listStatus(new Path(path)).foreach { s =>

@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+/** Pins [[TableLog]]'s scale infrastructure, round 13:
+  *
+  *  - log-state CHECKPOINTS: after 100+ versions, the read path
+  *    (latestVersion / read / tags / history) does O(since-checkpoint)
+  *    manifest reads and ZERO `_log/` lists (counted IO, not
+  *    wall-clock), with content identical to the walk;
+  *  - executor-side footer-stats harvest: the Spark-job path above
+  *    [[TableLog.StatsJobThreshold]] files produces stats identical
+  *    to the driver-pool path;
+  *  - optimistic concurrency: concurrent lock-free appenders BOTH
+  *    land, with both file sets, as consecutive versions;
+  *  - UTF-8 string-bound pruning: supplementary-plane values must not
+  *    be wrongly pruned (Java UTF-16 order disagrees with parquet's
+  *    UTF-8 byte order past the basic plane);
+  *  - total-prune reads: a no-overlap band returns an empty frame
+  *    WITHOUT enumerating (or footer-reading) the pruned files;
+  *  - diff across RESTORE: a row whose only change sits in a column
+  *    the restore dropped must NOT cancel silently.
+  */
+class TableLogScaleSpec extends GraftSparkSpec {
+
+  import spark.implicits._
+
+  private def freshPath(stem: String): String = {
+    val p = graft.SparkEntry.perProcessTmpDir(stem)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    p
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("checkpointed log: 100+ versions, read path is O(since-checkpoint) reads, zero lists") {
+    val path = freshPath("graft-spec-tlog-ckpt")
+    TableLog.create(spark, path,
+      Seq((0L, 0L)).toDF("id", "w").coalesce(1))
+    // 104 versions: tagged appends (the streaming-sink shape) cross
+    // three CheckpointEvery boundaries (32, 64, 96)
+    (1L until 104L).foreach { i =>
+      TableLog.appendBatch(spark, path,
+        Seq((i, i)).toDF("id", "w").coalesce(1), s"b$i")
+    }
+    val latest = TableLog.latestVersion(spark, path)
+    assert(latest === 104L)
+
+    def ioDelta[A](body: => A): (A, Long, Long) = {
+      val r0 = TableLog.LogIo.manifestReads(path)
+      val l0 = TableLog.LogIo.logLists(path)
+      val a = body
+      (a, TableLog.LogIo.manifestReads(path) - r0,
+        TableLog.LogIo.logLists(path) - l0)
+    }
+
+    // last checkpoint at v96 -> 8 versions since
+    val sinceCkpt = 104L - 96L
+    val (_, rLat, lLat) = ioDelta(TableLog.latestVersion(spark, path))
+    assert(rLat === 0L, s"latestVersion did $rLat manifest reads")
+    assert(lLat === 0L, s"latestVersion listed _log/ $lLat times")
+
+    val (tagMap, rTags, lTags) = ioDelta(TableLog.tags(spark, path))
+    assert(rTags <= sinceCkpt, s"tags did $rTags manifest reads")
+    assert(lTags === 0L)
+    assert(tagMap.size === 103 && tagMap("b1") === 2L && tagMap("b103") === 104L)
+
+    val (hist, rHist, lHist) = ioDelta(
+      TableLog.history(spark, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1))
+    assert(rHist <= sinceCkpt, s"history did $rHist manifest reads")
+    assert(lHist === 0L)
+    assert(hist.length === 104 && hist.head === ((1L, 1L)) &&
+      hist.last === ((104L, 104L)), s"history wrong: ${hist.take(3).toSeq}")
+
+    val (cnt, rRead, lRead) = ioDelta(TableLog.read(spark, path).count())
+    assert(rRead <= 1L, s"read(latest) did $rRead manifest reads")
+    assert(lRead === 0L)
+    assert(cnt === 104L)
+
+    // content is xor-equal to the walk: an explicit-version read (the
+    // non-checkpoint path) sees the same table
+    assert(rows(TableLog.read(spark, path)) ===
+      rows(TableLog.read(spark, path, Some(104L))))
+
+    // vacuum / restore / tag semantics unchanged under checkpoints
+    TableLog.vacuum(spark, path, keepVersions = 3)
+    assert(TableLog.versions(spark, path) === Seq(102L, 103L, 104L))
+    assert(TableLog.appendBatch(spark, path,
+      Seq((999L, 999L)).toDF("id", "w"), "b17") === 18L,
+      "vacuumed tag must still be recognized (no double-append)")
+    assert(TableLog.latestVersion(spark, path) === 104L)
+    val v105 = TableLog.restore(spark, path, 103L)
+    assert(v105 === 105L)
+    assert(TableLog.read(spark, path).count() === 103L)
+    // read-at-latest after restore still cheap
+    val (_, rAfter, lAfter) = ioDelta(TableLog.read(spark, path).count())
+    assert(rAfter <= 9L && lAfter === 0L,
+      s"post-restore read: $rAfter reads, $lAfter lists")
+  }
+
+  test("executor-side stats harvest: identical to the driver pool; bulk create carries full stats") {
+    val path = freshPath("graft-spec-tlog-harvest")
+    val nFiles = TableLog.StatsJobThreshold + 8
+    val data = (0L until 7200L).map(i => (i, i * 3, s"s$i")).toDF("id", "w", "s")
+    TableLog.create(spark, path, data.repartition(nFiles))
+    val m = TableLog.read(spark, path).inputFiles
+    assert(m.length === nFiles, s"expected $nFiles files, got ${m.length}")
+    val names = m.map(f => new org.apache.hadoop.fs.Path(f).getName).toSeq
+
+    // the committed manifest's stats came from the JOB path (> threshold);
+    // the driver-pool path must agree bound-for-bound
+    val committed = TableLog.fileStats(spark, path, 1L)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val viaDriver = names.map { n =>
+      n -> TableLog.footerBounds(hconf,
+        new org.apache.hadoop.fs.Path(s"$path/data/$n"))
+    }.toMap
+    assert(committed === viaDriver,
+      "job-harvested stats must be identical to the driver-pool harvest")
+    // and they are real: every file carries id/w/s bounds + rows
+    assert(committed.values.forall(c =>
+      c.contains("id") && c.contains("w") && c.contains("s") &&
+        c.contains(TableLog.RowsKey)))
+    // pruning works off them end-to-end
+    TableLog.optimizeRange(spark, path, "id", numFiles = nFiles)
+    assert(TableLog.bandFiles(spark, path, "id", 0L, 99L).size <= 2)
+  }
+
+  test("optimistic appends: concurrent lock-free appenders both land") {
+    val path = freshPath("graft-spec-tlog-optim")
+    TableLog.create(spark, path, (0L until 10L).map(i => (i, i)).toDF("id", "w"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            TableLog.appendOptimistic(spark, path,
+              (0L until 5L).map(i => (1000L * t + i, i)).toDF("id", "w")
+                .coalesce(1))
+        })
+      }
+      val landed = futures.map(_.get()).sorted
+      assert(landed === Seq(2L, 3L, 4L, 5L),
+        s"all four appends must land as consecutive versions, got $landed")
+    } finally pool.shutdown()
+    assert(TableLog.read(spark, path).count() === 30L,
+      "every appender's rows must be present")
+    assert(TableLog.versions(spark, path) === Seq(1L, 2L, 3L, 4L, 5L))
+    // each intermediate version is a consistent superset chain
+    assert((2L to 5L).map(v => TableLog.read(spark, path, Some(v)).count())
+      === Seq(15L, 20L, 25L, 30L))
+    // retype still refused BEFORE any IO
+    intercept[IllegalArgumentException] {
+      TableLog.appendOptimistic(spark, path, Seq(("x", 1L)).toDF("id", "w"))
+    }
+  }
+
+  test("UTF-8 string bounds: supplementary-plane rows are never wrongly pruned") {
+    val path = freshPath("graft-spec-tlog-utf8")
+    // one file holding U+FFFD and U+1F600: Java UTF-16 order ranks the
+    // emoji BELOW �, parquet's UTF-8 order above — comparing
+    // bounds with String.compareTo would prune the file for an
+    // emoji-only band
+    val data = Seq((1L, "�"), (2L, "😀")).toDF("id", "s")
+    TableLog.create(spark, path, data.coalesce(1))
+    val got = TableLog.readBand(
+      spark, path, "s", "😀", "😀")
+    assert(got.count() === 1L, "the emoji row must survive bound pruning")
+    assert(got.collect().head.getLong(0) === 2L)
+    // and the full-read filter agrees
+    assert(rows(got) === rows(TableLog.read(spark, path)
+      .where(col("s") === "😀")))
+  }
+
+  test("total prune returns an empty frame without enumerating pruned files") {
+    val path = freshPath("graft-spec-tlog-emptyband")
+    val data = (0L until 2000L).map(i => (i, s"p$i")).toDF("id", "p")
+    TableLog.create(spark, path, data.repartition(8))
+    TableLog.optimizeRange(spark, path, "id", numFiles = 8)
+    val out = TableLog.readBand(spark, path, "id", 100000L, 200000L)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("id", "p"))
+    assert(out.inputFiles.isEmpty,
+      s"total prune must not plan over files, saw ${out.inputFiles.length}")
+  }
+
+  test("partitioned table: hive layout, manifest partition pruning, band composition") {
+    val path = freshPath("graft-spec-tlog-part")
+    val data = (0L until 3000L).map(i =>
+      (i, Seq("en", "de", "zh")(((i % 3L)).toInt), i % 500L))
+      .toDF("id", "lang", "w")
+    TableLog.createPartitioned(spark, path, data.repartition(4), Seq("lang"))
+    // read recovers the partition column from the hive dirs, one scan
+    val full = TableLog.read(spark, path)
+    assert(full.count() === 3000L)
+    assert(full.columns.toSeq === Seq("id", "w", "lang"),
+      "partition column recovered, at the end")
+    assert(rows(full.select("id", "lang", "w")) ===
+      rows(data.select("id", "lang", "w")))
+
+    // partition pruning: only en files planned, decided from the manifest
+    val allFiles = TableLog.files(spark, path)
+    val enFiles = TableLog.partitionFiles(spark, path, Map("lang" -> "en"))
+    assert(enFiles.nonEmpty && enFiles.size < allFiles.size,
+      s"en partition kept ${enFiles.size} of ${allFiles.size}")
+    assert(enFiles.forall(_.startsWith("lang=en/")))
+    val en = TableLog.readPartition(spark, path, Map("lang" -> "en"))
+    assert(en.count() === 1000L)
+    assert(en.inputFiles.toSeq.map(f =>
+      f.substring(f.indexOf("data/") + 5)).sorted === enFiles.sorted,
+      "files planned must be exactly the partition's pruned set")
+
+    // appendPartitioned lands in the right dirs and the manifest
+    TableLog.appendPartitioned(spark, path,
+      Seq((9999L, "en", 1L)).toDF("id", "lang", "w").coalesce(1))
+    assert(TableLog.readPartition(spark, path, Map("lang" -> "en")).count() === 1001L)
+    assert(TableLog.readPartition(spark, path, Map("lang" -> "de")).count() === 1000L)
+
+    // partition + band composition: equality first, bounds second
+    val band = TableLog.readPartitionBand(
+      spark, path, Map("lang" -> "zh"), "w", 0L, 99L)
+    assert(rows(band.select("id", "w", "lang")) ===
+      rows(TableLog.read(spark, path)
+        .where(col("lang") === "zh" && col("w").between(0L, 99L))
+        .select("id", "w", "lang")))
+
+    // rewrite maintenance refuses loudly; time travel + vacuum work
+    intercept[IllegalArgumentException] {
+      TableLog.compact(spark, path, 1000L)
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.deleteWhere(spark, path, col("w") < 10L)
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.append(spark, path, data)
+    }
+    assert(TableLog.read(spark, path, Some(1L)).count() === 3000L)
+    TableLog.appendPartitioned(spark, path,
+      Seq((10000L, "de", 2L)).toDF("id", "lang", "w").coalesce(1)) // v3
+    TableLog.vacuum(spark, path, keepVersions = 2)
+    assert(TableLog.read(spark, path).count() === 3002L)
+    intercept[IllegalArgumentException] {
+      TableLog.read(spark, path, Some(1L))
+    }
+  }
+
+  test("changes: the version-stamped diff chain, IO bounded to changed files") {
+    val path = freshPath("graft-spec-tlog-changes")
+    val data = (0L until 1000L).map(i => (i, i * 2)).toDF("id", "w")
+    TableLog.create(spark, path, data.repartition(4))
+    TableLog.optimizeRange(spark, path, "id", numFiles = 4)   // v2
+    TableLog.deleteBand(spark, path, "id", 0L, 99L)           // v3
+    TableLog.append(spark, path,
+      (5000L until 5010L).map(i => (i, i)).toDF("id", "w"))   // v4
+    val ch = TableLog.changes(spark, path, 2L, 4L)
+    assert(ch.columns.toSeq === Seq("id", "w", "change", "_commit_version"))
+    val got = ch.collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    val expected =
+      (0L until 100L).map(i => (i, "removed", 3L)).toSet ++
+        (5000L until 5010L).map(i => (i, "added", 4L)).toSet
+    assert(got === expected)
+    // v3->v4 is a pure append: its diff reads ONLY the appended files
+    assert(TableLog.changes(spark, path, 3L, 4L).inputFiles.length ===
+      TableLog.files(spark, path, Some(4L)).size -
+        TableLog.files(spark, path, Some(3L)).size)
+  }
+
+  test("diff across a restore: change hidden in the dropped column is reported") {
+    val path = freshPath("graft-spec-tlog-diffrestore")
+    val v1 = (0L until 10L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, v1.coalesce(1))                      // v1 (id,w)
+    TableLog.append(spark, path,
+      Seq((100L, 100L, "x")).toDF("id", "w", "b").coalesce(1))        // v2 (+b)
+    TableLog.restore(spark, path, 1L)                                 // v3 (id,w)
+    TableLog.append(spark, path,
+      Seq((100L, 100L)).toDF("id", "w").coalesce(1))                  // v4
+    // v2 holds (100,100,b=x); v4 holds (100,100,b absent). Projected
+    // down to v4's narrower schema they'd cancel in exceptAll and the
+    // change would vanish; the union-schema read keeps them apart.
+    val d = TableLog.diff(spark, path, 2L, 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+        r.getString(3))).toSet
+    assert(d === Set(
+      (100L, 100L, Some("x"), "removed"),
+      (100L, 100L, None, "added")),
+      s"got $d")
+    // diff of identical versions still empty under the union read
+    assert(TableLog.diff(spark, path, 2L, 2L).count() === 0L)
+  }
+}

@@ -150,4 +150,25 @@ class WaterFillSpec extends GraftSparkSpec {
       Mixture.waterFill(negA, "stratum", "avail", "wgt", lit(10L)).collect()
     }
   }
+
+  test("NULL weight or availability trips the guard (not silently filtered)") {
+    // a bare `<= 0` predicate is NULL for NULL inputs and the where
+    // drops it — the NULL row would then poison the avail/wgt ratio
+    // and silently corrupt the saturation order
+    val nullW = Seq(("A", 10L, Some(1L)), ("B", 5L, None))
+      .toDF("stratum", "avail", "wgt")
+    intercept[IllegalArgumentException] {
+      Mixture.waterFill(nullW, "stratum", "avail", "wgt", lit(10L)).collect()
+    }
+    val nullA = Seq(("A", Some(10L), 1L), ("B", None, 1L))
+      .toDF("stratum", "avail", "wgt")
+    intercept[IllegalArgumentException] {
+      Mixture.waterFill(nullA, "stratum", "avail", "wgt", lit(10L)).collect()
+    }
+    val nullEw = Seq(("A", 10L, 1L, Some(1L)), ("B", 5L, 1L, None))
+      .toDF("stratum", "avail", "sw", "ew")
+    intercept[IllegalArgumentException] {
+      Mixture.annealSchedule(nullEw, "stratum", "avail", "sw", "ew", 3, lit(5L))
+    }
+  }
 }
