@@ -14,4 +14,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftInterop {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `isStreaming = true` frame over an InternalRow RDD — what a
+    * DataSource-v1 streaming `Source.getBatch` must return
+    * (MicroBatchExecution asserts the flag; FileStreamSource uses the
+    * same `private[sql]` constructor). No Spark internals modified.
+    */
+  def streamingFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

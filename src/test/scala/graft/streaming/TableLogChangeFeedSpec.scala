@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+import graft.operators.TableLog
+
+/** Pins [[TableLogChangeFeed]]: the streamed micro-batches are
+  * prefix-equal to the batch [[TableLog.changes]] chain over the same
+  * commit sequence — including changes committed WHILE the stream
+  * runs — and the default start position streams only new commits.
+  */
+class TableLogChangeFeedSpec extends GraftSparkSpec {
+
+  import spark.implicits._
+
+  private def freshPath(stem: String): String = {
+    val p = graft.SparkEntry.perProcessTmpDir(stem)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    p
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("micro-batches prefix-equal the batch diff chain; live commits stream") {
+    val path = freshPath("graft-spec-cf")
+    val data = (0L until 1000L).map(i => (i, i * 2)).toDF("id", "w")
+    TableLog.create(spark, path, data.repartition(4))          // v1
+    TableLog.optimizeRange(spark, path, "id", numFiles = 4)    // v2
+    TableLog.deleteBand(spark, path, "id", 0L, 99L)            // v3
+
+    val feed = spark.readStream
+      .format("graft.streaming.TableLogChangeFeed")
+      .option("path", path)
+      .option("fromVersion", "2")
+      .load()
+    val q = feed.writeStream.outputMode("append").format("memory")
+      .queryName("cf_out").start()
+    try {
+      q.processAllAvailable()
+      // prefix 1: everything in (2, 3]
+      assert(rows(spark.table("cf_out")) ===
+        rows(TableLog.changes(spark, path, 2L, 3L)))
+      assert(spark.table("cf_out").count() === 100L)
+
+      // commits landing while the stream runs become the next batches
+      TableLog.append(spark, path,
+        (5000L until 5010L).map(i => (i, i)).toDF("id", "w"))  // v4
+      TableLog.deleteBand(spark, path, "id", 5000L, 5004L)     // v5
+      q.processAllAvailable()
+      assert(rows(spark.table("cf_out")) ===
+        rows(TableLog.changes(spark, path, 2L, 5L)),
+        "streamed prefix must equal the batch chain after live commits")
+      val byVersion = spark.table("cf_out")
+        .groupBy(col("_commit_version")).count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(byVersion === Map(3L -> 100L, 4L -> 10L, 5L -> 5L))
+    } finally q.stop()
+  }
+
+  test("default start position streams only commits after stream start") {
+    val path = freshPath("graft-spec-cf-def")
+    TableLog.create(spark, path, (0L until 50L).map(i => (i, i)).toDF("id", "w"))
+    TableLog.append(spark, path, (50L until 60L).map(i => (i, i)).toDF("id", "w"))
+    val feed = spark.readStream
+      .format("graft.streaming.TableLogChangeFeed")
+      .option("path", path)
+      .load()
+    val q = feed.writeStream.outputMode("append").format("memory")
+      .queryName("cf_def").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cf_def").count() === 0L,
+        "no new commits -> nothing streamed")
+      TableLog.append(spark, path, Seq((100L, 100L)).toDF("id", "w")) // v3
+      q.processAllAvailable()
+      assert(rows(spark.table("cf_def")) ===
+        rows(TableLog.changes(spark, path, 2L, 3L)))
+    } finally q.stop()
+  }
+}
