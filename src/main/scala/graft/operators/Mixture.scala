@@ -259,6 +259,70 @@ object Mixture {
     steps.reduce(_ unionByName _)
   }
 
+  /** Anneal schedule with per-epoch QUALITY FLOORS — the threshold
+    * sweep composed into the epoch windows: epoch `e` fills only from
+    * rows clearing ITS quality floor, so a schedule can demand
+    * high-quality data early (or late) while the budget water-fills
+    * whatever clears. Caller supplies one row per (stratum, epoch)
+    * with the epoch's weight and the stratum's CLEARED availability
+    * (weight-total of rows at or above the epoch's floor); epoch `e`'s
+    * effective availability is that cleared pool minus what epochs
+    * < e already consumed from the stratum. Floors must RELAX (or
+    * hold) over epochs — cleared pools non-decreasing per stratum —
+    * so prior consumption always came from rows that also clear the
+    * current floor; a tightening floor can drive availability
+    * negative and trips [[waterFill]]'s guard loudly.
+    *
+    * Output: (epoch, stratum, wgt, avail, allocated, saturated) —
+    * `avail` the effective availability ENTERING the epoch.
+    *
+    * Exactness: integer subtraction + [[waterFill]]'s integer
+    * arithmetic — a SQL oracle replays the chain bit-for-bit.
+    *
+    * 100 TB shape: a driver loop of E steps on #strata-row frames
+    * (localCheckpoint'ed); the corpus is touched once, by the caller,
+    * to build the per-epoch cleared totals (one grouped aggregate
+    * with one conditional sum per floor).
+    */
+  def annealScheduleGated(
+      perEpoch: DataFrame,
+      stratumCol: String,
+      epochCol: String,
+      availCol: String,
+      weightCol: String,
+      budgetPerEpoch: Column): DataFrame = {
+    val epochs = perEpoch.select(col(epochCol).cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    require(epochs.nonEmpty && epochs.head == 0 &&
+      epochs.last == epochs.length - 1,
+      s"annealScheduleGated: epochs must be dense 0..E-1, got $epochs")
+    var consumed = perEpoch.select(col(stratumCol)).distinct()
+      .withColumn("_mx_consumed", lit(0L))
+      .localCheckpoint()
+    val steps = epochs.map { e =>
+      val stepIn = perEpoch.where(col(epochCol) === e)
+        .join(consumed, Seq(stratumCol))
+        .select(col(stratumCol),
+          (col(availCol).cast("long") - col("_mx_consumed")).as("avail"),
+          col(weightCol).cast("long").as("_mx_we"),
+          budgetPerEpoch.cast("long").as("_mx_bpe"))
+      val step = waterFill(stepIn, stratumCol, "avail", "_mx_we",
+        col("_mx_bpe"))
+        .select(lit(e).as("epoch"), col(stratumCol), col("wgt"),
+          col("avail"), col("allocated"), col("saturated"))
+        .localCheckpoint()
+      consumed = consumed
+        .join(step.select(col(stratumCol), col("allocated")),
+          Seq(stratumCol), "left")
+        .withColumn("_mx_consumed",
+          col("_mx_consumed") + coalesce(col("allocated"), lit(0L)))
+        .drop("allocated")
+        .localCheckpoint()
+      step
+    }
+    steps.reduce(_ unionByName _)
+  }
+
   /** Materialize an [[annealSchedule]] plan as per-row EPOCH
     * assignments: within each stratum, rows ordered by `orderCol`
     * fill epoch 0's allocation first, then epoch 1's, and so on — a

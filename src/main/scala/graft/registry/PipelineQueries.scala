@@ -521,6 +521,102 @@ object PipelineQueries {
     }),
 
 
+    // annealed schedule with per-epoch QUALITY FLOORS (round-13;
+    // q170's threshold sweep composed into q195's epoch windows):
+    // epoch e fills only from documents whose stopword score clears
+    // ITS floor (1200 / 600 / 0, relaxing — the "high-quality data
+    // first" schedule), minus what earlier epochs consumed; budget a
+    // sixth of the corpus per epoch. Epoch 0's cleared pool is
+    // SCARCER than the budget (every stratum saturates — the whole
+    // quality tier is taken), epoch 1 water-fills normally. One
+    // corpus pass builds all three cleared pools (one conditional
+    // sum per floor); the schedule itself runs on #strata rows
+    "q208_anneal_floors" -> ((s, dir) => {
+      val toks = graft.textops.TextAnalysis.tokens(lower(col("text")))
+      val scored = table(s, dir, "documents").select(
+        col("lang"), col("n_chars").cast("long").as("n_chars"),
+        graft.textops.TextAnalysis.stopwordCount(toks,
+          graft.textops.TextAnalysis.stopwords("en"))
+          .cast("long").as("_gf_stop"),
+        size(toks).cast("long").as("_gf_ntok"))
+        .withColumn("_gf_score", expr(
+          "CAST(10000 * _gf_stop DIV greatest(_gf_ntok, 1) AS BIGINT)"))
+      val cleared = scored.groupBy(col("lang")).agg(
+        coalesce(sum(when(col("_gf_score") >= 1200L, col("n_chars"))),
+          lit(0L)).as("_c0"),
+        coalesce(sum(when(col("_gf_score") >= 600L, col("n_chars"))),
+          lit(0L)).as("_c1"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("_c2"))
+      val perEpoch = cleared
+        .select(col("lang"),
+          expr("stack(3, 0, _c0, 1, _c1, 2, _c2) AS (epoch, cleared)"))
+        .withColumn("sw", when(col("lang") === "zh", 8L).otherwise(1L))
+        .withColumn("wgt",
+          col("sw") * (lit(2L) - col("epoch")) + col("epoch").cast("long"))
+      val b = table(s, dir, "documents")
+        .agg(sum(col("n_chars")).as("_tot"))
+        .select(expr("_tot DIV 6").as("_mxb"))
+      graft.operators.Mixture.annealScheduleGated(
+        perEpoch.crossJoin(broadcast(b)), "lang", "epoch", "cleared",
+        "wgt", col("_mxb"))
+    }),
+
+
+    // hive-partitioned TableLog store (round-13): per-file partition
+    // VALUES recorded in the manifest (the Iceberg partition record),
+    // appended to with appendPartitioned, then a partition-equality +
+    // stats-band read — both prunings decided from ONE manifest read
+    // (the spec pins files_planned == the partition's pruned set).
+    // Result-transparent: the oracle is the plain filtered aggregate
+    // over base + appended rows
+    "q209_partitioned_log" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlpart-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      graft.operators.TableLog.createPartitioned(
+        s, path, docs.repartition(4), Seq("lang"))
+      graft.operators.TableLog.appendPartitioned(s, path,
+        docs.where(col("doc_id") < 50L)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            col("lang"), col("source"), col("n_chars")))
+      graft.operators.TableLog.readPartitionBand(
+        s, path, Map("lang" -> "en"), "n_chars", 100L, 300L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+
+    // change feed (round-13): the version-stamped CDC chain over a
+    // maintenance sequence — retention delete, append, second delete —
+    // per-version changes aggregated; each version's diff reads only
+    // that commit's changed files. Result-transparent: the oracle
+    // recomputes all three change sets from the base table, including
+    // the second delete catching the APPENDED rows in its band
+    "q210_change_feed" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlcf-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.TableLog.create(s, path, docs.repartition(4))
+      graft.operators.TableLog.optimizeRange(s, path, "n_chars", numFiles = 8)
+      graft.operators.TableLog.deleteBand(s, path, "n_chars", 0L, 149L)
+      graft.operators.TableLog.append(s, path,
+        docs.where(col("doc_id") < 50L)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            col("lang"), col("n_chars")))
+      graft.operators.TableLog.deleteBand(s, path, "n_chars", 150L, 199L)
+      graft.operators.TableLog.changes(s, path, 2L, 5L)
+        .groupBy(col("_commit_version"), col("change"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+
     // version diff / CDC between table versions (round-12): a
     // retention delete then an append, diffed v1 -> v3 — shared
     // manifest files cancel WITHOUT being read (immutability makes
@@ -1586,6 +1682,98 @@ object PipelineQueries {
     "q192_optimize_range" ->
       """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id BETWEEN 100 AND 400""".stripMargin,
+
+    // q208: the gated anneal replayed — per-epoch cleared pools (the
+    // q170 stopword score against relaxing floors 1200/600/0), then
+    // the q195 chained water-fill machinery with epoch e's
+    // availability = its cleared pool minus earlier allocations
+    "q208_anneal_floors" -> {
+      val en = graft.textops.TextAnalysis.stopwords("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      def w(e: Int) = s"CAST(sw * ${2 - e} + 1 * $e AS BIGINT)"
+      val e0 = waterFillStepSql(
+        s"SELECT lang, c0 AS avail, ${w(0)} AS wgt FROM gf_base", "gf_bud")
+      val e1 = waterFillStepSql(
+        s"""SELECT t.lang, t.c1 - p0.allocated AS avail, ${w(1)} AS wgt
+           |FROM gf_base t JOIN gf_e0 p0 USING (lang)""".stripMargin, "gf_bud")
+      val e2 = waterFillStepSql(
+        s"""SELECT t.lang, t.c2 - p0.allocated - p1.allocated AS avail,
+           |${w(2)} AS wgt
+           |FROM gf_base t JOIN gf_e0 p0 USING (lang)
+           |  JOIN gf_e1 p1 USING (lang)""".stripMargin, "gf_bud")
+      s"""WITH gf_t AS (
+         |  SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
+         |    CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+         |      ELSE string_split_regex(trim(lower(text)),
+         |             '[ \\t\\n\\x0b\\f\\r]+') END AS toks
+         |  FROM documents),
+         |gf_sc AS (
+         |  SELECT lang, n_chars,
+         |    10000 * CAST(len(list_filter(toks, x -> list_contains($en, x)))
+         |      AS BIGINT) // greatest(CAST(len(toks) AS BIGINT), 1) AS score
+         |  FROM gf_t),
+         |gf_base AS (
+         |  SELECT lang,
+         |    CAST(coalesce(sum(CASE WHEN score >= 1200 THEN n_chars END), 0)
+         |      AS BIGINT) AS c0,
+         |    CAST(coalesce(sum(CASE WHEN score >= 600 THEN n_chars END), 0)
+         |      AS BIGINT) AS c1,
+         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c2,
+         |    CAST(CASE WHEN lang = 'zh' THEN 8 ELSE 1 END AS BIGINT) AS sw
+         |  FROM gf_sc GROUP BY lang),
+         |gf_bud AS (SELECT CAST(sum(n_chars) // 6 AS BIGINT) AS bud
+         |           FROM gf_sc),
+         |gf_e0 AS (SELECT * FROM $e0 z0),
+         |gf_e1 AS (SELECT * FROM $e1 z1),
+         |gf_e2 AS (SELECT * FROM $e2 z2)
+         |SELECT 0 AS epoch, lang, wgt, avail, allocated, saturated
+         |FROM gf_e0
+         |UNION ALL
+         |SELECT 1 AS epoch, lang, wgt, avail, allocated, saturated
+         |FROM gf_e1
+         |UNION ALL
+         |SELECT 2 AS epoch, lang, wgt, avail, allocated, saturated
+         |FROM gf_e2""".stripMargin
+    },
+
+    // q209: partition layout + log are result-transparent — the
+    // filtered aggregate over base + appended rows
+    "q209_partitioned_log" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT source, n_chars FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT source, n_chars FROM documents
+        |  WHERE doc_id < 50 AND lang = 'en') u
+        |WHERE n_chars BETWEEN 100 AND 300
+        |GROUP BY source""".stripMargin,
+
+    // q210: the three change sets recomputed from the base table —
+    // v3 removes the short band, v4 adds the shifted rows, v5's
+    // delete catches base AND appended rows in its band
+    "q210_change_feed" ->
+      """WITH cf_base AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |cf_add AS (
+        |  SELECT doc_id + 400000 AS doc_id, lang, n_chars
+        |  FROM cf_base WHERE doc_id < 50),
+        |cf_v5rm AS (
+        |  SELECT * FROM cf_base WHERE n_chars BETWEEN 150 AND 199
+        |  UNION ALL
+        |  SELECT * FROM cf_add WHERE n_chars BETWEEN 150 AND 199)
+        |SELECT CAST(3 AS BIGINT) AS _commit_version, 'removed' AS change,
+        |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM cf_base WHERE n_chars BETWEEN 0 AND 149 GROUP BY lang
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT) AS _commit_version, 'added' AS change,
+        |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM cf_add GROUP BY lang
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT) AS _commit_version, 'removed' AS change,
+        |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM cf_v5rm GROUP BY lang""".stripMargin,
 
     // q193: the n_chars band aggregated per lang
     "q193_optimize_zorder" ->

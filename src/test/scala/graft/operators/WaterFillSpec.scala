@@ -151,6 +151,64 @@ class WaterFillSpec extends GraftSparkSpec {
     }
   }
 
+  test("annealScheduleGated: epochs fill from their cleared pool minus prior consumption") {
+    // two strata, two epochs; epoch 0's floor clears only part of the
+    // pool (A: 10 of 30, B: 20 of 60), epoch 1 clears everything.
+    // budget 15 per epoch, equal weights.
+    val perEpoch = Seq(
+      ("A", 0, 10L, 1L), ("B", 0, 20L, 1L),
+      ("A", 1, 30L, 1L), ("B", 1, 60L, 1L))
+      .toDF("stratum", "epoch", "cleared", "wgt")
+    val out = Mixture.annealScheduleGated(
+      perEpoch, "stratum", "epoch", "cleared", "wgt", lit(15L))
+      .collect()
+      .map(r => ((r.getInt(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    // epoch 0: avail (10, 20), budget 15 -> water-fill: A saturates at
+    // 10? test: 10*2 <= 15*1 false -> A unsaturated; equal weights ->
+    // 7 each (floor-DIV), A gets 7, B gets 7
+    assert(out((0, "A")) === ((1L, 10L, 7L, false)))
+    assert(out((0, "B")) === ((1L, 20L, 7L, false)))
+    // epoch 1: cleared (30, 60) minus consumed (7, 7) -> avail (23, 53);
+    // budget 15 -> 7 each again, both unsaturated
+    assert(out((1, "A")) === ((1L, 23L, 7L, false)))
+    assert(out((1, "B")) === ((1L, 53L, 7L, false)))
+  }
+
+  test("annealScheduleGated: scarce epoch saturates fully; tightening floor fails loudly") {
+    // epoch 0 clears only 4+2=6 < budget 10: every stratum saturated,
+    // the whole quality tier is taken
+    val scarce = Seq(
+      ("A", 0, 4L, 1L), ("B", 0, 2L, 1L),
+      ("A", 1, 100L, 1L), ("B", 1, 100L, 1L))
+      .toDF("stratum", "epoch", "cleared", "wgt")
+    val out = Mixture.annealScheduleGated(
+      scarce, "stratum", "epoch", "cleared", "wgt", lit(10L))
+      .collect()
+      .map(r => ((r.getInt(0), r.getString(1)), (r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out((0, "A")) === ((4L, true)) && out((0, "B")) === ((2L, true)))
+    assert(out((1, "A")) === ((5L, false)) && out((1, "B")) === ((5L, false)))
+    // a TIGHTENING floor (epoch 1 clears LESS than epoch 0 consumed)
+    // drives availability negative -> loud refusal, never a silent
+    // wrong plan
+    val tight = Seq(
+      ("A", 0, 100L, 1L), ("B", 0, 100L, 1L),
+      ("A", 1, 3L, 1L), ("B", 1, 3L, 1L))
+      .toDF("stratum", "epoch", "cleared", "wgt")
+    intercept[IllegalArgumentException] {
+      Mixture.annealScheduleGated(
+        tight, "stratum", "epoch", "cleared", "wgt", lit(50L)).collect()
+    }
+    // epochs must be dense from 0
+    intercept[IllegalArgumentException] {
+      Mixture.annealScheduleGated(
+        Seq(("A", 1, 5L, 1L)).toDF("stratum", "epoch", "cleared", "wgt"),
+        "stratum", "epoch", "cleared", "wgt", lit(5L))
+    }
+  }
+
   test("NULL weight or availability trips the guard (not silently filtered)") {
     // a bare `<= 0` predicate is NULL for NULL inputs and the where
     // drops it — the NULL row would then poison the avail/wgt ratio
