@@ -1387,6 +1387,94 @@ object TableLog {
     }
   }
 
+  /** MERGE (upsert) by equality key — the Delta MERGE INTO core,
+    * whole-row flavor: a source row whose `keyCol` matches an
+    * existing row REPLACES it; unmatched source rows INSERT. IO is
+    * proportional to the MATCHED REGION, manifest-decided twice over:
+    * candidate files come from the manifest bounds overlapping the
+    * source's key range (one tiny source aggregate — on a table
+    * clustered on the key, an upsert of yesterday's ids touches
+    * yesterday's files); then only files actually CONTAINING matches
+    * are rewritten (without their matched rows), everything else
+    * carries over by name with its stats; the source lands as new
+    * files. Source keys must be unique and non-null (two source rows
+    * for one target row is the ambiguous merge Delta also refuses);
+    * the source may ADD columns (schema evolution, [[mergedSchema]]
+    * rules). Row accounting verifies survivors + replacements before
+    * the commit rename — an aborted merge leaves only vacuum orphans.
+    */
+  def merge(
+      spark: SparkSession, path: String, source: DataFrame,
+      keyCol: String): Long =
+    withLock(spark, path, "merge") {
+      val v = latestVersion(spark, path)
+      val cur = readManifestFull(spark, path, v)
+      requireUnpartitioned(cur, "merge")
+      require(source.columns.contains(keyCol),
+        s"TableLog.merge: source has no column $keyCol")
+      val base = cur.schema.orElse(
+        Some(readFiles(spark, path, cur, cur.files).schema))
+      val merged = mergedSchema(base, source.schema)
+      val srcDup = source.where(col(keyCol).isNull)
+        .select(lit(1L)).limit(1)
+        .unionAll(source.groupBy(col(keyCol)).count()
+          .where(col("count") > 1L).select(lit(1L)).limit(1))
+        .limit(1).count()
+      require(srcDup == 0L,
+        s"TableLog.merge: source $keyCol must be unique and non-null — " +
+          "an ambiguous merge would replace one row twice")
+      // manifest-level candidate cut: the source's key range vs
+      // recorded bounds (unbounded files kept — conservative)
+      val range = source.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
+      val candidates =
+        if (range.isNullAt(0)) Nil // empty source: pure insert of nothing
+        else cur.files.filter { n =>
+          cur.stats.get(n).flatMap(_.get(keyCol)) match {
+            case None => true
+            case Some(b) => overlaps(b, range.get(0), range.get(1))
+          }
+        }
+      val srcKeys = source.select(col(keyCol).as("_tl_mk")).distinct()
+      val perFileMatches =
+        if (candidates.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else readFiles(spark, path, cur, candidates)
+          .select(col("_metadata.file_path").as("_tl_f"), col(keyCol))
+          .join(srcKeys, col(keyCol) === col("_tl_mk"))
+          .groupBy(col("_tl_f"))
+          .agg(count(lit(1)).as("_tl_n")).collect()
+      val touchedNames =
+        perFileMatches.map(r => new Path(r.getString(0)).getName).toSet
+      val nMatched = perFileMatches.map(_.getLong(1)).sum
+      val (touched, untouched) = cur.files.partition(touchedNames.contains)
+      val survivors =
+        if (touched.isEmpty) None
+        else Some(readFiles(spark, path, cur, touched)
+          .join(srcKeys, col(keyCol) === col("_tl_mk"), "left_anti"))
+      val touchedRows =
+        if (touched.isEmpty) 0L
+        else readFiles(spark, path, cur, touched).count()
+      val (survNames, survStats) = survivors match {
+        case Some(df) if !df.isEmpty => writeDataFiles(spark, path, df)
+        case _ => (Nil, Map.empty[String, Map[String, ColBound]])
+      }
+      val (srcNames, srcStats) = writeDataFiles(spark, path, source)
+      // accounting BEFORE the rename: survivors must be exactly the
+      // touched rows minus the matches (a non-deterministic source
+      // key expression aborts here, never commits wrong)
+      val survivorRows =
+        if (survNames.isEmpty) 0L
+        else spark.read.parquet(
+          survNames.map(n => new Path(dataDir(path), n).toString): _*).count()
+      require(survivorRows == touchedRows - nMatched,
+        s"TableLog.merge: survivors have $survivorRows rows, want " +
+          s"${touchedRows - nMatched} — aborting commit (orphans go to vacuum)")
+      commit(spark, path, v + 1,
+        untouched ++ survNames ++ srcNames,
+        cur.stats.filterNot { case (k, _) => touchedNames.contains(k) } ++
+          survStats ++ srcStats,
+        schema = Some(merged))
+    }
+
   /** Tagged idempotent append — the exactly-once unit for streaming
     * sinks: if a committed version already carries `tag`, return it
     * WITHOUT writing (the replayed-batch path); otherwise append as a

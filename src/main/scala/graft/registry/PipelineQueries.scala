@@ -617,6 +617,37 @@ object PipelineQueries {
     }),
 
 
+    // MERGE / upsert (round-13): on a doc_id-clustered store, upsert
+    // a source that UPDATES the first 50 ids (n_chars + 100000) and
+    // INSERTS 50 shifted ones — candidate files come from the
+    // manifest bounds against the source key range, only files
+    // containing matches are rewritten, the rest carry over by name.
+    // Result-transparent: the oracle replays the upsert over the
+    // base table
+    "q211_merge_upsert" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlmrg-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.TableLog.create(s, path, docs.repartition(4))
+      graft.operators.TableLog.optimizeRange(s, path, "doc_id", numFiles = 8)
+      val src = docs.where(col("doc_id") < 50L)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 100000L).as("n_chars"))
+        .unionByName(docs.where(col("doc_id") < 50L)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_chars")))
+      graft.operators.TableLog.merge(s, path, src, "doc_id")
+      graft.operators.TableLog.read(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+    }),
+
+
     // version diff / CDC between table versions (round-12): a
     // retention delete then an append, diffed v1 -> v3 — shared
     // manifest files cancel WITHOUT being read (immutability makes
@@ -1774,6 +1805,22 @@ object PipelineQueries {
         |SELECT CAST(5 AS BIGINT) AS _commit_version, 'removed' AS change,
         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM cf_v5rm GROUP BY lang""".stripMargin,
+
+    // q211: the upsert replayed — ids < 50 replaced with the bumped
+    // n_chars, the shifted rows inserted, everything else untouched
+    "q211_merge_upsert" ->
+      """WITH mrg AS (
+        |  SELECT doc_id, lang, n_chars + 100000 AS n_chars
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 50)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM mrg GROUP BY lang""".stripMargin,
 
     // q193: the n_chars band aggregated per lang
     "q193_optimize_zorder" ->

@@ -272,6 +272,52 @@ class TableLogScaleSpec extends GraftSparkSpec {
         TableLog.files(spark, path, Some(3L)).size)
   }
 
+  test("merge: upsert replaces matched rows, inserts the rest, rewrites only touched files") {
+    val path = freshPath("graft-spec-tlog-merge")
+    val data = (0L until 4000L).map(i => (i, i * 2, s"p$i")).toDF("id", "w", "p")
+    TableLog.create(spark, path, data.repartition(4))
+    TableLog.optimizeRange(spark, path, "id", numFiles = 8)   // v2: clustered
+    val before = TableLog.read(spark, path).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    // source: update ids 100..149 (new w), insert 50 fresh ids
+    val source = ((100L until 150L).map(i => (i, -1L, s"u$i")) ++
+      (90000L until 90050L).map(i => (i, i, s"n$i"))).toDF("id", "w", "p")
+    val v3 = TableLog.merge(spark, path, source.repartition(2), "id")
+    assert(v3 === 3L)
+    val got = TableLog.read(spark, path)
+    assert(got.count() === 4050L)
+    assert(rows(got.where($"id".between(100L, 149L))) ===
+      rows(source.where($"id" < 90000L)), "matched rows replaced")
+    assert(got.where($"w" === -1L).count() === 50L)
+    assert(rows(got.where($"id" >= 90000L)) ===
+      rows(source.where($"id" >= 90000L)), "unmatched rows inserted")
+    assert(rows(got.where($"id" < 100L)) === rows(data.where($"id" < 100L)),
+      "untouched rows intact")
+    // clustered files outside the source key range carried over by name
+    val after = TableLog.read(spark, path).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    assert((before intersect after).size >= 6,
+      s"expected >= 6 carried files, got ${(before intersect after).size}")
+    // old version intact (time travel)
+    assert(TableLog.read(spark, path, Some(2L)).count() === 4000L)
+    // duplicate / null source keys are the ambiguous merge: refused
+    intercept[IllegalArgumentException] {
+      TableLog.merge(spark, path,
+        Seq((1L, 0L, "a"), (1L, 1L, "b")).toDF("id", "w", "p"), "id")
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.merge(spark, path,
+        Seq((Option.empty[Long], 0L, "a")).toDF("id", "w", "p"), "id")
+    }
+    // merge with schema evolution: source adds a column
+    val src2 = Seq((0L, 999L, "z0", "tagged")).toDF("id", "w", "p", "tag")
+    TableLog.merge(spark, path, src2, "id")
+    val l = TableLog.read(spark, path)
+    assert(l.where($"tag" === "tagged").count() === 1L)
+    assert(l.where($"id" === 0L && $"w" === 999L).count() === 1L)
+    assert(l.where($"tag".isNull).count() === 4049L)
+  }
+
   test("diff across a restore: change hidden in the dropped column is reported") {
     val path = freshPath("graft-spec-tlog-diffrestore")
     val v1 = (0L until 10L).map(i => (i, i)).toDF("id", "w")
