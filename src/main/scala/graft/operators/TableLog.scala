@@ -82,7 +82,8 @@ object TableLog {
       stats: Map[String, Map[String, ColBound]],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       partCols: Seq[String] = Nil,
-      parts: Map[String, Seq[String]] = Map.empty)
+      parts: Map[String, Seq[String]] = Map.empty,
+      ts: Option[Long] = None)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -218,7 +219,11 @@ object TableLog {
           }.toMap
           case _ => Map.empty[String, Seq[String]]
         }
-        Manifest(tag, files, stats, schema, partCols, parts)
+        val ts = o \ "ts" match {
+          case JInt(n) => Some(n.toLong)
+          case _ => None
+        }
+        Manifest(tag, files, stats, schema, partCols, parts, ts)
       case other =>
         throw new IllegalStateException(s"TableLog: unparseable manifest: $other")
     }
@@ -239,6 +244,7 @@ object TableLog {
         }): JValue))
     val fields: List[(String, JValue)] =
       m.tag.map(t => "tag" -> (JString(t): JValue)).toList ++
+        m.ts.map(t => "ts" -> (JInt(t): JValue)).toList ++
         m.schema.map(s => "schema" -> (JString(s.json): JValue)).toList ++
         partsFields :+
         ("files" -> (filesJ: JValue)) :+ ("stats" -> (statsJ: JValue))
@@ -530,7 +536,10 @@ object TableLog {
     val tmp = new Path(logDir(path),
       s"_tmp_v${java.util.UUID.randomUUID()}.json")
     val out = f.create(tmp, true)
-    out.write(renderManifest(m).getBytes(UTF_8))
+    // stamp the commit wall time at publish — fresh on EVERY commit
+    // (a restore's manifest copy is its own commit event)
+    out.write(renderManifest(
+      m.copy(ts = Some(System.currentTimeMillis()))).getBytes(UTF_8))
     out.close()
     val dest = manifestPath(path, v)
     val guard = commitGuard.computeIfAbsent(s"$path#v$v", _ => new Object)
@@ -660,19 +669,31 @@ object TableLog {
     */
   private def writeDataFiles(
       spark: SparkSession, path: String, df: DataFrame)
+      : (Seq[String], Map[String, Map[String, ColBound]]) =
+    writeDataFilesInto(spark, path, df, None)
+
+  /** [[writeDataFiles]] with an optional destination SUBDIR under
+    * `data/` (a partition's hive directory for per-partition
+    * rewrites); returned names are data/-relative.
+    */
+  private def writeDataFilesInto(
+      spark: SparkSession, path: String, df: DataFrame,
+      subdir: Option[String])
       : (Seq[String], Map[String, Map[String, ColBound]]) = {
     val f = fs(spark, path)
     val scratch = new Path(s"$path/_scratch_${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(scratch.toString)
-    f.mkdirs(dataDir(path))
+    val destDir = subdir.map(d => new Path(dataDir(path), d))
+      .getOrElse(dataDir(path))
+    f.mkdirs(destDir)
     val staged = f.listStatus(scratch).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
     val names = perFile(staged) { p =>
       val n = p.getName
-      require(f.rename(p, new Path(dataDir(path), n)),
+      require(f.rename(p, new Path(destDir, n)),
         s"TableLog: could not stage data file $n")
-      n
+      subdir.map(d => s"$d/$n").getOrElse(n)
     }
     val stats = harvestStats(spark, path, names)
     f.delete(scratch, true)
@@ -921,6 +942,59 @@ object TableLog {
     if (kept.isEmpty) emptyFrame(spark, path, m)
     else readFiles(spark, path, m, kept).where(pred)
   }
+
+  /** OPTIMIZE one partition of a partitioned table — `OPTIMIZE WHERE
+    * partition = ...`, the maintenance move a partitioned ingest tail
+    * needs: recluster exactly the files of the partition pinned by
+    * `eq` (every partition column), range-sorted on `colName`; every
+    * other partition's files carry over BY NAME with their stats and
+    * partition records, zero IO. The rewritten files stay under the
+    * partition's hive directory, so reads and partition pruning are
+    * unchanged; the rewrite cost is one partition, never the table.
+    */
+  def optimizePartition(
+      spark: SparkSession, path: String, eq: Map[String, String],
+      colName: String, numFiles: Int): Long =
+    withLock(spark, path, "optimizePartition") {
+      require(numFiles > 0, "TableLog.optimizePartition: numFiles must be positive")
+      val v = latestVersion(spark, path)
+      checkNotVacuumed(spark, path, v)
+      val m = readManifestFull(spark, path, v)
+      require(m.partCols.nonEmpty,
+        "TableLog.optimizePartition: table is not partitioned — use optimizeRange")
+      require(m.partCols.toSet == eq.keySet,
+        s"TableLog.optimizePartition: eq must pin every partition column " +
+          s"(${m.partCols.mkString(", ")})")
+      require(!eq.keySet.contains(colName),
+        "TableLog.optimizePartition: cluster on a data column, not a partition column")
+      val idx = m.partCols.zipWithIndex.toMap
+      val touched = m.files.filter { n =>
+        m.parts.get(n).exists(vals =>
+          eq.forall { case (c, want) => vals(idx(c)) == want })
+      }
+      if (touched.isEmpty)
+        commitFull(spark, path, v + 1, m.copy(tag = None))
+      else {
+        val untouchedSet = touched.toSet
+        val untouched = m.files.filterNot(untouchedSet.contains)
+        // all touched files share the partition's hive dir — reuse it
+        // verbatim (no re-escaping of partition values)
+        val subdir = touched.head.split('/').dropRight(1).mkString("/")
+        val clustered = readFiles(spark, path, m, touched)
+          .drop(m.partCols: _*)
+          .repartitionByRange(numFiles, col(colName))
+          .sortWithinPartitions(colName)
+        val (names, stats) = writeDataFilesInto(spark, path, clustered,
+          Some(subdir))
+        val vals = m.parts(touched.head)
+        commitFull(spark, path, v + 1, m.copy(
+          tag = None,
+          files = untouched ++ names,
+          stats = m.stats.filterNot { case (k, _) =>
+            untouchedSet.contains(k) } ++ stats,
+          parts = (m.parts -- touched) ++ names.map(_ -> vals).toMap))
+      }
+    }
 
   /** Partition equality COMPOSED with a stats band — Delta partition
     * pruning + file skipping in one manifest decision: keep files
@@ -1579,6 +1653,35 @@ object TableLog {
     val bvail = side(mB, onlyB)
     bvail.exceptAll(avail).withColumn("change", lit("added"))
       .unionByName(avail.exceptAll(bvail).withColumn("change", lit("removed")))
+  }
+
+  /** Wall-clock commit time (epoch millis) of version `v`; None for
+    * pre-round-13 manifests.
+    */
+  def commitTimestamp(spark: SparkSession, path: String, v: Long): Option[Long] =
+    readManifestFull(spark, path, v).ts
+
+  /** TIMESTAMP AS OF time travel: the newest version committed at or
+    * before `tsMillis` — resolved by BINARY SEARCH over the committed
+    * versions (commit times are monotone within a log: commits
+    * serialize through the version CAS), O(log #versions) manifest
+    * reads. Fails fast when every readable version is newer, and when
+    * the resolved version predates the vacuum watermark.
+    */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"TableLog: no committed version at $path")
+    def tsOf(v: Long): Long =
+      readManifestFull(spark, path, v).ts.getOrElse(Long.MinValue)
+    var lo = 0
+    var hi = vs.length - 1
+    require(tsOf(vs(lo)) <= tsMillis,
+      s"TableLog.readAsOf: every readable version is newer than $tsMillis")
+    while (lo < hi) { // invariant: ts(vs(lo)) <= tsMillis
+      val mid = (lo + hi + 1) / 2
+      if (tsOf(vs(mid)) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    read(spark, path, Some(vs(lo)))
   }
 
   /** Change feed: every row-level change in versions (fromV, toV],

@@ -582,6 +582,11 @@ object PipelineQueries {
         docs.where(col("doc_id") < 50L)
           .select((col("doc_id") + 300000L).as("doc_id"),
             col("lang"), col("source"), col("n_chars")))
+      // per-partition OPTIMIZE: recluster en's files on the band
+      // column (other partitions carry over by name), so the
+      // band-read below prunes files WITHIN the partition too
+      graft.operators.TableLog.optimizePartition(
+        s, path, Map("lang" -> "en"), "n_chars", numFiles = 4)
       graft.operators.TableLog.readPartitionBand(
         s, path, Map("lang" -> "en"), "n_chars", 100L, 300L)
         .groupBy(col("source"))

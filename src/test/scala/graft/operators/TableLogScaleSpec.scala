@@ -272,6 +272,69 @@ class TableLogScaleSpec extends GraftSparkSpec {
         TableLog.files(spark, path, Some(3L)).size)
   }
 
+  test("optimizePartition: one partition reclusters, the rest carries over by name") {
+    val path = freshPath("graft-spec-tlog-optpart")
+    val data = (0L until 3000L).map(i =>
+      (i, Seq("en", "de", "zh")((i % 3L).toInt), i % 500L))
+      .toDF("id", "lang", "w")
+    TableLog.createPartitioned(spark, path, data.repartition(6), Seq("lang"))
+    val before = TableLog.files(spark, path)
+    val v2 = TableLog.optimizePartition(
+      spark, path, Map("lang" -> "en"), "w", numFiles = 4)
+    assert(v2 === 2L)
+    val after = TableLog.files(spark, path)
+    // every non-en file carried over by name; en files all rewritten
+    assert(before.filterNot(_.startsWith("lang=en/")).toSet ===
+      after.filterNot(_.startsWith("lang=en/")).toSet)
+    assert(before.filter(_.startsWith("lang=en/")).toSet
+      .intersect(after.filter(_.startsWith("lang=en/")).toSet).isEmpty)
+    assert(after.count(_.startsWith("lang=en/")) === 4)
+    // content identical, both versions readable, partition reads fine
+    assert(rows(TableLog.read(spark, path).select("id", "lang", "w")) ===
+      rows(data.select("id", "lang", "w")))
+    assert(TableLog.read(spark, path, Some(1L)).count() === 3000L)
+    // the recluster makes w-bands prunable WITHIN the partition:
+    // composition keeps only a slice of the 4 en files
+    val keptEn = TableLog.readPartitionBand(
+      spark, path, Map("lang" -> "en"), "w", 0L, 99L).inputFiles
+    assert(keptEn.length <= 2,
+      s"clustered en band kept ${keptEn.length} of 4 files")
+    assert(rows(TableLog.readPartitionBand(
+      spark, path, Map("lang" -> "en"), "w", 0L, 99L)
+      .select("id", "w", "lang")) ===
+      rows(TableLog.read(spark, path)
+        .where(col("lang") === "en" && col("w").between(0L, 99L))
+        .select("id", "w", "lang")))
+    // unknown partition VALUE matches nothing: pure carry-over commit
+    val v3 = TableLog.optimizePartition(
+      spark, path, Map("lang" -> "xx"), "w", 2)
+    assert(TableLog.files(spark, path, Some(v3)).toSet === after.toSet)
+    // pinning a NON-partition column is refused
+    intercept[IllegalArgumentException] {
+      TableLog.optimizePartition(spark, path, Map("bogus" -> "x"), "w", 2)
+    }
+  }
+
+  test("commit timestamps: readAsOf resolves by binary search over monotone times") {
+    val path = freshPath("graft-spec-tlog-asof")
+    TableLog.create(spark, path, Seq((1L, 1L)).toDF("id", "w"))
+    val t1 = TableLog.commitTimestamp(spark, path, 1L).get
+    Thread.sleep(15L)
+    TableLog.append(spark, path, Seq((2L, 2L)).toDF("id", "w"))
+    val t2 = TableLog.commitTimestamp(spark, path, 2L).get
+    Thread.sleep(15L)
+    TableLog.append(spark, path, Seq((3L, 3L)).toDF("id", "w"))
+    val t3 = TableLog.commitTimestamp(spark, path, 3L).get
+    assert(t1 <= t2 && t2 <= t3, "commit times must be monotone")
+    assert(TableLog.readAsOf(spark, path, t1).count() === 1L)
+    assert(TableLog.readAsOf(spark, path, t2).count() === 2L)
+    assert(TableLog.readAsOf(spark, path, (t2 + t3) / 2).count() === 2L)
+    assert(TableLog.readAsOf(spark, path, t3 + 1000L).count() === 3L)
+    intercept[IllegalArgumentException] {
+      TableLog.readAsOf(spark, path, t1 - 1000L)
+    }
+  }
+
   test("merge: upsert replaces matched rows, inserts the rest, rewrites only touched files") {
     val path = freshPath("graft-spec-tlog-merge")
     val data = (0L until 4000L).map(i => (i, i * 2, s"p$i")).toDF("id", "w", "p")
