@@ -61,6 +61,64 @@ class TableLogChangeFeedSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end incremental pipeline: change feed -> exactly-once derived table") {
+    // the round-12 write side (tableLogSink's tagged appends) closed
+    // with the round-13 read side: a SOURCE table's change feed
+    // maintains a DERIVED delta table through exactly-once tagged
+    // appends; the derived rollup equals a from-scratch batch
+    // recomputation after every prefix
+    val srcPath = freshPath("graft-spec-cf-src")
+    val derPath = freshPath("graft-spec-cf-der")
+    TableLog.create(spark, srcPath,
+      (0L until 300L).map(i => (i, Seq("en", "de")((i % 2L).toInt), i))
+        .toDF("id", "lang", "w"))                                   // v1
+    TableLog.create(spark, derPath,
+      Seq(("_seed", 0L)).toDF("lang", "delta"))                     // derived seed
+
+    val feed = spark.readStream
+      .format("graft.streaming.TableLogChangeFeed")
+      .option("path", srcPath)
+      .option("fromVersion", "1")
+      .load()
+    // per-BATCH delta aggregation inside foreachBatch (a streaming
+    // groupBy would emit running totals and double-count on append);
+    // the tagged append makes a replayed batch a no-op
+    val q = feed.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val delta = b.groupBy(col("lang"))
+          .agg(sum(when(col("change") === "added", 1L).otherwise(-1L))
+            .as("delta"))
+        if (!delta.isEmpty)
+          TableLog.appendBatch(spark, derPath, delta, s"cf-der-$id")
+        ()
+      }.start()
+
+    def derivedCounts: Map[String, Long] =
+      TableLog.read(spark, derPath).where(col("lang") =!= "_seed")
+        .groupBy("lang").agg(sum("delta").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).filter(_._2 != 0L).toMap
+    def sourceCounts: Map[String, Long] =
+      TableLog.read(spark, srcPath).groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = sourceCounts
+
+    try {
+      TableLog.deleteWhere(spark, srcPath, col("id") < 100L)        // v2
+      q.processAllAvailable()
+      val drift1 = sourceCounts.map { case (k, v) => k -> (v - base(k)) }
+        .filter(_._2 != 0L)
+      assert(derivedCounts === drift1,
+        s"derived $derivedCounts must equal source drift $drift1 after the delete")
+      TableLog.append(spark, srcPath,
+        (1000L until 1050L).map(i => (i, "en", i)).toDF("id", "lang", "w")) // v3
+      q.processAllAvailable()
+      val drift = sourceCounts.map { case (k, v) => k -> (v - base(k)) }
+        .filter(_._2 != 0L)
+      assert(derivedCounts === drift,
+        s"derived $derivedCounts must equal source drift $drift")
+    } finally q.stop()
+  }
+
   test("default start position streams only commits after stream start") {
     val path = freshPath("graft-spec-cf-def")
     TableLog.create(spark, path, (0L until 50L).map(i => (i, i)).toDF("id", "w"))
