@@ -1588,6 +1588,48 @@ object TableLog {
         }
     }
 
+  /** [[appendBatch]]'s exactly-once contract under OPTIMISTIC
+    * concurrency — concurrent lock-free sinks to one table: if `tag`
+    * is already committed, return its version without writing;
+    * otherwise stage once and retry the version CAS, re-checking the
+    * tag on every attempt (losing the race to the SAME tag returns
+    * the winner's version and leaves our staged files as vacuum
+    * orphans — the rows land exactly once; losing to a DIFFERENT
+    * commit rebases and retries, the append-append rule).
+    */
+  def appendBatchOptimistic(
+      spark: SparkSession, path: String, df: DataFrame, tag: String,
+      maxRetries: Int = 16): Long =
+    tags(spark, path).get(tag) match {
+      case Some(v) => v
+      case None =>
+        val v0 = latestVersion(spark, path)
+        val cur0 = readManifestFull(spark, path, v0)
+        requireUnpartitioned(cur0, "appendBatchOptimistic")
+        val base0 = cur0.schema.orElse(
+          Some(readFiles(spark, path, cur0, cur0.files).schema))
+        mergedSchema(base0, df.schema)
+        val (names, stats) = writeDataFiles(spark, path, df)
+        var attempt = 0
+        while (attempt < maxRetries) {
+          tags(spark, path).get(tag) match {
+            case Some(v) => return v // a concurrent sink won this tag
+            case None =>
+              val v = latestVersion(spark, path)
+              val cur = readManifestFull(spark, path, v)
+              val base = cur.schema.orElse(
+                Some(readFiles(spark, path, cur, cur.files).schema))
+              val merged = mergedSchema(base, df.schema)
+              if (commitTry(spark, path, v + 1, cur.files ++ names,
+                cur.stats ++ stats, Some(tag), Some(merged))) return v + 1
+          }
+          attempt += 1
+        }
+        throw new IllegalStateException(
+          s"TableLog.appendBatchOptimistic: lost the commit race " +
+            s"$maxRetries times at $path — staged files go to vacuum")
+    }
+
   /** RESTORE: re-commit version `v`'s exact state (files, bounds,
     * schema) as the NEW latest version — the Delta RESTORE shape.
     * Zero data IO: the manifest is copied forward, the bad versions

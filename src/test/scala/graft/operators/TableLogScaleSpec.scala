@@ -161,6 +161,43 @@ class TableLogScaleSpec extends GraftSparkSpec {
     }
   }
 
+  test("optimistic tagged appends: concurrent same-tag sinks land exactly once") {
+    val path = freshPath("graft-spec-tlog-optag")
+    TableLog.create(spark, path, (0L until 10L).map(i => (i, i)).toDF("id", "w"))
+    val batch = (100L until 120L).map(i => (i, i)).toDF("id", "w")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      // 4 sinks replay the SAME batch tag concurrently: one commit
+      val sameTag = (0 until 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = TableLog.appendBatchOptimistic(
+            spark, path, batch.coalesce(1), "batch-42")
+        })
+      }.map(_.get()).toSet
+      assert(sameTag.size === 1, s"same tag must land once, got $sameTag")
+      assert(TableLog.read(spark, path).count() === 30L,
+        "the batch's rows must be present exactly once")
+      // different tags from concurrent sinks all land
+      val diffTags = (0 until 3).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = TableLog.appendBatchOptimistic(
+            spark, path,
+            (0L until 5L).map(i => (2000L * t + i, i)).toDF("id", "w")
+              .coalesce(1), s"b-$t")
+        })
+      }.map(_.get()).sorted
+      assert(diffTags.distinct.size === 3,
+        s"distinct tags must land as distinct versions, got $diffTags")
+      assert(TableLog.read(spark, path).count() === 45L)
+      assert(TableLog.tags(spark, path).keySet ===
+        Set("batch-42", "b-0", "b-1", "b-2"))
+      // replay after the fact is still a no-op
+      assert(TableLog.appendBatchOptimistic(spark, path, batch, "batch-42")
+        === sameTag.head)
+      assert(TableLog.read(spark, path).count() === 45L)
+    } finally pool.shutdown()
+  }
+
   test("UTF-8 string bounds: supplementary-plane rows are never wrongly pruned") {
     val path = freshPath("graft-spec-tlog-utf8")
     // one file holding U+FFFD and U+1F600: Java UTF-16 order ranks the
