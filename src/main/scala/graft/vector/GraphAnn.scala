@@ -52,14 +52,15 @@ object GraphAnn {
   def build(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], m: Int = 6, replicas: Int = 2,
-      maxCellSize: Long = DefaultMaxCellSize): (DataFrame, DataFrame) = {
+      maxCellSize: Long = DefaultMaxCellSize,
+      hier: Option[Ivf.CoarseLayer] = None): (DataFrame, DataFrame) = {
     require(m >= 1 && replicas >= 1, "build: m, replicas >= 1")
     // assignCapped: the maxCellSize quadratic guard keeps the
     // maxCellSize smallest ids per cell — the SemDedup cap discipline
     // (dropped rows keep their OTHER replica cells, so coverage
     // degrades gracefully)
     val assigned = assignCapped(
-      corpus, idCol, vecCol, centroids, replicas, maxCellSize)
+      corpus, idCol, vecCol, centroids, replicas, maxCellSize, hier)
     // symmetrize: a directed kNN graph is not navigable (hub points
     // collect in-edges their own out-lists never return; greedy walks
     // stall in local clumps) — NSW keeps both directions for exactly
@@ -198,7 +199,7 @@ object GraphAnn {
   def buildCellGraphScalable(
       spark: SparkSession,
       centroids: Array[Array[Double]], cellM: Int = 4,
-      flatBound: Int = 16384): Array[(Int, Int)] = {
+      flatBound: Int = 16384, hierAssignBound: Int = 4096): Array[(Int, Int)] = {
     require(flatBound >= 4, "buildCellGraphScalable: flatBound >= 4")
     val n = centroids.length
     if (n <= flatBound) buildCellGraph(centroids, cellM)
@@ -214,8 +215,18 @@ object GraphAnn {
       // cell kNN stays far inside the flat regime even at 2x replicas
       val superK = math.max(4, n / math.max(1, flatBound / 4))
       val superCentroids = Ivf.fitCentroids(cdf, "cvec", superK)
+      // multi-layer recursion in the ASSIGNMENT step: past
+      // hierAssignBound super-cells, per-row assignment cost drops
+      // from O(superK·d) to O(√superK·d·fan) through a coarse layer
+      // over the super-centroids — without it the assignment itself
+      // re-grows the quadratic the super split removed
+      val hier =
+        if (superK > hierAssignBound)
+          Some(Ivf.fitCoarseLayer(spark, superCentroids))
+        else None
       val (edges, _) = build(cdf, "cid", "cvec", superCentroids,
-        m = cellM, replicas = 2, maxCellSize = flatBound.toLong)
+        m = cellM, replicas = 2, maxCellSize = flatBound.toLong,
+        hier = hier)
       edges.select(col("src").cast("int"), col("dst").cast("int"))
         .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
     }
@@ -397,13 +408,19 @@ object GraphAnn {
   private def assignCapped(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], replicas: Int,
-      maxCellSize: Long): DataFrame = {
+      maxCellSize: Long,
+      hier: Option[Ivf.CoarseLayer] = None): DataFrame = {
+    val nearest = hier match {
+      case Some(layer) => Ivf.nearest_cells_hier(col(vecCol), layer,
+        centroids, math.min(replicas, centroids.length), fan = 8)
+      case None => Ivf.nearest_cells(col(vecCol), centroids,
+        math.min(replicas, centroids.length))
+    }
     val assigned0 = corpus.select(
       col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("_v"),
       Ann.l2norm(col(vecCol)).as("_n"),
-      explode(Ivf.nearest_cells(col(vecCol), centroids,
-        math.min(replicas, centroids.length))).as("cell"))
+      explode(nearest).as("cell"))
     if (maxCellSize <= 0) assigned0
     else {
       val wc = Window.partitionBy(col("cell")).orderBy(col("id").asc)

@@ -79,6 +79,149 @@ object Ivf {
   def nearest_cells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     GraftInterop.column(NearestCellsExpr(GraftInterop.expression(v), centroids, nprobe))
 
+  /** Two-level assignment layer over a LARGE centroid set: `coarse`
+    * k-means centroids fit over the cell centroids themselves, plus
+    * each centroid's coarse membership (by its NORMALIZED form — the
+    * space [[nearestCells]] measures queries in). Lifts per-row
+    * assignment from O(K·d) to O(g·d + fan·(K/g)·d): the recursion in
+    * the ASSIGNMENT step the one-super-level scalable build lacked.
+    */
+  final case class CoarseLayer(
+      coarse: Array[Array[Double]], members: Array[Array[Int]])
+
+  /** Fit a coarse layer over `centroids`: k-means on a bounded
+    * deterministic stride sample (quantizer quality saturates early,
+    * the [[fitCentroids]] argument), membership assigned by a Spark
+    * job (O(K·g·d) stays off the driver).
+    */
+  def fitCoarseLayer(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]], g: Int = 0,
+      seed: Long = 42L): CoarseLayer = {
+    val k = math.max(2, if (g > 0) g
+      else math.ceil(math.sqrt(centroids.length.toDouble)).toInt)
+    val cap = 65536
+    val sample =
+      if (centroids.length <= cap) centroids
+      else {
+        val step = math.max(1, centroids.length / cap)
+        centroids.indices.collect { case i if i % step == 0 => centroids(i) }
+          .toArray
+      }
+    val coarse = fitCentroids(sample, k, seed, 10)
+    val pairs = spark.sparkContext
+      .parallelize(centroids.toIndexedSeq.zipWithIndex,
+        math.min(64, math.max(1, centroids.length / 1024)))
+      .map { case (c, i) =>
+        // normalize the centroid first: queries are unit vectors, so
+        // the coarse group a centroid lands in must be the one unit
+        // vectors NEAR it would pick
+        var norm = 0.0
+        var j = 0
+        while (j < c.length) { norm += c(j) * c(j); j += 1 }
+        val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+        var best = 0
+        var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < coarse.length) {
+          val cc = coarse(ci)
+          var acc = 0.0
+          var jj = 0
+          val m = math.min(c.length, cc.length)
+          while (jj < m) {
+            val d = c(jj) * inv - cc(jj); acc += d * d; jj += 1
+          }
+          if (acc < bestD) { bestD = acc; best = ci }
+          ci += 1
+        }
+        (best, i)
+      }.collect()
+    val members = Array.fill(coarse.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    pairs.foreach { case (gid, i) => members(gid) += i }
+    CoarseLayer(coarse, members.map(_.sorted.toArray))
+  }
+
+  /** `nearest_cells` through a [[CoarseLayer]]: rank the coarse
+    * groups by distance, take groups in order until at least `fan`
+    * are in AND the candidate pool covers `nprobe`, then rank only
+    * the member centroids. With `fan >= #groups` this IS
+    * [[nearestCells]] (spec-pinned); smaller fans trade exactness of
+    * the assignment for the O(g + fan·K/g) cost.
+    */
+  case class NearestCellsHierExpr(
+      child: Expression, layer: CoarseLayer,
+      centroids: Array[Array[Double]], nprobe: Int, fan: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "nearest_cells_hier"
+
+    @transient private lazy val isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      Ivf.nearestCellsHier(input.asInstanceOf[ArrayData], layer,
+        centroids, nprobe, fan, isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lref = ctx.addReferenceObj("graftCoarseLayer", layer,
+        classOf[CoarseLayer].getName)
+      val cref = ctx.addReferenceObj("graftCentroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.vector.Ivf.nearestCellsHier(" +
+          s"$input, $lref, $cref, $nprobe, $fan, $isFloat);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def nearestCellsHier(
+      v: ArrayData, layer: CoarseLayer, centroids: Array[Array[Double]],
+      nprobe: Int, fan: Int, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    val vec = new Array[Double](n)
+    var i = 0
+    var norm = 0.0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      vec(i) = x; norm += x * x; i += 1
+    }
+    val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+    i = 0
+    while (i < n) { vec(i) *= inv; i += 1 }
+    def l2(cent: Array[Double]): Double = {
+      var acc = 0.0
+      var j = 0
+      val m = math.min(n, cent.length)
+      while (j < m) { val d = vec(j) - cent(j); acc += d * d; j += 1 }
+      acc
+    }
+    val coarseOrder = layer.coarse.map(l2).zipWithIndex.sortBy(_._1)
+    val cands = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var gTaken = 0
+    while (gTaken < coarseOrder.length &&
+      (gTaken < fan || cands.length < nprobe)) {
+      cands ++= layer.members(coarseOrder(gTaken)._2)
+      gTaken += 1
+    }
+    // ascending-id candidates + stable distance sort == the flat
+    // rank's tie behavior (flat ties break by centroid index)
+    val sortedCands = cands.toArray.sorted
+    val ranked = sortedCands.map(c => (l2(centroids(c)), c))
+      .sortBy(_._1).take(math.min(nprobe, sortedCands.length))
+    new GenericArrayData(ranked.map(_._2.asInstanceOf[Any]))
+  }
+
+  def nearest_cells_hier(
+      v: Column, layer: CoarseLayer, centroids: Array[Array[Double]],
+      nprobe: Int, fan: Int): Column =
+    GraftInterop.column(NearestCellsHierExpr(
+      GraftInterop.expression(v), layer, centroids, nprobe, fan))
+
   private def normalized(v: Column): Column = {
     val n = Ann.l2norm(v)
     transform(v, x => x.cast("double") / n)

@@ -337,4 +337,65 @@ class GraphAnnSpec extends GraftSparkSpec {
       .filter(col("neighbor_id") === col("_true")).count() / 20.0
     assert(recall >= 0.95, s"hier recall through recursive cell layer: $recall")
   }
+
+  test("hierarchical assignment: full fan IS the flat rank; small fan keeps fidelity") {
+    import spark.implicits._
+    // 60 centroids in 12 well-separated direction clusters
+    val rnd = new scala.util.Random(7)
+    val cents = (0 until 60).map { i =>
+      val base = i % 12
+      val t = base * (2 * math.Pi / 12)
+      Array(math.cos(t) + rnd.nextGaussian() * 0.02,
+        math.sin(t) + rnd.nextGaussian() * 0.02,
+        0.3 + rnd.nextGaussian() * 0.02)
+    }.toArray
+    val layer = Ivf.fitCoarseLayer(spark, cents, g = 8)
+    assert(layer.members.map(_.length).sum === 60,
+      "every centroid belongs to exactly one coarse group")
+    val vecs = (0 until 300).map { i =>
+      val t = (i % 12) * (2 * math.Pi / 12)
+      (i.toLong, Seq(math.cos(t) + rnd.nextGaussian() * 0.05,
+        math.sin(t) + rnd.nextGaussian() * 0.05,
+        0.3 + rnd.nextGaussian() * 0.05))
+    }.toDF("id", "v")
+    // fan >= #groups: exactly the flat expression, ties included
+    val both = vecs.select(
+      Ivf.nearest_cells(col("v"), cents, 3).as("flat"),
+      Ivf.nearest_cells_hier(col("v"), layer, cents, 3, fan = 8).as("full"),
+      Ivf.nearest_cells_hier(col("v"), layer, cents, 3, fan = 2).as("narrow"))
+      .collect()
+    assert(both.forall(r => r.getSeq[Int](0) == r.getSeq[Int](1)),
+      "full-fan hier assignment must equal the flat rank exactly")
+    // fan = 2 of 8 groups: the nearest cell still found for nearly all
+    // rows on a separated fixture (each direction cluster maps into
+    // few coarse groups)
+    val hit = both.count(r => r.getSeq[Int](2).headOption ==
+      r.getSeq[Int](0).headOption).toDouble / both.length
+    assert(hit >= 0.9, s"narrow-fan top-1 fidelity: $hit")
+    // candidate widening: nprobe larger than the first groups' pool
+    // keeps returning nprobe cells
+    val wide = vecs.select(Ivf.nearest_cells_hier(
+      col("v"), layer, cents, 40, fan = 1).as("w")).collect()
+    assert(wide.forall(_.getSeq[Int](0).length === 40))
+  }
+
+  test("scalable cell graph with hierarchical assignment keeps the flat-build contract") {
+    val nCells = 200
+    val cellCentroids = (0 until nCells).map { i =>
+      val t = i * 0.02
+      Array(math.cos(t), math.sin(t), math.cos(2 * t) * 0.3, 1.0)
+    }.toArray
+    val flat = GraphAnn.buildCellGraph(cellCentroids, cellM = 4).toSet
+    // flatBound = 32 forces the distributed path (superK = 25);
+    // hierAssignBound = 8 << 25 forces the COARSE-LAYER assignment too
+    val rec = GraphAnn.buildCellGraphScalable(
+      spark, cellCentroids, cellM = 4, flatBound = 32,
+      hierAssignBound = 8).toSet
+    assert(rec.forall { case (a, b) => rec.contains((b, a)) }, "symmetry")
+    assert(rec.forall { case (a, b) =>
+      a >= 0 && a < nCells && b >= 0 && b < nCells && a != b })
+    val overlap = flat.count(rec.contains).toDouble / flat.size
+    assert(overlap >= 0.7,
+      s"hier-assigned recursive build kept only $overlap of flat edges")
+  }
 }
