@@ -291,16 +291,20 @@ object Mixture {
       availCol: String,
       weightCol: String,
       budgetPerEpoch: Column): DataFrame = {
-    val epochs = perEpoch.select(col(epochCol).cast("int")).distinct()
+    // the caller's per-epoch totals usually hang off a full corpus
+    // aggregation; truncate it ONCE (#strata × E rows) or every epoch
+    // step, guard count, and checkpoint below re-runs the corpus pass
+    val perEp = perEpoch.localCheckpoint()
+    val epochs = perEp.select(col(epochCol).cast("int")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     require(epochs.nonEmpty && epochs.head == 0 &&
       epochs.last == epochs.length - 1,
       s"annealScheduleGated: epochs must be dense 0..E-1, got $epochs")
-    var consumed = perEpoch.select(col(stratumCol)).distinct()
+    var consumed = perEp.select(col(stratumCol)).distinct()
       .withColumn("_mx_consumed", lit(0L))
       .localCheckpoint()
     val steps = epochs.map { e =>
-      val stepIn = perEpoch.where(col(epochCol) === e)
+      val stepIn = perEp.where(col(epochCol) === e)
         .join(consumed, Seq(stratumCol))
         .select(col(stratumCol),
           (col(availCol).cast("long") - col("_mx_consumed")).as("avail"),
