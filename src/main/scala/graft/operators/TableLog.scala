@@ -496,8 +496,9 @@ object TableLog {
 
   private def commitFull(
       spark: SparkSession, path: String, v: Long, m: Manifest): Long = {
-    require(commitTryFull(spark, path, v, m),
-      s"TableLog: commit rename failed for v$v (concurrent writer?)")
+    if (!commitTryFull(spark, path, v, m))
+      throw new CommitRaceException(
+        s"TableLog: commit of v$v lost the race (concurrent writer)")
     v
   }
 
@@ -509,6 +510,33 @@ object TableLog {
     */
   private val commitGuard =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** A commit lost the version CAS to a concurrent writer (an
+    * optimistic appender can steal a locked mutator's version —
+    * appends take no lock). Locked mutators RETRY on it: the whole
+    * mutation recomputes against the new latest, so a retried delete
+    * also covers rows a concurrent append landed meanwhile — the
+    * write-serializable outcome.
+    */
+  final class CommitRaceException(msg: String) extends RuntimeException(msg)
+
+  private def withStealRetry[A](op: String, attempts: Int = 3)(body: => A): A = {
+    var i = 0
+    while (true) {
+      try return body
+      catch {
+        case _: CommitRaceException if i < attempts - 1 => i += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Test seam: a one-shot action run INSIDE commitTryFull, before
+    * the CAS, keyed by table path — lets a spec inject a concurrent
+    * commit deterministically into the race window.
+    */
+  private[operators] val testPreCommit =
+    new java.util.concurrent.ConcurrentHashMap[String, Runnable]()
 
   /** Attempt to publish version `v`; false iff another writer already
     * committed it — the compare-and-swap [[appendOptimistic]] retries
@@ -541,6 +569,7 @@ object TableLog {
     out.write(renderManifest(
       m.copy(ts = Some(System.currentTimeMillis()))).getBytes(UTF_8))
     out.close()
+    Option(testPreCommit.remove(path)).foreach(_.run())
     val dest = manifestPath(path, v)
     val guard = commitGuard.computeIfAbsent(s"$path#v$v", _ => new Object)
     val won = guard.synchronized {
@@ -737,7 +766,14 @@ object TableLog {
 
   private def withLock[A](spark: SparkSession, path: String, op: String)(
       body: => A): A =
-    IndexOps.withMutationLock(spark, path, s"TableLog.$op")(body)
+    IndexOps.withMutationLock(spark, path, s"TableLog.$op") {
+      // every locked mutator recomputes from latestVersion, so a
+      // stolen version (a lock-free optimistic appender landed v+1
+      // first) retries the WHOLE mutation against the new latest —
+      // the write-serializable outcome (a retried delete also covers
+      // the appended rows). Bounded; exhaustion propagates the race.
+      withStealRetry(op)(body)
+    }
 
   /** Rewrite maintenance on partitioned tables would have to re-route
     * every rewritten row into its hive directory and re-record its
@@ -1376,14 +1412,50 @@ object TableLog {
     * over BY NAME with their recorded bounds (zero IO — the manifest
     * layer's advantage over the directory-swap
     * [[StorageLayout.deleteWhere]], which must link or copy them),
-    * touched files are rewritten without their matches.
+    * touched files are rewritten without their matches. Works on
+    * PARTITIONED tables too: the predicate may reference partition
+    * columns (recovered by the read), and rewritten survivors route
+    * back into their hive directories with fresh partition records.
+    * Retries on a stolen version (concurrent optimistic append):
+    * the recomputed delete also covers the appended rows.
     */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column): Long =
     withLock(spark, path, "deleteWhere") {
       val v = latestVersion(spark, path)
       val cur = readManifestFull(spark, path, v)
-      requireUnpartitioned(cur, "deleteWhere")
       deleteCore(spark, path, v, cur, cur.files, predicate)
+    }
+
+  /** Drop entire partitions as a new version — a PURE MANIFEST
+    * operation: the partition's files simply leave the file list
+    * (zero data IO, the classic `ALTER TABLE DROP PARTITION`);
+    * their bytes stay on disk for time travel until [[vacuum]].
+    * `eq` may pin any SUBSET of the partition columns (all matching
+    * partitions drop). Refuses to drop the last file (empty tables
+    * are not representable, same as a full delete).
+    */
+  def deletePartition(
+      spark: SparkSession, path: String, eq: Map[String, String]): Long =
+    withLock(spark, path, "deletePartition") {
+      val v = latestVersion(spark, path)
+      checkNotVacuumed(spark, path, v)
+      val m = readManifestFull(spark, path, v)
+      require(m.partCols.nonEmpty,
+        "TableLog.deletePartition: table is not partitioned")
+      val unknown = eq.keySet -- m.partCols.toSet
+      require(unknown.isEmpty,
+        s"TableLog.deletePartition: not partition columns: ${unknown.mkString(", ")}")
+      val idx = m.partCols.zipWithIndex.toMap
+      val dropped = m.files.filter { n =>
+        m.parts.get(n).exists(vals =>
+          eq.forall { case (c, want) => vals(idx(c)) == want })
+      }.toSet
+      if (dropped.isEmpty) commitFull(spark, path, v + 1, m.copy(tag = None))
+      else commitFull(spark, path, v + 1, m.copy(
+        tag = None,
+        files = m.files.filterNot(dropped.contains),
+        stats = m.stats.filterNot { case (k, _) => dropped.contains(k) },
+        parts = m.parts -- dropped))
     }
 
   /** [[deleteWhere]] specialized to a band on a stats column: the
@@ -1402,7 +1474,6 @@ object TableLog {
       val v = latestVersion(spark, path)
       checkNotVacuumed(spark, path, v)
       val cur = readManifestFull(spark, path, v)
-      requireUnpartitioned(cur, "deleteBand")
       val candidates = cur.files.filter { n =>
         cur.stats.get(n).flatMap(_.get(colName)) match {
           case None => true
@@ -1411,13 +1482,25 @@ object TableLog {
       }
       val pred = col(colName) >= lit(lower) && col(colName) <= lit(upper)
       if (candidates.isEmpty)
-        commit(spark, path, v + 1, cur.files, cur.stats, schema = cur.schema)
+        commitFull(spark, path, v + 1, cur.copy(tag = None))
       else deleteCore(spark, path, v, cur, candidates, pred)
     }
+
+  /** A scanned file's data/-relative path (the manifest's name
+    * space): flat basename for unpartitioned tables, `col=value/...`
+    * for partitioned ones.
+    */
+  private def relName(path: String, filePath: String): String = {
+    val dataUri = dataDir(path).toUri.getPath
+    new Path(filePath).toUri.getPath.stripPrefix(dataUri).stripPrefix("/")
+  }
 
   /** Shared delete engine: find files containing matches WITHIN the
     * candidate set (one bounded `_metadata.file_path` job), rewrite
     * only those without their matches, carry everything else by name.
+    * On a partitioned table, survivors (whose partition columns the
+    * read recovered) route back into their hive directories with
+    * fresh partition records.
     */
   private def deleteCore(
       spark: SparkSession, path: String, v: Long, cur: Manifest,
@@ -1427,9 +1510,9 @@ object TableLog {
       .groupBy(col("_metadata.file_path").as("_tl_f"))
       .agg(count(lit(1)).as("_tl_n")).collect()
     val touchedNames =
-      perFileMatches.map(r => new Path(r.getString(0)).getName).toSet
+      perFileMatches.map(r => relName(path, r.getString(0))).toSet
     if (touchedNames.isEmpty)
-      commit(spark, path, v + 1, cur.files, cur.stats, schema = cur.schema)
+      commitFull(spark, path, v + 1, cur.copy(tag = None))
     else {
       val rowsDeleted = perFileMatches.map(_.getLong(1)).sum
       val (touched, untouched) = cur.files.partition(touchedNames.contains)
@@ -1440,9 +1523,17 @@ object TableLog {
       // would drop them silently (StorageLayout.deleteWhere
       // discipline)
       val survivors = touchedDf.where(!coalesce(predicate, lit(false)))
-      val (newFiles, newStats) =
-        if (survivors.isEmpty) (Nil, Map.empty[String, Map[String, ColBound]])
-        else writeDataFiles(spark, path, survivors)
+      val noSurvivors = survivors.isEmpty
+      val (newFiles, newStats, newParts) =
+        if (noSurvivors)
+          (Nil, Map.empty[String, Map[String, ColBound]],
+            Map.empty[String, Seq[String]])
+        else if (cur.partCols.nonEmpty)
+          writeDataFilesPartitioned(spark, path, survivors, cur.partCols)
+        else {
+          val (ns, st) = writeDataFiles(spark, path, survivors)
+          (ns, st, Map.empty[String, Seq[String]])
+        }
       // row accounting BEFORE the commit rename: a survivor filter
       // that dropped more than the matched rows (e.g. a
       // non-deterministic predicate) aborts here, leaving only
@@ -1455,9 +1546,12 @@ object TableLog {
       require(survivorRows == touchedRows - rowsDeleted,
         s"TableLog.deleteWhere: survivors have $survivorRows rows, want " +
           s"${touchedRows - rowsDeleted} — aborting commit (orphans go to vacuum)")
-      commit(spark, path, v + 1, untouched ++ newFiles,
-        cur.stats.filterNot { case (k, _) => touchedNames.contains(k) } ++ newStats,
-        schema = cur.schema)
+      commitFull(spark, path, v + 1, cur.copy(
+        tag = None,
+        files = untouched ++ newFiles,
+        stats = cur.stats.filterNot { case (k, _) =>
+          touchedNames.contains(k) } ++ newStats,
+        parts = (cur.parts -- touchedNames) ++ newParts))
     }
   }
 

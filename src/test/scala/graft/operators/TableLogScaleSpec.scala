@@ -267,12 +267,10 @@ class TableLogScaleSpec extends GraftSparkSpec {
         .where(col("lang") === "zh" && col("w").between(0L, 99L))
         .select("id", "w", "lang")))
 
-    // rewrite maintenance refuses loudly; time travel + vacuum work
+    // layout-flattening maintenance refuses loudly; time travel +
+    // vacuum work (deleteWhere is partition-aware since round 13)
     intercept[IllegalArgumentException] {
       TableLog.compact(spark, path, 1000L)
-    }
-    intercept[IllegalArgumentException] {
-      TableLog.deleteWhere(spark, path, col("w") < 10L)
     }
     intercept[IllegalArgumentException] {
       TableLog.append(spark, path, data)
@@ -307,6 +305,86 @@ class TableLogScaleSpec extends GraftSparkSpec {
     assert(TableLog.changes(spark, path, 3L, 4L).inputFiles.length ===
       TableLog.files(spark, path, Some(4L)).size -
         TableLog.files(spark, path, Some(3L)).size)
+  }
+
+  test("partitioned deleteWhere: survivors route back into their hive dirs") {
+    val path = freshPath("graft-spec-tlog-pdel")
+    val data = (0L until 3000L).map(i =>
+      (i, Seq("en", "de", "zh")((i % 3L).toInt), i % 500L))
+      .toDF("id", "lang", "w")
+    TableLog.createPartitioned(spark, path, data.repartition(4), Seq("lang"))
+    // predicate mixes a partition column and a data column
+    val v2 = TableLog.deleteWhere(spark, path,
+      col("lang") === "en" && col("w") < 100L)
+    assert(v2 === 2L)
+    val got = TableLog.read(spark, path)
+    assert(got.count() === 3000L - 200L)
+    assert(rows(got.select("id", "lang", "w")) ===
+      rows(data.where(!(col("lang") === "en" && col("w") < 100L))
+        .select("id", "lang", "w")))
+    // de/zh files untouched (carried by name); en rewritten IN PLACE
+    // under lang=en/ with partition records intact
+    val f1 = TableLog.files(spark, path, Some(1L))
+    val f2 = TableLog.files(spark, path, Some(2L))
+    assert(f1.filterNot(_.startsWith("lang=en/")).toSet ===
+      f2.filterNot(_.startsWith("lang=en/")).toSet)
+    assert(f2.filter(_.startsWith("lang=en/")).nonEmpty)
+    assert(TableLog.readPartition(spark, path, Map("lang" -> "en")).count()
+      === 1000L - 200L, "partition pruning still served after the rewrite")
+    // time travel intact; vacuum collects the old en files
+    assert(TableLog.read(spark, path, Some(1L)).count() === 3000L)
+    TableLog.vacuum(spark, path, keepVersions = 1)
+    assert(TableLog.read(spark, path).count() === 2800L)
+  }
+
+  test("deletePartition: zero-IO manifest drop of whole partitions") {
+    val path = freshPath("graft-spec-tlog-pdrop")
+    val data = (0L until 900L).map(i =>
+      (i, Seq("en", "de", "zh")((i % 3L).toInt), i))
+      .toDF("id", "lang", "w")
+    TableLog.createPartitioned(spark, path, data.repartition(3), Seq("lang"))
+    val before = TableLog.files(spark, path)
+    val v2 = TableLog.deletePartition(spark, path, Map("lang" -> "de"))
+    assert(v2 === 2L)
+    // pure manifest op: every surviving file is an ORIGINAL file
+    val after = TableLog.files(spark, path)
+    assert(after.toSet === before.filterNot(_.startsWith("lang=de/")).toSet)
+    assert(TableLog.read(spark, path).count() === 600L)
+    assert(TableLog.read(spark, path)
+      .where(col("lang") === "de").count() === 0L)
+    // time travel keeps the dropped partition until vacuum
+    assert(TableLog.read(spark, path, Some(1L)).count() === 900L)
+    // unknown value: carry-over; unknown column: refusal
+    assert(TableLog.files(spark, path,
+      Some(TableLog.deletePartition(spark, path, Map("lang" -> "xx")))).toSet
+      === after.toSet)
+    intercept[IllegalArgumentException] {
+      TableLog.deletePartition(spark, path, Map("bogus" -> "x"))
+    }
+  }
+
+  test("stolen version: a locked mutator retries against the new latest (write-serializable)") {
+    val path = freshPath("graft-spec-tlog-steal")
+    val data = (0L until 1000L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, data.repartition(2))
+    // inject an optimistic append INTO deleteWhere's race window: the
+    // delete computes against v1, the append steals v2, the delete
+    // must retry against v2 and cover the appended rows too
+    TableLog.testPreCommit.put(path, new Runnable {
+      override def run(): Unit = {
+        TableLog.appendOptimistic(spark, path,
+          (5000L until 5010L).map(i => (i, i)).toDF("id", "w").coalesce(1))
+        ()
+      }
+    })
+    val v = TableLog.deleteWhere(spark, path, col("id") >= 500L)
+    assert(v === 3L, "the delete must land AFTER the stolen append")
+    val got = TableLog.read(spark, path)
+    assert(got.count() === 500L,
+      "the retried delete must also cover the concurrently appended rows")
+    assert(got.where(col("id") >= 5000L).count() === 0L)
+    // intermediate state shows the append alone
+    assert(TableLog.read(spark, path, Some(2L)).count() === 1010L)
   }
 
   test("optimizePartition: one partition reclusters, the rest carries over by name") {
