@@ -707,11 +707,12 @@ object TableLog {
     */
   private def writeDataFilesInto(
       spark: SparkSession, path: String, df: DataFrame,
-      subdir: Option[String])
+      subdir: Option[String],
+      writerOptions: Map[String, String] = Map.empty)
       : (Seq[String], Map[String, Map[String, ColBound]]) = {
     val f = fs(spark, path)
     val scratch = new Path(s"$path/_scratch_${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(scratch.toString)
+    df.write.options(writerOptions).mode("overwrite").parquet(scratch.toString)
     val destDir = subdir.map(d => new Path(dataDir(path), d))
       .getOrElse(dataDir(path))
     f.mkdirs(destDir)
@@ -1373,6 +1374,65 @@ object TableLog {
           schema = m.schema)
       }
     }
+
+  /** OPTIMIZE for POINT LOOKUPS on hash-scattered keys — the pruning
+    * modality bounds cannot serve: on an unclustered high-cardinality
+    * key every file's [min,max] spans the domain, so an equality
+    * probe reads the whole table. Rewrites the latest version with
+    * parquet-native BLOOM FILTERS on `bloomCols` (stored in each
+    * file's footer region, consulted by the reader's row-group filter
+    * when an Eq predicate is pushed down): a [[readPoint]] then
+    * decodes ~one row group instead of the table, with zero manifest
+    * growth — the blooms live in the files, exactly where Delta
+    * stores its bloom index. Orthogonal to [[optimizeRange]]:
+    * clustering serves RANGES on one ordering; blooms serve EQUALITY
+    * on any listed column, layout-free.
+    */
+  def optimizeBloom(
+      spark: SparkSession, path: String, bloomCols: Seq[String],
+      numFiles: Int, expectedNdv: Long = 0L,
+      extraWriterOptions: Map[String, String] = Map.empty): Long =
+    withLock(spark, path, "optimizeBloom") {
+      require(numFiles > 0, "TableLog.optimizeBloom: numFiles must be positive")
+      require(bloomCols.nonEmpty, "TableLog.optimizeBloom: no columns")
+      val v = latestVersion(spark, path)
+      val m = readManifestFull(spark, path, v)
+      requireUnpartitioned(m, "optimizeBloom")
+      // dictionary-encoded chunks already serve equality through
+      // parquet's dictionary filter; blooms take over past the
+      // dictionary fallback threshold — exactly the high-cardinality
+      // regime a 100 TB key column lives in (the duel spec emulates
+      // the fallback by disabling the dictionary via
+      // extraWriterOptions)
+      val opts = bloomCols.flatMap { c =>
+        Seq(s"parquet.bloom.filter.enabled#$c" -> "true") ++
+          (if (expectedNdv > 0)
+            Seq(s"parquet.bloom.filter.expected.ndv#$c" -> expectedNdv.toString)
+          else Nil)
+      }.toMap ++ extraWriterOptions
+      val df = read(spark, path, Some(v)).repartition(numFiles)
+      val (names, stats) =
+        writeDataFilesInto(spark, path, df, None, opts)
+      commit(spark, path, v + 1, names, stats, schema = m.schema)
+    }
+
+  /** Point lookup: `read(version).where(colName === value)` with the
+    * file list cut against manifest bounds first (free; decisive on
+    * clustered tables) — and on an [[optimizeBloom]]'d table the scan
+    * itself skips row groups whose bloom excludes the value. The
+    * predicate is pushed as a genuine EQUALITY (not the band's
+    * `>= && <=` pair): parquet's bloom row-group filter only serves
+    * Eq, so routing through [[readBand]] would decode everything.
+    */
+  def readPoint(
+      spark: SparkSession, path: String, colName: String, value: Any,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    val kept = bandFiles(spark, path, colName, value, value, Some(v))
+    val m = readManifestFull(spark, path, v)
+    if (kept.isEmpty) emptyFrame(spark, path, m)
+    else readFiles(spark, path, m, kept).where(col(colName) === lit(value))
+  }
 
   /** The advisor loop closed (round-11 q184 → a committed version):
     * profile the CURRENT version, ask

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.GraftSparkSpec
@@ -305,6 +307,65 @@ class TableLogScaleSpec extends GraftSparkSpec {
     assert(TableLog.changes(spark, path, 3L, 4L).inputFiles.length ===
       TableLog.files(spark, path, Some(4L)).size -
         TableLog.files(spark, path, Some(3L)).size)
+  }
+
+  test("optimizeBloom: point lookups skip row groups where bounds cannot prune") {
+    def decoded(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+      df.collect()
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    import spark.implicits._
+    val n = 200000L
+    // hash-scattered unique-ish key: every file's [min,max] spans the
+    // whole domain, so manifest bounds keep all files
+    val data = (0L until n).map(i =>
+      (i, (i * 2654435761L) % 1000000007L, s"payload-$i")).toDF("id", "k", "p")
+    val target = (77L * 2654435761L) % 1000000007L
+
+    // baseline: dictionary off (the at-scale fallback), NO blooms —
+    // an Eq probe decodes everything
+    val basedir = freshPath("graft-spec-bloom-base")
+    data.repartition(8).write
+      .option("parquet.enable.dictionary", "false").parquet(basedir)
+    val dBase = decoded(spark.read.parquet(basedir).where(col("k") === target))
+    assert(dBase > n / 2, s"baseline should decode ~all rows, got $dBase")
+
+    val path = freshPath("graft-spec-bloom")
+    TableLog.create(spark, path, data.repartition(8))
+    TableLog.optimizeBloom(spark, path, Seq("k"), numFiles = 8,
+      expectedNdv = 30000L,
+      extraWriterOptions = Map("parquet.enable.dictionary" -> "false"))
+    // blooms really are in the footers (a silently-inert writer
+    // option would fake the whole duel)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val f0 = TableLog.read(spark, path).inputFiles.head
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f0), hconf))
+    val hasBloom = try {
+      rdr.getFooter.getBlocks.get(0).getColumns.asScala
+        .exists(c => c.getPath.toDotString == "k" && c.getBloomFilterOffset >= 0)
+    } finally rdr.close()
+    assert(hasBloom, "bloom filter must be present in the footer")
+
+    // bounds keep all 8 files (hash-scattered)…
+    assert(TableLog.bandFiles(spark, path, "k", target, target).size === 8)
+    // …but the scan's bloom row-group filter skips 7 of 8 groups
+    val point = TableLog.readPoint(spark, path, "k", target)
+    val dBloom = decoded(point)
+    assert(dBloom <= n / 4,
+      s"bloom point lookup decoded $dBloom of $n (baseline $dBase)")
+    // correct answer too
+    assert(point.select("id").collect().map(_.getLong(0)).toSet === Set(77L))
   }
 
   test("partitioned deleteWhere: survivors route back into their hive dirs") {
