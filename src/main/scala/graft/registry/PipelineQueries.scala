@@ -653,6 +653,33 @@ object PipelineQueries {
     }),
 
 
+    // bloom point lookups (round-13): a hash-scattered key no
+    // clustering serves — every file's bounds span the domain —
+    // rewritten with parquet-native blooms (optimizeBloom), then five
+    // equality probes through readPoint (the Eq predicate reaches
+    // parquet's bloom row-group filter; duel-measured 8x decode cut
+    // in the spec). Result-transparent: the oracle replays the key
+    // arithmetic and the IN-list
+    "q212_point_lookup" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlblm-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("k", expr("(doc_id * 2654435761) % 1000000007"))
+      graft.operators.TableLog.create(s, path, docs.repartition(8))
+      graft.operators.TableLog.optimizeBloom(
+        s, path, Seq("k"), numFiles = 8, expectedNdv = 100000L)
+      val keys = Seq(7L, 19L, 23L, 31L, 42L)
+        .map(i => (i * 2654435761L) % 1000000007L)
+      keys.map(k => graft.operators.TableLog.readPoint(s, path, "k", k))
+        .reduce(_ unionByName _)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"), col("k"))
+    }),
+
+
     // version diff / CDC between table versions (round-12): a
     // retention delete then an append, diffed v1 -> v3 — shared
     // manifest files cancel WITHOUT being read (immutability makes
@@ -1826,6 +1853,18 @@ object PipelineQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM mrg GROUP BY lang""".stripMargin,
+
+    // q212: the key arithmetic + IN-list replayed (collisions with
+    // other doc_ids mapping to a probed key would surface here too —
+    // the point read returns every row carrying the key)
+    "q212_point_lookup" -> {
+      val keys = Seq(7L, 19L, 23L, 31L, 42L)
+        .map(i => (i * 2654435761L) % 1000000007L).mkString(", ")
+      s"""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         |  (doc_id * 2654435761) % 1000000007 AS k
+         |FROM documents
+         |WHERE (doc_id * 2654435761) % 1000000007 IN ($keys)""".stripMargin
+    },
 
     // q193: the n_chars band aggregated per lang
     "q193_optimize_zorder" ->
