@@ -1637,12 +1637,21 @@ object TableLog {
     withLock(spark, path, "merge") {
       val v = latestVersion(spark, path)
       val cur = readManifestFull(spark, path, v)
-      requireUnpartitioned(cur, "merge")
       require(source.columns.contains(keyCol),
         s"TableLog.merge: source has no column $keyCol")
+      require(!cur.partCols.contains(keyCol),
+        s"TableLog.merge: $keyCol is a partition column — merge keys on a " +
+          "data column")
       val base = cur.schema.orElse(
         Some(readFiles(spark, path, cur, cur.files).schema))
-      val merged = mergedSchema(base, source.schema)
+      // partitioned tables: the source must carry the partition
+      // columns; rewritten survivors and the source route back into
+      // their hive dirs (a source row MAY move its key to another
+      // partition — the old copy leaves with the survivors' rewrite,
+      // the new one lands in its directory)
+      val merged =
+        if (cur.partCols.isEmpty) mergedSchema(base, source.schema)
+        else mergedSchema(base, partitionedSchema(source, cur.partCols))
       val srcDup = source.where(col(keyCol).isNull)
         .select(lit(1L)).limit(1)
         .unionAll(source.groupBy(col(keyCol)).count()
@@ -1671,7 +1680,7 @@ object TableLog {
           .groupBy(col("_tl_f"))
           .agg(count(lit(1)).as("_tl_n")).collect()
       val touchedNames =
-        perFileMatches.map(r => new Path(r.getString(0)).getName).toSet
+        perFileMatches.map(r => relName(path, r.getString(0))).toSet
       val nMatched = perFileMatches.map(_.getLong(1)).sum
       val (touched, untouched) = cur.files.partition(touchedNames.contains)
       val survivors =
@@ -1681,11 +1690,19 @@ object TableLog {
       val touchedRows =
         if (touched.isEmpty) 0L
         else readFiles(spark, path, cur, touched).count()
-      val (survNames, survStats) = survivors match {
-        case Some(df) if !df.isEmpty => writeDataFiles(spark, path, df)
-        case _ => (Nil, Map.empty[String, Map[String, ColBound]])
+      def writeSide(df: DataFrame)
+          : (Seq[String], Map[String, Map[String, ColBound]],
+            Map[String, Seq[String]]) =
+        if (cur.partCols.isEmpty) {
+          val (ns, st) = writeDataFiles(spark, path, df)
+          (ns, st, Map.empty[String, Seq[String]])
+        } else writeDataFilesPartitioned(spark, path, df, cur.partCols)
+      val (survNames, survStats, survParts) = survivors match {
+        case Some(df) if !df.isEmpty => writeSide(df)
+        case _ => (Nil, Map.empty[String, Map[String, ColBound]],
+          Map.empty[String, Seq[String]])
       }
-      val (srcNames, srcStats) = writeDataFiles(spark, path, source)
+      val (srcNames, srcStats, srcParts) = writeSide(source)
       // accounting BEFORE the rename: survivors must be exactly the
       // touched rows minus the matches (a non-deterministic source
       // key expression aborts here, never commits wrong)
@@ -1696,11 +1713,13 @@ object TableLog {
       require(survivorRows == touchedRows - nMatched,
         s"TableLog.merge: survivors have $survivorRows rows, want " +
           s"${touchedRows - nMatched} — aborting commit (orphans go to vacuum)")
-      commit(spark, path, v + 1,
-        untouched ++ survNames ++ srcNames,
-        cur.stats.filterNot { case (k, _) => touchedNames.contains(k) } ++
-          survStats ++ srcStats,
-        schema = Some(merged))
+      commitFull(spark, path, v + 1, cur.copy(
+        tag = None,
+        files = untouched ++ survNames ++ srcNames,
+        stats = cur.stats.filterNot { case (k, _) =>
+          touchedNames.contains(k) } ++ survStats ++ srcStats,
+        schema = Some(merged),
+        parts = (cur.parts -- touchedNames) ++ survParts ++ srcParts))
     }
 
   /** Tagged idempotent append — the exactly-once unit for streaming

@@ -448,6 +448,38 @@ class TableLogScaleSpec extends GraftSparkSpec {
     assert(TableLog.read(spark, path, Some(2L)).count() === 1010L)
   }
 
+  test("partitioned merge: upserts route into hive dirs; keys may migrate partitions") {
+    val path = freshPath("graft-spec-tlog-pmerge")
+    val data = (0L until 1200L).map(i =>
+      (i, Seq("en", "de")((i % 2L).toInt), i)).toDF("id", "lang", "w")
+    TableLog.createPartitioned(spark, path, data.repartition(4), Seq("lang"))
+    // update id 0 (stays en), id 2 MIGRATES en -> de, insert id 9000 (de)
+    val src = Seq(
+      (0L, "en", -1L), (2L, "de", -2L), (9000L, "de", -3L))
+      .toDF("id", "lang", "w")
+    val v2 = TableLog.merge(spark, path, src, "id")
+    assert(v2 === 2L)
+    val got = TableLog.read(spark, path)
+    assert(got.count() === 1201L)
+    assert(rows(got.where(col("w") < 0L).select("id", "lang", "w")) ===
+      rows(src))
+    // partition reads serve the migrated row from its NEW partition
+    assert(TableLog.readPartition(spark, path, Map("lang" -> "de"))
+      .where(col("id") === 2L).count() === 1L)
+    assert(TableLog.readPartition(spark, path, Map("lang" -> "en"))
+      .where(col("id") === 2L).count() === 0L)
+    // every file still lives under a partition dir with a record
+    val m2files = TableLog.files(spark, path, Some(2L))
+    assert(m2files.forall(f => f.startsWith("lang=en/") || f.startsWith("lang=de/")))
+    assert(rows(got.where(col("w") >= 0L).select("id", "lang", "w")) ===
+      rows(data.where(col("id") =!= 0L && col("id") =!= 2L)
+        .select("id", "lang", "w")))
+    // merge on a partition column as key is refused
+    intercept[IllegalArgumentException] {
+      TableLog.merge(spark, path, src, "lang")
+    }
+  }
+
   test("optimizePartition: one partition reclusters, the rest carries over by name") {
     val path = freshPath("graft-spec-tlog-optpart")
     val data = (0L until 3000L).map(i =>
