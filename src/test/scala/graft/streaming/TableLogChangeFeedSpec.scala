@@ -119,6 +119,68 @@ class TableLogChangeFeedSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("change feed keeps a persisted ANN index fresh: search equals a same-quantizer rebuild") {
+    val tbl = freshPath("graft-spec-cf-annsrc")
+    val idx = freshPath("graft-spec-cf-annidx")
+    val ref = freshPath("graft-spec-cf-annref")
+    def vec(i: Long): Seq[Double] =
+      (0 until 8).map(d => math.sin(i * 1.0 + d * 0.7))
+    val v1 = (0L until 400L).map(i => (i, vec(i))).toDF("id", "vec")
+    TableLog.create(spark, tbl, v1.repartition(4))
+    StreamingOps.annIngestInit(
+      TableLog.read(spark, tbl), "id", "vec", idx, nlist = 8)
+
+    // the downstream incremental consumer the verdict's change-feed
+    // item names: index maintenance subscribed to the table's CDC —
+    // removals tombstone, additions assign against the SAVED quantizer
+    val feed = spark.readStream
+      .format("graft.streaming.TableLogChangeFeed")
+      .option("path", tbl).option("fromVersion", "1").load()
+    val q = feed.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val dels = b.where(col("change") === "removed").select(col("id"))
+        if (!dels.isEmpty) graft.vector.Ivf.removeFromIndex(dels, "id", idx)
+        val adds = b.where(col("change") === "added")
+          .select(col("id"), col("vec"))
+        if (!adds.isEmpty) {
+          val stored = spark.read.parquet(s"$idx/vectors.parquet")
+            .select(col("id").as("_s"))
+          adds.join(stored, col("id") === col("_s"), "left_anti")
+            .select("id", "vec")
+            .write.mode("append").parquet(s"$idx/vectors.parquet")
+          graft.vector.Ivf.appendToIndex(adds, "id", "vec", idx)
+        }
+        ()
+    }.start()
+    try {
+      TableLog.deleteBand(spark, tbl, "id", 0L, 49L)               // v2
+      TableLog.append(spark, tbl,
+        (1000L until 1050L).map(i => (i, vec(i))).toDF("id", "vec")) // v3
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // reference: the SAME quantizer re-assigned over the table's
+    // CURRENT state — the maintained index must search identically
+    val cur = TableLog.read(spark, tbl)
+    graft.vector.Ivf.writeIndex(cur, "id", "vec", ref,
+      graft.vector.Ivf.loadCentroids(spark, idx))
+    val queries = (0 until 10).map(i => (i.toLong, vec(i * 37L + 3L)))
+      .toDF("qid", "qv")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val maintained = norm(StreamingOps.annIngestSearch(
+      spark, idx, queries, "qid", "qv", k = 3, nprobe = 8))
+    val rebuilt = norm(graft.vector.Ivf.searchIndex(
+      cur, "id", "vec", queries, "qid", "qv", ref, k = 3, nprobe = 8))
+    assert(maintained === rebuilt,
+      "maintained index must search exactly like the same-quantizer rebuild")
+    // deleted rows really are gone from results
+    val ids = StreamingOps.annIngestSearch(
+      spark, idx, queries, "qid", "qv", k = 3, nprobe = 8)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(i => i >= 50L))
+  }
+
   test("restart from the stream checkpoint resumes at the committed offset, no duplicates") {
     val path = freshPath("graft-spec-cf-restart")
     val ckpt = freshPath("graft-spec-cf-restart-ckpt")
