@@ -653,6 +653,33 @@ object PipelineQueries {
     }),
 
 
+    // partition retention (round-13): the zero-IO partition drop —
+    // a whole lang leaves the table as a pure manifest edit
+    // (ALTER TABLE DROP PARTITION), then a partitioned upsert lands
+    // post-drop rows; the read aggregates the surviving state.
+    // Result-transparent: drop = filter, append = union
+    "q213_partition_drop" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlpdrop-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      graft.operators.TableLog.createPartitioned(
+        s, path, docs.repartition(4), Seq("lang"))
+      graft.operators.TableLog.deletePartition(s, path, Map("lang" -> "de"))
+      graft.operators.TableLog.appendPartitioned(s, path,
+        docs.where(col("doc_id") < 30L)
+          .select((col("doc_id") + 600000L).as("doc_id"),
+            lit("de").as("lang"), col("source"), col("n_chars")))
+      graft.operators.TableLog.read(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+    }),
+
+
     // bloom point lookups (round-13): a hash-scattered key no
     // clustering serves — every file's bounds span the domain —
     // rewritten with parquet-native blooms (optimizeBloom), then five
@@ -1853,6 +1880,18 @@ object PipelineQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM mrg GROUP BY lang""".stripMargin,
+
+    // q213: drop = filter, post-drop append = union
+    "q213_partition_drop" ->
+      """WITH st AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'de'
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id, 'de' AS lang, n_chars
+        |  FROM documents WHERE doc_id < 30)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id
+        |FROM st GROUP BY lang""".stripMargin,
 
     // q212: the key arithmetic + IN-list replayed (collisions with
     // other doc_ids mapping to a probed key would surface here too —
