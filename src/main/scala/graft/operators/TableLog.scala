@@ -552,8 +552,12 @@ object TableLog {
 
   private def commitTryFull(
       spark: SparkSession, path: String, v: Long, m: Manifest): Boolean = {
-    require(m.files.nonEmpty, "TableLog: refusing to commit an empty file list " +
-      "(an all-rows delete; drop the table instead)")
+    // v1 with a recorded schema is CREATE TABLE without data
+    // ([[createEmpty]]); any later empty file list is an all-rows
+    // delete and stays refused
+    require(m.files.nonEmpty || (v == 1L && m.schema.isDefined),
+      "TableLog: refusing to commit an empty file list " +
+        "(an all-rows delete; drop the table instead)")
     // no quotes or brackets: defense in depth for any downstream
     // consumer that greps manifests textually (the JSON layer itself
     // escapes correctly since the stats upgrade)
@@ -819,6 +823,30 @@ object TableLog {
         s"TableLog: table already exists at $path")
       val (names, stats) = writeDataFiles(spark, path, df)
       commit(spark, path, 1L, names, stats, schema = Some(df.schema))
+    }
+
+  /** CREATE TABLE without data: version 1 is an empty manifest
+    * carrying only the schema (and partition columns) — the SQL
+    * catalog's `CREATE TABLE tablelog.` surface. The first
+    * append/appendPartitioned lands rows under the declared shape.
+    */
+  def createEmpty(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String] = Nil): Long =
+    withLock(spark, path, "createEmpty") {
+      require(versions(spark, path).isEmpty,
+        s"TableLog: table already exists at $path")
+      val missing = partCols.filterNot(c => schema.fieldNames.contains(c))
+      require(missing.isEmpty,
+        s"TableLog.createEmpty: partition columns not in schema: ${missing.mkString(", ")}")
+      // partition columns LAST, matching writeDataFilesPartitioned's
+      // recorded shape so the first appendPartitioned merges cleanly
+      val ordered = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(f => partCols.contains(f.name)) ++
+          partCols.map(c => schema.fields(schema.fieldIndex(c))))
+      commitFull(spark, path, 1L,
+        Manifest(None, Nil, Map.empty, Some(ordered), partCols, Map.empty))
     }
 
   /** Hive-style percent-escaping of partition dir names, matching
@@ -1198,6 +1226,50 @@ object TableLog {
         readFiles(spark, path, m, m.files)
     }
 
+  /** Immutable view of one version's manifest for external planners
+    * (the DSv2 SQL catalog): file names relative to `data/`, per-file
+    * column bounds, the resolved schema (footer-inferred for
+    * pre-schema manifests), and the partition record. The latest
+    * version answers from a fresh log checkpoint when one exists —
+    * same zero-manifest-read path as [[read]].
+    */
+  final case class Snapshot(
+      version: Long,
+      files: Seq[String],
+      stats: Map[String, Map[String, ColBound]],
+      schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String],
+      parts: Map[String, Seq[String]])
+
+  def snapshot(
+      spark: SparkSession, path: String,
+      version: Option[Long] = None): Snapshot = {
+    def mk(v: Long, m: Manifest) = Snapshot(
+      v, m.files, m.stats,
+      m.schema.getOrElse(readFiles(spark, path, m, m.files).schema),
+      m.partCols, m.parts)
+    version match {
+      case Some(v) =>
+        checkNotVacuumed(spark, path, v)
+        mk(v, readManifestFull(spark, path, v))
+      case None =>
+        val ck = newestCkpt(spark, path)
+        val v = latestFrom(spark, path, ck)
+        checkNotVacuumed(spark, path, v)
+        val m = ck match {
+          case Some(c) if c.version == v && c.manifest.isDefined => c.manifest.get
+          case _ => readManifestFull(spark, path, v)
+        }
+        mk(v, m)
+    }
+  }
+
+  /** Absolute data-directory path — where `Snapshot.files` resolve
+    * (and the `basePath` a partitioned scan needs to recover the
+    * hive columns).
+    */
+  def dataPath(path: String): String = dataDir(path).toString
+
   /** Manifest-level file pruning: names of version `v`'s files whose
     * recorded [min,max] for `colName` overlaps [lower, upper] — plus
     * every file with no recorded bound for the column (conservative).
@@ -1218,16 +1290,30 @@ object TableLog {
   }
 
   private def overlaps(b: ColBound, lower: Any, upper: Any): Boolean =
+    boundReachesUpTo(b, lower) && boundReachesDownTo(b, upper)
+
+  /** One-sided bound tests for external planners (the SQL catalog's
+    * pushed `>=`/`>` and `<=`/`<` filters): may the file contain a
+    * value >= `lower` (resp. <= `upper`)? Same kind semantics and
+    * same conservative never-prune on unconvertible values as the
+    * two-sided band test.
+    */
+  private[graft] def boundReachesUpTo(b: ColBound, lower: Any): Boolean =
     try b.kind match {
-      case "l" =>
-        b.min.toLong <= anyToLong(upper) && b.max.toLong >= anyToLong(lower)
-      case "d" =>
-        b.min.toDouble <= anyToDouble(upper) && b.max.toDouble >= anyToDouble(lower)
-      case _ =>
-        utf8Compare(b.min, upper.toString) <= 0 &&
-          utf8Compare(b.max, lower.toString) >= 0
+      case "l" => b.max.toLong >= anyToLong(lower)
+      case "d" => b.max.toDouble >= anyToDouble(lower)
+      case _ => utf8Compare(b.max, lower.toString) >= 0
     } catch {
       // band value not convertible to the recorded kind: never prune
+      case _: NumberFormatException => true
+    }
+
+  private[graft] def boundReachesDownTo(b: ColBound, upper: Any): Boolean =
+    try b.kind match {
+      case "l" => b.min.toLong <= anyToLong(upper)
+      case "d" => b.min.toDouble <= anyToDouble(upper)
+      case _ => utf8Compare(b.min, upper.toString) <= 0
+    } catch {
       case _: NumberFormatException => true
     }
 
@@ -1883,7 +1969,15 @@ object TableLog {
     * reads. Fails fast when every readable version is newer, and when
     * the resolved version predates the vacuum watermark.
     */
-  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame = {
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    read(spark, path, Some(versionAt(spark, path, tsMillis)))
+
+  /** Newest version committed at or before `tsMillis` — the
+    * TIMESTAMP AS OF resolution. Binary search over the (monotone)
+    * commit timestamps: O(log #versions) manifest reads, never a
+    * walk.
+    */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"TableLog: no committed version at $path")
     def tsOf(v: Long): Long =
@@ -1896,7 +1990,7 @@ object TableLog {
       val mid = (lo + hi + 1) / 2
       if (tsOf(vs(mid)) <= tsMillis) lo = mid else hi = mid - 1
     }
-    read(spark, path, Some(vs(lo)))
+    vs(lo)
   }
 
   /** Change feed: every row-level change in versions (fromV, toV],

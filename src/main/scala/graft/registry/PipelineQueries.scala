@@ -707,6 +707,48 @@ object PipelineQueries {
     }),
 
 
+    // SQL surface (round-13): the whole lifecycle through plain Spark
+    // SQL against the DSv2 catalog — CREATE TABLE ... PARTITIONED BY,
+    // two INSERT INTOs (each a committed version), then a
+    // partition+band SELECT on latest UNIONed with the same read at
+    // VERSION AS OF 2 (pre-second-insert). The WHERE reaches the
+    // manifest: partition equality and n_chars bounds cut the file
+    // list before Spark plans the scan (spec pins counted files).
+    // Result-transparent: the oracle replays both states over the
+    // base table
+    "q214_sql_surface" -> ((s, dir) => {
+      graft.sql.TableLogSql.register(s)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlsql-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      s.sql(s"CREATE TABLE tablelog.`$path` " +
+        "(doc_id BIGINT, source STRING, n_chars BIGINT, lang STRING) " +
+        "PARTITIONED BY (lang)")
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        .createOrReplaceTempView("q214_docs")
+      s.sql(s"INSERT INTO tablelog.`$path` " +
+        "SELECT doc_id, source, n_chars, lang FROM q214_docs")
+      s.sql(s"INSERT INTO tablelog.`$path` " +
+        "SELECT doc_id + 700000, source, n_chars, lang FROM q214_docs " +
+        "WHERE doc_id < 40")
+      s.sql(
+        s"""SELECT 'latest' AS at, source, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM tablelog.`$path`
+           |WHERE lang = 'en' AND n_chars BETWEEN 100 AND 300
+           |GROUP BY source
+           |UNION ALL
+           |SELECT 'v2' AS at, source, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM tablelog.`$path` VERSION AS OF 2
+           |WHERE lang = 'en' AND n_chars BETWEEN 100 AND 300
+           |GROUP BY source""".stripMargin)
+    }),
+
+
     // version diff / CDC between table versions (round-12): a
     // retention delete then an append, diffed v1 -> v3 — shared
     // manifest files cancel WITHOUT being read (immutability makes
@@ -1904,6 +1946,28 @@ object PipelineQueries {
          |FROM documents
          |WHERE (doc_id * 2654435761) % 1000000007 IN ($keys)""".stripMargin
     },
+
+    // q214: both SQL states replayed — latest = base 'en' rows plus
+    // the shifted second insert, v2 = base 'en' rows only, same
+    // partition + band predicate
+    "q214_sql_surface" ->
+      """WITH sq_base AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents WHERE lang = 'en'),
+        |sq_add AS (
+        |  SELECT doc_id + 700000 AS doc_id, source, n_chars
+        |  FROM sq_base WHERE doc_id < 40)
+        |SELECT 'latest' AS at, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT * FROM sq_base UNION ALL SELECT * FROM sq_add) u
+        |WHERE n_chars BETWEEN 100 AND 300
+        |GROUP BY source
+        |UNION ALL
+        |SELECT 'v2' AS at, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM sq_base
+        |WHERE n_chars BETWEEN 100 AND 300
+        |GROUP BY source""".stripMargin,
 
     // q193: the n_chars band aggregated per lang
     "q193_optimize_zorder" ->

@@ -1,0 +1,387 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.{expressions => ce}
+import org.apache.spark.sql.connector.catalog.{
+  Identifier, SupportsNamespaces, SupportsRead, SupportsWrite, Table,
+  TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+  ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.operators.TableLog
+
+/** SQL surface over [[graft.operators.TableLog]] — a DataSource-v2
+  * `TableCatalog` so the versioned table log participates in plain
+  * Spark SQL:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.tablelog", classOf[TableLogCatalog].getName)
+  *   spark.sql("SELECT * FROM tablelog.`/data/docs` WHERE n_chars BETWEEN 100 AND 300")
+  *   spark.sql("SELECT * FROM tablelog.`/data/docs` VERSION AS OF 3")
+  *   spark.sql("SELECT * FROM tablelog.`/data/docs` TIMESTAMP AS OF '2026-01-01'")
+  *   spark.sql("INSERT INTO tablelog.`/data/docs` SELECT ...")
+  *   spark.sql("CREATE TABLE tablelog.`/data/new` (doc_id BIGINT, lang STRING) PARTITIONED BY (lang)")
+  * }}}
+  *
+  * The identifier IS the table path (backtick-quoted; multi-part
+  * identifiers join with '/'). Reads are Spark-native end to end:
+  * the scan builder receives Spark's pushed filters, cuts the file
+  * list against the MANIFEST's per-file bounds and partition records
+  * (zero footer opens — the same pruning [[TableLog.readBand]] and
+  * [[TableLog.readPartition]] do, but driven by the optimizer's own
+  * predicates), then delegates the surviving files to Spark's v2
+  * parquet scan, so row-group pruning, bloom/dictionary filters,
+  * vectorized decode, and whole-stage codegen all apply downstream
+  * of the manifest cut. `VERSION AS OF` / `TIMESTAMP AS OF` map to
+  * manifest versions ([[TableLog.versionAt]] binary search);
+  * `INSERT INTO` commits through [[TableLog.append]] /
+  * [[TableLog.appendPartitioned]] (schema evolution rules and the
+  * optimistic-commit machinery unchanged). Time-traveled tables are
+  * read-only.
+  *
+  * At 100 TB this is the read path that matters: the driver plans
+  * from ONE manifest (or log checkpoint) read, hands Spark only the
+  * surviving files, and never lists the data directory.
+  */
+class TableLogCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName = "tablelog"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+
+  private def tablePath(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  private def isTable(path: String): Boolean =
+    try TableLog.versions(spark, path).nonEmpty
+    catch { case _: Exception => false }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, None, timeTraveled = false)
+
+  /** `VERSION AS OF <n>` (also accepts a tag name from the tag map). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException =>
+          TableLog.tags(spark, path).getOrElse(version,
+            throw new NoSuchTableException(ident))
+      }
+    load(ident, Some(v), timeTraveled = true)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    load(ident, Some(TableLog.versionAt(spark, path, timestampMicros / 1000L)),
+      timeTraveled = true)
+  }
+
+  private def load(ident: Identifier, version: Option[Long],
+      timeTraveled: Boolean): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    new TableLogTable(path, TableLog.snapshot(spark, path, version), timeTraveled)
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = tablePath(ident)
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity",
+        s"TableLogCatalog: only identity partitioning is supported, got $t")
+      t.references().head.fieldNames().mkString(".")
+    }
+    TableLog.createEmpty(spark, path, schema, partCols)
+    load(ident, None, timeTraveled = false)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "TableLogCatalog: ALTER TABLE not supported — schema evolves on append")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    if (!isTable(path)) false
+    else {
+      val p = new Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "TableLogCatalog: RENAME not supported — the identifier is the path")
+
+  // --- SupportsNamespaces: only the root namespace exists ---
+  override def listNamespaces(): Array[Array[String]] = Array.empty
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    Array.empty
+  override def namespaceExists(namespace: Array[String]): Boolean = true
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = util.Collections.emptyMap()
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("TableLogCatalog: no namespaces")
+  override def alterNamespace(
+      namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("TableLogCatalog: no namespaces")
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = false
+}
+
+/** One TableLog version as a DSv2 table: schema and partitioning from
+  * the manifest, reads through [[TableLogScanBuilder]], inserts
+  * through the V1 write fallback into [[TableLog.append]].
+  */
+private[sql] class TableLogTable(
+    path: String, snap: TableLog.Snapshot, timeTraveled: Boolean)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String =
+    if (timeTraveled) s"tablelog.`$path` (v${snap.version})"
+    else s"tablelog.`$path`"
+
+  override def schema(): StructType = snap.schema
+
+  override def partitioning(): Array[Transform] =
+    snap.partCols.map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] =
+    Map("path" -> path, "version" -> snap.version.toString).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    if (timeTraveled) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TableLogScanBuilder(path, snap)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!timeTraveled,
+      s"TableLogCatalog: cannot write to time-traveled version ${snap.version}")
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite,
+                "TableLogCatalog: INSERT OVERWRITE not supported — " +
+                  "deleteWhere + INSERT INTO")
+              val s = SparkSession.active
+              if (snap.partCols.isEmpty) TableLog.append(s, path, data)
+              else TableLog.appendPartitioned(s, path, data)
+            }
+          }
+      }
+    }
+  }
+}
+
+/** The catalog's planner: Spark pushes its filters here; files whose
+  * manifest bounds / partition records cannot match are cut BEFORE
+  * the parquet scan is built (the decision reads zero footers), then
+  * the pushed predicates are re-pushed into the delegated v2 parquet
+  * scan so row-group statistics, dictionary, and bloom filters keep
+  * working inside the surviving files. All filters are also reported
+  * back as residual — bounds are per-file, not per-row.
+  */
+private[sql] class TableLogScanBuilder(path: String, snap: TableLog.Snapshot)
+  extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val spark = SparkSession.active
+  private var filters: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // every filter stays residual: file pruning is best-effort
+  }
+
+  override def pushedFilters(): Array[Filter] =
+    filters.filter(f => toCatalyst(f).isDefined)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def build(): Scan = {
+    val kept = snap.files.filter(n => filters.forall(mayMatch(n, _)))
+    TableLogSql.recordPlanned(path, kept.size, snap.files.size)
+    if (kept.isEmpty) new TableLogEmptyScan(required.getOrElse(snap.schema))
+    else {
+      val dataSchema = StructType(
+        snap.schema.fields.filterNot(f => snap.partCols.contains(f.name)))
+      val params: Map[String, String] =
+        if (snap.partCols.isEmpty) Map.empty
+        else Map("basePath" -> TableLog.dataPath(path))
+      val index = new InMemoryFileIndex(
+        spark,
+        kept.map(n => new Path(TableLog.dataPath(path), n)),
+        params, Some(snap.schema))
+      val psb = ParquetScanBuilder(
+        spark, index, snap.schema, dataSchema,
+        new CaseInsensitiveStringMap(params.asJava))
+      val catalystFilters = filters.toSeq.flatMap(toCatalyst)
+      if (catalystFilters.nonEmpty) psb.pushFilters(catalystFilters)
+      required.foreach(psb.pruneColumns)
+      psb.build()
+    }
+  }
+
+  private def attr(name: String): Option[ce.AttributeReference] =
+    snap.schema.fields.find(_.name == name)
+      .map(f => ce.AttributeReference(f.name, f.dataType, f.nullable)())
+
+  /** v1 Filter -> resolved catalyst predicate, for re-pushing into
+    * the delegated parquet scan builder (its `pushFilters` wants
+    * catalyst expressions; it splits partition vs data filters by
+    * attribute NAME and translates back itself). Unsupported shapes
+    * map to None and simply aren't re-pushed — they were already
+    * returned as residual.
+    */
+  private def toCatalyst(f: Filter): Option[ce.Expression] = f match {
+    case sources.EqualTo(a, v) if v != null =>
+      attr(a).map(ar => ce.EqualTo(ar, ce.Literal.create(v, ar.dataType)))
+    case sources.EqualNullSafe(a, v) if v != null =>
+      attr(a).map(ar => ce.EqualNullSafe(ar, ce.Literal.create(v, ar.dataType)))
+    case sources.GreaterThan(a, v) =>
+      attr(a).map(ar => ce.GreaterThan(ar, ce.Literal.create(v, ar.dataType)))
+    case sources.GreaterThanOrEqual(a, v) =>
+      attr(a).map(ar => ce.GreaterThanOrEqual(ar, ce.Literal.create(v, ar.dataType)))
+    case sources.LessThan(a, v) =>
+      attr(a).map(ar => ce.LessThan(ar, ce.Literal.create(v, ar.dataType)))
+    case sources.LessThanOrEqual(a, v) =>
+      attr(a).map(ar => ce.LessThanOrEqual(ar, ce.Literal.create(v, ar.dataType)))
+    case sources.In(a, vs) if vs.forall(_ != null) =>
+      attr(a).map(ar =>
+        ce.In(ar, vs.toSeq.map(v => ce.Literal.create(v, ar.dataType))))
+    case sources.IsNull(a) => attr(a).map(ce.IsNull)
+    case sources.IsNotNull(a) => attr(a).map(ce.IsNotNull)
+    case sources.StringStartsWith(a, p) =>
+      attr(a).map(ar => ce.StartsWith(ar, ce.Literal.create(p, StringType)))
+    case sources.And(l, r) =>
+      for { cl <- toCatalyst(l); cr <- toCatalyst(r) } yield ce.And(cl, cr)
+    case sources.Or(l, r) =>
+      for { cl <- toCatalyst(l); cr <- toCatalyst(r) } yield ce.Or(cl, cr)
+    case sources.Not(c) => toCatalyst(c).map(ce.Not)
+    case _ => None
+  }
+
+  /** May `file` contain a row matching `f`? Decides from the
+    * manifest's per-file bounds and partition record only —
+    * conservative keep on anything unknown. Partition-value equality
+    * compares the recorded hive value; it is only trusted for string
+    * and integral partition columns (other types' literal-to-dirname
+    * round trips aren't canonical).
+    */
+  private def mayMatch(file: String, f: Filter): Boolean = {
+    def bound(c: String) = snap.stats.get(file).flatMap(_.get(c))
+    def partVal(c: String): Option[String] = {
+      val i = snap.partCols.indexOf(c)
+      if (i < 0) None
+      else snap.parts.get(file).flatMap(_.lift(i)).filter(_ =>
+        snap.schema.fields.find(_.name == c).exists(_.dataType match {
+          case StringType | IntegerType | LongType | ShortType => true
+          case _ => false
+        }))
+    }
+    def eqMatch(c: String, v: Any): Boolean = partVal(c) match {
+      case Some(pv) => pv == v.toString
+      case None => bound(c).forall(b =>
+        TableLog.boundReachesUpTo(b, v) && TableLog.boundReachesDownTo(b, v))
+    }
+    f match {
+      case sources.EqualTo(c, v) if v != null => eqMatch(c, v)
+      case sources.EqualNullSafe(c, v) if v != null => eqMatch(c, v)
+      case sources.GreaterThan(c, v) if v != null =>
+        bound(c).forall(TableLog.boundReachesUpTo(_, v))
+      case sources.GreaterThanOrEqual(c, v) if v != null =>
+        bound(c).forall(TableLog.boundReachesUpTo(_, v))
+      case sources.LessThan(c, v) if v != null =>
+        bound(c).forall(TableLog.boundReachesDownTo(_, v))
+      case sources.LessThanOrEqual(c, v) if v != null =>
+        bound(c).forall(TableLog.boundReachesDownTo(_, v))
+      case sources.In(c, vs) =>
+        vs.filter(_ != null) match {
+          case Array() => true
+          case nn => nn.exists(eqMatch(c, _))
+        }
+      case sources.And(l, r) => mayMatch(file, l) && mayMatch(file, r)
+      case sources.Or(l, r) => mayMatch(file, l) || mayMatch(file, r)
+      case _ => true // conservative: unknown shapes never prune
+    }
+  }
+}
+
+/** Zero-partition scan in the pruned schema's shape — what total
+  * manifest pruning returns: the planner never enumerates (or
+  * footer-reads) a single pruned file.
+  */
+private[sql] final class TableLogEmptyScan(schema: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = Array.empty
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        throw new IllegalStateException("TableLogEmptyScan has no partitions")
+    }
+  override def description(): String = "TableLogEmptyScan (total manifest prune)"
+}
+
+/** Registration + test-visible planning counters. */
+object TableLogSql {
+  private val planned =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  private[sql] def recordPlanned(path: String, kept: Int, total: Int): Unit =
+    planned.put(path, (kept, total))
+
+  /** (files planned, files in manifest) for the most recent scan
+    * build over `path` — pins manifest pruning with counted files
+    * instead of wall-clock.
+    */
+  def lastPlanned(path: String): Option[(Int, Int)] =
+    Option(planned.get(path))
+
+  /** Register the catalog under `spark.sql.catalog.<name>`. */
+  def register(spark: SparkSession, catalogName: String = "tablelog"): Unit =
+    spark.conf.set(s"spark.sql.catalog.$catalogName",
+      classOf[TableLogCatalog].getName)
+}

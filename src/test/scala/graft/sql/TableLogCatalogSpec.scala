@@ -1,0 +1,116 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+import graft.operators.TableLog
+
+/** Pins the DSv2 SQL surface over TableLog: plain SELECT equals the
+  * programmatic read, WHERE predicates cut the planned file list
+  * against the manifest (counted files, zero footers), total pruning
+  * plans ZERO files, VERSION/TIMESTAMP AS OF time travel, INSERT INTO
+  * as a committed version, and CREATE TABLE ... PARTITIONED BY with
+  * partition-pruned SQL reads.
+  */
+class TableLogCatalogSpec extends GraftSparkSpec {
+
+  import spark.implicits._
+
+  private def freshPath(stem: String): String = {
+    val p = graft.SparkEntry.perProcessTmpDir(stem)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    p
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("SELECT equals read; band WHERE prunes files from the manifest; total prune plans zero") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql")
+    val base = (0L until 4000L).map(i => (i, i % 7, s"d$i")).toDF("id", "g", "s")
+    TableLog.create(spark, path, base.repartition(4))
+    TableLog.optimizeRange(spark, path, "id", numFiles = 8)
+
+    val all = spark.sql(s"SELECT * FROM tablelog.`$path`")
+    assert(rows(all) === rows(base))
+    assert(TableLogSql.lastPlanned(path) === Some((8, 8)))
+
+    val band = spark.sql(
+      s"SELECT id, g FROM tablelog.`$path` WHERE id >= 600 AND id <= 900")
+    assert(rows(band) === rows(base.where(col("id").between(600, 900))
+      .select(col("id"), col("g"))))
+    val (kept, total) = TableLogSql.lastPlanned(path).get
+    assert(total === 8)
+    assert(kept <= 2, s"500-wide band over 8 files of 500 rows: planned $kept")
+
+    val eq = spark.sql(s"SELECT s FROM tablelog.`$path` WHERE id = 1234")
+    assert(eq.collect().map(_.getString(0)).toSeq === Seq("d1234"))
+    assert(TableLogSql.lastPlanned(path).get._1 === 1)
+
+    val none = spark.sql(s"SELECT * FROM tablelog.`$path` WHERE id > 100000")
+    assert(none.count() === 0L)
+    assert(TableLogSql.lastPlanned(path).get._1 === 0, "total prune plans zero files")
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF resolve manifest versions; INSERT INTO commits") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-tt")
+    val b1 = (0L until 100L).map(i => (i, s"a$i")).toDF("id", "s")
+    TableLog.create(spark, path, b1.repartition(2))
+    Thread.sleep(20) // strictly increasing commit timestamps
+    spark.sql(s"INSERT INTO tablelog.`$path` VALUES (200, 'x'), (201, 'y')")
+
+    assert(TableLog.latestVersion(spark, path) === 2L,
+      "INSERT INTO committed a version")
+    assert(rows(spark.sql(s"SELECT * FROM tablelog.`$path`")) ===
+      rows(b1) ++ Set(Seq(200L, "x"), Seq(201L, "y")))
+    assert(rows(spark.sql(s"SELECT * FROM tablelog.`$path` VERSION AS OF 1")) ===
+      rows(b1))
+
+    val ts1 = TableLog.commitTimestamp(spark, path, 1L).get
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    val lit1 = fmt.format(java.time.Instant.ofEpochMilli(ts1))
+    assert(rows(spark.sql(
+      s"SELECT * FROM tablelog.`$path` TIMESTAMP AS OF '$lit1'")) === rows(b1))
+
+    // time-traveled versions are read-only
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO tablelog.`$path` VERSION AS OF 1 VALUES (1, 'z')")
+    }
+    assert(e != null)
+  }
+
+  test("CREATE TABLE ... PARTITIONED BY; INSERT INTO; partition-equality SQL read prunes") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-part")
+    spark.sql(
+      s"CREATE TABLE tablelog.`$path` (id BIGINT, n BIGINT, lang STRING) " +
+        "PARTITIONED BY (lang)")
+    val df = (0L until 300L)
+      .map(i => (i, i * 10, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("id", "n", "lang")
+    df.createOrReplaceTempView("tlsql_src")
+    spark.sql(s"INSERT INTO tablelog.`$path` SELECT id, n, lang FROM tlsql_src")
+
+    val all = spark.sql(s"SELECT * FROM tablelog.`$path`")
+    assert(rows(all) === rows(df))
+
+    val en = spark.sql(
+      s"SELECT id, n FROM tablelog.`$path` WHERE lang = 'en'")
+    assert(rows(en) === rows(df.where(col("lang") === "en")
+      .select(col("id"), col("n"))))
+    val (kept, total) = TableLogSql.lastPlanned(path).get
+    assert(kept < total,
+      s"partition equality must prune from the manifest: $kept/$total")
+
+    val snap = TableLog.snapshot(spark, path)
+    val idx = snap.partCols.indexOf("lang")
+    val enFiles = snap.files.count(n => snap.parts(n)(idx) == "en")
+    assert(kept === enFiles, "planned exactly the partition's files")
+  }
+}
