@@ -749,6 +749,37 @@ object PipelineQueries {
     }),
 
 
+    // SQL DELETE (round-13): retention expressed as plain SQL —
+    // CREATE/INSERT, a length-floor DELETE, then a targeted per-lang
+    // DELETE, read back as the surviving aggregate. Each DELETE is a
+    // committed version rewriting only the files whose bounds overlap
+    // its predicate. Result-transparent: the oracle inverts both
+    // predicates over the base table
+    "q215_sql_delete" -> ((s, dir) => {
+      graft.sql.TableLogSql.register(s)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlsqldel-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      s.sql(s"CREATE TABLE tablelog.`$path` " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .createOrReplaceTempView("q215_docs")
+      s.sql(s"INSERT INTO tablelog.`$path` " +
+        "SELECT doc_id, lang, n_chars FROM q215_docs")
+      s.sql(s"DELETE FROM tablelog.`$path` WHERE n_chars < 150")
+      s.sql(s"DELETE FROM tablelog.`$path` WHERE lang = 'de' AND n_chars > 400")
+      s.sql(
+        s"""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  min(n_chars) AS min_chars
+           |FROM tablelog.`$path`
+           |GROUP BY lang""".stripMargin)
+    }),
+
+
     // version diff / CDC between table versions (round-12): a
     // retention delete then an append, diffed v1 -> v3 — shared
     // manifest files cancel WITHOUT being read (immutability makes
@@ -1968,6 +1999,17 @@ object PipelineQueries {
         |FROM sq_base
         |WHERE n_chars BETWEEN 100 AND 300
         |GROUP BY source""".stripMargin,
+
+    // q215: both deletes inverted over the base table (no NULLs in
+    // either predicate column, so NOT() is exact)
+    "q215_sql_delete" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars
+        |FROM documents
+        |WHERE NOT (n_chars < 150)
+        |  AND NOT (lang = 'de' AND n_chars > 400)
+        |GROUP BY lang""".stripMargin,
 
     // q193: the n_chars band aggregated per lang
     "q193_optimize_zorder" ->

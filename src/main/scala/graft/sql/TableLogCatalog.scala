@@ -10,8 +10,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.catalyst.{expressions => ce}
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, SupportsNamespaces, SupportsRead, SupportsWrite, Table,
-  TableCapability, TableCatalog, TableChange}
+  Identifier, SupportsDelete, SupportsNamespaces, SupportsRead,
+  SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
@@ -170,7 +170,7 @@ class TableLogCatalog extends TableCatalog with SupportsNamespaces {
   */
 private[sql] class TableLogTable(
     path: String, snap: TableLog.Snapshot, timeTraveled: Boolean)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String =
     if (timeTraveled) s"tablelog.`$path` (v${snap.version})"
@@ -190,6 +190,28 @@ private[sql] class TableLogTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TableLogScanBuilder(path, snap)
+
+  /** `DELETE FROM tablelog.` — the analyzer's pushed conjunction maps
+    * to [[TableLog.deleteWhere]] (a committed version: only files
+    * possibly holding matches rewrite, the rest carry over by name;
+    * partitioned tables route survivors through their hive dirs).
+    * Refused when any filter doesn't translate — better an error
+    * than a silent partial delete.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !timeTraveled && filters.forall(f => TableLogSql.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!timeTraveled,
+      s"TableLogCatalog: cannot DELETE from time-traveled version ${snap.version}")
+    val cols = filters.map(f => TableLogSql.filterColumn(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"TableLogCatalog: cannot translate DELETE predicate $f")))
+    val pred = cols.reduceOption(_ && _)
+      .getOrElse(throw new UnsupportedOperationException(
+        "TableLogCatalog: unconditional DELETE — drop the table instead"))
+    TableLog.deleteWhere(SparkSession.active, path, pred)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!timeTraveled,
@@ -384,4 +406,35 @@ object TableLogSql {
   def register(spark: SparkSession, catalogName: String = "tablelog"): Unit =
     spark.conf.set(s"spark.sql.catalog.$catalogName",
       classOf[TableLogCatalog].getName)
+
+  /** v1 Filter -> Column, for the DELETE path ([[TableLog.deleteWhere]]
+    * takes a Column predicate). None on shapes that don't translate —
+    * the caller must refuse rather than under-delete.
+    */
+  private[sql] def filterColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case sources.EqualTo(a, v) if v != null => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) if v != null => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) if v != null => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) if v != null => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) if v != null => Some(col(a) <= lit(v))
+      case sources.In(a, vs) if vs.forall(_ != null) =>
+        Some(col(a).isInCollection(vs.toSeq))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
+      case sources.StringEndsWith(a, p) => Some(col(a).endsWith(p))
+      case sources.StringContains(a, p) => Some(col(a).contains(p))
+      case sources.And(l, r) =>
+        for { cl <- filterColumn(l); cr <- filterColumn(r) } yield cl && cr
+      case sources.Or(l, r) =>
+        for { cl <- filterColumn(l); cr <- filterColumn(r) } yield cl || cr
+      case sources.Not(c) => filterColumn(c).map(!_)
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
 }

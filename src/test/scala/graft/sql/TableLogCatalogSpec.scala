@@ -85,6 +85,27 @@ class TableLogCatalogSpec extends GraftSparkSpec {
     assert(e != null)
   }
 
+  test("DELETE FROM commits a version; prior versions intact; time-traveled delete refused") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-del")
+    val base = (0L until 4000L).map(i => (i, i % 7)).toDF("id", "g")
+    TableLog.create(spark, path, base.repartition(4))
+    TableLog.optimizeRange(spark, path, "id", numFiles = 8)
+
+    spark.sql(s"DELETE FROM tablelog.`$path` WHERE id < 500 OR id >= 3800")
+    assert(TableLog.latestVersion(spark, path) === 3L)
+    assert(rows(spark.sql(s"SELECT * FROM tablelog.`$path`")) ===
+      rows(base.where(col("id") >= 500 && col("id") < 3800)))
+    assert(rows(spark.sql(s"SELECT * FROM tablelog.`$path` VERSION AS OF 2")) ===
+      rows(base), "pre-delete version intact")
+
+    // band delete rewrites only overlapping files: of v2's 8
+    // id-clustered files, the middle 6 must carry over by name
+    val before = TableLog.files(spark, path, Some(2L)).toSet
+    val after = TableLog.files(spark, path, Some(3L)).toSet
+    assert((before & after).size === 6, "untouched files carry over by name")
+  }
+
   test("CREATE TABLE ... PARTITIONED BY; INSERT INTO; partition-equality SQL read prunes") {
     TableLogSql.register(spark)
     val path = freshPath("graft-spec-tlsql-part")
