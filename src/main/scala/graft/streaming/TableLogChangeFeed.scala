@@ -29,14 +29,20 @@ import graft.operators.TableLog
   *
   * Options: `path` (the table), `fromVersion` (stream changes
   * committed AFTER this version; default: latest at stream start —
-  * Delta CDF's "only new changes" default).
+  * Delta CDF's "only new changes" default), `onSchemaChange`
+  * ("drop" | "fail", default "drop").
   *
   * 100 TB shape: per micro-batch IO is proportional to the commit's
   * changed files, never the table; offset resolution rides the
   * round-13 checkpointed log. The column set is fixed at stream start
-  * (the table's schema then + `change`, `_commit_version`); columns
-  * added by later evolution are dropped until a stream restart picks
-  * the wider schema up.
+  * (the table's schema then + `change`, `_commit_version`) — the
+  * structured-streaming contract. Columns added by later evolution
+  * are dropped from batches under the default; `onSchemaChange=fail`
+  * instead FAILS the batch before its offset commits (Delta CDF's
+  * move), so a restart against the same checkpoint re-resolves the
+  * now-wider table schema and REPLAYS the evolution commit with the
+  * new columns populated — column evolution costs one restart, never
+  * silent data loss (spec-pinned).
   */
 class TableLogChangeFeed extends StreamSourceProvider with DataSourceRegister {
 
@@ -70,8 +76,12 @@ class TableLogChangeFeed extends StreamSourceProvider with DataSourceRegister {
     val path = parameters("path")
     val from = parameters.get("fromVersion").map(_.toLong)
       .getOrElse(TableLog.latestVersion(spark, path))
+    val onSchemaChange = parameters.getOrElse("onSchemaChange", "drop")
+    require(onSchemaChange == "drop" || onSchemaChange == "fail",
+      s"tablelog-changes: onSchemaChange must be 'drop' or 'fail', got $onSchemaChange")
     new TableLogChangeFeedSource(spark, path, from,
-      schema.getOrElse(feedSchema(spark, path)))
+      schema.getOrElse(feedSchema(spark, path)),
+      failOnSchemaChange = onSchemaChange == "fail")
   }
 }
 
@@ -80,7 +90,8 @@ class TableLogChangeFeedSource(
     spark: SparkSession,
     path: String,
     fromVersion: Long,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    failOnSchemaChange: Boolean = false) extends Source {
 
   private case class VersionOffset(v: Long) extends OffsetV1 {
     override def json: String = v.toString
@@ -103,8 +114,18 @@ class TableLogChangeFeedSource(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else TableLog.changes(spark, path, lo, hi)
-    // align to the declared columns (later evolution may have widened
-    // the feed; a fixed source schema is the streaming contract)
+    // later evolution may have widened the feed beyond the declared
+    // columns: under onSchemaChange=fail, fail BEFORE this batch's
+    // offset commits — the restart re-resolves the wider schema and
+    // replays these versions with the new columns populated
+    val extra = batch.columns.filterNot(schema.fieldNames.contains)
+    if (failOnSchemaChange && extra.nonEmpty)
+      throw new IllegalStateException(
+        s"tablelog-changes: table schema at $path evolved mid-stream " +
+          s"(new columns: ${extra.mkString(", ")}); restart the stream " +
+          "to pick up the widened schema (onSchemaChange=fail)")
+    // align to the declared columns (a fixed source schema is the
+    // streaming contract; under the default, evolved columns drop)
     val aligned = batch.select(schema.fields.map { f =>
       if (batch.columns.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType).as(f.name)

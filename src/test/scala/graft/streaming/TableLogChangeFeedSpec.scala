@@ -223,6 +223,55 @@ class TableLogChangeFeedSpec extends GraftSparkSpec {
     } finally q2.stop()
   }
 
+  test("onSchemaChange=fail: evolution fails the batch pre-commit; restart replays it wide") {
+    val path = freshPath("graft-spec-cf-evolve")
+    val ckpt = freshPath("graft-spec-cf-evolve-ckpt")
+    TableLog.create(spark, path, (0L until 50L).map(i => (i, i)).toDF("id", "w"))
+    def feed = spark.readStream
+      .format("graft.streaming.TableLogChangeFeed")
+      .option("path", path)
+      .option("fromVersion", "1")
+      .option("onSchemaChange", "fail")
+      .load()
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Any]]()
+    def run() = feed.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r => got.add(r.toSeq))
+          ()
+      }.start()
+    val q1 = run()
+    try {
+      TableLog.append(spark, path,
+        (50L until 60L).map(i => (i, i)).toDF("id", "w"))      // v2
+      q1.processAllAvailable()
+      assert(got.size === 10)
+      // mid-stream evolution: v3 adds 'tag' — the batch must FAIL
+      // before its offset commits (the default would silently drop it)
+      TableLog.append(spark, path,
+        (60L until 65L).map(i => (i, i, s"t$i")).toDF("id", "w", "tag")) // v3
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("evolved mid-stream")), msgs(e).mkString(" | "))
+    } finally q1.stop()
+    // restart against the same checkpoint: the source re-resolves the
+    // now-wider table schema and REPLAYS (v2, v3] with tag populated
+    got.clear()
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet === rows(TableLog.changes(spark, path, 2L, 3L)),
+        "replayed evolution commit must carry the new column")
+      assert(got.asScala.forall(_.size === 5), "wide rows: id, w, tag, change, version")
+      assert(got.asScala.count(r => r(2) != null) === 5, "tag populated on v3 adds")
+    } finally q2.stop()
+  }
+
   test("default start position streams only commits after stream start") {
     val path = freshPath("graft-spec-cf-def")
     TableLog.create(spark, path, (0L until 50L).map(i => (i, i)).toDF("id", "w"))
