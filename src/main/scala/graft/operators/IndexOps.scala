@@ -71,30 +71,53 @@ object IndexOps {
     * Probes never take the lock: reads stay lock-free (the existing
     * probe-vs-maintenance caveat on [[compactIndex]] stands).
     */
-  def withMutationLock[A](spark: SparkSession, dir: String, op: String)(body: => A): A = {
+  def withMutationLock[A](spark: SparkSession, dir: String, op: String)(body: => A): A =
+    withMutationLock(spark, dir, op, waitMs = 0L)(body)
+
+  /** Lock acquisition with a bounded wait: instead of failing fast, a
+    * second mutator polls for up to `waitMs` for the holder to
+    * release, then proceeds against the table's NEW latest state —
+    * concurrent mutators (two deletes, a delete and an optimize)
+    * SERIALIZE and all land, the multi-writer behavior a shared
+    * pipeline needs. `waitMs = 0` keeps the original fail-fast
+    * contract. Only a DEAD holder makes the wait hopeless; the
+    * timeout failure names the holder exactly like the fail-fast
+    * path.
+    */
+  def withMutationLock[A](
+      spark: SparkSession, dir: String, op: String, waitMs: Long)(
+      body: => A): A = {
     val p = new Path(lockPath(dir))
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
-    val stream =
-      try f.create(p, false)
+    val deadline = System.currentTimeMillis() + waitMs
+    var stream: org.apache.hadoop.fs.FSDataOutputStream = null
+    while (stream == null) {
+      try stream = f.create(p, false)
       catch {
         case e: java.io.IOException =>
-          val holder =
-            try {
-              val in = f.open(p)
+          if (waitMs > 0 && System.currentTimeMillis() < deadline)
+            Thread.sleep(50)
+          else {
+            val holder =
               try {
-                val buf = new Array[Byte](4096)
-                val n = in.read(buf)
-                new String(buf, 0, math.max(n, 0),
-                  java.nio.charset.StandardCharsets.UTF_8).trim
-              } finally in.close()
-            } catch { case _: Throwable => "<unreadable>" }
-          throw new ConcurrentMutationException(
-            s"index at $dir is being mutated by [$holder] — concurrent " +
-              "mutations corrupt the index. If that process crashed " +
-              "(verify it is gone), clear the stale lock with " +
-              s"IndexOps.forceClearMutationLock and re-run. ($e)")
+                val in = f.open(p)
+                try {
+                  val buf = new Array[Byte](4096)
+                  val n = in.read(buf)
+                  new String(buf, 0, math.max(n, 0),
+                    java.nio.charset.StandardCharsets.UTF_8).trim
+                } finally in.close()
+              } catch { case _: Throwable => "<unreadable>" }
+            val waited = if (waitMs > 0) s" after waiting ${waitMs}ms" else ""
+            throw new ConcurrentMutationException(
+              s"index at $dir is being mutated by [$holder]$waited — concurrent " +
+                "mutations corrupt the index. If that process crashed " +
+                "(verify it is gone), clear the stale lock with " +
+                s"IndexOps.forceClearMutationLock and re-run. ($e)")
+          }
       }
+    }
     try {
       stream.write(s"$op pid=${ProcessHandle.current().pid()} t=${
         java.time.Instant.now()}".getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -771,7 +771,12 @@ object TableLog {
 
   private def withLock[A](spark: SparkSession, path: String, op: String)(
       body: => A): A =
-    IndexOps.withMutationLock(spark, path, s"TableLog.$op") {
+    // bounded lock WAIT (default 30 s, `spark.graft.tablelog.lockWaitMs`):
+    // concurrent locked mutators serialize and all land instead of the
+    // second failing fast — multi-writer maintenance (delete + optimize)
+    // just works; only a dead holder exhausts the wait
+    IndexOps.withMutationLock(spark, path, s"TableLog.$op",
+      spark.conf.get("spark.graft.tablelog.lockWaitMs", "30000").toLong) {
       // every locked mutator recomputes from latestVersion, so a
       // stolen version (a lock-free optimistic appender landed v+1
       // first) retries the WHOLE mutation against the new latest —

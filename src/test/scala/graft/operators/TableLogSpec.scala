@@ -474,4 +474,46 @@ class TableLogSpec extends GraftSparkSpec {
         names.length, "no bounds -> conservative keep-all")
     }
   }
+
+  test("concurrent locked mutators serialize behind the lock wait — both deletes land") {
+    val path = freshPath("graft-spec-tlock-wait")
+    val base = (0L until 1000L).map(i => (i, i % 7)).toDF("id", "g")
+    TableLog.create(spark, path, base.repartition(4))
+
+    // hold mutator A open inside its commit (one-shot seam runs under
+    // the lock, before the CAS) while mutator B contends
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    TableLog.testPreCommit.put(path, () => {
+      held.countDown()
+      release.await(20, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val a = pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long =
+          TableLog.deleteWhere(spark, path, col("id") < 100L)
+      })
+      assert(held.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "mutator A must reach its commit")
+      val b = pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long =
+          TableLog.deleteWhere(spark, path, col("id") >= 900L)
+      })
+      Thread.sleep(400)
+      assert(!b.isDone, "second mutator must WAIT on the lock, not fail fast")
+      release.countDown()
+      val va = a.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      val vb = b.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      assert(Set(va, vb) === Set(2L, 3L), "both mutations committed, serialized")
+      assert(rows(TableLog.read(spark, path)) ===
+        rows(base.where(col("id") >= 100L && col("id") < 900L)),
+        "final state carries BOTH deletes")
+    } finally {
+      release.countDown()
+      pool.shutdownNow()
+      ()
+    }
+  }
 }
