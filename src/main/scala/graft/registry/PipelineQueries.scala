@@ -749,6 +749,42 @@ object PipelineQueries {
     }),
 
 
+    // manifest-only SQL aggregates (round-13): COUNT/MIN/MAX and the
+    // per-partition GROUP BY answer from ONE manifest read — the scan
+    // builder serves the complete aggregate from per-file row counts,
+    // column bounds, and partition records as a LocalScan; the plan
+    // collapses to a LocalTableScan with ZERO data files opened
+    // (spec-pinned). At a 100k-file table this is the DESCRIBE-style
+    // dashboard query for free. Result-transparent: the oracle
+    // replays both aggregates over the base table
+    "q216_metadata_agg" -> ((s, dir) => {
+      graft.sql.TableLogSql.register(s)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlagg-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      s.sql(s"CREATE TABLE tablelog.`$path` " +
+        "(doc_id BIGINT, n_chars BIGINT, lang STRING) PARTITIONED BY (lang)")
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+        .createOrReplaceTempView("q216_docs")
+      s.sql(s"INSERT INTO tablelog.`$path` " +
+        "SELECT doc_id, n_chars, lang FROM q216_docs")
+      s.sql(
+        s"""SELECT lang, count(*) AS n_docs,
+           |  min(n_chars) AS lo, max(n_chars) AS hi,
+           |  min(doc_id) AS first_id, max(doc_id) AS last_id
+           |FROM tablelog.`$path`
+           |GROUP BY lang
+           |UNION ALL
+           |SELECT '_all' AS lang, count(*) AS n_docs,
+           |  min(n_chars) AS lo, max(n_chars) AS hi,
+           |  min(doc_id) AS first_id, max(doc_id) AS last_id
+           |FROM tablelog.`$path`""".stripMargin)
+    }),
+
+
     // SQL DELETE (round-13): retention expressed as plain SQL —
     // CREATE/INSERT, a length-floor DELETE, then a targeted per-lang
     // DELETE, read back as the surviving aggregate. Each DELETE is a
@@ -1999,6 +2035,20 @@ object PipelineQueries {
         |FROM sq_base
         |WHERE n_chars BETWEEN 100 AND 300
         |GROUP BY source""".stripMargin,
+
+    // q216: both aggregates replayed over the base table
+    "q216_metadata_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS lo,
+        |  CAST(max(n_chars) AS BIGINT) AS hi,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT '_all' AS lang, count(*) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS lo,
+        |  CAST(max(n_chars) AS BIGINT) AS hi,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM documents""".stripMargin,
 
     // q215: both deletes inverted over the base table (no NULLs in
     // either predicate column, so NOT() is exact)

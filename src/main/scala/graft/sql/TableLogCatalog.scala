@@ -12,10 +12,14 @@ import org.apache.spark.sql.catalyst.{expressions => ce}
 import org.apache.spark.sql.connector.catalog.{
   Identifier, SupportsDelete, SupportsNamespaces, SupportsRead,
   SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{
+  Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{
+  Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{
-  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
-  ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory,
+  Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -244,27 +248,200 @@ private[sql] class TableLogTable(
   */
 private[sql] class TableLogScanBuilder(path: String, snap: TableLog.Snapshot)
   extends ScanBuilder
-  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private val spark = SparkSession.active
   private var filters: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
+  private var pushedAgg: Option[Aggregation] = None
+
+  /** Every file in the snapshot carries a partition record, so a
+    * partition-equality filter decides each file EXACTLY (all rows of
+    * a file share its partition values) — such filters are fully
+    * enforced by the manifest cut and need no residual re-check,
+    * which is also what lets Spark push aggregates below them.
+    */
+  private def partRecordsComplete: Boolean =
+    snap.partCols.nonEmpty && snap.files.forall(snap.parts.contains)
+
+  private def trustedPartCol(c: String): Boolean =
+    snap.partCols.contains(c) &&
+      snap.schema.fields.find(_.name == c).exists(_.dataType match {
+        case StringType | IntegerType | LongType | ShortType => true
+        case _ => false
+      })
+
+  /** NULL partition values land under hive's default-partition
+    * directory; the record carries the sentinel. A real string value
+    * equal to the sentinel is ambiguous — then nothing about the
+    * column is exact.
+    */
+  private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  private def isExactPartitionFilter(f: Filter): Boolean =
+    partRecordsComplete && (f match {
+      case sources.EqualTo(c, v) => v != null && trustedPartCol(c) &&
+        v.toString != HiveNullPart
+      case sources.In(c, vs) => vs.nonEmpty && vs.forall(_ != null) &&
+        trustedPartCol(c) && vs.forall(_.toString != HiveNullPart)
+      case sources.IsNotNull(c) => trustedPartCol(c)
+      case sources.IsNull(c) => trustedPartCol(c)
+      case _ => false
+    })
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
-    fs // every filter stays residual: file pruning is best-effort
+    // exact partition filters are fully served by the manifest cut;
+    // everything else stays residual (bounds are per-file, not per-row)
+    fs.filterNot(isExactPartitionFilter)
   }
 
   override def pushedFilters(): Array[Filter] =
-    filters.filter(f => toCatalyst(f).isDefined)
+    filters.filter(f => isExactPartitionFilter(f) || toCatalyst(f).isDefined)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
+  // --- manifest-only aggregates: COUNT(*) from per-file row counts,
+  // MIN/MAX from per-file bounds, GROUP BY partition columns from the
+  // partition record — one manifest read, zero data IO ---
+
+  private def aggColName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Numeric data columns only: integral/floating bounds are exact in
+    * parquet footers; string stats may be truncated, so strings never
+    * serve MIN/MAX from the manifest.
+    */
+  private def boundServable(c: String): Boolean =
+    snap.schema.fields.find(_.name == c).exists(_.dataType match {
+      case org.apache.spark.sql.types.ByteType | ShortType | IntegerType |
+           LongType | org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }) && snap.files.forall { n =>
+      // every file decides: a bound for the column, or provably empty
+      snap.stats.get(n).exists(st =>
+        st.contains(c) ||
+          st.get(TableLog.RowsKey).exists(_.min.toLong == 0L))
+    }
+
+  private def countServable: Boolean =
+    snap.files.forall(n =>
+      snap.stats.get(n).exists(_.contains(TableLog.RowsKey)))
+
+  private def canPushAgg(a: Aggregation): Boolean = {
+    val groupsOk = a.groupByExpressions.forall(e =>
+      aggColName(e).exists(trustedPartCol)) &&
+      (a.groupByExpressions.isEmpty || partRecordsComplete)
+    val aggsOk = a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall {
+        case _: CountStar => countServable
+        case m: Min => aggColName(m.column).exists(boundServable) && countServable
+        case m: Max => aggColName(m.column).exists(boundServable) && countServable
+        case _ => false
+      }
+    groupsOk && aggsOk
+  }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean = canPushAgg(a)
+
+  override def pushAggregation(a: Aggregation): Boolean =
+    if (canPushAgg(a)) { pushedAgg = Some(a); true } else false
+
+  private def buildAggScan(kept: Seq[String], a: Aggregation): Scan = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    val groupCols = a.groupByExpressions.toSeq.map(e => aggColName(e).get)
+    val partIdx = snap.partCols.zipWithIndex.toMap
+    def dt(c: String): DataType =
+      snap.schema.fields.find(_.name == c).get.dataType
+    def partInternal(c: String, v: String): Any = dt(c) match {
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      case LongType => v.toLong
+      case IntegerType => v.toInt
+      case ShortType => v.toShort
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    def boundInternal(c: String, v: String): Any = dt(c) match {
+      case LongType => v.toLong
+      case IntegerType => v.toLong.toInt
+      case ShortType => v.toLong.toShort
+      case ByteType => v.toLong.toByte
+      case DoubleType => v.toDouble
+      case FloatType => v.toFloat
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    def rowsOf(n: String): Long = snap.stats(n)(TableLog.RowsKey).min.toLong
+    def nonEmptyBounds(files: Seq[String], c: String): Seq[TableLog.ColBound] =
+      files.filter(rowsOf(_) > 0L).map(n => snap.stats(n)(c))
+    val groups: Seq[(Seq[String], Seq[String])] =
+      if (groupCols.isEmpty) Seq(Seq.empty[String] -> kept)
+      else kept.groupBy(n => groupCols.map(c => snap.parts(n)(partIdx(c))))
+        .toSeq
+    val rows = groups.map { case (gvals, files) =>
+      val out = new Array[Any](groupCols.size + a.aggregateExpressions.length)
+      groupCols.zip(gvals).zipWithIndex.foreach { case ((c, v), i) =>
+        out(i) = partInternal(c, v)
+      }
+      a.aggregateExpressions.zipWithIndex.foreach { case (ae, i) =>
+        out(groupCols.size + i) = ae match {
+          case _: CountStar => files.map(rowsOf).sum
+          case m: Min =>
+            val c = aggColName(m.column).get
+            val bs = nonEmptyBounds(files, c)
+            if (bs.isEmpty) null
+            else bs.map(b => boundInternal(c, b.min)).min(anyNumOrdering(dt(c)))
+          case m: Max =>
+            val c = aggColName(m.column).get
+            val bs = nonEmptyBounds(files, c)
+            if (bs.isEmpty) null
+            else bs.map(b => boundInternal(c, b.max)).max(anyNumOrdering(dt(c)))
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+      }
+      new GenericInternalRow(out): org.apache.spark.sql.catalyst.InternalRow
+    }
+    val schema = StructType(
+      groupCols.map(c => StructField(c, dt(c), nullable = true)) ++
+        a.aggregateExpressions.toSeq.map {
+          case _: CountStar =>
+            StructField("count(*)", LongType, nullable = false)
+          case m: Min =>
+            val c = aggColName(m.column).get
+            StructField(s"min($c)", dt(c), nullable = true)
+          case m: Max =>
+            val c = aggColName(m.column).get
+            StructField(s"max($c)", dt(c), nullable = true)
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        })
+    TableLogSql.recordAggServed(path)
+    new TableLogAggScan(schema, rows.toArray)
+  }
+
+  private def anyNumOrdering(dt: org.apache.spark.sql.types.DataType)
+      : Ordering[Any] = {
+    import org.apache.spark.sql.types._
+    (dt match {
+      case LongType => Ordering.Long
+      case IntegerType => Ordering.Int
+      case ShortType => Ordering.Short
+      case ByteType => Ordering.Byte
+      case DoubleType => Ordering.Double.TotalOrdering
+      case FloatType => Ordering.Float.TotalOrdering
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }).asInstanceOf[Ordering[Any]]
+  }
+
   override def build(): Scan = {
     val kept = snap.files.filter(n => filters.forall(mayMatch(n, _)))
     TableLogSql.recordPlanned(path, kept.size, snap.files.size)
-    if (kept.isEmpty) new TableLogEmptyScan(required.getOrElse(snap.schema))
+    if (pushedAgg.isDefined) buildAggScan(kept, pushedAgg.get)
+    else if (kept.isEmpty) new TableLogEmptyScan(required.getOrElse(snap.schema))
     else {
       val dataSchema = StructType(
         snap.schema.fields.filterNot(f => snap.partCols.contains(f.name)))
@@ -363,11 +540,34 @@ private[sql] class TableLogScanBuilder(path: String, snap: TableLog.Snapshot)
           case Array() => true
           case nn => nn.exists(eqMatch(c, _))
         }
+      // on partition columns NULL-ness is file-level truth (the hive
+      // default-partition sentinel); on data columns stay conservative
+      case sources.IsNotNull(c) =>
+        partVal(c).forall(_ != HiveNullPart)
+      case sources.IsNull(c) =>
+        partVal(c).forall(_ == HiveNullPart)
       case sources.And(l, r) => mayMatch(file, l) && mayMatch(file, r)
       case sources.Or(l, r) => mayMatch(file, l) || mayMatch(file, r)
       case _ => true // conservative: unknown shapes never prune
     }
   }
+}
+
+/** Complete aggregate pushdown served from the MANIFEST: COUNT(*)
+  * from per-file row counts, MIN/MAX from per-file column bounds,
+  * GROUP BY partition columns from the partition record. A
+  * [[LocalScan]], so the plan collapses to a LocalTableScan — zero
+  * data files opened, zero Spark jobs; at a 100k-file 100 TB table
+  * this is the difference between one manifest read and a full scan.
+  */
+private[sql] final class TableLogAggScan(
+    schema: StructType,
+    result: Array[org.apache.spark.sql.catalyst.InternalRow])
+  extends LocalScan {
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = result
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    "TableLogAggScan (manifest-only aggregates)"
 }
 
 /** Zero-partition scan in the pruned schema's shape — what total
@@ -401,6 +601,16 @@ object TableLogSql {
     */
   def lastPlanned(path: String): Option[(Int, Int)] =
     Option(planned.get(path))
+
+  private val aggServed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[sql] def recordAggServed(path: String): Unit = { aggServed.add(path); () }
+
+  /** True iff the most recent scan build over `path` served a
+    * complete aggregate from the manifest (cleared on read).
+    */
+  def tookAggServed(path: String): Boolean = aggServed.remove(path)
 
   /** Register the catalog under `spark.sql.catalog.<name>`. */
   def register(spark: SparkSession, catalogName: String = "tablelog"): Unit =
