@@ -19,7 +19,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory,
   Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns}
+  SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -249,7 +249,7 @@ private[sql] class TableLogTable(
 private[sql] class TableLogScanBuilder(path: String, snap: TableLog.Snapshot)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private val spark = SparkSession.active
   private var filters: Array[Filter] = Array.empty
@@ -348,6 +348,17 @@ private[sql] class TableLogScanBuilder(path: String, snap: TableLog.Snapshot)
     groupsOk && aggsOk
   }
 
+  // --- LIMIT pushdown: keep only enough files (by manifest row
+  // counts) to cover the limit — `SELECT * FROM t LIMIT 100` on a
+  // 100k-file table plans one file. Partial push: Spark's own Limit
+  // stays on top and trims the surplus rows of the last file.
+  private var limit: Option[Int] = None
+
+  override def pushLimit(l: Int): Boolean =
+    if (countServable) { limit = Some(l); true } else false
+
+  override def isPartiallyPushed(): Boolean = true
+
   override def supportCompletePushDown(a: Aggregation): Boolean = canPushAgg(a)
 
   override def pushAggregation(a: Aggregation): Boolean =
@@ -438,7 +449,22 @@ private[sql] class TableLogScanBuilder(path: String, snap: TableLog.Snapshot)
   }
 
   override def build(): Scan = {
-    val kept = snap.files.filter(n => filters.forall(mayMatch(n, _)))
+    val matched = snap.files.filter(n => filters.forall(mayMatch(n, _)))
+    val kept = limit match {
+      case Some(l) if pushedAgg.isEmpty =>
+        // prefix of files whose recorded rows cover the limit
+        // (countServable gated pushLimit, so every file has a count)
+        var acc = 0L
+        val keep = Seq.newBuilder[String]
+        val it = matched.iterator
+        while (it.hasNext && acc < l) {
+          val n = it.next()
+          keep += n
+          acc += snap.stats(n)(TableLog.RowsKey).min.toLong
+        }
+        keep.result()
+      case _ => matched
+    }
     TableLogSql.recordPlanned(path, kept.size, snap.files.size)
     if (pushedAgg.isDefined) buildAggScan(kept, pushedAgg.get)
     else if (kept.isEmpty) new TableLogEmptyScan(required.getOrElse(snap.schema))

@@ -85,6 +85,28 @@ class TableLogCatalogSpec extends GraftSparkSpec {
     assert(e != null)
   }
 
+  test("LIMIT plans only enough files to cover it (partial push, exact row count)") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-lim")
+    val base = (0L until 4000L).map(i => (i, i % 7)).toDF("id", "g")
+    TableLog.create(spark, path, base.repartition(4))
+    TableLog.optimizeRange(spark, path, "id", numFiles = 8)
+
+    assert(spark.sql(s"SELECT * FROM tablelog.`$path` LIMIT 700").count() === 700L)
+    val (kept, total) = TableLogSql.lastPlanned(path).get
+    assert(total === 8)
+    assert(kept <= 3, s"700 rows over ~500-row files: planned $kept")
+
+    assert(spark.sql(s"SELECT id FROM tablelog.`$path` LIMIT 10").count() === 10L)
+    assert(TableLogSql.lastPlanned(path).get._1 === 1, "LIMIT 10 plans one file")
+
+    // LIMIT below a non-exact WHERE must NOT cut by counts (the
+    // filter is residual; Spark doesn't push the limit then)
+    val f = spark.sql(
+      s"SELECT * FROM tablelog.`$path` WHERE g = 3 LIMIT 10")
+    assert(f.count() === 10L)
+  }
+
   test("COUNT/MIN/MAX answer from the manifest alone: LocalTableScan, zero file reads") {
     TableLogSql.register(spark)
     val path = freshPath("graft-spec-tlsql-agg")
