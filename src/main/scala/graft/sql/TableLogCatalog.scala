@@ -18,8 +18,11 @@ import org.apache.spark.sql.connector.expressions.aggregate.{
   Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory,
-  Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+  Scan, ScanBuilder, Statistics, SupportsPushDownAggregates,
+  SupportsPushDownFilters, SupportsPushDownLimit,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset => StreamOffset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -190,10 +193,11 @@ private[sql] class TableLogTable(
 
   override def capabilities(): util.Set[TableCapability] =
     if (timeTraveled) util.EnumSet.of(TableCapability.BATCH_READ)
-    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TableLogScanBuilder(path, snap)
+    new TableLogScanBuilder(path, snap, options)
 
   /** `DELETE FROM tablelog.` — the analyzer's pushed conjunction maps
     * to [[TableLog.deleteWhere]] (a committed version: only files
@@ -246,7 +250,9 @@ private[sql] class TableLogTable(
   * working inside the surviving files. All filters are also reported
   * back as residual — bounds are per-file, not per-row.
   */
-private[sql] class TableLogScanBuilder(path: String, snap: TableLog.Snapshot)
+private[sql] class TableLogScanBuilder(
+    path: String, snap: TableLog.Snapshot,
+    scanOptions: CaseInsensitiveStringMap)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -467,24 +473,12 @@ private[sql] class TableLogScanBuilder(path: String, snap: TableLog.Snapshot)
     }
     TableLogSql.recordPlanned(path, kept.size, snap.files.size)
     if (pushedAgg.isDefined) buildAggScan(kept, pushedAgg.get)
-    else if (kept.isEmpty) new TableLogEmptyScan(required.getOrElse(snap.schema))
     else {
-      val dataSchema = StructType(
-        snap.schema.fields.filterNot(f => snap.partCols.contains(f.name)))
-      val params: Map[String, String] =
-        if (snap.partCols.isEmpty) Map.empty
-        else Map("basePath" -> TableLog.dataPath(path))
-      val index = new InMemoryFileIndex(
-        spark,
-        kept.map(n => new Path(TableLog.dataPath(path), n)),
-        params, Some(snap.schema))
-      val psb = ParquetScanBuilder(
-        spark, index, snap.schema, dataSchema,
-        new CaseInsensitiveStringMap(params.asJava))
-      val catalystFilters = filters.toSeq.flatMap(toCatalyst)
-      if (catalystFilters.nonEmpty) psb.pushFilters(catalystFilters)
-      required.foreach(psb.pruneColumns)
-      psb.build()
+      val inner: Scan =
+        if (kept.isEmpty) new TableLogEmptyScan(required.getOrElse(snap.schema))
+        else TableLogParquet.build(spark, path, snap, kept, required,
+          filters.toSeq.flatMap(toCatalyst))
+      new TableLogScan(path, snap, inner, scanOptions)
     }
   }
 
@@ -577,6 +571,156 @@ private[sql] class TableLogScanBuilder(path: String, snap: TableLog.Snapshot)
       case _ => true // conservative: unknown shapes never prune
     }
   }
+}
+
+/** Shared construction of the delegated v2 parquet scan over an
+  * explicit file list (batch reads and streaming micro-batches build
+  * through here). For a PARTITIONED table with an empty file list the
+  * partition schema is forced explicitly — inference has no
+  * directories to see, and a reader factory built without the
+  * partition columns would silently mis-shape later batches.
+  */
+private[sql] object TableLogParquet {
+  def build(
+      spark: SparkSession, path: String, snap: TableLog.Snapshot,
+      files: Seq[String],
+      required: Option[StructType] = None,
+      catalystFilters: Seq[ce.Expression] = Nil): Scan = {
+    val dataSchema = StructType(
+      snap.schema.fields.filterNot(f => snap.partCols.contains(f.name)))
+    val params: Map[String, String] =
+      if (snap.partCols.isEmpty) Map.empty
+      else Map("basePath" -> TableLog.dataPath(path))
+    val spec =
+      if (snap.partCols.isEmpty || files.nonEmpty) None
+      else Some(org.apache.spark.sql.execution.datasources.PartitionSpec(
+        StructType(snap.partCols.map(c =>
+          snap.schema.fields(snap.schema.fieldIndex(c)))),
+        Nil))
+    val index = new InMemoryFileIndex(
+      spark,
+      files.map(n => new Path(TableLog.dataPath(path), n)),
+      params, Some(snap.schema),
+      userSpecifiedPartitionSpec = spec)
+    val psb = ParquetScanBuilder(
+      spark, index, snap.schema, dataSchema,
+      new CaseInsensitiveStringMap(params.asJava))
+    if (catalystFilters.nonEmpty) psb.pushFilters(catalystFilters)
+    required.foreach(psb.pruneColumns)
+    psb.build()
+  }
+}
+
+/** The scan handed to Spark: batch work delegates to the inner v2
+  * parquet scan (or the empty scan under total pruning) unchanged —
+  * statistics included, so join planning still sees the real size —
+  * and `toMicroBatchStream` turns the SAME table into a streaming
+  * source ([[TableLogMicroBatchStream]]).
+  */
+private[sql] final class TableLogScan(
+    path: String, snap: TableLog.Snapshot, inner: Scan,
+    options: CaseInsensitiveStringMap)
+  extends Scan with SupportsReportStatistics {
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = inner.toBatch
+  override def description(): String = inner.description()
+  override def estimateStatistics(): Statistics = inner match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TableLogMicroBatchStream(path, snap, options)
+}
+
+/** `spark.readStream.table("tablelog.\`path\`")` — the table itself
+  * as a streaming source. Offsets ARE versions: the initial batch is
+  * the table snapshot at `fromVersion` semantics (default 0 = the
+  * whole current table; `fromVersion=latest` = only new commits;
+  * `fromVersion=<n>` = commits after n), and every later micro-batch
+  * reads exactly the files APPENDED in `(start, end]` — per-batch IO
+  * proportional to the commit, never the table. A version range that
+  * REWROTE or removed files (delete/optimize/restore) fails the
+  * stream with a pointer to the change feed (Delta's non-append
+  * rule); `skipChangeCommits=true` streams only the appended files
+  * through such ranges. Restart-safe: versions are durable and
+  * immutable, so a replayed offset range reproduces the identical
+  * batch. The schema is fixed at stream start; wider later files
+  * project down, narrower read NULL.
+  */
+private[sql] final class TableLogMicroBatchStream(
+    path: String, snap: TableLog.Snapshot, options: CaseInsensitiveStringMap)
+  extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  private case class VOffset(v: Long) extends StreamOffset {
+    override def json: String = v.toString
+  }
+  private def ver(o: StreamOffset): Long = o.json.trim.toLong
+
+  private val fromV: Long = Option(options.get("fromVersion")) match {
+    case Some("latest") => snap.version
+    case Some(s) => s.toLong
+    case None => 0L
+  }
+  private val skipChangeCommits: Boolean =
+    options.getBoolean("skipChangeCommits", false)
+
+  override def initialOffset(): StreamOffset = VOffset(fromV)
+  override def latestOffset(): StreamOffset =
+    VOffset(TableLog.latestVersion(spark, path))
+  override def deserializeOffset(json: String): StreamOffset =
+    VOffset(json.trim.toLong)
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def filesAt(v: Long): Seq[String] =
+    if (v <= 0L) Nil else TableLog.files(spark, path, Some(v))
+
+  override def planInputPartitions(
+      start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val (lo, hi) = (ver(start), ver(end))
+    if (hi <= lo) return Array.empty
+    val newFiles: Seq[String] =
+      if (!skipChangeCommits) {
+        // endpoint diff suffices: file names are fresh UUIDs, so ANY
+        // rewrite/removal in the range shows at the endpoints
+        val before = filesAt(lo).toSet
+        val after = filesAt(hi)
+        val removed = before -- after.toSet
+        if (removed.nonEmpty)
+          throw new IllegalStateException(
+            s"tablelog streaming read: versions ($lo, $hi] of $path rewrote " +
+              "or removed data files (delete/optimize/restore) — the table " +
+              "stream serves APPENDS. Use the change feed " +
+              "(format graft.streaming.TableLogChangeFeed) for row-level " +
+              "changes, or skipChangeCommits=true to skip change commits")
+        after.filterNot(before)
+      } else {
+        // Delta's skipChangeCommits: a version that removed files is a
+        // CHANGE commit — its additions (survivor rewrites) are NOT
+        // appends and are skipped wholesale
+        (lo + 1 to hi).flatMap { v =>
+          val prev = filesAt(v - 1).toSet
+          val cur = filesAt(v)
+          if ((prev -- cur.toSet).nonEmpty) Nil else cur.filterNot(prev)
+        }
+      }
+    if (newFiles.isEmpty) Array.empty
+    else TableLogParquet.build(spark, path, snap.copy(files = newFiles), newFiles)
+      .toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // file-independent for parquet: built once over an empty index
+    // (explicit partition spec keeps partitioned shapes correct)
+    TableLogParquet.build(spark, path, snap.copy(files = Nil), Nil)
+      .toBatch.createReaderFactory()
 }
 
 /** Complete aggregate pushdown served from the MANIFEST: COUNT(*)

@@ -85,6 +85,63 @@ class TableLogCatalogSpec extends GraftSparkSpec {
     assert(e != null)
   }
 
+  test("readStream.table: snapshot then appends; rewrite fails; skipChangeCommits skips it") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-stream")
+    val ckpt = freshPath("graft-spec-tlsql-stream-ckpt")
+    val base = (0L until 100L).map(i => (i, i % 7)).toDF("id", "g")
+    TableLog.create(spark, path, base.repartition(2))
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Any]]()
+    def run(skip: Boolean) = {
+      val r = spark.readStream
+      (if (skip) r.option("skipChangeCommits", "true") else r)
+        .table(s"tablelog.`$path`")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.collect().foreach(r => got.add(r.toSeq))
+            ()
+        }.start()
+    }
+
+    val q1 = run(skip = false)
+    try {
+      q1.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet === rows(base), "initial batch = table snapshot")
+      TableLog.append(spark, path,
+        (100L until 110L).map(i => (i, i % 7)).toDF("id", "g"))   // v2
+      q1.processAllAvailable()
+      assert(got.size === 110, "append streams as a micro-batch")
+      // a delete REWRITES files: the append stream must fail loudly
+      TableLog.deleteBand(spark, path, "id", 0L, 9L)              // v3
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("serves APPENDS")), msgs(e).mkString(" | "))
+    } finally q1.stop()
+
+    // restart with skipChangeCommits: v3 (a change commit) is skipped
+    // wholesale — its survivor-rewrite files must NOT stream as appends
+    got.clear()
+    val q2 = run(skip = true)
+    try {
+      q2.processAllAvailable()
+      assert(got.isEmpty, "change commit skipped, no survivor duplicates")
+      TableLog.append(spark, path,
+        (200L until 205L).map(i => (i, i % 7)).toDF("id", "g"))   // v4
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet ===
+        (200L until 205L).map(i => Seq(i, i % 7)).toSet,
+        "appends after the skipped change commit stream normally")
+    } finally q2.stop()
+  }
+
   test("LIMIT plans only enough files to cover it (partial push, exact row count)") {
     TableLogSql.register(spark)
     val path = freshPath("graft-spec-tlsql-lim")
