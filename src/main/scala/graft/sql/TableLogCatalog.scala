@@ -67,7 +67,8 @@ import graft.operators.TableLog
   * from ONE manifest (or log checkpoint) read, hands Spark only the
   * surviving files, and never lists the data directory.
   */
-class TableLogCatalog extends TableCatalog with SupportsNamespaces {
+class TableLogCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName = "tablelog"
 
@@ -152,6 +153,14 @@ class TableLogCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "TableLogCatalog: RENAME not supported — the identifier is the path")
+
+  // --- maintenance procedures: CALL tablelog.optimize(...) etc. ---
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    TableLogProcedures.load(ident.name)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    TableLogProcedures.names.map(n => Identifier.of(namespace, n)).toArray
 
   // --- SupportsNamespaces: only the root namespace exists ---
   override def listNamespaces(): Array[Array[String]] = Array.empty
@@ -437,7 +446,8 @@ private[sql] class TableLogScanBuilder(
           case other => throw new IllegalStateException(s"unreachable: $other")
         })
     TableLogSql.recordAggServed(path)
-    new TableLogAggScan(schema, rows.toArray)
+    new TableLogLocalScan(schema, rows.toArray,
+      "TableLogAggScan (manifest-only aggregates)")
   }
 
   private def anyNumOrdering(dt: org.apache.spark.sql.types.DataType)
@@ -730,14 +740,14 @@ private[sql] final class TableLogMicroBatchStream(
   * data files opened, zero Spark jobs; at a 100k-file 100 TB table
   * this is the difference between one manifest read and a full scan.
   */
-private[sql] final class TableLogAggScan(
+private[sql] final class TableLogLocalScan(
     schema: StructType,
-    result: Array[org.apache.spark.sql.catalyst.InternalRow])
+    result: Array[org.apache.spark.sql.catalyst.InternalRow],
+    desc: String)
   extends LocalScan {
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = result
   override def readSchema(): StructType = schema
-  override def description(): String =
-    "TableLogAggScan (manifest-only aggregates)"
+  override def description(): String = desc
 }
 
 /** Zero-partition scan in the pruned schema's shape — what total

@@ -85,6 +85,42 @@ class TableLogCatalogSpec extends GraftSparkSpec {
     assert(e != null)
   }
 
+  test("CALL procedures: optimize/compact/history/restore/vacuum/tags through SQL") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-proc")
+    val base = (0L until 2000L).map(i => (i, i % 7)).toDF("id", "g")
+    TableLog.create(spark, path, base.repartition(4))
+
+    assert(spark.sql(s"CALL tablelog.optimize('$path', 'id', 8)")
+      .collect().head.getLong(0) === 2L)
+    // the clustering is real: a narrow band plans few files
+    spark.sql(s"SELECT * FROM tablelog.`$path` WHERE id BETWEEN 100 AND 200")
+      .count()
+    assert(TableLogSql.lastPlanned(path).get._1 <= 2)
+
+    assert(spark.sql(s"CALL tablelog.compact('$path', 1000)")
+      .collect().head.getLong(0) === 3L)
+
+    val hist = spark.sql(s"CALL tablelog.history('$path')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hist === Set((1L, 2000L), (2L, 2000L), (3L, 2000L)))
+
+    spark.sql(s"CALL tablelog.restore('$path', 2)")
+    assert(TableLog.files(spark, path, Some(4L)) ===
+      TableLog.files(spark, path, Some(2L)), "restore re-commits v2's files")
+
+    assert(spark.sql(s"CALL tablelog.vacuum('$path', 2)")
+      .collect().head.getLong(0) === 3L, "watermark after keep-2 vacuum")
+
+    assert(spark.sql(s"CALL tablelog.tags('$path')").count() === 0L)
+
+    val e = intercept[Exception] {
+      spark.sql(s"CALL tablelog.nonsense('$path')")
+    }
+    assert(e.getMessage.contains("unknown procedure") ||
+      e.getMessage.contains("FAILED_TO_LOAD_ROUTINE"))
+  }
+
   test("readStream.table: snapshot then appends; rewrite fails; skipChangeCommits skips it") {
     TableLogSql.register(spark)
     val path = freshPath("graft-spec-tlsql-stream")
