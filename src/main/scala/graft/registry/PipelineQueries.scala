@@ -749,6 +749,31 @@ object PipelineQueries {
     }),
 
 
+    // SQL maintenance lifecycle (round-13): every step through plain
+    // SQL — CREATE (v1, empty), INSERT (v2), CALL compact (v3, content
+    // identical), DELETE (v4) — then CALL history reads the per-version
+    // row counts FROM THE MANIFESTS (zero data IO). Result-transparent:
+    // each version's count derives from the base table
+    "q217_sql_maintenance" -> ((s, dir) => {
+      graft.sql.TableLogSql.register(s)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlproc-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      s.sql(s"CREATE TABLE tablelog.`$path` " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .createOrReplaceTempView("q217_docs")
+      s.sql(s"INSERT INTO tablelog.`$path` " +
+        "SELECT doc_id, lang, n_chars FROM q217_docs")
+      s.sql(s"CALL tablelog.optimize('$path', 'n_chars', 8)")
+      s.sql(s"DELETE FROM tablelog.`$path` WHERE n_chars < 150")
+      s.sql(s"CALL tablelog.history('$path')")
+    }),
+
+
     // manifest-only SQL aggregates (round-13): COUNT/MIN/MAX and the
     // per-partition GROUP BY answer from ONE manifest read — the scan
     // builder serves the complete aggregate from per-file row counts,
@@ -2035,6 +2060,19 @@ object PipelineQueries {
         |FROM sq_base
         |WHERE n_chars BETWEEN 100 AND 300
         |GROUP BY source""".stripMargin,
+
+    // q217: the four versions' row counts derived from the base table
+    // (v1 CREATE empty, v2 INSERT all, v3 OPTIMIZE content-identical,
+    // v4 the length-floor delete)
+    "q217_sql_maintenance" ->
+      """SELECT CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS n_rows
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*) FROM documents
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), count(*) FROM documents
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), count(*) FROM documents
+        |WHERE NOT (n_chars < 150)""".stripMargin,
 
     // q216: both aggregates replayed over the base table
     "q216_metadata_agg" ->
