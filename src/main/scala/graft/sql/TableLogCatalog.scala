@@ -97,7 +97,7 @@ class TableLogCatalog extends TableCatalog with SupportsNamespaces
 
   /** `VERSION AS OF <n>` (also accepts a tag name from the tag map). */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val path = tablePath(ident)
+    val path = splitMeta(ident).map(_._1).getOrElse(tablePath(ident))
     if (!isTable(path)) throw new NoSuchTableException(ident)
     val v =
       try version.toLong
@@ -111,17 +111,40 @@ class TableLogCatalog extends TableCatalog with SupportsNamespaces
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val path = tablePath(ident)
+    val path = splitMeta(ident).map(_._1).getOrElse(tablePath(ident))
     if (!isTable(path)) throw new NoSuchTableException(ident)
     load(ident, Some(TableLog.versionAt(spark, path, timestampMicros / 1000L)),
       timeTraveled = true)
   }
 
+  /** Iceberg-style metadata tables: `tablelog.`/path$files`` (also
+    * `$partitions`, `$history`, `$tags`) — the log's own state as
+    * JOIN-able SQL relations, answered from manifests/checkpoints
+    * with zero data IO. `$files`/`$partitions` honor VERSION AS OF.
+    */
+  private val MetaSuffixes = Set("files", "partitions", "history", "tags")
+
+  private def splitMeta(ident: Identifier): Option[(String, String)] = {
+    val raw = tablePath(ident)
+    val i = raw.lastIndexOf('$')
+    if (i <= 0) None
+    else {
+      val (p, s) = (raw.substring(0, i), raw.substring(i + 1))
+      if (MetaSuffixes.contains(s) && isTable(p)) Some((p, s)) else None
+    }
+  }
+
   private def load(ident: Identifier, version: Option[Long],
       timeTraveled: Boolean): Table = {
-    val path = tablePath(ident)
-    if (!isTable(path)) throw new NoSuchTableException(ident)
-    new TableLogTable(path, TableLog.snapshot(spark, path, version), timeTraveled)
+    splitMeta(ident) match {
+      case Some((p, suffix)) =>
+        TableLogMetaTable(spark, p, suffix, version)
+      case None =>
+        val path = tablePath(ident)
+        if (!isTable(path)) throw new NoSuchTableException(ident)
+        new TableLogTable(path, TableLog.snapshot(spark, path, version),
+          timeTraveled)
+    }
   }
 
   override def createTable(
@@ -583,6 +606,85 @@ private[sql] class TableLogScanBuilder(
   }
 }
 
+/** One metadata table: a read-only relation over the log's own state
+  * (file list, partition rollup, history, tag map), computed lazily
+  * at scan build and served as driver-local rows.
+  */
+private[sql] object TableLogMetaTable {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def row(vals: Any*): org.apache.spark.sql.catalyst.InternalRow =
+    new GenericInternalRow(vals.toArray[Any])
+
+  private def out(fields: (String, org.apache.spark.sql.types.DataType)*) =
+    StructType(fields.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t, nullable = true) })
+
+  def apply(spark: SparkSession, path: String, suffix: String,
+      version: Option[Long]): Table = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    def snap = TableLog.snapshot(spark, path, version)
+    def rowsOf(s: TableLog.Snapshot, n: String): Any =
+      s.stats.get(n).flatMap(_.get(TableLog.RowsKey))
+        .map(b => b.min.toLong: Any).orNull
+    def partStr(s: TableLog.Snapshot, n: String): Any =
+      s.parts.get(n).map(vals =>
+        UTF8String.fromString(
+          s.partCols.zip(vals).map { case (c, v) => s"$c=$v" }
+            .mkString("/")): Any).orNull
+    val (tblSchema, rowsFn): (StructType,
+        () => Array[org.apache.spark.sql.catalyst.InternalRow]) =
+      suffix match {
+        case "files" =>
+          (out("file" -> StringType, "rows" -> LongType,
+            "partition" -> StringType),
+            () => {
+              val s = snap
+              s.files.map(n => row(UTF8String.fromString(n),
+                rowsOf(s, n), partStr(s, n))).toArray
+            })
+        case "partitions" =>
+          (out("partition" -> StringType, "n_files" -> LongType,
+            "n_rows" -> LongType),
+            () => {
+              val s = snap
+              s.files.groupBy(n => partStr(s, n)).toSeq.map {
+                case (p, fs) =>
+                  val counts = fs.map(rowsOf(s, _))
+                  val total =
+                    if (counts.contains(null)) null
+                    else counts.map(_.asInstanceOf[Long]).sum: Any
+                  row(p, fs.size.toLong, total)
+              }.toArray
+            })
+        case "history" =>
+          (out("version" -> LongType, "n_rows" -> LongType),
+            () => TableLog.history(spark, path).collect()
+              .map(r => row(r.getLong(0), r.getLong(1))))
+        case "tags" =>
+          (out("tag" -> StringType, "version" -> LongType),
+            () => TableLog.tags(spark, path).toSeq.sortBy(_._2)
+              .map { case (t, v) => row(UTF8String.fromString(t), v) }.toArray)
+        case other =>
+          throw new IllegalArgumentException(s"unknown metadata table $other")
+      }
+    new Table with SupportsRead {
+      override def name(): String = s"tablelog.`$path$$$suffix`"
+      override def schema(): StructType = tblSchema
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(
+          options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): Scan =
+            new TableLogLocalScan(tblSchema, rowsFn(),
+              s"TableLogMetaScan($suffix)")
+        }
+    }
+  }
+}
+
 /** Shared construction of the delegated v2 parquet scan over an
   * explicit file list (batch reads and streaming micro-batches build
   * through here). For a PARTITIONED table with an empty file list the
@@ -664,7 +766,8 @@ private[sql] final class TableLogScan(
   */
 private[sql] final class TableLogMicroBatchStream(
     path: String, snap: TableLog.Snapshot, options: CaseInsensitiveStringMap)
-  extends MicroBatchStream {
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def spark = SparkSession.active
 
@@ -681,8 +784,33 @@ private[sql] final class TableLogMicroBatchStream(
   private val skipChangeCommits: Boolean =
     options.getBoolean("skipChangeCommits", false)
 
+  /** Rate limiting: at most `maxVersionsPerTrigger` commits advance
+    * per micro-batch, so a long-down consumer catching up on a busy
+    * table replays in bounded batches instead of one giant one.
+    */
+  private val maxVersionsPerTrigger: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map { s =>
+      val v = s.toLong
+      require(v > 0, s"maxVersionsPerTrigger must be positive, got $v")
+      v
+    }
+
   override def initialOffset(): StreamOffset = VOffset(fromV)
   override def latestOffset(): StreamOffset =
+    VOffset(TableLog.latestVersion(spark, path))
+
+  override def latestOffset(
+      start: StreamOffset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : StreamOffset = {
+    val latest = TableLog.latestVersion(spark, path)
+    VOffset(maxVersionsPerTrigger match {
+      case Some(m) => math.min(latest, ver(start) + m)
+      case None => latest
+    })
+  }
+
+  override def reportLatestOffset(): StreamOffset =
     VOffset(TableLog.latestVersion(spark, path))
   override def deserializeOffset(json: String): StreamOffset =
     VOffset(json.trim.toLong)

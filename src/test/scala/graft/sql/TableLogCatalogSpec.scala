@@ -85,6 +85,72 @@ class TableLogCatalogSpec extends GraftSparkSpec {
     assert(e != null)
   }
 
+  test("metadata tables: $files/$partitions/$history/$tags as JOIN-able relations") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-meta")
+    val base = (0L until 300L)
+      .map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    spark.sql(s"CREATE TABLE tablelog.`$path` (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    base.createOrReplaceTempView("tlmeta_src")
+    spark.sql(s"INSERT INTO tablelog.`$path` SELECT id, lang FROM tlmeta_src")
+
+    val files = spark.sql(s"SELECT * FROM tablelog.`$path$$files`")
+    assert(files.columns.toSeq === Seq("file", "rows", "partition"))
+    val snap = TableLog.snapshot(spark, path)
+    assert(files.count() === snap.files.size.toLong)
+    assert(files.agg(sum(col("rows"))).collect().head.getLong(0) === 300L)
+
+    val parts = spark.sql(
+      s"SELECT * FROM tablelog.`$path$$partitions` ORDER BY partition")
+      .collect().map(_.toSeq)
+    assert(parts.map(_.head).toSeq === Seq("lang=de", "lang=en"))
+    assert(parts.map(_(2)).toSeq === Seq(200L, 100L))
+
+    assert(spark.sql(s"SELECT * FROM tablelog.`$path$$history`")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 0L), (2L, 300L)))
+    assert(spark.sql(s"SELECT count(*) FROM tablelog.`$path$$tags`")
+      .collect().head.getLong(0) === 0L)
+
+    // $files honors VERSION AS OF (the empty CREATE version)
+    assert(spark.sql(
+      s"SELECT * FROM tablelog.`$path$$files` VERSION AS OF 1").count() === 0L)
+  }
+
+  test("streaming maxVersionsPerTrigger bounds each micro-batch's version range") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-rate")
+    val ckpt = freshPath("graft-spec-tlsql-rate-ckpt")
+    TableLog.create(spark, path, (0L until 10L).map(i => (i, i)).toDF("id", "w"))
+    (1 to 4).foreach { k =>
+      TableLog.append(spark, path,
+        (0L until 10L).map(i => (k * 100L + i, i)).toDF("id", "w"))
+    } // v2..v5
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .option("fromVersion", "1")
+      .option("maxVersionsPerTrigger", "2")
+      .table(s"tablelog.`$path`")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batches.add(b.count())
+          ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val sizes = batches.asScala.toSeq.filter(_ > 0)
+      assert(sizes.sum === 40L, "all four appended versions arrive")
+      assert(sizes.forall(_ <= 20L),
+        s"each batch covers at most 2 versions (20 rows): $sizes")
+      assert(sizes.size >= 2, "the catch-up splits into multiple batches")
+    } finally q.stop()
+  }
+
   test("CALL procedures: optimize/compact/history/restore/vacuum/tags through SQL") {
     TableLogSql.register(spark)
     val path = freshPath("graft-spec-tlsql-proc")
