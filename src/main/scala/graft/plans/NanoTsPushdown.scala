@@ -109,8 +109,92 @@ object NanoTsPushdown extends Rule[LogicalPlan] {
 
 /** Session-extensions entry point:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  *
+  * Besides the optimizer rule, registers graft's scalar surface as
+  * SQL functions, so plain `spark.sql` users get the engine's
+  * codegen'd expressions without touching the Scala API:
+  *
+  * {{{
+  *   SELECT graft_uri_risk(request_uri), graft_method_risk(method)
+  *   SELECT graft_unquote(uri).uri, graft_canon_url(url)
+  *   SELECT graft_ntokens(text), graft_quality(text)
+  *   SELECT graft_minhash(split(text, ' '), 64)   -- shingles in, sig out
+  *   SELECT graft_regexp_groups(line, '(\\d+)')
+  *   SELECT graft_cidr_match(ip, '10.0.0.0/8,192.168.0.0/16')
+  * }}}
+  *
+  * Defaults mirror the reference's config (sensitive paths/extension
+  * patterns/webshell names — `config.py` via GraftConfig); literal
+  * arguments (k, patterns, CIDR lists) must be foldable strings/ints,
+  * enforced with a clear error.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+
+  private def lit[A](e: Expression, what: String, f: PartialFunction[Any, A]): A =
+    e match {
+      case l: Literal if l.foldable && f.isDefinedAt(l.value) => f(l.value)
+      case other => throw new IllegalArgumentException(
+        s"graft SQL function: $what must be a literal, got $other")
+    }
+
+  private def litInt(e: Expression, what: String): Int =
+    lit(e, what, { case i: Int => i })
+
+  private def litStr(e: Expression, what: String): String =
+    lit(e, what, {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+    })
+
+  private def col(e: Expression) = org.apache.spark.sql.GraftInterop.column(e)
+  private def expr(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftInterop.catalystExpression(c)
+
+  private def fn(name: String)(build: Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+    build)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NanoTsPushdown)
+
+    ext.injectFunction(fn("graft_uri_risk") { args =>
+      expr(graft.functions.RiskFeatures.uriRisk(col(args.head),
+        graft.rules.GraftConfig.defaultSensitivePaths,
+        graft.rules.GraftConfig.extPatterns(
+          graft.rules.GraftConfig.defaultSensitiveExtensions),
+        graft.SparkEntry.oracleShells))
+    })
+    ext.injectFunction(fn("graft_method_risk") { args =>
+      expr(graft.functions.RiskFeatures.methodRisk(col(args.head)))
+    })
+    ext.injectFunction(fn("graft_status_risk") { args =>
+      expr(graft.functions.RiskFeatures.statusRisk(col(args.head)))
+    })
+    ext.injectFunction(fn("graft_unquote") { args =>
+      graft.functions.UriCodec.NestedUnquote(args.head)
+    })
+    ext.injectFunction(fn("graft_canon_url") { args =>
+      expr(graft.functions.UrlCanon.canonicalize_url(col(args.head)))
+    })
+    ext.injectFunction(fn("graft_ntokens") { args =>
+      expr(graft.textops.TextAnalysis.nTokens(col(args.head)))
+    })
+    ext.injectFunction(fn("graft_quality") { args =>
+      expr(graft.textops.TextAnalysis.qualityScore(col(args.head)))
+    })
+    ext.injectFunction(fn("graft_minhash") { args =>
+      graft.textops.MinHashSigExpr(args.head,
+        litInt(args(1), "k (number of hashes)"))
+    })
+    ext.injectFunction(fn("graft_regexp_groups") { args =>
+      graft.functions.RegexpGroups(args.head,
+        litStr(args(1), "pattern"))
+    })
+    ext.injectFunction(fn("graft_cidr_match") { args =>
+      expr(graft.functions.Cidr.matches(col(args.head),
+        litStr(args(1), "cidr list").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq))
+    })
+  }
 }

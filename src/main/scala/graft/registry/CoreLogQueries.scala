@@ -366,6 +366,23 @@ object CoreLogQueries {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("char_ppl").desc, col("request_uri").asc)
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 25)
+    }),
+
+
+    // graft's scalar surface as SQL FUNCTIONS (round-13): the q8/q9
+    // risk composites through plain spark.sql text — the session
+    // extensions (GraftExtensions.injectFunction) register
+    // graft_uri_risk / graft_method_risk / graft_status_risk, so a
+    // SQL-only user gets the same codegen'd expressions. Oracle is
+    // the q8/q9 replay combined
+    "q218_sql_functions" -> ((s, dir) => {
+      PseudoLog.logs(s, dir).createOrReplaceTempView("q218_logs")
+      s.sql(
+        """SELECT event_id, request_uri,
+          |  graft_uri_risk(request_uri) AS uri_risk,
+          |  graft_method_risk(method) AS method_risk,
+          |  graft_status_risk(status) AS status_risk
+          |FROM q218_logs""".stripMargin)
     })
   )
 
@@ -442,6 +459,13 @@ object CoreLogQueries {
 
     "q9_scalar_risk" ->
       ("WITH " + PseudoLog.sqlLogs + "\nSELECT event_id, " +
+        PseudoLog.sqlMethodRisk("method") + " AS method_risk, " +
+        PseudoLog.sqlStatusRisk("status") + " AS status_risk\nFROM logs"),
+
+
+    "q218_sql_functions" ->
+      ("WITH " + PseudoLog.sqlLogs + "\nSELECT event_id, request_uri, " +
+        PseudoLog.sqlUriRisk("request_uri") + " AS uri_risk, " +
         PseudoLog.sqlMethodRisk("method") + " AS method_risk, " +
         PseudoLog.sqlStatusRisk("status") + " AS status_risk\nFROM logs"),
 

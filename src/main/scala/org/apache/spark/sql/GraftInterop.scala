@@ -15,6 +15,17 @@ object GraftInterop {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column -> catalyst conversion. `expression` wraps the
+    * ColumnNode lazily (`ColumnNodeExpression`, Unevaluable) and
+    * relies on the classic Dataset API to convert during plan
+    * building; an expression returned from an injected SQL FUNCTION
+    * never passes through that path, so it must be converted up
+    * front (to UnresolvedFunction/ExtractValue trees the analyzer
+    * then resolves normally). No Spark internals modified.
+    */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** `isStreaming = true` frame over an InternalRow RDD — what a
     * DataSource-v1 streaming `Source.getBatch` must return
     * (MicroBatchExecution asserts the flag; FileStreamSource uses the
