@@ -749,6 +749,39 @@ object PipelineQueries {
     }),
 
 
+    // SQL-only curation pipeline (round-13): the whole flow in SQL
+    // text — graft_ntokens/graft_quality (injected functions) compute
+    // the signals inside the INSERT, the quality floor is a DELETE,
+    // the readout a partition-grouped aggregate; every step a
+    // committed version. quality rounds to 4 decimals inside the
+    // expression (q21-pinned), so the 0.5 floor compares identically
+    // in both engines. Result-transparent: the oracle replays the
+    // q21 quality formula and inverts the floor
+    "q219_sql_pipeline" -> ((s, dir) => {
+      graft.sql.TableLogSql.register(s)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlpipe-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      s.sql(s"CREATE TABLE tablelog.`$path` " +
+        "(doc_id BIGINT, n_tokens BIGINT, quality DOUBLE, lang STRING) " +
+        "PARTITIONED BY (lang)")
+      table(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+        .createOrReplaceTempView("q219_docs")
+      s.sql(s"INSERT INTO tablelog.`$path` " +
+        "SELECT doc_id, CAST(graft_ntokens(text) AS BIGINT), " +
+        "graft_quality(text), lang FROM q219_docs")
+      s.sql(s"DELETE FROM tablelog.`$path` WHERE quality < 0.5")
+      s.sql(
+        s"""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           |  CAST(sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           |    AS sum_q4
+           |FROM tablelog.`$path`
+           |GROUP BY lang""".stripMargin)
+    }),
+
+
     // SQL maintenance lifecycle (round-13): every step through plain
     // SQL — CREATE (v1, empty), INSERT (v2), CALL compact (v3, content
     // identical), DELETE (v4) — then CALL history reads the per-version
@@ -2060,6 +2093,40 @@ object PipelineQueries {
         |FROM sq_base
         |WHERE n_chars BETWEEN 100 AND 300
         |GROUP BY source""".stripMargin,
+
+    // q219: the q21 quality formula replayed (4-decimal rounding
+    // inside, so the 0.5 floor is engine-stable), floor inverted,
+    // per-lang aggregate with the quality sum in exact integral
+    // ten-thousandths
+    "q219_sql_pipeline" -> {
+      val toks = "string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')"
+      val en = graft.textops.TextAnalysis.stopwords("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS DOUBLE) / length(text)
+         |         END AS praw,
+         |    CASE WHEN len($toks) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter($toks, t -> list_contains($en, t))) AS DOUBLE)
+         |              / len($toks) END AS sraw
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |        + least(sraw * 5.0, 1.0) * 0.3
+         |        + (1.0 - least(praw * 10.0, 1.0)) * 0.3, 4) AS quality
+         |  FROM base)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS sum_q4
+         |FROM q
+         |WHERE NOT (quality < 0.5)
+         |GROUP BY lang""".stripMargin
+    },
 
     // q217: the four versions' row counts derived from the base table
     // (v1 CREATE empty, v2 INSERT all, v3 OPTIMIZE content-identical,
