@@ -1577,6 +1577,78 @@ object TableLog {
       deleteCore(spark, path, v, cur, cur.files, predicate)
     }
 
+  /** UPDATE ... SET ... WHERE as a committed version: only files
+    * actually CONTAINING matched rows rewrite (whole-file
+    * copy-on-write — Delta's UPDATE shape); every other file carries
+    * over by name with its stats. Matched rows take the assignments
+    * (cast to the column's existing type — retypes refused by the
+    * cast), unmatched rows in touched files rewrite unchanged,
+    * NULL-predicate rows are unmatched. Partition columns are not
+    * assignable (a partition-value update is a migration — use
+    * [[merge]]); partitioned tables rewrite through the partitioned
+    * writer, so touched rows stay in their hive dirs. Row accounting
+    * (rewritten == touched) is validated BEFORE the commit rename —
+    * a failure leaves only vacuum-collectable orphans.
+    */
+  def updateWhere(
+      spark: SparkSession, path: String,
+      set: Seq[(String, Column)], predicate: Column): Long =
+    withLock(spark, path, "updateWhere") {
+      require(set.nonEmpty, "TableLog.updateWhere: no assignments")
+      val v = latestVersion(spark, path)
+      checkNotVacuumed(spark, path, v)
+      val cur = readManifestFull(spark, path, v)
+      val schema = cur.schema.getOrElse(
+        readFiles(spark, path, cur, cur.files).schema)
+      val setMap = set.toMap
+      val unknown = setMap.keySet -- schema.fieldNames.toSet
+      require(unknown.isEmpty,
+        s"TableLog.updateWhere: not table columns: ${unknown.mkString(", ")}")
+      val partHit = setMap.keySet & cur.partCols.toSet
+      require(partHit.isEmpty,
+        s"TableLog.updateWhere: partition columns are not assignable " +
+          s"(${partHit.mkString(", ")}) — a partition move is a merge")
+      val df = readFiles(spark, path, cur, cur.files)
+      val perFileMatches = df.where(predicate)
+        .groupBy(col("_metadata.file_path").as("_tl_f"))
+        .agg(count(lit(1)).as("_tl_n")).collect()
+      val touchedNames =
+        perFileMatches.map(r => relName(path, r.getString(0))).toSet
+      if (touchedNames.isEmpty)
+        commitFull(spark, path, v + 1, cur.copy(tag = None))
+      else {
+        val (touched, untouched) = cur.files.partition(touchedNames.contains)
+        val touchedDf = readFiles(spark, path, cur, touched)
+        val touchedRows = touchedDf.count()
+        val matched = coalesce(predicate, lit(false))
+        val rewritten = touchedDf.select(schema.fields.toSeq.map { f =>
+          setMap.get(f.name) match {
+            case Some(c) =>
+              when(matched, c.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+        val (newFiles, newStats, newParts) =
+          if (cur.partCols.nonEmpty)
+            writeDataFilesPartitioned(spark, path, rewritten, cur.partCols)
+          else {
+            val (ns, st) = writeDataFiles(spark, path, rewritten)
+            (ns, st, Map.empty[String, Seq[String]])
+          }
+        val rewrittenRows = spark.read.parquet(
+          newFiles.map(n => new Path(dataDir(path), n).toString): _*).count()
+        require(rewrittenRows == touchedRows,
+          s"TableLog.updateWhere: rewrite has $rewrittenRows rows, want " +
+            s"$touchedRows — aborting commit (orphans go to vacuum)")
+        commitFull(spark, path, v + 1, cur.copy(
+          tag = None,
+          files = untouched ++ newFiles,
+          stats = cur.stats.filterNot { case (k, _) =>
+            touchedNames.contains(k) } ++ newStats,
+          parts = (cur.parts -- touchedNames) ++ newParts))
+      }
+    }
+
   /** Drop entire partitions as a new version — a PURE MANIFEST
     * operation: the partition's files simply leave the file list
     * (zero data IO, the classic `ALTER TABLE DROP PARTITION`);

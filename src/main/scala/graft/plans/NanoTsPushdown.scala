@@ -157,6 +157,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NanoTsPushdown)
+    // UPDATE tablelog.`path` SET ... WHERE ... — replace the resolved
+    // UpdateTable with a runnable command before check-analysis
+    // refuses it (graft.sql.TableLogUpdateRewrite)
+    ext.injectResolutionRule(_ => graft.sql.TableLogUpdateRewrite)
 
     ext.injectFunction(fn("graft_uri_risk") { args =>
       expr(graft.functions.RiskFeatures.uriRisk(col(args.head),

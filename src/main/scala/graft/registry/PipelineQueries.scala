@@ -749,6 +749,35 @@ object PipelineQueries {
     }),
 
 
+    // SQL UPDATE (round-13): copy-on-write of exactly the files
+    // containing matches — UPDATE ... SET ... WHERE through the
+    // injected resolution rule (UpdateTable -> runnable command ->
+    // TableLog.updateWhere), on a doc_id-clustered store so the
+    // narrow key band touches few files. Result-transparent: the
+    // oracle applies the same assignment conditionally
+    "q220_sql_update" -> ((s, dir) => {
+      graft.sql.TableLogSql.register(s)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlupd-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      graft.operators.TableLog.create(s, path, docs.repartition(4))
+      graft.operators.TableLog.optimizeRange(s, path, "doc_id", numFiles = 8)
+      s.sql(s"UPDATE tablelog.`$path` " +
+        "SET n_chars = n_chars + 1000000, lang = concat(lang, '-upd') " +
+        "WHERE doc_id < 60")
+      s.sql(
+        s"""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(max(n_chars) AS BIGINT) AS max_chars
+           |FROM tablelog.`$path`
+           |GROUP BY lang""".stripMargin)
+    }),
+
+
     // SQL-only curation pipeline (round-13): the whole flow in SQL
     // text — graft_ntokens/graft_quality (injected functions) compute
     // the signals inside the INSERT, the quality floor is a DELETE,
@@ -2093,6 +2122,19 @@ object PipelineQueries {
         |FROM sq_base
         |WHERE n_chars BETWEEN 100 AND 300
         |GROUP BY source""".stripMargin,
+
+    // q220: the conditional assignment replayed over the base table
+    "q220_sql_update" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 60 THEN lang || '-upd' ELSE lang END AS lang,
+        |    CASE WHEN doc_id < 60 THEN CAST(n_chars AS BIGINT) + 1000000
+        |         ELSE CAST(n_chars AS BIGINT) END AS n_chars
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM u GROUP BY lang""".stripMargin,
 
     // q219: the q21 quality formula replayed (4-decimal rounding
     // inside, so the 0.5 floor is engine-stable), floor inverted,

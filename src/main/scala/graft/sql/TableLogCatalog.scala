@@ -207,8 +207,8 @@ class TableLogCatalog extends TableCatalog with SupportsNamespaces
   * the manifest, reads through [[TableLogScanBuilder]], inserts
   * through the V1 write fallback into [[TableLog.append]].
   */
-private[sql] class TableLogTable(
-    path: String, snap: TableLog.Snapshot, timeTraveled: Boolean)
+private[graft] class TableLogTable(
+    val path: String, val snap: TableLog.Snapshot, val timeTraveled: Boolean)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String =

@@ -85,6 +85,47 @@ class TableLogCatalogSpec extends GraftSparkSpec {
     assert(e != null)
   }
 
+  test("UPDATE SET WHERE: copy-on-write of matched files only, committed version") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-upd")
+    val base = (0L until 4000L).map(i => (i, i % 7, s"s$i")).toDF("id", "g", "s")
+    TableLog.create(spark, path, base.repartition(4))
+    TableLog.optimizeRange(spark, path, "id", numFiles = 8)
+
+    spark.sql(s"UPDATE tablelog.`$path` SET g = g + 100, s = concat(s, '!') " +
+      "WHERE id >= 600 AND id <= 900")
+    assert(TableLog.latestVersion(spark, path) === 3L, "UPDATE commits a version")
+    val expect = base.select(col("id"),
+      when(col("id").between(600, 900), col("g") + 100).otherwise(col("g")).as("g"),
+      when(col("id").between(600, 900), concat(col("s"), lit("!")))
+        .otherwise(col("s")).as("s"))
+    assert(rows(spark.sql(s"SELECT * FROM tablelog.`$path`")) === rows(expect))
+    assert(rows(TableLog.read(spark, path, Some(2L))) === rows(base),
+      "pre-update version intact")
+
+    // only files overlapping the narrow band rewrite
+    val before = TableLog.files(spark, path, Some(2L)).toSet
+    val after = TableLog.files(spark, path, Some(3L)).toSet
+    assert((before & after).size >= 5, "untouched files carry over by name")
+
+    // updating a partitioned table's partition column is refused
+    val p2 = freshPath("graft-spec-tlsql-upd2")
+    spark.sql(s"CREATE TABLE tablelog.`$p2` (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO tablelog.`$p2` VALUES (1, 'en'), (2, 'de')")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE tablelog.`$p2` SET lang = 'fr' WHERE id = 1")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("partition columns are not assignable")),
+      msgs(e).mkString(" | "))
+    // data-column update on the partitioned table works, dirs intact
+    spark.sql(s"UPDATE tablelog.`$p2` SET id = id * 10 WHERE lang = 'en'")
+    assert(rows(spark.sql(s"SELECT * FROM tablelog.`$p2`")) ===
+      Set(Seq(10L, "en"), Seq(2L, "de")))
+  }
+
   test("metadata tables: $files/$partitions/$history/$tags as JOIN-able relations") {
     TableLogSql.register(spark)
     val path = freshPath("graft-spec-tlsql-meta")
