@@ -161,6 +161,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // UpdateTable with a runnable command before check-analysis
     // refuses it (graft.sql.TableLogUpdateRewrite)
     ext.injectResolutionRule(_ => graft.sql.TableLogUpdateRewrite)
+    // MERGE INTO tablelog.`path` USING src ON t.k = s.k WHEN MATCHED
+    // THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+    ext.injectResolutionRule(_ => graft.sql.TableLogMergeRewrite)
 
     ext.injectFunction(fn("graft_uri_risk") { args =>
       expr(graft.functions.RiskFeatures.uriRisk(col(args.head),

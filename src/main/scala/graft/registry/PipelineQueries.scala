@@ -749,6 +749,42 @@ object PipelineQueries {
     }),
 
 
+    // SQL MERGE (round-13): q211's whole-row upsert through MERGE INTO
+    // text — the injected resolution rule routes the SET */INSERT *
+    // shape to TableLog.merge (manifest-bounded candidate files).
+    // Result-transparent: same oracle derivation as q211
+    "q221_sql_merge" -> ((s, dir) => {
+      graft.sql.TableLogSql.register(s)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlsqlmrg-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      graft.operators.TableLog.create(s, path, docs.repartition(4))
+      graft.operators.TableLog.optimizeRange(s, path, "doc_id", numFiles = 8)
+      docs.where(col("doc_id") < 50L)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 100000L).as("n_chars"))
+        .unionByName(docs.where(col("doc_id") < 50L)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("lang"),
+            col("n_chars")))
+        .createOrReplaceTempView("q221_src")
+      s.sql(
+        s"""MERGE INTO tablelog.`$path` t USING q221_src s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(
+        s"""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(max(n_chars) AS BIGINT) AS max_chars
+           |FROM tablelog.`$path`
+           |GROUP BY lang""".stripMargin)
+    }),
+
+
     // SQL UPDATE (round-13): copy-on-write of exactly the files
     // containing matches — UPDATE ... SET ... WHERE through the
     // injected resolution rule (UpdateTable -> runnable command ->
@@ -2122,6 +2158,22 @@ object PipelineQueries {
         |FROM sq_base
         |WHERE n_chars BETWEEN 100 AND 300
         |GROUP BY source""".stripMargin,
+
+    // q221: the q211 upsert derivation, reached through MERGE INTO
+    "q221_sql_merge" ->
+      """WITH mrg AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) + 100000 AS n_chars
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, lang, CAST(n_chars AS BIGINT)
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) FROM documents
+        |  WHERE doc_id >= 50)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM mrg GROUP BY lang""".stripMargin,
 
     // q220: the conditional assignment replayed over the base table
     "q220_sql_update" ->

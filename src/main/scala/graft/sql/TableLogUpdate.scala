@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
   AttributeReference, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.{expressions => ce}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -75,6 +76,105 @@ case class TableLogUpdateCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     TableLog.updateWhere(spark, path, set, condition)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO tablelog.` — same pattern as UPDATE, restricted to the
+  * whole-row upsert [[TableLog.merge]] implements:
+  * `ON t.key = s.key WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+  * THEN INSERT *` (the stars arrive from the analyzer as full
+  * column-by-column assignments; partial SETs, action conditions,
+  * DELETE actions, and NOT MATCHED BY SOURCE clauses are refused
+  * with a pointer to the programmatic surface). Candidate files come
+  * from the manifest bounds against the source's key range — an
+  * upsert of yesterday's keys touches yesterday's files.
+  */
+object TableLogMergeRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{
+    InsertAction, MergeIntoTable, UpdateAction}
+
+  private def relationOf(plan: LogicalPlan): Option[DataSourceV2Relation] =
+    org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(plan) match {
+      case r: DataSourceV2Relation => Some(r)
+      case _ => None
+    }
+
+  /** Every assignment must be `target.col := <source attr of the
+    * same name>` (casts/aliases tolerated), and the set must cover
+    * the whole target row.
+    */
+  private def wholeRow(
+      assigns: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment],
+      targetCols: Seq[String]): Boolean = {
+    val pairs = assigns.flatMap { a =>
+      val tgt = a.key match {
+        case ar: AttributeReference => Some(ar.name)
+        case _ => None
+      }
+      val srcRefs = a.value.collect { case ar: AttributeReference => ar.name }
+      (tgt, srcRefs) match {
+        case (Some(t), Seq(s)) if t == s => Some(t)
+        case _ => None
+      }
+    }
+    pairs.size == assigns.size && pairs.toSet == targetCols.toSet
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case m @ MergeIntoTable(tgt, src, cond, matched, notMatched, nmbs, _)
+        if m.resolved && relationOf(tgt).exists(_.table.isInstanceOf[TableLogTable]) =>
+      val t = relationOf(tgt).get.table.asInstanceOf[TableLogTable]
+      require(!t.timeTraveled,
+        s"TableLog MERGE: cannot merge into time-traveled version ${t.snap.version}")
+      def unsupported(what: String): Nothing =
+        throw new UnsupportedOperationException(
+          s"TableLog MERGE supports exactly ON t.key = s.key WHEN MATCHED " +
+            s"THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * — $what. " +
+            "Use graft.operators.TableLog.merge for other shapes.")
+      val targetCols = t.snap.schema.fieldNames.toSeq
+      val key = cond match {
+        case ce.EqualTo(a: AttributeReference, b: AttributeReference)
+            if a.name == b.name => a.name
+        case other => unsupported(s"unsupported ON condition $other")
+      }
+      matched match {
+        case Seq(UpdateAction(None, assigns, _))
+          if wholeRow(assigns, targetCols) => ()
+        case other => unsupported(s"unsupported WHEN MATCHED $other")
+      }
+      notMatched match {
+        case Seq(InsertAction(None, assigns))
+          if wholeRow(assigns, targetCols) => ()
+        case other => unsupported(s"unsupported WHEN NOT MATCHED $other")
+      }
+      if (nmbs.nonEmpty)
+        unsupported("NOT MATCHED BY SOURCE is not supported")
+      require(!SubqueryExpression.hasSubquery(cond),
+        "TableLog MERGE: subqueries in the ON condition are not supported")
+      TableLogMergeCommand(t.path, src, key, targetCols)
+  }
+}
+
+/** Driver-side execution of the rewritten MERGE: the analyzed source
+  * plan re-enters the DataFrame API, projected to the target's
+  * columns by name (cast to the target's types), then the
+  * manifest-driven [[TableLog.merge]] commits the upsert.
+  */
+case class TableLogMergeCommand(
+    path: String,
+    source: LogicalPlan,
+    key: String,
+    targetCols: Seq[String]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = TableLog.snapshot(spark, path)
+    val srcDf = GraftInterop.ofRows(spark, source).select(
+      targetCols.map(c => org.apache.spark.sql.functions.col(c)
+        .cast(snap.schema(snap.schema.fieldIndex(c)).dataType).as(c)): _*)
+    TableLog.merge(spark, path, srcDf, key)
     Seq.empty
   }
 }

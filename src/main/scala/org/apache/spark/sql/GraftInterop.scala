@@ -26,6 +26,16 @@ object GraftInterop {
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** DataFrame over an already-analyzed logical plan — what a
+    * rewritten SQL command needs to hand its embedded source query
+    * back to the DataFrame API. No Spark internals modified.
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** `isStreaming = true` frame over an InternalRow RDD — what a
     * DataSource-v1 streaming `Source.getBatch` must return
     * (MicroBatchExecution asserts the flag; FileStreamSource uses the

@@ -126,6 +126,44 @@ class TableLogCatalogSpec extends GraftSparkSpec {
       Set(Seq(10L, "en"), Seq(2L, "de")))
   }
 
+  test("MERGE INTO: whole-row upsert through SQL; other shapes refused with a pointer") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-mrg")
+    val base = (0L until 1000L).map(i => (i, i % 7, s"v$i")).toDF("id", "g", "s")
+    TableLog.create(spark, path, base.repartition(4))
+    TableLog.optimizeRange(spark, path, "id", numFiles = 8)
+
+    (0L until 50L).map(i => (i, 999L, s"upd$i"))
+      .union((2000L until 2020L).map(i => (i, 1L, s"new$i")))
+      .toDF("id", "g", "s").createOrReplaceTempView("tlmrg_src")
+
+    spark.sql(
+      s"""MERGE INTO tablelog.`$path` t USING tlmrg_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val expect = base.where(col("id") >= 50L)
+      .union((0L until 50L).map(i => (i, 999L, s"upd$i")).toDF("id", "g", "s"))
+      .union((2000L until 2020L).map(i => (i, 1L, s"new$i")).toDF("id", "g", "s"))
+    assert(rows(spark.sql(s"SELECT * FROM tablelog.`$path`")) === rows(expect))
+
+    // candidate region: only files overlapping the source key range
+    // rewrite; the middle of the id-clustered layout carries over
+    val before = TableLog.files(spark, path, Some(2L)).toSet
+    val after = TableLog.files(spark, path, Some(3L)).toSet
+    assert((before & after).size >= 5, "files outside the key range carry over")
+
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO tablelog.`$path` t USING tlmrg_src s ON t.id = s.id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("TableLog MERGE supports exactly")) ||
+      msgs(e).exists(_.contains("does not support")), msgs(e).mkString(" | "))
+  }
+
   test("metadata tables: $files/$partitions/$history/$tags as JOIN-able relations") {
     TableLogSql.register(spark)
     val path = freshPath("graft-spec-tlsql-meta")
