@@ -622,14 +622,24 @@ object TableLog {
     try {
       val acc = scala.collection.mutable.Map.empty[String, ColBound]
       val dead = scala.collection.mutable.Set.empty[String]
+      // per-column NULL counts (Delta/Iceberg's null_count): summed
+      // across row groups, recorded only when EVERY chunk reports one
+      // — they serve IsNull/IsNotNull file pruning and COUNT(col)
+      // aggregate pushdown, and are tracked independently of the
+      // value bounds (an all-null chunk has no min/max but an exact
+      // null count)
+      val nullAcc = scala.collection.mutable.Map.empty[String, Long]
+      val nullDead = scala.collection.mutable.Set.empty[String]
       val nRows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       acc(RowsKey) = ColBound("l", nRows.toString, nRows.toString)
       for (b <- reader.getFooter.getBlocks.asScala;
            c <- b.getColumns.asScala if c.getPath.size == 1) {
-        require(c.getPath.toDotString != RowsKey,
-          s"TableLog: column name $RowsKey is reserved")
         val name = c.getPath.toDotString
+        require(!name.startsWith("#"),
+          s"TableLog: column names starting with '#' are reserved, got $name")
         val st = c.getStatistics
+        if (st == null || st.isEmpty || !st.isNumNullsSet) nullDead += name
+        else nullAcc(name) = nullAcc.getOrElse(name, 0L) + st.getNumNulls
         if (st == null || st.isEmpty || !st.hasNonNullValue) dead += name
         else {
           val pt = c.getPrimitiveType
@@ -658,9 +668,18 @@ object TableLog {
           }
         }
       }
-      acc.toMap.filterNot { case (k, _) => dead.contains(k) }
+      acc.toMap.filterNot { case (k, _) => dead.contains(k) } ++
+        nullAcc.toMap.filterNot { case (k, _) => nullDead.contains(k) }
+          .map { case (c, n) =>
+            nullsKey(c) -> ColBound("l", n.toString, n.toString) }
     } finally reader.close()
   }
+
+  /** Stats-map key carrying column `col`'s null count (rides as a
+    * degenerate `ColBound`, like [[RowsKey]] — zero manifest format
+    * changes; real column names can't collide, '#' is reserved).
+    */
+  def nullsKey(col: String): String = s"#nulls:$col"
 
   /** String bounds compare in UTF-8 unsigned-byte order — the order
     * parquet footer min/max and Spark's UTF8String comparisons use.

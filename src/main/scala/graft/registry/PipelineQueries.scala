@@ -749,6 +749,33 @@ object PipelineQueries {
     }),
 
 
+    // null statistics (round-13): per-file null counts recorded at
+    // write (Delta/Iceberg's null_count) serve COUNT(col) and the
+    // all-null-file-aware MIN/MAX from ONE manifest read, and prune
+    // files under IS [NOT] NULL predicates (spec pins counted files).
+    // Result-transparent: the oracle replays the planted-null rule
+    "q222_null_stats" -> ((s, dir) => {
+      graft.sql.TableLogSql.register(s)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlnull-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 3 === 0, lit(null).cast("long"))
+            .otherwise(col("n_chars").cast("long")).as("x"))
+      graft.operators.TableLog.create(s, path, docs.repartition(4))
+      s.sql(
+        s"""SELECT count(*) AS n_rows, count(x) AS n_vals,
+           |  min(x) AS lo, max(x) AS hi
+           |FROM tablelog.`$path`
+           |UNION ALL
+           |SELECT count(*) AS n_rows, count(x) AS n_vals,
+           |  min(x) AS lo, max(x) AS hi
+           |FROM tablelog.`$path` WHERE x IS NOT NULL""".stripMargin)
+    }),
+
+
     // SQL MERGE (round-13): q211's whole-row upsert through MERGE INTO
     // text — the injected resolution rule routes the SET */INSERT *
     // shape to TableLog.merge (manifest-bounded candidate files).
@@ -2158,6 +2185,21 @@ object PipelineQueries {
         |FROM sq_base
         |WHERE n_chars BETWEEN 100 AND 300
         |GROUP BY source""".stripMargin,
+
+    // q222: the planted-null rule replayed; the second row restricts
+    // to non-null values (same n_vals/lo/hi, n_rows = n_vals)
+    "q222_null_stats" ->
+      """WITH nx AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN NULL
+        |              ELSE CAST(n_chars AS BIGINT) END AS x
+        |  FROM documents)
+        |SELECT count(*) AS n_rows, count(x) AS n_vals,
+        |  CAST(min(x) AS BIGINT) AS lo, CAST(max(x) AS BIGINT) AS hi
+        |FROM nx
+        |UNION ALL
+        |SELECT count(*) AS n_rows, count(x) AS n_vals,
+        |  CAST(min(x) AS BIGINT) AS lo, CAST(max(x) AS BIGINT) AS hi
+        |FROM nx WHERE x IS NOT NULL""".stripMargin,
 
     // q221: the q211 upsert derivation, reached through MERGE INTO
     "q221_sql_merge" ->

@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.catalog.{
 import org.apache.spark.sql.connector.expressions.{
   Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{
-  Aggregation, CountStar, Max, Min}
+  Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory,
   Scan, ScanBuilder, Statistics, SupportsPushDownAggregates,
@@ -351,6 +351,13 @@ private[sql] class TableLogScanBuilder(
     case _ => None
   }
 
+  private def nullsOf(file: String, c: String): Option[Long] =
+    snap.stats.get(file).flatMap(_.get(TableLog.nullsKey(c)))
+      .map(_.min.toLong)
+
+  private def rowsIn(file: String): Option[Long] =
+    snap.stats.get(file).flatMap(_.get(TableLog.RowsKey)).map(_.min.toLong)
+
   /** Numeric data columns only: integral/floating bounds are exact in
     * parquet footers; string stats may be truncated, so strings never
     * serve MIN/MAX from the manifest.
@@ -362,15 +369,25 @@ private[sql] class TableLogScanBuilder(
            org.apache.spark.sql.types.DoubleType => true
       case _ => false
     }) && snap.files.forall { n =>
-      // every file decides: a bound for the column, or provably empty
+      // every file decides: a bound for the column, provably empty,
+      // or provably ALL NULL in the column (contributes no values)
       snap.stats.get(n).exists(st =>
         st.contains(c) ||
-          st.get(TableLog.RowsKey).exists(_.min.toLong == 0L))
+          st.get(TableLog.RowsKey).exists(_.min.toLong == 0L) ||
+          (for { nl <- nullsOf(n, c); r <- rowsIn(n) } yield nl >= r)
+            .getOrElse(false))
     }
 
   private def countServable: Boolean =
     snap.files.forall(n =>
       snap.stats.get(n).exists(_.contains(TableLog.RowsKey)))
+
+  /** COUNT(col) = rows - nulls per file; servable when every file
+    * recorded both.
+    */
+  private def countColServable(c: String): Boolean =
+    snap.files.forall(n => snap.stats.get(n).exists(st =>
+      st.contains(TableLog.RowsKey) && st.contains(TableLog.nullsKey(c))))
 
   private def canPushAgg(a: Aggregation): Boolean = {
     val groupsOk = a.groupByExpressions.forall(e =>
@@ -381,6 +398,8 @@ private[sql] class TableLogScanBuilder(
         case _: CountStar => countServable
         case m: Min => aggColName(m.column).exists(boundServable) && countServable
         case m: Max => aggColName(m.column).exists(boundServable) && countServable
+        case ct: Count if !ct.isDistinct =>
+          aggColName(ct.column).exists(countColServable)
         case _ => false
       }
     groupsOk && aggsOk
@@ -426,8 +445,10 @@ private[sql] class TableLogScanBuilder(
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
     def rowsOf(n: String): Long = snap.stats(n)(TableLog.RowsKey).min.toLong
+    // all-null files (boundServable admits them) carry no bound and
+    // contribute no values
     def nonEmptyBounds(files: Seq[String], c: String): Seq[TableLog.ColBound] =
-      files.filter(rowsOf(_) > 0L).map(n => snap.stats(n)(c))
+      files.filter(rowsOf(_) > 0L).flatMap(n => snap.stats(n).get(c))
     val groups: Seq[(Seq[String], Seq[String])] =
       if (groupCols.isEmpty) Seq(Seq.empty[String] -> kept)
       else kept.groupBy(n => groupCols.map(c => snap.parts(n)(partIdx(c))))
@@ -440,6 +461,10 @@ private[sql] class TableLogScanBuilder(
       a.aggregateExpressions.zipWithIndex.foreach { case (ae, i) =>
         out(groupCols.size + i) = ae match {
           case _: CountStar => files.map(rowsOf).sum
+          case ct: Count =>
+            val c = aggColName(ct.column).get
+            files.map(n => rowsOf(n) -
+              snap.stats(n)(TableLog.nullsKey(c)).min.toLong).sum
           case m: Min =>
             val c = aggColName(m.column).get
             val bs = nonEmptyBounds(files, c)
@@ -460,6 +485,9 @@ private[sql] class TableLogScanBuilder(
         a.aggregateExpressions.toSeq.map {
           case _: CountStar =>
             StructField("count(*)", LongType, nullable = false)
+          case ct: Count =>
+            StructField(s"count(${aggColName(ct.column).get})", LongType,
+              nullable = false)
           case m: Min =>
             val c = aggColName(m.column).get
             StructField(s"min($c)", dt(c), nullable = true)
@@ -594,11 +622,19 @@ private[sql] class TableLogScanBuilder(
           case nn => nn.exists(eqMatch(c, _))
         }
       // on partition columns NULL-ness is file-level truth (the hive
-      // default-partition sentinel); on data columns stay conservative
-      case sources.IsNotNull(c) =>
-        partVal(c).forall(_ != HiveNullPart)
-      case sources.IsNull(c) =>
-        partVal(c).forall(_ == HiveNullPart)
+      // default-partition sentinel); on data columns the recorded
+      // null counts decide: an all-null file can't satisfy IsNotNull,
+      // a null-free file can't satisfy IsNull
+      case sources.IsNotNull(c) => partVal(c) match {
+        case Some(pv) => pv != HiveNullPart
+        case None =>
+          !(for { n <- nullsOf(file, c); r <- rowsIn(file) }
+            yield n >= r).getOrElse(false)
+      }
+      case sources.IsNull(c) => partVal(c) match {
+        case Some(pv) => pv == HiveNullPart
+        case None => nullsOf(file, c).forall(_ > 0L)
+      }
       case sources.And(l, r) => mayMatch(file, l) && mayMatch(file, r)
       case sources.Or(l, r) => mayMatch(file, l) || mayMatch(file, r)
       case _ => true // conservative: unknown shapes never prune

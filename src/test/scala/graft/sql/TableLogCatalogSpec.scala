@@ -126,6 +126,43 @@ class TableLogCatalogSpec extends GraftSparkSpec {
       Set(Seq(10L, "en"), Seq(2L, "de")))
   }
 
+  test("null counts: COUNT(col) pushes to the manifest; IS [NOT] NULL prunes files") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-nulls")
+    // batch A: x fully null; batch B: x null for odd ids only
+    val a = (0L until 500L).map(i => (i, None: Option[Long])).toDF("id", "x")
+    val b = (500L until 1000L)
+      .map(i => (i, if (i % 2 == 0) Some(i) else None)).toDF("id", "x")
+    TableLog.create(spark, path, a.repartition(2))
+    TableLog.append(spark, path, b.repartition(2))
+
+    def assertLocal(df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"must collapse to LocalTableScan:\n$plan")
+    }
+
+    // COUNT(col) = rows - nulls, manifest-only (with min/max over the
+    // mixed-null column: all-null files contribute no values)
+    val g = spark.sql(
+      s"SELECT count(*) AS n, count(x) AS nx, min(x) AS lo, max(x) AS hi " +
+        s"FROM tablelog.`$path`")
+    assertLocal(g)
+    assert(g.collect().map(_.toSeq).toSeq === Seq(Seq(1000L, 250L, 500L, 998L)))
+
+    // IS NOT NULL prunes the all-null batch's files from the scan
+    val nn = spark.sql(
+      s"SELECT id FROM tablelog.`$path` WHERE x IS NOT NULL")
+    assert(nn.count() === 250L)
+    val (kept, total) = TableLogSql.lastPlanned(path).get
+    assert(kept < total, s"all-null files must prune: $kept/$total")
+
+    // IS NULL keeps everything (batch B's files have SOME nulls)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM tablelog.`$path` WHERE x IS NULL")
+      .collect().head.getLong(0) === 750L)
+  }
+
   test("MERGE INTO: whole-row upsert through SQL; other shapes refused with a pointer") {
     TableLogSql.register(spark)
     val path = freshPath("graft-spec-tlsql-mrg")
