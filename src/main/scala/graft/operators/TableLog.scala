@@ -1904,6 +1904,209 @@ object TableLog {
         parts = (cur.parts -- touchedNames) ++ survParts ++ srcParts))
     }
 
+  /** One WHEN clause of a general [[mergeWhen]]. Action expressions
+    * reference TARGET columns by bare name and SOURCE columns with an
+    * `_s_` prefix (`col("_s_price")`); conditions default to always.
+    */
+  sealed trait MergeWhen
+  object MergeWhen {
+    final case class Update(cond: Option[Column], set: Seq[(String, Column)])
+      extends MergeWhen
+    final case class Delete(cond: Option[Column]) extends MergeWhen
+    final case class Insert(cond: Option[Column], values: Seq[(String, Column)])
+      extends MergeWhen
+  }
+
+  /** General MERGE — Delta's full WHEN grammar minus NOT MATCHED BY
+    * SOURCE: per-action conditions, partial-SET updates, matched
+    * DELETEs, conditional INSERTs; the FIRST applicable action wins
+    * per row, rows no action claims stay unchanged. IO keeps
+    * [[merge]]'s discipline: candidate files from the manifest
+    * bounds against the source key range, only files actually
+    * CONTAINING key matches rewrite, everything else carries over by
+    * name. Updates may not assign partition columns (that migration
+    * is whole-row [[merge]]'s job); inserts must provide every
+    * column. The joined outcome is localCheckpointed once, so the
+    * accounting counts and the written rows can never diverge
+    * (non-deterministic conditions included).
+    */
+  def mergeWhen(
+      spark: SparkSession, path: String, source: DataFrame, keyCol: String,
+      matched: Seq[MergeWhen], notMatched: Seq[MergeWhen.Insert]): Long =
+    withLock(spark, path, "mergeWhen") {
+      require(matched.forall(!_.isInstanceOf[MergeWhen.Insert]),
+        "TableLog.mergeWhen: WHEN MATCHED takes Update/Delete actions")
+      val v = latestVersion(spark, path)
+      val cur = readManifestFull(spark, path, v)
+      require(source.columns.contains(keyCol),
+        s"TableLog.mergeWhen: source has no column $keyCol")
+      require(!cur.partCols.contains(keyCol),
+        s"TableLog.mergeWhen: $keyCol is a partition column — key on a " +
+          "data column")
+      val schema = cur.schema.getOrElse(
+        readFiles(spark, path, cur, cur.files).schema)
+      require(!schema.fieldNames.exists(_.startsWith("_s_")),
+        "TableLog.mergeWhen: target columns may not start with _s_ " +
+          "(reserved for source references)")
+      matched.foreach {
+        case MergeWhen.Update(_, set) =>
+          val unknown = set.map(_._1).toSet -- schema.fieldNames.toSet
+          require(unknown.isEmpty,
+            s"TableLog.mergeWhen: not table columns: ${unknown.mkString(", ")}")
+          val partHit = set.map(_._1).toSet & cur.partCols.toSet
+          require(partHit.isEmpty,
+            s"TableLog.mergeWhen: partition columns are not assignable " +
+              s"(${partHit.mkString(", ")})")
+        case _ => ()
+      }
+      notMatched.foreach { ins =>
+        require(ins.values.map(_._1).toSet == schema.fieldNames.toSet,
+          "TableLog.mergeWhen: INSERT must provide every table column " +
+            s"(${schema.fieldNames.mkString(", ")})")
+      }
+      val srcDup = source.where(col(keyCol).isNull)
+        .select(lit(1L)).limit(1)
+        .unionAll(source.groupBy(col(keyCol)).count()
+          .where(col("count") > 1L).select(lit(1L)).limit(1))
+        .limit(1).count()
+      require(srcDup == 0L,
+        s"TableLog.mergeWhen: source $keyCol must be unique and non-null")
+      val srcR = source.select(source.columns.toSeq.map(c =>
+        col(c).as(s"_s_$c")): _*)
+      val srcKey = col(s"_s_$keyCol")
+      val range = source.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
+      val candidates =
+        if (range.isNullAt(0)) Nil
+        else cur.files.filter { n =>
+          cur.stats.get(n).flatMap(_.get(keyCol)) match {
+            case None => true
+            case Some(b) => overlaps(b, range.get(0), range.get(1))
+          }
+        }
+      val perFileMatches =
+        if (candidates.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else readFiles(spark, path, cur, candidates)
+          .select(col("_metadata.file_path").as("_tl_f"), col(keyCol))
+          .join(srcR.select(srcKey), col(keyCol) === srcKey)
+          .groupBy(col("_tl_f"))
+          .agg(count(lit(1)).as("_tl_n")).collect()
+      val touchedNames =
+        perFileMatches.map(r => relName(path, r.getString(0))).toSet
+      val (touched, untouched) = cur.files.partition(touchedNames.contains)
+
+      def condOr(c: Option[Column], default: Boolean): Column =
+        coalesce(c.getOrElse(lit(default)), lit(false))
+      // first-wins action index: 0 = no action (keep); checkpointed
+      // so the accounting and the write see identical outcomes
+      val joined =
+        if (touched.isEmpty) None
+        else {
+          val matchedFlag = srcKey.isNotNull
+          val idx = matched.zipWithIndex
+            .foldLeft(when(lit(false), lit(0))) { case (acc, (a, i)) =>
+              val c = a match {
+                case MergeWhen.Update(cond, _) => condOr(cond, default = true)
+                case MergeWhen.Delete(cond) => condOr(cond, default = true)
+                case _: MergeWhen.Insert => lit(false)
+              }
+              acc.when(matchedFlag && c, lit(i + 1))
+            }.otherwise(lit(0))
+          Some(readFiles(spark, path, cur, touched)
+            .join(srcR, col(keyCol) === srcKey, "left")
+            .withColumn("_tl_act", idx)
+            .localCheckpoint(true))
+        }
+      val deleteIdx = matched.zipWithIndex.collect {
+        case (_: MergeWhen.Delete, i) => i + 1
+      }.toSet
+      val touchedRows = joined.map(_.count()).getOrElse(0L)
+      val deleted = joined.map(
+        _.where(col("_tl_act").isInCollection(
+          if (deleteIdx.isEmpty) Set(-1) else deleteIdx)).count())
+        .getOrElse(0L)
+      val survivors = joined.map { j =>
+        j.where(!col("_tl_act").isInCollection(
+          if (deleteIdx.isEmpty) Set(-1) else deleteIdx))
+          .select(schema.fields.toSeq.map { f =>
+            matched.zipWithIndex.foldLeft(col(f.name)) {
+              case (acc, (MergeWhen.Update(_, set), i)) =>
+                set.find(_._1 == f.name) match {
+                  case Some((_, value)) =>
+                    when(col("_tl_act") === (i + 1),
+                      value.cast(f.dataType)).otherwise(acc)
+                  case None => acc
+                }
+              case (acc, _) => acc
+            }.as(f.name)
+          }: _*)
+      }
+      // inserts: source keys matching NO candidate row (matches can
+      // only live in candidate files — bounds keep unboundeds), first
+      // applicable INSERT's values, cast to the table's types
+      val tgtKeys =
+        if (candidates.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              schema.fields(schema.fieldIndex(keyCol)))))
+        else readFiles(spark, path, cur, candidates).select(col(keyCol))
+      val srcUnmatched = srcR
+        .join(tgtKeys, srcKey === col(keyCol), "left_anti")
+      val inserts =
+        if (notMatched.isEmpty) None
+        else {
+          val insIdx = notMatched.zipWithIndex
+            .foldLeft(when(lit(false), lit(0))) { case (acc, (a, i)) =>
+              acc.when(condOr(a.cond, default = true), lit(i + 1))
+            }.otherwise(lit(0))
+          Some(srcUnmatched.withColumn("_tl_act", insIdx)
+            .where(col("_tl_act") > 0)
+            .select(schema.fields.toSeq.map { f =>
+              notMatched.zipWithIndex.foldLeft(lit(null).cast(f.dataType)) {
+                case (acc, (ins, i)) =>
+                  when(col("_tl_act") === (i + 1),
+                    ins.values.find(_._1 == f.name).get._2.cast(f.dataType))
+                    .otherwise(acc)
+              }.as(f.name)
+            }: _*)
+            .localCheckpoint(true))
+        }
+      val inserted = inserts.map(_.count()).getOrElse(0L)
+      val newRowsOpt = (survivors, inserts) match {
+        case (Some(s), Some(i)) => Some(s.unionByName(i))
+        case (s, i) => s.orElse(i)
+      }
+      newRowsOpt match {
+        case None =>
+          commitFull(spark, path, v + 1, cur.copy(tag = None))
+        case Some(newRows) =>
+          val (newFiles, newStats, newParts) =
+            if (newRows.isEmpty)
+              (Nil, Map.empty[String, Map[String, ColBound]],
+                Map.empty[String, Seq[String]])
+            else if (cur.partCols.nonEmpty)
+              writeDataFilesPartitioned(spark, path, newRows, cur.partCols)
+            else {
+              val (ns, st) = writeDataFiles(spark, path, newRows)
+              (ns, st, Map.empty[String, Seq[String]])
+            }
+          val written =
+            if (newFiles.isEmpty) 0L
+            else spark.read.parquet(
+              newFiles.map(n => new Path(dataDir(path), n).toString): _*).count()
+          require(written == touchedRows - deleted + inserted,
+            s"TableLog.mergeWhen: wrote $written rows, want " +
+              s"${touchedRows - deleted + inserted} — aborting commit " +
+              "(orphans go to vacuum)")
+          commitFull(spark, path, v + 1, cur.copy(
+            tag = None,
+            files = untouched ++ newFiles,
+            stats = cur.stats.filterNot { case (k, _) =>
+              touchedNames.contains(k) } ++ newStats,
+            parts = (cur.parts -- touchedNames) ++ newParts))
+      }
+    }
+
   /** Tagged idempotent append — the exactly-once unit for streaming
     * sinks: if a committed version already carries `tag`, return it
     * WITHOUT writing (the replayed-batch path); otherwise append as a

@@ -749,6 +749,49 @@ object PipelineQueries {
     }),
 
 
+    // general-shape SQL MERGE (round-13): the CDC-apply pattern — a
+    // change batch with an op column lands through ONE MERGE with
+    // conditional DELETE / partial UPDATE / conditional INSERT
+    // actions (first applicable wins), routed to TableLog.mergeWhen;
+    // candidate files stay manifest-bounded by the source key range.
+    // Result-transparent: the oracle replays the three ops
+    "q223_sql_merge_when" -> ((s, dir) => {
+      graft.sql.TableLogSql.register(s)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlmw-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      graft.operators.TableLog.create(s, path, docs.repartition(4))
+      graft.operators.TableLog.optimizeRange(s, path, "doc_id", numFiles = 8)
+      docs.where(col("doc_id") < 30L)
+        .select(col("doc_id"), col("lang"), col("n_chars"), lit("D").as("op"))
+        .unionByName(docs.where(col("doc_id") >= 30L && col("doc_id") < 60L)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 77L).as("n_chars"), lit("U").as("op")))
+        .unionByName(docs.where(col("doc_id") < 20L)
+          .select((col("doc_id") + 600000L).as("doc_id"), col("lang"),
+            col("n_chars"), lit("I").as("op")))
+        .createOrReplaceTempView("q223_src")
+      s.sql(
+        s"""MERGE INTO tablelog.`$path` t USING q223_src s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET n_chars = s.n_chars
+           |WHEN NOT MATCHED AND s.op = 'I' THEN
+           |  INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, s.lang, s.n_chars)
+           |""".stripMargin)
+      s.sql(
+        s"""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM tablelog.`$path`
+           |GROUP BY lang""".stripMargin)
+    }),
+
+
     // null statistics (round-13): per-file null counts recorded at
     // write (Delta/Iceberg's null_count) serve COUNT(col) and the
     // all-null-file-aware MIN/MAX from ONE manifest read, and prune
@@ -2185,6 +2228,23 @@ object PipelineQueries {
         |FROM sq_base
         |WHERE n_chars BETWEEN 100 AND 300
         |GROUP BY source""".stripMargin,
+
+    // q223: the CDC batch replayed — deletes drop, updates bump,
+    // inserts append
+    "q223_sql_merge_when" ->
+      """WITH st AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id >= 30 AND doc_id < 60
+        |         THEN CAST(n_chars AS BIGINT) + 77
+        |         ELSE CAST(n_chars AS BIGINT) END AS n_chars
+        |  FROM documents WHERE doc_id >= 30
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id, lang, CAST(n_chars AS BIGINT)
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM st GROUP BY lang""".stripMargin,
 
     // q222: the planted-null rule replayed; the second row restricts
     // to non-null values (same n_vals/lo/hi, n_rows = n_vals)

@@ -80,19 +80,21 @@ case class TableLogUpdateCommand(
   }
 }
 
-/** `MERGE INTO tablelog.` — same pattern as UPDATE, restricted to the
-  * whole-row upsert [[TableLog.merge]] implements:
-  * `ON t.key = s.key WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
-  * THEN INSERT *` (the stars arrive from the analyzer as full
-  * column-by-column assignments; partial SETs, action conditions,
-  * DELETE actions, and NOT MATCHED BY SOURCE clauses are refused
-  * with a pointer to the programmatic surface). Candidate files come
-  * from the manifest bounds against the source's key range — an
+/** `MERGE INTO tablelog.` — same pattern as UPDATE. The whole-row
+  * upsert (`WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+  * INSERT *`) takes the [[TableLog.merge]] fast path; every other
+  * combination of conditional UPDATE/DELETE matched actions, partial
+  * SETs, and conditional INSERTs routes to the general
+  * [[TableLog.mergeWhen]] (first applicable action wins per row).
+  * The ON condition must be a single `t.key = s.key` equality and
+  * NOT MATCHED BY SOURCE is refused (it would touch every file —
+  * the programmatic surface stays the escape hatch). Candidate files
+  * come from the manifest bounds against the source's key range — an
   * upsert of yesterday's keys touches yesterday's files.
   */
 object TableLogMergeRewrite extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.{
-    InsertAction, MergeIntoTable, UpdateAction}
+    DeleteAction, InsertAction, MergeIntoTable, UpdateAction}
 
   private def relationOf(plan: LogicalPlan): Option[DataSourceV2Relation] =
     org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(plan) match {
@@ -136,23 +138,69 @@ object TableLogMergeRewrite extends Rule[LogicalPlan] {
       val key = cond match {
         case ce.EqualTo(a: AttributeReference, b: AttributeReference)
             if a.name == b.name => a.name
-        case other => unsupported(s"unsupported ON condition $other")
-      }
-      matched match {
-        case Seq(UpdateAction(None, assigns, _))
-          if wholeRow(assigns, targetCols) => ()
-        case other => unsupported(s"unsupported WHEN MATCHED $other")
-      }
-      notMatched match {
-        case Seq(InsertAction(None, assigns))
-          if wholeRow(assigns, targetCols) => ()
-        case other => unsupported(s"unsupported WHEN NOT MATCHED $other")
+        case other => unsupported(s"unsupported ON condition $other " +
+          "(need a single t.key = s.key equality)")
       }
       if (nmbs.nonEmpty)
         unsupported("NOT MATCHED BY SOURCE is not supported")
       require(!SubqueryExpression.hasSubquery(cond),
         "TableLog MERGE: subqueries in the ON condition are not supported")
-      TableLogMergeCommand(t.path, src, key, targetCols)
+      (matched, notMatched) match {
+        // fast path: the whole-row upsert maps straight onto
+        // TableLog.merge (no per-column CASE machinery)
+        case (Seq(UpdateAction(None, uAssigns, _)), Seq(InsertAction(None, iAssigns)))
+            if wholeRow(uAssigns, targetCols) && wholeRow(iAssigns, targetCols) =>
+          TableLogMergeCommand(t.path, src, key, targetCols)
+        // general shape: conditional updates/deletes, partial SETs,
+        // conditional inserts -> TableLog.mergeWhen. Source-side
+        // references translate to the _s_ namespace by exprId.
+        case _ =>
+          val srcIds = src.outputSet.map(_.exprId).toSet
+          def sided(e: Expression): org.apache.spark.sql.Column = {
+            require(!SubqueryExpression.hasSubquery(e),
+              "TableLog MERGE: subqueries in actions are not supported")
+            GraftInterop.column(e.transform {
+              case a: AttributeReference if srcIds.contains(a.exprId) =>
+                UnresolvedAttribute(Seq(s"_s_${a.name}"))
+              case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+            })
+          }
+          def target(e: Expression): String = e match {
+            case ar: AttributeReference => ar.name
+            case other => unsupported(s"unsupported assignment target $other")
+          }
+          val m = matched.map {
+            case UpdateAction(c, assigns, _) =>
+              TableLog.MergeWhen.Update(c.map(sided),
+                assigns.map(a => target(a.key) -> sided(a.value)))
+            case DeleteAction(c) => TableLog.MergeWhen.Delete(c.map(sided))
+            case other => unsupported(s"unsupported WHEN MATCHED $other")
+          }
+          val nm = notMatched.map {
+            case InsertAction(c, assigns) =>
+              TableLog.MergeWhen.Insert(c.map(sided),
+                assigns.map(a => target(a.key) -> sided(a.value)))
+            case other => unsupported(s"unsupported WHEN NOT MATCHED $other")
+          }
+          TableLogMergeWhenCommand(t.path, src, key, m, nm)
+      }
+  }
+}
+
+/** Driver-side execution of the general-shape MERGE. */
+case class TableLogMergeWhenCommand(
+    path: String,
+    source: LogicalPlan,
+    key: String,
+    matched: Seq[TableLog.MergeWhen],
+    notMatched: Seq[TableLog.MergeWhen.Insert]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    TableLog.mergeWhen(spark, path, GraftInterop.ofRows(spark, source), key,
+      matched, notMatched)
+    Seq.empty
   }
 }
 

@@ -475,6 +475,51 @@ class TableLogSpec extends GraftSparkSpec {
     }
   }
 
+  test("mergeWhen: conditional update/delete/insert, first action wins, bounded rewrite") {
+    val path = freshPath("graft-spec-tlog-mwhen")
+    val base = (0L until 1000L).map(i => (i, i % 7, s"v$i")).toDF("id", "g", "s")
+    TableLog.create(spark, path, base.repartition(4))
+    TableLog.optimizeRange(spark, path, "id", numFiles = 8)
+
+    // flag 1 -> bump g; flag 2 -> delete; flag 3 -> fallthrough update s
+    val src = (100L until 120L).map(i => (i, i % 7 + 50L, i % 3 + 1))
+      .union((2000L until 2010L).map(i => (i, 1L, (i % 2) * 2 + 1))) // flags 1/3
+      .toDF("id", "g", "flag")
+    TableLog.mergeWhen(spark, path, src, "id",
+      matched = Seq(
+        TableLog.MergeWhen.Update(Some(col("_s_flag") === 1L),
+          Seq("g" -> (col("_s_g") + 1000L))),
+        TableLog.MergeWhen.Delete(Some(col("_s_flag") === 2L)),
+        TableLog.MergeWhen.Update(None, Seq("s" -> lit("rest")))),
+      notMatched = Seq(
+        TableLog.MergeWhen.Insert(Some(col("_s_flag") === 1L),
+          Seq("id" -> col("_s_id"), "g" -> col("_s_g"),
+            "s" -> lit("ins")))))
+
+    // expected, computed independently
+    val srcRows = src.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expect = (0L until 1000L).flatMap { i =>
+      srcRows.get(i) match {
+        case Some((sg, 1L)) => Seq(Seq[Any](i, sg + 1000L, s"v$i"))
+        case Some((_, 2L)) => Nil
+        case Some((_, _)) => Seq(Seq[Any](i, i % 7, "rest"))
+        case None => Seq(Seq[Any](i, i % 7, s"v$i"))
+      }
+    } ++ (2000L until 2010L).flatMap { i =>
+      val (sg, fl) = srcRows(i)
+      if (fl == 1L) Seq(Seq[Any](i, sg, "ins")) else Nil
+    }
+    assert(rows(TableLog.read(spark, path)) === expect.toSet)
+    assert(rows(TableLog.read(spark, path, Some(2L))) === rows(base),
+      "pre-merge version intact")
+
+    // only files overlapping the matched key band rewrite
+    val before = TableLog.files(spark, path, Some(2L)).toSet
+    val after = TableLog.files(spark, path, Some(3L)).toSet
+    assert((before & after).size >= 6,
+      "files outside the source key's matched region carry over by name")
+  }
+
   test("concurrent locked mutators serialize behind the lock wait — both deletes land") {
     val path = freshPath("graft-spec-tlock-wait")
     val base = (0L until 1000L).map(i => (i, i % 7)).toDF("id", "g")

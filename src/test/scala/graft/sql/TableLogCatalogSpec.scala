@@ -190,14 +190,30 @@ class TableLogCatalogSpec extends GraftSparkSpec {
     val after = TableLog.files(spark, path, Some(3L)).toSet
     assert((before & after).size >= 5, "files outside the key range carry over")
 
+    // general shape: conditional DELETE + partial conditional UPDATE
+    spark.sql(
+      s"""MERGE INTO tablelog.`$path` t USING tlmrg_src s ON t.id = s.id
+         |WHEN MATCHED AND s.g = 999 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET g = t.g + s.g""".stripMargin)
+    // flags: source rows with g=999 (ids 0..49) delete their matches;
+    // the new-id rows (g=1) matched nothing last round... they DO
+    // exist now (inserted above), so they update g += 1
+    val expect2 = expect
+      .where(!(col("id") < 50L))  // upserted ids 0..49 had g=999 -> deleted
+      .withColumn("g",
+        when(col("id") >= 2000L, col("g") + 1L).otherwise(col("g")))
+    assert(rows(spark.sql(s"SELECT * FROM tablelog.`$path`")) === rows(expect2))
+
+    // NOT MATCHED BY SOURCE stays refused with a pointer
     val e = intercept[Exception] {
       spark.sql(
         s"""MERGE INTO tablelog.`$path` t USING tlmrg_src s ON t.id = s.id
-           |WHEN MATCHED THEN DELETE""".stripMargin)
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("TableLog MERGE supports exactly")) ||
+    assert(msgs(e).exists(_.contains("NOT MATCHED BY SOURCE")) ||
       msgs(e).exists(_.contains("does not support")), msgs(e).mkString(" | "))
   }
 
