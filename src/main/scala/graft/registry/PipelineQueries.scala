@@ -749,6 +749,35 @@ object PipelineQueries {
     }),
 
 
+    // metadata tables (round-13): the log's own state as JOIN-able
+    // relations — $partitions (per-partition file/row rollup from the
+    // partition record) joined with a $history count, all answered
+    // from manifests with zero data IO. Deterministic layout: a
+    // single-task insert writes exactly one file per partition.
+    // Result-transparent: the oracle derives the rollup from the
+    // base table
+    "q224_metadata_tables" -> ((s, dir) => {
+      graft.sql.TableLogSql.register(s)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlmeta-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      s.sql(s"CREATE TABLE tablelog.`$path` " +
+        "(doc_id BIGINT, n_chars BIGINT, lang STRING) PARTITIONED BY (lang)")
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+        .repartition(1)
+        .createOrReplaceTempView("q224_docs")
+      s.sql(s"INSERT INTO tablelog.`$path` " +
+        "SELECT doc_id, n_chars, lang FROM q224_docs")
+      s.sql(
+        s"""SELECT p.partition, p.n_files, p.n_rows,
+           |  (SELECT max(version) FROM tablelog.`$path$$history`) AS at_version
+           |FROM tablelog.`$path$$partitions` p""".stripMargin)
+    }),
+
+
     // general-shape SQL MERGE (round-13): the CDC-apply pattern — a
     // change batch with an op column lands through ONE MERGE with
     // conditional DELETE / partial UPDATE / conditional INSERT
@@ -2228,6 +2257,15 @@ object PipelineQueries {
         |FROM sq_base
         |WHERE n_chars BETWEEN 100 AND 300
         |GROUP BY source""".stripMargin,
+
+    // q224: one file per partition (single-task insert), rows from
+    // the base table, version 2 (empty CREATE + one INSERT)
+    "q224_metadata_tables" ->
+      """SELECT 'lang=' || lang AS partition,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  count(*) AS n_rows,
+        |  CAST(2 AS BIGINT) AS at_version
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // q223: the CDC batch replayed — deletes drop, updates bump,
     // inserts append
