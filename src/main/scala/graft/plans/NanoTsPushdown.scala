@@ -198,6 +198,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.RegexpGroups(args.head,
         litStr(args(1), "pattern"))
     })
+    // the LSH near-dup chain, SQL-composable:
+    //   graft_band_keys(graft_minhash_long(graft_shingles(text, 5), 64), 16, 4)
+    ext.injectFunction(fn("graft_shingles") { args =>
+      graft.textops.TokenShingles.HashedShinglesExpr(args.head,
+        litInt(args(1), "n (shingle width)"))
+    })
+    ext.injectFunction(fn("graft_minhash_long") { args =>
+      graft.textops.TokenShingles.MinHashSigLongExpr(args.head,
+        litInt(args(1), "k (number of hashes)"))
+    })
+    ext.injectFunction(fn("graft_band_keys") { args =>
+      graft.textops.TokenShingles.BandKeysExpr(args.head,
+        litInt(args(1), "bands"), litInt(args(2), "rows per band"))
+    })
     ext.injectFunction(fn("graft_cidr_match") { args =>
       expr(graft.functions.Cidr.matches(col(args.head),
         litStr(args(1), "cidr list").split(",").map(_.trim)

@@ -97,6 +97,19 @@ private[sql] object TableLogProcedures {
         Seq(row(TableLog.optimizeBloom(
           spark, str(a, 0), csv(a, 1), a.getInt(2), a.getLong(3))))
     },
+    new TlProc("auto_optimize",
+      "profile the table and apply the layout advisor's plan",
+      Seq("table" -> StringType, "clusterable" -> StringType,
+        "num_files" -> IntegerType),
+      out("version" -> LongType, "action" -> StringType,
+        "columns" -> StringType)) {
+      override def run(a: InternalRow): Seq[InternalRow] = {
+        val (v, action, cols) = TableLog.autoOptimize(
+          spark, str(a, 0), csv(a, 1), a.getInt(2))
+        Seq(row(v, UTF8String.fromString(action),
+          UTF8String.fromString(cols.mkString(","))))
+      }
+    },
     new TlProc("restore",
       "re-commit an old version's exact state as the new latest",
       Seq("table" -> StringType, "version" -> LongType), versionOut) {

@@ -70,6 +70,32 @@ class SqlFunctionsSpec extends GraftSparkSpec {
     }
   }
 
+  test("the LSH chain composes in SQL and equals its expression twins") {
+    val df = Seq("the quick brown fox jumps over the lazy dog and runs",
+      "an entirely different line of text with many other words here")
+      .toDF("text")
+    df.createOrReplaceTempView("gfx3")
+    val viaSql = spark.sql(
+      """SELECT graft_shingles(text, 3) AS sh,
+        |  graft_minhash_long(graft_shingles(text, 3), 16) AS sig,
+        |  graft_band_keys(graft_minhash_long(graft_shingles(text, 3), 16),
+        |    4, 4) AS bk
+        |FROM gfx3""".stripMargin).collect()
+    import org.apache.spark.sql.GraftInterop.{column, expression}
+    import graft.textops.TokenShingles._
+    val viaApi = df.select(
+      column(HashedShinglesExpr(expression(col("text")), 3)).as("sh"),
+      column(MinHashSigLongExpr(
+        HashedShinglesExpr(expression(col("text")), 3), 16)).as("sig"),
+      column(BandKeysExpr(MinHashSigLongExpr(
+        HashedShinglesExpr(expression(col("text")), 3), 16), 4, 4)).as("bk"))
+      .collect()
+    viaSql.zip(viaApi).foreach { case (s, a) =>
+      (0 until 3).foreach(i =>
+        assert(s.getSeq[Long](i) === a.getSeq[Long](i), s"col $i"))
+    }
+  }
+
   test("non-literal structural arguments fail loudly") {
     Seq(("abc", 4)).toDF("t", "k").createOrReplaceTempView("gfx2")
     val e = intercept[Exception] {

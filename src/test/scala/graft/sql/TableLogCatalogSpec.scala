@@ -126,6 +126,24 @@ class TableLogCatalogSpec extends GraftSparkSpec {
       Set(Seq(10L, "en"), Seq(2L, "de")))
   }
 
+  test("CTAS and DataFrameWriterV2 land through the catalog") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-ctas")
+    val base = (0L until 200L).map(i => (i, i % 5)).toDF("id", "g")
+    base.createOrReplaceTempView("tlctas_src")
+
+    // CREATE TABLE AS SELECT: createTable + append through the v1 path
+    spark.sql(s"CREATE TABLE tablelog.`$path` AS SELECT id, g FROM tlctas_src")
+    assert(rows(spark.sql(s"SELECT * FROM tablelog.`$path`")) === rows(base))
+    assert(TableLog.latestVersion(spark, path) >= 1L)
+
+    // DataFrameWriterV2 append
+    (200L until 250L).map(i => (i, i % 5)).toDF("id", "g")
+      .writeTo(s"tablelog.`$path`").append()
+    assert(spark.sql(s"SELECT count(*) AS c FROM tablelog.`$path`")
+      .collect().head.getLong(0) === 250L)
+  }
+
   test("null counts: COUNT(col) pushes to the manifest; IS [NOT] NULL prunes files") {
     TableLogSql.register(spark)
     val path = freshPath("graft-spec-tlsql-nulls")
@@ -311,6 +329,12 @@ class TableLogCatalogSpec extends GraftSparkSpec {
       .collect().head.getLong(0) === 3L, "watermark after keep-2 vacuum")
 
     assert(spark.sql(s"CALL tablelog.tags('$path')").count() === 0L)
+
+    val auto = spark.sql(
+      s"CALL tablelog.auto_optimize('$path', 'id,g', 8)").collect().head
+    assert(auto.getLong(0) >= 5L, "advisor ran (commits a version unless 'none')")
+    assert(auto.getString(1).nonEmpty)
+    assert(auto.getLong(0) === TableLog.latestVersion(spark, path))
 
     val e = intercept[Exception] {
       spark.sql(s"CALL tablelog.nonsense('$path')")
