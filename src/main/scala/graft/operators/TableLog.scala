@@ -511,6 +511,61 @@ object TableLog {
   private val commitGuard =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** The version-publication seam — the ONE operation whose atomicity
+    * the whole log leans on (Delta's LogStore). CONTRACT: `publish`
+    * makes `tmp`'s bytes visible at `dest` and returns true iff this
+    * caller WON — of any number of concurrent publishers of the same
+    * `dest` (across processes and machines), exactly one may return
+    * true, and after a false return `dest` holds some winner's bytes
+    * and `tmp` is disposed of. Implementations per filesystem:
+    *
+    *  - local POSIX ([[RenameCommitProtocol]], the default):
+    *    exists-check + rename under `guard` (a per-(table,version)
+    *    JVM monitor) — atomic within one JVM; two separate driver
+    *    JVMs on one POSIX filesystem can still both "win" because
+    *    rename(2) overwrites. Single-driver-per-table is the
+    *    documented local contract.
+    *  - HDFS: the same impl IS cross-process safe — HDFS
+    *    rename-without-overwrite is atomic in the NameNode.
+    *  - S3 and friends: rename is copy+delete (not atomic, and
+    *    blind). A real deployment plugs a conditional-PUT impl
+    *    (`If-None-Match: *`; S3/GCS/ABFS all support it) or an
+    *    external coordinator (the DynamoDB LogStore pattern) via
+    *    `spark.graft.tablelog.commitProtocol=<class>` — a Scala
+    *    `object` (MODULE$) or a no-arg class.
+    */
+  trait CommitProtocol {
+    def publish(fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dest: Path,
+        guard: Object): Boolean
+  }
+
+  /** Default: exists+rename CAS under the per-(table,version) JVM
+    * monitor. See [[CommitProtocol]] for the per-filesystem
+    * guarantees.
+    */
+  object RenameCommitProtocol extends CommitProtocol {
+    override def publish(fs: org.apache.hadoop.fs.FileSystem, tmp: Path,
+        dest: Path, guard: Object): Boolean = guard.synchronized {
+      if (fs.exists(dest)) { fs.delete(tmp, false); false }
+      else fs.rename(tmp, dest)
+    }
+  }
+
+  private val protocolCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitProtocol]()
+
+  private def commitProtocol(spark: SparkSession): CommitProtocol =
+    spark.conf.getOption("spark.graft.tablelog.commitProtocol") match {
+      case None => RenameCommitProtocol
+      case Some(cn) => protocolCache.computeIfAbsent(cn, { name =>
+        val cls = Class.forName(name)
+        if (name.endsWith("$"))
+          cls.getField("MODULE$").get(null).asInstanceOf[CommitProtocol]
+        else cls.getDeclaredConstructor().newInstance()
+          .asInstanceOf[CommitProtocol]
+      })
+    }
+
   /** A commit lost the version CAS to a concurrent writer (an
     * optimistic appender can steal a locked mutator's version —
     * appends take no lock). Locked mutators RETRY on it: the whole
@@ -553,9 +608,15 @@ object TableLog {
   private def commitTryFull(
       spark: SparkSession, path: String, v: Long, m: Manifest): Boolean = {
     // v1 with a recorded schema is CREATE TABLE without data
-    // ([[createEmpty]]); any later empty file list is an all-rows
-    // delete and stays refused
-    require(m.files.nonEmpty || (v == 1L && m.schema.isDefined),
+    // ([[createEmpty]]); at v >= 2, an empty file list is allowed
+    // only when the PARENT version was also empty (a maintenance op —
+    // compact/optimize/restore — re-committing a created-but-still-
+    // empty table is a no-op, not a delete); an empty list over a
+    // non-empty parent is an all-rows delete and stays refused
+    def emptyOk: Boolean = m.schema.isDefined && (v == 1L ||
+      (try readManifestFull(spark, path, v - 1).files.isEmpty
+      catch { case scala.util.control.NonFatal(_) => false }))
+    require(m.files.nonEmpty || emptyOk,
       "TableLog: refusing to commit an empty file list " +
         "(an all-rows delete; drop the table instead)")
     // no quotes or brackets: defense in depth for any downstream
@@ -576,10 +637,7 @@ object TableLog {
     Option(testPreCommit.remove(path)).foreach(_.run())
     val dest = manifestPath(path, v)
     val guard = commitGuard.computeIfAbsent(s"$path#v$v", _ => new Object)
-    val won = guard.synchronized {
-      if (f.exists(dest)) { f.delete(tmp, false); false }
-      else f.rename(tmp, dest)
-    }
+    val won = commitProtocol(spark).publish(f, tmp, dest, guard)
     if (won && v % CheckpointEvery == 0L) writeCkpt(spark, path, v)
     won
   }
@@ -815,6 +873,27 @@ object TableLog {
         s"columns: ${m.partCols.mkString(", ")}) — use appendPartitioned / " +
         "read / readPartition")
 
+  /** Are all `cols` deterministic expressions? Decided by ANALYZING
+    * them against a zero-row frame of `shape` (Spark 4 Columns carry
+    * unresolved nodes — `rand()` is an UnresolvedFunction until the
+    * analyzer runs, so determinism is only knowable post-analysis;
+    * zero rows means zero execution). Unanalyzable columns report
+    * false — the caller takes the single-evaluation path and the real
+    * analysis error surfaces at use.
+    */
+  private def allDeterministic(
+      spark: SparkSession, shape: org.apache.spark.sql.types.StructType,
+      cols: Seq[Column]): Boolean =
+    cols.isEmpty || {
+      val frame = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
+      cols.forall { c =>
+        try frame.select(c).queryExecution.analyzed.expressions
+          .forall(_.deterministic)
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+    }
+
   /** Schema evolution rule: appends may ADD columns; same-name
     * columns must keep their type (retypes/renames are a rewrite,
     * not an append). Everything goes nullable — old rows lack the
@@ -839,6 +918,35 @@ object TableLog {
       org.apache.spark.sql.types.StructType(
         (base.fields ++ added).map(_.copy(nullable = true)))
   }
+
+  /** ALTER TABLE ADD COLUMN(S): commit the WIDENED schema as a new
+    * version — a pure manifest operation (zero data IO; the file list
+    * carries over by name). Old rows read NULL in the added columns
+    * exactly as append-time evolution's would ([[mergedSchema]] is
+    * the same add-only rule); added columns are forced nullable for
+    * that reason. Duplicate names refuse loudly (a retype is a
+    * rewrite, never an ALTER).
+    */
+  def addColumns(
+      spark: SparkSession, path: String,
+      fields: Seq[org.apache.spark.sql.types.StructField]): Long =
+    withLock(spark, path, "addColumns") {
+      require(fields.nonEmpty, "TableLog.addColumns: no columns")
+      val v = latestVersion(spark, path)
+      checkNotVacuumed(spark, path, v)
+      val cur = readManifestFull(spark, path, v)
+      val schema = cur.schema.getOrElse(
+        readFiles(spark, path, cur, cur.files).schema)
+      val dup = fields.map(_.name).toSet & schema.fieldNames.toSet
+      require(dup.isEmpty,
+        s"TableLog.addColumns: columns already exist: ${dup.mkString(", ")}")
+      require(!fields.exists(_.name.startsWith("#")),
+        "TableLog.addColumns: '#' prefix is reserved")
+      val widened = org.apache.spark.sql.types.StructType(
+        schema.fields ++ fields.map(_.copy(nullable = true)))
+      commitFull(spark, path, v + 1, cur.copy(
+        tag = None, schema = Some(widened)))
+    }
 
   /** Create the table (version 1). Fails if a log already exists. */
   def create(spark: SparkSession, path: String, df: DataFrame): Long =
@@ -1627,23 +1735,52 @@ object TableLog {
       require(partHit.isEmpty,
         s"TableLog.updateWhere: partition columns are not assignable " +
           s"(${partHit.mkString(", ")}) — a partition move is a merge")
-      val df = readFiles(spark, path, cur, cur.files)
-      val perFileMatches = df.where(predicate)
-        .groupBy(col("_metadata.file_path").as("_tl_f"))
-        .agg(count(lit(1)).as("_tl_n")).collect()
-      val touchedNames =
-        perFileMatches.map(r => relName(path, r.getString(0))).toSet
+      // a DETERMINISTIC predicate may be re-evaluated freely: the
+      // touched-file discovery and the rewrite provably agree. A
+      // non-deterministic one (rand(), a nondeterministic UDF) must
+      // be evaluated exactly ONCE — the matched frame materializes
+      // (localCheckpoint, the mergeWhen discipline) and both the file
+      // cut and the rewrite read the same decision, so the updated
+      // row set can never diverge from the planned one.
+      val deterministic =
+        allDeterministic(spark, schema, set.map(_._2) :+ predicate)
+      val (touchedNames, touchedDfOpt, matchedCol)
+          : (Set[String], Option[DataFrame], Column) =
+        if (deterministic) {
+          val df = readFiles(spark, path, cur, cur.files)
+          val perFileMatches = df.where(predicate)
+            .groupBy(col("_metadata.file_path").as("_tl_f"))
+            .agg(count(lit(1)).as("_tl_n")).collect()
+          val tn = perFileMatches.map(r => relName(path, r.getString(0))).toSet
+          val t =
+            if (tn.isEmpty) None
+            else Some(readFiles(spark, path, cur,
+              cur.files.filter(tn.contains)))
+          (tn, t, coalesce(predicate, lit(false)))
+        } else {
+          val evald = readFiles(spark, path, cur, cur.files)
+            .withColumn("_tl_f", col("_metadata.file_path"))
+            .withColumn("_tl_m", coalesce(predicate, lit(false)))
+            .localCheckpoint(true)
+          val absTouched = evald.where(col("_tl_m"))
+            .select(col("_tl_f")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val tn = absTouched.map(relName(path, _))
+          val t =
+            if (tn.isEmpty) None
+            else Some(evald.where(col("_tl_f").isInCollection(absTouched)))
+          (tn, t, col("_tl_m"))
+        }
       if (touchedNames.isEmpty)
         commitFull(spark, path, v + 1, cur.copy(tag = None))
       else {
-        val (touched, untouched) = cur.files.partition(touchedNames.contains)
-        val touchedDf = readFiles(spark, path, cur, touched)
+        val untouched = cur.files.filterNot(touchedNames.contains)
+        val touchedDf = touchedDfOpt.get
         val touchedRows = touchedDf.count()
-        val matched = coalesce(predicate, lit(false))
         val rewritten = touchedDf.select(schema.fields.toSeq.map { f =>
           setMap.get(f.name) match {
             case Some(c) =>
-              when(matched, c.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+              when(matchedCol, c.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
             case None => col(f.name)
           }
         }: _*)
@@ -1824,6 +1961,13 @@ object TableLog {
       require(!cur.partCols.contains(keyCol),
         s"TableLog.merge: $keyCol is a partition column — merge keys on a " +
           "data column")
+      // ONE materialization of the source plan: the uniqueness check,
+      // key-range agg, match join, anti-join, and the data write all
+      // derive from it — a non-deterministic source (limit without
+      // order, rand-derived keys) can otherwise yield a candidate cut
+      // or insert set inconsistent with the match pass (Delta
+      // materializes MERGE sources for the same reason)
+      val srcMat = source.localCheckpoint(true)
       val base = cur.schema.orElse(
         Some(readFiles(spark, path, cur, cur.files).schema))
       // partitioned tables: the source must carry the partition
@@ -1832,11 +1976,11 @@ object TableLog {
       // partition — the old copy leaves with the survivors' rewrite,
       // the new one lands in its directory)
       val merged =
-        if (cur.partCols.isEmpty) mergedSchema(base, source.schema)
-        else mergedSchema(base, partitionedSchema(source, cur.partCols))
-      val srcDup = source.where(col(keyCol).isNull)
+        if (cur.partCols.isEmpty) mergedSchema(base, srcMat.schema)
+        else mergedSchema(base, partitionedSchema(srcMat, cur.partCols))
+      val srcDup = srcMat.where(col(keyCol).isNull)
         .select(lit(1L)).limit(1)
-        .unionAll(source.groupBy(col(keyCol)).count()
+        .unionAll(srcMat.groupBy(col(keyCol)).count()
           .where(col("count") > 1L).select(lit(1L)).limit(1))
         .limit(1).count()
       require(srcDup == 0L,
@@ -1844,7 +1988,7 @@ object TableLog {
           "an ambiguous merge would replace one row twice")
       // manifest-level candidate cut: the source's key range vs
       // recorded bounds (unbounded files kept — conservative)
-      val range = source.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
+      val range = srcMat.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
       val candidates =
         if (range.isNullAt(0)) Nil // empty source: pure insert of nothing
         else cur.files.filter { n =>
@@ -1853,7 +1997,7 @@ object TableLog {
             case Some(b) => overlaps(b, range.get(0), range.get(1))
           }
         }
-      val srcKeys = source.select(col(keyCol).as("_tl_mk")).distinct()
+      val srcKeys = srcMat.select(col(keyCol).as("_tl_mk")).distinct()
       val perFileMatches =
         if (candidates.isEmpty) Array.empty[org.apache.spark.sql.Row]
         else readFiles(spark, path, cur, candidates)
@@ -1884,7 +2028,7 @@ object TableLog {
         case _ => (Nil, Map.empty[String, Map[String, ColBound]],
           Map.empty[String, Seq[String]])
       }
-      val (srcNames, srcStats, srcParts) = writeSide(source)
+      val (srcNames, srcStats, srcParts) = writeSide(srcMat)
       // accounting BEFORE the rename: survivors must be exactly the
       // touched rows minus the matches (a non-deterministic source
       // key expression aborts here, never commits wrong)
@@ -1917,25 +2061,43 @@ object TableLog {
       extends MergeWhen
   }
 
-  /** General MERGE — Delta's full WHEN grammar minus NOT MATCHED BY
-    * SOURCE: per-action conditions, partial-SET updates, matched
-    * DELETEs, conditional INSERTs; the FIRST applicable action wins
-    * per row, rows no action claims stay unchanged. IO keeps
-    * [[merge]]'s discipline: candidate files from the manifest
-    * bounds against the source key range, only files actually
-    * CONTAINING key matches rewrite, everything else carries over by
-    * name. Updates may not assign partition columns (that migration
+  /** General MERGE — Delta's full WHEN grammar: per-action
+    * conditions, partial-SET updates, matched DELETEs, conditional
+    * INSERTs, and NOT MATCHED BY SOURCE update/delete (target rows
+    * whose key appears in no source row); within each clause family
+    * the FIRST applicable action wins per row, rows no action claims
+    * stay unchanged. IO keeps [[merge]]'s discipline: candidate
+    * files from the manifest bounds against the source key range,
+    * only files actually CONTAINING actionable rows rewrite,
+    * everything else carries over by name. A by-source clause
+    * inherently touches rows ABSENT from the source, so with one
+    * present the candidate set is ALL files — unless
+    * `notMatchedBySourceBand` scopes it: `(col, lo, hi)` restricts
+    * by-source treatment to rows in the band, and the candidate set
+    * stays manifest-pruned (key-range files ∪ band files) — the
+    * 100 TB shape for "delete rows that vanished from yesterday's
+    * feed". Updates may not assign partition columns (that migration
     * is whole-row [[merge]]'s job); inserts must provide every
-    * column. The joined outcome is localCheckpointed once, so the
-    * accounting counts and the written rows can never diverge
-    * (non-deterministic conditions included).
+    * column. The source plan is materialized ONCE (localCheckpoint),
+    * so the uniqueness check, key range, match join, and anti-join
+    * cannot diverge under a non-deterministic source; the joined
+    * outcome is checkpointed too, so accounting counts and written
+    * rows always agree. With non-deterministic by-source CONDITIONS
+    * the full joined frame is materialized before touched-file
+    * discovery — one evaluation decides both the file cut and the
+    * rewrite.
     */
   def mergeWhen(
       spark: SparkSession, path: String, source: DataFrame, keyCol: String,
-      matched: Seq[MergeWhen], notMatched: Seq[MergeWhen.Insert]): Long =
+      matched: Seq[MergeWhen], notMatched: Seq[MergeWhen.Insert],
+      notMatchedBySource: Seq[MergeWhen] = Nil,
+      notMatchedBySourceBand: Option[(String, Any, Any)] = None): Long =
     withLock(spark, path, "mergeWhen") {
       require(matched.forall(!_.isInstanceOf[MergeWhen.Insert]),
         "TableLog.mergeWhen: WHEN MATCHED takes Update/Delete actions")
+      require(notMatchedBySource.forall(!_.isInstanceOf[MergeWhen.Insert]),
+        "TableLog.mergeWhen: WHEN NOT MATCHED BY SOURCE takes " +
+          "Update/Delete actions")
       val v = latestVersion(spark, path)
       val cur = readManifestFull(spark, path, v)
       require(source.columns.contains(keyCol),
@@ -1948,7 +2110,7 @@ object TableLog {
       require(!schema.fieldNames.exists(_.startsWith("_s_")),
         "TableLog.mergeWhen: target columns may not start with _s_ " +
           "(reserved for source references)")
-      matched.foreach {
+      def checkActions(as: Seq[MergeWhen]): Unit = as.foreach {
         case MergeWhen.Update(_, set) =>
           val unknown = set.map(_._1).toSet -- schema.fieldNames.toSet
           require(unknown.isEmpty,
@@ -1959,85 +2121,169 @@ object TableLog {
               s"(${partHit.mkString(", ")})")
         case _ => ()
       }
+      checkActions(matched)
+      checkActions(notMatchedBySource)
       notMatched.foreach { ins =>
         require(ins.values.map(_._1).toSet == schema.fieldNames.toSet,
           "TableLog.mergeWhen: INSERT must provide every table column " +
             s"(${schema.fieldNames.mkString(", ")})")
       }
-      val srcDup = source.where(col(keyCol).isNull)
+      // ONE materialization of the source plan: uniqueness check, key
+      // range, match join, and anti-join all derive from it (a
+      // non-deterministic source can otherwise yield inconsistent
+      // passes — Delta materializes MERGE sources for the same reason)
+      val srcMat = source.localCheckpoint(true)
+      val srcDup = srcMat.where(col(keyCol).isNull)
         .select(lit(1L)).limit(1)
-        .unionAll(source.groupBy(col(keyCol)).count()
+        .unionAll(srcMat.groupBy(col(keyCol)).count()
           .where(col("count") > 1L).select(lit(1L)).limit(1))
         .limit(1).count()
       require(srcDup == 0L,
         s"TableLog.mergeWhen: source $keyCol must be unique and non-null")
-      val srcR = source.select(source.columns.toSeq.map(c =>
+      val srcR = srcMat.select(srcMat.columns.toSeq.map(c =>
         col(c).as(s"_s_$c")): _*)
       val srcKey = col(s"_s_$keyCol")
-      val range = source.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
-      val candidates =
-        if (range.isNullAt(0)) Nil
-        else cur.files.filter { n =>
-          cur.stats.get(n).flatMap(_.get(keyCol)) match {
-            case None => true
-            case Some(b) => overlaps(b, range.get(0), range.get(1))
-          }
+      val range = srcMat.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
+      val bySource = notMatchedBySource.nonEmpty
+      def overlapsCol(n: String, c: String, lo: Any, hi: Any): Boolean =
+        cur.stats.get(n).flatMap(_.get(c)) match {
+          case None => true
+          case Some(b) => overlaps(b, lo, hi)
         }
-      val perFileMatches =
-        if (candidates.isEmpty) Array.empty[org.apache.spark.sql.Row]
-        else readFiles(spark, path, cur, candidates)
-          .select(col("_metadata.file_path").as("_tl_f"), col(keyCol))
-          .join(srcR.select(srcKey), col(keyCol) === srcKey)
-          .groupBy(col("_tl_f"))
-          .agg(count(lit(1)).as("_tl_n")).collect()
-      val touchedNames =
-        perFileMatches.map(r => relName(path, r.getString(0))).toSet
-      val (touched, untouched) = cur.files.partition(touchedNames.contains)
+      val keyCand: String => Boolean =
+        if (range.isNullAt(0)) (_: String) => false
+        else n => overlapsCol(n, keyCol, range.get(0), range.get(1))
+      val candidates =
+        if (!bySource) cur.files.filter(keyCand)
+        else notMatchedBySourceBand match {
+          case None => cur.files
+          case Some((c, lo, hi)) =>
+            cur.files.filter(n => keyCand(n) || overlapsCol(n, c, lo, hi))
+        }
+      // by-source applicability is scoped to the band (rows outside
+      // it keep): the manifest cut above is only sound under the same
+      // row-level restriction
+      val bandPred: Option[Column] = notMatchedBySourceBand.map {
+        case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi)
+      }
 
       def condOr(c: Option[Column], default: Boolean): Column =
         coalesce(c.getOrElse(lit(default)), lit(false))
-      // first-wins action index: 0 = no action (keep); checkpointed
-      // so the accounting and the write see identical outcomes
-      val joined =
-        if (touched.isEmpty) None
-        else {
-          val matchedFlag = srcKey.isNotNull
-          val idx = matched.zipWithIndex
-            .foldLeft(when(lit(false), lit(0))) { case (acc, (a, i)) =>
-              val c = a match {
-                case MergeWhen.Update(cond, _) => condOr(cond, default = true)
-                case MergeWhen.Delete(cond) => condOr(cond, default = true)
-                case _: MergeWhen.Insert => lit(false)
-              }
-              acc.when(matchedFlag && c, lit(i + 1))
-            }.otherwise(lit(0))
-          Some(readFiles(spark, path, cur, touched)
-            .join(srcR, col(keyCol) === srcKey, "left")
-            .withColumn("_tl_act", idx)
-            .localCheckpoint(true))
+      val matchedFlag = srcKey.isNotNull
+      def actionCond(a: MergeWhen): Column = a match {
+        case MergeWhen.Update(cond, _) => condOr(cond, default = true)
+        case MergeWhen.Delete(cond) => condOr(cond, default = true)
+        case _: MergeWhen.Insert => lit(false)
+      }
+      // first-wins action index: 0 = no action (keep); 1..m matched
+      // actions, m+1..m+k by-source actions
+      val actIdx: Column = {
+        val m0 = matched.zipWithIndex
+          .foldLeft(when(lit(false), lit(0))) { case (acc, (a, i)) =>
+            acc.when(matchedFlag && actionCond(a), lit(i + 1))
+          }
+        notMatchedBySource.zipWithIndex.foldLeft(m0) { case (acc, (a, i)) =>
+          val c = bandPred.map(_ && actionCond(a)).getOrElse(actionCond(a))
+          acc.when(!matchedFlag && coalesce(c, lit(false)),
+            lit(matched.size + i + 1))
+        }.otherwise(lit(0))
+      }
+      def joinAct(names: Seq[String]): DataFrame =
+        readFiles(spark, path, cur, names)
+          .withColumn("_tl_f", col("_metadata.file_path"))
+          .join(srcR, col(keyCol) === srcKey, "left")
+          .withColumn("_tl_act", actIdx)
+      // resolved against the joined shape (target columns + the _s_
+      // source projection) — the namespace action conditions live in
+      val joinShape = org.apache.spark.sql.types.StructType(
+        (schema.fields ++ srcR.schema.fields).map(_.copy(nullable = true)))
+      val condsDeterministic = allDeterministic(spark, joinShape,
+        (matched ++ notMatchedBySource).flatMap {
+          case MergeWhen.Update(c, set) => c.toSeq ++ set.map(_._2)
+          case MergeWhen.Delete(c) => c.toSeq
+          case _: MergeWhen.Insert => Nil
+        })
+      // touched-file discovery + the checkpointed joined frame the
+      // rewrite and accounting both read
+      val (touchedNames, joined): (Set[String], Option[DataFrame]) =
+        if (!bySource) {
+          // matched-only: discovery is a pure KEY join (deterministic
+          // regardless of action conditions — conditions only pick
+          // the action, evaluated once post-checkpoint)
+          val perFileMatches =
+            if (candidates.isEmpty) Array.empty[org.apache.spark.sql.Row]
+            else readFiles(spark, path, cur, candidates)
+              .select(col("_metadata.file_path").as("_tl_f"), col(keyCol))
+              .join(srcR.select(srcKey), col(keyCol) === srcKey)
+              .groupBy(col("_tl_f"))
+              .agg(count(lit(1)).as("_tl_n")).collect()
+          val tn = perFileMatches.map(r => relName(path, r.getString(0))).toSet
+          val j =
+            if (tn.isEmpty) None
+            else Some(joinAct(cur.files.filter(tn.contains))
+              .localCheckpoint(true))
+          (tn, j)
+        } else if (condsDeterministic) {
+          // by-source with deterministic conditions: a discovery pass
+          // over the candidates (aggregation only, nothing
+          // materialized), then the bounded touched set re-joins and
+          // checkpoints — the two evaluations provably agree
+          val tn =
+            if (candidates.isEmpty) Set.empty[String]
+            else joinAct(candidates).where(col("_tl_act") > 0)
+              .select(col("_tl_f")).distinct()
+              .collect().map(r => relName(path, r.getString(0))).toSet
+          val j =
+            if (tn.isEmpty) None
+            else Some(joinAct(cur.files.filter(tn.contains))
+              .localCheckpoint(true))
+          (tn, j)
+        } else {
+          // non-deterministic by-source conditions: ONE evaluation
+          // must decide both the file cut and the rewrite — the full
+          // joined frame materializes (the price of a
+          // non-deterministic clause over an unpruned candidate set)
+          val full = joinAct(candidates).localCheckpoint(true)
+          val absTouched = full.where(col("_tl_act") > 0)
+            .select(col("_tl_f")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val tn = absTouched.map(relName(path, _))
+          val j =
+            if (tn.isEmpty) None
+            else Some(full.where(col("_tl_f").isInCollection(absTouched)))
+          (tn, j)
         }
-      val deleteIdx = matched.zipWithIndex.collect {
+      val (touched, untouched) = cur.files.partition(touchedNames.contains)
+
+      val deleteIdx = (matched.zipWithIndex.collect {
         case (_: MergeWhen.Delete, i) => i + 1
-      }.toSet
+      } ++ notMatchedBySource.zipWithIndex.collect {
+        case (_: MergeWhen.Delete, i) => matched.size + i + 1
+      }).toSet
       val touchedRows = joined.map(_.count()).getOrElse(0L)
       val deleted = joined.map(
         _.where(col("_tl_act").isInCollection(
           if (deleteIdx.isEmpty) Set(-1) else deleteIdx)).count())
         .getOrElse(0L)
+      def applyUpdates(base: Column, f: org.apache.spark.sql.types.StructField,
+          actions: Seq[MergeWhen], offset: Int): Column =
+        actions.zipWithIndex.foldLeft(base) {
+          case (acc, (MergeWhen.Update(_, set), i)) =>
+            set.find(_._1 == f.name) match {
+              case Some((_, value)) =>
+                when(col("_tl_act") === (offset + i + 1),
+                  value.cast(f.dataType)).otherwise(acc)
+              case None => acc
+            }
+          case (acc, _) => acc
+        }
       val survivors = joined.map { j =>
         j.where(!col("_tl_act").isInCollection(
           if (deleteIdx.isEmpty) Set(-1) else deleteIdx))
           .select(schema.fields.toSeq.map { f =>
-            matched.zipWithIndex.foldLeft(col(f.name)) {
-              case (acc, (MergeWhen.Update(_, set), i)) =>
-                set.find(_._1 == f.name) match {
-                  case Some((_, value)) =>
-                    when(col("_tl_act") === (i + 1),
-                      value.cast(f.dataType)).otherwise(acc)
-                  case None => acc
-                }
-              case (acc, _) => acc
-            }.as(f.name)
+            applyUpdates(
+              applyUpdates(col(f.name), f, matched, 0),
+              f, notMatchedBySource, matched.size).as(f.name)
           }: _*)
       }
       // inserts: source keys matching NO candidate row (matches can
@@ -2187,6 +2433,53 @@ object TableLog {
           s"TableLog.appendBatchOptimistic: lost the commit race " +
             s"$maxRetries times at $path — staged files go to vacuum")
     }
+
+  /** [[appendBatchOptimistic]] for files ALREADY sitting under
+    * `data/` (an executor-written streaming epoch — the catalog's
+    * STREAMING_WRITE): harvest their footer stats, then run the
+    * tag-idempotent version CAS. Losing to the SAME tag (a replayed
+    * epoch raced a concurrent sink, or a restart replayed a committed
+    * epoch) deletes the staged duplicates best-effort — stragglers
+    * are age-gated vacuum orphans — and returns the winner's version:
+    * the rows land exactly once.
+    */
+  private[graft] def commitStagedOptimistic(
+      spark: SparkSession, path: String, names: Seq[String],
+      batchSchema: org.apache.spark.sql.types.StructType, tag: String,
+      maxRetries: Int = 16): Long = {
+    require(names.nonEmpty, "TableLog.commitStagedOptimistic: no files")
+    def dropStaged(): Unit = {
+      val f = fs(spark, path)
+      names.foreach { n =>
+        try { f.delete(new Path(dataDir(path), n), false); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    tags(spark, path).get(tag) match {
+      case Some(v) => dropStaged(); v
+      case None =>
+        val stats = harvestStats(spark, path, names)
+        var attempt = 0
+        while (attempt < maxRetries) {
+          tags(spark, path).get(tag) match {
+            case Some(v) => dropStaged(); return v
+            case None =>
+              val v = latestVersion(spark, path)
+              val cur = readManifestFull(spark, path, v)
+              requireUnpartitioned(cur, "commitStagedOptimistic")
+              val base = cur.schema.orElse(
+                Some(readFiles(spark, path, cur, cur.files).schema))
+              val merged = mergedSchema(base, batchSchema)
+              if (commitTry(spark, path, v + 1, cur.files ++ names,
+                cur.stats ++ stats, Some(tag), Some(merged))) return v + 1
+          }
+          attempt += 1
+        }
+        throw new IllegalStateException(
+          s"TableLog.commitStagedOptimistic: lost the commit race " +
+            s"$maxRetries times at $path — staged files go to vacuum")
+    }
+  }
 
   /** RESTORE: re-commit version `v`'s exact state (files, bounds,
     * schema) as the NEW latest version — the Delta RESTORE shape.
@@ -2342,10 +2635,27 @@ object TableLog {
     * rename), then manifests are deleted, then files — so at every
     * crash point a dropped version either fails [[read]]'s watermark
     * guard or has no manifest, never a manifest whose files are gone.
+    *
+    * Crash-safe for lock-free WRITERS too (the Delta retention rule):
+    * unreferenced data files and `_scratch_*` dirs are only deleted
+    * when OLDER than `spark.graft.tablelog.retentionMs` (default
+    * 10 min — keep it above your longest commit). An
+    * [[appendOptimistic]]/[[appendBatchOptimistic]] takes no lock and
+    * stages its files BEFORE winning the version CAS; without the age
+    * horizon a concurrent vacuum (one `CALL tablelog.vacuum(...)`
+    * away from any maintenance job) would sweep those just-staged
+    * files as unreferenced and the appender's winning commit would
+    * publish a manifest pointing at deleted data — every subsequent
+    * read of the table throws. Fresh files survive the sweep; the
+    * CAS then references them. Retention 0 restores the
+    * everything-now sweep (safe only with no concurrent writers).
     */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Unit =
     withLock(spark, path, "vacuum") {
       require(keepVersions >= 1, "TableLog.vacuum: must keep at least the latest")
+      val retentionMs = spark.conf
+        .get("spark.graft.tablelog.retentionMs", "600000").toLong
+      val horizon = System.currentTimeMillis() - retentionMs
       val f = fs(spark, path)
       val vs = versions(spark, path)
       val keep = vs.takeRight(keepVersions)
@@ -2379,13 +2689,17 @@ object TableLog {
         while (it.hasNext) {
           val s = it.next()
           val rel = s.getPath.toUri.getPath.stripPrefix(dataUri).stripPrefix("/")
-          if (s.isFile && !referenced.contains(rel)) doomed += s.getPath
+          if (s.isFile && !referenced.contains(rel) &&
+            s.getModificationTime < horizon) doomed += s.getPath
         }
         perFile(doomed.toSeq) { p => f.delete(p, false) }
       }
-      // crashed-commit scratch dirs are orphans too
+      // crashed-commit scratch dirs are orphans too — but only AGED
+      // ones: a live lock-free appender may be mid-stage in a fresh
+      // scratch dir right now
       f.listStatus(new Path(path)).foreach { s =>
-        if (s.isDirectory && s.getPath.getName.startsWith("_scratch_"))
+        if (s.isDirectory && s.getPath.getName.startsWith("_scratch_") &&
+          s.getModificationTime < horizon)
           f.delete(s.getPath, true)
       }
       ()

@@ -821,6 +821,91 @@ object PipelineQueries {
     }),
 
 
+    // SQL-only streaming pipeline (round-14): readStream.table ->
+    // transform -> writeStream.toTable — the TableLog change stream
+    // feeds the catalog's STREAMING_WRITE (executors write parquet
+    // into data/, the driver's epoch commit publishes one tagged
+    // version; exactly-once via the stable-queryId tag). A SQL-first
+    // user never leaves the catalog. Result-transparent: the oracle
+    // replays the filter over base + appended batch
+    "q226_stream_table_pipeline" -> ((s, dir) => {
+      graft.sql.TableLogSql.register(s)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val src = perProcessTmpDir(s"graft-tlsw-src-$sfx")
+      val dst = perProcessTmpDir(s"graft-tlsw-dst-$sfx")
+      val ck = perProcessTmpDir(s"graft-tlsw-ck-$sfx")
+      Seq(src, dst, ck).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      graft.operators.TableLog.create(s, src, docs.repartition(4))
+      graft.operators.TableLog.append(s, src,
+        docs.where(col("doc_id") < 40L)
+          .select((col("doc_id") + 900000L).as("doc_id"), col("lang"),
+            col("n_chars")))
+      s.sql(s"CREATE TABLE tablelog.`$dst` " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      val q = s.readStream.option("fromVersion", "0")
+        .table(s"tablelog.`$src`")
+        .where(col("n_chars") >= 100L)
+        .writeStream.option("checkpointLocation", ck)
+        .toTable(s"tablelog.`$dst`")
+      try q.processAllAvailable() finally q.stop()
+      s.sql(
+        s"""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  min(doc_id) AS min_id
+           |FROM tablelog.`$dst`
+           |GROUP BY lang""".stripMargin)
+    }),
+
+
+    // MERGE with NOT MATCHED BY SOURCE (round-14): the full Delta
+    // WHEN grammar — one statement applies a feed snapshot as
+    // deletes-by-absence: matched rows take the feed's value,
+    // feed-only rows insert, and target rows the feed no longer
+    // carries DELETE under a guard condition (rows outside the
+    // feed's id domain survive untouched). Routed to
+    // TableLog.mergeWhen's by-source actions. Result-transparent:
+    // the oracle replays the three dispositions over the base table
+    "q225_merge_by_source" -> ((s, dir) => {
+      graft.sql.TableLogSql.register(s)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlnmbs-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      graft.operators.TableLog.create(s, path, docs.repartition(4))
+      graft.operators.TableLog.optimizeRange(s, path, "doc_id", numFiles = 8)
+      docs.where(col("doc_id") >= 20L && col("doc_id") < 80L)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 55L).as("n_chars"))
+        .unionByName(docs.where(col("doc_id") < 10L)
+          .select((col("doc_id") + 800000L).as("doc_id"), col("lang"),
+            col("n_chars")))
+        .createOrReplaceTempView("q225_src")
+      s.sql(
+        s"""MERGE INTO tablelog.`$path` t USING q225_src s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+           |WHEN NOT MATCHED THEN
+           |  INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, s.lang, s.n_chars)
+           |WHEN NOT MATCHED BY SOURCE AND t.doc_id < 100 THEN DELETE
+           |""".stripMargin)
+      s.sql(
+        s"""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM tablelog.`$path`
+           |GROUP BY lang""".stripMargin)
+    }),
+
+
     // null statistics (round-13): per-file null counts recorded at
     // write (Delta/Iceberg's null_count) serve COUNT(col) and the
     // all-null-file-aware MIN/MAX from ONE manifest read, and prune
@@ -2279,6 +2364,37 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT doc_id + 600000 AS doc_id, lang, CAST(n_chars AS BIGINT)
         |  FROM documents WHERE doc_id < 20)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM st GROUP BY lang""".stripMargin,
+
+    // q226: the streamed filter replayed over base + appended batch
+    "q226_stream_table_pipeline" ->
+      """WITH st AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 900000 AS doc_id, lang, CAST(n_chars AS BIGINT)
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id
+        |FROM st WHERE n_chars >= 100 GROUP BY lang""".stripMargin,
+
+    // q225: the three dispositions replayed — matched ids take the
+    // feed value, ids outside the feed but under the guard drop,
+    // ids >= 100 survive, feed-only ids insert
+    "q225_merge_by_source" ->
+      """WITH st AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) + 55 AS n_chars
+        |  FROM documents WHERE doc_id >= 20 AND doc_id < 80
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id >= 100
+        |  UNION ALL
+        |  SELECT doc_id + 800000 AS doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id < 10)
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id

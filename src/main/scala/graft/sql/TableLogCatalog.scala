@@ -95,17 +95,23 @@ class TableLogCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table =
     load(ident, None, timeTraveled = false)
 
-  /** `VERSION AS OF <n>` (also accepts a tag name from the tag map). */
+  /** `VERSION AS OF <n>` (also accepts a tag name from the tag map).
+    * Resolution order: a numeric string names that COMMITTED version
+    * when its manifest exists; otherwise (non-numeric, or no such
+    * version) the string is looked up as a tag — so an all-digit tag
+    * (streaming sinks tag by batch id) is still reachable whenever it
+    * doesn't collide with a live version number, instead of being
+    * silently shadowed forever.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = splitMeta(ident).map(_._1).getOrElse(tablePath(ident))
     if (!isTable(path)) throw new NoSuchTableException(ident)
-    val v =
-      try version.toLong
-      catch {
-        case _: NumberFormatException =>
-          TableLog.tags(spark, path).getOrElse(version,
-            throw new NoSuchTableException(ident))
-      }
+    val asNum =
+      try Some(version.toLong) catch { case _: NumberFormatException => None }
+    val v = asNum.filter(n => TableLog.versions(spark, path).contains(n))
+      .orElse(TableLog.tags(spark, path).get(version))
+      .orElse(asNum) // numeric but uncommitted and untagged: fail as a version
+      .getOrElse(throw new NoSuchTableException(ident))
     load(ident, Some(v), timeTraveled = true)
   }
 
@@ -160,9 +166,32 @@ class TableLogCatalog extends TableCatalog with SupportsNamespaces
     load(ident, None, timeTraveled = false)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "TableLogCatalog: ALTER TABLE not supported — schema evolves on append")
+  /** `ALTER TABLE tablelog.` ADD COLUMN(S)` — a schema-only committed
+    * version via [[TableLog.addColumns]] (zero data IO; old rows read
+    * NULL, the add-only evolution rule appends already follow). Every
+    * other TableChange (drop/retype/rename/position) keeps failing
+    * loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "TableLogCatalog: ALTER TABLE ADD COLUMN supports top-level " +
+            s"columns only, got ${a.fieldNames().mkString(".")}")
+        require(a.position() == null,
+          "TableLogCatalog: column positions are not supported — new " +
+            "columns append (the schema-evolution order)")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"TableLogCatalog: ALTER TABLE supports ADD COLUMN only, got $other " +
+          "— retypes/drops/renames are a rewrite, not an ALTER")
+    }
+    TableLog.addColumns(spark, path, adds)
+    load(ident, None, timeTraveled = false)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = tablePath(ident)
@@ -226,7 +255,8 @@ private[graft] class TableLogTable(
   override def capabilities(): util.Set[TableCapability] =
     if (timeTraveled) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TableLogScanBuilder(path, snap, options)
@@ -269,6 +299,16 @@ private[graft] class TableLogTable(
               else TableLog.appendPartitioned(s, path, data)
             }
           }
+        // writeStream.toTable: epoch-committed exactly-once appends
+        // (see TableLogStreamingWrite); the queryId in the tag is the
+        // STABLE streaming query id, so restarts replay idempotently
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          require(snap.partCols.isEmpty,
+            "TableLogCatalog: streaming write into a partitioned table " +
+              "is not supported — use foreachBatch + appendPartitioned")
+          new TableLogStreamingWrite(path, info.queryId(), info.schema())
+        }
       }
     }
   }
@@ -428,13 +468,21 @@ private[sql] class TableLogScanBuilder(
     val partIdx = snap.partCols.zipWithIndex.toMap
     def dt(c: String): DataType =
       snap.schema.fields.find(_.name == c).get.dataType
-    def partInternal(c: String, v: String): Any = dt(c) match {
-      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(v)
-      case LongType => v.toLong
-      case IntegerType => v.toInt
-      case ShortType => v.toShort
-      case other => throw new IllegalStateException(s"unreachable: $other")
-    }
+    // rows written with a NULL partition value land under hive's
+    // default-partition directory and the record carries the sentinel
+    // — the group key is NULL (what Spark's own partition recovery
+    // reads back), for every type: returning the literal sentinel
+    // string would be a silently wrong group, and integral columns
+    // would crash parsing it
+    def partInternal(c: String, v: String): Any =
+      if (v == HiveNullPart) null
+      else dt(c) match {
+        case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+        case LongType => v.toLong
+        case IntegerType => v.toInt
+        case ShortType => v.toShort
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
     def boundInternal(c: String, v: String): Any = dt(c) match {
       case LongType => v.toLong
       case IntegerType => v.toLong.toInt

@@ -86,11 +86,15 @@ case class TableLogUpdateCommand(
   * combination of conditional UPDATE/DELETE matched actions, partial
   * SETs, and conditional INSERTs routes to the general
   * [[TableLog.mergeWhen]] (first applicable action wins per row).
-  * The ON condition must be a single `t.key = s.key` equality and
-  * NOT MATCHED BY SOURCE is refused (it would touch every file —
-  * the programmatic surface stays the escape hatch). Candidate files
-  * come from the manifest bounds against the source's key range — an
-  * upsert of yesterday's keys touches yesterday's files.
+  * The ON condition must be a single `t.key = s.key` equality (one
+  * side from the target, one from the source — checked by exprId).
+  * NOT MATCHED BY SOURCE update/delete clauses route to
+  * [[TableLog.mergeWhen]]'s by-source actions (candidate files
+  * become ALL files — the clause touches rows absent from the
+  * source; the programmatic surface's band scope is the pruned
+  * alternative). Candidate files otherwise come from the manifest
+  * bounds against the source's key range — an upsert of yesterday's
+  * keys touches yesterday's files.
   */
 object TableLogMergeRewrite extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.{
@@ -135,21 +139,29 @@ object TableLogMergeRewrite extends Rule[LogicalPlan] {
             s"THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * — $what. " +
             "Use graft.operators.TableLog.merge for other shapes.")
       val targetCols = t.snap.schema.fieldNames.toSeq
+      // one side must come from the TARGET relation and the other
+      // from the SOURCE (checked by exprId, not name): ON t.id = t.id
+      // is NOT a key equijoin and must fall through to the error, not
+      // be silently rewritten into one
+      val tgtIds = relationOf(tgt).get.outputSet.map(_.exprId).toSet
+      val srcIdSet = src.outputSet.map(_.exprId).toSet
       val key = cond match {
         case ce.EqualTo(a: AttributeReference, b: AttributeReference)
-            if a.name == b.name => a.name
+            if a.name == b.name &&
+              ((tgtIds.contains(a.exprId) && srcIdSet.contains(b.exprId)) ||
+                (srcIdSet.contains(a.exprId) && tgtIds.contains(b.exprId))) =>
+          a.name
         case other => unsupported(s"unsupported ON condition $other " +
-          "(need a single t.key = s.key equality)")
+          "(need a single t.key = s.key equality between target and source)")
       }
-      if (nmbs.nonEmpty)
-        unsupported("NOT MATCHED BY SOURCE is not supported")
       require(!SubqueryExpression.hasSubquery(cond),
         "TableLog MERGE: subqueries in the ON condition are not supported")
       (matched, notMatched) match {
         // fast path: the whole-row upsert maps straight onto
         // TableLog.merge (no per-column CASE machinery)
         case (Seq(UpdateAction(None, uAssigns, _)), Seq(InsertAction(None, iAssigns)))
-            if wholeRow(uAssigns, targetCols) && wholeRow(iAssigns, targetCols) =>
+            if nmbs.isEmpty &&
+              wholeRow(uAssigns, targetCols) && wholeRow(iAssigns, targetCols) =>
           TableLogMergeCommand(t.path, src, key, targetCols)
         // general shape: conditional updates/deletes, partial SETs,
         // conditional inserts -> TableLog.mergeWhen. Source-side
@@ -182,7 +194,18 @@ object TableLogMergeRewrite extends Rule[LogicalPlan] {
                 assigns.map(a => target(a.key) -> sided(a.value)))
             case other => unsupported(s"unsupported WHEN NOT MATCHED $other")
           }
-          TableLogMergeWhenCommand(t.path, src, key, m, nm)
+          // NOT MATCHED BY SOURCE: target rows with no source match
+          // (the analyzer already refuses source references in these
+          // clauses, so sided() only ever sees target columns here)
+          val nmbsActs = nmbs.map {
+            case UpdateAction(c, assigns, _) =>
+              TableLog.MergeWhen.Update(c.map(sided),
+                assigns.map(a => target(a.key) -> sided(a.value)))
+            case DeleteAction(c) => TableLog.MergeWhen.Delete(c.map(sided))
+            case other =>
+              unsupported(s"unsupported WHEN NOT MATCHED BY SOURCE $other")
+          }
+          TableLogMergeWhenCommand(t.path, src, key, m, nm, nmbsActs)
       }
   }
 }
@@ -193,13 +216,15 @@ case class TableLogMergeWhenCommand(
     source: LogicalPlan,
     key: String,
     matched: Seq[TableLog.MergeWhen],
-    notMatched: Seq[TableLog.MergeWhen.Insert]) extends LeafRunnableCommand {
+    notMatched: Seq[TableLog.MergeWhen.Insert],
+    notMatchedBySource: Seq[TableLog.MergeWhen] = Nil)
+  extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
     TableLog.mergeWhen(spark, path, GraftInterop.ofRows(spark, source), key,
-      matched, notMatched)
+      matched, notMatched, notMatchedBySource)
     Seq.empty
   }
 }

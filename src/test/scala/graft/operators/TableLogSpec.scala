@@ -85,7 +85,12 @@ class TableLogSpec extends GraftSparkSpec {
     assert(TableLog.read(spark, path).count() === 400L,
       "orphans must be invisible to reads")
 
-    TableLog.vacuum(spark, path, keepVersions = 2)
+    // retention 0: this spec pins the SWEEP itself (the debris is
+    // seconds old); the age horizon protecting live appenders has its
+    // own race specs
+    spark.conf.set("spark.graft.tablelog.retentionMs", "0")
+    try TableLog.vacuum(spark, path, keepVersions = 2)
+    finally spark.conf.unset("spark.graft.tablelog.retentionMs")
     assert(TableLog.versions(spark, path) === Seq(2L, 3L))
     assert(!fs.exists(orphan), "vacuum must drop orphans")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_scratch_crashed")))
@@ -561,4 +566,240 @@ class TableLogSpec extends GraftSparkSpec {
       ()
     }
   }
+  test("vacuum racing a lock-free append cannot destroy its staged files") {
+    val path = freshPath("graft-spec-tlog-vacrace")
+    val base = (0L until 400L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, base.repartition(2))          // v1
+    TableLog.append(spark, path, base)                         // v2
+    // interleaving under test: the appender has finished staging
+    // (files renamed into data/, referenced by NO manifest yet) and a
+    // vacuum sweeps in the window before its CAS — the default age
+    // horizon must keep the fresh staged files
+    TableLog.testPreCommit.put(path, () =>
+      TableLog.vacuum(spark, path, keepVersions = 1))
+    val more = (10000L until 10400L).map(i => (i, i)).toDF("id", "w")
+    val v = TableLog.appendOptimistic(spark, path, more)
+    assert(v === 3L)
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TableLog.files(spark, path, Some(v)).foreach { n =>
+      assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$path/data/$n")),
+        s"committed manifest references a vacuumed file: $n")
+    }
+    assert(TableLog.read(spark, path).count() === 1200L,
+      "the append landed complete after the racing vacuum")
+  }
+
+  test("vacuum racing the exactly-once streaming append (appendBatchOptimistic)") {
+    val path = freshPath("graft-spec-tlog-vacrace2")
+    val base = (0L until 300L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, base.repartition(2))          // v1
+    TableLog.append(spark, path, base)                         // v2
+    TableLog.testPreCommit.put(path, () =>
+      TableLog.vacuum(spark, path, keepVersions = 1))
+    val batch = (5000L until 5300L).map(i => (i, i)).toDF("id", "w")
+    val v = TableLog.appendBatchOptimistic(spark, path, batch, "epoch-7")
+    assert(v === 3L)
+    assert(TableLog.read(spark, path).count() === 900L)
+    // the replayed epoch is still recognized post-vacuum
+    assert(TableLog.appendBatchOptimistic(spark, path, batch, "epoch-7") === 3L)
+    assert(TableLog.read(spark, path).count() === 900L, "exactly once")
+  }
+
+  test("vacuum age horizon: aged debris swept, fresh debris kept") {
+    val path = freshPath("graft-spec-tlog-vage")
+    val data = (0L until 200L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, data)
+    TableLog.append(spark, path, data)
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldOrphan = new org.apache.hadoop.fs.Path(s"$path/data/orphan_old.parquet")
+    val freshOrphan = new org.apache.hadoop.fs.Path(s"$path/data/orphan_fresh.parquet")
+    fsys.create(oldOrphan, true).close()
+    fsys.create(freshOrphan, true).close()
+    val oldScratch = new org.apache.hadoop.fs.Path(s"$path/_scratch_old")
+    val freshScratch = new org.apache.hadoop.fs.Path(s"$path/_scratch_fresh")
+    fsys.mkdirs(oldScratch)
+    fsys.mkdirs(freshScratch)
+    val hourAgo = System.currentTimeMillis() - 3600L * 1000L
+    fsys.setTimes(oldOrphan, hourAgo, hourAgo)
+    fsys.setTimes(oldScratch, hourAgo, hourAgo)
+
+    TableLog.vacuum(spark, path, keepVersions = 2) // default 10-min retention
+    assert(!fsys.exists(oldOrphan), "aged orphan must be swept")
+    assert(!fsys.exists(oldScratch), "aged scratch dir must be swept")
+    assert(fsys.exists(freshOrphan),
+      "fresh unreferenced file may belong to an in-flight appender — kept")
+    assert(fsys.exists(freshScratch), "fresh scratch dir kept")
+
+    spark.conf.set("spark.graft.tablelog.retentionMs", "0")
+    try TableLog.vacuum(spark, path, keepVersions = 2)
+    finally spark.conf.unset("spark.graft.tablelog.retentionMs")
+    assert(!fsys.exists(freshOrphan), "retention 0 restores the full sweep")
+    assert(!fsys.exists(freshScratch))
+  }
+
+  test("updateWhere evaluates a non-deterministic predicate exactly once per row") {
+    val path = freshPath("graft-spec-tlog-nondet")
+    val data = (0L until 300L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, data.repartition(3))
+    val acc = spark.sparkContext.longAccumulator("nondet-evals")
+    val pred = udf { (id: Long) => acc.add(1L); id % 3L == 0L }
+      .asNondeterministic()
+    val v = TableLog.updateWhere(spark, path,
+      Seq("w" -> (col("w") + 1000000L)), pred(col("id")))
+    assert(v === 2L)
+    assert(acc.value === 300L,
+      s"predicate must be evaluated exactly once per row, got ${acc.value}")
+    // the committed row set is exactly that single evaluation's choice
+    val got = TableLog.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (0L until 300L)
+      .map(i => (i, if (i % 3 == 0) i + 1000000L else i)).toSet)
+  }
+
+  test("mergeWhen NOT MATCHED BY SOURCE: update + delete, first applicable wins") {
+    val path = freshPath("graft-spec-tlog-nmbs")
+    val base = (0L until 1000L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, base.repartition(4))
+    // source: replacements for 300..699, inserts 1000..1049
+    val src = (300L until 700L).map(i => (i, i + 7000L))
+      .union((1000L until 1050L).map(i => (i, i)))
+      .toDF("id", "w")
+    TableLog.mergeWhen(spark, path, src, "id",
+      matched = Seq(TableLog.MergeWhen.Update(None, Seq("w" -> col("_s_w")))),
+      notMatched = Seq(TableLog.MergeWhen.Insert(None,
+        Seq("id" -> col("_s_id"), "w" -> col("_s_w")))),
+      notMatchedBySource = Seq(
+        TableLog.MergeWhen.Update(Some(col("id") < 100L),
+          Seq("w" -> lit(-1L))),
+        TableLog.MergeWhen.Delete(Some(col("id") >= 90L))))
+    // ids 90..99 satisfy BOTH by-source actions: the FIRST (update)
+    // wins; 100..299 and 700..999 (unmatched, >= 90) delete
+    val expect = (0L until 100L).map(i => (i, -1L)) ++
+      (300L until 700L).map(i => (i, i + 7000L)) ++
+      (1000L until 1050L).map(i => (i, i))
+    assert(rows(TableLog.read(spark, path)) === rows(expect.toDF("id", "w")))
+  }
+
+  test("mergeWhen by-source band: scoped deletes, out-of-band files carry by name") {
+    val path = freshPath("graft-spec-tlog-nmbsband")
+    val base = (0L until 2000L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, base.repartition(4))
+    TableLog.optimizeRange(spark, path, "id", numFiles = 8)   // v2
+    val src = (100L until 150L).map(i => (i, i + 5L)).toDF("id", "w")
+    TableLog.mergeWhen(spark, path, src, "id",
+      matched = Seq(TableLog.MergeWhen.Update(None, Seq("w" -> col("_s_w")))),
+      notMatched = Nil,
+      notMatchedBySource = Seq(TableLog.MergeWhen.Delete(None)),
+      notMatchedBySourceBand = Some(("id", 100L, 199L)))      // v3
+    // by-source applies ONLY inside the band: 150..199 delete,
+    // 100..149 update, everything else untouched
+    val expect = (0L until 100L).map(i => (i, i)) ++
+      (100L until 150L).map(i => (i, i + 5L)) ++
+      (200L until 2000L).map(i => (i, i))
+    assert(rows(TableLog.read(spark, path)) === rows(expect.toDF("id", "w")))
+    // manifest pruning held: files outside the key/band region carry
+    // over BY NAME (never rewritten, never read)
+    val before = TableLog.files(spark, path, Some(2L)).toSet
+    val after = TableLog.files(spark, path, Some(3L)).toSet
+    assert((before & after).size >= 6,
+      s"out-of-band files must carry over, carried ${(before & after).size}")
+  }
+
+  test("mergeWhen by-source with a non-deterministic condition: one evaluation") {
+    val path = freshPath("graft-spec-tlog-nmbsnd")
+    val base = (0L until 300L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, base.repartition(3))
+    val src = (0L until 100L).map(i => (i, i + 1L)).toDF("id", "w")
+    val acc = spark.sparkContext.longAccumulator("nmbs-evals")
+    val cond = udf { (id: Long) => acc.add(1L); id % 2L == 0L }
+      .asNondeterministic()
+    TableLog.mergeWhen(spark, path, src, "id",
+      matched = Seq(TableLog.MergeWhen.Update(None, Seq("w" -> col("_s_w")))),
+      notMatched = Nil,
+      notMatchedBySource = Seq(TableLog.MergeWhen.Delete(Some(cond(col("id"))))))
+    // the condition runs once per UNMATCHED row (matched rows
+    // short-circuit the !matched branch), in ONE materialized pass
+    // deciding both the file cut and the rewrite
+    assert(acc.value === 200L,
+      s"by-source condition must evaluate once per unmatched row, got ${acc.value}")
+    val expect = (0L until 100L).map(i => (i, i + 1L)) ++
+      (100L until 300L).filter(_ % 2L != 0L).map(i => (i, i))
+    assert(rows(TableLog.read(spark, path)) === rows(expect.toDF("id", "w")))
+  }
+  test("commit protocol seam: publication routes through it; a reported loss rebases") {
+    val path = freshPath("graft-spec-tlog-proto")
+    val data = (0L until 100L).map(i => (i, i)).toDF("id", "w")
+    TableLogProtocolProbe.delegated.set(0L)
+    spark.conf.set("spark.graft.tablelog.commitProtocol",
+      classOf[TableLogProtocolProbe].getName)
+    try {
+      TableLog.create(spark, path, data)
+      assert(TableLogProtocolProbe.delegated.get() >= 1L,
+        "the version CAS must route through the configured protocol")
+      // protocol reports a lost CAS once: the optimistic appender
+      // re-reads the log, rebases, and retries through the seam
+      TableLogProtocolProbe.loseOnce.set(true)
+      val v = TableLog.appendOptimistic(spark, path, data)
+      assert(v === 2L, "append lands after the reported loss")
+      assert(!TableLogProtocolProbe.loseOnce.get(), "the loss was consumed")
+      assert(TableLog.read(spark, path).count() === 200L)
+      // a LOCKED mutator retries the whole mutation on a reported loss
+      TableLogProtocolProbe.loseOnce.set(true)
+      val v3 = TableLog.deleteWhere(spark, path, col("id") < 10L)
+      assert(v3 === 3L)
+      assert(TableLog.read(spark, path).count() === 180L)
+    } finally spark.conf.unset("spark.graft.tablelog.commitProtocol")
+  }
+
+  test("ALTER-style addColumns: schema-only version, zero data IO, old rows NULL") {
+    val path = freshPath("graft-spec-tlog-addcol")
+    val data = (0L until 50L).map(i => (i, i)).toDF("id", "w")
+    TableLog.create(spark, path, data)                         // v1
+    val before = TableLog.files(spark, path, Some(1L))
+    val v = TableLog.addColumns(spark, path, Seq(
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)))               // v2
+    assert(v === 2L)
+    assert(TableLog.files(spark, path, Some(2L)) === before,
+      "ADD COLUMN is a pure manifest edit — zero data IO")
+    val widened = TableLog.read(spark, path)
+    assert(widened.columns.toSeq === Seq("id", "w", "note"))
+    assert(widened.where(col("note").isNull).count() === 50L,
+      "old rows read NULL in the added column")
+    // an append may now carry the column; duplicates refuse
+    TableLog.append(spark, path,
+      Seq((100L, 1L, "x")).toDF("id", "w", "note"))
+    assert(TableLog.read(spark, path).where(col("note").isNotNull).count() === 1L)
+    intercept[IllegalArgumentException] {
+      TableLog.addColumns(spark, path, Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.StringType)))
+    }
+  }
 }
+
+/** Test commit protocol: delegates to the default rename CAS, counts
+  * publications, and can be armed to report ONE lost CAS (the
+  * object-store "someone else PUT first" answer) without publishing.
+  */
+class TableLogProtocolProbe extends TableLog.CommitProtocol {
+  override def publish(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, dest: org.apache.hadoop.fs.Path,
+      guard: Object): Boolean =
+    if (TableLogProtocolProbe.loseOnce.compareAndSet(true, false)) {
+      fs.delete(tmp, false)
+      false
+    } else {
+      TableLogProtocolProbe.delegated.incrementAndGet()
+      TableLog.RenameCommitProtocol.publish(fs, tmp, dest, guard)
+    }
+}
+
+object TableLogProtocolProbe {
+  val delegated = new java.util.concurrent.atomic.AtomicLong(0L)
+  val loseOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
+

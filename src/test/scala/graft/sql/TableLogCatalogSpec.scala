@@ -222,17 +222,30 @@ class TableLogCatalogSpec extends GraftSparkSpec {
         when(col("id") >= 2000L, col("g") + 1L).otherwise(col("g")))
     assert(rows(spark.sql(s"SELECT * FROM tablelog.`$path`")) === rows(expect2))
 
-    // NOT MATCHED BY SOURCE stays refused with a pointer
+    // NOT MATCHED BY SOURCE (round-14): deletes-by-absence — target
+    // rows the source no longer carries leave under the guard
+    spark.sql(
+      s"""MERGE INTO tablelog.`$path` t USING tlmrg_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET g = s.g
+         |WHEN NOT MATCHED BY SOURCE AND t.id < 500 THEN DELETE""".stripMargin)
+    // matched survivors (ids 2000+) take the source g; unmatched
+    // ids < 500 drop; unmatched ids >= 500 survive untouched
+    val expect3 = expect2
+      .where(col("id") >= 500L)
+      .withColumn("g", when(col("id") >= 2000L, lit(1L)).otherwise(col("g")))
+    assert(rows(spark.sql(s"SELECT * FROM tablelog.`$path`")) === rows(expect3))
+
+    // a same-side ON condition is NOT a key equijoin — refused, never
+    // silently rewritten
     val e = intercept[Exception] {
       spark.sql(
-        s"""MERGE INTO tablelog.`$path` t USING tlmrg_src s ON t.id = s.id
+        s"""MERGE INTO tablelog.`$path` t USING tlmrg_src s ON t.id = t.id
            |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("NOT MATCHED BY SOURCE")) ||
-      msgs(e).exists(_.contains("does not support")), msgs(e).mkString(" | "))
+    assert(msgs(e).exists(_.contains("ON condition")), msgs(e).mkString(" | "))
   }
 
   test("metadata tables: $files/$partitions/$history/$tags as JOIN-able relations") {
@@ -529,4 +542,135 @@ class TableLogCatalogSpec extends GraftSparkSpec {
     val enFiles = snap.files.count(n => snap.parts(n)(idx) == "en")
     assert(kept === enFiles, "planned exactly the partition's files")
   }
+  test("writeStream.toTable: executor-written epochs, exactly-once under forced replay") {
+    TableLogSql.register(spark)
+    val src = freshPath("graft-spec-tlsql-swr-src")
+    val dst = freshPath("graft-spec-tlsql-swr-dst")
+    val ckpt = freshPath("graft-spec-tlsql-swr-ckpt")
+    TableLog.create(spark, src,
+      (0L until 100L).map(i => (i, i)).toDF("id", "w"))       // src v1
+    TableLog.create(spark, dst,
+      (9000L until 9010L).map(i => (i, i)).toDF("id", "w"))   // dst seeded
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .option("fromVersion", "0")
+        .table(s"tablelog.`$src`")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .toTable(s"tablelog.`$dst`")
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    def cnt(): Long = spark.sql(
+      s"SELECT count(*) AS n FROM tablelog.`$dst`").collect().head.getLong(0)
+    assert(cnt() === 110L, "epoch 0 appended the source snapshot")
+    // restart the query on the same checkpoint with new source data
+    TableLog.append(spark, src,
+      (100L until 150L).map(i => (i, i)).toDF("id", "w"))     // src v2
+    runOnce()
+    assert(cnt() === 160L, "restart consumed only the new commit")
+
+    // forced replay: delete the last commits marker so the restarted
+    // query RE-EXECUTES the final epoch — fresh files get written,
+    // the committed tag is recognized, duplicates are dropped
+    val fsys = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = fsys.listStatus(
+      new org.apache.hadoop.fs.Path(s"$ckpt/commits")).map(_.getPath)
+      .filter(_.getName.forall(_.isDigit))
+    val last = commits.maxBy(_.getName.toLong)
+    assert(fsys.delete(last, false))
+    runOnce()
+    assert(cnt() === 160L, "replayed epoch must land exactly once")
+    // every referenced file exists; duplicate staged files are not
+    // referenced by the manifest
+    val snap = TableLog.snapshot(spark, dst)
+    snap.files.foreach { n =>
+      assert(fsys.exists(new org.apache.hadoop.fs.Path(
+        s"${TableLog.dataPath(dst)}/$n")), s"manifest references missing $n")
+    }
+    // the streamed rows really are the source rows (content check)
+    assert(rows(spark.sql(s"SELECT id, w FROM tablelog.`$dst`")) ===
+      rows(((0L until 150L) ++ (9000L until 9010L)).map(i => (i, i))
+        .toDF("id", "w")))
+  }
+
+  test("manifest-served GROUP BY partition column: hive null sentinel maps to NULL") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-nullpart")
+    val df = Seq((1L, "en"), (2L, null), (3L, "de"), (4L, null))
+      .toDF("id", "lang")
+    TableLog.createPartitioned(spark, path, df.repartition(1), Seq("lang"))
+    val got = spark.sql(
+      s"SELECT lang, count(*) AS n FROM tablelog.`$path` GROUP BY lang")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
+    assert(TableLogSql.tookAggServed(path),
+      "the rollup must answer from the manifest")
+    assert(got === Map(("en": Any) -> 1L, ("de": Any) -> 1L, (null: Any) -> 2L))
+
+    // integral partition column: the sentinel must not NumberFormat-crash
+    val path2 = freshPath("graft-spec-tlsql-nullpart2")
+    val df2 = Seq((1L, Option(7L)), (2L, Option.empty[Long]), (3L, Option(7L)))
+      .toDF("id", "g")
+    TableLog.createPartitioned(spark, path2, df2.repartition(1), Seq("g"))
+    val got2 = spark.sql(
+      s"SELECT g, count(*) AS n FROM tablelog.`$path2` GROUP BY g")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getLong(0)) -> r.getLong(1)).toMap
+    assert(TableLogSql.tookAggServed(path2))
+    assert(got2 === Map((7L: Any) -> 2L, (null: Any) -> 1L))
+  }
+
+  test("VERSION AS OF: committed version numbers win, all-digit tags still reachable") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-numtag")
+    TableLog.create(spark, path,
+      (0L until 10L).map(i => (i, i)).toDF("id", "w"))        // v1
+    TableLog.appendBatch(spark, path,
+      (10L until 20L).map(i => (i, i)).toDF("id", "w"), "7")  // v2, tag "7"
+    // no version 7 exists: the all-digit string falls through to the
+    // tag map (streaming sinks tag by numeric batch id)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM tablelog.`$path` VERSION AS OF '7'")
+      .collect().head.getLong(0) === 20L)
+    // a live version number shadows a same-named tag (documented)
+    TableLog.appendBatch(spark, path,
+      (20L until 25L).map(i => (i, i)).toDF("id", "w"), "1")  // v3, tag "1"
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM tablelog.`$path` VERSION AS OF '1'")
+      .collect().head.getLong(0) === 10L, "version 1, not tag '1'")
+  }
+  test("ALTER TABLE ADD COLUMN through SQL: schema-only version, refusals intact") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-alter")
+    spark.sql(s"CREATE TABLE tablelog.`$path` (id BIGINT, w BIGINT)")
+    spark.sql(s"INSERT INTO tablelog.`$path` VALUES (1, 10), (2, 20)")
+    val filesBefore = TableLog.files(spark, path)
+
+    spark.sql(s"ALTER TABLE tablelog.`$path` ADD COLUMN note STRING")
+    assert(TableLog.files(spark, path) === filesBefore,
+      "ADD COLUMN is a pure manifest edit")
+    spark.sql(s"INSERT INTO tablelog.`$path` VALUES (3, 30, 'fresh')")
+    assert(rows(spark.sql(s"SELECT id, w, note FROM tablelog.`$path`")) ===
+      Set(Seq(1L, 10L, null), Seq(2L, 20L, null), Seq(3L, 30L, "fresh")))
+    // old versions keep their narrow schema (time travel unaffected)
+    assert(spark.sql(s"SELECT * FROM tablelog.`$path` VERSION AS OF 2")
+      .columns.toSeq === Seq("id", "w"))
+
+    def refused(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      def msgs(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).nonEmpty, s"expected a refusal for: $sql")
+    }
+    refused(s"ALTER TABLE tablelog.`$path` DROP COLUMN w")
+    refused(s"ALTER TABLE tablelog.`$path` ALTER COLUMN w TYPE STRING")
+    refused(s"ALTER TABLE tablelog.`$path` RENAME COLUMN w TO v")
+    // the table still reads after the refused ALTERs
+    assert(spark.sql(s"SELECT count(*) AS n FROM tablelog.`$path`")
+      .collect().head.getLong(0) === 3L)
+  }
 }
+
+
