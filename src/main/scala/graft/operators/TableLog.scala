@@ -89,6 +89,9 @@ object TableLog {
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def logDir(path: String) = new Path(s"$path/_log")
   private def dataDir(path: String) = new Path(s"$path/data")
+  private def changesDir(path: String) = new Path(s"$path/_changes")
+  private def changePath(path: String, v: Long) =
+    new Path(changesDir(path), f"v$v%07d")
   private def manifestPath(path: String, v: Long) =
     new Path(logDir(path), f"v$v%07d.json")
   private def watermarkPath(path: String) =
@@ -590,7 +593,7 @@ object TableLog {
     * the CAS, keyed by table path — lets a spec inject a concurrent
     * commit deterministically into the race window.
     */
-  private[operators] val testPreCommit =
+  private[graft] val testPreCommit =
     new java.util.concurrent.ConcurrentHashMap[String, Runnable]()
 
   /** Attempt to publish version `v`; false iff another writer already
@@ -944,8 +947,11 @@ object TableLog {
         "TableLog.addColumns: '#' prefix is reserved")
       val widened = org.apache.spark.sql.types.StructType(
         schema.fields ++ fields.map(_.copy(nullable = true)))
-      commitFull(spark, path, v + 1, cur.copy(
+      val nv = commitFull(spark, path, v + 1, cur.copy(
         tag = None, schema = Some(widened)))
+      maybeWriteChanges(spark, path, v, nv,
+        Some(emptyChanges(spark, path, cur)))
+      nv
     }
 
   /** Create the table (version 1). Fails if a log already exists. */
@@ -1169,8 +1175,13 @@ object TableLog {
         m.parts.get(n).exists(vals =>
           eq.forall { case (c, want) => vals(idx(c)) == want })
       }
+      def done(nv: Long): Long = {
+        maybeWriteChanges(spark, path, v, nv,
+          Some(emptyChanges(spark, path, m)))
+        nv
+      }
       if (touched.isEmpty)
-        commitFull(spark, path, v + 1, m.copy(tag = None))
+        done(commitFull(spark, path, v + 1, m.copy(tag = None)))
       else {
         val untouchedSet = touched.toSet
         val untouched = m.files.filterNot(untouchedSet.contains)
@@ -1184,12 +1195,12 @@ object TableLog {
         val (names, stats) = writeDataFilesInto(spark, path, clustered,
           Some(subdir))
         val vals = m.parts(touched.head)
-        commitFull(spark, path, v + 1, m.copy(
+        done(commitFull(spark, path, v + 1, m.copy(
           tag = None,
           files = untouched ++ names,
           stats = m.stats.filterNot { case (k, _) =>
             untouchedSet.contains(k) } ++ stats,
-          parts = (m.parts -- touched) ++ names.map(_ -> vals).toMap))
+          parts = (m.parts -- touched) ++ names.map(_ -> vals).toMap)))
       }
     }
 
@@ -1502,8 +1513,11 @@ object TableLog {
       val compacted = if (src.rdd.getNumPartitions >= k) src.coalesce(k)
         else src.repartition(k)
       val (names, stats) = writeDataFiles(spark, path, compacted)
-      commit(spark, path, v + 1, names, stats,
-        schema = readManifestFull(spark, path, v).schema)
+      val m = readManifestFull(spark, path, v)
+      val nv = commit(spark, path, v + 1, names, stats, schema = m.schema)
+      maybeWriteChanges(spark, path, v, nv,
+        Some(emptyChanges(spark, path, m)))
+      nv
     }
 
   /** OPTIMIZE, range flavor: rewrite the latest version's rows
@@ -1524,8 +1538,11 @@ object TableLog {
         .repartitionByRange(numFiles, col(colName))
         .sortWithinPartitions(colName)
       val (names, stats) = writeDataFiles(spark, path, clustered)
-      commit(spark, path, v + 1, names, stats,
-        schema = readManifestFull(spark, path, v).schema)
+      val m = readManifestFull(spark, path, v)
+      val nv = commit(spark, path, v + 1, names, stats, schema = m.schema)
+      maybeWriteChanges(spark, path, v, nv,
+        Some(emptyChanges(spark, path, m)))
+      nv
     }
 
   /** OPTIMIZE, z-order flavor over k ≥ 2 numeric columns (Delta's
@@ -1549,8 +1566,11 @@ object TableLog {
         .sortWithinPartitions("_tl_z")
         .drop("_tl_z")
       val (names, stats) = writeDataFiles(spark, path, clustered)
-      commit(spark, path, v + 1, names, stats,
-        schema = readManifestFull(spark, path, v).schema)
+      val m = readManifestFull(spark, path, v)
+      val nv = commit(spark, path, v + 1, names, stats, schema = m.schema)
+      maybeWriteChanges(spark, path, v, nv,
+        Some(emptyChanges(spark, path, m)))
+      nv
     }
 
   /** Incremental OPTIMIZE (Delta's `OPTIMIZE WHERE`): recluster ONLY
@@ -1579,17 +1599,22 @@ object TableLog {
           case Some(b) => overlaps(b, lower, upper)
         }
       }.toSet
+      def done(nv: Long): Long = {
+        maybeWriteChanges(spark, path, v, nv,
+          Some(emptyChanges(spark, path, m)))
+        nv
+      }
       if (touchedSet.isEmpty)
-        commit(spark, path, v + 1, m.files, m.stats, schema = m.schema)
+        done(commit(spark, path, v + 1, m.files, m.stats, schema = m.schema))
       else {
         val (touched, untouched) = m.files.partition(touchedSet.contains)
         val clustered = readFiles(spark, path, m, touched)
           .repartitionByRange(numFiles, col(colName))
           .sortWithinPartitions(colName)
         val (names, stats) = writeDataFiles(spark, path, clustered)
-        commit(spark, path, v + 1, untouched ++ names,
+        done(commit(spark, path, v + 1, untouched ++ names,
           m.stats.filterNot { case (k, _) => touchedSet.contains(k) } ++ stats,
-          schema = m.schema)
+          schema = m.schema))
       }
     }
 
@@ -1631,7 +1656,10 @@ object TableLog {
       val df = read(spark, path, Some(v)).repartition(numFiles)
       val (names, stats) =
         writeDataFilesInto(spark, path, df, None, opts)
-      commit(spark, path, v + 1, names, stats, schema = m.schema)
+      val nv = commit(spark, path, v + 1, names, stats, schema = m.schema)
+      maybeWriteChanges(spark, path, v, nv,
+        Some(emptyChanges(spark, path, m)))
+      nv
     }
 
   /** Point lookup: `read(version).where(colName === value)` with the
@@ -1771,9 +1799,12 @@ object TableLog {
             else Some(evald.where(col("_tl_f").isInCollection(absTouched)))
           (tn, t, col("_tl_m"))
         }
-      if (touchedNames.isEmpty)
-        commitFull(spark, path, v + 1, cur.copy(tag = None))
-      else {
+      if (touchedNames.isEmpty) {
+        val nv = commitFull(spark, path, v + 1, cur.copy(tag = None))
+        maybeWriteChanges(spark, path, v, nv,
+          Some(emptyChanges(spark, path, cur)))
+        nv
+      } else {
         val untouched = cur.files.filterNot(touchedNames.contains)
         val touchedDf = touchedDfOpt.get
         val touchedRows = touchedDf.count()
@@ -1796,12 +1827,14 @@ object TableLog {
         require(rewrittenRows == touchedRows,
           s"TableLog.updateWhere: rewrite has $rewrittenRows rows, want " +
             s"$touchedRows — aborting commit (orphans go to vacuum)")
-        commitFull(spark, path, v + 1, cur.copy(
+        val nv = commitFull(spark, path, v + 1, cur.copy(
           tag = None,
           files = untouched ++ newFiles,
           stats = cur.stats.filterNot { case (k, _) =>
             touchedNames.contains(k) } ++ newStats,
           parts = (cur.parts -- touchedNames) ++ newParts))
+        maybeWriteChanges(spark, path, v, nv)
+        nv
       }
     }
 
@@ -1829,12 +1862,21 @@ object TableLog {
         m.parts.get(n).exists(vals =>
           eq.forall { case (c, want) => vals(idx(c)) == want })
       }.toSet
-      if (dropped.isEmpty) commitFull(spark, path, v + 1, m.copy(tag = None))
-      else commitFull(spark, path, v + 1, m.copy(
-        tag = None,
-        files = m.files.filterNot(dropped.contains),
-        stats = m.stats.filterNot { case (k, _) => dropped.contains(k) },
-        parts = m.parts -- dropped))
+      if (dropped.isEmpty) {
+        val nv = commitFull(spark, path, v + 1, m.copy(tag = None))
+        maybeWriteChanges(spark, path, v, nv,
+          Some(emptyChanges(spark, path, m)))
+        nv
+      } else {
+        val nv = commitFull(spark, path, v + 1, m.copy(
+          tag = None,
+          files = m.files.filterNot(dropped.contains),
+          stats = m.stats.filterNot { case (k, _) => dropped.contains(k) },
+          parts = m.parts -- dropped))
+        // removed-only diff: reads exactly the dropped files
+        maybeWriteChanges(spark, path, v, nv)
+        nv
+      }
     }
 
   /** [[deleteWhere]] specialized to a band on a stats column: the
@@ -1860,9 +1902,12 @@ object TableLog {
         }
       }
       val pred = col(colName) >= lit(lower) && col(colName) <= lit(upper)
-      if (candidates.isEmpty)
-        commitFull(spark, path, v + 1, cur.copy(tag = None))
-      else deleteCore(spark, path, v, cur, candidates, pred)
+      if (candidates.isEmpty) {
+        val nv = commitFull(spark, path, v + 1, cur.copy(tag = None))
+        maybeWriteChanges(spark, path, v, nv,
+          Some(emptyChanges(spark, path, cur)))
+        nv
+      } else deleteCore(spark, path, v, cur, candidates, pred)
     }
 
   /** A scanned file's data/-relative path (the manifest's name
@@ -1890,9 +1935,12 @@ object TableLog {
       .agg(count(lit(1)).as("_tl_n")).collect()
     val touchedNames =
       perFileMatches.map(r => relName(path, r.getString(0))).toSet
-    if (touchedNames.isEmpty)
-      commitFull(spark, path, v + 1, cur.copy(tag = None))
-    else {
+    if (touchedNames.isEmpty) {
+      val nv = commitFull(spark, path, v + 1, cur.copy(tag = None))
+      maybeWriteChanges(spark, path, v, nv,
+        Some(emptyChanges(spark, path, cur)))
+      nv
+    } else {
       val rowsDeleted = perFileMatches.map(_.getLong(1)).sum
       val (touched, untouched) = cur.files.partition(touchedNames.contains)
       val touchedDf = readFiles(spark, path, cur, touched)
@@ -1925,12 +1973,14 @@ object TableLog {
       require(survivorRows == touchedRows - rowsDeleted,
         s"TableLog.deleteWhere: survivors have $survivorRows rows, want " +
           s"${touchedRows - rowsDeleted} — aborting commit (orphans go to vacuum)")
-      commitFull(spark, path, v + 1, cur.copy(
+      val nv = commitFull(spark, path, v + 1, cur.copy(
         tag = None,
         files = untouched ++ newFiles,
         stats = cur.stats.filterNot { case (k, _) =>
           touchedNames.contains(k) } ++ newStats,
         parts = (cur.parts -- touchedNames) ++ newParts))
+      maybeWriteChanges(spark, path, v, nv)
+      nv
     }
   }
 
@@ -2039,13 +2089,15 @@ object TableLog {
       require(survivorRows == touchedRows - nMatched,
         s"TableLog.merge: survivors have $survivorRows rows, want " +
           s"${touchedRows - nMatched} — aborting commit (orphans go to vacuum)")
-      commitFull(spark, path, v + 1, cur.copy(
+      val nv = commitFull(spark, path, v + 1, cur.copy(
         tag = None,
         files = untouched ++ survNames ++ srcNames,
         stats = cur.stats.filterNot { case (k, _) =>
           touchedNames.contains(k) } ++ survStats ++ srcStats,
         schema = Some(merged),
         parts = (cur.parts -- touchedNames) ++ survParts ++ srcParts))
+      maybeWriteChanges(spark, path, v, nv)
+      nv
     }
 
   /** One WHEN clause of a general [[mergeWhen]]. Action expressions
@@ -2324,7 +2376,10 @@ object TableLog {
       }
       newRowsOpt match {
         case None =>
-          commitFull(spark, path, v + 1, cur.copy(tag = None))
+          val nv = commitFull(spark, path, v + 1, cur.copy(tag = None))
+          maybeWriteChanges(spark, path, v, nv,
+            Some(emptyChanges(spark, path, cur)))
+          nv
         case Some(newRows) =>
           val (newFiles, newStats, newParts) =
             if (newRows.isEmpty)
@@ -2344,12 +2399,14 @@ object TableLog {
             s"TableLog.mergeWhen: wrote $written rows, want " +
               s"${touchedRows - deleted + inserted} — aborting commit " +
               "(orphans go to vacuum)")
-          commitFull(spark, path, v + 1, cur.copy(
+          val nv = commitFull(spark, path, v + 1, cur.copy(
             tag = None,
             files = untouched ++ newFiles,
             stats = cur.stats.filterNot { case (k, _) =>
               touchedNames.contains(k) } ++ newStats,
             parts = (cur.parts -- touchedNames) ++ newParts))
+          maybeWriteChanges(spark, path, v, nv)
+          nv
       }
     }
 
@@ -2448,21 +2505,38 @@ object TableLog {
       batchSchema: org.apache.spark.sql.types.StructType, tag: String,
       maxRetries: Int = 16): Long = {
     require(names.nonEmpty, "TableLog.commitStagedOptimistic: no files")
-    def dropStaged(): Unit = {
+    // losing to an already-committed tag: this call's `names` are
+    // EITHER a replay's fresh duplicates (delete them) OR — on a
+    // transaction-recovery replay — the very files the winning commit
+    // referenced (must NOT delete). Decide per name against the
+    // winner's and the latest manifests; skip deletion on any doubt
+    // (stragglers are age-gated vacuum orphans, never data loss).
+    def dropStaged(wonV: Long): Unit = {
       val f = fs(spark, path)
-      names.foreach { n =>
-        try { f.delete(new Path(dataDir(path), n), false); () }
-        catch { case scala.util.control.NonFatal(_) => () }
+      val referenced =
+        try {
+          val latest = readManifest(spark, path,
+            latestVersion(spark, path)).toSet
+          val won =
+            try readManifest(spark, path, wonV).toSet
+            catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+          Some(latest ++ won)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      referenced.foreach { refs =>
+        names.filterNot(refs.contains).foreach { n =>
+          try { f.delete(new Path(dataDir(path), n), false); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
     }
     tags(spark, path).get(tag) match {
-      case Some(v) => dropStaged(); v
+      case Some(v) => dropStaged(v); v
       case None =>
         val stats = harvestStats(spark, path, names)
         var attempt = 0
         while (attempt < maxRetries) {
           tags(spark, path).get(tag) match {
-            case Some(v) => dropStaged(); return v
+            case Some(v) => dropStaged(v); return v
             case None =>
               val v = latestVersion(spark, path)
               val cur = readManifestFull(spark, path, v)
@@ -2481,6 +2555,147 @@ object TableLog {
     }
   }
 
+  /** Multi-table TRANSACTION — one logical append spanning N
+    * (unpartitioned) tables, crash-atomic via a write-ahead INTENT +
+    * roll-forward recovery (the two-phase shape a catalog-level
+    * multi-table commit uses):
+    *
+    *  1. every table's batch is STAGED (data files written, invisible
+    *     — a crash here leaves age-gated vacuum orphans, nothing
+    *     visible);
+    *  2. the intent file `<first>/_log/_txn_<id>.json` publishes
+    *     (tmp + rename) at the lexicographically FIRST participant —
+    *     THE commit point: before it, the transaction never happened;
+    *     after it, it always completes;
+    *  3. each table commits its version through the tag-idempotent
+    *     CAS (tag `txn-<id>` — concurrent lock-free appenders rebase
+    *     under it like any append);
+    *  4. the intent is deleted.
+    *
+    * A crash between 3 and 4 is healed by [[recoverTransactions]]
+    * (anchored at the first participant; [[transaction]] also
+    * auto-recovers pending intents at its own first table): committed
+    * participants are recognized by their txn tag, the rest commit
+    * from their staged files — so after recovery the outcome is
+    * all-or-nothing, never a partial pair. What this buys is CRASH
+    * atomicity + exactly-once, not cross-table snapshot isolation: a
+    * reader between two commits of a live transaction can still see
+    * table A's version before table B's (the Delta-world status quo;
+    * isolation needs a shared catalog pointer, out of scope).
+    */
+  def transaction(
+      spark: SparkSession, appends: Seq[(String, DataFrame)]): Seq[Long] = {
+    require(appends.nonEmpty, "TableLog.transaction: no tables")
+    require(appends.map(_._1).distinct.size == appends.size,
+      "TableLog.transaction: duplicate table paths")
+    val ordered = appends.sortBy(_._1)
+    val first = ordered.head._1
+    // heal any crashed predecessor anchored at the same coordinator
+    recoverTransactions(spark, first)
+    def lockAll(rest: Seq[String])(body: => Seq[Long]): Seq[Long] =
+      rest match {
+        case Nil => body
+        case p +: tail =>
+          IndexOps.withMutationLock(spark, p, "TableLog.transaction") {
+            lockAll(tail)(body)
+          }
+      }
+    lockAll(ordered.map(_._1)) {
+      val txnId = java.util.UUID.randomUUID().toString
+      // stage every table first (validating evolution before any IO
+      // of the NEXT table is cheap insurance, matching append)
+      val staged = ordered.map { case (p, df) =>
+        val v = latestVersion(spark, p)
+        val cur = readManifestFull(spark, p, v)
+        requireUnpartitioned(cur, "transaction")
+        val base = cur.schema.orElse(
+          Some(readFiles(spark, p, cur, cur.files).schema))
+        mergedSchema(base, df.schema)
+        val (names, _) = writeDataFiles(spark, p, df)
+        (p, names, df.schema)
+      }
+      writeTxnIntent(spark, first, txnId, staged)
+      val versions = staged.map { case (p, names, schema) =>
+        commitStagedOptimistic(spark, p, names, schema, s"txn-$txnId")
+      }
+      val f = fs(spark, first)
+      f.delete(txnIntentPath(first, txnId), false)
+      // return versions in the CALLER's table order
+      val byPath = staged.map(_._1).zip(versions).toMap
+      appends.map { case (p, _) => byPath(p) }
+    }
+  }
+
+  private def txnIntentPath(first: String, id: String) =
+    new Path(logDir(first), s"_txn_$id.json")
+
+  private def writeTxnIntent(
+      spark: SparkSession, first: String, id: String,
+      staged: Seq[(String, Seq[String], org.apache.spark.sql.types.StructType)])
+      : Unit = {
+    val f = fs(spark, first)
+    val body = JsonMethods.compact(JsonMethods.render(JObject(List(
+      "txn" -> (JString(id): JValue),
+      "tables" -> (JArray(staged.map { case (p, names, schema) =>
+        JObject(List(
+          "path" -> (JString(p): JValue),
+          "files" -> (JArray(names.map(JString(_): JValue).toList): JValue),
+          "schema" -> (JString(schema.json): JValue))): JValue
+      }.toList): JValue)))))
+    f.mkdirs(logDir(first))
+    val tmp = new Path(logDir(first),
+      s"_tmp_txn_${java.util.UUID.randomUUID()}.json")
+    val out = f.create(tmp, true)
+    out.write(body.getBytes(UTF_8))
+    out.close()
+    require(f.rename(tmp, txnIntentPath(first, id)),
+      "TableLog.transaction: intent publish failed")
+  }
+
+  /** Complete (roll forward) every pending transaction intent
+    * anchored at `first` — idempotent: already-committed participants
+    * are recognized by their `txn-<id>` tag and skipped; the rest
+    * commit from their (already staged) files. Safe to call any time;
+    * [[transaction]] calls it on entry.
+    */
+  def recoverTransactions(spark: SparkSession, first: String): Int = {
+    val f = fs(spark, first)
+    if (!f.exists(logDir(first))) return 0
+    val intents = f.listStatus(logDir(first)).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("_txn_") && p.getName.endsWith(".json"))
+    intents.foreach { ip =>
+      val j = JsonMethods.parse(readSmallFile(spark, first, ip))
+      val id = j \ "txn" match {
+        case JString(s) => s
+        case _ => throw new IllegalStateException(
+          s"TableLog: unparseable transaction intent $ip")
+      }
+      val tables = j \ "tables" match {
+        case JArray(ts) => ts.map { t =>
+          val p = t \ "path" match { case JString(s) => s; case _ => "" }
+          val names = t \ "files" match {
+            case JArray(vs) => vs.collect { case JString(s) => s }
+            case _ => Nil
+          }
+          val schema = t \ "schema" match {
+            case JString(s) => org.apache.spark.sql.types.DataType.fromJson(s)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            case _ => throw new IllegalStateException(
+              s"TableLog: intent $ip lacks a schema")
+          }
+          (p, names, schema)
+        }
+        case _ => Nil
+      }
+      tables.foreach { case (p, names, schema) =>
+        commitStagedOptimistic(spark, p, names, schema, s"txn-$id")
+        ()
+      }
+      f.delete(ip, false)
+    }
+    intents.size
+  }
+
   /** RESTORE: re-commit version `v`'s exact state (files, bounds,
     * schema) as the NEW latest version — the Delta RESTORE shape.
     * Zero data IO: the manifest is copied forward, the bad versions
@@ -2493,7 +2708,10 @@ object TableLog {
       checkNotVacuumed(spark, path, v)
       val m = readManifestFull(spark, path, v)
       val latest = latestVersion(spark, path)
-      commit(spark, path, latest + 1, m.files, m.stats, schema = m.schema)
+      val nv = commit(spark, path, latest + 1, m.files, m.stats,
+        schema = m.schema)
+      maybeWriteChanges(spark, path, latest, nv)
+      nv
     }
 
   /** Version diff — CDC between two table versions with IO
@@ -2542,10 +2760,23 @@ object TableLog {
     def side(m: Manifest, names: Seq[String]): DataFrame =
       if (names.isEmpty) emptyFrame(spark, path, mB)
       else readFiles(spark, path, m, names)
-    val avail = side(mA, onlyA)
-    val bvail = side(mB, onlyB)
-    bvail.exceptAll(avail).withColumn("change", lit("added"))
-      .unionByName(avail.exceptAll(bvail).withColumn("change", lit("removed")))
+    // one-sided fast paths: a pure APPEND's diff is exactly the new
+    // files read with change='added' — no exceptAll, zero exchanges
+    // (the dominant commit kind on a streaming-sink table); a pure
+    // removal (deletePartition, a no-survivor delete) is the mirrored
+    // 'removed' read. Only a genuine rewrite pays the multiset diff.
+    if (onlyA.isEmpty && onlyB.isEmpty)
+      emptyFrame(spark, path, mB).withColumn("change", lit("added"))
+    else if (onlyA.isEmpty)
+      side(mB, onlyB).withColumn("change", lit("added"))
+    else if (onlyB.isEmpty)
+      side(mA, onlyA).withColumn("change", lit("removed"))
+    else {
+      val avail = side(mA, onlyA)
+      val bvail = side(mB, onlyB)
+      bvail.exceptAll(avail).withColumn("change", lit("added"))
+        .unionByName(avail.exceptAll(bvail).withColumn("change", lit("removed")))
+    }
   }
 
   /** Wall-clock commit time (epoch millis) of version `v`; None for
@@ -2585,13 +2816,91 @@ object TableLog {
     vs(lo)
   }
 
+  /** Materialized CDC (Delta's change data feed): with
+    * `spark.graft.tablelog.writeChangeFiles=true`, every REWRITE
+    * commit (delete/update/merge/optimize/restore) also writes its
+    * row-level change set as parquet under `_changes/vNNNNNNN/` —
+    * computed AT COMMIT from the bounded [[diff]] (or known-empty for
+    * content-preserving rewrites, so an OPTIMIZE never pays a
+    * full-table multiset diff), published tmp + rename AFTER the
+    * version CAS wins. [[changes]] then serves a long range
+    * O(changed rows) with zero exceptAll recompute; a version without
+    * a change dir (appends — their diff is already the zero-exchange
+    * fast path — pre-feature history, or a crash between CAS and
+    * rename) falls back to reconstruction. Test-visible serving
+    * counter pins the counted-IO claim.
+    */
+  private[operators] def changeFilesEnabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.tablelog.writeChangeFiles", "false").toBoolean
+
+  private[operators] object ChangeIo {
+    private val served = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+    def bumpServed(path: String): Unit = {
+      served.computeIfAbsent(path,
+        _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+      ()
+    }
+    def servedMaterialized(path: String): Long =
+      Option(served.get(path)).map(_.get).getOrElse(0L)
+  }
+
+  /** Write version `toV`'s change set (when the feature is on):
+    * `known` short-circuits the diff for commits whose change set the
+    * op already knows (content-preserving rewrites → empty).
+    */
+  private def maybeWriteChanges(
+      spark: SparkSession, path: String, fromV: Long, toV: Long,
+      known: Option[DataFrame] = None): Unit =
+    if (changeFilesEnabled(spark)) {
+      val df = known.getOrElse(diff(spark, path, fromV, toV))
+      val f = fs(spark, path)
+      val tmp = new Path(changesDir(path),
+        s"_tmp_${java.util.UUID.randomUUID()}")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      f.delete(changePath(path, toV), true)
+      require(f.rename(tmp, changePath(path, toV)),
+        "TableLog: change-file publish failed")
+      ()
+    }
+
+  /** Zero-row change frame in the current schema's shape (what a
+    * content-preserving rewrite materializes).
+    */
+  private def emptyChanges(
+      spark: SparkSession, path: String, m: Manifest): DataFrame =
+    emptyFrame(spark, path, m)
+      .withColumn("change", lit(null).cast(org.apache.spark.sql.types.StringType))
+
+  /** One version's change set: the materialized change dir when it
+    * exists (no manifest read, no vacuum guard — materialized CDC
+    * outlives retention), the reconstructed [[diff]] otherwise.
+    */
+  private def versionChanges(
+      spark: SparkSession, path: String, v: Long): DataFrame = {
+    val f = fs(spark, path)
+    val cp = changePath(path, v)
+    if (f.exists(cp)) {
+      val ok =
+        try Some(spark.read.parquet(cp.toString))
+        catch { case scala.util.control.NonFatal(_) => None }
+      ok match {
+        case Some(df) => ChangeIo.bumpServed(path); df
+        case None => diff(spark, path, v - 1, v) // unreadable debris
+      }
+    } else diff(spark, path, v - 1, v)
+  }
+
   /** Change feed: every row-level change in versions (fromV, toV],
     * stamped with the version that committed it — the chain of
-    * [[diff]]s a downstream incremental consumer (index maintenance,
-    * dashboard refresh) replays, and the batch surface the streaming
-    * change-feed source ([[graft.streaming.TableLogChangeFeed]])
-    * emits micro-batches of. IO stays proportional to CHANGED files
-    * per version (the [[diff]] guarantee); schemas may widen across
+    * per-version change sets a downstream incremental consumer (index
+    * maintenance, dashboard refresh) replays, and the batch surface
+    * the streaming change-feed source
+    * ([[graft.streaming.TableLogChangeFeed]]) emits micro-batches of.
+    * Each version serves from its MATERIALIZED change files when
+    * present (O(changed rows), zero recompute) and reconstructs via
+    * [[diff]] otherwise — IO proportional to CHANGED files either
+    * way; appends reconstruct exchange-free. Schemas may widen across
     * the range (evolution), so the union aligns by name with NULL
     * fill.
     */
@@ -2599,7 +2908,7 @@ object TableLog {
     require(toV > fromV,
       s"TableLog.changes: need toV > fromV, got ($fromV, $toV]")
     (fromV + 1 to toV).map { v =>
-      diff(spark, path, v - 1, v).withColumn("_commit_version", lit(v))
+      versionChanges(spark, path, v).withColumn("_commit_version", lit(v))
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
@@ -2701,6 +3010,21 @@ object TableLog {
         if (s.isDirectory && s.getPath.getName.startsWith("_scratch_") &&
           s.getModificationTime < horizon)
           f.delete(s.getPath, true)
+      }
+      // materialized CDC retention: change dirs of vacuumed versions
+      // leave with their manifests; aged tmp debris (a crashed
+      // change-file publish) goes too
+      if (f.exists(changesDir(path))) {
+        val wm = vacuumWatermark(spark, path)
+        f.listStatus(changesDir(path)).foreach { st =>
+          val n = st.getPath.getName
+          val doomedChange =
+            (n.startsWith("v") &&
+              (try n.stripPrefix("v").toLong < wm
+              catch { case _: NumberFormatException => false })) ||
+              (n.startsWith("_tmp_") && st.getModificationTime < horizon)
+          if (doomedChange) f.delete(st.getPath, true)
+        }
       }
       ()
     }

@@ -607,14 +607,22 @@ object PipelineQueries {
       hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      graft.operators.TableLog.create(s, path, docs.repartition(4))
-      graft.operators.TableLog.optimizeRange(s, path, "n_chars", numFiles = 8)
-      graft.operators.TableLog.deleteBand(s, path, "n_chars", 0L, 149L)
-      graft.operators.TableLog.append(s, path,
-        docs.where(col("doc_id") < 50L)
-          .select((col("doc_id") + 400000L).as("doc_id"),
-            col("lang"), col("n_chars")))
-      graft.operators.TableLog.deleteBand(s, path, "n_chars", 150L, 199L)
+      // materialized CDC (round-14): the rewrite commits below also
+      // write their change sets at commit, so changes() serves the
+      // range from change files with zero exceptAll recompute (the
+      // append's version reconstructs exchange-free); the spec pins
+      // multiset equality of both paths
+      s.conf.set("spark.graft.tablelog.writeChangeFiles", "true")
+      try {
+        graft.operators.TableLog.create(s, path, docs.repartition(4))
+        graft.operators.TableLog.optimizeRange(s, path, "n_chars", numFiles = 8)
+        graft.operators.TableLog.deleteBand(s, path, "n_chars", 0L, 149L)
+        graft.operators.TableLog.append(s, path,
+          docs.where(col("doc_id") < 50L)
+            .select((col("doc_id") + 400000L).as("doc_id"),
+              col("lang"), col("n_chars")))
+        graft.operators.TableLog.deleteBand(s, path, "n_chars", 150L, 199L)
+      } finally s.conf.unset("spark.graft.tablelog.writeChangeFiles")
       graft.operators.TableLog.changes(s, path, 2L, 5L)
         .groupBy(col("_commit_version"), col("change"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -818,6 +826,43 @@ object PipelineQueries {
            |  min(doc_id) AS min_id, max(doc_id) AS max_id
            |FROM tablelog.`$path`
            |GROUP BY lang""".stripMargin)
+    }),
+
+
+    // multi-table transaction (round-14): each ingest batch lands in
+    // the RAW table and its DERIVED per-lang rollup as ONE logical
+    // commit (write-ahead intent + tag-idempotent per-table CAS +
+    // roll-forward recovery) — the source->derived pair can never be
+    // torn by a crash. Result-transparent: the derived sums equal the
+    // full-corpus rollup the oracle computes
+    "q227_txn_pipeline" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val raw = perProcessTmpDir(s"graft-tltxn-raw-$sfx")
+      val der = perProcessTmpDir(s"graft-tltxn-der-$sfx")
+      Seq(raw, der).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+      graft.operators.TableLog.create(s, raw, docs.repartition(4))
+      graft.operators.TableLog.create(s, der, rollup(docs))
+      Seq(300000L, 600000L).zip(Seq(30L, 50L)).foreach { case (shift, cut) =>
+        val batch = docs.where(col("doc_id") < cut)
+          .select((col("doc_id") + shift).as("doc_id"), col("lang"),
+            col("n_chars"))
+        graft.operators.TableLog.transaction(s, Seq(
+          raw -> batch, der -> rollup(batch)))
+      }
+      graft.operators.TableLog.read(s, der)
+        .groupBy(col("lang"))
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("sum_chars")).cast("long").as("sum_chars"))
     }),
 
 
@@ -2367,6 +2412,19 @@ object PipelineQueries {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM st GROUP BY lang""".stripMargin,
+
+    // q227: the transactional derived rollup equals the full-corpus
+    // rollup (base + both shifted batches)
+    "q227_txn_pipeline" ->
+      """WITH st AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+        |  UNION ALL
+        |  SELECT lang, CAST(n_chars AS BIGINT) FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT lang, CAST(n_chars AS BIGINT) FROM documents WHERE doc_id < 50)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM st GROUP BY lang""".stripMargin,
 
     // q226: the streamed filter replayed over base + appended batch

@@ -141,6 +141,14 @@ private[sql] object TableLogProcedures {
       override def run(a: InternalRow): Seq[InternalRow] =
         TableLog.tags(spark, str(a, 0)).toSeq.sortBy(_._2)
           .map { case (t, v) => row(UTF8String.fromString(t), v) }
+    },
+    new TlProc("recover_transactions",
+      "roll forward pending multi-table transaction intents anchored " +
+        "at this table (idempotent)",
+      Seq("table" -> StringType),
+      out("recovered" -> IntegerType)) {
+      override def run(a: InternalRow): Seq[InternalRow] =
+        Seq(row(TableLog.recoverTransactions(spark, str(a, 0))))
     })
 
   private val byName: Map[String, TlProc] = all.map(p => p.name -> p).toMap

@@ -778,6 +778,113 @@ class TableLogSpec extends GraftSparkSpec {
           org.apache.spark.sql.types.StringType)))
     }
   }
+  test("materialized CDC change files equal the reconstructed diff chain") {
+    val path = freshPath("graft-spec-tlog-cdc")
+    spark.conf.set("spark.graft.tablelog.writeChangeFiles", "true")
+    try {
+      val data = (0L until 1000L).map(i => (i, i)).toDF("id", "w")
+      TableLog.create(spark, path, data.repartition(4))           // v1 append
+      TableLog.optimizeRange(spark, path, "id", numFiles = 4)     // v2 empty
+      TableLog.deleteBand(spark, path, "id", 0L, 99L)             // v3
+      TableLog.append(spark, path,
+        (2000L until 2100L).map(i => (i, i)).toDF("id", "w"))     // v4 append
+      TableLog.updateWhere(spark, path,
+        Seq("w" -> (col("w") + 5L)), col("id").between(500L, 599L)) // v5
+      TableLog.merge(spark, path,
+        (600L until 650L).map(i => (i, -i)).toDF("id", "w"), "id")  // v6
+      TableLog.mergeWhen(spark, path,
+        (650L until 700L).map(i => (i, i)).toDF("id", "w"), "id",
+        matched = Seq(TableLog.MergeWhen.Delete(None)),
+        notMatched = Nil)                                         // v7
+      TableLog.compact(spark, path, 100000L)                      // v8 empty
+      TableLog.restore(spark, path, 7L)                           // v9
+
+      val mat = TableLog.changes(spark, path, 1L, 9L)
+      val rec = (2L to 9L).map(v =>
+        TableLog.diff(spark, path, v - 1, v)
+          .withColumn("_commit_version", lit(v)))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      assert(mat.exceptAll(rec).isEmpty && rec.exceptAll(mat).isEmpty,
+        "materialized change feed must be multiset-equal to the diff chain")
+      // every rewrite version served from its change files; only the
+      // pure append (v4) reconstructs (and that path is exchange-free)
+      assert(TableLog.ChangeIo.servedMaterialized(path) === 7L,
+        s"served ${TableLog.ChangeIo.servedMaterialized(path)}")
+    } finally spark.conf.unset("spark.graft.tablelog.writeChangeFiles")
+  }
+
+  test("materialized CDC: a replayed range reads change files only (counted IO)") {
+    val path = freshPath("graft-spec-tlog-cdcio")
+    spark.conf.set("spark.graft.tablelog.writeChangeFiles", "true")
+    try {
+      TableLog.create(spark, path,
+        (0L until 1000L).map(i => (i, i)).toDF("id", "w"))
+      (0 until 10).foreach { k =>
+        TableLog.deleteBand(spark, path, "id", k * 10L, k * 10L + 9L)
+      } // v2..v11
+      val servedBefore = TableLog.ChangeIo.servedMaterialized(path)
+      val reads0 = TableLog.LogIo.manifestReads(path)
+      val feed = TableLog.changes(spark, path, 1L, 11L)
+      assert(feed.where(col("change") === "removed").count() === 100L)
+      assert(TableLog.ChangeIo.servedMaterialized(path) - servedBefore === 10L,
+        "every version in the range must serve from its change files")
+      assert(TableLog.LogIo.manifestReads(path) === reads0,
+        "zero manifest reads: the replay touched change files alone")
+      // vacuum retention: change dirs below the watermark leave
+      spark.conf.set("spark.graft.tablelog.retentionMs", "0")
+      try TableLog.vacuum(spark, path, keepVersions = 2)
+      finally spark.conf.unset("spark.graft.tablelog.retentionMs")
+      val fsys = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(
+        s"$path/_changes/v0000003")), "vacuumed version's change dir swept")
+      assert(fsys.exists(new org.apache.hadoop.fs.Path(
+        s"$path/_changes/v0000011")), "retained version's change dir kept")
+    } finally spark.conf.unset("spark.graft.tablelog.writeChangeFiles")
+  }
+  test("multi-table transaction: all-or-nothing under a mid-commit crash") {
+    val pA = freshPath("graft-spec-tlog-txn-a")
+    val pB = freshPath("graft-spec-tlog-txn-b")
+    TableLog.create(spark, pA, (0L until 100L).map(i => (i, i)).toDF("id", "w"))
+    TableLog.create(spark, pB, (0L until 50L).map(i => (i, i)).toDF("id", "n"))
+
+    // happy path: both tables advance in one logical commit
+    val vs = TableLog.transaction(spark, Seq(
+      pA -> (100L until 120L).map(i => (i, i)).toDF("id", "w"),
+      pB -> (50L until 60L).map(i => (i, i)).toDF("id", "n")))
+    assert(vs === Seq(2L, 2L))
+    assert(TableLog.read(spark, pA).count() === 120L)
+    assert(TableLog.read(spark, pB).count() === 60L)
+
+    // crash injected between table A's commit and table B's: the
+    // intent survives, recovery rolls the transaction FORWARD — after
+    // it, both tables carry the batch (never a partial pair)
+    TableLog.testPreCommit.put(pB, () =>
+      throw new RuntimeException("injected crash between participants"))
+    val e = intercept[RuntimeException] {
+      TableLog.transaction(spark, Seq(
+        pA -> (120L until 130L).map(i => (i, i)).toDF("id", "w"),
+        pB -> (60L until 70L).map(i => (i, i)).toDF("id", "n")))
+    }
+    assert(e.getMessage.contains("injected crash"))
+    assert(TableLog.read(spark, pA).count() === 130L, "A committed pre-crash")
+    assert(TableLog.read(spark, pB).count() === 60L, "B not yet")
+
+    val first = Seq(pA, pB).min
+    assert(TableLog.recoverTransactions(spark, first) === 1)
+    assert(TableLog.read(spark, pB).count() === 70L,
+      "recovery completed the crashed participant")
+    assert(TableLog.read(spark, pA).count() === 130L,
+      "recovery must not double-append the committed participant")
+    // idempotent: nothing left to heal; a fresh transaction works
+    assert(TableLog.recoverTransactions(spark, first) === 0)
+    val vs2 = TableLog.transaction(spark, Seq(
+      pA -> Seq((999L, 999L)).toDF("id", "w"),
+      pB -> Seq((999L, 999L)).toDF("id", "n")))
+    assert(TableLog.read(spark, pA).count() === 131L)
+    assert(TableLog.read(spark, pB).count() === 71L)
+    assert(vs2.forall(_ >= 3L))
+  }
 }
 
 /** Test commit protocol: delegates to the default rename CAS, counts

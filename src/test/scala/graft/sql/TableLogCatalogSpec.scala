@@ -671,6 +671,27 @@ class TableLogCatalogSpec extends GraftSparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM tablelog.`$path`")
       .collect().head.getLong(0) === 3L)
   }
+  test("CALL tablelog.recover_transactions heals a crashed multi-table commit") {
+    TableLogSql.register(spark)
+    val pA = freshPath("graft-spec-tlsql-txn-a")
+    val pB = freshPath("graft-spec-tlsql-txn-b")
+    import spark.implicits._
+    TableLog.create(spark, pA, (0L until 10L).map(i => (i, i)).toDF("id", "w"))
+    TableLog.create(spark, pB, (0L until 10L).map(i => (i, i)).toDF("id", "n"))
+    TableLog.testPreCommit.put(pB, () =>
+      throw new RuntimeException("injected crash"))
+    intercept[RuntimeException] {
+      TableLog.transaction(spark, Seq(
+        pA -> Seq((100L, 1L)).toDF("id", "w"),
+        pB -> Seq((100L, 1L)).toDF("id", "n")))
+    }
+    val first = Seq(pA, pB).min
+    assert(spark.sql(s"CALL tablelog.recover_transactions('$first')")
+      .collect().head.getInt(0) === 1)
+    assert(TableLog.read(spark, pB).count() === 11L)
+    assert(TableLog.read(spark, pA).count() === 11L)
+  }
 }
+
 
 
