@@ -1248,6 +1248,78 @@ object TableLog {
         schema = Some(merged))
     }
 
+  /** INSERT OVERWRITE (truncate flavor): REPLACE the table's contents
+    * with `df` as one committed version — the manifest lists only the
+    * new files; the old version stays readable (time travel) until
+    * [[vacuum]]. Schema follows the append evolution rules
+    * ([[mergedSchema]]: adds allowed, retypes refused). An EMPTY
+    * overwrite is the all-rows delete and stays refused. Partitioned
+    * tables overwrite wholesale here; per-partition replacement is
+    * [[overwritePartitionsDynamic]].
+    */
+  def overwrite(spark: SparkSession, path: String, df: DataFrame): Long =
+    withLock(spark, path, "overwrite") {
+      val v = latestVersion(spark, path)
+      checkNotVacuumed(spark, path, v)
+      val cur = readManifestFull(spark, path, v)
+      val base = cur.schema.orElse(
+        Some(readFiles(spark, path, cur, cur.files).schema))
+      if (cur.partCols.isEmpty) {
+        val merged = mergedSchema(base, df.schema)
+        val (names, stats) = writeDataFiles(spark, path, df)
+        val nv = commitFull(spark, path, v + 1, cur.copy(
+          tag = None, files = names, stats = stats, schema = Some(merged)))
+        maybeWriteChanges(spark, path, v, nv)
+        nv
+      } else {
+        val merged = mergedSchema(base, partitionedSchema(df, cur.partCols))
+        val (names, stats, parts) =
+          writeDataFilesPartitioned(spark, path, df, cur.partCols)
+        val nv = commitFull(spark, path, v + 1, cur.copy(
+          tag = None, files = names, stats = stats, schema = Some(merged),
+          parts = parts))
+        maybeWriteChanges(spark, path, v, nv)
+        nv
+      }
+    }
+
+  /** Dynamic partition overwrite (Spark's
+    * `partitionOverwriteMode=dynamic`, Delta's `replaceWhere` on
+    * partition values): replace exactly the partitions PRESENT in the
+    * batch — their old files leave the manifest (zero IO for the
+    * untouched partitions, which carry over by name), the batch's
+    * files land under their hive dirs. The classic idempotent
+    * partition-reload shape for a 100 TB ingest: re-running a day's
+    * load replaces that day, touches nothing else.
+    */
+  def overwritePartitionsDynamic(
+      spark: SparkSession, path: String, df: DataFrame): Long =
+    withLock(spark, path, "overwritePartitionsDynamic") {
+      val v = latestVersion(spark, path)
+      checkNotVacuumed(spark, path, v)
+      val cur = readManifestFull(spark, path, v)
+      require(cur.partCols.nonEmpty,
+        "TableLog.overwritePartitionsDynamic: table is not partitioned — " +
+          "use overwrite")
+      val base = cur.schema.orElse(
+        Some(readFiles(spark, path, cur, cur.files).schema))
+      val merged = mergedSchema(base, partitionedSchema(df, cur.partCols))
+      val (names, stats, parts) =
+        writeDataFilesPartitioned(spark, path, df, cur.partCols)
+      val touched = parts.values.toSet
+      val dropped = cur.files.filter(n =>
+        cur.parts.get(n).exists(touched.contains)).toSet
+      val nv = commitFull(spark, path, v + 1, cur.copy(
+        tag = None,
+        files = cur.files.filterNot(dropped.contains) ++ names,
+        stats = cur.stats.filterNot { case (k, _) =>
+          dropped.contains(k) } ++ stats,
+        schema = Some(merged),
+        parts = (cur.parts -- dropped) ++ parts))
+      maybeWriteChanges(spark, path, v, nv)
+      nv
+    }
+
   /** Optimistic-concurrency append — the Delta append-append rule.
     * Stages the batch's data files ONCE (invisible until a manifest
     * references them), then retries the version CAS: read the latest
@@ -2503,8 +2575,12 @@ object TableLog {
   private[graft] def commitStagedOptimistic(
       spark: SparkSession, path: String, names: Seq[String],
       batchSchema: org.apache.spark.sql.types.StructType, tag: String,
+      parts: Map[String, Seq[String]] = Map.empty,
       maxRetries: Int = 16): Long = {
     require(names.nonEmpty, "TableLog.commitStagedOptimistic: no files")
+    require(parts.isEmpty || names.forall(parts.contains),
+      "TableLog.commitStagedOptimistic: partitioned commits must carry a " +
+        "partition record for every file")
     // losing to an already-committed tag: this call's `names` are
     // EITHER a replay's fresh duplicates (delete them) OR — on a
     // transaction-recovery replay — the very files the winning commit
@@ -2540,12 +2616,18 @@ object TableLog {
             case None =>
               val v = latestVersion(spark, path)
               val cur = readManifestFull(spark, path, v)
-              requireUnpartitioned(cur, "commitStagedOptimistic")
+              if (parts.isEmpty)
+                requireUnpartitioned(cur, "commitStagedOptimistic")
+              else require(cur.partCols.nonEmpty,
+                "TableLog.commitStagedOptimistic: partition records on an " +
+                  "unpartitioned table")
               val base = cur.schema.orElse(
                 Some(readFiles(spark, path, cur, cur.files).schema))
               val merged = mergedSchema(base, batchSchema)
-              if (commitTry(spark, path, v + 1, cur.files ++ names,
-                cur.stats ++ stats, Some(tag), Some(merged))) return v + 1
+              if (commitTryFull(spark, path, v + 1, cur.copy(
+                tag = Some(tag), files = cur.files ++ names,
+                stats = cur.stats ++ stats, schema = Some(merged),
+                parts = cur.parts ++ parts))) return v + 1
           }
           attempt += 1
         }
@@ -2554,6 +2636,43 @@ object TableLog {
             s"$maxRetries times at $path — staged files go to vacuum")
     }
   }
+
+  /** [[overwritePartitionsDynamic]] for files ALREADY written into
+    * their hive dirs under `data/` (the executor-written V2 batch
+    * write behind SQL's dynamic INSERT OVERWRITE): harvest footer
+    * stats, drop every file of the partitions PRESENT in `parts`,
+    * reference the staged files — one committed version, untouched
+    * partitions carry over by name.
+    */
+  private[graft] def commitDynamicOverwriteStaged(
+      spark: SparkSession, path: String,
+      parts: Map[String, Seq[String]],
+      batchSchema: org.apache.spark.sql.types.StructType): Long =
+    withLock(spark, path, "commitDynamicOverwriteStaged") {
+      require(parts.nonEmpty, "TableLog.commitDynamicOverwriteStaged: no files")
+      val v = latestVersion(spark, path)
+      checkNotVacuumed(spark, path, v)
+      val cur = readManifestFull(spark, path, v)
+      require(cur.partCols.nonEmpty,
+        "TableLog.commitDynamicOverwriteStaged: table is not partitioned")
+      val base = cur.schema.orElse(
+        Some(readFiles(spark, path, cur, cur.files).schema))
+      val merged = mergedSchema(base, batchSchema)
+      val names = parts.keys.toSeq.sorted
+      val stats = harvestStats(spark, path, names)
+      val touched = parts.values.toSet
+      val dropped = cur.files.filter(n =>
+        cur.parts.get(n).exists(touched.contains)).toSet
+      val nv = commitFull(spark, path, v + 1, cur.copy(
+        tag = None,
+        files = cur.files.filterNot(dropped.contains) ++ names,
+        stats = cur.stats.filterNot { case (k, _) =>
+          dropped.contains(k) } ++ stats,
+        schema = Some(merged),
+        parts = (cur.parts -- dropped) ++ parts))
+      maybeWriteChanges(spark, path, v, nv)
+      nv
+    }
 
   /** Multi-table TRANSACTION — one logical append spanning N
     * (unpartitioned) tables, crash-atomic via a write-ahead INTENT +

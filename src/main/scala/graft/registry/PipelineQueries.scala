@@ -829,6 +829,43 @@ object PipelineQueries {
     }),
 
 
+    // dynamic partition overwrite (round-14): the idempotent
+    // partition-reload shape — INSERT OVERWRITE under
+    // partitionOverwriteMode=dynamic replaces exactly the partitions
+    // PRESENT in the batch (their files leave the manifest, every
+    // other partition carries over by name, zero IO), committed as a
+    // version. Result-transparent: the oracle swaps the en partition
+    "q228_insert_overwrite" -> ((s, dir) => {
+      graft.sql.TableLogSql.register(s)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlovw-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      graft.operators.TableLog.createPartitioned(
+        s, path, docs.repartition(4), Seq("lang"))
+      docs.where(col("lang") === "en" && col("doc_id") < 100L)
+        .select(col("doc_id"), (col("n_chars") + 7L).as("n_chars"),
+          col("lang"))
+        .createOrReplaceTempView("q228_reload")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT INTO tablelog.`$path` SELECT * FROM q228_reload")
+      finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      // the INSERT INTO above appended; the overwrite is the point:
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT OVERWRITE tablelog.`$path` SELECT * FROM q228_reload")
+      finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      s.sql(
+        s"""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM tablelog.`$path`
+           |GROUP BY lang""".stripMargin)
+    }),
+
+
     // multi-table transaction (round-14): each ingest batch lands in
     // the RAW table and its DERIVED per-lang rollup as ONE logical
     // commit (write-ahead intent + tag-idempotent per-table CAS +
@@ -2409,6 +2446,20 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT doc_id + 600000 AS doc_id, lang, CAST(n_chars AS BIGINT)
         |  FROM documents WHERE doc_id < 20)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM st GROUP BY lang""".stripMargin,
+
+    // q228: the en partition swapped for the reload batch, every
+    // other partition untouched
+    "q228_insert_overwrite" ->
+      """WITH st AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) + 7 AS n_chars
+        |  FROM documents WHERE lang = 'en' AND doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents WHERE lang <> 'en')
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id

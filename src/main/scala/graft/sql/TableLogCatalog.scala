@@ -254,9 +254,14 @@ private[graft] class TableLogTable(
 
   override def capabilities(): util.Set[TableCapability] =
     if (timeTraveled) util.EnumSet.of(TableCapability.BATCH_READ)
+    // BATCH_WRITE rides along with V1_BATCH_WRITE because the
+    // dynamic-overwrite capability check demands it literally (the
+    // append/truncate paths still take the V1 fallback — the planner
+    // dispatches on the Write being a V1Write, not on capabilities)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TableLogScanBuilder(path, snap, options)
@@ -283,32 +288,57 @@ private[graft] class TableLogTable(
     TableLog.deleteWhere(SparkSession.active, path, pred)
   }
 
+  /** INSERT INTO appends; INSERT OVERWRITE replaces — wholesale under
+    * the default (truncate) mode, per-present-partition under
+    * `partitionOverwriteMode=dynamic` (Spark plans
+    * OverwritePartitionsDynamic and calls
+    * [[SupportsDynamicOverwrite.overwriteDynamicPartitions]]); both
+    * are committed versions, time travel intact.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!timeTraveled,
       s"TableLogCatalog: cannot write to time-traveled version ${snap.version}")
-    new WriteBuilder {
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate
+      with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+      private var mode: String = "append"
+      override def truncate(): WriteBuilder = { mode = "truncate"; this }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        mode = "dynamic"; this
+      }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              require(!overwrite,
-                "TableLogCatalog: INSERT OVERWRITE not supported — " +
-                  "deleteWhere + INSERT INTO")
               val s = SparkSession.active
-              if (snap.partCols.isEmpty) TableLog.append(s, path, data)
-              else TableLog.appendPartitioned(s, path, data)
+              mode match {
+                case "dynamic" =>
+                  TableLog.overwritePartitionsDynamic(s, path, data)
+                case "truncate" => TableLog.overwrite(s, path, data)
+                case _ =>
+                  if (snap.partCols.isEmpty) TableLog.append(s, path, data)
+                  else TableLog.appendPartitioned(s, path, data)
+              }
+              ()
             }
           }
         // writeStream.toTable: epoch-committed exactly-once appends
         // (see TableLogStreamingWrite); the queryId in the tag is the
         // STABLE streaming query id, so restarts replay idempotently
         override def toStreaming: org.apache.spark.sql.connector.write
-            .streaming.StreamingWrite = {
-          require(snap.partCols.isEmpty,
-            "TableLogCatalog: streaming write into a partitioned table " +
-              "is not supported — use foreachBatch + appendPartitioned")
-          new TableLogStreamingWrite(path, info.queryId(), info.schema())
-        }
+            .streaming.StreamingWrite =
+          new TableLogStreamingWrite(path, info.queryId(), info.schema(),
+            snap.partCols)
+        // INSERT OVERWRITE under partitionOverwriteMode=dynamic has
+        // NO V1 fallback in Spark — a real V2 BatchWrite routes rows
+        // into their hive dirs on the executors and the driver
+        // replaces exactly the partitions present in the batch
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+          if (mode == "dynamic")
+            new TableLogDynamicOverwriteWrite(path, info.schema(),
+              snap.partCols)
+          else throw new UnsupportedOperationException(
+            s"TableLogCatalog: unexpected V2 batch write in mode $mode")
       }
     }
   }

@@ -8,7 +8,8 @@ import org.apache.spark.SerializableWritable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{
-  DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+  BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo,
+  WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{
   StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
@@ -38,19 +39,53 @@ import graft.operators.TableLog
   * Aborted epochs delete their reported files; writer-task failures
   * before report leave age-gated vacuum orphans.
   *
-  * Partitioned tables are refused (the row writer emits a flat
-  * layout) — use `foreachBatch` + [[TableLog.appendPartitioned]].
+  * PARTITIONED tables stream too: rows route into their hive
+  * partition dirs on the executors
+  * ([[TableLogPartitionedRowWriter]]) and the epoch commit records
+  * the per-file partition values — partition pruning works on the
+  * streamed data like on any other commit.
   */
 private[sql] final class TableLogStreamingWrite(
-    path: String, queryId: String, dataSchema: StructType)
+    path: String, queryId: String, dataSchema: StructType,
+    partCols: Seq[String])
   extends StreamingWrite {
 
   private def spark = SparkSession.active
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    // executor-side ParquetWriteSupport reads these from the hadoop
-    // conf (prepareWrite's contract); snapshot the session's values
+    val (hconf, codec) = TableLogWriteConf.snapshot(spark)
+    new TableLogStreamingWriterFactory(
+      TableLog.dataPath(path), dataSchema.json,
+      partCols.mkString(","), codec,
+      new SerializableWritable(hconf))
+  }
+
+  override def commit(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val (names, parts) = TableLogWriteConf.collectFiles(messages)
+    // empty epochs commit nothing (no version spam from idle
+    // triggers); replaying an empty epoch appends nothing — exactly
+    // once holds without a tag
+    if (names.nonEmpty) {
+      TableLog.commitStagedOptimistic(spark, path, names, dataSchema,
+        s"stream-$queryId-$epochId", parts)
+      ()
+    }
+  }
+
+  override def abort(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    TableLogWriteConf.dropFiles(spark, path, messages)
+}
+
+/** Shared write-side plumbing: the hadoop-conf snapshot the
+  * executor-side ParquetWriteSupport needs (prepareWrite's contract),
+  * and message folding/cleanup for both the streaming and the
+  * dynamic-overwrite writers.
+  */
+private[sql] object TableLogWriteConf {
+  def snapshot(spark: SparkSession): (Configuration, String) = {
     val hconf = new Configuration(spark.sessionState.newHadoopConf())
     val sqlc = spark.sessionState.conf
     hconf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
@@ -66,33 +101,67 @@ private[sql] final class TableLogStreamingWrite(
         sqlc.getConf(SQLConf.PARQUET_COMPRESSION).toUpperCase(
           java.util.Locale.ROOT))
       catch { case _: IllegalArgumentException => CompressionCodecName.SNAPPY }
-    new TableLogStreamingWriterFactory(
-      TableLog.dataPath(path), dataSchema.json, codec.name(),
-      new SerializableWritable(hconf))
+    (hconf, codec.name())
   }
 
-  override def commit(
-      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val names = messages.collect { case TableLogFileMessage(n) => n }.toSeq
-    // empty epochs commit nothing (no version spam from idle
-    // triggers); replaying an empty epoch appends nothing — exactly
-    // once holds without a tag
-    if (names.nonEmpty) {
-      TableLog.commitStagedOptimistic(spark, path, names, dataSchema,
-        s"stream-$queryId-$epochId")
-      ()
-    }
+  /** (all file names, per-file partition records) across messages. */
+  def collectFiles(messages: Array[WriterCommitMessage])
+      : (Seq[String], Map[String, Seq[String]]) = {
+    val flat = messages.collect { case TableLogFileMessage(n) => n }.toSeq
+    val part = messages.collect { case TableLogPartFilesMessage(fs) => fs }
+      .flatten.toSeq
+    (flat ++ part.map(_._1), part.toMap)
   }
 
-  override def abort(
-      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+  def dropFiles(spark: SparkSession, path: String,
+      messages: Array[WriterCommitMessage]): Unit = {
     val f = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    messages.collect { case TableLogFileMessage(n) => n }.foreach { n =>
+    collectFiles(messages)._1.foreach { n =>
       try { f.delete(new Path(TableLog.dataPath(path), n), false); () }
       catch { case scala.util.control.NonFatal(_) => () }
     }
   }
+}
+
+/** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic` — a real
+  * V2 BatchWrite (Spark has no V1 fallback for
+  * OverwritePartitionsDynamic): executors route rows into their hive
+  * partition dirs under `data/` ([[TableLogPartitionedRowWriter]]),
+  * the driver commits ONE version replacing exactly the partitions
+  * present in the batch ([[TableLog.commitDynamicOverwriteStaged]] —
+  * untouched partitions carry over by name). An empty batch replaces
+  * nothing.
+  */
+private[sql] final class TableLogDynamicOverwriteWrite(
+    path: String, dataSchema: StructType, partCols: Seq[String])
+  extends BatchWrite {
+
+  private def spark = SparkSession.active
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val (hconf, codec) = TableLogWriteConf.snapshot(spark)
+    val factory = new TableLogStreamingWriterFactory(
+      TableLog.dataPath(path), dataSchema.json, partCols.mkString(","),
+      codec, new SerializableWritable(hconf))
+    new DataWriterFactory {
+      override def createWriter(
+          partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+        factory.createWriter(partitionId, taskId, epochId = 0L)
+    }
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (names, parts) = TableLogWriteConf.collectFiles(messages)
+    if (names.nonEmpty) {
+      TableLog.commitDynamicOverwriteStaged(spark, path, parts, dataSchema)
+      ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    TableLogWriteConf.dropFiles(spark, path, messages)
 }
 
 /** One finished, flushed part file's data/-relative name. */
@@ -100,13 +169,110 @@ private[sql] final case class TableLogFileMessage(name: String)
   extends WriterCommitMessage
 
 private[sql] final class TableLogStreamingWriterFactory(
-    dataDir: String, schemaJson: String, codecName: String,
-    conf: SerializableWritable[Configuration])
+    dataDir: String, schemaJson: String, partColsCsv: String,
+    codecName: String, conf: SerializableWritable[Configuration])
   extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new TableLogRowWriter(dataDir, schemaJson, codecName, conf.value,
-      partitionId, epochId)
+    if (partColsCsv.isEmpty)
+      new TableLogRowWriter(dataDir, schemaJson, codecName, conf.value,
+        partitionId, epochId)
+    else
+      new TableLogPartitionedRowWriter(dataDir, schemaJson,
+        partColsCsv.split(",").toSeq, codecName, conf.value,
+        partitionId, epochId)
+}
+
+/** One finished part file per PARTITION VALUE touched by this task:
+  * `files` pairs each data/-relative path with its partition values
+  * (aligned with the table's partition columns).
+  */
+private[sql] final case class TableLogPartFilesMessage(
+    files: Seq[(String, Seq[String])]) extends WriterCommitMessage
+
+/** Partition-routing executor writer: rows arrive in the TABLE's
+  * schema (partition columns LAST — the analyzer's by-name
+  * alignment); each row lands in the parquet writer of its hive
+  * partition dir, PROJECTED to the data columns (the hive layout
+  * stores partition values in dir names). Writers are opened per
+  * distinct partition value seen by this task — bounded by the
+  * batch's partition fan-out, the same bound Spark's own dynamic
+  * partition writer carries.
+  */
+private[sql] final class TableLogPartitionedRowWriter(
+    dataDir: String, schemaJson: String, partCols: Seq[String],
+    codecName: String, conf: Configuration, partitionId: Int, epochId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
+  private val full = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  private val partIdx = partCols.map(full.fieldIndex)
+  private val dataFields =
+    full.fields.zipWithIndex.filterNot { case (f, _) =>
+      partCols.contains(f.name) }
+  private val dataSchema = StructType(dataFields.map(_._1))
+  private val dataIdx = dataFields.map(_._2)
+  private val open = scala.collection.mutable.LinkedHashMap
+    .empty[Seq[String], (ParquetWriter[InternalRow], String)]
+  private var closed = false
+
+  private def writerFor(vals: Seq[String]): ParquetWriter[InternalRow] =
+    open.getOrElseUpdate(vals, {
+      val dir = partCols.zip(vals).map { case (c, v) =>
+        s"$c=" + (if (v == null) HiveNullPart
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v))
+      }.mkString("/")
+      val name =
+        f"$dir/stream-e$epochId-p$partitionId%05d-${java.util.UUID.randomUUID()}.parquet"
+      val c = new Configuration(conf)
+      ParquetWriteSupport.setSchema(dataSchema, c)
+      val w = new TableLogParquetBuilder(new Path(dataDir, name))
+        .withConf(c)
+        .withCompressionCodec(CompressionCodecName.valueOf(codecName))
+        .build()
+      (w, name)
+    })._1
+
+  override def write(row: InternalRow): Unit = {
+    val vals: Seq[String] = partIdx.map { i =>
+      if (row.isNullAt(i)) null
+      else row.get(i, full.fields(i).dataType).toString
+    }
+    // values are consumed synchronously by the parquet writer, so the
+    // borrowed unsafe buffers never outlive this call
+    val proj = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      dataIdx.map(i =>
+        if (row.isNullAt(i)) null
+        else row.get(i, full.fields(i).dataType)).toArray[Any])
+    writerFor(vals).write(proj)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_._1.close())
+    closed = true
+    TableLogPartFilesMessage(open.map { case (vals, (_, name)) =>
+      name -> vals.map(v => if (v == null) HiveNullPart else v)
+    }.toSeq)
+  }
+
+  override def abort(): Unit = {
+    close()
+    val f = new Path(dataDir).getFileSystem(conf)
+    open.values.foreach { case (_, name) =>
+      try { f.delete(new Path(dataDir, name), false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  override def close(): Unit =
+    if (!closed) {
+      open.values.foreach { case (w, _) =>
+        try w.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      closed = true
+    }
 }
 
 /** Executor-side parquet writer over Spark's own row-to-parquet

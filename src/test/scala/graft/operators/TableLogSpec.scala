@@ -885,6 +885,31 @@ class TableLogSpec extends GraftSparkSpec {
     assert(TableLog.read(spark, pB).count() === 71L)
     assert(vs2.forall(_ >= 3L))
   }
+  test("overwrite replaces contents as a version; dynamic mode replaces present partitions") {
+    val path = freshPath("graft-spec-tlog-ovw")
+    TableLog.create(spark, path, (0L until 100L).map(i => (i, i)).toDF("id", "w"))
+    TableLog.overwrite(spark, path, (500L until 530L).map(i => (i, i)).toDF("id", "w"))
+    assert(TableLog.read(spark, path).count() === 30L)
+    assert(TableLog.read(spark, path, Some(1L)).count() === 100L, "time travel intact")
+
+    val p2 = freshPath("graft-spec-tlog-ovwdyn")
+    val base = (0L until 900L).map(i =>
+      (i, Seq("en", "de", "zh")((i % 3L).toInt), i)).toDF("id", "lang", "w")
+    TableLog.createPartitioned(spark, p2, base.repartition(2), Seq("lang"))
+    val before = TableLog.files(spark, p2).toSet
+    // replace ONLY the partitions present in the batch (en)
+    TableLog.overwritePartitionsDynamic(spark, p2,
+      (0L until 10L).map(i => (i + 5000L, "en", i)).toDF("id", "lang", "w"))
+    val got = TableLog.read(spark, p2)
+    assert(got.where(col("lang") === "en").count() === 10L, "en replaced")
+    assert(got.where(col("lang") =!= "en").count() === 600L, "others untouched")
+    // untouched partitions carry over BY NAME — zero IO
+    val after = TableLog.files(spark, p2).toSet
+    assert(before.filterNot(_.startsWith("lang=en/")).subsetOf(after),
+      "non-en files must carry over by name")
+    assert(after.filterNot(_.startsWith("lang=en/")) ===
+      before.filterNot(_.startsWith("lang=en/")))
+  }
 }
 
 /** Test commit protocol: delegates to the default rename CAS, counts

@@ -691,7 +691,62 @@ class TableLogCatalogSpec extends GraftSparkSpec {
     assert(TableLog.read(spark, pB).count() === 11L)
     assert(TableLog.read(spark, pA).count() === 11L)
   }
+  test("INSERT OVERWRITE: truncate by default, per-partition under dynamic mode") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-ovw")
+    spark.sql(s"CREATE TABLE tablelog.`$path` (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO tablelog.`$path` " +
+      "VALUES (1, 'en'), (2, 'en'), (3, 'de'), (4, 'zh')")
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(s"INSERT OVERWRITE tablelog.`$path` VALUES (10, 'en')")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(rows(spark.sql(s"SELECT id, lang FROM tablelog.`$path`")) ===
+      Set(Seq(10L, "en"), Seq(3L, "de"), Seq(4L, "zh")),
+      "dynamic overwrite replaces only the present partition")
+
+    // default (static/truncate) replaces the table
+    spark.sql(s"INSERT OVERWRITE tablelog.`$path` VALUES (99, 'fr')")
+    assert(rows(spark.sql(s"SELECT id, lang FROM tablelog.`$path`")) ===
+      Set(Seq(99L, "fr")))
+    // every state is a version: the pre-overwrite table is intact
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM tablelog.`$path` VERSION AS OF 3")
+      .collect().head.getLong(0) === 3L)
+  }
+  test("writeStream.toTable into a PARTITIONED table: rows route to hive dirs") {
+    TableLogSql.register(spark)
+    val src = freshPath("graft-spec-tlsql-pswr-src")
+    val dst = freshPath("graft-spec-tlsql-pswr-dst")
+    val ckpt = freshPath("graft-spec-tlsql-pswr-ckpt")
+    val base = (0L until 300L).map(i =>
+      (i, i, Seq("en", "de", null)((i % 3L).toInt))).toDF("id", "w", "lang")
+    TableLog.create(spark, src, base)
+    spark.sql(s"CREATE TABLE tablelog.`$dst` (id BIGINT, w BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    val q = spark.readStream.option("fromVersion", "0")
+      .table(s"tablelog.`$src`")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable(s"tablelog.`$dst`")
+    try q.processAllAvailable() finally q.stop()
+    // content round-trips, including the NULL partition
+    assert(rows(spark.sql(s"SELECT id, w, lang FROM tablelog.`$dst`")) ===
+      rows(base.select(col("id"), col("w"), col("lang"))))
+    // the streamed files carry partition records: a partition WHERE
+    // plans only that partition's files
+    spark.sql(s"SELECT * FROM tablelog.`$dst` WHERE lang = 'en'").count()
+    val (kept, total) = TableLogSql.lastPlanned(dst).get
+    assert(kept < total, s"partition pruning on streamed data: $kept/$total")
+    val snap = TableLog.snapshot(spark, dst)
+    assert(snap.files.forall(snap.parts.contains),
+      "every streamed file must carry its partition record")
+    assert(snap.files.forall(n => n.startsWith("lang=")),
+      s"hive layout expected, got ${snap.files.take(3)}")
+  }
 }
+
+
 
 
 
