@@ -910,6 +910,27 @@ class TableLogSpec extends GraftSparkSpec {
     assert(after.filterNot(_.startsWith("lang=en/")) ===
       before.filterNot(_.startsWith("lang=en/")))
   }
+  test("transaction rebases under a concurrent lock-free append — both land") {
+    val pA = freshPath("graft-spec-tlog-txnrace-a")
+    val pB = freshPath("graft-spec-tlog-txnrace-b")
+    TableLog.create(spark, pA, (0L until 50L).map(i => (i, i)).toDF("id", "w"))
+    TableLog.create(spark, pB, (0L until 50L).map(i => (i, i)).toDF("id", "n"))
+    // an optimistic appender steals pA's version INSIDE the
+    // transaction's first CAS attempt (the seam is one-shot, so the
+    // inner append commits cleanly); the txn's tagged CAS must rebase
+    TableLog.testPreCommit.put(pA, () => {
+      TableLog.appendOptimistic(spark, pA,
+        (9000L until 9010L).map(i => (i, i)).toDF("id", "w"))
+      ()
+    })
+    TableLog.transaction(spark, Seq(
+      pA -> (100L until 120L).map(i => (i, i)).toDF("id", "w"),
+      pB -> (100L until 110L).map(i => (i, i)).toDF("id", "n")))
+    assert(TableLog.read(spark, pA).count() === 80L,
+      "base 50 + stolen append 10 + txn batch 20 — all land")
+    assert(TableLog.read(spark, pB).count() === 60L)
+    assert(TableLog.versions(spark, pA).size === 3, "append v2, txn v3")
+  }
 }
 
 /** Test commit protocol: delegates to the default rename CAS, counts
