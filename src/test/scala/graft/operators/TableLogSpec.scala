@@ -931,6 +931,33 @@ class TableLogSpec extends GraftSparkSpec {
     assert(TableLog.read(spark, pB).count() === 60L)
     assert(TableLog.versions(spark, pA).size === 3, "append v2, txn v3")
   }
+  test("materialized CDC on a PARTITIONED table: xor-equal to the diff chain") {
+    val path = freshPath("graft-spec-tlog-cdcpart")
+    spark.conf.set("spark.graft.tablelog.writeChangeFiles", "true")
+    try {
+      val base = (0L until 600L).map(i =>
+        (i, Seq("en", "de", "zh")((i % 3L).toInt), i)).toDF("id", "lang", "w")
+      TableLog.createPartitioned(spark, path, base.repartition(2), Seq("lang")) // v1
+      TableLog.deleteWhere(spark, path, col("w") < 100L)                        // v2
+      TableLog.deletePartition(spark, path, Map("lang" -> "de"))               // v3
+      TableLog.updateWhere(spark, path,
+        Seq("w" -> (col("w") + 5L)), col("id") < 150L)                          // v4
+      TableLog.appendPartitioned(spark, path,
+        (10000L until 10020L).map(i => (i, "fr", i)).toDF("id", "lang", "w"))   // v5
+
+      val mat = TableLog.changes(spark, path, 1L, 5L)
+      val rec = (2L to 5L).map(v =>
+        TableLog.diff(spark, path, v - 1, v)
+          .withColumn("_commit_version", lit(v)))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      assert(mat.exceptAll(rec).isEmpty && rec.exceptAll(mat).isEmpty,
+        "partitioned change feed must be multiset-equal to the diff chain")
+      // rewrite commits (v2, v3, v4) served materialized; the
+      // partitioned append (v5) reconstructs exchange-free
+      assert(TableLog.ChangeIo.servedMaterialized(path) === 3L,
+        s"served ${TableLog.ChangeIo.servedMaterialized(path)}")
+    } finally spark.conf.unset("spark.graft.tablelog.writeChangeFiles")
+  }
 }
 
 /** Test commit protocol: delegates to the default rename CAS, counts
