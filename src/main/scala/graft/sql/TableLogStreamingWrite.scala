@@ -58,7 +58,7 @@ private[sql] final class TableLogStreamingWrite(
     new TableLogStreamingWriterFactory(
       TableLog.dataPath(path), dataSchema.json,
       partCols.mkString(","), codec,
-      new SerializableWritable(hconf))
+      new SerializableWritable(hconf), TableLogWriteConf.maxOpen(spark))
   }
 
   override def commit(
@@ -104,6 +104,14 @@ private[sql] object TableLogWriteConf {
     (hconf, codec.name())
   }
 
+  /** Per-task open-writer cap for partition-routing writers
+    * (`spark.graft.tablelog.maxOpenPartitionWriters`, default 64):
+    * beyond it the least-recently-written partition's file closes and
+    * later rows of that partition open a fresh file.
+    */
+  def maxOpen(spark: SparkSession): Int = spark.conf
+    .get("spark.graft.tablelog.maxOpenPartitionWriters", "64").toInt
+
   /** (all file names, per-file partition records) across messages. */
   def collectFiles(messages: Array[WriterCommitMessage])
       : (Seq[String], Map[String, Seq[String]]) = {
@@ -144,7 +152,7 @@ private[sql] final class TableLogDynamicOverwriteWrite(
     val (hconf, codec) = TableLogWriteConf.snapshot(spark)
     val factory = new TableLogStreamingWriterFactory(
       TableLog.dataPath(path), dataSchema.json, partCols.mkString(","),
-      codec, new SerializableWritable(hconf))
+      codec, new SerializableWritable(hconf), TableLogWriteConf.maxOpen(spark))
     new DataWriterFactory {
       override def createWriter(
           partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -170,7 +178,8 @@ private[sql] final case class TableLogFileMessage(name: String)
 
 private[sql] final class TableLogStreamingWriterFactory(
     dataDir: String, schemaJson: String, partColsCsv: String,
-    codecName: String, conf: SerializableWritable[Configuration])
+    codecName: String, conf: SerializableWritable[Configuration],
+    maxOpenPartitions: Int = 64)
   extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
@@ -180,7 +189,7 @@ private[sql] final class TableLogStreamingWriterFactory(
     else
       new TableLogPartitionedRowWriter(dataDir, schemaJson,
         partColsCsv.split(",").toSeq, codecName, conf.value,
-        partitionId, epochId)
+        partitionId, epochId, maxOpenPartitions)
 }
 
 /** One finished part file per PARTITION VALUE touched by this task:
@@ -201,7 +210,8 @@ private[sql] final case class TableLogPartFilesMessage(
   */
 private[sql] final class TableLogPartitionedRowWriter(
     dataDir: String, schemaJson: String, partCols: Seq[String],
-    codecName: String, conf: Configuration, partitionId: Int, epochId: Long)
+    codecName: String, conf: Configuration, partitionId: Int, epochId: Long,
+    maxOpenPartitions: Int = 64)
   extends DataWriter[InternalRow] {
 
   private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
@@ -212,12 +222,29 @@ private[sql] final class TableLogPartitionedRowWriter(
       partCols.contains(f.name) }
   private val dataSchema = StructType(dataFields.map(_._1))
   private val dataIdx = dataFields.map(_._2)
-  private val open = scala.collection.mutable.LinkedHashMap
-    .empty[Seq[String], (ParquetWriter[InternalRow], String)]
+  // access-ORDERED so the cap evicts the least-recently-written
+  // partition; finished (evicted) files accumulate in `done` — a
+  // re-appearing partition simply opens a FRESH file (the manifest
+  // happily records several files per partition per task), so a
+  // high-fan-out batch is bounded at maxOpenPartitions writer
+  // buffers instead of one per distinct partition value
+  private val open = new java.util.LinkedHashMap[
+    Seq[String], (ParquetWriter[InternalRow], String)](16, 0.75f, true)
+  private val done =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
   private var closed = false
 
-  private def writerFor(vals: Seq[String]): ParquetWriter[InternalRow] =
-    open.getOrElseUpdate(vals, {
+  private def writerFor(vals: Seq[String]): ParquetWriter[InternalRow] = {
+    val cached = open.get(vals)
+    if (cached != null) return cached._1
+    if (open.size >= maxOpenPartitions) {
+      val eldest = open.entrySet().iterator().next()
+      eldest.getValue._1.close()
+      done += ((eldest.getValue._2, eldest.getKey))
+      open.remove(eldest.getKey)
+      ()
+    }
+    val fresh = {
       val dir = partCols.zip(vals).map { case (c, v) =>
         s"$c=" + (if (v == null) HiveNullPart
         else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -232,7 +259,10 @@ private[sql] final class TableLogPartitionedRowWriter(
         .withCompressionCodec(CompressionCodecName.valueOf(codecName))
         .build()
       (w, name)
-    })._1
+    }
+    open.put(vals, fresh)
+    fresh._1
+  }
 
   override def write(row: InternalRow): Unit = {
     val vals: Seq[String] = partIdx.map { i =>
@@ -248,18 +278,27 @@ private[sql] final class TableLogPartitionedRowWriter(
     writerFor(vals).write(proj)
   }
 
+  private def allFiles: Seq[(String, Seq[String])] = {
+    val stillOpen = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(open.entrySet().iterator()).asScala
+      .map(e => (e.getValue._2, e.getKey)).toSeq
+    (done ++ stillOpen).toSeq
+  }
+
   override def commit(): WriterCommitMessage = {
-    open.values.foreach(_._1.close())
+    scala.jdk.CollectionConverters
+      .IteratorHasAsScala(open.values().iterator()).asScala
+      .foreach(_._1.close())
     closed = true
-    TableLogPartFilesMessage(open.map { case (vals, (_, name)) =>
+    TableLogPartFilesMessage(allFiles.map { case (name, vals) =>
       name -> vals.map(v => if (v == null) HiveNullPart else v)
-    }.toSeq)
+    })
   }
 
   override def abort(): Unit = {
     close()
     val f = new Path(dataDir).getFileSystem(conf)
-    open.values.foreach { case (_, name) =>
+    allFiles.foreach { case (name, _) =>
       try { f.delete(new Path(dataDir, name), false); () }
       catch { case scala.util.control.NonFatal(_) => () }
     }
@@ -267,10 +306,12 @@ private[sql] final class TableLogPartitionedRowWriter(
 
   override def close(): Unit =
     if (!closed) {
-      open.values.foreach { case (w, _) =>
-        try w.close()
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
+      scala.jdk.CollectionConverters
+        .IteratorHasAsScala(open.values().iterator()).asScala
+        .foreach { case (w, _) =>
+          try w.close()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
       closed = true
     }
 }

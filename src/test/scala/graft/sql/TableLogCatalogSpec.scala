@@ -744,7 +744,37 @@ class TableLogCatalogSpec extends GraftSparkSpec {
     assert(snap.files.forall(n => n.startsWith("lang=")),
       s"hive layout expected, got ${snap.files.take(3)}")
   }
+  test("partitioned writer cap: high fan-out batches bound open writers, content exact") {
+    TableLogSql.register(spark)
+    val src = freshPath("graft-spec-tlsql-cap-src")
+    val dst = freshPath("graft-spec-tlsql-cap-dst")
+    val ckpt = freshPath("graft-spec-tlsql-cap-ckpt")
+    // 12 partition values interleaved so every task cycles through
+    // far more partitions than the cap of 2
+    val base = (0L until 600L).map(i => (i, i, s"p${i % 12L}"))
+      .toDF("id", "w", "lang")
+    TableLog.create(spark, src, base)
+    spark.sql(s"CREATE TABLE tablelog.`$dst` (id BIGINT, w BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    spark.conf.set("spark.graft.tablelog.maxOpenPartitionWriters", "2")
+    try {
+      val q = spark.readStream.option("fromVersion", "0")
+        .table(s"tablelog.`$src`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .toTable(s"tablelog.`$dst`")
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.unset("spark.graft.tablelog.maxOpenPartitionWriters")
+    assert(rows(spark.sql(s"SELECT id, w, lang FROM tablelog.`$dst`")) ===
+      rows(base), "LRU eviction must lose no rows")
+    val snap = TableLog.snapshot(spark, dst)
+    assert(snap.files.forall(snap.parts.contains),
+      "every evicted and still-open file carries its partition record")
+    // the cap really bit: more files than partitions (re-opened ones)
+    assert(snap.files.size > 12,
+      s"expected evict-and-reopen to split files, got ${snap.files.size}")
+  }
 }
+
 
 
 
