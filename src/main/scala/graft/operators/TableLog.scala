@@ -883,17 +883,34 @@ object TableLog {
     * zero rows means zero execution). Unanalyzable columns report
     * false — the caller takes the single-evaluation path and the real
     * analysis error surfaces at use.
+    *
+    * Current-time expressions (`current_timestamp()`, `now()`,
+    * `current_date()`, ...) REPORT deterministic — they are, within
+    * one query, because ComputeCurrentTime stamps them per-query. But
+    * the callers here run DISCOVERY and REWRITE as separate queries,
+    * each stamped with its own clock, so a time-relative predicate
+    * could match a different row set in the rewrite than discovery
+    * found. Classify them non-deterministic: they take the
+    * single-evaluation (localCheckpoint) path, where the predicate is
+    * evaluated exactly once.
     */
-  private def allDeterministic(
+  private[operators] def allDeterministic(
       spark: SparkSession, shape: org.apache.spark.sql.types.StructType,
       cols: Seq[Column]): Boolean =
     cols.isEmpty || {
+      import org.apache.spark.sql.catalyst.expressions.{
+        CurrentDate, CurrentTimestamp, CurrentTimeZone, LocalTimestamp, Now}
       val frame = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
       cols.forall { c =>
-        try frame.select(c).queryExecution.analyzed.expressions
-          .forall(_.deterministic)
-        catch { case scala.util.control.NonFatal(_) => false }
+        try {
+          val exprs = frame.select(c).queryExecution.analyzed.expressions
+          exprs.forall(_.deterministic) && !exprs.exists(_.exists {
+            case _: CurrentTimestamp | _: CurrentDate | _: Now |
+                 _: LocalTimestamp | _: CurrentTimeZone => true
+            case _ => false
+          })
+        } catch { case scala.util.control.NonFatal(_) => false }
       }
     }
 
@@ -1264,9 +1281,20 @@ object TableLog {
       val cur = readManifestFull(spark, path, v)
       val base = cur.schema.orElse(
         Some(readFiles(spark, path, cur, cur.files).schema))
+      // a zero-row batch still emits one empty parquet part file, so
+      // the empty-file-list guard in commitTryFull alone never fires:
+      // enforce the all-rows-delete refusal on the HARVESTED row
+      // counts (checked post-write — the batch is evaluated exactly
+      // once; the staged files become age-gated vacuum orphans)
+      def requireRows(stats: Map[String, Map[String, ColBound]]): Unit =
+        require(stats.valuesIterator
+          .flatMap(_.get(RowsKey)).map(_.min.toLong).sum > 0L,
+          "TableLog.overwrite: refusing an EMPTY overwrite (an all-rows " +
+            "delete; use deleteWhere or drop the table instead)")
       if (cur.partCols.isEmpty) {
         val merged = mergedSchema(base, df.schema)
         val (names, stats) = writeDataFiles(spark, path, df)
+        requireRows(stats)
         val nv = commitFull(spark, path, v + 1, cur.copy(
           tag = None, files = names, stats = stats, schema = Some(merged)))
         maybeWriteChanges(spark, path, v, nv)
@@ -1275,6 +1303,7 @@ object TableLog {
         val merged = mergedSchema(base, partitionedSchema(df, cur.partCols))
         val (names, stats, parts) =
           writeDataFilesPartitioned(spark, path, df, cur.partCols)
+        requireRows(stats)
         val nv = commitFull(spark, path, v + 1, cur.copy(
           tag = None, files = names, stats = stats, schema = Some(merged),
           parts = parts))
@@ -2733,12 +2762,13 @@ object TableLog {
         val (names, _) = writeDataFiles(spark, p, df)
         (p, names, df.schema)
       }
-      writeTxnIntent(spark, first, txnId, staged)
+      writeTxnIntent(spark, txnId, staged)
       val versions = staged.map { case (p, names, schema) =>
         commitStagedOptimistic(spark, p, names, schema, s"txn-$txnId")
       }
-      val f = fs(spark, first)
-      f.delete(txnIntentPath(first, txnId), false)
+      staged.foreach { case (p, _, _) =>
+        fs(spark, p).delete(txnIntentPath(p, txnId), false)
+      }
       // return versions in the CALLER's table order
       val byPath = staged.map(_._1).zip(versions).toMap
       appends.map { case (p, _) => byPath(p) }
@@ -2748,11 +2778,24 @@ object TableLog {
   private def txnIntentPath(first: String, id: String) =
     new Path(logDir(first), s"_txn_$id.json")
 
+  /** Publish the write-ahead intent at EVERY participant's `_log/`
+    * (identical full body — each copy alone can roll the whole
+    * transaction forward). Mirroring is what makes [[vacuum]] at ANY
+    * participant able to see (and heal) a crashed transaction that
+    * staged files into its table: with a single-anchor intent, a
+    * vacuum at a non-first participant could not know the aged staged
+    * files were spoken for. The LAST copy written is the one at the
+    * lexicographically first participant — the commit point: after it
+    * the transaction always completes; a crash while mirroring leaves
+    * earlier copies, and rolling those forward is equally
+    * all-or-nothing (the body is complete in every copy), so recovery
+    * from a partial mirror simply moves the effective commit point to
+    * the first surviving copy.
+    */
   private def writeTxnIntent(
-      spark: SparkSession, first: String, id: String,
+      spark: SparkSession, id: String,
       staged: Seq[(String, Seq[String], org.apache.spark.sql.types.StructType)])
       : Unit = {
-    val f = fs(spark, first)
     val body = JsonMethods.compact(JsonMethods.render(JObject(List(
       "txn" -> (JString(id): JValue),
       "tables" -> (JArray(staged.map { case (p, names, schema) =>
@@ -2761,37 +2804,48 @@ object TableLog {
           "files" -> (JArray(names.map(JString(_): JValue).toList): JValue),
           "schema" -> (JString(schema.json): JValue))): JValue
       }.toList): JValue)))))
-    f.mkdirs(logDir(first))
-    val tmp = new Path(logDir(first),
-      s"_tmp_txn_${java.util.UUID.randomUUID()}.json")
-    val out = f.create(tmp, true)
-    out.write(body.getBytes(UTF_8))
-    out.close()
-    require(f.rename(tmp, txnIntentPath(first, id)),
-      "TableLog.transaction: intent publish failed")
+    // staged is already sorted; write mirrors in REVERSE order so the
+    // first participant's copy publishes last
+    staged.map(_._1).reverse.foreach { p =>
+      val f = fs(spark, p)
+      f.mkdirs(logDir(p))
+      val tmp = new Path(logDir(p),
+        s"_tmp_txn_${java.util.UUID.randomUUID()}.json")
+      val out = f.create(tmp, true)
+      out.write(body.getBytes(UTF_8))
+      out.close()
+      require(f.rename(tmp, txnIntentPath(p, id)),
+        "TableLog.transaction: intent publish failed")
+    }
   }
 
-  /** Complete (roll forward) every pending transaction intent
-    * anchored at `first` — idempotent: already-committed participants
-    * are recognized by their `txn-<id>` tag and skipped; the rest
-    * commit from their (already staged) files. Safe to call any time;
-    * [[transaction]] calls it on entry.
+  /** Pending transaction intents mirrored at `path`'s `_log/`, parsed
+    * strictly: a missing or empty participant path, schema, or txn id
+    * fails loudly (a corrupt intent must never roll forward against
+    * filesystem root or skip a participant silently).
     */
-  def recoverTransactions(spark: SparkSession, first: String): Int = {
-    val f = fs(spark, first)
-    if (!f.exists(logDir(first))) return 0
-    val intents = f.listStatus(logDir(first)).toSeq.map(_.getPath)
+  private def pendingIntents(spark: SparkSession, path: String)
+      : Seq[(Path, String, Seq[(String, Seq[String],
+        org.apache.spark.sql.types.StructType)])] = {
+    val f = fs(spark, path)
+    if (!f.exists(logDir(path))) return Nil
+    val intents = f.listStatus(logDir(path)).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("_txn_") && p.getName.endsWith(".json"))
-    intents.foreach { ip =>
-      val j = JsonMethods.parse(readSmallFile(spark, first, ip))
+    intents.map { ip =>
+      val j = JsonMethods.parse(readSmallFile(spark, path, ip))
       val id = j \ "txn" match {
-        case JString(s) => s
+        case JString(s) if s.nonEmpty => s
         case _ => throw new IllegalStateException(
           s"TableLog: unparseable transaction intent $ip")
       }
       val tables = j \ "tables" match {
         case JArray(ts) => ts.map { t =>
-          val p = t \ "path" match { case JString(s) => s; case _ => "" }
+          val p = t \ "path" match {
+            case JString(s) if s.nonEmpty => s
+            case _ => throw new IllegalStateException(
+              s"TableLog: intent $ip has a participant with a missing or " +
+                "empty path — refusing to recover a corrupt intent")
+          }
           val names = t \ "files" match {
             case JArray(vs) => vs.collect { case JString(s) => s }
             case _ => Nil
@@ -2806,11 +2860,31 @@ object TableLog {
         }
         case _ => Nil
       }
+      (ip, id, tables)
+    }
+  }
+
+  /** Complete (roll forward) every pending transaction intent
+    * mirrored at `first` — idempotent: already-committed participants
+    * are recognized by their `txn-<id>` tag and skipped; the rest
+    * commit from their (already staged) files. The intent's mirror
+    * copies at EVERY participant are deleted after the roll-forward,
+    * so a later recovery anywhere finds nothing. Safe to call any
+    * time; [[transaction]] calls it on entry and [[vacuum]] calls it
+    * before computing its unreferenced set (an aged crashed
+    * transaction's staged files become referenced instead of swept).
+    */
+  def recoverTransactions(spark: SparkSession, first: String): Int = {
+    val intents = pendingIntents(spark, first)
+    intents.foreach { case (ip, id, tables) =>
       tables.foreach { case (p, names, schema) =>
         commitStagedOptimistic(spark, p, names, schema, s"txn-$id")
         ()
       }
-      f.delete(ip, false)
+      tables.foreach { case (p, _, _) =>
+        fs(spark, p).delete(txnIntentPath(p, id), false)
+      }
+      fs(spark, first).delete(ip, false)
     }
     intents.size
   }
@@ -3081,13 +3155,27 @@ object TableLog {
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Unit =
     withLock(spark, path, "vacuum") {
       require(keepVersions >= 1, "TableLog.vacuum: must keep at least the latest")
+      // Crash-safe for multi-table TRANSACTIONS: a crashed
+      // [[transaction]]'s staged files are legitimately OLD (the one
+      // window the retention horizon cannot close), so roll forward
+      // every pending intent mirrored at this table's `_log/` FIRST
+      // (intents mirror to every participant precisely so a vacuum
+      // anywhere can see them) — the staged files become referenced.
+      // Without this, recovery after the sweep would commit manifests
+      // pointing at deleted data.
+      recoverTransactions(spark, path)
       val retentionMs = spark.conf
         .get("spark.graft.tablelog.retentionMs", "600000").toLong
       val horizon = System.currentTimeMillis() - retentionMs
       val f = fs(spark, path)
       val vs = versions(spark, path)
       val keep = vs.takeRight(keepVersions)
-      val referenced = keep.flatMap(readManifest(spark, path, _)).toSet
+      // belt and braces: names staged into THIS table by any intent
+      // that somehow survived recovery stay referenced
+      val intentPinned = pendingIntents(spark, path).flatMap(_._3)
+        .filter(_._1 == path).flatMap(_._2).toSet
+      val referenced =
+        keep.flatMap(readManifest(spark, path, _)).toSet ++ intentPinned
       // 0. checkpoint the full log state BEFORE dropping manifests: a
       // replayed batch whose version was vacuumed must still be
       // recognized as committed (exactly-once survives retention),

@@ -324,11 +324,24 @@ private[graft] class TableLogTable(
           }
         // writeStream.toTable: epoch-committed exactly-once appends
         // (see TableLogStreamingWrite); the queryId in the tag is the
-        // STABLE streaming query id, so restarts replay idempotently
+        // STABLE streaming query id, so restarts replay idempotently.
+        // Only APPEND mode streams: the table advertises TRUNCATE for
+        // batch INSERT OVERWRITE, so a complete-mode streaming
+        // aggregation passes Spark's capability check and calls
+        // truncate() on this builder — appending those epochs would
+        // silently accumulate duplicate full snapshots. Fail loudly
+        // instead.
         override def toStreaming: org.apache.spark.sql.connector.write
-            .streaming.StreamingWrite =
+            .streaming.StreamingWrite = {
+          if (mode != "append")
+            throw new UnsupportedOperationException(
+              "TableLogCatalog: streaming writes support only APPEND " +
+                s"output mode (got a $mode streaming write — a " +
+                "complete/update-mode aggregation would re-append every " +
+                "epoch's full snapshot)")
           new TableLogStreamingWrite(path, info.queryId(), info.schema(),
             snap.partCols)
+        }
         // INSERT OVERWRITE under partitionOverwriteMode=dynamic has
         // NO V1 fallback in Spark — a real V2 BatchWrite routes rows
         // into their hive dirs on the executors and the driver

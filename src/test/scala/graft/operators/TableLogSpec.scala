@@ -931,6 +931,111 @@ class TableLogSpec extends GraftSparkSpec {
     assert(TableLog.read(spark, pB).count() === 60L)
     assert(TableLog.versions(spark, pA).size === 3, "append v2, txn v3")
   }
+  test("vacuum heals an AGED crashed transaction instead of sweeping its staged files") {
+    // the one window the retention horizon cannot close: a crashed
+    // transaction's staged files are legitimately OLD. Run the race
+    // at BOTH the first participant and a non-first one (the intent
+    // mirrors to every participant so either vacuum can see it).
+    Seq(true, false).foreach { vacuumAtFirst =>
+      val tag = if (vacuumAtFirst) "f" else "o"
+      val pA = freshPath(s"graft-spec-tlog-txnvac-$tag-a")
+      val pB = freshPath(s"graft-spec-tlog-txnvac-$tag-b")
+      TableLog.create(spark, pA, (0L until 40L).map(i => (i, i)).toDF("id", "w"))
+      TableLog.create(spark, pB, (0L until 30L).map(i => (i, i)).toDF("id", "n"))
+      val first = Seq(pA, pB).min
+      val other = Seq(pA, pB).max
+      // crash BEFORE any participant commits: intent published, zero
+      // tables advanced — the pure roll-forward case
+      TableLog.testPreCommit.put(first,
+        () => throw new RuntimeException("injected crash after intent"))
+      val e = intercept[RuntimeException] {
+        TableLog.transaction(spark, Seq(
+          pA -> (100L until 120L).map(i => (i, i)).toDF("id", "w"),
+          pB -> (100L until 115L).map(i => (i, i)).toDF("id", "n")))
+      }
+      assert(e.getMessage.contains("injected crash"))
+      assert(TableLog.read(spark, pA).count() === 40L, "nothing committed yet")
+      assert(TableLog.read(spark, pB).count() === 30L)
+      val fsys = new org.apache.hadoop.fs.Path(pA)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(pA, pB).foreach { p =>
+        assert(fsys.listStatus(new org.apache.hadoop.fs.Path(s"$p/_log"))
+          .exists(_.getPath.getName.startsWith("_txn_")),
+          s"intent must be mirrored at $p")
+      }
+      // retention 0 ages the staged files; vacuum must roll the
+      // transaction forward, not sweep them
+      spark.conf.set("spark.graft.tablelog.retentionMs", "0")
+      try TableLog.vacuum(spark,
+        if (vacuumAtFirst) first else other, keepVersions = 1)
+      finally spark.conf.unset("spark.graft.tablelog.retentionMs")
+      // all-or-nothing: BOTH tables carry the batch and read cleanly
+      // (a sweep of the staged files would throw FileNotFound here)
+      assert(TableLog.read(spark, pA).count() === 60L,
+        s"vacuumAtFirst=$vacuumAtFirst: A healed")
+      assert(TableLog.read(spark, pB).count() === 45L,
+        s"vacuumAtFirst=$vacuumAtFirst: B healed")
+      // nothing pending anywhere
+      assert(TableLog.recoverTransactions(spark, first) === 0)
+      assert(TableLog.recoverTransactions(spark, other) === 0)
+    }
+  }
+  test("a corrupt transaction intent (missing participant path) refuses recovery loudly") {
+    val p = freshPath("graft-spec-tlog-txncorrupt")
+    TableLog.create(spark, p, Seq((1L, 1L)).toDF("id", "w"))
+    val fsys = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+      .replace("\"", "\\\"")
+    val body =
+      s"""{"txn":"deadbeef","tables":[{"files":["x.parquet"],"schema":"$schemaJson"}]}"""
+    val out = fsys.create(
+      new org.apache.hadoop.fs.Path(s"$p/_log/_txn_deadbeef.json"), true)
+    out.write(body.getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalStateException] {
+      TableLog.recoverTransactions(spark, p)
+    }
+    assert(e.getMessage.contains("missing or empty path"))
+    assert(fsys.delete(
+      new org.apache.hadoop.fs.Path(s"$p/_log/_txn_deadbeef.json"), false))
+  }
+  test("an empty overwrite is refused — never a silent all-rows delete") {
+    val path = freshPath("graft-spec-tlog-emptyovw")
+    TableLog.create(spark, path, (0L until 10L).map(i => (i, i)).toDF("id", "w"))
+    val e = intercept[IllegalArgumentException] {
+      TableLog.overwrite(spark, path,
+        (0L until 10L).map(i => (i, i)).toDF("id", "w").where(lit(false)))
+    }
+    assert(e.getMessage.contains("EMPTY overwrite"))
+    assert(TableLog.read(spark, path).count() === 10L, "table unchanged")
+
+    val p2 = freshPath("graft-spec-tlog-emptyovwp")
+    TableLog.createPartitioned(spark, p2,
+      (0L until 9L).map(i => (i, Seq("a", "b", "c")((i % 3L).toInt)))
+        .toDF("id", "g").repartition(1), Seq("g"))
+    intercept[IllegalArgumentException] {
+      TableLog.overwrite(spark, p2,
+        Seq((1L, "a")).toDF("id", "g").where(lit(false)))
+    }
+    assert(TableLog.read(spark, p2).count() === 9L, "partitioned table unchanged")
+  }
+  test("current-time expressions classify NON-deterministic for two-pass mutators") {
+    val shape = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    assert(TableLog.allDeterministic(spark, shape, Seq(col("id") + 1L)),
+      "plain arithmetic stays deterministic")
+    // ComputeCurrentTime stamps these per-QUERY; discovery and rewrite
+    // run as separate queries, so they must take the one-eval path
+    assert(!TableLog.allDeterministic(spark, shape, Seq(current_timestamp())))
+    assert(!TableLog.allDeterministic(spark, shape, Seq(current_date())))
+    assert(!TableLog.allDeterministic(spark, shape,
+      Seq(expr("now() > timestamp'2020-01-01'"))))
+    assert(!TableLog.allDeterministic(spark, shape, Seq(rand() > 0.5)))
+  }
   test("materialized CDC on a PARTITIONED table: xor-equal to the diff chain") {
     val path = freshPath("graft-spec-tlog-cdcpart")
     spark.conf.set("spark.graft.tablelog.writeChangeFiles", "true")

@@ -595,6 +595,33 @@ class TableLogCatalogSpec extends GraftSparkSpec {
         .toDF("id", "w")))
   }
 
+  test("complete-mode writeStream.toTable fails loudly — never silent snapshot re-appends") {
+    // the table advertises TRUNCATE (for batch INSERT OVERWRITE), so a
+    // complete-mode streaming aggregation passes Spark's capability
+    // check; the write itself must refuse non-append streaming modes
+    // instead of appending every epoch's full snapshot
+    TableLogSql.register(spark)
+    val dst = freshPath("graft-spec-tlsql-complete-dst")
+    val ckpt = freshPath("graft-spec-tlsql-complete-ckpt")
+    TableLog.create(spark, dst, Seq((0L, 1L)).toDF("g", "count"))
+    val agg = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .selectExpr("value % 2 AS g").groupBy("g").count()
+    val e = intercept[Exception] {
+      val q = agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .toTable(s"tablelog.`$dst`")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("only APPEND")),
+      s"want the loud refusal, got: ${chain(e).mkString(" | ")}")
+    // nothing landed: the seeded row is still the whole table
+    assert(spark.sql(s"SELECT count(*) AS n FROM tablelog.`$dst`")
+      .collect().head.getLong(0) === 1L)
+  }
+
   test("manifest-served GROUP BY partition column: hive null sentinel maps to NULL") {
     TableLogSql.register(spark)
     val path = freshPath("graft-spec-tlsql-nullpart")
