@@ -160,14 +160,55 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","slowest":$slowest,"queries":$qs,"spread":$spreads,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Box calibration: a deterministic CPU-bound probe (fixed-work
+    // integer mixing, single-threaded and across all cores) timed on
+    // THIS box in THIS run — the denominator that makes cross-round
+    // artifact drift machine-attributable without a manual worktree
+    // A/B (rounds 13→14 inflated ~+28%/query uniformly across
+    // untouched subtrees; two rounds of A/B adjudication later, the
+    // verdict asked the bench to self-adjudicate). Compare
+    // BENCH_rN.calibration to BENCH_rM.calibration before reading
+    // anything into a total delta.
+    val calibration = {
+      def mixWork(iters: Long): Long = {
+        var x = 0x9e3779b97f4a7c15L
+        var i = 0L
+        while (i < iters) {
+          x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+          x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+          x += i
+          i += 1
+        }
+        x
+      }
+      mixWork(1000000L) // JIT warm
+      val t1 = System.nanoTime()
+      val sink1 = mixWork(400000000L)
+      val single = (System.nanoTime() - t1) / 1e9
+      val cores = Runtime.getRuntime.availableProcessors()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(cores)
+      val t2 = System.nanoTime()
+      val fs2 = (1 to cores).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Long] {
+          override def call(): Long = mixWork(400000000L)
+        }))
+      val sink2 = fs2.map(_.get()).sum
+      val all = (System.nanoTime() - t2) / 1e9
+      pool.shutdown()
+      if (sink1 + sink2 == 42L) System.err.println("") // keep the work live
+      String.format(java.util.Locale.ROOT,
+        """{"single_thread_sec":%.3f,"all_cores_sec":%.3f,"cores":%d}""",
+        java.lang.Double.valueOf(single), java.lang.Double.valueOf(all),
+        Integer.valueOf(cores))
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"slowest":$slowest,"queries":$qs,"spread":$spreads,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}""")
     // The driver records only the LAST 2000 chars of stdout and parses
     // what it captured (BENCH_r10/r11 both landed "parsed": null because
     // the full per-query line overflows that window and the captured
     // slice starts mid-JSON). Repeat the compact summary — total,
     // slowest-10, failed, passes — as the FINAL line: ~400 chars, so it
     // always survives tail truncation intact and parses standalone.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","slowest":$slowest,"passes":$passes,"failed":$failedJson,"sf":"$sfDir","note":"summary; full per-query map on the previous line"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"slowest":$slowest,"passes":$passes,"failed":$failedJson,"sf":"$sfDir","note":"summary; full per-query map on the previous line"}""")
     spark.stop()
   }
 }

@@ -74,7 +74,11 @@ object TableLog {
     * ones). `partCols` + `parts` (per-file partition VALUES, aligned
     * with partCols) are the Iceberg-style partition record: equality
     * pruning decides from the manifest, the hive directory layout
-    * lets one Spark scan recover the columns.
+    * lets one Spark scan recover the columns. `dvs` maps a data file
+    * to the DELETION-VECTOR sidecar dirs (names under `_dv/`) whose
+    * positions are dead in it — merge-on-read deletes: the file's
+    * bytes are untouched, readers anti-join the positions out, and
+    * any rewrite of the file FOLDS its vectors in and drops the entry.
     */
   private final case class Manifest(
       tag: Option[String],
@@ -83,13 +87,15 @@ object TableLog {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       partCols: Seq[String] = Nil,
       parts: Map[String, Seq[String]] = Map.empty,
-      ts: Option[Long] = None)
+      ts: Option[Long] = None,
+      dvs: Map[String, Seq[String]] = Map.empty)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def logDir(path: String) = new Path(s"$path/_log")
   private def dataDir(path: String) = new Path(s"$path/data")
   private def changesDir(path: String) = new Path(s"$path/_changes")
+  private def dvDir(path: String) = new Path(s"$path/_dv")
   private def changePath(path: String, v: Long) =
     new Path(changesDir(path), f"v$v%07d")
   private def manifestPath(path: String, v: Long) =
@@ -226,7 +232,16 @@ object TableLog {
           case JInt(n) => Some(n.toLong)
           case _ => None
         }
-        Manifest(tag, files, stats, schema, partCols, parts, ts)
+        val dvs = o \ "dvs" match {
+          case JObject(byFile) => byFile.map { case (fname, ds) =>
+            fname -> (ds match {
+              case JArray(vs) => vs.collect { case JString(s) => s }
+              case _ => Nil
+            })
+          }.toMap
+          case _ => Map.empty[String, Seq[String]]
+        }
+        Manifest(tag, files, stats, schema, partCols, parts, ts, dvs)
       case other =>
         throw new IllegalStateException(s"TableLog: unparseable manifest: $other")
     }
@@ -245,11 +260,18 @@ object TableLog {
         "parts" -> (JObject(m.parts.toList.sortBy(_._1).map { case (f, vs) =>
           f -> (JArray(vs.map(JString(_): JValue).toList): JValue)
         }): JValue))
+    val dvFields: List[(String, JValue)] = {
+      val live = m.dvs.filter(_._2.nonEmpty)
+      if (live.isEmpty) Nil
+      else List("dvs" -> (JObject(live.toList.sortBy(_._1).map { case (f, ds) =>
+        f -> (JArray(ds.map(JString(_): JValue).toList): JValue)
+      }): JValue))
+    }
     val fields: List[(String, JValue)] =
       m.tag.map(t => "tag" -> (JString(t): JValue)).toList ++
         m.ts.map(t => "ts" -> (JInt(t): JValue)).toList ++
         m.schema.map(s => "schema" -> (JString(s.json): JValue)).toList ++
-        partsFields :+
+        partsFields ++ dvFields :+
         ("files" -> (filesJ: JValue)) :+ ("stats" -> (statsJ: JValue))
     JsonMethods.compact(JsonMethods.render(JObject(fields)))
   }
@@ -380,8 +402,10 @@ object TableLog {
     val known = m.files
       .flatMap(n => m.stats.get(n).flatMap(_.get(RowsKey)))
       .map(_.min.toLong)
-    if (known.size == m.files.size) known.sum
-    else readFiles(spark, path, m, m.files).count()
+    // logical rows: deletion-vector positions are dead
+    if (known.size == m.files.size)
+      known.sum - m.files.map(dvRowsOf(m, _)).sum
+    else readFilesDv(spark, path, m, m.files).count()
   }
 
   /** Checkpoint the full log state as of version `v`: built
@@ -554,6 +578,48 @@ object TableLog {
     }
   }
 
+  /** Reference CONDITIONAL-PUT implementation of the seam — the shape
+    * an object-store deployment plugs in (`If-None-Match: *` on
+    * S3/GCS/ABFS): the manifest bytes are PUT directly at `dest`,
+    * create-if-absent, and losing the condition means some other
+    * driver's bytes already won — never a rename. Against a real
+    * object store the createFile(dest).create() call maps 1:1 to the
+    * conditional PUT (the store's own atomicity replaces the guard);
+    * this local implementation keeps the per-(table,version) JVM
+    * monitor because POSIX create-exclusive through the Hadoop
+    * LocalFileSystem is a non-atomic exists+create pair — the contract
+    * under test is the PUT-not-rename write path and the lose-on-
+    * existing answer, which the two-driver clobber spec pins.
+    * Select with
+    * `spark.graft.tablelog.commitProtocol=
+    * graft.operators.TableLog$ConditionalPutCommitProtocol$`.
+    */
+  object ConditionalPutCommitProtocol extends CommitProtocol {
+    override def publish(fs: org.apache.hadoop.fs.FileSystem, tmp: Path,
+        dest: Path, guard: Object): Boolean = {
+      val body =
+        try {
+          val in = fs.open(tmp)
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            out.toByteArray
+          } finally in.close()
+        } finally { fs.delete(tmp, false); () }
+      guard.synchronized {
+        if (fs.exists(dest)) false
+        else {
+          // the conditional PUT: create-if-absent, bytes in one call
+          val out = fs.create(dest, false)
+          try out.write(body) finally out.close()
+          true
+        }
+      }
+    }
+  }
+
   private val protocolCache =
     new java.util.concurrent.ConcurrentHashMap[String, CommitProtocol]()
 
@@ -670,15 +736,33 @@ object TableLog {
     */
   val RowsKey = "#rows"
 
+  /** The writer knob that makes parquet FOOTER string stats inexact.
+    * parquet-format 2.10 defines is_min/max_value_exact flags, but the
+    * parquet-mr this Spark bundles (1.16) neither writes nor reads
+    * them — footer-level truncation is driven PURELY by this key:
+    * unset (the default), an oversized binary stat is DROPPED
+    * wholesale (withinLimit/MAX_STATS_SIZE — our harvest then omits
+    * the bound: conservative), never truncated; set, longer values
+    * truncate to a prefix (min) / an incremented prefix (max). So
+    * "this write configured no truncation" IS the exactness proof.
+    */
+  private[operators] val StatsTruncateKey = "parquet.statistics.truncate.length"
+
   /** Min/max bounds per TOP-LEVEL primitive column from one parquet
     * file's footer — metadata IO only, merged across row groups — plus
     * the file row count under [[RowsKey]]. A column whose chunks lack
     * usable stats in any block is omitted (readers treat missing
-    * bounds as "cannot prune": conservative).
+    * bounds as "cannot prune": conservative). String bounds record
+    * kind "s" (EXACT — servable as a MIN/MAX answer) only when the
+    * write provably configured no footer-stat truncation
+    * (`stringExact`, see [[StatsTruncateKey]]); otherwise kind "t" —
+    * still a sound SUPERSET range for pruning (truncation widens the
+    * range), but never served as an aggregate answer.
     */
   private[operators] def footerBounds(
       hconf: org.apache.hadoop.conf.Configuration,
-      file: Path): Map[String, ColBound] = {
+      file: Path, stringExact: Boolean = true): Map[String, ColBound] = {
+    val exactCols = stringExact && hconf.get(StatsTruncateKey) == null
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hconf))
     try {
       val acc = scala.collection.mutable.Map.empty[String, ColBound]
@@ -714,7 +798,7 @@ object TableLog {
             case PrimitiveTypeName.BINARY
                 if pt.getLogicalTypeAnnotation ==
                   LogicalTypeAnnotation.stringType() =>
-              Some(ColBound("s",
+              Some(ColBound(if (exactCols) "s" else "t",
                 st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
                 st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8))
             case _ => None
@@ -741,6 +825,16 @@ object TableLog {
     * changes; real column names can't collide, '#' is reserved).
     */
   def nullsKey(col: String): String = s"#nulls:$col"
+
+  /** Stats-map key carrying the file's DELETED-ROW count (positions in
+    * its deletion vectors): logical rows = [[RowsKey]] − this. Rides
+    * as a degenerate `ColBound` like [[RowsKey]]. Files without
+    * vectors simply lack the key.
+    */
+  val DvRowsKey = "#dvrows"
+
+  private def dvRowsOf(m: Manifest, n: String): Long =
+    m.stats.get(n).flatMap(_.get(DvRowsKey)).map(_.min.toLong).getOrElse(0L)
 
   /** String bounds compare in UTF-8 unsigned-byte order — the order
     * parquet footer min/max and Spark's UTF8String comparisons use.
@@ -769,7 +863,10 @@ object TableLog {
     case "d" => ColBound("d",
       math.min(a.min.toDouble, b.min.toDouble).toString,
       math.max(a.max.toDouble, b.max.toDouble).toString)
-    case _ => ColBound("s",
+    case _ => ColBound(
+      // "t" (possibly truncated) taints: the merge is exact only when
+      // both sides are
+      if (a.kind == "s" && b.kind == "s") "s" else "t",
       if (utf8Compare(a.min, b.min) <= 0) a.min else b.min,
       if (utf8Compare(a.max, b.max) >= 0) a.max else b.max)
   }
@@ -809,7 +906,12 @@ object TableLog {
         s"TableLog: could not stage data file $n")
       subdir.map(d => s"$d/$n").getOrElse(n)
     }
-    val stats = harvestStats(spark, path, names)
+    // string bounds are exact iff THIS write configured no footer-stat
+    // truncation (the option would ride into the write job's hadoop
+    // conf, invisible to the harvest conf)
+    val stats = harvestStats(spark, path, names,
+      stringExact = !writerOptions.keys.exists(
+        _.equalsIgnoreCase(StatsTruncateKey)))
     f.delete(scratch, true)
     (names, stats)
   }
@@ -830,12 +932,13 @@ object TableLog {
     * rendering stays on the driver.
     */
   private[operators] def harvestStats(
-      spark: SparkSession, path: String, names: Seq[String])
+      spark: SparkSession, path: String, names: Seq[String],
+      stringExact: Boolean = true)
       : Map[String, Map[String, ColBound]] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     if (names.size <= StatsJobThreshold)
       perFile(names) { n =>
-        n -> footerBounds(hconf, new Path(dataDir(path), n))
+        n -> footerBounds(hconf, new Path(dataDir(path), n), stringExact)
       }.toMap
     else {
       val dataDirStr = dataDir(path).toString
@@ -844,7 +947,8 @@ object TableLog {
       val slices =
         math.min(names.size, spark.sparkContext.defaultParallelism * 2)
       spark.sparkContext.parallelize(names, slices)
-        .map(n => n -> footerBounds(conf.value, new Path(dataDirStr, n)))
+        .map(n => n -> footerBounds(conf.value, new Path(dataDirStr, n),
+          stringExact))
         .collect().toMap
     }
   }
@@ -1160,7 +1264,7 @@ object TableLog {
     val pred = eq.map { case (c, want) => col(c) === lit(want) }
       .reduce(_ && _)
     if (kept.isEmpty) emptyFrame(spark, path, m)
-    else readFiles(spark, path, m, kept).where(pred)
+    else readFilesDv(spark, path, m, kept).where(pred)
   }
 
   /** OPTIMIZE one partition of a partitioned table — `OPTIMIZE WHERE
@@ -1203,9 +1307,11 @@ object TableLog {
         val untouchedSet = touched.toSet
         val untouched = m.files.filterNot(untouchedSet.contains)
         // all touched files share the partition's hive dir — reuse it
-        // verbatim (no re-escaping of partition values)
+        // verbatim (no re-escaping of partition values). Deletion
+        // vectors of the touched files FOLD into the rewrite (the
+        // DV-applied read) and their entries drop from the manifest.
         val subdir = touched.head.split('/').dropRight(1).mkString("/")
-        val clustered = readFiles(spark, path, m, touched)
+        val clustered = readFilesDv(spark, path, m, touched)
           .drop(m.partCols: _*)
           .repartitionByRange(numFiles, col(colName))
           .sortWithinPartitions(colName)
@@ -1217,7 +1323,8 @@ object TableLog {
           files = untouched ++ names,
           stats = m.stats.filterNot { case (k, _) =>
             untouchedSet.contains(k) } ++ stats,
-          parts = (m.parts -- touched) ++ names.map(_ -> vals).toMap)))
+          parts = (m.parts -- touched) ++ names.map(_ -> vals).toMap,
+          dvs = m.dvs -- touched)))
       }
     }
 
@@ -1240,7 +1347,7 @@ object TableLog {
       .reduce(_ && _) &&
       col(colName) >= lit(lower) && col(colName) <= lit(upper)
     if (kept.isEmpty) emptyFrame(spark, path, m)
-    else readFiles(spark, path, m, kept).where(pred)
+    else readFilesDv(spark, path, m, kept).where(pred)
   }
 
   /** Append rows as a new version (old files + new files). The batch
@@ -1261,8 +1368,9 @@ object TableLog {
       // stranding orphan files until vacuum
       val merged = mergedSchema(base, df.schema)
       val (names, stats) = writeDataFiles(spark, path, df)
-      commit(spark, path, v + 1, cur.files ++ names, cur.stats ++ stats,
-        schema = Some(merged))
+      commitFull(spark, path, v + 1, cur.copy(tag = None,
+        files = cur.files ++ names, stats = cur.stats ++ stats,
+        schema = Some(merged)))
     }
 
   /** INSERT OVERWRITE (truncate flavor): REPLACE the table's contents
@@ -1296,7 +1404,8 @@ object TableLog {
         val (names, stats) = writeDataFiles(spark, path, df)
         requireRows(stats)
         val nv = commitFull(spark, path, v + 1, cur.copy(
-          tag = None, files = names, stats = stats, schema = Some(merged)))
+          tag = None, files = names, stats = stats, schema = Some(merged),
+          dvs = Map.empty))
         maybeWriteChanges(spark, path, v, nv)
         nv
       } else {
@@ -1306,7 +1415,7 @@ object TableLog {
         requireRows(stats)
         val nv = commitFull(spark, path, v + 1, cur.copy(
           tag = None, files = names, stats = stats, schema = Some(merged),
-          parts = parts))
+          parts = parts, dvs = Map.empty))
         maybeWriteChanges(spark, path, v, nv)
         nv
       }
@@ -1344,7 +1453,7 @@ object TableLog {
         stats = cur.stats.filterNot { case (k, _) =>
           dropped.contains(k) } ++ stats,
         schema = Some(merged),
-        parts = (cur.parts -- dropped) ++ parts))
+        parts = (cur.parts -- dropped) ++ parts, dvs = cur.dvs -- dropped))
       maybeWriteChanges(spark, path, v, nv)
       nv
     }
@@ -1382,8 +1491,9 @@ object TableLog {
       val base = cur.schema.orElse(
         Some(readFiles(spark, path, cur, cur.files).schema))
       val merged = mergedSchema(base, df.schema)
-      if (commitTry(spark, path, v + 1, cur.files ++ names,
-        cur.stats ++ stats, None, Some(merged))) return v + 1
+      if (commitTryFull(spark, path, v + 1, cur.copy(tag = None,
+        files = cur.files ++ names, stats = cur.stats ++ stats,
+        schema = Some(merged)))) return v + 1
       attempt += 1
     }
     throw new IllegalStateException(
@@ -1446,6 +1556,81 @@ object TableLog {
       readFiles(spark, path, m, m.files.take(1)).where(lit(false))
   }
 
+  /** Is any of `names` carrying a deletion vector in `m`? */
+  private def anyDv(m: Manifest, names: Seq[String]): Boolean =
+    m.dvs.nonEmpty && names.exists(n => m.dvs.get(n).exists(_.nonEmpty))
+
+  /** The scan-side twin of [[relName]]: a file's data/-relative path
+    * from the `_metadata.file_path` column. Everything after the LAST
+    * `/data/` is the relative name — sound because hive components are
+    * `col=value` with slashes ESCAPED in values
+    * (ExternalCatalogUtils.escapePathName), so `/data/` cannot occur
+    * inside the relative part, and a table path containing `/data/`
+    * only adds EARLIER occurrences.
+    */
+  private def relNameCol(c: Column): Column =
+    substring_index(c, "/data/", -1)
+
+  /** One frame of (data/-relative file name, pos) over every DV
+    * sidecar dir referenced by `names` in `m` — the dead positions.
+    * Broadcast when the sidecar bytes are small (the common state
+    * between a point delete and the next OPTIMIZE); rows for files
+    * outside `names` (dirs are shared across files of one delete
+    * commit) are harmless: the anti-join keys on name+pos, so they
+    * match nothing.
+    */
+  private def dvPosFrame(
+      spark: SparkSession, path: String, m: Manifest,
+      names: Seq[String]): Option[DataFrame] = {
+    val dirs = names.flatMap(n => m.dvs.getOrElse(n, Nil)).distinct.sorted
+    if (dirs.isEmpty) None
+    else {
+      val f = fs(spark, path)
+      val paths = dirs.map(d => new Path(dvDir(path), d))
+      val bytes = paths.map(p => f.getContentSummary(p).getLength).sum
+      val df = spark.read.parquet(paths.map(_.toString): _*)
+      Some(if (bytes < 32L * 1024 * 1024) broadcast(df) else df)
+    }
+  }
+
+  /** [[readFiles]] with `m`'s deletion vectors APPLIED, keeping two
+    * service columns the mutators need: `_tl_file` (the scan's
+    * absolute file path) and `_tl_pos` (the row's position in its
+    * file). Dead positions leave via a broadcast anti-join on
+    * (data/-relative name, pos) — the manifest's own file namespace
+    * (basenames alone repeat across hive dirs: Spark's dynamic writer
+    * reuses part-NNNNN-<jobUuid> in every partition directory).
+    */
+  private def readFilesDvMeta(
+      spark: SparkSession, path: String, m: Manifest,
+      names: Seq[String]): DataFrame = {
+    val base = readFiles(spark, path, m, names)
+      .withColumn("_tl_file", col("_metadata.file_path"))
+      .withColumn("_tl_pos", col("_metadata.row_index"))
+    if (!anyDv(m, names)) base
+    else {
+      val dv = dvPosFrame(spark, path, m, names).get
+        .select(col("file").as("_tl_dvf"), col("pos").as("_tl_dvp"))
+      base
+        .withColumn("_tl_fname", relNameCol(col("_tl_file")))
+        .join(dv,
+          col("_tl_fname") === col("_tl_dvf") &&
+            col("_tl_pos") === col("_tl_dvp"),
+          "left_anti")
+        .drop("_tl_fname")
+    }
+  }
+
+  /** [[readFiles]] with deletion vectors applied — what every
+    * user-facing read serves. Tables without vectors take the plain
+    * scan (no metadata columns materialized, no join).
+    */
+  private def readFilesDv(
+      spark: SparkSession, path: String, m: Manifest,
+      names: Seq[String]): DataFrame =
+    if (!anyDv(m, names)) readFiles(spark, path, m, names)
+    else readFilesDvMeta(spark, path, m, names).drop("_tl_file", "_tl_pos")
+
   /** Read the table at `version` (default: latest). Hands Spark the
     * manifest's exact file list — no directory listing, orphans and
     * other versions' files invisible. A version below the vacuum
@@ -1456,7 +1641,7 @@ object TableLog {
       case Some(v) =>
         checkNotVacuumed(spark, path, v)
         val m = readManifestFull(spark, path, v)
-        readFiles(spark, path, m, m.files)
+        readFilesDv(spark, path, m, m.files)
       case None =>
         // latest read off a fresh checkpoint plans from the
         // checkpoint's EMBEDDED manifest: zero manifest reads
@@ -1467,7 +1652,7 @@ object TableLog {
           case Some(c) if c.version == v && c.manifest.isDefined => c.manifest.get
           case _ => readManifestFull(spark, path, v)
         }
-        readFiles(spark, path, m, m.files)
+        readFilesDv(spark, path, m, m.files)
     }
 
   /** Immutable view of one version's manifest for external planners
@@ -1483,7 +1668,13 @@ object TableLog {
       stats: Map[String, Map[String, ColBound]],
       schema: org.apache.spark.sql.types.StructType,
       partCols: Seq[String],
-      parts: Map[String, Seq[String]])
+      parts: Map[String, Seq[String]],
+      dvs: Map[String, Seq[String]] = Map.empty) {
+    /** Any live deletion vector? Planners must compensate (or refuse
+      * manifest-count shortcuts) when true.
+      */
+    def hasDvs: Boolean = dvs.exists(_._2.nonEmpty)
+  }
 
   def snapshot(
       spark: SparkSession, path: String,
@@ -1491,7 +1682,7 @@ object TableLog {
     def mk(v: Long, m: Manifest) = Snapshot(
       v, m.files, m.stats,
       m.schema.getOrElse(readFiles(spark, path, m, m.files).schema),
-      m.partCols, m.parts)
+      m.partCols, m.parts, m.dvs)
     version match {
       case Some(v) =>
         checkNotVacuumed(spark, path, v)
@@ -1596,7 +1787,7 @@ object TableLog {
     val kept = bandFiles(spark, path, colName, lower, upper, Some(v))
     val m = readManifestFull(spark, path, v)
     if (kept.isEmpty) emptyFrame(spark, path, m)
-    else readFiles(spark, path, m, kept).where(pred)
+    else readFilesDv(spark, path, m, kept).where(pred)
   }
 
   /** Compact the current version's files toward a row target as a new
@@ -1706,16 +1897,20 @@ object TableLog {
         nv
       }
       if (touchedSet.isEmpty)
-        done(commit(spark, path, v + 1, m.files, m.stats, schema = m.schema))
+        done(commitFull(spark, path, v + 1, m.copy(tag = None)))
       else {
         val (touched, untouched) = m.files.partition(touchedSet.contains)
-        val clustered = readFiles(spark, path, m, touched)
+        // touched files' deletion vectors fold into the rewrite
+        val clustered = readFilesDv(spark, path, m, touched)
           .repartitionByRange(numFiles, col(colName))
           .sortWithinPartitions(colName)
         val (names, stats) = writeDataFiles(spark, path, clustered)
-        done(commit(spark, path, v + 1, untouched ++ names,
-          m.stats.filterNot { case (k, _) => touchedSet.contains(k) } ++ stats,
-          schema = m.schema))
+        done(commitFull(spark, path, v + 1, m.copy(
+          tag = None,
+          files = untouched ++ names,
+          stats = m.stats.filterNot { case (k, _) =>
+            touchedSet.contains(k) } ++ stats,
+          dvs = m.dvs -- touched)))
       }
     }
 
@@ -1778,7 +1973,7 @@ object TableLog {
     val kept = bandFiles(spark, path, colName, value, value, Some(v))
     val m = readManifestFull(spark, path, v)
     if (kept.isEmpty) emptyFrame(spark, path, m)
-    else readFiles(spark, path, m, kept).where(col(colName) === lit(value))
+    else readFilesDv(spark, path, m, kept).where(col(colName) === lit(value))
   }
 
   /** The advisor loop closed (round-11 q184 → a committed version):
@@ -1827,10 +2022,83 @@ object TableLog {
     * the recomputed delete also covers the appended rows.
     */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column): Long =
-    withLock(spark, path, "deleteWhere") {
+    if (spark.conf.get("spark.graft.tablelog.deletionVectors", "false").toBoolean)
+      deleteWhereDV(spark, path, predicate)
+    else withLock(spark, path, "deleteWhere") {
       val v = latestVersion(spark, path)
       val cur = readManifestFull(spark, path, v)
       deleteCore(spark, path, v, cur, cur.files, predicate)
+    }
+
+  /** DELETE via DELETION VECTORS — merge-on-read, the Delta DV shape
+    * (also routed from [[deleteWhere]] under
+    * `spark.graft.tablelog.deletionVectors=true`, so SQL `DELETE FROM`
+    * takes it too). Matched rows are recorded as (file basename,
+    * position) in ONE parquet sidecar dir under `_dv/` and the commit
+    * is manifest-only: the data files' bytes are untouched, so a
+    * 1-row GDPR delete in a 1 GB file writes O(deleted rows), not
+    * O(file) — at 100 TB with point deletes this is the dominant
+    * write-amplification fix. Readers anti-join the positions out
+    * ([[readFilesDv]]); every later rewrite of a vectored file
+    * (update/merge/optimize/compact) FOLDS the vector in and drops the
+    * entry; [[vacuum]] sweeps sidecars no retained manifest
+    * references. Repeated deletes STACK (each commit appends a sidecar
+    * per touched file); OPTIMIZE is the compaction that clears them.
+    * Positions are evaluated over the VISIBLE rows (existing vectors
+    * applied), so a position is never recorded twice; per-file bounds
+    * stay as written — a conservative superset, still sound for
+    * pruning — while logical counts ride in [[DvRowsKey]].
+    *
+    * The matched set is localCheckpointed ONCE: the sidecar write, the
+    * per-file accounting, and the CDC change set all read the same
+    * decision (a non-deterministic predicate cannot diverge).
+    */
+  def deleteWhereDV(spark: SparkSession, path: String, predicate: Column): Long =
+    withLock(spark, path, "deleteWhereDV") {
+      val v = latestVersion(spark, path)
+      checkNotVacuumed(spark, path, v)
+      val cur = readManifestFull(spark, path, v)
+      val schema = cur.schema.getOrElse(
+        readFiles(spark, path, cur, cur.files).schema)
+      val matched = readFilesDvMeta(spark, path, cur, cur.files)
+        .where(coalesce(predicate, lit(false)))
+        .localCheckpoint(true)
+      val perFile = matched
+        .groupBy(col("_tl_file")).agg(count(lit(1)).as("_tl_n"))
+        .collect().map(r => relName(path, r.getString(0)) -> r.getLong(1))
+      if (perFile.isEmpty) {
+        val nv = commitFull(spark, path, v + 1, cur.copy(tag = None))
+        maybeWriteChanges(spark, path, v, nv,
+          Some(emptyChanges(spark, path, cur)))
+        nv
+      } else {
+        val f = fs(spark, path)
+        val dirName = s"d-${java.util.UUID.randomUUID()}"
+        val tmp = new Path(dvDir(path), s"_tmp_${java.util.UUID.randomUUID()}")
+        matched
+          .select(relNameCol(col("_tl_file")).as("file"),
+            col("_tl_pos").as("pos"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        f.mkdirs(dvDir(path))
+        require(f.rename(tmp, new Path(dvDir(path), dirName)),
+          "TableLog.deleteWhereDV: sidecar publish failed")
+        val touched = perFile.toMap
+        val newStats = cur.stats ++ touched.map { case (n, cnt) =>
+          val st = cur.stats.getOrElse(n, Map.empty[String, ColBound])
+          val total = dvRowsOf(cur, n) + cnt
+          n -> (st + (DvRowsKey -> ColBound("l", total.toString, total.toString)))
+        }
+        val newDvs = cur.dvs ++ touched.keys.map { n =>
+          n -> (cur.dvs.getOrElse(n, Nil) :+ dirName)
+        }
+        val nv = commitFull(spark, path, v + 1, cur.copy(
+          tag = None, stats = newStats, dvs = newDvs))
+        // CDC: the checkpointed matches ARE the removals, exactly
+        maybeWriteChanges(spark, path, v, nv, Some(
+          matched.select(schema.fieldNames.toSeq.map(col): _*)
+            .withColumn("change", lit("removed"))))
+        nv
+      }
     }
 
   /** UPDATE ... SET ... WHERE as a committed version: only files
@@ -1876,19 +2144,20 @@ object TableLog {
       val (touchedNames, touchedDfOpt, matchedCol)
           : (Set[String], Option[DataFrame], Column) =
         if (deterministic) {
-          val df = readFiles(spark, path, cur, cur.files)
+          val df = readFilesDvMeta(spark, path, cur, cur.files)
           val perFileMatches = df.where(predicate)
-            .groupBy(col("_metadata.file_path").as("_tl_f"))
+            .groupBy(col("_tl_file").as("_tl_f"))
             .agg(count(lit(1)).as("_tl_n")).collect()
           val tn = perFileMatches.map(r => relName(path, r.getString(0))).toSet
           val t =
             if (tn.isEmpty) None
-            else Some(readFiles(spark, path, cur,
-              cur.files.filter(tn.contains)))
+            else Some(readFilesDvMeta(spark, path, cur,
+              cur.files.filter(tn.contains)).drop("_tl_file", "_tl_pos"))
           (tn, t, coalesce(predicate, lit(false)))
         } else {
-          val evald = readFiles(spark, path, cur, cur.files)
-            .withColumn("_tl_f", col("_metadata.file_path"))
+          val evald = readFilesDvMeta(spark, path, cur, cur.files)
+            .withColumnRenamed("_tl_file", "_tl_f")
+            .drop("_tl_pos")
             .withColumn("_tl_m", coalesce(predicate, lit(false)))
             .localCheckpoint(true)
           val absTouched = evald.where(col("_tl_m"))
@@ -1933,7 +2202,8 @@ object TableLog {
           files = untouched ++ newFiles,
           stats = cur.stats.filterNot { case (k, _) =>
             touchedNames.contains(k) } ++ newStats,
-          parts = (cur.parts -- touchedNames) ++ newParts))
+          parts = (cur.parts -- touchedNames) ++ newParts,
+          dvs = cur.dvs -- touchedNames))
         maybeWriteChanges(spark, path, v, nv)
         nv
       }
@@ -1973,7 +2243,7 @@ object TableLog {
           tag = None,
           files = m.files.filterNot(dropped.contains),
           stats = m.stats.filterNot { case (k, _) => dropped.contains(k) },
-          parts = m.parts -- dropped))
+          parts = m.parts -- dropped, dvs = m.dvs -- dropped))
         // removed-only diff: reads exactly the dropped files
         maybeWriteChanges(spark, path, v, nv)
         nv
@@ -2030,9 +2300,12 @@ object TableLog {
   private def deleteCore(
       spark: SparkSession, path: String, v: Long, cur: Manifest,
       candidates: Seq[String], predicate: Column): Long = {
-    val df = readFiles(spark, path, cur, candidates)
+    // DV-applied reads throughout: a position already dead in a
+    // deletion vector is invisible to discovery, accounting, and the
+    // rewrite — and the rewrite of a touched file FOLDS its vectors in
+    val df = readFilesDvMeta(spark, path, cur, candidates)
     val perFileMatches = df.where(predicate)
-      .groupBy(col("_metadata.file_path").as("_tl_f"))
+      .groupBy(col("_tl_file").as("_tl_f"))
       .agg(count(lit(1)).as("_tl_n")).collect()
     val touchedNames =
       perFileMatches.map(r => relName(path, r.getString(0))).toSet
@@ -2044,7 +2317,8 @@ object TableLog {
     } else {
       val rowsDeleted = perFileMatches.map(_.getLong(1)).sum
       val (touched, untouched) = cur.files.partition(touchedNames.contains)
-      val touchedDf = readFiles(spark, path, cur, touched)
+      val touchedDf = readFilesDvMeta(spark, path, cur, touched)
+        .drop("_tl_file", "_tl_pos")
       val touchedRows = touchedDf.count()
       // survivors = NOT(matched): NULL-predicate rows did not match
       // and must be kept — bare !predicate is NULL for them and
@@ -2079,7 +2353,8 @@ object TableLog {
         files = untouched ++ newFiles,
         stats = cur.stats.filterNot { case (k, _) =>
           touchedNames.contains(k) } ++ newStats,
-        parts = (cur.parts -- touchedNames) ++ newParts))
+        parts = (cur.parts -- touchedNames) ++ newParts,
+        dvs = cur.dvs -- touchedNames))
       maybeWriteChanges(spark, path, v, nv)
       nv
     }
@@ -2151,8 +2426,8 @@ object TableLog {
       val srcKeys = srcMat.select(col(keyCol).as("_tl_mk")).distinct()
       val perFileMatches =
         if (candidates.isEmpty) Array.empty[org.apache.spark.sql.Row]
-        else readFiles(spark, path, cur, candidates)
-          .select(col("_metadata.file_path").as("_tl_f"), col(keyCol))
+        else readFilesDvMeta(spark, path, cur, candidates)
+          .select(col("_tl_file").as("_tl_f"), col(keyCol))
           .join(srcKeys, col(keyCol) === col("_tl_mk"))
           .groupBy(col("_tl_f"))
           .agg(count(lit(1)).as("_tl_n")).collect()
@@ -2162,11 +2437,11 @@ object TableLog {
       val (touched, untouched) = cur.files.partition(touchedNames.contains)
       val survivors =
         if (touched.isEmpty) None
-        else Some(readFiles(spark, path, cur, touched)
+        else Some(readFilesDv(spark, path, cur, touched)
           .join(srcKeys, col(keyCol) === col("_tl_mk"), "left_anti"))
       val touchedRows =
         if (touched.isEmpty) 0L
-        else readFiles(spark, path, cur, touched).count()
+        else readFilesDv(spark, path, cur, touched).count()
       def writeSide(df: DataFrame)
           : (Seq[String], Map[String, Map[String, ColBound]],
             Map[String, Seq[String]]) =
@@ -2196,7 +2471,8 @@ object TableLog {
         stats = cur.stats.filterNot { case (k, _) =>
           touchedNames.contains(k) } ++ survStats ++ srcStats,
         schema = Some(merged),
-        parts = (cur.parts -- touchedNames) ++ survParts ++ srcParts))
+        parts = (cur.parts -- touchedNames) ++ survParts ++ srcParts,
+        dvs = cur.dvs -- touchedNames))
       maybeWriteChanges(spark, path, v, nv)
       nv
     }
@@ -2342,8 +2618,9 @@ object TableLog {
         }.otherwise(lit(0))
       }
       def joinAct(names: Seq[String]): DataFrame =
-        readFiles(spark, path, cur, names)
-          .withColumn("_tl_f", col("_metadata.file_path"))
+        readFilesDvMeta(spark, path, cur, names)
+          .withColumnRenamed("_tl_file", "_tl_f")
+          .drop("_tl_pos")
           .join(srcR, col(keyCol) === srcKey, "left")
           .withColumn("_tl_act", actIdx)
       // resolved against the joined shape (target columns + the _s_
@@ -2448,7 +2725,7 @@ object TableLog {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType(Seq(
               schema.fields(schema.fieldIndex(keyCol)))))
-        else readFiles(spark, path, cur, candidates).select(col(keyCol))
+        else readFilesDv(spark, path, cur, candidates).select(col(keyCol))
       val srcUnmatched = srcR
         .join(tgtKeys, srcKey === col(keyCol), "left_anti")
       val inserts =
@@ -2505,7 +2782,8 @@ object TableLog {
             files = untouched ++ newFiles,
             stats = cur.stats.filterNot { case (k, _) =>
               touchedNames.contains(k) } ++ newStats,
-            parts = (cur.parts -- touchedNames) ++ newParts))
+            parts = (cur.parts -- touchedNames) ++ newParts,
+            dvs = cur.dvs -- touchedNames))
           maybeWriteChanges(spark, path, v, nv)
           nv
       }
@@ -2543,9 +2821,9 @@ object TableLog {
               // every other read O(1)+O(K) as a streaming sink
               // accretes thousands of tagged versions) rides inside
               // commit itself at CheckpointEvery boundaries
-              commit(spark, path, v + 1, cur.files ++ names,
-                cur.stats ++ stats, Some(tag),
-                schema = Some(merged))
+              commitFull(spark, path, v + 1, cur.copy(tag = Some(tag),
+                files = cur.files ++ names, stats = cur.stats ++ stats,
+                schema = Some(merged)))
           }
         }
     }
@@ -2582,8 +2860,10 @@ object TableLog {
               val base = cur.schema.orElse(
                 Some(readFiles(spark, path, cur, cur.files).schema))
               val merged = mergedSchema(base, df.schema)
-              if (commitTry(spark, path, v + 1, cur.files ++ names,
-                cur.stats ++ stats, Some(tag), Some(merged))) return v + 1
+              if (commitTryFull(spark, path, v + 1, cur.copy(
+                tag = Some(tag), files = cur.files ++ names,
+                stats = cur.stats ++ stats,
+                schema = Some(merged)))) return v + 1
           }
           attempt += 1
         }
@@ -2698,10 +2978,131 @@ object TableLog {
         stats = cur.stats.filterNot { case (k, _) =>
           dropped.contains(k) } ++ stats,
         schema = Some(merged),
-        parts = (cur.parts -- dropped) ++ parts))
+        parts = (cur.parts -- dropped) ++ parts, dvs = cur.dvs -- dropped))
       maybeWriteChanges(spark, path, v, nv)
       nv
     }
+
+  // --- cross-table snapshot isolation: the catalog ROOT pointer ---
+  // One versioned manifest naming every registered table's version,
+  // swapped by the same CAS the table log uses. A transaction bumps
+  // the root AFTER all its per-table commits — the bump's single
+  // rename is what makes the PAIR visible atomically, so a reader
+  // pinned at a root version can never see table A's post-transaction
+  // state with table B's pre-transaction one.
+
+  private def rootDir(rootPath: String) = new Path(s"$rootPath/_root")
+  private def rootPathV(rootPath: String, v: Long) =
+    new Path(rootDir(rootPath), f"v$v%07d.json")
+
+  /** Committed root versions, ascending (empty if never bumped). */
+  def rootVersions(spark: SparkSession, rootPath: String): Seq[Long] = {
+    val f = fs(spark, rootPath)
+    if (!f.exists(rootDir(rootPath))) Nil
+    else f.listStatus(rootDir(rootPath)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong
+      }.sorted
+  }
+
+  private def parseRoot(body: String): (Option[String], Map[String, Long]) =
+    JsonMethods.parse(body) match {
+      case o: JObject =>
+        val tag = o \ "tag" match { case JString(t) => Some(t); case _ => None }
+        val tables = o \ "tables" match {
+          case JObject(fields) => fields.collect {
+            case (k, JInt(n)) => k -> n.toLong
+          }.toMap
+          case _ => Map.empty[String, Long]
+        }
+        (tag, tables)
+      case other =>
+        throw new IllegalStateException(s"TableLog: unparseable root: $other")
+    }
+
+  /** The (table path -> pinned version) map at root version `version`
+    * (default: latest). Empty map if the root was never bumped. A
+    * reader HOLDS the returned map and resolves every table through it
+    * ([[readAtRoot]]) — that is the snapshot-isolation contract: the
+    * map came from ONE atomically-published file.
+    */
+  def rootSnapshot(
+      spark: SparkSession, rootPath: String,
+      version: Option[Long] = None): Map[String, Long] = {
+    val vs = rootVersions(spark, rootPath)
+    val v = version.getOrElse(if (vs.isEmpty) return Map.empty else vs.last)
+    require(vs.contains(v), s"TableLog: no root version $v at $rootPath")
+    parseRoot(readSmallFile(spark, rootPath, rootPathV(rootPath, v)))._2
+  }
+
+  /** Read `tablePath` at the version the root (at `rootVersion`,
+    * default latest) pins — the consistent-pair read. Fails fast when
+    * the root does not register the table.
+    */
+  def readAtRoot(
+      spark: SparkSession, rootPath: String, tablePath: String,
+      rootVersion: Option[Long] = None): DataFrame = {
+    val snap = rootSnapshot(spark, rootPath, rootVersion)
+    val v = snap.getOrElse(tablePath, throw new IllegalArgumentException(
+      s"TableLog.readAtRoot: root $rootPath does not register $tablePath " +
+        s"(registered: ${snap.keys.toSeq.sorted.mkString(", ")})"))
+    read(spark, tablePath, Some(v))
+  }
+
+  /** CAS-bump the root: the new root version's map is the previous map
+    * overlaid with `updates`. Tag-idempotent like the table CAS — a
+    * recovery replaying a transaction's bump finds the tag and returns
+    * the existing version instead of double-bumping.
+    */
+  def rootBump(
+      spark: SparkSession, rootPath: String, updates: Map[String, Long],
+      tag: Option[String] = None, maxRetries: Int = 16): Long = {
+    require(updates.nonEmpty, "TableLog.rootBump: no updates")
+    val f = fs(spark, rootPath)
+    def taggedVersion: Option[Long] = tag.flatMap { t =>
+      rootVersions(spark, rootPath).find { v =>
+        parseRoot(readSmallFile(spark, rootPath,
+          rootPathV(rootPath, v)))._1.contains(t)
+      }
+    }
+    taggedVersion match {
+      case Some(v) => return v
+      case None => ()
+    }
+    var attempt = 0
+    while (attempt < maxRetries) {
+      taggedVersion match {
+        case Some(v) => return v
+        case None =>
+          val vs = rootVersions(spark, rootPath)
+          val prev = vs.lastOption
+            .map(v => parseRoot(readSmallFile(spark, rootPath,
+              rootPathV(rootPath, v)))._2)
+            .getOrElse(Map.empty[String, Long])
+          val nv = vs.lastOption.getOrElse(0L) + 1L
+          val merged = prev ++ updates
+          val body = JsonMethods.compact(JsonMethods.render(JObject(
+            tag.map(t => "tag" -> (JString(t): JValue)).toList ++ List(
+              "ts" -> (JInt(System.currentTimeMillis()): JValue),
+              "tables" -> (JObject(merged.toList.sortBy(_._1).map {
+                case (p, v) => p -> (JInt(v): JValue)
+              }): JValue)))))
+          f.mkdirs(rootDir(rootPath))
+          val tmp = new Path(rootDir(rootPath),
+            s"_tmp_${java.util.UUID.randomUUID()}.json")
+          val out = f.create(tmp, true)
+          out.write(body.getBytes(UTF_8))
+          out.close()
+          val dest = rootPathV(rootPath, nv)
+          val guard = commitGuard.computeIfAbsent(
+            s"$rootPath#root$nv", _ => new Object)
+          if (commitProtocol(spark).publish(f, tmp, dest, guard)) return nv
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TableLog.rootBump: lost the root CAS $maxRetries times at $rootPath")
+  }
 
   /** Multi-table TRANSACTION — one logical append spanning N
     * (unpartitioned) tables, crash-atomic via a write-ahead INTENT +
@@ -2711,28 +3112,33 @@ object TableLog {
     *  1. every table's batch is STAGED (data files written, invisible
     *     — a crash here leaves age-gated vacuum orphans, nothing
     *     visible);
-    *  2. the intent file `<first>/_log/_txn_<id>.json` publishes
-    *     (tmp + rename) at the lexicographically FIRST participant —
-    *     THE commit point: before it, the transaction never happened;
-    *     after it, it always completes;
+    *  2. the intent file `_log/_txn_<id>.json` publishes (tmp +
+    *     rename) at EVERY participant, the lexicographically FIRST
+    *     one LAST — THE commit point: before it, the transaction
+    *     never happened; after it, it always completes;
     *  3. each table commits its version through the tag-idempotent
     *     CAS (tag `txn-<id>` — concurrent lock-free appenders rebase
     *     under it like any append);
-    *  4. the intent is deleted.
+    *  4. with a `root`, the root pointer CAS-bumps to the new
+    *     versions (tag-idempotent too);
+    *  5. the intents are deleted.
     *
-    * A crash between 3 and 4 is healed by [[recoverTransactions]]
-    * (anchored at the first participant; [[transaction]] also
-    * auto-recovers pending intents at its own first table): committed
-    * participants are recognized by their txn tag, the rest commit
-    * from their staged files — so after recovery the outcome is
-    * all-or-nothing, never a partial pair. What this buys is CRASH
-    * atomicity + exactly-once, not cross-table snapshot isolation: a
-    * reader between two commits of a live transaction can still see
-    * table A's version before table B's (the Delta-world status quo;
-    * isolation needs a shared catalog pointer, out of scope).
+    * A crash between 2 and 5 is healed by [[recoverTransactions]]
+    * ([[transaction]] auto-recovers at its own first table, [[vacuum]]
+    * at any participant): committed participants are recognized by
+    * their txn tag, the rest commit from their staged files, the root
+    * bump replays idempotently — so after recovery the outcome is
+    * all-or-nothing, never a partial pair. Crash atomicity +
+    * exactly-once hold always; cross-table SNAPSHOT ISOLATION
+    * additionally holds for readers that resolve versions through the
+    * root ([[rootSnapshot]]/[[readAtRoot]]): the pair becomes visible
+    * in the root's single rename, never one table at a time. Readers
+    * going straight to a table (plain [[read]]) keep the Delta-world
+    * status quo (per-table snapshots, no cross-table pinning).
     */
   def transaction(
-      spark: SparkSession, appends: Seq[(String, DataFrame)]): Seq[Long] = {
+      spark: SparkSession, appends: Seq[(String, DataFrame)],
+      root: Option[String] = None): Seq[Long] = {
     require(appends.nonEmpty, "TableLog.transaction: no tables")
     require(appends.map(_._1).distinct.size == appends.size,
       "TableLog.transaction: duplicate table paths")
@@ -2762,15 +3168,20 @@ object TableLog {
         val (names, _) = writeDataFiles(spark, p, df)
         (p, names, df.schema)
       }
-      writeTxnIntent(spark, txnId, staged)
+      writeTxnIntent(spark, txnId, staged, root)
       val versions = staged.map { case (p, names, schema) =>
         commitStagedOptimistic(spark, p, names, schema, s"txn-$txnId")
+      }
+      val byPath = staged.map(_._1).zip(versions).toMap
+      // the isolation point: ONE rename makes the whole pair visible
+      // to root-resolved readers
+      root.foreach { r =>
+        rootBump(spark, r, byPath, Some(s"txn-$txnId"))
       }
       staged.foreach { case (p, _, _) =>
         fs(spark, p).delete(txnIntentPath(p, txnId), false)
       }
       // return versions in the CALLER's table order
-      val byPath = staged.map(_._1).zip(versions).toMap
       appends.map { case (p, _) => byPath(p) }
     }
   }
@@ -2794,10 +3205,11 @@ object TableLog {
     */
   private def writeTxnIntent(
       spark: SparkSession, id: String,
-      staged: Seq[(String, Seq[String], org.apache.spark.sql.types.StructType)])
-      : Unit = {
-    val body = JsonMethods.compact(JsonMethods.render(JObject(List(
-      "txn" -> (JString(id): JValue),
+      staged: Seq[(String, Seq[String], org.apache.spark.sql.types.StructType)],
+      root: Option[String] = None): Unit = {
+    val body = JsonMethods.compact(JsonMethods.render(JObject(
+      List("txn" -> (JString(id): JValue)) ++
+        root.map(r => "root" -> (JString(r): JValue)).toList ++ List(
       "tables" -> (JArray(staged.map { case (p, names, schema) =>
         JObject(List(
           "path" -> (JString(p): JValue),
@@ -2826,7 +3238,7 @@ object TableLog {
     */
   private def pendingIntents(spark: SparkSession, path: String)
       : Seq[(Path, String, Seq[(String, Seq[String],
-        org.apache.spark.sql.types.StructType)])] = {
+        org.apache.spark.sql.types.StructType)], Option[String])] = {
     val f = fs(spark, path)
     if (!f.exists(logDir(path))) return Nil
     val intents = f.listStatus(logDir(path)).toSeq.map(_.getPath)
@@ -2837,6 +3249,10 @@ object TableLog {
         case JString(s) if s.nonEmpty => s
         case _ => throw new IllegalStateException(
           s"TableLog: unparseable transaction intent $ip")
+      }
+      val root = j \ "root" match {
+        case JString(s) if s.nonEmpty => Some(s)
+        case _ => None
       }
       val tables = j \ "tables" match {
         case JArray(ts) => ts.map { t =>
@@ -2860,7 +3276,7 @@ object TableLog {
         }
         case _ => Nil
       }
-      (ip, id, tables)
+      (ip, id, tables, root)
     }
   }
 
@@ -2876,10 +3292,15 @@ object TableLog {
     */
   def recoverTransactions(spark: SparkSession, first: String): Int = {
     val intents = pendingIntents(spark, first)
-    intents.foreach { case (ip, id, tables) =>
-      tables.foreach { case (p, names, schema) =>
-        commitStagedOptimistic(spark, p, names, schema, s"txn-$id")
-        ()
+    intents.foreach { case (ip, id, tables, root) =>
+      val versions = tables.map { case (p, names, schema) =>
+        p -> commitStagedOptimistic(spark, p, names, schema, s"txn-$id")
+      }
+      // a root-registered transaction's bump replays idempotently
+      // (tag check) — a crash between the per-table commits and the
+      // bump still converges to the consistent pair
+      root.foreach { r =>
+        rootBump(spark, r, versions.toMap, Some(s"txn-$id"))
       }
       tables.foreach { case (p, _, _) =>
         fs(spark, p).delete(txnIntentPath(p, id), false)
@@ -2901,8 +3322,10 @@ object TableLog {
       checkNotVacuumed(spark, path, v)
       val m = readManifestFull(spark, path, v)
       val latest = latestVersion(spark, path)
-      val nv = commit(spark, path, latest + 1, m.files, m.stats,
-        schema = m.schema)
+      // the FULL state replays: partition records and deletion
+      // vectors included (a restore to a DV-carrying version must not
+      // resurrect its dead positions)
+      val nv = commitFull(spark, path, latest + 1, m.copy(tag = None))
       maybeWriteChanges(spark, path, latest, nv)
       nv
     }
@@ -2926,9 +3349,18 @@ object TableLog {
     checkNotVacuumed(spark, path, toV)
     val a = readManifestFull(spark, path, fromV)
     val b = readManifestFull(spark, path, toV)
-    val shared = a.files.toSet intersect b.files.toSet
-    val onlyA = a.files.filterNot(shared)
-    val onlyB = b.files.filterNot(shared)
+    // identity is (name, deletion-vector set): a file whose BYTES are
+    // shared but whose visible rows changed (a DV-only delete commit,
+    // or a restore reverting one) cancels only when the vectors match;
+    // its newly-dead positions read back as 'removed' (newly-live as
+    // 'added') WITHOUT paying an exceptAll — IO stays proportional to
+    // the changed positions' files
+    val sharedNames = a.files.toSet intersect b.files.toSet
+    val shared = sharedNames.filter(n =>
+      a.dvs.getOrElse(n, Nil).toSet == b.dvs.getOrElse(n, Nil).toSet)
+    val dvChanged = (sharedNames -- shared).toSeq.sorted
+    val onlyA = a.files.filterNot(sharedNames)
+    val onlyB = b.files.filterNot(sharedNames)
     // by-name union: same-name columns keep one type within a log
     // (mergedSchema refuses retypes and restore only replays old
     // committed schemas), asserted here as defense in depth
@@ -2952,23 +3384,57 @@ object TableLog {
     val mB = b.copy(schema = unionSchema.orElse(b.schema))
     def side(m: Manifest, names: Seq[String]): DataFrame =
       if (names.isEmpty) emptyFrame(spark, path, mB)
-      else readFiles(spark, path, m, names)
+      else readFilesDv(spark, path, m, names)
+    // rows whose VISIBILITY flipped between the two versions' deletion
+    // vectors, read by position from the (byte-shared) files: dead in
+    // `to` but not `from` -> 'removed'; resurrected (a restore) ->
+    // 'added'. Bounded: only the dvChanged files are opened.
+    val dvDelta: Option[DataFrame] =
+      if (dvChanged.isEmpty) None
+      else {
+        import spark.implicits._
+        val nameF = broadcast(dvChanged.toDF("_tl_cn"))
+        def posOf(m: Manifest): DataFrame =
+          dvPosFrame(spark, path, m, dvChanged) match {
+            case None => Seq.empty[(String, Long)].toDF("file", "pos")
+            case Some(df) =>
+              // dirs are shared across a commit's files: keep only the
+              // changed files' positions so the except is sound
+              df.join(nameF, col("file") === col("_tl_cn"), "left_semi")
+          }
+        val fromPos = posOf(mA)
+        val toPos = posOf(mB)
+        val rows = readFiles(spark, path, mB, dvChanged)
+          .withColumn("_tl_fname", relNameCol(col("_metadata.file_path")))
+          .withColumn("_tl_pos", col("_metadata.row_index"))
+        def at(pos: DataFrame, change: String): DataFrame =
+          rows.join(broadcast(pos),
+            col("_tl_fname") === col("file") && col("_tl_pos") === col("pos"),
+            "left_semi")
+            .drop("_tl_fname", "_tl_pos")
+            .withColumn("change", lit(change))
+        val removed = at(toPos.exceptAll(fromPos), "removed")
+        val added = at(fromPos.exceptAll(toPos), "added")
+        Some(removed.unionByName(added))
+      }
+    def withDv(df: DataFrame): DataFrame =
+      dvDelta.map(df.unionByName(_, allowMissingColumns = true)).getOrElse(df)
     // one-sided fast paths: a pure APPEND's diff is exactly the new
     // files read with change='added' — no exceptAll, zero exchanges
     // (the dominant commit kind on a streaming-sink table); a pure
     // removal (deletePartition, a no-survivor delete) is the mirrored
     // 'removed' read. Only a genuine rewrite pays the multiset diff.
     if (onlyA.isEmpty && onlyB.isEmpty)
-      emptyFrame(spark, path, mB).withColumn("change", lit("added"))
+      withDv(emptyFrame(spark, path, mB).withColumn("change", lit("added")))
     else if (onlyA.isEmpty)
-      side(mB, onlyB).withColumn("change", lit("added"))
+      withDv(side(mB, onlyB).withColumn("change", lit("added")))
     else if (onlyB.isEmpty)
-      side(mA, onlyA).withColumn("change", lit("removed"))
+      withDv(side(mA, onlyA).withColumn("change", lit("removed")))
     else {
       val avail = side(mA, onlyA)
       val bvail = side(mB, onlyB)
-      bvail.exceptAll(avail).withColumn("change", lit("added"))
-        .unionByName(avail.exceptAll(bvail).withColumn("change", lit("removed")))
+      withDv(bvail.exceptAll(avail).withColumn("change", lit("added"))
+        .unionByName(avail.exceptAll(bvail).withColumn("change", lit("removed"))))
     }
   }
 
@@ -3090,19 +3556,102 @@ object TableLog {
     * maintenance, dashboard refresh) replays, and the batch surface
     * the streaming change-feed source
     * ([[graft.streaming.TableLogChangeFeed]]) emits micro-batches of.
-    * Each version serves from its MATERIALIZED change files when
-    * present (O(changed rows), zero recompute) and reconstructs via
-    * [[diff]] otherwise — IO proportional to CHANGED files either
-    * way; appends reconstruct exchange-free. Schemas may widen across
-    * the range (evolution), so the union aligns by name with NULL
-    * fill.
+    *
+    * RANGE-SERVING plan shape (a 10k-version backfill replay must not
+    * build a 10k-deep union tree):
+    *
+    *  - every MATERIALIZED version in the range serves from ONE
+    *    multi-path parquet read over its change dirs, with
+    *    `_commit_version` derived from the directory name in the file
+    *    path — O(changed rows) IO, O(1) plan depth for the whole
+    *    materialized set;
+    *  - a RUN of consecutive unmaterialized PURE-APPEND versions (the
+    *    dominant gap kind: appends never materialize — their diff is
+    *    already the zero-exchange fast path) serves as ONE scan of all
+    *    files added across the run, version-stamped by a broadcast
+    *    (file -> version) join — O(1) plan depth per run;
+    *  - only an unmaterialized REWRITE version (pre-feature history)
+    *    pays a per-version [[diff]] reconstruction.
+    *
+    * Schemas may widen across the range (evolution), so change files
+    * read under mergeSchema and the final union aligns by name with
+    * NULL fill.
     */
   def changes(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
     require(toV > fromV,
       s"TableLog.changes: need toV > fromV, got ($fromV, $toV]")
-    (fromV + 1 to toV).map { v =>
-      versionChanges(spark, path, v).withColumn("_commit_version", lit(v))
-    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val f = fs(spark, path)
+    val range = (fromV + 1 to toV)
+    val materialized = range.filter(v => f.exists(changePath(path, v)))
+    val matSet = materialized.toSet
+    val matDf: Option[DataFrame] =
+      if (materialized.isEmpty) None
+      else {
+        val attempt =
+          try {
+            val df = spark.read.option("mergeSchema", "true")
+              .parquet(materialized.map(v => changePath(path, v).toString): _*)
+              .withColumn("_commit_version",
+                // greedy prefix: the LAST /_changes/vN/ component wins
+                // even if the table path itself contains one
+                regexp_extract(col("_metadata.file_path"),
+                  ".*/_changes/v(\\d+)/", 1).cast("long"))
+            df.schema // force footer resolution so debris fails HERE
+            Some(df)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        attempt.foreach(_ => materialized.foreach(_ =>
+          ChangeIo.bumpServed(path)))
+        attempt
+      }
+    // unmaterialized gap versions, grouped into runs of consecutive
+    // versions; unreadable-debris ranges fall back wholesale
+    val gapVersions =
+      if (matDf.isDefined) range.filterNot(matSet.contains) else range
+    val runs = gapVersions.foldLeft(List.empty[List[Long]]) {
+      case (acc, v) => acc match {
+        case head :: tail if head.last == v - 1 => (head :+ v) :: tail
+        case _ => List(v) :: acc
+      }
+    }.reverse
+    val gapDfs: Seq[DataFrame] = runs.flatMap { run =>
+      val ms = ((run.head - 1) +: run).map(v =>
+        v -> readManifestFull(spark, path, v)).toMap
+      val pureAppendRun = run.forall { v =>
+        val prev = ms(v - 1)
+        val cur = ms(v)
+        prev.files.forall(cur.files.toSet.contains) &&
+          prev.dvs.filter(_._2.nonEmpty) == cur.dvs.filter(_._2.nonEmpty)
+      }
+      if (pureAppendRun && run.size > 1) {
+        // one scan of every file added across the run, stamped by a
+        // broadcast (file -> version) map join
+        import spark.implicits._
+        val fileVer = run.flatMap { v =>
+          val before = ms(v - 1).files.toSet
+          ms(v).files.filterNot(before).map(_ -> v)
+        }
+        if (fileVer.isEmpty) Nil
+        else {
+          val last = ms(run.last)
+          val df = readFiles(spark, path, last, fileVer.map(_._1))
+            .withColumn("_tl_cf", relNameCol(col("_metadata.file_path")))
+            .join(broadcast(fileVer.toDF("_tl_cn", "_commit_version")),
+              col("_tl_cf") === col("_tl_cn"))
+            .drop("_tl_cf", "_tl_cn")
+            .withColumn("change", lit("added"))
+          Seq(df)
+        }
+      } else run.map { v =>
+        versionChanges(spark, path, v).withColumn("_commit_version", lit(v))
+      }
+    }
+    val parts = matDf.toSeq ++ gapDfs
+    if (parts.isEmpty)
+      // every gap version was an empty pure-append run step — shape
+      // from the endpoint manifest
+      emptyChanges(spark, path, readManifestFull(spark, path, toV))
+        .withColumn("_commit_version", lit(toV)).where(lit(false))
+    else parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   /** History report: (version, n_rows) per READABLE version (vacuumed
@@ -3174,8 +3723,10 @@ object TableLog {
       // that somehow survived recovery stay referenced
       val intentPinned = pendingIntents(spark, path).flatMap(_._3)
         .filter(_._1 == path).flatMap(_._2).toSet
-      val referenced =
-        keep.flatMap(readManifest(spark, path, _)).toSet ++ intentPinned
+      val keptManifests = keep.map(readManifestFull(spark, path, _))
+      val referenced = keptManifests.flatMap(_.files).toSet ++ intentPinned
+      val referencedDvDirs =
+        keptManifests.flatMap(_.dvs.valuesIterator.flatten).toSet
       // 0. checkpoint the full log state BEFORE dropping manifests: a
       // replayed batch whose version was vacuumed must still be
       // recognized as committed (exactly-once survives retention),
@@ -3217,6 +3768,18 @@ object TableLog {
         if (s.isDirectory && s.getPath.getName.startsWith("_scratch_") &&
           s.getModificationTime < horizon)
           f.delete(s.getPath, true)
+      }
+      // deletion-vector sidecars: dirs no RETAINED manifest references
+      // leave once aged (age-gating protects a concurrent
+      // deleteWhereDV's freshly-staged sidecar, same as data files);
+      // aged _tmp_ debris from a crashed sidecar publish goes too
+      if (f.exists(dvDir(path))) {
+        f.listStatus(dvDir(path)).foreach { s =>
+          val n = s.getPath.getName
+          val doomedDv =
+            (!referencedDvDirs.contains(n)) && s.getModificationTime < horizon
+          if (doomedDv) f.delete(s.getPath, true)
+        }
       }
       // materialized CDC retention: change dirs of vacuumed versions
       // leave with their manifests; aged tmp debris (a crashed

@@ -157,6 +157,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NanoTsPushdown)
+    // deletion-vector read compensation for DV-carrying catalog tables
+    // (graft.sql.TableLogDvReadRewrite): replaces their v2 scan with
+    // the DV-applied read plan; tables without live DVs never match
+    ext.injectOptimizerRule(_ => graft.sql.TableLogDvReadRewrite)
     // UPDATE tablelog.`path` SET ... WHERE ... — replace the resolved
     // UpdateTable with a runnable command before check-analysis
     // refuses it (graft.sql.TableLogUpdateRewrite)

@@ -431,6 +431,41 @@ object PipelineQueries {
     }),
 
 
+    // deletion vectors (round-15): the point-delete-heavy GDPR
+    // workload merge-on-read was built for — three point deletes and a
+    // sparse band delete land as (file, position) sidecars (ZERO data
+    // files rewritten — spec-pinned counted IO), an UPDATE then folds
+    // the touched files' vectors in. Reads/time-travel/CDC all
+    // position-compensate. Result-transparent: the oracle replays the
+    // delete predicates and the update over the base table
+    "q229_deletion_vectors" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tldv-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      graft.operators.TableLog.create(s, path,
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id"))
+      // GDPR-style point deletes: each writes O(1 row), not O(file)
+      graft.operators.TableLog.deleteWhereDV(s, path, col("doc_id") === 7L)
+      graft.operators.TableLog.deleteWhereDV(s, path,
+        col("doc_id").isin(42L, 99L, 123L))
+      // sparse band: positions scattered across many files — still
+      // zero rewrites
+      graft.operators.TableLog.deleteWhereDV(s, path,
+        col("n_chars") < 120L && col("doc_id") % 10L === 3L)
+      // copy-on-write UPDATE over vectored files folds their vectors
+      graft.operators.TableLog.updateWhere(s, path,
+        Seq("lang" -> lit("xx")), col("doc_id").between(200L, 220L))
+      graft.operators.TableLog.read(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+    }),
+
+
     // schema evolution on append (round-12): the table's schema lives
     // in the manifest (Delta/Iceberg's move — readers never open a
     // footer to plan, and evolution is a LOG property): an appended
@@ -866,17 +901,21 @@ object PipelineQueries {
     }),
 
 
-    // multi-table transaction (round-14): each ingest batch lands in
-    // the RAW table and its DERIVED per-lang rollup as ONE logical
-    // commit (write-ahead intent + tag-idempotent per-table CAS +
-    // roll-forward recovery) — the source->derived pair can never be
-    // torn by a crash. Result-transparent: the derived sums equal the
-    // full-corpus rollup the oracle computes
+    // multi-table transaction (round-14; root pointer round-15): each
+    // ingest batch lands in the RAW table and its DERIVED per-lang
+    // rollup as ONE logical commit (write-ahead intent +
+    // tag-idempotent per-table CAS + roll-forward recovery), and every
+    // commit CAS-bumps the shared ROOT pointer — the source->derived
+    // pair can never be torn by a crash, and a root-resolved reader
+    // (the final read here) can never see one table's new version with
+    // the other's old one. Result-transparent: the derived sums equal
+    // the full-corpus rollup the oracle computes
     "q227_txn_pipeline" -> ((s, dir) => {
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
       val raw = perProcessTmpDir(s"graft-tltxn-raw-$sfx")
       val der = perProcessTmpDir(s"graft-tltxn-der-$sfx")
-      Seq(raw, der).foreach { p =>
+      val root = perProcessTmpDir(s"graft-tltxn-root-$sfx")
+      Seq(raw, der, root).foreach { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
       }
@@ -894,9 +933,14 @@ object PipelineQueries {
           .select((col("doc_id") + shift).as("doc_id"), col("lang"),
             col("n_chars"))
         graft.operators.TableLog.transaction(s, Seq(
-          raw -> batch, der -> rollup(batch)))
+          raw -> batch, der -> rollup(batch)), root = Some(root))
       }
-      graft.operators.TableLog.read(s, der)
+      // the consistent-pair read: both tables resolve through ONE
+      // pinned root snapshot (also sanity-pinned against raw)
+      val pinned = graft.operators.TableLog.rootSnapshot(s, root)
+      require(pinned.keySet == Set(raw, der),
+        s"root must register both participants, got ${pinned.keySet}")
+      graft.operators.TableLog.readAtRoot(s, root, der)
         .groupBy(col("lang"))
         .agg(sum(col("n_docs")).cast("long").as("n_docs"),
           sum(col("sum_chars")).cast("long").as("sum_chars"))
@@ -1171,6 +1215,36 @@ object PipelineQueries {
            |  min(n_chars) AS lo, max(n_chars) AS hi,
            |  min(doc_id) AS first_id, max(doc_id) AS last_id
            |FROM tablelog.`$path`""".stripMargin)
+    }),
+
+
+    // string MIN/MAX manifest pushdown (round-15): the footer's
+    // is_min/max_value_exact flags (parquet-format 2.10) classify
+    // every string bound at harvest — exact bounds ("s") serve
+    // `min(lang)`-style aggregates straight from the manifest (the
+    // require pins the zero-data-IO plan), possibly-truncated ones
+    // ("t") prune but never serve. Result-transparent: the oracle is
+    // the plain base-table aggregate (both engines compare strings in
+    // binary order)
+    "q230_string_bounds" -> ((s, dir) => {
+      graft.sql.TableLogSql.register(s)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tlsb-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      graft.operators.TableLog.create(s, path,
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .repartitionByRange(6, col("doc_id")))
+      val out = s.sql(
+        s"""SELECT min(lang) AS min_lang, max(lang) AS max_lang,
+           |  min(source) AS min_source, max(source) AS max_source,
+           |  count(*) AS n
+           |FROM tablelog.`$path`""".stripMargin)
+      out.queryExecution.executedPlan // force the scan build
+      require(graft.sql.TableLogSql.tookAggServed(path),
+        "q230: string MIN/MAX must serve from the manifest")
+      out
     }),
 
 
@@ -2614,6 +2688,14 @@ object PipelineQueries {
         |  min(doc_id) AS first_id, max(doc_id) AS last_id
         |FROM documents""".stripMargin,
 
+    // q230: the string bounds the manifest serves are the base
+    // table's plain min/max (binary string order in both engines)
+    "q230_string_bounds" ->
+      """SELECT min(lang) AS min_lang, max(lang) AS max_lang,
+        |  min(source) AS min_source, max(source) AS max_source,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents""".stripMargin,
+
     // q215: both deletes inverted over the base table (no NULLs in
     // either predicate column, so NOT() is exact)
     "q215_sql_delete" ->
@@ -2740,6 +2822,24 @@ object PipelineQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id
         |FROM documents WHERE NOT (doc_id BETWEEN 100 AND 200)
+        |GROUP BY lang""".stripMargin,
+
+    // q229: the DV delete predicates and the fold-triggering update
+    // replayed over the base table (deletes apply before the update,
+    // and the update only sees survivors — same as the WHERE-then-CASE
+    // order here)
+    "q229_deletion_vectors" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id BETWEEN 200 AND 220 THEN 'xx' ELSE lang END
+        |      AS lang,
+        |    n_chars
+        |  FROM documents
+        |  WHERE doc_id NOT IN (7, 42, 99, 123)
+        |    AND NOT (n_chars < 120 AND doc_id % 10 = 3))
         |GROUP BY lang""".stripMargin,
 
     // q201: the evolution rule replayed — pre-evolution rows carry

@@ -441,25 +441,32 @@ private[sql] class TableLogScanBuilder(
   private def rowsIn(file: String): Option[Long] =
     snap.stats.get(file).flatMap(_.get(TableLog.RowsKey)).map(_.min.toLong)
 
-  /** Numeric data columns only: integral/floating bounds are exact in
-    * parquet footers; string stats may be truncated, so strings never
-    * serve MIN/MAX from the manifest.
+  /** Integral/floating bounds are always exact in parquet footers.
+    * STRING bounds serve only when every file recorded them with the
+    * footer's exactness flags intact (kind "s"; a possibly-TRUNCATED
+    * bound — kind "t", from a writer configured with
+    * parquet.statistics.truncate.length — still prunes as a superset
+    * range but must never be served as the MIN/MAX answer itself).
     */
-  private def boundServable(c: String): Boolean =
+  private def boundServable(c: String): Boolean = {
+    val isString = snap.schema.fields.find(_.name == c)
+      .exists(_.dataType == StringType)
     snap.schema.fields.find(_.name == c).exists(_.dataType match {
       case org.apache.spark.sql.types.ByteType | ShortType | IntegerType |
            LongType | org.apache.spark.sql.types.FloatType |
-           org.apache.spark.sql.types.DoubleType => true
+           org.apache.spark.sql.types.DoubleType | StringType => true
       case _ => false
     }) && snap.files.forall { n =>
-      // every file decides: a bound for the column, provably empty,
-      // or provably ALL NULL in the column (contributes no values)
+      // every file decides: a bound for the column (exact, for
+      // strings), provably empty, or provably ALL NULL in the column
+      // (contributes no values)
       snap.stats.get(n).exists(st =>
-        st.contains(c) ||
+        st.get(c).exists(b => !isString || b.kind == "s") ||
           st.get(TableLog.RowsKey).exists(_.min.toLong == 0L) ||
           (for { nl <- nullsOf(n, c); r <- rowsIn(n) } yield nl >= r)
             .getOrElse(false))
     }
+  }
 
   private def countServable: Boolean =
     snap.files.forall(n =>
@@ -473,6 +480,10 @@ private[sql] class TableLogScanBuilder(
       st.contains(TableLog.RowsKey) && st.contains(TableLog.nullsKey(c))))
 
   private def canPushAgg(a: Aggregation): Boolean = {
+    // live deletion vectors make per-file counts/bounds describe
+    // PHYSICAL rows, some of which are dead: never serve aggregates
+    // from the manifest then (the DV-compensated scan answers instead)
+    if (snap.hasDvs) return false
     val groupsOk = a.groupByExpressions.forall(e =>
       aggColName(e).exists(trustedPartCol)) &&
       (a.groupByExpressions.isEmpty || partRecordsComplete)
@@ -495,7 +506,9 @@ private[sql] class TableLogScanBuilder(
   private var limit: Option[Int] = None
 
   override def pushLimit(l: Int): Boolean =
-    if (countServable) { limit = Some(l); true } else false
+    // dv'd files' manifest counts overstate visible rows, so a file
+    // prefix covering the limit could come up short — don't push
+    if (countServable && !snap.hasDvs) { limit = Some(l); true } else false
 
   override def isPartiallyPushed(): Boolean = true
 
@@ -533,6 +546,8 @@ private[sql] class TableLogScanBuilder(
       case ByteType => v.toLong.toByte
       case DoubleType => v.toDouble
       case FloatType => v.toFloat
+      // exactness gated by boundServable (kind "s" in every file)
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(v)
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
     def rowsOf(n: String): Long = snap.stats(n)(TableLog.RowsKey).min.toLong
@@ -602,6 +617,13 @@ private[sql] class TableLogScanBuilder(
       case ByteType => Ordering.Byte
       case DoubleType => Ordering.Double.TotalOrdering
       case FloatType => Ordering.Float.TotalOrdering
+      // UTF8String.compareTo is unsigned-byte order — the order the
+      // parquet footer min/max were computed in, and Spark's own
+      // string MIN/MAX order
+      case StringType =>
+        Ordering.comparatorToOrdering(
+          java.util.Comparator.naturalOrder[
+            org.apache.spark.unsafe.types.UTF8String]())
       case other => throw new IllegalStateException(s"unreachable: $other")
     }).asInstanceOf[Ordering[Any]]
   }
@@ -947,6 +969,15 @@ private[sql] final class TableLogMicroBatchStream(
   private def filesAt(v: Long): Seq[String] =
     if (v <= 0L) Nil else TableLog.files(spark, path, Some(v))
 
+  /** Live deletion vectors at version `v` — a DV delete changes
+    * VISIBLE rows without touching the file list, so append-only
+    * detection must compare these alongside the file sets.
+    */
+  private def dvsAt(v: Long): Map[String, Set[String]] =
+    if (v <= 0L) Map.empty
+    else TableLog.snapshot(spark, path, Some(v)).dvs
+      .collect { case (n, ds) if ds.nonEmpty => n -> ds.toSet }
+
   override def planInputPartitions(
       start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
     val (lo, hi) = (ver(start), ver(end))
@@ -954,26 +985,30 @@ private[sql] final class TableLogMicroBatchStream(
     val newFiles: Seq[String] =
       if (!skipChangeCommits) {
         // endpoint diff suffices: file names are fresh UUIDs, so ANY
-        // rewrite/removal in the range shows at the endpoints
+        // rewrite/removal in the range shows at the endpoints — and a
+        // deletion-vector delete (same files, fewer visible rows)
+        // shows as a dv-map change
         val before = filesAt(lo).toSet
         val after = filesAt(hi)
         val removed = before -- after.toSet
-        if (removed.nonEmpty)
+        if (removed.nonEmpty || dvsAt(lo) != dvsAt(hi))
           throw new IllegalStateException(
-            s"tablelog streaming read: versions ($lo, $hi] of $path rewrote " +
-              "or removed data files (delete/optimize/restore) — the table " +
+            s"tablelog streaming read: versions ($lo, $hi] of $path rewrote, " +
+              "removed, or deletion-vector-deleted rows " +
+              "(delete/optimize/restore) — the table " +
               "stream serves APPENDS. Use the change feed " +
               "(format graft.streaming.TableLogChangeFeed) for row-level " +
               "changes, or skipChangeCommits=true to skip change commits")
         after.filterNot(before)
       } else {
-        // Delta's skipChangeCommits: a version that removed files is a
-        // CHANGE commit — its additions (survivor rewrites) are NOT
-        // appends and are skipped wholesale
+        // Delta's skipChangeCommits: a version that removed files OR
+        // grew a deletion vector is a CHANGE commit — its additions
+        // (survivor rewrites) are NOT appends and are skipped wholesale
         (lo + 1 to hi).flatMap { v =>
           val prev = filesAt(v - 1).toSet
           val cur = filesAt(v)
-          if ((prev -- cur.toSet).nonEmpty) Nil else cur.filterNot(prev)
+          if ((prev -- cur.toSet).nonEmpty || dvsAt(v - 1) != dvsAt(v)) Nil
+          else cur.filterNot(prev)
         }
       }
     if (newFiles.isEmpty) Array.empty

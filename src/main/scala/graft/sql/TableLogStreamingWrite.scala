@@ -203,16 +203,32 @@ private[sql] final case class TableLogPartFilesMessage(
   * schema (partition columns LAST — the analyzer's by-name
   * alignment); each row lands in the parquet writer of its hive
   * partition dir, PROJECTED to the data columns (the hive layout
-  * stores partition values in dir names). Writers are opened per
-  * distinct partition value seen by this task — bounded by the
-  * batch's partition fan-out, the same bound Spark's own dynamic
-  * partition writer carries.
+  * stores partition values in dir names) through ONE reused
+  * `UnsafeProjection` — the 100 TB ingest hot loop allocates nothing
+  * per row (the parquet write support consumes the projected values
+  * synchronously, so the reused buffer never escapes).
+  *
+  * Writers are opened per distinct partition value up to
+  * `maxOpenPartitions`; past the cap this switches to Spark's own
+  * dynamic-writer discipline: overflow rows SPILL-SORT by partition
+  * key ([[org.apache.spark.sql.execution.UnsafeExternalRowSorter]] —
+  * task-memory-managed, disk-backed) and drain at commit as one
+  * sequential writer per key run. A 1,000-partition epoch therefore
+  * writes ≤ partitions + maxOpen files — never the O(evictions) file
+  * churn an evict-and-reopen LRU produces on adversarially
+  * interleaved input. (Driver-side use without a TaskContext — tests
+  * constructing the writer directly — falls back to evict-and-reopen,
+  * which is correct, just file-noisier.)
   */
 private[sql] final class TableLogPartitionedRowWriter(
     dataDir: String, schemaJson: String, partCols: Seq[String],
     codecName: String, conf: Configuration, partitionId: Int, epochId: Long,
     maxOpenPartitions: Int = 64)
   extends DataWriter[InternalRow] {
+
+  import org.apache.spark.sql.catalyst.expressions.{
+    Ascending, BoundReference, InterpretedOrdering, SortOrder, UnsafeProjection,
+    UnsafeRow}
 
   private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
   private val full = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -222,70 +238,123 @@ private[sql] final class TableLogPartitionedRowWriter(
       partCols.contains(f.name) }
   private val dataSchema = StructType(dataFields.map(_._1))
   private val dataIdx = dataFields.map(_._2)
-  // access-ORDERED so the cap evicts the least-recently-written
-  // partition; finished (evicted) files accumulate in `done` — a
-  // re-appearing partition simply opens a FRESH file (the manifest
-  // happily records several files per partition per task), so a
-  // high-fan-out batch is bounded at maxOpenPartitions writer
-  // buffers instead of one per distinct partition value
+  // reused projections: data columns for the parquet writer, partition
+  // columns for the routing key, the full row for the spill sorter
+  private def ref(i: Int) =
+    BoundReference(i, full.fields(i).dataType, full.fields(i).nullable)
+  private val dataProj = UnsafeProjection.create(dataIdx.map(ref).toSeq)
+  private val partProj = UnsafeProjection.create(partIdx.map(ref).toSeq)
+  private val fullProj = UnsafeProjection.create(
+    full.fields.indices.map(ref).toSeq)
   private val open = new java.util.LinkedHashMap[
-    Seq[String], (ParquetWriter[InternalRow], String)](16, 0.75f, true)
+    UnsafeRow, (ParquetWriter[InternalRow], String, Seq[String])](16, 0.75f, true)
   private val done =
     scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
   private var closed = false
+  private var spill: org.apache.spark.sql.execution.UnsafeExternalRowSorter = _
 
-  private def writerFor(vals: Seq[String]): ParquetWriter[InternalRow] = {
-    val cached = open.get(vals)
-    if (cached != null) return cached._1
-    if (open.size >= maxOpenPartitions) {
-      val eldest = open.entrySet().iterator().next()
-      eldest.getValue._1.close()
-      done += ((eldest.getValue._2, eldest.getKey))
-      open.remove(eldest.getKey)
-      ()
+  private def newWriter(vals: Seq[String])
+      : (ParquetWriter[InternalRow], String) = {
+    val dir = partCols.zip(vals).map { case (c, v) =>
+      s"$c=" + (if (v == null) HiveNullPart
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v))
+    }.mkString("/")
+    val name =
+      f"$dir/stream-e$epochId-p$partitionId%05d-${java.util.UUID.randomUUID()}.parquet"
+    val c = new Configuration(conf)
+    ParquetWriteSupport.setSchema(dataSchema, c)
+    val w = new TableLogParquetBuilder(new Path(dataDir, name))
+      .withConf(c)
+      .withCompressionCodec(CompressionCodecName.valueOf(codecName))
+      .build()
+    (w, name)
+  }
+
+  private def partVals(row: InternalRow): Seq[String] = partIdx.map { i =>
+    if (row.isNullAt(i)) null
+    else row.get(i, full.fields(i).dataType).toString
+  }
+
+  private def spillRow(row: InternalRow): Unit = {
+    if (spill == null)
+      spill = org.apache.spark.sql.execution.UnsafeExternalRowSorter.create(
+        full,
+        new InterpretedOrdering(partIdx.map(i =>
+          SortOrder(ref(i), Ascending)).toSeq),
+        org.apache.spark.util.collection.unsafe.sort.PrefixComparators.LONG,
+        new org.apache.spark.sql.execution.UnsafeExternalRowSorter.PrefixComputer {
+          private val zero =
+            new org.apache.spark.sql.execution.UnsafeExternalRowSorter
+              .PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow)
+              : org.apache.spark.sql.execution.UnsafeExternalRowSorter
+                .PrefixComputer.Prefix = { zero.value = 0L; zero }
+        },
+        org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes,
+        false)
+    spill.insertRow(fullProj(row))
+  }
+
+  /** Drain the spill sorter at commit: rows arrive grouped by
+    * partition key, so ONE writer is open at a time — one file per
+    * overflow partition.
+    */
+  private def drainSpill(): Unit = if (spill != null) {
+    var curKey: UnsafeRow = null
+    var cur: (ParquetWriter[InternalRow], String, Seq[String]) = null
+    val it = spill.sort()
+    while (it.hasNext) {
+      val row = it.next()
+      val key = partProj(row)
+      if (curKey == null || curKey != key) {
+        if (cur != null) {
+          cur._1.close()
+          done += ((cur._2, cur._3))
+        }
+        val vals = partVals(row)
+        val (w, name) = newWriter(vals)
+        cur = (w, name, vals)
+        curKey = key.copy()
+      }
+      cur._1.write(dataProj(row))
     }
-    val fresh = {
-      val dir = partCols.zip(vals).map { case (c, v) =>
-        s"$c=" + (if (v == null) HiveNullPart
-        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(v))
-      }.mkString("/")
-      val name =
-        f"$dir/stream-e$epochId-p$partitionId%05d-${java.util.UUID.randomUUID()}.parquet"
-      val c = new Configuration(conf)
-      ParquetWriteSupport.setSchema(dataSchema, c)
-      val w = new TableLogParquetBuilder(new Path(dataDir, name))
-        .withConf(c)
-        .withCompressionCodec(CompressionCodecName.valueOf(codecName))
-        .build()
-      (w, name)
+    if (cur != null) {
+      cur._1.close()
+      done += ((cur._2, cur._3))
     }
-    open.put(vals, fresh)
-    fresh._1
+    spill.cleanupResources()
+    spill = null
   }
 
   override def write(row: InternalRow): Unit = {
-    val vals: Seq[String] = partIdx.map { i =>
-      if (row.isNullAt(i)) null
-      else row.get(i, full.fields(i).dataType).toString
+    val key = partProj(row) // reused buffer; copied only on first sight
+    val cached = open.get(key)
+    if (cached != null) { cached._1.write(dataProj(row)); return }
+    if (open.size >= maxOpenPartitions) {
+      if (org.apache.spark.TaskContext.get() != null) { spillRow(row); return }
+      // no task context (driver-side direct use): evict-and-reopen
+      val eldest = open.entrySet().iterator().next()
+      eldest.getValue._1.close()
+      done += ((eldest.getValue._2, eldest.getValue._3))
+      open.remove(eldest.getKey)
+      ()
     }
-    // values are consumed synchronously by the parquet writer, so the
-    // borrowed unsafe buffers never outlive this call
-    val proj = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      dataIdx.map(i =>
-        if (row.isNullAt(i)) null
-        else row.get(i, full.fields(i).dataType)).toArray[Any])
-    writerFor(vals).write(proj)
+    val vals = partVals(row)
+    val fresh = newWriter(vals)
+    open.put(key.copy(), (fresh._1, fresh._2, vals))
+    fresh._1.write(dataProj(row))
   }
 
   private def allFiles: Seq[(String, Seq[String])] = {
     val stillOpen = scala.jdk.CollectionConverters
       .IteratorHasAsScala(open.entrySet().iterator()).asScala
-      .map(e => (e.getValue._2, e.getKey)).toSeq
+      .map(e => (e.getValue._2, e.getValue._3)).toSeq
     (done ++ stillOpen).toSeq
   }
 
   override def commit(): WriterCommitMessage = {
+    drainSpill()
     scala.jdk.CollectionConverters
       .IteratorHasAsScala(open.values().iterator()).asScala
       .foreach(_._1.close())
@@ -306,9 +375,14 @@ private[sql] final class TableLogPartitionedRowWriter(
 
   override def close(): Unit =
     if (!closed) {
+      if (spill != null) {
+        try spill.cleanupResources()
+        catch { case scala.util.control.NonFatal(_) => () }
+        spill = null
+      }
       scala.jdk.CollectionConverters
         .IteratorHasAsScala(open.values().iterator()).asScala
-        .foreach { case (w, _) =>
+        .foreach { case (w, _, _) =>
           try w.close()
           catch { case scala.util.control.NonFatal(_) => () }
         }

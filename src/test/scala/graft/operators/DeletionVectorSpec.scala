@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+/** Pins deletion vectors (merge-on-read deletes): a point delete
+  * writes O(deleted rows) — counted against the data dir, not
+  * wall-clock — every read surface applies the vectors, rewrites fold
+  * them in, diff/CDC see position-level changes, and vacuum sweeps
+  * unreferenced sidecars.
+  */
+class DeletionVectorSpec extends GraftSparkSpec {
+
+  import spark.implicits._
+
+  private def freshPath(stem: String): String = {
+    val p = graft.SparkEntry.perProcessTmpDir(stem)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    p
+  }
+
+  private def fsOf(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataFiles(path: String): Set[String] = {
+    val f = fsOf(path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/data")
+    val it = f.listFiles(dir, true)
+    val out = scala.collection.mutable.Set.empty[String]
+    while (it.hasNext) { val s = it.next(); if (s.isFile) out += s.getPath.toString }
+    out.toSet
+  }
+
+  private def dvDirs(path: String): Set[String] = {
+    val f = fsOf(path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_dv")
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).map(_.getPath.getName).toSet
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("a 1-row DV delete writes O(deleted rows): zero data files touched") {
+    val path = freshPath("graft-spec-dv-core")
+    val data = (0L until 4000L).map(i => (i, i % 7, s"p$i")).toDF("id", "g", "p")
+    TableLog.create(spark, path,
+      data.repartitionByRange(4, $"id").sortWithinPartitions("id"))
+    val before = dataFiles(path)
+    val filesBefore = TableLog.files(spark, path)
+
+    assert(TableLog.deleteWhereDV(spark, path, col("id") === 1234L) === 2L)
+    // counted IO: the data directory is byte-identical — no rewrite,
+    // no new data file; the only new artifact is one _dv sidecar dir
+    assert(dataFiles(path) === before, "data files must not be touched")
+    assert(TableLog.files(spark, path) === filesBefore,
+      "the manifest's file list is unchanged")
+    assert(dvDirs(path).count(_.startsWith("d-")) === 1)
+
+    // every read surface excludes the position
+    assert(TableLog.read(spark, path).count() === 3999L)
+    assert(TableLog.read(spark, path).where($"id" === 1234L).count() === 0L)
+    assert(TableLog.readBand(spark, path, "id", 1200L, 1300L).count() === 100L)
+    assert(TableLog.readPoint(spark, path, "id", 1234L).count() === 0L)
+    assert(TableLog.readPoint(spark, path, "id", 1235L).count() === 1L)
+    // time travel: v1 still sees the row
+    assert(TableLog.read(spark, path, Some(1L)).where($"id" === 1234L).count() === 1L)
+    // history reports LOGICAL rows
+    val hist = TableLog.history(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist === Map(1L -> 4000L, 2L -> 3999L))
+
+    // deletes STACK: a second (band) DV delete applies on top
+    assert(TableLog.deleteWhereDV(spark, path,
+      $"id" >= 100L && $"id" < 110L) === 3L)
+    assert(dataFiles(path) === before, "still no data-file IO")
+    assert(TableLog.read(spark, path).count() === 3989L)
+    assert(TableLog.read(spark, path).where($"id".between(95L, 115L))
+      .as[(Long, Long, String)].collect().map(_._1).sorted.toSeq ===
+      ((95L to 99L) ++ (110L to 115L)))
+    // a dead position is never re-recorded: deleting an already-dead
+    // row is a no-op commit
+    val v4 = TableLog.deleteWhereDV(spark, path, $"id" === 1234L)
+    assert(v4 === 4L)
+    assert(TableLog.read(spark, path).count() === 3989L)
+    assert(dvDirs(path).count(_.startsWith("d-")) === 2,
+      "a no-match delete writes no sidecar")
+  }
+
+  test("deleteWhere routes to DVs under the conf; rewrites fold vectors in") {
+    val path = freshPath("graft-spec-dv-fold")
+    TableLog.create(spark, path,
+      (0L until 2000L).map(i => (i, i % 5))
+        .toDF("id", "g").repartitionByRange(4, $"id").sortWithinPartitions("id"))
+    val before = dataFiles(path)
+    spark.conf.set("spark.graft.tablelog.deletionVectors", "true")
+    try {
+      TableLog.deleteWhere(spark, path, $"id" === 7L)
+      assert(dataFiles(path) === before, "conf-routed delete is merge-on-read")
+      assert(TableLog.snapshot(spark, path).hasDvs)
+
+      // updateWhere on the vectored file REWRITES it: the vector folds
+      // in (deleted row stays gone) and the entry drops
+      TableLog.updateWhere(spark, path, Seq("g" -> lit(99L)), $"id" === 8L)
+      val snap = TableLog.snapshot(spark, path)
+      assert(!snap.hasDvs, "rewrite folded the vector in")
+      val got = TableLog.read(spark, path)
+      assert(got.count() === 1999L)
+      assert(got.where($"id" === 7L).count() === 0L, "fold kept the delete")
+      assert(got.where($"id" === 8L).select("g").as[Long].head() === 99L)
+
+      // merge sees DV-deleted keys as ABSENT: the row re-inserts
+      TableLog.deleteWhere(spark, path, $"id" === 20L)
+      assert(TableLog.snapshot(spark, path).hasDvs)
+      TableLog.merge(spark, path,
+        Seq((20L, 777L)).toDF("id", "g"), "id")
+      val after = TableLog.read(spark, path)
+      assert(after.where($"id" === 20L).select("g").as[Long].collect()
+        .toSeq === Seq(777L), "dv-deleted key merges as an insert")
+
+      // OPTIMIZE clears every vector, content preserved
+      TableLog.deleteWhere(spark, path, $"id" === 30L)
+      val pre = rows(TableLog.read(spark, path))
+      TableLog.optimizeRange(spark, path, "id", 4)
+      assert(!TableLog.snapshot(spark, path).hasDvs)
+      assert(rows(TableLog.read(spark, path)) === pre)
+    } finally spark.conf.unset("spark.graft.tablelog.deletionVectors")
+  }
+
+  test("diff and the change feed see DV commits as position-level removals") {
+    val path = freshPath("graft-spec-dv-cdc")
+    spark.conf.set("spark.graft.tablelog.writeChangeFiles", "true")
+    try {
+      TableLog.create(spark, path,
+        (0L until 1000L).map(i => (i, s"r$i")).toDF("id", "p")
+          .repartitionByRange(2, $"id"))                        // v1
+      TableLog.deleteWhereDV(spark, path, $"id".isin(3L, 500L)) // v2
+      TableLog.deleteWhereDV(spark, path, $"id" === 4L)         // v3
+      TableLog.append(spark, path,
+        Seq((5000L, "new")).toDF("id", "p"))                    // v4
+
+      // reconstructed diff across a DV commit: exactly the dead rows
+      val d12 = TableLog.diff(spark, path, 1L, 2L)
+      assert(rows(d12) === Set(Seq(3L, "r3", "removed"), Seq(500L, "r500", "removed")))
+      val d13 = TableLog.diff(spark, path, 1L, 3L)
+      assert(rows(d13) === Set(
+        Seq(3L, "r3", "removed"), Seq(500L, "r500", "removed"),
+        Seq(4L, "r4", "removed")))
+      // restore to v1 resurrects the positions -> 'added'
+      val d21 = TableLog.diff(spark, path, 2L, 1L)
+      assert(rows(d21) === Set(Seq(3L, "r3", "added"), Seq(500L, "r500", "added")))
+
+      // the change feed chain (materialized + reconstructed agree)
+      val mat = TableLog.changes(spark, path, 1L, 4L)
+      val rec = (2L to 4L).map(v =>
+        TableLog.diff(spark, path, v - 1, v).withColumn("_commit_version", lit(v)))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      assert(mat.exceptAll(rec).isEmpty && rec.exceptAll(mat).isEmpty,
+        "DV change feed must be multiset-equal to the diff chain")
+
+      // restore of a DV-carrying version keeps its vectors
+      val v5 = TableLog.restore(spark, path, 2L)
+      assert(TableLog.read(spark, path, Some(v5)).count() === 998L)
+      assert(TableLog.read(spark, path).where($"id" === 4L).count() === 1L,
+        "v2 predates the id=4 delete")
+    } finally spark.conf.unset("spark.graft.tablelog.writeChangeFiles")
+  }
+
+  test("DV deletes on a PARTITIONED table: hive-dir positions, partition reads apply") {
+    val path = freshPath("graft-spec-dv-part")
+    val base = (0L until 900L).map(i =>
+      (i, Seq("en", "de", "zh")((i % 3L).toInt), i)).toDF("id", "lang", "w")
+    TableLog.createPartitioned(spark, path, base.repartition(2), Seq("lang"))
+    val before = dataFiles(path)
+    TableLog.deleteWhereDV(spark, path, $"lang" === "en" && $"id" < 30L)
+    assert(dataFiles(path) === before)
+    assert(TableLog.read(spark, path).count() === 890L)
+    assert(TableLog.readPartition(spark, path, Map("lang" -> "en")).count() === 290L)
+    assert(TableLog.readPartition(spark, path, Map("lang" -> "de")).count() === 300L)
+    // deletePartition drops the dv'd partition wholesale: entries leave
+    TableLog.deletePartition(spark, path, Map("lang" -> "en"))
+    assert(!TableLog.snapshot(spark, path).hasDvs)
+    assert(TableLog.read(spark, path).count() === 600L)
+  }
+
+  test("vacuum sweeps sidecars no retained manifest references, keeps live ones") {
+    val path = freshPath("graft-spec-dv-vacuum")
+    TableLog.create(spark, path,
+      (0L until 500L).map(i => (i, i)).toDF("id", "w").repartition(2)) // v1
+    TableLog.deleteWhereDV(spark, path, $"id" === 5L)                  // v2
+    TableLog.deleteWhereDV(spark, path, $"id" === 6L)                  // v3
+    assert(dvDirs(path).count(_.startsWith("d-")) === 2)
+    spark.conf.set("spark.graft.tablelog.retentionMs", "0")
+    try {
+      // keep v2+v3: both sidecars still referenced
+      TableLog.vacuum(spark, path, keepVersions = 2)
+      assert(dvDirs(path).count(_.startsWith("d-")) === 2)
+      assert(TableLog.read(spark, path).count() === 498L)
+      // fold everything and vacuum to latest-only: sidecars sweep
+      TableLog.optimizeRange(spark, path, "id", 2)                     // v4
+      TableLog.vacuum(spark, path, keepVersions = 1)
+      assert(dvDirs(path).isEmpty, "unreferenced sidecars must sweep")
+      assert(TableLog.read(spark, path).count() === 498L)
+    } finally spark.conf.unset("spark.graft.tablelog.retentionMs")
+  }
+
+  test("copy-on-write delete on a DV-carrying table stays consistent") {
+    val path = freshPath("graft-spec-dv-cow")
+    TableLog.create(spark, path,
+      (0L until 1000L).map(i => (i, i)).toDF("id", "w")
+        .repartitionByRange(2, $"id").sortWithinPartitions("id"))
+    TableLog.deleteWhereDV(spark, path, $"id" === 10L)
+    // conf OFF: a copy-on-write delete over the vectored file must
+    // apply the vector (accounting is logical) and drop its entry
+    TableLog.deleteWhere(spark, path, $"id" < 100L)
+    assert(!TableLog.snapshot(spark, path).hasDvs)
+    assert(TableLog.read(spark, path).count() === 900L)
+    assert(rows(TableLog.read(spark, path).select("id")) ===
+      (100L until 1000L).map(Seq(_)).toSet)
+  }
+}

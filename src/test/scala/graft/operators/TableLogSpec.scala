@@ -980,6 +980,149 @@ class TableLogSpec extends GraftSparkSpec {
       assert(TableLog.recoverTransactions(spark, other) === 0)
     }
   }
+  test("conditional-PUT commit protocol: racing drivers, exactly one PUT wins") {
+    val dir = freshPath("graft-spec-tlog-condput")
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val dest = new org.apache.hadoop.fs.Path(s"$dir/v0000042.json")
+    val guard = new Object
+    // the two-driver clobber: concurrent publishers of DIFFERENT bytes
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = {
+            val tmp = new org.apache.hadoop.fs.Path(s"$dir/_tmp_put_$i.json")
+            val out = fsys.create(tmp, true)
+            out.write(s"""{"writer":$i}""".getBytes("UTF-8"))
+            out.close()
+            TableLog.ConditionalPutCommitProtocol.publish(fsys, tmp, dest, guard)
+          }
+        })
+      }
+      val wins = futures.map(_.get())
+      assert(wins.count(identity) === 1, s"exactly one PUT may win: $wins")
+    } finally pool.shutdown()
+    // the winner's bytes are intact JSON, losers' tmps are disposed
+    val body = {
+      val in = fsys.open(dest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(body.matches("""\{"writer":\d\}"""), body)
+    assert(!fsys.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.startsWith("_tmp_put_")), "tmps disposed")
+
+    // end to end behind the conf: commits PUT manifests (no rename),
+    // the optimistic append still rebases when its version is stolen
+    spark.conf.set("spark.graft.tablelog.commitProtocol",
+      "graft.operators.TableLog$ConditionalPutCommitProtocol$")
+    try {
+      val path = freshPath("graft-spec-tlog-condput-t")
+      TableLog.create(spark, path,
+        (0L until 50L).map(i => (i, i)).toDF("id", "w"))
+      TableLog.testPreCommit.put(path, () => {
+        TableLog.appendOptimistic(spark, path,
+          (9000L until 9010L).map(i => (i, i)).toDF("id", "w"))
+        ()
+      })
+      TableLog.appendOptimistic(spark, path,
+        (100L until 120L).map(i => (i, i)).toDF("id", "w"))
+      assert(TableLog.read(spark, path).count() === 80L,
+        "both appends land under the conditional-PUT protocol")
+      assert(TableLog.versions(spark, path) === Seq(1L, 2L, 3L))
+    } finally spark.conf.unset("spark.graft.tablelog.commitProtocol")
+  }
+  test("change feed over a 200-version backfill: one scan per SEGMENT, not per version") {
+    val path = freshPath("graft-spec-tlog-cdcrange")
+    TableLog.create(spark, path,
+      (0L until 50L).map(i => (i, i)).toDF("id", "w"))          // v1
+    // 160 unmaterialized pure-append versions (CDC off — the backfill)
+    (1 to 160).foreach { k =>
+      TableLog.append(spark, path, Seq((1000L + k, k.toLong)).toDF("id", "w"))
+    }                                                           // v2..v161
+    // 40 materialized DV-delete versions
+    spark.conf.set("spark.graft.tablelog.writeChangeFiles", "true")
+    try (1 to 40).foreach { k =>
+      TableLog.deleteWhereDV(spark, path, col("id") === (1000L + k))
+    }                                                           // v162..v201
+    finally spark.conf.unset("spark.graft.tablelog.writeChangeFiles")
+    val last = TableLog.latestVersion(spark, path)
+    assert(last === 201L)
+    val served0 = TableLog.ChangeIo.servedMaterialized(path)
+    val feed = TableLog.changes(spark, path, 1L, last)
+    // plan shape: the whole range is TWO segments (one multi-path read
+    // over the 40 change dirs + one scan of the 160-append run) — a
+    // per-version union tree would carry ~200 Union nodes
+    val unions = feed.queryExecution.logical.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.size
+    assert(unions <= 2, s"expected <= 2 union nodes, got $unions")
+    assert(TableLog.ChangeIo.servedMaterialized(path) - served0 === 40L,
+      "every materialized version must serve from its change files")
+    // correctness against the analytically-known change history
+    val got = feed.select(col("id"), col("change"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val wantAdds = (1 to 160).map(k => (1000L + k, "added", k + 1L)).toSet
+    val wantDels = (1 to 40).map(k => (1000L + k, "removed", 161L + k)).toSet
+    assert(got === (wantAdds ++ wantDels))
+  }
+  test("root pointer: cross-table snapshot isolation for root-resolved readers") {
+    val pA = freshPath("graft-spec-tlog-root-a")
+    val pB = freshPath("graft-spec-tlog-root-b")
+    val root = freshPath("graft-spec-tlog-root-r")
+    TableLog.create(spark, pA, (0L until 10L).map(i => (i, i)).toDF("id", "w"))
+    TableLog.create(spark, pB, (0L until 10L).map(i => (i, i)).toDF("id", "n"))
+    def txn(lo: Long, n: Long): Unit = {
+      TableLog.transaction(spark, Seq(
+        pA -> (lo until lo + n).map(i => (i, i)).toDF("id", "w"),
+        pB -> (lo until lo + n).map(i => (i, i)).toDF("id", "n")),
+        root = Some(root))
+      ()
+    }
+    txn(100L, 10L) // both 20
+    // pin the root BEFORE the next transaction commits
+    val pinnedV = TableLog.rootVersions(spark, root).last
+    txn(200L, 5L)  // both 25 at the new root
+    // the pinned reader sees the consistent PRE-transaction pair even
+    // though both tables have advanced underneath
+    assert(TableLog.readAtRoot(spark, root, pA, Some(pinnedV)).count() === 20L)
+    assert(TableLog.readAtRoot(spark, root, pB, Some(pinnedV)).count() === 20L)
+    // the latest root sees the consistent POST pair
+    assert(TableLog.readAtRoot(spark, root, pA).count() === 25L)
+    assert(TableLog.readAtRoot(spark, root, pB).count() === 25L)
+
+    // the isolation point is the root's single rename: a transaction
+    // that committed table A's version but CRASHED before B's leaves
+    // the root untouched — a root reader still sees the old pair; the
+    // recovery completes the tables AND replays the root bump
+    val first = Seq(pA, pB).min
+    val second = Seq(pA, pB).max
+    TableLog.testPreCommit.put(second, () =>
+      throw new RuntimeException("crash between participants"))
+    intercept[RuntimeException] { txn(300L, 7L) }
+    val tornRoot = TableLog.rootSnapshot(spark, root)
+    assert(TableLog.read(spark, first).count() === 32L,
+      "first participant committed before the crash")
+    assert(TableLog.readAtRoot(spark, root, pA, None).count() === 25L,
+      "root readers still see the pre-crash pair")
+    assert(TableLog.readAtRoot(spark, root, pB, None).count() === 25L)
+    assert(tornRoot === TableLog.rootSnapshot(spark, root))
+    val rootsBefore = TableLog.rootVersions(spark, root).size
+    assert(TableLog.recoverTransactions(spark, first) === 1)
+    assert(TableLog.readAtRoot(spark, root, pA).count() === 32L)
+    assert(TableLog.readAtRoot(spark, root, pB).count() === 32L)
+    assert(TableLog.rootVersions(spark, root).size === rootsBefore + 1)
+    // replayed recovery does not double-bump (tag idempotency)
+    assert(TableLog.recoverTransactions(spark, first) === 0)
+    assert(TableLog.rootVersions(spark, root).size === rootsBefore + 1)
+    // unregistered table fails fast
+    val e = intercept[IllegalArgumentException] {
+      TableLog.readAtRoot(spark, root, freshPath("graft-spec-tlog-root-x"))
+    }
+    assert(e.getMessage.contains("does not register"))
+  }
   test("a corrupt transaction intent (missing participant path) refuses recovery loudly") {
     val p = freshPath("graft-spec-tlog-txncorrupt")
     TableLog.create(spark, p, Seq((1L, 1L)).toDF("id", "w"))

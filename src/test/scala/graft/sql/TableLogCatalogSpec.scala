@@ -622,6 +622,105 @@ class TableLogCatalogSpec extends GraftSparkSpec {
       .collect().head.getLong(0) === 1L)
   }
 
+  test("string MIN/MAX: exact footer bounds serve from the manifest, truncated fall back") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-strb")
+    // non-ASCII values pin the unsigned-byte (UTF-8) order: 'é' sorts
+    // ABOVE 'z' in byte order (0xC3 > 0x7A) though below in UTF-16
+    val data = Seq(
+      (1L, "apple"), (2L, "zebra"), (3L, "épée"), (4L, "Banana"),
+      (5L, "mango"), (6L, "!bang"), (7L, "yak"), (8L, "kiwi"))
+      .toDF("id", "s")
+    TableLog.create(spark, path, data.repartitionByRange(3, col("id")))
+    val q = s"SELECT min(s) AS lo, max(s) AS hi, count(*) AS n " +
+      s"FROM tablelog.`$path`"
+    val served = spark.sql(q)
+    served.queryExecution.executedPlan
+    assert(TableLogSql.tookAggServed(path),
+      "exact string bounds must serve from the manifest")
+    val r = served.collect().head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) ===
+      (("!bang", "épée", 8L)))
+
+    // rewrite with footer-stat truncation: bounds record kind "t",
+    // serving refuses, the scan answers (still correctly)
+    TableLog.optimizeBloom(spark, path, Seq("id"), 2,
+      extraWriterOptions = Map("parquet.statistics.truncate.length" -> "2"))
+    val snap = TableLog.snapshot(spark, path)
+    val kinds = snap.files.flatMap(n =>
+      snap.stats.get(n).flatMap(_.get("s")).map(_.kind)).toSet
+    assert(kinds === Set("t"),
+      s"truncated stats must classify inexact, got kinds $kinds")
+    val after = spark.sql(q)
+    after.queryExecution.executedPlan
+    assert(!TableLogSql.tookAggServed(path),
+      "possibly-truncated bounds must never serve MIN/MAX")
+    val r2 = after.collect().head
+    assert((r2.getString(0), r2.getString(1), r2.getLong(2)) ===
+      (("!bang", "épée", 8L)))
+    // pruning with truncated bounds stays sound (superset range)
+    assert(TableLog.readBand(spark, path, "s", "kiwi", "mango")
+      .collect().map(_.getString(1)).toSet === Set("kiwi", "mango"))
+  }
+
+  test("deletion vectors through SQL: DELETE writes a sidecar, reads compensate") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-dv")
+    TableLog.create(spark, path,
+      (0L until 2000L).map(i => (i, i % 7))
+        .toDF("id", "g").repartitionByRange(4, col("id"))
+        .sortWithinPartitions("id"))
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataListing(): Set[String] = {
+      val it = fsys.listFiles(new org.apache.hadoop.fs.Path(s"$path/data"), true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile) out += s"${s.getPath}@${s.getLen}"
+      }
+      out.toSet
+    }
+    val before = dataListing()
+    spark.conf.set("spark.graft.tablelog.deletionVectors", "true")
+    try {
+      spark.sql(s"DELETE FROM tablelog.`$path` WHERE id = 77")
+      assert(dataListing() === before,
+        "SQL DELETE under the conf must be merge-on-read: zero data-file IO")
+      assert(TableLog.snapshot(spark, path).hasDvs)
+
+      // SELECTs compensate (the optimizer rule swaps the v2 scan)
+      assert(spark.sql(s"SELECT count(*) AS n FROM tablelog.`$path`")
+        .collect().head.getLong(0) === 1999L)
+      assert(!TableLogSql.tookAggServed(path),
+        "manifest-served aggregates must refuse while DVs are live")
+      assert(spark.sql(
+        s"SELECT id FROM tablelog.`$path` WHERE id BETWEEN 75 AND 79 ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === Seq(75L, 76L, 78L, 79L))
+      // time travel: v1 still whole, and still manifest-servable
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM tablelog.`$path` VERSION AS OF 1")
+        .collect().head.getLong(0) === 2000L)
+
+      // INSERT ... SELECT from the DV'd table copies only LIVE rows
+      val dst = freshPath("graft-spec-tlsql-dv-dst")
+      TableLog.create(spark, dst, Seq((999999L, 0L)).toDF("id", "g"))
+      spark.sql(s"INSERT INTO tablelog.`$dst` " +
+        s"SELECT id, g FROM tablelog.`$path` WHERE id < 100")
+      assert(spark.sql(s"SELECT count(*) AS n FROM tablelog.`$dst`")
+        .collect().head.getLong(0) === 100L,
+        "99 live rows under 100 (77 is dead) + the seed")
+
+      // OPTIMIZE folds; manifest aggregate serving resumes
+      spark.sql(s"CALL tablelog.optimize('$path', 'id', 4)")
+      assert(!TableLog.snapshot(spark, path).hasDvs)
+      assert(spark.sql(s"SELECT count(*) AS n FROM tablelog.`$path`")
+        .collect().head.getLong(0) === 1999L)
+      assert(TableLogSql.tookAggServed(path),
+        "after the fold the count serves from the manifest again")
+    } finally spark.conf.unset("spark.graft.tablelog.deletionVectors")
+  }
+
   test("manifest-served GROUP BY partition column: hive null sentinel maps to NULL") {
     TableLogSql.register(spark)
     val path = freshPath("graft-spec-tlsql-nullpart")
@@ -771,6 +870,49 @@ class TableLogCatalogSpec extends GraftSparkSpec {
     assert(snap.files.forall(n => n.startsWith("lang=")),
       s"hive layout expected, got ${snap.files.take(3)}")
   }
+  test("sorted-spill writer: a 100-partition adversarial epoch writes <= partitions + maxOpen files") {
+    val dst = freshPath("graft-spec-tlsql-spill")
+    val dataDir = s"$dst/data"
+    new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(new org.apache.hadoop.fs.Path(dataDir))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    val (hconf, codec) = TableLogWriteConf.snapshot(spark)
+    val factory = new TableLogStreamingWriterFactory(
+      dataDir, schema.json, "lang", codec,
+      new org.apache.spark.SerializableWritable(hconf), maxOpenPartitions = 8)
+    // run INSIDE a task (the spill sorter is task-memory-managed);
+    // round-robin row order is the adversarial worst case for an
+    // evict-and-reopen LRU (every row past the cap would churn a file)
+    val files = spark.sparkContext.parallelize(Seq(0), 1).map { _ =>
+      val w = factory.createWriter(0, 0L, 0L)
+      (0 until 3000).foreach { i =>
+        w.write(org.apache.spark.sql.catalyst.InternalRow(
+          i.toLong, (i * 7).toLong,
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"p${i % 100}")))
+      }
+      w.commit().asInstanceOf[TableLogPartFilesMessage].files
+    }.collect().head
+    assert(files.map(_._2).toSet.size === 100, "every partition present")
+    assert(files.size <= 100 + 8,
+      s"sorted spill must bound files at partitions + maxOpen, got ${files.size}")
+    // content exact after the spill-sort drain
+    val got = spark.read.option("basePath", dataDir)
+      .parquet(files.map(f => s"$dataDir/${f._1}"): _*)
+    assert(got.count() === 3000L)
+    assert(got.agg(sum(col("w"))).collect().head.getLong(0) ===
+      (0 until 3000).map(i => (i * 7).toLong).sum)
+    assert(got.where(col("lang") === "p37").count() === 30L)
+    assert(rows(got.where(col("lang") === "p5").select(col("id"))) ===
+      (0 until 3000).filter(_ % 100 == 5).map(i => Seq(i.toLong)).toSet)
+  }
+
   test("partitioned writer cap: high fan-out batches bound open writers, content exact") {
     TableLogSql.register(spark)
     val src = freshPath("graft-spec-tlsql-cap-src")
@@ -795,10 +937,11 @@ class TableLogCatalogSpec extends GraftSparkSpec {
       rows(base), "LRU eviction must lose no rows")
     val snap = TableLog.snapshot(spark, dst)
     assert(snap.files.forall(snap.parts.contains),
-      "every evicted and still-open file carries its partition record")
-    // the cap really bit: more files than partitions (re-opened ones)
+      "every spilled and still-open file carries its partition record")
+    // the cap really bit: more files than partitions (each task keeps
+    // <= 2 open and spill-drains the other 10 into its own files)
     assert(snap.files.size > 12,
-      s"expected evict-and-reopen to split files, got ${snap.files.size}")
+      s"expected the cap to split files across tasks, got ${snap.files.size}")
   }
 }
 
