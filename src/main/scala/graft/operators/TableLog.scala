@@ -2058,8 +2058,121 @@ object TableLog {
       val v = latestVersion(spark, path)
       checkNotVacuumed(spark, path, v)
       val cur = readManifestFull(spark, path, v)
+      dvDeleteCore(spark, path, v, cur, cur.files, predicate)
+    }
+
+  /** [[deleteBand]]'s merge-on-read twin (also routed from
+    * [[deleteBand]] under `spark.graft.tablelog.deletionVectors=true`):
+    * the CANDIDATE set comes from the manifest bounds, so on a table
+    * clustered on `colName` a TTL/GDPR delete's DISCOVERY scan is
+    * proportional to the band — and the write stays O(deleted rows)
+    * (the sidecar), never a file rewrite. The 100 TB point/band-delete
+    * shape: manifest-cut discovery × merge-on-read write.
+    */
+  def deleteBandDV(
+      spark: SparkSession, path: String, colName: String,
+      lower: Any, upper: Any): Long =
+    withLock(spark, path, "deleteBandDV") {
+      val v = latestVersion(spark, path)
+      checkNotVacuumed(spark, path, v)
+      val cur = readManifestFull(spark, path, v)
+      val candidates = cur.files.filter { n =>
+        cur.stats.get(n).flatMap(_.get(colName)) match {
+          case None => true
+          case Some(b) => overlaps(b, lower, upper)
+        }
+      }
+      val pred = col(colName) >= lit(lower) && col(colName) <= lit(upper)
+      if (candidates.isEmpty) {
+        val nv = commitFull(spark, path, v + 1, cur.copy(tag = None))
+        maybeWriteChanges(spark, path, v, nv,
+          Some(emptyChanges(spark, path, cur)))
+        nv
+      } else dvDeleteCore(spark, path, v, cur, candidates, pred)
+    }
+
+  /** Shared merge-on-read delete engine: evaluate the predicate over
+    * the candidates' VISIBLE rows once (localCheckpoint — the sidecar
+    * write, accounting, and CDC all read the same decision), publish
+    * the positions as one sidecar, commit manifest-only.
+    */
+  private def dvDeleteCore(
+      spark: SparkSession, path: String, v: Long, cur: Manifest,
+      candidates: Seq[String], predicate: Column): Long = {
+    val schema = cur.schema.getOrElse(
+      readFiles(spark, path, cur, cur.files).schema)
+    val matched = readFilesDvMeta(spark, path, cur, candidates)
+      .where(coalesce(predicate, lit(false)))
+      .localCheckpoint(true)
+    val perFile = matched
+      .groupBy(col("_tl_file")).agg(count(lit(1)).as("_tl_n"))
+      .collect().map(r => relName(path, r.getString(0)) -> r.getLong(1))
+    if (perFile.isEmpty) {
+      val nv = commitFull(spark, path, v + 1, cur.copy(tag = None))
+      maybeWriteChanges(spark, path, v, nv,
+        Some(emptyChanges(spark, path, cur)))
+      nv
+    } else {
+      val f = fs(spark, path)
+      val dirName = s"d-${java.util.UUID.randomUUID()}"
+      val tmp = new Path(dvDir(path), s"_tmp_${java.util.UUID.randomUUID()}")
+      matched
+        .select(relNameCol(col("_tl_file")).as("file"),
+          col("_tl_pos").as("pos"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      f.mkdirs(dvDir(path))
+      require(f.rename(tmp, new Path(dvDir(path), dirName)),
+        "TableLog.deleteWhereDV: sidecar publish failed")
+      val touched = perFile.toMap
+      val newStats = cur.stats ++ touched.map { case (n, cnt) =>
+        val st = cur.stats.getOrElse(n, Map.empty[String, ColBound])
+        val total = dvRowsOf(cur, n) + cnt
+        n -> (st + (DvRowsKey -> ColBound("l", total.toString, total.toString)))
+      }
+      val newDvs = cur.dvs ++ touched.keys.map { n =>
+        n -> (cur.dvs.getOrElse(n, Nil) :+ dirName)
+      }
+      val nv = commitFull(spark, path, v + 1, cur.copy(
+        tag = None, stats = newStats, dvs = newDvs))
+      // CDC: the checkpointed matches ARE the removals, exactly
+      maybeWriteChanges(spark, path, v, nv, Some(
+        matched.select(schema.fieldNames.toSeq.map(col): _*)
+          .withColumn("change", lit("removed"))))
+      nv
+    }
+  }
+
+  /** UPDATE via deletion vectors — merge-on-read: matched positions
+    * die in a sidecar and the UPDATED copies APPEND as new files, so
+    * a 1-row update in a 1 GB file writes O(matched rows), never the
+    * file (also routed from [[updateWhere]] under
+    * `spark.graft.tablelog.deletionVectors=true`). The matched frame
+    * localCheckpoints ONCE: positions, the rewritten rows, accounting,
+    * and CDC all read the same decision — non-deterministic
+    * predicates/assignments cannot diverge (no two-pass split needed
+    * at all in this mode). Partition columns stay unassignable;
+    * partitioned tables route the updated copies back into their hive
+    * dirs. Consecutive updates stack like deletes: each kills the
+    * previous copy's position and appends a fresh copy.
+    */
+  def updateWhereDV(
+      spark: SparkSession, path: String,
+      set: Seq[(String, Column)], predicate: Column): Long =
+    withLock(spark, path, "updateWhereDV") {
+      require(set.nonEmpty, "TableLog.updateWhereDV: no assignments")
+      val v = latestVersion(spark, path)
+      checkNotVacuumed(spark, path, v)
+      val cur = readManifestFull(spark, path, v)
       val schema = cur.schema.getOrElse(
         readFiles(spark, path, cur, cur.files).schema)
+      val setMap = set.toMap
+      val unknown = setMap.keySet -- schema.fieldNames.toSet
+      require(unknown.isEmpty,
+        s"TableLog.updateWhereDV: not table columns: ${unknown.mkString(", ")}")
+      val partHit = setMap.keySet & cur.partCols.toSet
+      require(partHit.isEmpty,
+        s"TableLog.updateWhereDV: partition columns are not assignable " +
+          s"(${partHit.mkString(", ")}) — a partition move is a merge")
       val matched = readFilesDvMeta(spark, path, cur, cur.files)
         .where(coalesce(predicate, lit(false)))
         .localCheckpoint(true)
@@ -2072,6 +2185,27 @@ object TableLog {
           Some(emptyChanges(spark, path, cur)))
         nv
       } else {
+        val matchedRows = perFile.map(_._2).sum
+        val updated = matched.select(schema.fields.toSeq.map { f =>
+          setMap.get(f.name) match {
+            case Some(c) => c.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+        val (newFiles, newStats, newParts) =
+          if (cur.partCols.nonEmpty)
+            writeDataFilesPartitioned(spark, path, updated, cur.partCols)
+          else {
+            val (ns, st) = writeDataFiles(spark, path, updated)
+            (ns, st, Map.empty[String, Seq[String]])
+          }
+        // accounting BEFORE any publish: the appended copies must be
+        // exactly the matched rows
+        val written = newStats.valuesIterator
+          .flatMap(_.get(RowsKey)).map(_.min.toLong).sum
+        require(written == matchedRows,
+          s"TableLog.updateWhereDV: wrote $written rows, want $matchedRows " +
+            "— aborting commit (orphans go to vacuum)")
         val f = fs(spark, path)
         val dirName = s"d-${java.util.UUID.randomUUID()}"
         val tmp = new Path(dvDir(path), s"_tmp_${java.util.UUID.randomUUID()}")
@@ -2081,9 +2215,9 @@ object TableLog {
           .write.mode("overwrite").parquet(tmp.toString)
         f.mkdirs(dvDir(path))
         require(f.rename(tmp, new Path(dvDir(path), dirName)),
-          "TableLog.deleteWhereDV: sidecar publish failed")
+          "TableLog.updateWhereDV: sidecar publish failed")
         val touched = perFile.toMap
-        val newStats = cur.stats ++ touched.map { case (n, cnt) =>
+        val dvStats = touched.map { case (n, cnt) =>
           val st = cur.stats.getOrElse(n, Map.empty[String, ColBound])
           val total = dvRowsOf(cur, n) + cnt
           n -> (st + (DvRowsKey -> ColBound("l", total.toString, total.toString)))
@@ -2092,11 +2226,17 @@ object TableLog {
           n -> (cur.dvs.getOrElse(n, Nil) :+ dirName)
         }
         val nv = commitFull(spark, path, v + 1, cur.copy(
-          tag = None, stats = newStats, dvs = newDvs))
-        // CDC: the checkpointed matches ARE the removals, exactly
+          tag = None,
+          files = cur.files ++ newFiles,
+          stats = cur.stats ++ dvStats ++ newStats,
+          parts = cur.parts ++ newParts,
+          dvs = newDvs))
+        // CDC: old copies out, updated copies in — from the ONE
+        // checkpointed decision
         maybeWriteChanges(spark, path, v, nv, Some(
           matched.select(schema.fieldNames.toSeq.map(col): _*)
-            .withColumn("change", lit("removed"))))
+            .withColumn("change", lit("removed"))
+            .unionByName(updated.withColumn("change", lit("added")))))
         nv
       }
     }
@@ -2117,7 +2257,9 @@ object TableLog {
   def updateWhere(
       spark: SparkSession, path: String,
       set: Seq[(String, Column)], predicate: Column): Long =
-    withLock(spark, path, "updateWhere") {
+    if (spark.conf.get("spark.graft.tablelog.deletionVectors", "false").toBoolean)
+      updateWhereDV(spark, path, set, predicate)
+    else withLock(spark, path, "updateWhere") {
       require(set.nonEmpty, "TableLog.updateWhere: no assignments")
       val v = latestVersion(spark, path)
       checkNotVacuumed(spark, path, v)
@@ -2262,7 +2404,9 @@ object TableLog {
   def deleteBand(
       spark: SparkSession, path: String, colName: String,
       lower: Any, upper: Any): Long =
-    withLock(spark, path, "deleteBand") {
+    if (spark.conf.get("spark.graft.tablelog.deletionVectors", "false").toBoolean)
+      deleteBandDV(spark, path, colName, lower, upper)
+    else withLock(spark, path, "deleteBand") {
       val v = latestVersion(spark, path)
       checkNotVacuumed(spark, path, v)
       val cur = readManifestFull(spark, path, v)

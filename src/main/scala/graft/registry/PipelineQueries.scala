@@ -459,6 +459,10 @@ object PipelineQueries {
       // copy-on-write UPDATE over vectored files folds their vectors
       graft.operators.TableLog.updateWhere(s, path,
         Seq("lang" -> lit("xx")), col("doc_id").between(200L, 220L))
+      // merge-on-read UPDATE: positions die, updated copies append
+      graft.operators.TableLog.updateWhereDV(s, path,
+        Seq("n_chars" -> (col("n_chars") + 1000L)),
+        col("doc_id").between(300L, 310L))
       graft.operators.TableLog.read(s, path)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
@@ -2836,7 +2840,8 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    CASE WHEN doc_id BETWEEN 200 AND 220 THEN 'xx' ELSE lang END
         |      AS lang,
-        |    n_chars
+        |    CASE WHEN doc_id BETWEEN 300 AND 310 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
         |  FROM documents
         |  WHERE doc_id NOT IN (7, 42, 99, 123)
         |    AND NOT (n_chars < 120 AND doc_id % 10 = 3))

@@ -90,7 +90,7 @@ class DeletionVectorSpec extends GraftSparkSpec {
       "a no-match delete writes no sidecar")
   }
 
-  test("deleteWhere routes to DVs under the conf; rewrites fold vectors in") {
+  test("deleteWhere/deleteBand/updateWhere route to DVs under the conf; rewrites fold") {
     val path = freshPath("graft-spec-dv-fold")
     TableLog.create(spark, path,
       (0L until 2000L).map(i => (i, i % 5))
@@ -101,33 +101,79 @@ class DeletionVectorSpec extends GraftSparkSpec {
       TableLog.deleteWhere(spark, path, $"id" === 7L)
       assert(dataFiles(path) === before, "conf-routed delete is merge-on-read")
       assert(TableLog.snapshot(spark, path).hasDvs)
+      // band delete under the conf: manifest-cut discovery, sidecar write
+      TableLog.deleteBand(spark, path, "id", 100L, 104L)
+      assert(dataFiles(path) === before, "band delete is merge-on-read too")
+      assert(TableLog.read(spark, path).count() === 1994L)
 
-      // updateWhere on the vectored file REWRITES it: the vector folds
-      // in (deleted row stays gone) and the entry drops
+      // conf-routed UPDATE is merge-on-read: old position dies, the
+      // updated copy APPENDS — the original files stay byte-identical
       TableLog.updateWhere(spark, path, Seq("g" -> lit(99L)), $"id" === 8L)
-      val snap = TableLog.snapshot(spark, path)
-      assert(!snap.hasDvs, "rewrite folded the vector in")
+      assert(before.subsetOf(dataFiles(path)),
+        "DV update must not rewrite existing files")
+      assert((dataFiles(path) -- before).nonEmpty, "updated copy appended")
       val got = TableLog.read(spark, path)
-      assert(got.count() === 1999L)
-      assert(got.where($"id" === 7L).count() === 0L, "fold kept the delete")
-      assert(got.where($"id" === 8L).select("g").as[Long].head() === 99L)
+      assert(got.count() === 1994L)
+      assert(got.where($"id" === 8L).select("g").as[Long].collect().toSeq
+        === Seq(99L), "exactly one updated copy visible")
+      // stacking: update the updated row again
+      TableLog.updateWhere(spark, path, Seq("g" -> lit(123L)), $"g" === 99L)
+      assert(TableLog.read(spark, path).where($"id" === 8L)
+        .select("g").as[Long].collect().toSeq === Seq(123L))
 
       // merge sees DV-deleted keys as ABSENT: the row re-inserts
       TableLog.deleteWhere(spark, path, $"id" === 20L)
-      assert(TableLog.snapshot(spark, path).hasDvs)
       TableLog.merge(spark, path,
         Seq((20L, 777L)).toDF("id", "g"), "id")
       val after = TableLog.read(spark, path)
       assert(after.where($"id" === 20L).select("g").as[Long].collect()
         .toSeq === Seq(777L), "dv-deleted key merges as an insert")
-
-      // OPTIMIZE clears every vector, content preserved
-      TableLog.deleteWhere(spark, path, $"id" === 30L)
-      val pre = rows(TableLog.read(spark, path))
-      TableLog.optimizeRange(spark, path, "id", 4)
-      assert(!TableLog.snapshot(spark, path).hasDvs)
-      assert(rows(TableLog.read(spark, path)) === pre)
     } finally spark.conf.unset("spark.graft.tablelog.deletionVectors")
+
+    // copy-on-write UPDATE (conf off) on a vectored file FOLDS its
+    // vector in: the entry drops, the delete is kept
+    TableLog.deleteWhereDV(spark, path, $"id" === 9L)
+    TableLog.updateWhere(spark, path, Seq("g" -> lit(55L)), $"id" === 10L)
+    val folded = TableLog.snapshot(spark, path)
+    // the file holding ids 7..10 rewrote: its dv entries dropped
+    assert(TableLog.read(spark, path).where($"id".isin(7L, 9L)).count() === 0L,
+      "fold kept the deletes")
+    assert(TableLog.read(spark, path).where($"id" === 10L)
+      .select("g").as[Long].head() === 55L)
+
+    // OPTIMIZE clears every remaining vector, content preserved
+    val pre = rows(TableLog.read(spark, path))
+    TableLog.optimizeRange(spark, path, "id", 4)
+    assert(!TableLog.snapshot(spark, path).hasDvs)
+    assert(rows(TableLog.read(spark, path)) === pre)
+    assert(folded.version < TableLog.snapshot(spark, path).version)
+  }
+
+  test("updateWhereDV: CDC sees remove+add; accounting aborts a mismatched write") {
+    val path = freshPath("graft-spec-dv-upd")
+    spark.conf.set("spark.graft.tablelog.writeChangeFiles", "true")
+    try {
+      TableLog.create(spark, path,
+        (0L until 600L).map(i => (i, s"p$i")).toDF("id", "p")
+          .repartitionByRange(2, $"id"))                          // v1
+      TableLog.updateWhereDV(spark, path,
+        Seq("p" -> lit("UPDATED")), $"id".isin(5L, 405L))         // v2
+      // reconstructed diff equals the materialized change set
+      val d = TableLog.diff(spark, path, 1L, 2L)
+      assert(rows(d) === Set(
+        Seq(5L, "p5", "removed"), Seq(405L, "p405", "removed"),
+        Seq(5L, "UPDATED", "added"), Seq(405L, "UPDATED", "added")))
+      val mat = TableLog.changes(spark, path, 1L, 2L)
+        .drop("_commit_version")
+      assert(mat.exceptAll(d).isEmpty && d.exceptAll(mat).isEmpty)
+      // time travel intact
+      assert(TableLog.read(spark, path, Some(1L)).where($"p" === "UPDATED")
+        .count() === 0L)
+      // history: logical rows unchanged by an update
+      val hist = TableLog.history(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hist === Map(1L -> 600L, 2L -> 600L))
+    } finally spark.conf.unset("spark.graft.tablelog.writeChangeFiles")
   }
 
   test("diff and the change feed see DV commits as position-level removals") {
