@@ -2142,6 +2142,51 @@ object TableLog {
     }
   }
 
+  /** Compact DELETION-VECTOR sidecars: a point-delete-heavy table
+    * accretes one sidecar dir per delete commit, and every read pays
+    * a multi-path scan over all of them. This merges every referenced
+    * sidecar into ONE dir and commits a manifest whose per-file dv
+    * list is that single dir — ZERO data-file IO (the anti-OPTIMIZE:
+    * [[optimizeRange]] folds vectors by rewriting data; this rewrites
+    * only the vectors, O(dead positions)). Old sidecars stay for time
+    * travel until [[vacuum]]. No-op version bump when nothing to
+    * merge.
+    */
+  def compactDvs(spark: SparkSession, path: String): Long =
+    withLock(spark, path, "compactDvs") {
+      val v = latestVersion(spark, path)
+      checkNotVacuumed(spark, path, v)
+      val cur = readManifestFull(spark, path, v)
+      val live = cur.dvs.filter(_._2.nonEmpty)
+      if (live.isEmpty || live.values.flatten.toSet.size <= 1) {
+        val nv = commitFull(spark, path, v + 1, cur.copy(tag = None))
+        maybeWriteChanges(spark, path, v, nv,
+          Some(emptyChanges(spark, path, cur)))
+        nv
+      } else {
+        val f = fs(spark, path)
+        // keep only positions of files still referenced (a shared
+        // sidecar may carry positions for since-rewritten files)
+        import spark.implicits._
+        val nameF = broadcast(live.keys.toSeq.sorted.toDF("_tl_cn"))
+        val merged = dvPosFrame(spark, path, cur, live.keys.toSeq).get
+          .join(nameF, col("file") === col("_tl_cn"), "left_semi")
+          .coalesce(1)
+        val dirName = s"d-${java.util.UUID.randomUUID()}"
+        val tmp = new Path(dvDir(path), s"_tmp_${java.util.UUID.randomUUID()}")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        require(f.rename(tmp, new Path(dvDir(path), dirName)),
+          "TableLog.compactDvs: sidecar publish failed")
+        val nv = commitFull(spark, path, v + 1, cur.copy(
+          tag = None,
+          dvs = live.keys.map(_ -> Seq(dirName)).toMap))
+        // visible rows unchanged: a content-preserving maintenance op
+        maybeWriteChanges(spark, path, v, nv,
+          Some(emptyChanges(spark, path, cur)))
+        nv
+      }
+    }
+
   /** UPDATE via deletion vectors — merge-on-read: matched positions
     * die in a sidecar and the UPDATED copies APPEND as new files, so
     * a 1-row update in a 1 GB file writes O(matched rows), never the

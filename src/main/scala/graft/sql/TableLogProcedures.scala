@@ -126,6 +126,13 @@ private[sql] object TableLogProcedures {
         Seq(row(TableLog.vacuumWatermark(spark, path)))
       }
     },
+    new TlProc("compact_dvs",
+      "merge all deletion-vector sidecars into one (zero data-file IO)",
+      Seq("table" -> StringType),
+      out("version" -> LongType)) {
+      override def run(a: InternalRow): Seq[InternalRow] =
+        Seq(row(TableLog.compactDvs(spark, str(a, 0))))
+    },
     new TlProc("history",
       "(version, n_rows) per readable version — answered from manifests",
       Seq("table" -> StringType),

@@ -253,6 +253,34 @@ class DeletionVectorSpec extends GraftSparkSpec {
     } finally spark.conf.unset("spark.graft.tablelog.retentionMs")
   }
 
+  test("compactDvs merges stacked sidecars into one — zero data-file IO") {
+    val path = freshPath("graft-spec-dv-compact")
+    TableLog.create(spark, path,
+      (0L until 800L).map(i => (i, i)).toDF("id", "w")
+        .repartitionByRange(2, $"id"))                       // v1
+    (1 to 5).foreach(k =>
+      TableLog.deleteWhereDV(spark, path, $"id" === k * 100L)) // v2..v6
+    assert(dvDirs(path).count(_.startsWith("d-")) === 5)
+    val before = dataFiles(path)
+    val pre = rows(TableLog.read(spark, path))
+    val v7 = TableLog.compactDvs(spark, path)                // v7
+    assert(dataFiles(path).filterNot(_.contains("_dv")) ===
+      before.filterNot(_.contains("_dv")), "zero data-file IO")
+    val snap = TableLog.snapshot(spark, path)
+    assert(snap.dvs.values.flatten.toSet.size === 1,
+      "one merged sidecar referenced")
+    assert(rows(TableLog.read(spark, path)) === pre, "content preserved")
+    assert(TableLog.read(spark, path).count() === 795L)
+    // the compact is content-preserving for CDC too
+    assert(TableLog.diff(spark, path, 6L, v7).isEmpty)
+    // vacuum sweeps the five unreferenced sidecars, keeps the merged one
+    spark.conf.set("spark.graft.tablelog.retentionMs", "0")
+    try TableLog.vacuum(spark, path, keepVersions = 1)
+    finally spark.conf.unset("spark.graft.tablelog.retentionMs")
+    assert(dvDirs(path).count(_.startsWith("d-")) === 1)
+    assert(TableLog.read(spark, path).count() === 795L)
+  }
+
   test("copy-on-write delete on a DV-carrying table stays consistent") {
     val path = freshPath("graft-spec-dv-cow")
     TableLog.create(spark, path,
