@@ -3183,8 +3183,13 @@ object TableLog {
   private def rootDir(rootPath: String) = new Path(s"$rootPath/_root")
   private def rootPathV(rootPath: String, v: Long) =
     new Path(rootDir(rootPath), f"v$v%07d.json")
+  private def rootLastPtr(rootPath: String) =
+    new Path(rootDir(rootPath), "_last")
 
-  /** Committed root versions, ascending (empty if never bumped). */
+  /** Committed root versions, ascending (empty if never bumped) — the
+    * listing authority; hot reads resolve through [[rootLatest]]'s
+    * pointer + probes instead.
+    */
   def rootVersions(spark: SparkSession, rootPath: String): Seq[Long] = {
     val f = fs(spark, rootPath)
     if (!f.exists(rootDir(rootPath))) Nil
@@ -3194,7 +3199,36 @@ object TableLog {
       }.sorted
   }
 
-  private def parseRoot(body: String): (Option[String], Map[String, Long]) =
+  /** Latest root version without a directory listing in steady state:
+    * the `_last` pointer (published AFTER each winning bump, so it may
+    * lag) plus O(lag) existence probes — at a high transaction rate
+    * this is one small read + a few HEADs, never an O(#transactions)
+    * list. 0 = never bumped.
+    */
+  def rootLatest(spark: SparkSession, rootPath: String): Long = {
+    val f = fs(spark, rootPath)
+    val base =
+      try {
+        if (f.exists(rootLastPtr(rootPath)))
+          readSmallFile(spark, rootPath, rootLastPtr(rootPath)).trim.toLong
+        else 0L
+      } catch { case _: java.io.FileNotFoundException => 0L }
+    val anchored =
+      if (base == 0L) rootVersions(spark, rootPath).lastOption.getOrElse(0L)
+      else base
+    // pointer may lag behind the newest CAS winner: probe forward
+    Iterator.iterate(anchored + 1)(_ + 1)
+      .takeWhile(v => f.exists(rootPathV(rootPath, v)))
+      .foldLeft(anchored)((_, v) => v)
+  }
+
+  /** (this version's tag, table map, CARRIED tag map). Every root
+    * version embeds the merged map of recent transaction tags — the
+    * bump's idempotency check reads ONE file (the latest root), never
+    * a walk over all root versions.
+    */
+  private def parseRoot(body: String)
+      : (Option[String], Map[String, Long], Map[String, Long]) =
     JsonMethods.parse(body) match {
       case o: JObject =>
         val tag = o \ "tag" match { case JString(t) => Some(t); case _ => None }
@@ -3204,7 +3238,13 @@ object TableLog {
           }.toMap
           case _ => Map.empty[String, Long]
         }
-        (tag, tables)
+        val tags = o \ "tags" match {
+          case JObject(fields) => fields.collect {
+            case (k, JInt(n)) => k -> n.toLong
+          }.toMap
+          case _ => Map.empty[String, Long]
+        }
+        (tag, tables, tags)
       case other =>
         throw new IllegalStateException(s"TableLog: unparseable root: $other")
     }
@@ -3218,9 +3258,12 @@ object TableLog {
   def rootSnapshot(
       spark: SparkSession, rootPath: String,
       version: Option[Long] = None): Map[String, Long] = {
-    val vs = rootVersions(spark, rootPath)
-    val v = version.getOrElse(if (vs.isEmpty) return Map.empty else vs.last)
-    require(vs.contains(v), s"TableLog: no root version $v at $rootPath")
+    val v = version.getOrElse {
+      val latest = rootLatest(spark, rootPath)
+      if (latest == 0L) return Map.empty else latest
+    }
+    require(fs(spark, rootPath).exists(rootPathV(rootPath, v)),
+      s"TableLog: no root version $v at $rootPath")
     parseRoot(readSmallFile(spark, rootPath, rootPathV(rootPath, v)))._2
   }
 
@@ -3238,41 +3281,48 @@ object TableLog {
     read(spark, tablePath, Some(v))
   }
 
+  /** Most recent transaction tags carried in every root version (the
+    * bump's O(1) idempotency window — a recovery older than this many
+    * transactions would re-bump, which is merely a redundant version,
+    * never a torn pair: the table versions in `updates` are the
+    * already-committed ones either way).
+    */
+  private val RootTagWindow = 10000
+
   /** CAS-bump the root: the new root version's map is the previous map
     * overlaid with `updates`. Tag-idempotent like the table CAS — a
-    * recovery replaying a transaction's bump finds the tag and returns
-    * the existing version instead of double-bumping.
+    * recovery replaying a transaction's bump finds the tag in the
+    * LATEST root's carried tag map (one small read, never a walk) and
+    * returns that version instead of double-bumping.
     */
   def rootBump(
       spark: SparkSession, rootPath: String, updates: Map[String, Long],
       tag: Option[String] = None, maxRetries: Int = 16): Long = {
     require(updates.nonEmpty, "TableLog.rootBump: no updates")
     val f = fs(spark, rootPath)
-    def taggedVersion: Option[Long] = tag.flatMap { t =>
-      rootVersions(spark, rootPath).find { v =>
-        parseRoot(readSmallFile(spark, rootPath,
-          rootPathV(rootPath, v)))._1.contains(t)
-      }
-    }
-    taggedVersion match {
-      case Some(v) => return v
-      case None => ()
-    }
     var attempt = 0
     while (attempt < maxRetries) {
-      taggedVersion match {
+      val latest = rootLatest(spark, rootPath)
+      val (prevTables, prevTags) =
+        if (latest == 0L) (Map.empty[String, Long], Map.empty[String, Long])
+        else {
+          val p = parseRoot(readSmallFile(spark, rootPath,
+            rootPathV(rootPath, latest)))
+          (p._2, p._3)
+        }
+      tag.flatMap(prevTags.get) match {
         case Some(v) => return v
         case None =>
-          val vs = rootVersions(spark, rootPath)
-          val prev = vs.lastOption
-            .map(v => parseRoot(readSmallFile(spark, rootPath,
-              rootPathV(rootPath, v)))._2)
-            .getOrElse(Map.empty[String, Long])
-          val nv = vs.lastOption.getOrElse(0L) + 1L
-          val merged = prev ++ updates
+          val nv = latest + 1L
+          val merged = prevTables ++ updates
+          val tags = (prevTags ++ tag.map(_ -> nv)).toSeq
+            .sortBy(-_._2).take(RootTagWindow).toMap
           val body = JsonMethods.compact(JsonMethods.render(JObject(
             tag.map(t => "tag" -> (JString(t): JValue)).toList ++ List(
               "ts" -> (JInt(System.currentTimeMillis()): JValue),
+              "tags" -> (JObject(tags.toList.sortBy(_._1).map {
+                case (t, v) => t -> (JInt(v): JValue)
+              }): JValue),
               "tables" -> (JObject(merged.toList.sortBy(_._1).map {
                 case (p, v) => p -> (JInt(v): JValue)
               }): JValue)))))
@@ -3285,7 +3335,20 @@ object TableLog {
           val dest = rootPathV(rootPath, nv)
           val guard = commitGuard.computeIfAbsent(
             s"$rootPath#root$nv", _ => new Object)
-          if (commitProtocol(spark).publish(f, tmp, dest, guard)) return nv
+          if (commitProtocol(spark).publish(f, tmp, dest, guard)) {
+            // pointer AFTER the version is readable (readers probe
+            // past a lagging pointer, so a crash here costs probes,
+            // never correctness)
+            val ptmp = new Path(rootDir(rootPath),
+              s"_tmp_ptr_${java.util.UUID.randomUUID()}")
+            val pout = f.create(ptmp, true)
+            pout.write(nv.toString.getBytes(UTF_8))
+            pout.close()
+            f.delete(rootLastPtr(rootPath), false)
+            if (!f.rename(ptmp, rootLastPtr(rootPath)))
+              f.delete(ptmp, false) // lost a pointer race: harmless lag
+            return nv
+          }
       }
       attempt += 1
     }

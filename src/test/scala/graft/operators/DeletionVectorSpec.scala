@@ -281,6 +281,68 @@ class DeletionVectorSpec extends GraftSparkSpec {
     assert(TableLog.read(spark, path).count() === 795L)
   }
 
+  test("write amplification duel: a point delete writes <1% of the copy-on-write bytes") {
+    def newTable(stem: String): String = {
+      val p = freshPath(stem)
+      TableLog.create(spark, p,
+        spark.range(0L, 240000L).toDF("id")
+          .withColumn("p", concat(lit("payload-"), col("id"),
+            lit("-"), lit("x" * 40)))
+          .repartitionByRange(4, $"id").sortWithinPartitions("id"))
+      p
+    }
+    def bytesUnder(path: String, sub: String): Long = {
+      val f = fsOf(path)
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (!f.exists(dir)) 0L
+      else {
+        val it = f.listFiles(dir, true)
+        var total = 0L
+        while (it.hasNext) { val s = it.next(); if (s.isFile) total += s.getLen }
+        total
+      }
+    }
+    // copy-on-write: the touched file REWRITES — the old file stays
+    // for time travel, so bytes WRITTEN = the data-dir growth (the
+    // fresh survivor copy, ~1/4 of the table)
+    val cow = newTable("graft-spec-dv-duel-cow")
+    val cowBefore = bytesUnder(cow, "data")
+    TableLog.deleteWhere(spark, cow, $"id" === 31337L)
+    val cowWritten = bytesUnder(cow, "data") - cowBefore
+    assert(cowWritten > cowBefore / 8, "sanity: a real file rewrite happened")
+    // merge-on-read: one tiny sidecar
+    val dv = newTable("graft-spec-dv-duel-dv")
+    val dvDataBefore = bytesUnder(dv, "data")
+    TableLog.deleteWhereDV(spark, dv, $"id" === 31337L)
+    val dvWritten = bytesUnder(dv, "_dv")
+    assert(bytesUnder(dv, "data") === dvDataBefore, "zero data bytes written")
+    assert(dvWritten > 0L)
+    assert(dvWritten * 100 < cowWritten,
+      s"DV delete must write <1% of copy-on-write: $dvWritten vs ~$cowWritten")
+    assert(rows(TableLog.read(spark, cow)) === rows(TableLog.read(spark, dv)),
+      "both modes converge to the same table")
+  }
+
+  test("SQL UPDATE and DELETE route merge-on-read under the conf") {
+    graft.sql.TableLogSql.register(spark)
+    val path = freshPath("graft-spec-dv-sqlroute")
+    TableLog.create(spark, path,
+      (0L until 1000L).map(i => (i, i)).toDF("id", "w")
+        .repartitionByRange(2, $"id"))
+    val before = dataFiles(path)
+    spark.conf.set("spark.graft.tablelog.deletionVectors", "true")
+    try {
+      spark.sql(s"DELETE FROM tablelog.`$path` WHERE id = 11")
+      spark.sql(s"UPDATE tablelog.`$path` SET w = 999 WHERE id = 12")
+      assert(before.subsetOf(dataFiles(path)),
+        "SQL DML under the conf must never rewrite existing files")
+      val got = spark.sql(
+        s"SELECT id, w FROM tablelog.`$path` WHERE id BETWEEN 10 AND 13 ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === Seq((10L, 10L), (12L, 999L), (13L, 13L)))
+    } finally spark.conf.unset("spark.graft.tablelog.deletionVectors")
+  }
+
   test("copy-on-write delete on a DV-carrying table stays consistent") {
     val path = freshPath("graft-spec-dv-cow")
     TableLog.create(spark, path,
