@@ -1222,6 +1222,40 @@ object PipelineQueries {
     }),
 
 
+    // DV maintenance lifecycle (round-15): a point-delete-heavy
+    // sequence (five sidecar commits), the sidecar COMPACTION
+    // (compact_dvs via SQL CALL — one merged sidecar, zero data IO),
+    // a retention-0 vacuum sweeping the superseded sidecars, then
+    // OPTIMIZE folding the survivors into clean files. Every read in
+    // between position-compensates. Result-transparent: the oracle
+    // inverts the delete predicates
+    "q231_dv_maintenance" -> ((s, dir) => {
+      graft.sql.TableLogSql.register(s)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tldvm-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      graft.operators.TableLog.create(s, path,
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartitionByRange(6, col("doc_id"))
+          .sortWithinPartitions("doc_id"))
+      (1L to 5L).foreach { k =>
+        graft.operators.TableLog.deleteWhereDV(s, path,
+          col("doc_id") === k * 50L)
+      }
+      s.sql(s"CALL tablelog.compact_dvs('$path')")
+      s.conf.set("spark.graft.tablelog.retentionMs", "0")
+      try s.sql(s"CALL tablelog.vacuum('$path', 1)")
+      finally s.conf.unset("spark.graft.tablelog.retentionMs")
+      graft.operators.TableLog.optimizeRange(s, path, "doc_id", 6)
+      graft.operators.TableLog.read(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+    }),
+
+
     // string MIN/MAX manifest pushdown (round-15): the footer's
     // is_min/max_value_exact flags (parquet-format 2.10) classify
     // every string bound at harvest — exact bounds ("s") serve
@@ -2691,6 +2725,16 @@ object PipelineQueries {
         |  CAST(max(n_chars) AS BIGINT) AS hi,
         |  min(doc_id) AS first_id, max(doc_id) AS last_id
         |FROM documents""".stripMargin,
+
+    // q231: the maintenance ops are content-preserving modulo the
+    // deletes — the oracle inverts them
+    "q231_dv_maintenance" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id
+        |FROM documents
+        |WHERE doc_id NOT IN (50, 100, 150, 200, 250)
+        |GROUP BY lang""".stripMargin,
 
     // q230: the string bounds the manifest serves are the base
     // table's plain min/max (binary string order in both engines)

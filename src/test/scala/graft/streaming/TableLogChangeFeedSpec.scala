@@ -61,6 +61,32 @@ class TableLogChangeFeedSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("deletion-vector commits stream as position-level removals") {
+    val path = freshPath("graft-spec-cf-dv")
+    TableLog.create(spark, path,
+      (0L until 500L).map(i => (i, s"r$i")).toDF("id", "p")
+        .repartitionByRange(2, $"id"))                          // v1
+    val feed = spark.readStream
+      .format("graft.streaming.TableLogChangeFeed")
+      .option("path", path)
+      .option("fromVersion", "1")
+      .load()
+    val q = feed.writeStream.outputMode("append").format("memory")
+      .queryName("cf_dv_out").start()
+    try {
+      TableLog.deleteWhereDV(spark, path, $"id".isin(3L, 400L)) // v2
+      TableLog.updateWhereDV(spark, path,
+        Seq("p" -> lit("UP")), $"id" === 5L)                    // v3
+      TableLog.compactDvs(spark, path)                          // v4 (no-op rows)
+      q.processAllAvailable()
+      val got = rows(spark.table("cf_dv_out"))
+      assert(got === Set(
+        Seq(3L, "r3", "removed", 2L), Seq(400L, "r400", "removed", 2L),
+        Seq(5L, "r5", "removed", 3L), Seq(5L, "UP", "added", 3L)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("end-to-end incremental pipeline: change feed -> exactly-once derived table") {
     // the round-12 write side (tableLogSink's tagged appends) closed
     // with the round-13 read side: a SOURCE table's change feed
