@@ -3832,6 +3832,10 @@ object TableLog {
   def changes(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
     require(toV > fromV,
       s"TableLog.changes: need toV > fromV, got ($fromV, $toV]")
+    require(fromV >= 1L,
+      "TableLog.changes: fromV must be >= 1 — version 1 is the CREATE " +
+        "commit, there is no version 0 to diff from (read(path, Some(1)) " +
+        "for the initial snapshot)")
     val f = fs(spark, path)
     val range = (fromV + 1 to toV)
     val materialized = range.filter(v => f.exists(changePath(path, v)))
