@@ -1123,6 +1123,45 @@ class TableLogSpec extends GraftSparkSpec {
     }
     assert(e.getMessage.contains("does not register"))
   }
+  test("root _last pointer: missing or stale pointers heal by probing forward") {
+    val pA = freshPath("graft-spec-tlog-rootptr-a")
+    val pB = freshPath("graft-spec-tlog-rootptr-b")
+    val root = freshPath("graft-spec-tlog-rootptr-r")
+    TableLog.create(spark, pA, (0L until 5L).map(i => (i, i)).toDF("id", "w"))
+    TableLog.create(spark, pB, (0L until 5L).map(i => (i, i)).toDF("id", "n"))
+    (1 to 3).foreach { k =>
+      TableLog.transaction(spark, Seq(
+        pA -> Seq((100L + k, k.toLong)).toDF("id", "w"),
+        pB -> Seq((100L + k, k.toLong)).toDF("id", "n")),
+        root = Some(root))
+    }
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/_root/_last")
+    assert(fsys.exists(ptr))
+    assert(TableLog.rootSnapshot(spark, root).values.toSet.nonEmpty)
+    val want = TableLog.rootSnapshot(spark, root)
+    // a crashed pointer publish: pointer missing entirely
+    assert(fsys.delete(ptr, false))
+    assert(TableLog.rootSnapshot(spark, root) === want,
+      "missing pointer falls back to the listing authority")
+    // a LAGGING pointer (lost pointer race): probes forward heal it
+    val out = fsys.create(ptr, true)
+    out.write("1".getBytes("UTF-8"))
+    out.close()
+    assert(TableLog.rootSnapshot(spark, root) === want,
+      "stale pointer heals by probing forward to the newest root")
+    // and the next bump repairs the pointer itself
+    TableLog.transaction(spark, Seq(
+      pA -> Seq((200L, 9L)).toDF("id", "w"),
+      pB -> Seq((200L, 9L)).toDF("id", "n")), root = Some(root))
+    val healed = {
+      val in = fsys.open(ptr)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+    assert(healed === 4L, s"pointer repaired to the newest root, got $healed")
+  }
   test("a corrupt transaction intent (missing participant path) refuses recovery loudly") {
     val p = freshPath("graft-spec-tlog-txncorrupt")
     TableLog.create(spark, p, Seq((1L, 1L)).toDF("id", "w"))
