@@ -1705,6 +1705,13 @@ object TableLog {
     */
   def dataPath(path: String): String = dataDir(path).toString
 
+  /** Absolute path of one deletion-vector sidecar dir — where
+    * `Snapshot.dvs` values resolve (the SQL scan's executor-side DV
+    * loader reads them without a SparkSession).
+    */
+  def dvPath(path: String, dir: String): String =
+    new Path(dvDir(path), dir).toString
+
   /** Manifest-level file pruning: names of version `v`'s files whose
     * recorded [min,max] for `colName` overlaps [lower, upper] — plus
     * every file with no recorded bound for the column (conservative).

@@ -648,10 +648,19 @@ private[sql] class TableLogScanBuilder(
     TableLogSql.recordPlanned(path, kept.size, snap.files.size)
     if (pushedAgg.isDefined) buildAggScan(kept, pushedAgg.get)
     else {
+      val dvKept = kept.filter(n => snap.dvs.get(n).exists(_.nonEmpty))
       val inner: Scan =
         if (kept.isEmpty) new TableLogEmptyScan(required.getOrElse(snap.schema))
-        else TableLogParquet.build(spark, path, snap, kept, required,
-          filters.toSeq.flatMap(toCatalyst))
+        else if (dvKept.isEmpty)
+          TableLogParquet.build(spark, path, snap, kept, required,
+            filters.toSeq.flatMap(toCatalyst))
+        else
+          // deletion vectors live in the kept set: the scan ITSELF
+          // compensates (dead positions filtered inside the batch
+          // readers) — correctness holds for every plan shape, with
+          // or without the optimizer rewrite rule
+          TableLogDvScan.build(spark, path, snap, kept, dvKept, required,
+            filters.toSeq.flatMap(toCatalyst))
       new TableLogScan(path, snap, inner, scanOptions)
     }
   }
@@ -846,9 +855,19 @@ private[sql] object TableLogParquet {
       spark: SparkSession, path: String, snap: TableLog.Snapshot,
       files: Seq[String],
       required: Option[StructType] = None,
-      catalystFilters: Seq[ce.Expression] = Nil): Scan = {
+      catalystFilters: Seq[ce.Expression] = Nil,
+      rowIndex: Boolean = false): Scan = {
+    // parquet's reserved temp column: both the vectorized and the
+    // parquet-mr readers FILL it with the row's file-absolute index
+    // (correct under row-group pruning — generated from the block
+    // metadata's starting index, not by counting returned rows)
+    val extra =
+      if (!rowIndex) Array.empty[org.apache.spark.sql.types.StructField]
+      else Array(org.apache.spark.sql.types.StructField(
+        TableLogDvScan.RowIndexCol, LongType, nullable = true))
     val dataSchema = StructType(
-      snap.schema.fields.filterNot(f => snap.partCols.contains(f.name)))
+      snap.schema.fields.filterNot(f => snap.partCols.contains(f.name)) ++
+        extra)
     val params: Map[String, String] =
       if (snap.partCols.isEmpty) Map.empty
       else Map("basePath" -> TableLog.dataPath(path))
@@ -864,10 +883,14 @@ private[sql] object TableLogParquet {
       params, Some(snap.schema),
       userSpecifiedPartitionSpec = spec)
     val psb = ParquetScanBuilder(
-      spark, index, snap.schema, dataSchema,
+      spark, index, StructType(snap.schema.fields ++ extra), dataSchema,
       new CaseInsensitiveStringMap(params.asJava))
     if (catalystFilters.nonEmpty) psb.pushFilters(catalystFilters)
-    required.foreach(psb.pruneColumns)
+    required.map(r =>
+      if (rowIndex) StructType(r.fields ++ extra) else r)
+      .orElse(if (rowIndex) Some(StructType(snap.schema.fields ++ extra))
+        else None)
+      .foreach(psb.pruneColumns)
     psb.build()
   }
 }

@@ -3,7 +3,8 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Command, DeleteFromTable, LogicalPlan, Project, V2WriteCommand}
+  DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable,
+  V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -25,33 +26,49 @@ import graft.operators.TableLog
   * file-source planning; tables WITHOUT live DVs never match (zero
   * overhead on the common path).
   *
-  * Write/DML TARGET relations are exempt: `DeleteFromTable`'s target
-  * resolves through SupportsDelete and a `V2WriteCommand`'s table is
-  * an insertion target, not a read — only genuine read sides (e.g.
-  * the query under `INSERT ... SELECT FROM <dv'd table>`) rewrite.
+  * ONLY genuine DML TARGET relations are exempt — the relation a
+  * `DeleteFromTable`/`UpdateTable`/`MergeIntoTable` mutates or a
+  * `V2WriteCommand` inserts into (planned by their own commands, not
+  * read). Everything else rewrites, INCLUDING a command's direct
+  * child: `CREATE TABLE dst AS SELECT * FROM <dv'd table>`, a bare
+  * `INSERT INTO dst SELECT * FROM <dv'd table>`, and the V1-fallback
+  * re-plan under `df.write` all put the READ relation directly under
+  * a command node, and a blanket direct-child exemption (the
+  * round-15 shape) silently resurrected deleted rows there. The
+  * DV-aware scan ([[TableLogDvScan]]) independently compensates any
+  * shape this rule misses — this rewrite is the perf path (a
+  * distributed anti-join), the scan is the correctness floor.
   */
 object TableLogDvReadRewrite extends Rule[LogicalPlan] {
 
   private def hasLiveDvs(t: TableLogTable): Boolean = t.snap.hasDvs
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    // cheap pre-scan: nothing to do unless some relation carries DVs
-    val any = plan.exists {
-      case r: DataSourceV2Relation => r.table match {
-        case t: TableLogTable => hasLiveDvs(t)
-        case _ => false
-      }
+  private def isDvRel(p: LogicalPlan): Boolean = p match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: TableLogTable => hasLiveDvs(t)
       case _ => false
     }
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // cheap pre-scan: nothing to do unless some relation carries DVs.
+    // Subquery-aware: when this rule runs (operator-optimization
+    // batch) IN/EXISTS/scalar subqueries are still EXPRESSIONS
+    // (RewritePredicateSubquery runs later), so a DV table referenced
+    // only inside one is invisible to plan.exists alone
+    val any = (plan +: plan.subqueriesAll).exists(_.exists(isDvRel))
     if (!any) return plan
-    // DML/write targets must stay relations (planned by their own
-    // commands); collect them by reference identity
+    // DML/write TARGETS must stay relations (planned by their own
+    // commands); collected by node FIELD — never by plan position
+    // (a command's direct child is its read-side query after identity
+    // projections collapse)
     val protectedRels = plan.collect {
-      case d: DeleteFromTable => Seq(d.table)
-      case w: V2WriteCommand => Seq(w.table)
-      case c: Command => c.children // conservatively: a command's
-        // direct child relation is its target shape, never a plain read
-    }.flatten
+      case d: DeleteFromTable => d.table
+      case u: UpdateTable => u.table
+      case m: MergeIntoTable => m.targetTable
+      case w: V2WriteCommand => w.table
+    }.flatMap(_.collect { case r: DataSourceV2Relation => r })
     plan.transformDownWithSubqueries {
       case rel: DataSourceV2Relation if (rel.table match {
         case t: TableLogTable => hasLiveDvs(t)

@@ -721,6 +721,116 @@ class TableLogCatalogSpec extends GraftSparkSpec {
     } finally spark.conf.unset("spark.graft.tablelog.deletionVectors")
   }
 
+  test("DV compensation survives every write-command shape (round-15 resurrection bug)") {
+    TableLogSql.register(spark)
+    val src = freshPath("graft-spec-tlsql-dvshape")
+    TableLog.create(spark, src,
+      (0L until 100L).map(i => (i, i % 3)).toDF("id", "g").repartition(2))
+    spark.conf.set("spark.graft.tablelog.deletionVectors", "true")
+    try {
+      spark.sql(s"DELETE FROM tablelog.`$src` WHERE id = 7")
+      assert(TableLog.snapshot(spark, src).hasDvs)
+
+      // CTAS SELECT * — the relation is the command's DIRECT child
+      // after projection collapse (the shape the round-15 blanket
+      // Command-child exemption resurrected row 7 in)
+      val ctas = freshPath("graft-spec-tlsql-dvshape-ctas")
+      spark.sql(s"CREATE TABLE tablelog.`$ctas` AS SELECT * FROM tablelog.`$src`")
+      assert(spark.sql(s"SELECT count(*) AS n FROM tablelog.`$ctas`")
+        .collect().head.getLong(0) === 99L,
+        "CTAS from a DV'd table must not copy deleted rows")
+
+      // bare INSERT INTO ... SELECT * (no Filter to shield the relation)
+      val dst = freshPath("graft-spec-tlsql-dvshape-ins")
+      TableLog.create(spark, dst, Seq((-1L, -1L)).toDF("id", "g"))
+      spark.sql(s"INSERT INTO tablelog.`$dst` SELECT * FROM tablelog.`$src`")
+      assert(spark.sql(s"SELECT count(*) AS n FROM tablelog.`$dst`")
+        .collect().head.getLong(0) === 100L,
+        "bare INSERT-SELECT must append 99 live rows + the seed")
+
+      // df.write — the V1-fallback re-plan under
+      // InsertIntoHadoopFsRelationCommand (explain showed the
+      // anti-join, the EXECUTED plan dropped it in round 15)
+      val out = freshPath("graft-spec-tlsql-dvshape-write")
+      spark.table(s"tablelog.`$src`").write.mode("overwrite").parquet(out)
+      assert(spark.read.parquet(out).count() === 99L,
+        "df.write from a DV'd table must not write deleted rows")
+
+      // DV table visible ONLY through subquery expressions (the rule
+      // runs before subquery rewrite — its pre-scan guard must look
+      // inside expression plans)
+      spark.range(0, 100).toDF("id").createOrReplaceTempView("dv_probe")
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM dv_probe WHERE id IN " +
+          s"(SELECT id FROM tablelog.`$src`)")
+        .collect().head.getLong(0) === 99L,
+        "IN-subquery over a DV'd table must not match deleted ids")
+      assert(spark.sql(
+        s"SELECT (SELECT count(*) FROM tablelog.`$src`) AS n")
+        .collect().head.getLong(0) === 99L,
+        "scalar subquery over a DV'd table must count live rows")
+    } finally spark.conf.unset("spark.graft.tablelog.deletionVectors")
+  }
+
+  test("scan-level DV compensation: correct with the rewrite rule EXCLUDED") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-dvscan")
+    TableLog.create(spark, path,
+      (0L until 2000L).map(i => (i, i % 7))
+        .toDF("id", "g").repartitionByRange(4, col("id"))
+        .sortWithinPartitions("id"))
+    spark.conf.set("spark.graft.tablelog.deletionVectors", "true")
+    // the correctness floor must hold with NO optimizer rewrite at
+    // all (e.g. a session that registered the catalog without graft
+    // extensions)
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.sql.TableLogDvReadRewrite")
+    try {
+      spark.sql(s"DELETE FROM tablelog.`$path` WHERE id IN (77, 577, 1077, 1577)")
+      assert(TableLog.snapshot(spark, path).hasDvs)
+      val cnt = spark.sql(s"SELECT count(*) AS n FROM tablelog.`$path`")
+      assert(cnt.collect().head.getLong(0) === 1996L)
+      // the plan really is the DV-compensated SCAN, not the rewrite
+      // (string match: AQE hides the BatchScanExec from plan.collect)
+      assert(cnt.queryExecution.executedPlan.toString.contains("TableLogDvScan"),
+        s"expected the DV-compensated scan in:\n${cnt.queryExecution.executedPlan}")
+      // pushed filters still cut rows below the compensation
+      assert(spark.sql(
+        s"SELECT id FROM tablelog.`$path` WHERE id BETWEEN 75 AND 79 ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === Seq(75L, 76L, 78L, 79L))
+      // column pruning through the compensated path
+      assert(spark.sql(s"SELECT g FROM tablelog.`$path` WHERE id = 577")
+        .collect().isEmpty)
+      // multi-split DV'd files: per-PartitionedFile regrouping keeps
+      // each split's dead set file-correct even when one file planned
+      // as several byte-range splits
+      val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      try {
+        assert(spark.sql(s"SELECT count(*) AS n FROM tablelog.`$path`")
+          .collect().head.getLong(0) === 1996L)
+        assert(spark.sql(s"SELECT sum(id) AS s FROM tablelog.`$path`")
+          .collect().head.getLong(0) ===
+          (0L until 2000L).sum - 77L - 577L - 1077L - 1577L)
+      } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+
+      // partitioned table: hive-dir files + partition pruning
+      val ppath = freshPath("graft-spec-tlsql-dvscan-part")
+      TableLog.createPartitioned(spark, ppath,
+        (0L until 300L).map(i => (i, s"p${i % 3}")).toDF("id", "lang")
+          .repartition(2), Seq("lang"))
+      spark.sql(s"DELETE FROM tablelog.`$ppath` WHERE id < 30")
+      assert(spark.sql(s"SELECT count(*) AS n FROM tablelog.`$ppath`")
+        .collect().head.getLong(0) === 270L)
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM tablelog.`$ppath` WHERE lang = 'p1'")
+        .collect().head.getLong(0) === 90L)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
+      spark.conf.unset("spark.graft.tablelog.deletionVectors")
+    }
+  }
+
   test("manifest-served GROUP BY partition column: hive null sentinel maps to NULL") {
     TableLogSql.register(spark)
     val path = freshPath("graft-spec-tlsql-nullpart")
