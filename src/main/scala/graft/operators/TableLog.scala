@@ -185,6 +185,15 @@ object TableLog {
     readSmallFile(spark, path, mp)
   }
 
+  /** Manifest format marker: >= 2 means string bounds carry EXACTNESS
+    * kinds ("s" exact / "t" possibly-truncated). Manifests without the
+    * field predate the split and recorded "s" unconditionally — even
+    * for files written under `parquet.statistics.truncate.length` — so
+    * their string "s" bounds DOWNGRADE to "t" at parse: still a sound
+    * superset range for pruning, never served as a MIN/MAX answer.
+    */
+  private val ManifestFmt = 2L
+
   /** Parse a manifest; accepts all historical formats (bare JSON
     * string array; {"tag","files"}; {"tag","files","stats"}).
     */
@@ -194,6 +203,7 @@ object TableLog {
         Manifest(None, vs.collect { case JString(s) => s }, Map.empty)
       case o: JObject =>
         val tag = o \ "tag" match { case JString(t) => Some(t); case _ => None }
+        val fmt = o \ "fmt" match { case JInt(n) => n.toLong; case _ => 1L }
         val files = o \ "files" match {
           case JArray(vs) => vs.collect { case JString(s) => s }
           case _ => Nil
@@ -203,7 +213,8 @@ object TableLog {
             fname -> (cols match {
               case JObject(byCol) => byCol.collect {
                 case (cn, JArray(List(JString(k), JString(mn), JString(mx)))) =>
-                  cn -> ColBound(k, mn, mx)
+                  val kd = if (k == "s" && fmt < 2L) "t" else k
+                  cn -> ColBound(kd, mn, mx)
               }.toMap
               case _ => Map.empty[String, ColBound]
             })
@@ -268,11 +279,12 @@ object TableLog {
       }): JValue))
     }
     val fields: List[(String, JValue)] =
-      m.tag.map(t => "tag" -> (JString(t): JValue)).toList ++
-        m.ts.map(t => "ts" -> (JInt(t): JValue)).toList ++
-        m.schema.map(s => "schema" -> (JString(s.json): JValue)).toList ++
-        partsFields ++ dvFields :+
-        ("files" -> (filesJ: JValue)) :+ ("stats" -> (statsJ: JValue))
+      ("fmt" -> (JInt(ManifestFmt): JValue)) ::
+        (m.tag.map(t => "tag" -> (JString(t): JValue)).toList ++
+          m.ts.map(t => "ts" -> (JInt(t): JValue)).toList ++
+          m.schema.map(s => "schema" -> (JString(s.json): JValue)).toList ++
+          partsFields ++ dvFields :+
+          ("files" -> (filesJ: JValue)) :+ ("stats" -> (statsJ: JValue)))
     JsonMethods.compact(JsonMethods.render(JObject(fields)))
   }
 
@@ -1393,12 +1405,22 @@ object TableLog {
       // the empty-file-list guard in commitTryFull alone never fires:
       // enforce the all-rows-delete refusal on the HARVESTED row
       // counts (checked post-write — the batch is evaluated exactly
-      // once; the staged files become age-gated vacuum orphans)
+      // once; the staged files become age-gated vacuum orphans).
+      // DOCUMENTED DIVERGENCE from upstream INSERT OVERWRITE (where a
+      // zero-row SELECT legitimately truncates): an accidental empty
+      // overwrite is irreversible data loss past retention, so the
+      // truncate semantics are OPT-IN via
+      // spark.graft.tablelog.allowEmptyOverwrite=true
       def requireRows(stats: Map[String, Map[String, ColBound]]): Unit =
-        require(stats.valuesIterator
-          .flatMap(_.get(RowsKey)).map(_.min.toLong).sum > 0L,
+        require(
+          spark.conf.get("spark.graft.tablelog.allowEmptyOverwrite", "false")
+            .toBoolean ||
+            stats.valuesIterator
+              .flatMap(_.get(RowsKey)).map(_.min.toLong).sum > 0L,
           "TableLog.overwrite: refusing an EMPTY overwrite (an all-rows " +
-            "delete; use deleteWhere or drop the table instead)")
+            "delete; use deleteWhere, drop the table, or set " +
+            "spark.graft.tablelog.allowEmptyOverwrite=true for the " +
+            "standard truncate semantics)")
       if (cur.partCols.isEmpty) {
         val merged = mergedSchema(base, df.schema)
         val (names, stats) = writeDataFiles(spark, path, df)
@@ -2238,12 +2260,21 @@ object TableLog {
         nv
       } else {
         val matchedRows = perFile.map(_._2).sum
-        val updated = matched.select(schema.fields.toSeq.map { f =>
+        val updatedPlan = matched.select(schema.fields.toSeq.map { f =>
           setMap.get(f.name) match {
             case Some(c) => c.cast(f.dataType).as(f.name)
             case None => col(f.name)
           }
         }: _*)
+        // `updated` executes TWICE (the data write, then the CDC
+        // 'added' side) — non-deterministic assignments (rand(),
+        // current_timestamp re-stamps per execution) must evaluate
+        // exactly ONCE or the materialized change feed diverges from
+        // the rows actually appended; deterministic ones re-derive
+        // identically from the checkpointed `matched` for free
+        val updated =
+          if (allDeterministic(spark, schema, set.map(_._2))) updatedPlan
+          else updatedPlan.localCheckpoint(true)
         val (newFiles, newStats, newParts) =
           if (cur.partCols.nonEmpty)
             writeDataFilesPartitioned(spark, path, updated, cur.partCols)

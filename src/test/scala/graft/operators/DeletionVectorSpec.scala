@@ -176,6 +176,30 @@ class DeletionVectorSpec extends GraftSparkSpec {
     } finally spark.conf.unset("spark.graft.tablelog.writeChangeFiles")
   }
 
+  test("updateWhereDV: NON-DETERMINISTIC assignment — CDC 'added' equals the appended rows") {
+    val path = freshPath("graft-spec-dv-updnd")
+    spark.conf.set("spark.graft.tablelog.writeChangeFiles", "true")
+    try {
+      TableLog.create(spark, path,
+        (0L until 400L).map(i => (i, 0L)).toDF("id", "w")
+          .repartitionByRange(2, $"id"))                          // v1
+      // rand()-derived assignment: re-executing the projection would
+      // stamp DIFFERENT values into the CDC than into the table
+      TableLog.updateWhereDV(spark, path,
+        Seq("w" -> (rand(0) * lit(1000000)).cast("long")),
+        $"id".between(100L, 120L))                                // v2
+      val tableNow = TableLog.read(spark, path)
+        .where($"id".between(100L, 120L))
+      val cdcAdded = TableLog.changes(spark, path, 1L, 2L)
+        .where($"change" === "added").select($"id", $"w")
+      assert(cdcAdded.count() === 21L)
+      assert(cdcAdded.exceptAll(tableNow).isEmpty &&
+        tableNow.exceptAll(cdcAdded).isEmpty,
+        "the materialized change feed must carry the SAME rows the " +
+          "table appended — one evaluation of the assignments")
+    } finally spark.conf.unset("spark.graft.tablelog.writeChangeFiles")
+  }
+
   test("diff and the change feed see DV commits as position-level removals") {
     val path = freshPath("graft-spec-dv-cdc")
     spark.conf.set("spark.graft.tablelog.writeChangeFiles", "true")

@@ -1194,6 +1194,17 @@ class TableLogSpec extends GraftSparkSpec {
     assert(e.getMessage.contains("EMPTY overwrite"))
     assert(TableLog.read(spark, path).count() === 10L, "table unchanged")
 
+    // the opt-out: standard INSERT OVERWRITE truncate semantics
+    spark.conf.set("spark.graft.tablelog.allowEmptyOverwrite", "true")
+    try {
+      TableLog.overwrite(spark, path,
+        (0L until 10L).map(i => (i, i)).toDF("id", "w").where(lit(false)))
+      assert(TableLog.read(spark, path).count() === 0L,
+        "under the conf an empty overwrite truncates")
+      // still a committed, time-travelable version
+      assert(TableLog.read(spark, path, Some(1L)).count() === 10L)
+    } finally spark.conf.unset("spark.graft.tablelog.allowEmptyOverwrite")
+
     val p2 = freshPath("graft-spec-tlog-emptyovwp")
     TableLog.createPartitioned(spark, p2,
       (0L until 9L).map(i => (i, Seq("a", "b", "c")((i % 3L).toInt)))

@@ -663,6 +663,47 @@ class TableLogCatalogSpec extends GraftSparkSpec {
       .collect().map(_.getString(1)).toSet === Set("kiwi", "mango"))
   }
 
+  test("LEGACY manifests (no fmt marker) downgrade string 's' bounds to prune-only") {
+    TableLogSql.register(spark)
+    val path = freshPath("graft-spec-tlsql-legacyfmt")
+    TableLog.create(spark, path,
+      Seq((1L, "apple"), (2L, "zebra"), (3L, "kiwi"))
+        .toDF("id", "s").repartition(1))
+    // simulate a pre-exactness manifest: strip the fmt field from the
+    // committed JSON (legacy writers recorded kind "s" unconditionally
+    // — even for truncated stats — so "s" there proves nothing)
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(s"$path/_log/v0000001.json")
+    val body = {
+      val in = fsys.open(mp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(body.contains("\"fmt\":"), "current manifests carry the marker")
+    val legacy = body.replaceFirst("""\"fmt\":\d+,""", "")
+    fsys.delete(mp, false)
+    val out = fsys.create(mp, true)
+    out.write(legacy.getBytes("UTF-8"))
+    out.close()
+    // string MIN/MAX must NOT serve from the manifest any more...
+    val q = s"SELECT min(s) AS lo, max(s) AS hi FROM tablelog.`$path`"
+    val df = spark.sql(q)
+    df.queryExecution.executedPlan
+    assert(!TableLogSql.tookAggServed(path),
+      "legacy string bounds must never serve as MIN/MAX answers")
+    assert(df.collect().head.toSeq === Seq("apple", "zebra"))
+    // ...numeric bounds (kind 'l') are unaffected...
+    val qn = s"SELECT min(id) AS lo, max(id) AS hi FROM tablelog.`$path`"
+    val dfn = spark.sql(qn)
+    dfn.queryExecution.executedPlan
+    assert(TableLogSql.tookAggServed(path))
+    assert(dfn.collect().head.toSeq === Seq(1L, 3L))
+    // ...and string bounds still PRUNE (superset range stays sound)
+    assert(TableLog.readBand(spark, path, "s", "kiwi", "kiwi")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
   test("deletion vectors through SQL: DELETE writes a sidecar, reads compensate") {
     TableLogSql.register(spark)
     val path = freshPath("graft-spec-tlsql-dv")
