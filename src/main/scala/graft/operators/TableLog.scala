@@ -3308,6 +3308,14 @@ object TableLog {
   /** Read `tablePath` at the version the root (at `rootVersion`,
     * default latest) pins — the consistent-pair read. Fails fast when
     * the root does not register the table.
+    *
+    * A pinned version may legitimately sit BELOW the vacuum watermark:
+    * [[vacuum]] retains root-pinned manifests and their files
+    * individually (the registry or an explicit roots list tells it
+    * which), without widening the contiguous retention window — so the
+    * watermark guard is bypassed here iff the pinned manifest
+    * survived. A pin vacuum never learned about (root not registered,
+    * not passed) still fails fast on the guard, loud as before.
     */
   def readAtRoot(
       spark: SparkSession, rootPath: String, tablePath: String,
@@ -3316,7 +3324,53 @@ object TableLog {
     val v = snap.getOrElse(tablePath, throw new IllegalArgumentException(
       s"TableLog.readAtRoot: root $rootPath does not register $tablePath " +
         s"(registered: ${snap.keys.toSeq.sorted.mkString(", ")})"))
-    read(spark, tablePath, Some(v))
+    if (v >= vacuumWatermark(spark, tablePath)) read(spark, tablePath, Some(v))
+    else {
+      require(fs(spark, tablePath).exists(manifestPath(tablePath, v)),
+        s"TableLog.readAtRoot: root-pinned version $v of $tablePath was " +
+          s"vacuumed — register the root ($rootPath) with the table, or " +
+          "pass it in vacuum(roots = ...), so retention honors the pin")
+      val m = readManifestFull(spark, tablePath, v)
+      readFilesDv(spark, tablePath, m, m.files)
+    }
+  }
+
+  // --- the root REGISTRY: which roots pin versions of this table ---
+  // Populated by [[transaction]] (a table learns its roots the first
+  // time a transaction names one) so [[vacuum]] can honor root-pinned
+  // versions without being told. Monotone union, tmp+rename publish.
+
+  private def rootsRegistryPath(path: String) =
+    new Path(logDir(path), "_roots.json")
+
+  /** Root paths registered with `path` (empty if none). */
+  def registeredRoots(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val p = rootsRegistryPath(path)
+    if (!f.exists(p)) Nil
+    else JsonMethods.parse(readSmallFile(spark, path, p)) match {
+      case JArray(vs) => vs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+  }
+
+  /** Union `root` into the table's registry (no-op when present). */
+  def registerRoot(spark: SparkSession, path: String, root: String): Unit = {
+    val cur = registeredRoots(spark, path)
+    if (!cur.contains(root)) {
+      val f = fs(spark, path)
+      val body = JsonMethods.compact(JsonMethods.render(
+        JArray((cur :+ root).sorted.map(JString(_): JValue).toList)))
+      f.mkdirs(logDir(path))
+      val tmp = new Path(logDir(path),
+        s"_tmp_roots_${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      out.write(body.getBytes(UTF_8))
+      out.close()
+      f.delete(rootsRegistryPath(path), false)
+      require(f.rename(tmp, rootsRegistryPath(path)),
+        s"TableLog.registerRoot: registry publish failed at $path")
+    }
   }
 
   /** Most recent transaction tags carried in every root version (the
@@ -3458,6 +3512,13 @@ object TableLog {
         val (names, _) = writeDataFiles(spark, p, df)
         (p, names, df.schema)
       }
+      // every participant learns the root BEFORE anything commits:
+      // a later vacuum at any of them honors the root's pins without
+      // being told (registry writes are safe here — the transaction
+      // holds every participant's mutation lock)
+      root.foreach(r => staged.foreach { case (p, _, _) =>
+        registerRoot(spark, p, r)
+      })
       writeTxnIntent(spark, txnId, staged, root)
       val versions = staged.map { case (p, names, schema) =>
         commitStagedOptimistic(spark, p, names, schema, s"txn-$txnId")
@@ -3995,7 +4056,9 @@ object TableLog {
     * CAS then references them. Retention 0 restores the
     * everything-now sweep (safe only with no concurrent writers).
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Unit =
+  def vacuum(
+      spark: SparkSession, path: String, keepVersions: Int = 2,
+      roots: Seq[String] = Nil): Unit =
     withLock(spark, path, "vacuum") {
       require(keepVersions >= 1, "TableLog.vacuum: must keep at least the latest")
       // Crash-safe for multi-table TRANSACTIONS: a crashed
@@ -4013,11 +4076,26 @@ object TableLog {
       val f = fs(spark, path)
       val vs = versions(spark, path)
       val keep = vs.takeRight(keepVersions)
+      // ROOT-PINNED versions stay fully retained (manifest + files +
+      // sidecars) even below the retention window: each registered or
+      // passed root's LATEST snapshot names the version a
+      // [[readAtRoot]] reader resolves — sweeping it would break the
+      // snapshot-isolation contract for long-lived pinned readers.
+      // (Older root versions are NOT honored: the contract covers the
+      // roots' current pins, and readAtRoot fails fast past it.)
+      val rootPinned: Seq[Long] =
+        (roots ++ registeredRoots(spark, path)).distinct.flatMap { r =>
+          try rootSnapshot(spark, r).get(path)
+          catch { case _: Exception => None }
+        }.distinct
+          .filterNot(keep.contains)
+          .filter(v => f.exists(manifestPath(path, v)))
       // belt and braces: names staged into THIS table by any intent
       // that somehow survived recovery stay referenced
       val intentPinned = pendingIntents(spark, path).flatMap(_._3)
         .filter(_._1 == path).flatMap(_._2).toSet
-      val keptManifests = keep.map(readManifestFull(spark, path, _))
+      val keptManifests =
+        (keep ++ rootPinned).map(readManifestFull(spark, path, _))
       val referenced = keptManifests.flatMap(_.files).toSet ++ intentPinned
       val referencedDvDirs =
         keptManifests.flatMap(_.dvs.valuesIterator.flatten).toSet
@@ -4037,8 +4115,9 @@ object TableLog {
         require(f.rename(tmp, watermarkPath(path)),
           "TableLog.vacuum: watermark publish failed")
       }
-      // 2. expired manifests
-      vs.dropRight(keepVersions).foreach(v => f.delete(manifestPath(path, v), false))
+      // 2. expired manifests — root-pinned ones survive individually
+      vs.dropRight(keepVersions).filterNot(rootPinned.contains)
+        .foreach(v => f.delete(manifestPath(path, v), false))
       // 3. unreferenced data files (parallel: object-store deletes are
       // per-file RPCs)
       if (f.exists(dataDir(path))) {

@@ -1123,6 +1123,60 @@ class TableLogSpec extends GraftSparkSpec {
     }
     assert(e.getMessage.contains("does not register"))
   }
+  test("root-aware vacuum: root-pinned versions survive retention; readAtRoot serves them") {
+    val pA = freshPath("graft-spec-tlog-rvac-a")
+    val pB = freshPath("graft-spec-tlog-rvac-b")
+    val root = freshPath("graft-spec-tlog-rvac-r")
+    TableLog.create(spark, pA, (0L until 10L).map(i => (i, i)).toDF("id", "w"))
+    TableLog.create(spark, pB, (0L until 10L).map(i => (i, i)).toDF("id", "n"))
+    TableLog.transaction(spark, Seq(
+      pA -> Seq((100L, 100L)).toDF("id", "w"),
+      pB -> Seq((100L, 100L)).toDF("id", "n")), root = Some(root))
+    // the transaction registered its root at every participant
+    assert(TableLog.registeredRoots(spark, pA) === Seq(root))
+    assert(TableLog.registeredRoots(spark, pB) === Seq(root))
+    val pinnedA = TableLog.rootSnapshot(spark, root)(pA)
+    // advance table A five more versions past the pin
+    (0 until 5).foreach(i =>
+      TableLog.append(spark, pA, Seq((1000L + i, 0L)).toDF("id", "w")))
+    assert(TableLog.latestVersion(spark, pA) === pinnedA + 5)
+    spark.conf.set("spark.graft.tablelog.retentionMs", "0")
+    try {
+      TableLog.vacuum(spark, pA, keepVersions = 1)
+      // the pinned pair still serves — consistent across both tables —
+      // even though the pin sits BELOW the watermark
+      assert(TableLog.vacuumWatermark(spark, pA) === pinnedA + 5)
+      assert(TableLog.readAtRoot(spark, root, pA).count() === 11L)
+      assert(TableLog.readAtRoot(spark, root, pB).count() === 11L)
+      // non-pinned intermediates really vacuumed (the retention window
+      // did not silently widen)
+      val e = intercept[IllegalArgumentException] {
+        TableLog.read(spark, pA, Some(pinnedA + 2))
+      }
+      assert(e.getMessage.contains("vacuumed"))
+      // an UNREGISTERED pin is still swept — loud, actionable failure
+      val pC = freshPath("graft-spec-tlog-rvac-c")
+      val rootC = freshPath("graft-spec-tlog-rvac-rc")
+      TableLog.create(spark, pC, Seq((0L, 0L)).toDF("id", "w"))
+      TableLog.append(spark, pC, Seq((1L, 0L)).toDF("id", "w"))
+      TableLog.rootBump(spark, rootC, Map(pC -> 2L))
+      (0 until 3).foreach(i =>
+        TableLog.append(spark, pC, Seq((10L + i, 0L)).toDF("id", "w")))
+      TableLog.vacuum(spark, pC, keepVersions = 1) // rootC never registered
+      val e2 = intercept[IllegalArgumentException] {
+        TableLog.readAtRoot(spark, rootC, pC)
+      }
+      assert(e2.getMessage.contains("register the root"),
+        s"want the actionable pin-vacuumed refusal, got: ${e2.getMessage}")
+      // ...and passing the root explicitly protects it the next time
+      TableLog.append(spark, pC, Seq((98L, 0L)).toDF("id", "w")) // v6
+      TableLog.rootBump(spark, rootC, Map(pC -> 6L))
+      TableLog.append(spark, pC, Seq((99L, 0L)).toDF("id", "w")) // v7
+      TableLog.vacuum(spark, pC, keepVersions = 1, roots = Seq(rootC))
+      assert(TableLog.readAtRoot(spark, rootC, pC).count() === 6L)
+    } finally spark.conf.unset("spark.graft.tablelog.retentionMs")
+  }
+
   test("root _last pointer: missing or stale pointers heal by probing forward") {
     val pA = freshPath("graft-spec-tlog-rootptr-a")
     val pB = freshPath("graft-spec-tlog-rootptr-b")
