@@ -2120,6 +2120,40 @@ object TableLog {
       } else dvDeleteCore(spark, path, v, cur, candidates, pred)
     }
 
+  /** Publish a (file, pos) frame as ONE deletion-vector sidecar dir
+    * (tmp + rename); returns the dir name for the manifest's `dvs`.
+    */
+  private def publishDvSidecar(
+      spark: SparkSession, path: String, positions: DataFrame,
+      op: String): String = {
+    val f = fs(spark, path)
+    val dirName = s"d-${java.util.UUID.randomUUID()}"
+    val tmp = new Path(dvDir(path), s"_tmp_${java.util.UUID.randomUUID()}")
+    positions.write.mode("overwrite").parquet(tmp.toString)
+    f.mkdirs(dvDir(path))
+    require(f.rename(tmp, new Path(dvDir(path), dirName)),
+      s"TableLog.$op: sidecar publish failed")
+    dirName
+  }
+
+  /** The manifest delta a fresh sidecar implies: per-touched-file
+    * [[DvRowsKey]] accounting (logical rows = physical − this) and the
+    * dir appended to each touched file's vector list.
+    */
+  private def dvManifestDelta(
+      cur: Manifest, touched: Map[String, Long], dirName: String)
+      : (Map[String, Map[String, ColBound]], Map[String, Seq[String]]) = {
+    val newStats = touched.map { case (n, cnt) =>
+      val st = cur.stats.getOrElse(n, Map.empty[String, ColBound])
+      val total = dvRowsOf(cur, n) + cnt
+      n -> (st + (DvRowsKey -> ColBound("l", total.toString, total.toString)))
+    }
+    val newDvs = touched.keys.map { n =>
+      n -> (cur.dvs.getOrElse(n, Nil) :+ dirName)
+    }.toMap
+    (newStats, newDvs)
+  }
+
   /** Shared merge-on-read delete engine: evaluate the predicate over
     * the candidates' VISIBLE rows once (localCheckpoint — the sidecar
     * write, accounting, and CDC all read the same decision), publish
@@ -2142,27 +2176,12 @@ object TableLog {
         Some(emptyChanges(spark, path, cur)))
       nv
     } else {
-      val f = fs(spark, path)
-      val dirName = s"d-${java.util.UUID.randomUUID()}"
-      val tmp = new Path(dvDir(path), s"_tmp_${java.util.UUID.randomUUID()}")
-      matched
-        .select(relNameCol(col("_tl_file")).as("file"),
-          col("_tl_pos").as("pos"))
-        .write.mode("overwrite").parquet(tmp.toString)
-      f.mkdirs(dvDir(path))
-      require(f.rename(tmp, new Path(dvDir(path), dirName)),
-        "TableLog.deleteWhereDV: sidecar publish failed")
-      val touched = perFile.toMap
-      val newStats = cur.stats ++ touched.map { case (n, cnt) =>
-        val st = cur.stats.getOrElse(n, Map.empty[String, ColBound])
-        val total = dvRowsOf(cur, n) + cnt
-        n -> (st + (DvRowsKey -> ColBound("l", total.toString, total.toString)))
-      }
-      val newDvs = cur.dvs ++ touched.keys.map { n =>
-        n -> (cur.dvs.getOrElse(n, Nil) :+ dirName)
-      }
+      val dirName = publishDvSidecar(spark, path,
+        matched.select(relNameCol(col("_tl_file")).as("file"),
+          col("_tl_pos").as("pos")), "deleteWhereDV")
+      val (dvStats, dvDirs) = dvManifestDelta(cur, perFile.toMap, dirName)
       val nv = commitFull(spark, path, v + 1, cur.copy(
-        tag = None, stats = newStats, dvs = newDvs))
+        tag = None, stats = cur.stats ++ dvStats, dvs = cur.dvs ++ dvDirs))
       // CDC: the checkpointed matches ARE the removals, exactly
       maybeWriteChanges(spark, path, v, nv, Some(
         matched.select(schema.fieldNames.toSeq.map(col): _*)
@@ -2193,7 +2212,6 @@ object TableLog {
           Some(emptyChanges(spark, path, cur)))
         nv
       } else {
-        val f = fs(spark, path)
         // keep only positions of files still referenced (a shared
         // sidecar may carry positions for since-rewritten files)
         import spark.implicits._
@@ -2201,11 +2219,7 @@ object TableLog {
         val merged = dvPosFrame(spark, path, cur, live.keys.toSeq).get
           .join(nameF, col("file") === col("_tl_cn"), "left_semi")
           .coalesce(1)
-        val dirName = s"d-${java.util.UUID.randomUUID()}"
-        val tmp = new Path(dvDir(path), s"_tmp_${java.util.UUID.randomUUID()}")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        require(f.rename(tmp, new Path(dvDir(path), dirName)),
-          "TableLog.compactDvs: sidecar publish failed")
+        val dirName = publishDvSidecar(spark, path, merged, "compactDvs")
         val nv = commitFull(spark, path, v + 1, cur.copy(
           tag = None,
           dvs = live.keys.map(_ -> Seq(dirName)).toMap))
@@ -2289,31 +2303,16 @@ object TableLog {
         require(written == matchedRows,
           s"TableLog.updateWhereDV: wrote $written rows, want $matchedRows " +
             "— aborting commit (orphans go to vacuum)")
-        val f = fs(spark, path)
-        val dirName = s"d-${java.util.UUID.randomUUID()}"
-        val tmp = new Path(dvDir(path), s"_tmp_${java.util.UUID.randomUUID()}")
-        matched
-          .select(relNameCol(col("_tl_file")).as("file"),
-            col("_tl_pos").as("pos"))
-          .write.mode("overwrite").parquet(tmp.toString)
-        f.mkdirs(dvDir(path))
-        require(f.rename(tmp, new Path(dvDir(path), dirName)),
-          "TableLog.updateWhereDV: sidecar publish failed")
-        val touched = perFile.toMap
-        val dvStats = touched.map { case (n, cnt) =>
-          val st = cur.stats.getOrElse(n, Map.empty[String, ColBound])
-          val total = dvRowsOf(cur, n) + cnt
-          n -> (st + (DvRowsKey -> ColBound("l", total.toString, total.toString)))
-        }
-        val newDvs = cur.dvs ++ touched.keys.map { n =>
-          n -> (cur.dvs.getOrElse(n, Nil) :+ dirName)
-        }
+        val dirName = publishDvSidecar(spark, path,
+          matched.select(relNameCol(col("_tl_file")).as("file"),
+            col("_tl_pos").as("pos")), "updateWhereDV")
+        val (dvStats, dvDirs) = dvManifestDelta(cur, perFile.toMap, dirName)
         val nv = commitFull(spark, path, v + 1, cur.copy(
           tag = None,
           files = cur.files ++ newFiles,
           stats = cur.stats ++ dvStats ++ newStats,
           parts = cur.parts ++ newParts,
-          dvs = newDvs))
+          dvs = cur.dvs ++ dvDirs))
         // CDC: old copies out, updated copies in — from the ONE
         // checkpointed decision
         maybeWriteChanges(spark, path, v, nv, Some(
@@ -2662,6 +2661,45 @@ object TableLog {
         perFileMatches.map(r => relName(path, r.getString(0))).toSet
       val nMatched = perFileMatches.map(_.getLong(1)).sum
       val (touched, untouched) = cur.files.partition(touchedNames.contains)
+      // MERGE-ON-READ (under the DV conf): matched target rows die by
+      // POSITION in one sidecar, the source appends as new files —
+      // zero data-file rewrites, write amplification O(source +
+      // matched positions) instead of O(touched files). The same
+      // <1%-of-copy-on-write win q229 proved for DELETE/UPDATE, now
+      // for the upsert shape.
+      if (touched.nonEmpty && spark.conf
+        .get("spark.graft.tablelog.deletionVectors", "false").toBoolean) {
+        val matchedPos = readFilesDvMeta(spark, path, cur, touched)
+          .join(srcKeys, col(keyCol) === col("_tl_mk"), "left_semi")
+          .select(relNameCol(col("_tl_file")).as("file"),
+            col("_tl_pos").as("pos"))
+          .localCheckpoint(true)
+        val perFile = matchedPos.groupBy(col("file"))
+          .agg(count(lit(1)).as("_tl_n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        // accounting BEFORE any publish: the positions dying must be
+        // exactly the discovered matches (srcMat is checkpointed and
+        // target files are immutable, so a mismatch is a real bug)
+        require(perFile.map(_._2).sum == nMatched,
+          s"TableLog.merge: ${perFile.map(_._2).sum} positions found, " +
+            s"want $nMatched — aborting commit (orphans go to vacuum)")
+        val (srcNames, srcStats, srcParts) =
+          if (cur.partCols.isEmpty) {
+            val (ns, st) = writeDataFiles(spark, path, srcMat)
+            (ns, st, Map.empty[String, Seq[String]])
+          } else writeDataFilesPartitioned(spark, path, srcMat, cur.partCols)
+        val dirName = publishDvSidecar(spark, path, matchedPos, "merge")
+        val (dvStats, dvDirs) = dvManifestDelta(cur, perFile.toMap, dirName)
+        val nv = commitFull(spark, path, v + 1, cur.copy(
+          tag = None,
+          files = cur.files ++ srcNames,
+          stats = cur.stats ++ dvStats ++ srcStats,
+          schema = Some(merged),
+          parts = cur.parts ++ srcParts,
+          dvs = cur.dvs ++ dvDirs))
+        maybeWriteChanges(spark, path, v, nv)
+        return nv
+      }
       val survivors =
         if (touched.isEmpty) None
         else Some(readFilesDv(spark, path, cur, touched)
@@ -2847,7 +2885,8 @@ object TableLog {
       def joinAct(names: Seq[String]): DataFrame =
         readFilesDvMeta(spark, path, cur, names)
           .withColumnRenamed("_tl_file", "_tl_f")
-          .drop("_tl_pos")
+          // _tl_pos rides along: the merge-on-read write phase records
+          // actionable rows by POSITION (the COW path just ignores it)
           .join(srcR, col(keyCol) === srcKey, "left")
           .withColumn("_tl_act", actIdx)
       // resolved against the joined shape (target columns + the _s_
@@ -2975,6 +3014,75 @@ object TableLog {
             .localCheckpoint(true))
         }
       val inserted = inserts.map(_.count()).getOrElse(0L)
+      // MERGE-ON-READ (under the DV conf): every actionable target row
+      // (matched/by-source update or delete) dies by POSITION in one
+      // sidecar; update arms' rewritten copies and the inserts append
+      // as new files. NO data file rewrites — unactioned rows in
+      // touched files stay in place, so write amplification is
+      // O(actioned + inserted rows), never O(touched files).
+      if (joined.isDefined && spark.conf
+        .get("spark.graft.tablelog.deletionVectors", "false").toBoolean) {
+        val j = joined.get
+        val matchedPos = j.where(col("_tl_act") > 0)
+          .select(relNameCol(col("_tl_f")).as("file"), col("_tl_pos").as("pos"))
+        val perFile = matchedPos.groupBy(col("file"))
+          .agg(count(lit(1)).as("_tl_n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val actioned = perFile.map(_._2).sum
+        val updateIdx = (matched.zipWithIndex.collect {
+          case (_: MergeWhen.Update, i) => i + 1
+        } ++ notMatchedBySource.zipWithIndex.collect {
+          case (_: MergeWhen.Update, i) => matched.size + i + 1
+        }).toSet
+        val updatedCopies =
+          if (updateIdx.isEmpty) None
+          else Some(j.where(col("_tl_act").isInCollection(updateIdx))
+            .select(schema.fields.toSeq.map { f =>
+              applyUpdates(
+                applyUpdates(col(f.name), f, matched, 0),
+                f, notMatchedBySource, matched.size).as(f.name)
+            }: _*))
+        val newRowsDv = (updatedCopies, inserts) match {
+          case (Some(u), Some(i)) => Some(u.unionByName(i))
+          case (u, i) => u.orElse(i)
+        }
+        val (newFiles, newStats, newParts) = newRowsDv match {
+          case Some(nr) if !nr.isEmpty =>
+            if (cur.partCols.nonEmpty)
+              writeDataFilesPartitioned(spark, path, nr, cur.partCols)
+            else {
+              val (ns, st) = writeDataFiles(spark, path, nr)
+              (ns, st, Map.empty[String, Seq[String]])
+            }
+          case _ => (Nil, Map.empty[String, Map[String, ColBound]],
+            Map.empty[String, Seq[String]])
+        }
+        // accounting BEFORE any publish: appended copies must be the
+        // actioned non-deletes plus the inserts (all frames derive
+        // from the checkpointed join — a mismatch is a real bug)
+        val written = newStats.valuesIterator
+          .flatMap(_.get(RowsKey)).map(_.min.toLong).sum
+        require(written == actioned - deleted + inserted,
+          s"TableLog.mergeWhen: wrote $written rows, want " +
+            s"${actioned - deleted + inserted} — aborting commit " +
+            "(orphans go to vacuum)")
+        val (dvStats, dvDirs) =
+          if (actioned == 0L)
+            (Map.empty[String, Map[String, ColBound]],
+              Map.empty[String, Seq[String]])
+          else {
+            val dirName = publishDvSidecar(spark, path, matchedPos, "mergeWhen")
+            dvManifestDelta(cur, perFile.toMap, dirName)
+          }
+        val nv = commitFull(spark, path, v + 1, cur.copy(
+          tag = None,
+          files = cur.files ++ newFiles,
+          stats = cur.stats ++ dvStats ++ newStats,
+          parts = cur.parts ++ newParts,
+          dvs = cur.dvs ++ dvDirs))
+        maybeWriteChanges(spark, path, v, nv)
+        return nv
+      }
       val newRowsOpt = (survivors, inserts) match {
         case (Some(s), Some(i)) => Some(s.unionByName(i))
         case (s, i) => s.orElse(i)

@@ -347,6 +347,99 @@ class DeletionVectorSpec extends GraftSparkSpec {
       "both modes converge to the same table")
   }
 
+  test("merge-on-read MERGE: matched rows die by position, zero data-file rewrites") {
+    val path = freshPath("graft-spec-dv-merge")
+    TableLog.create(spark, path,
+      (0L until 600L).map(i => (i, s"p$i")).toDF("id", "p")
+        .repartitionByRange(2, $"id"))                          // v1
+    spark.conf.set("spark.graft.tablelog.deletionVectors", "true")
+    try {
+      val before = dataFiles(path)
+      // whole-row upsert: 2 replacements + 1 insert
+      TableLog.merge(spark, path,
+        Seq((5L, "FIVE"), (405L, "FOUR-OH-FIVE"), (1000L, "NEW"))
+          .toDF("id", "p"), "id")                               // v2
+      assert(before.subsetOf(dataFiles(path)),
+        "merge-on-read MERGE must never rewrite or remove a data file")
+      assert(TableLog.snapshot(spark, path).hasDvs)
+      val got = TableLog.read(spark, path)
+      assert(got.count() === 601L)
+      assert(rows(got.where($"id".isin(5L, 405L, 1000L))) === Set(
+        Seq(5L, "FIVE"), Seq(405L, "FOUR-OH-FIVE"), Seq(1000L, "NEW")))
+      // time travel intact; logical history correct
+      assert(TableLog.read(spark, path, Some(1L)).count() === 600L)
+      assert(TableLog.read(spark, path, Some(1L))
+        .where($"p" === "FIVE").count() === 0L)
+
+      // general MERGE grammar: matched update + matched delete +
+      // insert, all merge-on-read
+      val before2 = dataFiles(path)
+      TableLog.mergeWhen(spark, path,
+        Seq((5L, 1L), (7L, 2L), (2000L, 3L)).toDF("id", "k"), "id",
+        matched = Seq(
+          TableLog.MergeWhen.Delete(Some($"_s_k" === 2L)),
+          TableLog.MergeWhen.Update(None, Seq("p" -> concat($"p", lit("!"))))),
+        notMatched = Seq(TableLog.MergeWhen.Insert(None, Seq(
+          "id" -> $"_s_id", "p" -> lit("INSERTED")))))           // v3
+      assert(before2.subsetOf(dataFiles(path)),
+        "mergeWhen merge-on-read must never rewrite or remove a data file")
+      val got3 = TableLog.read(spark, path)
+      assert(got3.count() === 601L, "600+insert(1)+update keeps, delete(1)")
+      assert(got3.where($"id" === 7L).count() === 0L, "matched DELETE")
+      assert(rows(got3.where($"id".isin(5L, 2000L))) === Set(
+        Seq(5L, "FIVE!"), Seq(2000L, "INSERTED")))
+      // stacked vectors fold through OPTIMIZE like any DV
+      TableLog.optimizeRange(spark, path, "id", numFiles = 2)
+      assert(!TableLog.snapshot(spark, path).hasDvs)
+      assert(TableLog.read(spark, path).count() === 601L)
+      assert(rows(TableLog.read(spark, path).where($"id".isin(5L, 7L, 2000L)))
+        === Set(Seq(5L, "FIVE!"), Seq(2000L, "INSERTED")))
+    } finally spark.conf.unset("spark.graft.tablelog.deletionVectors")
+  }
+
+  test("write amplification duel: MERGE — a 3-row upsert writes <1% of copy-on-write bytes") {
+    def newTable(stem: String): String = {
+      val p = freshPath(stem)
+      TableLog.create(spark, p,
+        spark.range(0L, 240000L).toDF("id")
+          .withColumn("p", concat(lit("payload-"), col("id"),
+            lit("-"), lit("x" * 40)))
+          .repartitionByRange(4, $"id").sortWithinPartitions("id"))
+      p
+    }
+    def bytesUnder(path: String, sub: String): Long = {
+      val f = fsOf(path)
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (!f.exists(dir)) 0L
+      else {
+        val it = f.listFiles(dir, true)
+        var total = 0L
+        while (it.hasNext) { val s = it.next(); if (s.isFile) total += s.getLen }
+        total
+      }
+    }
+    val src = Seq((100L, "UP-A"), (100100L, "UP-B"), (999999L, "NEW"))
+    // copy-on-write: both matched files rewrite (~half the table)
+    val cow = newTable("graft-spec-dv-mduel-cow")
+    val cowBefore = bytesUnder(cow, "data")
+    TableLog.merge(spark, cow, src.toDF("id", "p"), "id")
+    val cowWritten = bytesUnder(cow, "data") - cowBefore
+    assert(cowWritten > cowBefore / 8, "sanity: real file rewrites happened")
+    // merge-on-read: one tiny sidecar + the 3 source rows
+    val dv = newTable("graft-spec-dv-mduel-dv")
+    spark.conf.set("spark.graft.tablelog.deletionVectors", "true")
+    val dvBefore = bytesUnder(dv, "data")
+    try TableLog.merge(spark, dv, src.toDF("id", "p"), "id")
+    finally spark.conf.unset("spark.graft.tablelog.deletionVectors")
+    val dvWritten =
+      (bytesUnder(dv, "data") - dvBefore) + bytesUnder(dv, "_dv")
+    assert(dvWritten > 0L)
+    assert(dvWritten * 100 < cowWritten,
+      s"DV merge must write <1% of copy-on-write: $dvWritten vs ~$cowWritten")
+    assert(rows(TableLog.read(spark, cow)) === rows(TableLog.read(spark, dv)),
+      "both modes converge to the same table")
+  }
+
   test("SQL UPDATE and DELETE route merge-on-read under the conf") {
     graft.sql.TableLogSql.register(spark)
     val path = freshPath("graft-spec-dv-sqlroute")
