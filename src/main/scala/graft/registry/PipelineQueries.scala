@@ -467,6 +467,60 @@ object PipelineQueries {
     }),
 
 
+    // merge-on-read MERGE (round-16): both merge shapes route to
+    // deletion vectors under the conf — matched target rows die by
+    // POSITION in one sidecar, update copies/inserts append; zero
+    // data files rewritten (duel-pinned <1% of copy-on-write bytes).
+    // merge() = whole-row upsert; mergeWhen() = conditional
+    // delete + update + insert arms. Result-transparent: the oracle
+    // replays both merges arithmetically over the base table
+    "q233_dv_merge" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tldvm-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      graft.operators.TableLog.create(s, path,
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartitionByRange(6, col("doc_id"))
+          .sortWithinPartitions("doc_id"))
+      s.conf.set("spark.graft.tablelog.deletionVectors", "true")
+      try {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        // whole-row upsert: periodic replacements + brand-new rows
+        graft.operators.TableLog.merge(s, path,
+          docs.where(col("doc_id") % 50L === 0L)
+            .withColumn("lang", lit("up"))
+            .withColumn("n_chars", col("n_chars") + 5L)
+            .unionByName(docs.where(col("doc_id") < 20L)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                lit("new").as("lang"), col("n_chars"))),
+          "doc_id")
+        // general grammar: conditional delete, update, insert arms
+        val src2 = docs.where(col("doc_id") % 30L === 0L)
+          .select(col("doc_id"), col("doc_id").as("k"))
+          .unionByName(docs.where(col("doc_id") % 500L === 0L)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              (col("doc_id") + 2000000L).as("k")))
+        graft.operators.TableLog.mergeWhen(s, path, src2, "doc_id",
+          matched = Seq(
+            graft.operators.TableLog.MergeWhen.Delete(
+              Some(col("_s_k") % 60L === 0L)),
+            graft.operators.TableLog.MergeWhen.Update(None,
+              Seq("n_chars" -> (col("n_chars") + 100L)))),
+          notMatched = Seq(graft.operators.TableLog.MergeWhen.Insert(None,
+            Seq("doc_id" -> col("_s_doc_id"), "lang" -> lit("ins"),
+              "n_chars" -> lit(0L)))))
+        ()
+      } finally s.conf.unset("spark.graft.tablelog.deletionVectors")
+      graft.operators.TableLog.read(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+    }),
+
+
     // deletion vectors (round-15): the point-delete-heavy GDPR
     // workload merge-on-read was built for — three point deletes and a
     // sparse band delete land as (file, position) sidecars (ZERO data
@@ -2917,6 +2971,33 @@ object PipelineQueries {
         |FROM documents
         |WHERE doc_id NOT IN (7, 42, 99) AND n_chars >= 110
         |GROUP BY lang""".stripMargin,
+
+    // q233: both merges replayed arithmetically — step 1 replaces
+    // doc_id%50=0 rows and appends the +1000000 'new' rows; step 2
+    // deletes matched doc_id%60=0, adds 100 to the surviving matched
+    // doc_id%30=0, and inserts the +2000000 'ins' rows
+    "q233_dv_merge" ->
+      """WITH t1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 50 = 0 THEN 'up' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 50 = 0 THEN n_chars + 5 ELSE n_chars END
+        |      AS n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new', n_chars FROM documents
+        |  WHERE doc_id < 20),
+        |t2 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id < 1000000 AND doc_id % 30 = 0
+        |         THEN n_chars + 100 ELSE n_chars END AS n_chars
+        |  FROM t1 WHERE NOT (doc_id < 1000000 AND doc_id % 60 = 0)
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'ins', 0 FROM documents
+        |  WHERE doc_id % 500 = 0)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id
+        |FROM t2 GROUP BY lang""".stripMargin,
 
     // q229: the DV delete predicates and the fold-triggering update
     // replayed over the base table (deletes apply before the update,
