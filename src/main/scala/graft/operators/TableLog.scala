@@ -69,6 +69,20 @@ object TableLog {
     */
   final case class ColBound(kind: String, min: String, max: String)
 
+  /** One EQUALITY-DELETE sidecar (Iceberg's equality-delete shape,
+    * the streaming-upsert unit): `_eqd/dir` holds distinct, non-null
+    * `keyCols` tuples committed as version `seq`; a data file f is
+    * affected iff it was LIVE when the sidecar committed
+    * (`Manifest.eqBorn(f) <= seq`) — rows appended later, including
+    * the same commit's upsert appends, are never matched, which is
+    * exactly what makes delete-keys-then-append an upsert. `bounds`
+    * are the key tuples' min/max per column, for pruning delta reads
+    * (CDC/diff) and candidate scans from the manifest alone.
+    */
+  final case class EqDelete(
+      dir: String, seq: Long, keyCols: Seq[String],
+      bounds: Map[String, ColBound] = Map.empty)
+
   /** `files` are paths RELATIVE to `data/` (flat names for
     * unpartitioned tables; `col=value/...` hive paths for partitioned
     * ones). `partCols` + `parts` (per-file partition VALUES, aligned
@@ -88,7 +102,9 @@ object TableLog {
       partCols: Seq[String] = Nil,
       parts: Map[String, Seq[String]] = Map.empty,
       ts: Option[Long] = None,
-      dvs: Map[String, Seq[String]] = Map.empty)
+      dvs: Map[String, Seq[String]] = Map.empty,
+      eqd: Seq[EqDelete] = Nil,
+      eqBorn: Map[String, Long] = Map.empty)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -96,6 +112,7 @@ object TableLog {
   private def dataDir(path: String) = new Path(s"$path/data")
   private def changesDir(path: String) = new Path(s"$path/_changes")
   private def dvDir(path: String) = new Path(s"$path/_dv")
+  private def eqDir(path: String) = new Path(s"$path/_eqd")
   private def changePath(path: String, v: Long) =
     new Path(changesDir(path), f"v$v%07d")
   private def manifestPath(path: String, v: Long) =
@@ -252,7 +269,33 @@ object TableLog {
           }.toMap
           case _ => Map.empty[String, Seq[String]]
         }
-        Manifest(tag, files, stats, schema, partCols, parts, ts, dvs)
+        val eqd = o \ "eqd" match {
+          case JArray(es) => es.collect { case eo: JObject =>
+            val dir = eo \ "dir" match { case JString(d) => d; case _ => "" }
+            val seq = eo \ "seq" match { case JInt(n) => n.toLong; case _ => 0L }
+            val cols = eo \ "cols" match {
+              case JArray(cs) => cs.collect { case JString(c) => c }
+              case _ => Nil
+            }
+            val bounds = eo \ "bounds" match {
+              case JObject(byCol) => byCol.collect {
+                case (cn, JArray(List(JString(k), JString(mn), JString(mx)))) =>
+                  cn -> ColBound(k, mn, mx)
+              }.toMap
+              case _ => Map.empty[String, ColBound]
+            }
+            EqDelete(dir, seq, cols, bounds)
+          }
+          case _ => Nil
+        }
+        val eqBorn = o \ "eqBorn" match {
+          case JObject(byFile) => byFile.collect {
+            case (fname, JInt(n)) => fname -> n.toLong
+          }.toMap
+          case _ => Map.empty[String, Long]
+        }
+        Manifest(tag, files, stats, schema, partCols, parts, ts, dvs,
+          eqd, eqBorn)
       case other =>
         throw new IllegalStateException(s"TableLog: unparseable manifest: $other")
     }
@@ -278,12 +321,28 @@ object TableLog {
         f -> (JArray(ds.map(JString(_): JValue).toList): JValue)
       }): JValue))
     }
+    val eqFields: List[(String, JValue)] =
+      if (m.eqd.isEmpty) Nil
+      else List(
+        "eqd" -> (JArray(m.eqd.toList.map { e =>
+          JObject(List(
+            "dir" -> (JString(e.dir): JValue),
+            "seq" -> (JInt(e.seq): JValue),
+            "cols" -> (JArray(e.keyCols.map(JString(_): JValue).toList): JValue),
+            "bounds" -> (JObject(e.bounds.toList.sortBy(_._1).map {
+              case (c, b) => c -> (JArray(List(JString(b.kind),
+                JString(b.min), JString(b.max))): JValue)
+            }): JValue))): JValue
+        }): JValue),
+        "eqBorn" -> (JObject(m.eqBorn.toList.sortBy(_._1).map { case (f, s) =>
+          f -> (JInt(s): JValue)
+        }): JValue))
     val fields: List[(String, JValue)] =
       ("fmt" -> (JInt(ManifestFmt): JValue)) ::
         (m.tag.map(t => "tag" -> (JString(t): JValue)).toList ++
           m.ts.map(t => "ts" -> (JInt(t): JValue)).toList ++
           m.schema.map(s => "schema" -> (JString(s.json): JValue)).toList ++
-          partsFields ++ dvFields :+
+          partsFields ++ dvFields ++ eqFields :+
           ("files" -> (filesJ: JValue)) :+ ("stats" -> (statsJ: JValue)))
     JsonMethods.compact(JsonMethods.render(JObject(fields)))
   }
@@ -414,8 +473,11 @@ object TableLog {
     val known = m.files
       .flatMap(n => m.stats.get(n).flatMap(_.get(RowsKey)))
       .map(_.min.toLong)
-    // logical rows: deletion-vector positions are dead
-    if (known.size == m.files.size)
+    // logical rows: deletion-vector positions are dead (exact per-file
+    // accounting); equality deletes have NO per-file accounting — the
+    // manifest cannot know how many rows a key list kills, so such
+    // versions pay a visible-rows count scan
+    if (known.size == m.files.size && !anyEq(m, m.files))
       known.sum - m.files.map(dvRowsOf(m, _)).sum
     else readFilesDv(spark, path, m, m.files).count()
   }
@@ -1336,7 +1398,9 @@ object TableLog {
           stats = m.stats.filterNot { case (k, _) =>
             untouchedSet.contains(k) } ++ stats,
           parts = (m.parts -- touched) ++ names.map(_ -> vals).toMap,
-          dvs = m.dvs -- touched)))
+          dvs = m.dvs -- touched,
+          eqd = eqAfterDrop(m, touched)._1,
+          eqBorn = eqAfterDrop(m, touched)._2)))
       }
     }
 
@@ -1427,7 +1491,7 @@ object TableLog {
         requireRows(stats)
         val nv = commitFull(spark, path, v + 1, cur.copy(
           tag = None, files = names, stats = stats, schema = Some(merged),
-          dvs = Map.empty))
+          dvs = Map.empty, eqd = Nil, eqBorn = Map.empty))
         maybeWriteChanges(spark, path, v, nv)
         nv
       } else {
@@ -1437,7 +1501,7 @@ object TableLog {
         requireRows(stats)
         val nv = commitFull(spark, path, v + 1, cur.copy(
           tag = None, files = names, stats = stats, schema = Some(merged),
-          parts = parts, dvs = Map.empty))
+          parts = parts, dvs = Map.empty, eqd = Nil, eqBorn = Map.empty))
         maybeWriteChanges(spark, path, v, nv)
         nv
       }
@@ -1475,7 +1539,9 @@ object TableLog {
         stats = cur.stats.filterNot { case (k, _) =>
           dropped.contains(k) } ++ stats,
         schema = Some(merged),
-        parts = (cur.parts -- dropped) ++ parts, dvs = cur.dvs -- dropped))
+        parts = (cur.parts -- dropped) ++ parts, dvs = cur.dvs -- dropped,
+        eqd = eqAfterDrop(cur, dropped)._1,
+        eqBorn = eqAfterDrop(cur, dropped)._2))
       maybeWriteChanges(spark, path, v, nv)
       nv
     }
@@ -1582,6 +1648,50 @@ object TableLog {
   private def anyDv(m: Manifest, names: Seq[String]): Boolean =
     m.dvs.nonEmpty && names.exists(n => m.dvs.get(n).exists(_.nonEmpty))
 
+  /** The live equality-delete sidecars that apply to at least one of
+    * `names` under `m` (a sidecar applies to a file iff the file was
+    * live when it committed: born mark <= sidecar seq).
+    */
+  private def liveEqFor(m: Manifest, names: Seq[String]): Seq[EqDelete] =
+    if (m.eqd.isEmpty) Nil
+    else {
+      val borns = names.flatMap(m.eqBorn.get)
+      if (borns.isEmpty) Nil
+      else { val minBorn = borns.min; m.eqd.filter(_.seq >= minBorn) }
+    }
+
+  private def anyEq(m: Manifest, names: Seq[String]): Boolean =
+    liveEqFor(m, names).nonEmpty
+
+  /** The eq-delete sidecar dirs applicable to file `n` under `m` —
+    * the equality-side component of a file's visibility identity
+    * ([[diff]] cancels a shared file only when BOTH sides match).
+    */
+  private def eqDirsFor(m: Manifest, n: String): Set[String] =
+    m.eqBorn.get(n) match {
+      case Some(b) => m.eqd.collect { case e if e.seq >= b => e.dir }.toSet
+      case None => Set.empty
+    }
+
+  /** Manifest eq-state after `removed` files leave (a rewrite folds
+    * their equality deletes into the rewritten bytes, a delete just
+    * drops them): born marks drop, and sidecars no surviving file can
+    * see leave the live list (bytes stay for time travel until
+    * [[vacuum]]).
+    */
+  private def eqAfterDrop(m: Manifest, removed: Iterable[String])
+      : (Seq[EqDelete], Map[String, Long]) =
+    if (m.eqd.isEmpty && m.eqBorn.isEmpty) (m.eqd, m.eqBorn)
+    else {
+      val removedSet = removed.toSet
+      val born = m.eqBorn.filterNot { case (f, _) => removedSet.contains(f) }
+      if (born.isEmpty) (Nil, Map.empty)
+      else {
+        val minBorn = born.valuesIterator.min
+        (m.eqd.filter(_.seq >= minBorn), born)
+      }
+    }
+
   /** The scan-side twin of [[relName]]: a file's data/-relative path
     * from the `_metadata.file_path` column. Everything after the LAST
     * `/data/` is the relative name — sound because hive components are
@@ -1629,28 +1739,72 @@ object TableLog {
     val base = readFiles(spark, path, m, names)
       .withColumn("_tl_file", col("_metadata.file_path"))
       .withColumn("_tl_pos", col("_metadata.row_index"))
-    if (!anyDv(m, names)) base
+    val dvApplied =
+      if (!anyDv(m, names)) base
+      else {
+        val dv = dvPosFrame(spark, path, m, names).get
+          .select(col("file").as("_tl_dvf"), col("pos").as("_tl_dvp"))
+        base
+          .withColumn("_tl_fname", relNameCol(col("_tl_file")))
+          .join(dv,
+            col("_tl_fname") === col("_tl_dvf") &&
+              col("_tl_pos") === col("_tl_dvp"),
+            "left_anti")
+          .drop("_tl_fname")
+      }
+    applyEqDeletes(spark, path, m, names, dvApplied)
+  }
+
+  /** EQUALITY deletes applied to a frame carrying `_tl_file`: each
+    * row joins its file's born mark (small broadcast name->seq
+    * frame), then ONE anti-join per key-column signature removes rows
+    * whose key tuple appears in a sidecar with `seq >= born` — the
+    * sequence-number rule that scopes a delete to files that
+    * pre-existed it, as one join regardless of how many
+    * sidecar/file attachments exist (never a per-sidecar or per-file
+    * join explosion). Rows of files with no born mark survive
+    * untouched (NULL born fails the seq comparison). Sidecar frames
+    * broadcast under the same 32 MB rule as deletion vectors; NULL
+    * key values in data rows never match (delete keys are non-null
+    * by the publish contract).
+    */
+  private def applyEqDeletes(
+      spark: SparkSession, path: String, m: Manifest,
+      names: Seq[String], base: DataFrame): DataFrame = {
+    val live = liveEqFor(m, names)
+    if (live.isEmpty) base
     else {
-      val dv = dvPosFrame(spark, path, m, names).get
-        .select(col("file").as("_tl_dvf"), col("pos").as("_tl_dvp"))
-      base
-        .withColumn("_tl_fname", relNameCol(col("_tl_file")))
-        .join(dv,
-          col("_tl_fname") === col("_tl_dvf") &&
-            col("_tl_pos") === col("_tl_dvp"),
-          "left_anti")
-        .drop("_tl_fname")
+      import spark.implicits._
+      val f = fs(spark, path)
+      val bornF = broadcast(m.eqBorn.toSeq.toDF("_tl_ebf", "_tl_eborn"))
+      var cur = base
+        .withColumn("_tl_ername", relNameCol(col("_tl_file")))
+        .join(bornF, col("_tl_ername") === col("_tl_ebf"), "left")
+      live.groupBy(_.keyCols).toSeq.sortBy(_._1.mkString(",")).foreach {
+        case (cols, group) =>
+          val keys = group.map { e =>
+            spark.read.parquet(eqPath(path, e.dir))
+              .select(cols.map(col) :+ lit(e.seq).as("_tl_eseq"): _*)
+          }.reduce(_ unionByName _)
+          val bytes = group.map(e =>
+            f.getContentSummary(new Path(eqDir(path), e.dir)).getLength).sum
+          val k = if (bytes < 32L * 1024 * 1024) broadcast(keys) else keys
+          val cond = cols.map(c => cur(c) === k(c)).reduce(_ && _) &&
+            k("_tl_eseq") >= cur("_tl_eborn")
+          cur = cur.join(k, cond, "left_anti")
+      }
+      cur.drop("_tl_ername", "_tl_ebf", "_tl_eborn")
     }
   }
 
-  /** [[readFiles]] with deletion vectors applied — what every
-    * user-facing read serves. Tables without vectors take the plain
-    * scan (no metadata columns materialized, no join).
+  /** [[readFiles]] with deletion vectors AND equality deletes applied
+    * — what every user-facing read serves. Tables without either take
+    * the plain scan (no metadata columns materialized, no join).
     */
   private def readFilesDv(
       spark: SparkSession, path: String, m: Manifest,
       names: Seq[String]): DataFrame =
-    if (!anyDv(m, names)) readFiles(spark, path, m, names)
+    if (!anyDv(m, names) && !anyEq(m, names)) readFiles(spark, path, m, names)
     else readFilesDvMeta(spark, path, m, names).drop("_tl_file", "_tl_pos")
 
   /** Read the table at `version` (default: latest). Hands Spark the
@@ -1691,11 +1845,30 @@ object TableLog {
       schema: org.apache.spark.sql.types.StructType,
       partCols: Seq[String],
       parts: Map[String, Seq[String]],
-      dvs: Map[String, Seq[String]] = Map.empty) {
+      dvs: Map[String, Seq[String]] = Map.empty,
+      eqd: Seq[EqDelete] = Nil,
+      eqBorn: Map[String, Long] = Map.empty) {
     /** Any live deletion vector? Planners must compensate (or refuse
       * manifest-count shortcuts) when true.
       */
     def hasDvs: Boolean = dvs.exists(_._2.nonEmpty)
+
+    /** Any live equality-delete sidecar applicable to a current file?
+      * Planners must key-compensate (and refuse EVERY manifest-count
+      * shortcut — unlike deletion vectors there is no per-file dead
+      * count) when true.
+      */
+    def hasEqDeletes: Boolean =
+      eqd.nonEmpty && files.exists(n =>
+        eqBorn.get(n).exists(b => eqd.exists(_.seq >= b)))
+
+    /** The equality-delete sidecars applicable to file `n` (the ones
+      * whose seq is >= the file's born mark), in commit order.
+      */
+    def eqFor(n: String): Seq[EqDelete] = eqBorn.get(n) match {
+      case Some(b) => eqd.filter(_.seq >= b)
+      case None => Nil
+    }
   }
 
   def snapshot(
@@ -1704,7 +1877,7 @@ object TableLog {
     def mk(v: Long, m: Manifest) = Snapshot(
       v, m.files, m.stats,
       m.schema.getOrElse(readFiles(spark, path, m, m.files).schema),
-      m.partCols, m.parts, m.dvs)
+      m.partCols, m.parts, m.dvs, m.eqd, m.eqBorn)
     version match {
       case Some(v) =>
         checkNotVacuumed(spark, path, v)
@@ -1733,6 +1906,13 @@ object TableLog {
     */
   def dvPath(path: String, dir: String): String =
     new Path(dvDir(path), dir).toString
+
+  /** Absolute path of one equality-delete sidecar dir — where
+    * `Snapshot.eqd` entries resolve (the SQL scan's executor-side
+    * key-set loader reads them without a SparkSession).
+    */
+  def eqPath(path: String, dir: String): String =
+    new Path(eqDir(path), dir).toString
 
   /** Manifest-level file pruning: names of version `v`'s files whose
     * recorded [min,max] for `colName` overlaps [lower, upper] — plus
@@ -1939,7 +2119,9 @@ object TableLog {
           files = untouched ++ names,
           stats = m.stats.filterNot { case (k, _) =>
             touchedSet.contains(k) } ++ stats,
-          dvs = m.dvs -- touched)))
+          dvs = m.dvs -- touched,
+          eqd = eqAfterDrop(m, touched)._1,
+          eqBorn = eqAfterDrop(m, touched)._2)))
       }
     }
 
@@ -2323,6 +2505,185 @@ object TableLog {
       }
     }
 
+  /** Key column types equality deletes support: string and the
+    * integral family — the realistic upsert-key shapes, and the ones
+    * the SQL scan's executor-side key loader can normalize exactly
+    * (Long / String) from both the parquet Group API and an
+    * InternalRow.
+    */
+  private def supportedEqType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType |
+      org.apache.spark.sql.types.LongType |
+      org.apache.spark.sql.types.IntegerType |
+      org.apache.spark.sql.types.ShortType |
+      org.apache.spark.sql.types.ByteType => true
+    case _ => false
+  }
+
+  /** Validate + publish ONE equality-delete sidecar: the distinct,
+    * non-null key tuples of `keys` (whose column NAMES name the key
+    * columns) land under `_eqd/` as a tmp+renamed parquet dir, with
+    * driver-computed min/max bounds per key column. Returns the
+    * manifest entry (seq = the committing version `v + 1`) and the
+    * born map with every CURRENT file marked (files already marked
+    * keep their earlier — smaller — mark; files appended later are
+    * never marked by this commit, so the sidecar can never touch
+    * them). None when `keys` has zero rows: nothing can ever match.
+    */
+  private def eqDeleteCore(
+      spark: SparkSession, path: String, v: Long, cur: Manifest,
+      keys: DataFrame, op: String): Option[(EqDelete, Map[String, Long])] = {
+    val cols = keys.columns.toSeq
+    require(cols.nonEmpty, s"TableLog.$op: keys frame has no columns")
+    val schema = cur.schema.getOrElse(
+      readFiles(spark, path, cur, cur.files).schema)
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    cols.foreach { c =>
+      val fld = byName.getOrElse(c, throw new IllegalArgumentException(
+        s"TableLog.$op: key column $c is not a table column"))
+      require(supportedEqType(fld.dataType),
+        s"TableLog.$op: key column $c has type ${fld.dataType} — equality " +
+          "deletes support string and integral keys")
+      val kt = keys.schema(c).dataType
+      require(kt == fld.dataType,
+        s"TableLog.$op: key column $c is $kt, table column is ${fld.dataType}")
+    }
+    // ONE materialization: the null check, bounds, and sidecar write
+    // all read the same decision (a non-deterministic keys frame must
+    // not publish keys its own null check never saw)
+    val k = keys.select(cols.map(col): _*).distinct().localCheckpoint(true)
+    if (k.isEmpty) { k.unpersist(); None }
+    else {
+      require(k.where(cols.map(c => col(c).isNull).reduce(_ || _)).isEmpty,
+        s"TableLog.$op: NULL key values — equality deletes match " +
+          "non-null keys only")
+      val aggExprs = cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c)).as(s"_mn$i"), max(col(c)).as(s"_mx$i")) }
+      val aggRow = k.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+      val bounds = cols.zipWithIndex.map { case (c, i) =>
+        val kind = byName(c).dataType match {
+          case org.apache.spark.sql.types.StringType => "s"
+          case _ => "l"
+        }
+        c -> ColBound(kind,
+          String.valueOf(aggRow.get(aggRow.fieldIndex(s"_mn$i"))),
+          String.valueOf(aggRow.get(aggRow.fieldIndex(s"_mx$i"))))
+      }.toMap
+      val f = fs(spark, path)
+      val dirName = s"e-${java.util.UUID.randomUUID()}"
+      val tmp = new Path(eqDir(path), s"_tmp_${java.util.UUID.randomUUID()}")
+      k.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      f.mkdirs(eqDir(path))
+      require(f.rename(tmp, new Path(eqDir(path), dirName)),
+        s"TableLog.$op: sidecar publish failed")
+      Some((EqDelete(dirName, v + 1, cols, bounds),
+        cur.eqBorn ++ cur.files.filterNot(cur.eqBorn.contains)
+          .map(_ -> (v + 1)).toMap))
+    }
+  }
+
+  /** EQUALITY DELETE — merge-on-read by KEY (Iceberg's
+    * equality-delete sidecar, the GDPR/upsert shape that needs no
+    * match discovery at all): `DELETE FROM t WHERE key IN (keys)`
+    * commits as ONE key-list sidecar + a manifest pointer — ZERO data
+    * files read or written, write amplification O(|keys|) regardless
+    * of table size (a positional [[deleteWhereDV]] still runs a
+    * discovery scan; this doesn't even do that). Readers anti-join
+    * the key tuples out of every file that pre-existed the delete;
+    * rewrites ([[optimizeRange]]/[[compact]]/copy-on-write mutators)
+    * fold the deletes into the rewritten bytes and drop the
+    * attachment. `keys`'s column names ARE the key columns (string /
+    * integral, non-null). Zero key rows: returns the current version
+    * without committing.
+    */
+  def deleteByKey(spark: SparkSession, path: String, keys: DataFrame): Long =
+    withLock(spark, path, "deleteByKey") {
+      val v = latestVersion(spark, path)
+      checkNotVacuumed(spark, path, v)
+      val cur = readManifestFull(spark, path, v)
+      eqDeleteCore(spark, path, v, cur, keys, "deleteByKey") match {
+        case None => v
+        case Some((entry, born)) =>
+          val nv = commitFull(spark, path, v + 1, cur.copy(
+            tag = None, eqd = cur.eqd :+ entry, eqBorn = born))
+          // CDC (when enabled) reconstructs via diff: the delta read
+          // is pruned to files whose key-column bounds overlap the
+          // sidecar's
+          maybeWriteChanges(spark, path, v, nv)
+          nv
+      }
+    }
+
+  /** Exactly-once streaming UPSERT — the per-epoch unit
+    * [[graft.streaming.StreamingOps.tableLogUpsertSink]] commits: ONE
+    * atomic version that (a) equality-deletes the batch's key tuples
+    * from every PRE-EXISTING file and (b) appends the batch's rows as
+    * new files. The born-mark rule scopes the delete to files live
+    * before this commit, so the same commit's appends survive — the
+    * delete+append pair IS the upsert, with write amplification
+    * O(batch), never O(matched files) (a [[merge]] per epoch rewrites
+    * matched files copy-on-write; even merge-on-read [[merge]] runs a
+    * discovery scan — this touches no existing data at all, Iceberg's
+    * streaming upsert shape). Replay-safe via `tag` exactly like
+    * [[appendBatch]]: a committed tag returns its version without
+    * writing. Requires one row per key per batch (two same-key rows
+    * in one batch would both survive — refused loudly). An EMPTY
+    * batch commits a tag-only version (the replay marker must
+    * persist).
+    */
+  def upsertBatch(
+      spark: SparkSession, path: String, df: DataFrame,
+      keyCols: Seq[String], tag: String): Long =
+    tags(spark, path).get(tag) match {
+      case Some(v) => v
+      case None =>
+        withLock(spark, path, "upsertBatch") {
+          tags(spark, path).get(tag) match {
+            case Some(v) => v
+            case None =>
+              val v = latestVersion(spark, path)
+              val cur = readManifestFull(spark, path, v)
+              require(keyCols.nonEmpty, "TableLog.upsertBatch: no key columns")
+              require(keyCols.forall(df.columns.contains),
+                s"TableLog.upsertBatch: batch is missing key columns " +
+                  s"${keyCols.filterNot(df.columns.contains).mkString(", ")}")
+              val base = cur.schema.orElse(
+                Some(readFiles(spark, path, cur, cur.files).schema))
+              val merged = mergedSchema(base, df.schema)
+              val src = df.localCheckpoint(true)
+              val nRows = src.count()
+              if (nRows == 0L)
+                commitFull(spark, path, v + 1, cur.copy(tag = Some(tag)))
+              else {
+                require(src.select(keyCols.map(col): _*).distinct()
+                  .count() == nRows,
+                  "TableLog.upsertBatch: duplicate keys within the batch — " +
+                    "an upsert takes one row per key per batch")
+                val (entry, born) = eqDeleteCore(spark, path, v, cur,
+                  src.select(keyCols.map(col): _*), "upsertBatch").get
+                val (names, stats, parts) =
+                  if (cur.partCols.nonEmpty)
+                    writeDataFilesPartitioned(spark, path, src, cur.partCols)
+                  else {
+                    val (ns, st) = writeDataFiles(spark, path, src)
+                    (ns, st, Map.empty[String, Seq[String]])
+                  }
+                val nv = commitFull(spark, path, v + 1, cur.copy(
+                  tag = Some(tag),
+                  files = cur.files ++ names,
+                  stats = cur.stats ++ stats,
+                  schema = Some(merged),
+                  parts = cur.parts ++ parts,
+                  eqd = cur.eqd :+ entry,
+                  eqBorn = born))
+                maybeWriteChanges(spark, path, v, nv)
+                nv
+              }
+          }
+        }
+    }
+
   /** UPDATE ... SET ... WHERE as a committed version: only files
     * actually CONTAINING matched rows rewrite (whole-file
     * copy-on-write — Delta's UPDATE shape); every other file carries
@@ -2427,7 +2788,9 @@ object TableLog {
           stats = cur.stats.filterNot { case (k, _) =>
             touchedNames.contains(k) } ++ newStats,
           parts = (cur.parts -- touchedNames) ++ newParts,
-          dvs = cur.dvs -- touchedNames))
+          dvs = cur.dvs -- touchedNames,
+          eqd = eqAfterDrop(cur, touchedNames)._1,
+          eqBorn = eqAfterDrop(cur, touchedNames)._2))
         maybeWriteChanges(spark, path, v, nv)
         nv
       }
@@ -2467,7 +2830,9 @@ object TableLog {
           tag = None,
           files = m.files.filterNot(dropped.contains),
           stats = m.stats.filterNot { case (k, _) => dropped.contains(k) },
-          parts = m.parts -- dropped, dvs = m.dvs -- dropped))
+          parts = m.parts -- dropped, dvs = m.dvs -- dropped,
+          eqd = eqAfterDrop(m, dropped)._1,
+          eqBorn = eqAfterDrop(m, dropped)._2))
         // removed-only diff: reads exactly the dropped files
         maybeWriteChanges(spark, path, v, nv)
         nv
@@ -2580,7 +2945,9 @@ object TableLog {
         stats = cur.stats.filterNot { case (k, _) =>
           touchedNames.contains(k) } ++ newStats,
         parts = (cur.parts -- touchedNames) ++ newParts,
-        dvs = cur.dvs -- touchedNames))
+        dvs = cur.dvs -- touchedNames,
+        eqd = eqAfterDrop(cur, touchedNames)._1,
+        eqBorn = eqAfterDrop(cur, touchedNames)._2))
       maybeWriteChanges(spark, path, v, nv)
       nv
     }
@@ -2737,7 +3104,9 @@ object TableLog {
           touchedNames.contains(k) } ++ survStats ++ srcStats,
         schema = Some(merged),
         parts = (cur.parts -- touchedNames) ++ survParts ++ srcParts,
-        dvs = cur.dvs -- touchedNames))
+        dvs = cur.dvs -- touchedNames,
+        eqd = eqAfterDrop(cur, touchedNames)._1,
+        eqBorn = eqAfterDrop(cur, touchedNames)._2))
       maybeWriteChanges(spark, path, v, nv)
       nv
     }
@@ -3118,7 +3487,9 @@ object TableLog {
             stats = cur.stats.filterNot { case (k, _) =>
               touchedNames.contains(k) } ++ newStats,
             parts = (cur.parts -- touchedNames) ++ newParts,
-            dvs = cur.dvs -- touchedNames))
+            dvs = cur.dvs -- touchedNames,
+            eqd = eqAfterDrop(cur, touchedNames)._1,
+            eqBorn = eqAfterDrop(cur, touchedNames)._2))
           maybeWriteChanges(spark, path, v, nv)
           nv
       }
@@ -3313,7 +3684,9 @@ object TableLog {
         stats = cur.stats.filterNot { case (k, _) =>
           dropped.contains(k) } ++ stats,
         schema = Some(merged),
-        parts = (cur.parts -- dropped) ++ parts, dvs = cur.dvs -- dropped))
+        parts = (cur.parts -- dropped) ++ parts, dvs = cur.dvs -- dropped,
+        eqd = eqAfterDrop(cur, dropped)._1,
+        eqBorn = eqAfterDrop(cur, dropped)._2))
       maybeWriteChanges(spark, path, v, nv)
       nv
     }
@@ -3808,16 +4181,41 @@ object TableLog {
     checkNotVacuumed(spark, path, toV)
     val a = readManifestFull(spark, path, fromV)
     val b = readManifestFull(spark, path, toV)
-    // identity is (name, deletion-vector set): a file whose BYTES are
-    // shared but whose visible rows changed (a DV-only delete commit,
-    // or a restore reverting one) cancels only when the vectors match;
-    // its newly-dead positions read back as 'removed' (newly-live as
-    // 'added') WITHOUT paying an exceptAll — IO stays proportional to
-    // the changed positions' files
+    // identity is (name, deletion-vector set, applicable eq-delete
+    // set): a file whose BYTES are shared but whose visible rows
+    // changed (a DV or equality-delete commit, or a restore reverting
+    // one) cancels only when BOTH visibility components match. DV-only
+    // changes read back their newly-dead positions as 'removed'
+    // (newly-live as 'added') WITHOUT paying an exceptAll; eq-state
+    // changes pay a two-sided positional visibility compare over the
+    // changed files, pruned to files whose key-column stats overlap a
+    // DELTA sidecar's key bounds — IO stays proportional to the files
+    // a delete could actually have touched
     val sharedNames = a.files.toSet intersect b.files.toSet
     val shared = sharedNames.filter(n =>
-      a.dvs.getOrElse(n, Nil).toSet == b.dvs.getOrElse(n, Nil).toSet)
-    val dvChanged = (sharedNames -- shared).toSeq.sorted
+      a.dvs.getOrElse(n, Nil).toSet == b.dvs.getOrElse(n, Nil).toSet &&
+        eqDirsFor(a, n) == eqDirsFor(b, n))
+    val visChanged = sharedNames -- shared
+    val eqChangedAll = visChanged.filter(n =>
+      eqDirsFor(a, n) != eqDirsFor(b, n))
+    val dvChanged = (visChanged -- eqChangedAll).toSeq.sorted
+    val eqByDir = (a.eqd ++ b.eqd).map(e => e.dir -> e).toMap
+    def mayTouch(m: Manifest, n: String, e: EqDelete): Boolean =
+      e.keyCols.forall { c =>
+        (m.stats.get(n).flatMap(_.get(c)), e.bounds.get(c)) match {
+          case (Some(fb), Some(db)) => db.kind match {
+            case "l" => overlaps(fb, db.min.toLong, db.max.toLong)
+            case _ => overlaps(fb, db.min, db.max)
+          }
+          case _ => true
+        }
+      }
+    val eqChanged = eqChangedAll.filter { n =>
+      val da = eqDirsFor(a, n)
+      val db = eqDirsFor(b, n)
+      ((da diff db) ++ (db diff da))
+        .exists(d => eqByDir.get(d).forall(e => mayTouch(b, n, e)))
+    }.toSeq.sorted
     val onlyA = a.files.filterNot(sharedNames)
     val onlyB = b.files.filterNot(sharedNames)
     // by-name union: same-name columns keep one type within a log
@@ -3876,8 +4274,35 @@ object TableLog {
         val added = at(fromPos.exceptAll(toPos), "added")
         Some(removed.unionByName(added))
       }
-    def withDv(df: DataFrame): DataFrame =
-      dvDelta.map(df.unionByName(_, allowMissingColumns = true)).getOrElse(df)
+    // rows whose visibility flipped under a changed EQUALITY-DELETE
+    // state: both sides' full visibility rules (dv + eq) evaluate
+    // over the changed files and a positional anti-join isolates the
+    // flips — general (covers mixed dv+eq changes), bounded by the
+    // pruned file set
+    val eqDelta: Option[DataFrame] =
+      if (eqChanged.isEmpty) None
+      else {
+        def vis(m: Manifest): DataFrame =
+          readFilesDvMeta(spark, path, m, eqChanged)
+            .withColumn("_tl_dn", relNameCol(col("_tl_file")))
+        val fromVis = vis(mA)
+        val toVis = vis(mB)
+        def flips(x: DataFrame, y: DataFrame, change: String): DataFrame =
+          x.join(y.select(col("_tl_dn").as("_tl_dn2"),
+            col("_tl_pos").as("_tl_pos2")),
+            col("_tl_dn") === col("_tl_dn2") &&
+              col("_tl_pos") === col("_tl_pos2"),
+            "left_anti")
+            .drop("_tl_dn", "_tl_file", "_tl_pos")
+            .withColumn("change", lit(change))
+        Some(flips(fromVis, toVis, "removed")
+          .unionByName(flips(toVis, fromVis, "added")))
+      }
+    def withDv(df: DataFrame): DataFrame = {
+      val d1 = dvDelta.map(df.unionByName(_, allowMissingColumns = true))
+        .getOrElse(df)
+      eqDelta.map(d1.unionByName(_, allowMissingColumns = true)).getOrElse(d1)
+    }
     // one-sided fast paths: a pure APPEND's diff is exactly the new
     // files read with change='added' — no exceptAll, zero exchanges
     // (the dominant commit kind on a streaming-sink table); a pure
@@ -4083,7 +4508,8 @@ object TableLog {
         val prev = ms(v - 1)
         val cur = ms(v)
         prev.files.forall(cur.files.toSet.contains) &&
-          prev.dvs.filter(_._2.nonEmpty) == cur.dvs.filter(_._2.nonEmpty)
+          prev.dvs.filter(_._2.nonEmpty) == cur.dvs.filter(_._2.nonEmpty) &&
+          prev.eqd == cur.eqd
       }
       if (pureAppendRun && run.size > 1) {
         // one scan of every file added across the run, stamped by a
@@ -4207,6 +4633,7 @@ object TableLog {
       val referenced = keptManifests.flatMap(_.files).toSet ++ intentPinned
       val referencedDvDirs =
         keptManifests.flatMap(_.dvs.valuesIterator.flatten).toSet
+      val referencedEqDirs = keptManifests.flatMap(_.eqd.map(_.dir)).toSet
       // 0. checkpoint the full log state BEFORE dropping manifests: a
       // replayed batch whose version was vacuumed must still be
       // recognized as committed (exactly-once survives retention),
@@ -4260,6 +4687,16 @@ object TableLog {
           val doomedDv =
             (!referencedDvDirs.contains(n)) && s.getModificationTime < horizon
           if (doomedDv) f.delete(s.getPath, true)
+        }
+      }
+      // equality-delete sidecars sweep under the same rule (LIVE
+      // entries only count — a pruned-but-retained manifest's dead
+      // list entries are not rendered, so `eqd` here is the live set)
+      if (f.exists(eqDir(path))) {
+        f.listStatus(eqDir(path)).foreach { s =>
+          val n = s.getPath.getName
+          if (!referencedEqDirs.contains(n) && s.getModificationTime < horizon)
+            f.delete(s.getPath, true)
         }
       }
       // materialized CDC retention: change dirs of vacuumed versions

@@ -521,6 +521,52 @@ object PipelineQueries {
     }),
 
 
+    // equality deletes + streaming upsert (round-16): Iceberg's
+    // equality-delete sidecar shape — a key delete commits ONE key
+    // list with zero data files read or written (no discovery scan at
+    // all), and each upsert epoch = delete batch keys from
+    // pre-existing files + append the batch (the born-seq rule makes
+    // the same commit's appends survive). Two stacked epochs pin
+    // last-wins-by-key. Result-transparent: the oracle replays the
+    // key algebra over the base table
+    "q234_eq_upsert" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tleq-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.TableLog.create(s, path,
+        docs.repartitionByRange(6, col("doc_id"))
+          .sortWithinPartitions("doc_id"))
+      // GDPR by key: one sidecar, zero data IO
+      graft.operators.TableLog.deleteByKey(s, path,
+        docs.where(col("doc_id") % 97L === 0L).select(col("doc_id")))
+      // upsert epoch 0: periodic replacements + brand-new rows
+      graft.operators.TableLog.upsertBatch(s, path,
+        docs.where(col("doc_id") % 40L === 0L)
+          .select(col("doc_id"), lit("u0").as("lang"),
+            (col("n_chars") + 7L).as("n_chars"))
+          .unionByName(docs.where(col("doc_id") < 15L)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              lit("new0").as("lang"), col("n_chars"))),
+        Seq("doc_id"), "epoch-0")
+      // upsert epoch 1: overlaps epoch 0 — last write wins per key
+      graft.operators.TableLog.upsertBatch(s, path,
+        docs.where(col("doc_id") % 80L === 0L)
+          .select(col("doc_id"), lit("u1").as("lang"),
+            (col("n_chars") + 11L).as("n_chars"))
+          .unionByName(docs.where(col("doc_id") < 5L)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              lit("u1n").as("lang"), lit(0L).as("n_chars"))),
+        Seq("doc_id"), "epoch-1")
+      graft.operators.TableLog.read(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+    }),
+
+
     // deletion vectors (round-15): the point-delete-heavy GDPR
     // workload merge-on-read was built for — three point deletes and a
     // sparse band delete land as (file, position) sidecars (ZERO data
@@ -2998,6 +3044,34 @@ object PipelineQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id
         |FROM t2 GROUP BY lang""".stripMargin,
+
+    // q234: the key algebra replayed — the %97 delete, then each
+    // upsert epoch removes its key set and appends its rows
+    "q234_eq_upsert" ->
+      """WITH e0 AS (
+        |  SELECT doc_id, 'u0' AS lang, n_chars + 7 AS n_chars
+        |  FROM documents WHERE doc_id % 40 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new0', n_chars FROM documents
+        |  WHERE doc_id < 15),
+        |e1 AS (
+        |  SELECT doc_id, 'u1' AS lang, n_chars + 11 AS n_chars
+        |  FROM documents WHERE doc_id % 80 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'u1n', 0 FROM documents
+        |  WHERE doc_id < 5),
+        |s1 AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 97 <> 0 AND doc_id % 40 <> 0
+        |  UNION ALL SELECT doc_id, lang, n_chars FROM e0),
+        |s2 AS (
+        |  SELECT doc_id, lang, n_chars FROM s1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM e1)
+        |  UNION ALL SELECT doc_id, lang, n_chars FROM e1)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id
+        |FROM s2 GROUP BY lang""".stripMargin,
 
     // q229: the DV delete predicates and the fold-triggering update
     // replayed over the base table (deletes apply before the update,

@@ -480,10 +480,11 @@ private[sql] class TableLogScanBuilder(
       st.contains(TableLog.RowsKey) && st.contains(TableLog.nullsKey(c))))
 
   private def canPushAgg(a: Aggregation): Boolean = {
-    // live deletion vectors make per-file counts/bounds describe
-    // PHYSICAL rows, some of which are dead: never serve aggregates
-    // from the manifest then (the DV-compensated scan answers instead)
-    if (snap.hasDvs) return false
+    // live deletion vectors / equality deletes make per-file
+    // counts/bounds describe PHYSICAL rows, some of which are dead:
+    // never serve aggregates from the manifest then (the compensated
+    // scan answers instead)
+    if (snap.hasDvs || snap.hasEqDeletes) return false
     val groupsOk = a.groupByExpressions.forall(e =>
       aggColName(e).exists(trustedPartCol)) &&
       (a.groupByExpressions.isEmpty || partRecordsComplete)
@@ -506,9 +507,12 @@ private[sql] class TableLogScanBuilder(
   private var limit: Option[Int] = None
 
   override def pushLimit(l: Int): Boolean =
-    // dv'd files' manifest counts overstate visible rows, so a file
-    // prefix covering the limit could come up short — don't push
-    if (countServable && !snap.hasDvs) { limit = Some(l); true } else false
+    // merge-on-read-deleted files' manifest counts overstate visible
+    // rows, so a file prefix covering the limit could come up short —
+    // don't push
+    if (countServable && !snap.hasDvs && !snap.hasEqDeletes) {
+      limit = Some(l); true
+    } else false
 
   override def isPartiallyPushed(): Boolean = true
 
@@ -649,18 +653,20 @@ private[sql] class TableLogScanBuilder(
     if (pushedAgg.isDefined) buildAggScan(kept, pushedAgg.get)
     else {
       val dvKept = kept.filter(n => snap.dvs.get(n).exists(_.nonEmpty))
+      val eqKept = kept.filter(n => snap.eqFor(n).nonEmpty)
       val inner: Scan =
         if (kept.isEmpty) new TableLogEmptyScan(required.getOrElse(snap.schema))
-        else if (dvKept.isEmpty)
+        else if (dvKept.isEmpty && eqKept.isEmpty)
           TableLogParquet.build(spark, path, snap, kept, required,
             filters.toSeq.flatMap(toCatalyst))
         else
-          // deletion vectors live in the kept set: the scan ITSELF
-          // compensates (dead positions filtered inside the batch
-          // readers) — correctness holds for every plan shape, with
-          // or without the optimizer rewrite rule
-          TableLogDvScan.build(spark, path, snap, kept, dvKept, required,
-            filters.toSeq.flatMap(toCatalyst))
+          // deletion vectors / equality deletes live in the kept set:
+          // the scan ITSELF compensates (dead positions and matched
+          // key tuples filtered inside the batch readers) —
+          // correctness holds for every plan shape, with or without
+          // the optimizer rewrite rule
+          TableLogDvScan.build(spark, path, snap, kept, dvKept, eqKept,
+            required, filters.toSeq.flatMap(toCatalyst))
       new TableLogScan(path, snap, inner, scanOptions)
     }
   }
@@ -992,14 +998,18 @@ private[sql] final class TableLogMicroBatchStream(
   private def filesAt(v: Long): Seq[String] =
     if (v <= 0L) Nil else TableLog.files(spark, path, Some(v))
 
-  /** Live deletion vectors at version `v` — a DV delete changes
-    * VISIBLE rows without touching the file list, so append-only
-    * detection must compare these alongside the file sets.
+  /** Live deletion vectors + equality-delete sidecars at version `v`
+    * — either kind of merge-on-read delete changes VISIBLE rows
+    * without touching the file list, so append-only detection must
+    * compare these alongside the file sets.
     */
-  private def dvsAt(v: Long): Map[String, Set[String]] =
-    if (v <= 0L) Map.empty
-    else TableLog.snapshot(spark, path, Some(v)).dvs
-      .collect { case (n, ds) if ds.nonEmpty => n -> ds.toSet }
+  private def dvsAt(v: Long): (Map[String, Set[String]], Seq[String]) =
+    if (v <= 0L) (Map.empty, Nil)
+    else {
+      val s = TableLog.snapshot(spark, path, Some(v))
+      (s.dvs.collect { case (n, ds) if ds.nonEmpty => n -> ds.toSet },
+        s.eqd.map(_.dir))
+    }
 
   override def planInputPartitions(
       start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
@@ -1017,8 +1027,8 @@ private[sql] final class TableLogMicroBatchStream(
         if (removed.nonEmpty || dvsAt(lo) != dvsAt(hi))
           throw new IllegalStateException(
             s"tablelog streaming read: versions ($lo, $hi] of $path rewrote, " +
-              "removed, or deletion-vector-deleted rows " +
-              "(delete/optimize/restore) — the table " +
+              "removed, or merge-on-read-deleted rows (deletion vectors / " +
+              "equality deletes; delete/optimize/restore) — the table " +
               "stream serves APPENDS. Use the change feed " +
               "(format graft.streaming.TableLogChangeFeed) for row-level " +
               "changes, or skipChangeCommits=true to skip change commits")

@@ -41,7 +41,8 @@ import graft.operators.TableLog
   */
 object TableLogDvReadRewrite extends Rule[LogicalPlan] {
 
-  private def hasLiveDvs(t: TableLogTable): Boolean = t.snap.hasDvs
+  private def hasLiveDvs(t: TableLogTable): Boolean =
+    t.snap.hasDvs || t.snap.hasEqDeletes
 
   private def isDvRel(p: LogicalPlan): Boolean = p match {
     case r: DataSourceV2Relation => r.table match {

@@ -74,31 +74,64 @@ private[sql] object TableLogDvScan {
     abs.substring(i + "/data/".length)
   }
 
-  /** Build the compensated scan over `kept` (⊇ `dvKept`, the files
-    * carrying live vectors). Both sub-scans share the pushed filters
-    * and pruned columns, so pushdown semantics match the plain path.
+  /** One equality-delete sidecar as the executor sees it: the
+    * ABSOLUTE dir of key tuples plus each key column's name and
+    * (serializable) Spark type — enough to load the key set and
+    * extract comparable tuples from data rows without a
+    * SparkSession.
+    */
+  final case class EqSpec(
+      dir: String,
+      keys: Seq[(String, org.apache.spark.sql.types.DataType)])
+
+  /** Build the compensated scan over `kept` (⊇ `dvKept` ∪ `eqKept`,
+    * the files carrying live deletion vectors / applicable equality
+    * deletes). All sub-scans share the pushed filters and pruned
+    * columns, so pushdown semantics match the plain path; equality
+    * key columns missing from the pruned schema are FORCED into the
+    * special scan's read schema (the reader needs them to evaluate
+    * key membership) and projected away before rows leave.
     */
   def build(
       spark: SparkSession, path: String, snap: TableLog.Snapshot,
-      kept: Seq[String], dvKept: Seq[String],
+      kept: Seq[String], dvKept: Seq[String], eqKept: Seq[String],
       required: Option[StructType],
       catalystFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Scan = {
-    val dvSet = dvKept.toSet
-    val clean = kept.filterNot(dvSet)
+    val specialFiles = (dvKept ++ eqKept).distinct
+    val specialSet = specialFiles.toSet
+    val clean = kept.filterNot(specialSet)
     val cleanScan =
       if (clean.isEmpty) None
       else Some(TableLogParquet.build(spark, path, snap, clean, required,
         catalystFilters))
-    val dvScan = TableLogParquet.build(spark, path, snap, dvKept, required,
-      catalystFilters, rowIndex = true)
+    val eqKeyCols: Seq[String] =
+      eqKept.flatMap(n => snap.eqFor(n).flatMap(_.keyCols)).distinct
+    val requiredPlus: Option[StructType] = required.map { r =>
+      val missing = eqKeyCols.filterNot(r.fieldNames.contains)
+      if (missing.isEmpty) r
+      else StructType(r.fields ++ missing.map(c =>
+        snap.schema.fields.find(_.name == c).get))
+    }
+    val dvScan = TableLogParquet.build(spark, path, snap, specialFiles,
+      requiredPlus, catalystFilters, rowIndex = true)
     val dvRowSchema = dvScan.readSchema()
-    val output = StructType(dvRowSchema.fields.filterNot(_.name == RowIndexCol))
+    val keepNames: String => Boolean = required match {
+      case Some(r) => val s = r.fieldNames.toSet; n => s.contains(n)
+      case None => _ != RowIndexCol
+    }
+    val output = StructType(dvRowSchema.fields.filter(f =>
+      f.name != RowIndexCol && keepNames(f.name)))
     val dirsByRel: Map[String, Seq[String]] =
-      dvKept.map(n => n -> snap.dvs.getOrElse(n, Nil)
+      specialFiles.map(n => n -> snap.dvs.getOrElse(n, Nil)
         .map(d => TableLog.dvPath(path, d))).toMap
+    val eqByRel: Map[String, Seq[EqSpec]] =
+      specialFiles.map(n => n -> snap.eqFor(n).map(e =>
+        EqSpec(TableLog.eqPath(path, e.dir),
+          e.keyCols.map(c => c ->
+            snap.schema.fields.find(_.name == c).get.dataType)))).toMap
     new TableLogDvCompensatedScan(cleanScan, dvScan, output, dvRowSchema,
-      dirsByRel,
+      dirsByRel, eqByRel,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
   }
 
@@ -109,14 +142,52 @@ private[sql] object TableLogDvScan {
       inner.preferredLocations()
   }
 
-  /** One DV'd-file partition: exactly one file's split(s), its
-    * relative name, and the ABSOLUTE sidecar dirs that apply to it.
+  /** One compensated-file partition: exactly one file's split(s), its
+    * relative name, the ABSOLUTE deletion-vector sidecar dirs, and
+    * the equality-delete specs that apply to it.
     */
   final case class DvPartition(
-      inner: FilePartition, rel: String, dvDirs: Seq[String])
+      inner: FilePartition, rel: String, dvDirs: Seq[String],
+      eqSpecs: Seq[EqSpec])
     extends InputPartition {
     override def preferredLocations(): Array[String] =
       inner.preferredLocations()
+  }
+
+  /** The key tuples of one equality-delete sidecar, loaded with the
+    * bare parquet-hadoop reader (executors have no SparkSession) and
+    * normalized to Long (integral) / String — the same normalization
+    * [[rowKey]] applies to data rows, so set membership is exact.
+    */
+  def loadKeySet(
+      conf: Configuration, spec: EqSpec): java.util.HashSet[List[Any]] = {
+    val set = new java.util.HashSet[List[Any]]()
+    val dp = new Path(spec.dir)
+    val fsys = dp.getFileSystem(conf)
+    fsys.listStatus(dp).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+        val rdr = ParquetReader.builder(new GroupReadSupport(), st.getPath)
+          .withConf(conf).build()
+        try {
+          var g = rdr.read()
+          while (g != null) {
+            val tuple = spec.keys.map { case (name, dt) =>
+              dt match {
+                case org.apache.spark.sql.types.LongType =>
+                  g.getLong(name, 0): Any
+                case org.apache.spark.sql.types.StringType =>
+                  g.getString(name, 0): Any
+                case _ => g.getInteger(name, 0).toLong: Any
+              }
+            }.toList
+            set.add(tuple)
+            g = rdr.read()
+          }
+        } finally rdr.close()
+      }
+    }
+    set
   }
 
   /** The dead positions of file `rel`: scan every sidecar dir with
@@ -163,13 +234,15 @@ private[sql] object TableLogDvScan {
 private[sql] final class TableLogDvCompensatedScan(
     cleanScan: Option[Scan], dvScan: Scan, output: StructType,
     dvRowSchema: StructType, dirsByRel: Map[String, Seq[String]],
+    eqByRel: Map[String, Seq[TableLogDvScan.EqSpec]],
     hconf: SerializableConfiguration)
   extends Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = output
 
   override def description(): String =
-    s"TableLogDvScan(dvFiles=${dirsByRel.size}, " +
+    s"TableLogDvScan(compensatedFiles=${dirsByRel.size}, " +
+      s"eqFiles=${eqByRel.count(_._2.nonEmpty)}, " +
       s"cleanScan=${cleanScan.isDefined})"
 
   /** Physical-size statistics still add up (join planning sees the
@@ -210,7 +283,8 @@ private[sql] final class TableLogDvCompensatedScan(
         }.zipWithIndex.map { case (pf, i) =>
           val rel = TableLogDvScan.relName(pf.filePath.toPath.toString)
           TableLogDvScan.DvPartition(FilePartition(i, Array(pf)), rel,
-            dirsByRel.getOrElse(rel, Nil)): InputPartition
+            dirsByRel.getOrElse(rel, Nil),
+            eqByRel.getOrElse(rel, Nil)): InputPartition
         }.toArray
       cleanParts ++ dvParts
     }
@@ -237,11 +311,39 @@ private[sql] final class TableLogDvReaderFactory(
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case TableLogDvScan.CleanPartition(inner) => cleanF.get.createReader(inner)
-      case TableLogDvScan.DvPartition(inner, rel, dirs) =>
+      case TableLogDvScan.DvPartition(inner, rel, dirs, eqSpecs) =>
         val base = dvF.createReader(inner)
         val dead =
-          TableLogDvScan.loadDeadPositions(hconf.value, dirs, rel)
+          if (dirs.isEmpty) Array.emptyLongArray
+          else TableLogDvScan.loadDeadPositions(hconf.value, dirs, rel)
         val idx = dvRowSchema.fieldIndex(TableLogDvScan.RowIndexCol)
+        // equality-delete key sets + per-key (row index, type)
+        // extractors, loaded once per partition executor-side
+        val eqSets = eqSpecs.map { spec =>
+          (TableLogDvScan.loadKeySet(hconf.value, spec),
+            spec.keys.map { case (n, dt) =>
+              (dvRowSchema.fieldIndex(n), dt)
+            })
+        }
+        def eqAlive(r: InternalRow): Boolean = eqSets.forall {
+          case (set, extract) =>
+            var nullKey = false
+            val tuple = extract.map { case (i, dt) =>
+              if (r.isNullAt(i)) { nullKey = true; null }
+              else dt match {
+                case org.apache.spark.sql.types.LongType => r.getLong(i): Any
+                case org.apache.spark.sql.types.StringType =>
+                  r.getUTF8String(i).toString: Any
+                case org.apache.spark.sql.types.IntegerType =>
+                  r.getInt(i).toLong: Any
+                case org.apache.spark.sql.types.ShortType =>
+                  r.getShort(i).toLong: Any
+                case _ => r.getByte(i).toLong: Any
+              }
+            }.toList
+            // NULL keys never match (delete keys are non-null)
+            nullKey || !set.contains(tuple)
+        }
         val proj = UnsafeProjection.create(
           output.fields.map(f => BoundReference(
             dvRowSchema.fieldIndex(f.name), f.dataType,
@@ -251,7 +353,9 @@ private[sql] final class TableLogDvReaderFactory(
           override def next(): Boolean = {
             while (base.next()) {
               val r = base.get()
-              if (java.util.Arrays.binarySearch(dead, r.getLong(idx)) < 0) {
+              if ((dead.length == 0 ||
+                java.util.Arrays.binarySearch(dead, r.getLong(idx)) < 0) &&
+                (eqSets.isEmpty || eqAlive(r))) {
                 current = proj(r)
                 return true
               }

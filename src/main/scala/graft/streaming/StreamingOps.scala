@@ -771,6 +771,31 @@ object StreamingOps {
     }
   }
 
+  /** Exactly-once streaming UPSERT into a [[graft.operators.TableLog]]
+    * table — the Iceberg streaming-upsert shape over equality-delete
+    * sidecars: each micro-batch commits as ONE atomic version that
+    * key-deletes the batch's key tuples from every pre-existing file
+    * and appends the batch's rows as new files
+    * ([[graft.operators.TableLog.upsertBatch]]). Per-epoch write cost
+    * is O(batch) — one key-list sidecar + the batch's files — never a
+    * read or rewrite of existing data (a merge per epoch pays a
+    * discovery scan even merge-on-read; copy-on-write pays file
+    * rewrites). Replayed batches are recognized by their
+    * `batch-<id>` tag and skipped entirely. Readers see whole
+    * versions with the keys anti-joined out; [[graft.operators
+    * .TableLog.compact]]/optimize folds the deletes into rewritten
+    * bytes at maintenance time. Requires one row per key per batch
+    * (dedupe upstream — e.g. `dropDuplicates` within the batch).
+    */
+  def tableLogUpsertSink(rows: DataFrame, path: String, keyCols: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.TableLog.upsertBatch(
+          batch.sparkSession, path, batch.toDF(), keyCols, s"batch-$batchId")
+        ()
+    }
+
   /** Streaming filter-funnel — q174's gate accounting over a live
     * ingest. Gate flags and the first-fail/fail-count derivations are
     * row-local projections, so the whole report is ONE streaming
