@@ -2511,7 +2511,7 @@ object TableLog {
     * (Long / String) from both the parquet Group API and an
     * InternalRow.
     */
-  private def supportedEqType(
+  private[graft] def supportedEqType(
       dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.StringType |
       org.apache.spark.sql.types.LongType |

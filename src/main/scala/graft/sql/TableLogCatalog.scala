@@ -279,13 +279,49 @@ private[graft] class TableLogTable(
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(!timeTraveled,
       s"TableLogCatalog: cannot DELETE from time-traveled version ${snap.version}")
+    val spark = SparkSession.active
+    // KEY-shaped deletes route to equality-delete sidecars under the
+    // conf: `DELETE FROM t WHERE k IN (...)` / `WHERE k = v` commits
+    // one key-list sidecar — zero data files read or written, no
+    // discovery scan (cheaper than even the positional DV route).
+    // The analyzer's companion IsNotNull(k) is implied by key
+    // equality and is dropped; every other shape falls through to the
+    // predicate paths below.
+    if (spark.conf.get("spark.graft.tablelog.equalityDeletes", "false")
+      .toBoolean) {
+      def keyField(c: String) = snap.schema.fields.find(f =>
+        f.name == c && TableLog.supportedEqType(f.dataType))
+      def route(c: String, vs: Array[Any]): Boolean = keyField(c) match {
+        case Some(fld) if vs.nonEmpty && !vs.contains(null) =>
+          val df = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              java.util.Arrays.asList(
+                vs.map(v => org.apache.spark.sql.Row(v)): _*)),
+            org.apache.spark.sql.types.StructType(Seq(fld.copy(
+              nullable = false))))
+          TableLog.deleteByKey(spark, path, df)
+          true
+        case _ => false
+      }
+      val rest = filters.filterNot(_.isInstanceOf[sources.IsNotNull])
+      val restNames = rest.flatMap(_.references).distinct
+      val notNullsOk = filters.collect {
+        case sources.IsNotNull(c) => c
+      }.forall(c => restNames.contains(c))
+      val routed = notNullsOk && (rest match {
+        case Array(sources.In(c, vs)) => route(c, vs)
+        case Array(sources.EqualTo(c, v)) if v != null => route(c, Array(v))
+        case _ => false
+      })
+      if (routed) return
+    }
     val cols = filters.map(f => TableLogSql.filterColumn(f).getOrElse(
       throw new UnsupportedOperationException(
         s"TableLogCatalog: cannot translate DELETE predicate $f")))
     val pred = cols.reduceOption(_ && _)
       .getOrElse(throw new UnsupportedOperationException(
         "TableLogCatalog: unconditional DELETE — drop the table instead"))
-    TableLog.deleteWhere(SparkSession.active, path, pred)
+    TableLog.deleteWhere(spark, path, pred)
   }
 
   /** INSERT INTO appends; INSERT OVERWRITE replaces — wholesale under

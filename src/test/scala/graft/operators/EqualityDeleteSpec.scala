@@ -319,6 +319,31 @@ class EqualityDeleteSpec extends GraftSparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("APPENDS")))
   }
 
+  test("SQL DELETE routes key shapes to equality sidecars under the conf") {
+    graft.sql.TableLogSql.register(spark)
+    val path = freshPath("graft-spec-eq-sqlroute")
+    TableLog.create(spark, path,
+      (0L until 800L).map(i => (i, s"p$i")).toDF("id", "p")
+        .repartitionByRange(2, $"id"))
+    spark.conf.set("spark.graft.tablelog.equalityDeletes", "true")
+    try {
+      val before = dataFiles(path)
+      spark.sql(s"DELETE FROM tablelog.`$path` WHERE id IN (5, 300, 799)")
+      spark.sql(s"DELETE FROM tablelog.`$path` WHERE id = 6")
+      assert(dataFiles(path) === before,
+        "key-shaped SQL DELETEs must not read or touch data files")
+      assert(eqDirs(path).size === 2)
+      assert(TableLog.snapshot(spark, path).hasEqDeletes)
+      assert(spark.sql(s"SELECT count(*) AS n FROM tablelog.`$path`")
+        .as[Long].head() === 796L)
+      // a non-key shape (band) falls through to the predicate path
+      spark.sql(s"DELETE FROM tablelog.`$path` WHERE id < 3")
+      assert(spark.sql(s"SELECT count(*) AS n FROM tablelog.`$path`")
+        .as[Long].head() === 793L)
+      assert(eqDirs(path).size === 2, "a band delete is not an eq delete")
+    } finally spark.conf.unset("spark.graft.tablelog.equalityDeletes")
+  }
+
   test("vacuum sweeps folded eq sidecars, keeps live ones") {
     val path = freshPath("graft-spec-eq-vacuum")
     TableLog.create(spark, path,
