@@ -1914,6 +1914,13 @@ object TableLog {
   def eqPath(path: String, dir: String): String =
     new Path(eqDir(path), dir).toString
 
+  /** Absolute path of version `v`'s materialized change dir (exists
+    * only when `spark.graft.tablelog.writeChangeFiles` was on at commit
+    * time) — what the SQL `$changes` streaming source plans from.
+    */
+  def changesPath(path: String, v: Long): String =
+    changePath(path, v).toString
+
   /** Manifest-level file pruning: names of version `v`'s files whose
     * recorded [min,max] for `colName` overlaps [lower, upper] — plus
     * every file with no recorded bound for the column (conservative).

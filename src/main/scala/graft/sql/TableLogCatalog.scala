@@ -128,7 +128,8 @@ class TableLogCatalog extends TableCatalog with SupportsNamespaces
     * JOIN-able SQL relations, answered from manifests/checkpoints
     * with zero data IO. `$files`/`$partitions` honor VERSION AS OF.
     */
-  private val MetaSuffixes = Set("files", "partitions", "history", "tags")
+  private val MetaSuffixes =
+    Set("files", "partitions", "history", "tags", "changes")
 
   private def splitMeta(ident: Identifier): Option[(String, String)] = {
     val raw = tablePath(ident)
@@ -143,6 +144,11 @@ class TableLogCatalog extends TableCatalog with SupportsNamespaces
   private def load(ident: Identifier, version: Option[Long],
       timeTraveled: Boolean): Table = {
     splitMeta(ident) match {
+      case Some((p, "changes")) =>
+        require(version.isEmpty,
+          "TableLogCatalog: $changes does not time-travel — pick the " +
+            "range with the fromVersion option")
+        new TableLogChangesTable(p)
       case Some((p, suffix)) =>
         TableLogMetaTable(spark, p, suffix, version)
       case None =>
