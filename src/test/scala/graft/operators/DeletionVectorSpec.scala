@@ -440,6 +440,38 @@ class DeletionVectorSpec extends GraftSparkSpec {
       "both modes converge to the same table")
   }
 
+  test("sidecar cost instrumentation: 1M dead positions stay broadcast-sized") {
+    // The bitmap question (RoaringBitmap-shaped sidecars), decided by
+    // measurement: parquet (file, pos) sidecars delta-encode sorted
+    // positions, so the marginal cost per dead position must stay in
+    // single-digit BYTES. At that rate a 10M-position vector is still
+    // inside the 32 MB broadcast bound the read path uses — a custom
+    // bitmap format buys nothing until vectors outgrow that, and
+    // compactDvs/OPTIMIZE fold them long before. Pinned here so a
+    // regression in sidecar encoding (e.g. losing the sort) shows up
+    // as a measured fact, not a guess.
+    val path = freshPath("graft-spec-dv-cost")
+    TableLog.create(spark, path,
+      spark.range(0L, 2000000L).toDF("id")
+        .withColumn("p", col("id") % 97L)
+        .repartitionByRange(4, $"id").sortWithinPartitions("id"))
+    TableLog.deleteBandDV(spark, path, "id", 500000L, 1499999L) // 1M rows
+    val f = fsOf(path)
+    val dvRoot = new org.apache.hadoop.fs.Path(s"$path/_dv")
+    val it = f.listFiles(dvRoot, true)
+    var bytes = 0L
+    while (it.hasNext) { val s = it.next(); if (s.isFile) bytes += s.getLen }
+    val perPos = bytes.toDouble / 1000000.0
+    assert(perPos < 8.0,
+      f"sidecar cost $perPos%.2f B/position — expected single-digit " +
+        "bytes (delta-encoded sorted positions)")
+    // and the vectored read still serves exactly the survivors
+    assert(TableLog.read(spark, path).count() === 1000000L)
+    assert(TableLog.read(spark, path)
+      .agg(min($"id"), max($"id")).collect().head.toSeq ===
+      Seq(0L, 1999999L))
+  }
+
   test("SQL UPDATE and DELETE route merge-on-read under the conf") {
     graft.sql.TableLogSql.register(spark)
     val path = freshPath("graft-spec-dv-sqlroute")
