@@ -397,6 +397,34 @@ class DeletionVectorSpec extends GraftSparkSpec {
     } finally spark.conf.unset("spark.graft.tablelog.deletionVectors")
   }
 
+  test("merge-on-read MERGE on a PARTITIONED table: hive positions die, copies land in their dirs") {
+    val path = freshPath("graft-spec-dv-merge-part")
+    TableLog.createPartitioned(spark, path,
+      (0L until 300L).map(i => (i, s"p${i % 3}", s"v0-$i"))
+        .toDF("id", "lang", "payload").repartition(2), Seq("lang"))  // v1
+    spark.conf.set("spark.graft.tablelog.deletionVectors", "true")
+    try {
+      val before = dataFiles(path)
+      TableLog.merge(spark, path,
+        Seq((6L, "p0", "UP-6"), (7L, "p1", "UP-7"), (900L, "p0", "NEW"))
+          .toDF("id", "lang", "payload"), "id")                      // v2
+      assert(before.subsetOf(dataFiles(path)),
+        "partitioned merge-on-read MERGE must never rewrite a hive file")
+      assert(TableLog.snapshot(spark, path).hasDvs)
+      val got = TableLog.read(spark, path)
+      assert(got.count() === 301L)
+      assert(rows(got.where($"id".isin(6L, 7L, 900L))
+        .select("id", "lang", "payload")) === Set(
+        Seq(6L, "p0", "UP-6"), Seq(7L, "p1", "UP-7"),
+        Seq(900L, "p0", "NEW")))
+      // partition-pruned reads apply the positions
+      assert(TableLog.readPartition(spark, path, Map("lang" -> "p0"))
+        .where($"id" === 6L).select("payload")
+        .as[String].collect().toSeq === Seq("UP-6"))
+      assert(TableLog.read(spark, path, Some(1L)).count() === 300L)
+    } finally spark.conf.unset("spark.graft.tablelog.deletionVectors")
+  }
+
   test("write amplification duel: MERGE — a 3-row upsert writes <1% of copy-on-write bytes") {
     def newTable(stem: String): String = {
       val p = freshPath(stem)

@@ -344,6 +344,36 @@ class EqualityDeleteSpec extends GraftSparkSpec {
     } finally spark.conf.unset("spark.graft.tablelog.equalityDeletes")
   }
 
+  test("upsert on a PARTITIONED table: hive-dir appends, partition reads apply") {
+    val path = freshPath("graft-spec-eq-part")
+    TableLog.createPartitioned(spark, path,
+      (0L until 300L).map(i => (i, s"p${i % 3}", s"v0-$i"))
+        .toDF("id", "lang", "payload").repartition(2), Seq("lang"))   // v1
+    val before = dataFiles(path)
+    // id 5 lived in lang=p2 (5 % 3); the upsert MOVES it to p0 — a
+    // partition move, which eq deletes handle for free (the key
+    // delete is partition-agnostic, the new copy lands in its hive
+    // dir) where a partition-scoped delete could not
+    TableLog.upsertBatch(spark, path,
+      Seq((5L, "p0", "moved"), (900L, "p1", "new"))
+        .toDF("id", "lang", "payload"),
+      Seq("id"), "b0")                                                // v2
+    assert(before.subsetOf(dataFiles(path)),
+      "partitioned upsert must never rewrite existing hive files")
+    val got = TableLog.read(spark, path)
+    assert(got.count() === 301L)
+    assert(rows(got.where($"id".isin(5L, 900L))
+      .select("id", "lang", "payload")) === Set(
+      Seq(5L, "p0", "moved"), Seq(900L, "p1", "new")))
+    // partition-pruned reads apply the delete on BOTH sides of the move
+    assert(TableLog.readPartition(spark, path, Map("lang" -> "p2"))
+      .where($"id" === 5L).count() === 0L, "old copy is dead in p2")
+    assert(TableLog.readPartition(spark, path, Map("lang" -> "p0"))
+      .where($"id" === 5L).select("payload")
+      .as[String].collect().toSeq === Seq("moved"))
+    assert(TableLog.read(spark, path, Some(1L)).count() === 300L)
+  }
+
   test("vacuum sweeps folded eq sidecars, keeps live ones") {
     val path = freshPath("graft-spec-eq-vacuum")
     TableLog.create(spark, path,
