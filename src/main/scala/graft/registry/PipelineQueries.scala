@@ -488,21 +488,26 @@ object PipelineQueries {
       try {
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
-        // whole-row upsert: periodic replacements + brand-new rows
+        // whole-row upsert: periodic replacements + brand-new rows.
+        // distinct(): merge requires unique source keys — a no-op on
+        // the unique-doc_id testdata, an exact dedup under
+        // ScaleSuite's replicated copies
         graft.operators.TableLog.merge(s, path,
           docs.where(col("doc_id") % 50L === 0L)
             .withColumn("lang", lit("up"))
             .withColumn("n_chars", col("n_chars") + 5L)
             .unionByName(docs.where(col("doc_id") < 20L)
-              .select((col("doc_id") + 1000000L).as("doc_id"),
-                lit("new").as("lang"), col("n_chars"))),
+              .select((col("doc_id") + 1000000000000L).as("doc_id"),
+                lit("new").as("lang"), col("n_chars")))
+            .distinct(),
           "doc_id")
         // general grammar: conditional delete, update, insert arms
         val src2 = docs.where(col("doc_id") % 30L === 0L)
           .select(col("doc_id"), col("doc_id").as("k"))
           .unionByName(docs.where(col("doc_id") % 500L === 0L)
-            .select((col("doc_id") + 2000000L).as("doc_id"),
-              (col("doc_id") + 2000000L).as("k")))
+            .select((col("doc_id") + 2000000000000L).as("doc_id"),
+              (col("doc_id") + 2000000000000L).as("k")))
+          .distinct()
         graft.operators.TableLog.mergeWhen(s, path, src2, "doc_id",
           matched = Seq(
             graft.operators.TableLog.MergeWhen.Delete(
@@ -542,14 +547,18 @@ object PipelineQueries {
       // GDPR by key: one sidecar, zero data IO
       graft.operators.TableLog.deleteByKey(s, path,
         docs.where(col("doc_id") % 97L === 0L).select(col("doc_id")))
-      // upsert epoch 0: periodic replacements + brand-new rows
+      // upsert epoch 0: periodic replacements + brand-new rows.
+      // distinct(): one row per key per batch — a no-op on the
+      // unique-doc_id testdata, an exact dedup under ScaleSuite's
+      // replicated copies
       graft.operators.TableLog.upsertBatch(s, path,
         docs.where(col("doc_id") % 40L === 0L)
           .select(col("doc_id"), lit("u0").as("lang"),
             (col("n_chars") + 7L).as("n_chars"))
           .unionByName(docs.where(col("doc_id") < 15L)
-            .select((col("doc_id") + 1000000L).as("doc_id"),
-              lit("new0").as("lang"), col("n_chars"))),
+            .select((col("doc_id") + 1000000000000L).as("doc_id"),
+              lit("new0").as("lang"), col("n_chars")))
+          .distinct(),
         Seq("doc_id"), "epoch-0")
       // upsert epoch 1: overlaps epoch 0 — last write wins per key
       graft.operators.TableLog.upsertBatch(s, path,
@@ -557,8 +566,9 @@ object PipelineQueries {
           .select(col("doc_id"), lit("u1").as("lang"),
             (col("n_chars") + 11L).as("n_chars"))
           .unionByName(docs.where(col("doc_id") < 5L)
-            .select((col("doc_id") + 1000000L).as("doc_id"),
-              lit("u1n").as("lang"), lit(0L).as("n_chars"))),
+            .select((col("doc_id") + 1000000000000L).as("doc_id"),
+              lit("u1n").as("lang"), lit(0L).as("n_chars")))
+          .distinct(),
         Seq("doc_id"), "epoch-1")
       graft.operators.TableLog.read(s, path)
         .groupBy(col("lang"))
@@ -3030,15 +3040,15 @@ object PipelineQueries {
         |      AS n_chars
         |  FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, 'new', n_chars FROM documents
+        |  SELECT doc_id + 1000000000000, 'new', n_chars FROM documents
         |  WHERE doc_id < 20),
         |t2 AS (
         |  SELECT doc_id, lang,
-        |    CASE WHEN doc_id < 1000000 AND doc_id % 30 = 0
+        |    CASE WHEN doc_id < 1000000000000 AND doc_id % 30 = 0
         |         THEN n_chars + 100 ELSE n_chars END AS n_chars
-        |  FROM t1 WHERE NOT (doc_id < 1000000 AND doc_id % 60 = 0)
+        |  FROM t1 WHERE NOT (doc_id < 1000000000000 AND doc_id % 60 = 0)
         |  UNION ALL
-        |  SELECT doc_id + 2000000, 'ins', 0 FROM documents
+        |  SELECT doc_id + 2000000000000, 'ins', 0 FROM documents
         |  WHERE doc_id % 500 = 0)
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
@@ -3052,13 +3062,13 @@ object PipelineQueries {
         |  SELECT doc_id, 'u0' AS lang, n_chars + 7 AS n_chars
         |  FROM documents WHERE doc_id % 40 = 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, 'new0', n_chars FROM documents
+        |  SELECT doc_id + 1000000000000, 'new0', n_chars FROM documents
         |  WHERE doc_id < 15),
         |e1 AS (
         |  SELECT doc_id, 'u1' AS lang, n_chars + 11 AS n_chars
         |  FROM documents WHERE doc_id % 80 = 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, 'u1n', 0 FROM documents
+        |  SELECT doc_id + 1000000000000, 'u1n', 0 FROM documents
         |  WHERE doc_id < 5),
         |s1 AS (
         |  SELECT doc_id, lang, n_chars FROM documents
