@@ -2676,6 +2676,14 @@ object TableLog {
                     val (ns, st) = writeDataFiles(spark, path, src)
                     (ns, st, Map.empty[String, Seq[String]])
                   }
+                // accounting BEFORE the commit rename (manifest-derived,
+                // zero extra IO): the appended files must carry exactly
+                // the checkpointed batch's rows
+                val written = stats.valuesIterator
+                  .flatMap(_.get(RowsKey)).map(_.min.toLong).sum
+                require(written == nRows,
+                  s"TableLog.upsertBatch: wrote $written rows, want " +
+                    s"$nRows — aborting commit (orphans go to vacuum)")
                 val nv = commitFull(spark, path, v + 1, cur.copy(
                   tag = Some(tag),
                   files = cur.files ++ names,
