@@ -3020,6 +3020,46 @@ object TableLog {
       require(srcDup == 0L,
         s"TableLog.merge: source $keyCol must be unique and non-null — " +
           "an ambiguous merge would replace one row twice")
+      // EQUALITY-ROUTED MERGE (under the eq conf): an upsert needs no
+      // match discovery at all — key-delete the source keys from
+      // every pre-existing file and append the source; replacing
+      // matched rows and inserting unmatched ones are the SAME
+      // operation under key semantics. Write amplification O(source),
+      // ZERO reads of existing data (the DV route below still pays a
+      // discovery scan over the candidate files).
+      if (spark.conf.get("spark.graft.tablelog.equalityDeletes", "false")
+        .toBoolean &&
+        merged.fields.find(_.name == keyCol)
+          .exists(f => supportedEqType(f.dataType))) {
+        eqDeleteCore(spark, path, v, cur,
+          srcMat.select(col(keyCol)), "merge") match {
+          case Some((entry, born)) =>
+            val (names, stats, parts) =
+              if (cur.partCols.nonEmpty)
+                writeDataFilesPartitioned(spark, path, srcMat, cur.partCols)
+              else {
+                val (ns, st) = writeDataFiles(spark, path, srcMat)
+                (ns, st, Map.empty[String, Seq[String]])
+              }
+            val written = stats.valuesIterator
+              .flatMap(_.get(RowsKey)).map(_.min.toLong).sum
+            val nSrc = srcMat.count()
+            require(written == nSrc,
+              s"TableLog.merge: wrote $written rows, want $nSrc — " +
+                "aborting commit (orphans go to vacuum)")
+            val nv = commitFull(spark, path, v + 1, cur.copy(
+              tag = None,
+              files = cur.files ++ names,
+              stats = cur.stats ++ stats,
+              schema = Some(merged),
+              parts = cur.parts ++ parts,
+              eqd = cur.eqd :+ entry,
+              eqBorn = born))
+            maybeWriteChanges(spark, path, v, nv)
+            return nv
+          case None => () // empty source: the plain path no-ops it
+        }
+      }
       // manifest-level candidate cut: the source's key range vs
       // recorded bounds (unbounded files kept — conservative)
       val range = srcMat.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)

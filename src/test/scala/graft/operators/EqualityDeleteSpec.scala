@@ -344,6 +344,45 @@ class EqualityDeleteSpec extends GraftSparkSpec {
     } finally spark.conf.unset("spark.graft.tablelog.equalityDeletes")
   }
 
+  test("merge routes to equality deletes under the conf: no discovery, no rewrites") {
+    graft.sql.TableLogSql.register(spark)
+    val path = freshPath("graft-spec-eq-merge")
+    TableLog.create(spark, path,
+      (0L until 600L).map(i => (i, s"v0-$i")).toDF("id", "p")
+        .repartitionByRange(2, $"id"))                           // v1
+    spark.conf.set("spark.graft.tablelog.equalityDeletes", "true")
+    try {
+      val before = dataFiles(path)
+      TableLog.merge(spark, path,
+        Seq((5L, "UP-5"), (405L, "UP-405"), (1000L, "NEW"))
+          .toDF("id", "p"), "id")                                // v2
+      assert(before.subsetOf(dataFiles(path)),
+        "eq-routed merge must never read or rewrite a data file")
+      assert(TableLog.snapshot(spark, path).hasEqDeletes)
+      assert(eqDirs(path).size === 1)
+      val got = TableLog.read(spark, path)
+      assert(got.count() === 601L)
+      assert(rows(got.where($"id".isin(5L, 405L, 1000L))) === Set(
+        Seq(5L, "UP-5"), Seq(405L, "UP-405"), Seq(1000L, "NEW")))
+      assert(TableLog.read(spark, path, Some(1L)).count() === 600L)
+      // SQL whole-row MERGE takes the same route
+      Seq((5L, "SQL-5"), (2000L, "SQL-NEW")).toDF("id", "p")
+        .createOrReplaceTempView("eqmrg_src")
+      val before2 = dataFiles(path)
+      spark.sql(
+        s"""MERGE INTO tablelog.`$path` t USING eqmrg_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)       // v3
+      assert(before2.subsetOf(dataFiles(path)),
+        "SQL whole-row MERGE must route through the eq path too")
+      assert(eqDirs(path).size === 2)
+      val got2 = TableLog.read(spark, path)
+      assert(got2.count() === 602L)
+      assert(rows(got2.where($"id".isin(5L, 2000L))) === Set(
+        Seq(5L, "SQL-5"), Seq(2000L, "SQL-NEW")))
+    } finally spark.conf.unset("spark.graft.tablelog.equalityDeletes")
+  }
+
   test("upsert on a PARTITIONED table: hive-dir appends, partition reads apply") {
     val path = freshPath("graft-spec-eq-part")
     TableLog.createPartitioned(spark, path,
