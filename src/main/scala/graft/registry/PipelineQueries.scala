@@ -577,6 +577,50 @@ object PipelineQueries {
     }),
 
 
+    // equality-routed MERGE (round-16): under the eq conf an upsert
+    // needs NO match discovery — the source keys die via one sidecar,
+    // the source appends; two stacked merge epochs pin last-wins
+    // through stacked sidecars. Result-transparent: the oracle
+    // replays both epochs' key algebra
+    "q235_eq_merge" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = perProcessTmpDir(s"graft-tleqm-$sfx")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.TableLog.create(s, path,
+        docs.repartitionByRange(6, col("doc_id"))
+          .sortWithinPartitions("doc_id"))
+      s.conf.set("spark.graft.tablelog.equalityDeletes", "true")
+      try {
+        graft.operators.TableLog.merge(s, path,
+          docs.where(col("doc_id") % 45L === 0L)
+            .withColumn("lang", lit("m0"))
+            .withColumn("n_chars", col("n_chars") + 3L)
+            .unionByName(docs.where(col("doc_id") < 12L)
+              .select((col("doc_id") + 1000000000000L).as("doc_id"),
+                lit("n0").as("lang"), col("n_chars")))
+            .distinct(),
+          "doc_id")
+        graft.operators.TableLog.merge(s, path,
+          docs.where(col("doc_id") % 90L === 0L)
+            .withColumn("lang", lit("m1"))
+            .withColumn("n_chars", col("n_chars") + 9L)
+            .unionByName(docs.where(col("doc_id") < 4L)
+              .select((col("doc_id") + 1000000000000L).as("doc_id"),
+                lit("n1").as("lang"), lit(1L).as("n_chars")))
+            .distinct(),
+          "doc_id")
+        ()
+      } finally s.conf.unset("spark.graft.tablelog.equalityDeletes")
+      graft.operators.TableLog.read(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+    }),
+
+
     // deletion vectors (round-15): the point-delete-heavy GDPR
     // workload merge-on-read was built for — three point deletes and a
     // sparse band delete land as (file, position) sidecars (ZERO data
@@ -3073,6 +3117,34 @@ object PipelineQueries {
         |s1 AS (
         |  SELECT doc_id, lang, n_chars FROM documents
         |  WHERE doc_id % 97 <> 0 AND doc_id % 40 <> 0
+        |  UNION ALL SELECT doc_id, lang, n_chars FROM e0),
+        |s2 AS (
+        |  SELECT doc_id, lang, n_chars FROM s1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM e1)
+        |  UNION ALL SELECT doc_id, lang, n_chars FROM e1)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id
+        |FROM s2 GROUP BY lang""".stripMargin,
+
+    // q235: two eq-routed merge epochs replayed — each epoch removes
+    // its key set from the running state and appends its rows
+    "q235_eq_merge" ->
+      """WITH e0 AS (
+        |  SELECT doc_id, 'm0' AS lang, n_chars + 3 AS n_chars
+        |  FROM documents WHERE doc_id % 45 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000, 'n0', n_chars FROM documents
+        |  WHERE doc_id < 12),
+        |e1 AS (
+        |  SELECT doc_id, 'm1' AS lang, n_chars + 9 AS n_chars
+        |  FROM documents WHERE doc_id % 90 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000, 'n1', 1 FROM documents
+        |  WHERE doc_id < 4),
+        |s1 AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 45 <> 0
         |  UNION ALL SELECT doc_id, lang, n_chars FROM e0),
         |s2 AS (
         |  SELECT doc_id, lang, n_chars FROM s1
