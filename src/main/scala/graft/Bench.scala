@@ -41,9 +41,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val extra = sys.env.get("SPARK_GRAFT_SQLCONF") // dev A/B only
+      .map(_.split(";").map(_.trim).filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }.toSeq).getOrElse(Seq.empty)
+    val b0 = SparkSession.builder()
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(s"local[$cpus]")
+    val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

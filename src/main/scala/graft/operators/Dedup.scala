@@ -63,6 +63,53 @@ object Dedup {
       .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .distinct()
       .localCheckpoint(true)
+    // Scale-adaptive small-graph path (opt guide §1.2 "choose the
+    // distributed algorithm"): when the materialized edge set is
+    // BOUNDED (<= spark.graft.cc.localEdgeLimit, default 200k rows of
+    // two ids — a few MB on the driver, the broadcast-join size class)
+    // and ids are integral, a driver-side union-find produces the
+    // identical min-reachable-id labeling in one pass: 2 jobs total
+    // (count + collect over the already-checkpointed blocks) and ONE
+    // broadcast join back, instead of >= 2 label-propagation rounds of
+    // 2 shuffle joins + checkpoint + count each. Above the limit (the
+    // 100 TB near-dup graph) the loop below runs unchanged.
+    val localLimit = vertices.sparkSession.conf
+      .getOption("spark.graft.cc.localEdgeLimit").map(_.toLong).getOrElse(200000L)
+    val integralIds = vertices.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integralIds && sym.count() <= localLimit) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      // only (id_a < id_b) needed; sym is symmetric-closed, halve it
+      sym.filter(col("id_a") < col("id_b"))
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+        }
+      sym.unpersist()
+      val entries = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      parent.keySet().forEach(k => entries += ((k, find(k))))
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      val mapped = entries.toSeq.toDF("_cc_id", "_cc_component")
+      val idT = vertices.schema(idCol).dataType
+      return vertices.select(col(idCol).as("id"))
+        .join(broadcast(mapped), col("id").cast("long") === col("_cc_id"), "left")
+        .select(col("id"),
+          coalesce(col("_cc_component").cast(idT), col("id")).as("component"))
+    }
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("component"))
       .localCheckpoint(true)
     var changed = 1L
