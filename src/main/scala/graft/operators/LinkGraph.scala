@@ -95,8 +95,14 @@ object LinkGraph {
     * Output: (id, n_triangles), one row per vertex WITH at least one
     * triangle (left-join against the node set for a dense frame).
     */
-  def triangleCounts(edges: DataFrame): DataFrame =
-    triangleCountsFromUnd(canonicalUndirected(edges))
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // checkpoint the canonical set ONCE: the small-graph probe needs it
+    // materialized, and the distributed path previously re-derived the
+    // dedup subtree twice (once for the wedge orientation, once as the
+    // closure probe)
+    val und = canonicalUndirected(edges).localCheckpoint(true)
+    try triangleCountsFromUnd(und) finally { und.unpersist(); () }
+  }
 
   /** Canonical undirected simple edge set (a < b, deduped, loops
     * dropped) — shared by [[triangleCounts]] and [[clusteringCoeff]].
@@ -108,7 +114,68 @@ object LinkGraph {
         greatest(col("a"), col("b")).as("b"))
       .distinct()
 
+  /** Edge-row bound below which graph fixed points run on the driver
+    * (one bounded collect + a tight loop) instead of as shuffle-join
+    * rounds — the broadcast-join size class, conf-overridable. Above
+    * it (the 100 TB web graph) the distributed paths run unchanged.
+    */
+  private[graft] def localEdgeLimit(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.graph.localEdgeLimit")
+      .map(_.toLong).getOrElse(200000L)
+
   private def triangleCountsFromUnd(und: DataFrame): DataFrame = {
+    // Scale-adaptive small-graph path (guide §1.2): `und` arrives
+    // checkpointed from both callers, so the count is a cheap probe of
+    // materialized blocks. Below the limit, count triangles on the
+    // driver with the SAME degree-ordered orientation — identical
+    // (id, n_triangles) rows — for 2 jobs instead of a checkpointed
+    // orientation join + wedge self-join + semi-join + aggregation.
+    if (und.count() <= localEdgeLimit(und)) {
+      val rows = und.select(col("a").cast("long"), col("b").cast("long")).collect()
+      val deg = new java.util.HashMap[Long, Long]()
+      rows.foreach { r =>
+        deg.merge(r.getLong(0), 1L, Long.box(_) + Long.box(_))
+        deg.merge(r.getLong(1), 1L, Long.box(_) + Long.box(_))
+        ()
+      }
+      def less(u: Long, w: Long): Boolean = {
+        val du = deg.get(u); val dw = deg.get(w)
+        du < dw || (du == dw && u < w)
+      }
+      val undSet = new java.util.HashSet[(Long, Long)](rows.length * 2)
+      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      rows.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        undSet.add((a, b))
+        val (u, w) = if (less(a, b)) (a, b) else (b, a)
+        adj.computeIfAbsent(u, _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += w
+        ()
+      }
+      val tri = new java.util.HashMap[Long, Long]()
+      adj.forEach { (u, ws) =>
+        var i = 0
+        while (i < ws.length) {
+          var j = i + 1
+          while (j < ws.length) {
+            val (x, y) = (math.min(ws(i), ws(j)), math.max(ws(i), ws(j)))
+            if (undSet.contains((x, y))) {
+              tri.merge(u, 1L, Long.box(_) + Long.box(_))
+              tri.merge(x, 1L, Long.box(_) + Long.box(_))
+              tri.merge(y, 1L, Long.box(_) + Long.box(_))
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      val spark = und.sparkSession
+      import spark.implicits._
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](tri.size)
+      tri.forEach((id, n) => out += ((id, n)))
+      return out.toSeq.toDF("id", "n_triangles")
+        .select(col("id").cast(und.schema("a").dataType).as("id"),
+          col("n_triangles"))
+    }
     val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
     // orient (u -> w) iff (deg, id) of u < of w: each undirected edge
@@ -286,6 +353,50 @@ object LinkGraph {
       .select(col("src"), col("dst"), (lit(dampDen) * col("_deg")).as("_b"))
       .localCheckpoint(true)
 
+    // Scale-adaptive small-graph path: nodeBase and edgesDeg are both
+    // checkpointed above (the SAME materializations the distributed
+    // loop needs), so the two counts are cheap block probes. Below the
+    // limit, run the identical integer recurrence in a driver loop —
+    // per-edge contribution term and per-dst sum are exactly the
+    // distributed expressions (sums stay far below 2^63 at bounded
+    // edge counts, where the distributed path's decimal(38,0) guard
+    // matters only at ~1e12-node scale) — for 2 probe jobs instead of
+    // `iters` join+aggregate rounds with a checkpoint each.
+    if (nodeBase.count() + edgesDeg.count() <= localEdgeLimit(nodeBase)) {
+      val nb = nodeBase.select(col("id").cast("long"), col("_r0"), col("_base")).collect()
+      val ed = edgesDeg.select(col("src").cast("long"), col("dst").cast("long"), col("_b")).collect()
+      val r = new java.util.HashMap[Long, Long](nb.length * 2)
+      nb.foreach { row => r.put(row.getLong(0), row.getLong(1)) }
+      var it0 = 0
+      while (it0 < iters) {
+        val contribs = new java.util.HashMap[Long, Long](nb.length * 2)
+        ed.foreach { row =>
+          // inner-join semantics: srcs outside the node set contribute nothing
+          if (r.containsKey(row.getLong(0))) {
+            val rs: Long = r.get(row.getLong(0))
+            val b = row.getLong(2)
+            val c = (rs / b) * dampNum + ((rs % b) * dampNum) / b
+            contribs.merge(row.getLong(1), c, Long.box(_) + Long.box(_))
+          }
+          ()
+        }
+        nb.foreach { row =>
+          val id = row.getLong(0)
+          r.put(id, row.getLong(2) + contribs.getOrDefault(id, 0L))
+          ()
+        }
+        it0 += 1
+      }
+      val spark = nodeBase.sparkSession
+      import spark.implicits._
+      val idT = nodes.schema(idCol).dataType
+      val outLocal = nb.map(row => (row.getLong(0), r.get(row.getLong(0)))).toSeq
+        .toDF("_prid", "rank")
+        .select(col("_prid").cast(idT).as(idCol), col("rank"))
+      edgesDeg.unpersist()
+      nodeBase.unpersist()
+      return outLocal
+    }
     var ranks = nodeBase.select(col("id"), col("_r0").as("r"))
       .localCheckpoint(true)
     var it = 0
