@@ -94,12 +94,22 @@ object GraphAnn {
       Ann.l2norm(col(qvecCol)).as("_qn"),
       Ivf.nearest_cells(col(qvecCol), centroids,
         math.min(nprobe, centroids.length)).as("_cells"))
-    val qb = broadcast(q)
-    val pool0 = qb.select(col("query_id"), explode(col("_cells")).as("cell"))
-      .join(entries, Seq("cell"))
-      .select(col("query_id"), col("entry_id").as("node"))
-      .distinct()
-    baseWalk(corpus, idCol, vecCol, qb, pool0, edges, k, hops, beam)
+    localCtxFor(corpus, idCol, vecCol, edges, entries, q,
+      withCells = true) match {
+      case Some(ctx) =>
+        localResultFrame(corpus.sparkSession, ctx.queries.iterator.flatMap { lq =>
+          val pool0 = lq.cells.iterator
+            .flatMap(ctx.entryByCell.get).toArray.distinct
+          localWalk(ctx, lq, pool0, k, hops, beam)
+        }.toSeq)
+      case None =>
+        val qb = broadcast(q)
+        val pool0 = qb.select(col("query_id"), explode(col("_cells")).as("cell"))
+          .join(entries, Seq("cell"))
+          .select(col("query_id"), col("entry_id").as("node"))
+          .distinct()
+        baseWalk(corpus, idCol, vecCol, qb, pool0, edges, k, hops, beam)
+    }
   }
 
   /** The base-layer beam walk from an explicit entry pool — shared by
@@ -143,6 +153,229 @@ object GraphAnn {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("node").as("neighbor_id"),
         round(col("_cos"), 4).as("cosine"), col("rank"))
+  }
+
+  // ---- bounded driver-side walk (opt guide §1.2: fix the distributed
+  // algorithm first). The distributed walk is `cellHops + hops` rounds
+  // of two narrow joins + a rank window, each behind a localCheckpoint
+  // — correct and corpus-scalable, but at bench scale the ~10 job
+  // rounds ARE the cost (the per-round frames hold <= queries × pool
+  // rows). When the materialized corpus, edge list, query set and
+  // entry table are all BOUNDED (<= spark.graft.ann.localWalkLimit
+  // rows each, default 200k — the broadcast size class, same
+  // discipline as spark.graft.cc.localEdgeLimit), the identical walk
+  // runs as a driver loop over one bounded collect per frame: same
+  // index-order double accumulation as [[DotProductExpr]], same
+  // SQLOrderingUtil double ordering (primitive == then Double.compare:
+  // -0.0 == 0.0, NaN greatest), same NULLS LAST on the descending
+  // cosine rank, same HALF_UP round-to-4. Above the limit the
+  // distributed walk runs unchanged — the 100 TB path is untouched.
+
+  private final case class LocalQuery(
+      id: Long, v: Array[Double], n: Double, cells: Array[Int])
+
+  private final class LocalCtx(
+      val vecs: scala.collection.mutable.LongMap[(Array[Double], Double)],
+      val adj: scala.collection.mutable.LongMap[Array[Long]],
+      val queries: Array[LocalQuery],
+      val entries: Array[(Int, Long)]) {
+    val entryByCell: Map[Int, Long] = entries.map(e => e._1 -> e._2).toMap
+  }
+
+  private def localWalkLimit(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.ann.localWalkLimit")
+      .map(_.toLong).getOrElse(200000L)
+
+  /** Collect the walk's inputs iff every frame is bounded; None falls
+    * back to the distributed walk. Collect order: edges first (already
+    * localCheckpoint'ed by every caller — a cheap probe that vetoes
+    * the corpus scan when the graph alone is too big), then corpus.
+    */
+  private def localCtxFor(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      edges: DataFrame, entries: DataFrame, q: DataFrame,
+      withCells: Boolean): Option[LocalCtx] = try {
+    val lim = localWalkLimit(corpus)
+    if (lim <= 0) return None
+    val cap = math.min(lim, Int.MaxValue - 2L).toInt
+    val eRows = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(cap + 1).collect()
+    if (eRows.length > cap) return None
+    val c = corpus.select(col(idCol).cast("long").as("node"),
+      transform(col(vecCol), x => x.cast("double")).as("_cv"),
+      Ann.l2norm(col(vecCol)).as("_cn"))
+    val cRows = c.limit(cap + 1).collect()
+    if (cRows.length > cap) return None
+    val qCols =
+      if (withCells) q.select(col("query_id"), col("_qv"), col("_qn"), col("_cells"))
+      else q.select(col("query_id"), col("_qv"), col("_qn"))
+    val qRows = qCols.limit(cap + 1).collect()
+    if (qRows.length > cap) return None
+    val entryRows = entries
+      .select(col("cell").cast("int"), col("entry_id").cast("long"))
+      .limit(cap + 1).collect()
+    if (entryRows.length > cap) return None
+    // a null id/vector/norm anywhere would need the SQL three-valued
+    // walk mirrored null-for-null — not worth it; the distributed path
+    // is already exact for that shape
+    val anyNull = (cRows.iterator ++ qRows.iterator ++
+      eRows.iterator ++ entryRows.iterator)
+      .exists(r => (0 until r.length).exists(r.isNullAt))
+    if (anyNull) return None
+    val vecs = new scala.collection.mutable.LongMap[(Array[Double], Double)](cRows.length * 2)
+    cRows.foreach { r =>
+      val node = r.getLong(0)
+      // first-wins on a duplicate id (a malformed corpus duplicates
+      // scored rows distributed too — not a shape worth mirroring)
+      if (!vecs.contains(node))
+        vecs.update(node, (r.getSeq[Double](1).toArray, r.getDouble(2)))
+    }
+    val adjB = new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuffer[Long]]()
+    eRows.foreach { r =>
+      adjB.getOrElseUpdate(r.getLong(0), scala.collection.mutable.ArrayBuffer.empty) += r.getLong(1)
+    }
+    val adj = adjB.map { case (k2, v) => (k2, v.toArray) }
+    val queries = qRows.map { r =>
+      LocalQuery(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2),
+        if (withCells) r.getSeq[Int](3).toArray else Array.emptyIntArray)
+    }
+    Some(new LocalCtx(vecs, adj, queries,
+      entryRows.map(r => (r.getInt(0), r.getLong(1)))))
+  } catch {
+    // a shape the local mirror can't hold exactly (e.g. null vector
+    // ELEMENTS, which unbox-throw here but flow as nulls through the
+    // SQL walk) — serve it from the distributed path
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** SQLOrderingUtil.compareDoubles: primitive == first (-0.0 == 0.0),
+    * then Double.compare (NaN greatest).
+    */
+  private def cmpDouble(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  /** (cosine DESC NULLS LAST, id ASC) — the walk's only ordering. */
+  private def rankLt(a: (Long, java.lang.Double), b: (Long, java.lang.Double)): Boolean = {
+    val c =
+      if (a._2 == null && b._2 == null) 0
+      else if (a._2 == null) 1
+      else if (b._2 == null) -1
+      else -cmpDouble(a._2, b._2)
+    if (c != 0) c < 0 else a._1 < b._1
+  }
+
+  /** round(x, 4) for DoubleType: NaN/Inf pass through, else
+    * BigDecimal.valueOf (Double.toString semantics) HALF_UP.
+    */
+  private def round4(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Cosine of `lq` against node, exactly as the distributed scored():
+    * index-order dot (null on length mismatch — poisons through the
+    * division like the SQL null), then / (cn * qn). None = node not in
+    * the corpus (the inner join drops it from scoring only).
+    */
+  private def localCos(
+      ctx: LocalCtx, lq: LocalQuery, node: Long): Option[java.lang.Double] =
+    ctx.vecs.get(node).map { case (cv, cn) =>
+      if (cv.length != lq.v.length) null
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < cv.length) { acc += cv(i) * lq.v(i); i += 1 }
+        java.lang.Double.valueOf(acc / (cn * lq.n))
+      }
+    }
+
+  /** The per-query beam walk, identical to [[baseWalk]]'s pool
+    * semantics; returns the (query_id, neighbor_id, cosine, rank) rows.
+    */
+  private def localWalk(
+      ctx: LocalCtx, lq: LocalQuery, pool0: Array[Long],
+      k: Int, hops: Int, beam: Int): Seq[org.apache.spark.sql.Row] = {
+    val pool = scala.collection.mutable.HashSet.empty[Long]
+    pool ++= pool0
+    def scoredPool(): Array[(Long, java.lang.Double)] =
+      pool.iterator.flatMap(n => localCos(ctx, lq, n).map(n -> _))
+        .toArray.sortWith(rankLt)
+    var i = 0
+    while (i < hops) {
+      scoredPool().iterator.take(beam).foreach { case (n, _) =>
+        ctx.adj.get(n).foreach(pool ++= _)
+      }
+      i += 1
+    }
+    scoredPool().iterator.filter(_._1 != lq.id).take(k).zipWithIndex.map {
+      case ((node, cos), idx) =>
+        org.apache.spark.sql.Row(lq.id, node,
+          if (cos == null) null else java.lang.Double.valueOf(round4(cos)),
+          idx + 1)
+    }.toSeq
+  }
+
+  private def localResultFrame(
+      spark: SparkSession, rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("neighbor_id", LongType),
+        StructField("cosine", DoubleType),
+        StructField("rank", IntegerType, nullable = false))))
+  }
+
+  /** [[searchTopKHier]]'s cell walk + base walk as one driver loop
+    * (entry semantics identical: seed = min cell, cells scored by
+    * medoid cosine, (cos DESC, cell ASC) beam, entries of the top
+    * `entryProbe` cells seed the base walk).
+    */
+  private def localHierSearch(
+      spark: SparkSession, ctx: LocalCtx, cellEdges: Array[(Int, Int)],
+      k: Int, entryProbe: Int, cellHops: Int, cellBeam: Int,
+      hops: Int, beam: Int): DataFrame = {
+    // medoids: entry_id's corpus vector — the distributed join drops
+    // cells whose entry vector is missing from the corpus
+    val medoid: Map[Int, (Array[Double], Double)] =
+      ctx.entries.flatMap { case (cell, eid) =>
+        ctx.vecs.get(eid).map(cell -> _)
+      }.toMap
+    val cellAdj: Map[Int, Array[Int]] =
+      cellEdges.groupBy(_._1).map { case (s, es) => (s, es.map(_._2)) }
+    val seedCell = ctx.entries.iterator.map(_._1).min
+    val rows = ctx.queries.iterator.flatMap { lq =>
+      def cosCell(cell: Int): Option[(Long, java.lang.Double)] =
+        medoid.get(cell).map { case (mv, mn) =>
+          val c: java.lang.Double =
+            if (mv.length != lq.v.length) null
+            else {
+              var acc = 0.0
+              var i = 0
+              while (i < mv.length) { acc += mv(i) * lq.v(i); i += 1 }
+              java.lang.Double.valueOf(acc / (mn * lq.n))
+            }
+          (cell.toLong, c)
+        }
+      val cellPool = scala.collection.mutable.HashSet[Int](seedCell)
+      def scoredCells(): Array[(Long, java.lang.Double)] =
+        cellPool.iterator.flatMap(cosCell).toArray.sortWith(rankLt)
+      var i = 0
+      while (i < cellHops) {
+        scoredCells().iterator.take(cellBeam).foreach { case (cell, _) =>
+          cellAdj.get(cell.toInt).foreach(ds => cellPool ++= ds)
+        }
+        i += 1
+      }
+      val pool0 = scoredCells().iterator.take(entryProbe)
+        .flatMap { case (cell, _) => ctx.entryByCell.get(cell.toInt) }
+        .toArray.distinct
+      localWalk(ctx, lq, pool0, k, hops, beam)
+    }.toSeq
+    localResultFrame(spark, rows)
   }
 
   /** Coarse navigable layer over the cells (the round-10 verdict's
@@ -261,6 +494,13 @@ object GraphAnn {
     val q = queries.select(col(qidCol).cast("long").as("query_id"),
       transform(col(qvecCol), x => x.cast("double")).as("_qv"),
       Ann.l2norm(col(qvecCol)).as("_qn"))
+    localCtxFor(corpus, idCol, vecCol, edges, entries, q,
+      withCells = false) match {
+      case Some(ctx) =>
+        return localHierSearch(spark, ctx, cellEdges, k, entryProbe,
+          cellHops, cellBeam, hops, beam)
+      case None => ()
+    }
     val qb = broadcast(q)
     // medoid vectors: the per-cell entry point's REAL vector —
     // checkpointed (it feeds every cell-walk round) then broadcast
