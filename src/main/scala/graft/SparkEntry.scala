@@ -657,8 +657,12 @@ object SparkEntry {
     * Returns (doc_id, lang_pred, text).
     */
   def curationStage4(s: SparkSession, dir: String): DataFrame = {
-    val cleaned = table(s, dir, "documents").select(col("doc_id"),
-      graft.textops.TextAnalysis.cleanText(col("text"), stripTags = true).as("text"))
+    // widen: stages 1-3 are one narrow chain (clean + lang-id +
+    // quality + phrase gate) over the scan's partitioning — ONE task
+    // at bench scale, 3.8 s of serialized CPU (see operators.Widen)
+    val cleaned = graft.operators.Widen.widen(table(s, dir, "documents"))
+      .select(col("doc_id"),
+        graft.textops.TextAnalysis.cleanText(col("text"), stripTags = true).as("text"))
     val withLang = cleaned.withColumn("lang_pred",
       graft.textops.TextAnalysis.languageId(col("text")))
     val quality = withLang
@@ -761,7 +765,12 @@ object SparkEntry {
     // without the cut Catalyst inlines the mainContent+repair subtree
     // into EVERY gate expression (measured 22 s vs 9 s sum-of-stages
     // at sf0.1 — the q65 staging discipline)
-    val content = pages.select(col("doc_id"), col("target_uri"),
+    // widen first: mainContent+mojibake AND the four gates below are
+    // narrow CPU over whatever partitioning the WARC read produced
+    // (one task at bench scale); the checkpoint then materializes
+    // wide, so every downstream gate inherits the parallelism
+    val content = graft.operators.Widen.widen(pages)
+      .select(col("doc_id"), col("target_uri"),
       graft.textops.Mojibake.fix_mojibake(
         graft.textops.MainContent.mainContent(col("html"))).as("text"))
       .localCheckpoint()

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Parallelism floor for CPU-heavy NARROW passes (opt guide §2.6 —
+  * idle capacity; the round-16 ProfileOne finding).
+  *
+  * The bench tables are single parquet files, so a scan plans ONE
+  * partition and every narrow chain above it — text cleaning, lang-id,
+  * fingerprint hashing, dense scoring — runs serialized on one core
+  * while the other 31 idle (q65's stage-4 job: 4.9 s wall, 3.8 s cpu,
+  * 1 task). AQE cannot help: it only coalesces, never widens, and its
+  * byte estimates undercount rows that inflate in the projection (the
+  * documented denseFrom trap). `widen` inserts one explicit
+  * round-robin repartition to the session's default parallelism —
+  * user-specified partitioning, so AQE keeps it — ONLY when the frame
+  * currently plans fewer partitions than that.
+  *
+  * 100 TB shape: a real corpus scan plans thousands of splits, so
+  * `numPartitions >= target` holds and widen is the identity — no
+  * payload shuffle is ever added at scale. The target derives from the
+  * runtime (`defaultParallelism` = total cores on a cluster, the
+  * local[n] core count under the bench contract), overridable via
+  * `spark.graft.widen.parallelism`; <= 1 disables.
+  *
+  * Content-safe by construction: round-robin repartition reorders rows
+  * but changes no values, and Spark's sort-before-repartition (on by
+  * default, SPARK-23207) keeps the row→partition assignment
+  * deterministic under retries. Callers must still be
+  * partition-agnostic — do NOT widen above `spark_partition_id`,
+  * `monotonically_increasing_id`, seeded `rand`, or input_file_name
+  * consumers (the operators here already ban those as shuffle keys).
+  */
+object Widen {
+  /** Default width cap. Full-core fan-out measured NET NEGATIVE at
+    * bench scale: the heavy text expressions pay ~150 ms of per-task
+    * initialization (codegen + regex automata), so 32 tasks of 0.1 s
+    * of real work burn 5x the serialized CPU (q65's stage-4 cpu went
+    * 3.8 -> 17 s wide; q118 regressed 4 -> 18.5 s). Width 6-8 splits
+    * the multi-second serialized stages while paying single-digit
+    * inits — q65 12.1 -> 8.4 s, q118 4.0 -> 3.3 s in the same-box
+    * worktree A/B. Override per deployment via
+    * `spark.graft.widen.parallelism`.
+    */
+  val DefaultMaxWiden = 8
+
+  def widen(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.conf.getOption("spark.graft.widen.parallelism")
+      .map(_.toInt)
+      .getOrElse(math.min(DefaultMaxWiden, spark.sparkContext.defaultParallelism))
+    if (target <= 1) df
+    // NOTE: .rdd forces AQE stage materialization when the frame holds
+    // unexecuted exchanges — call sites keep widen on scans,
+    // checkpointed frames, or narrow derivations only
+    else if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+}

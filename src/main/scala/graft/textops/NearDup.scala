@@ -79,7 +79,10 @@ object NearDup {
       threshold: Double = 0.5,
       maxBucketSize: Long = 100): DataFrame =
     minhashPairsFromShingles(
-      df.select(col(idCol).as("id"),
+      // widen: the shingle+minhash hashing is the CPU of this pass and
+      // runs on the input's partitioning (1 task over a checkpointed
+      // pipeline stage at bench scale)
+      graft.operators.Widen.widen(df).select(col(idCol).as("id"),
         hashedShingles(col(textCol), shingleSize).as("sh")),
       k, bands, threshold, maxBucketSize)
 
@@ -464,7 +467,9 @@ object NearDup {
       maxHamming: Int = 3,
       maxBucketSize: Long = 0): DataFrame =
     fingerprintPairs(
-      df.select(col(idCol),
+      // widen: simhash64_text tokenizes + hashes every token — the
+      // narrow CPU pass (see Widen)
+      graft.operators.Widen.widen(df).select(col(idCol),
         SimHash.simhash64_text(lower(col(textCol))).as("_fp_sh")),
       idCol, "_fp_sh", maxHamming, maxBucketSize)
 
@@ -743,7 +748,9 @@ object NearDup {
       minSharedRatio: Double = 0.5,
       maxBucketSize: Long = 200): DataFrame =
     fingerprintSetPairs(
-      df.select(col(idCol).as("id"),
+      // widen: the rolling-hash fingerprint explode is the narrow CPU
+      // pass (see Widen)
+      graft.operators.Widen.widen(df).select(col(idCol).as("id"),
         explode(Winnowing.winnow_fingerprints(col(textCol), k, window)).as("fp"))
         .distinct(),
       minSharedRatio, maxBucketSize)

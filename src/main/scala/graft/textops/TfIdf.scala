@@ -99,8 +99,10 @@ object TfIdf {
     // the sparse model feeds BOTH the candidate index and the dense
     // vectors (two joins each) — checkpoint once or the tokenize+tf+df
     // lineage re-executes per consumer (the q65 multi-consumer
-    // discipline; blocks release on RDD GC)
-    val sp = sparse(docs, idCol, textCol, numBuckets).localCheckpoint()
+    // discipline; blocks release on RDD GC). widen: the tokenize+hash
+    // pass below runs on the scan's partitioning (see Widen)
+    val sp = sparse(graft.operators.Widen.widen(docs), idCol, textCol,
+      numBuckets).localCheckpoint()
     // stop-bucket cap: max(8, N div 5) by default — the floor keeps
     // tiny corpora usable; plan-constant via the 1-row broadcast
     // already in `sp`. An explicit stopBucketCap overrides (the
