@@ -50,10 +50,21 @@ object Widen {
       .map(_.toInt)
       .getOrElse(math.min(DefaultMaxWiden, spark.sparkContext.defaultParallelism))
     if (target <= 1) df
-    // NOTE: .rdd forces AQE stage materialization when the frame holds
-    // unexecuted exchanges — call sites keep widen on scans,
-    // checkpointed frames, or narrow derivations only
-    else if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target)
+    else {
+      // size guard from PLAN STATS, not .rdd.getNumPartitions: asking a
+      // frame with unexecuted exchanges for its partitions forces AQE
+      // to materialize every query stage eagerly (a hidden extra
+      // execution), while optimizedPlan.stats is planning-only. Scans
+      // report file bytes; joins/windows propagate conservatively
+      // upward, and an OVERestimate merely skips the optimization. At
+      // corpus scale sizeInBytes is huge, the guard fails, and widen
+      // is the identity — no shuffle is added to the 100 TB path.
+      val maxBytes = spark.conf.getOption("spark.graft.widen.maxBytes")
+        .map(_.toLong).getOrElse(256L * 1024 * 1024)
+      val small =
+        try df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (small) df.repartition(target) else df
+    }
   }
 }

@@ -133,7 +133,12 @@ object CoreLogQueries {
       val lg = PseudoLog.logs(s, dir)
       val sess = Sessionizer.withClusters(lg, threshold = 300L)
       val counted = Sessionizer.withRequestCount(sess)
-      val featured = counted
+      // widen: the regex-heavy feature + rule evaluation sits ABOVE the
+      // session windows, whose post-shuffle output AQE coalesces to one
+      // partition at bench bytes — 2.96 s serialized on one core
+      // (ProfileOne round 16); rule results are row-local, so the
+      // repartition cannot change them
+      val featured = graft.operators.Widen.widen(counted)
         .withColumn("uri_risk", RiskFeatures.uriRisk(col("request_uri"),
           GraftConfig.defaultSensitivePaths,
           GraftConfig.extPatterns(GraftConfig.defaultSensitiveExtensions),
@@ -226,7 +231,9 @@ object CoreLogQueries {
         .withColumn("user_agent", concat(lit("  "), upper(col("user_agent")), lit(" ")))
         .withColumn("method", lower(col("method")))
         .withColumn("_row_id", col("event_id") + 10000000L)
-      val planted = lg.unionByName(noisy)
+      // widen: the 8-column normalization (lower/trim/regex per col)
+      // is narrow CPU over two 1-partition scans (see operators.Widen)
+      val planted = graft.operators.Widen.widen(lg.unionByName(noisy))
       graft.norm.Normalizer.removeDuplicates(planted, col("_row_id"))
         .select(col("_row_id").as("rid"))
     }),

@@ -523,7 +523,10 @@ object TextQueries {
       val raw = concat(lit(sentenceFixturePrefix),
         expr("repeat('Alpha beta gamma delta. ', CAST(doc_id % 5 + 3 AS INT))"),
         coalesce(col("text"), lit("")))
-      val docs = table(s, dir, "documents").select(col("doc_id"), raw.as("text"))
+      // widen: sentence split + chunk assembly is narrow CPU over the
+      // 1-partition scan (see operators.Widen)
+      val docs = graft.operators.Widen.widen(
+        table(s, dir, "documents").select(col("doc_id"), raw.as("text")))
       graft.textops.Chunker.chunkBySentences(
         docs, col("text"), window = 12, keep = Seq(col("doc_id")))
     }),
