@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// dev-only: extra forked-JVM flags (JFR profiling etc.) via env — the
+// official driver invocations leave this unset
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JAVA_OPTS")
+  .map(_.split(" ").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)

@@ -46,6 +46,8 @@ object Bench {
         val Array(k, v) = kv.split("=", 2); (k, v)
       }.toSeq).getOrElse(Seq.empty)
     val b0 = SparkSession.builder()
+      // local-FS perf: no /bin/chmod forks (graft.util.NoForkLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl", "graft.util.NoForkLocalFileSystem")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(s"local[$cpus]")
     val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }

@@ -12,6 +12,8 @@ object DebugOne {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq else Seq("q6_parse")
     val spark = SparkSession.builder()
+      // local-FS perf: no /bin/chmod forks (graft.util.NoForkLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl", "graft.util.NoForkLocalFileSystem")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

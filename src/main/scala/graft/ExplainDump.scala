@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 object ExplainDump {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      // local-FS perf: no /bin/chmod forks (graft.util.NoForkLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl", "graft.util.NoForkLocalFileSystem")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions").master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

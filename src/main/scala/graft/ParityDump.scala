@@ -19,6 +19,8 @@ object ParityDump {
     val Array(logDir, outCsv) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
+      // local-FS perf: no /bin/chmod forks (graft.util.NoForkLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl", "graft.util.NoForkLocalFileSystem")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

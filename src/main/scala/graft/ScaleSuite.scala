@@ -26,6 +26,8 @@ object ScaleSuite {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
     val spark = SparkSession.builder()
+      // local-FS perf: no /bin/chmod forks (graft.util.NoForkLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl", "graft.util.NoForkLocalFileSystem")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

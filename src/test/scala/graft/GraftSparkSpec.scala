@@ -16,6 +16,8 @@ object TestSpark {
     val cpus = sys.env.getOrElse("GRAFT_TEST_CPUS", "4")
     val shuffle = sys.env.getOrElse("GRAFT_TEST_SHUFFLE", "4")
     val s = SparkSession.builder()
+      // local-FS perf: no /bin/chmod forks (graft.util.NoForkLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl", "graft.util.NoForkLocalFileSystem")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(s"local[$cpus]")
       .appName("graft-test")
