@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must pass through UNPREFIXED: the default
+// LoggedOutput strategy prepends "[info] " to every program line, which
+// breaks the driver's JSON parse of the bench metric line (BENCH_r16
+// "parsed": null with a syntactically complete JSON object in the tail
+// — complete except for the logger prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

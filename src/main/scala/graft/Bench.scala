@@ -208,14 +208,16 @@ object Bench {
         java.lang.Double.valueOf(single), java.lang.Double.valueOf(all),
         Integer.valueOf(cores))
     }
+    // Contract: ONE JSON line carrying the full per-query map, printed
+    // as this program's LAST stdout line. Round 16 split this into a
+    // full-map line followed by a compact summary line WITHOUT the
+    // "queries" key — the driver parsed neither ("parsed": null in both
+    // BENCH_r16 artifacts; a summary that drops the queries map is not
+    // the contract shape). The round-16 summary experiment is reverted;
+    // the companion fix (build.sbt run/outputStrategy := StdoutOutput)
+    // removes the "[info] " logger prefix that also breaks json parsing
+    // of this line.
     println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"slowest":$slowest,"queries":$qs,"spread":$spreads,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}""")
-    // The driver records only the LAST 2000 chars of stdout and parses
-    // what it captured (BENCH_r10/r11 both landed "parsed": null because
-    // the full per-query line overflows that window and the captured
-    // slice starts mid-JSON). Repeat the compact summary — total,
-    // slowest-10, failed, passes — as the FINAL line: ~400 chars, so it
-    // always survives tail truncation intact and parses standalone.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"slowest":$slowest,"passes":$passes,"failed":$failedJson,"sf":"$sfDir","note":"summary; full per-query map on the previous line"}""")
     spark.stop()
   }
 }

@@ -12,13 +12,22 @@ import org.apache.spark.sql.DataFrame
   * 1 task). AQE cannot help: it only coalesces, never widens, and its
   * byte estimates undercount rows that inflate in the projection (the
   * documented denseFrom trap). `widen` inserts one explicit
-  * round-robin repartition to the session's default parallelism —
-  * user-specified partitioning, so AQE keeps it — ONLY when the frame
-  * currently plans fewer partitions than that.
+  * round-robin repartition to the target width — user-specified
+  * partitioning, so AQE keeps it — gated ONLY by the plan-stats byte
+  * guard below: a SMALL frame (<= `spark.graft.widen.maxBytes`) is
+  * repartitioned to exactly `target` partitions whatever its current
+  * width (a clamp, not a floor — a small frame already wider than the
+  * target is reshuffled down to it, which is harmless at guard-sized
+  * bytes). Current partition count is deliberately NOT consulted:
+  * asking an unexecuted AQE frame for it forces hidden materialization
+  * (see the guard comment in [[widen]]).
   *
-  * 100 TB shape: a real corpus scan plans thousands of splits, so
-  * `numPartitions >= target` holds and widen is the identity — no
-  * payload shuffle is ever added at scale. The target derives from the
+  * 100 TB shape: a real corpus scan reports file-scale plan bytes, so
+  * the byte guard fails and widen is the identity — no payload shuffle
+  * is ever added at scale (a stats UNDERestimate on a big frame would
+  * add one 8-way shuffle; scans report file bytes, so the risky
+  * estimates sit above exchanges where widen is not applied).
+  * The target derives from the
   * runtime (`defaultParallelism` = total cores on a cluster, the
   * local[n] core count under the bench contract), overridable via
   * `spark.graft.widen.parallelism`; <= 1 disables.

@@ -34,20 +34,29 @@ class NoForkRawLocalFileSystem extends RawLocalFileSystem {
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     val group = permission.getGroupAction
     val other = permission.getOtherAction
-    if (group != other) super.setPermission(p, permission)
+    // sticky/setuid-class bits are not expressible through java.io.File
+    // either — delegate them with the group != other modes
+    if (group != other || permission.getStickyBit) super.setPermission(p, permission)
     else {
       val f = pathToFile(p)
       val user = permission.getUserAction
-      def apply1(g: Boolean, u: Boolean, set: (Boolean, Boolean) => Boolean): Unit = {
-        set(g, false) // everyone
-        if (g != u) { set(u, true); () } // owner layered on top
+      def apply1(g: Boolean, u: Boolean, set: (Boolean, Boolean) => Boolean): Boolean = {
+        var ok = set(g, false) // everyone
+        if (g != u) ok &= set(u, true) // owner layered on top
+        ok
       }
-      apply1(group.implies(FsAction.READ), user.implies(FsAction.READ),
-        f.setReadable)
-      apply1(group.implies(FsAction.WRITE), user.implies(FsAction.WRITE),
-        f.setWritable)
-      apply1(group.implies(FsAction.EXECUTE), user.implies(FsAction.EXECUTE),
-        f.setExecutable)
+      // a failed java.io.File setter returns false where stock Hadoop's
+      // chmod path throws IOException — fall back to the forking super
+      // so failures stay loud instead of silently leaving wrong modes.
+      // & not &&: apply all three before deciding, no short-circuit
+      val ok =
+        apply1(group.implies(FsAction.READ), user.implies(FsAction.READ),
+          f.setReadable) &
+        apply1(group.implies(FsAction.WRITE), user.implies(FsAction.WRITE),
+          f.setWritable) &
+        apply1(group.implies(FsAction.EXECUTE), user.implies(FsAction.EXECUTE),
+          f.setExecutable)
+      if (!ok) super.setPermission(p, permission)
     }
   }
 }

@@ -197,6 +197,20 @@ object GraphAnn {
       withCells: Boolean): Option[LocalCtx] = try {
     val lim = localWalkLimit(corpus)
     if (lim <= 0) return None
+    // Byte guard (round-16 ADVICE): the row cap alone admits 200k rows
+    // of high-dimensional vectors — multiple GB of boxed driver heap
+    // collected eagerly. Veto on PLAN-STATS bytes of the projected
+    // (id, vec) corpus before any collect (planning-only, the
+    // [[graft.operators.Widen]] discipline; an estimate failure or
+    // missing stats fails CLOSED to the distributed walk).
+    val maxBytes = corpus.sparkSession.conf
+      .getOption("spark.graft.ann.localWalkMaxBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val corpusBytes =
+      try corpus.select(col(idCol), col(vecCol))
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+    if (corpusBytes > maxBytes) return None
     val cap = math.min(lim, Int.MaxValue - 2L).toInt
     val eRows = edges
       .select(col("src").cast("long"), col("dst").cast("long"))

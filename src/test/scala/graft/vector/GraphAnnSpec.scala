@@ -338,6 +338,38 @@ class GraphAnnSpec extends GraftSparkSpec {
     assert(recall >= 0.95, s"hier recall through recursive cell layer: $recall")
   }
 
+  test("driver-local walk equals the distributed walk exactly (flat + hier)") {
+    // round-16 ADVICE: the localWalkLimit fast path captures every
+    // small fixture, so the distributed baseWalk/searchTopKHier would
+    // otherwise lose automated coverage — force it with limit=0 and
+    // pin exact equality (ids, cosines, ranks) against the local path.
+    val (cor, qs, centroids) = decoyFixture
+    val (edges, entries) = GraphAnn.build(
+      cor, "vec_id", "embedding", centroids, m = 4, replicas = 2)
+    val cg = GraphAnn.buildCellGraph(centroids, cellM = 4)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    def flat() = norm(GraphAnn.searchTopK(cor, "vec_id", "embedding",
+      qs, "vec_id", "embedding", centroids, edges, entries,
+      k = 5, nprobe = 2, hops = 3, beam = 8))
+    def hier() = norm(GraphAnn.searchTopKHier(cor, "vec_id", "embedding",
+      qs, "vec_id", "embedding", centroids, edges, entries, cg,
+      k = 5, entryProbe = 4, cellHops = 4, cellBeam = 4, hops = 3, beam = 8))
+    val (localFlat, localHier) = (flat(), hier())
+    spark.conf.set("spark.graft.ann.localWalkLimit", "0")
+    try {
+      assert(flat() === localFlat, "distributed flat walk must equal local")
+      assert(hier() === localHier, "distributed hier walk must equal local")
+    } finally spark.conf.unset("spark.graft.ann.localWalkLimit")
+    // the byte guard (localWalkMaxBytes) must route to the SAME
+    // distributed path: equality again with a 1-byte budget
+    spark.conf.set("spark.graft.ann.localWalkMaxBytes", "1")
+    try {
+      assert(flat() === localFlat, "byte-guard fallback must equal local")
+      assert(hier() === localHier, "byte-guard fallback (hier) must equal local")
+    } finally spark.conf.unset("spark.graft.ann.localWalkMaxBytes")
+  }
+
   test("hierarchical assignment: full fan IS the flat rank; small fan keeps fidelity") {
     import spark.implicits._
     // 60 centroids in 12 well-separated direction clusters
