@@ -3012,12 +3012,14 @@ object TableLog {
       val merged =
         if (cur.partCols.isEmpty) mergedSchema(base, srcMat.schema)
         else mergedSchema(base, partitionedSchema(srcMat, cur.partCols))
-      val srcDup = srcMat.where(col(keyCol).isNull)
-        .select(lit(1L)).limit(1)
-        .unionAll(srcMat.groupBy(col(keyCol)).count()
-          .where(col("count") > 1L).select(lit(1L)).limit(1))
-        .limit(1).count()
-      require(srcDup == 0L,
+      // ONE agg job for the uniqueness/null check AND the key range
+      // (was two: a unioned probe count plus a min/max agg further
+      // down — each a full plan+schedule round over the source)
+      val range = srcMat.agg(min(col(keyCol)), max(col(keyCol)),
+        count(lit(1)), count(col(keyCol)), countDistinct(col(keyCol)))
+        .collect()(0)
+      require(range.getLong(2) == range.getLong(3) &&
+        range.getLong(3) == range.getLong(4),
         s"TableLog.merge: source $keyCol must be unique and non-null — " +
           "an ambiguous merge would replace one row twice")
       // EQUALITY-ROUTED MERGE (under the eq conf): an upsert needs no
@@ -3043,7 +3045,7 @@ object TableLog {
               }
             val written = stats.valuesIterator
               .flatMap(_.get(RowsKey)).map(_.min.toLong).sum
-            val nSrc = srcMat.count()
+            val nSrc = range.getLong(2) // count(1) from the combined agg
             require(written == nSrc,
               s"TableLog.merge: wrote $written rows, want $nSrc — " +
                 "aborting commit (orphans go to vacuum)")
@@ -3060,9 +3062,9 @@ object TableLog {
           case None => () // empty source: the plain path no-ops it
         }
       }
-      // manifest-level candidate cut: the source's key range vs
-      // recorded bounds (unbounded files kept — conservative)
-      val range = srcMat.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
+      // manifest-level candidate cut: the source's key range (from the
+      // combined agg above) vs recorded bounds (unbounded files kept —
+      // conservative)
       val candidates =
         if (range.isNullAt(0)) Nil // empty source: pure insert of nothing
         else cur.files.filter { n =>
@@ -3251,17 +3253,18 @@ object TableLog {
       // non-deterministic source can otherwise yield inconsistent
       // passes — Delta materializes MERGE sources for the same reason)
       val srcMat = source.localCheckpoint(true)
-      val srcDup = srcMat.where(col(keyCol).isNull)
-        .select(lit(1L)).limit(1)
-        .unionAll(srcMat.groupBy(col(keyCol)).count()
-          .where(col("count") > 1L).select(lit(1L)).limit(1))
-        .limit(1).count()
-      require(srcDup == 0L,
+      // ONE agg job for the uniqueness/null check AND the key range
+      // (was two: a unioned probe count plus a min/max agg — each a
+      // full plan+schedule round over the checkpointed source)
+      val range = srcMat.agg(min(col(keyCol)), max(col(keyCol)),
+        count(lit(1)), count(col(keyCol)), countDistinct(col(keyCol)))
+        .collect()(0)
+      require(range.getLong(2) == range.getLong(3) &&
+        range.getLong(3) == range.getLong(4),
         s"TableLog.mergeWhen: source $keyCol must be unique and non-null")
       val srcR = srcMat.select(srcMat.columns.toSeq.map(c =>
         col(c).as(s"_s_$c")): _*)
       val srcKey = col(s"_s_$keyCol")
-      val range = srcMat.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
       val bySource = notMatchedBySource.nonEmpty
       def overlapsCol(n: String, c: String, lo: Any, hi: Any): Boolean =
         cur.stats.get(n).flatMap(_.get(c)) match {

@@ -41,6 +41,19 @@ import org.apache.spark.sql.DataFrame
   * consumers (the operators here already ban those as shuffle keys).
   */
 object Widen {
+  /** Key-preserving widen: hash-repartition to the target width on
+    * `keys` so a window/aggregation partitioned by those keys reuses
+    * the exchange (no second shuffle) instead of letting AQE coalesce
+    * its own exchange to one task at bench-scale bytes. Same byte
+    * guard and target as [[widen]]; identity above the guard, so the
+    * 100 TB path keeps AQE's sizing of the operator's own exchange.
+    */
+  def widenBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = targetOf(df)
+    if (target <= 1) df
+    else if (isSmall(df)) df.repartition(target, keys: _*)
+    else df
+  }
   /** Default width cap. Full-core fan-out measured NET NEGATIVE at
     * bench scale: the heavy text expressions pay ~150 ms of per-task
     * initialization (codegen + regex automata), so 32 tasks of 0.1 s
@@ -54,26 +67,31 @@ object Widen {
   val DefaultMaxWiden = 8
 
   def widen(df: DataFrame): DataFrame = {
+    val target = targetOf(df)
+    if (target <= 1) df
+    else if (isSmall(df)) df.repartition(target)
+    else df
+  }
+
+  private def targetOf(df: DataFrame): Int = {
     val spark = df.sparkSession
-    val target = spark.conf.getOption("spark.graft.widen.parallelism")
+    spark.conf.getOption("spark.graft.widen.parallelism")
       .map(_.toInt)
       .getOrElse(math.min(DefaultMaxWiden, spark.sparkContext.defaultParallelism))
-    if (target <= 1) df
-    else {
-      // size guard from PLAN STATS, not .rdd.getNumPartitions: asking a
-      // frame with unexecuted exchanges for its partitions forces AQE
-      // to materialize every query stage eagerly (a hidden extra
-      // execution), while optimizedPlan.stats is planning-only. Scans
-      // report file bytes; joins/windows propagate conservatively
-      // upward, and an OVERestimate merely skips the optimization. At
-      // corpus scale sizeInBytes is huge, the guard fails, and widen
-      // is the identity — no shuffle is added to the 100 TB path.
-      val maxBytes = spark.conf.getOption("spark.graft.widen.maxBytes")
-        .map(_.toLong).getOrElse(256L * 1024 * 1024)
-      val small =
-        try df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
-        catch { case scala.util.control.NonFatal(_) => false }
-      if (small) df.repartition(target) else df
-    }
+  }
+
+  // size guard from PLAN STATS, not .rdd.getNumPartitions: asking a
+  // frame with unexecuted exchanges for its partitions forces AQE
+  // to materialize every query stage eagerly (a hidden extra
+  // execution), while optimizedPlan.stats is planning-only. Scans
+  // report file bytes; joins/windows propagate conservatively
+  // upward, and an OVERestimate merely skips the optimization. At
+  // corpus scale sizeInBytes is huge, the guard fails, and widen
+  // is the identity — no shuffle is added to the 100 TB path.
+  private def isSmall(df: DataFrame): Boolean = {
+    val maxBytes = df.sparkSession.conf.getOption("spark.graft.widen.maxBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    try df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
+    catch { case scala.util.control.NonFatal(_) => false }
   }
 }

@@ -152,9 +152,15 @@ object Sessionizer {
 
     val delta = col("_epoch") - lag(col("_epoch"), 1).over(inChunk)
     val newSession = when(delta.isNull || delta < threshold, 0L).otherwise(1L)
-    val local = df
-      .withColumn("_epoch", epoch)
-      .withColumn("_chunk", chunk)
+    // widenBy: pin the per-chunk window's parallelism on ITS OWN keys —
+    // at bench bytes AQE coalesces the window's exchange to one task
+    // (two ~1.5 s serialized window stages, the round-16 ProfileOne
+    // finding); a user-specified hash repartition on the same keys is
+    // reused by the window (no second exchange) and is the identity
+    // above the byte guard, so the 100 TB path keeps AQE's sizing
+    val local = graft.operators.Widen.widenBy(
+      df.withColumn("_epoch", epoch).withColumn("_chunk", chunk),
+      col("source"), col("ip"), col("_chunk"))
       .withColumn("_cls",
         sum(newSession).over(inChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 

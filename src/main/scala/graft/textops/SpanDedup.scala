@@ -322,22 +322,24 @@ object SpanDedup {
       evalDf: DataFrame, evalIdCol: String, evalTextCol: String,
       k: Int = 8, maxEvalWindows: Int = 5000000): DataFrame = {
     require(k >= 2, s"contaminationReport: k must be >= 2 (got $k)")
-    require(maxEvalWindows > 0,
-      s"contaminationReport: maxEvalWindows must be positive (got $maxEvalWindows)")
-    val evalW = evalDf.select(col(evalIdCol).as("_cr_eid"),
-      explode(window_hashes(lower(coalesce(col(evalTextCol), lit(""))), k))
-        .as("_cr_wh"))
-      .distinct()
-    // bounded BEFORE broadcast — the decontaminate guard
-    val probeLimit = math.min(maxEvalWindows.toLong + 1L, Int.MaxValue.toLong).toInt
-    val nEvalW = evalW.limit(probeLimit).count()
-    require(nEvalW <= maxEvalWindows,
-      s"contaminationReport: eval corpus has more than $maxEvalWindows distinct " +
+    // bounded BEFORE broadcast (the decontaminate guard), checkpointed
+    // ONCE: the guard count, the broadcast build and the totals
+    // aggregate otherwise each re-run the eval tokenize+distinct
+    val evalW = evalWindowsChecked(
+      evalDf.select(col(evalIdCol).as("_cr_eid"),
+        explode(window_hashes(lower(coalesce(col(evalTextCol), lit(""))), k))
+          .as("_cr_wh")),
+      maxEvalWindows,
+      "contaminationReport: eval corpus has more than %d distinct " +
         "(doc, window) pairs — the eval side broadcasts; raise maxEvalWindows " +
         "only deliberately")
-    val corpusW = df.select(col(idCol).as("_cr_did"),
-      explode(window_hashes(lower(coalesce(col(textCol), lit(""))), k))
-        .as("_cr_wh"))
+    // widen: the corpus tokenize+window-hash pass dominates and runs on
+    // the scan's partitioning (see Widen; identity at corpus scale)
+    val corpusW = graft.operators.Widen.widen(
+      df.select(col(idCol).as("_cr_did"), col(textCol).as("_cr_txt")))
+      .select(col("_cr_did"),
+        explode(window_hashes(lower(coalesce(col("_cr_txt"), lit(""))), k))
+          .as("_cr_wh"))
     val matched = corpusW.join(broadcast(evalW), Seq("_cr_wh"))
       .select("_cr_eid", "_cr_did", "_cr_wh").distinct()
       .groupBy(col("_cr_eid"))
@@ -381,20 +383,41 @@ object SpanDedup {
       evalTextCol: String, k: Int = 8,
       maxEvalWindows: Int = 5000000): DataFrame = {
     require(k >= 2, s"contaminationDashboard: k must be >= 2 (got $k)")
-    val evalW = evals.select(col(benchCol).as("_cd_b"),
-      col(evalIdCol).as("_cd_eid"),
-      explode(window_hashes(lower(coalesce(col(evalTextCol), lit(""))), k))
-        .as("_cd_wh"))
-      .distinct()
-    val probeLimit = math.min(maxEvalWindows.toLong + 1L, Int.MaxValue.toLong).toInt
-    val nEvalW = evalW.limit(probeLimit).count()
-    require(nEvalW <= maxEvalWindows,
-      s"contaminationDashboard: eval corpora exceed $maxEvalWindows distinct " +
+    // checkpoint the bounded eval side ONCE (the indexed dashboard's
+    // discipline): it otherwise re-derives for the guard count, the
+    // broadcast build AND the totals aggregate — three tokenize+
+    // explode+distinct executions of the same small frame
+    val evalW = evalWindowsChecked(
+      evals.select(col(benchCol).as("_cd_b"), col(evalIdCol).as("_cd_eid"),
+        explode(window_hashes(lower(coalesce(col(evalTextCol), lit(""))), k))
+          .as("_cd_wh")),
+      maxEvalWindows,
+      "contaminationDashboard: eval corpora exceed %d distinct " +
         "(benchmark, doc, window) triples — the eval side broadcasts; raise " +
         "maxEvalWindows only deliberately")
-    val corpusW = df.select(col(idCol).as("_cd_did"),
-      explode(window_hashes(lower(coalesce(col(textCol), lit(""))), k))
-        .as("_cd_wh"))
+    val evalDocs = evals.select(col(benchCol).as("_cd_b"),
+      col(evalIdCol).as("_cd_eid")).distinct()
+      .groupBy(col("_cd_b")).agg(count(lit(1)).as("n_eval_docs"))
+    dashboardCore(df, idCol, textCol, benchCol, evalW, evalDocs, k)
+  }
+
+  /** The dashboard's corpus scan + aggregation given a pre-checked
+    * (checkpointed) eval-window frame — shared by
+    * [[contaminationDashboard]] and [[contaminationTrend]] (which
+    * scans TWO corpus snapshots against the SAME eval side and must
+    * not rebuild it per snapshot).
+    */
+  private def dashboardCore(
+      df: DataFrame, idCol: String, textCol: String, benchCol: String,
+      evalW: DataFrame, evalDocs: DataFrame, k: Int): DataFrame = {
+    // widen: the corpus tokenize+window-hash pass is the dominant CPU
+    // and runs on the scan's partitioning (ONE task on a single-file
+    // bench table; identity at corpus scale — see Widen)
+    val corpusW = graft.operators.Widen.widen(
+      df.select(col(idCol).as("_cd_did"), col(textCol).as("_cd_txt")))
+      .select(col("_cd_did"),
+        explode(window_hashes(lower(coalesce(col("_cd_txt"), lit(""))), k))
+          .as("_cd_wh"))
     val matched = corpusW.join(broadcast(evalW), Seq("_cd_wh"))
       .select("_cd_b", "_cd_eid", "_cd_did", "_cd_wh").distinct()
     val perBenchMatch = matched.groupBy(col("_cd_b"))
@@ -404,9 +427,6 @@ object SpanDedup {
         countDistinct(col("_cd_eid")).as("n_contaminated_docs"))
     val totals = evalW.groupBy(col("_cd_b"))
       .agg(count(lit(1)).as("n_windows"))
-    val evalDocs = evals.select(col(benchCol).as("_cd_b"),
-      col(evalIdCol).as("_cd_eid")).distinct()
-      .groupBy(col("_cd_b")).agg(count(lit(1)).as("n_eval_docs"))
     evalDocs
       .join(totals, Seq("_cd_b"), "left")
       .join(perBenchMatch, Seq("_cd_b"), "left")
@@ -468,10 +488,16 @@ object SpanDedup {
           .select(pmod(col("_cd_wh"), lit(SpanIndexBuckets.toLong))
             .cast("int").as("pb"))
           .distinct().collect().map(_.getInt(0)).toSeq
+        // NO distinct on the index side: `matched` feeds only
+        // countDistinct aggregates below, so duplicate (wh) hits cannot
+        // change a result row — and dropping it removes the dashboard's
+        // one corpus-sized shuffle (distinct over every pruned-bucket
+        // window). With the small checked eval side broadcast, the
+        // probe is a single streaming pass over the pruned index scan.
         val hist = spark.read.parquet(s"$corpusIndexDir/windows.parquet")
           .filter(col("pb").isin(pbs: _*))
-          .select(col("wh").as("_cd_wh")).distinct()
-        evalW.join(hist, Seq("_cd_wh"))
+          .select(col("wh").as("_cd_wh"))
+        broadcast(evalW).join(hist, Seq("_cd_wh"))
           .select(col("_cd_b"), col("_cd_eid"), col("_cd_wh"))
       }
     val perBenchMatch = matched.groupBy(col("_cd_b"))
@@ -514,16 +540,47 @@ object SpanDedup {
       evals: DataFrame, benchCol: String, evalIdCol: String,
       evalTextCol: String, k: Int = 8,
       maxEvalWindows: Int = 5000000): DataFrame = {
-    val p = contaminationDashboard(prev, idCol, textCol, evals, benchCol,
-      evalIdCol, evalTextCol, k, maxEvalWindows)
+    require(k >= 2, s"contaminationTrend: k must be >= 2 (got $k)")
+    // ONE eval side for both snapshots: the eval windows and per-bench
+    // doc counts are snapshot-independent, so building them per
+    // dashboard (as the pre-round-17 code did via two full
+    // contaminationDashboard calls) doubled the eval tokenize+distinct
+    // work for identical results
+    val evalW = evalWindowsChecked(
+      evals.select(col(benchCol).as("_cd_b"), col(evalIdCol).as("_cd_eid"),
+        explode(window_hashes(lower(coalesce(col(evalTextCol), lit(""))), k))
+          .as("_cd_wh")),
+      maxEvalWindows,
+      "contaminationTrend: eval corpora exceed %d distinct " +
+        "(benchmark, doc, window) triples — the eval side broadcasts; raise " +
+        "maxEvalWindows only deliberately")
+    val evalDocs = evals.select(col(benchCol).as("_cd_b"),
+      col(evalIdCol).as("_cd_eid")).distinct()
+      .groupBy(col("_cd_b")).agg(count(lit(1)).as("n_eval_docs"))
+      .localCheckpoint()
+    val p = dashboardCore(prev, idCol, textCol, benchCol, evalW, evalDocs, k)
       .select(col(benchCol),
         col("contamination_x10000").as("prev_x10000"),
         col("n_docs_hit").as("prev_docs_hit"))
-    val c = contaminationDashboard(cur, idCol, textCol, evals, benchCol,
-      evalIdCol, evalTextCol, k, maxEvalWindows)
+    val c = dashboardCore(cur, idCol, textCol, benchCol, evalW, evalDocs, k)
     c.join(p, Seq(benchCol))
       .withColumn("delta_x10000",
         col("contamination_x10000") - col("prev_x10000"))
+  }
+
+  /** Distinct + eager localCheckpoint + bounded-size guard for an
+    * eval-window frame — the checkpoint is what lets the guard count,
+    * the broadcast build and the totals aggregate share ONE execution
+    * of the eval tokenize/explode/distinct.
+    */
+  private def evalWindowsChecked(
+      raw: DataFrame, maxEvalWindows: Int, msgFmt: String): DataFrame = {
+    require(maxEvalWindows > 0,
+      s"evalWindows: maxEvalWindows must be positive (got $maxEvalWindows)")
+    val evalW = raw.distinct().localCheckpoint()
+    val n = evalW.count()
+    require(n <= maxEvalWindows, msgFmt.format(maxEvalWindows))
+    evalW
   }
 
   /** Number of hash-derived partitions the span index's window file is

@@ -120,11 +120,24 @@ object TfIdf {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val vec = denseFrom(sp, numBuckets)
+    // PROBE-side dense vectors densify only the probe ids' sparse rows
+    // (identical per-id values — densification is per-id) and ride a
+    // broadcast: the old vec⋈vec chain shuffled the 8·numBuckets-byte
+    // query vector attached to EVERY candidate pair through the
+    // neighbor-side join; now the corpus-side vectors cross one
+    // shuffle and the query vectors cross zero. Probes are bounded by
+    // the caller's predicate (a probe set too large to broadcast
+    // belongs on [[graft.vector.Ann.cosineTopK]]'s bounded-queries
+    // contract anyway).
+    val qvec = broadcast(
+      denseFrom(sp.join(probeIds, col("id") === col("query_id"))
+        .select("id", "bucket", "w"), numBuckets)
+        .select(col("id").as("query_id"), col("vec").as("_qv"),
+          col("n").as("_qn")))
     val scored = cand
-      .join(vec.select(col("id").as("query_id"), col("vec").as("_qv"),
-        col("n").as("_qn")), "query_id")
       .join(vec.select(col("id").as("neighbor_id"), col("vec").as("_cv"),
         col("n").as("_cn")), "neighbor_id")
+      .join(qvec, "query_id")
       .withColumn("cosine",
         graft.vector.Ann.dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
       // drop the 8KB vector payloads BEFORE the rank window's shuffle —
