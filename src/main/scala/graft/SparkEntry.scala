@@ -659,10 +659,17 @@ object SparkEntry {
   def curationStage4(s: SparkSession, dir: String): DataFrame = {
     // widen: stages 1-3 are one narrow chain (clean + lang-id +
     // quality + phrase gate) over the scan's partitioning — ONE task
-    // at bench scale, 3.8 s of serialized CPU (see operators.Widen)
+    // at bench scale, 3.8 s of serialized CPU (see operators.Widen).
+    // checkpoint `cleaned`: TWO consumers (the quality chain and the
+    // phrase-gate probe side) otherwise inline the cleanText subtree
+    // each — only the widen exchange below it is reused, so the
+    // heaviest expression of the whole pipeline evaluated twice
+    // (round-17 probe: the staged chain runs ~1.7 s warm vs 3.7 s
+    // monolithic at sf0.1)
     val cleaned = graft.operators.Widen.widen(table(s, dir, "documents"))
       .select(col("doc_id"),
         graft.textops.TextAnalysis.cleanText(col("text"), stripTags = true).as("text"))
+      .localCheckpoint()
     val withLang = cleaned.withColumn("lang_pred",
       graft.textops.TextAnalysis.languageId(col("text")))
     val quality = withLang
@@ -681,8 +688,13 @@ object SparkEntry {
       col("doc_id") === col("_blk"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
-    gated.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    // widen the RETURN: the md5-dedup window's exchange AQE-coalesces
+    // to one partition at bench bytes, so callers that checkpoint this
+    // frame (q65) materialize 1-wide and every downstream narrow pass
+    // (minhash shingles, span dedup, decontaminate) starts serialized
+    graft.operators.Widen.widen(
+      gated.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn"))
   }
 
   /** The flagship's blocked phrase (shared with

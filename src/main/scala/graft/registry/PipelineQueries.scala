@@ -1891,7 +1891,17 @@ object PipelineQueries {
         lit("\r\n"),
         lit("WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Type: text/html\r\n"),
         clHeader, lit("\r\n"), col("html"), lit("\r\n\r\n"))
-      WarcCorpus.writeRecords(pages.select(rec.as("rec")), col("rec"), fixDir)
+      // widen the fixture WRITE: writeRecords emits one .warc file per
+      // input partition, and the 1-partition documents scan otherwise
+      // produces ONE file — binaryFiles then plans ONE split and the
+      // whole WARC parse + content extraction chain runs serialized
+      // (readWarc's RDD frame carries no plan stats, so the widen
+      // inside crawlGated fails closed and cannot help). Splitting the
+      // fixture at write time is the honest fix: real crawls arrive as
+      // many WARC files.
+      WarcCorpus.writeRecords(
+        graft.operators.Widen.widen(pages.select(rec.as("rec"))),
+        col("rec"), fixDir)
       val ingested = WarcCorpus.readWarc(s, fixDir)
         .filter(col("reason").isNull)
         .select(
@@ -1902,7 +1912,12 @@ object PipelineQueries {
       // stages 2-7 (narrow gates + one url-dedup window); checkpoint:
       // the minhash edge generation, keep-best, and decontaminate all
       // re-consume this frame (the q65 staging discipline)
-      val deduped = crawlUrlDeduped(crawlGated(ingested)).localCheckpoint()
+      // widen before the checkpoint: the url-dedup window coalesces to
+      // one partition at bench bytes, and three consumers (minhash
+      // edges, keep-best, decontaminate) would all start serialized
+      // from a 1-wide checkpoint
+      val deduped = graft.operators.Widen.widen(
+        crawlUrlDeduped(crawlGated(ingested))).localCheckpoint()
       val edges = graft.textops.NearDup.minhashPairs(
         deduped, "doc_id", "text", threshold = 0.5, maxBucketSize = 100)
         .select("id_a", "id_b")

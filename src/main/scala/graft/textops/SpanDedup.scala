@@ -283,9 +283,14 @@ object SpanDedup {
     val bcast = spark.sparkContext.broadcast(hashes)
     // null text folds to '' (0 tokens, unflagged, empty text_clean):
     // a null would propagate into `flagged`, and a downstream
-    // filter(!flagged) silently drops null rather than passing it
-    df.select(col(idCol).as("_dc_id"),
-      lower(coalesce(col(textCol), lit(""))).as("_dc_txt"))
+    // filter(!flagged) silently drops null rather than passing it.
+    // widen: the window-hash + binary-search + span-stats pass is
+    // narrow CPU on the input's partitioning (one task over a
+    // checkpointed pipeline stage at bench scale; see Widen)
+    graft.operators.Widen.widen(
+      df.select(col(idCol).as("_dc_id"), col(textCol).as("_dc_raw")))
+      .select(col("_dc_id"),
+        lower(coalesce(col("_dc_raw"), lit(""))).as("_dc_txt"))
       .withColumn("_dc_pos", contam_positions(col("_dc_txt"), bcast, k))
       .withColumn("_dc_st", dedup_span_stats(col("_dc_txt"), col("_dc_pos"), k))
       .select(col("_dc_id").as(idCol),
@@ -776,8 +781,14 @@ object SpanDedup {
     // null text folds to '' — same contract as [[decontaminate]]: a
     // null would null out the whole stats struct and vanish from
     // downstream boolean filters instead of passing through
-    val base = df.select(col(idCol).as("_sd_id"),
-      lower(coalesce(col(textCol), lit(""))).as("_sd_txt"))
+    // widen: both consumers of `base` (the window-hash explode and the
+    // final span-stats rebuild) are narrow CPU over the input's
+    // partitioning — one task over a checkpointed pipeline stage at
+    // bench scale; the two branches reuse the one widen exchange
+    val base = graft.operators.Widen.widen(
+      df.select(col(idCol).as("_sd_id"), col(textCol).as("_sd_raw")))
+      .select(col("_sd_id"),
+        lower(coalesce(col("_sd_raw"), lit(""))).as("_sd_txt"))
     val occ = base.select(col("_sd_id"),
       posexplode(window_hashes(col("_sd_txt"), k)).as(Seq("_pos", "_wh")))
     // first occurrence = min (id, pos) per hash, as two plain `min`
