@@ -601,7 +601,11 @@ object TextQueries {
     // independent trainer's own Viterbi
     "q117_unigram_segment" -> ((s, dir) => {
       val model = unigramModel(s, dir)
-      table(s, dir, "documents").select(col("doc_id"),
+      // widen: Viterbi segmentation is the heaviest per-row text
+      // expression in the suite and runs on the scan's one partition
+      // at bench scale (byte-guarded; see Widen)
+      graft.operators.Widen.widen(table(s, dir, "documents"))
+        .select(col("doc_id"),
         graft.textops.Unigram
           .unigram_segment(s, coalesce(col("text"), lit("")), model).as("ps"))
         .select(col("doc_id"),

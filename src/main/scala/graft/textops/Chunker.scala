@@ -50,7 +50,11 @@ object Chunker {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     require(stride <= window,
       s"stride ($stride) > window ($window) would drop tokens between chunks")
-    val base = df.select((keep :+ TextAnalysis.tokens(textCol).as("_toks")): _*)
+    // widen: tokenize + chunk explode (and whatever per-chunk analysis
+    // the caller stacks on top, e.g. q126's per-chunk lang-id) is
+    // narrow CPU on the scan's partitioning (byte-guarded; see Widen)
+    val base = graft.operators.Widen.widen(df)
+      .select((keep :+ TextAnalysis.tokens(textCol).as("_toks")): _*)
     val n = size(col("_toks"))
     // integer ceil((n - window)/stride): token counts are far below
     // 2^52 so the double division is exact

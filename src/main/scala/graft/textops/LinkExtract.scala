@@ -329,7 +329,10 @@ object LinkExtract {
   def outlinks(
       df: DataFrame, idCols: Seq[Column], baseUrl: Column,
       html: Column): DataFrame = {
-    val exploded = df
+    // widen: href scan + URL resolution is regex-heavy narrow CPU over
+    // the input's partitioning — one task on a single-file bench scan
+    // (byte-guarded identity at corpus scale; see Widen)
+    val exploded = graft.operators.Widen.widen(df)
       .select((idCols :+ baseUrl.as("_base") :+
         posexplode(rawHrefs(html)).as(Seq("link_idx", "href"))): _*)
     exploded
