@@ -284,32 +284,82 @@ object LinkGraph {
       .distinct()
     // undirected closure from the dirty seeds (removed nodes drop out
     // of the closure via the join against the NEW node set; their old
-    // neighbors entered `dirty` through the removed edges). No
-    // distinct: duplicate edges only re-propagate already-reached ids
-    // (the per-hop frontier distinct bounds growth) and the dedup
-    // shuffle would cost a full rank iteration by itself
-    val undir = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    var reached = dirty.join(ids, Seq("id")).distinct().localCheckpoint(true)
-    var frontier = reached
-    var hop = 0
-    var frontierSize = frontier.count()
-    while (frontierSize > 0 && hop < maxHops) {
-      val nbrs = undir.join(frontier, undir("src") === frontier("id"))
-        .select(col("dst").as("id")).distinct()
-      val fresh = nbrs.join(reached, Seq("id"), "left_anti")
+    // neighbors entered `dirty` through the removed edges).
+    //
+    // Scale-adaptive small-graph path (the rankLoop/triangle
+    // discipline): `e` is checkpointed above, so the count is a cheap
+    // block probe. Below localEdgeLimit the SAME seeded BFS runs as a
+    // driver loop over one bounded collect — identical reached set —
+    // instead of maxHops rounds of join+distinct+anti-join, each
+    // behind a localCheckpoint and a count job. Non-integral or null
+    // ids fall back to the distributed closure (GraphAnn's fail-closed
+    // contract); above the limit the 100 TB path is untouched.
+    val localReached: Option[DataFrame] =
+      if (e.count() > localEdgeLimit(e)) None
+      else try {
+        val seedRows = dirty.join(ids, Seq("id")).distinct()
+          .select(col("id").cast("long")).collect()
+        if (seedRows.exists(_.isNullAt(0))) None
+        else {
+          val eRows = e.select(col("src").cast("long"), col("dst").cast("long"))
+            .collect()
+          if (eRows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+          else {
+            val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+            eRows.foreach { r =>
+              val (s0, d0) = (r.getLong(0), r.getLong(1))
+              adj.computeIfAbsent(s0, _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += d0
+              adj.computeIfAbsent(d0, _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += s0
+              ()
+            }
+            val seen = new java.util.HashSet[Long]()
+            var front = seedRows.map(_.getLong(0)).toList
+            front.foreach(seen.add)
+            var hop0 = 0
+            while (front.nonEmpty && hop0 < maxHops) {
+              front = front.flatMap(u =>
+                Option(adj.get(u)).toList.flatten.filter(seen.add))
+              hop0 += 1
+            }
+            require(front.isEmpty,
+              s"pageRankDelta: closure did not converge in $maxHops hops")
+            val spark = nodes.sparkSession
+            import spark.implicits._
+            val idT = nodes.schema(idCol).dataType
+            Some(scala.jdk.CollectionConverters.SetHasAsScala(seen)
+              .asScala.toSeq.sorted.toDF("_prid")
+              .select(col("_prid").cast(idT).as("id")))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val reached = localReached.getOrElse {
+      // No distinct on undir: duplicate edges only re-propagate
+      // already-reached ids (the per-hop frontier distinct bounds
+      // growth) and the dedup shuffle would cost a full rank iteration
+      val undir = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint(true)
-      val prevReached = reached
-      reached = reached.unionByName(fresh).localCheckpoint(true)
-      prevReached.unpersist()
-      frontier.unpersist()
-      frontier = fresh
-      frontierSize = frontier.count()
-      hop += 1
+      var reached0 = dirty.join(ids, Seq("id")).distinct().localCheckpoint(true)
+      var frontier = reached0
+      var hop = 0
+      var frontierSize = frontier.count()
+      while (frontierSize > 0 && hop < maxHops) {
+        val nbrs = undir.join(frontier, undir("src") === frontier("id"))
+          .select(col("dst").as("id")).distinct()
+        val fresh = nbrs.join(reached0, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        val prevReached = reached0
+        reached0 = reached0.unionByName(fresh).localCheckpoint(true)
+        prevReached.unpersist()
+        frontier.unpersist()
+        frontier = fresh
+        frontierSize = frontier.count()
+        hop += 1
+      }
+      require(frontierSize == 0,
+        s"pageRankDelta: closure did not converge in $maxHops hops")
+      reached0
     }
-    require(frontierSize == 0,
-      s"pageRankDelta: closure did not converge in $maxHops hops")
     val subEdges = e.join(reached.select(col("id").as("src")), Seq("src"))
     val freshRanks = pageRank(reached, "id", subEdges, iters, dampNum, dampDen)
       .select(col("id"), col("rank"), lit(true).as("recomputed"))

@@ -130,6 +130,10 @@ object CoreLogQueries {
     // the full rule-engine pipeline: sessionize -> request_count ->
     // risk features -> sigma fold (one rule per operator class)
     "q10_rules" -> ((s, dir) => {
+      // NOT widened at the source (round-17 A/B: widen(lg) regressed
+      // 1.88 -> 2.62 s — the extra full-row round-robin exchange costs
+      // more than the single-evaluation of the cheap planted-log
+      // projection saves); the expensive rule pass below IS widened
       val lg = PseudoLog.logs(s, dir)
       val sess = Sessionizer.withClusters(lg, threshold = 300L)
       val counted = Sessionizer.withRequestCount(sess)

@@ -107,7 +107,9 @@ object TextQueries {
     // by (rank desc, term) over the #distinct-terms reduced frame
     "q148_textrank" -> ((s, dir) => {
       import graft.operators.{DistinctSketch, LinkGraph}
-      val toks = table(s, dir, "documents")
+      // widen: tokenize + adjacent-pair explode is the narrow CPU mass
+      // feeding the edge distinct (byte-guarded; see Widen)
+      val toks = graft.operators.Widen.widen(table(s, dir, "documents"))
         .select(graft.textops.TextIndex.terms(col("text")).as("_ts"))
       val pairs = toks.select(explode(zip_with(
           col("_ts"),

@@ -74,6 +74,23 @@ class IncrementalPageRankSpec extends GraftSparkSpec {
     assert(delta.map(r => r._1 -> r._2).toMap === ranksOf(prev))
   }
 
+  test("driver-local closure equals the distributed closure exactly") {
+    // round-17: the bounded-graph local BFS captures every fixture
+    // here, so force the distributed closure (and distributed rank
+    // loop) with localEdgeLimit=0 and pin exact (id, rank, recomputed)
+    // equality against the local path — the GraphAnn coverage
+    // discipline from the round-16 ADVICE
+    val newE = ringEdges.unionByName(Seq((7L, 9L), (100L, 104L)).toDF("src", "dst"))
+    val prev = LinkGraph.pageRank(ringNodes, "id", ringEdges, iters = 4)
+    def run() = LinkGraph.pageRankDelta(
+      ringNodes, "id", newE, ringNodes, ringEdges, prev, iters = 4)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val local = run()
+    spark.conf.set("spark.graft.graph.localEdgeLimit", "0")
+    try assert(run() === local, "distributed closure must equal local")
+    finally spark.conf.unset("spark.graft.graph.localEdgeLimit")
+  }
+
   test("partitioning invariance of the delta path") {
     val newE = ringEdges.unionByName(Seq((7L, 9L), (100L, 104L)).toDF("src", "dst"))
     val prev = LinkGraph.pageRank(ringNodes, "id", ringEdges, iters = 4)
