@@ -367,7 +367,10 @@ object CoreLogQueries {
         concat_ws(" ", split(col("request_uri"), "")).as("ctext"))
       val model = graft.textops.NgramLm.trainTrigram(
         charified, "ctext", vocabSize = 256)
-      val scored = lg.select(col("request_uri")).distinct()
+      // widen after the distinct: the per-URI trigram scoring runs on
+      // the distinct's AQE-coalesced single post-shuffle partition
+      val scored = graft.operators.Widen.widen(
+        lg.select(col("request_uri")).distinct())
         .withColumn("_c", concat_ws(" ", split(col("request_uri"), "")))
         .select(col("request_uri"),
           graft.textops.NgramLm.lm_score3(s, col("_c"), model).as("_lm"))

@@ -383,7 +383,12 @@ object NgramLm {
     require(backoff > 0 && backoff <= 1, s"trainTrigram: backoff in (0,1] (got $backoff)")
     val spark = df.sparkSession
     import spark.implicits._
-    val toks = df
+    // widen: THREE tokenize/key-explode passes (unigram, bigram,
+    // trigram counts) run over this frame's partitioning — one task
+    // each on a single-file bench scan; the three passes reuse one
+    // widen exchange (byte-guarded identity at corpus scale)
+    val wdf = graft.operators.Widen.widen(df.select(col(textCol)))
+    val toks = wdf
       .select(explode(split(lower(col(textCol)), WsRegex)).as("tok"))
       .filter(col("tok") =!= "")
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("n")).cache()
@@ -400,7 +405,7 @@ object NgramLm {
     val bVocab = spark.sparkContext.broadcast(new VocabIndex(vocab))
 
     def packedCounts(keyCol: Column, cap: Int, what: String): Array[(Long, Long)] = {
-      val grouped = df.select(explode(keyCol).as("key"))
+      val grouped = wdf.select(explode(keyCol).as("key"))
         .groupBy("key").agg(count(lit(1)).as("n"))
       val probeLimit = math.min(cap.toLong + 1L, Int.MaxValue.toLong).toInt
       val collected = grouped.limit(probeLimit).collect()
