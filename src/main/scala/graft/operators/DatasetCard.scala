@@ -34,7 +34,10 @@ object DatasetCard {
       df: DataFrame, sourceCol: String, idCol: String,
       textCol: String, langCol: String): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
-    val base = df.select(
+    // widen: verdict + PII regex battery + tokenize per row is the
+    // card's CPU mass and runs on the scan's partitioning — one task
+    // at bench scale (byte-guarded identity at corpus scale)
+    val base = graft.operators.Widen.widen(df).select(
       col(sourceCol).as("source"), col(idCol).as("_dc_id"),
       col(langCol).as("_dc_lang"),
       TextAnalysis.nTokens(t).cast("long").as("_dc_tok"),

@@ -225,7 +225,10 @@ object TextQueries {
     // fail reasons from the oracled round4 signals
     "q52_quality_filter" -> ((s, dir) => {
       val v = graft.textops.TextAnalysis.qualityVerdict(col("text"))
-      table(s, dir, "documents").select(col("doc_id"), v.as("_v"))
+      // widen: the verdict is ~1 s of serialized CPU on the scan's
+      // single partition at bench scale (byte-guarded; see Widen)
+      graft.operators.Widen.widen(table(s, dir, "documents"))
+        .select(col("doc_id"), v.as("_v"))
         .select(col("doc_id"), col("_v.n_tokens").as("n_tokens"),
           col("_v.fail_reasons").as("fail_reasons"), col("_v.keep").as("keep"))
     }),
@@ -552,8 +555,11 @@ object TextQueries {
         lit("<p>Short note.</p>"),
         lit("<footer><a href=\"/t\">terms</a> <a href=\"/p\">privacy</a> " +
           "<a href=\"/c\">copyright example corp</a></footer>"))
+      // widen: block segmentation + per-block stats over the rendered
+      // page is ~1.4 s of serialized CPU on the 1-partition bench scan
       graft.textops.MainContent.blocks(
-        table(s, dir, "documents"), Seq(col("doc_id")), html)
+        graft.operators.Widen.widen(table(s, dir, "documents")),
+        Seq(col("doc_id")), html)
     }),
 
 

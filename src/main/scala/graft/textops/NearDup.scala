@@ -782,9 +782,17 @@ object NearDup {
       else exploded
         .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("fp"))))
         .filter(col("_n") <= maxBucketSize)
-    val capped = preCap
-      .withColumn("nfp", count(lit(1)).over(Window.partitionBy(col("id"))))
-      .select(col("id"), col("fp"), col("nfp"))
+    // widenBy(fp): the self-join below requires fp hash partitioning
+    // anyway; pinning it user-specified keeps the within-bucket pair
+    // generation (the quadratic part) from running on ONE AQE-coalesced
+    // post-shuffle partition at bench bytes (q41: a 1.4 s single-task
+    // stage). Byte-guarded identity at corpus scale, where AQE's own
+    // sizing of the join exchange is the right call.
+    val capped = graft.operators.Widen.widenBy(
+      preCap
+        .withColumn("nfp", count(lit(1)).over(Window.partitionBy(col("id"))))
+        .select(col("id"), col("fp"), col("nfp")),
+      col("fp"))
     // containment ratio (shared / smaller set) rather than an absolute
     // count: same-domain corpora share many incidental fingerprints, but
     // only near-dups share most of the SMALLER document's prints.
