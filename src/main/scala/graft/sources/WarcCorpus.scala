@@ -77,7 +77,19 @@ object WarcCorpus {
       minPartitions: Int = 0): DataFrame = {
     val mp = if (minPartitions > 0) minPartitions
       else spark.sparkContext.defaultParallelism
-    val rdd = spark.sparkContext.binaryFiles(path, mp)
+    val handles = spark.sparkContext.binaryFiles(path, mp)
+    // Parallelism floor: binaryFiles COMBINES small files into few
+    // splits (CombineFileInputFormat charges each file the 4 MB
+    // spark.files.openCostInBytes, so a dozen small .warc files land
+    // in ONE split and the whole parse runs serialized — the q131
+    // shape). PortableDataStream is a lazy handle, so redistributing
+    // the (path, handle) pairs is a shuffle of pointers, not payloads;
+    // a real crawl's many-file input already plans >= mp partitions
+    // and this is a no-op there.
+    val spread =
+      if (handles.getNumPartitions < mp) handles.repartition(mp)
+      else handles
+    val rdd = spread
       .flatMap { case (file, pds) => parseStream(file, pds, maxPayloadBytes) }
     spark.createDataFrame(rdd)
   }
